@@ -1,0 +1,335 @@
+"""Plain (single-stage) evaluation engine.
+
+Reference: ``bid_evaluation/evaluator.py`` — fluent interface + config
+factories building a ``{column: criterion}`` map, then an eager pandas
+``evaluate()``. This engine keeps the identical builder surface (same method
+names, same config vocabulary, same error messages) and re-expresses
+``evaluate`` as a lazy Spark plan:
+
+1. ONE fused statistics aggregation job for every criterion column
+   (the reference runs one pandas pass per criterion — ``evaluator.py:291-295``),
+2. all weighted score columns as literal-parameterized Column expressions in a
+   single projection (``score_{name}`` columns are weight-multiplied
+   contributions, reference ``evaluator.py:294-295``),
+3. ``final_score = sum(weighted scores) / total_weight`` when
+   ``normalize_weights`` (default), else the raw sum (``evaluator.py:299-312``),
+4. ``ranking`` via ``RANK() OVER (ORDER BY final_score DESC)`` — exactly
+   pandas ``rank(ascending=False, method='min')`` (``evaluator.py:315-317``),
+5. result ordered by ranking (``evaluator.py:319``).
+
+Catalyst fuses (2)–(3) into one whole-stage-codegen span; the only driver
+round-trip is collecting the 1-row stats (SURVEY §3 lifecycle, §4.2).
+
+Scale note: a global ``Window.orderBy`` ranks through a single-partition
+exchange — fine for one tender's bid table, wrong for scoring millions of
+tenders at once. For that, :meth:`Evaluator.evaluate_batched` evaluates every
+batch/tender in ONE job: per-batch stats via ``groupBy`` (one shuffle),
+broadcast-joined back, rank windows partitioned by the batch key — no global
+exchange, no driver loop.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable, Dict, Optional, Union
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.criteria import (
+    BuiltinCustomCriterion,
+    CriterionBase,
+    CustomCriterion,
+    DirectScoreCriterion,
+    FormulaCriterion,
+    LinearCriterion,
+    MinimumRatioCriterion,
+    TemplateCriterion,
+    ThresholdCriterion,
+)
+from .stats import STAT_KEYS, compute_stats, grouped_stats_df
+
+
+class Evaluator:
+    """Weighted multi-criteria scoring engine with fluent + config interfaces.
+
+    Builder parity with reference ``Evaluator`` (``evaluator.py:21-273``);
+    execution is lazy Spark. Criteria are keyed by **column name** exactly like
+    the reference (``evaluator.py:255-257``) — adding a second criterion on the
+    same column silently replaces the first (documented reference trap,
+    SURVEY §1.4-1).
+    """
+
+    def __init__(self, normalize_weights: bool = True):
+        self.criteria: Dict[str, CriterionBase] = {}
+        self.normalize_weights = normalize_weights
+
+    # === Factory methods (from config) — reference evaluator.py:34-112 ===
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Dict[str, Any]],
+                    normalize_weights: bool = True) -> "Evaluator":
+        """Build from ``{column: {'type': ..., 'weight': ..., ...}}``.
+
+        Same five string type tags and error behavior as the reference
+        (``evaluator.py:34-76``; ``custom`` is deliberately config-unsupported
+        there), extended with the demos' ``template`` vocabulary
+        (``demos/streamlit_demo.py:428-479``).
+        """
+        evaluator = cls(normalize_weights=normalize_weights)
+
+        for column, params in config.items():
+            params = dict(params)
+            criterion_type = params.pop("type")
+            weight = params.pop("weight")
+            name = params.pop("name", column)
+
+            if criterion_type == "linear":
+                criterion: CriterionBase = LinearCriterion(name, weight, **params)
+            elif criterion_type == "threshold":
+                thresholds = [tuple(t) for t in params.pop("thresholds", [])]
+                criterion = ThresholdCriterion(name, weight, thresholds=thresholds, **params)
+            elif criterion_type == "direct":
+                criterion = DirectScoreCriterion(name, weight, **params)
+            elif criterion_type == "min_ratio":
+                criterion = MinimumRatioCriterion(name, weight, **params)
+            elif criterion_type == "formula":
+                formula_str = params.pop("formula", "value")
+                variables = params.pop("variables", {})
+                criterion = FormulaCriterion(name, weight, formula=formula_str,
+                                             variables=variables, **params)
+            elif criterion_type == "template":
+                template = params.pop("template")
+                criterion = TemplateCriterion(name, weight, template, **params)
+            else:
+                raise ValueError(f"Unknown criterion type: {criterion_type}")
+
+            evaluator.add_criterion(column, criterion)
+
+        return evaluator
+
+    @classmethod
+    def from_yaml(cls, filepath: str, normalize_weights: bool = True) -> "Evaluator":
+        """Build from a YAML file with a top-level ``criteria:`` key
+        (reference ``evaluator.py:78-99``)."""
+        import yaml
+
+        with open(filepath, "r") as f:
+            data = yaml.safe_load(f)
+        return cls.from_config(data.get("criteria", {}), normalize_weights)
+
+    @classmethod
+    def from_json(cls, filepath: str, normalize_weights: bool = True) -> "Evaluator":
+        """Build from a JSON file with a top-level ``criteria`` key
+        (reference ``evaluator.py:101-112``)."""
+        with open(filepath, "r") as f:
+            data = json.load(f)
+        return cls.from_config(data.get("criteria", {}), normalize_weights)
+
+    # === Fluent interface — reference evaluator.py:116-237 ===
+
+    def linear(self, column: str, weight: float, name: Optional[str] = None,
+               higher_is_better: bool = True) -> "Evaluator":
+        self.add_criterion(column, LinearCriterion(name or column, weight,
+                                                   higher_is_better=higher_is_better))
+        return self
+
+    def threshold(self, column: str, weight: float, thresholds: list,
+                  name: Optional[str] = None) -> "Evaluator":
+        self.add_criterion(column, ThresholdCriterion(name or column, weight,
+                                                      thresholds=thresholds))
+        return self
+
+    def direct(self, column: str, weight: float, name: Optional[str] = None,
+               input_scale: float = 100) -> "Evaluator":
+        self.add_criterion(column, DirectScoreCriterion(name or column, weight,
+                                                        input_scale=input_scale))
+        return self
+
+    def min_ratio(self, column: str, weight: float, name: Optional[str] = None) -> "Evaluator":
+        self.add_criterion(column, MinimumRatioCriterion(name or column, weight))
+        return self
+
+    def formula(self, column: str, weight: float, formula: str = "value",
+                variables: Optional[dict] = None, name: Optional[str] = None) -> "Evaluator":
+        self.add_criterion(column, FormulaCriterion(name or column, weight,
+                                                    formula=formula, variables=variables))
+        return self
+
+    def custom(self, column: str, weight: float,
+               func: Union[str, Callable, None] = None,
+               name: Optional[str] = None, **kwargs: Any) -> "Evaluator":
+        """Custom criterion: a callable ``(values: pd.Series, stats) -> pd.Series``
+        (runs as an Arrow-vectorized pandas UDF) or a built-in name
+        (``proximity_to_mean``/``proximity_to_median``/``log_scale``/
+        ``inverse_squared`` — native expressions, reference ``evaluator.py:239-251``)."""
+        if isinstance(func, str):
+            self.add_criterion(column, BuiltinCustomCriterion(name or column, weight,
+                                                              func, **kwargs))
+        else:
+            self.add_criterion(column, CustomCriterion(name or column, weight,
+                                                       func, **kwargs))
+        return self
+
+    def template(self, column: str, weight: float, template: str,
+                 name: Optional[str] = None, **params: Any) -> "Evaluator":
+        """Pre-built scoring template criterion (demo vocabulary extension)."""
+        self.add_criterion(column, TemplateCriterion(name or column, weight,
+                                                     template, **params))
+        return self
+
+    # === Core methods — reference evaluator.py:255-273 ===
+
+    def add_criterion(self, column: str, criterion: CriterionBase) -> None:
+        self.criteria[column] = criterion
+
+    def remove_criterion(self, column: str) -> None:
+        if column in self.criteria:
+            del self.criteria[column]
+
+    def get_total_weight(self) -> float:
+        return sum(c.weight for c in self.criteria.values())
+
+    def get_normalized_weights(self) -> Dict[str, float]:
+        total = self.get_total_weight()
+        if total == 0:
+            return {}
+        return {name: c.weight / total for name, c in self.criteria.items()}
+
+    # === Evaluation — reference evaluator.py:275-319 ===
+
+    def _check_columns(self, df: DataFrame) -> None:
+        existing = set(df.columns)
+        for column in self.criteria:
+            if column not in existing:
+                # reference raises a plain KeyError at bids_df[column]
+                # (evaluator.py:292) — preserve the exception type
+                raise KeyError(column)
+
+    def _final_score_expr(self, weighted: list) -> Column:
+        if not weighted:
+            return F.lit(0).cast("double")
+        total = weighted[0]
+        for w in weighted[1:]:
+            total = total + w
+        if self.normalize_weights:
+            total_weight = self.get_total_weight()
+            if total_weight > 0:
+                return (total / F.lit(float(total_weight))).cast("double")
+            return F.lit(0).cast("double")
+        return total.cast("double")
+
+    def evaluate(self, df: DataFrame, include_details: bool = True,
+                 rank_partition_by: Optional[str] = None) -> DataFrame:
+        """Evaluate all bids → scored, ranked, sorted DataFrame (lazy).
+
+        Args:
+            df: bid table (one row per bid).
+            include_details: include per-criterion ``score_{name}`` columns.
+            rank_partition_by: optional column to partition the ranking window
+                by (avoids the global single-partition exchange when the table
+                holds many independent evaluation batches).
+        """
+        self._check_columns(df)
+
+        stat_cols = list(self.criteria.keys())
+        stats = compute_stats(df, stat_cols) if stat_cols else {}
+        for column, criterion in self.criteria.items():
+            criterion._statistics = dict(stats[column])
+
+        score_exprs: Dict[str, Column] = {}
+        for column, criterion in self.criteria.items():
+            score_exprs[f"score_{criterion.name}"] = criterion.weighted_score(
+                F.col(column), stats[column]
+            )
+
+        result = df
+        if include_details and score_exprs:
+            result = result.withColumns(score_exprs)
+            weighted = [F.col(name) for name in score_exprs]
+        else:
+            weighted = list(score_exprs.values())
+
+        result = result.withColumn("final_score", self._final_score_expr(weighted))
+
+        order = [F.desc("final_score")]
+        if rank_partition_by is not None:
+            w = Window.partitionBy(rank_partition_by).orderBy(*order)
+        else:
+            w = Window.orderBy(*order)
+        result = result.withColumn("ranking", F.rank().over(w).cast("long"))
+
+        return result.orderBy("ranking")
+
+    def evaluate_batched(self, df: DataFrame, batch_col: str,
+                         include_details: bool = True) -> DataFrame:
+        """Evaluate MANY independent bid tables (tenders/batches) in one job.
+
+        The 100-TB path: per-batch statistics via one ``groupBy`` shuffle,
+        broadcast-joined back onto the rows (the stats side has one row per
+        batch — tiny relative to the fact table), scoring expressions read
+        stats from columns instead of collected literals, and all windows
+        partition by the batch key so no global exchange appears anywhere.
+
+        ``CustomCriterion`` (driver-closure pandas UDFs) is not supported here
+        — its API contract passes a per-evaluation scalar stats dict.
+        """
+        self._check_columns(df)
+        for criterion in self.criteria.values():
+            if isinstance(criterion, CustomCriterion):
+                raise NotImplementedError(
+                    "CustomCriterion is not supported in evaluate_batched(); "
+                    "use a formula/template/builtin criterion instead"
+                )
+
+        stat_cols = list(self.criteria.keys())
+        result = df
+        if stat_cols:
+            stats_df = grouped_stats_df(df, batch_col, stat_cols)
+            result = df.join(F.broadcast(stats_df), on=batch_col, how="left")
+
+        score_exprs: Dict[str, Column] = {}
+        for column, criterion in self.criteria.items():
+            col_stats = {k: F.col(f"{column}__{k}") for k in STAT_KEYS}
+            score_exprs[f"score_{criterion.name}"] = criterion.weighted_score(
+                F.col(column), col_stats
+            )
+
+        if include_details and score_exprs:
+            result = result.withColumns(score_exprs)
+            weighted = [F.col(name) for name in score_exprs]
+        else:
+            weighted = list(score_exprs.values())
+
+        result = result.withColumn("final_score", self._final_score_expr(weighted))
+        w = Window.partitionBy(batch_col).orderBy(F.desc("final_score"))
+        result = result.withColumn("ranking", F.rank().over(w).cast("long"))
+
+        drop_cols = [f"{c}__{k}" for c in dict.fromkeys(stat_cols) for k in STAT_KEYS]
+        return result.drop(*drop_cols).orderBy(batch_col, "ranking")
+
+    # === Introspection — reference evaluator.py:321-344 ===
+
+    def get_statistics(self) -> Dict[str, Dict[str, Any]]:
+        """Statistics computed during the last ``evaluate`` call, keyed by
+        criterion name (reference ``evaluator.py:321-329``)."""
+        statistics = {}
+        for column, criterion in self.criteria.items():
+            if criterion._statistics:
+                statistics[criterion.name] = criterion._statistics
+        return statistics
+
+    def summary(self) -> pd.DataFrame:
+        """Driver-side summary of configured criteria (reference
+        ``evaluator.py:331-344``) — config metadata, so plain pandas."""
+        data = []
+        total = self.get_total_weight()
+        for column, criterion in self.criteria.items():
+            data.append({
+                "column": column,
+                "criterion_name": criterion.name,
+                "type": type(criterion).__name__,
+                "weight": criterion.weight,
+                "normalized_weight": criterion.weight / total if total > 0 else 0,
+            })
+        return pd.DataFrame(data)

@@ -1,0 +1,474 @@
+"""Multi-stage evaluation pipeline with elimination filters between stages.
+
+Reference: ``bid_evaluation/staged.py`` — sequential stages, each scoring the
+surviving bids with its own inner :class:`Evaluator`, then eliminating bids via
+a ``score_threshold`` or ``top_n`` filter before the next stage. Stage
+statistics are computed over **survivors only** (reference ``staged.py:317-320``,
+verified SURVEY §1.4-10), which makes the stage loop inherently sequential; it
+stays a driver-side loop here with ~1 Spark job per stage (the fused stats agg).
+
+Spark-native design decisions (vs. the reference's pandas-index machinery):
+
+- **No row index.** The reference uses the pandas index as bid identity
+  (``staged.py:292-333``). This engine expresses elimination as a column
+  (``eliminated_at_stage``, which the reference also materializes —
+  ``staged.py:291,339``) and never needs a key: stage scores are computed
+  **in place** on the full frame as ``WHEN active THEN expr`` projections, so
+  there is no per-stage join at all (SURVEY §2.3-J1 lists the join-based
+  alternative; the predicate form avoids the shuffle entirely).
+- **Survivor ranking without a join**: ``RANK() OVER (PARTITION BY is_active
+  ORDER BY score DESC)`` masked to active rows — eliminated rows sit in their
+  own window partition and never disturb the ranks (SURVEY §2.5-W3).
+- **top_n tie policy via windows** (SURVEY §2.5-W4, §1.4-12): the cutoff score
+  (value at row_number n), the population count and the ≥-cutoff count are all
+  unbounded window aggregates over the active partition — single pass, no
+  driver round-trip, no ``collect``.
+- **Per-stage persist**: each stage's frame is cached before its stats job so
+  stage N+1's aggregation doesn't recompute stages 1..N (reference re-slices
+  an in-RAM frame; at scale, recomputation would be quadratic). Earlier
+  stage caches are released as soon as the next stage materializes.
+
+Exact-parity semantics preserved (all verified against the reference —
+SURVEY §1.4): survivor-only statistics; eliminated bids keep the scores of
+stages they completed; ``weighted_combination`` gives eliminated bids a real
+final score via ``COALESCE(stage_score, 0)`` while ``last_stage`` leaves them
+null; ranking only over non-eliminated bids; all-eliminated short-circuit with
+the same warning text; output ordered by ``(ranking ASC NULLS LAST,
+final_score DESC NULLS LAST)``; stage→column naming ``{safe}_score``,
+``{safe}_ranking``, ``{safe}_{criterion}`` with the same name sanitization.
+"""
+
+from __future__ import annotations
+
+import json
+import warnings
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .evaluator import Evaluator
+from .stats import compute_stats
+
+
+@dataclass
+class StageFilter:
+    """Filter configuration between stages (reference ``staged.py:16-37``)."""
+
+    type: str  # 'score_threshold' or 'top_n'
+    threshold: Optional[float] = None
+    top_n: Optional[int] = None
+    on_tie: str = "include"
+
+    def __post_init__(self):
+        if self.type not in ("score_threshold", "top_n"):
+            raise ValueError(
+                f"Unknown filter type: {self.type}. Use 'score_threshold' or 'top_n'."
+            )
+        if self.type == "score_threshold" and self.threshold is None:
+            raise ValueError("threshold is required for score_threshold filter.")
+        if self.type == "top_n" and self.top_n is None:
+            raise ValueError("top_n is required for top_n filter.")
+        if self.on_tie not in ("include", "exclude"):
+            raise ValueError(
+                f"on_tie must be 'include' or 'exclude', got: {self.on_tie}"
+            )
+
+
+@dataclass
+class StageDefinition:
+    """One evaluation stage (reference ``staged.py:40-47``)."""
+
+    name: str
+    evaluator: Evaluator
+    filter: Optional[StageFilter] = None
+    weight: float = 1.0
+
+
+@dataclass
+class StageResult:
+    """Results of one stage (reference ``staged.py:50-57``).
+
+    Spark has no row index, so instead of index sets this carries lazy
+    DataFrames: the stage-scored survivor frame, the advancing rows and the
+    rows eliminated *by this stage's filter* (None for skipped stages).
+    """
+
+    name: str
+    result_df: Optional[DataFrame]
+    advanced_df: Optional[DataFrame]
+    eliminated_df: Optional[DataFrame]
+
+
+class StagedEvaluator:
+    """Sequential multi-stage evaluation with inter-stage elimination.
+
+    Builder surface mirrors the reference ``StagedEvaluator``
+    (``staged.py:60-267``): ``add_stage`` + fluent criterion methods routing to
+    the last stage, plus ``from_config/from_yaml/from_json``.
+    """
+
+    ELIM_COL = "eliminated_at_stage"
+
+    def __init__(self, final_score_mode: str = "last_stage"):
+        if final_score_mode not in ("last_stage", "weighted_combination"):
+            raise ValueError(
+                f"final_score_mode must be 'last_stage' or 'weighted_combination', "
+                f"got: {final_score_mode}"
+            )
+        self.final_score_mode = final_score_mode
+        self._stages: List[StageDefinition] = []
+        self._stage_results: List[StageResult] = []
+        self._evaluated = False
+        self._persisted: List[DataFrame] = []
+
+    # === Factory methods (reference staged.py:86-159) ===
+
+    @classmethod
+    def from_config(cls, config: Dict[str, Any]) -> "StagedEvaluator":
+        """Build from ``{'final_score_mode': ..., 'stages': [...]}`` — same
+        shape and defaults as the reference (``staged.py:86-145``)."""
+        final_score_mode = config.get("final_score_mode", "last_stage")
+        staged = cls(final_score_mode=final_score_mode)
+
+        for stage_cfg in config.get("stages", []):
+            name = stage_cfg["name"]
+            weight = stage_cfg.get("weight", 1.0)
+
+            stage_filter = None
+            if "filter" in stage_cfg:
+                f = stage_cfg["filter"]
+                stage_filter = StageFilter(
+                    type=f["type"],
+                    threshold=f.get("threshold"),
+                    top_n=f.get("top_n"),
+                    on_tie=f.get("on_tie", "include"),
+                )
+
+            evaluator = Evaluator.from_config(stage_cfg.get("criteria", {}))
+            staged._stages.append(
+                StageDefinition(name=name, evaluator=evaluator,
+                                filter=stage_filter, weight=weight)
+            )
+
+        return staged
+
+    @classmethod
+    def from_yaml(cls, filepath: str) -> "StagedEvaluator":
+        import yaml
+
+        with open(filepath, "r") as f:
+            data = yaml.safe_load(f)
+        return cls.from_config(data)
+
+    @classmethod
+    def from_json(cls, filepath: str) -> "StagedEvaluator":
+        with open(filepath, "r") as f:
+            data = json.load(f)
+        return cls.from_config(data)
+
+    # === Fluent interface (reference staged.py:163-267) ===
+
+    def add_stage(
+        self,
+        name: str,
+        filter_type: Optional[str] = None,
+        threshold: Optional[float] = None,
+        top_n: Optional[int] = None,
+        on_tie: str = "include",
+        weight: float = 1.0,
+    ) -> "StagedEvaluator":
+        stage_filter = None
+        if filter_type is not None:
+            stage_filter = StageFilter(
+                type=filter_type, threshold=threshold, top_n=top_n, on_tie=on_tie
+            )
+        self._stages.append(
+            StageDefinition(name=name, evaluator=Evaluator(),
+                            filter=stage_filter, weight=weight)
+        )
+        return self
+
+    def _current_evaluator(self) -> Evaluator:
+        if not self._stages:
+            raise RuntimeError("No stages defined. Call add_stage() first.")
+        return self._stages[-1].evaluator
+
+    def linear(self, column: str, weight: float, name: Optional[str] = None,
+               higher_is_better: bool = True) -> "StagedEvaluator":
+        self._current_evaluator().linear(column, weight, name, higher_is_better)
+        return self
+
+    def threshold(self, column: str, weight: float, thresholds: list,
+                  name: Optional[str] = None) -> "StagedEvaluator":
+        self._current_evaluator().threshold(column, weight, thresholds, name)
+        return self
+
+    def direct(self, column: str, weight: float, name: Optional[str] = None,
+               input_scale: float = 100) -> "StagedEvaluator":
+        self._current_evaluator().direct(column, weight, name, input_scale)
+        return self
+
+    def min_ratio(self, column: str, weight: float,
+                  name: Optional[str] = None) -> "StagedEvaluator":
+        self._current_evaluator().min_ratio(column, weight, name)
+        return self
+
+    def formula(self, column: str, weight: float, formula: str = "value",
+                variables: Optional[dict] = None,
+                name: Optional[str] = None) -> "StagedEvaluator":
+        self._current_evaluator().formula(column, weight, formula, variables, name)
+        return self
+
+    def custom(self, column: str, weight: float, func: Optional[Callable] = None,
+               name: Optional[str] = None, **kwargs: Any) -> "StagedEvaluator":
+        self._current_evaluator().custom(column, weight, func, name, **kwargs)
+        return self
+
+    def template(self, column: str, weight: float, template: str,
+                 name: Optional[str] = None, **params: Any) -> "StagedEvaluator":
+        self._current_evaluator().template(column, weight, template, name, **params)
+        return self
+
+    # === Evaluation (reference staged.py:271-375) ===
+
+    def evaluate(self, df: DataFrame, include_details: bool = True) -> DataFrame:
+        """Run all stages sequentially over ``df`` → scored/eliminated/ranked frame.
+
+        Driver-side loop, one fused stats+count aggregation job per stage; all
+        scoring stays lazy Column expressions on the running frame.
+        """
+        if not self._stages:
+            raise RuntimeError("No stages defined. Add stages before evaluating.")
+
+        if df.isEmpty():
+            return self._empty_result(df)
+
+        elim = F.col(self.ELIM_COL)
+        result = df.withColumn(self.ELIM_COL, F.lit(None).cast("string"))
+        self.release()
+        self._stage_results = []
+        produced: List[str] = []  # stages (safe names) whose score column exists
+
+        for i, stage in enumerate(self._stages):
+            is_last = i == len(self._stages) - 1
+            safe = self._safe_name(stage.name)
+            active = elim.isNull()
+            stage.evaluator._check_columns(df)
+
+            # cache this stage's frame: its stats agg materializes it, and the
+            # next stage's agg (plus the final consumer) re-reads it
+            result = result.persist()
+            self._persisted.append(result)
+
+            stat_cols = list(stage.evaluator.criteria.keys())
+            stats = compute_stats(result.filter(active), stat_cols, with_count=True)
+            n_active = stats.pop("__count__")
+            for prev in self._persisted[:-1]:
+                prev.unpersist()
+            del self._persisted[:-1]
+
+            if n_active == 0:
+                # all bids eliminated — same warning text as reference staged.py:300-307
+                warnings.warn(
+                    f"All bids were eliminated before stage '{stage.name}'. "
+                    f"Skipping this and subsequent stages."
+                )
+                self._stage_results.append(StageResult(stage.name, None, None, None))
+                continue
+
+            for column, criterion in stage.evaluator.criteria.items():
+                criterion._statistics = dict(stats[column])
+
+            # per-criterion weighted contributions, masked to active rows
+            score_exprs: Dict[str, Column] = {}
+            for column, criterion in stage.evaluator.criteria.items():
+                expr = F.when(
+                    active, criterion.weighted_score(F.col(column), stats[column])
+                ).cast("double")
+                score_exprs[f"{safe}_{criterion.name}"] = expr
+
+            if include_details and score_exprs:
+                result = result.withColumns(score_exprs)
+                weighted = [F.col(c) for c in score_exprs]
+            else:
+                weighted = list(score_exprs.values())
+
+            score_col = f"{safe}_score"
+            stage_final = stage.evaluator._final_score_expr(weighted)
+            result = result.withColumn(
+                score_col, F.when(active, stage_final).cast("double")
+            )
+            produced.append(safe)
+
+            # stage ranking: RANK over the active partition only (W2/W3)
+            result = result.withColumn("_bes_active", active.cast("int"))
+            w_rank = Window.partitionBy("_bes_active").orderBy(F.desc(score_col))
+            result = result.withColumn(
+                f"{safe}_ranking",
+                F.when(active, F.rank().over(w_rank)).cast("long"),
+            ).drop("_bes_active")
+
+            stage_frame = result.filter(active)
+
+            if not is_last and stage.filter is not None:
+                result, adv_pred, helper_cols = self._advanced_predicate(
+                    result, score_col, stage.filter, active
+                )
+                result = result.withColumn(
+                    self.ELIM_COL,
+                    F.when(active & ~adv_pred, F.lit(stage.name)).otherwise(elim),
+                ).drop(*helper_cols)
+                advanced_df = result.filter(elim.isNull())
+                eliminated_df = result.filter(elim == stage.name)
+            else:
+                advanced_df = stage_frame
+                eliminated_df = result.filter(F.lit(False))
+
+            self._stage_results.append(
+                StageResult(stage.name, stage_frame, advanced_df, eliminated_df)
+            )
+
+        result = self._with_final_score(result, produced)
+
+        # final ranking: only non-eliminated bids (reference staged.py:357-365)
+        result = result.withColumn("_bes_ranked", elim.isNull().cast("int"))
+        w_final = Window.partitionBy("_bes_ranked").orderBy(F.desc("final_score"))
+        result = result.withColumn(
+            "ranking", F.when(elim.isNull(), F.rank().over(w_final)).cast("long")
+        ).drop("_bes_ranked")
+
+        # output ordering contract (reference staged.py:367-372)
+        result = result.orderBy(
+            F.asc_nulls_last("ranking"), F.desc_nulls_last("final_score")
+        )
+
+        self._evaluated = True
+        return result
+
+    def _advanced_predicate(
+        self, result: DataFrame, score_col: str, stage_filter: StageFilter,
+        active: Column,
+    ):
+        """Predicate selecting rows that advance past this stage's filter.
+
+        Returns ``(result_with_helpers, predicate, helper_cols_to_drop)``.
+        score_threshold: ``score >= t`` (reference ``staged.py:383-385``).
+        top_n (reference ``staged.py:387-411``, truth table SURVEY §1.4-12):
+        cutoff = score at descending position n;
+        'include' → RANK ≤ n (advances all ties at the cutoff);
+        'exclude' → all advance when population ≤ n; when more than n rows
+        score ≥ cutoff, only rows strictly above the cutoff advance; else
+        rows ≥ cutoff advance.
+        """
+        if stage_filter.type == "score_threshold":
+            return result, F.col(score_col) >= F.lit(float(stage_filter.threshold)), []
+
+        n = int(stage_filter.top_n)
+        result = result.withColumn("_bes_active", active.cast("int"))
+        wp = Window.partitionBy("_bes_active")
+        wo = wp.orderBy(F.desc(score_col))
+        result = (
+            result.withColumn("_bes_rk", F.rank().over(wo))
+            .withColumn("_bes_rn", F.row_number().over(wo))
+        )
+        helpers = ["_bes_active", "_bes_rk", "_bes_rn"]
+
+        if stage_filter.on_tie == "include":
+            return result, F.col("_bes_rk") <= F.lit(n), helpers
+
+        result = (
+            result.withColumn(
+                "_bes_cutoff",
+                F.max(F.when(F.col("_bes_rn") == n, F.col(score_col))).over(wp),
+            )
+            .withColumn("_bes_total", F.count(F.lit(1)).over(wp))
+        )
+        result = result.withColumn(
+            "_bes_ge",
+            F.count(F.when(F.col(score_col) >= F.col("_bes_cutoff"), 1)).over(wp),
+        )
+        helpers += ["_bes_cutoff", "_bes_total", "_bes_ge"]
+        pred = (
+            F.when(F.col("_bes_total") <= n, F.lit(True))
+            .when(F.col("_bes_ge") > n, F.col(score_col) > F.col("_bes_cutoff"))
+            .otherwise(F.col(score_col) >= F.col("_bes_cutoff"))
+        )
+        return result, pred, helpers
+
+    def _with_final_score(self, result: DataFrame, produced: List[str]) -> DataFrame:
+        """``final_score`` per mode (reference ``staged.py:415-453``)."""
+        null_d = F.lit(None).cast("double")
+        if self.final_score_mode == "last_stage":
+            last_safe = self._safe_name(self._stages[-1].name)
+            final = F.col(f"{last_safe}_score") if last_safe in produced else null_d
+        else:  # weighted_combination
+            total_weight = sum(s.weight for s in self._stages)
+            if total_weight == 0 or not produced:
+                final = null_d
+            else:
+                final = F.lit(0.0)
+                for stage in self._stages:
+                    safe = self._safe_name(stage.name)
+                    if safe in produced:
+                        final = final + (
+                            F.coalesce(F.col(f"{safe}_score"), F.lit(0.0))
+                            * F.lit(stage.weight / total_weight)
+                        )
+        return result.withColumn("final_score", final.cast("double"))
+
+    def _safe_name(self, name: str) -> str:
+        """Stage name → column-name fragment (reference ``staged.py:455-457``)."""
+        return name.lower().replace(" ", "_").replace("-", "_")
+
+    def _empty_result(self, df: DataFrame) -> DataFrame:
+        """Empty input → empty frame with contract columns
+        (reference ``staged.py:459-465``)."""
+        return (
+            df.withColumn(self.ELIM_COL, F.lit(None).cast("string"))
+            .withColumn("final_score", F.lit(None).cast("double"))
+            .withColumn("ranking", F.lit(None).cast("long"))
+        )
+
+    def release(self) -> None:
+        """Release per-stage caches held from the last ``evaluate`` call.
+
+        Safe to call once the returned result has been consumed (the plan
+        remains valid — it just recomputes if re-executed)."""
+        for p in self._persisted:
+            p.unpersist()
+        self._persisted = []
+
+    # === Informational methods (reference staged.py:469-511) ===
+
+    def summary(self) -> pd.DataFrame:
+        rows = []
+        for stage in self._stages:
+            filter_desc = "None"
+            if stage.filter is not None:
+                if stage.filter.type == "score_threshold":
+                    filter_desc = f"score >= {stage.filter.threshold}"
+                elif stage.filter.type == "top_n":
+                    filter_desc = f"top {stage.filter.top_n} (on_tie={stage.filter.on_tie})"
+            for column, criterion in stage.evaluator.criteria.items():
+                rows.append({
+                    "stage": stage.name,
+                    "stage_weight": stage.weight,
+                    "filter": filter_desc,
+                    "column": column,
+                    "criterion_name": criterion.name,
+                    "criterion_type": type(criterion).__name__,
+                    "criterion_weight": criterion.weight,
+                })
+        return pd.DataFrame(rows)
+
+    def get_statistics(self) -> Dict[str, Dict[str, Any]]:
+        if not self._evaluated:
+            raise RuntimeError("Call evaluate() before get_statistics().")
+        return {s.name: s.evaluator.get_statistics() for s in self._stages}
+
+    def get_stage_results(self) -> List[StageResult]:
+        if not self._evaluated:
+            raise RuntimeError("Call evaluate() before get_stage_results().")
+        return list(self._stage_results)
