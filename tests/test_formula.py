@@ -1,0 +1,161 @@
+"""Formula-criterion semantics: golden values from the reference's
+FormulaCriterion tests (``tests/test_criteria.py:76-216``), run through BOTH
+the native-translation path and the pandas-UDF fallback."""
+
+import pytest
+
+from bid_evaluation_spark import Evaluator
+from bid_evaluation_spark.functions.formula import (
+    FormulaTranslationError,
+    formula_to_column,
+)
+from tests.conftest import rows_by
+
+
+def eval_formula(df, formula, variables=None, force_udf=False):
+    ev = Evaluator()
+    ev.formula("x", 1.0, formula, variables)
+    crit = ev.criteria["x"]
+    crit.config["force_udf"] = force_udf
+    return rows_by(ev.evaluate(df))
+
+
+@pytest.fixture
+def xs(spark):
+    return spark.createDataFrame(
+        [("A", 10.0), ("B", 5.0), ("C", 8.0)], "vendor string, x double"
+    )
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_value_times_ten(xs, force_udf):
+    r = eval_formula(xs, "value * 10", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(100.0)
+    assert r["B"]["score_x"] == pytest.approx(50.0)
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_stats_formula(xs, force_udf):
+    # reference golden: (value-min)/(max-min)*100 → [100, 0, 60]
+    r = eval_formula(xs, "(value - min) / (max - min) * 100", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(100.0)
+    assert r["B"]["score_x"] == pytest.approx(0.0)
+    assert r["C"]["score_x"] == pytest.approx(60.0)
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_variables(spark, force_udf):
+    df = spark.createDataFrame(
+        [("A", 100000.0), ("B", 95000.0), ("C", 110000.0)], "vendor string, x double"
+    )
+    # FIXTURES F-1 golden: target proximity → A=100, B=95, C=90
+    r = eval_formula(df, "100 - abs(value - target) / target * 100",
+                     variables={"target": 100000}, force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(100.0)
+    assert r["B"]["score_x"] == pytest.approx(95.0)
+    assert r["C"]["score_x"] == pytest.approx(90.0)
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_clipping(spark, force_udf):
+    df = spark.createDataFrame([("A", 500.0), ("B", -50.0)], "vendor string, x double")
+    r = eval_formula(df, "value", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(100.0)  # clipped high
+    assert r["B"]["score_x"] == pytest.approx(0.0)  # clipped low
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_error_to_zero(xs, force_udf):
+    # reference: '1 / 0' → all rows 0.0
+    r = eval_formula(xs, "1 / 0", force_udf=force_udf)
+    assert all(v["score_x"] == 0.0 for v in r.values())
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_math_functions(spark, force_udf):
+    df = spark.createDataFrame([("A", 16.0), ("B", 4.0)], "vendor string, x double")
+    r = eval_formula(df, "sqrt(value) * 10", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(40.0)
+    assert r["B"]["score_x"] == pytest.approx(20.0)
+    r = eval_formula(df, "clip(value * 10, 0, 100)", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(100.0)
+    r = eval_formula(df, "log10(value) * 50", force_udf=force_udf)
+    assert r["B"]["score_x"] == pytest.approx(50 * 0.6020599913, abs=1e-6)
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_min_max_call_vs_name(xs, force_udf):
+    # bare min/max are stats; call-position min/max are least/greatest
+    r = eval_formula(xs, "max(value - 5, min)", force_udf=force_udf)
+    # min stat = 5 → A: max(5,5)=5, B: max(0,5)=5, C: max(3,5)=5
+    assert all(v["score_x"] == pytest.approx(5.0) for v in r.values())
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_conditional_expression(xs, force_udf):
+    r = eval_formula(xs, "100 if value >= mean else 20", force_udf=force_udf)
+    # mean = 23/3 ≈ 7.67 → A,C ≥ mean; B below
+    assert r["A"]["score_x"] == pytest.approx(100.0)
+    assert r["B"]["score_x"] == pytest.approx(20.0)
+    assert r["C"]["score_x"] == pytest.approx(100.0)
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_mean_median_std_names(xs, force_udf):
+    r = eval_formula(xs, "mean * 0 + median", force_udf=force_udf)
+    assert all(v["score_x"] == pytest.approx(8.0) for v in r.values())
+
+
+def test_default_identity_formula(xs):
+    r = eval_formula(xs, "value")
+    assert r["A"]["score_x"] == pytest.approx(10.0)
+
+
+def test_syntax_error_all_zero(xs):
+    r = eval_formula(xs, "value ++* 2")
+    assert all(v["score_x"] == 0.0 for v in r.values())
+
+
+def test_unknown_name_all_zero(xs):
+    # unknown name → per-row NameError → 0.0 (falls back to UDF path)
+    r = eval_formula(xs, "value * nope")
+    assert all(v["score_x"] == 0.0 for v in r.values())
+
+
+def test_compound_types_fallback(xs):
+    # list subscript — outside the native grammar, handled by the fallback
+    r = eval_formula(xs, "[10, 20, 30][1] + value * 0")
+    assert all(v["score_x"] == pytest.approx(20.0) for v in r.values())
+
+
+def test_weight_applied_after_clip(spark):
+    df = spark.createDataFrame([("A", 500.0)], "vendor string, x double")
+    ev = Evaluator()
+    ev.formula("x", 0.5, "value")
+    r = rows_by(ev.evaluate(df))
+    # clip to 100 first, then × weight → 50 (reference order: clip then *weight)
+    assert r["A"]["score_x"] == pytest.approx(50.0)
+
+
+def test_native_translation_used_when_possible(spark):
+    from pyspark.sql import functions as F
+
+    # these must translate without raising
+    for f in ["value * 10", "(value - min) / (max - min) * 100",
+              "clip(value, 0, 100)", "max(value, 50)", "100 if value > 3 else 0",
+              "value % 3", "value // 2", "value ** 2"]:
+        formula_to_column(f, F.col("x"), {"min": 1.0, "max": 2.0})
+    # these must NOT translate (fallback handles them)
+    for f in ["[1,2][0]", "min(value)", "foo(value)", "value & 3"]:
+        with pytest.raises(FormulaTranslationError):
+            formula_to_column(f, F.col("x"), {"min": 1.0, "max": 2.0})
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_python_mod_floor_semantics(spark, force_udf):
+    # python: -7 % 3 == 2 (floor-sign), -7 // 3 == -3
+    df = spark.createDataFrame([("A", -7.0)], "vendor string, x double")
+    r = eval_formula(df, "value % 3", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(2.0)
+    r = eval_formula(df, "value // 3 + 10", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(7.0)
