@@ -1,0 +1,366 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-duplicates.
+
+Beyond-reference operators (BASELINE.json north star). Scale design notes —
+these run over the full corpus, so every step is chosen for 100 TB behavior:
+
+- **Exact dedup** shuffles only ``(hash, id)`` pairs — a 16-byte-key groupBy
+  with map-side partial aggregation, never the document bodies.
+- **MinHash-LSH** is the shingle→signature→band→bucket-join pattern:
+  signatures are computed map-side as nested JVM ``transform`` expressions
+  (no UDF), candidate generation shuffles one ``(band_hash, id)`` row per
+  band per doc, and the self-join happens per bucket — total work
+  O(sum bucket²) instead of O(n²). Verification re-checks exact Jaccard on
+  the candidate pairs only.
+- **SimHash** packs a 64-bit signature map-side; near-dup candidates block on
+  16-bit chunks (any hamming-distance ≤ 3 pair shares at least one of 4
+  chunks by pigeonhole).
+- **Embedding near-dup** blocks on random-hyperplane signs (cosine LSH) and
+  verifies exact cosine within buckets.
+
+All candidate joins key on small fixed-width values; skew in a pathological
+bucket is handled by AQE skew-join (enabled in the session factory).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, word_shingles
+
+# fixed, public-knowledge mixing constants for the permutation family
+_MERSENNE_PRIME = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> List[tuple]:
+    """Deterministic (a, b) pairs for the universal-hash permutation family
+    h_i(x) = (a_i * x + b_i) mod p — standard MinHash construction."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE_PRIME), rnd.randrange(0, _MERSENNE_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Group documents by normalized-text fingerprint.
+
+    Returns ``(fp, n_dups, keep_id)`` — one row per distinct content, with the
+    smallest id as the canonical survivor. Shuffles only (hash, id).
+    """
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one document per distinct normalized text (min id wins)."""
+    keep = exact_duplicate_groups(df, id_col, text_col).select("keep_id")
+    return df.join(keep, df[id_col] == keep["keep_id"], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def with_minhash_signature(df: DataFrame, text_col: str = "text",
+                           num_perm: int = 64, shingle_k: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Append ``_shingles`` (hashed word k-shingles) and ``_minhash``
+    (array of ``num_perm`` signature values) — all JVM-side expressions.
+
+    Shingle hashes are folded into [0, 2^31) so a_i*x + b_i stays in int64.
+    """
+    params = _perm_params(num_perm, seed)
+    shingles = F.transform(
+        word_shingles(F.col(text_col), shingle_k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME)),
+    )
+    df = df.withColumn("_shingles", shingles)
+    sig = F.array(*[
+        F.when(
+            F.size("_shingles") > 0,
+            F.array_min(
+                F.transform(
+                    F.col("_shingles"),
+                    lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_PRIME)),
+                )
+            ),
+        ).otherwise(F.lit(_MERSENNE_PRIME))
+        for a, b in params
+    ])
+    return df.withColumn("_minhash", sig)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` bands of ``num_perm // bands`` rows;
+    documents sharing any band hash become a candidate pair. Returns distinct
+    ``(a_id, b_id)`` with ``a_id < b_id``.
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    sig = with_minhash_signature(df, text_col, num_perm, shingle_k, seed)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[F.col("_minhash")[b * rows_per_band + r].cast("string")
+                      for r in range(rows_per_band)],
+                ),
+                F.lit(b),
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sig.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("bs"))
+        .select("_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bh") == F.col("r.bh"))
+                  & (F.col("l._id") < F.col("r._id")))
+        .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.7,
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 3, seed: int = 42) -> DataFrame:
+    """LSH candidates verified with EXACT shingle-set Jaccard ≥ threshold.
+
+    The verify join ships only (id, shingle-array) for candidate ids — the
+    candidate set is tiny relative to n² — and computes
+    ``|A ∩ B| / |A ∪ B|`` with native array functions.
+    """
+    candidates = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
+                                        shingle_k, seed)
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    a = sh.alias("sa")
+    b = sh.alias("sb")
+    joined = (
+        candidates.join(a, F.col("a_id") == F.col("sa._sid"))
+        .join(b, F.col("b_id") == F.col("sb._sid"))
+        .withColumn(
+            "jaccard",
+            F.try_divide(
+                F.size(F.array_intersect("sa._sh", "sb._sh")),
+                F.size(F.array_union("sa._sh", "sb._sh")),
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+    return joined
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise, for given candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+    """Exact word k-gram Jaccard for explicit candidate pairs.
+
+    ``pairs`` holds (a_id, b_id); document shingle sets are joined in and
+    compared with ``array_intersect``/``array_union`` — JVM-side set math.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
+    )
+    return (
+        pairs.join(sh.alias("sa"), F.col(a_col) == F.col("sa._sid"))
+        .join(sh.alias("sb"), F.col(b_col) == F.col("sb._sid"))
+        .select(
+            F.col(a_col),
+            F.col(b_col),
+            F.try_divide(
+                F.size(F.array_intersect("sa._sh", "sb._sh")),
+                F.size(F.array_union("sa._sh", "sb._sh")),
+            ).cast("double").alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(text_col: str = "text") -> Column:
+    """64-bit SimHash over whitespace tokens, fully JVM-side.
+
+    For each bit b: sum over tokens of ±1 depending on bit b of the token's
+    xxhash64; signature bit is 1 when the sum is positive. The per-bit sums
+    are a ``transform(sequence(0,63))`` over an ``aggregate`` of the token
+    array; the final pack is one more ``aggregate`` — O(64·n_tokens) cheap
+    integer ops per document, no shuffle, no UDF.
+    """
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    # token hash as a zero-padded 64-char two's-complement bit string, so the
+    # per-bit extraction below is pure expression work (shift functions take
+    # only literal bit counts in the DataFrame API)
+    hash_bits = F.transform(t, lambda x: F.lpad(F.bin(F.xxhash64(x)), 64, "0"))
+    # per-bit ±1 sums, most-significant bit first
+    bit_sums = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda pos: F.aggregate(
+            hash_bits,
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.lit(2) * s.substr(pos.cast("int"), F.lit(1)).cast("long") - F.lit(1),
+        ),
+    )
+    # pack MSB-first via acc*2 + bit (long overflow wraps to two's complement)
+    return F.aggregate(
+        bit_sums,
+        F.lit(0).cast("long"),
+        lambda acc, s: acc * F.lit(2) + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks — any pair at
+    distance ≤ 3 agrees on at least one chunk (pigeonhole), so candidates are
+    generated by equality joins on (chunk_index, chunk_value) and verified
+    with ``bit_count(a XOR b)``.
+    """
+    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    chunks = sigs.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright("_sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+            for i in range(4)
+        ])).alias("c"),
+    ).select("_id", "_sh", "c.ci", "c.cv")
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(r, (F.col("l.ci") == F.col("r.ci")) & (F.col("l.cv") == F.col("r.cv"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"),
+            F.bit_count(F.col("l._sh").bitwiseXOR(F.col("r._sh"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicates (cosine)
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float|double> columns, JVM-side."""
+    return (_dot(a, b) / (_norm(a) * _norm(b))).cast("double")
+
+
+def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              block_col: Optional[str] = None,
+                              num_planes: int = 8,
+                              seed: int = 42) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold.
+
+    Blocking: an explicit ``block_col`` if provided (e.g. a cluster/label
+    column), else random-hyperplane sign buckets (``num_planes`` planes ⇒
+    2^planes buckets; highly-similar vectors collide with high probability).
+    Exact cosine verifies within blocks.
+    """
+    if block_col is None:
+        df = df.withColumn("_block", _hyperplane_bucket(F.col(vec_col), num_planes, seed))
+        block_col = "_block"
+    sel = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                    F.col(block_col).alias("_blk"))
+    l, r = sel.alias("l"), sel.alias("r")
+    return (
+        l.join(r, (F.col("l._blk") == F.col("r._blk"))
+               & (F.col("l._id") < F.col("r._id")))
+        .select(
+            F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"),
+            cosine(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
+    """Sign-pattern bucket id from deterministic pseudo-random hyperplanes.
+
+    Plane weights are derived per (plane, dim) from a hash — computed inside
+    the expression so no plane matrix needs broadcasting.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    # one deterministic ±1 weight list per plane, folded as array literals
+    def plane_expr(p: int) -> Column:
+        signs = None
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, i: x.cast("double")
+                * (F.pmod(F.xxhash64(i.cast("string"), F.lit(p + seed)), F.lit(2)) * 2 - 1).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(dot > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+
+    bucket = plane_expr(0)
+    for p in range(1, num_planes):
+        bucket = bucket + plane_expr(p)
+    return bucket

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns: brute-force cosine top-k and
+LSH/IVF-style bucketed approximate search.
+
+Beyond-reference operators (BASELINE.json north star). Scale design:
+
+- **Brute force** (`cosine_topk`) broadcasts the (small) query set, computes
+  similarities map-side over the corpus scan, then takes per-query top-k.
+  With ``two_phase=True`` each corpus partition first reduces to its local
+  top-k per query inside an Arrow-batched ``mapInPandas`` (numpy matrix
+  multiply), so the shuffle carries only ``num_partitions × Q × k`` rows
+  instead of ``Q × N`` — the correct brute-force shape for a 1000-executor
+  scan of a 100 TB corpus.
+- **Bucketed ANN** (`lsh_topk`) assigns corpus vectors to random-hyperplane
+  buckets (cosine LSH); queries probe only their own bucket (plus optional
+  multi-probe neighbors), turning top-k into a per-bucket join — the IVF
+  pattern with hash-partitioned inverted lists.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import _hyperplane_bucket, cosine
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+                query_id: str = "vec_id", corpus_id: str = "vec_id",
+                vec_col: str = "embedding", exclude_self: bool = True,
+                two_phase: bool = False) -> DataFrame:
+    """Exact top-k cosine neighbors in the corpus for every query vector.
+
+    Returns ``(query_id, neighbor_id, cosine, rnk)`` with rnk 1..k ordered by
+    (similarity desc, neighbor id asc) — deterministic under ties.
+    """
+    if two_phase:
+        return _cosine_topk_two_phase(queries, corpus, k, query_id, corpus_id,
+                                      vec_col, exclude_self)
+
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"))
+    # broadcast the query side: the corpus scan stays partition-local and the
+    # Q×N similarity rows are produced map-side with no shuffle before top-k
+    sims = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    if exclude_self:
+        sims = sims.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _cosine_topk_two_phase(queries: DataFrame, corpus: DataFrame, k: int,
+                           query_id: str, corpus_id: str, vec_col: str,
+                           exclude_self: bool) -> DataFrame:
+    """Partition-local numpy top-k, then global top-k of the survivors."""
+    qrows = queries.select(F.col(query_id).alias("qid"),
+                           F.col(vec_col).alias("qv")).collect()
+    if not qrows:
+        schema = "query_id long, neighbor_id long, cosine double, rnk int"
+        return queries.sparkSession.createDataFrame([], schema)
+    qids = np.array([r["qid"] for r in qrows])
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = queries.sparkSession.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            cn = np.linalg.norm(cmat, axis=1)
+            sims = (mat @ cmat.T) / (qn[:, None] * cn[None, :])
+            nid = pdf["_cid"].to_numpy()
+            topn = min(k + (1 if exclude_self else 0), sims.shape[1])
+            part = np.argpartition(-sims, topn - 1, axis=1)[:, :topn]
+            out = {
+                "query_id": np.repeat(ids, topn),
+                "neighbor_id": nid[part].ravel(),
+                "cosine": np.take_along_axis(sims, part, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    local = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_v")
+    ).mapInPandas(local_topk, "query_id long, neighbor_id long, cosine double")
+    if exclude_self:
+        local = local.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
+             query_id: str = "vec_id", corpus_id: str = "vec_id",
+             vec_col: str = "embedding", num_planes: int = 6,
+             exclude_self: bool = True, seed: int = 42) -> DataFrame:
+    """Approximate top-k: probe only the query's hyperplane bucket.
+
+    The IVF/LSH scale path — corpus vectors land in 2^num_planes inverted
+    lists; each query joins its own list only. Recall < 1 by construction;
+    verify against :func:`cosine_topk` on samples.
+    """
+    bq = _hyperplane_bucket(F.col(vec_col), num_planes, seed)
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("_qv"), bq.alias("_bkt"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"), bq.alias("_bkt"))
+    sims = q.join(c, on="_bkt").withColumn(
+        "cosine", cosine(F.col("_qv"), F.col("_cv"))
+    )
+    if exclude_self:
+        sims = sims.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -1,0 +1,173 @@
+"""Text-analysis operators over document tables — all native Column expressions.
+
+Beyond-reference operators (BASELINE.json north star: LLM-data-pipeline text
+analysis at 100 TB scale). Everything here is pure `pyspark.sql.functions`
+(JVM-side, whole-stage codegen, no Python in the hot path): narrow map-only
+transforms with no shuffle, so they scale linearly with input splits.
+
+Designed for the driver testdata ``documents`` table
+(``doc_id, text, lang, source, n_chars``) but parameterized by column name.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: small multilingual stopword/marker lists (public common words)
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on")
+LANG_MARKERS: Dict[str, Sequence[str]] = {
+    "de": ("der", "die", "und", "das", "ist"),
+    "en": ("the", "a", "and", "of", "is"),
+    "es": ("la", "el", "los", "las", "es"),
+    "fr": ("le", "la", "les", "des", "est"),
+    "zh": ("的", "是", "了", "在", "和"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: count of word-pieces + standalone punctuation
+    (``\\w+|[^\\w\\s]`` occurrences) — a common pre-tokenizer shape."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("long")
+
+
+def _count_in(arr: Column, words: Sequence[str]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(arr, lambda x: F.array_contains(wordlist, x)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text",
+                    stopwords: Sequence[str] = STOPWORDS_EN) -> DataFrame:
+    """Append per-document quality statistics, all JVM-side:
+
+    ``n_tokens``, ``n_distinct_tokens``, ``type_token_ratio``,
+    ``avg_token_len``, ``stopword_ratio``, ``punct_ratio``, ``digit_ratio``,
+    ``upper_ratio`` — the standard text-quality scoring signals.
+    """
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    total_token_len = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct(t)).cast("long"))
+        .withColumn(
+            "type_token_ratio",
+            F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "avg_token_len",
+            F.when(n_tok > 0, total_token_len / n_tok).otherwise(F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n_tok > 0, _count_in(t, stopwords) / n_tok).otherwise(F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0,
+                   F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")) / n_chars)
+            .otherwise(F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.when(n_chars > 0,
+                   F.regexp_count(F.col(text_col), F.lit(r"[0-9]")) / n_chars)
+            .otherwise(F.lit(0.0)).cast("double"),
+        )
+        .withColumn(
+            "upper_ratio",
+            F.when(n_chars > 0,
+                   F.regexp_count(F.col(text_col), F.lit(r"[A-Z]")) / n_chars)
+            .otherwise(F.lit(0.0)).cast("double"),
+        )
+    )
+
+
+def quality_score(text_col: str = "text",
+                  ideal_tokens: float = 200.0) -> Column:
+    """Heuristic 0–100 document quality score composed from the stats above —
+    usable directly as a criterion column for the scoring engine."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    length_component = F.least(n_tok / F.lit(ideal_tokens), F.lit(1.0)) * 40.0
+    diversity = F.when(n_tok > 0, F.size(F.array_distinct(t)) / n_tok).otherwise(F.lit(0.0))
+    diversity_component = diversity * 30.0
+    stop = F.when(n_tok > 0, _count_in(t, STOPWORDS_EN) / n_tok).otherwise(F.lit(0.0))
+    stopword_component = F.least(stop * F.lit(5.0), F.lit(1.0)) * 20.0
+    punct = F.when(n_chars > 0,
+                   F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]")) / n_chars).otherwise(F.lit(0.0))
+    punct_component = (F.lit(1.0) - F.least(punct * F.lit(10.0), F.lit(1.0))) * 10.0
+    return (length_component + diversity_component + stopword_component + punct_component).cast("double")
+
+
+def language_id(text_col: str = "text",
+                langs: Optional[Sequence[str]] = None) -> Column:
+    """Marker-word language identification (n-gram-heuristic family).
+
+    Counts per-language marker-word hits over the token array and returns the
+    argmax language code; ties break in the fixed ``langs`` order. Pure Column
+    expression — no UDF, no shuffle.
+    """
+    langs = list(langs or sorted(LANG_MARKERS))
+    t = tokens(F.col(text_col))
+    counts = {lang: _count_in(t, LANG_MARKERS[lang]) for lang in langs}
+    expr = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than every *earlier* lang, >= every later one
+            c = (counts[lang] > counts[other]) if langs.index(other) < langs.index(lang) \
+                else (counts[lang] >= counts[other])
+            cond = c if cond is None else (cond & c)
+        branch = F.when(cond, F.lit(lang)) if cond is not None else F.lit(lang)
+        expr = branch if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(langs[0]))
+
+
+def fingerprint(text_col: str = "text") -> Column:
+    """64-bit document fingerprint of the normalized text (lowercased,
+    whitespace-collapsed) — the exact-dedup key at scale."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array of strings.
+
+    ``transform(sequence(...))`` keeps generation JVM-side; documents shorter
+    than ``k`` tokens yield an empty array.
+    """
+    t = tokens(text)
+    n = F.size(t)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_fingerprints(text_col: str = "text", k: int = 3) -> Column:
+    """Array of 64-bit hashes of the document's word k-shingles — the rolling
+    document fingerprint used by MinHash."""
+    return F.transform(word_shingles(F.col(text_col), k), F.xxhash64)

@@ -28,6 +28,10 @@ def get_spark(app_name: str = "bid_evaluation_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata writes events.ts as TIMESTAMP(NANOS); read as long
+        # and convert in sources.io.load_table (Spark has no nanos timestamps)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -1,0 +1,112 @@
+"""Sources & sinks.
+
+Reference surface (SURVEY §2.1): in-memory DataFrames (S1), Excel scan/sink
+for the report path (S2/S3), CSV sink (S4), YAML/JSON/dict config sources
+(S5-S7 — implemented on the evaluators themselves). Primary data ingest for
+the Spark engine is columnar parquet/CSV — ``spark.read`` with pushdown and
+pruning; Excel remains a driver-side pandas bridge (config-scale files only,
+exactly like the reference's Streamlit upload path).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+#: columns stored as TIMESTAMP(NANOS) in the driver parquet — Spark reads
+#: them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
+#: microsecond timestamps (same truncation DuckDB applies for TIMESTAMP_NS)
+_NANO_TS_COLUMNS: Dict[str, tuple] = {
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-testdata table with schema normalization."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer `div` — float division would round 1e18-ns values by ±1µs
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> Dict[str, DataFrame]:
+    """Load every testdata table (and register temp views of the same names)."""
+    out = {}
+    for name in TESTDATA_TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+# === Excel bridge (S2/S3) — config-scale report I/O via pandas ===
+
+def read_excel(spark: SparkSession, path: str,
+               sheet_name: Optional[str] = 0) -> DataFrame:
+    """Excel scan bridged through pandas (reference demo ingest,
+    ``demos/streamlit_demo.py:100-115``). For bid-table-scale inputs only —
+    large data belongs in parquet/CSV."""
+    import pandas as pd
+
+    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    return spark.createDataFrame(pdf)
+
+
+def excel_sheet_names(path: str) -> list:
+    import pandas as pd
+
+    with pd.ExcelFile(path) as xf:
+        return list(xf.sheet_names)
+
+
+def write_results_excel(result: DataFrame, path: str,
+                        statistics: Optional[dict] = None,
+                        config: Optional[dict] = None,
+                        max_rows: int = 100_000) -> None:
+    """Multi-sheet results workbook: Results / Statistics / Configuration
+    (reference ``demos/streamlit_demo.py:540-568``). Collects to the driver —
+    guarded by ``max_rows`` because a report sink is not a data sink."""
+    import json
+
+    import pandas as pd
+
+    pdf = result.limit(max_rows).toPandas()
+    with pd.ExcelWriter(path) as writer:
+        pdf.to_excel(writer, sheet_name="Results", index=False)
+        if statistics:
+            rows = []
+            for crit, st in statistics.items():
+                if isinstance(st, dict) and all(not isinstance(v, dict) for v in st.values()):
+                    rows.append({"criterion": crit, **st})
+                else:  # staged: {stage: {criterion: stats}}
+                    for sub, sub_stats in (st or {}).items():
+                        rows.append({"stage": crit, "criterion": sub, **sub_stats})
+            pd.DataFrame(rows).to_excel(writer, sheet_name="Statistics", index=False)
+        if config:
+            pd.DataFrame([{"configuration": json.dumps(config, indent=2)}]).to_excel(
+                writer, sheet_name="Configuration", index=False
+            )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """CSV sink (S4) — distributed write, header on."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: Optional[list] = None) -> None:
+    """Parquet sink — the primary data sink."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

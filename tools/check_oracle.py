@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB over the same parquet, then compares
+row count, column names and (order-insensitively) values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+import __spark_entry__ as entry
+from bid_evaluation_spark.session import get_spark
+from bid_evaluation_spark.sources.io import TESTDATA_TABLES
+
+
+def normalize(rows, columns):
+    """Sort columns by name and rows by value — the driver's order-insensitive
+    comparison shape. Floats are kept as-is (queries pre-round)."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                elif v == int(v) and abs(v) < 1e15:
+                    v = round(v, 10)
+            vals.append((str(type(v).__name__) if v is not None else "none", str(v)))
+        out.append(tuple(vals))
+    out.sort()
+    return [sorted(columns), out]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                print(f"  WARNING: zero rows for rows-only query {name}")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+
+        ncols_s, nrows_s = normalize(srows, scols)
+        ncols_d, nrows_d = normalize(drows, dcols)
+        problems = []
+        if ncols_s != ncols_d:
+            problems.append(f"columns {ncols_s} != {ncols_d}")
+        if len(nrows_s) != len(nrows_d):
+            problems.append(f"rowcount {len(nrows_s)} != {len(nrows_d)}")
+        elif nrows_s != nrows_d:
+            diffs = [
+                (a, b) for a, b in zip(nrows_s, nrows_d) if a != b
+            ][:3]
+            problems.append(f"{sum(1 for a, b in zip(nrows_s, nrows_d) if a != b)} "
+                            f"value mismatches, first: {diffs}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(p[:500] for p in problems))
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(nrows_s)} rows [{time.time()-t0:.1f}s]")
+
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES: {failures}")
+        sys.exit(1)
+    print("all queries match")
+
+
+if __name__ == "__main__":
+    main()
