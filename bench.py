@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark: headline engine queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with the noop sink (computes every
+row/column, no driver collect, no disk write). Session startup and table
+warm-up (file listing + schema) are excluded from timings — the measurement
+target is query execution, which is what scales with data size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_eval_rank_lineitem(spark, sf_dir):
+    """Full evaluation over the fact table: 3 criteria + final + global rank."""
+    from bid_evaluation_spark import Evaluator
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "lineitem")
+    res = (
+        Evaluator()
+        .linear("l_extendedprice", 0.4, higher_is_better=False)
+        .threshold("l_quantity", 0.3, [(0, 10, 40.0), (10, 25, 70.0), (25, 1e9, 100.0)])
+        .formula("l_discount", 0.3, "clip((1 - value) * 100, 0, 100)")
+        .evaluate(df)
+    )
+    _force(res)
+
+
+def bench_staged_orders(spark, sf_dir):
+    import __spark_entry__ as e
+
+    _force(e.queries()["staged_threshold_orders"](spark, sf_dir))
+
+
+def bench_batched_eval_orders(spark, sf_dir):
+    """Many-tender scale path: per-priority batches scored in ONE job."""
+    from bid_evaluation_spark import Evaluator
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    res = (
+        Evaluator()
+        .linear("o_totalprice", 1.0, higher_is_better=False)
+        .evaluate_batched(df, "o_orderpriority")
+    )
+    _force(res)
+
+
+def bench_stats_bundle_lineitem(spark, sf_dir):
+    import __spark_entry__ as e
+
+    _force(e.queries()["a1_stats_bundle_lineitem"](spark, sf_dir))
+
+
+def bench_minhash_dedup_documents(spark, sf_dir):
+    from bid_evaluation_spark.operators.dedup import minhash_near_duplicates
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(minhash_near_duplicates(df, threshold=0.2, num_perm=64, bands=16))
+
+
+def bench_simhash_documents(spark, sf_dir):
+    from bid_evaluation_spark.operators.dedup import simhash_near_duplicates
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(simhash_near_duplicates(df, max_hamming=8))
+
+
+def bench_text_stats_documents(spark, sf_dir):
+    from bid_evaluation_spark.operators.text import with_text_stats
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(with_text_stats(df))
+
+
+def bench_ann_topk_embeddings(spark, sf_dir):
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    _force(cosine_topk(df.filter(F.col("vec_id") < 50), df, k=10, two_phase=True))
+
+
+def bench_embedding_neardup(spark, sf_dir):
+    from bid_evaluation_spark.operators.dedup import embedding_near_duplicates
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    _force(embedding_near_duplicates(df, threshold=0.35, block_col="label"))
+
+
+def bench_events_sliding(spark, sf_dir):
+    from bid_evaluation_spark.sources.io import load_table
+    from bid_evaluation_spark.streaming.events import sliding_agg
+
+    df = load_table(spark, sf_dir, "events")
+    _force(sliding_agg(df, "6 hours", "1 hour"))
+
+
+def bench_events_sessionize(spark, sf_dir):
+    from bid_evaluation_spark.sources.io import load_table
+    from bid_evaluation_spark.streaming.events import sessionize
+
+    df = load_table(spark, sf_dir, "events")
+    _force(sessionize(df, gap_seconds=1800))
+
+
+BENCHES = {
+    "eval_rank_lineitem": bench_eval_rank_lineitem,
+    "staged_orders": bench_staged_orders,
+    "batched_eval_orders": bench_batched_eval_orders,
+    "stats_bundle_lineitem": bench_stats_bundle_lineitem,
+    "minhash_dedup_documents": bench_minhash_dedup_documents,
+    "simhash_documents": bench_simhash_documents,
+    "text_stats_documents": bench_text_stats_documents,
+    "ann_topk_embeddings": bench_ann_topk_embeddings,
+    "embedding_neardup": bench_embedding_neardup,
+    "events_sliding": bench_events_sliding,
+    "events_sessionize": bench_events_sessionize,
+}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bid_evaluation_spark.session import get_spark
+    from bid_evaluation_spark.sources.io import TESTDATA_TABLES, load_table
+
+    spark = get_spark("bid-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up: touch every table's footer/schema once (excluded from timings)
+    for t in TESTDATA_TABLES:
+        load_table(spark, sf_dir, t).schema
+
+    timings = {}
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        fn(spark, sf_dir)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "bid_evaluation_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

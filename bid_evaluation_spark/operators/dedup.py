@@ -92,18 +92,21 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text",
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_PRIME)),
     )
     df = df.withColumn("_shingles", shingles)
-    sig = F.array(*[
-        F.when(
-            F.size("_shingles") > 0,
-            F.array_min(
-                F.transform(
-                    F.col("_shingles"),
-                    lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_PRIME)),
-                )
-            ),
-        ).otherwise(F.lit(_MERSENNE_PRIME))
-        for a, b in params
-    ])
+    # ONE pass over the shingles with a num_perm-slot running-minimum vector —
+    # not num_perm separate transform+array_min passes (each of which would
+    # allocate an intermediate array per row)
+    perm_a = F.array(*[F.lit(a) for a, _ in params])
+    perm_b = F.array(*[F.lit(b) for _, b in params])
+    sig = F.aggregate(
+        F.col("_shingles"),
+        F.array_repeat(F.lit(_MERSENNE_PRIME).cast("long"), num_perm),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.zip_with(perm_a, perm_b,
+                       lambda a, b: F.pmod(a * s + b, F.lit(_MERSENNE_PRIME))),
+            lambda m, h: F.least(m, h),
+        ),
+    )
     return df.withColumn("_minhash", sig)
 
 
@@ -135,9 +138,17 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         )
         for b in range(bands)
     ])
+    # docs with no shingles (shorter than k tokens) all share the sentinel
+    # signature — banding them would pair every short doc with every other
+    # (quadratic candidate blow-up at scale); they carry no similarity
+    # evidence, so drop them before banding
+    sig = sig.filter(F.size("_shingles") > 0)
     banded = (
         sig.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("bs"))
         .select("_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+        # cache: the self-join below reads this twice — without it the whole
+        # shingle→signature pipeline runs twice
+        .persist()
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -166,7 +177,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     sh = df.select(
         F.col(id_col).alias("_sid"),
         word_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    )
+    ).persist()  # read twice by the a/b join sides
     a = sh.alias("sa")
     b = sh.alias("sb")
     joined = (
@@ -231,19 +242,23 @@ def simhash(text_col: str = "text") -> Column:
     from .text import tokens
 
     t = tokens(F.col(text_col))
-    # token hash as a zero-padded 64-char two's-complement bit string, so the
-    # per-bit extraction below is pure expression work (shift functions take
-    # only literal bit counts in the DataFrame API)
-    hash_bits = F.transform(t, lambda x: F.lpad(F.bin(F.xxhash64(x)), 64, "0"))
-    # per-bit ±1 sums, most-significant bit first
-    bit_sums = F.transform(
-        F.sequence(F.lit(1), F.lit(64)),
-        lambda pos: F.aggregate(
-            hash_bits,
-            F.lit(0).cast("long"),
-            lambda acc, s: acc
-            + F.lit(2) * s.substr(pos.cast("int"), F.lit(1)).cast("long") - F.lit(1),
+    # each token's hash as a 64-vector of ±1 contributions: bin() renders the
+    # two's-complement bit string (shift functions take only literal bit
+    # counts in the DataFrame API, so bits travel as chars), split('') breaks
+    # it into exactly 64 single-char elements, MSB first
+    token_bits = F.transform(
+        t,
+        lambda x: F.transform(
+            F.split(F.lpad(F.bin(F.xxhash64(x)), 64, "0"), ""),
+            lambda c: F.lit(2) * c.cast("long") - F.lit(1),
         ),
+    )
+    # ONE pass over tokens accumulating all 64 per-bit sums (a 64-slot
+    # vector accumulator — not 64 separate aggregates over the token array)
+    bit_sums = F.aggregate(
+        token_bits,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, b: F.zip_with(acc, b, lambda p, q: p + q),
     )
     # pack MSB-first via acc*2 + bit (long overflow wraps to two's complement)
     return F.aggregate(
@@ -263,7 +278,17 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     generated by equality joins on (chunk_index, chunk_value) and verified
     with ``bit_count(a XOR b)``.
     """
-    sigs = df.select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+    from .text import tokens
+
+    # cache signatures: the chunk self-join reads them twice, and signature
+    # computation (64×tokens integer ops per doc) dominates the operator.
+    # Token-less docs all hash to signature 0 — exclude them (they'd pair
+    # quadratically with each other while carrying no similarity evidence).
+    sigs = (
+        df.filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
+        .persist()
+    )
     chunks = sigs.select(
         "_id", "_sh",
         F.explode(F.array(*[

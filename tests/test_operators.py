@@ -1,0 +1,232 @@
+"""Beyond-reference operator tests: text, dedup, similarity, multimodal,
+streaming windows — semantics checks on small controlled inputs."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from bid_evaluation_spark.operators import dedup as D
+from bid_evaluation_spark.operators import multimodal as M
+from bid_evaluation_spark.operators import similarity as S
+from bid_evaluation_spark.operators import text as T
+from bid_evaluation_spark.streaming import events as E
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "a completely different document about spark engines"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def by_id(df, key="doc_id"):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+# --- text ---
+
+def test_text_stats(docs):
+    r = by_id(T.with_text_stats(docs))
+    assert r[1]["n_tokens"] == 9
+    assert r[1]["n_distinct_tokens"] == 8  # 'the' twice
+    assert r[5]["n_tokens"] == 0 and r[5]["avg_token_len"] == 0.0
+    assert r[1]["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' x2
+    assert r[3]["stopword_ratio"] == pytest.approx(1 / 7)  # only 'a'
+
+
+def test_token_counts(docs):
+    r = by_id(docs.select("doc_id", T.token_count(F.col("text")).alias("n"),
+                          T.bpe_ish_token_count(F.col("text")).alias("b")))
+    assert r[1]["n"] == 9 and r[5]["n"] == 0
+    assert r[1]["b"] == 9  # no punctuation
+
+
+def test_fingerprint_exact_dups(docs):
+    groups = D.exact_duplicate_groups(docs)
+    dup = [r for r in groups.collect() if r["n_dups"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 1 and dup[0]["n_dups"] == 2
+    kept = D.dedup_exact(docs)
+    assert kept.count() == 4 and kept.filter("doc_id = 4").count() == 0
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    sh = df.select(T.word_shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sorted(sh) == ["a b c", "b c d"]
+    short = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    assert short.select(T.word_shingles(F.col("text"), 3).alias("s")).first()["s"] == []
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is a pet"),
+         (2, "der hund und die katze ist das tier"),
+         (3, "la casa el perro los gatos es aqui")],
+        "doc_id long, text string",
+    )
+    r = by_id(df.select("doc_id", T.language_id().alias("lang")))
+    assert r[1]["lang"] == "en"
+    assert r[2]["lang"] == "de"
+    assert r[3]["lang"] == "es"
+
+
+# --- dedup ---
+
+def test_minhash_finds_near_dups(docs):
+    res = D.minhash_near_duplicates(docs, threshold=0.5, num_perm=64, bands=16)
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"] for r in res.collect()}
+    # doc1 vs doc4 identical → jaccard 1.0 must be a candidate pair
+    assert pairs.get((1, 4)) == pytest.approx(1.0)
+    # docs 1/2 share 6 of 8 distinct 3-shingles... jaccard = 6/8
+    if (1, 2) in pairs:
+        assert pairs[(1, 2)] == pytest.approx(6 / 8)
+
+
+def test_minhash_jaccard_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w6")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    r = D.ngram_jaccard(pairs, df, k=3).first()
+    # shingles: {123,234,345} vs {123,234,346} → 2 common, 4 union
+    assert r["jaccard"] == pytest.approx(0.5)
+
+
+def test_simhash_identical_and_distance(docs):
+    sigs = by_id(docs.select("doc_id", D.simhash().alias("sh")))
+    assert sigs[1]["sh"] == sigs[4]["sh"]  # identical docs → identical simhash
+    res = D.simhash_near_duplicates(docs, max_hamming=0)
+    pairs = {(r["a_id"], r["b_id"]) for r in res.collect()}
+    assert (1, 4) in pairs
+
+
+def test_embedding_near_duplicates(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0], label=0),
+         Row(vec_id=2, embedding=[0.999, 0.01], label=0),
+         Row(vec_id=3, embedding=[0.0, 1.0], label=0)],
+    )
+    res = D.embedding_near_duplicates(df, threshold=0.99, block_col="label")
+    pairs = {(r["a_id"], r["b_id"]) for r in res.collect()}
+    assert pairs == {(1, 2)}
+
+
+# --- similarity ---
+
+def test_cosine_topk_deterministic(spark):
+    rows = [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(1, 6)]
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id = 5")
+    res = S.cosine_topk(q, df, k=2).collect()
+    assert [r["neighbor_id"] for r in res] == [4, 3]
+    assert all(r["query_id"] == 5 for r in res)
+
+
+def test_cosine_topk_two_phase_equivalence(spark):
+    rows = [Row(vec_id=i, embedding=[float((i * 37) % 11), float((i * 13) % 7), 1.0])
+            for i in range(40)]
+    df = spark.createDataFrame(rows).repartition(4)
+    q = df.filter("vec_id < 5")
+    a = {(r.query_id, r.rnk): r.neighbor_id
+         for r in S.cosine_topk(q, df, k=5).collect()}
+    b = {(r.query_id, r.rnk): r.neighbor_id
+         for r in S.cosine_topk(q, df, k=5, two_phase=True).collect()}
+    assert a == b
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    rows = [Row(vec_id=i, embedding=[float((i * 31) % 17), float((i * 7) % 5), 2.0])
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    q = df.filter("vec_id < 3")
+    approx = S.lsh_topk(q, df, k=3, num_planes=2)
+    assert approx.count() > 0  # probes its bucket; recall checked vs exact below
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine
+                  for r in S.cosine_topk(q, df, k=60).collect()}
+    for r in approx.collect():
+        assert (r.query_id, r.neighbor_id) in exact_sims
+        assert r.cosine == pytest.approx(exact_sims[(r.query_id, r.neighbor_id)])
+
+
+# --- streaming (batch semantics) ---
+
+def test_tumbling_and_sliding(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "a", 1.0),
+         (2, "2024-01-01 00:50:00", "a", 2.0),
+         (3, "2024-01-01 01:10:00", "a", 4.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    t = E.tumbling_agg(df, "1 hour")
+    r = {str(x["window_start"]): x for x in t.collect()}
+    assert r["2024-01-01 00:00:00"]["n_events"] == 2
+    assert r["2024-01-01 00:00:00"]["sum_value"] == pytest.approx(3.0)
+    assert r["2024-01-01 01:00:00"]["n_events"] == 1
+    s = E.sliding_agg(df, "2 hours", "1 hour")
+    rows = {(str(x["window_start"])): x["n_events"] for x in s.collect()}
+    assert rows["2024-01-01 00:00:00"] == 3  # window 00-02 catches all
+    assert rows["2023-12-31 23:00:00"] == 2  # window 23-01
+
+
+def test_sessionize(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 1.0),
+         (2, "2024-01-01 00:10:00", 7, 2.0),
+         (3, "2024-01-01 01:00:00", 7, 4.0),   # 50-min gap → new session
+         (4, "2024-01-01 00:00:00", 8, 8.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    res = E.sessionize(df, gap_seconds=1800)
+    rows = sorted([(r["user_id"], r["n_events"], r["sum_value"]) for r in res.collect()])
+    assert rows == [(7, 1, 4.0), (7, 2, 3.0), (8, 1, 8.0)]
+
+
+def test_stream_tumbling_counts(spark, tmp_path):
+    # streaming twin over a file source, availableNow → memory sink
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00", "a", 1.0), (2, "2024-01-01 00:20:00", "b", 2.0)],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    stream = E.stream_tumbling_counts(spark, src, df.schema, "1 hour", "10 minutes")
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("agg_smoke")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM agg_smoke").collect()
+    assert {r["event_type"] for r in out} == {"a", "b"}
+
+
+# --- multimodal ---
+
+def test_multimodal_fake_features(spark):
+    md = M.synthetic_media_df(spark, 9)
+    feats = M.extract_image_features(md, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 9
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    assert all(r["n_bytes"] == 64 for r in rows)
+    # deterministic: same payload → same sha/embedding
+    again = {r["media_id"]: r["sha256"] for r in M.extract_image_features(md, fake=True).collect()}
+    assert {r["media_id"]: r["sha256"] for r in rows} == again
+
+
+def test_multimodal_stub_raises(spark):
+    md = M.synthetic_media_df(spark, 3)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        M.extract_image_features(md, fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    md = M.synthetic_media_df(spark, 9).filter("media_type = 'video'")
+    frames = M.sample_frames(md, every_ms=1000, fake=True)
+    per = frames.groupBy("media_id").count().collect()
+    assert all(r["count"] == 5 for r in per)  # 5000ms / 1000ms
