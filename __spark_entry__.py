@@ -906,6 +906,75 @@ FROM pred
 """
 
 
+def _q_text_quality_score_documents(spark, sf_dir):
+    from bid_evaluation_spark.operators.text import quality_score
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", _r4(quality_score()).alias("quality"))
+
+
+_SQL_TEXT_QUALITY_SCORE_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+comp AS (
+  SELECT doc_id,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0 AS length_c,
+    (CASE WHEN len(t) > 0
+          THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END) * 30.0 AS div_c,
+    least((CASE WHEN len(t) > 0
+                THEN CAST(len(list_filter(t, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(t)
+                ELSE 0.0 END) * 5.0, 1.0) * 20.0 AS stop_c,
+    (1.0 - least((CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                       ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS punct_c
+  FROM toks
+)
+SELECT doc_id,
+       round((length_c + div_c + stop_c + punct_c) * 10000.0) / 10000.0 AS quality
+FROM comp
+"""
+
+
+def _q_text_fingerprint_documents(spark, sf_dir):
+    """Rolling-hash document fingerprints: 64-bit whole-doc key + per-shingle
+    hashes (rows-only check — Spark xxhash64 is not portable to DuckDB; the
+    normalization arithmetic is oracle-covered by ``dedup_exact_documents``)."""
+    from bid_evaluation_spark.operators.text import fingerprint, shingle_fingerprints
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", fingerprint().alias("fp"),
+        F.size(shingle_fingerprints(k=3)).cast("long").alias("n_shingle_fps"),
+    )
+
+
+def _q_mm_image_features_documents(spark, sf_dir):
+    """Multimodal plumbing over real parquet: treat the document text bytes as
+    an opaque binary payload and run the Arrow-batched mapInPandas feature
+    kernel (deterministic stub decode). Oracle checks the portable outputs
+    (byte length + sha256); mean_luma/embedding are covered by unit tests."""
+    from bid_evaluation_spark.operators.multimodal import extract_image_features
+
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    feats = extract_image_features(df, fake=True)
+    return feats.select("media_id", "n_bytes", "sha256")
+
+
+_SQL_MM_IMAGE_FEATURES_DOCUMENTS = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
 def _q_text_token_count_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -1062,6 +1131,21 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _q_ann_lsh_topk_embeddings(spark, sf_dir):
+    """Bucketed (IVF/LSH-style) approximate top-k — the 100 TB scale path.
+
+    Rows-only check: bucket assignment uses seeded random hyperplanes, not
+    expressible in portable SQL; exact-cosine arithmetic is oracle-covered by
+    ``ann_cosine_topk_embeddings``."""
+    from bid_evaluation_spark.operators.similarity import lsh_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 10)
+    res = lsh_topk(queries_df, df, k=5, num_planes=4)
+    return res.select("query_id", "neighbor_id",
+                      _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming-equivalent window aggregations over events
 # ---------------------------------------------------------------------------
@@ -1193,6 +1277,11 @@ _QUERIES: dict = {
     "text_lang_id_documents": (_q_text_lang_id_documents, _SQL_TEXT_LANG_ID_DOCUMENTS),
     "text_token_count_documents": (_q_text_token_count_documents,
                                    _SQL_TEXT_TOKEN_COUNT_DOCUMENTS),
+    "text_quality_score_documents": (_q_text_quality_score_documents,
+                                     _SQL_TEXT_QUALITY_SCORE_DOCUMENTS),
+    "text_fingerprint_documents": (_q_text_fingerprint_documents, None),
+    "mm_image_features_documents": (_q_mm_image_features_documents,
+                                    _SQL_MM_IMAGE_FEATURES_DOCUMENTS),
     "dedup_exact_documents": (_q_dedup_exact_documents, _SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram_jaccard_documents,
                                       _SQL_DEDUP_NGRAM_JACCARD_DOCUMENTS),
@@ -1202,6 +1291,7 @@ _QUERIES: dict = {
                                   _SQL_DEDUP_EMBEDDING_DOCUMENTS),
     "ann_cosine_topk_embeddings": (_q_ann_cosine_topk_embeddings,
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
+    "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings, None),
     "events_tumbling_hour": (_q_events_tumbling_hour, _SQL_EVENTS_TUMBLING_HOUR),
     "events_sliding_6h_1h": (_q_events_sliding_6h_1h, _SQL_EVENTS_SLIDING_6H_1H),
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),

@@ -170,4 +170,5 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 def shingle_fingerprints(text_col: str = "text", k: int = 3) -> Column:
     """Array of 64-bit hashes of the document's word k-shingles — the rolling
     document fingerprint used by MinHash."""
-    return F.transform(word_shingles(F.col(text_col), k), F.xxhash64)
+    return F.transform(word_shingles(F.col(text_col), k),
+                       lambda sh: F.xxhash64(sh))
