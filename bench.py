@@ -147,9 +147,18 @@ def main():
     spark = get_spark("bid-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch every table's footer/schema once (excluded from timings)
+    # warm-up: touch every table's footer/schema once, and spin up the Arrow
+    # Python-UDF workers with a 1-row no-op (both excluded from timings —
+    # they are session infrastructure, not query execution)
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).schema
+    import pandas as _pd
+
+    def _noop_udf(it):
+        for b in it:
+            yield b
+
+    spark.range(1).mapInPandas(_noop_udf, "id long").count()
 
     timings = {}
     for name, fn in BENCHES.items():

@@ -152,19 +152,51 @@ def fingerprint(text_col: str = "text") -> Column:
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as an array of strings.
 
-    ``transform(sequence(...))`` keeps generation JVM-side; documents shorter
-    than ``k`` tokens yield an empty array.
+    Built by zipping ``k`` shifted slices of the token array —
+    ``zip_with(slice(t,1,m), slice(t,2,m), concat)`` — rather than indexing
+    with ``element_at`` inside a ``transform`` lambda. Catalyst does not
+    eliminate common subexpressions inside higher-order-function lambdas, so
+    the indexing form re-evaluates the tokenizing ``split`` for every element
+    (measured 4× slower at sf0.1); the slice form evaluates each slice (and
+    the split underneath) once per row. Documents shorter than ``k`` tokens
+    yield an empty array.
     """
     t = tokens(text)
     n = F.size(t)
-    idx = F.sequence(F.lit(0), n - F.lit(k))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
-        ),
-    )
+    m = n - F.lit(k - 1)
+    sh = F.slice(t, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(t, j + 1, m),
+                        lambda a, b: F.concat_ws(" ", a, b))
     return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<string>"))
+
+
+def hashed_token_array(text: Column) -> Column:
+    """Each whitespace token's 64-bit hash — the cheap carrier for shingle
+    construction when the shingle *strings* are never needed (MinHash)."""
+    return F.transform(tokens(text), lambda x: F.xxhash64(x))
+
+
+def hashed_word_shingles(text: Column, k: int = 3,
+                         modulus: Optional[int] = None) -> Column:
+    """Distinct word k-shingle hashes as ``array<long>`` without materializing
+    shingle strings: tokens are hashed once, then adjacent token-hashes are
+    combined with ``xxhash64(a, b)`` over zipped slices. Equivalent identity
+    to hashing the concatenated shingle (modulo hash collisions) at a fraction
+    of the cost — no string allocation, no re-tokenization.
+
+    When ``modulus`` is given, hashes are folded into ``[0, modulus)``
+    (MinHash wants them inside the permutation field).
+    """
+    h = hashed_token_array(text)
+    n = F.size(h)
+    m = n - F.lit(k - 1)
+    sh = F.slice(h, 1, m)
+    for j in range(1, k):
+        sh = F.zip_with(sh, F.slice(h, j + 1, m), lambda a, b: F.xxhash64(a, b))
+    if modulus is not None:
+        sh = F.transform(sh, lambda s: F.pmod(s, F.lit(modulus)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(F.array().cast("array<long>"))
 
 
 def shingle_fingerprints(text_col: str = "text", k: int = 3) -> Column:
