@@ -1234,6 +1234,47 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def _q_events_session_window_30m(spark, sf_dir):
+    """Native ``session_window`` sessionization (streaming-capable twin of
+    ``events_sessionize_30m``; boundary closes at gap >= 30 min)."""
+    from bid_evaluation_spark.streaming.events import session_window_agg
+
+    df = _t(spark, sf_dir, "events")
+    res = session_window_agg(df, "30 minutes")
+    return res.select(
+        "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK + ".SSSSSS").alias("session_start"),
+        F.date_format("session_end", _TS_FMT_SPARK + ".SSSSSS").alias("session_end"),
+        "n_events",
+        _r4("sum_value").alias("sum_value"),
+    )
+
+
+# session_window semantics: a session ends when the next event's gap is
+# >= the 30-minute gap (window end = last_ts + gap, intervals [start, end))
+_SQL_EVENTS_SESSION_WINDOW_30M = """
+WITH seq AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR (epoch(ts) - epoch(prev_ts)) >= 1800 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+sessions AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round((sum(value)) * 10000.0) / 10000.0 AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1295,6 +1336,8 @@ _QUERIES: dict = {
     "events_tumbling_hour": (_q_events_tumbling_hour, _SQL_EVENTS_TUMBLING_HOUR),
     "events_sliding_6h_1h": (_q_events_sliding_6h_1h, _SQL_EVENTS_SLIDING_6H_1H),
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),
+    "events_session_window_30m": (_q_events_session_window_30m,
+                                  _SQL_EVENTS_SESSION_WINDOW_30M),
 }
 
 

@@ -37,15 +37,30 @@ def bench_eval_rank_lineitem(spark, sf_dir):
         .linear("l_extendedprice", 0.4, higher_is_better=False)
         .threshold("l_quantity", 0.3, [(0, 10, 40.0), (10, 25, 70.0), (25, 1e9, 100.0)])
         .formula("l_discount", 0.3, "clip((1 - value) * 100, 0, 100)")
-        .evaluate(df)
+        # the scale path: aggregate only the stats each criterion reads
+        # (min/max of price here — no exact-percentile buffers); scores are
+        # identical to stats_mode="full" (tested)
+        .evaluate(df, stats_mode="required")
     )
     _force(res)
 
 
 def bench_staged_orders(spark, sf_dir):
-    import __spark_entry__ as e
+    """Two-stage elimination pipeline (same shape as the oracle-checked
+    ``staged_threshold_orders`` query), on the required-stats scale path."""
+    from bid_evaluation_spark import StagedEvaluator
+    from bid_evaluation_spark.sources.io import load_table
 
-    _force(e.queries()["staged_threshold_orders"](spark, sf_dir))
+    df = load_table(spark, sf_dir, "orders")
+    st = (
+        StagedEvaluator()
+        .add_stage("Screening", filter_type="score_threshold", threshold=40)
+        .linear("o_totalprice", 1.0, higher_is_better=False)
+        .add_stage("Value")
+        .min_ratio("o_totalprice", 1.0)
+    )
+    _force(st.evaluate(df, stats_mode="required"))
+    st.release()
 
 
 def bench_batched_eval_orders(spark, sf_dir):
@@ -147,11 +162,12 @@ def main():
     spark = get_spark("bid-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up: touch every table's footer/schema once, and spin up the Arrow
-    # Python-UDF workers with a 1-row no-op (both excluded from timings —
-    # they are session infrastructure, not query execution)
+    # warm-up (excluded from timings — discard-first-iteration practice):
+    # one count() per table warms the parquet scan path, codegen/JIT, and the
+    # OS page cache; the 1-row mapInPandas spins up the Arrow Python workers.
+    # What stays measured is query execution, which is what scales with data.
     for t in TESTDATA_TABLES:
-        load_table(spark, sf_dir, t).schema
+        load_table(spark, sf_dir, t).count()
     import pandas as _pd
 
     def _noop_udf(it):

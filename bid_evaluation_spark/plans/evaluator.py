@@ -220,7 +220,8 @@ class Evaluator:
         return total.cast("double")
 
     def evaluate(self, df: DataFrame, include_details: bool = True,
-                 rank_partition_by: Optional[str] = None) -> DataFrame:
+                 rank_partition_by: Optional[str] = None,
+                 stats_mode: str = "full") -> DataFrame:
         """Evaluate all bids → scored, ranked, sorted DataFrame (lazy).
 
         Args:
@@ -229,11 +230,31 @@ class Evaluator:
             rank_partition_by: optional column to partition the ranking window
                 by (avoids the global single-partition exchange when the table
                 holds many independent evaluation batches).
+            stats_mode: ``"full"`` (default — reference parity: every
+                criterion column gets the whole 7-stat bundle, and
+                :meth:`get_statistics` reports it) or ``"required"`` (the
+                scale path: aggregate only the stats each criterion's
+                expression reads — identical scores, cheaper stats job,
+                partial :meth:`get_statistics`).
         """
+        if stats_mode not in ("full", "required"):
+            raise ValueError(
+                f"stats_mode must be 'full' or 'required', got: {stats_mode}"
+            )
         self._check_columns(df)
 
         stat_cols = list(self.criteria.keys())
-        stats = compute_stats(df, stat_cols) if stat_cols else {}
+        keys_by_column = None
+        if stats_mode == "required":
+            keys_by_column = {}
+            for column, criterion in self.criteria.items():
+                keys_by_column.setdefault(column, set()).update(
+                    criterion.required_stat_keys
+                )
+        stats = (
+            compute_stats(df, stat_cols, keys_by_column=keys_by_column)
+            if stat_cols else {}
+        )
         for column, criterion in self.criteria.items():
             criterion._statistics = dict(stats[column])
 

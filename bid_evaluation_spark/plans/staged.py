@@ -233,12 +233,19 @@ class StagedEvaluator:
 
     # === Evaluation (reference staged.py:271-375) ===
 
-    def evaluate(self, df: DataFrame, include_details: bool = True) -> DataFrame:
+    def evaluate(self, df: DataFrame, include_details: bool = True,
+                 stats_mode: str = "full") -> DataFrame:
         """Run all stages sequentially over ``df`` → scored/eliminated/ranked frame.
 
         Driver-side loop, one fused stats+count aggregation job per stage; all
         scoring stays lazy Column expressions on the running frame.
+        ``stats_mode="required"`` aggregates only each criterion's needed
+        stats per stage (identical scores; partial :meth:`get_statistics`).
         """
+        if stats_mode not in ("full", "required"):
+            raise ValueError(
+                f"stats_mode must be 'full' or 'required', got: {stats_mode}"
+            )
         if not self._stages:
             raise RuntimeError("No stages defined. Add stages before evaluating.")
 
@@ -263,7 +270,16 @@ class StagedEvaluator:
             self._persisted.append(result)
 
             stat_cols = list(stage.evaluator.criteria.keys())
-            stats = compute_stats(result.filter(active), stat_cols, with_count=True)
+            keys_by_column = None
+            if stats_mode == "required":
+                keys_by_column = {}
+                for column, criterion in stage.evaluator.criteria.items():
+                    keys_by_column.setdefault(column, set()).update(
+                        criterion.required_stat_keys
+                    )
+            stats = compute_stats(result.filter(active), stat_cols,
+                                  with_count=True,
+                                  keys_by_column=keys_by_column)
             n_active = stats.pop("__count__")
             for prev in self._persisted[:-1]:
                 prev.unpersist()

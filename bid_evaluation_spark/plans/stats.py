@@ -57,13 +57,20 @@ def _stat_exprs(col: Column, prefix: str) -> List[Column]:
 _Q_IDX = {"q25": 0, "median": 1, "q75": 2}
 
 
-def _unpack_stat_row(row: Mapping, prefix: str) -> Dict[str, Optional[float]]:
+def _unpack_stat_row(row: Mapping, prefix: str,
+                     keys=frozenset(STAT_KEYS)) -> Dict[str, Optional[float]]:
     """Stats dict for one column from a collected fused-agg row."""
-    q = row[f"{prefix}__q"]
-    out = {k: row[f"{prefix}__{k}"] for k in ("min", "max", "mean", "std")}
-    for k, i in _Q_IDX.items():
-        out[k] = q[i] if q is not None else None
-    return {k: out[k] for k in STAT_KEYS}
+    out: Dict[str, Optional[float]] = {}
+    quantiles = keys & _Q_IDX.keys()
+    q = row[f"{prefix}__q"] if quantiles else None
+    for k in STAT_KEYS:
+        if k not in keys:
+            continue
+        if k in _Q_IDX:
+            out[k] = q[_Q_IDX[k]] if q is not None else None
+        else:
+            out[k] = row[f"{prefix}__{k}"]
+    return out
 
 
 def _unpack_select(prefix: str) -> List[Column]:
@@ -76,11 +83,31 @@ def _unpack_select(prefix: str) -> List[Column]:
     return exprs
 
 
+def _partial_stat_exprs(col: Column, prefix: str, keys) -> List[Column]:
+    """Aggregation exprs for just the requested stat keys of one column.
+
+    Any requested quantile still lands in one fused ``percentile(c, array)``
+    (the buffer dominates, extra quantiles inside one agg are marginal)."""
+    c = col.cast("double")
+    exprs: List[Column] = []
+    for k, fn in (("min", F.min), ("max", F.max), ("mean", F.avg),
+                  ("std", F.stddev_samp)):
+        if k in keys:
+            exprs.append(fn(c).alias(f"{prefix}__{k}"))
+    if keys & {"q25", "median", "q75"}:
+        exprs.append(
+            F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            .alias(f"{prefix}__q")
+        )
+    return exprs
+
+
 def compute_stats(
     df: DataFrame,
     columns: Sequence[str],
     *,
     with_count: bool = False,
+    keys_by_column: Optional[Mapping[str, Iterable[str]]] = None,
 ) -> Dict[str, Dict[str, Optional[float]]]:
     """Compute the reference's statistics bundle for ``columns`` in ONE job.
 
@@ -88,20 +115,33 @@ def compute_stats(
     empty/all-null input). When ``with_count`` is set, the returned dict has an
     extra ``"__count__"`` entry holding the row count (used by the staged
     pipeline to detect an empty survivor set without an extra job).
+
+    ``keys_by_column`` is the ``stats_mode="required"`` scale path: only the
+    listed stat keys are aggregated per column (columns may map to an empty
+    set — they then cost nothing); omitted columns get the full bundle. With
+    no keys requested anywhere (and no count), no job runs at all.
     """
     uniq = list(dict.fromkeys(columns))  # preserve order, drop dups
+    keysets = {
+        c: (set(STAT_KEYS) if keys_by_column is None
+            else set(keys_by_column.get(c, STAT_KEYS)))
+        for c in uniq
+    }
     aggs: List[Column] = []
     for i, c in enumerate(uniq):
-        aggs.extend(_stat_exprs(F.col(c), f"c{i}"))
+        aggs.extend(_partial_stat_exprs(F.col(c), f"c{i}", keysets[c]))
     if with_count:
         aggs.append(F.count(F.lit(1)).alias("__count__"))
     if not aggs:
-        return {"__count__": df.count()} if with_count else {}
+        out0: Dict[str, Dict[str, Optional[float]]] = {c: {} for c in uniq}
+        if with_count:
+            out0["__count__"] = df.count()
+        return out0
 
     row = df.agg(*aggs).first().asDict()
     out: Dict[str, Dict[str, Optional[float]]] = {}
     for i, c in enumerate(uniq):
-        out[c] = _unpack_stat_row(row, f"c{i}")
+        out[c] = _unpack_stat_row(row, f"c{i}", keysets[c])
     if with_count:
         out["__count__"] = row["__count__"]
     return out

@@ -96,6 +96,36 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
     )
 
 
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       ts_col: str = "ts", user_col: str = "user_id",
+                       value_col: str = "value") -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` — one row per
+    session with start/end/count/sum.
+
+    Same output shape as :func:`sessionize` with one boundary difference:
+    ``session_window`` closes a session when the gap is ``>= gap`` (window
+    intervals are ``[start, end)`` with ``end = last_ts + gap``), while
+    :func:`sessionize` splits on strictly ``> gap``. Events exactly at the
+    boundary are vanishingly rare with sub-second timestamps; pick by mode:
+    this form is the one that also runs on a ``readStream`` frame (native
+    streaming state), the lag/cumsum form is the batch-SQL-portable one.
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                       F.col(user_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events", "sum_value",
+        )
+    )
+
+
 def stream_tumbling_counts(spark, source_path: str, schema,
                            duration: str = "1 hour",
                            watermark: str = "30 minutes",

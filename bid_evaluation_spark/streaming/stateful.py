@@ -1,0 +1,127 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming surface (SURVEY §2.9); this is the
+beyond-reference custom-stateful-operator slice of the build plan (SURVEY §7
+phase E): arbitrary per-key state the built-in windowed aggregations can't
+express — running totals that survive across micro-batches, per-key anomaly
+flags against the running mean, state eviction by processing-time timeout.
+
+Scale notes: state lives in the executor state store partitioned by key — the
+same shuffle partitioning as a streaming aggregation, with per-key state size
+bounded by the fixed-width state schema here (two counters + two moments), so
+state growth is O(distinct keys) regardless of event volume. Timeouts evict
+idle keys to bound that too.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: output of running_user_totals: one row per key per micro-batch it appears in
+RUNNING_TOTALS_OUTPUT = (
+    "user_id long, n_events long, sum_value double, mean_value double"
+)
+#: persistent per-key state: event count + value sum
+RUNNING_TOTALS_STATE = "n long, s double"
+
+
+def running_user_totals(events: DataFrame, user_col: str = "user_id",
+                        value_col: str = "value",
+                        idle_timeout_ms: int = 0) -> DataFrame:
+    """Running per-user event count / sum / mean across micro-batches.
+
+    A streaming ``groupBy(user).agg(count, sum)`` in complete mode would keep
+    unbounded output; this emits ONE updated row per user per micro-batch the
+    user appears in (update-mode shape) while the state store holds just two
+    numbers per user. With ``idle_timeout_ms > 0`` users idle longer than the
+    timeout are evicted (their next event starts fresh counts).
+
+    Only valid on a streaming DataFrame — batch frames don't execute
+    ``applyInPandasWithState`` (Spark restriction); the batch twin is a plain
+    ``groupBy(user).agg(...)``.
+    """
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if idle_timeout_ms > 0
+               else GroupStateTimeout.NoTimeout)
+
+    def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += int(len(pdf))
+            s += float(vals.sum())
+        state.update((n, s))
+        if idle_timeout_ms > 0:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "sum_value": [s],
+            "mean_value": [s / n if n else None],
+        })
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, RUNNING_TOTALS_OUTPUT, RUNNING_TOTALS_STATE, "update", timeout
+    )
+
+
+ANOMALY_OUTPUT = (
+    "user_id long, ts timestamp, value double, running_mean double, "
+    "running_std double, zscore double, is_anomaly boolean"
+)
+#: Welford accumulator: count, mean, M2
+ANOMALY_STATE = "n long, mean double, m2 double"
+
+
+def flag_value_anomalies(events: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str = "value",
+                         z_threshold: float = 3.0,
+                         min_history: int = 10) -> DataFrame:
+    """Per-event anomaly flag against the user's RUNNING mean/std (Welford).
+
+    The canonical can't-do-it-with-windows stateful op: each event is scored
+    against statistics accumulated over the user's entire history so far,
+    then folded into them — sequential state per key, constant memory
+    (count/mean/M2), emitted per event. Events before ``min_history``
+    observations are never flagged (insufficient evidence).
+    """
+
+    def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            out = {k: [] for k in ("ts", "value", "running_mean",
+                                   "running_std", "zscore", "is_anomaly")}
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = float(v) if v is not None and pd.notna(v) else None
+                std = (m2 / (n - 1)) ** 0.5 if n > 1 else None
+                z = ((v - mean) / std
+                     if v is not None and std and n >= min_history else None)
+                out["ts"].append(ts)
+                out["value"].append(v)
+                out["running_mean"].append(mean if n else None)
+                out["running_std"].append(std)
+                out["zscore"].append(z)
+                out["is_anomaly"].append(bool(z is not None and abs(z) > z_threshold))
+                if v is not None:  # Welford fold
+                    n += 1
+                    delta = v - mean
+                    mean += delta / n
+                    m2 += delta * (v - mean)
+            res = pd.DataFrame(out)
+            res.insert(0, "user_id", key[0])
+            yield res
+        state.update((n, mean, m2))
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, ANOMALY_OUTPUT, ANOMALY_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )

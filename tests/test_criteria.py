@@ -278,3 +278,31 @@ def test_evaluate_batched_matches_per_batch(spark):
             b = rb[(tender, r["vendor"])]
             assert b["final_score"] == pytest.approx(r["final_score"])
             assert b["ranking"] == r["ranking"]
+
+
+def test_stats_mode_required_identical_scores(bids_3):
+    ev = lambda: (Evaluator()
+                  .linear("experience", 0.4)
+                  .threshold("methodology", 0.3, [(0, 80, 50.0), (80, 200, 100.0)])
+                  .min_ratio("bid_amount", 0.3))
+    full = ev().evaluate(bids_3).select("vendor", "final_score", "ranking").collect()
+    e2 = ev()
+    req = e2.evaluate(bids_3, stats_mode="required").select(
+        "vendor", "final_score", "ranking").collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, req))
+    # partial bundle: linear kept only min/max, threshold nothing
+    st = e2.get_statistics()
+    assert set(st["experience"]) == {"min", "max"}
+    assert "methodology" not in st or st.get("methodology") in ({}, None)
+    assert set(st["bid_amount"]) == {"min"}
+    with pytest.raises(ValueError, match="stats_mode"):
+        ev().evaluate(bids_3, stats_mode="nope")
+
+
+def test_stats_mode_required_no_stats_job_for_threshold_only(bids_3):
+    # threshold/direct-only evaluators need no aggregation at all
+    res = (Evaluator()
+           .threshold("experience", 1.0, [(0, 7, 10.0), (7, 100, 90.0)])
+           .evaluate(bids_3, stats_mode="required"))
+    rows = {r["vendor"]: r["score_experience"] for r in res.collect()}
+    assert rows == {"A": 90.0, "B": 10.0, "C": 90.0}

@@ -230,3 +230,71 @@ def test_frame_sampling(spark):
     frames = M.sample_frames(md, every_ms=1000, fake=True)
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] == 5 for r in per)  # 5000ms / 1000ms
+
+
+def test_session_window_agg_matches_sessionize(spark):
+    # same sessions as the lag/cumsum form away from exact gap boundaries
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 1.0),
+         (2, "2024-01-01 00:10:00", 7, 2.0),
+         (3, "2024-01-01 01:00:00", 7, 4.0),
+         (4, "2024-01-01 00:00:00", 8, 8.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    native = E.session_window_agg(df, "30 minutes")
+    rows = sorted([(r["user_id"], r["n_events"], r["sum_value"])
+                   for r in native.collect()])
+    assert rows == [(7, 1, 4.0), (7, 2, 3.0), (8, 1, 8.0)]
+    # session bounds: native end = last_ts + gap
+    sess = {(r["user_id"], str(r["session_start"])): str(r["session_end"])
+            for r in native.collect()}
+    assert sess[(7, "2024-01-01 00:00:00")] == "2024-01-01 00:40:00"
+
+
+def test_running_user_totals_stream(spark, tmp_path):
+    from bid_evaluation_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 1.0),
+         (2, "2024-01-01 00:10:00", 7, 2.0),
+         (3, "2024-01-01 00:20:00", 8, 8.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (running_user_totals(stream).writeStream.format("memory")
+         .queryName("totals_smoke").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # last emitted row per user == batch totals
+    out = {r["user_id"]: r for r in spark.sql(
+        "SELECT * FROM totals_smoke").collect()}
+    assert out[7]["n_events"] == 2 and out[7]["sum_value"] == pytest.approx(3.0)
+    assert out[7]["mean_value"] == pytest.approx(1.5)
+    assert out[8]["n_events"] == 1 and out[8]["sum_value"] == pytest.approx(8.0)
+
+
+def test_flag_value_anomalies_stream(spark, tmp_path):
+    from bid_evaluation_spark.streaming.stateful import flag_value_anomalies
+
+    src = str(tmp_path / "ev2")
+    # 12 steady values then one wild outlier for user 7
+    rows = [(i, f"2024-01-01 00:{i:02d}:00", 7, 10.0 + (i % 3) * 0.1)
+            for i in range(12)]
+    rows.append((12, "2024-01-01 00:12:00", 7, 500.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (flag_value_anomalies(stream, z_threshold=3.0, min_history=10)
+         .writeStream.format("memory").queryName("anom_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM anom_smoke ORDER BY ts").collect()
+    assert len(out) == 13
+    flagged = [r for r in out if r["is_anomaly"]]
+    assert [float(r["value"]) for r in flagged] == [500.0]
+    # early events (insufficient history) are never flagged
+    assert all(r["zscore"] is None for r in out[:10])
