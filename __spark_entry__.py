@@ -1275,6 +1275,85 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def _q_f6_custom_udf_supplier(spark, sf_dir):
+    """F6 CustomCriterion: user ``(values, stats) -> scores`` pandas function
+    executed as an Arrow-vectorized pandas UDF with the collected stats dict
+    (reference criteria.py:154-169) — spread-normalized distance from mean."""
+    from bid_evaluation_spark import Evaluator
+
+    df = _t(spark, sf_dir, "supplier")
+
+    def bal_spread(values, stats):
+        return (values - stats["mean"]).abs() / (stats["max"] - stats["min"]) * 100
+
+    res = (
+        Evaluator()
+        .custom("s_acctbal", 0.8, bal_spread, name="bal_spread")
+        .evaluate(df)
+    )
+    return res.select(
+        "s_suppkey",
+        _r4("score_bal_spread").alias("score_bal_spread"),
+        _r4("final_score").alias("final_score"),
+        F.col("ranking"),
+    )
+
+
+_SQL_F6_CUSTOM_UDF_SUPPLIER = """
+WITH stats AS (
+  SELECT avg(s_acctbal) AS mean, max(s_acctbal) AS mx, min(s_acctbal) AS mn
+  FROM supplier
+)
+SELECT s_suppkey,
+       round((abs(s_acctbal - mean) / (mx - mn) * 100 * 0.8) * 10000.0) / 10000.0
+         AS score_bal_spread,
+       round((abs(s_acctbal - mean) / (mx - mn) * 100) * 10000.0) / 10000.0
+         AS final_score,
+       CAST(rank() OVER (
+         ORDER BY abs(s_acctbal - mean) / (mx - mn) * 100 DESC
+       ) AS BIGINT) AS ranking
+FROM supplier, stats
+"""
+
+
+def _q_batched_linear_orders(spark, sf_dir):
+    """Many-tender scale path: ``evaluate_batched`` scores every
+    o_orderpriority batch in ONE job — per-batch stats via one groupBy,
+    broadcast-joined back, rank windows partitioned by the batch key
+    (no global exchange, no driver loop)."""
+    from bid_evaluation_spark import Evaluator
+
+    df = _t(spark, sf_dir, "orders")
+    res = (
+        Evaluator()
+        .linear("o_totalprice", 1.0, higher_is_better=False)
+        .evaluate_batched(df, "o_orderpriority")
+    )
+    return res.select(
+        "o_orderkey", "o_orderpriority",
+        _r4("final_score").alias("final_score"),
+        F.col("ranking"),
+    )
+
+
+_SQL_BATCHED_LINEAR_ORDERS = """
+WITH stats AS (
+  SELECT o_orderpriority AS p, min(o_totalprice) AS mn, max(o_totalprice) AS mx
+  FROM orders GROUP BY 1
+)
+SELECT o_orderkey, o_orderpriority,
+       round((CASE WHEN mx = mn THEN 100.0
+                   ELSE (mx - o_totalprice) / (mx - mn) * 100 END) * 10000.0)
+         / 10000.0 AS final_score,
+       CAST(rank() OVER (
+         PARTITION BY o_orderpriority
+         ORDER BY (CASE WHEN mx = mn THEN 100.0
+                        ELSE (mx - o_totalprice) / (mx - mn) * 100 END) DESC
+       ) AS BIGINT) AS ranking
+FROM orders JOIN stats ON o_orderpriority = p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1287,6 +1366,10 @@ _QUERIES: dict = {
     "f3_direct_customer": (_q_f3_direct_customer, _SQL_F3_DIRECT_CUSTOMER),
     "f4_min_ratio_part": (_q_f4_min_ratio_part, _SQL_F4_MIN_RATIO_PART),
     "f5_formula_part": (_q_f5_formula_part, _SQL_F5_FORMULA_PART),
+    "f6_custom_udf_supplier": (_q_f6_custom_udf_supplier,
+                               _SQL_F6_CUSTOM_UDF_SUPPLIER),
+    "batched_linear_orders": (_q_batched_linear_orders,
+                              _SQL_BATCHED_LINEAR_ORDERS),
     "f5_formula_clip_events": (_q_f5_formula_clip_events, _SQL_F5_FORMULA_CLIP_EVENTS),
     "f7_proximity_to_mean_customer": (_q_f7_proximity_to_mean_customer,
                                       _SQL_F7_PROXIMITY_TO_MEAN_CUSTOMER),

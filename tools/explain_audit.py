@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Physical-plan audit for the headline queries.
+
+For each audited query this prints a verdict on the plan properties that
+matter at 100 TB (they are what Catalyst must be ALLOWED to do by the way the
+engine builds its plans — declarative exprs, no early collect, no opaque
+UDF between scan and filter):
+
+- **column pruning**: the parquet ReadSchema carries only needed columns;
+- **predicate pushdown**: filters appear as PushedFilters in the scan;
+- **broadcast**: small-side joins execute as BroadcastHashJoin (no shuffle);
+- **whole-stage codegen**: the scoring projection is inside a codegen span;
+- **no unintended CartesianProduct** (the stats 1-row crossJoin and the
+  brute-force query×corpus ANN are the two intended ones).
+
+Usage: python tools/explain_audit.py [sf_dir]
+Exits non-zero if any audited expectation fails.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+CHECKS = []
+
+
+def check(name):
+    def deco(fn):
+        CHECKS.append((name, fn))
+        return fn
+    return deco
+
+
+@check("evaluator scoring: pruned scan, one codegen span, no shuffle before agg")
+def _eval_plan(spark, sf_dir):
+    from bid_evaluation_spark import Evaluator
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "lineitem")
+    res = (
+        Evaluator()
+        .linear("l_extendedprice", 0.6, higher_is_better=False)
+        .threshold("l_quantity", 0.4, [(0, 25, 40.0), (25, 1e9, 100.0)])
+        .evaluate(df, stats_mode="required", include_details=False)
+        .select("l_orderkey", "final_score", "ranking")
+    )
+    plan = formatted(res)
+    probs = []
+    # AQE wraps the plan pre-execution (isFinalPlan=false) and hides codegen
+    # spans; it does not change whether codegen applies — inspect with AQE off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        executed = plan_of(
+            Evaluator()
+            .linear("l_extendedprice", 0.6, higher_is_better=False)
+            .threshold("l_quantity", 0.4, [(0, 25, 40.0), (25, 1e9, 100.0)])
+            .evaluate(df, stats_mode="required", include_details=False)
+            .select("l_orderkey", "final_score", "ranking")
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen spans render as "*(n)" stage markers in plan toString
+    if "WholeStageCodegen" not in executed and "*(" not in executed:
+        probs.append("no codegen span in executed plan")
+    if not re.search(r"\*\(\d+\) Project .*final_score", executed):
+        probs.append("scoring projection not inside a codegen span")
+    # collected stats must be inlined as folded literals (no join/subquery)
+    if "Join" in plan:
+        probs.append("stats not inlined as literals (join in scoring plan)")
+    # final projection selects 3 columns; scan must not read all 16
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if m and len(m.group(1).split(",")) > 6:
+        probs.append(f"scan reads too many columns: {m.group(1)}")
+    return probs
+
+
+@check("filter pushdown reaches the parquet scan")
+def _pushdown(spark, sf_dir):
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "part")
+    q = df.filter(F.col("p_size") > 40).select("p_partkey", "p_size")
+    plan = formatted(q)
+    probs = []
+    if not re.search(r"PushedFilters: \[.*GreaterThan\(p_size", plan):
+        probs.append("p_size filter not pushed to scan")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if m and set(c.split(":")[0] for c in m.group(1).split(",")) - {"p_partkey", "p_size"}:
+        probs.append(f"column pruning failed: {m.group(1)}")
+    return probs
+
+
+@check("flagship: dimension joins broadcast, no SortMergeJoin")
+def _flagship_joins(spark, sf_dir):
+    import __spark_entry__ as e
+
+    res = e.queries()["flagship_supplier_scoring"](spark, sf_dir)
+    plan = plan_of(res)
+    probs = []
+    if "BroadcastHashJoin" not in plan:
+        probs.append("expected BroadcastHashJoin for nation/volume join")
+    if "SortMergeJoin" in plan:
+        probs.append("unexpected SortMergeJoin on a dimension-scale join")
+    return probs
+
+
+@check("batched evaluation: per-batch stats broadcast back, rank partitioned by batch")
+def _batched(spark, sf_dir):
+    from bid_evaluation_spark import Evaluator
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "orders")
+    res = (
+        Evaluator()
+        .linear("o_totalprice", 1.0, higher_is_better=False)
+        .evaluate_batched(df, "o_orderpriority")
+    )
+    plan = plan_of(res)
+    probs = []
+    if "BroadcastHashJoin" not in plan:
+        probs.append("stats side not broadcast")
+    # the rank window must be partitioned (no global single-partition sort)
+    if not re.search(r"Window.*o_orderpriority", plan):
+        probs.append("rank window not partitioned by batch key")
+    return probs
+
+
+@check("minhash: no cartesian product, band join is an equi-join")
+def _minhash(spark, sf_dir):
+    from bid_evaluation_spark.operators.dedup import minhash_near_duplicates
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    res = minhash_near_duplicates(df, threshold=0.5)
+    plan = plan_of(res)
+    probs = []
+    if "CartesianProduct" in plan:
+        probs.append("cartesian product in candidate generation")
+    if "hashpartitioning" not in plan.lower() and "BroadcastHashJoin" not in plan:
+        probs.append("band join is neither hash-partitioned nor broadcast")
+    return probs
+
+
+@check("exact dedup: partial (map-side) aggregation before the shuffle")
+def _dedup_agg(spark, sf_dir):
+    from bid_evaluation_spark.operators.dedup import exact_duplicate_groups
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = plan_of(exact_duplicate_groups(df))
+    probs = []
+    if "partial" not in plan.lower():
+        probs.append("no partial aggregation (map-side combine missing)")
+    return probs
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from bid_evaluation_spark.session import get_spark
+
+    spark = get_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failed = 0
+    for name, fn in CHECKS:
+        try:
+            probs = fn(spark, sf_dir)
+        except Exception as exc:  # audit must never mask a broken query
+            probs = [f"audit error: {type(exc).__name__}: {exc}"]
+        if probs:
+            failed += 1
+            print(f"FAIL  {name}")
+            for p in probs:
+                print(f"      - {p}")
+        else:
+            print(f"OK    {name}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
