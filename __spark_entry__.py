@@ -546,6 +546,24 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_a7_salted_group_totals_events(spark, sf_dir):
+    """Skew-resilient two-phase salted aggregation — must be result-identical
+    to the plain groupBy (same oracle SQL as ``a7_group_totals_events``)."""
+    from bid_evaluation_spark.operators.skew import salted_agg
+
+    df = _t(spark, sf_dir, "events")
+    res = salted_agg(
+        df, ["event_type"],
+        {"n_events": ("count", "value"), "sum_value": ("sum", "value")},
+        salt_buckets=16,
+    )
+    return res.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _q_j3_zscore_orders(spark, sf_dir):
     from bid_evaluation_spark.plans.stats import compute_stats
 
@@ -1388,6 +1406,8 @@ _QUERIES: dict = {
     "a1_stats_bundle_lineitem": (_q_a1_stats_bundle_lineitem,
                                  _SQL_A1_STATS_BUNDLE_LINEITEM),
     "a7_group_totals_events": (_q_a7_group_totals_events, _SQL_A7_GROUP_TOTALS_EVENTS),
+    "a7_salted_group_totals_events": (_q_a7_salted_group_totals_events,
+                                      _SQL_A7_GROUP_TOTALS_EVENTS),
     "j3_zscore_orders": (_q_j3_zscore_orders, _SQL_J3_ZSCORE_ORDERS),
     "w1_eval_rank_part": (_q_w1_eval_rank_part, _SQL_W1_EVAL_RANK_PART),
     "w1_eval_rank_unnorm_part": (_q_w1_eval_rank_unnorm_part,

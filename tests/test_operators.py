@@ -298,3 +298,29 @@ def test_flag_value_anomalies_stream(spark, tmp_path):
     assert [float(r["value"]) for r in flagged] == [500.0]
     # early events (insufficient history) are never flagged
     assert all(r["zscore"] is None for r in out[:10])
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from bid_evaluation_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", None), ("b", 4.0), ("c", None)],
+        "k string, v double",
+    )
+    got = {r["k"]: r for r in salted_agg(
+        df, ["k"],
+        {"n": ("count", "v"), "s": ("sum", "v"), "mn": ("min", "v"),
+         "mx": ("max", "v"), "avg_v": ("avg", "v")},
+        salt_buckets=4,
+    ).collect()}
+    want = {r["k"]: r for r in df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+        F.min("v").alias("mn"), F.max("v").alias("mx"),
+        F.avg("v").alias("avg_v"),
+    ).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for c in ("n", "s", "mn", "mx", "avg_v"):
+            assert got[k][c] == want[k][c], (k, c)
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_agg(df, ["k"], {"x": ("median", "v")})
