@@ -1114,6 +1114,39 @@ FROM pairs WHERE cosine >= 0.35
 """
 
 
+def _q_dedup_embedding_clusters(spark, sf_dir):
+    """Connected components over the verified embedding near-dup pairs —
+    iterative min-label propagation in DataFrame ops; the DuckDB oracle
+    computes the same components with a recursive transitive-closure CTE."""
+    from bid_evaluation_spark.operators.dedup import (
+        embedding_near_duplicates, near_duplicate_clusters)
+
+    df = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(df, threshold=0.35, block_col="label")
+    return near_duplicate_clusters(pairs).select(
+        "id", F.col("cluster_id").cast("long").alias("cluster_id"))
+
+
+_SQL_DEDUP_EMBEDDING_CLUSTERS = """
+WITH RECURSIVE v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.35
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON r.id = e.s
+)
+SELECT id, CAST(min(lab) AS BIGINT) AS cluster_id FROM reach GROUP BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search extension
 # ---------------------------------------------------------------------------
@@ -1372,6 +1405,39 @@ FROM orders JOIN stats ON o_orderpriority = p
 """
 
 
+def _q_asof_click_purchase_events(spark, sf_dir):
+    """As-of join: every click event enriched with the user's most recent
+    purchase at-or-before it (union+window — one shuffle on user_id; DuckDB
+    expresses the identical operator as a native ASOF LEFT JOIN)."""
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    res = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["value"])
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK + ".SSSSSS").alias("ts"),
+        F.date_format("ts_right", _TS_FMT_SPARK + ".SSSSSS").alias("purchase_ts"),
+        _r4("value_right").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_CLICK_PURCHASE_EVENTS = """
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       round((r.value) * 10000.0) / 10000.0 AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1433,6 +1499,8 @@ _QUERIES: dict = {
     "dedup_simhash_documents": (_q_dedup_simhash_documents, None),
     "dedup_embedding_documents": (_q_dedup_embedding_documents,
                                   _SQL_DEDUP_EMBEDDING_DOCUMENTS),
+    "dedup_embedding_clusters": (_q_dedup_embedding_clusters,
+                                 _SQL_DEDUP_EMBEDDING_CLUSTERS),
     "ann_cosine_topk_embeddings": (_q_ann_cosine_topk_embeddings,
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings, None),
@@ -1441,6 +1509,8 @@ _QUERIES: dict = {
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),
     "events_session_window_30m": (_q_events_session_window_30m,
                                   _SQL_EVENTS_SESSION_WINDOW_30M),
+    "asof_click_purchase_events": (_q_asof_click_purchase_events,
+                                   _SQL_ASOF_CLICK_PURCHASE_EVENTS),
 }
 
 

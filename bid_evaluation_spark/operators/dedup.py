@@ -7,11 +7,13 @@ these run over the full corpus, so every step is chosen for 100 TB behavior:
 - **Exact dedup** shuffles only ``(hash, id)`` pairs — a 16-byte-key groupBy
   with map-side partial aggregation, never the document bodies.
 - **MinHash-LSH** is the shingle→signature→band→bucket-join pattern:
-  signatures are computed map-side as nested JVM ``transform`` expressions
-  (no UDF), candidate generation shuffles one ``(band_hash, id)`` row per
+  shingle hashes are built map-side from once-hashed tokens (JVM
+  expressions), the num_perm-way min-fold runs as an Arrow-vectorized numpy
+  kernel, candidate generation shuffles one ``(band_hash, id)`` row per
   band per doc, and the self-join happens per bucket — total work
   O(sum bucket²) instead of O(n²). Verification re-checks exact Jaccard on
-  the candidate pairs only.
+  the candidate pairs only; ``near_duplicate_clusters`` then groups verified
+  pairs into connected components for canonical-keep dedup.
 - **SimHash** packs a 64-bit signature map-side; near-dup candidates block on
   16-bit chunks (any hamming-distance ≤ 3 pair shares at least one of 4
   chunks by pigeonhole).
@@ -437,3 +439,78 @@ def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
     for p in range(1, num_planes):
         bucket = bucket + plane_expr(p)
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering (connected components) + canonical keep
+# ---------------------------------------------------------------------------
+
+def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
+                            b_col: str = "b_id",
+                            max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph →
+    ``(id, cluster_id)`` with ``cluster_id = min(id)`` of the component.
+
+    Iterative min-label propagation (the GraphFrames/Pregel CC pattern in
+    plain DataFrame ops): each round every node takes the minimum label among
+    itself and its neighbors; rounds until a fixpoint, bounded by
+    ``max_iter``. Near-dup components are shallow (stars/short chains from
+    banding), so convergence is typically 2-4 rounds; each round is one
+    join + one groupBy on (id, label) — all equi-shuffles, no collect of the
+    graph. Raises after ``max_iter`` rounds without convergence rather than
+    returning partial labels.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_label", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select("id", F.col("label").alias("cluster_id"))
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected components did not converge in {max_iter} iterations"
+    )
+
+
+def dedup_near_duplicates(df: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id", a_col: str = "a_id",
+                          b_col: str = "b_id") -> DataFrame:
+    """Keep one canonical row (min id) per near-duplicate cluster.
+
+    ``pairs`` is any verified near-dup pair set (minhash/simhash/embedding);
+    rows in no pair are untouched. The drop set — cluster members other than
+    the canonical min — is anti-joined against ``df``."""
+    clusters = near_duplicate_clusters(pairs, a_col, b_col)
+    drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
+    return df.join(drop, df[id_col] == drop["id"], "left_anti")

@@ -324,3 +324,44 @@ def test_salted_agg_matches_plain_groupby(spark):
             assert got[k][c] == want[k][c], (k, c)
     with pytest.raises(ValueError, match="unsupported"):
         salted_agg(df, ["k"], {"x": ("median", "v")})
+
+
+def test_asof_join(spark):
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(7, "2024-01-01 00:10:00", "c1"), (7, "2024-01-01 00:30:00", "c2"),
+         (8, "2024-01-01 00:05:00", "c3")],
+        "user_id long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:10:00", 5.0), (7, "2024-01-01 00:20:00", 9.0),
+         (9, "2024-01-01 00:00:00", 1.0)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    res = {r["tag"]: r for r in asof_join(left, right).collect()}
+    assert res["c1"]["value_right"] == 5.0          # exact-ts match included
+    assert res["c2"]["value_right"] == 9.0          # latest earlier
+    assert res["c3"]["value_right"] is None         # no right row for user 8
+    assert str(res["c2"]["ts_right"]) == "2024-01-01 00:20:00"
+    strict = {r["tag"]: r for r in asof_join(left, right, allow_exact=False).collect()}
+    assert strict["c1"]["value_right"] is None      # exact excluded
+
+
+def test_near_duplicate_clusters_and_dedup(spark):
+    from bid_evaluation_spark.operators.dedup import (
+        dedup_near_duplicates, near_duplicate_clusters)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (3, 9)], "a_id long, b_id long"
+    )  # components {1,2,3,9} and {5,6}
+    got = {r["id"]: r["cluster_id"]
+           for r in near_duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 5, 6, 9, 42)], "doc_id long, text string"
+    )
+    kept = sorted(r["doc_id"]
+                  for r in dedup_near_duplicates(docs, pairs).collect())
+    assert kept == [1, 5, 42]  # canonical mins + untouched row
