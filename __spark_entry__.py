@@ -1438,6 +1438,56 @@ ASOF LEFT JOIN
 """
 
 
+def _q_range_join_event_sessions(spark, sf_dir):
+    """Range (interval) join: every event matched to its 30-min session
+    interval via bucketed equi-join (no theta-join cross product); the oracle
+    is the plain inequality join over the identical session CTE."""
+    from bid_evaluation_spark.operators.asof import range_join
+    from bid_evaluation_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_seconds=1800)
+    res = range_join(
+        ev.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_start", "session_end", "n_events"),
+        point_col="ts", start_col="session_start", end_col="session_end",
+        by=["user_id"], bucket_width=1800.0,
+    )
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("session_start", _TS_FMT_SPARK + ".SSSSSS").alias("session_start"),
+        F.col("n_events").cast("long").alias("session_n_events"),
+    )
+
+
+_SQL_RANGE_JOIN_EVENT_SESSIONS = """
+WITH seq AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT e.event_id, e.user_id,
+       strftime(s.session_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       CAST(s.n_events AS BIGINT) AS session_n_events
+FROM events e JOIN sessions s
+  ON e.user_id = s.user_id AND e.ts BETWEEN s.session_start AND s.session_end
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1511,6 +1561,8 @@ _QUERIES: dict = {
                                   _SQL_EVENTS_SESSION_WINDOW_30M),
     "asof_click_purchase_events": (_q_asof_click_purchase_events,
                                    _SQL_ASOF_CLICK_PURCHASE_EVENTS),
+    "range_join_event_sessions": (_q_range_join_event_sessions,
+                                  _SQL_RANGE_JOIN_EVENT_SESSIONS),
 }
 
 

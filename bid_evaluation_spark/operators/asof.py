@@ -1,4 +1,4 @@
-"""As-of (most-recent-match) join — an operator Spark's join vocabulary lacks.
+"""Temporal joins Spark's join vocabulary lacks: as-of and range (interval).
 
 ``asof_join(left, right)`` attaches to every left row the latest right row of
 the same key with ``right.ts <= left.ts`` (or strictly ``<`` with
@@ -74,3 +74,45 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         .filter(F.col("_asof_tag") == l_tag)
         .drop("_asof_tag")
     )
+
+
+def range_join(points: DataFrame, intervals: DataFrame, point_col: str = "ts",
+               start_col: str = "session_start", end_col: str = "session_end",
+               by: Optional[Sequence[str]] = None,
+               bucket_width: float = 3600.0,
+               closed: str = "both") -> DataFrame:
+    """Point-in-interval join without the cross-product blowup.
+
+    A naive ``points JOIN intervals ON p BETWEEN start AND end`` is a theta
+    join — Spark executes it as BroadcastNestedLoop/cartesian, O(P·I). Here
+    both sides are bucketed on ``floor(value / bucket_width)``: each interval
+    explodes to one row per covered bucket, each point lands in exactly one
+    bucket, and the join becomes an equi-join on (bucket [, by...]) with the
+    range predicate as a cheap post-filter. Each matching (point, interval)
+    pair meets in exactly one bucket — no duplicate elimination needed.
+
+    Cost scales with interval length / bucket_width: pick ``bucket_width``
+    near the median interval length (a giant interval explodes into many
+    bucket rows — that is the operator's skew knob, and AQE handles residual
+    bucket skew).
+
+    ``closed``: 'both' ([start, end]), 'left' ([start, end)), 'right'
+    ((start, end]), 'neither'. Timestamp columns bucket by epoch seconds;
+    plain numerics bucket by value.
+    """
+    if closed not in ("both", "left", "right", "neither"):
+        raise ValueError(f"closed must be both|left|right|neither: {closed}")
+    by = list(by or [])
+
+    def _b(col):
+        return F.floor(col.cast("double") / F.lit(float(bucket_width)))
+
+    pt = points.withColumn("_rb", _b(F.col(point_col)))
+    iv = intervals.withColumn(
+        "_rb", F.explode(F.sequence(_b(F.col(start_col)), _b(F.col(end_col))))
+    )
+    p = F.col(point_col)
+    lo = (p >= F.col(start_col)) if closed in ("both", "left") else (p > F.col(start_col))
+    hi = (p <= F.col(end_col)) if closed in ("both", "right") else (p < F.col(end_col))
+    joined = pt.join(iv, on=["_rb"] + by, how="inner").filter(lo & hi)
+    return joined.drop("_rb")

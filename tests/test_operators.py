@@ -365,3 +365,28 @@ def test_near_duplicate_clusters_and_dedup(spark):
     kept = sorted(r["doc_id"]
                   for r in dedup_near_duplicates(docs, pairs).collect())
     assert kept == [1, 5, 42]  # canonical mins + untouched row
+
+
+def test_range_join(spark):
+    from bid_evaluation_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 7, 5.0), (2, 7, 25.0), (3, 7, 99.0), (4, 8, 5.0)],
+        "pid long, user_id long, x double",
+    )
+    iv = spark.createDataFrame(
+        [(7, 0.0, 10.0, "a"), (7, 20.0, 30.0, "b"), (8, 100.0, 200.0, "c")],
+        "user_id long, lo double, hi double, iname string",
+    )
+    res = range_join(pts, iv, point_col="x", start_col="lo", end_col="hi",
+                     by=["user_id"], bucket_width=10.0)
+    got = sorted((r["pid"], r["iname"]) for r in res.collect())
+    assert got == [(1, "a"), (2, "b")]  # pid3 no interval; pid4 wrong user
+    # boundary semantics
+    edge = spark.createDataFrame([(9, 7, 10.0)], "pid long, user_id long, x double")
+    both = range_join(edge, iv, "x", "lo", "hi", ["user_id"], 10.0, closed="both")
+    left = range_join(edge, iv, "x", "lo", "hi", ["user_id"], 10.0, closed="left")
+    assert [r["iname"] for r in both.collect()] == ["a"]
+    assert left.count() == 0
+    with pytest.raises(ValueError, match="closed"):
+        range_join(pts, iv, "x", "lo", "hi", closed="nope")
