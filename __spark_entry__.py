@@ -735,6 +735,76 @@ FROM s2r
 """
 
 
+def _q_staged_batched_orders(spark, sf_dir):
+    """Batched staged pipeline: every o_orderpriority batch runs the same
+    two-stage screen→value pipeline in ONE job — per-batch survivor stats via
+    grouped agg + broadcast join, all windows partitioned by the batch key
+    (no global exchange, driver loop per stage not per batch)."""
+    from bid_evaluation_spark import StagedEvaluator
+
+    df = _t(spark, sf_dir, "orders")
+    st = (
+        StagedEvaluator()
+        .add_stage("Screening", filter_type="score_threshold", threshold=40)
+        .linear("o_totalprice", 1.0, higher_is_better=False)
+        .add_stage("Value")
+        .min_ratio("o_totalprice", 1.0)
+    )
+    res = st.evaluate_batched(df, "o_orderpriority")
+    return res.select(
+        "o_orderkey", "o_orderpriority",
+        _r4("screening_score").alias("screening_score"),
+        F.col("screening_ranking"),
+        _r4("value_score").alias("value_score"),
+        "eliminated_at_stage",
+        _r4("final_score").alias("final_score"),
+        "ranking",
+    )
+
+
+_SQL_STAGED_BATCHED_ORDERS = """
+WITH s1stats AS (
+  SELECT o_orderpriority p1, min(o_totalprice) mn, max(o_totalprice) mx
+  FROM orders GROUP BY 1
+),
+s1 AS (
+  SELECT o.*, CASE WHEN mx = mn THEN 100.0
+                   ELSE (mx - o_totalprice)/(mx - mn)*100.0 END AS screening_score
+  FROM orders o JOIN s1stats ON o_orderpriority = p1
+),
+s1r AS (
+  SELECT *, CAST(rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY screening_score DESC) AS BIGINT)
+            AS screening_ranking
+  FROM s1
+),
+e AS (
+  SELECT *, CASE WHEN screening_score < 40.0 THEN 'Screening' END AS eliminated_at_stage
+  FROM s1r
+),
+s2stats AS (
+  SELECT o_orderpriority p2, min(o_totalprice) mn2 FROM e
+  WHERE eliminated_at_stage IS NULL GROUP BY 1
+),
+s2 AS (
+  SELECT e.*, CASE WHEN eliminated_at_stage IS NULL
+                   THEN mn2 / o_totalprice * 100.0 END AS value_score
+  FROM e LEFT JOIN s2stats ON o_orderpriority = p2
+),
+s2r AS (
+  SELECT *, CASE WHEN eliminated_at_stage IS NULL THEN
+    CAST(rank() OVER (PARTITION BY o_orderpriority, (eliminated_at_stage IS NULL)
+                      ORDER BY value_score DESC) AS BIGINT) END AS ranking
+  FROM s2
+)
+SELECT o_orderkey, o_orderpriority,
+       round((screening_score) * 10000.0) / 10000.0 AS screening_score, screening_ranking,
+       round((value_score) * 10000.0) / 10000.0 AS value_score, eliminated_at_stage,
+       round((value_score) * 10000.0) / 10000.0 AS final_score, ranking
+FROM s2r
+"""
+
+
 def _q_staged_topn_customer(spark, sf_dir):
     from bid_evaluation_spark import StagedEvaluator
 
@@ -1530,6 +1600,7 @@ _QUERIES: dict = {
                                  _SQL_W1_EVAL_RANK_UNNORM_PART),
     "w5_winner_part": (_q_w5_winner_part, _SQL_W5_WINNER_PART),
     "staged_threshold_orders": (_q_staged_threshold_orders, _SQL_STAGED_THRESHOLD_ORDERS),
+    "staged_batched_orders": (_q_staged_batched_orders, _SQL_STAGED_BATCHED_ORDERS),
     "staged_topn_customer": (_q_staged_topn_customer, _SQL_STAGED_TOPN_CUSTOMER),
     "staged_topn_exclude_part": (_q_staged_topn_exclude_part,
                                  _SQL_STAGED_TOPN_EXCLUDE_PART),

@@ -363,9 +363,139 @@ class StagedEvaluator:
         self._evaluated = True
         return result
 
+    def evaluate_batched(self, df: DataFrame, batch_col: str,
+                         include_details: bool = True) -> DataFrame:
+        """Staged evaluation of MANY independent bid tables in one pipeline.
+
+        The 100-TB path for "score a million tenders through the same stage
+        pipeline": the driver loop runs once per STAGE (not per tender) —
+        per-batch survivor statistics come from one ``groupBy(batch)``
+        aggregation per stage, broadcast-joined back (one row per batch);
+        scoring/elimination/top-N windows all partition by the batch key, so
+        no global single-partition exchange exists anywhere and every tender's
+        semantics match a standalone :meth:`evaluate` over just its rows
+        (differentially tested).
+
+        Divergences from :meth:`evaluate` (which mirrors the single-table
+        reference): no all-eliminated warning (a batch whose bids are all
+        eliminated simply stops producing scores; other batches continue),
+        and :meth:`get_statistics` is unavailable (statistics are per-batch
+        Columns, not collected scalars). ``CustomCriterion`` is unsupported
+        (its API takes a per-evaluation scalar stats dict).
+        """
+        from .stats import STAT_KEYS, grouped_stats_df
+
+        if not self._stages:
+            raise RuntimeError("No stages defined. Add stages before evaluating.")
+        for stage in self._stages:
+            for criterion in stage.evaluator.criteria.values():
+                from ..functions.criteria import CustomCriterion as _CC
+
+                if isinstance(criterion, _CC):
+                    raise NotImplementedError(
+                        "CustomCriterion is not supported in evaluate_batched(); "
+                        "use a formula/template/builtin criterion instead"
+                    )
+
+        elim = F.col(self.ELIM_COL)
+        result = df.withColumn(self.ELIM_COL, F.lit(None).cast("string"))
+        self.release()
+        self._stage_results = []
+        produced: List[str] = []
+
+        for i, stage in enumerate(self._stages):
+            is_last = i == len(self._stages) - 1
+            safe = self._safe_name(stage.name)
+            active = elim.isNull()
+            stage.evaluator._check_columns(df)
+
+            result = result.persist()
+            self._persisted.append(result)
+            for prev in self._persisted[:-1]:
+                prev.unpersist()
+            del self._persisted[:-1]
+
+            stat_cols = list(dict.fromkeys(stage.evaluator.criteria.keys()))
+            stats_df = None
+            if stat_cols:
+                stats_df = grouped_stats_df(result.filter(active), batch_col,
+                                            stat_cols)
+                result = result.join(F.broadcast(stats_df), on=batch_col,
+                                     how="left")
+
+            score_exprs: Dict[str, Column] = {}
+            for column, criterion in stage.evaluator.criteria.items():
+                col_stats = {k: F.col(f"{column}__{k}") for k in STAT_KEYS}
+                score_exprs[f"{safe}_{criterion.name}"] = F.when(
+                    active, criterion.weighted_score(F.col(column), col_stats)
+                ).cast("double")
+
+            if include_details and score_exprs:
+                result = result.withColumns(score_exprs)
+                weighted = [F.col(c) for c in score_exprs]
+            else:
+                weighted = list(score_exprs.values())
+
+            score_col = f"{safe}_score"
+            stage_final = stage.evaluator._final_score_expr(weighted)
+            result = result.withColumn(
+                score_col, F.when(active, stage_final).cast("double")
+            )
+            if stat_cols:
+                result = result.drop(
+                    *[f"{c}__{k}" for c in stat_cols for k in STAT_KEYS]
+                )
+            produced.append(safe)
+
+            result = result.withColumn("_bes_active", active.cast("int"))
+            w_rank = Window.partitionBy(batch_col, "_bes_active").orderBy(
+                F.desc(score_col)
+            )
+            result = result.withColumn(
+                f"{safe}_ranking",
+                F.when(active, F.rank().over(w_rank)).cast("long"),
+            ).drop("_bes_active")
+
+            stage_frame = result.filter(active)
+
+            if not is_last and stage.filter is not None:
+                result, adv_pred, helper_cols = self._advanced_predicate(
+                    result, score_col, stage.filter, active,
+                    extra_partition_cols=[batch_col],
+                )
+                result = result.withColumn(
+                    self.ELIM_COL,
+                    F.when(active & ~adv_pred, F.lit(stage.name)).otherwise(elim),
+                ).drop(*helper_cols)
+                advanced_df = result.filter(elim.isNull())
+                eliminated_df = result.filter(elim == stage.name)
+            else:
+                advanced_df = stage_frame
+                eliminated_df = result.filter(F.lit(False))
+
+            self._stage_results.append(
+                StageResult(stage.name, stage_frame, advanced_df, eliminated_df)
+            )
+
+        result = self._with_final_score(result, produced)
+        result = result.withColumn("_bes_ranked", elim.isNull().cast("int"))
+        w_final = Window.partitionBy(batch_col, "_bes_ranked").orderBy(
+            F.desc("final_score")
+        )
+        result = result.withColumn(
+            "ranking", F.when(elim.isNull(), F.rank().over(w_final)).cast("long")
+        ).drop("_bes_ranked")
+
+        result = result.orderBy(
+            F.col(batch_col),
+            F.asc_nulls_last("ranking"), F.desc_nulls_last("final_score"),
+        )
+        self._evaluated = True
+        return result
+
     def _advanced_predicate(
         self, result: DataFrame, score_col: str, stage_filter: StageFilter,
-        active: Column,
+        active: Column, extra_partition_cols: Optional[List[str]] = None,
     ):
         """Predicate selecting rows that advance past this stage's filter.
 
@@ -383,7 +513,7 @@ class StagedEvaluator:
 
         n = int(stage_filter.top_n)
         result = result.withColumn("_bes_active", active.cast("int"))
-        wp = Window.partitionBy("_bes_active")
+        wp = Window.partitionBy(*(extra_partition_cols or []), "_bes_active")
         wo = wp.orderBy(F.desc(score_col))
         result = (
             result.withColumn("_bes_rk", F.rank().over(wo))

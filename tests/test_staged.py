@@ -335,3 +335,55 @@ def test_formula_in_stages(bids_5):
     r = rows_by(st.evaluate(bids_5))
     # normalized quality: A=75 B=25 C=100 D=0 E=50 → threshold 50 keeps A,C,E
     assert {v for v in r if r[v]["eliminated_at_stage"] is None} == {"A", "C", "E"}
+
+
+def test_staged_evaluate_batched_matches_per_batch(spark):
+    """evaluate_batched == standalone evaluate per batch, incl. top_n ties."""
+    rows = []
+    for b, scores in (("t1", [90, 80, 80, 70, 10]),
+                      ("t2", [50, 40, 30]),
+                      ("t3", [5, 4])):  # t3: all eliminated at stage 1
+        for i, s in enumerate(scores):
+            rows.append((b, f"{b}-v{i}", float(s), float(100 - s)))
+    df = spark.createDataFrame(rows, "tender string, vendor string, quality double, price double")
+
+    def build():
+        return (StagedEvaluator(final_score_mode="weighted_combination")
+                .add_stage("Tech", filter_type="top_n", top_n=2,
+                           on_tie="exclude", weight=0.6)
+                .direct("quality", 1.0)
+                .add_stage("Econ", weight=0.4)
+                .min_ratio("price", 1.0))
+
+    st = build()
+    batched = st.evaluate_batched(df, "tender")
+    got = {(r["tender"], r["vendor"]):
+           (r["eliminated_at_stage"], r["final_score"], r["ranking"])
+           for r in batched.collect()}
+    st.release()
+
+    import warnings as _w
+
+    for b in ("t1", "t2", "t3"):
+        single = build()
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            res = single.evaluate(df.filter(F.col("tender") == b)).collect()
+        single.release()
+        for r in res:
+            key = (b, r["vendor"])
+            want = (r["eliminated_at_stage"], r["final_score"], r["ranking"])
+            assert got[key][0] == want[0], (key, got[key], want)
+            if want[1] is None:
+                assert got[key][1] is None, (key, got[key], want)
+            else:
+                assert got[key][1] == pytest.approx(want[1], abs=1e-9)
+            assert got[key][2] == want[2], (key, got[key], want)
+
+
+def test_staged_evaluate_batched_rejects_custom(spark, bids_3):
+    df = bids_3.withColumn("b", F.lit("x"))
+    st = (StagedEvaluator().add_stage("S")
+          .custom("experience", 1.0, lambda v, s: v * 0))
+    with pytest.raises(NotImplementedError, match="CustomCriterion"):
+        st.evaluate_batched(df, "b")
