@@ -95,6 +95,57 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, n_bytes long, duration_ms long, rms double, "
+    "zero_crossings long, mfcc_like array<float>"
+)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "media_id",
+                           duration_col: str = "duration_ms", *,
+                           fake: bool = False) -> DataFrame:
+    """Decode + feature-extract audio via Arrow-batched ``mapInPandas``.
+
+    Same stub contract as :func:`extract_image_features`: the real decode
+    needs an audio library not present here (``fake=False`` raises
+    ``NotImplementedError``); ``fake=True`` treats the payload bytes as a
+    crude 8-bit waveform so RMS / zero-crossings / a deterministic
+    MFCC-shaped vector exercise the distributed plumbing for real.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "audio decode requires an audio library (e.g. soundfile); "
+                    "run with fake=True for the deterministic stub kernel"
+                )
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b"\x80"
+                wave = (np.frombuffer(payload, dtype=np.uint8)
+                        .astype(np.float64) - 128.0) / 128.0
+                signs = np.sign(wave)
+                rows.append({
+                    "media_id": int(row[id_col]),
+                    "n_bytes": len(payload),
+                    "duration_ms": (int(row[duration_col])
+                                    if pd.notna(row[duration_col]) else 0),
+                    "rms": float(np.sqrt(np.mean(wave ** 2))),
+                    "zero_crossings": int(np.sum(signs[:-1] * signs[1:] < 0)),
+                    "mfcc_like": _fake_features(payload, dim=13),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_bytes", "duration_ms", "rms",
+                "zero_crossings", "mfcc_like",
+            ])
+
+    return df.select(id_col, payload_col, duration_col).mapInPandas(
+        kernel, AUDIO_FEATURES_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   payload_col: str = "payload", id_col: str = "media_id",
                   duration_col: str = "duration_ms", *,

@@ -390,3 +390,16 @@ def test_range_join(spark):
     assert left.count() == 0
     with pytest.raises(ValueError, match="closed"):
         range_join(pts, iv, "x", "lo", "hi", closed="nope")
+
+
+def test_multimodal_audio_features(spark):
+    md = M.synthetic_media_df(spark, 6).filter(F.col("media_type") == "audio")
+    feats = M.extract_audio_features(md, fake=True)
+    rows = feats.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r["n_bytes"] == 64 and len(r["mfcc_like"]) == 13
+        assert 0.0 <= r["rms"] <= 1.0 and r["duration_ms"] == 5000
+    # unstubbed kernel must refuse, not fake silently
+    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
+        M.extract_audio_features(md, fake=False).collect()
