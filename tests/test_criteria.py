@@ -306,3 +306,27 @@ def test_stats_mode_required_no_stats_job_for_threshold_only(bids_3):
            .evaluate(bids_3, stats_mode="required"))
     rows = {r["vendor"]: r["score_experience"] for r in res.collect()}
     assert rows == {"A": 90.0, "B": 10.0, "C": 90.0}
+
+
+def test_all_null_column_stats_and_scores(spark):
+    # all-null criterion column: stats are None; linear's constant-column rule
+    # (stats null => 100) applies; min_ratio propagates null scores
+    df = spark.createDataFrame(
+        [("A", None), ("B", None)], "vendor string, v double"
+    )
+    res = Evaluator().linear("v", 1.0).evaluate(df).collect()
+    assert [r["score_v"] for r in res] == [100.0, 100.0]
+    res2 = Evaluator().min_ratio("v", 1.0).evaluate(df).collect()
+    assert all(r["score_v"] is None for r in res2)
+
+
+def test_partial_null_column(spark):
+    # nulls don't poison stats (Spark aggs skip nulls, like pandas)
+    df = spark.createDataFrame(
+        [("A", 10.0), ("B", None), ("C", 20.0)], "vendor string, v double"
+    )
+    ev = Evaluator().linear("v", 1.0)
+    res = {r["vendor"]: r["score_v"] for r in ev.evaluate(df).collect()}
+    assert res["A"] == 0.0 and res["C"] == 100.0 and res["B"] is None
+    st = ev.get_statistics()["v"]
+    assert st["min"] == 10.0 and st["max"] == 20.0 and st["mean"] == 15.0
