@@ -403,3 +403,26 @@ def test_multimodal_audio_features(spark):
     # unstubbed kernel must refuse, not fake silently
     with pytest.raises(Exception, match="NotImplementedError|audio decode"):
         M.extract_audio_features(md, fake=False).collect()
+
+
+def test_session_window_agg_streaming(spark, tmp_path):
+    # the native session_window form must run as a real streaming query
+    from bid_evaluation_spark.streaming.events import session_window_agg
+
+    src = str(tmp_path / "sw_events")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 1.0),
+         (2, "2024-01-01 00:10:00", 7, 2.0),
+         (3, "2024-01-01 02:00:00", 7, 4.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(df.schema).parquet(src)
+              .withWatermark("ts", "10 minutes"))
+    q = (session_window_agg(stream, "30 minutes")
+         .writeStream.format("memory").queryName("sw_smoke")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted((r["n_events"], r["sum_value"])
+                  for r in spark.sql("SELECT * FROM sw_smoke").collect())
+    assert rows == [(1, 4.0), (2, 3.0)]
