@@ -18,7 +18,7 @@ from __future__ import annotations
 from typing import Any, Iterable, Iterator, Tuple
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 #: output of running_user_totals: one row per key per micro-batch it appears in
@@ -69,6 +69,53 @@ def running_user_totals(events: DataFrame, user_col: str = "user_id",
 
     return events.groupBy(user_col).applyInPandasWithState(
         update, RUNNING_TOTALS_OUTPUT, RUNNING_TOTALS_STATE, "update", timeout
+    )
+
+
+DEDUP_OUTPUT = "doc_id long, fp long, is_first boolean"
+DEDUP_STATE = "seen long"
+
+
+def streaming_dedup_filter(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: emit each document once, across micro-batches.
+
+    Groups by content fingerprint (normalized-text hash, same key as the
+    batch ``dedup_exact``); per-fingerprint state is ONE long (count seen so
+    far), so the state store is O(distinct contents) regardless of stream
+    volume. Within a first micro-batch containing several copies, the lowest
+    id wins (matching batch dedup's min-id canonical rule); afterwards every
+    re-occurrence is emitted with ``is_first=false`` (filter on it, or use
+    ``flag_only`` downstream for audit counts).
+
+    Spark's built-in ``dropDuplicates`` on a stream needs a watermark to ever
+    evict and silently re-admits duplicates older than it; this keeps exact
+    forever-dedup semantics with explicitly-bounded (1 long/key) state.
+    """
+    from ..operators.text import fingerprint as _fp
+
+    keyed = docs.select(F.col(id_col).alias("doc_id"),
+                        _fp(text_col).alias("fp"))
+
+    def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (seen,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            flags = []
+            for _ in range(len(pdf)):
+                flags.append(seen == 0)
+                seen += 1
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "fp": key[0],
+                "is_first": flags,
+            })
+        state.update((seen,))
+
+    return keyed.groupBy("fp").applyInPandasWithState(
+        update, DEDUP_OUTPUT, DEDUP_STATE, "append",
+        GroupStateTimeout.NoTimeout,
     )
 
 

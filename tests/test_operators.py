@@ -426,3 +426,32 @@ def test_session_window_agg_streaming(spark, tmp_path):
     rows = sorted((r["n_events"], r["sum_value"])
                   for r in spark.sql("SELECT * FROM sw_smoke").collect())
     assert rows == [(1, 4.0), (2, 3.0)]
+
+
+def test_streaming_dedup_filter(spark, tmp_path):
+    from bid_evaluation_spark.streaming.stateful import streaming_dedup_filter
+
+    # two micro-batches: dup within batch 1, cross-batch dup in batch 2
+    b1 = spark.createDataFrame(
+        [(1, "hello  world"), (2, "HELLO WORLD"), (3, "unique one")],
+        "doc_id long, text string",
+    )  # 1 and 2 share a normalized fingerprint -> min id 1 wins
+    b2 = spark.createDataFrame(
+        [(4, "hello world"), (5, "another new")], "doc_id long, text string",
+    )  # 4 duplicates batch-1 content
+    import time as _time
+
+    src = str(tmp_path / "docs_stream")
+    # one file per batch, ordered mtimes -> deterministic micro-batch order
+    b1.coalesce(1).write.parquet(f"{src}/batch=0")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{src}/batch=1")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_dedup_filter(stream)
+         .writeStream.format("memory").queryName("dedup_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["is_first"]
+            for r in spark.sql("SELECT * FROM dedup_smoke").collect()}
+    assert rows == {1: True, 2: False, 3: True, 4: False, 5: True}
