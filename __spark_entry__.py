@@ -1267,6 +1267,21 @@ def _q_ann_lsh_topk_embeddings(spark, sf_dir):
                       _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
 
 
+def _q_ann_ivf_topk_embeddings(spark, sf_dir):
+    """Trained-IVF approximate top-k: k-means inverted lists + multiprobe.
+
+    Rows-only check: the k-means training loop is not expressible in
+    portable SQL; returned cosines are exact for scanned candidates, and
+    recall vs exact top-k is asserted in tests."""
+    from bid_evaluation_spark.operators.similarity import ivf_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 10)
+    res = ivf_topk(queries_df, df, k=5, nprobe=3, n_clusters=8)
+    return res.select("query_id", "neighbor_id",
+                      _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Streaming-equivalent window aggregations over events
 # ---------------------------------------------------------------------------
@@ -1625,6 +1640,7 @@ _QUERIES: dict = {
     "ann_cosine_topk_embeddings": (_q_ann_cosine_topk_embeddings,
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings, None),
+    "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings, None),
     "events_tumbling_hour": (_q_events_tumbling_hour, _SQL_EVENTS_TUMBLING_HOUR),
     "events_sliding_6h_1h": (_q_events_sliding_6h_1h, _SQL_EVENTS_SLIDING_6H_1H),
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),

@@ -132,3 +132,138 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF: trained-centroid inverted lists (k-means + multiprobe search)
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(corpus: DataFrame, vec_col: str = "embedding",
+                     k: int = 16, max_iter: int = 10, tol: float = 1e-4,
+                     seed: int = 42) -> np.ndarray:
+    """Lloyd's k-means over an embedding column → (k, dim) centroid matrix.
+
+    Spark-shaped iteration: the (k × dim) centroid matrix broadcasts each
+    round (tiny); assignment is a numpy argmin inside ``mapInPandas`` over
+    the corpus scan (map-only); the update collects per-(cluster, dim) means
+    via ``posexplode`` + groupBy — k·dim result rows to the driver per round,
+    never the vectors. Deterministic init: the k vectors first in seeded
+    hash order of their contents — stable across partitionings and input
+    order. Stops when every centroid moves < ``tol`` (L2) or after
+    ``max_iter`` rounds.
+    """
+    sc = corpus.sparkSession.sparkContext
+    # deterministic init: k vectors in xxhash order of their serialized form
+    init_rows = (
+        corpus.select(F.col(vec_col).alias("_v"))
+        .withColumn("_h", F.xxhash64(F.concat_ws(",", F.col("_v").cast("array<string>")), F.lit(seed)))
+        .orderBy("_h").limit(k).collect()
+    )
+    cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+    if len(cents) < k:
+        raise ValueError(f"corpus has fewer than k={k} vectors")
+
+    vecs = corpus.select(F.col(vec_col).alias("_v"))
+    for _ in range(max_iter):
+        bc = sc.broadcast(cents)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            c2 = (C ** 2).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                # argmin ||x-c||^2 = argmin c.c - 2 x.c
+                a = np.argmin(c2[None, :] - 2.0 * (X @ C.T), axis=1)
+                yield pd.DataFrame({"_c": a.astype("int32"), "_v": pdf["_v"]})
+
+        assigned = vecs.mapInPandas(assign, "_c int, _v array<float>")
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
+            .groupBy("_c", "_d").agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new_cents = cents.copy()
+        by_c: dict = {}
+        for r in means:
+            by_c.setdefault(r["_c"], {})[r["_d"]] = r["_m"]
+        for c, dims in by_c.items():
+            for d, m in dims.items():
+                new_cents[c, d] = m
+        shift = float(np.sqrt(((new_cents - cents) ** 2).sum(axis=1)).max())
+        cents = new_cents
+        bc.destroy()
+        if shift < tol:
+            break
+    return cents
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame,
+             centroids: Optional[np.ndarray] = None, k: int = 10,
+             nprobe: int = 4, n_clusters: int = 16,
+             query_id: str = "vec_id", corpus_id: str = "vec_id",
+             vec_col: str = "embedding", exclude_self: bool = True,
+             seed: int = 42) -> DataFrame:
+    """IVF approximate top-k: corpus in trained inverted lists, each query
+    probes its ``nprobe`` nearest lists.
+
+    The classic ANN index shape on Spark: one pass assigns corpus vectors to
+    their centroid list (map-only, centroid matrix broadcast), queries
+    explode to their nprobe candidate lists, and the search is an equi-join
+    on the list id — per-query work scales with nprobe/n_clusters of the
+    corpus instead of all of it. Returned cosines are exact (true values for
+    the scanned candidates); recall < 1 by construction — measured against
+    :func:`cosine_topk` in tests; raise ``nprobe`` to trade cost for recall.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, vec_col, k=n_clusters, seed=seed)
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign_one(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        c2 = (C ** 2).sum(axis=1)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            a = np.argmin(c2[None, :] - 2.0 * (X @ C.T), axis=1)
+            out = pdf.copy()
+            out["_c"] = a.astype("int32")
+            yield out
+
+    def assign_probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        c2 = (C ** 2).sum(axis=1)
+        np_ = min(nprobe, len(C))
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            d = c2[None, :] - 2.0 * (X @ C.T)
+            probes = np.argpartition(d, np_ - 1, axis=1)[:, :np_]
+            idx = np.repeat(np.arange(len(pdf)), np_)
+            out = pdf.iloc[idx].copy()
+            out["_c"] = probes.ravel().astype("int32")
+            yield out
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(vec_col).alias("_v"))
+    c_assigned = c.mapInPandas(assign_one, "neighbor_id long, _v array<float>, _c int")
+    q = queries.select(F.col(query_id).alias("query_id"),
+                       F.col(vec_col).alias("_v"))
+    q_probed = (q.mapInPandas(assign_probes, "query_id long, _v array<float>, _c int")
+                .withColumnRenamed("_v", "_qv"))
+
+    sims = q_probed.join(c_assigned, on="_c").withColumn(
+        "cosine", cosine(F.col("_qv"), F.col("_v"))
+    )
+    if exclude_self:
+        sims = sims.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -455,3 +455,31 @@ def test_streaming_dedup_filter(spark, tmp_path):
     rows = {r["doc_id"]: r["is_first"]
             for r in spark.sql("SELECT * FROM dedup_smoke").collect()}
     assert rows == {1: True, 2: False, 3: True, 4: False, 5: True}
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    from bid_evaluation_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(df, k=8, max_iter=5)
+    assert cents.shape[1] == len(df.first()["embedding"])
+    q = df.filter(F.col("vec_id") < 20)
+    approx = ivf_topk(q, df, centroids=cents, k=10, nprobe=3)
+    exact = S.cosine_topk(q, df, k=10)
+    exact_sets = {}
+    exact_sims = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        exact_sims[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+    hits = total = 0
+    for r in approx.collect():
+        # returned cosines are TRUE cosines for scanned candidates
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_sims:
+            assert r["cosine"] == pytest.approx(exact_sims[key], abs=1e-9)
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hits += 1
+        total += 1
+    assert total > 0
+    recall = hits / (10 * len(exact_sets))
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
