@@ -1,0 +1,26 @@
+# example_fluent.py — Spark equivalent of reference examples/example_fluent.py
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bid_evaluation_spark import Evaluator
+from bid_evaluation_spark.session import get_spark
+
+spark = get_spark("example-fluent", master="local[4]", shuffle_partitions=4)
+
+bids = spark.createDataFrame(
+    [("Company A", 50_000_000, 8, 85),
+     ("Company B", 45_000_000, 10, 90),
+     ("Company C", 52_000_000, 6, 75)],
+    "vendor string, bid_amount long, experience long, methodology long",
+)
+
+result = (Evaluator()
+    .linear("experience", 0.20, higher_is_better=True)
+    .direct("methodology", 0.40)
+    .min_ratio("bid_amount", 0.40)
+    .evaluate(bids))
+
+result.select("vendor", "ranking", "final_score").show()
+spark.stop()
