@@ -110,3 +110,35 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# === Bucketed tables (co-located joins — the repeated-big-join scale path) ===
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols,
+                   num_buckets: int = 32, path: Optional[str] = None,
+                   mode: str = "overwrite",
+                   sort_cols: Optional[list] = None) -> None:
+    """Write ``df`` as a bucketed (and optionally sorted) parquet table.
+
+    Bucketing pre-shuffles the data ONCE at write time: two tables bucketed
+    by the same key into the same bucket count join with NO exchange on
+    either side (sort-merge join reads co-located buckets; with sort_cols
+    even the sort is pre-done). This is the right trade when a big fact
+    table is joined on the same key by many downstream queries — e.g. a
+    scored-bids table repeatedly joined to per-bid detail on the bid key.
+
+    Spark bucketing rides the session catalog (``saveAsTable``); pass
+    ``path`` to keep the data external at an explicit location.
+    """
+    cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format("parquet").bucketBy(num_buckets, *cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Read a (bucketed) table registered in the session catalog."""
+    return spark.table(table)

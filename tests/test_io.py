@@ -76,3 +76,29 @@ def test_yaml_json_config_sources(small, tmp_path):
     rj = sorted((r["vendor"], r["final_score"]) for r in res_j.collect())
     assert ry == rj
     assert ry[1] == ("B", 100.0)  # lowest price wins with higher_is_better=False
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join without a shuffle exchange."""
+    from pyspark.sql import Row
+
+    left = spark.createDataFrame([Row(k=i, a=float(i)) for i in range(100)])
+    right = spark.createDataFrame([Row(k=i, b=float(i * 2)) for i in range(100)])
+    IO.write_bucketed(left, "bkt_left", "k", num_buckets=4,
+                      path=str(tmp_path / "l"), sort_cols=["k"])
+    IO.write_bucketed(right, "bkt_right", "k", num_buckets=4,
+                      path=str(tmp_path / "r"), sort_cols=["k"])
+    try:
+        l, r = IO.read_table(spark, "bkt_left"), IO.read_table(spark, "bkt_right")
+        # disable broadcast so the join must pick SMJ — the case bucketing serves
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = l.join(r, on="k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert joined.count() == 100
+            assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
