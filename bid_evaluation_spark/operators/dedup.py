@@ -145,15 +145,14 @@ def _minhash_sig_and_candidates(df: DataFrame, id_col: str, text_col: str,
         # verify join — without it the shingle→signature pipeline re-runs
         .persist()
     )
+    # band hash = xxhash64 over the band's signature slots directly (multi-arg
+    # xxhash64 — no string rendering/concat per band)
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[F.col("_minhash")[b * rows_per_band + r].cast("string")
-                      for r in range(rows_per_band)],
-                ),
+                *[F.col("_minhash")[b * rows_per_band + r]
+                  for r in range(rows_per_band)],
                 F.lit(b),
             ).alias("bh"),
         )
