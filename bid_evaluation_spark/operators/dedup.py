@@ -465,34 +465,33 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
         .distinct()
         .persist()
     )
-    labels = (
+    cached = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
         .persist()
     )
+    labels = cached
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # change detection rides the same pass — no separate old-vs-new join
+        stepped = (
             labels.join(neighbor_min, on="id", how="left")
             .select(
                 "id",
                 F.least(F.col("label"),
                         F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_ch"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = stepped.filter(F.col("_ch")).limit(1).count()
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.drop("_ch")
         if changed == 0:
             edges.unpersist()
             return labels.select("id", F.col("label").alias("cluster_id"))
