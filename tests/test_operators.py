@@ -483,3 +483,48 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert total > 0
     recall = hits / (10 * len(exact_sets))
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_hashed_shingles_match_string_shingles_cardinality(spark):
+    # hashed shingles are a bijection of string shingles (modulo collisions):
+    # same count, and equal texts produce equal hash sets
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w")],
+        "doc_id long, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        F.size(T.word_shingles(F.col("text"), 3)).alias("ns"),
+        F.size(T.hashed_word_shingles(F.col("text"), 3)).alias("nh"),
+        T.hashed_word_shingles(F.col("text"), 3).alias("h"),
+    ).collect()
+    by = {r["doc_id"]: r for r in rows}
+    for r in rows:
+        assert r["ns"] == r["nh"]
+    assert sorted(by[1]["h"]) == sorted(by[2]["h"])
+    assert sorted(by[1]["h"]) != sorted(by[3]["h"])
+    # modulus folds into [0, m)
+    folded = df.select(T.hashed_word_shingles(F.col("text"), 3, modulus=97).alias("h")).collect()
+    assert all(0 <= v < 97 for r in folded for v in r["h"])
+
+
+def test_template_registry_introspection():
+    from bid_evaluation_spark.functions.templates import (
+        get_template_info, get_template_names)
+
+    names = get_template_names()
+    assert set(names) == {"budget_proximity", "sweet_spot_range",
+                          "penalty_function", "bonus_tiers",
+                          "percentage_of_best", "distance_from_mean"}
+    info = get_template_info("budget_proximity")
+    assert "target" in info["parameters"]
+
+
+def test_load_all_registers_views(spark):
+    from bid_evaluation_spark.sources.io import TESTDATA_TABLES, load_all
+
+    tables = load_all(spark, "/root/testdata/sf0.001")
+    assert set(tables) == set(TESTDATA_TABLES)
+    assert spark.sql("SELECT count(*) c FROM region").first()["c"] == 5
+    # events ts normalized to a timestamp type, not raw nanos longs
+    assert dict(tables["events"].dtypes)["ts"].startswith("timestamp")
