@@ -168,8 +168,6 @@ def main():
     # What stays measured is query execution, which is what scales with data.
     for t in TESTDATA_TABLES:
         load_table(spark, sf_dir, t).count()
-    import pandas as _pd
-
     def _noop_udf(it):
         for b in it:
             yield b

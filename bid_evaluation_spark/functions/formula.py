@@ -33,7 +33,7 @@ path, now batched instead of the reference's row loop.
 from __future__ import annotations
 
 import ast
-import math
+
 from typing import Any, Callable, Dict, Mapping, Optional, Tuple
 
 import numpy as np

@@ -26,7 +26,7 @@ bucket is handled by AQE skew-join (enabled in the session factory).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd

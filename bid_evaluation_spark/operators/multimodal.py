@@ -22,10 +22,9 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, LongType, StringType, StructField,
-    StructType,
+    BinaryType, LongType, StringType, StructField, StructType,
 )
 
 #: canonical multimodal record schema: payload + typed metadata

@@ -18,11 +18,11 @@ Beyond-reference operators (BASELINE.json north star). Scale design:
 
 from __future__ import annotations
 
-from typing import Iterator, List, Optional
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _hyperplane_bucket, cosine
 

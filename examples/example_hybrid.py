@@ -7,8 +7,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pandas as pd
-
 from bid_evaluation_spark import Evaluator
 from bid_evaluation_spark.session import get_spark
 

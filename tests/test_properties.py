@@ -10,10 +10,7 @@ from __future__ import annotations
 
 import math
 
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
-
-from pyspark.sql import functions as F
 
 from bid_evaluation_spark import Evaluator, StagedEvaluator
 
