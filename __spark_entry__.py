@@ -1027,6 +1027,80 @@ FROM comp
 """
 
 
+def _q_staged_quality_documents(spark, sf_dir):
+    """Extension-op composition (SURVEY §7): the text quality score feeds the
+    STAGED scoring engine as a criterion column — stage 1 eliminates
+    low-quality documents on the heuristic score, stage 2 ranks survivors by
+    length. Proves criterion-style composition of the LLM-pipeline operators
+    with the reference's evaluation model."""
+    from bid_evaluation_spark import StagedEvaluator
+    from bid_evaluation_spark.operators.text import quality_score
+
+    df = _t(spark, sf_dir, "documents").withColumn("quality", quality_score())
+    st = (
+        StagedEvaluator()
+        .add_stage("Quality", filter_type="score_threshold", threshold=50)
+        .direct("quality", 1.0)
+        .add_stage("Length")
+        .linear("n_chars", 1.0)
+    )
+    res = st.evaluate(df)
+    return res.select(
+        "doc_id",
+        _r4("quality").alias("quality_score"),
+        "eliminated_at_stage",
+        _r4("final_score").alias("final_score"),
+        "ranking",
+    )
+
+
+_SQL_STAGED_QUALITY_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, text, n_chars,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+comp AS (
+  SELECT doc_id, n_chars,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0
+    + (CASE WHEN len(t) > 0
+            THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END) * 30.0
+    + least((CASE WHEN len(t) > 0
+                  THEN CAST(len(list_filter(t, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(t)
+                  ELSE 0.0 END) * 5.0, 1.0) * 20.0
+    + (1.0 - least((CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                         ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS quality
+  FROM toks
+),
+s1 AS (
+  SELECT doc_id, n_chars, quality,
+         CASE WHEN quality < 50.0 THEN 'Quality' END AS eliminated_at_stage
+  FROM comp
+),
+s2stats AS (
+  SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM s1
+  WHERE eliminated_at_stage IS NULL
+),
+s2 AS (
+  SELECT s1.*,
+    CASE WHEN eliminated_at_stage IS NULL THEN
+      CASE WHEN mx = mn THEN 100.0
+           ELSE (CAST(n_chars AS DOUBLE) - mn) / (mx - mn) * 100.0 END
+    END AS final_score
+  FROM s1 CROSS JOIN s2stats
+)
+SELECT doc_id, round((quality) * 10000.0) / 10000.0 AS quality_score,
+       eliminated_at_stage,
+       round((final_score) * 10000.0) / 10000.0 AS final_score,
+       CASE WHEN eliminated_at_stage IS NULL THEN
+         CAST(rank() OVER (PARTITION BY (eliminated_at_stage IS NULL)
+                           ORDER BY final_score DESC) AS BIGINT) END AS ranking
+FROM s2
+"""
+
+
 def _q_text_fingerprint_documents(spark, sf_dir):
     """Rolling-hash document fingerprints: 64-bit whole-doc key + per-shingle
     hashes (rows-only check — Spark xxhash64 is not portable to DuckDB; the
@@ -1626,6 +1700,8 @@ _QUERIES: dict = {
     "text_quality_score_documents": (_q_text_quality_score_documents,
                                      _SQL_TEXT_QUALITY_SCORE_DOCUMENTS),
     "text_fingerprint_documents": (_q_text_fingerprint_documents, None),
+    "staged_quality_documents": (_q_staged_quality_documents,
+                                 _SQL_STAGED_QUALITY_DOCUMENTS),
     "mm_image_features_documents": (_q_mm_image_features_documents,
                                     _SQL_MM_IMAGE_FEATURES_DOCUMENTS),
     "dedup_exact_documents": (_q_dedup_exact_documents, _SQL_DEDUP_EXACT_DOCUMENTS),
