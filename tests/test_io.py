@@ -102,3 +102,31 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_cli_end_to_end(spark, tmp_path):
+    """CLI scores a parquet table with a YAML config and writes CSV."""
+    import subprocess
+    import sys as _sys
+
+    data = str(tmp_path / "bids.parquet")
+    spark.createDataFrame(
+        [("A", 10.0), ("B", 5.0), ("C", 8.0)], "vendor string, price double"
+    ).coalesce(1).write.parquet(data)
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "criteria:\n  price:\n    type: linear\n    weight: 1.0\n"
+        "    higher_is_better: false\n"
+    )
+    out = str(tmp_path / "out.csv")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "bid_evaluation_spark.cli",
+         "--data", data, "--config", str(cfg), "--output", out,
+         "--master", "local[2]"],
+        capture_output=True, text=True, timeout=240,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    back = spark.read.option("header", True).csv(out, inferSchema=True)
+    rows = {r["vendor"]: r["ranking"] for r in back.collect()}
+    assert rows == {"B": 1, "C": 2, "A": 3}
