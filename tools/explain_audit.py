@@ -158,6 +158,44 @@ def _minhash(spark, sf_dir):
     return probs
 
 
+@check("asof join: no nested-loop join, single key shuffle")
+def _asof(spark, sf_dir):
+    from bid_evaluation_spark.operators.asof import asof_join
+    from bid_evaluation_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    plan = plan_of(asof_join(clicks, buys))
+    probs = []
+    if "NestedLoop" in plan or "CartesianProduct" in plan:
+        probs.append("as-of executed as nested-loop/cartesian")
+    # union + one window partitioning on the key — no join operator at all
+    if "Join" in plan:
+        probs.append("unexpected join operator (should be union+window)")
+    return probs
+
+
+@check("range join: bucketed equi-join, no nested-loop theta join")
+def _range(spark, sf_dir):
+    from bid_evaluation_spark.operators.asof import range_join
+    from bid_evaluation_spark.sources.io import load_table
+    from bid_evaluation_spark.streaming.events import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_seconds=1800)
+    res = range_join(
+        ev.select("event_id", "user_id", "ts"),
+        sessions.select("user_id", "session_start", "session_end"),
+        by=["user_id"], bucket_width=1800.0,
+    )
+    plan = plan_of(res)
+    probs = []
+    if "NestedLoop" in plan or "CartesianProduct" in plan:
+        probs.append("range join executed as nested-loop/cartesian")
+    return probs
+
+
 @check("exact dedup: partial (map-side) aggregation before the shuffle")
 def _dedup_agg(spark, sf_dir):
     from bid_evaluation_spark.operators.dedup import exact_duplicate_groups
