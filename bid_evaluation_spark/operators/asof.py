@@ -7,12 +7,14 @@ events→latest-state).
 
 Spark-first design: NOT an inequality join (a theta join over (key, ts ranges)
 explodes into a per-key cross product at scale). Instead both sides are
-unioned, tagged, and sorted once per key — ``last(right_value, ignorenulls)``
-over ``(key) ORDER BY (ts, tag) ROWS UNBOUNDED PRECEDING`` carries the most
-recent right values forward onto the left rows. Cost: ONE shuffle of
-(left + right) on the key, the same partitioning a windowed aggregation would
-need anyway; no skew amplification (a hot key costs its own row count, not a
-product).
+unioned, tagged, and sorted once per key — ``last(right_payload_struct,
+ignorenulls)`` over ``(key) ORDER BY (ts, tag) ROWS UNBOUNDED PRECEDING``
+carries the most recent right row forward onto the left rows. The payload
+travels as ONE struct (not per-column fills) so every attached column comes
+from the same matched right row even when that row has null fields. Cost: ONE
+shuffle of (left + right) on the key, the same partitioning a windowed
+aggregation would need anyway; no skew amplification (a hot key costs its own
+row count, not a product).
 
 DuckDB expresses the same operator natively (``ASOF JOIN``), which is the
 oracle for the driver query ``asof_click_purchase_events``.
@@ -46,29 +48,33 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         c for c in right.columns if c not in (on, by)
     ]
     lcols = [c for c in left.columns if c not in (on, by)]
-    rtypes = dict((f.name, f.dataType) for f in right.schema.fields)
     ltypes = dict((f.name, f.dataType) for f in left.schema.fields)
+
+    # The whole right payload rides in ONE struct so that every attached
+    # column comes from the same matched right row (per-column
+    # last(ignorenulls) would back-fill a null field from an older row).
+    payload_fields = rcols + [on]
+    pay_struct = F.struct(*[F.col(c).alias(c) for c in payload_fields])
+    pay_type = right.select(pay_struct.alias("_p")).schema["_p"].dataType
 
     # right rows sort before left rows at equal ts iff exact matches count
     l_tag, r_tag = (1, 0) if allow_exact else (0, 1)
     lsel = left.select(
         F.col(by), F.col(on), F.lit(l_tag).alias("_asof_tag"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(rtypes[c]).alias(f"{c}{suffix}") for c in rcols],
-        F.lit(None).cast(rtypes[on]).alias(f"{on}{suffix}"),
+        F.lit(None).cast(pay_type).alias("_asof_pay"),
     )
     rsel = right.select(
         F.col(by), F.col(on), F.lit(r_tag).alias("_asof_tag"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
-        *[F.col(c).alias(f"{c}{suffix}") for c in rcols],
-        F.col(on).alias(f"{on}{suffix}"),
+        pay_struct.alias("_asof_pay"),
     )
     u = lsel.unionByName(rsel)
 
     w = (Window.partitionBy(by).orderBy(F.col(on), F.col("_asof_tag"))
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = [F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-              for c in rcols + [on]]
+    matched = F.last("_asof_pay", ignorenulls=True).over(w)
+    filled = [matched[c].alias(f"{c}{suffix}") for c in payload_fields]
     return (
         u.select(by, on, "_asof_tag", *lcols, *filled)
         .filter(F.col("_asof_tag") == l_tag)

@@ -38,6 +38,24 @@ from .text import fingerprint, hashed_word_shingles, word_shingles
 _MERSENNE_PRIME = (1 << 31) - 1
 
 
+def _track_cached(result: DataFrame, deps) -> DataFrame:
+    """Record persisted intermediates on the returned frame so callers can
+    free them with :func:`release` once the result is materialized."""
+    result._cached_deps = list(getattr(result, "_cached_deps", [])) + list(deps)
+    return result
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist intermediate frames cached while building ``df``.
+
+    Call after the result has been materialized (written / collected);
+    repeated operator calls in one session otherwise accumulate cached
+    signature blocks for the session lifetime."""
+    for dep in getattr(df, "_cached_deps", []):
+        dep.unpersist()
+    df._cached_deps = []
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> List[tuple]:
     """Deterministic (a, b) pairs for the universal-hash permutation family
     h_i(x) = (a_i * x + b_i) mod p — standard MinHash construction."""
@@ -184,9 +202,9 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     documents sharing any band hash become a candidate pair. Returns distinct
     ``(a_id, b_id)`` with ``a_id < b_id``.
     """
-    _, pairs = _minhash_sig_and_candidates(df, id_col, text_col, num_perm,
-                                           bands, shingle_k, seed)
-    return pairs
+    sig, pairs = _minhash_sig_and_candidates(df, id_col, text_col, num_perm,
+                                             bands, shingle_k, seed)
+    return _track_cached(pairs, [sig])
 
 
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
@@ -220,7 +238,7 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
-    return joined
+    return _track_cached(joined, [sig])
 
 
 # ---------------------------------------------------------------------------
@@ -321,7 +339,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         ])).alias("c"),
     ).select("_id", "_sh", "c.ci", "c.cv")
     l, r = chunks.alias("l"), chunks.alias("r")
-    return (
+    result = (
         l.join(r, (F.col("l.ci") == F.col("r.ci")) & (F.col("l.cv") == F.col("r.cv"))
                & (F.col("l._id") < F.col("r._id")))
         .select(
@@ -331,6 +349,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return _track_cached(result, [sigs])
 
 
 # ---------------------------------------------------------------------------
@@ -357,13 +376,25 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
                               threshold: float = 0.95,
                               block_col: Optional[str] = None,
                               num_planes: int = 8,
-                              seed: int = 42) -> DataFrame:
+                              seed: int = 42,
+                              max_block: Optional[int] = 50_000) -> DataFrame:
     """Pairs with cosine similarity ≥ threshold.
 
     Blocking: an explicit ``block_col`` if provided (e.g. a cluster/label
     column), else random-hyperplane sign buckets (``num_planes`` planes ⇒
     2^planes buckets; highly-similar vectors collide with high probability).
     Exact cosine verifies within blocks.
+
+    **Block-size bound (the 100 TB guard):** with ``max_block`` set (default),
+    block sizes are counted first and any block larger than the bound is
+    salted into ``s = ceil(n / max_block)`` sub-blocks by id hash; every row
+    replicates to the ``s`` unordered sub-block pairs containing its salt, so
+    each candidate pair still meets in EXACTLY one verify task: diagonal
+    tasks (a,a) verify all their pairs, off-diagonal tasks (a,b) verify only
+    cross-salt pairs. A pathological bucket now costs s·(s+1)/2 bounded tasks
+    instead of one executor-OOM task; replication overhead is ×s on the
+    oversized block only (s == 1 ⇒ plan identical to unsalted). Results are
+    provably identical to the unsalted operator (property-tested).
     """
     if block_col is None:
         df = df.withColumn("_block", _hyperplane_bucket(F.col(vec_col), num_planes, seed))
@@ -371,13 +402,36 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     sel = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                     F.col(block_col).alias("_blk"))
 
-    # Per-block exact verify as ONE BLAS matmul (normalized X @ Xᵀ) via
-    # applyInPandas — each block's rows land on one executor, Arrow-batched,
-    # and the O(block²·dim) similarity matrix runs vectorized instead of one
+    salted = max_block is not None
+    if salted:
+        # one tiny agg (a count per block — broadcastable by construction)
+        sizes = sel.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+        s = F.greatest(F.lit(1), F.ceil(F.col("_bn") / F.lit(int(max_block)))).cast("int")
+        tasks = F.transform(
+            F.sequence(F.lit(0), F.col("_s") - 1),
+            lambda b: F.struct(F.least(F.col("_salt"), b).alias("ta"),
+                               F.greatest(F.col("_salt"), b).alias("tb")),
+        )
+        sel = (
+            sel.join(F.broadcast(sizes), on="_blk")
+            .withColumn("_s", s)
+            .withColumn("_salt", F.pmod(
+                F.xxhash64(F.col("_id").cast("string"), F.lit(seed)),
+                F.col("_s")).cast("int"))
+            .withColumn("_t", F.explode(tasks))
+            .select("_id", "_v", "_blk", "_salt",
+                    F.col("_t.ta").alias("_ta"), F.col("_t.tb").alias("_tb"))
+        )
+        group_cols = ["_blk", "_ta", "_tb"]
+    else:
+        group_cols = ["_blk"]
+
+    # Per-task exact verify as slabbed BLAS matmuls (normalized X @ slabᵀ) via
+    # applyInPandas — each task's rows land on one executor, Arrow-batched,
+    # and the O(task²·dim) similarity work runs vectorized instead of one
     # interpreted array-fold per candidate pair (measured ~6× at sf0.1).
-    # A block must fit in executor memory — that is inherent to block-verify;
-    # at 100 TB keep blocks bounded by adding hyperplanes (finer buckets) or
-    # salting oversized blocks into sub-blocks and unioning the sub-results.
+    # Slabbing keeps the similarity matrix at O(slab·n) floats regardless of
+    # task size; max_block bounds n itself.
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     id_type = sel.schema["_id"].dataType
@@ -386,58 +440,71 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
         StructField("b_id", id_type),
         StructField("cosine", DoubleType()),
     ])
+    empty = pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
 
-    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _verify(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cosine": []})
+            return empty
+        cross_only = salted and key[1] != key[2]
         X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            S = Xn @ Xn.T
-        iu, ju = np.triu_indices(n, 1)
-        sims = S[iu, ju]
-        mask = sims >= threshold
         ids = pdf["_id"].to_numpy()
-        a, b = ids[iu[mask]], ids[ju[mask]]
-        swap = a > b  # normalize pair order to a_id < b_id
-        return pd.DataFrame({
-            "a_id": np.where(swap, b, a),
-            "b_id": np.where(swap, a, b),
-            "cosine": sims[mask],
-        })
+        salts = pdf["_salt"].to_numpy() if salted else None
+        jj = np.arange(n)
+        slab = max(1, (4 << 20) // n)  # ≤ ~32 MB of float64 per S slab
+        outs = []
+        for i0 in range(0, n, slab):
+            i1 = min(i0 + slab, n)
+            S = Xn[i0:i1] @ Xn.T
+            mask = (S >= threshold) & (jj[None, :] > np.arange(i0, i1)[:, None])
+            if cross_only:
+                mask &= salts[None, :] != salts[i0:i1, None]
+            ii, js = np.nonzero(mask)
+            if not len(ii):
+                continue
+            a, b = ids[ii + i0], ids[js]
+            swap = a > b  # normalize pair order to a_id < b_id
+            outs.append(pd.DataFrame({
+                "a_id": np.where(swap, b, a),
+                "b_id": np.where(swap, a, b),
+                "cosine": S[ii, js],
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return sel.groupBy("_blk").applyInPandas(_verify, schema=out_schema)
+    return sel.groupBy(*group_cols).applyInPandas(_verify, schema=out_schema)
 
 
 def _hyperplane_bucket(vec: Column, num_planes: int, seed: int) -> Column:
     """Sign-pattern bucket id from deterministic pseudo-random hyperplanes.
 
-    Plane weights are derived per (plane, dim) from a hash — computed inside
-    the expression so no plane matrix needs broadcasting.
+    Arrow-vectorized numpy kernel: one seeded Gaussian (dim × planes) matrix
+    (derived lazily from each batch's vector length, so no broadcast plumbing)
+    and a single matmul per batch. The earlier pure-expression form re-derived
+    a per-element sign hash per plane per row — O(planes·dim) interpreted HOF
+    work per vector, the exact trap NOTES.md lesson #2 documents for the
+    minhash/simhash kernels. Null/empty vectors land in bucket 0.
     """
-    import random
+    pw = np.power(2, np.arange(num_planes), dtype=np.int64)
 
-    rnd = random.Random(seed)
-    # one deterministic ±1 weight list per plane, folded as array literals
-    def plane_expr(p: int) -> Column:
-        signs = None
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, i: x.cast("double")
-                * (F.pmod(F.xxhash64(i.cast("string"), F.lit(p + seed)), F.lit(2)) * 2 - 1).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(dot > 0, F.shiftleft(F.lit(1), p)).otherwise(F.lit(0))
+    @F.pandas_udf("int")
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        vals = vecs.tolist()
+        out = np.zeros(len(vals), dtype=np.int32)
+        # group rows by dim so ragged batches still vectorize per group
+        by_dim: dict = {}
+        for i, v in enumerate(vals):
+            if v is not None and len(v):
+                by_dim.setdefault(len(v), []).append(i)
+        for dim, idxs in by_dim.items():
+            X = np.asarray([vals[i] for i in idxs], dtype=np.float64)
+            P = np.random.default_rng(seed).standard_normal((dim, num_planes))
+            bits = (X @ P) > 0
+            out[idxs] = (bits @ pw).astype(np.int32)
+        return pd.Series(out)
 
-    bucket = plane_expr(0)
-    for p in range(1, num_planes):
-        bucket = bucket + plane_expr(p)
-    return bucket
+    return _bucket(vec)
 
 
 # ---------------------------------------------------------------------------
@@ -494,7 +561,10 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
         labels = stepped.drop("_ch")
         if changed == 0:
             edges.unpersist()
-            return labels.select("id", F.col("label").alias("cluster_id"))
+            return _track_cached(
+                labels.select("id", F.col("label").alias("cluster_id")),
+                [cached],
+            )
     edges.unpersist()
     raise RuntimeError(
         f"connected components did not converge in {max_iter} iterations"
@@ -511,4 +581,5 @@ def dedup_near_duplicates(df: DataFrame, pairs: DataFrame,
     the canonical min — is anti-joined against ``df``."""
     clusters = near_duplicate_clusters(pairs, a_col, b_col)
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
-    return df.join(drop, df[id_col] == drop["id"], "left_anti")
+    return _track_cached(df.join(drop, df[id_col] == drop["id"], "left_anti"),
+                         getattr(clusters, "_cached_deps", []))

@@ -125,6 +125,8 @@ def language_id(text_col: str = "text",
     expression — no UDF, no shuffle.
     """
     langs = list(langs or sorted(LANG_MARKERS))
+    if len(langs) == 1:  # no competition — when-chain below needs >= 2 langs
+        return F.lit(langs[0])
     t = tokens(F.col(text_col))
     counts = {lang: _count_in(t, LANG_MARKERS[lang]) for lang in langs}
     expr = None

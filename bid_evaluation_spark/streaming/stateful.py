@@ -25,8 +25,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 RUNNING_TOTALS_OUTPUT = (
     "user_id long, n_events long, sum_value double, mean_value double"
 )
-#: persistent per-key state: event count + value sum
-RUNNING_TOTALS_STATE = "n long, s double"
+#: persistent per-key state: event count + value sum + non-null value count
+RUNNING_TOTALS_STATE = "n long, s double, nv long"
 
 
 def running_user_totals(events: DataFrame, user_col: str = "user_id",
@@ -36,9 +36,13 @@ def running_user_totals(events: DataFrame, user_col: str = "user_id",
 
     A streaming ``groupBy(user).agg(count, sum)`` in complete mode would keep
     unbounded output; this emits ONE updated row per user per micro-batch the
-    user appears in (update-mode shape) while the state store holds just two
+    user appears in (update-mode shape) while the state store holds just three
     numbers per user. With ``idle_timeout_ms > 0`` users idle longer than the
     timeout are evicted (their next event starts fresh counts).
+
+    ``n_events`` counts ALL rows (null values included); ``mean_value`` is the
+    mean of the NON-NULL values (sum / non-null count) — the same null
+    semantics as the batch twin ``groupBy(user).agg(count('*'), avg(value))``.
 
     Only valid on a streaming DataFrame — batch frames don't execute
     ``applyInPandasWithState`` (Spark restriction); the batch twin is a plain
@@ -52,19 +56,20 @@ def running_user_totals(events: DataFrame, user_col: str = "user_id",
         if state.hasTimedOut:
             state.remove()
             return
-        n, s = state.get if state.exists else (0, 0.0)
+        n, s, nv = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             vals = pdf[value_col].dropna()
             n += int(len(pdf))
             s += float(vals.sum())
-        state.update((n, s))
+            nv += int(len(vals))
+        state.update((n, s, nv))
         if idle_timeout_ms > 0:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame({
             "user_id": [key[0]],
             "n_events": [n],
             "sum_value": [s],
-            "mean_value": [s / n if n else None],
+            "mean_value": [s / nv if nv else None],
         })
 
     return events.groupBy(user_col).applyInPandasWithState(

@@ -528,3 +528,82 @@ def test_load_all_registers_views(spark):
     assert spark.sql("SELECT count(*) c FROM region").first()["c"] == 5
     # events ts normalized to a timestamp type, not raw nanos longs
     assert dict(tables["events"].dtypes)["ts"].startswith("timestamp")
+
+
+def test_asof_join_null_payload_keeps_matched_row(spark):
+    """The matched (latest) right row's null field must stay null — not be
+    back-filled from an older right row (ADVICE r1: payload rides as one
+    struct, matching DuckDB ASOF JOIN)."""
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(7, "2024-01-01 00:10:00", "c")],
+        "user_id long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(7, "2024-01-01 00:03:00", 7.0), (7, "2024-01-01 00:05:00", None)],
+        "user_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    r = asof_join(left, right).first()
+    assert str(r["ts_right"]) == "2024-01-01 00:05:00"
+    assert r["value_right"] is None  # NOT 7.0 from the older row
+
+
+def test_embedding_salted_matches_unsalted(spark):
+    """Sub-block salting is a physical rewrite only: identical pair set."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [Row(vec_id=i, embedding=[rnd.uniform(-1, 1) for _ in range(8)],
+                label=i % 2) for i in range(40)]
+    df = spark.createDataFrame(rows)
+
+    def pairs(res):
+        return {(r["a_id"], r["b_id"], round(r["cosine"], 9))
+                for r in res.collect()}
+
+    unsalted = D.embedding_near_duplicates(
+        df, threshold=0.6, block_col="label", max_block=None)
+    salted = D.embedding_near_duplicates(
+        df, threshold=0.6, block_col="label", max_block=5)
+    p_un, p_s = pairs(unsalted), pairs(salted)
+    assert p_un, "fixture must produce at least one pair"
+    assert p_s == p_un
+
+
+def test_language_id_single_lang(spark):
+    df = spark.createDataFrame([(1, "whatever text")], "doc_id long, text string")
+    r = df.select(T.language_id(langs=["en"]).alias("lang")).first()
+    assert r["lang"] == "en"
+
+
+def test_running_totals_mean_skips_null_values(spark, tmp_path):
+    """mean_value = sum / non-null count, matching the batch groupBy.avg twin."""
+    from bid_evaluation_spark.streaming.stateful import running_user_totals
+
+    src = str(tmp_path / "ev_null")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, 4.0),
+         (2, "2024-01-01 00:10:00", 7, None),
+         (3, "2024-01-01 00:20:00", 7, 8.0)],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (running_user_totals(stream).writeStream.format("memory")
+         .queryName("totals_nulls").outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    out = {r["user_id"]: r for r in spark.sql(
+        "SELECT * FROM totals_nulls").collect()}
+    assert out[7]["n_events"] == 3          # all rows counted
+    assert out[7]["mean_value"] == pytest.approx(6.0)  # 12.0 / 2 non-null
+
+
+def test_dedup_release_unpersists(docs):
+    res = D.minhash_near_duplicates(docs, threshold=0.5, num_perm=64, bands=16)
+    res.collect()
+    deps = getattr(res, "_cached_deps", [])
+    assert deps and all(d.storageLevel.useMemory for d in deps)
+    D.release(res)
+    assert all(not d.storageLevel.useMemory for d in deps)
