@@ -309,14 +309,22 @@ def simhash(text_col: str = "text") -> Column:
 
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            num_chunks: int = 4) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
-    Blocking: split the 64-bit signature into 4 × 16-bit chunks — any pair at
-    distance ≤ 3 agrees on at least one chunk (pigeonhole), so candidates are
-    generated by equality joins on (chunk_index, chunk_value) and verified
-    with ``bit_count(a XOR b)``.
+    Blocking: split the 64-bit signature into ``num_chunks`` equal chunks —
+    any pair at distance ≤ ``num_chunks - 1`` agrees on at least one chunk
+    (pigeonhole), so candidates are generated by equality joins on
+    (chunk_index, chunk_value) and verified with ``bit_count(a XOR b)``.
+    Recall is GUARANTEED only for ``max_hamming <= num_chunks - 1``; beyond
+    that pairs may be missed (their differing bits can straddle every chunk).
+    More chunks ⇒ wider guaranteed radius but coarser chunk values (more
+    candidate noise): num_chunks=4 gives 16-bit chunks/radius 3,
+    num_chunks=8 gives 8-bit chunks/radius 7.
     """
+    if 64 % num_chunks:
+        raise ValueError(f"num_chunks must divide 64: {num_chunks}")
     from .text import tokens
 
     # cache signatures: the chunk self-join reads them twice, and signature
@@ -328,14 +336,16 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
         .persist()
     )
+    width = 64 // num_chunks
+    mask = (1 << width) - 1
     chunks = sigs.select(
         "_id", "_sh",
         F.explode(F.array(*[
             F.struct(
                 F.lit(i).alias("ci"),
-                F.shiftright("_sh", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftright("_sh", width * i).bitwiseAND(F.lit(mask)).alias("cv"),
             )
-            for i in range(4)
+            for i in range(num_chunks)
         ])).alias("c"),
     ).select("_id", "_sh", "c.ci", "c.cv")
     l, r = chunks.alias("l"), chunks.alias("r")

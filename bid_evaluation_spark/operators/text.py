@@ -151,6 +151,15 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.xxhash64(normalized)
 
 
+def fingerprint_md5(text_col: str = "text") -> Column:
+    """Portable (md5 hex) twin of :func:`fingerprint` — same normalization,
+    an engine-portable digest instead of xxhash64. Use where the fingerprint
+    must be reproduced by another engine (e.g. DuckDB ``md5``); xxhash64 is
+    the cheaper scale path when the key never leaves Spark."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(normalized.cast("binary"))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as an array of strings.
 

@@ -607,3 +607,25 @@ def test_dedup_release_unpersists(docs):
     assert deps and all(d.storageLevel.useMemory for d in deps)
     D.release(res)
     assert all(not d.storageLevel.useMemory for d in deps)
+
+
+def test_fingerprint_md5_matches_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "  Hello   World "), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    r = by_id(df.select("doc_id", T.fingerprint_md5().alias("fp")))
+    assert r[1]["fp"] == r[2]["fp"]  # same normalized content
+    assert r[1]["fp"] != r[3]["fp"]
+    assert len(r[1]["fp"]) == 32  # md5 hex
+
+
+def test_simhash_chunk_param(docs):
+    with pytest.raises(ValueError, match="num_chunks"):
+        D.simhash_near_duplicates(docs, num_chunks=7)
+    # wide-radius blocking finds at least everything the default finds
+    d4 = {(r["a_id"], r["b_id"]) for r in
+          D.simhash_near_duplicates(docs, max_hamming=3, num_chunks=4).collect()}
+    d16 = {(r["a_id"], r["b_id"]) for r in
+           D.simhash_near_duplicates(docs, max_hamming=3, num_chunks=16).collect()}
+    assert d4 <= d16
