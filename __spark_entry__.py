@@ -1156,6 +1156,52 @@ FROM documents
 """
 
 
+def _q_mm_image_decode_documents(spark, sf_dir):
+    """REAL image decode end-to-end: deterministic grayscale PNGs are encoded
+    per doc (pixel(x,y) = (x + 7y + doc_id) mod 256, dims derived from
+    doc_id), shipped as binary payloads, and decoded by the pure-stdlib PNG
+    kernel — width/height from IHDR, mean luma from the actual pixels. The
+    oracle reproduces the expected values arithmetically, so a decode bug
+    (filters, strides, chunk parsing) breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.multimodal import extract_image_features
+    from bid_evaluation_spark.operators.png import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 3
+                img = ((np.arange(w)[None, :] + 7 * np.arange(h)[:, None]
+                        + int(d)) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_image_features(media, fake=False, strict=True)
+    return feats.select("media_id", "width", "height",
+                        _r4("mean_luma").alias("mean_luma"))
+
+
+_SQL_MM_IMAGE_DECODE_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, CAST(8 + doc_id % 5 AS BIGINT) AS w,
+         CAST(6 + doc_id % 3 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  round(list_avg(flatten(list_transform(generate_series(0, h - 1),
+          y -> list_transform(generate_series(0, w - 1),
+          x -> CAST((x + 7*y + doc_id) % 256 AS DOUBLE))))) * 10000.0)
+    / 10000.0 AS mean_luma
+FROM dims
+"""
+
+
 def _q_text_token_count_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -1792,6 +1838,8 @@ _QUERIES: dict = {
                                  _SQL_STAGED_QUALITY_DOCUMENTS),
     "mm_image_features_documents": (_q_mm_image_features_documents,
                                     _SQL_MM_IMAGE_FEATURES_DOCUMENTS),
+    "mm_image_decode_documents": (_q_mm_image_decode_documents,
+                                  _SQL_MM_IMAGE_DECODE_DOCUMENTS),
     "dedup_exact_documents": (_q_dedup_exact_documents, _SQL_DEDUP_EXACT_DOCUMENTS),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram_jaccard_documents,
                                       _SQL_DEDUP_NGRAM_JACCARD_DOCUMENTS),

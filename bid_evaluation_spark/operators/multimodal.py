@@ -1,9 +1,12 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Beyond-reference operators (BASELINE.json north star). The Spark-side design
-is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures —
-while the media **decode kernels are deterministic stubs**: the image/audio
-libraries are not available in this container, so each kernel either raises
+is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures.
+Decode kernels: **image decode is REAL for PNG** (pure-stdlib codec in
+:mod:`.png` — width/height/mean-luma/grid embedding from actual pixels;
+other container formats need an image library swapped into the same seam).
+Audio/video decode kernels remain deterministic stubs: those libraries are
+not available in this container, so each either raises
 ``NotImplementedError`` (default) or produces a clearly-marked deterministic
 fake derived from the payload hash (``fake=True``), which keeps the whole
 pipeline testable end-to-end.
@@ -58,23 +61,25 @@ def _fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
 
 def extract_image_features(df: DataFrame, payload_col: str = "payload",
                            id_col: str = "media_id", *,
-                           fake: bool = False) -> DataFrame:
+                           fake: bool = False,
+                           strict: bool = False) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
 
-    With ``fake=False`` (default) the decode kernel raises
-    ``NotImplementedError`` — the real kernel needs an image library not
-    present in this container. ``fake=True`` substitutes a deterministic
-    payload-hash-derived feature vector so the distributed plumbing (schema,
-    batching, column pruning) is exercised for real.
+    The REAL kernel (``fake=False``, default) decodes PNG payloads with the
+    pure-stdlib codec (:mod:`.png`): width/height from IHDR, mean luma and an
+    8-dim block-mean-luma embedding from the actual pixels. Non-PNG or
+    undecodable payloads yield null width/height/luma/embedding (corrupt
+    media must not kill a 100-TB scan) unless ``strict=True``, which
+    re-raises the decode error. Other container formats (JPEG, ...) need a
+    real image library — swap the decode in ``png.decode_png``.
+
+    ``fake=True`` substitutes a deterministic payload-hash-derived feature
+    vector (no decode at all) so pipeline tests run on arbitrary bytes.
     """
+    from . import png as _png
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires an image library (e.g. Pillow); "
-                    "run with fake=True for the deterministic stub kernel"
-                )
             payloads = pdf[payload_col]
             out = pd.DataFrame({
                 "media_id": pdf[id_col].astype("int64"),
@@ -82,13 +87,35 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                 "sha256": payloads.map(
                     lambda p: hashlib.sha256(p or b"").hexdigest()
                 ),
-                "width": pd.array([None] * len(pdf), dtype="Int64"),
-                "height": pd.array([None] * len(pdf), dtype="Int64"),
-                "mean_luma": payloads.map(
-                    lambda p: float(np.mean(np.frombuffer(p or b"\x00", dtype=np.uint8)))
-                ),
-                "embedding": payloads.map(lambda p: _fake_features(p or b"")),
             })
+            if fake:
+                out["width"] = pd.array([None] * len(pdf), dtype="Int64")
+                out["height"] = pd.array([None] * len(pdf), dtype="Int64")
+                out["mean_luma"] = payloads.map(
+                    lambda p: float(np.mean(np.frombuffer(p or b"\x00", dtype=np.uint8)))
+                )
+                out["embedding"] = payloads.map(lambda p: _fake_features(p or b""))
+            else:
+                widths, heights, lumas, embs = [], [], [], []
+                for p in payloads:
+                    try:
+                        img = _png.decode_png(p or b"")
+                        lum = _png.luma(img)
+                        widths.append(img.shape[1])
+                        heights.append(img.shape[0])
+                        lumas.append(float(lum.mean()))
+                        embs.append(_png.grid_embedding(lum))
+                    except Exception:
+                        if strict:
+                            raise
+                        widths.append(None)
+                        heights.append(None)
+                        lumas.append(None)
+                        embs.append(None)
+                out["width"] = pd.array(widths, dtype="Int64")
+                out["height"] = pd.array(heights, dtype="Int64")
+                out["mean_luma"] = pd.array(lumas, dtype="float64")
+                out["embedding"] = embs
             yield out
 
     return df.select(id_col, payload_col).mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
@@ -185,18 +212,27 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 
 
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table matching MEDIA_SCHEMA (test aid)."""
+    """Deterministic synthetic media table matching MEDIA_SCHEMA (test aid).
+
+    Image rows carry REAL (tiny) PNG payloads so the real decode kernel is
+    exercisable end-to-end; audio/video rows carry opaque random bytes."""
     import random
+
+    from .png import encode_png
 
     rnd = random.Random(seed)
     rows = []
     for i in range(n):
-        payload = bytes(rnd.getrandbits(8) for _ in range(64))
         mtype = ("image", "audio", "video")[i % 3]
-        rows.append((
-            i, payload, mtype, f"application/x-{mtype}",
-            64 if mtype == "image" else None,
-            48 if mtype == "image" else None,
-            5000 if mtype != "image" else None,
-        ))
+        if mtype == "image":
+            w, h = 8 + (i % 3) * 4, 6 + (i % 2) * 4
+            img = np.array([[(x * 37 + y * 11 + i * 7) % 256
+                             for x in range(w * 3)]
+                            for y in range(h)], dtype=np.uint8)
+            payload = encode_png(img.reshape(h, w, 3))
+            rows.append((i, payload, mtype, "image/png", w, h, None))
+        else:
+            payload = bytes(rnd.getrandbits(8) for _ in range(64))
+            rows.append((i, payload, mtype, f"application/x-{mtype}",
+                         None, None, 5000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -213,16 +213,35 @@ def test_multimodal_fake_features(spark):
     rows = feats.collect()
     assert len(rows) == 9
     assert all(len(r["embedding"]) == 8 for r in rows)
-    assert all(r["n_bytes"] == 64 for r in rows)
+    assert all(r["n_bytes"] == 64 for r in rows if r["media_id"] % 3 != 0)
     # deterministic: same payload → same sha/embedding
     again = {r["media_id"]: r["sha256"] for r in M.extract_image_features(md, fake=True).collect()}
     assert {r["media_id"]: r["sha256"] for r in rows} == again
 
 
-def test_multimodal_stub_raises(spark):
-    md = M.synthetic_media_df(spark, 3)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
-        M.extract_image_features(md, fake=False).collect()
+def test_multimodal_real_png_decode(spark):
+    md = M.synthetic_media_df(spark, 9).filter("media_type = 'image'")
+    meta = {r["media_id"]: r for r in md.collect()}
+    rows = M.extract_image_features(md, fake=False, strict=True).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["width"] == meta[r["media_id"]]["width"]
+        assert r["height"] == meta[r["media_id"]]["height"]
+        assert 0.0 <= r["mean_luma"] <= 255.0
+        assert len(r["embedding"]) == 8
+        assert all(0.0 <= v <= 1.0 for v in r["embedding"])
+
+
+def test_multimodal_corrupt_payload_yields_nulls(spark):
+    md = spark.createDataFrame(
+        [(1, b"not a png at all", "image", "image/png", None, None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    r = M.extract_image_features(md, fake=False).first()
+    assert r["width"] is None and r["mean_luma"] is None and r["embedding"] is None
+    assert r["n_bytes"] == 16  # portable features still computed
+    with pytest.raises(Exception, match="PNG|signature"):
+        M.extract_image_features(md, fake=False, strict=True).collect()
 
 
 def test_frame_sampling(spark):
