@@ -55,18 +55,29 @@ def read_excel(spark: SparkSession, path: str,
                sheet_name: Optional[str] = 0) -> DataFrame:
     """Excel scan bridged through pandas (reference demo ingest,
     ``demos/streamlit_demo.py:100-115``). For bid-table-scale inputs only —
-    large data belongs in parquet/CSV."""
+    large data belongs in parquet/CSV. Uses the pandas Excel engine when one
+    is installed; otherwise the stdlib reader in :mod:`.xlsx`."""
     import pandas as pd
 
-    pdf = pd.read_excel(path, sheet_name=sheet_name)
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet_name)
+    except ImportError:
+        from .xlsx import read_xlsx
+
+        pdf = read_xlsx(path, sheet_name=sheet_name)
     return spark.createDataFrame(pdf)
 
 
 def excel_sheet_names(path: str) -> list:
     import pandas as pd
 
-    with pd.ExcelFile(path) as xf:
-        return list(xf.sheet_names)
+    try:
+        with pd.ExcelFile(path) as xf:
+            return list(xf.sheet_names)
+    except ImportError:
+        from .xlsx import sheet_names
+
+        return sheet_names(path)
 
 
 def write_results_excel(result: DataFrame, path: str,
@@ -80,22 +91,28 @@ def write_results_excel(result: DataFrame, path: str,
 
     import pandas as pd
 
-    pdf = result.limit(max_rows).toPandas()
-    with pd.ExcelWriter(path) as writer:
-        pdf.to_excel(writer, sheet_name="Results", index=False)
-        if statistics:
-            rows = []
-            for crit, st in statistics.items():
-                if isinstance(st, dict) and all(not isinstance(v, dict) for v in st.values()):
-                    rows.append({"criterion": crit, **st})
-                else:  # staged: {stage: {criterion: stats}}
-                    for sub, sub_stats in (st or {}).items():
-                        rows.append({"stage": crit, "criterion": sub, **sub_stats})
-            pd.DataFrame(rows).to_excel(writer, sheet_name="Statistics", index=False)
-        if config:
-            pd.DataFrame([{"configuration": json.dumps(config, indent=2)}]).to_excel(
-                writer, sheet_name="Configuration", index=False
-            )
+    sheets = {"Results": result.limit(max_rows).toPandas()}
+    if statistics:
+        rows = []
+        for crit, st in statistics.items():
+            if isinstance(st, dict) and all(not isinstance(v, dict) for v in st.values()):
+                rows.append({"criterion": crit, **st})
+            else:  # staged: {stage: {criterion: stats}}
+                for sub, sub_stats in (st or {}).items():
+                    rows.append({"stage": crit, "criterion": sub, **sub_stats})
+        sheets["Statistics"] = pd.DataFrame(rows)
+    if config:
+        sheets["Configuration"] = pd.DataFrame(
+            [{"configuration": json.dumps(config, indent=2)}]
+        )
+    try:
+        with pd.ExcelWriter(path) as writer:
+            for name, pdf in sheets.items():
+                pdf.to_excel(writer, sheet_name=name, index=False)
+    except (ImportError, ModuleNotFoundError):
+        from .xlsx import write_xlsx
+
+        write_xlsx(path, sheets)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

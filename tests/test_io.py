@@ -41,16 +41,22 @@ def test_write_parquet_partitioned(small, spark, tmp_path):
 
 
 def test_excel_bridge_roundtrip(small, spark, tmp_path):
-    pytest.importorskip("openpyxl")
+    from bid_evaluation_spark.sources.xlsx import write_xlsx
+
     path = str(tmp_path / "bids.xlsx")
-    small.toPandas().to_excel(path, index=False)
+    write_xlsx(path, {"Sheet1": small.toPandas()})
     df = IO.read_excel(spark, path)
     assert df.count() == 3
+    assert set(df.columns) == set(small.columns)
     assert IO.excel_sheet_names(path) == ["Sheet1"]
+    got = {r["vendor"]: r["price"] for r in df.collect()}
+    want = {r["vendor"]: r["price"] for r in small.collect()}
+    assert got == want
 
 
 def test_write_results_excel(small, tmp_path):
-    pytest.importorskip("openpyxl")
+    from bid_evaluation_spark.sources.xlsx import read_xlsx
+
     ev = Evaluator().linear("price", 1.0)
     res = ev.evaluate(small)
     path = str(tmp_path / "results.xlsx")
@@ -58,6 +64,43 @@ def test_write_results_excel(small, tmp_path):
                            config={"price": {"type": "linear", "weight": 1.0}})
     names = IO.excel_sheet_names(path)
     assert names == ["Results", "Statistics", "Configuration"]
+    results = read_xlsx(path, sheet_name="Results")
+    assert len(results) == 3 and "final_score" in results.columns
+    stats = read_xlsx(path, sheet_name="Statistics")
+    assert "criterion" in stats.columns and len(stats) == 1
+
+
+def test_xlsx_type_roundtrip(tmp_path):
+    import math
+
+    import pandas as pd
+
+    from bid_evaluation_spark.sources.xlsx import (read_xlsx, sheet_names,
+                                                   write_xlsx)
+
+    pdf = pd.DataFrame({
+        "i": [1, 2, 3],
+        "f": [1.5, float("nan"), -2.25],
+        "s": ["plain", "x < y & z", "unicode é"],
+        "b": [True, False, True],
+        "n": [None, "mid", None],
+    })
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, {"A": pdf, "B": pdf.head(1)})
+    assert sheet_names(path) == ["A", "B"]
+    back = read_xlsx(path, sheet_name="A")
+    assert list(back.columns) == ["i", "f", "s", "b", "n"]
+    assert list(back["i"]) == [1, 2, 3]
+    assert back["f"][0] == 1.5 and back["f"][2] == -2.25
+    assert back["f"][1] is None or (isinstance(back["f"][1], float)
+                                    and math.isnan(back["f"][1]))
+    assert list(back["s"]) == ["plain", "x < y & z", "unicode é"]
+    assert list(back["b"]) == [True, False, True]
+    assert back["n"][1] == "mid" and back["n"][0] is None
+    assert len(read_xlsx(path, sheet_name="B")) == 1
+    assert len(read_xlsx(path, sheet_name=1)) == 1
+    with pytest.raises(ValueError, match="no sheet"):
+        read_xlsx(path, sheet_name="nope")
 
 
 def test_yaml_json_config_sources(small, tmp_path):
