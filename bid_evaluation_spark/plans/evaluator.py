@@ -292,41 +292,61 @@ class Evaluator:
         stats from columns instead of collected literals, and all windows
         partition by the batch key so no global exchange appears anywhere.
 
-        ``CustomCriterion`` (driver-closure pandas UDFs) is not supported here
-        — its API contract passes a per-evaluation scalar stats dict.
+        ``CustomCriterion`` (user ``(values, stats) -> scores`` functions,
+        which may be SET-dependent — e.g. rank within the batch) runs as ONE
+        ``applyInPandas`` over the batch key: each group is a whole batch, so
+        the function sees exactly the rows and pandas-computed statistics it
+        would see in a per-batch :meth:`evaluate` loop (bit-identical stats —
+        the reference computes them with pandas too). Cost: one extra
+        exchange on the batch key, the same partitioning the rank window
+        needs anyway.
         """
         self._check_columns(df)
-        for criterion in self.criteria.values():
-            if isinstance(criterion, CustomCriterion):
-                raise NotImplementedError(
-                    "CustomCriterion is not supported in evaluate_batched(); "
-                    "use a formula/template/builtin criterion instead"
-                )
+        custom = {col: c for col, c in self.criteria.items()
+                  if isinstance(c, CustomCriterion)}
+        native = {col: c for col, c in self.criteria.items() if col not in custom}
 
-        stat_cols = list(self.criteria.keys())
+        stat_cols = list(native.keys())
         result = df
         if stat_cols:
             stats_df = grouped_stats_df(df, batch_col, stat_cols)
             result = df.join(F.broadcast(stats_df), on=batch_col, how="left")
 
         score_exprs: Dict[str, Column] = {}
-        for column, criterion in self.criteria.items():
+        for column, criterion in native.items():
             col_stats = {k: F.col(f"{column}__{k}") for k in STAT_KEYS}
             score_exprs[f"score_{criterion.name}"] = criterion.weighted_score(
                 F.col(column), col_stats
             )
 
-        if include_details and score_exprs:
+        custom_names = [f"score_{c.name}" for c in custom.values()]
+        if (include_details or custom) and score_exprs:
             result = result.withColumns(score_exprs)
             weighted = [F.col(name) for name in score_exprs]
         else:
             weighted = list(score_exprs.values())
 
+        stats_cols_flat = [f"{c}__{k}" for c in dict.fromkeys(stat_cols)
+                           for k in STAT_KEYS]
+        if custom:
+            # native scores are materialized columns by now — drop the
+            # broadcast stats columns BEFORE the Arrow exchange so the Python
+            # worker never serializes 7×|native| per-row-constant columns
+            result = result.drop(*stats_cols_flat)
+            items = [
+                (col, f"score_{c.name}", float(c.weight), c.evaluation_function)
+                for col, c in custom.items()
+            ]
+            result = _apply_custom_batched(result, batch_col, items)
+            weighted = weighted + [F.col(n) for n in custom_names]
+
         result = result.withColumn("final_score", self._final_score_expr(weighted))
         w = Window.partitionBy(batch_col).orderBy(F.desc("final_score"))
         result = result.withColumn("ranking", F.rank().over(w).cast("long"))
 
-        drop_cols = [f"{c}__{k}" for c in dict.fromkeys(stat_cols) for k in STAT_KEYS]
+        drop_cols = list(stats_cols_flat)
+        if not include_details:
+            drop_cols += list(score_exprs) + custom_names
         return result.drop(*drop_cols).orderBy(batch_col, "ranking")
 
     # === Introspection — reference evaluator.py:321-344 ===
@@ -354,3 +374,62 @@ class Evaluator:
                 "normalized_weight": criterion.weight / total if total > 0 else 0,
             })
         return pd.DataFrame(data)
+
+
+def _apply_custom_batched(df: DataFrame, batch_col: str, items,
+                          active_null_col: Optional[str] = None) -> DataFrame:
+    """Score ``CustomCriterion`` columns per batch with ONE ``applyInPandas``.
+
+    Each group handed to the pandas function is a complete batch, so the user
+    ``(values, stats) -> scores`` function sees exactly what a per-batch
+    :meth:`Evaluator.evaluate` would give it: the batch's own rows, and the
+    reference's seven-stat bundle computed over those rows with pandas
+    (``min/max/mean/median/std(ddof=1)/q25/q75`` — reference
+    ``criteria.py:19-29``; numerically equivalent to the Spark exact aggs the
+    non-custom path uses: ``stddev_samp`` ≡ ddof=1, exact ``percentile`` ≡
+    pandas linear-interpolated ``quantile``).
+
+    Args:
+        items: ``(input column, output score column, weight, user fn)``
+            tuples — one per custom criterion.
+        active_null_col: staged-pipeline hook — when set, only rows where
+            this column is null are scored (statistics computed over those
+            rows only); eliminated rows keep a null score, matching the
+            ``F.when(active, ...)`` contract of native staged scoring.
+
+    Scale shape: one exchange on the batch key — the same partitioning the
+    downstream rank window requires, so AQE reuses it; state is bounded by the
+    largest single batch (identical bound to the rank window itself).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out, DoubleType()) for _, out, _, _ in items]
+    )
+
+    def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+        mask = pdf[active_null_col].isna() if active_null_col else None
+        for col, out, weight, fn in items:
+            vals = (pdf[col] if mask is None else pdf.loc[mask, col]).astype(
+                "float64"
+            )
+            out_vals = pd.Series(float("nan"), index=pdf.index, dtype="float64")
+            if len(vals):
+                stats = {
+                    "min": vals.min(), "max": vals.max(), "mean": vals.mean(),
+                    "median": vals.median(), "std": vals.std(),
+                    "q25": vals.quantile(0.25), "q75": vals.quantile(0.75),
+                }
+                scored = (
+                    pd.Series(fn(vals, stats)).astype("float64").to_numpy()
+                    * weight
+                )
+                if mask is None:
+                    out_vals = pd.Series(scored, index=pdf.index)
+                else:
+                    out_vals[mask.to_numpy()] = scored
+            pdf[out] = out_vals
+        return pdf
+
+    return df.groupBy(batch_col).applyInPandas(_score_batch, schema=schema)

@@ -380,22 +380,18 @@ class StagedEvaluator:
         reference): no all-eliminated warning (a batch whose bids are all
         eliminated simply stops producing scores; other batches continue),
         and :meth:`get_statistics` is unavailable (statistics are per-batch
-        Columns, not collected scalars). ``CustomCriterion`` is unsupported
-        (its API takes a per-evaluation scalar stats dict).
+        Columns, not collected scalars). ``CustomCriterion`` runs as one
+        ``applyInPandas`` over the batch key per stage that has one: each
+        group is a whole batch, the user fn sees only that batch's ACTIVE
+        rows and their pandas-computed stats bundle — exactly the per-batch
+        :meth:`evaluate` contract; eliminated rows keep null scores.
         """
+        from ..functions.criteria import CustomCriterion as _CC
+        from .evaluator import _apply_custom_batched
         from .stats import STAT_KEYS, grouped_stats_df
 
         if not self._stages:
             raise RuntimeError("No stages defined. Add stages before evaluating.")
-        for stage in self._stages:
-            for criterion in stage.evaluator.criteria.values():
-                from ..functions.criteria import CustomCriterion as _CC
-
-                if isinstance(criterion, _CC):
-                    raise NotImplementedError(
-                        "CustomCriterion is not supported in evaluate_batched(); "
-                        "use a formula/template/builtin criterion instead"
-                    )
 
         elim = F.col(self.ELIM_COL)
         result = df.withColumn(self.ELIM_COL, F.lit(None).cast("string"))
@@ -415,7 +411,12 @@ class StagedEvaluator:
                 prev.unpersist()
             del self._persisted[:-1]
 
-            stat_cols = list(dict.fromkeys(stage.evaluator.criteria.keys()))
+            custom = {col: c for col, c in stage.evaluator.criteria.items()
+                      if isinstance(c, _CC)}
+            native = {col: c for col, c in stage.evaluator.criteria.items()
+                      if col not in custom}
+
+            stat_cols = list(dict.fromkeys(native.keys()))
             stats_df = None
             if stat_cols:
                 stats_df = grouped_stats_df(result.filter(active), batch_col,
@@ -424,27 +425,47 @@ class StagedEvaluator:
                                      how="left")
 
             score_exprs: Dict[str, Column] = {}
-            for column, criterion in stage.evaluator.criteria.items():
+            for column, criterion in native.items():
                 col_stats = {k: F.col(f"{column}__{k}") for k in STAT_KEYS}
                 score_exprs[f"{safe}_{criterion.name}"] = F.when(
                     active, criterion.weighted_score(F.col(column), col_stats)
                 ).cast("double")
 
-            if include_details and score_exprs:
+            custom_names = [f"{safe}_{c.name}" for c in custom.values()]
+            if (include_details or custom) and score_exprs:
                 result = result.withColumns(score_exprs)
                 weighted = [F.col(c) for c in score_exprs]
             else:
                 weighted = list(score_exprs.values())
+
+            if custom:
+                # native stage scores are materialized — drop the broadcast
+                # stats columns before the Arrow exchange (see evaluator.py)
+                if stat_cols:
+                    result = result.drop(
+                        *[f"{c}__{k}" for c in stat_cols for k in STAT_KEYS]
+                    )
+                items = [
+                    (col, f"{safe}_{c.name}", float(c.weight),
+                     c.evaluation_function)
+                    for col, c in custom.items()
+                ]
+                result = _apply_custom_batched(
+                    result, batch_col, items, active_null_col=self.ELIM_COL
+                )
+                weighted = weighted + [F.col(n) for n in custom_names]
 
             score_col = f"{safe}_score"
             stage_final = stage.evaluator._final_score_expr(weighted)
             result = result.withColumn(
                 score_col, F.when(active, stage_final).cast("double")
             )
-            if stat_cols:
+            if stat_cols and not custom:
                 result = result.drop(
                     *[f"{c}__{k}" for c in stat_cols for k in STAT_KEYS]
                 )
+            if not include_details:
+                result = result.drop(*list(score_exprs) + custom_names)
             produced.append(safe)
 
             result = result.withColumn("_bes_active", active.cast("int"))

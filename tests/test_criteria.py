@@ -280,6 +280,40 @@ def test_evaluate_batched_matches_per_batch(spark):
             assert b["ranking"] == r["ranking"]
 
 
+def test_evaluate_batched_custom_matches_per_batch(spark):
+    """CustomCriterion (stats-reading user fn) batched ≡ per-batch evaluate."""
+    df = spark.createDataFrame(
+        [("t1", "A", 10.0, 900.0), ("t1", "B", 5.0, 800.0),
+         ("t1", "C", 8.0, 850.0),
+         ("t2", "X", 100.0, 70.0), ("t2", "Y", 50.0, 90.0),
+         ("t2", "Z", 75.0, 80.0)],
+        "tender string, vendor string, experience double, bid_amount double",
+    )
+
+    def zscore(v, s):
+        return ((v - s["mean"]) / s["std"]).clip(-2, 2) * 25 + 50
+
+    def build():
+        return (Evaluator()
+                .custom("experience", 0.6, zscore)
+                .linear("bid_amount", 0.4, higher_is_better=False))
+
+    batched = build().evaluate_batched(df, "tender")
+    rb = {(r["tender"], r["vendor"]): r.asDict() for r in batched.collect()}
+    assert "score_experience" in batched.columns
+    for tender in ("t1", "t2"):
+        single = build().evaluate(df.filter(F.col("tender") == tender))
+        for r in single.collect():
+            b = rb[(tender, r["vendor"])]
+            assert b["final_score"] == pytest.approx(r["final_score"], abs=1e-9)
+            assert b["ranking"] == r["ranking"]
+
+    slim = build().evaluate_batched(df, "tender", include_details=False)
+    assert "score_experience" not in slim.columns
+    assert {r["final_score"] for r in slim.collect()} == \
+        {v["final_score"] for v in rb.values()}
+
+
 def test_stats_mode_required_identical_scores(bids_3):
     ev = lambda: (Evaluator()
                   .linear("experience", 0.4)

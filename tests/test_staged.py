@@ -381,9 +381,60 @@ def test_staged_evaluate_batched_matches_per_batch(spark):
             assert got[key][2] == want[2], (key, got[key], want)
 
 
-def test_staged_evaluate_batched_rejects_custom(spark, bids_3):
+def test_staged_evaluate_batched_custom_matches_per_batch(spark):
+    """CustomCriterion in staged evaluate_batched ≡ per-batch evaluate.
+
+    The custom fn reads the stats bundle (mean/std), so this checks that the
+    applyInPandas path hands the user fn the ACTIVE rows of exactly one batch
+    and the same statistics a standalone evaluate would compute.
+    """
+    rows = []
+    for b, scores in (("t1", [90.0, 80.0, 70.0, 10.0]),
+                      ("t2", [50.0, 40.0, 30.0])):
+        for i, s in enumerate(scores):
+            rows.append((b, f"{b}-v{i}", s, 100.0 - s))
+    df = spark.createDataFrame(
+        rows, "tender string, vendor string, quality double, price double")
+
+    def zscore(v, s):
+        return ((v - s["mean"]) / s["std"]).clip(-2, 2) * 25 + 50
+
+    def build():
+        return (StagedEvaluator()
+                .add_stage("Tech", filter_type="top_n", top_n=3, weight=0.5)
+                .custom("quality", 0.7, zscore)
+                .linear("price", 0.3, higher_is_better=False)
+                .add_stage("Econ", weight=0.5)
+                .custom("price", 1.0, zscore))
+
+    st = build()
+    batched = st.evaluate_batched(df, "tender")
+    got = {(r["tender"], r["vendor"]):
+           (r["eliminated_at_stage"], r["final_score"], r["ranking"])
+           for r in batched.collect()}
+    st.release()
+
+    for b in ("t1", "t2"):
+        single = build()
+        res = single.evaluate(df.filter(F.col("tender") == b)).collect()
+        single.release()
+        for r in res:
+            key = (b, r["vendor"])
+            want = (r["eliminated_at_stage"], r["final_score"], r["ranking"])
+            assert got[key][0] == want[0], (key, got[key], want)
+            if want[1] is None:
+                assert got[key][1] is None, (key, got[key], want)
+            else:
+                assert got[key][1] == pytest.approx(want[1], abs=1e-9)
+            assert got[key][2] == want[2], (key, got[key], want)
+
+
+def test_staged_batched_custom_include_details_false(spark, bids_3):
     df = bids_3.withColumn("b", F.lit("x"))
     st = (StagedEvaluator().add_stage("S")
-          .custom("experience", 1.0, lambda v, s: v * 0))
-    with pytest.raises(NotImplementedError, match="CustomCriterion"):
-        st.evaluate_batched(df, "b")
+          .custom("experience", 1.0, lambda v, s: v * 0 + 50))
+    out = st.evaluate_batched(df, "b", include_details=False)
+    assert "S_experience" not in out.columns
+    vals = [r["final_score"] for r in out.collect()]
+    st.release()
+    assert vals == pytest.approx([50.0, 50.0, 50.0])
