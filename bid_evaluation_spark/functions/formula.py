@@ -343,6 +343,8 @@ def _py_eval(node: ast.AST, names: Dict[str, Any]) -> Any:
         return _PY_FUNCS[node.func.id](*args, **kwargs)
     if isinstance(node, (ast.List, ast.Tuple)):
         return [_py_eval(e, names) for e in node.elts]
+    if isinstance(node, ast.Set):
+        return {_py_eval(e, names) for e in node.elts}
     if isinstance(node, ast.Dict):
         return {
             _py_eval(k, names): _py_eval(v, names)
@@ -350,8 +352,68 @@ def _py_eval(node: ast.AST, names: Dict[str, Any]) -> Any:
             if k is not None
         }
     if isinstance(node, ast.Subscript):
-        return _py_eval(node.value, names)[_py_eval(node.slice, names)]
+        target = _py_eval(node.value, names)
+        if isinstance(node.slice, ast.Slice):
+            s = node.slice
+            return target[slice(
+                _py_eval(s.lower, names) if s.lower else None,
+                _py_eval(s.upper, names) if s.upper else None,
+                _py_eval(s.step, names) if s.step else None,
+            )]
+        return target[_py_eval(node.slice, names)]
+    if isinstance(node, (ast.ListComp, ast.SetComp, ast.GeneratorExp, ast.DictComp)):
+        return _py_comprehension(node, names)
     raise ValueError(f"node {type(node).__name__}")
+
+
+#: same guard as simpleeval's MAX_COMPREHENSION_LENGTH — a runaway
+#: comprehension inside a per-row formula maps to the error→0.0 contract
+_MAX_COMPREHENSION_LENGTH = 10000
+
+
+def _py_comp_assign(target: ast.AST, value: Any, scope: Dict[str, Any]) -> None:
+    """Bind a comprehension loop target (name or nested tuple) into scope."""
+    if isinstance(target, ast.Name):
+        scope[target.id] = value
+        return
+    if isinstance(target, (ast.Tuple, ast.List)):
+        vals = list(value)
+        if len(vals) != len(target.elts):
+            raise ValueError("unpack length mismatch")
+        for t, v in zip(target.elts, vals):
+            _py_comp_assign(t, v, scope)
+        return
+    raise ValueError(f"comprehension target {type(target).__name__}")
+
+
+def _py_comprehension(node: ast.AST, names: Dict[str, Any]) -> Any:
+    """List/set/dict/generator comprehension with python semantics
+    (``EvalWithCompoundTypes`` parity — reference ``criteria.py:126`` grammar)."""
+    out: list = []
+
+    def rec(gens, scope):
+        if not gens:
+            if isinstance(node, ast.DictComp):
+                out.append((_py_eval(node.key, scope),
+                            _py_eval(node.value, scope)))
+            else:
+                out.append(_py_eval(node.elt, scope))
+            if len(out) > _MAX_COMPREHENSION_LENGTH:
+                raise ValueError("comprehension too long")
+            return
+        gen = gens[0]
+        for item in _py_eval(gen.iter, scope):
+            child = dict(scope)
+            _py_comp_assign(gen.target, item, child)
+            if all(_py_eval(c, child) for c in gen.ifs):
+                rec(gens[1:], child)
+
+    rec(list(node.generators), dict(names))
+    if isinstance(node, ast.DictComp):
+        return dict(out)
+    if isinstance(node, ast.SetComp):
+        return set(out)
+    return out
 
 
 def formula_fallback_udf(formula: str, names: Dict[str, Any]) -> Callable[[Column], Column]:

@@ -128,6 +128,41 @@ def test_compound_types_fallback(xs):
     assert all(v["score_x"] == pytest.approx(20.0) for v in r.values())
 
 
+def test_compound_types_grammar(xs):
+    """EvalWithCompoundTypes parity (reference criteria.py:126): list/tuple/
+    set/dict literals, membership, slices, and comprehensions all evaluate
+    with python semantics in the fallback; errors still map to 0.0."""
+    # membership over a set literal: x ∈ {5, 8} → 80 for B,C; else 20
+    r = eval_formula(xs, "80 if value in {5, 8} else 20")
+    assert r["A"]["score_x"] == pytest.approx(20.0)
+    assert r["B"]["score_x"] == pytest.approx(80.0)
+    assert r["C"]["score_x"] == pytest.approx(80.0)
+
+    # dict lookup keyed by a variable
+    r = eval_formula(xs, "{'lo': 10, 'hi': 90}[band] + value * 0",
+                     variables={"band": "hi"})
+    assert all(v["score_x"] == pytest.approx(90.0) for v in r.values())
+
+    # slice: max() over a list slice (1-arg max works in the fallback)
+    r = eval_formula(xs, "max([5, 30, 70, 90][1:3]) + value * 0")
+    assert all(v["score_x"] == pytest.approx(70.0) for v in r.values())
+
+def test_list_comprehension_golden(xs):
+    # A x=10 → bound 90 → max([10,60]) = 60; B x=5 → 45 → 10; C x=8 → 72 → 60
+    r = eval_formula(xs, "max([t for t in [10, 60, 95] if t <= value * 9])")
+    assert r["A"]["score_x"] == pytest.approx(60.0)
+    assert r["B"]["score_x"] == pytest.approx(10.0)
+    assert r["C"]["score_x"] == pytest.approx(60.0)
+
+    # dict comprehension + subscript; generator expr inside max
+    r = eval_formula(xs, "{k: k * 2 for k in [1, 2]}[2] * 10 + value * 0")
+    assert all(v["score_x"] == pytest.approx(40.0) for v in r.values())
+
+    # empty comprehension result → max(()) raises → 0.0 per contract
+    r = eval_formula(xs, "max([t for t in [50] if t < 0])")
+    assert all(v["score_x"] == 0.0 for v in r.values())
+
+
 def test_weight_applied_after_clip(spark):
     df = spark.createDataFrame([("A", 500.0)], "vendor string, x double")
     ev = Evaluator()
