@@ -1781,6 +1781,165 @@ FROM events e JOIN sessions s
 
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (operators/pipeline.py)
+# ---------------------------------------------------------------------------
+
+def _q_pipe_decontaminate_documents(spark, sf_dir):
+    """Train/eval decontamination: docs with doc_id % 10 == 0 act as the eval
+    corpus; flag any remaining (train) doc whose 3-shingle Jaccard with an
+    eval doc reaches 0.3. Exact — shared-shingle candidates + verify."""
+    from bid_evaluation_spark.operators.pipeline import decontaminate
+
+    df = _t(spark, sf_dir, "documents")
+    train = df.filter(F.col("doc_id") % 10 != 0)
+    ev = df.filter(F.col("doc_id") % 10 == 0)
+    res = decontaminate(train, ev, threshold=0.3, k=3)
+    return res.select("train_id", "eval_id", _r4("jaccard").alias("jaccard"))
+
+
+_SQL_PIPE_DECONTAMINATE_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON TRUE
+  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+    AND len(list_distinct(list_concat(a.s, b.s))) > 0
+)
+SELECT train_id, eval_id, round(j * 10000.0) / 10000.0 AS jaccard
+FROM pairs WHERE j >= 0.3
+"""
+
+
+def _q_pipe_hash_sample_documents(spark, sf_dir):
+    """Deterministic md5-threshold sample (~30%) — reproducible across
+    engines/runs, unlike rand(); the oracle runs the identical predicate."""
+    from bid_evaluation_spark.operators.pipeline import hash_sample
+
+    df = _t(spark, sf_dir, "documents")
+    res = hash_sample(df, 0.3, key_col="doc_id", seed="r2")
+    return res.select("doc_id", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+# 0.3 * 16^8 → 0x4ccccccc (int-truncated; hash_sample computes the same)
+_SQL_PIPE_HASH_SAMPLE_DOCUMENTS = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8) < '4ccccccc'
+"""
+
+
+def _q_pipe_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (32-token windows, 8-token overlap):
+    map-side posexplode, no shuffle; every doc yields >= 1 chunk."""
+    from bid_evaluation_spark.operators.pipeline import chunk_documents
+
+    df = _t(spark, sf_dir, "documents")
+    res = chunk_documents(df, chunk_tokens=32, overlap=8)
+    return res.select("doc_id",
+                      F.col("chunk_index").cast("long").alias("chunk_index"),
+                      "chunk_text", "chunk_n_tokens")
+
+
+_SQL_PIPE_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - 8, 1), 24)) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // 24 AS BIGINT) AS chunk_index,
+       array_to_string(t[s:s+31], ' ') AS chunk_text,
+       CAST(len(t[s:s+31]) AS BIGINT) AS chunk_n_tokens
+FROM starts
+"""
+
+
+def _q_pipe_top_ngrams_documents(spark, sf_dir):
+    """Corpus top-50 bigrams by document frequency, deterministic tie-break
+    (count desc, ngram asc). Distributed TakeOrdered — no global sort
+    exchange."""
+    from bid_evaluation_spark.operators.pipeline import top_ngrams
+
+    df = _t(spark, sf_dir, "documents")
+    return top_ngrams(df, n=2, k=50)
+
+
+_SQL_PIPE_TOP_NGRAMS_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 2 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+grams AS (SELECT doc_id, unnest(s) AS ngram FROM sh)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+FROM grams GROUP BY ngram
+ORDER BY doc_freq DESC, ngram ASC
+LIMIT 50
+"""
+
+
+def _q_pipe_pack_sequences_documents(spark, sf_dir):
+    """Block packing of documents into 512-token training sequences,
+    sharded by source (windows partition by the shard — no global
+    exchange)."""
+    from bid_evaluation_spark.operators.pipeline import pack_sequences
+
+    df = _t(spark, sf_dir, "documents")
+    return pack_sequences(df, max_tokens=512, shard_col="source",
+                          order_col="doc_id")
+
+
+_SQL_PIPE_PACK_SEQUENCES_DOCUMENTS = """
+WITH toks AS (
+  SELECT source, doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS seq_offset,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
+    AS seq_id
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1864,6 +2023,15 @@ _QUERIES: dict = {
                                    _SQL_ASOF_CLICK_PURCHASE_EVENTS),
     "range_join_event_sessions": (_q_range_join_event_sessions,
                                   _SQL_RANGE_JOIN_EVENT_SESSIONS),
+    "pipe_decontaminate_documents": (_q_pipe_decontaminate_documents,
+                                     _SQL_PIPE_DECONTAMINATE_DOCUMENTS),
+    "pipe_hash_sample_documents": (_q_pipe_hash_sample_documents,
+                                   _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
+    "pipe_chunk_documents": (_q_pipe_chunk_documents, _SQL_PIPE_CHUNK_DOCUMENTS),
+    "pipe_top_ngrams_documents": (_q_pipe_top_ngrams_documents,
+                                  _SQL_PIPE_TOP_NGRAMS_DOCUMENTS),
+    "pipe_pack_sequences_documents": (_q_pipe_pack_sequences_documents,
+                                      _SQL_PIPE_PACK_SEQUENCES_DOCUMENTS),
 }
 
 

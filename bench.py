@@ -123,6 +123,15 @@ def bench_embedding_neardup(spark, sf_dir):
     _force(embedding_near_duplicates(df, threshold=0.35, block_col="label"))
 
 
+def bench_decontaminate_documents(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import decontaminate
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(decontaminate(df.filter(F.col("doc_id") % 10 != 0),
+                         df.filter(F.col("doc_id") % 10 == 0), threshold=0.3))
+
+
 def bench_events_sliding(spark, sf_dir):
     from bid_evaluation_spark.sources.io import load_table
     from bid_evaluation_spark.streaming.events import sliding_agg
@@ -149,6 +158,7 @@ BENCHES = {
     "text_stats_documents": bench_text_stats_documents,
     "ann_topk_embeddings": bench_ann_topk_embeddings,
     "embedding_neardup": bench_embedding_neardup,
+    "decontaminate_documents": bench_decontaminate_documents,
     "events_sliding": bench_events_sliding,
     "events_sessionize": bench_events_sessionize,
 }

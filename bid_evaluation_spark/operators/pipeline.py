@@ -1,0 +1,282 @@
+"""Training-data pipeline operators: decontamination, sampling, chunking,
+vocabulary, and sequence packing.
+
+Beyond-reference operators (BASELINE.json north star: the operations a
+large-scale LLM training-data pipeline runs at 100 TB). Every operator here is
+expressed as native DataFrame transforms with exact, engine-portable
+semantics, so each has a full DuckDB oracle in ``__spark_entry__.py``:
+
+- :func:`decontaminate` — cross-table near-duplicate detection (train/eval
+  overlap), shared-shingle candidate join + exact-Jaccard verify.
+- :func:`hash_sample` — deterministic, seedable row sampling via md5 hex
+  threshold comparison (reproducible across engines and runs, unlike
+  ``rand()``); optional per-group stratification.
+- :func:`chunk_documents` — split documents into overlapping token-window
+  chunks (the tokenize→chunk step in front of training-sequence assembly).
+- :func:`top_ngrams` — corpus top-k n-gram vocabulary with deterministic
+  tie-breaking.
+- :func:`pack_greedy` — contiguous greedy packing of documents into
+  fixed-token-budget training sequences (concat-then-split style), windowed
+  per shard so no global exchange appears.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .text import token_count, tokens, word_shingles
+
+
+# ---------------------------------------------------------------------------
+# Decontamination (train/eval overlap)
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Flag training documents whose word-``k``-shingle Jaccard similarity
+    with ANY eval document reaches ``threshold`` — the train/test
+    decontamination pass every benchmark-clean training pipeline needs.
+
+    Exactness: a pair with Jaccard ≥ t > 0 shares at least one shingle, so
+    the shared-shingle equi-join candidate set is a superset of the answer
+    and the exact-Jaccard verify step makes the result exact — never an
+    all-pairs comparison. Scale shape: explode distinct shingles on both
+    sides (map-only), one equi-join on the shingle hash, distinct candidate
+    pairs, then one array-intersect verify per candidate.
+
+    ``max_df`` optionally drops shingles occurring in more than ``max_df``
+    eval docs from candidate generation (stop-shingle blowup guard). With it
+    set the result may miss pairs whose every shared shingle is frequent —
+    leave ``None`` (exact) unless the eval corpus is huge.
+
+    Returns one row per contaminated (train, eval) pair:
+    ``(train_id, eval_id, jaccard)``.
+    """
+    t_sh = train_df.select(
+        F.col(id_col).alias("train_id"),
+        word_shingles(F.col(text_col), k).alias("_sh_t"),
+    )
+    e_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        word_shingles(F.col(text_col), k).alias("_sh_e"),
+    )
+
+    t_tok = t_sh.select("train_id", F.explode("_sh_t").alias("_s"))
+    e_tok = e_sh.select("eval_id", F.explode("_sh_e").alias("_s"))
+    if max_df is not None:
+        freq = e_tok.groupBy("_s").count().filter(F.col("count") <= max_df)
+        e_tok = e_tok.join(freq.select("_s"), on="_s", how="left_semi")
+
+    cand = (
+        t_tok.join(e_tok, on="_s")
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+
+    verified = (
+        cand.join(t_sh, on="train_id")
+        .join(e_sh, on="eval_id")
+        .withColumn(
+            "jaccard",
+            (
+                F.size(F.array_intersect("_sh_t", "_sh_e"))
+                / F.size(F.array_union("_sh_t", "_sh_e"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("train_id", "eval_id", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def _hex_threshold(fraction: float, digits: int = 8) -> str:
+    """Lowercase hex string h, same width as the compared prefix, such that
+    a uniform ``digits``-hex-digit string compares ``< h`` with probability
+    ``fraction`` (exact to 16^-digits). Caller handles fraction == 1."""
+    if not 0.0 <= fraction < 1.0:
+        raise ValueError(f"fraction must be in [0, 1), got {fraction}")
+    return format(int(fraction * 16 ** digits), f"0{digits}x")
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: str = "",
+    digits: int = 8,
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample: keep rows whose
+    ``md5(key || seed)`` hex prefix compares below a threshold string.
+
+    Unlike ``df.sample()`` (rand per task — partitioning-dependent, not
+    reproducible across engines), this is a pure function of the key: the
+    same row is always in or out for a given seed, which makes samples
+    reproducible, joinable across tables sharing the key, and auditable by
+    any engine with md5 (the DuckDB oracle runs the identical predicate).
+    Map-only — no shuffle, prunes to a scan + filter.
+
+    Stratified sampling is composition: different ``seed`` per stratum, or
+    a per-group fraction via ``F.when`` on the group column.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if fraction == 1.0:
+        return df
+    thr = _hex_threshold(fraction, digits)
+    pref = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)).cast("binary")),
+        1, digits,
+    )
+    return df.filter(pref < F.lit(thr))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    The tokenize→window step in front of embedding/indexing or
+    training-sequence assembly: chunk ``i`` covers tokens
+    ``[i*stride, i*stride + chunk_tokens)`` with ``stride = chunk_tokens -
+    overlap``; the last chunk may be short; every document yields at least
+    one chunk (empty text → one empty chunk at index 0, so no documents
+    silently disappear). Map-side ``posexplode`` over a ``sequence`` of
+    window starts — no shuffle, scales linearly with input splits.
+
+    Output: ``(id, chunk_index, chunk_text, chunk_n_tokens)``.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # window starts: 1, 1+stride, ... — at least one; never starting past the
+    # final token (a start s is kept while s <= max(n - overlap, 1))
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(stride)
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(t, s, chunk_tokens)
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_index", "_chunk"),
+        )
+        .withColumn("chunk_text", F.concat_ws(" ", "_chunk"))
+        .withColumn("chunk_n_tokens", F.size("_chunk").cast("long"))
+        .drop("_chunk")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary: corpus top-k n-grams
+# ---------------------------------------------------------------------------
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by document-occurrence count.
+
+    Counts each distinct n-gram once per document (document frequency — the
+    vocabulary-building convention that resists single-document spam), then
+    takes the global top-k with DETERMINISTIC tie-breaking (count desc,
+    n-gram asc) so results are stable across runs and engines.
+
+    Scale shape: map-side explode of per-document distinct shingles, one
+    partial-aggregated ``groupBy(ngram).count`` shuffle, then a distributed
+    ``orderBy(...).limit(k)`` (Spark's TakeOrdered — per-partition top-k
+    merged on the driver, NO single-partition sort exchange).
+    """
+    grams = df.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Greedy sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    shard_col: Optional[str] = "source",
+    order_col: str = "doc_id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences by block
+    packing over the concatenated document stream (concat-then-split, the
+    standard LLM training-data prep): documents are laid end-to-end in
+    ``order_col`` order and sequence ``i`` covers stream tokens
+    ``[i*max_tokens, (i+1)*max_tokens)``. A document belongs to the
+    sequence its FIRST token lands in; ``seq_offset`` is its token offset
+    in the stream, so downstream writers know exactly where boundaries
+    fall mid-document.
+
+    Windowed per ``shard_col``: real pipelines shard first (by source or a
+    hash bucket) and pack within shards, so every window here partitions by
+    the shard and no single-partition exchange appears. Pass ``None`` only
+    for a small single stream (global window — wrong shape for 100 TB).
+
+    Output: one row per document —
+    ``(shard?, id, n_tokens, seq_offset, seq_id)``.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    part: Sequence = [shard_col] if shard_col is not None else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cols = ([F.col(shard_col)] if shard_col is not None else []) + [
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    ]
+    return (
+        df.select(*cols)
+        .withColumn(
+            "seq_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "seq_id",
+            F.floor(F.col("seq_offset") / F.lit(max_tokens)).cast("long"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Training-data pipeline operators: decontamination, sampling, chunking,
+vocabulary, packing — exactness and contract tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.pipeline import (
+    chunk_documents,
+    decontaminate,
+    hash_sample,
+    pack_sequences,
+    top_ngrams,
+)
+
+
+@pytest.fixture
+def corpus(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "train"),
+        (1, "the quick brown fox jumps over a sleepy cat", "train"),
+        (2, "completely different text about spark engines here", "train"),
+        (3, "the quick brown fox jumps over the lazy dog", "eval"),  # == doc 0
+        (4, "unrelated evaluation prompt with novel words", "eval"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_decontaminate_exact_vs_bruteforce(corpus):
+    train = corpus.filter(F.col("source") == "train")
+    ev = corpus.filter(F.col("source") == "eval")
+    got = {(r["train_id"], r["eval_id"]): r["jaccard"]
+           for r in decontaminate(train, ev, threshold=0.1, k=3).collect()}
+
+    # brute force in python with the same shingle definition
+    def shingles(text, k=3):
+        t = text.split()
+        return {" ".join(t[i:i + k]) for i in range(len(t) - k + 1)}
+
+    rows = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    want = {}
+    for tid in (0, 1, 2):
+        for eid in (3, 4):
+            a, b = shingles(rows[tid]), shingles(rows[eid])
+            j = len(a & b) / len(a | b) if a | b else 0.0
+            if j >= 0.1:
+                want[(tid, eid)] = j
+
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        assert got[k_] == pytest.approx(v)
+    # the identical pair is found with jaccard 1.0
+    assert got[(0, 3)] == pytest.approx(1.0)
+
+
+def test_decontaminate_max_df_guard(corpus):
+    train = corpus.filter(F.col("source") == "train")
+    ev = corpus.filter(F.col("source") == "eval")
+    # max_df=0 drops every shingle from candidate generation → no pairs
+    assert decontaminate(train, ev, threshold=0.1, max_df=0).count() == 0
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s_half = hash_sample(df, 0.5, key_col="doc_id")
+    n_half = s_half.count()
+    assert n_half == hash_sample(df, 0.5, key_col="doc_id").count()  # stable
+    assert abs(n_half - 1000) < 120  # ~binomial(2000, .5) tolerance
+
+    # nested thresholds → nested samples (same seed)
+    kept_q = {r["doc_id"] for r in hash_sample(df, 0.25, key_col="doc_id").collect()}
+    kept_h = {r["doc_id"] for r in s_half.collect()}
+    assert kept_q <= kept_h
+
+    # different seed decorrelates
+    kept_seeded = {r["doc_id"]
+                   for r in hash_sample(df, 0.25, key_col="doc_id", seed="v2").collect()}
+    assert kept_seeded != kept_q
+
+    assert hash_sample(df, 0.0).count() == 0
+    assert hash_sample(df, 1.0).count() == 2000
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(df, 1.5)
+
+
+def test_chunk_documents_windows(spark):
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, ""), (3, "one two")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap=1)
+    got = {(r["doc_id"], r["chunk_index"]): (r["chunk_text"], r["chunk_n_tokens"])
+           for r in out.collect()}
+    # stride 3, 10 tokens → starts at 0,3,6 (0-based); last start ≤ n-overlap-1
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert (1, 3) not in got
+    # empty doc still yields one (empty) chunk — no silent row loss
+    assert got[(2, 0)] == ("", 0)
+    # short doc → single short chunk
+    assert got[(3, 0)] == ("one two", 2)
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(df, chunk_tokens=0)
+
+
+def test_top_ngrams_counts_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"),   # doc-distinct bigrams: "a b","b c","c a"
+         (2, "a b x y"),       # "a b","b x","x y"
+         (3, "b c z")],        # "b c","c z"
+        "doc_id long, text string",
+    )
+    rows = top_ngrams(df, n=2, k=3).collect()
+    assert [(r["ngram"], r["doc_freq"]) for r in rows] == [
+        ("a b", 2), ("b c", 2), ("b x", 1),  # ties break ngram-ascending
+    ]
+
+
+def test_pack_sequences_block_packing(spark):
+    df = spark.createDataFrame(
+        [(0, "w " * 30, "s1"), (1, "w " * 40, "s1"), (2, "w " * 50, "s1"),
+         (3, "w " * 10, "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = pack_sequences(df, max_tokens=64, shard_col="source")
+    got = {r["doc_id"]: (r["n_tokens"], r["seq_offset"], r["seq_id"])
+           for r in out.collect()}
+    assert got[0] == (30, 0, 0)
+    assert got[1] == (40, 30, 0)    # starts inside block 0
+    assert got[2] == (50, 70, 1)    # 70 // 64 = 1
+    assert got[3] == (10, 0, 0)     # own shard restarts the stream
+    with pytest.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, max_tokens=0)
