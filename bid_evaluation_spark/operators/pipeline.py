@@ -26,7 +26,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .text import token_count, tokens, word_shingles
+from .text import hashed_word_shingles, token_count, tokens, word_shingles
 
 
 # ---------------------------------------------------------------------------
@@ -70,8 +70,19 @@ def decontaminate(
         word_shingles(F.col(text_col), k).alias("_sh_e"),
     )
 
-    t_tok = t_sh.select("train_id", F.explode("_sh_t").alias("_s"))
-    e_tok = e_sh.select("eval_id", F.explode("_sh_e").alias("_s"))
+    # candidate generation joins on 8-byte shingle HASHES, not the shingle
+    # strings — the exploded join is the operator's big shuffle and the hash
+    # halves-or-better its width. A hash collision can only ADD a candidate
+    # pair; the exact-Jaccard verify on the string shingles rejects it, so
+    # exactness is unaffected.
+    t_tok = train_df.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"),
+    )
+    e_tok = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"),
+    )
     if max_df is not None:
         freq = e_tok.groupBy("_s").count().filter(F.col("count") <= max_df)
         e_tok = e_tok.join(freq.select("_s"), on="_s", how="left_semi")

@@ -209,6 +209,42 @@ def _dedup_agg(spark, sf_dir):
     return probs
 
 
+@check("decontaminate: equi-join candidates, no cartesian, exact verify join hashed")
+def _decontaminate(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import decontaminate
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    res = decontaminate(df.filter(F.col("doc_id") % 10 != 0),
+                        df.filter(F.col("doc_id") % 10 == 0), threshold=0.3)
+    plan = plan_of(res)
+    probs = []
+    if "CartesianProduct" in plan or "NestedLoop" in plan:
+        probs.append("cross-table candidates via cartesian/nested-loop")
+    return probs
+
+
+@check("chunk/sample/pack: map-only or shard-partitioned — no global exchange")
+def _pipeline_shapes(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import (
+        chunk_documents, hash_sample, pack_sequences)
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    probs = []
+    for name, frame in (("chunk", chunk_documents(df, 32, 8)),
+                        ("sample", hash_sample(df, 0.3))):
+        plan = plan_of(frame)
+        if "Exchange" in plan:
+            probs.append(f"{name} plan shuffles (should be map-only)")
+    pack_plan = plan_of(pack_sequences(df, 512, shard_col="source"))
+    if re.search(r"Exchange SinglePartition", pack_plan):
+        probs.append("pack window runs on a single partition (not sharded)")
+    if not re.search(r"hashpartitioning\(source", pack_plan):
+        probs.append("pack window not partitioned by the shard column")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
