@@ -221,7 +221,8 @@ class Evaluator:
 
     def evaluate(self, df: DataFrame, include_details: bool = True,
                  rank_partition_by: Optional[str] = None,
-                 stats_mode: str = "full") -> DataFrame:
+                 stats_mode: str = "full",
+                 approx_percentiles: bool = False) -> DataFrame:
         """Evaluate all bids → scored, ranked, sorted DataFrame (lazy).
 
         Args:
@@ -236,6 +237,11 @@ class Evaluator:
                 scale path: aggregate only the stats each criterion's
                 expression reads — identical scores, cheaper stats job,
                 partial :meth:`get_statistics`).
+            approx_percentiles: compute median/q25/q75 with
+                ``percentile_approx`` (O(1) sketch state per column) instead
+                of the reference-exact ``percentile`` (which buffers every
+                value) — the 100-TB quantile path; ≤0.01% rank error,
+                min/max/mean/std stay exact. Documented divergence.
         """
         if stats_mode not in ("full", "required"):
             raise ValueError(
@@ -252,7 +258,8 @@ class Evaluator:
                     criterion.required_stat_keys
                 )
         stats = (
-            compute_stats(df, stat_cols, keys_by_column=keys_by_column)
+            compute_stats(df, stat_cols, keys_by_column=keys_by_column,
+                          approx_percentiles=approx_percentiles)
             if stat_cols else {}
         )
         for column, criterion in self.criteria.items():

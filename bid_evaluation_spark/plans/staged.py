@@ -240,13 +240,16 @@ class StagedEvaluator:
     # === Evaluation (reference staged.py:271-375) ===
 
     def evaluate(self, df: DataFrame, include_details: bool = True,
-                 stats_mode: str = "full") -> DataFrame:
+                 stats_mode: str = "full",
+                 approx_percentiles: bool = False) -> DataFrame:
         """Run all stages sequentially over ``df`` → scored/eliminated/ranked frame.
 
         Driver-side loop, one fused stats+count aggregation job per stage; all
         scoring stays lazy Column expressions on the running frame.
         ``stats_mode="required"`` aggregates only each criterion's needed
-        stats per stage (identical scores; partial :meth:`get_statistics`).
+        stats per stage (identical scores; partial :meth:`get_statistics`);
+        ``approx_percentiles`` swaps exact quantiles for sketch-state
+        ``percentile_approx`` (the 100-TB path — see ``plans/stats.py``).
         """
         if stats_mode not in ("full", "required"):
             raise ValueError(
@@ -305,7 +308,8 @@ class StagedEvaluator:
                     )
             stats = compute_stats(work.filter(active), stat_cols,
                                   with_count=True,
-                                  keys_by_column=keys_by_column)
+                                  keys_by_column=keys_by_column,
+                                  approx_percentiles=approx_percentiles)
             n_active = stats.pop("__count__")
             for prev in self._persisted[:-1]:
                 prev.unpersist()

@@ -83,11 +83,22 @@ def _unpack_select(prefix: str) -> List[Column]:
     return exprs
 
 
-def _partial_stat_exprs(col: Column, prefix: str, keys) -> List[Column]:
+#: accuracy for approximate percentiles (~1/accuracy relative rank error);
+#: 10000 ⇒ ≤0.01% rank error with a few KB of sketch state per column
+APPROX_PERCENTILE_ACCURACY = 10000
+
+
+def _partial_stat_exprs(col: Column, prefix: str, keys,
+                        approx: bool = False) -> List[Column]:
     """Aggregation exprs for just the requested stat keys of one column.
 
     Any requested quantile still lands in one fused ``percentile(c, array)``
-    (the buffer dominates, extra quantiles inside one agg are marginal)."""
+    (the buffer dominates, extra quantiles inside one agg are marginal).
+    With ``approx``, quantiles use ``percentile_approx`` instead — O(1)
+    sketch state per column instead of buffering every value, the 100-TB
+    path (documented divergence from the reference's pandas-exact
+    quantiles; min/max/mean/std stay exact either way).
+    """
     c = col.cast("double")
     exprs: List[Column] = []
     for k, fn in (("min", F.min), ("max", F.max), ("mean", F.avg),
@@ -95,10 +106,12 @@ def _partial_stat_exprs(col: Column, prefix: str, keys) -> List[Column]:
         if k in keys:
             exprs.append(fn(c).alias(f"{prefix}__{k}"))
     if keys & {"q25", "median", "q75"}:
-        exprs.append(
-            F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-            .alias(f"{prefix}__q")
+        qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+        q = (
+            F.percentile_approx(c, qs, F.lit(APPROX_PERCENTILE_ACCURACY))
+            if approx else F.percentile(c, qs)
         )
+        exprs.append(q.cast("array<double>").alias(f"{prefix}__q"))
     return exprs
 
 
@@ -108,6 +121,7 @@ def compute_stats(
     *,
     with_count: bool = False,
     keys_by_column: Optional[Mapping[str, Iterable[str]]] = None,
+    approx_percentiles: bool = False,
 ) -> Dict[str, Dict[str, Optional[float]]]:
     """Compute the reference's statistics bundle for ``columns`` in ONE job.
 
@@ -129,7 +143,8 @@ def compute_stats(
     }
     aggs: List[Column] = []
     for i, c in enumerate(uniq):
-        aggs.extend(_partial_stat_exprs(F.col(c), f"c{i}", keysets[c]))
+        aggs.extend(_partial_stat_exprs(F.col(c), f"c{i}", keysets[c],
+                                        approx=approx_percentiles))
     if with_count:
         aggs.append(F.count(F.lit(1)).alias("__count__"))
     if not aggs:
