@@ -1939,6 +1939,78 @@ FROM toks
 """
 
 
+def _q_pipe_end_to_end_documents(spark, sf_dir):
+    """The full training-data prep chain as ONE lazy plan: exact dedup
+    (canonical row per normalized-text fingerprint) → quality gate →
+    deterministic 50% sample → 512-token sequence packing per source shard.
+    Every step is an operator from this repo composing on DataFrames; the
+    oracle chains the identical steps as CTEs."""
+    from pyspark.sql import Window
+    from bid_evaluation_spark.operators.pipeline import hash_sample, pack_sequences
+    from bid_evaluation_spark.operators.text import fingerprint_md5, quality_score
+
+    df = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("_fp")
+    df = (
+        df.withColumn("_fp", fingerprint_md5("text"))
+        .withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .drop("_fp", "_keep")
+    )
+    df = df.filter(quality_score() >= F.lit(40.0))
+    df = hash_sample(df, 0.5, key_col="doc_id", seed="e2e")
+    return pack_sequences(df, max_tokens=512, shard_col="source",
+                          order_col="doc_id")
+
+
+_SQL_PIPE_END_TO_END_DOCUMENTS = f"""
+WITH fp AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+  FROM documents
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY f) AS keep_id FROM fp
+  ) WHERE doc_id = keep_id
+),
+toks AS (
+  SELECT doc_id, text, source,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM dedup
+),
+quality AS (
+  SELECT doc_id, source, t,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0
+    + (CASE WHEN len(t) > 0
+            THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ELSE 0.0 END) * 30.0
+    + least((CASE WHEN len(t) > 0
+                  THEN CAST(len(list_filter(t, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE) / len(t)
+                  ELSE 0.0 END) * 5.0, 1.0) * 20.0
+    + (1.0 - least((CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS DOUBLE) / length(text)
+                         ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS q
+  FROM toks
+),
+kept AS (
+  SELECT doc_id, source, len(t) AS n_tokens
+  FROM quality
+  WHERE q >= 40.0
+    AND substr(md5(CAST(doc_id AS VARCHAR) || 'e2e'), 1, 8) < '80000000'
+)
+SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS seq_offset,
+  CAST(COALESCE(SUM(n_tokens) OVER (
+    PARTITION BY source ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS BIGINT)
+    AS seq_id
+FROM kept
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2032,6 +2104,8 @@ _QUERIES: dict = {
                                   _SQL_PIPE_TOP_NGRAMS_DOCUMENTS),
     "pipe_pack_sequences_documents": (_q_pipe_pack_sequences_documents,
                                       _SQL_PIPE_PACK_SEQUENCES_DOCUMENTS),
+    "pipe_end_to_end_documents": (_q_pipe_end_to_end_documents,
+                                  _SQL_PIPE_END_TO_END_DOCUMENTS),
 }
 
 

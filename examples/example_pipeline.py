@@ -1,0 +1,60 @@
+# example_pipeline.py — end-to-end training-data prep with the pipeline
+# operators (beyond-reference suite): dedup → quality gate → decontaminate
+# → deterministic sample → chunk → pack. Runs on the driver testdata.
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F
+
+from bid_evaluation_spark.operators.pipeline import (
+    chunk_documents, decontaminate, hash_sample, pack_sequences, top_ngrams,
+)
+from bid_evaluation_spark.operators.text import fingerprint_md5, quality_score
+from bid_evaluation_spark.session import get_spark
+
+spark = get_spark("example-pipeline", master="local[4]", shuffle_partitions=4)
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+print(f"corpus: {docs.count()} documents")
+
+# 1. exact dedup — canonical row per normalized-text fingerprint
+w = Window.partitionBy("_fp")
+docs = (
+    docs.withColumn("_fp", fingerprint_md5("text"))
+    .withColumn("_keep", F.min("doc_id").over(w))
+    .filter(F.col("doc_id") == F.col("_keep"))
+    .drop("_fp", "_keep")
+)
+
+# 2. quality gate — heuristic 0-100 score as a plain Column predicate
+docs = docs.filter(quality_score() >= 40)
+
+# 3. decontaminate against a held-out eval slice (doc_id % 10 == 0)
+train = docs.filter(F.col("doc_id") % 10 != 0)
+eval_slice = docs.filter(F.col("doc_id") % 10 == 0)
+contaminated = decontaminate(train, eval_slice, threshold=0.3)
+train = train.join(
+    contaminated.select("train_id").distinct(),
+    train.doc_id == F.col("train_id"), "left_anti",
+)
+
+# 4. deterministic, reproducible 50% sample (md5-threshold, not rand)
+train = hash_sample(train, 0.5, key_col="doc_id", seed="demo")
+print(f"after dedup + quality + decontamination + sample: {train.count()}")
+
+# 5a. chunk for embedding/indexing ...
+chunks = chunk_documents(train, chunk_tokens=64, overlap=16)
+print(f"chunks: {chunks.count()}")
+
+# 5b. ... or pack into fixed-budget training sequences per source shard
+packed = pack_sequences(train, max_tokens=512, shard_col="source")
+packed.groupBy("source", "seq_id").agg(
+    F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
+).orderBy("source", "seq_id").show(10)
+
+# bonus: corpus vocabulary
+top_ngrams(train, n=2, k=10).show(truncate=False)
+
+spark.stop()
