@@ -124,6 +124,102 @@ def streaming_dedup_filter(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+NEARDUP_OUTPUT = "doc_id long, matched_id long, est_jaccard double, band int"
+#: per-bucket state: doc ids + their signatures flattened (num_perm each)
+NEARDUP_STATE = "ids array<long>, sigs array<long>"
+
+
+def streaming_neardup_candidates(docs: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 threshold: float = 0.5, num_perm: int = 64,
+                                 bands: int = 16, shingle_k: int = 3,
+                                 seed: int = 42,
+                                 max_bucket: int = 1000) -> DataFrame:
+    """Streaming MinHash near-duplicate detection: emit ``(doc, earlier
+    match)`` candidate pairs as documents arrive, across micro-batches.
+
+    The streaming twin of the batch ``minhash_lsh_candidates`` path, same
+    parameters and signature kernel: per document a map-side MinHash
+    signature + band hashes (no shuffle of document text), then state keyed
+    by ``(band, band_hash)`` — each incoming document is compared against
+    the signatures already seen in its bucket (estimated Jaccard = fraction
+    of equal signature slots) and matches ≥ ``threshold`` are emitted with
+    the earlier document's id. Within one micro-batch, lower ids are
+    treated as earlier (the batch path's canonical rule).
+
+    State per bucket is capped at ``max_bucket`` signatures (FIFO —
+    documents beyond the cap still MATCH against the bucket but stop
+    enrolling); total state ≈ buckets × min(bucket size, cap) × num_perm
+    longs. The same pair colliding in several bands is emitted once per
+    band (``band`` column included) — aggregate downstream with
+    ``groupBy(doc_id, matched_id).max(est_jaccard)`` if pair-level output
+    is wanted; est_jaccard is identical across bands so no information is
+    lost either way.
+    """
+    from ..operators.dedup import with_minhash_signature
+
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+
+    sig = (
+        with_minhash_signature(docs, text_col, num_perm, shingle_k, seed)
+        .filter(F.size("_shingles") > 0)  # sentinel sigs would bucket-bomb
+        .select(F.col(id_col).alias("doc_id"), "_minhash")
+    )
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col("_minhash")[b * rows_per_band + r]
+                  for r in range(rows_per_band)],
+                F.lit(b),
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+    banded = (
+        sig.select("doc_id", "_minhash", F.explode(band_structs).alias("bs"))
+        .select("doc_id", "_minhash",
+                F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
+    )
+
+    import numpy as np
+
+    def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        ids, flat = state.get if state.exists else ([], [])
+        ids = list(ids)
+        flat = list(flat)
+        band = int(key[0])
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            out = {"doc_id": [], "matched_id": [], "est_jaccard": []}
+            for doc_id, sig_arr in zip(pdf["doc_id"], pdf["_minhash"]):
+                s = np.asarray(sig_arr, dtype=np.int64)
+                if ids:
+                    seen = np.asarray(flat, dtype=np.int64).reshape(
+                        len(ids), num_perm)
+                    est = (seen == s[None, :]).mean(axis=1)
+                    for j in np.nonzero(est >= threshold)[0]:
+                        out["doc_id"].append(int(doc_id))
+                        out["matched_id"].append(int(ids[j]))
+                        out["est_jaccard"].append(float(est[j]))
+                if len(ids) < max_bucket:
+                    ids.append(int(doc_id))
+                    flat.extend(int(v) for v in s)
+            if out["doc_id"]:
+                res = pd.DataFrame(out)
+                res["band"] = band
+                yield res.astype({"doc_id": "int64", "matched_id": "int64",
+                                  "est_jaccard": "float64", "band": "int32"})
+        state.update((ids, flat))
+
+    return banded.groupBy("band", "bh").applyInPandasWithState(
+        update, NEARDUP_OUTPUT, NEARDUP_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 ANOMALY_OUTPUT = (
     "user_id long, ts timestamp, value double, running_mean double, "
     "running_std double, zscore double, is_anomaly boolean"

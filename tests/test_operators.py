@@ -476,6 +476,50 @@ def test_streaming_dedup_filter(spark, tmp_path):
     assert rows == {1: True, 2: False, 3: True, 4: False, 5: True}
 
 
+def test_streaming_neardup_candidates(spark, tmp_path):
+    from bid_evaluation_spark.streaming.stateful import (
+        streaming_neardup_candidates,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps running "
+            "through the quiet field while morning light rises slowly")
+    near = base.replace("morning", "evening")
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "completely different text about spark lineage here "
+                        "with many unrelated tokens filling the space")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, base), (4, near), (5, "yet another unrelated document body "
+                                   "holding novel words only")],
+        "doc_id long, text string",
+    )
+    import time as _time
+
+    src = str(tmp_path / "neardup_stream")
+    b1.coalesce(1).write.parquet(f"{src}/batch=0")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{src}/batch=1")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_neardup_candidates(stream, threshold=0.5)
+         .writeStream.format("memory").queryName("neardup_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT doc_id, matched_id, max(est_jaccard) AS est "
+        "FROM neardup_smoke GROUP BY doc_id, matched_id"
+    ).collect()
+    pairs = {(r["doc_id"], r["matched_id"]): r["est"] for r in rows}
+    # doc 3 duplicates doc 1 (cross-batch): exact signature match
+    assert pairs[(3, 1)] == pytest.approx(1.0)
+    # doc 4 is a near-dup of doc 1 (and of 3, seen earlier in its batch)
+    assert (4, 1) in pairs and pairs[(4, 1)] >= 0.5
+    assert (4, 3) in pairs
+    # unrelated docs never matched
+    assert not any(2 in p or 5 in p for p in pairs)
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     from bid_evaluation_spark.operators.similarity import ivf_topk, kmeans_centroids
 
