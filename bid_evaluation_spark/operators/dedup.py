@@ -38,10 +38,18 @@ from .text import fingerprint, hashed_word_shingles, word_shingles
 _MERSENNE_PRIME = (1 << 31) - 1
 
 
+#: every persisted intermediate any operator in this module creates — the
+#: robust release handle (the per-frame attribute below dies on the first
+#: .select() a caller applies to the returned frame)
+_ALL_CACHED: List[DataFrame] = []
+
+
 def _track_cached(result: DataFrame, deps) -> DataFrame:
-    """Record persisted intermediates on the returned frame so callers can
-    free them with :func:`release` once the result is materialized."""
-    result._cached_deps = list(getattr(result, "_cached_deps", [])) + list(deps)
+    """Record persisted intermediates on the returned frame (for
+    :func:`release`) AND in the module registry (for :func:`release_all`)."""
+    deps = list(deps)
+    result._cached_deps = list(getattr(result, "_cached_deps", [])) + deps
+    _ALL_CACHED.extend(deps)
     return result
 
 
@@ -50,10 +58,27 @@ def release(df: DataFrame) -> None:
 
     Call after the result has been materialized (written / collected);
     repeated operator calls in one session otherwise accumulate cached
-    signature blocks for the session lifetime."""
-    for dep in getattr(df, "_cached_deps", []):
+    signature blocks for the session lifetime. Only works on the EXACT
+    frame an operator returned (the handle does not survive further
+    transformations) — when in doubt, use :func:`release_all`."""
+    deps = getattr(df, "_cached_deps", [])
+    for dep in deps:
         dep.unpersist()
+        try:
+            _ALL_CACHED.remove(dep)
+        except ValueError:
+            pass
     df._cached_deps = []
+
+
+def release_all() -> None:
+    """Unpersist EVERY intermediate this module has cached in the session.
+
+    The safe sweep for harnesses that transform or discard the returned
+    frames (a ``result.select(...)`` drops the per-frame release handle)."""
+    for dep in _ALL_CACHED:
+        dep.unpersist()
+    del _ALL_CACHED[:]
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> List[tuple]:
@@ -142,15 +167,36 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text",
     return df.withColumn("_minhash", _sig(F.col("_shingles")))
 
 
+def minhash_band_structs(num_perm: int, bands: int,
+                         sig_col: str = "_minhash") -> Column:
+    """Array of ``(band, band_hash)`` structs over a signature column.
+
+    Band hash = multi-arg ``xxhash64`` over the band's signature slots
+    directly — no string rendering/concat per band. The ONE definition of
+    band identity, shared by the batch LSH path and the streaming
+    near-duplicate operator (they must stay bit-identical to be twins).
+    """
+    rows_per_band = num_perm // bands
+    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[F.col(sig_col)[b * rows_per_band + r]
+                  for r in range(rows_per_band)],
+                F.lit(b),
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ])
+
+
 def _minhash_sig_and_candidates(df: DataFrame, id_col: str, text_col: str,
                                 num_perm: int, bands: int, shingle_k: int,
                                 seed: int):
     """Shared pipeline: persisted ``(_id, _shingles, _minhash)`` frame +
     candidate pairs. The signature frame is computed ONCE and reused by both
     band generation and (in :func:`minhash_near_duplicates`) Jaccard verify."""
-    rows_per_band = num_perm // bands
-    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
-
     # docs with no shingles (shorter than k tokens) all share the sentinel
     # signature — banding them would pair every short doc with every other
     # (quadratic candidate blow-up at scale); they carry no similarity
@@ -163,19 +209,7 @@ def _minhash_sig_and_candidates(df: DataFrame, id_col: str, text_col: str,
         # verify join — without it the shingle→signature pipeline re-runs
         .persist()
     )
-    # band hash = xxhash64 over the band's signature slots directly (multi-arg
-    # xxhash64 — no string rendering/concat per band)
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col("_minhash")[b * rows_per_band + r]
-                  for r in range(rows_per_band)],
-                F.lit(b),
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ])
+    band_structs = minhash_band_structs(num_perm, bands)
     banded = (
         sig.select("_id", F.explode(band_structs).alias("bs"))
         .select("_id", F.col("bs.band").alias("band"), F.col("bs.bh").alias("bh"))
@@ -576,6 +610,7 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
                 [cached],
             )
     edges.unpersist()
+    cached.unpersist()  # the error path must not leak the last round's cache
     raise RuntimeError(
         f"connected components did not converge in {max_iter} iterations"
     )

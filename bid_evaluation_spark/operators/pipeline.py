@@ -147,9 +147,11 @@ def hash_sample(
     if fraction == 1.0:
         return df
     thr = _hex_threshold(fraction, digits)
+    # null keys hash a sentinel instead of vanishing (md5(null) is null and
+    # null < thr filters FALSE — every null-key row would silently drop)
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
     pref = F.substring(
-        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(seed)).cast("binary")),
-        1, digits,
+        F.md5(F.concat(key, F.lit(seed)).cast("binary")), 1, digits,
     )
     return df.filter(pref < F.lit(thr))
 

@@ -27,9 +27,13 @@ LANG_MARKERS: Dict[str, Sequence[str]] = {
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization; empty string → empty array (not [''])."""
+    """Whitespace tokenization; empty string AND null → empty array.
+
+    Null must not pass through (``split(null)`` is null and ``size(null)``
+    is -1 under legacy sizeOfNull — a null document would otherwise inject
+    token count -1 into chunking/packing budgets downstream)."""
     t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+    return F.when(t.isNull() | (t == ""), F.array().cast("array<string>")).otherwise(
         F.split(t, r"\s+")
     )
 

@@ -539,11 +539,20 @@ class StagedEvaluator:
             # before the next persist so the cache stays narrow
             if not is_last and stage.filter is not None:
                 if custom:
+                    # materialize native scores, then shed the broadcast
+                    # stats columns BEFORE the Arrow exchange — same
+                    # per-row-constant serialization saving as the result
+                    # frame's path above
+                    w_weighted = []
+                    if score_exprs:
+                        work = work.withColumns(score_exprs)
+                        w_weighted = [F.col(c) for c in score_exprs]
+                    work = work.drop(*stats_cols_flat)
                     work = _apply_custom_batched(
                         work, batch_col, custom_items,
                         active_null_col=self.ELIM_COL,
                     )
-                    w_weighted = raw_weighted + [F.col(n) for n in custom_names]
+                    w_weighted = w_weighted + [F.col(n) for n in custom_names]
                 else:
                     w_weighted = raw_weighted
                 work = work.withColumn(
@@ -559,7 +568,8 @@ class StagedEvaluator:
                 work = work.withColumn(
                     self.ELIM_COL,
                     F.when(active & ~w_pred, F.lit(stage.name)).otherwise(elim),
-                ).drop(*w_helpers, score_col, *stats_cols_flat, *custom_names)
+                ).drop(*w_helpers, score_col, *stats_cols_flat, *custom_names,
+                       *list(score_exprs))
             elif stat_cols:
                 # no elimination this stage — just shed the joined stats so
                 # the next stage's cache (and join) stays collision-free

@@ -20,7 +20,7 @@ import re
 import zipfile
 from typing import Dict, List, Optional, Union
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 
@@ -143,6 +143,8 @@ def _cell_xml(ref: str, value) -> Optional[str]:
         return None
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
+    if isinstance(value, float) and value in (float("inf"), float("-inf")):
+        return None  # SpreadsheetML has no non-finite number cell
     if isinstance(value, (int, float)):
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     text = escape(str(value))
@@ -202,7 +204,7 @@ def write_xlsx(path: str, sheets: Dict[str, pd.DataFrame],
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
         "<sheets>"
         + "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names))
         + "</sheets></workbook>")
     wb_rels = (

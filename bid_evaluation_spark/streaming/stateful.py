@@ -156,27 +156,14 @@ def streaming_neardup_candidates(docs: DataFrame, id_col: str = "doc_id",
     is wanted; est_jaccard is identical across bands so no information is
     lost either way.
     """
-    from ..operators.dedup import with_minhash_signature
-
-    rows_per_band = num_perm // bands
-    assert rows_per_band * bands == num_perm, "bands must divide num_perm"
+    from ..operators.dedup import minhash_band_structs, with_minhash_signature
 
     sig = (
         with_minhash_signature(docs, text_col, num_perm, shingle_k, seed)
         .filter(F.size("_shingles") > 0)  # sentinel sigs would bucket-bomb
         .select(F.col(id_col).alias("doc_id"), "_minhash")
     )
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[F.col("_minhash")[b * rows_per_band + r]
-                  for r in range(rows_per_band)],
-                F.lit(b),
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ])
+    band_structs = minhash_band_structs(num_perm, bands)
     banded = (
         sig.select("doc_id", "_minhash", F.explode(band_structs).alias("bs"))
         .select("doc_id", "_minhash",
@@ -191,10 +178,16 @@ def streaming_neardup_candidates(docs: DataFrame, id_col: str = "doc_id",
         ids = list(ids)
         flat = list(flat)
         band = int(key[0])
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
+        # concatenate the group's Arrow chunks BEFORE sorting — a per-chunk
+        # sort would make the "lower id enrolls first" canonical rule depend
+        # on chunk boundaries; group size is bounded by the bucket's
+        # micro-batch volume (and enrollment by max_bucket)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+                     ).sort_values("doc_id")
             out = {"doc_id": [], "matched_id": [], "est_jaccard": []}
-            for doc_id, sig_arr in zip(pdf["doc_id"], pdf["_minhash"]):
+            for doc_id, sig_arr in zip(whole["doc_id"], whole["_minhash"]):
                 s = np.asarray(sig_arr, dtype=np.int64)
                 if ids:
                     seen = np.asarray(flat, dtype=np.int64).reshape(

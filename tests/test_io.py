@@ -70,6 +70,22 @@ def test_write_results_excel(small, tmp_path):
     assert "criterion" in stats.columns and len(stats) == 1
 
 
+def test_xlsx_quoted_sheet_and_nonfinite(tmp_path):
+    """Sheet names containing quotes must produce valid XML; non-finite
+    floats become empty cells (SpreadsheetML has no inf)."""
+    import pandas as pd
+
+    from bid_evaluation_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "quoted.xlsx")
+    pdf = pd.DataFrame({"k": [1, 2, 3],
+                        "x": [1.0, float("inf"), float("-inf")]})
+    write_xlsx(path, {'Q"1': pdf})
+    back = read_xlsx(path, sheet_name='Q"1')
+    assert back["x"].iloc[0] == 1.0
+    assert back["x"].isna().iloc[1] and back["x"].isna().iloc[2]
+
+
 def test_xlsx_type_roundtrip(tmp_path):
     import math
 

@@ -82,6 +82,37 @@ def test_hash_sample_deterministic_and_monotone(spark):
         hash_sample(df, 1.5)
 
 
+def test_hash_sample_null_keys_deterministic(spark):
+    """Null keys hash a sentinel — present or absent per the same md5
+    predicate as any other key, never silently dropped wholesale."""
+    import hashlib
+
+    df = spark.createDataFrame([(None,), (1,), (2,)], "doc_id long")
+    expect_null_kept = (
+        hashlib.md5("\x00null".encode()).hexdigest()[:8]
+        < format(int(0.5 * 16 ** 8), "08x")
+    )
+    kept = {r["doc_id"] for r in hash_sample(df, 0.5, key_col="doc_id").collect()}
+    assert (None in kept) == expect_null_kept
+    # deterministic across calls
+    kept2 = {r["doc_id"] for r in hash_sample(df, 0.5, key_col="doc_id").collect()}
+    assert kept == kept2
+
+
+def test_null_text_token_budgets(spark):
+    """Null text behaves as empty (0 tokens) in chunking and packing —
+    never -1 from size(null)."""
+    df = spark.createDataFrame(
+        [(1, None, "s"), (2, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    chunks = {(r["doc_id"], r["chunk_index"]): r["chunk_n_tokens"]
+              for r in chunk_documents(df, 4, 1).collect()}
+    assert chunks[(1, 0)] == 0 and chunks[(2, 0)] == 3
+    packed = {r["doc_id"]: (r["n_tokens"], r["seq_offset"])
+              for r in pack_sequences(df, 64, shard_col="source").collect()}
+    assert packed[1] == (0, 0) and packed[2] == (3, 0)
+
+
 def test_chunk_documents_windows(spark):
     df = spark.createDataFrame(
         [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, ""), (3, "one two")],
