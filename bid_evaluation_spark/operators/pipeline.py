@@ -70,11 +70,17 @@ def decontaminate(
         word_shingles(F.col(text_col), k).alias("_sh_e"),
     )
 
-    # candidate generation joins on 8-byte shingle HASHES, not the shingle
+    # Candidate generation joins on 8-byte shingle HASHES, not the shingle
     # strings — the exploded join is the operator's big shuffle and the hash
-    # halves-or-better its width. A hash collision can only ADD a candidate
-    # pair; the exact-Jaccard verify on the string shingles rejects it, so
-    # exactness is unaffected.
+    # halves-or-better its width. The shared-shingle COUNT per pair then
+    # comes from the join itself (groupBy the pair — plain arithmetic, no
+    # shingle arrays shuffled), giving a hash-estimated Jaccard that
+    # pre-filters candidates at 90% of the threshold; only that small
+    # survivor set reaches the exact string-shingle verify. 64-bit hash
+    # collisions can nudge the estimate either way, hence the 10% margin —
+    # a true-positive is missed only if collisions depress a pair's
+    # estimate by >10%, which needs several same-pair collisions at
+    # ~2^-64 apiece.
     t_tok = train_df.select(
         F.col(id_col).alias("train_id"),
         F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"),
@@ -87,10 +93,18 @@ def decontaminate(
         freq = e_tok.groupBy("_s").count().filter(F.col("count") <= max_df)
         e_tok = e_tok.join(freq.select("_s"), on="_s", how="left_semi")
 
-    cand = (
+    t_n = t_tok.groupBy("train_id").agg(F.count(F.lit(1)).alias("_na"))
+    e_n = e_tok.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_nb"))
+    shared = (
         t_tok.join(e_tok, on="_s")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("_sh"))
+    )
+    est = F.col("_sh") / (F.col("_na") + F.col("_nb") - F.col("_sh"))
+    cand = (
+        shared.join(t_n, on="train_id").join(e_n, on="eval_id")
+        .filter(est >= F.lit(float(threshold) * 0.9))
         .select("train_id", "eval_id")
-        .distinct()
     )
 
     verified = (
