@@ -429,6 +429,67 @@ def test_staged_evaluate_batched_custom_matches_per_batch(spark):
             assert got[key][2] == want[2], (key, got[key], want)
 
 
+def test_staged_batched_randomized_matches_per_batch(spark):
+    """Randomized differential: batched staged pipeline (top_n ties, custom
+    criterion, narrow work-frame caches) ≡ standalone evaluate per batch,
+    across 15 batches of varied sizes with duplicate scores."""
+    import random
+
+    rng = random.Random(20260813)
+    rows = []
+    for b in range(15):
+        n = rng.randint(1, 12)
+        for i in range(n):
+            # coarse grid forces score ties within and across batches
+            rows.append((f"b{b:02d}", f"b{b}-v{i}",
+                         float(rng.randint(0, 8) * 10),
+                         float(rng.randint(1, 5) * 100)))
+    df = spark.createDataFrame(
+        rows, "tender string, vendor string, quality double, price double")
+
+    def zscore(v, s):
+        std = s["std"]
+        if std is None or std != std or std == 0:
+            return v * 0 + 50.0
+        return ((v - s["mean"]) / std).clip(-2, 2) * 25 + 50
+
+    def build():
+        return (StagedEvaluator(final_score_mode="weighted_combination")
+                .add_stage("Tech", filter_type="top_n", top_n=3,
+                           on_tie="exclude", weight=0.6)
+                .custom("quality", 0.5, zscore)
+                .linear("price", 0.5, higher_is_better=False)
+                .add_stage("Econ", weight=0.4)
+                .min_ratio("price", 1.0))
+
+    st = build()
+    batched = st.evaluate_batched(df, "tender")
+    got = {(r["tender"], r["vendor"]):
+           (r["eliminated_at_stage"], r["final_score"], r["ranking"])
+           for r in batched.collect()}
+    st.release()
+    assert len(got) == len(rows)
+
+    import warnings as _w
+
+    for b in sorted({r[0] for r in rows}):
+        single = build()
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            res = single.evaluate(df.filter(F.col("tender") == b)).collect()
+        single.release()
+        for r in res:
+            key = (b, r["vendor"])
+            want = (r["eliminated_at_stage"], r["final_score"], r["ranking"])
+            assert got[key][0] == want[0], (key, got[key], want)
+            if want[1] is None:
+                assert got[key][1] is None, (key, got[key], want)
+            else:
+                assert got[key][1] == pytest.approx(want[1], abs=1e-9), (
+                    key, got[key], want)
+            assert got[key][2] == want[2], (key, got[key], want)
+
+
 def test_staged_batched_custom_include_details_false(spark, bids_3):
     df = bids_3.withColumn("b", F.lit("x"))
     st = (StagedEvaluator().add_stage("S")
