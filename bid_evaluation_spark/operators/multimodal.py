@@ -3,13 +3,14 @@
 Beyond-reference operators (BASELINE.json north star). The Spark-side design
 is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures.
 Decode kernels: **image decode is REAL for PNG** (pure-stdlib codec in
-:mod:`.png` — width/height/mean-luma/grid embedding from actual pixels;
-other container formats need an image library swapped into the same seam).
-Audio/video decode kernels remain deterministic stubs: those libraries are
-not available in this container, so each either raises
-``NotImplementedError`` (default) or produces a clearly-marked deterministic
-fake derived from the payload hash (``fake=True``), which keeps the whole
-pipeline testable end-to-end.
+:mod:`.png` — width/height/mean-luma/grid embedding from actual pixels) and
+**audio decode is REAL for PCM WAV** (pure-stdlib codec in :mod:`.wav` —
+rate/duration/RMS/zero-crossings/log-band spectra from actual samples);
+other containers (JPEG, mp3, ...) need a media library swapped into the
+same seam. Video decode remains the one declared stub: it raises
+``NotImplementedError`` (default) or produces a clearly-marked
+deterministic fake derived from the payload hash (``fake=True``), which
+keeps the whole pipeline testable end-to-end.
 
 Scale notes: media payloads are the widest column by orders of magnitude —
 every transform here projects only the columns it needs (payload + id), runs
@@ -122,52 +123,74 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
 
 
 AUDIO_FEATURES_SCHEMA = (
-    "media_id long, n_bytes long, duration_ms long, rms double, "
-    "zero_crossings long, mfcc_like array<float>"
+    "media_id long, n_bytes long, sample_rate long, duration_ms long, "
+    "rms double, zero_crossings long, mfcc_like array<float>"
 )
 
 
 def extract_audio_features(df: DataFrame, payload_col: str = "payload",
-                           id_col: str = "media_id",
-                           duration_col: str = "duration_ms", *,
-                           fake: bool = False) -> DataFrame:
+                           id_col: str = "media_id", *,
+                           fake: bool = False,
+                           strict: bool = False) -> DataFrame:
     """Decode + feature-extract audio via Arrow-batched ``mapInPandas``.
 
-    Same stub contract as :func:`extract_image_features`: the real decode
-    needs an audio library not present here (``fake=False`` raises
-    ``NotImplementedError``); ``fake=True`` treats the payload bytes as a
-    crude 8-bit waveform so RMS / zero-crossings / a deterministic
-    MFCC-shaped vector exercise the distributed plumbing for real.
+    The REAL kernel (``fake=False``, default) decodes PCM WAV payloads with
+    the pure-stdlib codec (:mod:`.wav`): sample rate and duration from the
+    container, RMS / zero-crossings / a 13-band log-spectral feature vector
+    from the actual samples. Non-WAV or undecodable payloads yield null
+    audio features (corrupt media must not kill a 100-TB scan) unless
+    ``strict=True``. Compressed codecs (mp3/aac) need a real audio library
+    swapped into the same seam.
+
+    ``fake=True`` keeps the old stub: payload bytes treated as a crude
+    8-bit waveform with a payload-hash feature vector — useful when testing
+    the plumbing on arbitrary bytes.
     """
+    from . import wav as _wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "audio decode requires an audio library (e.g. soundfile); "
-                    "run with fake=True for the deterministic stub kernel"
-                )
             rows = []
             for _, row in pdf.iterrows():
-                payload = row[payload_col] or b"\x80"
-                wave = (np.frombuffer(payload, dtype=np.uint8)
-                        .astype(np.float64) - 128.0) / 128.0
-                signs = np.sign(wave)
-                rows.append({
+                payload = row[payload_col] or b""
+                base = {
                     "media_id": int(row[id_col]),
                     "n_bytes": len(payload),
-                    "duration_ms": (int(row[duration_col])
-                                    if pd.notna(row[duration_col]) else 0),
-                    "rms": float(np.sqrt(np.mean(wave ** 2))),
-                    "zero_crossings": int(np.sum(signs[:-1] * signs[1:] < 0)),
-                    "mfcc_like": _fake_features(payload, dim=13),
-                })
+                }
+                if fake:
+                    data = (np.frombuffer(payload or b"\x80", dtype=np.uint8)
+                            .astype(np.float64) - 128.0) / 128.0
+                    rows.append({**base, "sample_rate": None,
+                                 "duration_ms": None,
+                                 "rms": float(np.sqrt(np.mean(data ** 2))),
+                                 "zero_crossings": int(np.count_nonzero(
+                                     np.diff(np.signbit(data)))),
+                                 "mfcc_like": _fake_features(payload, dim=13)})
+                    continue
+                try:
+                    rate, data = _wav.decode_wav(payload)
+                    # signbit transitions, not sign products: a sample landing
+                    # exactly on 0 must still count one crossing, not none
+                    rows.append({**base, "sample_rate": rate,
+                                 "duration_ms": int(len(data) * 1000 // rate)
+                                 if rate else 0,
+                                 "rms": float(np.sqrt(np.mean(data ** 2)))
+                                 if len(data) else 0.0,
+                                 "zero_crossings": int(np.count_nonzero(
+                                     np.diff(np.signbit(data)))),
+                                 "mfcc_like": _wav.band_energies(data, rate)})
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append({**base, "sample_rate": None,
+                                 "duration_ms": None, "rms": None,
+                                 "zero_crossings": None, "mfcc_like": None})
             yield pd.DataFrame(rows, columns=[
-                "media_id", "n_bytes", "duration_ms", "rms",
+                "media_id", "n_bytes", "sample_rate", "duration_ms", "rms",
                 "zero_crossings", "mfcc_like",
             ])
 
-    return df.select(id_col, payload_col, duration_col).mapInPandas(
+    return df.select(id_col, payload_col).mapInPandas(
         kernel, AUDIO_FEATURES_SCHEMA
     )
 
@@ -214,11 +237,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA (test aid).
 
-    Image rows carry REAL (tiny) PNG payloads so the real decode kernel is
-    exercisable end-to-end; audio/video rows carry opaque random bytes."""
+    Image rows carry REAL (tiny) PNG payloads and audio rows REAL PCM WAV
+    payloads (sine + harmonic, per-row frequency) so both real decode
+    kernels are exercisable end-to-end; video rows carry opaque random
+    bytes (video decode remains the one stub)."""
     import random
 
     from .png import encode_png
+    from .wav import encode_wav
 
     rnd = random.Random(seed)
     rows = []
@@ -231,6 +257,16 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
                             for y in range(h)], dtype=np.uint8)
             payload = encode_png(img.reshape(h, w, 3))
             rows.append((i, payload, mtype, "image/png", w, h, None))
+        elif mtype == "audio":
+            rate = 8000
+            dur_s = 0.25 + (i % 4) * 0.25
+            t = np.arange(int(rate * dur_s)) / rate
+            freq = 200.0 + (i % 10) * 60.0
+            sig = (0.6 * np.sin(2 * np.pi * freq * t)
+                   + 0.2 * np.sin(2 * np.pi * 3 * freq * t))
+            payload = encode_wav(sig, rate=rate)
+            rows.append((i, payload, mtype, "audio/wav",
+                         None, None, int(dur_s * 1000)))
         else:
             payload = bytes(rnd.getrandbits(8) for _ in range(64))
             rows.append((i, payload, mtype, f"application/x-{mtype}",

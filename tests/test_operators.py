@@ -213,7 +213,9 @@ def test_multimodal_fake_features(spark):
     rows = feats.collect()
     assert len(rows) == 9
     assert all(len(r["embedding"]) == 8 for r in rows)
-    assert all(r["n_bytes"] == 64 for r in rows if r["media_id"] % 3 != 0)
+    # video rows keep opaque 64-byte payloads; audio rows are real WAVs
+    assert all(r["n_bytes"] == 64 for r in rows if r["media_id"] % 3 == 2)
+    assert all(r["n_bytes"] > 64 for r in rows if r["media_id"] % 3 == 1)
     # deterministic: same payload → same sha/embedding
     again = {r["media_id"]: r["sha256"] for r in M.extract_image_features(md, fake=True).collect()}
     assert {r["media_id"]: r["sha256"] for r in rows} == again
@@ -411,17 +413,66 @@ def test_range_join(spark):
         range_join(pts, iv, "x", "lo", "hi", closed="nope")
 
 
-def test_multimodal_audio_features(spark):
-    md = M.synthetic_media_df(spark, 6).filter(F.col("media_type") == "audio")
-    feats = M.extract_audio_features(md, fake=True)
-    rows = feats.collect()
-    assert len(rows) == 2
-    for r in rows:
-        assert r["n_bytes"] == 64 and len(r["mfcc_like"]) == 13
-        assert 0.0 <= r["rms"] <= 1.0 and r["duration_ms"] == 5000
-    # unstubbed kernel must refuse, not fake silently
-    with pytest.raises(Exception, match="NotImplementedError|audio decode"):
-        M.extract_audio_features(md, fake=False).collect()
+def test_multimodal_audio_features_real_decode(spark):
+    """REAL WAV kernel: rate/duration from the container, RMS and
+    zero-crossings from the actual sine samples."""
+    md = M.synthetic_media_df(spark, 12).filter(F.col("media_type") == "audio")
+    rows = {r["media_id"]: r
+            for r in M.extract_audio_features(md).collect()}
+    meta = {r["media_id"]: r for r in md.collect()}
+    assert len(rows) == 4
+    for mid, r in rows.items():
+        assert r["sample_rate"] == 8000
+        assert r["duration_ms"] == meta[mid]["duration_ms"]
+        # 0.6·sin + 0.2·sin(3f): RMS = sqrt(0.6²/2 + 0.2²/2) ≈ 0.4472
+        assert r["rms"] == pytest.approx(0.4472, abs=0.01)
+        assert len(r["mfcc_like"]) == 13
+        # zero crossings ≈ 2 · freq · duration for the dominant tone
+        i = mid
+        freq = 200.0 + (i % 10) * 60.0
+        expect_zc = 2 * freq * (meta[mid]["duration_ms"] / 1000.0)
+        assert abs(r["zero_crossings"] - expect_zc) <= expect_zc * 0.4 + 4
+
+    # spectral features must separate different pitches
+    import numpy as np
+
+    ids = sorted(rows)
+    a, b = (np.array(rows[i]["mfcc_like"]) for i in ids[:2])
+    assert not np.allclose(a, b)
+
+
+def test_multimodal_audio_corrupt_and_fake(spark):
+    # non-WAV payloads (video rows) yield null features, never an error
+    md = M.synthetic_media_df(spark, 12).filter(F.col("media_type") == "video")
+    rows = M.extract_audio_features(md).collect()
+    assert len(rows) == 4
+    assert all(r["rms"] is None and r["sample_rate"] is None for r in rows)
+    # strict mode surfaces the decode error
+    with pytest.raises(Exception):
+        M.extract_audio_features(md, strict=True).collect()
+    # stub kernel still available for arbitrary bytes
+    fake = M.extract_audio_features(md, fake=True).collect()
+    assert all(len(r["mfcc_like"]) == 13 and r["rms"] is not None
+               for r in fake)
+
+
+def test_wav_codec_roundtrip():
+    import numpy as np
+
+    from bid_evaluation_spark.operators.wav import (
+        band_energies, decode_wav, encode_wav,
+    )
+
+    t = np.arange(8000) / 8000.0
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    rate, back = decode_wav(encode_wav(sig, rate=8000))
+    assert rate == 8000 and len(back) == 8000
+    assert np.abs(back - sig).max() < 1e-3  # 16-bit quantization bound
+    # a 440 Hz tone concentrates energy in one band; bands are finite
+    bands = band_energies(back, rate)
+    assert len(bands) == 13 and np.isfinite(bands).all()
+    with pytest.raises(Exception):
+        decode_wav(b"not a wav file")
 
 
 def test_session_window_agg_streaming(spark, tmp_path):
