@@ -1202,6 +1202,54 @@ FROM dims
 """
 
 
+def _q_mm_audio_decode_documents(spark, sf_dir):
+    """REAL audio decode end-to-end: deterministic square-wave WAVs are
+    encoded per doc (amplitude exactly 0.5, half-period and length derived
+    from doc_id), shipped as binary payloads, and decoded by the pure-stdlib
+    WAV kernel. Square waves make every feature closed-form — RMS is exactly
+    16383/32768 after 16-bit quantization, zero-crossings are (n-1)//h — so
+    the DuckDB oracle reproduces them arithmetically and any decode bug
+    (header parse, scaling, channel handling) breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.multimodal import extract_audio_features
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 800 + int(d) % 5 * 400
+                h = 10 + int(d) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(encode_wav(0.5 * sgn, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_audio_features(media, strict=True)
+    return feats.select("media_id", "sample_rate", "duration_ms",
+                        _r4("rms").alias("rms"), "zero_crossings")
+
+
+_SQL_MM_AUDIO_DECODE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id,
+         800 + (doc_id % 5) * 400 AS n,
+         10 + (doc_id % 7) * 2 AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  round((16383.0 / 32768.0) * 10000.0) / 10000.0 AS rms,
+  CAST((n - 1) // h AS BIGINT) AS zero_crossings
+FROM p
+"""
+
+
 def _q_text_token_count_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -2106,6 +2154,8 @@ _QUERIES: dict = {
                                       _SQL_PIPE_PACK_SEQUENCES_DOCUMENTS),
     "pipe_end_to_end_documents": (_q_pipe_end_to_end_documents,
                                   _SQL_PIPE_END_TO_END_DOCUMENTS),
+    "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
+                                  _SQL_MM_AUDIO_DECODE_DOCUMENTS),
 }
 
 
