@@ -94,3 +94,52 @@ def test_eliminated_rows_never_rank(spark, values, threshold):
     # survivors are exactly the rows scoring >= threshold
     surv = {r["id"] for r in res if r["eliminated_at_stage"] is None}
     assert surv == {i for i, v in enumerate(values) if v >= threshold}
+
+
+# --- formula grammar: native translation ≡ python-interpreter fallback ---
+
+_formula_leaf = st.sampled_from(
+    ["value", "min", "max", "mean", "std", "3", "0.5", "100", "7.25"]
+)
+
+
+@st.composite
+def _formulas(draw, depth=0):
+    """Random formulas inside the NATIVE-translatable grammar, so both
+    execution paths must accept them and agree."""
+    if depth >= 3 or draw(st.booleans()):
+        return draw(_formula_leaf)
+    form = draw(st.sampled_from(
+        ["({a} {op} {b})", "abs({a})", "sqrt(abs({a}))",
+         "clip({a}, 0, 100)", "min({a}, {b})", "max({a}, {b})",
+         "({a} if {a} > {b} else {b})", "log(abs({a}) + 1)"]
+    ))
+    op = draw(st.sampled_from(["+", "-", "*", "/", "%", "//"]))
+    a = draw(_formulas(depth=depth + 1))
+    b = draw(_formulas(depth=depth + 1))
+    return form.format(a=a, b=b, op=op)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(formula=_formulas(),
+       values=st.lists(st.floats(min_value=-50, max_value=150,
+                                 allow_nan=False, width=16),
+                       min_size=2, max_size=5))
+def test_formula_native_equals_fallback(spark, formula, values):
+    """The AST→Column translation and the per-row python interpreter are two
+    implementations of one contract — random grammar-valid formulas must
+    produce identical scores through both."""
+    df = _mk(spark, values)
+
+    def run(force_udf):
+        ev = Evaluator()
+        ev.formula("v", 1.0, formula)
+        ev.criteria["v"].config["force_udf"] = force_udf
+        return {r["id"]: r["score_v"] for r in ev.evaluate(df).collect()}
+
+    native, fallback = run(False), run(True)
+    for i in native:
+        assert math.isclose(native[i], fallback[i],
+                            rel_tol=1e-9, abs_tol=1e-9), (
+            formula, values[i], native[i], fallback[i])
