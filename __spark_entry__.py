@@ -1778,6 +1778,46 @@ ASOF LEFT JOIN
 """
 
 
+def _q_asof_null_payload_events(spark, sf_dir):
+    """As-of join where the matched right row can carry a NULL payload field:
+    purchase values divisible by 3 cents are nulled out, so a correct as-of
+    must attach (NULL value, that row's ts) — a per-column
+    ``last(ignorenulls)`` fill would smuggle in an OLDER purchase's value.
+    Exercises the single-struct payload carry in ``operators/asof.py``."""
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts",
+        F.when(F.round(F.col("value") * 100) % 3 == 0, F.lit(None))
+         .otherwise(F.col("value")).alias("value"),
+    )
+    res = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["value"])
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK + ".SSSSSS").alias("ts"),
+        F.date_format("ts_right", _TS_FMT_SPARK + ".SSSSSS").alias("purchase_ts"),
+        _r4("value_right").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_NULL_PAYLOAD_EVENTS = """
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+       round((r.value) * 10000.0) / 10000.0 AS purchase_value
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts,
+             CASE WHEN round(value * 100) % 3 = 0 THEN NULL ELSE value END AS value
+      FROM events WHERE event_type = 'purchase') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 def _q_range_join_event_sessions(spark, sf_dir):
     """Range (interval) join: every event matched to its 30-min session
     interval via bucketed equi-join (no theta-join cross product); the oracle
@@ -2141,6 +2181,8 @@ _QUERIES: dict = {
                                   _SQL_EVENTS_SESSION_WINDOW_30M),
     "asof_click_purchase_events": (_q_asof_click_purchase_events,
                                    _SQL_ASOF_CLICK_PURCHASE_EVENTS),
+    "asof_null_payload_events": (_q_asof_null_payload_events,
+                                 _SQL_ASOF_NULL_PAYLOAD_EVENTS),
     "range_join_event_sessions": (_q_range_join_event_sessions,
                                   _SQL_RANGE_JOIN_EVENT_SESSIONS),
     "pipe_decontaminate_documents": (_q_pipe_decontaminate_documents,
