@@ -1250,6 +1250,64 @@ FROM p
 """
 
 
+def _q_mm_video_frames_documents(spark, sf_dir):
+    """REAL video decode end-to-end: deterministic Y4M clips are encoded per
+    doc (frame k pixel(x,y) = (x + 3y + 5k + doc_id) mod 256, dims/length
+    derived from doc_id, 5 fps), shipped as binary payloads, and sampled at
+    a 200 ms cadence by the pure-stdlib Y4M kernel — dimensions from the
+    stream header, per-frame mean luma from the actual planes. The oracle
+    reproduces every sampled frame arithmetically, so a decode bug (header
+    parse, plane strides, chroma skip, tick→frame mapping) breaks the
+    hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.multimodal import sample_frames
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 4 * 2, 6 + int(d) % 3 * 2
+                frames = [((np.arange(w)[None, :] + 3 * np.arange(h)[:, None]
+                            + 5 * k + int(d)) % 256).astype(np.uint8)
+                          for k in range(3 + int(d) % 4)]
+                payloads.append(encode_y4m(frames, fps_num=5, fps_den=1))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads,
+                                "duration_ms": pd.array([None] * len(pdf),
+                                                        dtype="Int64")})
+
+    media = docs.mapInPandas(
+        gen, "media_id long, payload binary, duration_ms long")
+    frames = sample_frames(media, every_ms=200, strict=True)
+    return frames.select("media_id", "frame_index", "frame_ts_ms",
+                         "width", "height",
+                         _r4("frame_mean_luma").alias("frame_mean_luma"))
+
+
+_SQL_MM_VIDEO_FRAMES_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, 8 + (doc_id % 4) * 2 AS w, 6 + (doc_id % 3) * 2 AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+),
+f AS (
+  SELECT doc_id, w, h, u.k FROM p, UNNEST(generate_series(0, nf - 1)) AS u(k)
+)
+SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_index,
+  CAST(k * 200 AS BIGINT) AS frame_ts_ms,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  round(list_avg(flatten(list_transform(generate_series(0, h - 1),
+          y -> list_transform(generate_series(0, w - 1),
+          x -> CAST((x + 3*y + 5*k + doc_id) % 256 AS DOUBLE))))) * 10000.0)
+    / 10000.0 AS frame_mean_luma
+FROM f
+"""
+
+
 def _q_text_token_count_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -2198,6 +2256,8 @@ _QUERIES: dict = {
                                   _SQL_PIPE_END_TO_END_DOCUMENTS),
     "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
+    "mm_video_frames_documents": (_q_mm_video_frames_documents,
+                                  _SQL_MM_VIDEO_FRAMES_DOCUMENTS),
 }
 
 

@@ -2,15 +2,15 @@
 
 Beyond-reference operators (BASELINE.json north star). The Spark-side design
 is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures.
-Decode kernels: **image decode is REAL for PNG** (pure-stdlib codec in
-:mod:`.png` — width/height/mean-luma/grid embedding from actual pixels) and
-**audio decode is REAL for PCM WAV** (pure-stdlib codec in :mod:`.wav` —
-rate/duration/RMS/zero-crossings/log-band spectra from actual samples);
-other containers (JPEG, mp3, ...) need a media library swapped into the
-same seam. Video decode remains the one declared stub: it raises
-``NotImplementedError`` (default) or produces a clearly-marked
-deterministic fake derived from the payload hash (``fake=True``), which
-keeps the whole pipeline testable end-to-end.
+Decode kernels are REAL for one pure-stdlib container per modality:
+**PNG images** (:mod:`.png` — width/height/mean-luma/grid embedding from
+actual pixels), **PCM WAV audio** (:mod:`.wav` — rate/duration/RMS/
+zero-crossings/log-band spectra from actual samples), and **Y4M video**
+(:mod:`.y4m` — per-frame luma digest/dimensions/mean from actual planes).
+Compressed containers (JPEG, mp3, h264, ...) need a media library swapped
+into the same decode seams. Every kernel also offers ``fake=True``
+(clearly-marked deterministic payload-hash features) so pipeline plumbing
+is testable on arbitrary bytes.
 
 Scale notes: media payloads are the widest column by orders of magnitude —
 every transform here projects only the columns it needs (payload + id), runs
@@ -48,7 +48,8 @@ IMAGE_FEATURES_SCHEMA = (
 )
 
 FRAME_SAMPLE_SCHEMA = (
-    "media_id long, frame_index long, frame_ts_ms long, frame_sha256 string"
+    "media_id long, frame_index long, frame_ts_ms long, frame_sha256 string, "
+    "width long, height long, frame_mean_luma double"
 )
 
 
@@ -198,35 +199,63 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   payload_col: str = "payload", id_col: str = "media_id",
                   duration_col: str = "duration_ms", *,
-                  fake: bool = False) -> DataFrame:
-    """Sample video frames at a fixed cadence (stubbed decode).
+                  fake: bool = False,
+                  strict: bool = False) -> DataFrame:
+    """Sample video frames at a fixed cadence via Arrow-batched ``mapInPandas``.
 
-    The row-explosion shape (one output row per sampled frame) and the
-    pruned-projection input are the real distributed mechanics; frame bytes
-    are stubbed as payload+index digests.
+    The REAL kernel (``fake=False``, default) decodes Y4M (YUV4MPEG2)
+    payloads with the pure-stdlib codec (:mod:`.y4m`): one output row per
+    cadence tick within the clip, carrying the luma plane's digest, the
+    frame dimensions, and its mean luma from the actual pixels. The sampled
+    frame at tick ``t`` is the one on screen at ``t`` (``floor(t * fps)``).
+    Undecodable payloads yield zero rows (corrupt media must not kill a
+    100-TB scan) unless ``strict=True``. Compressed codecs (h264/vp9/...)
+    need a real media library swapped into the same decode seam.
+
+    ``fake=True`` keeps the stub: rows at every cadence tick of the
+    *metadata* duration with payload+index digests and null pixel features —
+    the row-explosion shape on arbitrary bytes.
     """
+    from . import y4m as _y4m
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video decode requires a media library; run with fake=True"
-                )
             rows = []
             for _, row in pdf.iterrows():
-                duration = int(row[duration_col] or 0)
                 payload = row[payload_col] or b""
-                for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                mid = int(row[id_col])
+                if fake:
+                    duration = int(row[duration_col] or 0)
+                    for i, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                        rows.append({
+                            "media_id": mid, "frame_index": i,
+                            "frame_ts_ms": ts,
+                            "frame_sha256": hashlib.sha256(
+                                payload + str(i).encode()).hexdigest(),
+                            "width": None, "height": None,
+                            "frame_mean_luma": None,
+                        })
+                    continue
+                try:
+                    w, h, num, den, frames = _y4m.decode_y4m(payload)
+                except Exception:
+                    if strict:
+                        raise
+                    continue
+                duration_ms = len(frames) * 1000 * den / num
+                for ts in range(0, max(int(duration_ms), 1), every_ms):
+                    idx = min(len(frames) - 1, ts * num // (1000 * den))
+                    y = frames[idx]
                     rows.append({
-                        "media_id": int(row[id_col]),
-                        "frame_index": i,
+                        "media_id": mid, "frame_index": int(idx),
                         "frame_ts_ms": ts,
-                        "frame_sha256": hashlib.sha256(
-                            payload + str(i).encode()
-                        ).hexdigest(),
+                        "frame_sha256": hashlib.sha256(y.tobytes()).hexdigest(),
+                        "width": w, "height": h,
+                        "frame_mean_luma": float(y.mean()),
                     })
             yield pd.DataFrame(rows, columns=[
                 "media_id", "frame_index", "frame_ts_ms", "frame_sha256",
+                "width", "height", "frame_mean_luma",
             ])
 
     return df.select(id_col, payload_col, duration_col).mapInPandas(
@@ -237,16 +266,14 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
 def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table matching MEDIA_SCHEMA (test aid).
 
-    Image rows carry REAL (tiny) PNG payloads and audio rows REAL PCM WAV
-    payloads (sine + harmonic, per-row frequency) so both real decode
-    kernels are exercisable end-to-end; video rows carry opaque random
-    bytes (video decode remains the one stub)."""
-    import random
-
+    Image rows carry REAL (tiny) PNG payloads, audio rows REAL PCM WAV
+    payloads (sine + harmonic, per-row frequency), and video rows REAL Y4M
+    clips (moving-gradient luma frames) so all three real decode kernels
+    are exercisable end-to-end."""
     from .png import encode_png
     from .wav import encode_wav
+    from .y4m import encode_y4m
 
-    rnd = random.Random(seed)
     rows = []
     for i in range(n):
         mtype = ("image", "audio", "video")[i % 3]
@@ -268,7 +295,12 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
             rows.append((i, payload, mtype, "audio/wav",
                          None, None, int(dur_s * 1000)))
         else:
-            payload = bytes(rnd.getrandbits(8) for _ in range(64))
-            rows.append((i, payload, mtype, f"application/x-{mtype}",
-                         None, None, 5000))
+            w, h = 8 + (i % 2) * 4, 6 + (i % 3) * 2
+            n_frames = 5 + i % 3
+            frames = [((np.arange(w)[None, :] + 3 * np.arange(h)[:, None]
+                        + 5 * k + i) % 256).astype(np.uint8)
+                      for k in range(n_frames)]
+            payload = encode_y4m(frames, fps_num=1, fps_den=1)
+            rows.append((i, payload, mtype, "video/x-yuv4mpeg",
+                         w, h, n_frames * 1000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

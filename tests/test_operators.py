@@ -213,8 +213,8 @@ def test_multimodal_fake_features(spark):
     rows = feats.collect()
     assert len(rows) == 9
     assert all(len(r["embedding"]) == 8 for r in rows)
-    # video rows keep opaque 64-byte payloads; audio rows are real WAVs
-    assert all(r["n_bytes"] == 64 for r in rows if r["media_id"] % 3 == 2)
+    # video rows are real Y4M clips; audio rows are real WAVs
+    assert all(r["n_bytes"] > 64 for r in rows if r["media_id"] % 3 == 2)
     assert all(r["n_bytes"] > 64 for r in rows if r["media_id"] % 3 == 1)
     # deterministic: same payload → same sha/embedding
     again = {r["media_id"]: r["sha256"] for r in M.extract_image_features(md, fake=True).collect()}
@@ -247,10 +247,33 @@ def test_multimodal_corrupt_payload_yields_nulls(spark):
 
 
 def test_frame_sampling(spark):
+    import numpy as np
+
     md = M.synthetic_media_df(spark, 9).filter("media_type = 'video'")
-    frames = M.sample_frames(md, every_ms=1000, fake=True)
-    per = frames.groupBy("media_id").count().collect()
-    assert all(r["count"] == 5 for r in per)  # 5000ms / 1000ms
+    meta = {r["media_id"]: r for r in md.collect()}
+    # REAL decode: synthetic clips run at 1 fps, so a 1000ms cadence samples
+    # every frame — count equals duration/1000 and luma comes from pixels
+    frames = M.sample_frames(md, every_ms=1000).collect()
+    per = {}
+    for r in frames:
+        per[r["media_id"]] = per.get(r["media_id"], 0) + 1
+        m = meta[r["media_id"]]
+        assert (r["width"], r["height"]) == (m["width"], m["height"])
+        w, h, i, k = m["width"], m["height"], r["media_id"], r["frame_index"]
+        expect = float(((np.arange(w)[None, :] + 3 * np.arange(h)[:, None]
+                         + 5 * k + i) % 256).mean())
+        assert abs(r["frame_mean_luma"] - expect) < 1e-9
+    assert per == {mid: m["duration_ms"] // 1000 for mid, m in meta.items()}
+    # fake path: metadata-duration row explosion, null pixel features
+    fk = M.sample_frames(md, every_ms=1000, fake=True).collect()
+    assert len(fk) == len(frames) and all(r["width"] is None for r in fk)
+    # corrupt payload: skipped silently, raises under strict
+    bad = spark.createDataFrame(
+        [(99, b"not video", "video", "video/x-yuv4mpeg", None, None, 1000)],
+        M.MEDIA_SCHEMA)
+    assert M.sample_frames(bad).count() == 0
+    with pytest.raises(Exception, match="YUV4MPEG2"):
+        M.sample_frames(bad, strict=True).collect()
 
 
 def test_session_window_agg_matches_sessionize(spark):
