@@ -1,0 +1,228 @@
+"""Incremental IVF index maintenance over a stream of embeddings.
+
+Batch :func:`~bid_evaluation_spark.operators.similarity.ivf_topk` re-assigns
+the whole corpus per query job; at 100 TB the index must instead be a
+maintained artifact that new vectors JOIN incrementally. This module keeps an
+IVF index as two pieces of state:
+
+- **Inverted lists** — a parquet table hive-partitioned by ``list_id``.
+  Each arriving micro-batch is assigned to its nearest centroid map-side
+  (the (k × dim) centroid matrix broadcasts; assignment is one numpy argmin
+  inside ``mapInPandas``) and appended to its list's partition directory.
+  Search probes ``nprobe`` lists, and because ``list_id`` is a partition
+  column the probe filter prunes to ``nprobe/k`` of the stored bytes at the
+  file listing — no full-index scan (checked by ``tools/explain_audit.py``).
+- **Centroid running moments** — per-list (count, per-dim sum), updated from
+  each batch's per-list aggregate (k·dim numbers to the driver per batch,
+  never the vectors). Centroids can then follow the data as the exact
+  running mean of everything assigned to the list so far (online Lloyd's
+  step: more stable assignment than mini-batch SGD and deterministic under
+  replay); ``drift()`` reports how far each centroid has moved from the
+  trained position, the re-train signal.
+
+The stream itself is driven by ``foreachBatch`` — assignment is stateless
+given the broadcast centroids, so no state-store shuffle is needed at all;
+the only shuffles are the tiny per-batch (list, dim) aggregation and the
+partitioned append.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.similarity import cosine, kmeans_centroids
+
+_LISTS_SUBDIR = "lists"
+_STATE_FILE = "centroid_state.json"
+
+
+class StreamingIVFIndex:
+    """A persisted, incrementally-maintained IVF index.
+
+    Args:
+        spark: session used for reads/writes.
+        path: index root directory (inverted lists + centroid state live
+            under it).
+        centroids: trained (k, dim) matrix — e.g. from
+            :func:`kmeans_centroids` over a bootstrap sample.
+        vec_col / id_col: embedding column layout of the incoming stream.
+        update_centroids: follow the data with running-mean centroid
+            updates (assignments always use the centroids as of each
+            batch; already-stored vectors are NOT re-assigned — that is
+            the accepted IVF staleness, measured by :meth:`drift`).
+    """
+
+    def __init__(self, spark, path: str, centroids: np.ndarray,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 update_centroids: bool = True):
+        self.spark = spark
+        self.path = path
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.update_centroids = update_centroids
+        self.initial = np.asarray(centroids, dtype=np.float64).copy()
+        self.centroids = self.initial.copy()
+        self.counts = np.zeros(len(self.initial), dtype=np.int64)
+        self.sums = np.zeros_like(self.initial)
+        self.last_batch = -1
+        os.makedirs(path, exist_ok=True)
+        self._load_state()
+
+    # -- state persistence (restart = rebuild from the json snapshot) -------
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, _STATE_FILE)
+
+    def _load_state(self) -> None:
+        if not os.path.exists(self._state_path()):
+            return
+        with open(self._state_path()) as f:
+            st = json.load(f)
+        self.initial = np.array(st["initial"], dtype=np.float64)
+        self.centroids = np.array(st["centroids"], dtype=np.float64)
+        self.counts = np.array(st["counts"], dtype=np.int64)
+        self.sums = np.array(st["sums"], dtype=np.float64)
+        self.last_batch = st.get("last_batch", -1)
+
+    def _save_state(self) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"initial": self.initial.tolist(),
+                       "centroids": self.centroids.tolist(),
+                       "counts": self.counts.tolist(),
+                       "sums": self.sums.tolist(),
+                       "last_batch": self.last_batch}, f)
+        os.replace(tmp, self._state_path())
+
+    # -- ingestion -----------------------------------------------------------
+
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        """(id, vec, list_id) for a batch, nearest-centroid map-side."""
+        bc = self.spark.sparkContext.broadcast(self.centroids)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            c2 = (C ** 2).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                a = np.argmin(c2[None, :] - 2.0 * (X @ C.T), axis=1)
+                yield pd.DataFrame({"vec_id": pdf["_id"],
+                                    "embedding": pdf["_v"],
+                                    "list_id": a.astype("int32")})
+
+        return df.select(
+            F.col(self.id_col).alias("_id"), F.col(self.vec_col).alias("_v")
+        ).mapInPandas(assign, "vec_id long, embedding array<float>, list_id int")
+
+    def process_batch(self, df: DataFrame, batch_id: Optional[int] = None) -> None:
+        """Ingest one (micro-)batch: assign, append, update moments.
+
+        ``batch_id`` (supplied by ``foreachBatch``) makes whole-batch
+        replays after a restart idempotent — an already-recorded id is
+        skipped. A crash BETWEEN the list append and the state snapshot can
+        still double-append one batch (the usual foreachBatch at-least-once
+        caveat); dedupe on ``vec_id`` downstream if exact-once matters.
+        """
+        if batch_id is not None:
+            if batch_id <= self.last_batch:
+                return
+            self.last_batch = batch_id
+        assigned = self._assigned(df)
+        if self.update_centroids:
+            # one extra tiny job: per-(list, dim) sums — k·dim rows max
+            moments = (
+                assigned.select("list_id",
+                                F.posexplode("embedding").alias("_d", "_x"))
+                .groupBy("list_id", "_d")
+                .agg(F.sum("_x").alias("_s"), F.count("_x").alias("_n"))
+                .collect()
+            )
+            for r in moments:
+                self.sums[r["list_id"], r["_d"]] += r["_s"]
+                if r["_d"] == 0:
+                    self.counts[r["list_id"]] += r["_n"]
+            nz = self.counts > 0
+            self.centroids[nz] = self.sums[nz] / self.counts[nz, None]
+        (assigned.write.mode("append").partitionBy("list_id")
+         .parquet(os.path.join(self.path, _LISTS_SUBDIR)))
+        self._save_state()
+
+    def attach(self, stream_df: DataFrame, checkpoint: Optional[str] = None):
+        """Wire a streaming DataFrame into the index via ``foreachBatch``."""
+        return (stream_df.writeStream
+                .foreachBatch(lambda b, i: self.process_batch(b, i))
+                .option("checkpointLocation",
+                        checkpoint or os.path.join(self.path, "_checkpoint")))
+
+    # -- search / monitoring -------------------------------------------------
+
+    def lists(self) -> DataFrame:
+        """The stored inverted lists (vec_id, embedding, list_id)."""
+        return self.spark.read.parquet(os.path.join(self.path, _LISTS_SUBDIR))
+
+    def search(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
+               query_id: str = "vec_id", exclude_self: bool = False) -> DataFrame:
+        """Top-k over the stored lists, probing ``nprobe`` lists per query.
+
+        The probe filter is on the partition column, so only the probed
+        list directories are read. Cosines are exact for scanned candidates.
+        """
+        bc = self.spark.sparkContext.broadcast(self.centroids)
+        np_ = min(nprobe, len(self.centroids))
+
+        def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            c2 = (C ** 2).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+                d = c2[None, :] - 2.0 * (X @ C.T)
+                pr = np.argpartition(d, np_ - 1, axis=1)[:, :np_]
+                idx = np.repeat(np.arange(len(pdf)), np_)
+                out = pdf.iloc[idx].copy()
+                out["list_id"] = pr.ravel().astype("int32")
+                yield out
+
+        q = queries.select(F.col(query_id).alias("query_id"),
+                           F.col(self.vec_col).alias("_v"))
+        q_probed = q.mapInPandas(
+            probes, "query_id long, _v array<float>, list_id int")
+        probed_ids = [int(r["list_id"])
+                      for r in q_probed.select("list_id").distinct().collect()]
+        # partition pruning: only the probed list directories are listed/read
+        lists = self.lists().filter(F.col("list_id").isin(probed_ids))
+        sims = (q_probed.join(lists, on="list_id")
+                .withColumn("cosine", cosine(F.col("_v"), F.col("embedding"))))
+        if exclude_self:
+            sims = sims.filter(F.col("query_id") != F.col("vec_id"))
+        from pyspark.sql import Window
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cosine"), F.asc("vec_id"))
+        return (sims.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k)
+                .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        "cosine", "rnk"))
+
+    def drift(self) -> np.ndarray:
+        """Per-centroid L2 distance from the trained position (re-train
+        signal: re-run :func:`kmeans_centroids` + rebuild when large)."""
+        return np.sqrt(((self.centroids - self.initial) ** 2).sum(axis=1))
+
+
+def bootstrap_index(spark, corpus: DataFrame, path: str, n_clusters: int = 16,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    seed: int = 42, **kw) -> StreamingIVFIndex:
+    """Train centroids on a bootstrap corpus and load it as the first batch."""
+    cents = kmeans_centroids(corpus, vec_col, k=n_clusters, seed=seed)
+    idx = StreamingIVFIndex(spark, path, cents, vec_col, id_col, **kw)
+    idx.process_batch(corpus)
+    return idx
