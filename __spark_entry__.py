@@ -1990,6 +1990,62 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'r2'), 1, 8) < '4ccccccc'
 """
 
 
+def _q_pipe_mixture_sample_documents(spark, sf_dir):
+    """Domain-mixture sampling: thin each language toward a 4:2:2:1:1 target
+    mixture at the largest budget the corpus supports without up-sampling.
+    Acceptance rates derive from one tiny counts pass; the keep predicate is
+    the same portable md5 threshold as hash_sample, so the oracle recomputes
+    the identical rates (same IEEE double arithmetic) and predicate."""
+    from bid_evaluation_spark.operators.pipeline import mixture_sample
+
+    df = _t(spark, sf_dir, "documents")
+    res = mixture_sample(df, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1},
+                         group_col="lang", key_col="doc_id", seed="mix")
+    return res.select("doc_id", "lang", "source")
+
+
+_SQL_PIPE_MIXTURE_SAMPLE_DOCUMENTS = """
+WITH w AS (
+  SELECT * FROM (VALUES ('en', 4), ('de', 2), ('es', 2), ('fr', 1), ('zh', 1))
+         AS t(lang, wi)
+),
+j AS (
+  SELECT d.lang, CAST(count(*) AS DOUBLE) AS n, w.wi / 10.0 AS s
+  FROM documents d JOIN w USING (lang) GROUP BY d.lang, w.wi
+),
+p AS (
+  SELECT lang, (SELECT min(n / s) FROM j) * s / n AS p FROM j
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN p USING (lang)
+WHERE p.p >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'mix'), 1, 8)
+      < printf('%08x', CAST(trunc(p.p * 4294967296.0) AS BIGINT))
+"""
+
+
+def _q_pipe_shuffle_documents(spark, sf_dir):
+    """Deterministic global shuffle: seeded md5 permutation with explicit
+    positions, assembled zipWithIndex-style (bucket counts + broadcast
+    offsets — no single-partition window over the data). The oracle is the
+    direct global ORDER BY row_number, so any bucket/offset bug breaks the
+    position values."""
+    from bid_evaluation_spark.operators.pipeline import shuffle_rows
+
+    df = _t(spark, sf_dir, "documents")
+    res = shuffle_rows(df, key_col="doc_id", seed="perm")
+    return res.select("doc_id", "lang", "shuffle_pos")
+
+
+_SQL_PIPE_SHUFFLE_DOCUMENTS = """
+SELECT doc_id, lang,
+       CAST(row_number() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || 'perm'),
+                  CAST(doc_id AS VARCHAR)) - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+"""
+
+
 def _q_pipe_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (32-token windows, 8-token overlap):
     map-side posexplode, no shuffle; every doc yields >= 1 chunk."""
@@ -2247,6 +2303,10 @@ _QUERIES: dict = {
                                      _SQL_PIPE_DECONTAMINATE_DOCUMENTS),
     "pipe_hash_sample_documents": (_q_pipe_hash_sample_documents,
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
+    "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,
+                                      _SQL_PIPE_MIXTURE_SAMPLE_DOCUMENTS),
+    "pipe_shuffle_documents": (_q_pipe_shuffle_documents,
+                               _SQL_PIPE_SHUFFLE_DOCUMENTS),
     "pipe_chunk_documents": (_q_pipe_chunk_documents, _SQL_PIPE_CHUNK_DOCUMENTS),
     "pipe_top_ngrams_documents": (_q_pipe_top_ngrams_documents,
                                   _SQL_PIPE_TOP_NGRAMS_DOCUMENTS),

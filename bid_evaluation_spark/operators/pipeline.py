@@ -11,6 +11,11 @@ semantics, so each has a full DuckDB oracle in ``__spark_entry__.py``:
 - :func:`hash_sample` — deterministic, seedable row sampling via md5 hex
   threshold comparison (reproducible across engines and runs, unlike
   ``rand()``); optional per-group stratification.
+- :func:`mixture_sample` — sample toward a target domain mixture (per-group
+  acceptance rates from one tiny counts pass, same portable hash predicate).
+- :func:`shuffle_rows` — seeded deterministic global permutation with
+  explicit positions, assembled zipWithIndex-style (no single-partition
+  window).
 - :func:`chunk_documents` — split documents into overlapping token-window
   chunks (the tokenize→chunk step in front of training-sequence assembly).
 - :func:`top_ngrams` — corpus top-k n-gram vocabulary with deterministic
@@ -168,6 +173,110 @@ def hash_sample(
         F.md5(F.concat(key, F.lit(seed)).cast("binary")), 1, digits,
     )
     return df.filter(pref < F.lit(thr))
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    total: Optional[int] = None,
+    seed: str = "",
+    digits: int = 8,
+) -> DataFrame:
+    """Sample toward a target domain mixture (the LLM data-mixing op).
+
+    ``weights`` maps group values (domains, languages, sources) to target
+    mixture shares. The largest budget the corpus can fill without
+    up-sampling is ``T = min(n_g / w_g)`` (one pass of per-group counts —
+    G rows to the driver); each group is then thinned to acceptance rate
+    ``p_g = min(1, min(T, total) · w_g / n_g)`` with the same deterministic
+    md5-threshold predicate as :func:`hash_sample`, so the output hits the
+    target proportions in expectation while staying a pure function of the
+    key — reproducible, joinable, and engine-portable (the DuckDB oracle
+    runs the identical predicate). Groups not in ``weights`` are dropped
+    (weight 0). Map-only after the counts pass: a scan + per-group
+    threshold filter, no shuffle of the payload.
+
+    Scale: G (distinct domains) is small by construction in a mixing
+    config; the counts aggregate is the only extra job and carries G rows.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: share} dict")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    wsum = float(sum(weights.values()))
+    shares = {g: w / wsum for g, w in weights.items() if w > 0}
+
+    counts = {
+        r["_g"]: r["_n"]
+        for r in df.filter(F.col(group_col).isin(list(shares)))
+        .groupBy(F.col(group_col).alias("_g")).agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    missing = [g for g in shares if counts.get(g, 0) == 0]
+    if missing:
+        raise ValueError(f"no rows for weighted groups: {missing}")
+    feasible = min(counts[g] / s for g, s in shares.items())
+    budget = min(feasible, total) if total is not None else feasible
+
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    pref = F.substring(F.md5(F.concat(key, F.lit(seed)).cast("binary")),
+                       1, digits)
+    keep = None
+    for g, s in shares.items():
+        p = min(1.0, budget * s / counts[g])
+        ok = (F.lit(True) if p >= 1.0
+              else pref < F.lit(_hex_threshold(p, digits)))
+        cond = (F.col(group_col) == g) & ok
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
+
+
+def shuffle_rows(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: str = "",
+    pos_col: str = "shuffle_pos",
+    bucket_digits: int = 3,
+) -> DataFrame:
+    """Deterministic global shuffle: a seeded pseudo-random permutation of
+    the rows, materialized as an explicit 0-based ``pos_col``.
+
+    Training-order shuffling must be reproducible across runs and engines —
+    ``orderBy(rand())`` is neither. The permutation orders by
+    ``md5(key || seed)`` (key string as tiebreak), a pure function of the
+    data; a new ``seed`` is a fresh permutation.
+
+    Scale shape: a global ``row_number`` window would funnel every row
+    through ONE partition, so positions are assembled zipWithIndex-style
+    instead — rows bucket by their hash's first ``bucket_digits`` hex
+    digits (16^digits uniform buckets, which is also hash-prefix order, so
+    bucket order ≡ global order), per-bucket counts (tiny: one row per
+    bucket) turn into cumulative offsets behind ``broadcast``, and the
+    position is offset + rank within the bucket's keyed window. Every
+    exchange is keyed on the bucket — no single-partition stage.
+    """
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(key, F.lit(seed)).cast("binary"))
+    bkt = F.conv(F.substring(h, 1, bucket_digits), 16, 10).cast("long")
+    hashed = df.withColumn("_sh_h", h).withColumn("_sh_b", bkt)
+
+    counts = hashed.groupBy("_sh_b").agg(F.count("*").alias("_sh_n"))
+    off_w = (Window.orderBy("_sh_b")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # the offsets frame is 16^bucket_digits rows max — the single-partition
+    # window runs over THAT, never the data
+    offsets = counts.select(
+        "_sh_b", F.coalesce(F.sum("_sh_n").over(off_w), F.lit(0)).alias("_sh_off")
+    )
+    w = Window.partitionBy("_sh_b").orderBy("_sh_h", key)
+    return (
+        hashed.join(F.broadcast(offsets), on="_sh_b")
+        .withColumn(pos_col,
+                    (F.col("_sh_off") + F.row_number().over(w) - 1).cast("long"))
+        .drop("_sh_h", "_sh_b", "_sh_off")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,7 +8,9 @@ from bid_evaluation_spark.operators.pipeline import (
     chunk_documents,
     decontaminate,
     hash_sample,
+    mixture_sample,
     pack_sequences,
+    shuffle_rows,
     top_ngrams,
 )
 
@@ -165,3 +167,56 @@ def test_pack_sequences_block_packing(spark):
     assert got[3] == (10, 0, 0)     # own shard restarts the stream
     with pytest.raises(ValueError, match="max_tokens"):
         pack_sequences(df, max_tokens=0)
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+    out = mixture_sample(docs, weights, group_col="lang", seed="t")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    for lang, w in weights.items():
+        # binomial noise around the target share; 500-doc corpus → loose band
+        assert abs(got[lang] / total - w / 10) < 0.08, (lang, got)
+    # deterministic: a second run is the identical set
+    again = mixture_sample(docs, weights, group_col="lang", seed="t")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+    # a total budget below feasibility thins every group proportionally
+    small = mixture_sample(docs, weights, group_col="lang", seed="t", total=100)
+    assert small.count() < out.count()
+    # the sample is a subset of the corpus rows for weighted groups only
+    assert out.select("lang").distinct().count() == 5
+
+
+def test_mixture_sample_contract_errors(spark):
+    docs = spark.createDataFrame([(1, "x", "en")],
+                                 "doc_id long, text string, lang string")
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(docs, {}, group_col="lang")
+    with pytest.raises(ValueError, match="non-negative"):
+        mixture_sample(docs, {"en": -1.0}, group_col="lang")
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_sample(docs, {"en": 1, "xx": 1}, group_col="lang")
+
+
+def test_shuffle_rows_is_seeded_permutation(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = shuffle_rows(docs, key_col="doc_id", seed="s1").collect()
+    # exact 0..n-1 positions, no gaps or duplicates, all columns preserved
+    assert sorted(r["shuffle_pos"] for r in out) == list(range(n))
+    assert set(docs.columns) < set(out[0].asDict())
+    # matches the direct md5-order permutation computed locally
+    import hashlib
+    expect = sorted(
+        (hashlib.md5((str(r["doc_id"]) + "s1").encode()).hexdigest(),
+         str(r["doc_id"])) for r in out)
+    by_pos = {r["shuffle_pos"]: str(r["doc_id"]) for r in out}
+    assert [by_pos[i] for i in range(n)] == [k for _, k in expect]
+    # a different seed is a different permutation of the same rows
+    other = shuffle_rows(docs, key_col="doc_id", seed="s2").collect()
+    assert {r["doc_id"] for r in other} == {r["doc_id"] for r in out}
+    assert [r["shuffle_pos"] for r in sorted(other, key=lambda r: r["doc_id"])] != \
+        [r["shuffle_pos"] for r in sorted(out, key=lambda r: r["doc_id"])]
