@@ -2046,6 +2046,50 @@ FROM documents
 """
 
 
+def _q_pipe_lm_score_documents(spark, sf_dir):
+    """Unigram-LM perplexity-proxy quality scores (CCNet filter shape): an
+    add-0.5-smoothed unigram model aggregated from the corpus itself, each
+    doc scored by mean -ln p(token). The oracle rebuilds the identical
+    model and scores in SQL, so tokenization, smoothing arithmetic, and
+    unseen/empty-doc contracts all gate the hash match."""
+    from bid_evaluation_spark.operators.pipeline import lm_quality_score
+
+    df = _t(spark, sf_dir, "documents")
+    res = lm_quality_score(df, add_k=0.5)
+    return res.select("doc_id", "n_tokens", _r4("lm_nll").alias("lm_nll"),
+                      _r4("lm_ppl").alias("lm_ppl"))
+
+
+_SQL_PIPE_LM_SCORE_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+model AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS c FROM exploded GROUP BY tok
+),
+scal AS (
+  SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS v FROM model
+),
+scored AS (
+  SELECT e.doc_id, -ln((m.c + 0.5) / (scal.n + 0.5 * scal.v)) AS nll
+  FROM exploded e JOIN model m USING (tok), scal
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_tokens,
+  round(s.mean_nll * 10000.0) / 10000.0 AS lm_nll,
+  round(exp(s.mean_nll) * 10000.0) / 10000.0 AS lm_ppl
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS cnt, avg(nll) AS mean_nll
+           FROM scored GROUP BY doc_id) s USING (doc_id)
+"""
+
+
 def _q_pipe_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (32-token windows, 8-token overlap):
     map-side posexplode, no shuffle; every doc yields >= 1 chunk."""
@@ -2307,6 +2351,8 @@ _QUERIES: dict = {
                                       _SQL_PIPE_MIXTURE_SAMPLE_DOCUMENTS),
     "pipe_shuffle_documents": (_q_pipe_shuffle_documents,
                                _SQL_PIPE_SHUFFLE_DOCUMENTS),
+    "pipe_lm_score_documents": (_q_pipe_lm_score_documents,
+                                _SQL_PIPE_LM_SCORE_DOCUMENTS),
     "pipe_chunk_documents": (_q_pipe_chunk_documents, _SQL_PIPE_CHUNK_DOCUMENTS),
     "pipe_top_ngrams_documents": (_q_pipe_top_ngrams_documents,
                                   _SQL_PIPE_TOP_NGRAMS_DOCUMENTS),

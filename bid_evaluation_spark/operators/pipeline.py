@@ -16,6 +16,9 @@ semantics, so each has a full DuckDB oracle in ``__spark_entry__.py``:
 - :func:`shuffle_rows` — seeded deterministic global permutation with
   explicit positions, assembled zipWithIndex-style (no single-partition
   window).
+- :func:`lm_quality_score` — CCNet-style perplexity-proxy quality scores
+  from an add-k-smoothed unigram LM (the model is a (token, count)
+  aggregate; scoring is an equi-join + per-doc aggregate).
 - :func:`chunk_documents` — split documents into overlapping token-window
   chunks (the tokenize→chunk step in front of training-sequence assembly).
 - :func:`top_ngrams` — corpus top-k n-gram vocabulary with deterministic
@@ -277,6 +280,67 @@ def shuffle_rows(
                     (F.col("_sh_off") + F.row_number().over(w) - 1).cast("long"))
         .drop("_sh_h", "_sh_b", "_sh_off")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM quality scoring (perplexity-proxy filtering)
+# ---------------------------------------------------------------------------
+
+def lm_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: Optional[DataFrame] = None,
+    add_k: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document unigram LM score (the CCNet/Wenzek perplexity-filter
+    shape): average negative log-likelihood of the document's tokens under
+    an add-k-smoothed unigram model trained on ``train_df`` (default: the
+    corpus itself).
+
+    Returns ``(id, n_tokens, lm_nll, lm_ppl)`` — ``lm_nll`` is mean
+    ``-ln p(tok)`` in nats (null for empty docs), ``lm_ppl = exp(lm_nll)``.
+    Low-likelihood (gibberish/rare-token) documents score high and get cut
+    by a threshold; pair with :func:`hash_sample` for score-stratified
+    retention.
+
+    Distributed shape: the model IS a (token, count) aggregate — one
+    explode + groupBy over the training corpus; scoring is an equi-join of
+    exploded doc tokens to that table (no explosion: the model side holds
+    one row per distinct token) plus a per-doc aggregate. The two model
+    scalars (total count N, vocab size V) fold in as literals. Unseen
+    tokens take the smoothing floor ``add_k / (N + add_k·V)``.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0 (smoothing floor), got {add_k}")
+    train = train_df if train_df is not None else df
+    norm = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
+
+    tr_toks = train.select(
+        F.explode(tokens(norm(F.col(text_col)))).alias("_tok"))
+    model = tr_toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    n_total, vocab = (
+        model.agg(F.sum("_c"), F.count("*")).first() or (0, 0))
+    denom = float(n_total or 0) + add_k * float(vocab or 0)
+    if denom <= 0:
+        raise ValueError("training corpus has no tokens")
+
+    doc_toks = df.select(
+        F.col(id_col),
+        F.posexplode_outer(tokens(norm(F.col(text_col)))).alias("_i", "_tok"),
+    )
+    scored = doc_toks.join(model, on="_tok", how="left")
+    nll = -F.log((F.coalesce(F.col("_c"), F.lit(0)) + F.lit(add_k))
+                 / F.lit(denom))
+    out = (
+        scored.groupBy(id_col)
+        .agg(F.count("_tok").alias("n_tokens"),
+             F.avg(F.when(F.col("_tok").isNotNull(), nll)).alias("lm_nll"))
+        .withColumn("n_tokens", F.col("n_tokens").cast("long"))
+        .withColumn("lm_ppl", F.exp("lm_nll"))
+    )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -220,3 +220,39 @@ def test_shuffle_rows_is_seeded_permutation(spark):
     assert {r["doc_id"] for r in other} == {r["doc_id"] for r in out}
     assert [r["shuffle_pos"] for r in sorted(other, key=lambda r: r["doc_id"])] != \
         [r["shuffle_pos"] for r in sorted(out, key=lambda r: r["doc_id"])]
+
+
+def test_lm_quality_score_matches_hand_model(spark):
+    from bid_evaluation_spark.operators.pipeline import lm_quality_score
+    import math
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b c"), (2, ""), (3, None), (4, "A zzz")],
+        "doc_id long, text string")
+    # lowercased corpus tokens: a,a,b,b,c,a,zzz → counts a:3 b:2 c:1 zzz:1
+    counts = {"a": 3, "b": 2, "c": 1, "zzz": 1}
+    n, v, k = 7, 4, 0.5
+
+    def nll(tok):
+        return -math.log((counts.get(tok, 0) + k) / (n + k * v))
+
+    got = {r["doc_id"]: r for r in lm_quality_score(df, add_k=k).collect()}
+    assert got[0]["n_tokens"] == 3
+    assert got[0]["lm_nll"] == pytest.approx((2 * nll("a") + nll("b")) / 3)
+    assert got[1]["lm_nll"] == pytest.approx((nll("b") + nll("c")) / 2)
+    # empty and null docs: present with 0 tokens, null score
+    assert got[2]["n_tokens"] == 0 and got[2]["lm_nll"] is None
+    assert got[3]["n_tokens"] == 0 and got[3]["lm_nll"] is None
+    # rarer tokens → higher (worse) score; ppl = exp(nll)
+    assert got[4]["lm_nll"] > got[0]["lm_nll"]
+    assert got[4]["lm_ppl"] == pytest.approx(math.exp(got[4]["lm_nll"]))
+
+    # scoring against a SEPARATE training corpus: unseen → smoothing floor
+    train = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    g2 = {r["doc_id"]: r for r in
+          lm_quality_score(df, train_df=train, add_k=k).collect()}
+    floor = -math.log(k / (2 + k * 2))
+    assert g2[4]["lm_nll"] == pytest.approx(
+        (-math.log(1.5 / 3.0) + floor) / 2)
+    with pytest.raises(ValueError, match="add_k"):
+        lm_quality_score(df, add_k=0)
