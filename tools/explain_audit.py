@@ -245,6 +245,54 @@ def _pipeline_shapes(spark, sf_dir):
     return probs
 
 
+@check("mixture sample: map-only scan + filter after the counts pass")
+def _mixture(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import mixture_sample
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    res = mixture_sample(df, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1},
+                         group_col="lang")
+    plan = plan_of(res)
+    probs = []
+    if "Exchange" in plan or "Join" in plan:
+        probs.append("sampling plan shuffles/joins (should be scan + filter)")
+    return probs
+
+
+@check("shuffle_rows: data window bucket-partitioned, offsets broadcast")
+def _shuffle_rows(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import shuffle_rows
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = plan_of(shuffle_rows(df))
+    probs = []
+    if "hashpartitioning(_sh_b" not in plan:
+        probs.append("position window not partitioned by the hash bucket")
+    if "BroadcastHashJoin" not in plan:
+        probs.append("bucket offsets not broadcast back")
+    # the single-partition stage must only ever see the per-bucket counts
+    if re.search(r"Window \[row_number\(\).*\], \[md5", plan):
+        probs.append("row_number window runs globally over the data")
+    return probs
+
+
+@check("lm score: model join is hashed equi-join with partial aggregation")
+def _lm_score(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import lm_quality_score
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = plan_of(lm_quality_score(df))
+    probs = []
+    if "CartesianProduct" in plan or "NestedLoop" in plan:
+        probs.append("token-model join executed as cartesian/nested-loop")
+    if "partial" not in plan.lower():
+        probs.append("model counts lack map-side partial aggregation")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
