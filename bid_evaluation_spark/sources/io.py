@@ -129,6 +129,27 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def write_training_shards(df: DataFrame, path: str, n_shards: int,
+                          pos_col: str = "shuffle_pos",
+                          mode: str = "overwrite") -> None:
+    """Write a globally-ordered frame (e.g. the output of
+    ``pipeline.shuffle_rows``) as ``n_shards`` contiguous, internally-ordered
+    parquet shards — the training-data-loader layout, where each worker
+    streams one shard sequentially and the concatenation of shards in range
+    order replays the exact global permutation.
+
+    ``repartitionByRange`` on the position column gives contiguous,
+    non-overlapping shard ranges (one range-sampled exchange);
+    ``sortWithinPartitions`` orders rows inside each shard with no further
+    shuffle.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be > 0, got {n_shards}")
+    (df.repartitionByRange(n_shards, F.col(pos_col))
+       .sortWithinPartitions(pos_col)
+       .write.mode(mode).parquet(path))
+
+
 # === Bucketed tables (co-located joins — the repeated-big-join scale path) ===
 
 def write_bucketed(df: DataFrame, table: str, bucket_cols,

@@ -1,6 +1,8 @@
 # example_pipeline.py — end-to-end training-data prep with the pipeline
-# operators (beyond-reference suite): dedup → quality gate → decontaminate
-# → deterministic sample → chunk → pack. Runs on the driver testdata.
+# operators (beyond-reference suite): dedup → quality gates (heuristic +
+# unigram-LM perplexity) → decontaminate → deterministic sample → domain
+# mixture → chunk/pack → global shuffle → shard write. Runs on the driver
+# testdata.
 import os
 import sys
 
@@ -9,7 +11,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import Window, functions as F
 
 from bid_evaluation_spark.operators.pipeline import (
-    chunk_documents, decontaminate, hash_sample, pack_sequences, top_ngrams,
+    chunk_documents, decontaminate, hash_sample, lm_quality_score,
+    mixture_sample, pack_sequences, shuffle_rows, top_ngrams,
 )
 from bid_evaluation_spark.operators.text import fingerprint_md5, quality_score
 from bid_evaluation_spark.session import get_spark
@@ -28,8 +31,14 @@ docs = (
     .drop("_fp", "_keep")
 )
 
-# 2. quality gate — heuristic 0-100 score as a plain Column predicate
+# 2. quality gates — heuristic 0-100 score as a plain Column predicate,
+#    then a CCNet-style unigram-LM perplexity cut (drop the worst 10%)
 docs = docs.filter(quality_score() >= 40)
+lm = lm_quality_score(docs)
+cut = lm.agg(F.expr("percentile(lm_nll, 0.9)")).first()[0]
+docs = (docs.join(lm.select("doc_id", "lm_nll"), "doc_id")
+        .filter(F.col("lm_nll").isNull() | (F.col("lm_nll") <= cut))
+        .drop("lm_nll"))
 
 # 3. decontaminate against a held-out eval slice (doc_id % 10 == 0)
 train = docs.filter(F.col("doc_id") % 10 != 0)
@@ -40,9 +49,14 @@ train = train.join(
     train.doc_id == F.col("train_id"), "left_anti",
 )
 
-# 4. deterministic, reproducible 50% sample (md5-threshold, not rand)
+# 4. deterministic, reproducible 50% sample (md5-threshold, not rand),
+#    then thin toward a target language mixture (4:2:2:1:1)
 train = hash_sample(train, 0.5, key_col="doc_id", seed="demo")
-print(f"after dedup + quality + decontamination + sample: {train.count()}")
+train = mixture_sample(train, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1},
+                       group_col="lang", seed="demo")
+print(f"after dedup + quality + decontamination + sample + mixture: "
+      f"{train.count()}")
+train.groupBy("lang").count().orderBy("lang").show()
 
 # 5a. chunk for embedding/indexing ...
 chunks = chunk_documents(train, chunk_tokens=64, overlap=16)
@@ -53,6 +67,15 @@ packed = pack_sequences(train, max_tokens=512, shard_col="source")
 packed.groupBy("source", "seq_id").agg(
     F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tokens")
 ).orderBy("source", "seq_id").show(10)
+
+# 6. seeded global shuffle → contiguous ordered training shards
+from bid_evaluation_spark.sources.io import write_training_shards
+
+shard_dir = os.path.join(os.environ.get("TMPDIR", "/tmp"), "demo_shards")
+write_training_shards(shuffle_rows(train, seed="epoch0"), shard_dir,
+                      n_shards=4)
+print(f"shards written: {shard_dir} "
+      f"({spark.read.parquet(shard_dir).count()} rows)")
 
 # bonus: corpus vocabulary
 top_ngrams(train, n=2, k=10).show(truncate=False)
