@@ -2090,6 +2090,85 @@ LEFT JOIN (SELECT doc_id, count(*) AS cnt, avg(nll) AS mean_nll
 """
 
 
+def _q_profile_columns_documents(spark, sf_dir):
+    """One-pass column profiling (nulls, cardinalities, top-3 frequent
+    values with deterministic ties), flattened one row per (column, rank)
+    for the hash compare. The oracle rebuilds the identical unpivot +
+    frequency ranking in SQL."""
+    from bid_evaluation_spark.operators.profile import column_profile
+
+    df = _t(spark, sf_dir, "documents")
+    p = column_profile(df, ["lang", "source", "n_chars"], top_k=3)
+    return p.select(
+        "column", "n_rows", "n_null", "n_distinct",
+        F.posexplode("top_values").alias("pos", "tv"),
+    ).select(
+        "column", "n_rows", "n_null", "n_distinct",
+        (F.col("pos") + 1).cast("long").alias("r"),
+        F.col("tv.value").alias("value"),
+        F.col("tv.n").cast("long").alias("n_top"),
+    )
+
+
+_SQL_PROFILE_COLUMNS_DOCUMENTS = """
+WITH long AS (
+  SELECT 'lang' AS col, CAST(lang AS VARCHAR) AS value FROM documents
+  UNION ALL SELECT 'source', CAST(source AS VARCHAR) FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+),
+freq AS (SELECT col, value, count(*) AS n FROM long GROUP BY col, value),
+tall AS (
+  SELECT col, sum(n) AS n_rows,
+         coalesce(sum(n) FILTER (WHERE value IS NULL), 0) AS n_null,
+         count(*) FILTER (WHERE value IS NOT NULL) AS n_distinct
+  FROM freq GROUP BY col
+),
+top AS (
+  SELECT col, value, n,
+         row_number() OVER (PARTITION BY col ORDER BY n DESC, value ASC) AS r
+  FROM freq WHERE value IS NOT NULL
+)
+SELECT t.col AS column, CAST(t.n_rows AS BIGINT) AS n_rows,
+       CAST(t.n_null AS BIGINT) AS n_null,
+       CAST(t.n_distinct AS BIGINT) AS n_distinct,
+       CAST(p.r AS BIGINT) AS r, p.value, CAST(p.n AS BIGINT) AS n_top
+FROM tall t JOIN top p USING (col)
+WHERE p.r <= 3
+"""
+
+
+def _q_profile_histogram_events(spark, sf_dir):
+    """Exact equi-width histogram of the event value column (8 buckets,
+    empty buckets materialized, top edge inclusive). The oracle recomputes
+    the identical bucket arithmetic in SQL."""
+    from bid_evaluation_spark.operators.profile import numeric_histogram
+
+    df = _t(spark, sf_dir, "events")
+    h = numeric_histogram(df, ["value"], bins=8)
+    return h.select("column", "bucket", _r4("lo").alias("lo"),
+                    _r4("hi").alias("hi"), F.col("n").cast("long").alias("n"))
+
+
+_SQL_PROFILE_HISTOGRAM_EVENTS = """
+WITH b AS (
+  SELECT min(value) AS lo, max(value) AS hi, (max(value) - min(value)) / 8 AS w
+  FROM events
+),
+bk AS (SELECT u.k AS bucket FROM (SELECT 1) one, UNNEST(generate_series(0, 7)) AS u(k)),
+cnt AS (
+  SELECT CAST(CASE WHEN b.w = 0 THEN 0
+              ELSE least(floor((e.value - b.lo) / b.w), 7) END AS INTEGER) AS bucket,
+         count(*) AS n
+  FROM events e, b WHERE e.value IS NOT NULL GROUP BY 1
+)
+SELECT 'value' AS column, CAST(bk.bucket AS INTEGER) AS bucket,
+       round((b.lo + bk.bucket * b.w) * 10000.0) / 10000.0 AS lo,
+       round((b.lo + (bk.bucket + 1) * b.w) * 10000.0) / 10000.0 AS hi,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS n
+FROM bk CROSS JOIN b LEFT JOIN cnt USING (bucket)
+"""
+
+
 def _q_pipe_chunk_documents(spark, sf_dir):
     """Overlapping token-window chunking (32-token windows, 8-token overlap):
     map-side posexplode, no shuffle; every doc yields >= 1 chunk."""
@@ -2353,6 +2432,10 @@ _QUERIES: dict = {
                                _SQL_PIPE_SHUFFLE_DOCUMENTS),
     "pipe_lm_score_documents": (_q_pipe_lm_score_documents,
                                 _SQL_PIPE_LM_SCORE_DOCUMENTS),
+    "profile_columns_documents": (_q_profile_columns_documents,
+                                  _SQL_PROFILE_COLUMNS_DOCUMENTS),
+    "profile_histogram_events": (_q_profile_histogram_events,
+                                 _SQL_PROFILE_HISTOGRAM_EVENTS),
     "pipe_chunk_documents": (_q_pipe_chunk_documents, _SQL_PIPE_CHUNK_DOCUMENTS),
     "pipe_top_ngrams_documents": (_q_pipe_top_ngrams_documents,
                                   _SQL_PIPE_TOP_NGRAMS_DOCUMENTS),

@@ -1,0 +1,135 @@
+"""Data profiling: one-pass column profiles and equi-width histograms.
+
+Beyond-reference operators (BASELINE.json north star): before a 100-TB
+corpus is cleaned/mixed/packed, a pipeline profiles it — null rates,
+cardinalities, dominant values, numeric distributions. Everything here is
+exact and expressed as fused aggregations so one scan serves many columns:
+
+- :func:`column_profile` — per column: rows, nulls, distinct count, and the
+  top-k most frequent values with counts (deterministic ties). The
+  frequency pass shuffles (value, count) pairs per column with map-side
+  partial aggregation; the driver receives k rows per column, never the
+  value tables.
+- :func:`numeric_histogram` — exact equi-width histogram per numeric
+  column: one tiny min/max pass folds the bounds in as literals, then one
+  partially-aggregated ``groupBy(bucket)`` shuffle. Empty buckets are
+  materialized (array_repeat + explode) so the output is always ``bins``
+  rows per column — the plotting contract.
+
+Approximate variants at extreme cardinality (``approx_count_distinct``,
+``percentile_approx`` sketches) are one-word swaps; the exact forms are the
+oracle-checkable defaults.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def column_profile(df: DataFrame, cols: Optional[Sequence[str]] = None,
+                   top_k: int = 5) -> DataFrame:
+    """Profile columns → ``(column, n_rows, n_null, n_distinct, top_values)``.
+
+    ``top_values`` is an array of ``{value, n}`` structs (values rendered
+    as strings so one schema fits every column type), ordered by
+    (count desc, value asc) — deterministic under ties. Nulls are counted
+    in ``n_null`` and excluded from ``n_distinct``/``top_values``
+    (``count(distinct)`` SQL semantics).
+
+    One unpivot (stack) feeds both the distinct/null tallies and the
+    frequency ranking, so the input scans once; all aggregation is partial
+    (map-side) before its shuffle.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in frame: {missing}")
+
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {pairs}) AS (column, value)"))
+
+    freq = long.groupBy("column", "value").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("column").orderBy(F.desc("n"), F.asc("value"))
+    top = (
+        freq.filter(F.col("value").isNotNull())
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= top_k)
+        .groupBy("column")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("_r").alias("r"), F.col("value").alias("value"),
+            F.col("n").alias("n")))).alias("_tv"))
+        .select("column", F.transform(
+            "_tv", lambda s: s.dropFields("r")).alias("top_values"))
+    )
+    tallies = freq.groupBy("column").agg(
+        F.sum("n").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("value").isNull(), F.col("n"))),
+                   F.lit(0)).alias("n_null"),
+        F.count(F.when(F.col("value").isNotNull(), F.lit(1)))
+         .alias("n_distinct"),
+    )
+    return tallies.join(top, on="column", how="left").select(
+        "column", "n_rows", "n_null", "n_distinct", "top_values")
+
+
+def numeric_histogram(df: DataFrame, cols: Sequence[str],
+                      bins: int = 10) -> DataFrame:
+    """Exact equi-width histograms → ``(column, bucket, lo, hi, n)``.
+
+    Buckets split ``[min, max]`` into ``bins`` equal widths per column;
+    the top edge is inclusive (the max lands in the last bucket, the SQL
+    ``width_bucket`` convention clamped). Always emits exactly ``bins``
+    rows per column — empty buckets appear with ``n = 0``. Nulls are
+    excluded. A constant column puts every row in bucket 0 of a
+    zero-width range.
+
+    Two jobs: a fused min/max aggregate (one row to the driver), then one
+    partially-aggregated bucket count per column.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("no columns to histogram")
+    if bins <= 0:
+        raise ValueError(f"bins must be > 0, got {bins}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise KeyError(f"columns not in frame: {missing}")
+
+    bounds = df.agg(*[f for c in cols for f in (
+        F.min(F.col(c).cast("double")).alias(f"{c}__min"),
+        F.max(F.col(c).cast("double")).alias(f"{c}__max"))]).first()
+
+    out = None
+    for c in cols:
+        lo, hi = bounds[f"{c}__min"], bounds[f"{c}__max"]
+        if lo is None:  # all-null column: bins empty buckets over [0, 0]
+            lo = hi = 0.0
+        width = (hi - lo) / bins
+        x = F.col("_x")
+        bucket = (F.when(F.lit(width) == 0.0, F.lit(0))
+                  .otherwise(F.least(F.floor((x - F.lit(lo)) / F.lit(width)),
+                                     F.lit(bins - 1)))).cast("int")
+        counted = (
+            df.select(F.col(c).cast("double").alias("_x"))
+            .filter(x.isNotNull())
+            .select(bucket.alias("bucket")).groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+        all_buckets = df.sparkSession.range(bins).select(
+            F.col("id").cast("int").alias("bucket"))
+        hist = (
+            all_buckets.join(counted, on="bucket", how="left")
+            .select(
+                F.lit(c).alias("column"), "bucket",
+                (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("lo"),
+                (F.lit(lo) + (F.col("bucket") + 1) * F.lit(width)).alias("hi"),
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            )
+        )
+        out = hist if out is None else out.unionByName(hist)
+    return out
