@@ -12,6 +12,13 @@ Usage::
         --config criteria.yaml --output results.parquet
     python -m bid_evaluation_spark.cli --data bids.csv --staged \
         --config stages.yaml --output results.csv --show 10
+    python -m bid_evaluation_spark.cli --data docs.parquet --prep \
+        --config prep.yaml --eval-data heldout.parquet \
+        --output clean.parquet
+
+``--prep`` switches the config semantics from criteria scoring to the
+training-data prep pipeline (``plans/prep.py``: dedup / quality / LM /
+decontaminate / sample / mixture / chunk / pack / shuffle steps).
 """
 
 from __future__ import annotations
@@ -44,7 +51,9 @@ def _build(args):
     raise SystemExit(f"unsupported config format: {args.config}")
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
+    """Run the CLI. ``spark`` injects an existing session (tests); without
+    it a session is created and stopped around the run."""
     p = argparse.ArgumentParser(
         prog="bid_evaluation_spark",
         description="Score and rank a bid table with a criteria config.",
@@ -53,20 +62,41 @@ def main(argv=None) -> int:
     p.add_argument("--config", required=True, help="YAML/JSON criteria config")
     p.add_argument("--staged", action="store_true",
                    help="config describes a staged pipeline")
+    p.add_argument("--prep", action="store_true",
+                   help="config describes a training-data prep pipeline")
+    p.add_argument("--eval-data", default=None,
+                   help="held-out corpus for prep decontaminate steps "
+                        "(registered as tables['eval'])")
     p.add_argument("--output", help="parquet/csv/xlsx output path")
     p.add_argument("--show", type=int, default=0,
                    help="print the top N result rows")
     p.add_argument("--master", default=None, help="Spark master override")
     args = p.parse_args(argv)
 
-    from .session import get_spark
+    owns_session = spark is None
+    if owns_session:
+        from .session import get_spark
 
-    spark = get_spark("bid-evaluation-cli", master=args.master)
-    spark.sparkContext.setLogLevel("ERROR")
+        spark = get_spark("bid-evaluation-cli", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
     try:
         df = _read(spark, args.data)
-        evaluator = _build(args)
-        result = evaluator.evaluate(df)
+        if args.prep:
+            from .plans.prep import prep_from_json, prep_from_yaml
+
+            tables = ({"eval": _read(spark, args.eval_data)}
+                      if args.eval_data else None)
+            if args.config.endswith((".yaml", ".yml")):
+                run = prep_from_yaml(args.config, tables)
+            elif args.config.endswith(".json"):
+                run = prep_from_json(args.config, tables)
+            else:
+                raise SystemExit(f"unsupported config format: {args.config}")
+            evaluator = None
+            result = run(df)
+        else:
+            evaluator = _build(args)
+            result = evaluator.evaluate(df)
 
         if args.show:
             result.show(args.show, truncate=False)
@@ -78,17 +108,20 @@ def main(argv=None) -> int:
 
                 write_csv(result, args.output)
             elif args.output.endswith((".xlsx", ".xls")):
+                if evaluator is None:
+                    raise SystemExit("xlsx output applies to scoring runs")
                 from .sources.io import write_results_excel
 
                 write_results_excel(result, args.output,
                                     statistics=evaluator.get_statistics())
             else:
                 raise SystemExit(f"unsupported output format: {args.output}")
-        if args.staged:
+        if args.staged and evaluator is not None:
             evaluator.release()
         return 0
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
 
 
 if __name__ == "__main__":
