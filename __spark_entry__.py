@@ -2336,6 +2336,190 @@ FROM kept
 """
 
 
+def _q_quality_repetition_documents(spark, sf_dir):
+    """Gopher-style n-gram repetition fractions (most-common-gram char
+    coverage + duplicated-gram char coverage, n=1 and 2). One map-side
+    explode, count shuffle keyed (doc, n, gram), per-doc fold — linear in
+    total tokens."""
+    from bid_evaluation_spark.operators.quality import ngram_repetition_stats
+
+    df = _t(spark, sf_dir, "documents")
+    res = ngram_repetition_stats(df, ns=(1, 2))
+    return res.select(
+        "doc_id",
+        _r4("top1_fraction").alias("top1_fraction"),
+        _r4("dup1_fraction").alias("dup1_fraction"),
+        _r4("top2_fraction").alias("top2_fraction"),
+        _r4("dup2_fraction").alias("dup2_fraction"),
+    )
+
+
+_SQL_QUALITY_REPETITION_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+g1 AS (SELECT doc_id, 1 AS n, unnest(t) AS gram FROM toks),
+g2 AS (
+  SELECT doc_id, 2 AS n,
+    unnest(CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+    ELSE CAST([] AS VARCHAR[]) END) AS gram
+  FROM toks
+),
+grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+cnts AS (SELECT doc_id, n, gram, count(*) AS cnt FROM grams GROUP BY doc_id, n, gram),
+ranked AS (
+  SELECT doc_id, n, cnt, length(gram) AS glen,
+         row_number() OVER (PARTITION BY doc_id, n
+                            ORDER BY cnt DESC, length(gram) DESC, gram DESC) AS rn
+  FROM cnts
+),
+tops AS (SELECT doc_id, n, cnt * glen AS top_chars FROM ranked WHERE rn = 1),
+sums AS (
+  SELECT doc_id, n,
+         sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS dup_chars,
+         sum(cnt * length(gram)) AS tot_chars
+  FROM cnts GROUP BY doc_id, n
+),
+per AS (
+  SELECT s.doc_id, s.n,
+         CAST(t.top_chars AS DOUBLE) / s.tot_chars AS top_fraction,
+         CAST(s.dup_chars AS DOUBLE) / s.tot_chars AS dup_fraction
+  FROM sums s JOIN tops t ON s.doc_id = t.doc_id AND s.n = t.n
+),
+folded AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 1 THEN top_fraction END) AS t1,
+         max(CASE WHEN n = 1 THEN dup_fraction END) AS d1,
+         max(CASE WHEN n = 2 THEN top_fraction END) AS t2,
+         max(CASE WHEN n = 2 THEN dup_fraction END) AS d2
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       round(coalesce(f.t1, 0.0) * 10000.0) / 10000.0 AS top1_fraction,
+       round(coalesce(f.d1, 0.0) * 10000.0) / 10000.0 AS dup1_fraction,
+       round(coalesce(f.t2, 0.0) * 10000.0) / 10000.0 AS top2_fraction,
+       round(coalesce(f.d2, 0.0) * 10000.0) / 10000.0 AS dup2_fraction
+FROM documents d LEFT JOIN folded f USING (doc_id)
+"""
+
+
+def _q_quality_gopher_documents(spark, sf_dir):
+    """Gopher §A1.1 heuristic quality gate: word-count band, mean word
+    length, symbol/word ratio, alpha-word fraction, stopword hits — all
+    map-only Column expressions, no shuffle."""
+    from bid_evaluation_spark.operators.quality import gopher_quality_flags
+
+    df = _t(spark, sf_dir, "documents")
+    # min_stopword_hits=1: the synthetic corpus vocabulary contains only
+    # one of the eight Gopher stopwords, so the paper default of 2 would
+    # fail every document — 1 gives a meaningful 382/500 split at sf0.01.
+    res = gopher_quality_flags(df, min_words=20, min_stopword_hits=1)
+    return res.select(
+        "doc_id",
+        "n_words",
+        _r4("mean_word_len").alias("mean_word_len"),
+        _r4("symbol_word_ratio").alias("symbol_word_ratio"),
+        _r4("alpha_word_fraction").alias("alpha_word_fraction"),
+        "stopword_hits",
+        "pass_word_count", "pass_mean_word_len", "pass_symbol_ratio",
+        "pass_alpha_words", "pass_stopwords", "gopher_pass",
+    )
+
+
+_SQL_QUALITY_GOPHER_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CAST(len(t) AS BIGINT) AS n_words,
+    CASE WHEN len(t) > 0 THEN
+      CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(t)
+    ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(t) > 0 THEN
+      CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / len(t)
+    ELSE 0.0 END AS symbol_word_ratio,
+    CASE WHEN len(t) > 0 THEN
+      CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(t)
+    ELSE 0.0 END AS alpha_word_fraction,
+    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                         w -> list_contains(t, w))) AS BIGINT) AS stopword_hits
+  FROM toks
+)
+SELECT doc_id, n_words,
+  round(mean_word_len * 10000.0) / 10000.0 AS mean_word_len,
+  round(symbol_word_ratio * 10000.0) / 10000.0 AS symbol_word_ratio,
+  round(alpha_word_fraction * 10000.0) / 10000.0 AS alpha_word_fraction,
+  stopword_hits,
+  (n_words >= 20 AND n_words <= 100000) AS pass_word_count,
+  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_mean_word_len,
+  (symbol_word_ratio <= 0.1) AS pass_symbol_ratio,
+  (alpha_word_fraction >= 0.8) AS pass_alpha_words,
+  (stopword_hits >= 1) AS pass_stopwords,
+  ((n_words >= 20 AND n_words <= 100000)
+   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+   AND (symbol_word_ratio <= 0.1)
+   AND (alpha_word_fraction >= 0.8)
+   AND (stopword_hits >= 1)) AS gopher_pass
+FROM sig
+"""
+
+
+def _q_quality_line_dedup_documents(spark, sf_dir):
+    """C4-style cross-corpus repeated-"line" removal, with 16-token chunks
+    standing in for lines (the corpus has no newlines): chunk map-side,
+    then ONE window shuffle partitioned by the chunk text computes corpus
+    count + first occurrence; keep-first policy. Returns surviving
+    (doc, pos, line) rows."""
+    from bid_evaluation_spark.operators.pipeline import chunk_documents
+    from bid_evaluation_spark.operators.quality import drop_repeated_lines
+
+    df = _t(spark, sf_dir, "documents")
+    lines = chunk_documents(df, chunk_tokens=16, overlap=0).select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("pos"),
+        F.col("chunk_text").alias("line"),
+    )
+    kept = drop_repeated_lines(lines, max_occurrences=1, policy="keep_first")
+    return kept.select("doc_id", "pos", "line")
+
+
+_SQL_QUALITY_LINE_DEDUP_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), 16)) AS s
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, CAST((s - 1) // 16 AS BIGINT) AS pos,
+         array_to_string(t[s:s+15], ' ') AS line
+  FROM starts
+),
+marked AS (
+  SELECT doc_id, pos, line,
+         count(*) OVER (PARTITION BY line) AS occ,
+         first_value(doc_id) OVER (PARTITION BY line ORDER BY doc_id, pos) AS f_id,
+         first_value(pos) OVER (PARTITION BY line ORDER BY doc_id, pos) AS f_pos
+  FROM chunks
+)
+SELECT doc_id, pos, line FROM marked
+WHERE occ <= 1 OR (doc_id = f_id AND pos = f_pos)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2447,6 +2631,12 @@ _QUERIES: dict = {
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,
                                   _SQL_MM_VIDEO_FRAMES_DOCUMENTS),
+    "quality_repetition_documents": (_q_quality_repetition_documents,
+                                     _SQL_QUALITY_REPETITION_DOCUMENTS),
+    "quality_gopher_documents": (_q_quality_gopher_documents,
+                                 _SQL_QUALITY_GOPHER_DOCUMENTS),
+    "quality_line_dedup_documents": (_q_quality_line_dedup_documents,
+                                     _SQL_QUALITY_LINE_DEDUP_DOCUMENTS),
 }
 
 

@@ -164,6 +164,26 @@ def fingerprint_md5(text_col: str = "text") -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def word_ngrams(text: Column, n: int) -> Column:
+    """ALL word ``n``-grams in document order (duplicates kept) — the
+    counting-friendly sibling of :func:`word_shingles` (which dedupes for
+    set-similarity). Same zipped-slice construction (see
+    :func:`word_shingles` for why not ``element_at`` in a ``transform``).
+    Documents shorter than ``n`` tokens yield an empty array; ``n=1``
+    returns the token array itself.
+    """
+    t = tokens(text)
+    if n == 1:
+        return t
+    nn = F.size(t)
+    m = nn - F.lit(n - 1)
+    sh = F.slice(t, 1, m)
+    for j in range(1, n):
+        sh = F.zip_with(sh, F.slice(t, j + 1, m),
+                        lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(nn >= n, sh).otherwise(F.array().cast("array<string>"))
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-shingles as an array of strings.
 
