@@ -2520,6 +2520,56 @@ WHERE occ <= 1 OR (doc_id = f_id AND pos = f_pos)
 """
 
 
+def _q_text_bm25_topk_documents(spark, sf_dir):
+    """Okapi BM25 top-25 keyword retrieval for a 3-term query. Two corpus
+    passes: one fused stats aggregate (N, avgdl, per-term doc frequency —
+    2+|terms| scalars to the driver), then a map-only scoring pass with
+    JVM-native term counts; top-k via TakeOrdered (no global sort)."""
+    from bid_evaluation_spark.operators.retrieval import bm25_topk
+
+    df = _t(spark, sf_dir, "documents")
+    return bm25_topk(df, ["spark", "join", "hash"], k=25)
+
+
+_SQL_TEXT_BM25_TOPK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS toks,
+         sum(CAST(list_contains(t, 'spark') AS BIGINT)) AS df1,
+         sum(CAST(list_contains(t, 'join') AS BIGINT)) AS df2,
+         sum(CAST(list_contains(t, 'hash') AS BIGINT)) AS df3
+  FROM toks
+),
+scored AS (
+  SELECT k.doc_id,
+    0.0
+    + ln(1.0 + (CAST(s.n - s.df1 AS DOUBLE) + 0.5) / (CAST(s.df1 AS DOUBLE) + 0.5))
+      * CAST(len(list_filter(k.t, x -> x = 'spark')) AS DOUBLE) * 2.2
+      / (CAST(len(list_filter(k.t, x -> x = 'spark')) AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(len(k.t) AS DOUBLE) / (s.toks / s.n)))
+    + ln(1.0 + (CAST(s.n - s.df2 AS DOUBLE) + 0.5) / (CAST(s.df2 AS DOUBLE) + 0.5))
+      * CAST(len(list_filter(k.t, x -> x = 'join')) AS DOUBLE) * 2.2
+      / (CAST(len(list_filter(k.t, x -> x = 'join')) AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(len(k.t) AS DOUBLE) / (s.toks / s.n)))
+    + ln(1.0 + (CAST(s.n - s.df3 AS DOUBLE) + 0.5) / (CAST(s.df3 AS DOUBLE) + 0.5))
+      * CAST(len(list_filter(k.t, x -> x = 'hash')) AS DOUBLE) * 2.2
+      / (CAST(len(list_filter(k.t, x -> x = 'hash')) AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(len(k.t) AS DOUBLE) / (s.toks / s.n)))
+    AS bm25
+  FROM toks k CROSS JOIN stats s
+)
+SELECT doc_id, round(bm25 * 10000.0) / 10000.0 AS bm25
+FROM scored
+ORDER BY round(bm25 * 10000.0) / 10000.0 DESC, doc_id ASC
+LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2637,6 +2687,8 @@ _QUERIES: dict = {
                                  _SQL_QUALITY_GOPHER_DOCUMENTS),
     "quality_line_dedup_documents": (_q_quality_line_dedup_documents,
                                      _SQL_QUALITY_LINE_DEDUP_DOCUMENTS),
+    "text_bm25_topk_documents": (_q_text_bm25_topk_documents,
+                                 _SQL_TEXT_BM25_TOPK_DOCUMENTS),
 }
 
 

@@ -1,0 +1,117 @@
+"""Lexical retrieval over document tables: TF-IDF / Okapi BM25 scoring and
+top-k keyword search — all native Column expressions.
+
+Beyond-reference operators (BASELINE.json north star: the retrieval pass a
+training-data pipeline runs for corpus exploration, hard-negative mining,
+and query-based filtering). Okapi BM25 per Robertson & Zaragoza 2009.
+
+Scale shape: TWO corpus passes, both embarrassingly parallel —
+
+1. a statistics pass (one fused aggregate → 2 + |terms| scalars collected
+   to the driver: doc count, total tokens, per-term document frequency);
+2. a scoring pass where every per-document term frequency and the final
+   BM25 sum are pure Column expressions over the token array (map-only, no
+   shuffle, no Python).
+
+The query-term list is small by contract (a user query, not a table), so
+driver-side literals — not a join — are the right carrier at any corpus
+size. Top-k uses ``orderBy(...).limit(k)`` (Spark TakeOrdered: per-partition
+heaps merged on the driver — never a global sort exchange).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+
+def _tf(t: Column, term: str) -> Column:
+    """Term frequency via ``size(t) - size(array_remove(t, term))`` — both
+    JVM-native array ops inside whole-stage codegen (no interpreted
+    higher-order lambda)."""
+    return (F.size(t) - F.size(F.array_remove(t, term))).cast("double")
+
+
+def corpus_term_stats(df: DataFrame, terms: Sequence[str],
+                      text_col: str = "text") -> dict:
+    """One fused aggregate: corpus doc count ``n_docs``, mean document
+    length ``avgdl`` (whitespace tokens), and per-term document frequency
+    ``df[term]``. Returns plain Python scalars (2 + |terms| values — the
+    only driver-side data in the BM25 plan)."""
+    t = tokens(F.col(text_col))
+    aggs = [F.count(F.lit(1)).alias("_n"), F.sum(F.size(t)).alias("_toks")]
+    for i, term in enumerate(terms):
+        aggs.append(F.sum(F.array_contains(t, term).cast("long"))
+                     .alias(f"_df{i}"))
+    row = df.agg(*aggs).collect()[0]
+    n = row["_n"]
+    return {
+        "n_docs": n,
+        "avgdl": (row["_toks"] / n) if n else 0.0,
+        # sum() over zero rows is null — an empty corpus has df 0 everywhere
+        "df": {term: row[f"_df{i}"] or 0 for i, term in enumerate(terms)},
+    }
+
+
+def bm25_scores(df: DataFrame, terms: Sequence[str], k1: float = 1.2,
+                b: float = 0.75, text_col: str = "text",
+                stats: dict | None = None) -> DataFrame:
+    """Append an Okapi BM25 ``bm25`` column for the given query terms:
+
+    ``Σ_t ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+         · tf_t (k1+1) / (tf_t + k1 (1 - b + b·dl/avgdl))``
+
+    ``stats`` (from :func:`corpus_term_stats`) can be passed to reuse a
+    computed statistics pass; otherwise it is computed here.
+    """
+    if stats is None:
+        stats = corpus_term_stats(df, terms, text_col=text_col)
+    n, avgdl = stats["n_docs"], stats["avgdl"]
+    t = tokens(F.col(text_col))
+    dl = F.size(t).cast("double")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(float(avgdl)))
+    score = F.lit(0.0)
+    for term in terms:
+        df_t = stats["df"][term]
+        # idf from integer stats so any engine recomputes it identically
+        idf = F.log(F.lit(1.0) + (F.lit(float(n - df_t)) + F.lit(0.5))
+                    / (F.lit(float(df_t)) + F.lit(0.5)))
+        tf = _tf(t, term)
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+    return df.select("*", score.alias("bm25"))
+
+
+def bm25_topk(df: DataFrame, terms: Sequence[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Top-``k`` documents by BM25 for the query terms, deterministic:
+    ordered by score rounded to 4 decimals (descending — sub-rounding float
+    noise cannot reorder results across engines) then ``id`` ascending.
+    Returns ``(id, bm25)``."""
+    scored = bm25_scores(df, terms, k1=k1, b=b, text_col=text_col)
+    r4 = F.round(F.col("bm25") * 10000) / 10000
+    return (scored.select(F.col(id_col), r4.alias("bm25"))
+                  .orderBy(F.desc("bm25"), F.asc(id_col))
+                  .limit(k))
+
+
+def tfidf_scores(df: DataFrame, terms: Sequence[str],
+                 text_col: str = "text",
+                 stats: dict | None = None) -> DataFrame:
+    """Classic log-normalized TF-IDF sum for the query terms:
+    ``Σ_t ln(1 + tf_t) · ln(N / (1 + df_t))`` — same two-pass shape as
+    :func:`bm25_scores`."""
+    if stats is None:
+        stats = corpus_term_stats(df, terms, text_col=text_col)
+    n = stats["n_docs"]
+    t = tokens(F.col(text_col))
+    score = F.lit(0.0)
+    for term in terms:
+        df_t = stats["df"][term]
+        idf = F.log(F.lit(float(n)) / (F.lit(1.0) + F.lit(float(df_t))))
+        score = score + F.log(F.lit(1.0) + _tf(t, term)) * idf
+    return df.select("*", score.alias("tfidf"))
