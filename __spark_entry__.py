@@ -2570,6 +2570,63 @@ LIMIT 25
 """
 
 
+def _q_pii_redact_documents(spark, sf_dir):
+    """PII redaction + per-kind counts. The corpus has no PII, so the query
+    first seeds each document with deterministic synthetic identifiers
+    (email always; IP / phone / SSN on doc_id mod 2 / 3 / 5) and then runs
+    the redactor — a map-only chain of regexp_count/regexp_replace in the
+    Java∩RE2 portable regex subset, no shuffle."""
+    from bid_evaluation_spark.operators.pii import redact_pii
+
+    df = _t(spark, sf_dir, "documents")
+    seeded = df.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit(" ip 10."),
+                            (F.col("doc_id") % 256).cast("string"),
+                            F.lit(".0.1"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_pii(seeded)
+
+
+_SQL_PII_REDACT_DOCUMENTS = """
+WITH seeded AS (
+  SELECT doc_id,
+    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+    || CASE WHEN doc_id % 2 = 0
+            THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+            ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' call 555-123-4567' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text,
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone
+FROM seeded
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2689,6 +2746,8 @@ _QUERIES: dict = {
                                      _SQL_QUALITY_LINE_DEDUP_DOCUMENTS),
     "text_bm25_topk_documents": (_q_text_bm25_topk_documents,
                                  _SQL_TEXT_BM25_TOPK_DOCUMENTS),
+    "pii_redact_documents": (_q_pii_redact_documents,
+                             _SQL_PII_REDACT_DOCUMENTS),
 }
 
 
