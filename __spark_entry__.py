@@ -2627,6 +2627,64 @@ FROM seeded
 """
 
 
+def _q_features_rolling_events(spark, sf_dir):
+    """Per-user time-series features + forward label over the event log:
+    lag/delta/inter-arrival, trailing-5 rolling stats, next-event value and
+    gap. All windows share one (user) partitioning + (ts, event_id)
+    ordering — a single shuffle, deterministic under timestamp ties."""
+    from bid_evaluation_spark.operators.features import (
+        forward_labels, rolling_features)
+
+    df = _t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    res = forward_labels(rolling_features(df, windows=(5,)))
+    return res.select(
+        "event_id", "user_id", "row_index",
+        _r4("lag1_value").alias("lag1_value"),
+        _r4("delta_value").alias("delta_value"),
+        _r4("secs_since_prev").alias("secs_since_prev"),
+        _r4("roll5_mean").alias("roll5_mean"),
+        _r4("roll5_std").alias("roll5_std"),
+        _r4("roll5_min").alias("roll5_min"),
+        _r4("roll5_max").alias("roll5_max"),
+        _r4("next1_value").alias("next1_value"),
+        _r4("secs_to_next1").alias("secs_to_next1"),
+    )
+
+
+_SQL_FEATURES_ROLLING_EVENTS = """
+WITH w AS (
+  SELECT event_id, user_id,
+    CAST(row_number() OVER win - 1 AS BIGINT) AS row_index,
+    lag(value) OVER win AS lag1_value,
+    value - lag(value) OVER win AS delta_value,
+    CAST(epoch_us(ts) - epoch_us(lag(ts) OVER win) AS DOUBLE) / 1000000.0
+      AS secs_since_prev,
+    avg(value) OVER win5 AS roll5_mean,
+    stddev_samp(value) OVER win5 AS roll5_std,
+    min(value) OVER win5 AS roll5_min,
+    max(value) OVER win5 AS roll5_max,
+    lead(value) OVER win AS next1_value,
+    CAST(epoch_us(lead(ts) OVER win) - epoch_us(ts) AS DOUBLE) / 1000000.0
+      AS secs_to_next1
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id),
+         win5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, row_index,
+  round(lag1_value * 10000.0) / 10000.0 AS lag1_value,
+  round(delta_value * 10000.0) / 10000.0 AS delta_value,
+  round(secs_since_prev * 10000.0) / 10000.0 AS secs_since_prev,
+  round(roll5_mean * 10000.0) / 10000.0 AS roll5_mean,
+  round(roll5_std * 10000.0) / 10000.0 AS roll5_std,
+  round(roll5_min * 10000.0) / 10000.0 AS roll5_min,
+  round(roll5_max * 10000.0) / 10000.0 AS roll5_max,
+  round(next1_value * 10000.0) / 10000.0 AS next1_value,
+  round(secs_to_next1 * 10000.0) / 10000.0 AS secs_to_next1
+FROM w
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2748,6 +2806,8 @@ _QUERIES: dict = {
                                  _SQL_TEXT_BM25_TOPK_DOCUMENTS),
     "pii_redact_documents": (_q_pii_redact_documents,
                              _SQL_PII_REDACT_DOCUMENTS),
+    "features_rolling_events": (_q_features_rolling_events,
+                                _SQL_FEATURES_ROLLING_EVENTS),
 }
 
 

@@ -1,0 +1,81 @@
+"""Per-key time-series feature engineering over event tables: lags, deltas,
+rolling statistics, and forward-looking labels — all window expressions.
+
+Beyond-reference operator (BASELINE.json north star: the feature/label
+generation pass that turns raw event logs into supervised training rows).
+Everything is ``Window.partitionBy(key).orderBy(ts, tiebreak)`` expressions:
+
+- ONE shuffle keyed by the entity (all window specs share the partitioning
+  and ordering, so Catalyst plans a single exchange + sort and chains the
+  Window operators over it);
+- scales with events-per-key, never corpus size — a skewed key (one entity
+  with a huge history) serializes within its partition, which is inherent
+  to ordered per-key semantics; split such keys upstream by time range if
+  per-key history outgrows an executor.
+
+Determinism: the ordering includes an explicit unique ``tiebreak_col`` so
+lags/leads/rolling frames are reproducible across engines and runs (a
+``ts``-only ordering with duplicate timestamps is not).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def rolling_features(df: DataFrame, key_col: str = "user_id",
+                     ts_col: str = "ts", value_col: str = "value",
+                     tiebreak_col: str = "event_id",
+                     windows: Sequence[int] = (3, 10)) -> DataFrame:
+    """Append per-key history features, ordered by ``(ts, tiebreak)``:
+
+    - ``row_index`` — 0-based position in the key's history
+    - ``lag1_<value>`` / ``delta_<value>`` — previous value and change
+    - ``secs_since_prev`` — seconds since the previous event (null first)
+    - per ``w`` in ``windows``: ``roll{w}_mean/std/min/max`` over the
+      trailing ``w`` rows (current included; std is sample-stddev, null
+      until 2 rows)
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    v = F.col(value_col)
+    prev = F.lag(v).over(w)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    out = df.select(
+        "*",
+        (F.row_number().over(w) - 1).cast("long").alias("row_index"),
+        prev.alias(f"lag1_{value_col}"),
+        (v - prev).alias(f"delta_{value_col}"),
+        ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts))
+         / F.lit(1_000_000.0)).alias("secs_since_prev"),
+    )
+    for win in windows:
+        frame = w.rowsBetween(-(win - 1), 0)
+        out = out.select(
+            "*",
+            F.avg(value_col).over(frame).alias(f"roll{win}_mean"),
+            F.stddev_samp(value_col).over(frame).alias(f"roll{win}_std"),
+            F.min(value_col).over(frame).alias(f"roll{win}_min"),
+            F.max(value_col).over(frame).alias(f"roll{win}_max"),
+        )
+    return out
+
+
+def forward_labels(df: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", value_col: str = "value",
+                   tiebreak_col: str = "event_id",
+                   horizon: int = 1) -> DataFrame:
+    """Append forward-looking supervision targets per key: the value and
+    the gap (seconds) ``horizon`` events ahead — null inside the last
+    ``horizon`` rows of a key's history (no peeking past the end). Same
+    single-shuffle window shape as :func:`rolling_features`."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(F.col(value_col), horizon).over(w)
+    nxt_ts = F.lead(F.col(ts_col), horizon).over(w)
+    return df.select(
+        "*",
+        nxt.alias(f"next{horizon}_{value_col}"),
+        ((F.unix_micros(nxt_ts) - F.unix_micros(F.col(ts_col)))
+         / F.lit(1_000_000.0)).alias(f"secs_to_next{horizon}"),
+    )
