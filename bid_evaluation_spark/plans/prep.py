@@ -117,6 +117,56 @@ def _step_shuffle(df: DataFrame, tables, id_col: str, text_col: str,
     return shuffle_rows(df, key_col=id_col, seed=str(seed))
 
 
+def _step_gopher_filter(df: DataFrame, tables, id_col: str, text_col: str,
+                        min_words: int = 50, max_words: int = 100_000,
+                        min_stopword_hits: int = 2, **kw) -> DataFrame:
+    """Keep only documents passing the Gopher heuristic gate."""
+    from ..operators.quality import gopher_quality_flags
+    flagged = gopher_quality_flags(df, text_col=text_col,
+                                   min_words=int(min_words),
+                                   max_words=int(max_words),
+                                   min_stopword_hits=int(min_stopword_hits))
+    return flagged.filter(F.col("gopher_pass")).select(*df.columns)
+
+
+def _step_repetition_filter(df: DataFrame, tables, id_col: str, text_col: str,
+                            n: int = 2, max_top_fraction: float = 0.2,
+                            max_dup_fraction: float = 0.6, **kw) -> DataFrame:
+    """Drop documents dominated by a repeated n-gram (Gopher repetition)."""
+    from ..operators.quality import ngram_repetition_stats
+    n = int(n)
+    stats = ngram_repetition_stats(df, ns=(n,), id_col=id_col,
+                                   text_col=text_col)
+    ok = stats.filter(
+        (F.col(f"top{n}_fraction") <= float(max_top_fraction))
+        & (F.col(f"dup{n}_fraction") <= float(max_dup_fraction))
+    ).select(id_col)
+    return df.join(ok, on=id_col, how="left_semi")
+
+
+def _step_line_dedup(df: DataFrame, tables, id_col: str, text_col: str,
+                     sep: str = "\n", max_occurrences: int = 1,
+                     policy: str = "keep_first",
+                     drop_empty: bool = True, **kw) -> DataFrame:
+    """Remove corpus-wide repeated lines inside each document (C4)."""
+    from ..operators.quality import dedup_lines
+    cleaned = dedup_lines(df, id_col=id_col, text_col=text_col, sep=sep,
+                          max_occurrences=int(max_occurrences), policy=policy)
+    if drop_empty:
+        cleaned = cleaned.filter(F.col(text_col) != "")
+    others = [c for c in df.columns if c != text_col]
+    out = (df.select(*others)
+             .join(cleaned.select(id_col, text_col), on=id_col, how="inner"))
+    return out.select(*df.columns)
+
+
+def _step_redact_pii(df: DataFrame, tables, id_col: str, text_col: str,
+                     **kw) -> DataFrame:
+    """Replace structured PII (emails, IPs, SSNs, phones) with placeholders."""
+    from ..operators.pii import redact_pii
+    return redact_pii(df, text_col=text_col, with_counts=False)
+
+
 STEP_REGISTRY: Dict[str, Callable[..., DataFrame]] = {
     "exact_dedup": _step_exact_dedup,
     "quality_filter": _step_quality_filter,
@@ -127,6 +177,10 @@ STEP_REGISTRY: Dict[str, Callable[..., DataFrame]] = {
     "chunk": _step_chunk,
     "pack": _step_pack,
     "shuffle": _step_shuffle,
+    "gopher_filter": _step_gopher_filter,
+    "repetition_filter": _step_repetition_filter,
+    "line_dedup": _step_line_dedup,
+    "redact_pii": _step_redact_pii,
 }
 
 

@@ -95,3 +95,49 @@ def test_yaml_and_json_loaders(docs, tmp_path):
     a = sorted(r["doc_id"] for r in prep_from_yaml(str(y))(small).collect())
     b = sorted(r["doc_id"] for r in prep_from_json(str(j))(small).collect())
     assert a == b and a
+
+
+# --- quality / pii steps (added with the Gopher/C4 + PII operators) ---
+
+def test_gopher_filter_step(docs):
+    from bid_evaluation_spark.operators.quality import gopher_quality_flags
+
+    run = build_prep_pipeline({"steps": [
+        {"op": "gopher_filter", "min_words": 20, "min_stopword_hits": 1}]})
+    got = run(docs)
+    want = (gopher_quality_flags(docs, min_words=20, min_stopword_hits=1)
+            .filter("gopher_pass"))
+    assert got.columns == docs.columns
+    assert got.count() == want.count() > 0
+
+
+def test_repetition_filter_step(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),
+         (2, "a perfectly ordinary sentence with varied words")],
+        "doc_id long, text string")
+    run = build_prep_pipeline({"steps": [
+        {"op": "repetition_filter", "n": 1, "max_top_fraction": 0.5}]})
+    assert [r["doc_id"] for r in run(df).collect()] == [2]
+
+
+def test_line_dedup_step(spark):
+    df = spark.createDataFrame(
+        [(1, "keep me\nshared line", "en"),
+         (2, "shared line", "en"),
+         (3, "shared line", "de")],
+        "doc_id long, text string, lang string")
+    run = build_prep_pipeline({"steps": [{"op": "line_dedup"}]})
+    got = {r["doc_id"]: r for r in run(df).collect()}
+    # doc 1 keeps both lines (first occurrence of the shared line);
+    # docs 2/3 lose their only line and are dropped entirely
+    assert set(got) == {1}
+    assert got[1]["text"] == "keep me\nshared line"
+    assert got[1]["lang"] == "en"  # payload columns survive the rebuild
+
+
+def test_redact_pii_step(spark):
+    df = spark.createDataFrame(
+        [(1, "reach me at a@b.io or 10.0.0.1")], "doc_id long, text string")
+    run = build_prep_pipeline({"steps": [{"op": "redact_pii"}]})
+    assert run(df).first()["text"] == "reach me at <EMAIL> or <IP>"
