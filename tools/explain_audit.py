@@ -293,6 +293,96 @@ def _lm_score(spark, sf_dir):
     return probs
 
 
+@check("repetition stats: partial agg on gram counts, max(struct) not a window")
+def _repetition(spark, sf_dir):
+    from bid_evaluation_spark.operators.quality import ngram_repetition_stats
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = plan_of(ngram_repetition_stats(df, ns=(1, 2)))
+    probs = []
+    if "partial" not in plan.lower():
+        probs.append("gram counts lack map-side partial aggregation")
+    if "Window" in plan:
+        probs.append("per-doc top gram uses a window (should be max(struct))")
+    if "CartesianProduct" in plan or "NestedLoop" in plan:
+        probs.append("unexpected cartesian/nested-loop join")
+    return probs
+
+
+@check("gopher gate + PII redaction: map-only, zero exchange")
+def _map_only_quality(spark, sf_dir):
+    from bid_evaluation_spark.operators.pii import redact_pii
+    from bid_evaluation_spark.operators.quality import gopher_quality_flags
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    probs = []
+    for name, res in (("gopher", gopher_quality_flags(df)),
+                      ("pii", redact_pii(df))):
+        plan = plan_of(res)
+        if "Exchange" in plan:
+            probs.append(f"{name} plan shuffles (should be map-only)")
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            probs.append(f"{name} plan drops into Python")
+    return probs
+
+
+@check("bm25: stats pass one fused agg; scoring map-only; top-k TakeOrdered")
+def _bm25(spark, sf_dir):
+    from bid_evaluation_spark.operators.retrieval import (
+        bm25_scores, bm25_topk, corpus_term_stats)
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "hash"]
+    stats = corpus_term_stats(df, terms)
+    probs = []
+    score_plan = plan_of(bm25_scores(df, terms, stats=stats))
+    if "Exchange" in score_plan:
+        probs.append("scoring pass shuffles (should be map-only)")
+    topk_plan = plan_of(bm25_topk(df, terms, k=25))
+    if "TakeOrderedAndProject" not in topk_plan:
+        probs.append("top-k is not TakeOrdered (global sort exchange?)")
+    return probs
+
+
+@check("rolling features: one exchange+sort shared by every window")
+def _rolling(spark, sf_dir):
+    from bid_evaluation_spark.operators.features import (
+        forward_labels, rolling_features)
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    plan = plan_of(forward_labels(rolling_features(df, windows=(5,))))
+    probs = []
+    if plan.count("Exchange") != 1:
+        probs.append(f"expected exactly 1 exchange, saw {plan.count('Exchange')}")
+    if plan.count("Sort ") > 1:
+        probs.append("window specs did not share one sort")
+    return probs
+
+
+@check("line dedup: single window shuffle on the line key, no self-join")
+def _line_dedup(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import chunk_documents
+    from bid_evaluation_spark.operators.quality import drop_repeated_lines
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    lines = chunk_documents(df, chunk_tokens=16, overlap=0).select(
+        "doc_id", F.col("chunk_index").alias("pos"),
+        F.col("chunk_text").alias("line"))
+    plan = plan_of(drop_repeated_lines(lines))
+    probs = []
+    if plan.count("Exchange") != 1:
+        probs.append(f"expected exactly 1 exchange, saw {plan.count('Exchange')}")
+    if "Join" in plan:
+        probs.append("count+first computed via join (should be one window)")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
