@@ -148,6 +148,24 @@ def bench_events_sessionize(spark, sf_dir):
     _force(sessionize(df, gap_seconds=1800))
 
 
+def bench_quality_repetition(spark, sf_dir):
+    from bid_evaluation_spark.operators.quality import ngram_repetition_stats
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(ngram_repetition_stats(df, ns=(1, 2)))
+
+
+def bench_rolling_features_events(spark, sf_dir):
+    from bid_evaluation_spark.operators.features import (
+        forward_labels, rolling_features)
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value")
+    _force(forward_labels(rolling_features(df, windows=(5,))))
+
+
 BENCHES = {
     "eval_rank_lineitem": bench_eval_rank_lineitem,
     "staged_orders": bench_staged_orders,
@@ -161,6 +179,8 @@ BENCHES = {
     "decontaminate_documents": bench_decontaminate_documents,
     "events_sliding": bench_events_sliding,
     "events_sessionize": bench_events_sessionize,
+    "quality_repetition": bench_quality_repetition,
+    "rolling_features_events": bench_rolling_features_events,
 }
 
 
