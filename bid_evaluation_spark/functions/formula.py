@@ -56,6 +56,21 @@ def _lit(v: Any) -> Column:
     return F.lit(float(v))
 
 
+def _null_strict(result: Column, *args: Column) -> Column:
+    """Propagate null through ``least``/``greatest``-based translations.
+
+    Spark's ``least``/``greatest`` SKIP null arguments, but a null here
+    means "this row errored" (e.g. ``try_divide`` ÷0) and must survive to
+    the final error→0.0 mapping — Python's ``min``/``max``/``clip`` would
+    have raised. Without this, ``clip(1/0, 0, 100)`` silently became 100.
+    """
+    cond = None
+    for a in args:
+        c = a.isNull()
+        cond = c if cond is None else (cond | c)
+    return F.when(cond, F.lit(None).cast("double")).otherwise(result)
+
+
 # ---------------------------------------------------------------------------
 # Native translation: ast → (Column, is_boolean)
 # ---------------------------------------------------------------------------
@@ -207,13 +222,14 @@ class _Translator:
             if fname == "exp" and len(args) == 1:
                 return F.exp(args[0]), False
             if fname == "min" and len(args) >= 2:
-                return F.least(*args), False
+                return _null_strict(F.least(*args), *args), False
             if fname == "max" and len(args) >= 2:
-                return F.greatest(*args), False
+                return _null_strict(F.greatest(*args), *args), False
             if fname == "clip" and len(args) == 3:
                 x, lo, hi = args
                 # py: max(lo, min(hi, x))
-                return F.greatest(lo, F.least(hi, x)), False
+                return _null_strict(F.greatest(lo, F.least(hi, x)),
+                                    x, lo, hi), False
             raise FormulaTranslationError(f"call {fname}/{len(args)}")
 
         raise FormulaTranslationError(f"node {type(node).__name__}")

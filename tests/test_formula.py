@@ -72,6 +72,21 @@ def test_error_to_zero(xs, force_udf):
 
 
 @pytest.mark.parametrize("force_udf", [False, True])
+@pytest.mark.parametrize("formula", [
+    "clip(value / value, 0, 100)",
+    "min(value / value, 50)",
+    "max(value / value, 50)",
+])
+def test_error_inside_min_max_clip_to_zero(spark, formula, force_udf):
+    # ÷0 inside min/max/clip must stay an error → 0.0 — Spark least/greatest
+    # skip nulls, which once turned clip(0/0, 0, 100) into 100 (hypothesis
+    # counterexample); python min/max would have raised instead
+    df = spark.createDataFrame([("A", 0.0)], "vendor string, x double")
+    r = eval_formula(df, formula, force_udf=force_udf)
+    assert r["A"]["score_x"] == 0.0
+
+
+@pytest.mark.parametrize("force_udf", [False, True])
 def test_math_functions(spark, force_udf):
     df = spark.createDataFrame([("A", 16.0), ("B", 4.0)], "vendor string, x double")
     r = eval_formula(df, "sqrt(value) * 10", force_udf=force_udf)
