@@ -2686,6 +2686,126 @@ FROM w
 
 
 # ---------------------------------------------------------------------------
+# embedding maintenance (operators/embeddings.py) + split/exact-k sampling
+# ---------------------------------------------------------------------------
+
+def _q_emb_l2norm_embeddings(spark, sf_dir):
+    """L2 normalization — per-vector norm plus order-insensitive summaries of
+    the normalized vector (sum and max touch every element, so any wrong
+    element flips the hash)."""
+    from bid_evaluation_spark.operators.embeddings import l2_normalize
+
+    df = _t(spark, sf_dir, "embeddings")
+    res = l2_normalize(df)
+    unit_sum = F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x)
+    return res.select(
+        "vec_id",
+        _r4("norm").alias("norm"),
+        _r4(unit_sum).alias("unit_sum"),
+        _r4(F.array_max(F.col("embedding"))).alias("unit_max"),
+    )
+
+
+_SQL_EMB_L2NORM_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+n AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM v),
+u AS (SELECT vec_id, nrm,
+        CASE WHEN nrm = 0 THEN e ELSE list_transform(e, x -> x / nrm) END AS ue
+      FROM n)
+SELECT vec_id,
+  round(nrm * 10000.0) / 10000.0 AS norm,
+  round(list_sum(ue) * 10000.0) / 10000.0 AS unit_sum,
+  round(list_max(ue) * 10000.0) / 10000.0 AS unit_max
+FROM u
+"""
+
+
+def _q_emb_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 quantization round-trip: scale, exact integer sum /
+    max-abs of the codes (bit-exact cross-engine), and the reconstruction
+    ∞-norm error (×1000 before rounding so the 4-decimal hash keeps signal
+    at typical scale/2 magnitudes)."""
+    from bid_evaluation_spark.operators.embeddings import (
+        dequantize_int8, quantization_error, quantize_int8)
+
+    df = _t(spark, sf_dir, "embeddings")
+    res = quantization_error(dequantize_int8(quantize_int8(df)))
+    q = F.col("q_embedding")
+    return res.select(
+        "vec_id",
+        _r4("q_scale").alias("q_scale"),
+        F.aggregate(q, F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long")).alias("q_sum"),
+        F.array_max(F.transform(q, lambda x: F.abs(x)))
+         .cast("long").alias("q_maxabs"),
+        _r4(F.col("max_abs_err") * F.lit(1000.0)).alias("err_x1000"),
+    )
+
+
+_SQL_EMB_QUANTIZE_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+s AS (SELECT vec_id, e,
+        CASE WHEN list_max(list_transform(e, x -> abs(x))) = 0 THEN 1.0
+             ELSE list_max(list_transform(e, x -> abs(x))) / 127.0
+        END AS scale
+      FROM v),
+q AS (SELECT vec_id, e, scale,
+        list_transform(e, x -> CAST(round(x / scale) AS INT)) AS qe
+      FROM s)
+SELECT vec_id,
+  round(scale * 10000.0) / 10000.0 AS q_scale,
+  CAST(list_sum(qe) AS BIGINT) AS q_sum,
+  CAST(list_max(list_transform(qe, x -> abs(x))) AS BIGINT) AS q_maxabs,
+  round(list_max(list_transform(generate_series(1, len(e)),
+                                i -> abs(e[i] - qe[i] * scale)))
+        * 1000.0 * 10000.0) / 10000.0 AS err_x1000
+FROM q
+"""
+
+
+def _q_pipe_split_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test labels from cumulative md5
+    thresholds — the oracle recomputes the identical hex predicate, so the
+    assignment must match row-for-row."""
+    from bid_evaluation_spark.operators.pipeline import train_test_split
+
+    df = _t(spark, sf_dir, "documents")
+    res = train_test_split(df, seed="r2split")
+    return res.select("doc_id", "lang", "split")
+
+
+# 0.8 * 16^8 → 'cccccccc'; 0.9 * 16^8 → 'e6666666' (same int truncation as
+# pipeline._hex_threshold)
+_SQL_PIPE_SPLIT_DOCUMENTS = """
+SELECT doc_id, lang,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r2split'), 1, 8)
+            < 'cccccccc' THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r2split'), 1, 8)
+            < 'e6666666' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def _q_pipe_sample_k_documents(spark, sf_dir):
+    """Exactly-k deterministic uniform sample: order by (md5(key||seed), key)
+    take k — runs as TakeOrdered, no global sort exchange."""
+    from bid_evaluation_spark.operators.pipeline import sample_exact_k
+
+    df = _t(spark, sf_dir, "documents")
+    res = sample_exact_k(df, 100, key_col="doc_id", seed="sek")
+    return res.select("doc_id", "lang", "source")
+
+
+_SQL_PIPE_SAMPLE_K_DOCUMENTS = """
+SELECT doc_id, lang, source FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sek'), doc_id
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2808,6 +2928,14 @@ _QUERIES: dict = {
                              _SQL_PII_REDACT_DOCUMENTS),
     "features_rolling_events": (_q_features_rolling_events,
                                 _SQL_FEATURES_ROLLING_EVENTS),
+    "emb_l2norm_embeddings": (_q_emb_l2norm_embeddings,
+                              _SQL_EMB_L2NORM_EMBEDDINGS),
+    "emb_quantize_embeddings": (_q_emb_quantize_embeddings,
+                                _SQL_EMB_QUANTIZE_EMBEDDINGS),
+    "pipe_split_documents": (_q_pipe_split_documents,
+                             _SQL_PIPE_SPLIT_DOCUMENTS),
+    "pipe_sample_k_documents": (_q_pipe_sample_k_documents,
+                                _SQL_PIPE_SAMPLE_K_DOCUMENTS),
 }
 
 

@@ -11,6 +11,11 @@ semantics, so each has a full DuckDB oracle in ``__spark_entry__.py``:
 - :func:`hash_sample` — deterministic, seedable row sampling via md5 hex
   threshold comparison (reproducible across engines and runs, unlike
   ``rand()``); optional per-group stratification.
+- :func:`train_test_split` — deterministic disjoint-and-exhaustive
+  train/val/test labels from cumulative hash thresholds (map-only; a row's
+  split is stable under corpus growth).
+- :func:`sample_exact_k` — exactly-k uniform deterministic sample via
+  hash-ordered TakeOrdered (the distributed reservoir-sample analogue).
 - :func:`mixture_sample` — sample toward a target domain mixture (per-group
   acceptance rates from one tiny counts pass, same portable hash predicate).
 - :func:`shuffle_rows` — seeded deterministic global permutation with
@@ -176,6 +181,72 @@ def hash_sample(
         F.md5(F.concat(key, F.lit(seed)).cast("binary")), 1, digits,
     )
     return df.filter(pref < F.lit(thr))
+
+
+def train_test_split(
+    df: DataFrame,
+    fractions: Optional[dict] = None,
+    key_col: str = "doc_id",
+    seed: str = "",
+    split_col: str = "split",
+    digits: int = 8,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: one ``split`` label column
+    from the same ``md5(key || seed)`` hex-prefix device as
+    :func:`hash_sample`, with cumulative thresholds per split.
+
+    Properties that matter for training data: reproducible on any engine
+    (no rand()), a row's split never changes when the corpus grows (pure
+    key function), splits are disjoint and exhaustive by construction (the
+    last split takes the remainder), and the whole thing is a map-only
+    projection — no shuffle at any scale.
+
+    ``fractions`` is an ordered name→fraction mapping summing to 1
+    (defaults to ``{"train": .8, "val": .1, "test": .1}``).
+    """
+    fractions = dict(fractions or {"train": 0.8, "val": 0.1, "test": 0.1})
+    if len(fractions) < 2:
+        raise ValueError("need at least two splits")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    pref = F.substring(
+        F.md5(F.concat(key, F.lit(seed)).cast("binary")), 1, digits,
+    )
+    names = list(fractions)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        thr = _hex_threshold(min(cum, 1.0 - 1e-12), digits)
+        cond = pref < F.lit(thr)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name))
+    return df.select("*", expr.otherwise(F.lit(names[-1])).alias(split_col))
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY ``k`` rows, uniformly and deterministically: order by
+    ``(md5(key || seed), key)`` and take ``k``. Unlike ``hash_sample``
+    (expected-fraction) this pins the output size — the sketch-free
+    distributed analogue of reservoir sampling. Executes as TakeOrdered
+    (per-partition top-k merged on the driver), never a global sort
+    exchange; nested seeds give independent redraws.
+    """
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(key, F.lit(seed)).cast("binary"))
+    return (df.withColumn("_sek_h", h)
+              .orderBy(F.asc("_sek_h"), F.asc(key_col))
+              .limit(int(k))
+              .drop("_sek_h"))
 
 
 def mixture_sample(
