@@ -2806,6 +2806,241 @@ LIMIT 100
 
 
 # ---------------------------------------------------------------------------
+# time-series gap-fill (operators/timeseries.py) + as-of join variants
+# ---------------------------------------------------------------------------
+
+def _q_ts_gapfill_locf_events(spark, sf_dir):
+    """Hypertable-style densified continuous aggregate: per-user 6-hour mean
+    buckets, holes filled by last-observation-carried-forward. The raw scan
+    collapses to O(users × buckets) in one shuffle; grid + fill run on the
+    aggregated frame."""
+    from bid_evaluation_spark.operators.timeseries import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    res = gapfill(ev, ts_col="ts", key_col="user_id", value_col="value",
+                  width=21600.0, agg="avg", fill="locf")
+    return res.select("user_id", "bucket", _r4("value").alias("value"),
+                      "is_gap")
+
+
+_SQL_TS_GAPFILL_LOCF_EVENTS = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+         avg(value) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+           FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+         FROM bounds),
+j AS (SELECT g.user_id, g.bucket, b.v, b.n FROM grid g
+      LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket)
+SELECT user_id, bucket,
+  round(last_value(v IGNORE NULLS) OVER
+    (PARTITION BY user_id ORDER BY bucket
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000.0) / 10000.0
+    AS value,
+  n IS NULL AS is_gap
+FROM j
+"""
+
+
+def _q_ts_gapfill_linear_events(spark, sf_dir):
+    """Same densified aggregate with linear interpolation across interior
+    gaps (edges carry the nearest observation)."""
+    from bid_evaluation_spark.operators.timeseries import gapfill
+
+    ev = _t(spark, sf_dir, "events")
+    res = gapfill(ev, ts_col="ts", key_col="user_id", value_col="value",
+                  width=21600.0, agg="avg", fill="linear")
+    return res.select("user_id", "bucket", _r4("value").alias("value"),
+                      "is_gap")
+
+
+_SQL_TS_GAPFILL_LINEAR_EVENTS = """
+WITH b AS (
+  SELECT user_id, CAST(floor(epoch(ts) / 21600) AS BIGINT) AS bucket,
+         avg(value) AS v, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+           FROM b GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS bucket
+         FROM bounds),
+j AS (SELECT g.user_id, g.bucket, b.v, b.n FROM grid g
+      LEFT JOIN b ON b.user_id = g.user_id AND b.bucket = g.bucket),
+f AS (
+  SELECT user_id, bucket, v, n,
+    last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wback AS pb,
+    last_value(v IGNORE NULLS) OVER wback AS pv,
+    first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+      OVER wfwd AS nb,
+    first_value(v IGNORE NULLS) OVER wfwd AS nv
+  FROM j
+  WINDOW wback AS (PARTITION BY user_id ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wfwd AS (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket,
+  round((CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE)
+                                  / CAST(nb - pb AS DOUBLE))
+              WHEN pv IS NOT NULL THEN pv
+              ELSE nv END) * 10000.0) / 10000.0 AS value,
+  n IS NULL AS is_gap
+FROM f
+"""
+
+
+def _q_asof_forward_events(spark, sf_dir):
+    """Forward as-of with a tolerance: every click enriched with the user's
+    NEXT purchase, but only if it lands within 24 h — later ones null out,
+    exactly as if absent (pandas merge_asof direction='forward' +
+    tolerance)."""
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    res = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["value"], direction="forward",
+                    tolerance=86400.0)
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK + ".SSSSSS").alias("ts"),
+        F.date_format("ts_right", _TS_FMT_SPARK + ".SSSSSS").alias("purchase_ts"),
+        _r4("value_right").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_FORWARD_EVENTS = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts, r.ts AS rts, r.value AS rv
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT event_id, user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  CASE WHEN epoch(rts) - epoch(ts) <= 86400
+       THEN strftime(rts, '%Y-%m-%d %H:%M:%S.%f') END AS purchase_ts,
+  CASE WHEN epoch(rts) - epoch(ts) <= 86400
+       THEN round(rv * 10000.0) / 10000.0 END AS purchase_value
+FROM m
+"""
+
+
+def _q_asof_nearest_events(spark, sf_dir):
+    """Nearest as-of: each click takes whichever purchase (before or after)
+    is closer in time, ties to the earlier one. One shuffle; the second
+    direction is a window re-sort on the same partitioning, not a second
+    exchange."""
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    res = asof_join(clicks, purchases, on="ts", by="user_id",
+                    right_cols=["value"], direction="nearest")
+    return res.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT_SPARK + ".SSSSSS").alias("ts"),
+        F.date_format("ts_right", _TS_FMT_SPARK + ".SSSSSS").alias("purchase_ts"),
+        _r4("value_right").alias("purchase_value"),
+    )
+
+
+_SQL_ASOF_NEAREST_EVENTS = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+b AS (SELECT l.event_id, r.ts AS bts, r.value AS bv
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts),
+f AS (SELECT l.event_id, r.ts AS fts, r.value AS fv
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts),
+m AS (
+  SELECT l.event_id, l.user_id, l.ts,
+    CASE WHEN f.fts IS NULL THEN b.bts
+         WHEN b.bts IS NULL THEN f.fts
+         WHEN epoch(l.ts) - epoch(b.bts) <= epoch(f.fts) - epoch(l.ts)
+           THEN b.bts ELSE f.fts END AS rts,
+    CASE WHEN f.fts IS NULL THEN b.bv
+         WHEN b.bts IS NULL THEN f.fv
+         WHEN epoch(l.ts) - epoch(b.bts) <= epoch(f.fts) - epoch(l.ts)
+           THEN b.bv ELSE f.fv END AS rv
+  FROM l JOIN b USING (event_id) JOIN f USING (event_id)
+)
+SELECT event_id, user_id,
+  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+  strftime(rts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+  round(rv * 10000.0) / 10000.0 AS purchase_value
+FROM m
+"""
+
+
+def _q_events_rollup_type_day(spark, sf_dir):
+    """OLAP rollup: (event_type, day) → (event_type) → () subtotal levels in
+    ONE pass (Catalyst expands the grouping sets with partial aggregation —
+    no per-level rescan). ``gid`` disambiguates rolled-up NULLs from data
+    NULLs."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("double") / F.lit(86400.0)).cast("long")
+    res = (ev.rollup(F.col("event_type"), day.alias("day_bucket"))
+             .agg(F.sum("value").alias("sv"),
+                  F.count(F.lit(1)).alias("n"),
+                  F.grouping_id().cast("long").alias("gid")))
+    return res.select("event_type", "day_bucket",
+                      _r4("sv").alias("sum_value"), "n", "gid")
+
+
+_SQL_EVENTS_ROLLUP_TYPE_DAY = """
+SELECT event_type,
+  CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+  round(sum(value) * 10000.0) / 10000.0 AS sum_value,
+  count(*) AS n,
+  CAST(GROUPING(event_type,
+                CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT))
+"""
+
+
+def _q_events_pivot_type_user(spark, sf_dir):
+    """Pivot event_type → per-user sum columns with EXPLICIT pivot values —
+    no extra distinct-scan pass, and the plan stays a single hash aggregate
+    (each cell is a conditional partial sum)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    res = ev.groupBy("user_id").pivot("event_type", types).agg(F.sum("value"))
+    return res.select(
+        "user_id", *[_r4(t).alias(f"sum_{t}") for t in types])
+
+
+_SQL_EVENTS_PIVOT_TYPE_USER = """
+SELECT user_id,
+  round(sum(CASE WHEN event_type = 'click' THEN value END) * 10000.0)
+    / 10000.0 AS sum_click,
+  round(sum(CASE WHEN event_type = 'error' THEN value END) * 10000.0)
+    / 10000.0 AS sum_error,
+  round(sum(CASE WHEN event_type = 'purchase' THEN value END) * 10000.0)
+    / 10000.0 AS sum_purchase,
+  round(sum(CASE WHEN event_type = 'signup' THEN value END) * 10000.0)
+    / 10000.0 AS sum_signup,
+  round(sum(CASE WHEN event_type = 'view' THEN value END) * 10000.0)
+    / 10000.0 AS sum_view
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2936,6 +3171,18 @@ _QUERIES: dict = {
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,
                                 _SQL_PIPE_SAMPLE_K_DOCUMENTS),
+    "ts_gapfill_locf_events": (_q_ts_gapfill_locf_events,
+                               _SQL_TS_GAPFILL_LOCF_EVENTS),
+    "ts_gapfill_linear_events": (_q_ts_gapfill_linear_events,
+                                 _SQL_TS_GAPFILL_LINEAR_EVENTS),
+    "asof_forward_events": (_q_asof_forward_events,
+                            _SQL_ASOF_FORWARD_EVENTS),
+    "asof_nearest_events": (_q_asof_nearest_events,
+                            _SQL_ASOF_NEAREST_EVENTS),
+    "events_rollup_type_day": (_q_events_rollup_type_day,
+                               _SQL_EVENTS_ROLLUP_TYPE_DAY),
+    "events_pivot_type_user": (_q_events_pivot_type_user,
+                               _SQL_EVENTS_PIVOT_TYPE_USER),
 }
 
 

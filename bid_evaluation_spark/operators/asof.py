@@ -29,21 +29,40 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
               by: str = "user_id", right_cols: Optional[Sequence[str]] = None,
-              suffix: str = "_right", allow_exact: bool = True) -> DataFrame:
-    """Left as-of join: all left rows + the latest matching right row's columns.
+              suffix: str = "_right", allow_exact: bool = True,
+              direction: str = "backward",
+              tolerance: Optional[float] = None) -> DataFrame:
+    """Left as-of join: all left rows + the matching right row's columns.
 
     Args:
         on: ordering (timestamp) column, present in both frames.
         by: equality key, present in both frames.
         right_cols: right payload columns to attach (default: all but on/by);
             each lands as ``{col}{suffix}``, plus ``{on}{suffix}`` with the
-            matched right row's timestamp (null where no match yet).
-        allow_exact: match right rows at exactly ``left.ts`` (ASOF ``>=``)
-            or only strictly earlier (``>``).
+            matched right row's timestamp (null where no match).
+        allow_exact: match right rows at exactly ``left.ts`` or only strictly
+            earlier/later.
+        direction: which right row matches (pandas ``merge_asof`` parity):
+            ``backward`` — latest right with ``r.ts <= l.ts``;
+            ``forward`` — earliest right with ``r.ts >= l.ts``;
+            ``nearest`` — whichever of the two is closer in ``on`` (ties
+            prefer the backward match).
+        tolerance: maximum |l.on − r.on| (seconds for timestamps, plain
+            difference for numerics); farther matches null out the payload,
+            exactly as if no right row existed.
 
     Null ``by`` keys group together here (window partitioning), whereas a SQL
     ASOF equality join would drop them — pre-filter nulls for SQL parity.
+
+    Still ONE shuffle of (left + right) on the key for every direction;
+    ``nearest`` adds a second window *sort* over the same partitioning (the
+    exchange is reused), not a second shuffle.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction}")
+    if tolerance is not None and tolerance < 0:
+        raise ValueError(f"tolerance must be non-negative, got {tolerance}")
     rcols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in (on, by)
     ]
@@ -57,28 +76,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     pay_struct = F.struct(*[F.col(c).alias(c) for c in payload_fields])
     pay_type = right.select(pay_struct.alias("_p")).schema["_p"].dataType
 
-    # right rows sort before left rows at equal ts iff exact matches count
-    l_tag, r_tag = (1, 0) if allow_exact else (0, 1)
+    # Tag orderings resolve equal-ts left/right placement per direction:
+    # a window scanning PRECEDING must see equal-ts rights iff allow_exact
+    # (rights sort before lefts), one scanning FOLLOWING must see them iff
+    # allow_exact (rights sort after lefts). `nearest` needs both, as two
+    # sort keys over the same partitioning.
+    r_tag_back = 0 if allow_exact else 2
+    r_tag_fwd = 2 if allow_exact else 0
     lsel = left.select(
-        F.col(by), F.col(on), F.lit(l_tag).alias("_asof_tag"),
+        F.col(by), F.col(on), F.lit(1).alias("_tag_b"),
+        F.lit(1).alias("_tag_f"),
         *[F.col(c) for c in lcols],
         F.lit(None).cast(pay_type).alias("_asof_pay"),
     )
     rsel = right.select(
-        F.col(by), F.col(on), F.lit(r_tag).alias("_asof_tag"),
+        F.col(by), F.col(on), F.lit(r_tag_back).alias("_tag_b"),
+        F.lit(r_tag_fwd).alias("_tag_f"),
         *[F.lit(None).cast(ltypes[c]).alias(c) for c in lcols],
         pay_struct.alias("_asof_pay"),
     )
     u = lsel.unionByName(rsel)
 
-    w = (Window.partitionBy(by).orderBy(F.col(on), F.col("_asof_tag"))
-         .rowsBetween(Window.unboundedPreceding, 0))
-    matched = F.last("_asof_pay", ignorenulls=True).over(w)
+    def _back():
+        w = (Window.partitionBy(by).orderBy(F.col(on), F.col("_tag_b"))
+             .rowsBetween(Window.unboundedPreceding, 0))
+        return F.last("_asof_pay", ignorenulls=True).over(w)
+
+    def _fwd():
+        w = (Window.partitionBy(by).orderBy(F.col(on), F.col("_tag_f"))
+             .rowsBetween(0, Window.unboundedFollowing))
+        return F.first("_asof_pay", ignorenulls=True).over(w)
+
+    if direction == "backward":
+        matched = _back()
+    elif direction == "forward":
+        matched = _fwd()
+    else:
+        b, f = _back(), _fwd()
+        d_b = F.col(on).cast("double") - b[on].cast("double")
+        d_f = f[on].cast("double") - F.col(on).cast("double")
+        matched = F.when(f.isNull(), b).when(b.isNull(), f).otherwise(
+            F.when(d_b <= d_f, b).otherwise(f))
+
+    if tolerance is not None:
+        delta = F.abs(F.col(on).cast("double") - matched[on].cast("double"))
+        matched = F.when(delta <= F.lit(float(tolerance)), matched)
+
     filled = [matched[c].alias(f"{c}{suffix}") for c in payload_fields]
     return (
-        u.select(by, on, "_asof_tag", *lcols, *filled)
-        .filter(F.col("_asof_tag") == l_tag)
-        .drop("_asof_tag")
+        u.select(by, on, "_tag_b", *lcols, *filled)
+        .filter(F.col("_tag_b") == 1)
+        .drop("_tag_b")
     )
 
 

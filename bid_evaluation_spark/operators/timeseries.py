@@ -1,0 +1,150 @@
+"""Hypertable-style time-series maintenance: time bucketing and gap-filling.
+
+The continuous-aggregate / ``time_bucket_gapfill`` family (TimescaleDB,
+InfluxDB, QuestDB vocabulary) re-expressed as DataFrame ops:
+
+- :func:`time_bucket` — floor a timestamp (or numeric) column onto a regular
+  grid of ``width`` seconds, as portable epoch-second longs.
+- :func:`bucket_aggregate` — one value per (key, bucket): the continuous
+  aggregate a downstream dashboard or feature store reads.
+- :func:`gapfill` — densify each key's bucket range (every bucket between the
+  key's first and last appears exactly once) and fill the holes: ``none``
+  (leave null), ``zero``/constant, ``locf`` (last observation carried
+  forward), or ``linear`` (interpolate between the neighboring observed
+  buckets; edges fall back to nearest-observation fill).
+
+Scale shape: the raw scan collapses to O(keys × buckets) in ONE shuffle
+(the groupBy); everything after — bounds, grid explode, fill windows — runs
+on the aggregated frame, orders of magnitude smaller than the input. The
+grid join and the fill windows both key on (key) / (key, bucket), so AQE
+coalesces them off the same small frames. A key's grid is ``sequence(min,
+max)`` — one array per key, linear in that key's span, never a cross
+product. Window fills are ``last/first(ignorenulls)`` over rows frames —
+single pass per key, no self-join.
+
+No reference counterpart (`/root/reference` has no time-series surface);
+this is a beyond-reference operator motivated by training-data pipelines
+over event logs (regular feature grids need explicit gap semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_FILLS = ("none", "zero", "locf", "linear")
+
+
+def time_bucket(col: Column, width: float) -> Column:
+    """Bucket start as epoch-second-scaled long: ``floor(epoch(ts)/width)``.
+
+    Returns the bucket INDEX (multiply by ``width`` for the bucket's start
+    time) — integers survive cross-engine hashing where rendered timestamps
+    do not. Accepts timestamp columns (cast to fractional epoch seconds) or
+    plain numerics.
+    """
+    if width <= 0:
+        raise ValueError(f"width must be positive, got {width}")
+    return F.floor(col.cast("double") / F.lit(float(width))).cast("long")
+
+
+def bucket_aggregate(df: DataFrame, ts_col: str = "ts",
+                     key_col: str = "user_id", value_col: str = "value",
+                     width: float = 3600.0, agg: str = "avg") -> DataFrame:
+    """Continuous aggregate: one row per (key, bucket) with the bucket's
+    ``value`` (avg/sum/min/max/count of ``value_col``) and ``n_rows``.
+
+    One hash-partial-aggregated shuffle on (key, bucket); output size is
+    O(keys × active buckets) regardless of input row count.
+    """
+    aggs = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+            "count": F.count}
+    if agg not in aggs:
+        raise ValueError(f"agg must be one of {sorted(aggs)}, got {agg}")
+    b = time_bucket(F.col(ts_col), width)
+    return (df.groupBy(F.col(key_col), b.alias("bucket"))
+              .agg(aggs[agg](F.col(value_col)).cast("double").alias("value"),
+                   F.count(F.lit(1)).alias("n_rows")))
+
+
+def gapfill(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
+            value_col: str = "value", width: float = 3600.0,
+            agg: str = "avg", fill: str = "locf",
+            fill_value: float = 0.0,
+            grid_max_buckets: Optional[int] = 10_000_000) -> DataFrame:
+    """Densified continuous aggregate over ``df``'s raw rows.
+
+    Output: ``(key_col, bucket, value, is_gap)`` — every bucket between each
+    key's first and last observed bucket exactly once; ``is_gap`` marks
+    buckets with no observed rows; ``value`` is filled per ``fill``:
+
+    - ``none``   — gaps keep NULL.
+    - ``zero``   — gaps take ``fill_value`` (default 0.0).
+    - ``locf``   — gaps take the latest earlier observed value (leading gaps
+      stay NULL — nothing to carry).
+    - ``linear`` — interior gaps interpolate linearly between the
+      neighboring observed buckets; leading/trailing gaps carry the nearest
+      observation (the standard gapfill edge behavior).
+
+    ``grid_max_buckets`` bounds a single key's densified span (a key with a
+    one-row-per-year gap at 1 s width would otherwise explode the grid);
+    crossing it raises rather than silently truncating.
+    """
+    if fill not in _FILLS:
+        raise ValueError(f"fill must be one of {_FILLS}, got {fill}")
+    g = bucket_aggregate(df, ts_col, key_col, value_col, width, agg)
+
+    bounds = g.groupBy(key_col).agg(F.min("bucket").alias("_mn"),
+                                    F.max("bucket").alias("_mx"))
+    if grid_max_buckets is not None:
+        bounds = bounds.withColumn(
+            "_span", F.col("_mx") - F.col("_mn") + 1
+        ).withColumn(
+            "_mn",
+            F.when(F.col("_span") > F.lit(int(grid_max_buckets)),
+                   F.raise_error(F.concat(
+                       F.lit(f"gapfill: key span exceeds {grid_max_buckets} "
+                             "buckets for key "),
+                       F.col(key_col).cast("string"))))
+             .otherwise(F.col("_mn")),
+        ).drop("_span")
+    grid = bounds.select(
+        key_col, F.explode(F.sequence("_mn", "_mx")).alias("bucket"))
+
+    j = grid.join(g, on=[key_col, "bucket"], how="left")
+    gap = F.col("n_rows").isNull()
+    v = F.col("value")
+
+    if fill == "none":
+        filled = v
+    elif fill == "zero":
+        filled = F.coalesce(v, F.lit(float(fill_value)))
+    else:
+        w_back = (Window.partitionBy(key_col).orderBy("bucket")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+        prev = F.last(F.when(v.isNotNull(),
+                             F.struct(F.col("bucket").alias("b"),
+                                      v.alias("v"))),
+                      ignorenulls=True).over(w_back)
+        if fill == "locf":
+            filled = F.coalesce(v, prev["v"])
+        else:  # linear
+            w_fwd = (Window.partitionBy(key_col).orderBy("bucket")
+                     .rowsBetween(0, Window.unboundedFollowing))
+            nxt = F.first(F.when(v.isNotNull(),
+                                 F.struct(F.col("bucket").alias("b"),
+                                          v.alias("v"))),
+                          ignorenulls=True).over(w_fwd)
+            span = (nxt["b"] - prev["b"]).cast("double")
+            interp = prev["v"] + (nxt["v"] - prev["v"]) * (
+                (F.col("bucket") - prev["b"]).cast("double") / span)
+            filled = F.coalesce(
+                v,
+                F.when(prev.isNotNull() & nxt.isNotNull(), interp),
+                prev["v"],   # trailing gaps: carry forward
+                nxt["v"],    # leading gaps: carry backward
+            )
+
+    return j.select(key_col, "bucket", filled.alias("value"),
+                    gap.alias("is_gap"))

@@ -392,6 +392,60 @@ def test_asof_join(spark):
     assert strict["c1"]["value_right"] is None      # exact excluded
 
 
+def test_asof_join_forward_and_nearest(spark):
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(7, 10.0, "c1"), (7, 31.0, "c2"), (7, 90.0, "c3")],
+        "user_id long, ts double, tag string")
+    right = spark.createDataFrame(
+        [(7, 10.0, 5.0), (7, 30.0, 9.0), (7, 40.0, 11.0)],
+        "user_id long, ts double, value double")
+
+    fwd = {r["tag"]: r for r in
+           asof_join(left, right, direction="forward").collect()}
+    assert fwd["c1"]["value_right"] == 5.0          # exact-ts forward match
+    assert fwd["c2"]["value_right"] == 11.0         # earliest later (40)
+    assert fwd["c3"]["value_right"] is None         # nothing later
+
+    fwd_strict = {r["tag"]: r for r in
+                  asof_join(left, right, direction="forward",
+                            allow_exact=False).collect()}
+    assert fwd_strict["c1"]["value_right"] == 9.0   # exact excluded → 30
+
+    near = {r["tag"]: r for r in
+            asof_join(left, right, direction="nearest").collect()}
+    assert near["c2"]["value_right"] == 9.0         # |31-30|=1 < |40-31|=9
+    assert near["c3"]["value_right"] == 11.0        # only backward exists
+    # equidistant tie prefers backward: left ts 35 between 30 and 40
+    tie = spark.createDataFrame([(7, 35.0, "t")],
+                                "user_id long, ts double, tag string")
+    t = asof_join(tie, right, direction="nearest").first()
+    assert t["value_right"] == 9.0 and t["ts_right"] == 30.0
+
+    with pytest.raises(ValueError):
+        asof_join(left, right, direction="sideways")
+
+
+def test_asof_join_tolerance(spark):
+    from bid_evaluation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(7, 10.0, "c1"), (7, 100.0, "c2")],
+        "user_id long, ts double, tag string")
+    right = spark.createDataFrame(
+        [(7, 8.0, 5.0)], "user_id long, ts double, value double")
+    res = {r["tag"]: r for r in
+           asof_join(left, right, tolerance=5.0).collect()}
+    assert res["c1"]["value_right"] == 5.0          # delta 2 within bound
+    assert res["c2"]["value_right"] is None         # delta 92 nulled out
+    assert res["c2"]["ts_right"] is None            # whole payload nulled
+    near = asof_join(left, right, direction="nearest", tolerance=1.0).collect()
+    assert all(r["value_right"] is None for r in near)
+    with pytest.raises(ValueError):
+        asof_join(left, right, tolerance=-1.0)
+
+
 def test_near_duplicate_clusters_and_dedup(spark):
     from bid_evaluation_spark.operators.dedup import (
         dedup_near_duplicates, near_duplicate_clusters)

@@ -1,0 +1,104 @@
+"""time_bucket / bucket_aggregate / gapfill semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.timeseries import (
+    bucket_aggregate, gapfill, time_bucket)
+
+
+@pytest.fixture
+def series(spark):
+    # key "a": buckets 0, 1, 4 observed (gap at 2, 3); key "b": bucket 2 only
+    rows = [
+        ("a", 5.0, 10.0),     # bucket 0
+        ("a", 8.0, 14.0),     # bucket 0 (avg 12.0)
+        ("a", 15.0, 20.0),    # bucket 1
+        ("a", 45.0, 60.0),    # bucket 4
+        ("b", 25.0, 7.0),     # bucket 2
+    ]
+    return spark.createDataFrame(rows, "k string, ts double, value double")
+
+
+def rows_of(df, keys=("k", "bucket")):
+    return {tuple(r[c] for c in keys): r.asDict() for r in df.collect()}
+
+
+def test_time_bucket_validation(spark):
+    with pytest.raises(ValueError):
+        time_bucket(F.col("x"), 0)
+
+
+def test_bucket_aggregate(series):
+    out = rows_of(bucket_aggregate(series, "ts", "k", "value", width=10.0))
+    assert out[("a", 0)]["value"] == 12.0 and out[("a", 0)]["n_rows"] == 2
+    assert out[("a", 1)]["value"] == 20.0
+    assert len(out) == 4
+    with pytest.raises(ValueError):
+        bucket_aggregate(series, "ts", "k", "value", 10.0, agg="median")
+
+
+def test_gapfill_densifies_and_marks_gaps(series):
+    out = rows_of(gapfill(series, "ts", "k", "value", width=10.0, fill="none"))
+    # key a: buckets 0..4 (5 rows), key b: bucket 2 only
+    assert sorted(b for k, b in out if k == "a") == [0, 1, 2, 3, 4]
+    assert sorted(b for k, b in out if k == "b") == [2]
+    assert out[("a", 2)]["is_gap"] and out[("a", 2)]["value"] is None
+    assert not out[("a", 1)]["is_gap"]
+
+
+def test_gapfill_zero_and_locf(series):
+    zero = rows_of(gapfill(series, "ts", "k", "value", 10.0, fill="zero",
+                           fill_value=-1.0))
+    assert zero[("a", 3)]["value"] == -1.0
+    locf = rows_of(gapfill(series, "ts", "k", "value", 10.0, fill="locf"))
+    assert locf[("a", 2)]["value"] == 20.0
+    assert locf[("a", 3)]["value"] == 20.0
+    assert locf[("a", 4)]["value"] == 60.0  # observed rows untouched
+
+
+def test_gapfill_linear_interpolates(series):
+    out = rows_of(gapfill(series, "ts", "k", "value", 10.0, fill="linear"))
+    # between (1, 20.0) and (4, 60.0): bucket 2 → 33.33..., bucket 3 → 46.66...
+    assert out[("a", 2)]["value"] == pytest.approx(20.0 + 40.0 / 3)
+    assert out[("a", 3)]["value"] == pytest.approx(20.0 + 80.0 / 3)
+    assert out[("a", 0)]["value"] == 12.0
+
+
+def test_gapfill_linear_edges_carry_nearest(spark):
+    # leading + trailing gaps relative to a middle observation pair
+    df = spark.createDataFrame(
+        [("a", 15.0, 10.0), ("a", 25.0, 30.0)], "k string, ts double, value double")
+    # force a wider grid by unioning a second key spanning buckets 0..4
+    other = spark.createDataFrame(
+        [("z", 5.0, 1.0), ("z", 45.0, 1.0)], "k string, ts double, value double")
+    out = rows_of(gapfill(df.union(other), "ts", "k", "value", 10.0,
+                          fill="linear"))
+    assert out[("z", 2)]["value"] == 1.0  # interior interp between equal endpoints
+    # key a has no leading/trailing gaps (its own span is tight) — buckets 1..2
+    assert sorted(b for k, b in out if k == "a") == [1, 2]
+
+
+def test_gapfill_locf_leading_gap_stays_null(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0, None), ("a", 15.0, 4.0)], "k string, ts double, value double")
+    out = rows_of(gapfill(df, "ts", "k", "value", 10.0, fill="locf"))
+    # bucket 0 observed but all-null values: avg=None, not a gap; locf has
+    # nothing earlier to carry
+    assert out[("a", 0)]["value"] is None
+    assert not out[("a", 0)]["is_gap"]
+
+
+def test_gapfill_span_guard(spark):
+    df = spark.createDataFrame(
+        [("a", 0.0, 1.0), ("a", 1e9, 2.0)], "k string, ts double, value double")
+    with pytest.raises(Exception, match="span exceeds"):
+        gapfill(df, "ts", "k", "value", 1.0, fill="none",
+                grid_max_buckets=1000).collect()
+    # and passes with the guard off at a coarse width
+    assert gapfill(df, "ts", "k", "value", 1e9, fill="none").count() == 2
+
+
+def test_gapfill_fill_validation(series):
+    with pytest.raises(ValueError):
+        gapfill(series, "ts", "k", "value", 10.0, fill="spline")
