@@ -19,10 +19,13 @@ TESTDATA_TABLES = (
     "lineitem", "events", "documents", "embeddings",
 )
 
-#: columns stored as TIMESTAMP(NANOS) in the driver parquet — Spark reads
-#: them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
-#: microsecond timestamps (same truncation DuckDB applies for TIMESTAMP_NS)
-_NANO_TS_COLUMNS: Dict[str, tuple] = {
+#: timestamp columns in the driver parquet, normalized to plain TIMESTAMP
+#: (instant) regardless of how the driver generated them:
+#:  - TIMESTAMP(NANOS) → Spark reads long (nanosAsLong); integer-div to µs
+#:  - timestamp[us] without UTC adjustment → Spark ≥3.4 infers TIMESTAMP_NTZ;
+#:    cast to TIMESTAMP (session tz is pinned UTC, so the epoch is unchanged
+#:    and matches DuckDB's naive-timestamp reading)
+_TS_COLUMNS: Dict[str, tuple] = {
     "events": ("ts",),
 }
 
@@ -30,12 +33,17 @@ _NANO_TS_COLUMNS: Dict[str, tuple] = {
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-testdata table with schema normalization."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+    for col in _TS_COLUMNS.get(name, ()):
+        if col not in df.columns:
+            continue
+        dtype = dict(df.dtypes)[col]
+        if dtype == "bigint":
             # integer `div` — float division would round 1e18-ns values by ±1µs
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"{col} div 1000"))
             )
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
