@@ -1971,6 +1971,25 @@ FROM pairs WHERE j >= 0.3
 """
 
 
+def _q_pipe_decontaminate_bloom_documents(spark, sf_dir):
+    """Bloom-prefiltered decontamination (operators/bloom.py): identical
+    exact semantics to pipe_decontaminate_documents — the broadcast Bloom
+    filter over eval shingle hashes shrinks the candidate shuffle map-side
+    and cannot drop true pairs (no false negatives) — at a lower threshold
+    to exercise a different cut of the same corpus."""
+    from bid_evaluation_spark.operators.pipeline import decontaminate_bloom
+
+    df = _t(spark, sf_dir, "documents")
+    train = df.filter(F.col("doc_id") % 10 != 0)
+    ev = df.filter(F.col("doc_id") % 10 == 0)
+    res = decontaminate_bloom(train, ev, threshold=0.25, k=3)
+    return res.select("train_id", "eval_id", _r4("jaccard").alias("jaccard"))
+
+
+_SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS = _SQL_PIPE_DECONTAMINATE_DOCUMENTS.replace(
+    "WHERE j >= 0.3", "WHERE j >= 0.25")
+
+
 def _q_pipe_hash_sample_documents(spark, sf_dir):
     """Deterministic md5-threshold sample (~30%) — reproducible across
     engines/runs, unlike rand(); the oracle runs the identical predicate."""
@@ -3128,6 +3147,9 @@ _QUERIES: dict = {
                                   _SQL_RANGE_JOIN_EVENT_SESSIONS),
     "pipe_decontaminate_documents": (_q_pipe_decontaminate_documents,
                                      _SQL_PIPE_DECONTAMINATE_DOCUMENTS),
+    "pipe_decontaminate_bloom_documents": (
+        _q_pipe_decontaminate_bloom_documents,
+        _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS),
     "pipe_hash_sample_documents": (_q_pipe_hash_sample_documents,
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
     "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,

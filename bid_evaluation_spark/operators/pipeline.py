@@ -8,6 +8,9 @@ semantics, so each has a full DuckDB oracle in ``__spark_entry__.py``:
 
 - :func:`decontaminate` — cross-table near-duplicate detection (train/eval
   overlap), shared-shingle candidate join + exact-Jaccard verify.
+- :func:`decontaminate_bloom` — same exact result with the candidate shuffle
+  pre-filtered map-side by a broadcast Bloom filter over the eval corpus's
+  shingle hashes (the asymmetric 100-TB-train shape).
 - :func:`hash_sample` — deterministic, seedable row sampling via md5 hex
   threshold comparison (reproducible across engines and runs, unlike
   ``rand()``); optional per-group stratification.
@@ -134,6 +137,93 @@ def decontaminate(
         .select("train_id", "eval_id", "jaccard")
     )
     return verified
+
+
+def decontaminate_bloom(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.5,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fpp: float = 0.005,
+) -> DataFrame:
+    """Same exact result as :func:`decontaminate`, with the candidate shuffle
+    pre-filtered by a broadcast Bloom filter over the eval corpus's shingle
+    hashes — the 100-TB-train / benchmark-sized-eval shape.
+
+    :func:`decontaminate`'s dominant cost at scale is the exploded equi-join:
+    EVERY train shingle hash is shuffled, though only the tiny fraction also
+    present in some eval document can survive the join. Here the eval side's
+    distinct shingle hashes (driver-sized by contract — benchmarks, not
+    corpora) build a ~10-bits/key Bloom filter, broadcast once, and an
+    Arrow-vectorized kernel drops non-matching train shingles BEFORE the
+    explode — the shuffle shrinks from |train shingles| to
+    |true hits| + fpp·|train shingles|.
+
+    Exactness: Bloom filters have no false negatives, so every shingle that
+    could meet an eval shingle in the join survives the pre-filter — shared
+    counts, the Jaccard estimate, the candidate set, and the exact verify are
+    bit-for-bit those of :func:`decontaminate` (property-tested). False
+    positives only forward dead shingles that the equi-join itself discards.
+    """
+    from .bloom import bloom_from_hash_column, bloom_keep_array
+
+    e_hashes = eval_df.select(
+        F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"))
+    bloom = bloom_from_hash_column(e_hashes, "_s", fpp=fpp)
+
+    t_base = train_df.select(
+        F.col(id_col).alias("train_id"),
+        hashed_word_shingles(F.col(text_col), k).alias("_sh_h"),
+    )
+    # _na (the train doc's distinct-shingle count for the Jaccard estimate)
+    # must count UNFILTERED shingles — take it from the array before the
+    # Bloom shrink; only the join feed is filtered.
+    t_tok = (
+        t_base
+        .withColumn("_na", F.size("_sh_h"))
+        .withColumn("_kept", bloom_keep_array(t_base, F.col("_sh_h"), bloom))
+        .select("train_id", "_na", F.explode("_kept").alias("_s"))
+    )
+    e_tok = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"),
+    )
+    e_n = e_tok.groupBy("eval_id").agg(F.count(F.lit(1)).alias("_nb"))
+    shared = (
+        t_tok.join(e_tok, on="_s")
+        .groupBy("train_id", "eval_id", "_na")
+        .agg(F.count(F.lit(1)).alias("_sh"))
+    )
+    est = F.col("_sh") / (F.col("_na") + F.col("_nb") - F.col("_sh"))
+    cand = (
+        shared.join(e_n, on="eval_id")
+        .filter(est >= F.lit(float(threshold) * 0.9))
+        .select("train_id", "eval_id")
+    )
+
+    t_sh = train_df.select(
+        F.col(id_col).alias("train_id"),
+        word_shingles(F.col(text_col), k).alias("_sh_t"),
+    )
+    e_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        word_shingles(F.col(text_col), k).alias("_sh_e"),
+    )
+    return (
+        cand.join(t_sh, on="train_id")
+        .join(e_sh, on="eval_id")
+        .withColumn(
+            "jaccard",
+            (
+                F.size(F.array_intersect("_sh_t", "_sh_e"))
+                / F.size(F.array_union("_sh_t", "_sh_e"))
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .select("train_id", "eval_id", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,68 @@
+"""Broadcast Bloom filter and the Bloom-prefiltered decontamination path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.bloom import (
+    BroadcastBloom,
+    bloom_from_hash_column,
+    bloom_semi_filter,
+)
+from bid_evaluation_spark.operators.pipeline import (
+    decontaminate,
+    decontaminate_bloom,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_no_false_negatives_and_fpp():
+    rng = np.random.default_rng(7)
+    members = rng.integers(-(2**63), 2**63 - 1, size=20_000, dtype=np.int64)
+    bloom = BroadcastBloom.build(members, fpp=0.01)
+    assert bloom.might_contain(members).all()  # zero false negatives, always
+
+    probes = rng.integers(-(2**63), 2**63 - 1, size=50_000, dtype=np.int64)
+    outside = probes[~np.isin(probes, members)]
+    fp_rate = bloom.might_contain(outside).mean()
+    assert fp_rate < 0.03  # sized for 1%; 3x headroom kills flakiness
+
+
+def test_bloom_empty_and_tiny():
+    empty = BroadcastBloom.build(np.empty(0, dtype=np.int64))
+    assert not empty.might_contain(np.array([1, 2, 3], dtype=np.int64)).any()
+    one = BroadcastBloom.build(np.array([42], dtype=np.int64))
+    assert one.might_contain(np.array([42], dtype=np.int64)).all()
+
+
+def test_bloom_semi_filter_superset_of_exact(spark):
+    df = spark.range(0, 5_000).select(
+        F.col("id"), F.xxhash64(F.col("id").cast("string")).alias("h"))
+    keys = df.filter(F.col("id") % 97 == 0).select("h")
+    bloom = bloom_from_hash_column(keys, "h", fpp=0.01)
+    kept = bloom_semi_filter(df, "h", bloom)
+    kept_ids = {r["id"] for r in kept.collect()}
+    exact = {r["id"] for r in df.filter(F.col("id") % 97 == 0).collect()}
+    assert exact <= kept_ids  # no false negatives
+    assert len(kept_ids) <= len(exact) + 0.03 * 5_000  # fpp-bounded extras
+
+
+def test_decontaminate_bloom_identical_to_exact(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    base = {(r["train_id"], r["eval_id"]): round(r["jaccard"], 9)
+            for r in decontaminate(train, ev, threshold=0.2, k=3).collect()}
+    fast = {(r["train_id"], r["eval_id"]): round(r["jaccard"], 9)
+            for r in decontaminate_bloom(train, ev, threshold=0.2, k=3).collect()}
+    assert base == fast
+    assert base  # the split must actually contain contamination to test
+
+
+def test_decontaminate_bloom_empty_eval(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.lit(False))
+    out = decontaminate_bloom(docs, ev, threshold=0.2, k=3)
+    assert out.count() == 0
+    assert out.columns == ["train_id", "eval_id", "jaccard"]
