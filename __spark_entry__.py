@@ -1565,6 +1565,19 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _q_dedup_semantic_embeddings(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/dedup.py): k-means blocks +
+    within-cluster exact-cosine verify + keep-min-id. Approximate by
+    construction (cross-cluster pairs are missed), so no value oracle —
+    recall against the exact all-pairs set is pinned in
+    tests/test_semantic_dedup.py, the ANN pattern."""
+    from bid_evaluation_spark.operators.dedup import semantic_dedup
+
+    df = _t(spark, sf_dir, "embeddings")
+    kept = semantic_dedup(df, threshold=0.35, n_clusters=8, nprobe=3, seed=7)
+    return kept.select("vec_id", "label").orderBy("vec_id")
+
+
 def _q_ann_lsh_topk_embeddings(spark, sf_dir):
     """Bucketed (IVF/LSH-style) approximate top-k — the 100 TB scale path.
 
@@ -3132,6 +3145,7 @@ _QUERIES: dict = {
                                  _SQL_DEDUP_EMBEDDING_CLUSTERS),
     "ann_cosine_topk_embeddings": (_q_ann_cosine_topk_embeddings,
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
+    "dedup_semantic_embeddings": (_q_dedup_semantic_embeddings, None),
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings, None),
     "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings, None),
     "events_tumbling_hour": (_q_events_tumbling_hour, _SQL_EVENTS_TUMBLING_HOUR),

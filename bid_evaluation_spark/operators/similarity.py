@@ -199,6 +199,50 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str = "embedding",
     return cents
 
 
+def assign_clusters(df: DataFrame, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    out_col: str = "cluster", nprobe: int = 1) -> DataFrame:
+    """Nearest-centroid id(s) per row as a new int column — map-only, with
+    the (k × dim) centroid matrix broadcast and one argmin/argpartition
+    matmul per Arrow batch. The assignment step of IVF/SemDeDup exposed as a
+    standalone column transform (all other columns ride along untouched);
+    null or empty vectors get cluster -1.
+
+    With ``nprobe > 1`` each row is REPLICATED to its nprobe nearest
+    clusters (one output row per probe) — the multiprobe trick that buys
+    blocked near-dup recall for ×nprobe replication instead of a bigger
+    verify block.
+    """
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+    p = max(1, int(nprobe))
+
+    @F.pandas_udf("array<int>")
+    def _assign(vs: pd.Series) -> pd.Series:
+        C = bc.value
+        c2 = (C ** 2).sum(axis=1)
+        np_ = min(p, len(C))
+        vals = vs.tolist()
+        out = [[-1]] * len(vals)
+        ok = [i for i, v in enumerate(vals) if v is not None and len(v)]
+        if ok:
+            X = np.asarray([vals[i] for i in ok], dtype=np.float64)
+            d = c2[None, :] - 2.0 * (X @ C.T)
+            if np_ == 1:
+                near = np.argmin(d, axis=1)[:, None]
+            else:
+                near = np.argpartition(d, np_ - 1, axis=1)[:, :np_]
+            for row, idx in zip(near, ok):
+                out[idx] = [int(c) for c in row]
+        return pd.Series(out)
+
+    probed = df.withColumn("_probes", _assign(F.col(vec_col)))
+    if p == 1:
+        return probed.withColumn(out_col, F.col("_probes")[0]).drop("_probes")
+    return (probed.withColumn(out_col, F.explode("_probes"))
+            .drop("_probes"))
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame,
              centroids: Optional[np.ndarray] = None, k: int = 10,
              nprobe: int = 4, n_clusters: int = 16,
