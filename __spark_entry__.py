@@ -3018,6 +3018,72 @@ FROM m
 """
 
 
+def _q_graph_pagerank_events(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py) over the event-type transition
+    graph: edges are consecutive (prev_type → type) steps per user ordered by
+    (ts, event_id), weighted by transition count; 5 fixed rounds at d=0.85.
+    The oracle unrolls the identical formula (same association order:
+    rank · (w/outw)) iteration by iteration."""
+    from pyspark.sql import Window
+    from bid_evaluation_spark.operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    pr = pagerank(edges, weight="w", damping=0.85, max_iter=5)
+    return pr.select("node", _r4("rank").alias("rank")).orderBy("node")
+
+
+def _pagerank_events_sql(iters: int = 5, d: str = "0.85") -> str:
+    """Unrolled-iteration PageRank oracle: recursive CTEs can't aggregate
+    over their own recursive reference, so each round is its own CTE chain
+    (contrib → dangling mass → new ranks), mirroring pagerank()'s arithmetic
+    term for term (double literals, rank·(w/ow) association)."""
+    parts = ["""
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+edges AS (
+  SELECT prev AS src, event_type AS dst, CAST(count(*) AS DOUBLE) AS w
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS rank FROM nodes)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank * (e.w / o.ow)) AS contrib
+  FROM edges e JOIN r{i-1} r ON e.src = r.node JOIN outw o ON e.src = o.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT coalesce(sum(r.rank), CAST(0 AS DOUBLE)) AS dm
+  FROM r{i-1} r LEFT JOIN outw o ON r.node = o.src WHERE o.src IS NULL
+),
+r{i} AS (
+  SELECT nd.node,
+         (CAST(1 AS DOUBLE) - CAST({d} AS DOUBLE))/(SELECT n FROM nn)
+         + CAST({d} AS DOUBLE) * (coalesce(c.contrib, CAST(0 AS DOUBLE))
+                                  + (SELECT dm FROM d{i})/(SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+)""")
+    parts.append(f"""
+SELECT node, round(rank*10000.0)/10000.0 AS rank FROM r{iters} ORDER BY node""")
+    return "".join(parts)
+
+
+_SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql()
+
+
 def _q_events_rollup_type_day(spark, sf_dir):
     """OLAP rollup: (event_type, day) → (event_type) → () subtotal levels in
     ONE pass (Catalyst expands the grouping sets with partial aggregation —
@@ -3215,6 +3281,8 @@ _QUERIES: dict = {
                             _SQL_ASOF_FORWARD_EVENTS),
     "asof_nearest_events": (_q_asof_nearest_events,
                             _SQL_ASOF_NEAREST_EVENTS),
+    "graph_pagerank_events": (_q_graph_pagerank_events,
+                              _SQL_GRAPH_PAGERANK_EVENTS),
     "events_rollup_type_day": (_q_events_rollup_type_day,
                                _SQL_EVENTS_ROLLUP_TYPE_DAY),
     "events_pivot_type_user": (_q_events_pivot_type_user,

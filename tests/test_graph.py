@@ -1,0 +1,85 @@
+"""PageRank: analytic fixed points, numpy power-iteration parity, dangling
+mass, weights, and early stop."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.graph import pagerank
+
+
+def _np_pagerank(nodes, edges, damping=0.85, iters=10):
+    """Reference power iteration with the exact same formula."""
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outw = np.zeros(n)
+    for s, d, w in edges:
+        outw[idx[s]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outw == 0].sum()
+        contrib = np.zeros(n)
+        for s, d, w in edges:
+            contrib[idx[d]] += r[idx[s]] * (w / outw[idx[s]])
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    return {r["node"]: r["rank"]
+            for r in pagerank(df, weight="w", **kw).collect()}
+
+
+def test_cycle_is_uniform(spark):
+    edges = [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 1.0)]
+    got = _run(spark, edges, max_iter=5)
+    for v in "abc":
+        assert got[v] == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_matches_numpy_power_iteration(spark):
+    edges = [("a", "b", 1.0), ("a", "c", 2.0), ("b", "c", 1.0),
+             ("c", "a", 1.0), ("d", "a", 1.0), ("b", "d", 3.0)]
+    nodes = ["a", "b", "c", "d"]
+    want = _np_pagerank(nodes, edges, iters=7)
+    got = _run(spark, edges, max_iter=7)
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_mass_redistributed(spark):
+    # b has no out-edges: its rank must be redistributed, total stays 1
+    edges = [("a", "b", 1.0), ("c", "b", 1.0)]
+    want = _np_pagerank(["a", "b", "c"], edges, iters=6)
+    got = _run(spark, edges, max_iter=6)
+    for v in "abc":
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_unweighted_counts_parallel_edges(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("a", "c")], "src string, dst string")
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, max_iter=4).collect()}
+    want = _np_pagerank(["a", "b", "c"],
+                        [("a", "b", 2.0), ("a", "c", 1.0)], iters=4)
+    for v in "abc":
+        assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+
+def test_tol_early_stop_matches_converged(spark):
+    edges = [("a", "b", 1.0), ("b", "a", 1.0), ("b", "c", 1.0),
+             ("c", "a", 1.0)]
+    full = _run(spark, edges, max_iter=60)
+    early = _run(spark, edges, max_iter=60, tol=1e-10)
+    for v in "abc":
+        assert early[v] == pytest.approx(full[v], abs=1e-8)
+
+
+def test_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string, w double")
+    assert pagerank(df, weight="w").count() == 0
