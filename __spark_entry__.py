@@ -1351,6 +1351,58 @@ GROUP BY 1
 """
 
 
+def _q_dedup_incremental_documents(spark, sf_dir):
+    """Incremental cross-snapshot exact dedup (operators/dedup.py
+    dedup_against_corpus): docs with doc_id % 10 >= 8 are the "new crawl",
+    the rest the already-kept corpus; keep new docs whose canonicalized
+    content (lowercase, non-alphanumeric runs → single space) has no md5
+    match in the corpus. Portable digest → full value oracle."""
+    from bid_evaluation_spark.operators.dedup import dedup_against_corpus
+
+    df = _t(spark, sf_dir, "documents")
+    seen = df.filter(F.col("doc_id") % 10 < 8)
+    new = df.filter(F.col("doc_id") % 10 >= 8)
+    res = dedup_against_corpus(new, seen)
+    return res.select("doc_id", "lang", "source",
+                      F.col("n_chars").cast("long").alias("n_chars"))
+
+
+_SQL_DEDUP_INCREMENTAL_DOCUMENTS = """
+WITH ck AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS k
+  FROM documents
+)
+SELECT n.doc_id, n.lang, n.source, CAST(n.n_chars AS BIGINT) AS n_chars
+FROM ck n
+WHERE n.doc_id % 10 >= 8
+  AND NOT EXISTS (SELECT 1 FROM ck s WHERE s.doc_id % 10 < 8 AND s.k = n.k)
+"""
+
+
+def _q_text_canonicalize_documents(spark, sf_dir):
+    """Engine-portable canonical text + digest (operators/text.py
+    canonicalize): the content-identity key for exact/incremental dedup.
+    ASCII-class regex only, so Spark and DuckDB agree byte-for-byte."""
+    from bid_evaluation_spark.operators.text import (
+        canonical_fingerprint_md5, canonicalize)
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        canonicalize(F.col("text")).alias("canon"),
+        canonical_fingerprint_md5("text").alias("canon_md5"),
+    )
+
+
+_SQL_TEXT_CANONICALIZE_DOCUMENTS = """
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS canon,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_md5
+FROM documents
+"""
+
+
 def _q_dedup_ngram_jaccard_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.dedup import ngram_jaccard
 
@@ -3199,6 +3251,10 @@ _QUERIES: dict = {
     "mm_image_decode_documents": (_q_mm_image_decode_documents,
                                   _SQL_MM_IMAGE_DECODE_DOCUMENTS),
     "dedup_exact_documents": (_q_dedup_exact_documents, _SQL_DEDUP_EXACT_DOCUMENTS),
+    "dedup_incremental_documents": (_q_dedup_incremental_documents,
+                                    _SQL_DEDUP_INCREMENTAL_DOCUMENTS),
+    "text_canonicalize_documents": (_q_text_canonicalize_documents,
+                                    _SQL_TEXT_CANONICALIZE_DOCUMENTS),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram_jaccard_documents,
                                       _SQL_DEDUP_NGRAM_JACCARD_DOCUMENTS),
     "dedup_minhash_candidates_documents": (_q_dedup_minhash_candidates_documents,

@@ -520,6 +520,34 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     return sel.groupBy(*group_cols).applyInPandas(_verify, schema=out_schema)
 
 
+def dedup_against_corpus(new_df: DataFrame, seen_df: DataFrame,
+                         text_col: str = "text",
+                         canonical: bool = True) -> DataFrame:
+    """Incremental exact dedup: rows of ``new_df`` whose content does NOT
+    already appear in ``seen_df`` — the cross-snapshot pass a growing corpus
+    runs on every ingest (new crawl vs everything already kept).
+
+    Content identity is the md5 of the canonicalized text (or raw text with
+    ``canonical=False``) — a portable digest, so the seen-side key set can be
+    produced by another engine or a previous pipeline run. Scale shape: the
+    seen side reduces to DISTINCT digests (one map-side-combined groupBy of
+    the 100-TB corpus's 16-byte keys), then one left-anti equi-join keyed on
+    the digest; nothing ever broadcasts or collects. For repeated ingests
+    against a slowly-growing corpus, persist the distinct-digest frame once
+    and reuse it across batches.
+    """
+    from .text import canonical_fingerprint_md5
+
+    if canonical:
+        key = canonical_fingerprint_md5(text_col)
+    else:
+        key = F.md5(F.col(text_col).cast("binary"))
+    new_k = new_df.withColumn("_ck", key)
+    seen_k = seen_df.select(key.alias("_ck")).distinct()
+    return (new_k.join(seen_k, on="_ck", how="left_anti")
+            .drop("_ck"))
+
+
 def semantic_dedup(df: DataFrame, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.9,
                    n_clusters: int = 16, nprobe: int = 2,

@@ -148,6 +148,23 @@ def language_id(text_col: str = "text",
     return expr.otherwise(F.lit(langs[0]))
 
 
+def canonicalize(text: Column) -> Column:
+    """Aggressive engine-portable canonical form for content-identity
+    comparison: lowercase, every non-alphanumeric run collapsed to one
+    space, trimmed. Deliberately ASCII-class regexes only ([^a-z0-9]+), so
+    Spark and any ANSI engine (DuckDB oracle, a warehouse twin) produce the
+    byte-identical string — unicode normalization (NFC/NFKC) is NOT applied
+    because engines disagree on it; add it upstream if the corpus needs it.
+    """
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
+def canonical_fingerprint_md5(text_col: str = "text") -> Column:
+    """Portable md5 digest of :func:`canonicalize` — the cross-engine,
+    cross-snapshot content-identity key used by incremental dedup."""
+    return F.md5(canonicalize(F.col(text_col)).cast("binary"))
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """64-bit document fingerprint of the normalized text (lowercased,
     whitespace-collapsed) — the exact-dedup key at scale."""

@@ -1,0 +1,48 @@
+"""Incremental cross-corpus dedup and canonical content identity."""
+
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.dedup import dedup_against_corpus
+from bid_evaluation_spark.operators.text import (
+    canonical_fingerprint_md5,
+    canonicalize,
+)
+
+
+def test_canonicalize_forms(spark):
+    df = spark.createDataFrame(
+        [("  Hello,   WORLD!! ",), ("hello world",), ("HELLO-WORLD",),
+         ("unrelated",), ("",)],
+        "text string")
+    got = [r["c"] for r in
+           df.select(canonicalize(F.col("text")).alias("c")).collect()]
+    assert got == ["hello world", "hello world", "hello world",
+                   "unrelated", ""]
+
+
+def test_dedup_against_corpus_drops_known_content(spark):
+    seen = spark.createDataFrame(
+        [(1, "The quick brown fox."), (2, "Some corpus document")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "the QUICK brown fox"),   # canonical dup of 1
+         (11, "a genuinely new doc"),
+         (12, "some corpus document!")],  # canonical dup of 2
+        "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_against_corpus(new, seen).collect()}
+    assert kept == {11}
+    # raw mode keeps them (strings differ byte-wise)
+    raw = {r["doc_id"]
+           for r in dedup_against_corpus(new, seen, canonical=False).collect()}
+    assert raw == {10, 11, 12}
+
+
+def test_canonical_fingerprint_matches_canonical_equality(spark):
+    df = spark.createDataFrame(
+        [(1, "A  B"), (2, "a b"), (3, "a-b"), (4, "ab")],
+        "doc_id long, text string")
+    rows = df.select("doc_id",
+                     canonical_fingerprint_md5("text").alias("h")).collect()
+    h = {r["doc_id"]: r["h"] for r in rows}
+    assert h[1] == h[2] == h[3]
+    assert h[4] != h[1]
