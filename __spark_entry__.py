@@ -2055,6 +2055,21 @@ _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS = _SQL_PIPE_DECONTAMINATE_DOCUMENTS.repl
     "WHERE j >= 0.3", "WHERE j >= 0.25")
 
 
+def _q_pipe_bpe_merges_documents(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/bpe.py): one corpus
+    shuffle to a (word, count) table, then deterministic merge rounds over
+    the word table only (count desc, pair asc tie-break). The greedy merge
+    loop is not SQL-expressible → rows-only check; parity with a pure-python
+    reference implementation is pinned in tests/test_bpe.py."""
+    from bid_evaluation_spark.operators.bpe import bpe_train
+
+    df = _t(spark, sf_dir, "documents")
+    merges = bpe_train(df, n_merges=20, min_count=2)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank long, left string, right string").orderBy("rank")
+
+
 def _q_pipe_hash_sample_documents(spark, sf_dir):
     """Deterministic md5-threshold sample (~30%) — reproducible across
     engines/runs, unlike rand(); the oracle runs the identical predicate."""
@@ -3286,6 +3301,7 @@ _QUERIES: dict = {
     "pipe_decontaminate_bloom_documents": (
         _q_pipe_decontaminate_bloom_documents,
         _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS),
+    "pipe_bpe_merges_documents": (_q_pipe_bpe_merges_documents, None),
     "pipe_hash_sample_documents": (_q_pipe_hash_sample_documents,
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
     "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,
