@@ -383,6 +383,47 @@ def _line_dedup(spark, sf_dir):
     return probs
 
 
+@check("bloom decontaminate: train shingles filtered BEFORE the candidate join")
+def _bloom_decon_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import decontaminate_bloom
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    train = df.filter(F.col("doc_id") % 10 != 0)
+    ev = df.filter(F.col("doc_id") % 10 == 0)
+    plan = plan_of(decontaminate_bloom(train, ev, threshold=0.25, k=3))
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoop" in plan:
+        probs.append("candidate generation degenerated to a cross product")
+    # the Arrow membership kernel must sit on the map side, i.e. appear in
+    # the plan at all (ArrowEvalPython / EvalPython node), before any join
+    if "EvalPython" not in plan:
+        probs.append("bloom membership kernel missing from the plan")
+    if plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+            + plan.count("BroadcastHashJoin") < 1:
+        probs.append("no equi-join for candidates")
+    return probs
+
+
+@check("pagerank round: pre-normalized edges equi-join + partial agg, no cartesian")
+def _pagerank_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 1.0), ("c", "a", 2.0)],
+        "src string, dst string, w double")
+    ranks = pagerank(edges, weight="w", max_iter=2)
+    plan = plan_of(ranks)
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("pagerank round uses a non-equi join")
+    # after localCheckpoint the returned plan must be flat (a scan of the
+    # checkpointed RDD), not a 2-round nested join tree
+    if plan.count("Join") > 0 and "Scan ExistingRDD" not in plan:
+        probs.append("lineage not truncated: joins visible in final plan")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
