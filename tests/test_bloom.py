@@ -60,6 +60,32 @@ def test_decontaminate_bloom_identical_to_exact(spark):
     assert base  # the split must actually contain contamination to test
 
 
+def test_bloom_semi_filter_on_stream(spark, tmp_path):
+    """The membership kernel is a plain map-side filter, so it runs
+    unchanged on a streaming frame — blocklist filtering at ingest."""
+    docs = spark.createDataFrame(
+        [(1, "blocked page one"), (2, "a clean document"),
+         (3, "blocked page two"), (4, "another fine doc")],
+        "doc_id long, text string")
+    block = spark.createDataFrame(
+        [("blocked page one",), ("blocked page two",)], "text string")
+    key = F.xxhash64(F.col("text"))
+    bloom = bloom_from_hash_column(block.select(key.alias("h")), "h")
+
+    src = str(tmp_path / "stream_src")
+    docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    hits = bloom_semi_filter(stream.withColumn("h", key), "h", bloom)
+    clean = hits.select("doc_id")  # rows flagged as might-be-blocked
+    q = (clean.writeStream.format("memory").queryName("bloom_stream_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    flagged = {r["doc_id"]
+               for r in spark.sql("SELECT * FROM bloom_stream_smoke").collect()}
+    assert {1, 3} <= flagged          # no false negatives, streamed
+    assert flagged <= {1, 2, 3, 4}
+
+
 def test_decontaminate_bloom_empty_eval(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     ev = docs.filter(F.lit(False))
