@@ -2123,6 +2123,70 @@ WHERE p.p >= 1.0
 """
 
 
+def _q_pipe_sample_k_group_documents(spark, sf_dir):
+    """Exactly-k-per-group deterministic sampling (operators/pipeline.py
+    sample_k_per_group): rank by (md5(key||seed), key) within each lang,
+    keep rank <= 20 — the balanced-subset curation op. One window shuffle
+    keyed on the group; the oracle runs the identical ranking."""
+    from bid_evaluation_spark.operators.pipeline import sample_k_per_group
+
+    df = _t(spark, sf_dir, "documents")
+    res = sample_k_per_group(df, 20, "lang", seed="skg")
+    return res.select("doc_id", "lang", "source")
+
+
+_SQL_PIPE_SAMPLE_K_GROUP_DOCUMENTS = """
+WITH r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || 'skg'), doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM r WHERE rn <= 20
+"""
+
+
+def _q_pipe_token_mixture_documents(spark, sf_dir):
+    """Token-budget mixture sampling (operators/pipeline.py
+    token_budget_mixture_sample): the 4:2:2:1:1 target applies to token
+    mass, not document counts; per-lang acceptance rates derive from one
+    token-sum pass and the same portable md5 predicate — the oracle
+    recomputes the identical rate arithmetic."""
+    from bid_evaluation_spark.operators.pipeline import (
+        token_budget_mixture_sample)
+
+    df = _t(spark, sf_dir, "documents")
+    res = token_budget_mixture_sample(
+        df, {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}, seed="tokmix")
+    return res.select("doc_id", "lang", "source")
+
+
+_SQL_PIPE_TOKEN_MIXTURE_DOCUMENTS = """
+WITH w AS (
+  SELECT * FROM (VALUES ('en', 4), ('de', 2), ('es', 2), ('fr', 1), ('zh', 1))
+         AS t(lang, wi)
+),
+j AS (
+  SELECT d.lang,
+         CAST(sum(CASE WHEN trim(d.text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(d.text), '\\s+'))
+                  END) AS DOUBLE) AS tok,
+         w.wi / 10.0 AS s
+  FROM documents d JOIN w USING (lang) GROUP BY d.lang, w.wi
+),
+j2 AS (SELECT * FROM j WHERE tok > 0),
+p AS (
+  SELECT lang, (SELECT min(tok / s) FROM j2) * s / tok AS p FROM j2
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN p USING (lang)
+WHERE p.p >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'tokmix'), 1, 8)
+      < printf('%08x', CAST(trunc(p.p * 4294967296.0) AS BIGINT))
+"""
+
+
 def _q_pipe_shuffle_documents(spark, sf_dir):
     """Deterministic global shuffle: seeded md5 permutation with explicit
     positions, assembled zipWithIndex-style (bucket counts + broadcast
@@ -3306,6 +3370,10 @@ _QUERIES: dict = {
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
     "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,
                                       _SQL_PIPE_MIXTURE_SAMPLE_DOCUMENTS),
+    "pipe_sample_k_group_documents": (_q_pipe_sample_k_group_documents,
+                                      _SQL_PIPE_SAMPLE_K_GROUP_DOCUMENTS),
+    "pipe_token_mixture_documents": (_q_pipe_token_mixture_documents,
+                                     _SQL_PIPE_TOKEN_MIXTURE_DOCUMENTS),
     "pipe_shuffle_documents": (_q_pipe_shuffle_documents,
                                _SQL_PIPE_SHUFFLE_DOCUMENTS),
     "pipe_lm_score_documents": (_q_pipe_lm_score_documents,

@@ -19,6 +19,10 @@ semantics, so each has a full DuckDB oracle in ``__spark_entry__.py``:
   split is stable under corpus growth).
 - :func:`sample_exact_k` — exactly-k uniform deterministic sample via
   hash-ordered TakeOrdered (the distributed reservoir-sample analogue).
+- :func:`sample_k_per_group` — exactly min(k, n_g) rows per group (balanced
+  subsets) via one group-keyed rank window over the same hash order.
+- :func:`token_budget_mixture_sample` — mixture_sample in token space:
+  target shares apply to token mass, the way LLM mixtures are specified.
 - :func:`mixture_sample` — sample toward a target domain mixture (per-group
   acceptance rates from one tiny counts pass, same portable hash predicate).
 - :func:`shuffle_rows` — seeded deterministic global permutation with
@@ -337,6 +341,91 @@ def sample_exact_k(
               .orderBy(F.asc("_sek_h"), F.asc(key_col))
               .limit(int(k))
               .drop("_sek_h"))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+) -> DataFrame:
+    """EXACTLY ``min(k, n_g)`` rows per group, uniformly and
+    deterministically — the balanced-subset op (fixed-size stratified
+    sample per domain/language/source).
+
+    Rows rank by ``(md5(key || seed), key)`` WITHIN their group; rank ≤ k
+    survives. One window shuffle keyed on the group (never a global sort);
+    a hot group serializes only its own partition, and the deterministic
+    hash order makes redraws (new seed) and cross-engine reproduction
+    (DuckDB oracle) exact.
+    """
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.md5(F.concat(key, F.lit(seed)).cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(F.asc("_skg_h"),
+                                              F.asc(key_col))
+    return (df.withColumn("_skg_h", h)
+            .withColumn("_skg_r", F.row_number().over(w))
+            .filter(F.col("_skg_r") <= int(k))
+            .drop("_skg_h", "_skg_r"))
+
+
+def token_budget_mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    text_col: str = "text",
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    total_tokens: Optional[int] = None,
+    seed: str = "",
+    digits: int = 8,
+) -> DataFrame:
+    """:func:`mixture_sample` in TOKEN space: target shares apply to the
+    token budget, not the document count — how real LLM mixtures are
+    specified (a domain of long documents needs fewer docs for the same
+    token share).
+
+    One counts pass sums whitespace-token counts per group (G rows to the
+    driver); the budget is ``B = min_g(tok_g / s_g)`` (largest token budget
+    no group must up-sample for), optionally capped by ``total_tokens``;
+    each group keeps docs with acceptance rate ``p_g = min(1, B·s_g /
+    tok_g)`` via the same deterministic md5-threshold predicate as
+    :func:`hash_sample`. Token share is hit in expectation (doc-level
+    accept); groups not in ``weights`` — and groups with zero tokens —
+    are dropped. Map-only after the counts pass.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: share} dict")
+    tot_w = float(sum(weights.values()))
+    if tot_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    shares = {g: float(s) / tot_w for g, s in weights.items()}
+
+    toks = (df.filter(F.col(group_col).isin(*weights.keys()))
+            .groupBy(group_col)
+            .agg(F.sum(token_count(F.col(text_col))).alias("_tk"))
+            .collect())
+    sums = {r[group_col]: float(r["_tk"]) for r in toks if r["_tk"]}
+    present = {g: s for g, s in shares.items() if sums.get(g)}
+    if not present:
+        return df.filter(F.lit(False))
+    budget = min(sums[g] / s for g, s in present.items())
+    if total_tokens is not None:
+        budget = min(budget, float(total_tokens))
+
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    pref = F.substring(F.md5(F.concat(key, F.lit(seed)).cast("binary")),
+                       1, digits)
+    keep = None
+    for g, s in present.items():
+        p = min(1.0, budget * s / sums[g])
+        ok = (F.lit(True) if p >= 1.0
+              else pref < F.lit(_hex_threshold(p, digits)))
+        cond = (F.col(group_col) == g) & ok
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
 
 
 def mixture_sample(

@@ -190,6 +190,48 @@ def test_mixture_sample_hits_target_shares(spark):
     assert out.select("lang").distinct().count() == 5
 
 
+def test_sample_k_per_group_exact_sizes(spark):
+    from bid_evaluation_spark.operators.pipeline import sample_k_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    caps = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    out = sample_k_per_group(docs, 20, "lang", seed="t")
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {g: min(20, n) for g, n in caps.items()}
+    # deterministic, and a different seed is a different draw
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"]
+               for r in sample_k_per_group(docs, 20, "lang", seed="t").collect())
+    c = sorted(r["doc_id"]
+               for r in sample_k_per_group(docs, 20, "lang", seed="u").collect())
+    assert a == b and a != c
+
+
+def test_token_budget_mixture_targets_token_mass(spark):
+    from bid_evaluation_spark.operators.pipeline import (
+        token_budget_mixture_sample)
+    from bid_evaluation_spark.operators.text import token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    weights = {"en": 4, "de": 2, "es": 2, "fr": 1, "zh": 1}
+    out = token_budget_mixture_sample(docs, weights, seed="t")
+    toks = {r["lang"]: r["t"] for r in
+            out.groupBy("lang")
+               .agg(F.sum(token_count(F.col("text"))).alias("t")).collect()}
+    total = sum(toks.values())
+    for lang, w in weights.items():
+        assert abs(toks[lang] / total - w / 10) < 0.08, (lang, toks)
+    # a token cap thins proportionally; determinism across runs
+    small = token_budget_mixture_sample(docs, weights, seed="t",
+                                        total_tokens=5_000)
+    assert small.count() < out.count()
+    again = token_budget_mixture_sample(docs, weights, seed="t")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+
+
 def test_mixture_sample_contract_errors(spark):
     docs = spark.createDataFrame([(1, "x", "en")],
                                  "doc_id long, text string, lang string")
