@@ -1332,6 +1332,39 @@ FROM documents
 # Dedup extension
 # ---------------------------------------------------------------------------
 
+def _q_text_sentences_documents(spark, sf_dir):
+    """Sentence splitting (operators/sentences.py, JVM expression path):
+    split on whitespace runs preceded by a terminator run. DuckDB's RE2 has
+    no lookbehind, so the oracle reproduces the split by rewriting
+    '([.!?])\\s+' to terminator + sentinel and splitting on the sentinel —
+    identical split points."""
+    from bid_evaluation_spark.operators.sentences import split_sentences
+
+    df = _t(spark, sf_dir, "documents")
+    return split_sentences(df)
+
+
+_SQL_TEXT_SENTENCES_DOCUMENTS = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           string_split(
+             regexp_replace(trim(text), '([.!?])\\s+', '\\1' || chr(1), 'g'),
+             chr(1)),
+           x -> trim(x) != '') AS parts
+  FROM documents
+),
+e AS (
+  SELECT doc_id, parts,
+         unnest(generate_series(1, len(parts))) AS i
+  FROM s
+)
+SELECT doc_id, CAST(i - 1 AS INT) AS sentence_index,
+       trim(parts[i]) AS sentence
+FROM e
+"""
+
+
 def _q_dedup_exact_documents(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -3334,6 +3367,8 @@ _QUERIES: dict = {
                                     _SQL_DEDUP_INCREMENTAL_DOCUMENTS),
     "text_canonicalize_documents": (_q_text_canonicalize_documents,
                                     _SQL_TEXT_CANONICALIZE_DOCUMENTS),
+    "text_sentences_documents": (_q_text_sentences_documents,
+                                 _SQL_TEXT_SENTENCES_DOCUMENTS),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram_jaccard_documents,
                                       _SQL_DEDUP_NGRAM_JACCARD_DOCUMENTS),
     "dedup_minhash_candidates_documents": (_q_dedup_minhash_candidates_documents,

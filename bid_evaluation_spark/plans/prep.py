@@ -76,11 +76,22 @@ def _step_lm_filter(df: DataFrame, tables, id_col: str, text_col: str,
 
 def _step_decontaminate(df: DataFrame, tables, id_col: str, text_col: str,
                         eval_table: str = "eval", threshold: float = 0.5,
-                        k: int = 3, **kw) -> DataFrame:
+                        k: int = 3, method: str = "exact",
+                        **kw) -> DataFrame:
     if eval_table not in tables:
         raise KeyError(f"decontaminate needs tables[{eval_table!r}]")
-    bad = decontaminate(df, tables[eval_table], threshold=threshold, k=k,
-                        id_col=id_col, text_col=text_col)
+    if method == "bloom":
+        # identical results; the broadcast Bloom pre-filter shrinks the
+        # candidate shuffle when train >> eval (the usual shape)
+        from ..operators.pipeline import decontaminate_bloom
+        bad = decontaminate_bloom(df, tables[eval_table], threshold=threshold,
+                                  k=k, id_col=id_col, text_col=text_col)
+    elif method == "exact":
+        bad = decontaminate(df, tables[eval_table], threshold=threshold, k=k,
+                            id_col=id_col, text_col=text_col)
+    else:
+        raise ValueError(
+            f"decontaminate method must be 'exact' or 'bloom', got {method!r}")
     return df.join(bad.select(F.col("train_id").alias(id_col)).distinct(),
                    on=id_col, how="left_anti")
 

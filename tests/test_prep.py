@@ -71,6 +71,24 @@ def test_lm_and_decontaminate_steps(docs):
         out, on="doc_id", how="inner").count() == 0
 
 
+def test_decontaminate_step_bloom_method_identical(docs):
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    base = build_prep_pipeline(
+        {"steps": [{"op": "decontaminate", "eval_table": "ev",
+                    "threshold": 0.3}]}, tables={"ev": ev})
+    fast = build_prep_pipeline(
+        {"steps": [{"op": "decontaminate", "eval_table": "ev",
+                    "threshold": 0.3, "method": "bloom"}]}, tables={"ev": ev})
+    a = sorted(r["doc_id"] for r in base(train).collect())
+    b = sorted(r["doc_id"] for r in fast(train).collect())
+    assert a == b and a
+    with pytest.raises(ValueError, match="method"):
+        build_prep_pipeline(
+            {"steps": [{"op": "decontaminate", "eval_table": "ev",
+                        "method": "nope"}]}, tables={"ev": ev})(train)
+
+
 def test_build_time_validation(docs):
     with pytest.raises(ValueError, match="no steps"):
         build_prep_pipeline({})
