@@ -2286,6 +2286,59 @@ LEFT JOIN (SELECT doc_id, count(*) AS cnt, avg(nll) AS mean_nll
 """
 
 
+def _q_pipe_bigram_lm_documents(spark, sf_dir):
+    """Bigram LM quality scoring (operators/pipeline.py
+    bigram_lm_quality_score): mean -ln P(w_i | w_{i-1}) under add-0.5
+    smoothing; the oracle rebuilds both model aggregates and the identical
+    conditional arithmetic in SQL."""
+    from bid_evaluation_spark.operators.pipeline import bigram_lm_quality_score
+
+    df = _t(spark, sf_dir, "documents")
+    res = bigram_lm_quality_score(df)
+    return res.select("doc_id",
+                      F.col("n_bigrams").cast("long").alias("n_bigrams"),
+                      _r4("lm2_nll").alias("lm2_nll"),
+                      _r4("lm2_ppl").alias("lm2_ppl"))
+
+
+_SQL_PIPE_BIGRAM_LM_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, unnest(t) AS tok FROM toks
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks
+),
+exploded2 AS (
+  SELECT doc_id, t[i] AS atok, t[i] || ' ' || t[i+1] AS bg FROM idx
+),
+bmodel AS (
+  SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM exploded2 GROUP BY bg
+),
+umodel AS (
+  SELECT tok, CAST(count(*) AS DOUBLE) AS ca FROM exploded GROUP BY tok
+),
+scal AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM umodel),
+scored AS (
+  SELECT e.doc_id, -ln((b.cb + 0.5) / (u.ca + 0.5 * scal.v)) AS nll
+  FROM exploded2 e JOIN bmodel b USING (bg)
+       JOIN umodel u ON e.atok = u.tok, scal
+)
+SELECT d.doc_id,
+  CAST(coalesce(s.cnt, 0) AS BIGINT) AS n_bigrams,
+  round(s.mean_nll * 10000.0) / 10000.0 AS lm2_nll,
+  round(exp(s.mean_nll) * 10000.0) / 10000.0 AS lm2_ppl
+FROM documents d
+LEFT JOIN (SELECT doc_id, count(*) AS cnt, avg(nll) AS mean_nll
+           FROM scored GROUP BY doc_id) s USING (doc_id)
+"""
+
+
 def _q_profile_columns_documents(spark, sf_dir):
     """One-pass column profiling (nulls, cardinalities, top-3 frequent
     values with deterministic ties), flattened one row per (column, rank)
@@ -3413,6 +3466,8 @@ _QUERIES: dict = {
                                _SQL_PIPE_SHUFFLE_DOCUMENTS),
     "pipe_lm_score_documents": (_q_pipe_lm_score_documents,
                                 _SQL_PIPE_LM_SCORE_DOCUMENTS),
+    "pipe_bigram_lm_documents": (_q_pipe_bigram_lm_documents,
+                                 _SQL_PIPE_BIGRAM_LM_DOCUMENTS),
     "profile_columns_documents": (_q_profile_columns_documents,
                                   _SQL_PROFILE_COLUMNS_DOCUMENTS),
     "profile_histogram_events": (_q_profile_histogram_events,

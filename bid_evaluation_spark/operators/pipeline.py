@@ -593,6 +593,74 @@ def lm_quality_score(
     return out
 
 
+def bigram_lm_quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_df: Optional[DataFrame] = None,
+    add_k: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document BIGRAM LM score — the context-aware upgrade of
+    :func:`lm_quality_score`: mean ``-ln P(w_i | w_{i-1})`` under add-k
+    smoothed conditionals ``P(b|a) = (c(a,b)+k) / (c(a)+k·V)``, with ``V``
+    the training vocabulary size and ``c(a)`` the unigram occurrence count.
+    Word-salad documents (plausible tokens, implausible transitions) score
+    high where the unigram model cannot tell them from prose.
+
+    Returns ``(id, n_bigrams, lm2_nll, lm2_ppl)``; documents with fewer
+    than 2 tokens have null ``lm2_nll``.
+
+    Distributed shape: TWO model aggregates over the training corpus
+    (bigram counts and unigram counts — each one explode + partially
+    aggregated groupBy, one row per distinct gram); scoring equi-joins each
+    document bigram to both tables and aggregates per doc. ``V`` folds in
+    as a literal. Unseen context ⇒ the smoothing floor ``1/V``.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0 (smoothing floor), got {add_k}")
+    train = train_df if train_df is not None else df
+    norm = (lambda c: F.lower(c)) if lowercase else (lambda c: c)
+
+    def _pairs(col: Column) -> Column:
+        t = tokens(norm(col))
+        m = F.size(t) - 1
+        empty = F.array().cast("array<struct<_a:string,_bg:string>>")
+        z = F.zip_with(
+            F.slice(t, 1, m), F.slice(t, 2, m),
+            lambda a, b: F.struct(
+                a.alias("_a"), F.concat_ws(" ", a, b).alias("_bg")))
+        return F.when(m >= 1, z).otherwise(empty)
+
+    tr_pairs = train.select(F.explode(_pairs(F.col(text_col))).alias("_p"))
+    bmodel = (tr_pairs.select("_p._bg")
+              .groupBy("_bg").agg(F.count("*").alias("_cb")))
+    tr_toks = train.select(
+        F.explode(tokens(norm(F.col(text_col)))).alias("_tok"))
+    umodel = tr_toks.groupBy("_tok").agg(F.count("*").alias("_ca"))
+    vocab = umodel.count()
+    if vocab == 0:
+        raise ValueError("training corpus has no tokens")
+
+    doc_pairs = df.select(
+        F.col(id_col),
+        F.explode_outer(_pairs(F.col(text_col))).alias("_p"),
+    ).select(id_col, F.col("_p._a").alias("_a"), F.col("_p._bg").alias("_bg"))
+    scored = (doc_pairs
+              .join(bmodel, on="_bg", how="left")
+              .join(umodel, doc_pairs["_a"] == umodel["_tok"], how="left"))
+    nll = -F.log(
+        (F.coalesce(F.col("_cb"), F.lit(0)) + F.lit(add_k))
+        / (F.coalesce(F.col("_ca"), F.lit(0)) + F.lit(add_k * float(vocab))))
+    return (
+        scored.groupBy(id_col)
+        .agg(F.count("_bg").alias("n_bigrams"),
+             F.avg(F.when(F.col("_bg").isNotNull(), nll)).alias("lm2_nll"))
+        .withColumn("n_bigrams", F.col("n_bigrams").cast("long"))
+        .withColumn("lm2_ppl", F.exp("lm2_nll"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document chunking
 # ---------------------------------------------------------------------------

@@ -74,6 +74,22 @@ def _step_lm_filter(df: DataFrame, tables, id_col: str, text_col: str,
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def _step_bigram_lm_filter(df: DataFrame, tables, id_col: str, text_col: str,
+                           quantile: float = 0.9, add_k: float = 0.5,
+                           **kw) -> DataFrame:
+    """Drop docs above the corpus bigram-NLL quantile (short docs kept) —
+    catches word salad the unigram filter scores as normal."""
+    from ..operators.pipeline import bigram_lm_quality_score
+    if not 0.0 < quantile <= 1.0:
+        raise ValueError(f"quantile must be in (0, 1], got {quantile}")
+    lm = bigram_lm_quality_score(df, text_col=text_col, id_col=id_col,
+                                 add_k=add_k)
+    cut = lm.agg(F.expr(f"percentile(lm2_nll, {float(quantile)})")).first()[0]
+    keep = lm.filter(F.col("lm2_nll").isNull()
+                     | (F.col("lm2_nll") <= F.lit(cut))).select(id_col)
+    return df.join(keep, on=id_col, how="left_semi")
+
+
 def _step_decontaminate(df: DataFrame, tables, id_col: str, text_col: str,
                         eval_table: str = "eval", threshold: float = 0.5,
                         k: int = 3, method: str = "exact",
@@ -182,6 +198,7 @@ STEP_REGISTRY: Dict[str, Callable[..., DataFrame]] = {
     "exact_dedup": _step_exact_dedup,
     "quality_filter": _step_quality_filter,
     "lm_filter": _step_lm_filter,
+    "bigram_lm_filter": _step_bigram_lm_filter,
     "decontaminate": _step_decontaminate,
     "hash_sample": _step_hash_sample,
     "mixture_sample": _step_mixture_sample,

@@ -232,6 +232,33 @@ def test_token_budget_mixture_targets_token_mass(spark):
         sorted(r["doc_id"] for r in out.collect())
 
 
+def test_bigram_lm_flags_word_salad(spark):
+    from bid_evaluation_spark.operators.pipeline import (
+        bigram_lm_quality_score, lm_quality_score)
+
+    prose = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, prose) for i in range(8)]
+    # same token multiset as prose — transitions are scrambled
+    salad = "mat the on sat cat rug the dog and on the sat the"
+    rows.append((100, salad))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["lm_nll"] for r in lm_quality_score(df).collect()}
+    bi = {r["doc_id"]: r["lm2_nll"]
+          for r in bigram_lm_quality_score(df).collect()}
+    # unigram can't separate the scramble (same tokens): scores are close
+    assert abs(uni[100] - uni[0]) < 0.2
+    # bigram separates it decisively
+    assert bi[100] > bi[0] + 0.5
+    # short docs: <2 tokens → null nll, n_bigrams accurate
+    tiny = spark.createDataFrame([(1, "one"), (2, "")],
+                                 "doc_id long, text string")
+    out = {r["doc_id"]: (r["n_bigrams"], r["lm2_nll"])
+           for r in bigram_lm_quality_score(
+               tiny, train_df=df).collect()}
+    assert out[1] == (0, None) and out[2] == (0, None)
+
+
 def test_mixture_sample_contract_errors(spark):
     docs = spark.createDataFrame([(1, "x", "en")],
                                  "doc_id long, text string, lang string")

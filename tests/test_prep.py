@@ -71,6 +71,20 @@ def test_lm_and_decontaminate_steps(docs):
         out, on="doc_id", how="inner").count() == 0
 
 
+def test_bigram_lm_filter_step(docs):
+    run = build_prep_pipeline(
+        {"steps": [{"op": "bigram_lm_filter", "quantile": 0.8}]})
+    out = run(docs)
+    n_in, n_out = docs.count(), out.count()
+    assert 0 < n_out < n_in
+    # the cut is the documented quantile of the bigram NLL
+    from bid_evaluation_spark.operators.pipeline import bigram_lm_quality_score
+    lm = bigram_lm_quality_score(docs)
+    cut = lm.agg(F.expr("percentile(lm2_nll, 0.8)")).first()[0]
+    assert lm.filter(F.col("lm2_nll") > cut).join(
+        out, on="doc_id", how="inner").count() == 0
+
+
 def test_decontaminate_step_bloom_method_identical(docs):
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     train = docs.filter(F.col("doc_id") % 10 != 0)
