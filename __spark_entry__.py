@@ -1027,6 +1027,45 @@ FROM comp
 """
 
 
+def _q_quality_topk_lang_documents(spark, sf_dir):
+    """Per-language curation: keep each language's top-10 documents by the
+    heuristic quality score (deterministic ties by doc_id) — composition of
+    the quality operator with a group-keyed rank window (never a global
+    sort)."""
+    from pyspark.sql import Window
+    from bid_evaluation_spark.operators.text import quality_score
+
+    # rank on the ROUNDED score: both engines agree on round(q*1e4) (the
+    # oracle contract) but not necessarily on the last ulp of q itself —
+    # ordering by the raw double could flip near-ties cross-engine
+    df = _t(spark, sf_dir, "documents").withColumn("q", _r4(quality_score()))
+    w = Window.partitionBy("lang").orderBy(F.desc("q"), F.asc("doc_id"))
+    return (df.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("doc_id", "lang", F.col("q").alias("quality"),
+                    F.col("rnk").cast("long").alias("rnk")))
+
+
+_SQL_QUALITY_TOPK_LANG_DOCUMENTS = (
+    _SQL_TEXT_QUALITY_SCORE_DOCUMENTS.replace(
+        "SELECT doc_id,\n       round((length_c + div_c + stop_c + punct_c)"
+        " * 10000.0) / 10000.0 AS quality\nFROM comp",
+        """, q AS (
+  SELECT c.doc_id, d.lang,
+         round((c.length_c + c.div_c + c.stop_c + c.punct_c) * 10000.0)
+           / 10000.0 AS qr
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+r AS (
+  SELECT doc_id, lang, qr,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY qr DESC, doc_id ASC) AS rnk
+  FROM q
+)
+SELECT doc_id, lang, qr AS quality, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= 10"""))
+
+
 def _q_staged_quality_documents(spark, sf_dir):
     """Extension-op composition (SURVEY §7): the text quality score feeds the
     STAGED scoring engine as a criterion column — stage 1 eliminates
@@ -3407,6 +3446,8 @@ _QUERIES: dict = {
                                    _SQL_TEXT_TOKEN_COUNT_DOCUMENTS),
     "text_quality_score_documents": (_q_text_quality_score_documents,
                                      _SQL_TEXT_QUALITY_SCORE_DOCUMENTS),
+    "quality_topk_lang_documents": (_q_quality_topk_lang_documents,
+                                    _SQL_QUALITY_TOPK_LANG_DOCUMENTS),
     "text_fingerprint_documents": (_q_text_fingerprint_documents,
                                    _SQL_TEXT_FINGERPRINT_DOCUMENTS),
     "staged_quality_documents": (_q_staged_quality_documents,
