@@ -2142,6 +2142,50 @@ def _q_pipe_bpe_merges_documents(spark, sf_dir):
         "rank long, left string, right string").orderBy("rank")
 
 
+def _q_pipe_bpe_pair_counts_documents(spark, sf_dir):
+    """BPE merge-round-1 weighted pair counts (operators/bpe.py
+    pair_counts) — the distributed counting core of bpe_train under a full
+    value oracle; top-20 by (count desc, pair asc). Exactly checks the
+    word-frequency pass, symbol construction, and weighted pair explode;
+    the iterative rewrite above it stays rows-only."""
+    from bid_evaluation_spark.operators.bpe import pair_counts
+
+    df = _t(spark, sf_dir, "documents")
+    return (pair_counts(df)
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(20)
+            .select(F.col("l").alias("left"), F.col("r").alias("right"),
+                    F.col("c").cast("long").alias("c")))
+
+
+_SQL_PIPE_BPE_PAIR_COUNTS_DOCUMENTS = """
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(lower(text)), '\\s+')
+                  END) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+syms AS (
+  SELECT n,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i]), '</w>') AS s
+  FROM words
+),
+idx AS (
+  SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i FROM syms
+),
+pairs AS (
+  SELECT s[i] AS l, s[i+1] AS r, sum(n) AS c FROM idx GROUP BY s[i], s[i+1]
+)
+SELECT l AS "left", r AS "right", CAST(c AS BIGINT) AS c
+FROM pairs
+ORDER BY c DESC, l ASC, r ASC
+LIMIT 20
+"""
+
+
 def _q_pipe_hash_sample_documents(spark, sf_dir):
     """Deterministic md5-threshold sample (~30%) — reproducible across
     engines/runs, unlike rand(); the oracle runs the identical predicate."""
@@ -3495,6 +3539,8 @@ _QUERIES: dict = {
         _q_pipe_decontaminate_bloom_documents,
         _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS),
     "pipe_bpe_merges_documents": (_q_pipe_bpe_merges_documents, None),
+    "pipe_bpe_pair_counts_documents": (_q_pipe_bpe_pair_counts_documents,
+                                       _SQL_PIPE_BPE_PAIR_COUNTS_DOCUMENTS),
     "pipe_hash_sample_documents": (_q_pipe_hash_sample_documents,
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
     "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,

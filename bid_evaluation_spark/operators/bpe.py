@@ -54,6 +54,33 @@ def _chars_plus_eow(word: Column) -> Column:
     return F.concat(chars, F.array(F.lit(EOW)))
 
 
+def _pair_counts(syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over a (n, s) symbol frame —
+    the distributed core of every merge round: map-side explode of zipped
+    slices, one partially-aggregated groupBy on the pair."""
+    m = F.size("s") - 1
+    pair = F.explode(F.zip_with(
+        F.slice("s", 1, m), F.slice("s", 2, m),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )).alias("p")
+    return (syms.filter(F.size("s") >= 2).select(F.col("n"), pair)
+            .groupBy("p.l", "p.r").agg(F.sum("n").alias("c")))
+
+
+def pair_counts(df: Optional[DataFrame] = None, text_col: str = "text",
+                lowercase: bool = True,
+                word_freq: Optional[DataFrame] = None) -> DataFrame:
+    """Merge-round-1 weighted pair counts ``(l, r, c)`` over the initial
+    char+EOW symbol arrays — :func:`bpe_train`'s distributed core exposed
+    standalone so the exact pair-counting machinery is oracle-checkable
+    (the iterative rewrite on top of it is what SQL can't express)."""
+    words = word_freq if word_freq is not None else word_frequencies(
+        df, text_col, lowercase)
+    syms = words.select(F.col("n"),
+                        _chars_plus_eow(F.col("word")).alias("s"))
+    return _pair_counts(syms)
+
+
 def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
               min_count: int = 2, lowercase: bool = True,
               word_freq: Optional[DataFrame] = None,
@@ -73,13 +100,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
 
     merges: List[Tuple[str, str]] = []
     for _ in range(int(n_merges)):
-        m = F.size("s") - 1
-        pair = F.explode(F.zip_with(
-            F.slice("s", 1, m), F.slice("s", 2, m),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        )).alias("p")
-        top = (syms.filter(F.size("s") >= 2).select(F.col("n"), pair)
-               .groupBy("p.l", "p.r").agg(F.sum("n").alias("c"))
+        top = (_pair_counts(syms)
                .filter(F.col("c") >= min_count)
                .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
                .limit(1).collect())
