@@ -1689,6 +1689,47 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _q_dedup_keepmin_embeddings(spark, sf_dir):
+    """Keep-one-per-near-dup-group (operators/dedup.py
+    dedup_near_duplicates) under a FULL oracle: with the label column as
+    the blocking key the pair set is exact, so verify → connected
+    components → drop-non-min is exactly reproducible as a recursive
+    transitive-closure CTE. This is semantic_dedup's entire tail (verify,
+    CC, keep-min) value-checked; only the k-means blocking stays
+    test-verified."""
+    from bid_evaluation_spark.operators.dedup import (
+        dedup_near_duplicates, embedding_near_duplicates)
+
+    df = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(df, threshold=0.35, block_col="label")
+    kept = dedup_near_duplicates(df, pairs, id_col="vec_id")
+    return kept.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
+_SQL_DEDUP_KEEPMIN_EMBEDDINGS = """
+WITH RECURSIVE v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.35
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON r.id = e.s
+),
+clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+dropped AS (SELECT id FROM clusters WHERE id != cluster_id)
+SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+FROM embeddings em
+WHERE em.vec_id NOT IN (SELECT id FROM dropped)
+"""
+
+
 def _q_dedup_semantic_embeddings(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/dedup.py): k-means blocks +
     within-cluster exact-cosine verify + keep-min-id. Approximate by
@@ -3519,6 +3560,8 @@ _QUERIES: dict = {
                                  _SQL_DEDUP_EMBEDDING_CLUSTERS),
     "ann_cosine_topk_embeddings": (_q_ann_cosine_topk_embeddings,
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
+    "dedup_keepmin_embeddings": (_q_dedup_keepmin_embeddings,
+                                 _SQL_DEDUP_KEEPMIN_EMBEDDINGS),
     "dedup_semantic_embeddings": (_q_dedup_semantic_embeddings, None),
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings, None),
     "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings, None),
