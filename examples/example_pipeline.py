@@ -40,10 +40,23 @@ docs = (docs.join(lm.select("doc_id", "lm_nll"), "doc_id")
         .filter(F.col("lm_nll").isNull() | (F.col("lm_nll") <= cut))
         .drop("lm_nll"))
 
-# 3. decontaminate against a held-out eval slice (doc_id % 10 == 0)
+# 2b. context-aware upgrade: bigram-LM cut separates word salad that the
+#     unigram model scores as normal prose (drop the worst 10%)
+from bid_evaluation_spark.operators.pipeline import bigram_lm_quality_score
+lm2 = bigram_lm_quality_score(docs)
+cut2 = lm2.agg(F.expr("percentile(lm2_nll, 0.9)")).first()[0]
+docs = (docs.join(lm2.select("doc_id", "lm2_nll"), "doc_id")
+        .filter(F.col("lm2_nll").isNull() | (F.col("lm2_nll") <= cut2))
+        .drop("lm2_nll"))
+
+# 3. decontaminate against a held-out eval slice (doc_id % 10 == 0) —
+#    the broadcast-Bloom variant: identical results, and at the real
+#    100-TB-train / benchmark-eval shape the train-side shingles are
+#    dropped map-side BEFORE the candidate shuffle
+from bid_evaluation_spark.operators.pipeline import decontaminate_bloom
 train = docs.filter(F.col("doc_id") % 10 != 0)
 eval_slice = docs.filter(F.col("doc_id") % 10 == 0)
-contaminated = decontaminate(train, eval_slice, threshold=0.3)
+contaminated = decontaminate_bloom(train, eval_slice, threshold=0.3)
 train = train.join(
     contaminated.select("train_id").distinct(),
     train.doc_id == F.col("train_id"), "left_anti",
@@ -77,7 +90,15 @@ write_training_shards(shuffle_rows(train, seed="epoch0"), shard_dir,
 print(f"shards written: {shard_dir} "
       f"({spark.read.parquet(shard_dir).count()} rows)")
 
-# bonus: corpus vocabulary
+# bonus: corpus vocabulary two ways — top word bigrams, and a trained
+# BPE subword vocabulary (one corpus shuffle + merge rounds over the
+# word-frequency table) applied back as per-doc token counts
 top_ngrams(train, n=2, k=10).show(truncate=False)
+
+from bid_evaluation_spark.operators.bpe import bpe_token_count, bpe_train
+merges = bpe_train(train, n_merges=30)
+print(f"BPE merges learned: {merges[:10]} ...")
+train.select("doc_id", bpe_token_count(F.col("text"), merges)
+             .alias("n_bpe_tokens")).show(5)
 
 spark.stop()
