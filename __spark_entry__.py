@@ -2510,6 +2510,57 @@ WHERE p.r <= 3
 """
 
 
+def _q_profile_validate_documents(spark, sf_dir):
+    """Declarative data-quality rules (operators/profile.py validate_rules,
+    the dbt-test shape): five rule kinds over documents in ONE fused
+    aggregate; the oracle recomputes each rule as a scalar SELECT."""
+    from bid_evaluation_spark.operators.profile import validate_rules
+
+    df = _t(spark, sf_dir, "documents")
+    return validate_rules(df, [
+        {"kind": "not_null", "column": "text"},
+        {"kind": "unique", "column": "doc_id"},
+        {"kind": "accepted_values", "column": "lang",
+         "values": ["en", "de", "es", "fr", "zh"]},
+        {"kind": "range", "column": "n_chars", "min": 1, "max": 100000},
+        {"kind": "regex", "column": "lang", "pattern": "[a-z]{2}"},
+    ])
+
+
+_SQL_PROFILE_VALIDATE_DOCUMENTS = """
+SELECT 'not_null_text' AS rule, 'not_null' AS kind, 'text' AS "column",
+       CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(count(*) AS BIGINT) AS n_checked
+FROM documents
+UNION ALL
+SELECT 'unique_doc_id', 'unique', 'doc_id',
+       CAST(count(doc_id) - count(DISTINCT doc_id) AS BIGINT),
+       CAST(count(doc_id) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'accepted_values_lang', 'accepted_values', 'lang',
+       CAST(sum(CASE WHEN lang IS NOT NULL
+                      AND lang NOT IN ('en','de','es','fr','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(lang) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'range_n_chars', 'range', 'n_chars',
+       CAST(sum(CASE WHEN n_chars IS NOT NULL
+                      AND (n_chars < 1 OR n_chars > 100000)
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(n_chars) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'regex_lang', 'regex', 'lang',
+       CAST(sum(CASE WHEN lang IS NOT NULL
+                      AND NOT regexp_full_match(lang, '[a-z]{2}')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(lang) AS BIGINT)
+FROM documents
+"""
+
+
 def _q_profile_histogram_events(spark, sf_dir):
     """Exact equi-width histogram of the event value column (8 buckets,
     empty buckets materialized, top edge inclusive). The oracle recomputes
@@ -3600,6 +3651,8 @@ _QUERIES: dict = {
                                  _SQL_PIPE_BIGRAM_LM_DOCUMENTS),
     "profile_columns_documents": (_q_profile_columns_documents,
                                   _SQL_PROFILE_COLUMNS_DOCUMENTS),
+    "profile_validate_documents": (_q_profile_validate_documents,
+                                   _SQL_PROFILE_VALIDATE_DOCUMENTS),
     "profile_histogram_events": (_q_profile_histogram_events,
                                  _SQL_PROFILE_HISTOGRAM_EVENTS),
     "pipe_chunk_documents": (_q_pipe_chunk_documents, _SQL_PIPE_CHUNK_DOCUMENTS),

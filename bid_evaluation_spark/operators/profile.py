@@ -133,3 +133,88 @@ def numeric_histogram(df: DataFrame, cols: Sequence[str],
         )
         out = hist if out is None else out.unionByName(hist)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality rules
+# ---------------------------------------------------------------------------
+
+#: rule kinds → required keys (beyond "kind" and "column")
+RULE_KINDS = {
+    "not_null": (),
+    "unique": (),
+    "accepted_values": ("values",),
+    "range": (),          # at least one of min/max
+    "regex": ("pattern",),
+}
+
+
+def validate_rules(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
+    """Declarative data-quality checks (the dbt-test shape) → one row per
+    rule: ``(rule, kind, column, n_violations, n_checked)``.
+
+    Kinds: ``not_null``; ``unique`` (violations = rows beyond the first per
+    duplicated value, nulls ignored); ``accepted_values`` (non-null value
+    outside the list); ``range`` (non-null value outside [min, max]);
+    ``regex`` (non-null value NOT fully matching the pattern — keep it in
+    the Java∩RE2 common subset for engine portability).
+
+    One scan: every row-wise rule folds into a single fused aggregate
+    (sum-of-violation-flags + count per checked column); ``unique`` rides
+    the same aggregate as count - countDistinct. The driver assembles the
+    |rules|-row result — counts only, never data.
+    """
+    if not rules:
+        raise ValueError("rules must be a non-empty sequence")
+    aggs, meta = [], []
+    for i, r in enumerate(rules):
+        kind, col = r.get("kind"), r.get("column")
+        if kind not in RULE_KINDS:
+            raise ValueError(
+                f"rule {i}: unknown kind {kind!r} (have {sorted(RULE_KINDS)})")
+        if not col:
+            raise ValueError(f"rule {i} ({kind}): missing 'column'")
+        for req in RULE_KINDS[kind]:
+            if req not in r:
+                raise ValueError(f"rule {i} ({kind}): missing {req!r}")
+        c = F.col(col)
+        name = r.get("name", f"{kind}_{col}")
+        if kind == "not_null":
+            viol = c.isNull()
+            checked = F.count(F.lit(1))
+        elif kind == "unique":
+            aggs.append((F.count(c) - F.count_distinct(c))
+                        .cast("long").alias(f"_v{i}"))
+            aggs.append(F.count(c).cast("long").alias(f"_n{i}"))
+            meta.append((name, kind, col))
+            continue
+        elif kind == "accepted_values":
+            viol = c.isNotNull() & ~c.isin(list(r["values"]))
+            checked = F.count(c)
+        elif kind == "range":
+            lo, hi = r.get("min"), r.get("max")
+            if lo is None and hi is None:
+                raise ValueError(f"rule {i} (range): needs min and/or max")
+            conds = []
+            if lo is not None:
+                conds.append(c < F.lit(lo))
+            if hi is not None:
+                conds.append(c > F.lit(hi))
+            bad = conds[0] if len(conds) == 1 else (conds[0] | conds[1])
+            viol = c.isNotNull() & bad
+            checked = F.count(c)
+        else:  # regex: full match required
+            viol = c.isNotNull() & ~c.rlike("^(?:" + r["pattern"] + ")$")
+            checked = F.count(c)
+        aggs.append(F.sum(F.when(viol, 1).otherwise(0))
+                    .cast("long").alias(f"_v{i}"))
+        aggs.append(checked.cast("long").alias(f"_n{i}"))
+        meta.append((name, kind, col))
+
+    row = df.agg(*aggs).first()
+    out = [(name, kind, col,
+            int(row[f"_v{i}"] or 0), int(row[f"_n{i}"] or 0))
+           for i, (name, kind, col) in enumerate(meta)]
+    return df.sparkSession.createDataFrame(
+        out, "rule string, kind string, column string, "
+             "n_violations long, n_checked long")

@@ -53,3 +53,46 @@ def test_numeric_histogram_edges_and_empty_buckets(spark, frame):
         numeric_histogram(frame, ["x"], bins=0)
     with pytest.raises(KeyError, match="nope"):
         numeric_histogram(frame, ["nope"])
+
+
+def test_validate_rules_counts(spark):
+    from bid_evaluation_spark.operators.profile import validate_rules
+
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", -5), (2, "xx", 10), (4, None, 2000),
+         (5, "de", None)],
+        "id long, lang string, n long")
+    out = {r["rule"]: (r["n_violations"], r["n_checked"])
+           for r in validate_rules(df, [
+               {"kind": "not_null", "column": "lang"},
+               {"kind": "unique", "column": "id"},
+               {"kind": "accepted_values", "column": "lang",
+                "values": ["en", "de"]},
+               {"kind": "range", "column": "n", "min": 0, "max": 1000},
+               {"kind": "regex", "column": "lang", "pattern": "[a-z]{2}"},
+               {"kind": "range", "column": "n", "min": 0,
+                "name": "n_nonneg"},
+           ]).collect()}
+    assert out["not_null_lang"] == (1, 5)
+    assert out["unique_id"] == (1, 5)          # id=2 twice -> 1 extra row
+    assert out["accepted_values_lang"] == (1, 4)  # 'xx'; null not checked
+    assert out["range_n"] == (2, 4)            # -5 and 2000; null skipped
+    assert out["regex_lang"] == (0, 4)
+    assert out["n_nonneg"] == (1, 4)           # only the min bound
+
+
+def test_validate_rules_contract_errors(spark):
+    import pytest
+    from bid_evaluation_spark.operators.profile import validate_rules
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_rules(df, [])
+    with pytest.raises(ValueError, match="unknown kind"):
+        validate_rules(df, [{"kind": "nope", "column": "id"}])
+    with pytest.raises(ValueError, match="missing 'column'"):
+        validate_rules(df, [{"kind": "not_null"}])
+    with pytest.raises(ValueError, match="values"):
+        validate_rules(df, [{"kind": "accepted_values", "column": "id"}])
+    with pytest.raises(ValueError, match="min and/or max"):
+        validate_rules(df, [{"kind": "range", "column": "id"}])
