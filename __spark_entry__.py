@@ -1981,6 +1981,54 @@ FROM orders JOIN stats ON o_orderpriority = p
 """
 
 
+def _q_events_funnel_sessions(spark, sf_dir):
+    """Session conversion funnel (streaming/events.py session_funnel):
+    gap-based sessions (30 min), presence counts for view → click →
+    purchase depths. Pure session counts (longs) — the oracle rebuilds the
+    identical session ids and containment flags."""
+    from bid_evaluation_spark.streaming.events import session_funnel
+
+    df = _t(spark, sf_dir, "events")
+    return session_funnel(df, stages=("view", "click", "purchase"),
+                          gap_seconds=1800)
+
+
+_SQL_EVENTS_FUNNEL_SESSIONS = """
+WITH seq AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+),
+sflags AS (
+  SELECT user_id, sid,
+         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s0,
+         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s1,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s2
+  FROM numbered GROUP BY user_id, sid
+),
+d AS (
+  SELECT sum(CASE WHEN s0 = 1 THEN 1 ELSE 0 END) AS d0,
+         sum(CASE WHEN s0 + s1 = 2 THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN s0 + s1 + s2 = 3 THEN 1 ELSE 0 END) AS d2
+  FROM sflags
+)
+SELECT CAST(1 AS INT) AS depth, 'view' AS stage, CAST(d0 AS BIGINT) AS n_sessions FROM d
+UNION ALL
+SELECT CAST(2 AS INT), 'click', CAST(d1 AS BIGINT) FROM d
+UNION ALL
+SELECT CAST(3 AS INT), 'purchase', CAST(d2 AS BIGINT) FROM d
+"""
+
+
 def _q_asof_click_purchase_events(spark, sf_dir):
     """As-of join: every click event enriched with the user's most recent
     purchase at-or-before it (union+window — one shuffle on user_id; DuckDB
@@ -3621,6 +3669,8 @@ _QUERIES: dict = {
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),
     "events_session_window_30m": (_q_events_session_window_30m,
                                   _SQL_EVENTS_SESSION_WINDOW_30M),
+    "events_funnel_sessions": (_q_events_funnel_sessions,
+                               _SQL_EVENTS_FUNNEL_SESSIONS),
     "asof_click_purchase_events": (_q_asof_click_purchase_events,
                                    _SQL_ASOF_CLICK_PURCHASE_EVENTS),
     "asof_null_payload_events": (_q_asof_null_payload_events,

@@ -15,7 +15,7 @@ windows in batch mode use the lag/cumsum pattern (two window functions over
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -145,3 +145,45 @@ def stream_tumbling_counts(spark, source_path: str, schema,
         .withWatermark(ts_col, watermark)
     )
     return tumbling_agg(stream, duration, ts_col, key_col, value_col)
+
+
+def session_funnel(events: DataFrame, stages: Sequence[str] = ("view", "click", "purchase"),
+                   gap_seconds: int = 1800, ts_col: str = "ts",
+                   user_col: str = "user_id", type_col: str = "event_type",
+                   order_tiebreak: Optional[str] = "event_id") -> DataFrame:
+    """Session-level presence funnel: how many sessions contain stage 1, how
+    many contain stages 1 AND 2, … through the full ordered stage list —
+    the classic conversion query (view → click → purchase) over gap-based
+    sessions.
+
+    Presence semantics (stage events may occur in any order inside the
+    session) — the robust default when event clocks jitter; all outputs are
+    session COUNTS (longs), no float plumbing. One (user, time) window sort
+    assigns session ids (same single shuffle as :func:`sessionize`), one
+    groupBy flags each session's stages, one tiny aggregate counts depths.
+    Returns ``(depth, stage, n_sessions)`` with depth 1..len(stages);
+    ``n_sessions`` is non-increasing in depth.
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty sequence")
+    order = [F.col(ts_col)] + ([F.col(order_tiebreak)] if order_tiebreak else [])
+    w_seq = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w_seq)
+    is_new = (
+        prev_ts.isNull()
+        | ((F.col(ts_col).cast("double") - prev_ts.cast("double")) > gap_seconds)
+    ).cast("long")
+    with_session = events.withColumn(
+        "_sid", F.sum(is_new).over(w_seq.rowsBetween(Window.unboundedPreceding, 0)))
+    flags = with_session.groupBy(user_col, "_sid").agg(*[
+        F.max(F.when(F.col(type_col) == s, 1).otherwise(0)).alias(f"_s{i}")
+        for i, s in enumerate(stages)])
+    depth_counts = flags.agg(*[
+        F.sum(F.when(
+            sum((F.col(f"_s{j}") for j in range(i + 1)), F.lit(0)) == i + 1,
+            1).otherwise(0)).cast("long").alias(f"_d{i}")
+        for i in range(len(stages))])
+    row = depth_counts.first()
+    out = [(i + 1, s, int(row[f"_d{i}"] or 0)) for i, s in enumerate(stages)]
+    return events.sparkSession.createDataFrame(
+        out, "depth int, stage string, n_sessions long")
