@@ -146,6 +146,8 @@ def bloom_semi_filter(df: DataFrame, col: str,
     @F.pandas_udf("boolean")
     def _hit(h: pd.Series) -> pd.Series:
         b = bc.value
+        if not h.hasnans:  # fast path: one vectorized probe, zero Python
+            return pd.Series(b.might_contain(h.to_numpy(dtype=np.int64)))
         ok = h.notna().to_numpy()
         out = np.zeros(len(h), dtype=bool)
         if ok.any():
