@@ -171,7 +171,7 @@ def decontaminate_bloom(
     bit-for-bit those of :func:`decontaminate` (property-tested). False
     positives only forward dead shingles that the equi-join itself discards.
     """
-    from .bloom import bloom_from_hash_column, bloom_semi_filter
+    from .bloom import bloom_from_hash_column, bloom_keep_array
 
     e_hashes = eval_df.select(
         F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"))
@@ -183,19 +183,21 @@ def decontaminate_bloom(
     )
     # _na (the train doc's distinct-shingle count for the Jaccard estimate)
     # must count UNFILTERED shingles — take it from the array before the
-    # Bloom shrink; only the join feed is filtered. The explode runs
-    # JVM-side FIRST, then the scalar membership kernel prunes the exploded
-    # rows — still map-side (same stage, before the shuffle), one vectorized
-    # numpy probe per Arrow batch with zero per-row Python. Note the fixed
-    # overhead vs plain decontaminate: the eval shingles are computed twice
-    # (bloom build collects them, the candidate join reads them again) plus
-    # one driver sync — ~1s at sf0.1, irrelevant at the asymmetric scale
-    # this variant exists for (eval ≪ train).
-    t_tok = bloom_semi_filter(
+    # Bloom shrink; only the join feed is filtered. The ARRAY kernel prunes
+    # before the explode: A/B-measured faster than exploding first and
+    # filtering with the scalar kernel (5k list rows through Arrow beat 1M
+    # scalar rows + 1M booleans back — per-row overhead dominates the
+    # per-list Python). Fixed overhead vs plain decontaminate: the eval
+    # shingles are computed twice (bloom build collects them, the candidate
+    # join reads them again) plus one driver sync — ~1s at sf0.1,
+    # irrelevant at the asymmetric scale this variant exists for
+    # (eval ≪ train).
+    t_tok = (
         t_base
         .withColumn("_na", F.size("_sh_h"))
-        .select("train_id", "_na", F.explode("_sh_h").alias("_s")),
-        "_s", bloom)
+        .withColumn("_kept", bloom_keep_array(t_base, F.col("_sh_h"), bloom))
+        .select("train_id", "_na", F.explode("_kept").alias("_s"))
+    )
     e_tok = eval_df.select(
         F.col(id_col).alias("eval_id"),
         F.explode(hashed_word_shingles(F.col(text_col), k)).alias("_s"),
