@@ -2328,6 +2328,32 @@ WHERE p.p >= 1.0
 """
 
 
+def _q_pipe_weighted_sample_documents(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (operators/pipeline.py weighted_sample_k, Efraimidis–Spirakis A-ES):
+    50 documents with inclusion probability proportional to n_chars; the
+    oracle recomputes the identical uniform draw (hex prefix → integer)
+    and rounded ln(u)/w priority ranking."""
+    from bid_evaluation_spark.operators.pipeline import weighted_sample_k
+
+    df = _t(spark, sf_dir, "documents")
+    res = weighted_sample_k(df, 50, "n_chars", seed="ws")
+    return res.select("doc_id", "lang", "source")
+
+
+_SQL_PIPE_WEIGHTED_SAMPLE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, lang, source,
+         round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE) * 1000000.0) / 1000000.0 AS pr
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, lang, source FROM p ORDER BY pr DESC, doc_id LIMIT 50
+"""
+
+
 def _q_pipe_sample_k_group_documents(spark, sf_dir):
     """Exactly-k-per-group deterministic sampling (operators/pipeline.py
     sample_k_per_group): rank by (md5(key||seed), key) within each lang,
@@ -3689,6 +3715,8 @@ _QUERIES: dict = {
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
     "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,
                                       _SQL_PIPE_MIXTURE_SAMPLE_DOCUMENTS),
+    "pipe_weighted_sample_documents": (_q_pipe_weighted_sample_documents,
+                                       _SQL_PIPE_WEIGHTED_SAMPLE_DOCUMENTS),
     "pipe_sample_k_group_documents": (_q_pipe_sample_k_group_documents,
                                       _SQL_PIPE_SAMPLE_K_GROUP_DOCUMENTS),
     "pipe_token_mixture_documents": (_q_pipe_token_mixture_documents,

@@ -436,6 +436,45 @@ def token_budget_mixture_sample(
     return df.filter(keep)
 
 
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: str = "",
+    digits: int = 8,
+) -> DataFrame:
+    """EXACTLY ``min(k, n)`` rows sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — deterministic
+    Efraimidis–Spirakis A-ES: each row draws ``u = (hash+0.5)/16^digits``
+    uniform from ``md5(key || seed)`` and gets priority ``ln(u)/w``; the k
+    largest priorities are the sample. Importance sampling for data mixing
+    (weight by token count, quality score, domain boost) that is
+    reproducible across runs AND engines.
+
+    Rows with null or non-positive weights are excluded. The ranking uses
+    the 1e-6-ROUNDED priority with the key as tie-break: u is bit-exact on
+    both engines (integer arithmetic), and ln() agrees far beyond 1e-6, so
+    cross-engine libm ulp differences cannot flip the order (NOTES.md
+    lesson: never rank on a raw float in an oracle-checked query).
+    Executes as TakeOrdered — per-partition top-k, never a global sort.
+    """
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    w = F.col(weight_col).cast("double")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(key, F.lit(seed)).cast("binary")),
+                    1, digits), 16, 10).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(16 ** digits))
+    pr = F.round(F.log(u) / w * F.lit(1e6)) / F.lit(1e6)
+    return (df.filter(w.isNotNull() & (w > 0))
+            .withColumn("_ws_p", pr)
+            .orderBy(F.desc("_ws_p"), F.asc(key_col))
+            .limit(int(k))
+            .drop("_ws_p"))
+
+
 def mixture_sample(
     df: DataFrame,
     weights: dict,

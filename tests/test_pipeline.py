@@ -232,6 +232,43 @@ def test_token_budget_mixture_targets_token_mass(spark):
         sorted(r["doc_id"] for r in out.collect())
 
 
+def test_weighted_sample_k_proportional_and_deterministic(spark):
+    from bid_evaluation_spark.operators.pipeline import weighted_sample_k
+
+    # 20 heavy (w=10) + 80 light (w=1) rows; k=20 draws across seeds
+    rows = [(i, 10.0 if i < 20 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    heavy_hits = light_hits = 0
+    for s in range(12):
+        got = {r["id"] for r in
+               weighted_sample_k(df, 20, "w", key_col="id",
+                                 seed=f"s{s}").collect()}
+        assert len(got) == 20
+        heavy_hits += sum(1 for i in got if i < 20)
+        light_hits += sum(1 for i in got if i >= 20)
+    # heavy rows are 20% of rows but 10x weight — they must dominate
+    assert heavy_hits > light_hits
+    # deterministic: same seed, same sample
+    a = {r["id"] for r in
+         weighted_sample_k(df, 20, "w", key_col="id", seed="s0").collect()}
+    b = {r["id"] for r in
+         weighted_sample_k(df, 20, "w", key_col="id", seed="s0").collect()}
+    assert a == b
+
+
+def test_weighted_sample_k_contracts(spark):
+    from bid_evaluation_spark.operators.pipeline import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (3, 0.0), (4, -1.0), (5, 2.0)],
+        "id long, w double")
+    got = {r["id"] for r in
+           weighted_sample_k(df, 10, "w", key_col="id").collect()}
+    assert got == {1, 5}  # null/zero/negative weights excluded; k > n fine
+    with pytest.raises(ValueError, match="non-negative"):
+        weighted_sample_k(df, -1, "w", key_col="id")
+
+
 def test_bigram_lm_flags_word_salad(spark):
     from bid_evaluation_spark.operators.pipeline import (
         bigram_lm_quality_score, lm_quality_score)
