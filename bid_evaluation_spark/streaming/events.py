@@ -130,18 +130,24 @@ def stream_tumbling_counts(spark, source_path: str, schema,
                            duration: str = "1 hour",
                            watermark: str = "30 minutes",
                            ts_col: str = "ts", key_col: str = "event_type",
-                           value_col: str = "value") -> DataFrame:
+                           value_col: str = "value",
+                           **reader_options) -> DataFrame:
     """Streaming twin of :func:`tumbling_agg` over a file source.
 
     Late data beyond ``watermark`` is dropped and window state is bounded —
-    the standard production shape. Consume with e.g.::
+    the standard production shape. Extra ``reader_options`` pass through to
+    the file source (e.g. ``maxFilesPerTrigger=1`` to force one micro-batch
+    per file, which is also what lets the watermark advance between files).
+    Consume with e.g.::
 
         q = (stream_tumbling_counts(spark, path, schema)
              .writeStream.format("memory").queryName("agg")
              .outputMode("complete").trigger(availableNow=True).start())
     """
     stream = (
-        spark.readStream.schema(schema).format("parquet").load(source_path)
+        spark.readStream.schema(schema).format("parquet")
+        .options(**{k: str(v) for k, v in reader_options.items()})
+        .load(source_path)
         .withWatermark(ts_col, watermark)
     )
     return tumbling_agg(stream, duration, ts_col, key_col, value_col)

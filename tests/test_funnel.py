@@ -43,3 +43,56 @@ def test_session_funnel_empty_stages(spark):
         [], "event_id long, ts timestamp, user_id long, event_type string")
     with pytest.raises(ValueError, match="non-empty"):
         session_funnel(df, stages=())
+
+
+def test_stream_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode tumbling counts with a watermark, across a checkpointed
+    RESTART: once the watermark passes a window and the window is emitted,
+    a later-arriving row for it is DROPPED (state closed, no re-emission,
+    no double count) — the bounded-state contract at scale.
+
+    The restart shape matters: within one availableNow run Spark keeps
+    window state open until the final no-data batch, so a same-run late
+    row can still merge; the persisted-watermark guarantee is what
+    production relies on, and is what this pins.
+    """
+    from datetime import datetime
+    from bid_evaluation_spark.streaming.events import stream_tumbling_counts
+
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double")
+    b1 = spark.createDataFrame(
+        [(1, datetime(2026, 1, 1, 10, 5), 1, "view", 1.0),
+         (2, datetime(2026, 1, 1, 10, 6), 1, "view", 1.0),
+         # drives the watermark far past the 10:00 window (+10 min delay)
+         (3, datetime(2026, 1, 1, 13, 0), 1, "view", 1.0)],
+        schema)
+    b2 = spark.createDataFrame(
+        # LATE: lands in the long-closed 10:00 window
+        [(4, datetime(2026, 1, 1, 10, 7), 1, "view", 1.0),
+         (5, datetime(2026, 1, 1, 13, 30), 1, "view", 1.0)],
+        schema)
+    src = str(tmp_path / "late_stream")
+    ckpt = str(tmp_path / "ckpt")
+    emitted = []
+
+    def sink(df, _bid):
+        emitted.extend((r["window_start"].hour, r["n_events"])
+                       for r in df.collect())
+
+    def run_once():
+        out = stream_tumbling_counts(spark, f"{src}/f*", b1.schema,
+                                     duration="1 hour",
+                                     watermark="10 minutes")
+        q = (out.writeStream.foreachBatch(sink).outputMode("append")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    b1.coalesce(1).write.parquet(f"{src}/f0")
+    run_once()
+    assert sorted(emitted) == [(10, 2)]  # window finalized with on-time rows
+    b2.coalesce(1).write.parquet(f"{src}/f1")
+    run_once()
+    # late event 4 dropped: nothing re-emitted for hour 10, no n=3 anywhere
+    assert sorted(emitted) == [(10, 2)]
