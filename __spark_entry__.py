@@ -3125,6 +3125,34 @@ FROM seeded
 """
 
 
+def _q_features_robust_z_events(spark, sf_dir):
+    """Median/MAD robust z-scores per event type (operators/features.py
+    robust_zscores): two grouped percentile passes broadcast back, map-only
+    scoring. The oracle mirrors the identical quantile and
+    (x-med)/(1.4826·mad) arithmetic (double-cast literal)."""
+    from bid_evaluation_spark.operators.features import robust_zscores
+
+    df = _t(spark, sf_dir, "events")
+    res = robust_zscores(df, "value", group_col="event_type")
+    return res.select("event_id", "event_type",
+                      _r4("robust_z").alias("robust_z"))
+
+
+_SQL_FEATURES_ROBUST_Z_EVENTS = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - med.m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       round(((e.value - med.m) / (CAST(1.4826 AS DOUBLE) * mad.d))
+             * 10000.0) / 10000.0 AS robust_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+"""
+
+
 def _q_features_rolling_events(spark, sf_dir):
     """Per-user time-series features + forward label over the event log:
     lag/delta/inter-arrival, trailing-5 rolling stats, next-event value and
@@ -3754,6 +3782,8 @@ _QUERIES: dict = {
                                  _SQL_TEXT_BM25_TOPK_DOCUMENTS),
     "pii_redact_documents": (_q_pii_redact_documents,
                              _SQL_PII_REDACT_DOCUMENTS),
+    "features_robust_z_events": (_q_features_robust_z_events,
+                                 _SQL_FEATURES_ROBUST_Z_EVENTS),
     "features_rolling_events": (_q_features_rolling_events,
                                 _SQL_FEATURES_ROLLING_EVENTS),
     "emb_l2norm_embeddings": (_q_emb_l2norm_embeddings,

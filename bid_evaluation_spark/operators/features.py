@@ -20,7 +20,7 @@ lags/leads/rolling frames are reproducible across engines and runs (a
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -79,3 +79,32 @@ def forward_labels(df: DataFrame, key_col: str = "user_id",
         ((F.unix_micros(nxt_ts) - F.unix_micros(F.col(ts_col)))
          / F.lit(1_000_000.0)).alias(f"secs_to_next{horizon}"),
     )
+
+
+def robust_zscores(df: DataFrame, value_col: str,
+                   group_col: Optional[str] = None,
+                   out_col: str = "robust_z") -> DataFrame:
+    """Median/MAD robust z-scores — the outlier score that a few extreme
+    values cannot distort (mean/std break down exactly when outliers are
+    present): ``z = (x - median) / (1.4826 · MAD)``, per group when
+    ``group_col`` is given. The batch twin of the streaming Welford
+    anomaly flagger, for backfills and offline sweeps.
+
+    Shape: two grouped ``percentile`` aggregates (median, then median of
+    absolute deviations — the second genuinely needs the first, two passes
+    are inherent), each producing one row per group and broadcast-joined
+    back; scoring is a map-only projection. Groups with MAD = 0 (constant
+    values) get null scores (``try_divide``).
+    """
+    from pyspark.sql.functions import try_divide
+
+    g = [group_col] if group_col else []
+    med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    med = df.groupBy(*g).agg(med_agg) if g else df.agg(med_agg)
+    j = df.join(F.broadcast(med), on=g) if g else df.crossJoin(F.broadcast(med))
+    mad_agg = F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    mad = j.groupBy(*g).agg(mad_agg) if g else j.agg(mad_agg)
+    j2 = j.join(F.broadcast(mad), on=g) if g else j.crossJoin(F.broadcast(mad))
+    z = try_divide(F.col(value_col) - F.col("_med"),
+                   F.lit(1.4826) * F.col("_mad"))
+    return j2.withColumn(out_col, z).drop("_med", "_mad")

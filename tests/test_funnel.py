@@ -96,3 +96,25 @@ def test_stream_watermark_drops_late_rows(spark, tmp_path):
     run_once()
     # late event 4 dropped: nothing re-emitted for hour 10, no n=3 anywhere
     assert sorted(emitted) == [(10, 2)]
+
+
+def test_robust_zscores_known_values(spark):
+    from bid_evaluation_spark.operators.features import robust_zscores
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0), (4, "a", 4.0),
+         (5, "a", 100.0),           # outlier: must NOT distort the scale
+         (6, "b", 7.0), (7, "b", 7.0), (8, "b", 7.0)],  # constant group
+        "id long, g string, v double")
+    out = {r["id"]: r["robust_z"]
+           for r in robust_zscores(df, "v", group_col="g").collect()}
+    # group a: median 3, MAD = median(|2,1,0,1,97|) = 1
+    assert out[3] == pytest.approx(0.0, abs=1e-12)
+    assert out[5] == pytest.approx(97 / 1.4826, rel=1e-9)
+    assert out[1] == pytest.approx(-2 / 1.4826, rel=1e-9)
+    # constant group: MAD 0 -> null, never a division error
+    assert out[6] is None and out[7] is None and out[8] is None
+    # ungrouped path
+    allz = {r["id"]: r["robust_z"]
+            for r in robust_zscores(df, "v").collect()}
+    assert allz[3] is not None and len(allz) == 8
