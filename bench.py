@@ -132,6 +132,19 @@ def bench_decontaminate_documents(spark, sf_dir):
                          df.filter(F.col("doc_id") % 10 == 0), threshold=0.3))
 
 
+def bench_decontaminate_bloom_documents(spark, sf_dir):
+    """Same task as decontaminate_documents with the broadcast-Bloom
+    map-side shingle pre-filter — the two rows measure the shuffle saving
+    directly."""
+    from bid_evaluation_spark.operators.pipeline import decontaminate_bloom
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(decontaminate_bloom(df.filter(F.col("doc_id") % 10 != 0),
+                               df.filter(F.col("doc_id") % 10 == 0),
+                               threshold=0.3))
+
+
 def bench_events_sliding(spark, sf_dir):
     from bid_evaluation_spark.sources.io import load_table
     from bid_evaluation_spark.streaming.events import sliding_agg
@@ -177,6 +190,7 @@ BENCHES = {
     "ann_topk_embeddings": bench_ann_topk_embeddings,
     "embedding_neardup": bench_embedding_neardup,
     "decontaminate_documents": bench_decontaminate_documents,
+    "decontaminate_bloom_documents": bench_decontaminate_bloom_documents,
     "events_sliding": bench_events_sliding,
     "events_sessionize": bench_events_sessionize,
     "quality_repetition": bench_quality_repetition,
