@@ -1404,6 +1404,48 @@ FROM e
 """
 
 
+def _q_text_collocations_documents(spark, sf_dir):
+    """Top-20 PMI collocations (operators/text.py collocations) with
+    min_count=5 — the phrase-detection pass ahead of vocab induction. The
+    oracle rebuilds unigram/pair counts and the identical
+    ln((n_pair·N)/(ca·cb)) arithmetic, ranking on the rounded PMI with the
+    pair as tie-break."""
+    from bid_evaluation_spark.operators.text import collocations
+
+    df = _t(spark, sf_dir, "documents")
+    return collocations(df, min_count=5, k=20)
+
+
+_SQL_TEXT_COLLOCATIONS_DOCUMENTS = """
+WITH toks AS (
+  SELECT CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+),
+nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+idx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM toks),
+pairs AS (
+  SELECT t[i] AS l, t[i+1] AS r, CAST(count(*) AS BIGINT) AS n_pair
+  FROM idx GROUP BY t[i], t[i+1]
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT p.l, p.r, p.n_pair,
+         round(ln((p.n_pair * (SELECT n FROM nn))
+                  / CAST(a.c * b.c AS DOUBLE)) * 10000.0) / 10000.0 AS pmi
+  FROM pairs p JOIN uni a ON p.l = a.tok JOIN uni b ON p.r = b.tok
+)
+SELECT l AS "left", r AS "right", n_pair, pmi
+FROM scored
+ORDER BY pmi DESC, l ASC, r ASC
+LIMIT 20
+"""
+
+
 def _q_dedup_exact_documents(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
@@ -3701,6 +3743,8 @@ _QUERIES: dict = {
                                     _SQL_TEXT_CANONICALIZE_DOCUMENTS),
     "text_sentences_documents": (_q_text_sentences_documents,
                                  _SQL_TEXT_SENTENCES_DOCUMENTS),
+    "text_collocations_documents": (_q_text_collocations_documents,
+                                    _SQL_TEXT_COLLOCATIONS_DOCUMENTS),
     "dedup_ngram_jaccard_documents": (_q_dedup_ngram_jaccard_documents,
                                       _SQL_DEDUP_NGRAM_JACCARD_DOCUMENTS),
     "dedup_minhash_candidates_documents": (_q_dedup_minhash_candidates_documents,

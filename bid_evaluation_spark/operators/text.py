@@ -181,6 +181,55 @@ def fingerprint_md5(text_col: str = "text") -> Column:
     return F.md5(normalized.cast("binary"))
 
 
+def collocations(df: DataFrame, text_col: str = "text",
+                 min_count: int = 5, k: int = 20,
+                 lowercase: bool = True) -> DataFrame:
+    """Top-``k`` adjacent-word collocations by PMI — the phrase-detection
+    pass (word2vec-style) run before tokenizer/vocabulary induction, so
+    "new york" can become one token. ``PMI = ln(c(ab)·N / (c(a)·c(b)))``
+    with ``N`` the corpus token count; pairs under ``min_count`` are
+    dropped (PMI is pure noise at low counts).
+
+    Shape: two partially-aggregated counts (unigrams, adjacent pairs), two
+    equi-joins of the pair table against the unigram table (both one row
+    per distinct gram — no explosion), ``N`` folded in as a literal, top-k
+    via TakeOrdered. Deterministic: ranked on the 1e-4-ROUNDED PMI with
+    the pair as tie-break (never rank a raw double in an oracle-checked
+    query — see NOTES.md).
+
+    Returns ``(left, right, n_pair, pmi)``.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = df.select(F.explode(tokens(t)).alias("_tok"))
+    uni = toks.groupBy("_tok").agg(F.count("*").alias("_c"))
+    n_total = uni.agg(F.sum("_c")).first()[0] or 0
+    if n_total == 0:
+        return df.sparkSession.createDataFrame(
+            [], "left string, right string, n_pair long, pmi double")
+
+    tt = tokens(t)
+    m = F.size(tt) - 1
+    pair = F.when(m >= 1, F.zip_with(
+        F.slice(tt, 1, m), F.slice(tt, 2, m),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")))
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    pairs = (df.select(F.explode(pair).alias("_p"))
+             .groupBy("_p.l", "_p.r").agg(F.count("*").alias("n_pair"))
+             .filter(F.col("n_pair") >= int(min_count)))
+    ua = uni.select(F.col("_tok").alias("l"), F.col("_c").alias("_ca"))
+    ub = uni.select(F.col("_tok").alias("r"), F.col("_c").alias("_cb"))
+    pmi = F.log((F.col("n_pair") * F.lit(float(n_total)))
+                / (F.col("_ca") * F.col("_cb")).cast("double"))
+    scored = (pairs.join(ua, on="l").join(ub, on="r")
+              .withColumn("pmi", F.round(pmi * F.lit(1e4)) / F.lit(1e4)))
+    return (scored
+            .orderBy(F.desc("pmi"), F.asc("l"), F.asc("r")).limit(int(k))
+            .select(F.col("l").alias("left"), F.col("r").alias("right"),
+                    F.col("n_pair").cast("long").alias("n_pair"), "pmi"))
+
+
 def word_ngrams(text: Column, n: int) -> Column:
     """ALL word ``n``-grams in document order (duplicates kept) — the
     counting-friendly sibling of :func:`word_shingles` (which dedupes for

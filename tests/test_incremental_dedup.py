@@ -1,5 +1,6 @@
 """Incremental cross-corpus dedup and canonical content identity."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from bid_evaluation_spark.operators.dedup import dedup_against_corpus
@@ -46,3 +47,32 @@ def test_canonical_fingerprint_matches_canonical_equality(spark):
     h = {r["doc_id"]: r["h"] for r in rows}
     assert h[1] == h[2] == h[3]
     assert h[4] != h[1]
+
+
+def test_collocations_pmi(spark):
+    from bid_evaluation_spark.operators.text import collocations
+
+    # "new york" always adjacent (high PMI); "the" everywhere (low PMI)
+    rows = [("new york is big the end",), ("i love new york the most",),
+            ("new york new york the city",), ("the the the filler the",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = collocations(df, min_count=2, k=5)
+    got = [((r["left"], r["right"]), r["pmi"]) for r in out.collect()]
+    pairs = dict(got)
+    assert ("new", "york") in pairs
+    # "new york": c_ab=4, c_a=4, c_b=4, N=23 -> pmi = ln(4*23/16)
+    import math
+    assert pairs[("new", "york")] == pytest.approx(
+        round(math.log(4 * 23 / 16) * 1e4) / 1e4, abs=1e-9)
+    # ranked descending by pmi
+    vals = [p for _, p in got]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_collocations_empty_corpus(spark):
+    from bid_evaluation_spark.operators.text import collocations
+
+    df = spark.createDataFrame([("",), (None,)], "text string")
+    out = collocations(df)
+    assert out.count() == 0
+    assert out.columns == ["left", "right", "n_pair", "pmi"]
