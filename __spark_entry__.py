@@ -2023,6 +2023,34 @@ FROM orders JOIN stats ON o_orderpriority = p
 """
 
 
+def _q_events_json_props(spark, sf_dir):
+    """Semi-structured column handling: the events props JSON string parsed
+    ONCE with a schema'd from_json (the scale path — typed extraction inside
+    codegen, no per-field re-parse), aggregated per event type. Oracle uses
+    DuckDB's JSON extraction over the same strings."""
+    df = _t(spark, sf_dir, "events")
+    j = df.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"))
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 _r4(F.avg("k")).alias("avg_k"))
+            .orderBy("event_type"))
+
+
+_SQL_EVENTS_JSON_PROPS = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)) * 10000.0)
+         / 10000.0 AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def _q_events_funnel_sessions(spark, sf_dir):
     """Session conversion funnel (streaming/events.py session_funnel):
     gap-based sessions (30 min), presence counts for view → click →
@@ -3767,6 +3795,7 @@ _QUERIES: dict = {
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),
     "events_session_window_30m": (_q_events_session_window_30m,
                                   _SQL_EVENTS_SESSION_WINDOW_30M),
+    "events_json_props": (_q_events_json_props, _SQL_EVENTS_JSON_PROPS),
     "events_funnel_sessions": (_q_events_funnel_sessions,
                                _SQL_EVENTS_FUNNEL_SESSIONS),
     "asof_click_purchase_events": (_q_asof_click_purchase_events,
