@@ -3223,6 +3223,32 @@ FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
 """
 
 
+def _q_features_sequences_events(spark, sf_dir):
+    """Per-user ordered event-type sequences (operators/features.py
+    event_sequences), capped at 50 — behavior-sequence training-data
+    assembly. Deterministic via struct array_sort (ts, event_id tiebreak);
+    the oracle is string_agg with the identical ORDER BY."""
+    from bid_evaluation_spark.operators.features import event_sequences
+
+    df = _t(spark, sf_dir, "events")
+    return event_sequences(df, max_len=50).orderBy("user_id")
+
+
+_SQL_FEATURES_SEQUENCES_EVENTS = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+       string_agg(CASE WHEN rn <= 50 THEN event_type END, ','
+                  ORDER BY rn) AS seq
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""
+
+
 def _q_features_rolling_events(spark, sf_dir):
     """Per-user time-series features + forward label over the event log:
     lag/delta/inter-arrival, trailing-5 rolling stats, next-event value and
@@ -3855,6 +3881,8 @@ _QUERIES: dict = {
                                  _SQL_TEXT_BM25_TOPK_DOCUMENTS),
     "pii_redact_documents": (_q_pii_redact_documents,
                              _SQL_PII_REDACT_DOCUMENTS),
+    "features_sequences_events": (_q_features_sequences_events,
+                                  _SQL_FEATURES_SEQUENCES_EVENTS),
     "features_robust_z_events": (_q_features_robust_z_events,
                                  _SQL_FEATURES_ROBUST_Z_EVENTS),
     "features_rolling_events": (_q_features_rolling_events,

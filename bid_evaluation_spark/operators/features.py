@@ -108,3 +108,31 @@ def robust_zscores(df: DataFrame, value_col: str,
     z = try_divide(F.col(value_col) - F.col("_med"),
                    F.lit(1.4826) * F.col("_mad"))
     return j2.withColumn(out_col, z).drop("_med", "_mad")
+
+
+def event_sequences(df: DataFrame, key_col: str = "user_id",
+                    order_cols: Sequence[str] = ("ts", "event_id"),
+                    value_col: str = "event_type",
+                    max_len: Optional[int] = None,
+                    sep: str = ",") -> DataFrame:
+    """Per-key ordered value sequences — the assembly step for
+    behavior-sequence training data (next-event prediction, session
+    modeling): one row per key with the key's values concatenated in
+    ``order_cols`` order.
+
+    Deterministic without a sort exchange per key: ``collect_list`` into
+    structs carrying the order columns, ``array_sort`` (struct field order
+    = sort key, so ties break on the tiebreaker column), project the value,
+    join. One groupBy shuffle; a whale key costs only its own row count.
+    ``max_len`` truncates each sequence AFTER ordering (the usual training
+    cap). Returns ``(key, n_events, seq)``.
+    """
+    order_struct = F.struct(*[F.col(c) for c in order_cols],
+                            F.col(value_col).alias("_v"))
+    arr = F.transform(F.array_sort(F.collect_list(order_struct)),
+                      lambda x: x["_v"])
+    if max_len is not None:
+        arr = F.slice(arr, 1, int(max_len))
+    return (df.groupBy(key_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
+                 F.array_join(arr, sep).alias("seq")))

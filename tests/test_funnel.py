@@ -118,3 +118,23 @@ def test_robust_zscores_known_values(spark):
     allz = {r["id"]: r["robust_z"]
             for r in robust_zscores(df, "v").collect()}
     assert allz[3] is not None and len(allz) == 8
+
+
+def test_event_sequences_order_and_cap(spark):
+    from datetime import datetime
+    from bid_evaluation_spark.operators.features import event_sequences
+
+    df = spark.createDataFrame(
+        [(3, datetime(2026, 1, 1, 10, 2), 1, "c"),
+         (1, datetime(2026, 1, 1, 10, 0), 1, "a"),
+         # same ts as event 1 -> event_id tiebreak decides the order
+         (2, datetime(2026, 1, 1, 10, 0), 1, "b"),
+         (4, datetime(2026, 1, 1, 9, 0), 2, "z")],
+        "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r["user_id"]: (r["n_events"], r["seq"])
+           for r in event_sequences(df).collect()}
+    assert out[1] == (3, "a,b,c")
+    assert out[2] == (1, "z")
+    capped = {r["user_id"]: r["seq"]
+              for r in event_sequences(df, max_len=2).collect()}
+    assert capped[1] == "a,b"
