@@ -424,6 +424,36 @@ def _pagerank_plan(spark, sf_dir):
     return probs
 
 
+@check("robust z-scores: per-group stats broadcast back, no cartesian")
+def _robust_z_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.features import robust_zscores
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "events")
+    plan = plan_of(robust_zscores(df, "value", group_col="event_type"))
+    probs = []
+    if "CartesianProduct" in plan:
+        probs.append("grouped path produced a cartesian product")
+    if plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoop") < 2:
+        probs.append("median/MAD frames not broadcast back (expected 2)")
+    return probs
+
+
+@check("collocations: count tables equi-joined, top-k TakeOrdered, no cartesian")
+def _collocations_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.text import collocations
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = plan_of(collocations(df, min_count=5, k=20))
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("pair/unigram join degenerated to a cross product")
+    if "TakeOrderedAndProject" not in plan:
+        probs.append("top-k is a global sort, not TakeOrdered")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
