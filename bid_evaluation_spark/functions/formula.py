@@ -14,15 +14,31 @@ instead parses the formula once with :mod:`ast` and translates it to a native
 Column expression so it executes JVM-side inside whole-stage codegen:
 
 - bare ``min``/``max``/``mean``/``median``/``std`` → statistic literals,
-- call-position ``min(`` / ``max(`` → ``least`` / ``greatest``,
-- ``clip(x, lo, hi)`` → ``greatest(lo, least(hi, x))`` (= py ``max(lo, min(hi, x))``),
-- ``log`` → natural log, ``/`` → ``try_divide`` (÷0 → null → 0.0, matching the
-  reference's ZeroDivisionError → 0.0),
-- ``%`` and ``//`` use Python floor semantics (``a - floor(a/b)*b``),
+- call-position ``min(`` / ``max(`` → a left fold reproducing Python's
+  ``min``/``max`` loop exactly (incl. its order-dependent NaN behavior:
+  ``min(nan, 3) == nan`` but ``min(3, nan) == 3``),
+- ``clip(x, lo, hi)`` → the same folds composed as ``max(lo, min(hi, x))``,
+- ``log`` → natural log with IEEE edge semantics (``log(0) → -inf``,
+  ``log(<0) → nan`` — Spark's builtin returns null for both),
+- division/``%``/``//``/``**`` semantics depend on the *runtime scalar types*
+  of the reference namespace (see :meth:`_Translator.taint`): statistics are
+  ``np.float64`` (pandas aggregates) and ``sqrt/log/log10/exp`` return
+  ``np.float64``, so expressions touching them follow IEEE-754
+  (``x/0 → ±inf``, ``0/0 → nan``, never raising), while ``value`` (Series
+  iteration yields Python floats), literals, and user variables are plain
+  Python numbers whose division by zero raises → per-row 0.0. The translator
+  statically classifies each operand as python-typed, numpy-typed, or
+  ambiguous; ambiguous divisions fall back to the interpreter UDF,
+- comparisons are NaN-guarded to IEEE (any comparison with NaN is False,
+  ``!=`` is True — Spark SQL instead orders NaN greatest),
+- per-row errors surface as null and poison the whole expression (including
+  conditional branches: a null condition yields null, matching Python's
+  "the exception already escaped"),
 - null/NaN results → 0.0 (reference: errors → 0.0; NaN results would crash the
   reference later at ``ranking.astype(int)`` — mapping them to 0.0 is this
   engine's documented clean divergence, SURVEY §7 risk register),
-- final ``least(greatest(x, 0), 100)`` clip.
+- final ``least(greatest(x, 0), 100)`` clip (``+inf → 100``, ``-inf → 0``,
+  matching numpy clip of the reference's inf results).
 
 Formulas outside the translatable grammar (compound types, unknown names,
 1-arg ``min``…) fall back to an Arrow-batched pandas UDF interpreting the same
@@ -43,6 +59,9 @@ from pyspark.sql.functions import pandas_udf
 
 STAT_NAMES = ("min", "max", "mean", "median", "std")
 
+_INF = float("inf")
+_NAN = float("nan")
+
 
 class FormulaTranslationError(Exception):
     """Formula uses grammar outside the native-translatable subset."""
@@ -57,18 +76,101 @@ def _lit(v: Any) -> Column:
 
 
 def _null_strict(result: Column, *args: Column) -> Column:
-    """Propagate null through ``least``/``greatest``-based translations.
+    """Propagate null through multi-argument translations.
 
-    Spark's ``least``/``greatest`` SKIP null arguments, but a null here
-    means "this row errored" (e.g. ``try_divide`` ÷0) and must survive to
-    the final error→0.0 mapping — Python's ``min``/``max``/``clip`` would
-    have raised. Without this, ``clip(1/0, 0, 100)`` silently became 100.
+    A null operand means "this row errored" (e.g. python-typed ÷0) and must
+    survive to the final error→0.0 mapping — Python's ``min``/``max``/``clip``
+    would have raised on it. Without this, ``clip(1/0, 0, 100)`` silently
+    became 100.
     """
     cond = None
     for a in args:
         c = a.isNull()
         cond = c if cond is None else (cond | c)
     return F.when(cond, F.lit(None).cast("double")).otherwise(result)
+
+
+def _ieee_div(a: Column, b: Column) -> Column:
+    """numpy-float64 division: ``x/±0 → ±inf`` (sign of the zero respected via
+    ``Math.pow(±0, -1)``), ``0/0 → nan``; otherwise exact double division.
+
+    Spark's own ``/`` returns null for a zero divisor (non-ANSI) or raises
+    (ANSI), so the zero-divisor branch is rebuilt from ``a * b**-1``, which
+    Java evaluates to the correctly-signed infinity / nan.
+    """
+    return F.when(b == F.lit(0.0), a * F.pow(b, F.lit(-1.0))).otherwise(
+        F.try_divide(a, b)
+    )
+
+
+def _py_mod(a: Column, b: Column, zero_result: Column) -> Column:
+    """Python floor-sign modulo via Java's truncating ``%`` plus sign fix-up.
+
+    ``try_mod`` is Java ``%`` (C-style sign, correct for ±inf operands:
+    ``5 % inf == 5``, ``inf % 5 == nan``); Python adds the divisor when the
+    remainder's sign disagrees. ``b == 0`` is the one case where Python
+    (raise) and numpy (nan) part ways — the caller passes the right branch.
+    """
+    r = F.try_mod(a, b)
+    adj = F.when(
+        (r != F.lit(0.0)) & ((r < F.lit(0.0)) != (b < F.lit(0.0))), r + b
+    ).otherwise(r)
+    return F.when(b == F.lit(0.0), zero_result).otherwise(adj)
+
+
+def _floor_double(d: Column) -> Column:
+    """``floor`` that stays in double space: ±inf/nan/huge pass through
+    (Spark's ``floor`` returns LONG and overflows on them; doubles ≥ 2^53
+    are already integral)."""
+    return F.when(
+        F.isnan(d) | (F.abs(d) >= F.lit(2.0 ** 53)), d
+    ).otherwise(F.floor(d).cast("double"))
+
+
+def _py_min_fold(args: list) -> Column:
+    """Python's ``min(...)`` left fold, NaN order-dependence included:
+    the accumulator survives unless a later arg is strictly smaller, and
+    ``x < nan_acc`` / ``nan_x < acc`` are both IEEE-False (Spark orders NaN
+    greatest, which agrees for the arg side; the acc side needs the guard)."""
+    acc = args[0]
+    for x in args[1:]:
+        acc = F.when(F.isnan(acc), acc).when(x < acc, x).otherwise(acc)
+    return _null_strict(acc, *args)
+
+
+def _py_max_fold(args: list) -> Column:
+    """Python's ``max(...)`` left fold (see :func:`_py_min_fold`); here the
+    arg side needs the NaN guard (Spark evaluates ``nan > acc`` as True)."""
+    acc = args[0]
+    for x in args[1:]:
+        acc = F.when(F.isnan(x), acc).when(x > acc, x).otherwise(acc)
+    return _null_strict(acc, *args)
+
+
+#: taint classes for the reference namespace's runtime scalar types
+_PY, _NP, _MAYBE = "py", "np", "maybe"
+
+#: whitelisted functions that return np.float64 regardless of input
+_NP_RETURNING = frozenset({"sqrt", "log", "log10", "exp"})
+
+
+def _arith_taint(*ts: str) -> str:
+    """Arithmetic coerces: one numpy operand makes the result numpy."""
+    if _NP in ts:
+        return _NP
+    if _MAYBE in ts:
+        return _MAYBE
+    return _PY
+
+
+def _select_taint(*ts: str) -> str:
+    """Selection (min/max/clip/ternary) returns ONE operand unchanged:
+    mixed possible types ⇒ ambiguous."""
+    if all(t == _PY for t in ts):
+        return _PY
+    if all(t == _NP for t in ts):
+        return _NP
+    return _MAYBE
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +191,65 @@ class _Translator:
     def __init__(self, value_col: Column, names: Mapping[str, Any]):
         self.value_col = value_col
         self.names = names
+
+    def taint(self, node: ast.AST) -> str:
+        """Classify a subexpression's runtime scalar type in the reference
+        namespace: ``py`` (Python number — raises on ÷0), ``np``
+        (``np.float64`` — IEEE ±inf/nan, never raises), or ``maybe``.
+
+        Grounded in the reference (``criteria.py:128-147``): statistics are
+        pandas aggregates (``values.mean()`` → np.float64), ``sqrt/log/
+        log10/exp`` are the numpy functions, while ``value`` (Series
+        iteration yields Python floats on pandas ≥ 2), literals, and config
+        variables are plain Python numbers. Arithmetic coerces numpy-ward;
+        min/max/clip/ternary return one operand unchanged, so mixing makes
+        the class data-dependent (``maybe``) — divisions over ``maybe``
+        operands go to the interpreter fallback instead of guessing.
+        """
+        if isinstance(node, ast.Expression):
+            return self.taint(node.body)
+        if isinstance(node, ast.Constant):
+            return _PY
+        if isinstance(node, ast.Name):
+            if node.id == "value":
+                return _PY
+            v = self.names.get(node.id)
+            if isinstance(v, Column):
+                return _NP  # per-batch stats stand in for pandas aggregates
+            return _NP if isinstance(v, (np.floating, np.integer, np.bool_)) else _PY
+        if isinstance(node, ast.BinOp):
+            return _arith_taint(self.taint(node.left), self.taint(node.right))
+        if isinstance(node, ast.UnaryOp):
+            if isinstance(node.op, ast.Not):
+                return _PY  # python bool
+            return self.taint(node.operand)
+        if isinstance(node, ast.Compare):
+            return _PY  # the interpreter's Compare returns python bools
+        if isinstance(node, ast.BoolOp):
+            return _select_taint(*[self.taint(v) for v in node.values])
+        if isinstance(node, ast.IfExp):
+            return _select_taint(self.taint(node.body), self.taint(node.orelse))
+        if isinstance(node, ast.Call) and isinstance(node.func, ast.Name):
+            fname = node.func.id
+            if fname in _NP_RETURNING:
+                return _NP
+            if fname == "abs" and len(node.args) == 1:
+                return self.taint(node.args[0])
+            if fname in ("min", "max", "clip"):
+                return _select_taint(*[self.taint(a) for a in node.args])
+        return _MAYBE
+
+    def _div_taint(self, node: ast.BinOp) -> str:
+        """Resolve ÷0 semantics for a division-like BinOp: ``np`` → IEEE,
+        ``py`` → raise→null, else untranslatable (interpreter decides)."""
+        ta, tb = self.taint(node.left), self.taint(node.right)
+        if _NP in (ta, tb):
+            return _NP
+        if ta == _PY and tb == _PY:
+            return _PY
+        raise FormulaTranslationError(
+            "ambiguous python/numpy typing for a zero-divisor operation"
+        )
 
     def _num(self, node: ast.AST) -> Column:
         """Translate a subexpression and coerce boolean → double (py True == 1)."""
@@ -111,9 +272,9 @@ class _Translator:
                 return self.value_col.cast("double"), False
             if node.id in self.names:
                 v = self.names[node.id]
-                if isinstance(v, bool):
-                    return F.lit(v), True
-                if v is None or isinstance(v, (int, float, Column)):
+                if isinstance(v, (bool, np.bool_)):
+                    return F.lit(bool(v)), True
+                if v is None or isinstance(v, (int, float, np.number, Column)):
                     return _lit(v), False
                 raise FormulaTranslationError(f"non-numeric variable {node.id!r}")
             raise FormulaTranslationError(f"unknown name {node.id!r}")
@@ -128,9 +289,15 @@ class _Translator:
             if isinstance(op, ast.Mult):
                 return left * right, False
             if isinstance(op, ast.Div):
+                if self._div_taint(node) == _NP:
+                    return _ieee_div(left, right), False
                 # python ZeroDivisionError → per-row 0.0; try_divide → null → 0.0
                 return F.try_divide(left, right), False
             if isinstance(op, ast.Pow):
+                if self._div_taint(node) == _NP:
+                    # Math.pow ≡ numpy float64 pow on every edge case
+                    # (0**-1 → inf, (-0.0)**-1 → -inf, neg**frac → nan)
+                    return F.pow(left, right), False
                 # guard 0 ** negative (py: ZeroDivisionError; Spark pow: +inf)
                 return (
                     F.when((left == F.lit(0.0)) & (right < F.lit(0.0)), F.lit(None).cast("double"))
@@ -138,19 +305,16 @@ class _Translator:
                     False,
                 )
             if isinstance(op, ast.Mod):
-                # python floor-sign modulo: a - floor(a/b)*b; b == 0 → error → null
-                q = F.floor(F.try_divide(left, right)).cast("double")
-                return (
-                    F.when(right == F.lit(0.0), F.lit(None).cast("double"))
-                    .otherwise(left - q * right),
-                    False,
+                zero = (
+                    F.lit(_NAN) if self._div_taint(node) == _NP
+                    else F.lit(None).cast("double")
                 )
+                return _py_mod(left, right, zero), False
             if isinstance(op, ast.FloorDiv):
-                return (
-                    F.when(right == F.lit(0.0), F.lit(None).cast("double"))
-                    .otherwise(F.floor(F.try_divide(left, right)).cast("double")),
-                    False,
-                )
+                if self._div_taint(node) == _NP:
+                    # numpy floor_divide(x, 0) → ±inf/nan (floor of IEEE div)
+                    return _floor_double(_ieee_div(left, right)), False
+                return _floor_double(F.try_divide(left, right)), False
             raise FormulaTranslationError(f"operator {type(op).__name__}")
 
         if isinstance(node, ast.UnaryOp):
@@ -166,6 +330,10 @@ class _Translator:
             raise FormulaTranslationError(f"unary {type(node.op).__name__}")
 
         if isinstance(node, ast.Compare):
+            # IEEE NaN semantics: any comparison with NaN is False (!= is
+            # True) — Spark SQL instead orders NaN greatest, so each piece is
+            # guarded. Null operands (upstream errors) fall through the guard
+            # (isnan(null) → null skips the when) into the raw compare → null.
             parts = []
             left = self._num(node.left)
             for op, comparator in zip(node.ops, node.comparators):
@@ -173,16 +341,25 @@ class _Translator:
                 if fn is None:
                     raise FormulaTranslationError(f"comparison {type(op).__name__}")
                 right = self._num(comparator)
-                parts.append(fn(left, right))
+                nan_result = isinstance(op, ast.NotEq)
+                parts.append(
+                    F.when(F.isnan(left) | F.isnan(right), F.lit(nan_result))
+                    .otherwise(fn(left, right))
+                )
                 left = right
+            # python evaluates chain links lazily: a False link short-circuits
+            # (even past an erroring comparator); a null link poisons the rest
             out = parts[0]
+            nullb = F.lit(None).cast("boolean")
             for p in parts[1:]:
-                out = out & p
+                out = F.when(out.isNull(), nullb).when(~out, F.lit(False)).otherwise(p)
             return out, True
 
         if isinstance(node, ast.BoolOp):
             # restrict to boolean operands (python and/or return operands, not
-            # bools — numeric operands go to the UDF fallback for exactness)
+            # bools — numeric operands go to the UDF fallback for exactness).
+            # Folded to model short-circuit + error poison: a decided prefix
+            # ignores later (even erroring) operands; a null prefix poisons.
             cols = []
             for v in node.values:
                 col, is_bool = self.visit(v)
@@ -190,8 +367,12 @@ class _Translator:
                     raise FormulaTranslationError("and/or over non-boolean operands")
                 cols.append(col)
             out = cols[0]
+            nullb = F.lit(None).cast("boolean")
             for c in cols[1:]:
-                out = (out & c) if isinstance(node.op, ast.And) else (out | c)
+                if isinstance(node.op, ast.And):
+                    out = F.when(out.isNull(), nullb).when(~out, F.lit(False)).otherwise(c)
+                else:
+                    out = F.when(out.isNull(), nullb).when(out, F.lit(True)).otherwise(c)
             return out, True
 
         if isinstance(node, ast.IfExp):
@@ -204,7 +385,13 @@ class _Translator:
                 a = a.cast("double") if a_bool else a
                 b = b.cast("double") if b_bool else b
                 a_bool = b_bool = False
-            return F.when(cond, a).otherwise(b), a_bool and b_bool
+            # a null condition is an upstream per-row error: python never
+            # reached the branch — poison instead of silently taking orelse
+            null_lit = F.lit(None).cast("boolean" if (a_bool and b_bool) else "double")
+            return (
+                F.when(cond.isNull(), null_lit).when(cond, a).otherwise(b),
+                a_bool and b_bool,
+            )
 
         if isinstance(node, ast.Call):
             if not isinstance(node.func, ast.Name) or node.keywords:
@@ -214,22 +401,32 @@ class _Translator:
             if fname == "abs" and len(args) == 1:
                 return F.abs(args[0]), False
             if fname == "sqrt" and len(args) == 1:
+                # Math.sqrt(neg) → nan, matching np.sqrt
                 return F.sqrt(args[0]), False
-            if fname == "log" and len(args) == 1:
-                return F.log(args[0]), False
-            if fname == "log10" and len(args) == 1:
-                return F.log10(args[0]), False
+            if fname in ("log", "log10") and len(args) == 1:
+                # np.log(0) → -inf, np.log(neg) → nan; Spark's builtin
+                # returns null for both, which would read as "error" here
+                x = args[0]
+                ln = F.log(x) if fname == "log" else F.log10(x)
+                return (
+                    F.when(x == F.lit(0.0), F.lit(-_INF))
+                    .when(x < F.lit(0.0), F.lit(_NAN))
+                    .otherwise(ln),
+                    False,
+                )
             if fname == "exp" and len(args) == 1:
                 return F.exp(args[0]), False
             if fname == "min" and len(args) >= 2:
-                return _null_strict(F.least(*args), *args), False
+                return _py_min_fold(args), False
             if fname == "max" and len(args) >= 2:
-                return _null_strict(F.greatest(*args), *args), False
+                return _py_max_fold(args), False
             if fname == "clip" and len(args) == 3:
                 x, lo, hi = args
-                # py: max(lo, min(hi, x))
-                return _null_strict(F.greatest(lo, F.least(hi, x)),
-                                    x, lo, hi), False
+                # py: max(lo, min(hi, x)) — composed from the same folds so
+                # clip(nan, 0, 100) == 100 exactly as the reference computes
+                inner = F.when(F.isnan(hi), hi).when(x < hi, x).otherwise(hi)
+                outer = F.when(F.isnan(inner), lo).when(inner > lo, inner).otherwise(lo)
+                return _null_strict(outer, x, lo, hi), False
             raise FormulaTranslationError(f"call {fname}/{len(args)}")
 
         raise FormulaTranslationError(f"node {type(node).__name__}")
@@ -474,7 +671,17 @@ def formula_score_column(
 ) -> Column:
     """Full formula-criterion score: translate natively when possible, else
     fall back to the batched interpreter; errors → 0.0; clipped to [0, 100]."""
-    names: Dict[str, Any] = {k: stats.get(k) for k in STAT_NAMES}
+    # statistics enter the namespace as np.float64 — in the reference they are
+    # pandas aggregates (criteria.py:21-28 ``values.min()`` etc.), so e.g.
+    # ``3 / std`` with std == 0 yields inf→clip→100, not ZeroDivisionError→0;
+    # user variables stay as configured (python numbers → raising semantics)
+    names: Dict[str, Any] = {}
+    for k in STAT_NAMES:
+        v = stats.get(k)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            names[k] = np.float64(v)
+        else:
+            names[k] = v
     names.update(variables)
     has_column_stats = any(isinstance(v, Column) for v in names.values())
 
