@@ -100,8 +100,14 @@ class BroadcastBloom:
 def bloom_from_hash_column(df: DataFrame, col: str,
                            fpp: float = 0.005) -> BroadcastBloom:
     """Build a filter from a DataFrame's 64-bit hash column (distinct). The
-    column must be driver-sized by contract — eval corpora, blocklists."""
-    pdf = df.select(F.col(col).alias("_h")).distinct().toPandas()
+    column must be driver-sized by contract — eval corpora, blocklists.
+    Null hashes are dropped: a null key can never equi-join, and pandas
+    would otherwise promote the collected column to float64/NaN and make
+    the int64 view below raise."""
+    pdf = (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(col).alias("_h")).distinct().toPandas()
+    )
     return BroadcastBloom.build(pdf["_h"].to_numpy(dtype=np.int64), fpp)
 
 

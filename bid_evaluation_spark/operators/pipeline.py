@@ -170,6 +170,23 @@ def decontaminate_bloom(
     counts, the Jaccard estimate, the candidate set, and the exact verify are
     bit-for-bit those of :func:`decontaminate` (property-tested). False
     positives only forward dead shingles that the equi-join itself discards.
+
+    Measured crossover (idle local[32], sf0.1, 3 warm runs): exact 1.2-1.5 s,
+    bloom 2.0-2.1 s — the bloom variant LOSES locally, for two measured
+    reasons. (1) The shuffle it shrinks does not exist at this scale: the
+    eval token side is ~26k rows, AQE broadcasts it, so the exact variant's
+    candidate join has no train-side exchange. (2) The fixed overhead is
+    real: ~0.45 s warm for the build's collect+broadcast driver sync plus
+    ~0.25 s for the Arrow kernel pass over the train arrays. On top of that,
+    this synthetic corpus's train/eval split shares most shingles (the
+    kernel keeps 145k of 235k — only a 1.6× shrink); the operator targets
+    the opposite profile, a huge crawl vs disjoint benchmark suites, where
+    the keep-rate approaches ``fpp`` (a ~200× shrink at the default).
+    The variant pays off once the train token exchange is too big to avoid
+    (eval side above the broadcast threshold × executor count, train side
+    large) and overlap is low — i.e. the 100-TB shape, not sf0.1. (An
+    earlier 11.4 s warm reading in BENCH_r02 was bench-box contention; it
+    does not reproduce idle.)
     """
     from .bloom import bloom_from_hash_column, bloom_keep_array
 
