@@ -437,8 +437,16 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
     tasks (a,a) verify all their pairs, off-diagonal tasks (a,b) verify only
     cross-salt pairs. A pathological bucket now costs s·(s+1)/2 bounded tasks
     instead of one executor-OOM task; replication overhead is ×s on the
-    oversized block only (s == 1 ⇒ plan identical to unsalted). Results are
-    provably identical to the unsalted operator (property-tested).
+    oversized block only. Results are provably identical to the unsalted
+    operator (property-tested).
+
+    The block-size check runs eagerly (one tiny partial-agged count job and
+    a one-row collect at call time): when NO block exceeds the bound — the
+    overwhelmingly common case — the returned plan is exactly the unsalted
+    one, with no size join, salt columns, or task explode. Both designs scan
+    the input twice (a lazily-joined sizes frame would be materialized for
+    its broadcast anyway), so the eager check costs nothing extra at scale
+    while removing the per-row salting machinery from the common path.
     """
     if block_col is None:
         df = df.withColumn("_block", _hyperplane_bucket(F.col(vec_col), num_planes, seed))
@@ -448,8 +456,12 @@ def embedding_near_duplicates(df: DataFrame, id_col: str = "vec_id",
 
     salted = max_block is not None
     if salted:
-        # one tiny agg (a count per block — broadcastable by construction)
+        # one tiny agg (a count per block — broadcastable by construction);
+        # its max decides driver-side whether salting is needed at all
         sizes = sel.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bn"))
+        largest = sizes.agg(F.max("_bn")).collect()[0][0]
+        salted = largest is not None and largest > int(max_block)
+    if salted:
         s = F.greatest(F.lit(1), F.ceil(F.col("_bn") / F.lit(int(max_block)))).cast("int")
         tasks = F.transform(
             F.sequence(F.lit(0), F.col("_s") - 1),
