@@ -2024,14 +2024,20 @@ FROM orders JOIN stats ON o_orderpriority = p
 
 
 def _q_events_json_props(spark, sf_dir):
-    """Semi-structured column handling: the events props JSON string parsed
-    ONCE with a schema'd from_json (the scale path — typed extraction inside
-    codegen, no per-field re-parse), aggregated per event type. Oracle uses
-    DuckDB's JSON extraction over the same strings."""
+    """Semi-structured column handling: one numeric field extracted from the
+    events props JSON string and aggregated per event type.
+
+    Extraction is ``get_json_object(...).cast('int')`` — string-extract then
+    SQL cast, which is coercion-identical to the oracle's
+    ``CAST(json_extract_string(...) AS INT)`` even when the generator emits
+    ``{"k":"5"}`` (a schema'd ``from_json(props, 'k INT')`` would yield NULL
+    for string-typed numerics instead of coercing). For many-field
+    extraction the schema'd ``from_json`` single-parse remains the scale
+    path; with one field the per-row parse cost is the same."""
     df = _t(spark, sf_dir, "events")
     j = df.select(
         "event_type",
-        F.from_json(F.col("props"), "k INT").getField("k").alias("k"))
+        F.get_json_object(F.col("props"), "$.k").cast("int").alias("k"))
     return (j.groupBy("event_type")
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.sum("k").cast("long").alias("sum_k"),

@@ -92,19 +92,26 @@ def robust_zscores(df: DataFrame, value_col: str,
 
     Shape: two grouped ``percentile`` aggregates (median, then median of
     absolute deviations — the second genuinely needs the first, two passes
-    are inherent), each producing one row per group and broadcast-joined
-    back; scoring is a map-only projection. Groups with MAD = 0 (constant
-    values) get null scores (``try_divide``).
+    are inherent), each producing one row per group and joined back (the
+    optimizer broadcasts small stats frames; a high-cardinality group_col
+    falls back to a shuffle join instead of pinning every group's row in
+    executor memory); scoring is a map-only projection. Groups with
+    MAD = 0 (constant values) get null scores (``try_divide``).
     """
     from pyspark.sql.functions import try_divide
 
     g = [group_col] if group_col else []
     med_agg = F.expr(f"percentile({value_col}, 0.5)").alias("_med")
     med = df.groupBy(*g).agg(med_agg) if g else df.agg(med_agg)
-    j = df.join(F.broadcast(med), on=g) if g else df.crossJoin(F.broadcast(med))
+    # grouped stats frames are one row per group: no broadcast hint, so the
+    # optimizer/AQE broadcasts small ones but falls back to a shuffle join
+    # when group_col is high-cardinality (a forced hint would pin the whole
+    # stats frame in every executor). The global (ungrouped) frame is a
+    # single row — always broadcast.
+    j = df.join(med, on=g) if g else df.crossJoin(F.broadcast(med))
     mad_agg = F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
     mad = j.groupBy(*g).agg(mad_agg) if g else j.agg(mad_agg)
-    j2 = j.join(F.broadcast(mad), on=g) if g else j.crossJoin(F.broadcast(mad))
+    j2 = j.join(mad, on=g) if g else j.crossJoin(F.broadcast(mad))
     z = try_divide(F.col(value_col) - F.col("_med"),
                    F.lit(1.4826) * F.col("_mad"))
     return j2.withColumn(out_col, z).drop("_med", "_mad")

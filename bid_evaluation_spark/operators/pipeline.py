@@ -384,6 +384,11 @@ def sample_k_per_group(
     a hot group serializes only its own partition, and the deterministic
     hash order makes redraws (new seed) and cross-engine reproduction
     (DuckDB oracle) exact.
+
+    ``key_col`` values must be unique (the contract :func:`hash_sample`
+    documents): duplicate keys — including multiple nulls, which all hash
+    via the same sentinel — draw identical hash and tie-break, so WHICH
+    duplicate lands inside the rank ≤ k cut is engine- and run-dependent.
     """
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
@@ -475,6 +480,11 @@ def weighted_sample_k(
     cross-engine libm ulp differences cannot flip the order (NOTES.md
     lesson: never rank on a raw float in an oracle-checked query).
     Executes as TakeOrdered — per-partition top-k, never a global sort.
+
+    ``key_col`` values must be unique (as in :func:`hash_sample` /
+    :func:`sample_k_per_group`): duplicate keys draw identical priority and
+    tie-break, making which duplicate survives the ``limit(k)`` cut
+    nondeterministic across runs and engines.
     """
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
