@@ -1773,24 +1773,83 @@ WHERE em.vec_id NOT IN (SELECT id FROM dropped)
 
 
 def _q_dedup_semantic_embeddings(spark, sf_dir):
-    """SemDeDup-style semantic dedup (operators/dedup.py): k-means blocks +
-    within-cluster exact-cosine verify + keep-min-id. Approximate by
-    construction (cross-cluster pairs are missed), so no value oracle —
-    recall against the exact all-pairs set is pinned in
-    tests/test_semantic_dedup.py, the ANN pattern."""
+    """SemDeDup-style semantic dedup (operators/dedup.py): centroid blocks
+    with nprobe multiprobe + within-cluster exact-cosine verify + connected
+    components + keep-min-id, under a FULL value oracle.
+
+    The centroids are pinned to the embeddings of ``vec_id < 8`` (the
+    pretrained-centroids surface — a driver-sized collect, the deployment
+    shape where centroids come from a previous corpus snapshot), which makes
+    every stage SQL-expressible: the oracle recomputes the identical
+    ``|c|² − 2·e·c`` argmin top-3 probe assignment, the shared-cluster pair
+    generation, the exact-cosine verify, and the recursive-CTE transitive
+    closure. The k-means TRAINING loop stays covered by
+    tests/test_semantic_dedup.py (0.96 recall vs exact all-pairs) and the
+    streaming-IVF tests."""
+    import numpy as np
+
     from bid_evaluation_spark.operators.dedup import semantic_dedup
 
     df = _t(spark, sf_dir, "embeddings")
-    kept = semantic_dedup(df, threshold=0.35, n_clusters=8, nprobe=3, seed=7)
-    return kept.select("vec_id", "label").orderBy("vec_id")
+    cent_rows = df.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    centroids = np.array(
+        [r["embedding"] for r in sorted(cent_rows, key=lambda r: r["vec_id"])],
+        dtype=np.float64)
+    kept = semantic_dedup(df, threshold=0.35, nprobe=3, seed=7,
+                          centroids=centroids)
+    return kept.select("vec_id", F.col("label").cast("long").alias("label")
+                       ).orderBy("vec_id")
+
+
+_SQL_DEDUP_SEMANTIC_EMBEDDINGS = """
+WITH RECURSIVE v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+probes AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(c.ce, x -> x*x))
+          - 2 * list_sum(list_transform(generate_series(1, len(v.e)),
+                                        i -> v.e[i]*c.ce[i])) ASC,
+        c.cid ASC) AS pr
+    FROM v CROSS JOIN c
+  ) WHERE pr <= 3
+),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM probes pa JOIN probes pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
+  JOIN v a ON a.vec_id = pa.vec_id
+  JOIN v b ON b.vec_id = pb.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.35
+),
+edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, lab) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+  UNION
+  SELECT e.d, r.lab FROM reach r JOIN edges e ON r.id = e.s
+),
+clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+dropped AS (SELECT id FROM clusters WHERE id != cluster_id)
+SELECT em.vec_id, CAST(em.label AS BIGINT) AS label
+FROM embeddings em
+WHERE em.vec_id NOT IN (SELECT id FROM dropped)
+ORDER BY em.vec_id
+"""
 
 
 def _q_ann_lsh_topk_embeddings(spark, sf_dir):
-    """Bucketed (IVF/LSH-style) approximate top-k — the 100 TB scale path.
+    """Bucketed (LSH-style) approximate top-k — the 100 TB scale path.
 
-    Rows-only check: bucket assignment uses seeded random hyperplanes, not
-    expressible in portable SQL; exact-cosine arithmetic is oracle-covered by
-    ``ann_cosine_topk_embeddings``."""
+    FULL value oracle: the hyperplane matrix is a deterministic function of
+    (seed, dim) — ``default_rng(42).standard_normal((64, 4))`` — so the SQL
+    below embeds the identical plane constants as literals and recomputes
+    the sign-pattern bucket, the bucket equi-join, and the exact cosine
+    rank. Sign parity is robust (a flip needs |dot| ≲ 1e-13 against O(1)
+    Gaussian dots); raw-cosine ranking parity follows the green
+    ``ann_cosine_topk_embeddings`` precedent."""
     from bid_evaluation_spark.operators.similarity import lsh_topk
 
     df = _t(spark, sf_dir, "embeddings")
@@ -1800,12 +1859,59 @@ def _q_ann_lsh_topk_embeddings(spark, sf_dir):
                       _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
 
 
+def _lsh_bucket_sql_expr(num_planes: int = 4, seed: int = 42,
+                         dim: int = 64, vec: str = "e") -> str:
+    """DuckDB expression reproducing operators/dedup.py _hyperplane_bucket:
+    bit p of the bucket id is the sign of the vector's dot product with the
+    p-th seeded Gaussian plane, planes embedded as full-precision literals
+    (repr round-trips doubles exactly)."""
+    import numpy as np
+
+    P = np.random.default_rng(seed).standard_normal((dim, num_planes))
+    terms = []
+    for p in range(num_planes):
+        arr = "[" + ", ".join(repr(float(x)) for x in P[:, p]) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+            f" i -> {vec}[i] * ({arr})[i])) > 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SQL_ANN_LSH_TOPK_EMBEDDINGS = f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+b AS (SELECT vec_id, e, {_lsh_bucket_sql_expr()} AS bkt FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, bkt FROM b WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(q.qe)), i -> q.qe[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(q.qe, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) AS cosine
+  FROM q JOIN b ON q.bkt = b.bkt
+  WHERE q.query_id != b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id, round((cosine) * 10000.0) / 10000.0 AS cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def _q_ann_ivf_topk_embeddings(spark, sf_dir):
     """Trained-IVF approximate top-k: k-means inverted lists + multiprobe.
 
-    Rows-only check: the k-means training loop is not expressible in
-    portable SQL; returned cosines are exact for scanned candidates, and
-    recall vs exact top-k is asserted in tests."""
+    Rows-only check — justification: the ONLY unoracled stage here is the
+    k-means training loop (iterative, not expressible in portable SQL).
+    Every other stage is value-oracled elsewhere: centroid argmin probe
+    assignment + shared-list pairing in ``dedup_semantic_embeddings``
+    (pinned centroids), exact-cosine ranking in
+    ``ann_cosine_topk_embeddings`` / ``ann_lsh_topk_embeddings``. Training
+    itself is differential-tested against numpy Lloyd iterations and
+    recall-floor-tested vs exact top-k in tests/test_embeddings.py."""
     from bid_evaluation_spark.operators.similarity import ivf_topk
 
     df = _t(spark, sf_dir, "embeddings")
@@ -2295,8 +2401,15 @@ _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS = _SQL_PIPE_DECONTAMINATE_DOCUMENTS.repl
 def _q_pipe_bpe_merges_documents(spark, sf_dir):
     """Distributed BPE tokenizer training (operators/bpe.py): one corpus
     shuffle to a (word, count) table, then deterministic merge rounds over
-    the word table only (count desc, pair asc tie-break). The greedy merge
-    loop is not SQL-expressible → rows-only check; parity with a pure-python
+    the word table only (count desc, pair asc tie-break).
+
+    Rows-only check — justification: the greedy merge loop (argmax, rewrite
+    every word's symbol sequence, recount) is iterative and not
+    SQL-expressible (a recursive CTE cannot aggregate over its own
+    reference). The round-1 counting core IS value-oracled:
+    ``pipe_bpe_pair_counts_documents`` checks the top-20 pairs under the
+    identical (count desc, pair asc) order, whose first row is exactly the
+    first merge this loop picks. Full-loop parity with a pure-python
     reference implementation is pinned in tests/test_bpe.py."""
     from bid_evaluation_spark.operators.bpe import bpe_train
 
@@ -3819,8 +3932,10 @@ _QUERIES: dict = {
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
     "dedup_keepmin_embeddings": (_q_dedup_keepmin_embeddings,
                                  _SQL_DEDUP_KEEPMIN_EMBEDDINGS),
-    "dedup_semantic_embeddings": (_q_dedup_semantic_embeddings, None),
-    "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings, None),
+    "dedup_semantic_embeddings": (_q_dedup_semantic_embeddings,
+                                  _SQL_DEDUP_SEMANTIC_EMBEDDINGS),
+    "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings,
+                                _SQL_ANN_LSH_TOPK_EMBEDDINGS),
     "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings, None),
     "events_tumbling_hour": (_q_events_tumbling_hour, _SQL_EVENTS_TUMBLING_HOUR),
     "events_sliding_6h_1h": (_q_events_sliding_6h_1h, _SQL_EVENTS_SLIDING_6H_1H),
