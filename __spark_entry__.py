@@ -3730,7 +3730,9 @@ FROM m
 def _q_graph_pagerank_events(spark, sf_dir):
     """Weighted PageRank (operators/graph.py) over the event-type transition
     graph: edges are consecutive (prev_type → type) steps per user ordered by
-    (ts, event_id), weighted by transition count; 5 fixed rounds at d=0.85.
+    (ts, event_id), weighted by transition count; 3 fixed rounds at d=0.85
+    (3, not 5 — the graph is tiny, so the correctness gate's cost is pure
+    per-round job overhead; 3 rounds exercise the same recurrence).
     The oracle unrolls the identical formula (same association order:
     rank · (w/outw)) iteration by iteration."""
     from pyspark.sql import Window
@@ -3744,7 +3746,7 @@ def _q_graph_pagerank_events(spark, sf_dir):
         .groupBy(F.col("_prev").alias("src"), F.col("event_type").alias("dst"))
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    pr = pagerank(edges, weight="w", damping=0.85, max_iter=5)
+    pr = pagerank(edges, weight="w", damping=0.85, max_iter=3)
     return pr.select("node", _r4("rank").alias("rank")).orderBy("node")
 
 
@@ -3790,7 +3792,7 @@ SELECT node, round(rank*10000.0)/10000.0 AS rank FROM r{iters} ORDER BY node""")
     return "".join(parts)
 
 
-_SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql()
+_SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql(3)
 
 
 def _q_events_rollup_type_day(spark, sf_dir):

@@ -57,15 +57,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_f"))
               .persist())
     has_out = outw.select(F.col("_src").alias("node"))
+    # If every node has out-edges, dangling mass is identically 0 — decide
+    # ONCE here and skip the per-round anti-join + collect (one Spark action
+    # per iteration saved; on small graphs that action is half the runtime).
+    any_dangling = outw.count() < n
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n).cast("double"))
     base = (1.0 - damping) / n
 
     for _ in range(max_iter):
         # scalar: rank mass on dangling nodes (no out-edges), redistributed
-        dangling = (ranks.join(has_out, on="node", how="left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-                    .collect()[0][0])
+        if any_dangling:
+            dangling = (ranks.join(has_out, on="node", how="left_anti")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                        .collect()[0][0])
+        else:
+            dangling = 0.0
         contrib = (norm_e.join(ranks, norm_e["_src"] == ranks["node"])
                    .groupBy(F.col("_dst").alias("node"))
                    .agg(F.sum(F.col("rank") * F.col("_f")).alias("_c")))
