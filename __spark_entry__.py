@@ -1347,6 +1347,55 @@ FROM f
 """
 
 
+def _q_mm_jpeg_decode_documents(spark, sf_dir):
+    """REAL compressed-codec decode end-to-end: deterministic baseline JPEGs
+    are encoded per doc — blockwise-constant grayscale (8x8 block (bx,by)
+    holds (11*bx + 5*by + doc_id) mod 256, grid dims derived from doc_id)
+    with a flat q=1 quantization table, so every block's DCT is pure DC and
+    survives quantize/dequantize bit-exactly. The pure-stdlib JPEG kernel
+    (operators/jpeg.py: marker parse, DHT Huffman decode, dequant, IDCT)
+    recovers the exact pixels; the oracle reproduces width/height/mean-luma
+    arithmetically, so any decode bug breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+    from bid_evaluation_spark.operators.multimodal import extract_image_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                wb, hb = 1 + int(d) % 3, 1 + int(d) % 2
+                blocks = ((11 * np.arange(wb)[None, :]
+                           + 5 * np.arange(hb)[:, None] + int(d)) % 256)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+                payloads.append(encode_jpeg(img, qtable=1))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_image_features(media, fake=False, strict=True)
+    return feats.select("media_id", "width", "height",
+                        _r4("mean_luma").alias("mean_luma"))
+
+
+_SQL_MM_JPEG_DECODE_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(8 * wb AS BIGINT) AS width, CAST(8 * hb AS BIGINT) AS height,
+  round(list_avg(flatten(list_transform(generate_series(0, hb - 1),
+          by -> list_transform(generate_series(0, wb - 1),
+          bx -> CAST((11*bx + 5*by + doc_id) % 256 AS DOUBLE))))) * 10000.0)
+    / 10000.0 AS mean_luma
+FROM dims
+"""
+
+
 def _q_text_token_count_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -3994,6 +4043,8 @@ _QUERIES: dict = {
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,
                                   _SQL_MM_VIDEO_FRAMES_DOCUMENTS),
+    "mm_jpeg_decode_documents": (_q_mm_jpeg_decode_documents,
+                                 _SQL_MM_JPEG_DECODE_DOCUMENTS),
     "quality_repetition_documents": (_q_quality_repetition_documents,
                                      _SQL_QUALITY_REPETITION_DOCUMENTS),
     "quality_gopher_documents": (_q_quality_gopher_documents,

@@ -2,13 +2,13 @@
 
 Beyond-reference operators (BASELINE.json north star). The Spark-side design
 is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures.
-Decode kernels are REAL for one pure-stdlib container per modality:
-**PNG images** (:mod:`.png` — width/height/mean-luma/grid embedding from
-actual pixels), **PCM WAV audio** (:mod:`.wav` — rate/duration/RMS/
-zero-crossings/log-band spectra from actual samples), and **Y4M video**
-(:mod:`.y4m` — per-frame luma digest/dimensions/mean from actual planes).
-Compressed containers (JPEG, mp3, h264, ...) need a media library swapped
-into the same decode seams. Every kernel also offers ``fake=True``
+Decode kernels are REAL pure-stdlib codecs: **PNG and baseline JPEG
+images** (:mod:`.png`, :mod:`.jpeg` — width/height/mean-luma/grid embedding
+from actual pixels, magic-byte dispatch), **PCM WAV audio** (:mod:`.wav` —
+rate/duration/RMS/zero-crossings/log-band spectra from actual samples), and
+**Y4M video** (:mod:`.y4m` — per-frame luma digest/dimensions/mean from
+actual planes). Remaining compressed containers (webp, mp3, h264, ...) need
+a media library swapped into the same decode seams. Every kernel also offers ``fake=True``
 (clearly-marked deterministic payload-hash features) so pipeline plumbing
 is testable on arbitrary bytes.
 
@@ -67,17 +67,20 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                            strict: bool = False) -> DataFrame:
     """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
 
-    The REAL kernel (``fake=False``, default) decodes PNG payloads with the
-    pure-stdlib codec (:mod:`.png`): width/height from IHDR, mean luma and an
-    8-dim block-mean-luma embedding from the actual pixels. Non-PNG or
+    The REAL kernel (``fake=False``, default) dispatches on magic bytes and
+    decodes PNG payloads with the pure-stdlib codec (:mod:`.png`) and
+    baseline JPEG payloads with the pure-stdlib codec (:mod:`.jpeg`):
+    width/height from the container, mean luma and an 8-dim
+    block-mean-luma embedding from the actual pixels. Unrecognized or
     undecodable payloads yield null width/height/luma/embedding (corrupt
     media must not kill a 100-TB scan) unless ``strict=True``, which
-    re-raises the decode error. Other container formats (JPEG, ...) need a
-    real image library — swap the decode in ``png.decode_png``.
+    re-raises the decode error. Other container formats (webp, tiff, ...)
+    need a real image library — add a branch at the same dispatch seam.
 
     ``fake=True`` substitutes a deterministic payload-hash-derived feature
     vector (no decode at all) so pipeline tests run on arbitrary bytes.
     """
+    from . import jpeg as _jpeg
     from . import png as _png
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -101,7 +104,10 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                 widths, heights, lumas, embs = [], [], [], []
                 for p in payloads:
                     try:
-                        img = _png.decode_png(p or b"")
+                        if _jpeg.is_jpeg(p or b""):
+                            img = _jpeg.decode_jpeg(p)
+                        else:
+                            img = _png.decode_png(p or b"")
                         lum = _png.luma(img)
                         widths.append(img.shape[1])
                         heights.append(img.shape[0])
