@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Run the test suite as N concurrent pytest shards (no pytest-xdist in the
+container). Each test session builds one local[4] SparkSession, so on a
+32-CPU box several shards run without oversubscribing.
+
+Shards are greedy-packed by file size (a good-enough duration proxy: the
+slow files are the big ones), largest first, so wall time approaches the
+slowest single file instead of the serial sum.
+
+Usage: python tools/run_tests_parallel.py [n_shards]   (default 4)
+Exit status is non-zero if any shard fails; each shard's tail is printed.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    files = sorted(glob.glob("tests/test_*.py"),
+                   key=lambda f: -os.path.getsize(f))
+    shards: list[tuple[int, list[str]]] = [(0, []) for _ in range(n)]
+    for f in files:
+        size, members = min(shards, key=lambda s: s[0])
+        idx = shards.index((size, members))
+        shards[idx] = (size + os.path.getsize(f), members + [f])
+
+    t0 = time.time()
+    procs = []
+    for i, (_, members) in enumerate(shards):
+        if not members:
+            continue
+        log = tempfile.NamedTemporaryFile(
+            mode="w+", suffix=f"_shard{i}.log", delete=False)
+        p = subprocess.Popen(
+            [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             *members],
+            stdout=log, stderr=subprocess.STDOUT)
+        procs.append((i, p, log, members))
+
+    failed = False
+    for i, p, log, members in procs:
+        rc = p.wait()
+        log.flush()
+        log.seek(0)
+        tail = log.read().strip().splitlines()[-3:]
+        status = "ok" if rc == 0 else f"FAILED rc={rc}"
+        print(f"shard {i} [{status}] ({len(members)} files): "
+              + " | ".join(tail[-1:]))
+        if rc != 0:
+            failed = True
+            print("\n".join(tail))
+            print(f"  full log: {log.name}")
+        log.close()
+    print(f"total wall: {time.time() - t0:.1f}s")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
