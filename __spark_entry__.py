@@ -3844,6 +3844,149 @@ SELECT node, round(rank*10000.0)/10000.0 AS rank FROM r{iters} ORDER BY node""")
 _SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql(3)
 
 
+def _q_classify_nb_lang_documents(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier (operators/classify.py):
+    train on the corpus's own (text, lang) pairs — one explode + groupBy
+    builds the (token, per-class count) model, pivoted to one row per token
+    so scoring joins each document's distinct tokens ONCE (no ×classes row
+    blow-up) — then predict every document. The argmax compares scores
+    rounded to 1e-6 with label-order tie-break (never rank a raw double
+    across engines). The oracle replays the identical smoothed arithmetic
+    densely: per-class token counts, add-1 smoothing over the shared vocab,
+    prior + sum of m·ln p, row_number argmax."""
+    from bid_evaluation_spark.operators.classify import nb_classify
+
+    docs = _t(spark, sf_dir, "documents")
+    out = nb_classify(docs, text_col="text", label_col="lang",
+                      id_col="doc_id", add_k=1.0)
+    return out.select("doc_id", "pred_label",
+                      _r4("pred_logp").alias("pred_logp"), "n_tokens")
+
+
+_SQL_CLASSIFY_NB_LANG_DOCUMENTS = """
+WITH labeled AS (
+  SELECT doc_id, lang, trim(lower(text)) AS t FROM documents
+  WHERE lang IS NOT NULL
+),
+tok AS (
+  SELECT doc_id, lang, unnest(string_split_regex(t, '\\s+')) AS tok
+  FROM labeled WHERE t != ''
+),
+counts AS (SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+totals AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS n FROM counts GROUP BY 1),
+vocab AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM counts),
+priors AS (SELECT lang, count(*) AS nd FROM labeled GROUP BY 1),
+ndocs AS (SELECT CAST(sum(nd) AS DOUBLE) AS n FROM priors),
+classes AS (
+  SELECT p.lang, ln(CAST(p.nd AS DOUBLE) / (SELECT n FROM ndocs)) AS lprior,
+         coalesce(t.n, CAST(0 AS DOUBLE)) AS ntok
+  FROM priors p LEFT JOIN totals t USING (lang)
+),
+dtok AS (
+  SELECT doc_id, tok, count(*) AS m FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+    FROM documents WHERE trim(lower(text)) != ''
+  ) GROUP BY 1, 2
+),
+contrib AS (
+  SELECT d.doc_id, cl.lang,
+         sum(d.m * ln((coalesce(c.c, 0) + CAST(1 AS DOUBLE))
+                      / (cl.ntok + (SELECT v FROM vocab)))) AS s,
+         sum(d.m) AS n_tokens
+  FROM dtok d CROSS JOIN classes cl
+  LEFT JOIN counts c ON c.lang = cl.lang AND c.tok = d.tok
+  GROUP BY 1, 2
+),
+scores AS (
+  SELECT doc.doc_id, cl.lang,
+         cl.lprior + coalesce(ct.s, CAST(0 AS DOUBLE)) AS score,
+         coalesce(ct.n_tokens, 0) AS n_tokens
+  FROM documents doc CROSS JOIN classes cl
+  LEFT JOIN contrib ct ON ct.doc_id = doc.doc_id AND ct.lang = cl.lang
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY round(score * 1000000.0) / 1000000.0 DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_label,
+       round(score * 10000.0) / 10000.0 AS pred_logp,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM ranked WHERE rn = 1
+"""
+
+
+def _q_classify_logreg_embeddings(spark, sf_dir):
+    """Distributed batch-GD logistic regression (operators/classify.py):
+    y = label mod 2 over the 64-dim embeddings, 2 rounds at lr=1.0 from
+    zero weights. Each round is ONE aggregation job computing all 65
+    gradient averages map-side-combined (no explode, no shuffle of
+    vectors); weights re-enter as literals, so the scoring margin is a
+    flat left-to-right codegen sum — the identical association order the
+    unrolled SQL oracle uses. The oracle replays both GD rounds as CTEs
+    (round 1 collapses analytically: w=0 ⇒ p=0.5) and scores every row."""
+    from bid_evaluation_spark.operators.classify import (
+        logreg_predict, logreg_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id", "embedding",
+        (F.col("label") % 2).cast("double").alias("_y"))
+    model = logreg_train(feats, feature_col="embedding", y_col="_y",
+                         dim=64, iters=2, lr=1.0)
+    scored = logreg_predict(feats, model, feature_col="embedding")
+    return scored.select("vec_id", _r4("prob").alias("prob"), "pred")
+
+
+def _logreg_embeddings_sql(dim: int = 64) -> str:
+    """Unrolled 2-round GD oracle. Round 1 from w=0 is analytic (margin 0,
+    p=0.5, r=0.5−y) so w1_j = −avg((0.5−y)·x_j); round 2 recomputes the
+    margin with w1 as a cross-joined 1-row CTE and averages the new
+    residual gradient; scoring applies w2 = w1 − g2. Margin terms are
+    written bias-first then j ascending — the same association order as
+    the Spark expression."""
+    ej = lambda j: f"CAST(embedding[{j + 1}] AS DOUBLE)"  # noqa: E731
+    g1 = ", ".join(
+        f"-avg((CAST(0.5 AS DOUBLE) - y) * {ej(j)}) AS w1_{j}"
+        for j in range(dim))
+    margin1 = " + ".join(f"w1.w1_{j} * {ej(j)}" for j in range(dim))
+    g2 = ", ".join(f"avg(r2 * {ej(j)}) AS g2_{j}" for j in range(dim))
+    w2 = ", ".join(f"w1.w1_{j} - g2.g2_{j} AS w2_{j}" for j in range(dim))
+    margin2 = " + ".join(f"w2.w2_{j} * {ej(j)}" for j in range(dim))
+    return f"""
+WITH y AS (
+  SELECT vec_id, embedding, CAST(label % 2 AS DOUBLE) AS y FROM embeddings
+),
+w1 AS (
+  SELECT {g1}, -avg(CAST(0.5 AS DOUBLE) - y) AS b1 FROM y
+),
+r2rows AS (
+  SELECT y.vec_id, y.embedding, y.y,
+         CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+           + exp(-(w1.b1 + {margin1}))) - y.y AS r2
+  FROM y CROSS JOIN w1
+),
+g2 AS (
+  SELECT {g2}, avg(r2) AS gb2 FROM r2rows
+),
+w2 AS (
+  SELECT {w2}, w1.b1 - g2.gb2 AS b2 FROM w1 CROSS JOIN g2
+)
+SELECT y.vec_id,
+  round((CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(w2.b2 + {margin2})))) * 10000.0) / 10000.0 AS prob,
+  CAST(CASE WHEN CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE)
+         + exp(-(w2.b2 + {margin2}))) >= CAST(0.5 AS DOUBLE)
+       THEN 1 ELSE 0 END AS INTEGER) AS pred
+FROM y CROSS JOIN w2
+"""
+
+
+_SQL_CLASSIFY_LOGREG_EMBEDDINGS = _logreg_embeddings_sql()
+
+
 def _q_events_rollup_type_day(spark, sf_dir):
     """OLAP rollup: (event_type, day) → (event_type) → () subtotal levels in
     ONE pass (Catalyst expands the grouping sets with partial aggregation —
@@ -4077,6 +4220,10 @@ _QUERIES: dict = {
                             _SQL_ASOF_FORWARD_EVENTS),
     "asof_nearest_events": (_q_asof_nearest_events,
                             _SQL_ASOF_NEAREST_EVENTS),
+    "classify_nb_lang_documents": (_q_classify_nb_lang_documents,
+                                   _SQL_CLASSIFY_NB_LANG_DOCUMENTS),
+    "classify_logreg_embeddings": (_q_classify_logreg_embeddings,
+                                   _SQL_CLASSIFY_LOGREG_EMBEDDINGS),
     "graph_pagerank_events": (_q_graph_pagerank_events,
                               _SQL_GRAPH_PAGERANK_EVENTS),
     "events_rollup_type_day": (_q_events_rollup_type_day,

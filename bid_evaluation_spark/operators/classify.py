@@ -1,0 +1,249 @@
+"""Model-based curation operators: Naive Bayes text classification and
+logistic regression over embedding features.
+
+Beyond-reference operators (no counterpart in ``/root/reference``): the
+model-based filtering stage of an LLM data pipeline — a fastText-style
+quality/language classifier gating documents, and a linear probe over
+embeddings. Both are built so that TRAINING is itself a DataFrame
+aggregation (not a driver-side loop over collected data):
+
+- Naive Bayes: the model IS a ``(token, per-class count)`` aggregate — one
+  explode + groupBy over the training corpus, pivoted to one row per token
+  (class count is small and known). Scoring equi-joins each document's
+  distinct tokens to that table once (the pivot avoids a ``×n_classes``
+  join blow-up) and sums per-class log-probabilities in a single hash
+  aggregate. Class priors / totals / vocabulary size are three scalar
+  aggregates folded in as literals.
+- Logistic regression: batch gradient descent where each round is ONE
+  aggregation job computing all ``d+1`` gradient sums with map-side partial
+  aggregation — no per-dimension explode, no shuffle of feature vectors.
+  The weight vector (d floats) ships driver→executors as literals each
+  round, exactly like the k-means centroids in :mod:`.similarity`; the
+  plan stays flat across rounds because weights are literals, so no
+  lineage checkpointing is needed.
+
+At 100 TB: NB training shuffles ``(class, token)`` pairs (partially
+aggregated map-side to ~vocab×classes rows); NB scoring is one broadcast-
+or-shuffle hash join on token plus one groupBy on the document key.
+Logistic regression rounds scan the feature table with no shuffle at all
+(the gradient is a global aggregate) — the classic data-parallel GD shape.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+__all__ = ["NBModel", "nb_train", "nb_predict", "nb_classify",
+           "LogRegModel", "logreg_train", "logreg_predict"]
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes
+# ---------------------------------------------------------------------------
+
+@dataclass
+class NBModel:
+    """Multinomial-NB model: per-token class log-likelihood table plus the
+    scalar pieces (priors, unseen-token floors) that fold in as literals."""
+    labels: List[str]                  # sorted class labels
+    log_priors: List[float]            # ln(docs_c / n_docs), aligned to labels
+    floors: List[float]                # ln(add_k / (n_tokens_c + add_k·V))
+    table: DataFrame                   # (_tok, _lp_0.._lp_{C-1})
+    add_k: float
+    lowercase: bool
+
+    def release(self) -> None:
+        self.table.unpersist()
+
+
+def _norm_tokens(text: Column, lowercase: bool) -> Column:
+    return tokens(F.lower(text) if lowercase else text)
+
+
+def nb_train(train: DataFrame, text_col: str = "text",
+             label_col: str = "lang", add_k: float = 1.0,
+             lowercase: bool = True) -> NBModel:
+    """Train multinomial Naive Bayes: P(c|d) ∝ P(c)·Π P(tok|c) with add-k
+    smoothing ``P(tok|c) = (count(tok,c)+k) / (n_tokens_c + k·V)``.
+
+    Rows with a null label are excluded (they would otherwise form a
+    ghost class). Class count must be small (it becomes a pivot width and
+    a literal list); vocabulary may be arbitrarily large — it stays
+    distributed as the ``(token, per-class log-prob)`` table.
+    """
+    if add_k <= 0:
+        raise ValueError(f"add_k must be > 0, got {add_k}")
+    labeled = train.filter(F.col(label_col).isNotNull())
+    toks = labeled.select(
+        F.col(label_col).cast("string").alias("_cls"),
+        F.explode(_norm_tokens(F.col(text_col), lowercase)).alias("_tok"))
+    counts = toks.groupBy("_cls", "_tok").agg(F.count("*").alias("_c"))
+    counts = counts.persist()
+
+    totals = {r["_cls"]: r["_n"] for r in
+              counts.groupBy("_cls").agg(F.sum("_c").alias("_n")).collect()}
+    vocab = counts.select("_tok").distinct().count()
+    prior_rows = (labeled.groupBy(F.col(label_col).cast("string").alias("_cls"))
+                  .agg(F.count("*").alias("_d")).collect())
+    doc_counts = {r["_cls"]: r["_d"] for r in prior_rows}
+    n_docs = sum(doc_counts.values())
+    if n_docs == 0:
+        counts.unpersist()
+        raise ValueError("training corpus has no labeled rows")
+
+    labels = sorted(doc_counts)
+    log_priors = [math.log(doc_counts[c] / n_docs) for c in labels]
+    floors = [math.log(add_k / (float(totals.get(c, 0)) + add_k * vocab))
+              for c in labels]
+
+    wide = counts.groupBy("_tok").pivot("_cls", labels).agg(F.first("_c"))
+    lp_cols = [
+        F.log((F.coalesce(F.col(f"`{c}`"), F.lit(0)).cast("double")
+               + F.lit(float(add_k)))
+              / F.lit(float(totals.get(c, 0)) + add_k * vocab)
+              ).alias(f"_lp_{i}")
+        for i, c in enumerate(labels)
+    ]
+    table = wide.select("_tok", *lp_cols).persist()
+    counts.unpersist()
+    return NBModel(labels=labels, log_priors=log_priors, floors=floors,
+                   table=table, add_k=add_k, lowercase=lowercase)
+
+
+def nb_predict(df: DataFrame, model: NBModel, text_col: str = "text",
+               id_col: str = "doc_id", round_digits: int = 6) -> DataFrame:
+    """Score + argmax: ``(id, pred_label, pred_logp, n_tokens)``.
+
+    The argmax compares scores ROUNDED to ``round_digits`` decimals with
+    ties broken by label order — floating-point sums are order-dependent
+    across engines, so ranking on raw doubles would flip near-ties between
+    Spark and an oracle (measured lesson: never rank on a raw double).
+    Documents with no tokens get the prior-only argmax.
+    """
+    C = len(model.labels)
+    doc_toks = df.select(
+        F.col(id_col),
+        F.explode_outer(_norm_tokens(F.col(text_col),
+                                     model.lowercase)).alias("_tok"))
+    # per-(doc, token) multiplicity first: the model join then touches one
+    # row per DISTINCT token per doc, not one per occurrence
+    dt = doc_toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_m"))
+    joined = dt.join(model.table, on="_tok", how="left")
+
+    score_aggs = []
+    for i in range(C):
+        contrib = F.when(
+            F.col("_tok").isNull(), F.lit(0.0)
+        ).otherwise(
+            F.col("_m").cast("double")
+            * F.coalesce(F.col(f"_lp_{i}"), F.lit(model.floors[i])))
+        score_aggs.append(
+            (F.lit(model.log_priors[i]) + F.sum(contrib)).alias(f"_s_{i}"))
+    n_tok = F.sum(F.when(F.col("_tok").isNull(), F.lit(0))
+                  .otherwise(F.col("_m"))).cast("long").alias("n_tokens")
+    scored = joined.groupBy(id_col).agg(n_tok, *score_aggs)
+
+    scale = float(10 ** round_digits)
+    rounded = [F.round(F.col(f"_s_{i}") * scale) / scale for i in range(C)]
+    best = F.greatest(*rounded) if C > 1 else rounded[0]
+    pred = F.lit(model.labels[-1])
+    pred_lp = F.col(f"_s_{C-1}")
+    # reverse-order when-chain => FIRST label in sorted order wins ties
+    for i in range(C - 2, -1, -1):
+        hit = rounded[i] == best
+        pred = F.when(hit, F.lit(model.labels[i])).otherwise(pred)
+        pred_lp = F.when(hit, F.col(f"_s_{i}")).otherwise(pred_lp)
+    return scored.select(
+        id_col, pred.alias("pred_label"), pred_lp.alias("pred_logp"),
+        "n_tokens")
+
+
+def nb_classify(df: DataFrame, text_col: str = "text",
+                label_col: str = "lang", id_col: str = "doc_id",
+                train_df: Optional[DataFrame] = None, add_k: float = 1.0,
+                lowercase: bool = True) -> DataFrame:
+    """Train on ``train_df`` (default: ``df`` itself — self-labelling
+    audit shape) and predict for every row of ``df``."""
+    model = nb_train(train_df if train_df is not None else df,
+                     text_col=text_col, label_col=label_col, add_k=add_k,
+                     lowercase=lowercase)
+    out = nb_predict(df, model, text_col=text_col, id_col=id_col)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression on embedding features
+# ---------------------------------------------------------------------------
+
+@dataclass
+class LogRegModel:
+    weights: List[float]
+    bias: float
+    iters: int
+    lr: float
+    history: List[float] = field(default_factory=list)   # mean |gradient|
+
+
+def _margin(feature_col: str, w: np.ndarray, bias: float) -> Column:
+    """lit-weighted dot product as a flat codegen expression (getItem terms
+    added left-to-right — same association order as the SQL oracle), NOT a
+    higher-order-function fold (HOFs run interpreted outside codegen)."""
+    m: Column = F.lit(float(bias))
+    for j, wj in enumerate(w):
+        m = m + F.col(feature_col).getItem(j).cast("double") * F.lit(float(wj))
+    return m
+
+
+def logreg_train(df: DataFrame, feature_col: str = "embedding",
+                 y_col: str = "_y", dim: int = 64, iters: int = 3,
+                 lr: float = 0.5) -> LogRegModel:
+    """Batch-GD logistic regression: w ← w − lr·avg((σ(w·x+b) − y)·x).
+
+    ``y_col`` must hold 0.0/1.0 doubles. Each round is ONE aggregation job
+    producing all ``dim+1`` gradient components (map-side combined); the
+    weights live on the driver (d floats) and re-enter the plan as
+    literals, so the lineage never grows. Deterministic: no sampling, no
+    shuffle — byte-identical weights for a given input and round count.
+    """
+    w = np.zeros(dim, dtype=np.float64)
+    b = 0.0
+    history = []
+    feats = df.select(F.col(feature_col), F.col(y_col).cast("double")
+                      .alias("_yy")).persist()
+    try:
+        for _ in range(iters):
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(feature_col, w, b)))
+            r = p - F.col("_yy")
+            aggs = [F.avg(r * F.col(feature_col).getItem(j).cast("double"))
+                    .alias(f"_g{j}") for j in range(dim)]
+            aggs.append(F.avg(r).alias("_gb"))
+            row = feats.agg(*aggs).collect()[0]
+            grad = np.array([row[f"_g{j}"] for j in range(dim)])
+            gb = row["_gb"]
+            w = w - lr * grad
+            b = b - lr * gb
+            history.append(float(np.abs(grad).mean()))
+    finally:
+        feats.unpersist()
+    return LogRegModel(weights=[float(x) for x in w], bias=float(b),
+                       iters=iters, lr=lr, history=history)
+
+
+def logreg_predict(df: DataFrame, model: LogRegModel,
+                   feature_col: str = "embedding",
+                   threshold: float = 0.5) -> DataFrame:
+    """Append ``prob`` = σ(w·x+b) and ``pred`` = prob ≥ threshold (map-only,
+    whole-stage-codegen scoring — the deployment shape for a quality
+    gate)."""
+    w = np.asarray(model.weights, dtype=np.float64)
+    p = F.lit(1.0) / (F.lit(1.0)
+                      + F.exp(-_margin(feature_col, w, model.bias)))
+    return df.withColumn("prob", p).withColumn(
+        "pred", (F.col("prob") >= F.lit(float(threshold))).cast("int"))
