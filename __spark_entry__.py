@@ -3844,6 +3844,113 @@ SELECT node, round(rank*10000.0)/10000.0 AS rank FROM r{iters} ORDER BY node""")
 _SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql(3)
 
 
+def _q_sketch_cms_topk_documents(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketch.py): sketch every token
+    occurrence into a 4×1024 cell grid (one groupBy — map-side partial agg
+    IS the sketch merge), estimate each distinct token as the min over its
+    4 cells, keep the top 20 by (est desc, token). Deterministic md5
+    bucketing means the oracle replays every cell and estimate exactly;
+    `exact` rides along so the est ≥ exact upper-bound property is in the
+    checked output."""
+    from bid_evaluation_spark.operators.sketch import cms_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return cms_topk(docs, text_col="text", k=20, depth=4, width=1024,
+                    seed="cms", with_exact=True)
+
+
+_SQL_SKETCH_CMS_TOPK_DOCUMENTS = """
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(lower(text)) != ''
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+cells AS (
+  SELECT j.j AS row,
+         CAST(('0x' || substr(md5(tok || 'cms' || CAST(j.j AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1024 AS bucket,
+         count(*) AS cnt
+  FROM tok CROSS JOIN js j
+  GROUP BY 1, 2
+),
+cand AS (SELECT DISTINCT tok FROM tok),
+est AS (
+  SELECT c.tok AS token, min(coalesce(s.cnt, 0)) AS est
+  FROM cand c CROSS JOIN js j
+  LEFT JOIN cells s
+    ON s.row = j.j
+   AND s.bucket = CAST(('0x' || substr(md5(c.tok || 'cms'
+                       || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+  GROUP BY 1
+),
+exact AS (SELECT tok AS token, count(*) AS exact FROM tok GROUP BY 1)
+SELECT e.token, CAST(e.est AS BIGINT) AS est, CAST(x.exact AS BIGINT) AS exact
+FROM est e JOIN exact x USING (token)
+ORDER BY est DESC, token ASC
+LIMIT 20
+"""
+
+
+def _q_sketch_hll_distinct_documents(spark, sf_dir):
+    """HLL distinct tokens (operators/sketch.py): 1024 registers from a
+    60-bit md5 hash (low 10 bits = bucket, leading-zero rank of the top 50
+    = register value), Flajolet raw estimator + linear-counting small-range
+    correction. Deterministic hashing ⇒ the oracle rebuilds every register
+    and lands on the identical estimate; the exact distinct count rides
+    along in the checked row."""
+    from bid_evaluation_spark.operators.sketch import hll_distinct
+
+    from bid_evaluation_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(_tokens(F.lower(F.col("text")))).alias("_tok"))
+    res = hll_distinct(toks, "_tok", b=10, seed="hll", with_exact=True)
+    return res.select(_r4("estimate").alias("estimate"), "m",
+                      "zero_registers", "exact")
+
+
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 1024) * 1024 * 1024)
+
+_SQL_SKETCH_HLL_DISTINCT_DOCUMENTS = f"""
+WITH tok AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(lower(text)) != ''
+),
+h AS (
+  SELECT CAST(('0x' || substr(md5(tok || 'hll'), 1, 15)) AS BIGINT) AS h,
+         tok
+  FROM tok
+),
+r AS (
+  SELECT h % 1024 AS idx,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 50 - length(bin(h >> 10)) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT idx, max(rho) AS M FROM r GROUP BY 1),
+agg AS (
+  SELECT sum(power(CAST(2 AS DOUBLE), -M)) AS zp,
+         count(*) AS present
+  FROM regs
+),
+raw AS (
+  SELECT {_HLL_ALPHA_M2} / (zp + CAST(1024 - present AS DOUBLE)) AS rawe,
+         CAST(1024 - present AS BIGINT) AS zero_registers
+  FROM agg
+)
+SELECT
+  round((CASE WHEN rawe <= CAST(2560 AS DOUBLE) AND zero_registers > 0
+         THEN CAST(1024 AS DOUBLE)
+              * ln(CAST(1024 AS DOUBLE) / CAST(zero_registers AS DOUBLE))
+         ELSE rawe END) * 10000.0) / 10000.0 AS estimate,
+  CAST(1024 AS BIGINT) AS m,
+  zero_registers,
+  (SELECT CAST(count(DISTINCT tok) AS BIGINT) FROM tok) AS exact
+FROM raw
+"""
+
+
 def _q_classify_nb_lang_documents(spark, sf_dir):
     """Multinomial Naive Bayes language classifier (operators/classify.py):
     train on the corpus's own (text, lang) pairs — one explode + groupBy
@@ -4220,6 +4327,10 @@ _QUERIES: dict = {
                             _SQL_ASOF_FORWARD_EVENTS),
     "asof_nearest_events": (_q_asof_nearest_events,
                             _SQL_ASOF_NEAREST_EVENTS),
+    "sketch_cms_topk_documents": (_q_sketch_cms_topk_documents,
+                                  _SQL_SKETCH_CMS_TOPK_DOCUMENTS),
+    "sketch_hll_distinct_documents": (_q_sketch_hll_distinct_documents,
+                                      _SQL_SKETCH_HLL_DISTINCT_DOCUMENTS),
     "classify_nb_lang_documents": (_q_classify_nb_lang_documents,
                                    _SQL_CLASSIFY_NB_LANG_DOCUMENTS),
     "classify_logreg_embeddings": (_q_classify_logreg_embeddings,

@@ -1,0 +1,167 @@
+"""Mergeable sketch operators: count-min frequency estimation and an
+HLL-style distinct counter.
+
+Beyond-reference operators (no counterpart in ``/root/reference``): the
+bounded-memory summaries a 100-TB corpus profile runs where exact state
+would not fit. Both sketches here are DELIBERATELY deterministic (md5-
+derived hashing, no RNG), so an external engine can replay them bit-for-
+bit — the DuckDB oracles reproduce bucket indices, register values, and
+estimates exactly, which is the same property that makes the existing
+hash-sampling suite auditable.
+
+Scale shape: both sketches are plain ``groupBy`` aggregations, so Spark's
+partial aggregation IS the sketch-merge operation — each task reduces its
+partition to at most (depth × width) / (2^b) rows before the shuffle, and
+the exchange moves only sketch cells, never keys. That mergeability is the
+whole point of these summaries (the same update/merge algebra works in
+Structured Streaming state or across corpus snapshots).
+
+The Spark-idiomatic alternatives — ``approx_count_distinct`` (HLL++) and
+``count_min_sketch`` — are the right tools when no cross-engine replay is
+needed; these exist to make the sketch math itself an auditable, oracle-
+checkable artifact (and to expose the register/cell tables as DataFrames
+for persistence and incremental merging).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import tokens
+
+__all__ = ["cms_build", "cms_lookup", "cms_topk", "hll_distinct"]
+
+#: md5-hex prefix width used for 60-bit integer hashes (fits signed 64)
+_HEX_DIGITS = 15
+_HASH_BITS = 4 * _HEX_DIGITS
+
+
+def _h60(key: Column, salt: str) -> Column:
+    """Deterministic 60-bit non-negative integer hash of ``key || salt``."""
+    hx = F.substring(F.md5(F.concat(key, F.lit(salt)).cast("binary")),
+                     1, _HEX_DIGITS)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def cms_build(df: DataFrame, key_col: str, depth: int = 4,
+              width: int = 1024, seed: str = "cms") -> DataFrame:
+    """Count-min sketch of ``key_col`` occurrences → ``(row, bucket, cnt)``
+    with ``depth × width`` cells max.
+
+    Each input row increments one bucket per sketch row (``depth``
+    pairwise-independent-ish md5 hashes). The single ``groupBy`` gives
+    map-side partial aggregation: every task emits at most depth×width
+    cells regardless of input size — the sketch-merge property. Null keys
+    hash a sentinel (dropping them would silently undercount).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    buckets = F.array(*[(_h60(key, f"{seed}{j}") % width) for j in range(depth)])
+    return (df.select(F.posexplode(buckets).alias("row", "bucket"))
+            .groupBy("row", "bucket").agg(F.count("*").alias("cnt")))
+
+
+def cms_lookup(sketch: DataFrame, keys: DataFrame, key_col: str,
+               depth: int = 4, width: int = 1024,
+               seed: str = "cms") -> DataFrame:
+    """Point-estimate every row of ``keys``: est = min over sketch rows of
+    the key's cell — the classic count-min upper-bound estimate (always
+    ≥ the true count; equality unless collisions). Parameters must match
+    the ``cms_build`` call. Shape: explode keys ×depth, equi-join on the
+    (row, bucket) cell grid, min-agg back to one row per key."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    buckets = F.array(*[(_h60(key, f"{seed}{j}") % width) for j in range(depth)])
+    probes = keys.select(
+        F.col(key_col), F.posexplode(buckets).alias("row", "bucket"))
+    return (probes.join(sketch, on=["row", "bucket"], how="left")
+            .groupBy(key_col)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .cast("long").alias("est")))
+
+
+def cms_topk(df: DataFrame, text_col: str = "text", k: int = 20,
+             depth: int = 4, width: int = 1024, seed: str = "cms",
+             lowercase: bool = True,
+             with_exact: bool = False) -> DataFrame:
+    """Heavy hitters over the token stream: build a count-min sketch of all
+    token occurrences, estimate each candidate token, return the top ``k``
+    by ``(est desc, token asc)`` — deterministic, so rank ties never flip.
+
+    Candidates are the distinct tokens (one extra groupBy); the sketch
+    bounds the COUNTING state — the piece that must be mergeable across
+    tasks, streams, or corpus snapshots. ``with_exact=True`` joins the true
+    count next to the estimate (est ≥ exact always; the gap is collision
+    inflation) — the audit shape, at the cost of an exact count aggregate.
+    """
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(F.explode(tokens(text)).alias("_tok"))
+    sketch = cms_build(toks, "_tok", depth=depth, width=width, seed=seed)
+    cand = toks.distinct()
+    est = cms_lookup(sketch, cand, "_tok", depth=depth, width=width,
+                     seed=seed)
+    if with_exact:
+        exact = toks.groupBy("_tok").agg(F.count("*").alias("exact"))
+        est = est.join(exact, on="_tok")
+    out = est.withColumnRenamed("_tok", "token")
+    return out.orderBy(F.desc("est"), F.asc("token")).limit(k)
+
+
+def hll_distinct(df: DataFrame, key_col: str, b: int = 10,
+                 seed: str = "hll",
+                 with_exact: bool = False) -> DataFrame:
+    """HyperLogLog-style distinct count → one row
+    ``(estimate, m, zero_registers[, exact])``.
+
+    Flajolet's estimator on ``m = 2^b`` registers: bucket = low ``b`` bits
+    of a 60-bit md5 hash, register = max over bucket of the leading-zero
+    rank of the remaining ``60-b`` bits, ``E = α_m·m²/Σ 2^{-M_j}`` with the
+    linear-counting small-range correction (``E ≤ 2.5m`` and empty
+    registers present ⇒ ``m·ln(m/V)``). One groupBy (≤ m rows survive each
+    task — mergeable), one tiny final agg. Deterministic: md5, not a
+    seeded RNG, so the DuckDB oracle reproduces every register and the
+    estimate bit-for-bit. Nulls hash a sentinel and count as one key.
+    """
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = _h60(key, seed)
+    idx = (h % m).alias("_idx")
+    rest = F.shiftright(h, b)
+    # leading-zero rank of the (60-b)-bit word: W - bitlen(rest) + 1;
+    # bin() has no leading zeros so length(bin(x)) IS the bit length
+    rho = F.when(rest == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(rest)) + 1)
+    regs = (df.select(idx, rho.alias("_rho"))
+            .groupBy("_idx").agg(F.max("_rho").alias("_M")))
+
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    if m <= 16:
+        alpha = 0.673
+    elif m <= 32:
+        alpha = 0.697
+    elif m <= 64:
+        alpha = 0.709
+    agg = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_M"))).alias("_z_present"),
+        F.count("*").alias("_present"))
+    est = (agg.select(
+        (F.lit(float(alpha * m * m))
+         / (F.col("_z_present")
+            + (F.lit(m) - F.col("_present")).cast("double"))).alias("_raw"),
+        (F.lit(m) - F.col("_present")).cast("long").alias("zero_registers"))
+        .select(
+            F.when((F.col("_raw") <= F.lit(2.5 * m))
+                   & (F.col("zero_registers") > 0),
+                   F.lit(float(m))
+                   * F.log(F.lit(float(m))
+                           / F.col("zero_registers").cast("double")))
+            .otherwise(F.col("_raw")).alias("estimate"),
+            F.lit(m).cast("long").alias("m"),
+            "zero_registers"))
+    if with_exact:
+        exact = df.select(key.alias("_k")).distinct().count()
+        est = est.withColumn("exact", F.lit(int(exact)).cast("long"))
+    return est
