@@ -3844,6 +3844,106 @@ SELECT node, round(rank*10000.0)/10000.0 AS rank FROM r{iters} ORDER BY node""")
 _SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql(3)
 
 
+def _q_curation_hard_negatives_embeddings(spark, sf_dir):
+    """Contrastive pair mining (operators/similarity.py
+    mine_contrastive_pairs): for each of the 10 anchor vectors, the 5
+    most-similar DIFFERENT-label vectors (hard negatives) and the 3
+    most-similar same-label vectors (positives), ranked per (anchor, kind).
+    Broadcast anchors, map-side similarities, one window — the
+    cosine_topk shape with a label predicate. The oracle replays the
+    cross-product cosine, the null-safe label split, and the per-kind
+    row_number ranking."""
+    from bid_evaluation_spark.operators.similarity import (
+        mine_contrastive_pairs,
+    )
+
+    df = _t(spark, sf_dir, "embeddings")
+    anchors = df.filter(F.col("vec_id") < 10)
+    res = mine_contrastive_pairs(anchors, df, label_col="label",
+                                 k_neg=5, k_pos=3)
+    return res.select("query_id", "neighbor_id", "kind",
+                      _r4("cosine").alias("cosine"),
+                      F.col("rnk").cast("long"))
+
+
+_SQL_CURATION_HARD_NEGATIVES_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, e AS qe FROM v
+      WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+    CASE WHEN q.ql IS NOT DISTINCT FROM v.label
+         THEN 'pos' ELSE 'neg' END AS kind,
+    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i]*v.e[i]))
+      / (sqrt(list_sum(list_transform(qe, x -> x*x)))
+         * sqrt(list_sum(list_transform(v.e, x -> x*x)))) AS cosine
+  FROM q CROSS JOIN v
+  WHERE q.query_id != v.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id, kind
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id, kind,
+       round(cosine * 10000.0) / 10000.0 AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked
+WHERE (kind = 'neg' AND rnk <= 5) OR (kind = 'pos' AND rnk <= 3)
+"""
+
+
+def _q_curation_group_gate_documents(spark, sf_dir):
+    """Domain-level curation (operators/pipeline.py filter_by_group_score):
+    score every document with the heuristic quality criterion, average per
+    source, and keep only documents whose SOURCE average clears 42.0 — the
+    whole-domain gate a row filter can't express (good docs on bad sources
+    drop too). Two-phase: one partially-aggregated groupBy(source) then a
+    broadcast join back. The oracle replays the quality formula, the
+    per-source averages, and the threshold."""
+    from bid_evaluation_spark.operators.pipeline import filter_by_group_score
+    from bid_evaluation_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "q", quality_score("text"))
+    kept = filter_by_group_score(docs, "source", "q", min_avg=42.0)
+    return kept.select("doc_id", "source", _r4("q").alias("quality"),
+                       _r4("group_avg_score").alias("group_avg"))
+
+
+_SQL_CURATION_GROUP_GATE_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, source, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+comp AS (
+  SELECT doc_id, source,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0
+    + (CASE WHEN len(t) > 0
+            THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+            ELSE 0.0 END) * 30.0
+    + least((CASE WHEN len(t) > 0
+                  THEN CAST(len(list_filter(t, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                       / len(t)
+                  ELSE 0.0 END) * 5.0, 1.0) * 20.0
+    + (1.0 - least((CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[\\w\\s]', '',
+                                                         'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS q
+  FROM toks
+),
+avgs AS (SELECT source, avg(q) AS ga FROM comp GROUP BY 1)
+SELECT c.doc_id, c.source,
+       round(c.q * 10000.0) / 10000.0 AS quality,
+       round(a.ga * 10000.0) / 10000.0 AS group_avg
+FROM comp c JOIN avgs a USING (source)
+WHERE a.ga >= CAST(42.0 AS DOUBLE)
+"""
+
+
 def _q_sketch_cms_topk_documents(spark, sf_dir):
     """Count-min heavy hitters (operators/sketch.py): sketch every token
     occurrence into a 4×1024 cell grid (one groupBy — map-side partial agg
@@ -4327,6 +4427,11 @@ _QUERIES: dict = {
                             _SQL_ASOF_FORWARD_EVENTS),
     "asof_nearest_events": (_q_asof_nearest_events,
                             _SQL_ASOF_NEAREST_EVENTS),
+    "curation_hard_negatives_embeddings": (
+        _q_curation_hard_negatives_embeddings,
+        _SQL_CURATION_HARD_NEGATIVES_EMBEDDINGS),
+    "curation_group_gate_documents": (_q_curation_group_gate_documents,
+                                      _SQL_CURATION_GROUP_GATE_DOCUMENTS),
     "sketch_cms_topk_documents": (_q_sketch_cms_topk_documents,
                                   _SQL_SKETCH_CMS_TOPK_DOCUMENTS),
     "sketch_hll_distinct_documents": (_q_sketch_hll_distinct_documents,

@@ -872,3 +872,48 @@ def pack_sequences(
             F.floor(F.col("seq_offset") / F.lit(max_tokens)).cast("long"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-level curation (domain/source gating)
+# ---------------------------------------------------------------------------
+
+def filter_by_group_score(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    min_avg: Optional[float] = None,
+    max_avg: Optional[float] = None,
+    broadcast_stats: bool = True,
+) -> DataFrame:
+    """Domain-level curation: keep rows whose GROUP's average score passes
+    the bounds — the "drop the whole spammy domain" gate that row-level
+    filters can't express (a good page on a bad domain is still dropped;
+    that asymmetry is the point of domain-level filtering).
+
+    Appends ``group_avg_score`` (the group's average, null scores excluded
+    from the average; groups with no non-null scores fail any bound).
+    Rows with a null group form their own group.
+
+    Two-phase shape: one partially-aggregated ``groupBy(group)`` producing
+    one row per group, then an equi-join back. ``broadcast_stats=True``
+    (default) hints the stats side — correct when group cardinality is
+    bounded (domains, sources, shards); pass ``False`` for unbounded group
+    keys and let AQE pick the join strategy.
+    """
+    if min_avg is None and max_avg is None:
+        raise ValueError("need at least one of min_avg / max_avg")
+    # sentinel key: an equi-join on the raw group column would DROP null
+    # groups (null never equals null in a join) that groupBy happily keeps
+    gk = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    keyed = df.withColumn("_gk", gk)
+    stats = (keyed.groupBy("_gk")
+             .agg(F.avg(F.col(score_col)).alias("group_avg_score")))
+    if broadcast_stats:
+        stats = F.broadcast(stats)
+    cond = F.col("group_avg_score").isNotNull()
+    if min_avg is not None:
+        cond = cond & (F.col("group_avg_score") >= F.lit(float(min_avg)))
+    if max_avg is not None:
+        cond = cond & (F.col("group_avg_score") <= F.lit(float(max_avg)))
+    return keyed.join(stats, on="_gk", how="left").filter(cond).drop("_gk")

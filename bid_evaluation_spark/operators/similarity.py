@@ -311,3 +311,49 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def mine_contrastive_pairs(anchors: DataFrame, corpus: DataFrame,
+                           label_col: str = "label", k_neg: int = 5,
+                           k_pos: int = 0,
+                           anchor_id: str = "vec_id",
+                           corpus_id: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Contrastive training-pair mining: for every anchor, the ``k_neg``
+    most-similar DIFFERENT-label rows (hard negatives — the examples a
+    contrastive loss learns most from) and, when ``k_pos > 0``, the
+    ``k_pos`` most-similar SAME-label rows (positives).
+
+    Returns ``(query_id, neighbor_id, kind, cosine, rnk)`` with ``kind`` in
+    {'pos','neg'} and rnk 1..k per (anchor, kind), ordered by (cosine desc,
+    neighbor id asc) — deterministic under ties. Labels compare null-safe
+    (two null labels are the SAME class).
+
+    Scale shape: same as :func:`cosine_topk` — the anchor batch broadcasts
+    (mine per bounded batch, not the whole corpus at once; the corpus side
+    streams map-side), similarities never shuffle before the per-anchor
+    top-k window partitioned by (anchor, kind). Swap the candidate
+    generator for :func:`ivf_topk`'s inverted lists when the corpus is too
+    large for brute force per batch.
+    """
+    if k_neg < 1:
+        raise ValueError(f"k_neg must be >= 1, got {k_neg}")
+    q = anchors.select(F.col(anchor_id).alias("query_id"),
+                       F.col(label_col).alias("_ql"),
+                       F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                      F.col(label_col).alias("_cl"),
+                      F.col(vec_col).alias("_cv"))
+    sims = (c.crossJoin(F.broadcast(q))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
+            .withColumn("kind", F.when(F.col("_ql").eqNullSafe(F.col("_cl")),
+                                       F.lit("pos")).otherwise(F.lit("neg"))))
+    if k_pos <= 0:
+        sims = sims.filter(F.col("kind") == "neg")
+    w = Window.partitionBy("query_id", "kind").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    kmax = F.when(F.col("kind") == "pos", F.lit(k_pos)).otherwise(F.lit(k_neg))
+    return (sims.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= kmax)
+            .select("query_id", "neighbor_id", "kind", "cosine", "rnk"))
