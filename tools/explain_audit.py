@@ -454,6 +454,120 @@ def _collocations_plan(spark, sf_dir):
     return probs
 
 
+@check("naive bayes: model counts partial-agg'd, token join hashed, no window")
+def _nb_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.classify import nb_classify
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    plan = plan_of(nb_classify(df, label_col="lang"))
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("token-model join degenerated to a cross product")
+    if "partial" not in plan.lower():
+        probs.append("count aggregates lack map-side partial aggregation")
+    if "Window" in plan:
+        probs.append("argmax uses a window (should be greatest + when-chain)")
+    if "EvalPython" in plan:
+        probs.append("scoring drops into Python")
+    return probs
+
+
+@check("logreg: gradient is one partial-agg'd pass; prediction map-only")
+def _logreg_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.classify import (
+        logreg_predict, logreg_train)
+    from bid_evaluation_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", (F.col("label") % 2).cast("double").alias("_y"))
+    probs = []
+    model = logreg_train(emb, dim=64, iters=1, lr=1.0)
+    pred_plan = plan_of(logreg_predict(emb, model))
+    if "Exchange" in pred_plan:
+        probs.append("prediction shuffles (should be map-only scoring)")
+    if "EvalPython" in pred_plan:
+        probs.append("prediction drops into Python (should be codegen exprs)")
+    return probs
+
+
+@check("sketches: cells/registers partial-agg'd, lookup equi-join, no python")
+def _sketch_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.sketch import cms_topk, hll_distinct
+    from bid_evaluation_spark.operators.text import tokens
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    probs = []
+    cms_plan = plan_of(cms_topk(df, k=10))
+    if "partial" not in cms_plan.lower():
+        probs.append("cms cells lack map-side partial aggregation (no merge)")
+    if "CartesianProduct" in cms_plan or "BroadcastNestedLoopJoin" in cms_plan:
+        probs.append("cms lookup degenerated to a cross product")
+    toks = df.select(F.explode(tokens(F.lower(F.col("text")))).alias("_t"))
+    hll_plan = plan_of(hll_distinct(toks, "_t"))
+    if "partial" not in hll_plan.lower():
+        probs.append("hll registers lack map-side partial aggregation")
+    if "EvalPython" in cms_plan + hll_plan:
+        probs.append("sketch math drops into Python")
+    return probs
+
+
+@check("contrastive mining: anchors broadcast, per-anchor window, no sort-merge")
+def _contrastive_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.similarity import (
+        mine_contrastive_pairs)
+    from bid_evaluation_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = mine_contrastive_pairs(emb.filter(F.col("vec_id") < 10), emb,
+                                 k_neg=5, k_pos=3)
+    plan = plan_of(res)
+    probs = []
+    if "Broadcast" not in plan:
+        probs.append("anchor side not broadcast (corpus would shuffle)")
+    if "SortMergeJoin" in plan:
+        probs.append("similarity pass shuffles both sides (sort-merge join)")
+    if not re.search(r"hashpartitioning\(query_id", plan):
+        probs.append("top-k window not partitioned per anchor")
+    return probs
+
+
+@check("group gate: stats broadcast back, partial agg, single scan pattern")
+def _group_gate_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import filter_by_group_score
+    from bid_evaluation_spark.operators.text import quality_score
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents").withColumn(
+        "q", quality_score("text"))
+    plan = plan_of(filter_by_group_score(df, "source", "q", min_avg=42.0))
+    probs = []
+    if "BroadcastHashJoin" not in plan:
+        probs.append("group stats not broadcast back")
+    if "partial" not in plan.lower():
+        probs.append("group averages lack map-side partial aggregation")
+    if "CartesianProduct" in plan:
+        probs.append("stats join degenerated to a cross product")
+    return probs
+
+
+@check("jpeg/png feature kernel: payload projected before the Arrow batch")
+def _mm_kernel_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.multimodal import (
+        extract_image_features, synthetic_media_df)
+
+    media = synthetic_media_df(spark, n=6)
+    plan = plan_of(extract_image_features(media))
+    probs = []
+    if "MapInPandas" not in plan:
+        probs.append("decode kernel is not an Arrow-batched MapInPandas")
+    m = re.search(r"Project \[([^\]]*)\]", plan)
+    if m and "mime" in m.group(1):
+        probs.append("kernel input not pruned to (id, payload)")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
