@@ -100,7 +100,12 @@ def nb_train(train: DataFrame, text_col: str = "text",
 
     labels = sorted(doc_counts)
     log_priors = [math.log(doc_counts[c] / n_docs) for c in labels]
+    # vocab == 0 (every training doc is empty) degenerates to priors-only
+    # scoring: the model table is empty and no token can ever be looked up,
+    # so the floor value is arbitrary — 0.0 keeps it finite instead of
+    # raising ZeroDivisionError (found by the duplication property test)
     floors = [math.log(add_k / (float(totals.get(c, 0)) + add_k * vocab))
+              if vocab > 0 else 0.0
               for c in labels]
 
     wide = counts.groupBy("_tok").pivot("_cls", labels).agg(F.first("_c"))
@@ -126,6 +131,12 @@ def nb_predict(df: DataFrame, model: NBModel, text_col: str = "text",
     across engines, so ranking on raw doubles would flip near-ties between
     Spark and an oracle (measured lesson: never rank on a raw double).
     Documents with no tokens get the prior-only argmax.
+
+    Streaming: this chains two aggregations (per-doc-token counts, then
+    the per-doc score sum), so it cannot run directly on an unbounded
+    stream — deploy via ``foreachBatch`` scoring each micro-batch against
+    the static model table (batch-identical results; tested). The
+    map-only :func:`logreg_predict` DOES apply to a stream unchanged.
     """
     C = len(model.labels)
     doc_toks = df.select(

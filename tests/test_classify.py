@@ -175,3 +175,53 @@ def test_logreg_predict_is_map_only(spark):
     model = logreg_train(df, dim=6, iters=2, lr=1.0)
     plan = logreg_predict(df, model)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_logreg_scoring_works_on_a_stream(spark, tmp_path):
+    # map-only scoring means the trained model applies to readStream
+    # unchanged — train batch, deploy streaming (the quality-gate shape)
+    rng = np.random.default_rng(41)
+    X, y = _synth(rng, n=80)
+    df = spark.createDataFrame(
+        [(i, row.tolist(), float(t)) for i, (row, t) in enumerate(zip(X, y))],
+        "rid long, embedding array<double>, _y double")
+    model = logreg_train(df, dim=6, iters=10, lr=2.0)
+
+    src = str(tmp_path / "stream_src")
+    df.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (logreg_predict(stream, model)
+         .select("rid", "prob", "pred")
+         .writeStream.format("memory").queryName("logreg_stream")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["rid"]: (r["prob"], r["pred"])
+                for r in spark.sql("SELECT * FROM logreg_stream").collect()}
+    batch = {r["rid"]: (r["prob"], r["pred"])
+             for r in logreg_predict(df, model).collect()}
+    assert streamed == batch and len(streamed) == 80
+
+
+def test_nb_scoring_on_a_stream_via_foreachBatch(spark, tmp_path, fruit_docs):
+    # nb_predict chains two aggregations (per-doc-token counts, then the
+    # per-doc score sum), which Spark's stateful-chain correctness check
+    # rejects on an unbounded stream — the deployment shape is foreachBatch:
+    # score each micro-batch with the static model, batch-identical results
+    model = nb_train(fruit_docs, label_col="cls")
+    src = str(tmp_path / "nb_stream_src")
+    fruit_docs.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(fruit_docs.schema).parquet(src)
+
+    got = {}
+
+    def score_batch(batch_df, _batch_id):
+        for r in nb_predict(batch_df, model, id_col="doc_id").collect():
+            got[r["doc_id"]] = r["pred_label"]
+
+    q = (stream.writeStream.foreachBatch(score_batch)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    batch = {r["doc_id"]: r["pred_label"]
+             for r in nb_predict(fruit_docs, model).collect()}
+    assert got == batch and len(got) == 6
+    model.release()

@@ -143,3 +143,62 @@ def test_formula_native_equals_fallback(spark, formula, values):
         assert math.isclose(native[i], fallback[i],
                             rel_tol=1e-9, abs_tol=1e-9), (
             formula, values[i], native[i], fallback[i])
+
+
+# ---------------------------------------------------------------------------
+# sketch + classifier invariants
+# ---------------------------------------------------------------------------
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=6).map(" ".join),
+    min_size=1, max_size=8,
+)
+
+
+@SET
+@given(texts=corpus_strategy,
+       width=st.sampled_from([2, 8, 64]))
+def test_cms_never_undercounts(spark, texts, width):
+    """The count-min estimate is an upper bound on the true count for EVERY
+    key, at any width — collisions only inflate."""
+    from bid_evaluation_spark.operators.sketch import cms_topk
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = cms_topk(df, k=100, depth=2, width=width, with_exact=True).collect()
+    true_tokens = [w for t in texts for w in t.split()]
+    assert len(rows) == len(set(true_tokens))
+    for r in rows:
+        assert r["est"] >= r["exact"], (r, width)
+        assert r["exact"] == true_tokens.count(r["token"])
+
+
+@SET
+@given(texts=corpus_strategy, copies=st.integers(min_value=2, max_value=4))
+def test_nb_duplication_equivalence_with_scaled_smoothing(spark, texts,
+                                                          copies):
+    """Training on an m×-duplicated corpus with add_k = m·k is EXACTLY the
+    base model: every count and the smoothing scale by m, so each
+    conditional (c·m + k·m)/(n·m + k·m·V) is the same real number. (The
+    naive form of this property — duplication alone leaves predictions
+    fixed — is FALSE: smoothing weight shrinks relative to counts, and
+    near-tied predictions move; hypothesis found the counterexample.)"""
+    from bid_evaluation_spark.operators.classify import nb_predict, nb_train
+
+    rows = [(i, t, "p" if i % 2 else "q") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cls string")
+    dup = df
+    for _ in range(copies - 1):
+        dup = dup.union(df)
+
+    m1 = nb_train(df, label_col="cls", add_k=1.0)
+    m2 = nb_train(dup, label_col="cls", add_k=float(copies))
+    base = {r["doc_id"]: r for r in nb_predict(df, m1).collect()}
+    duped = {r["doc_id"]: r for r in nb_predict(df, m2).collect()}
+    m1.release()
+    m2.release()
+    for i in base:
+        assert base[i]["pred_label"] == duped[i]["pred_label"]
+        assert math.isclose(base[i]["pred_logp"], duped[i]["pred_logp"],
+                            rel_tol=1e-9, abs_tol=1e-9)
