@@ -49,6 +49,22 @@ docs = (docs.join(lm2.select("doc_id", "lm2_nll"), "doc_id")
         .filter(F.col("lm2_nll").isNull() | (F.col("lm2_nll") <= cut2))
         .drop("lm2_nll"))
 
+# 2c. domain-level gate: drop WHOLE sources whose average quality is low —
+#     a good page on a spammy domain goes too (that asymmetry is the point)
+from bid_evaluation_spark.operators.pipeline import filter_by_group_score
+docs = filter_by_group_score(
+    docs.withColumn("_q", quality_score()), "source", "_q", min_avg=35.0,
+).drop("_q", "group_avg_score")
+
+# 2d. model-based audit: a Naive Bayes classifier trained on the corpus's
+#     own (text, lang) pairs; metadata/prediction disagreements are the
+#     rows a human (or a stricter gate) should look at
+from bid_evaluation_spark.operators.classify import nb_classify
+pred = nb_classify(docs, label_col="lang", id_col="doc_id")
+disagree = (docs.join(pred.select("doc_id", "pred_label"), "doc_id")
+            .filter(F.col("pred_label") != F.col("lang")).count())
+print(f"lang metadata vs NB prediction disagreements: {disagree}")
+
 # 3. decontaminate against a held-out eval slice (doc_id % 10 == 0) —
 #    the broadcast-Bloom variant: identical results, and at the real
 #    100-TB-train / benchmark-eval shape the train-side shingles are
@@ -89,6 +105,16 @@ write_training_shards(shuffle_rows(train, seed="epoch0"), shard_dir,
                       n_shards=4)
 print(f"shards written: {shard_dir} "
       f"({spark.read.parquet(shard_dir).count()} rows)")
+
+# bonus: bounded-memory corpus profile — count-min heavy hitters and an
+# HLL distinct-token estimate (both deterministic md5 sketches whose
+# partial aggregation IS the merge step)
+from bid_evaluation_spark.operators.sketch import cms_topk, hll_distinct
+from bid_evaluation_spark.operators.text import tokens
+
+cms_topk(train, k=5, with_exact=True).show()
+toks = train.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+hll_distinct(toks, "t", with_exact=True).show()
 
 # bonus: corpus vocabulary two ways — top word bigrams, and a trained
 # BPE subword vocabulary (one corpus shuffle + merge rounds over the
