@@ -103,6 +103,11 @@ _D = np.array([[(np.sqrt(0.125) if u == 0 else 0.5)
                 for x in range(8)] for u in range(8)])
 
 
+#: decode-side sanity cap on frame pixels (~64 MP) — a corrupted SOF must
+#: not turn into a multi-gigabyte plane allocation inside a corpus scan
+_MAX_PIXELS = 64_000_000
+
+
 def is_jpeg(data: bytes) -> bool:
     return len(data) >= 2 and data[:2] == b"\xff\xd8"
 
@@ -401,7 +406,22 @@ def _box2(p: np.ndarray) -> np.ndarray:
 # decoder
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (height, width, channels) uint8 (1 or 3)."""
+    """Baseline JPEG bytes -> (height, width, channels) uint8 (1 or 3).
+
+    Any malformed/truncated/corrupt input raises ``ValueError`` (never a
+    raw IndexError/KeyError/struct.error — a corrupt payload in a 100-TB
+    scan must be a catchable decode failure, fuzz-tested in
+    ``test_jpeg.py``)."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, StopIteration,
+            OverflowError, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt JPEG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
     qtables: Dict[int, np.ndarray] = {}
@@ -447,6 +467,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec}")
+            if fh == 0 or fw == 0 or fh * fw > _MAX_PIXELS:
+                # corrupt dimensions must not become a multi-GB allocation
+                # mid-scan — fail as a decode error like any other
+                raise ValueError(f"implausible JPEG dimensions {fw}x{fh}")
             comps = []
             for i in range(nc):
                 cid, hv, qid = body[6 + 3 * i:9 + 3 * i]

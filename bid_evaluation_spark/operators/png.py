@@ -96,7 +96,20 @@ def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (height, width, channels) uint8 array.
 
     Channels: 1 gray, 2 gray+alpha, 3 RGB, 4 RGBA (palette expands to RGB).
+    Malformed/corrupt input always raises ``ValueError`` (never a raw
+    zlib.error/struct.error/IndexError — corrupt media must be a catchable
+    decode failure inside a corpus scan).
     """
+    try:
+        return _decode_png(data)
+    except ValueError:
+        raise
+    except (zlib.error, struct.error, IndexError, OverflowError,
+            MemoryError) as exc:
+        raise ValueError(f"corrupt PNG: {type(exc).__name__}: {exc}") from exc
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
     width = height = None
@@ -120,9 +133,15 @@ def decode_png(data: bytes) -> np.ndarray:
     if interlace:
         raise ValueError("interlaced PNG not supported")
     channels = _CHANNELS[color_type]
+    if width == 0 or height == 0 or width * height > 64_000_000:
+        # corrupt IHDR dims must not become a multi-GB allocation mid-scan
+        raise ValueError(f"implausible PNG dimensions {width}x{height}")
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
+    expected = height * (stride + 1)
+    # cap inflation at the expected raster size (+1 to detect overruns) so
+    # a crafted IDAT zip bomb cannot expand unboundedly
+    raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    if len(raw) != expected:
         raise ValueError("PNG data length mismatch")
     mat = _unfilter(raw, height, stride, channels)
     img = mat.reshape(height, width, channels)

@@ -13,6 +13,7 @@ they never touch Spark themselves.
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 import numpy as np
@@ -24,16 +25,19 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     """Decode a PCM WAV payload → ``(sample_rate, mono float64 samples)``.
 
     Samples are scaled to [-1, 1]; multichannel audio is mean-downmixed.
-    Raises ``wave.Error`` / ``ValueError`` on non-WAV or non-PCM payloads
-    (callers map that to null features — corrupt media must not kill a
-    scan).
+    Raises ``ValueError`` on non-WAV or non-PCM payloads — every malformed
+    input maps to the one catchable decode-failure type (corrupt media
+    must not kill a scan).
     """
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        width = w.getsampwidth()
-        rate = w.getframerate()
-        n_channels = w.getnchannels()
-        n_frames = w.getnframes()
-        raw = w.readframes(n_frames)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            width = w.getsampwidth()
+            rate = w.getframerate()
+            n_channels = w.getnchannels()
+            n_frames = w.getnframes()
+            raw = w.readframes(n_frames)
+    except (wave.Error, EOFError, struct.error, RuntimeError) as exc:
+        raise ValueError(f"corrupt WAV: {type(exc).__name__}: {exc}") from exc
     if width not in _PCM_DTYPES:
         raise ValueError(f"unsupported PCM sample width: {width}")
     data = np.frombuffer(raw, dtype=_PCM_DTYPES[width]).astype(np.float64)

@@ -116,3 +116,37 @@ def test_feature_kernel_dispatches_png_and_jpeg(spark):
     assert got[0]["height"] == got[1]["height"] == 16
     assert got[0]["mean_luma"] == pytest.approx(got[1]["mean_luma"])
     assert got[0]["embedding"] == pytest.approx(got[1]["embedding"])
+
+
+def test_decoder_fuzz_always_raises_value_error():
+    # corrupt media in a 100-TB scan must be a CATCHABLE decode failure:
+    # every truncation and random byte corruption raises ValueError, never
+    # IndexError/KeyError/struct.error, and never a giant allocation
+    rng = np.random.default_rng(0)
+    base = encode_jpeg(rng.integers(0, 256, size=(16, 16)).astype(np.uint8),
+                       qtable=1)
+    for cut in range(2, len(base), 3):
+        try:
+            decode_jpeg(base[:cut])
+        except ValueError:
+            pass
+    for _ in range(150):
+        b = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            b[rng.integers(2, len(b))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_implausible_dimensions_rejected():
+    # hand-build an SOF claiming a 65535x65535 frame: must fail fast as a
+    # decode error, not allocate 4 GB of planes
+    img = _gradient(8, 8)
+    data = bytearray(encode_jpeg(img))
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    data[sof + 5:sof + 9] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(data))
