@@ -2566,6 +2566,51 @@ WHERE p.p >= 1.0
 """
 
 
+def _q_pipe_temperature_mixture_documents(spark, sf_dir):
+    """Temperature sampling (operators/pipeline.py
+    temperature_mixture_sample): target share ∝ n_lang^0.5 — the
+    UniMax/multilingual-temperature shape that up-weights tail languages
+    by thinning the head (acceptance ∝ n^(α−1)), never up-sampling. Per-
+    group acceptance rates are quantized to 1e-6 before the md5-threshold
+    predicate (the share normalizer is a float sum whose association order
+    differs across engines); the oracle replays counts → shares → budget →
+    quantized thresholds identically."""
+    from bid_evaluation_spark.operators.pipeline import (
+        temperature_mixture_sample,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    res = temperature_mixture_sample(df, alpha=0.5, group_col="lang",
+                                     seed="temp")
+    return res.select("doc_id", "lang", "source")
+
+
+_SQL_PIPE_TEMPERATURE_MIXTURE_DOCUMENTS = """
+WITH c AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+  WHERE lang IS NOT NULL GROUP BY 1
+),
+s AS (
+  SELECT lang, n,
+         pow(n, CAST(0.5 AS DOUBLE))
+           / (SELECT sum(pow(n, CAST(0.5 AS DOUBLE))) FROM c) AS sh
+  FROM c
+),
+p AS (
+  SELECT lang,
+         round(least(CAST(1 AS DOUBLE),
+                     (SELECT min(n / sh) FROM s) * sh / n) * 1000000.0)
+           / 1000000.0 AS p
+  FROM s
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN p USING (lang)
+WHERE p.p >= 1.0
+   OR substr(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8)
+      < printf('%08x', CAST(trunc(p.p * 4294967296.0) AS BIGINT))
+"""
+
+
 def _q_pipe_weighted_sample_documents(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/pipeline.py weighted_sample_k, Efraimidis–Spirakis A-ES):
@@ -4364,6 +4409,9 @@ _QUERIES: dict = {
                                    _SQL_PIPE_HASH_SAMPLE_DOCUMENTS),
     "pipe_mixture_sample_documents": (_q_pipe_mixture_sample_documents,
                                       _SQL_PIPE_MIXTURE_SAMPLE_DOCUMENTS),
+    "pipe_temperature_mixture_documents": (
+        _q_pipe_temperature_mixture_documents,
+        _SQL_PIPE_TEMPERATURE_MIXTURE_DOCUMENTS),
     "pipe_weighted_sample_documents": (_q_pipe_weighted_sample_documents,
                                        _SQL_PIPE_WEIGHTED_SAMPLE_DOCUMENTS),
     "pipe_sample_k_group_documents": (_q_pipe_sample_k_group_documents,

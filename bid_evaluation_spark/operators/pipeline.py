@@ -560,6 +560,58 @@ def mixture_sample(
     return df.filter(keep)
 
 
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    total: Optional[int] = None,
+    seed: str = "",
+    digits: int = 8,
+) -> DataFrame:
+    """Temperature-based mixture sampling: target share ``p_g ∝ n_g^alpha``
+    (the UniMax / multilingual-temperature shape). ``alpha=1`` keeps natural
+    proportions, ``alpha=0`` equalizes every group, and values in between
+    up-weight the tail relative to its natural share — realized by THINNING
+    the head (acceptance ``∝ n_g^(alpha-1)``), never up-sampling.
+
+    Same machinery as :func:`mixture_sample` with the weights computed from
+    the corpus itself: one per-group counts pass (G rows to the driver —
+    bounded-group contract), then a map-only deterministic md5-threshold
+    filter. Per-group acceptance rates are quantized to 1e-6 before
+    thresholding: the share normalizer is a float sum whose association
+    order differs across engines, and quantization keeps the predicate
+    engine-portable instead of knife-edge (the DuckDB oracle replays it).
+    Rows with a null group are dropped (no natural share).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {
+        r["_g"]: r["_n"]
+        for r in df.filter(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).alias("_g")).agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError(f"no rows with a non-null {group_col}")
+    ssum = sum(n ** alpha for _, n in sorted(counts.items()))
+    shares = {g: (n ** alpha) / ssum for g, n in counts.items()}
+    feasible = min(counts[g] / s for g, s in shares.items())
+    budget = min(feasible, total) if total is not None else feasible
+
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    pref = F.substring(F.md5(F.concat(key, F.lit(seed)).cast("binary")),
+                       1, digits)
+    keep = None
+    for g in sorted(counts):
+        p = round(min(1.0, budget * shares[g] / counts[g]) * 1e6) / 1e6
+        ok = (F.lit(True) if p >= 1.0
+              else pref < F.lit(_hex_threshold(p, digits)))
+        cond = (F.col(group_col) == g) & ok
+        keep = cond if keep is None else keep | cond
+    return df.filter(keep)
+
+
 def shuffle_rows(
     df: DataFrame,
     key_col: str = "doc_id",

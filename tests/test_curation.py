@@ -104,3 +104,61 @@ def test_group_gate_unhinted_path_same_result(scored_docs):
                               broadcast_stats=False)
     assert sorted(r["doc_id"] for r in a.collect()) == \
         sorted(r["doc_id"] for r in b.collect())
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def skewed_corpus(spark):
+    rows = ([(i, "big") for i in range(900)]
+            + [(900 + i, "mid") for i in range(90)]
+            + [(990 + i, "small") for i in range(10)])
+    return spark.createDataFrame(rows, "doc_id long, grp string")
+
+
+def test_temperature_flattens_toward_uniform(skewed_corpus):
+    from bid_evaluation_spark.operators.pipeline import (
+        temperature_mixture_sample,
+    )
+    out = temperature_mixture_sample(skewed_corpus, alpha=0.3,
+                                     group_col="grp", seed="t")
+    got = {r["grp"]: r["count"]
+           for r in out.groupBy("grp").count().collect()}
+    # the smallest group is never thinned (acceptance 1.0 by construction);
+    # the head is thinned hardest, compressing the 90:9:1 ratio
+    assert got["small"] == 10
+    assert got["big"] < 900
+    ratio_before = 900 / 10
+    ratio_after = got["big"] / got["small"]
+    assert ratio_after < ratio_before / 2, got
+    # expectation check: acceptance ∝ n^(alpha-1), big ~ 900^0.3/10^0.3·10
+    expect_big = 10 * (900 / 10) ** 0.3
+    assert abs(got["big"] - expect_big) / expect_big < 0.35, (got, expect_big)
+
+
+def test_temperature_alpha_one_keeps_everything(skewed_corpus):
+    from bid_evaluation_spark.operators.pipeline import (
+        temperature_mixture_sample,
+    )
+    out = temperature_mixture_sample(skewed_corpus, alpha=1.0,
+                                     group_col="grp")
+    # natural proportions at the full feasible budget = identity
+    assert out.count() == 1000
+
+
+def test_temperature_is_deterministic_and_validates(skewed_corpus):
+    from bid_evaluation_spark.operators.pipeline import (
+        temperature_mixture_sample,
+    )
+    a = {r["doc_id"] for r in temperature_mixture_sample(
+        skewed_corpus, alpha=0.5, group_col="grp", seed="x").collect()}
+    b = {r["doc_id"] for r in temperature_mixture_sample(
+        skewed_corpus, alpha=0.5, group_col="grp", seed="x").collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_mixture_sample(skewed_corpus, alpha=1.5, group_col="grp")
+    empty = skewed_corpus.filter("grp IS NULL")
+    with pytest.raises(ValueError, match="non-null"):
+        temperature_mixture_sample(empty, group_col="grp")
