@@ -1970,6 +1970,77 @@ def _q_ann_ivf_topk_embeddings(spark, sf_dir):
                       _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
 
 
+def _q_ann_ivf_pretrained_topk_embeddings(spark, sf_dir):
+    """IVF search under FULL value oracle: the deployment surface where an
+    already-trained centroid set is supplied (here pinned to the embeddings
+    of vec_id < 8, the same device as ``dedup_semantic_embeddings``). With
+    centroids fixed, EVERY stage of ivf_topk is SQL-expressible — corpus
+    argmin list assignment, query nprobe=3 multiprobe, the inverted-list
+    equi-join, exact-cosine ranking — so together with the rows-only
+    trained variant, only the k-means training loop itself remains outside
+    the value gate (differential-tested vs numpy Lloyd in tests)."""
+    import numpy as np
+
+    from bid_evaluation_spark.operators.similarity import ivf_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    cent_rows = (df.filter(F.col("vec_id") < 8)
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    centroids = np.array([r["embedding"] for r in cent_rows],
+                         dtype=np.float64)
+    queries_df = df.filter(F.col("vec_id") < 10)
+    res = ivf_topk(queries_df, df, centroids=centroids, k=5, nprobe=3)
+    return res.select("query_id", "neighbor_id",
+                      _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
+
+
+_SQL_ANN_IVF_PRETRAINED_TOPK_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(c.ce, x -> x*x))
+          - 2 * list_sum(list_transform(generate_series(1, len(v.e)),
+                                        i -> v.e[i]*c.ce[i])) ASC,
+        c.cid ASC) AS pr
+    FROM v CROSS JOIN c
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(c.ce, x -> x*x))
+          - 2 * list_sum(list_transform(generate_series(1, len(v.e)),
+                                        i -> v.e[i]*c.ce[i])) ASC,
+        c.cid ASC) AS pr
+    FROM v CROSS JOIN c
+    WHERE v.vec_id < 10
+  ) WHERE pr <= 3
+),
+sims AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) AS cosine
+  FROM probes p JOIN assign a ON p.cid = a.cid
+  JOIN v q ON q.vec_id = p.vec_id
+  JOIN v b ON b.vec_id = a.vec_id
+  WHERE p.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id,
+       round(cosine * 10000.0) / 10000.0 AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Streaming-equivalent window aggregations over events
 # ---------------------------------------------------------------------------
@@ -4383,6 +4454,9 @@ _QUERIES: dict = {
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings,
                                 _SQL_ANN_LSH_TOPK_EMBEDDINGS),
     "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings, None),
+    "ann_ivf_pretrained_topk_embeddings": (
+        _q_ann_ivf_pretrained_topk_embeddings,
+        _SQL_ANN_IVF_PRETRAINED_TOPK_EMBEDDINGS),
     "events_tumbling_hour": (_q_events_tumbling_hour, _SQL_EVENTS_TUMBLING_HOUR),
     "events_sliding_6h_1h": (_q_events_sliding_6h_1h, _SQL_EVENTS_SLIDING_6H_1H),
     "events_sessionize_30m": (_q_events_sessionize_30m, _SQL_EVENTS_SESSIONIZE_30M),

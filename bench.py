@@ -179,6 +179,26 @@ def bench_rolling_features_events(spark, sf_dir):
     _force(forward_labels(rolling_features(df, windows=(5,))))
 
 
+def bench_nb_classify_documents(spark, sf_dir):
+    """Self-train the Naive Bayes lang classifier + predict every doc:
+    explode+groupBy model build, pivot, 1:1 token join, fused score agg."""
+    from bid_evaluation_spark.operators.classify import nb_classify
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(nb_classify(df, label_col="lang"))
+
+
+def bench_cms_topk_documents(spark, sf_dir):
+    """Count-min heavy hitters over all token occurrences (sketch build +
+    distinct-candidate lookup + top-k)."""
+    from bid_evaluation_spark.operators.sketch import cms_topk
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(cms_topk(df, k=50))
+
+
 BENCHES = {
     "eval_rank_lineitem": bench_eval_rank_lineitem,
     "staged_orders": bench_staged_orders,
@@ -195,6 +215,8 @@ BENCHES = {
     "events_sessionize": bench_events_sessionize,
     "quality_repetition": bench_quality_repetition,
     "rolling_features_events": bench_rolling_features_events,
+    "nb_classify_documents": bench_nb_classify_documents,
+    "cms_topk_documents": bench_cms_topk_documents,
 }
 
 
