@@ -29,7 +29,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .text import tokens
 
-__all__ = ["cms_build", "cms_lookup", "cms_topk", "hll_distinct"]
+__all__ = ["cms_build", "cms_lookup", "cms_topk", "hll_distinct",
+           "hll_registers", "hll_estimate_from_registers"]
 
 #: md5-hex prefix width used for 60-bit integer hashes (fits signed 64)
 _HEX_DIGITS = 15
@@ -122,6 +123,21 @@ def hll_distinct(df: DataFrame, key_col: str, b: int = 10,
     seeded RNG, so the DuckDB oracle reproduces every register and the
     estimate bit-for-bit. Nulls hash a sentinel and count as one key.
     """
+    regs = hll_registers(df, key_col, b=b, seed=seed)
+    est = hll_estimate_from_registers(regs, b)
+    if with_exact:
+        key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+        exact = df.select(key.alias("_k")).distinct().count()
+        est = est.withColumn("exact", F.lit(int(exact)).cast("long"))
+    return est
+
+
+def hll_registers(df: DataFrame, key_col: str, b: int = 10,
+                  seed: str = "hll") -> DataFrame:
+    """The HLL state table ``(_idx, _M)`` — at most ``2^b`` rows, merged
+    across any partitioning (or across sketches) by ``max(_M)`` per
+    bucket. Exposed so incremental/streaming maintenance can persist and
+    merge register tables directly (see ``streaming/sketch.py``)."""
     if not 4 <= b <= 16:
         raise ValueError(f"b must be in [4, 16], got {b}")
     m = 1 << b
@@ -134,9 +150,14 @@ def hll_distinct(df: DataFrame, key_col: str, b: int = 10,
     # bin() has no leading zeros so length(bin(x)) IS the bit length
     rho = F.when(rest == 0, F.lit(w_bits + 1)).otherwise(
         F.lit(w_bits) - F.length(F.bin(rest)) + 1)
-    regs = (df.select(idx, rho.alias("_rho"))
+    return (df.select(idx, rho.alias("_rho"))
             .groupBy("_idx").agg(F.max("_rho").alias("_M")))
 
+
+def hll_estimate_from_registers(regs: DataFrame, b: int) -> DataFrame:
+    """Flajolet estimator over a register table (one tiny agg) →
+    ``(estimate, m, zero_registers)``."""
+    m = 1 << b
     alpha = 0.7213 / (1.0 + 1.079 / m)
     if m <= 16:
         alpha = 0.673
@@ -161,7 +182,4 @@ def hll_distinct(df: DataFrame, key_col: str, b: int = 10,
             .otherwise(F.col("_raw")).alias("estimate"),
             F.lit(m).cast("long").alias("m"),
             "zero_registers"))
-    if with_exact:
-        exact = df.select(key.alias("_k")).distinct().count()
-        est = est.withColumn("exact", F.lit(int(exact)).cast("long"))
     return est
