@@ -2682,6 +2682,61 @@ WHERE p.p >= 1.0
 """
 
 
+def _q_pipe_curriculum_bins_documents(spark, sf_dir):
+    """Curriculum bucketing (operators/pipeline.py curriculum_bins): 4
+    equal-population quality bands via ONE fused exact-percentile agg
+    inlined as literals — a map-only assignment, never ntile's global
+    single-partition sort (and unlike ntile, the ties-at-threshold-go-low
+    contract is deterministic, which is what lets DuckDB replay it:
+    quantile_cont uses the same linear interpolation as Spark's exact
+    percentile)."""
+    from bid_evaluation_spark.operators.pipeline import curriculum_bins
+    from bid_evaluation_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "q", quality_score("text"))
+    out = curriculum_bins(docs, "q", n_bins=4)
+    return out.select("doc_id", _r4("q").alias("quality"), "bin")
+
+
+_SQL_PIPE_CURRICULUM_BINS_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+comp AS (
+  SELECT doc_id,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0
+    + (CASE WHEN len(t) > 0
+            THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+            ELSE 0.0 END) * 30.0
+    + least((CASE WHEN len(t) > 0
+                  THEN CAST(len(list_filter(t, x -> x IN {_STOPWORDS_SQL})) AS DOUBLE)
+                       / len(t)
+                  ELSE 0.0 END) * 5.0, 1.0) * 20.0
+    + (1.0 - least((CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[\\w\\s]', '',
+                                                         'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS q
+  FROM toks
+),
+th AS (
+  SELECT quantile_cont(q, CAST(0.25 AS DOUBLE)) AS t1,
+         quantile_cont(q, CAST(0.5 AS DOUBLE)) AS t2,
+         quantile_cont(q, CAST(0.75 AS DOUBLE)) AS t3
+  FROM comp
+)
+SELECT c.doc_id, round(c.q * 10000.0) / 10000.0 AS quality,
+  CAST((CASE WHEN c.q > th.t1 THEN 1 ELSE 0 END)
+     + (CASE WHEN c.q > th.t2 THEN 1 ELSE 0 END)
+     + (CASE WHEN c.q > th.t3 THEN 1 ELSE 0 END) AS INTEGER) AS bin
+FROM comp c CROSS JOIN th
+"""
+
+
 def _q_pipe_weighted_sample_documents(spark, sf_dir):
     """Deterministic weighted sampling without replacement
     (operators/pipeline.py weighted_sample_k, Efraimidis–Spirakis A-ES):
@@ -4486,6 +4541,9 @@ _QUERIES: dict = {
     "pipe_temperature_mixture_documents": (
         _q_pipe_temperature_mixture_documents,
         _SQL_PIPE_TEMPERATURE_MIXTURE_DOCUMENTS),
+    "pipe_curriculum_bins_documents": (
+        _q_pipe_curriculum_bins_documents,
+        _SQL_PIPE_CURRICULUM_BINS_DOCUMENTS),
     "pipe_weighted_sample_documents": (_q_pipe_weighted_sample_documents,
                                        _SQL_PIPE_WEIGHTED_SAMPLE_DOCUMENTS),
     "pipe_sample_k_group_documents": (_q_pipe_sample_k_group_documents,

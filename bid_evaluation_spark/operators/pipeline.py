@@ -969,3 +969,40 @@ def filter_by_group_score(
     if max_avg is not None:
         cond = cond & (F.col("group_avg_score") <= F.lit(float(max_avg)))
     return keyed.join(stats, on="_gk", how="left").filter(cond).drop("_gk")
+
+
+def curriculum_bins(
+    df: DataFrame,
+    score_col: str,
+    n_bins: int = 4,
+    output_col: str = "bin",
+) -> DataFrame:
+    """Curriculum bucketing: append ``output_col`` = which equal-population
+    score band (0 = lowest .. n_bins-1 = highest) each row falls in — the
+    difficulty/quality staging step of curriculum training schedules.
+
+    Two-phase, ntile-free: ONE fused aggregate computes the n_bins-1 exact
+    percentile thresholds (shared percentile buffer), collected to the
+    driver and inlined as literals, so the assignment is a map-only
+    codegen projection — no global sort, no window, unlike ``ntile()``
+    (which would single-partition the whole table). The trade: ties AT a
+    threshold all land in the lower band, so populations are equal only up
+    to tie mass — the deterministic contract an oracle can replay, where
+    ntile's arbitrary tie split is engine-private. Null scores get a null
+    bin.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = df.agg(F.percentile(F.col(score_col).cast("double"),
+                              F.array(*[F.lit(q) for q in qs]))
+                 .alias("_t")).collect()[0]["_t"]
+    if row is None:
+        return df.withColumn(output_col, F.lit(None).cast("int"))
+    expr = None
+    for t in row:
+        step = (F.col(score_col).cast("double") > F.lit(float(t))).cast("int")
+        expr = step if expr is None else expr + step
+    return df.withColumn(
+        output_col,
+        F.when(F.col(score_col).isNotNull(), expr).cast("int"))

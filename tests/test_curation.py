@@ -162,3 +162,47 @@ def test_temperature_is_deterministic_and_validates(skewed_corpus):
     empty = skewed_corpus.filter("grp IS NULL")
     with pytest.raises(ValueError, match="non-null"):
         temperature_mixture_sample(empty, group_col="grp")
+
+
+# ---------------------------------------------------------------------------
+# curriculum binning
+# ---------------------------------------------------------------------------
+
+def test_curriculum_bins_equal_population(spark):
+    from bid_evaluation_spark.operators.pipeline import curriculum_bins
+    df = spark.createDataFrame([(i, float(i)) for i in range(100)],
+                               "id long, s double")
+    out = curriculum_bins(df, "s", n_bins=4)
+    got = {r["bin"]: r["count"]
+           for r in out.groupBy("bin").count().collect()}
+    # thresholds at exact quartiles of 0..99; ties-at-threshold go low
+    assert sum(got.values()) == 100
+    assert set(got) == {0, 1, 2, 3}
+    assert all(20 <= v <= 30 for v in got.values()), got
+    # monotone: every score in bin b+1 exceeds every score in bin b
+    rows = sorted((r["s"], r["bin"]) for r in out.collect())
+    bins_in_order = [b for _, b in rows]
+    assert bins_in_order == sorted(bins_in_order)
+
+
+def test_curriculum_bins_nulls_and_plan(spark):
+    from bid_evaluation_spark.operators.pipeline import curriculum_bins
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, None), (2, 5.0), (3, 9.0)], "id long, s double")
+    out = curriculum_bins(df, "s", n_bins=2)
+    got = {r["id"]: r["bin"] for r in out.collect()}
+    assert got[1] is None
+    assert got[0] == 0 and got[3] == 1
+    # assignment phase is map-only (thresholds inlined as literals)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan, plan
+
+
+def test_curriculum_bins_validation_and_empty(spark):
+    from bid_evaluation_spark.operators.pipeline import curriculum_bins
+    df = spark.createDataFrame([(0, 1.0)], "id long, s double")
+    with pytest.raises(ValueError, match="n_bins"):
+        curriculum_bins(df, "s", n_bins=1)
+    empty = df.filter("id < 0")
+    out = curriculum_bins(empty, "s", n_bins=3)
+    assert out.count() == 0 and "bin" in out.columns
