@@ -4365,6 +4365,89 @@ FROM y CROSS JOIN w2
 _SQL_CLASSIFY_LOGREG_EMBEDDINGS = _logreg_embeddings_sql()
 
 
+def _q_metrics_logreg_auc_embeddings(spark, sf_dir):
+    """Model-evaluation tail (operators/metrics.py): tie-corrected
+    Mann-Whitney ROC-AUC + confusion metrics for the trained logreg's
+    scores against y = label mod 2 — one row out. The AUC design is
+    bounded-cardinality: scores quantize to 1e-4 FIRST, so the
+    cumulative-rank window runs over ≤ 10^4 distinct score values (a
+    groupBy-reduced table), never the rows. The oracle nests the full
+    2-round GD replay as a subquery and recomputes average-rank AUC and
+    the confusion counts on the identical quantized scores."""
+    from bid_evaluation_spark.operators.classify import (
+        logreg_predict, logreg_train,
+    )
+    from bid_evaluation_spark.operators.metrics import (
+        binary_classification_metrics, roc_auc,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id", "embedding",
+        (F.col("label") % 2).cast("double").alias("_y"))
+    model = logreg_train(feats, feature_col="embedding", y_col="_y",
+                         dim=64, iters=2, lr=1.0)
+    scored = logreg_predict(feats, model).select(
+        "_y", _r4("prob").alias("prob"))
+    auc = roc_auc(scored, label_col="_y", prob_col="prob", digits=4)
+    met = binary_classification_metrics(scored, label_col="_y",
+                                        prob_col="prob")
+    return auc.crossJoin(met).select(
+        _r4("auc").alias("auc"), "n_pos", "n_neg",
+        "tp", "fp", "tn", "fn",
+        _r4("accuracy").alias("accuracy"), _r4("f1").alias("f1"))
+
+
+_SQL_METRICS_LOGREG_AUC_EMBEDDINGS = f"""
+WITH lr AS ({_SQL_CLASSIFY_LOGREG_EMBEDDINGS}),
+scores AS (
+  SELECT l.prob AS s, CAST(e.label % 2 AS DOUBLE) AS y
+  FROM lr l JOIN embeddings e ON l.vec_id = e.vec_id
+),
+per AS (
+  SELECT s, CAST(count(*) AS DOUBLE) AS n, sum(y) AS np
+  FROM scores GROUP BY s
+),
+rk AS (
+  SELECT s, n, np,
+         coalesce(sum(n) OVER (ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST(0 AS DOUBLE)) AS before
+  FROM per
+),
+agg AS (
+  SELECT sum(np * (before + (n + CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE)))
+           AS rs,
+         sum(np) AS npos, sum(n - np) AS nneg
+  FROM rk
+),
+conf AS (
+  SELECT
+    CAST(sum(CASE WHEN y = 1 AND s >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(sum(CASE WHEN y = 0 AND s >= CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(sum(CASE WHEN y = 0 AND s < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+    CAST(sum(CASE WHEN y = 1 AND s < CAST(0.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM scores
+)
+SELECT
+  round(((agg.rs - agg.npos * (agg.npos + CAST(1 AS DOUBLE))
+          / CAST(2 AS DOUBLE)) / (agg.npos * agg.nneg)) * 10000.0)
+    / 10000.0 AS auc,
+  CAST(agg.npos AS BIGINT) AS n_pos, CAST(agg.nneg AS BIGINT) AS n_neg,
+  conf.tp, conf.fp, conf.tn, conf.fn,
+  round((CAST(conf.tp + conf.tn AS DOUBLE)
+         / CAST(conf.tp + conf.fp + conf.tn + conf.fn AS DOUBLE))
+        * 10000.0) / 10000.0 AS accuracy,
+  round((CASE WHEN conf.tp > 0 THEN
+           CAST(2 AS DOUBLE) * (CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fp))
+             * (CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fn))
+           / (CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fp)
+              + CAST(conf.tp AS DOUBLE) / (conf.tp + conf.fn))
+         ELSE CAST(0 AS DOUBLE) END) * 10000.0) / 10000.0 AS f1
+FROM agg CROSS JOIN conf
+"""
+
+
 def _q_events_rollup_type_day(spark, sf_dir):
     """OLAP rollup: (event_type, day) → (event_type) → () subtotal levels in
     ONE pass (Catalyst expands the grouping sets with partial aggregation —
@@ -4620,6 +4703,8 @@ _QUERIES: dict = {
                                    _SQL_CLASSIFY_NB_LANG_DOCUMENTS),
     "classify_logreg_embeddings": (_q_classify_logreg_embeddings,
                                    _SQL_CLASSIFY_LOGREG_EMBEDDINGS),
+    "metrics_logreg_auc_embeddings": (_q_metrics_logreg_auc_embeddings,
+                                      _SQL_METRICS_LOGREG_AUC_EMBEDDINGS),
     "graph_pagerank_events": (_q_graph_pagerank_events,
                               _SQL_GRAPH_PAGERANK_EVENTS),
     "events_rollup_type_day": (_q_events_rollup_type_day,

@@ -1,0 +1,102 @@
+"""Distributed model-evaluation metrics: confusion-matrix scores and
+tie-corrected ROC-AUC.
+
+Beyond-reference operators: the evaluation tail of the model-based
+curation loop (train with :mod:`.classify`, score the corpus, measure
+here). Both metrics are single-aggregation shapes:
+
+- :func:`binary_classification_metrics` is ONE fused aggregate of four
+  conditional counts — map-side combined, one row out, no shuffle of the
+  scored table beyond the final 1-row reduce.
+- :func:`roc_auc` is the Mann-Whitney rank-sum formulation with average
+  ranks over ties. Scores are quantized to ``digits`` decimals FIRST, so
+  the ranking runs over at most ``10^digits`` distinct score values (a
+  groupBy-reduced table), never over the rows — the cumulative-rank
+  window is bounded-size by construction instead of a global sort of the
+  data. Quantization moves AUC by at most the mass of pairs whose scores
+  differ by < 10^-digits (ties count half, exactly as true ties do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["binary_classification_metrics", "roc_auc"]
+
+
+def binary_classification_metrics(df: DataFrame, label_col: str = "_y",
+                                  prob_col: str = "prob",
+                                  threshold: float = 0.5) -> DataFrame:
+    """Confusion counts + accuracy/precision/recall/F1 at a threshold →
+    one row. Labels must be 0/1 (cast to double); rows with a null label
+    or score are excluded (and reported as ``n_ignored``)."""
+    y = F.col(label_col).cast("double")
+    p = F.col(prob_col).cast("double")
+    valid = y.isNotNull() & p.isNotNull()
+    pred = (p >= F.lit(float(threshold))).cast("double")
+    agg = df.agg(
+        F.sum(F.when(valid & (y == 1.0) & (pred == 1.0), 1).otherwise(0))
+        .cast("long").alias("tp"),
+        F.sum(F.when(valid & (y == 0.0) & (pred == 1.0), 1).otherwise(0))
+        .cast("long").alias("fp"),
+        F.sum(F.when(valid & (y == 0.0) & (pred == 0.0), 1).otherwise(0))
+        .cast("long").alias("tn"),
+        F.sum(F.when(valid & (y == 1.0) & (pred == 0.0), 1).otherwise(0))
+        .cast("long").alias("fn"),
+        F.sum(F.when(~valid, 1).otherwise(0)).cast("long")
+        .alias("n_ignored"),
+    )
+    tp, fp, tn, fn = (F.col(c).cast("double")
+                      for c in ("tp", "fp", "tn", "fn"))
+    n = tp + fp + tn + fn
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    f1 = F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+                2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                / (tp / (tp + fp) + tp / (tp + fn))).otherwise(
+        F.when(tp + fp + fn > 0, F.lit(0.0)))
+    return agg.select(
+        "tp", "fp", "tn", "fn", "n_ignored",
+        F.when(n > 0, (tp + tn) / n).alias("accuracy"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        f1.alias("f1"),
+    )
+
+
+def roc_auc(df: DataFrame, label_col: str = "_y", prob_col: str = "prob",
+            digits: int = 6) -> DataFrame:
+    """Tie-corrected ROC-AUC (Mann-Whitney) → one row
+    ``(auc, n_pos, n_neg)``.
+
+    ``AUC = (Σ_pos avg_rank − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` with
+    ranks 1..n ascending by score and the AVERAGE rank shared across a
+    tie group. Scores quantize to ``digits`` decimals first, so the
+    per-score table the cumulative window runs over is bounded by
+    ``10^digits`` rows regardless of corpus size. Null labels/scores are
+    excluded; returns a null ``auc`` when either class is empty.
+    """
+    y = F.col(label_col).cast("double")
+    scale = float(10 ** digits)
+    s = (F.round(F.col(prob_col).cast("double") * scale) / scale)
+    rows = (df.filter(y.isNotNull() & F.col(prob_col).isNotNull())
+            .select(s.alias("_s"), y.alias("_y")))
+    per_score = rows.groupBy("_s").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_y").alias("_np"))
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_score.withColumn(
+        "_before", F.coalesce(F.sum("_n").over(w), F.lit(0.0)))
+    # average rank within the tie group = before + (n+1)/2
+    pos_rank_sum = ranked.agg(
+        F.sum(F.col("_np") * (F.col("_before") + (F.col("_n") + 1.0) / 2.0))
+        .alias("_rs"),
+        F.sum("_np").alias("_npos"),
+        F.sum(F.col("_n") - F.col("_np")).alias("_nneg"))
+    return pos_rank_sum.select(
+        F.when((F.col("_npos") > 0) & (F.col("_nneg") > 0),
+               (F.col("_rs")
+                - F.col("_npos") * (F.col("_npos") + 1.0) / 2.0)
+               / (F.col("_npos") * F.col("_nneg"))).alias("auc"),
+        F.col("_npos").cast("long").alias("n_pos"),
+        F.col("_nneg").cast("long").alias("n_neg"))

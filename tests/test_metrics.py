@@ -1,0 +1,101 @@
+"""Evaluation metrics: hand-computed confusion goldens, sklearn-free AUC
+parity vs a dense numpy reference, tie handling, and degenerate classes."""
+
+import numpy as np
+import pytest
+
+from bid_evaluation_spark.operators.metrics import (
+    binary_classification_metrics, roc_auc,
+)
+
+
+def _np_auc(y, p):
+    """Dense tie-corrected Mann-Whitney AUC."""
+    order = np.argsort(p, kind="stable")
+    ranks = np.empty(len(p), dtype=np.float64)
+    sp = p[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks[order[i:j]] = (i + j + 1) / 2.0     # average of ranks i+1..j
+        i = j
+    npos = y.sum()
+    nneg = len(y) - npos
+    return (ranks[y == 1].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def test_confusion_golden(spark):
+    rows = [(1.0, 0.9), (1.0, 0.4), (0.0, 0.8), (0.0, 0.2),
+            (None, 0.5), (1.0, None)]
+    df = spark.createDataFrame(rows, "_y double, prob double")
+    (m,) = binary_classification_metrics(df).collect()
+    assert (m["tp"], m["fp"], m["tn"], m["fn"]) == (1, 1, 1, 1)
+    assert m["n_ignored"] == 2
+    assert m["accuracy"] == pytest.approx(0.5)
+    assert m["precision"] == pytest.approx(0.5)
+    assert m["recall"] == pytest.approx(0.5)
+    assert m["f1"] == pytest.approx(0.5)
+
+
+def test_confusion_degenerate_no_positives(spark):
+    df = spark.createDataFrame([(0.0, 0.1), (0.0, 0.2)], "_y double, prob double")
+    (m,) = binary_classification_metrics(df).collect()
+    assert m["precision"] is None and m["recall"] is None
+    assert m["accuracy"] == pytest.approx(1.0)
+
+
+def test_auc_perfect_random_and_inverted(spark):
+    rows = ([(1.0, 0.8 + i / 100) for i in range(10)]
+            + [(0.0, 0.1 + i / 100) for i in range(10)])
+    df = spark.createDataFrame(rows, "_y double, prob double")
+    (a,) = roc_auc(df).collect()
+    assert a["auc"] == pytest.approx(1.0) and a["n_pos"] == 10
+    inv = spark.createDataFrame([(y, 1.0 - p) for y, p in rows],
+                                "_y double, prob double")
+    (b,) = roc_auc(inv).collect()
+    assert b["auc"] == pytest.approx(0.0)
+    # all scores identical: AUC = 0.5 by the tie convention
+    flat = spark.createDataFrame([(float(i % 2), 0.7) for i in range(20)],
+                                 "_y double, prob double")
+    (c,) = roc_auc(flat).collect()
+    assert c["auc"] == pytest.approx(0.5)
+
+
+def test_auc_matches_numpy_reference_with_ties(spark):
+    rng = np.random.default_rng(13)
+    # quantized scores force tie groups
+    p = np.round(rng.random(400), 2)
+    y = (rng.random(400) < 0.3 + 0.4 * p).astype(np.float64)
+    if y.sum() in (0, len(y)):
+        pytest.skip("degenerate draw")
+    df = spark.createDataFrame(
+        [(float(t), float(s)) for t, s in zip(y, p)], "_y double, prob double")
+    (a,) = roc_auc(df).collect()
+    assert a["auc"] == pytest.approx(_np_auc(y, p), abs=1e-12)
+    assert a["n_pos"] == int(y.sum())
+
+
+def test_auc_empty_class_is_null(spark):
+    df = spark.createDataFrame([(1.0, 0.5), (1.0, 0.7)], "_y double, prob double")
+    (a,) = roc_auc(df).collect()
+    assert a["auc"] is None and a["n_neg"] == 0
+
+
+def test_end_to_end_with_logreg(spark):
+    from bid_evaluation_spark.operators.classify import (
+        logreg_predict, logreg_train)
+    rng = np.random.default_rng(21)
+    X = rng.normal(size=(300, 6))
+    w = rng.normal(size=6)
+    y = (X @ w > 0).astype(np.float64)
+    df = spark.createDataFrame(
+        [(r.tolist(), float(t)) for r, t in zip(X, y)],
+        "embedding array<double>, _y double")
+    model = logreg_train(df, dim=6, iters=20, lr=2.0)
+    scored = logreg_predict(df, model)
+    (a,) = roc_auc(scored).collect()
+    (m,) = binary_classification_metrics(scored).collect()
+    assert a["auc"] > 0.95, a["auc"]
+    assert m["accuracy"] > 0.85
