@@ -552,6 +552,47 @@ def _group_gate_plan(spark, sf_dir):
     return probs
 
 
+@check("temperature sample + curriculum bins: map-only after the stats pass")
+def _temp_curriculum_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import (
+        curriculum_bins, temperature_mixture_sample)
+    from bid_evaluation_spark.operators.text import quality_score
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    probs = []
+    t_plan = plan_of(temperature_mixture_sample(df, alpha=0.5,
+                                                group_col="lang", seed="t"))
+    if "Exchange" in t_plan or "Join" in t_plan:
+        probs.append("temperature filter shuffles/joins (thresholds should "
+                     "be literals)")
+    c_plan = plan_of(curriculum_bins(df.withColumn("q", quality_score()),
+                                     "q", n_bins=4))
+    if "Exchange" in c_plan or "Window" in c_plan:
+        probs.append("bin assignment not map-only (thresholds should be "
+                     "literals)")
+    return probs
+
+
+@check("roc_auc: rank window over the per-score table, not the rows")
+def _auc_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.metrics import roc_auc
+    from bid_evaluation_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("label") % 2).cast("double").alias("_y"),
+        (F.col("vec_id") / 1000.0).alias("prob"))
+    plan = plan_of(roc_auc(emb, digits=3))
+    probs = []
+    if "partial" not in plan.lower():
+        probs.append("per-score reduction lacks map-side partial agg")
+    # the single-partition window must consume the _s groupBy output, not
+    # the raw rows: its child ordering is on the score key
+    if not re.search(r"Window.*_s", plan):
+        probs.append("rank window not keyed on the quantized score table")
+    return probs
+
+
 @check("jpeg/png feature kernel: payload projected before the Arrow batch")
 def _mm_kernel_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.multimodal import (
