@@ -4015,6 +4015,33 @@ SELECT node, round(rank*10000.0)/10000.0 AS rank FROM r{iters} ORDER BY node""")
 _SQL_GRAPH_PAGERANK_EVENTS = _pagerank_events_sql(3)
 
 
+def _q_fuzzy_join_supplier_names(spark, sf_dir):
+    """Edit-distance self-join (operators/fuzzy.py fuzzy_join): supplier
+    name pairs within Levenshtein distance 1 (one digit apart — distance
+    2 matches ALL pairs of this keyspace, a vacuous result) via q-gram
+    multiset count
+    filtering + length-window blocking (exact, no all-pairs step) and a
+    levenshtein verify. The oracle runs the straightforward all-pairs
+    ground truth — so the hash match checks the BLOCKING's exactness, not
+    just the verify arithmetic."""
+    from bid_evaluation_spark.operators.fuzzy import fuzzy_join
+
+    sup = _t(spark, sf_dir, "supplier")
+    res = fuzzy_join(sup, sup, "s_name", "s_suppkey", "s_suppkey",
+                     max_dist=1)
+    return (res.filter(F.col("l_id") < F.col("r_id"))
+            .select("l_id", "r_id", "dist"))
+
+
+_SQL_FUZZY_JOIN_SUPPLIER_NAMES = """
+SELECT a.s_suppkey AS l_id, b.s_suppkey AS r_id,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+FROM supplier a CROSS JOIN supplier b
+WHERE a.s_suppkey < b.s_suppkey
+  AND levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+
 def _q_curation_hard_negatives_embeddings(spark, sf_dir):
     """Contrastive pair mining (operators/similarity.py
     mine_contrastive_pairs): for each of the 10 anchor vectors, the 5
@@ -4690,6 +4717,8 @@ _QUERIES: dict = {
                             _SQL_ASOF_FORWARD_EVENTS),
     "asof_nearest_events": (_q_asof_nearest_events,
                             _SQL_ASOF_NEAREST_EVENTS),
+    "fuzzy_join_supplier_names": (_q_fuzzy_join_supplier_names,
+                                  _SQL_FUZZY_JOIN_SUPPLIER_NAMES),
     "curation_hard_negatives_embeddings": (
         _q_curation_hard_negatives_embeddings,
         _SQL_CURATION_HARD_NEGATIVES_EMBEDDINGS),
