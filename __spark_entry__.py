@@ -4475,6 +4475,46 @@ FROM agg CROSS JOIN conf
 """
 
 
+def _q_ts_retention_cohorts_events(spark, sf_dir):
+    """Cohort retention (operators/timeseries.py retention_cohorts): users
+    cohorted by the day-bucket of their first event, retention = fraction
+    active k buckets later. Epoch-floored fixed-width buckets keep the
+    cohort arithmetic engine-portable (no calendar-week ambiguity). Two
+    partially-aggregated shuffles on the user key + one (cohort, offset)
+    count — no windows. The oracle replays first-seen, distinct activity,
+    and the ratio."""
+    from bid_evaluation_spark.operators.timeseries import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    res = retention_cohorts(ev, bucket_seconds=86400.0)
+    return res.select("cohort_bucket", "offset", "n_active", "cohort_size",
+                      _r4("retention").alias("retention"))
+
+
+_SQL_TS_RETENTION_COHORTS_EVENTS = """
+WITH ev AS (
+  SELECT user_id AS u,
+         CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS b
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+first AS (SELECT u, min(b) AS cohort FROM ev GROUP BY u),
+active AS (SELECT DISTINCT u, b FROM ev),
+counts AS (
+  SELECT f.cohort AS cohort_bucket, a.b - f.cohort AS "offset",
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN first f USING (u)
+  GROUP BY 1, 2
+),
+sizes AS (SELECT cohort AS cohort_bucket,
+                 CAST(count(*) AS BIGINT) AS cohort_size
+          FROM first GROUP BY 1)
+SELECT c.cohort_bucket, c."offset", c.n_active, s.cohort_size,
+       round((CAST(c.n_active AS DOUBLE) / s.cohort_size) * 10000.0)
+         / 10000.0 AS retention
+FROM counts c JOIN sizes s USING (cohort_bucket)
+"""
+
+
 def _q_events_rollup_type_day(spark, sf_dir):
     """OLAP rollup: (event_type, day) → (event_type) → () subtotal levels in
     ONE pass (Catalyst expands the grouping sets with partial aggregation —
@@ -4734,6 +4774,8 @@ _QUERIES: dict = {
                                    _SQL_CLASSIFY_LOGREG_EMBEDDINGS),
     "metrics_logreg_auc_embeddings": (_q_metrics_logreg_auc_embeddings,
                                       _SQL_METRICS_LOGREG_AUC_EMBEDDINGS),
+    "ts_retention_cohorts_events": (_q_ts_retention_cohorts_events,
+                                    _SQL_TS_RETENTION_COHORTS_EVENTS),
     "graph_pagerank_events": (_q_graph_pagerank_events,
                               _SQL_GRAPH_PAGERANK_EVENTS),
     "events_rollup_type_day": (_q_events_rollup_type_day,

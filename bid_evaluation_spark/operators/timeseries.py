@@ -148,3 +148,41 @@ def gapfill(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
 
     return j.select(key_col, "bucket", filled.alias("value"),
                     gap.alias("is_gap"))
+
+
+def retention_cohorts(df: DataFrame, ts_col: str = "ts",
+                      user_col: str = "user_id",
+                      bucket_seconds: float = 604800.0) -> DataFrame:
+    """Cohort retention analysis → one row per (cohort bucket, offset):
+    ``(cohort_bucket, offset, n_active, cohort_size, retention)``.
+
+    A user's cohort is the time bucket of their FIRST event (epoch-floored
+    fixed-width buckets — deterministic across engines, no calendar-week
+    ambiguity); ``n_active`` counts the cohort's users active ``offset``
+    buckets later, and ``retention = n_active / cohort_size`` (offset 0 is
+    1.0 by construction — the sanity row).
+
+    Shape: one groupBy(user) for first-seen, one distinct over
+    (user, bucket) — both partially aggregated — then an equi-join on the
+    user key and a final (cohort, offset) count. No windows, no
+    cross-bucket explosion; cost is linear in events with two shuffles on
+    the user key (AQE can reuse the partitioning between them).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    b = F.floor(F.col(ts_col).cast("double") / F.lit(float(bucket_seconds)))
+    ev = (df.filter(F.col(ts_col).isNotNull()
+                    & F.col(user_col).isNotNull())
+          .select(F.col(user_col).alias("_u"), b.cast("long").alias("_b")))
+    first = ev.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    active = ev.distinct()
+    joined = active.join(first, on="_u")
+    counts = (joined.groupBy(
+        F.col("_cohort").alias("cohort_bucket"),
+        (F.col("_b") - F.col("_cohort")).alias("offset"))
+        .agg(F.count("*").cast("long").alias("n_active")))
+    sizes = (first.groupBy(F.col("_cohort").alias("cohort_bucket"))
+             .agg(F.count("*").cast("long").alias("cohort_size")))
+    return (counts.join(sizes, on="cohort_bucket")
+            .withColumn("retention",
+                        F.col("n_active") / F.col("cohort_size")))

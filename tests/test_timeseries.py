@@ -102,3 +102,31 @@ def test_gapfill_span_guard(spark):
 def test_gapfill_fill_validation(series):
     with pytest.raises(ValueError):
         gapfill(series, "ts", "k", "value", 10.0, fill="spline")
+
+
+def test_retention_cohorts_golden(spark):
+    from bid_evaluation_spark.operators.timeseries import retention_cohorts
+    from datetime import datetime
+
+    def t(day):
+        return datetime(2024, 1, 1 + day)
+
+    # bucket = 2 days; users: A starts bucket 0 active 0,1; B starts 0
+    # active 0 only; C starts bucket 1 active 1,2; null user/ts dropped
+    rows = [("A", t(0)), ("A", t(1)), ("A", t(2)),      # buckets 0,0,1
+            ("B", t(0)),
+            ("C", t(2)), ("C", t(3)), ("C", t(4)),      # buckets 1,1,2
+            (None, t(0)), ("D", None)]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = retention_cohorts(df, bucket_seconds=172800.0)
+    got = {(r["cohort_bucket"] - min(x["cohort_bucket"] for x in out.collect()),
+            r["offset"]): (r["n_active"], r["cohort_size"],
+                           round(r["retention"], 4))
+           for r in out.collect()}
+    assert got[(0, 0)] == (2, 2, 1.0)       # A+B in cohort 0
+    assert got[(0, 1)] == (1, 2, 0.5)       # only A returns
+    assert got[(1, 0)] == (1, 1, 1.0)       # C
+    assert got[(1, 1)] == (1, 1, 1.0)       # C returns next bucket
+    assert len(got) == 4
+    with pytest.raises(ValueError, match="bucket_seconds"):
+        retention_cohorts(df, bucket_seconds=0)
