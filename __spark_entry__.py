@@ -4542,6 +4542,71 @@ GROUP BY ROLLUP(event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT))
 """
 
 
+def _q_a1_grouped_stats_orders(spark, sf_dir):
+    """Per-group statistics bundle (plans/stats.py grouped_stats_df): the
+    seven-stat reference bundle per order priority in ONE shuffle — the
+    machinery behind batched evaluation's broadcast-stats join, here
+    value-checked directly (batched_linear_orders only exercises it
+    through the final scores). Exact percentile with a SHARED quantile
+    buffer per column; stddev_samp = pandas ddof=1."""
+    from bid_evaluation_spark.plans.stats import grouped_stats_df
+
+    df = _t(spark, sf_dir, "orders")
+    stats = grouped_stats_df(df, "o_orderpriority", ["o_totalprice"])
+    return stats.select(
+        "o_orderpriority",
+        _r4("o_totalprice__min").alias("price_min"),
+        _r4("o_totalprice__max").alias("price_max"),
+        _r4("o_totalprice__mean").alias("price_mean"),
+        _r4("o_totalprice__median").alias("price_median"),
+        _r4("o_totalprice__std").alias("price_std"),
+        _r4("o_totalprice__q25").alias("price_q25"),
+        _r4("o_totalprice__q75").alias("price_q75"),
+    )
+
+
+_SQL_A1_GROUPED_STATS_ORDERS = """
+SELECT o_orderpriority,
+  round(min(o_totalprice) * 10000.0) / 10000.0 AS price_min,
+  round(max(o_totalprice) * 10000.0) / 10000.0 AS price_max,
+  round(avg(o_totalprice) * 10000.0) / 10000.0 AS price_mean,
+  round(quantile_cont(o_totalprice, CAST(0.5 AS DOUBLE)) * 10000.0)
+    / 10000.0 AS price_median,
+  round(stddev_samp(o_totalprice) * 10000.0) / 10000.0 AS price_std,
+  round(quantile_cont(o_totalprice, CAST(0.25 AS DOUBLE)) * 10000.0)
+    / 10000.0 AS price_q25,
+  round(quantile_cont(o_totalprice, CAST(0.75 AS DOUBLE)) * 10000.0)
+    / 10000.0 AS price_q75
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def _q_events_cube_type_user_bucket(spark, sf_dir):
+    """OLAP CUBE: every subtotal combination of (event_type, user bucket)
+    in ONE pass — Catalyst expands the four grouping sets with partial
+    aggregation (no per-level rescan); ``gid`` disambiguates rolled-up
+    NULLs from data NULLs, same contract as the ROLLUP query."""
+    ev = _t(spark, sf_dir, "events")
+    ub = (F.col("user_id") % 10).cast("long")
+    res = (ev.cube(F.col("event_type"), ub.alias("user_bucket"))
+           .agg(F.sum("value").alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+                F.grouping_id().cast("long").alias("gid")))
+    return res.select("event_type", "user_bucket",
+                      _r4("sv").alias("sum_value"), "n", "gid")
+
+
+_SQL_EVENTS_CUBE_TYPE_USER_BUCKET = """
+SELECT event_type,
+  CAST(user_id % 10 AS BIGINT) AS user_bucket,
+  round(sum(value) * 10000.0) / 10000.0 AS sum_value,
+  count(*) AS n,
+  CAST(GROUPING(event_type, CAST(user_id % 10 AS BIGINT)) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE(event_type, CAST(user_id % 10 AS BIGINT))
+"""
+
+
 def _q_events_pivot_type_user(spark, sf_dir):
     """Pivot event_type → per-user sum columns with EXPLICIT pivot values —
     no extra distinct-scan pass, and the plan stays a single hash aggregate
@@ -4778,6 +4843,10 @@ _QUERIES: dict = {
                                     _SQL_TS_RETENTION_COHORTS_EVENTS),
     "graph_pagerank_events": (_q_graph_pagerank_events,
                               _SQL_GRAPH_PAGERANK_EVENTS),
+    "a1_grouped_stats_orders": (_q_a1_grouped_stats_orders,
+                                _SQL_A1_GROUPED_STATS_ORDERS),
+    "events_cube_type_user_bucket": (_q_events_cube_type_user_bucket,
+                                     _SQL_EVENTS_CUBE_TYPE_USER_BUCKET),
     "events_rollup_type_day": (_q_events_rollup_type_day,
                                _SQL_EVENTS_ROLLUP_TYPE_DAY),
     "events_pivot_type_user": (_q_events_pivot_type_user,
