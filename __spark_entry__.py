@@ -4042,6 +4042,78 @@ WHERE a.s_suppkey < b.s_suppkey
 """
 
 
+def _q_bitext_mine_embeddings(spark, sf_dir):
+    """Margin-based bitext mining (operators/bitext.py mine_bitext, the
+    public Artetxe–Schwenk ratio-margin method): treat vec_id < 250 and
+    >= 250 as two languages, mine mutual best-margin pairs with k=4
+    neighborhoods. The oracle replays all-pairs cosines, both top-k
+    neighborhoods (same (cosine desc, id) determinism as the ANN
+    queries), the neighborhood-average denominators, the 1e-6-rounded
+    argmax, and the mutuality filter."""
+    from bid_evaluation_spark.operators.bitext import mine_bitext
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = emb.filter(F.col("vec_id") < 250)
+    tgt = emb.filter(F.col("vec_id") >= 250)
+    res = mine_bitext(src, tgt, k=4, mutual=True)
+    return res.select("src_id", "tgt_id", _r4("cosine").alias("cosine"),
+                      _r4("margin").alias("margin"))
+
+
+_SQL_BITEXT_MINE_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+s AS (SELECT vec_id AS sid, e FROM v WHERE vec_id < 250),
+t AS (SELECT vec_id AS tid, e FROM v WHERE vec_id >= 250),
+c AS (
+  SELECT s.sid, t.tid,
+    list_sum(list_transform(generate_series(1, len(s.e)), i -> s.e[i]*t.e[i]))
+      / (sqrt(list_sum(list_transform(s.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(t.e, x -> x*x)))) AS cos
+  FROM s CROSS JOIN t
+),
+fwd AS (
+  SELECT sid, tid, cos,
+         row_number() OVER (PARTITION BY sid ORDER BY cos DESC, tid ASC) AS r
+  FROM c
+),
+bwd AS (
+  SELECT sid, tid, cos,
+         row_number() OVER (PARTITION BY tid ORDER BY cos DESC, sid ASC) AS r
+  FROM c
+),
+fa AS (SELECT sid, avg(cos) AS fa FROM fwd WHERE r <= 4 GROUP BY sid),
+ba AS (SELECT tid, avg(cos) AS ba FROM bwd WHERE r <= 4 GROUP BY tid),
+pairs AS (
+  SELECT sid, tid FROM fwd WHERE r <= 4
+  UNION
+  SELECT sid, tid FROM bwd WHERE r <= 4
+),
+scored AS (
+  SELECT p.sid, p.tid, c.cos,
+         c.cos / ((fa.fa + ba.ba) / CAST(2 AS DOUBLE)) AS margin
+  FROM pairs p
+  JOIN c ON c.sid = p.sid AND c.tid = p.tid
+  JOIN fa ON fa.sid = p.sid
+  JOIN ba ON ba.tid = p.tid
+),
+bs AS (
+  SELECT *, row_number() OVER (PARTITION BY sid
+    ORDER BY round(margin * 1000000.0) / 1000000.0 DESC, tid ASC) AS rs
+  FROM scored
+),
+bt AS (
+  SELECT sid, tid, row_number() OVER (PARTITION BY tid
+    ORDER BY round(margin * 1000000.0) / 1000000.0 DESC, sid ASC) AS rt
+  FROM scored
+)
+SELECT b.sid AS src_id, b.tid AS tgt_id,
+       round(b.cos * 10000.0) / 10000.0 AS cosine,
+       round(b.margin * 10000.0) / 10000.0 AS margin
+FROM bs b JOIN bt ON bt.sid = b.sid AND bt.tid = b.tid AND bt.rt = 1
+WHERE b.rs = 1
+"""
+
+
 def _q_curation_hard_negatives_embeddings(spark, sf_dir):
     """Contrastive pair mining (operators/similarity.py
     mine_contrastive_pairs): for each of the 10 anchor vectors, the 5
@@ -4822,6 +4894,8 @@ _QUERIES: dict = {
                             _SQL_ASOF_FORWARD_EVENTS),
     "asof_nearest_events": (_q_asof_nearest_events,
                             _SQL_ASOF_NEAREST_EVENTS),
+    "bitext_mine_embeddings": (_q_bitext_mine_embeddings,
+                               _SQL_BITEXT_MINE_EMBEDDINGS),
     "fuzzy_join_supplier_names": (_q_fuzzy_join_supplier_names,
                                   _SQL_FUZZY_JOIN_SUPPLIER_NAMES),
     "curation_hard_negatives_embeddings": (
