@@ -4707,6 +4707,218 @@ FROM events GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Decision analytics: skyline / concentration / diversity; PCA + k-means
+# value surfaces; TF-IDF retrieval
+# ---------------------------------------------------------------------------
+
+
+def _q_analytics_pareto_part(spark, sf_dir):
+    """2-D Pareto frontier (skyline) over parts: undominated on (minimize
+    retail price, maximize size). No all-pairs dominance join — one
+    groupBy(price) shuffle + a bucketed distributed prefix-max (driver
+    traffic = `buckets` scalars), then an equi-join back. The frontier
+    decision uses raw values with exact comparisons only, so the set
+    matches the NOT EXISTS oracle bit-for-bit."""
+    from bid_evaluation_spark.operators.analytics import pareto_frontier_2d
+
+    df = _t(spark, sf_dir, "part")
+    res = pareto_frontier_2d(df, "p_retailprice", "p_size", buckets=16)
+    return res.select("p_partkey", _r4("p_retailprice").alias("price"),
+                      "p_size")
+
+
+_SQL_ANALYTICS_PARETO_PART = """
+SELECT p_partkey, round(p_retailprice * 10000.0) / 10000.0 AS price, p_size
+FROM part p
+WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part q
+    WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+      AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+      AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+  )
+"""
+
+
+def _q_analytics_gini_orders(spark, sf_dir):
+    """Per-priority Gini coefficient of order spend — the concentration
+    follow-up to ranked evaluation. One group-partitioned window + one
+    aggregation; tie order cannot change Σ i·x over equal x, so
+    row_number is deterministic here."""
+    from bid_evaluation_spark.operators.analytics import gini_by_group
+
+    df = _t(spark, sf_dir, "orders")
+    res = gini_by_group(df, "o_orderpriority", "o_totalprice")
+    return res.select("o_orderpriority", "n", _r4("gini").alias("gini"))
+
+
+_SQL_ANALYTICS_GINI_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice) AS i
+  FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT o_orderpriority, count(*) AS n,
+  round((2.0 * sum(i * v) / (count(*) * sum(v))
+         - (count(*) + 1.0) / count(*)) * 10000.0) / 10000.0 AS gini
+FROM ranked GROUP BY o_orderpriority
+"""
+
+
+def _q_analytics_entropy_documents(spark, sf_dir):
+    """Per-source language-diversity profile: Shannon entropy (via the
+    join-free Σ c·ln c identity), normalized entropy, and HHI — two
+    partially-aggregated shuffles, no Python."""
+    from bid_evaluation_spark.operators.analytics import category_diversity
+
+    df = _t(spark, sf_dir, "documents")
+    res = category_diversity(df, "source", "lang")
+    return res.select("source", "n", "n_categories",
+                      _r4("entropy").alias("entropy"),
+                      _r4("entropy_norm").alias("entropy_norm"),
+                      _r4("hhi").alias("hhi"))
+
+
+_SQL_ANALYTICS_ENTROPY_DOCUMENTS = """
+WITH c AS (
+  SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+  FROM documents GROUP BY source, lang
+)
+SELECT source, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_categories,
+  round((ln(sum(c)) - sum(c * ln(c)) / sum(c)) * 10000.0) / 10000.0
+    AS entropy,
+  CASE WHEN count(*) > 1 THEN
+    round(((ln(sum(c)) - sum(c * ln(c)) / sum(c))
+           / ln(CAST(count(*) AS DOUBLE))) * 10000.0) / 10000.0
+  END AS entropy_norm,
+  round((sum(c * c) / (sum(c) * sum(c))) * 10000.0) / 10000.0 AS hhi
+FROM c GROUP BY source
+"""
+
+
+def _q_text_tfidf_topk_documents(spark, sf_dir):
+    """Log-normalized TF-IDF top-25 for a 3-term query — same two-pass
+    shape as BM25 (one fused stats aggregate → scalars, then map-only
+    scoring with JVM-native term counts, TakeOrdered top-k). Ranked on the
+    ROUNDED score (lesson: never rank on a raw double cross-engine)."""
+    from bid_evaluation_spark.operators.retrieval import tfidf_scores
+
+    df = _t(spark, sf_dir, "documents")
+    scored = tfidf_scores(df, ["spark", "join", "hash"])
+    return (scored.select(F.col("doc_id"), _r4("tfidf").alias("tfidf"))
+            .orderBy(F.desc("tfidf"), F.asc("doc_id")).limit(25))
+
+
+_SQL_TEXT_TFIDF_TOPK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n,
+         sum(CAST(list_contains(t, 'spark') AS BIGINT)) AS df1,
+         sum(CAST(list_contains(t, 'join') AS BIGINT)) AS df2,
+         sum(CAST(list_contains(t, 'hash') AS BIGINT)) AS df3
+  FROM toks
+),
+scored AS (
+  SELECT k.doc_id,
+    ln(1.0 + CAST(len(list_filter(k.t, x -> x = 'spark')) AS DOUBLE))
+      * ln(CAST(s.n AS DOUBLE) / (1.0 + CAST(s.df1 AS DOUBLE)))
+    + ln(1.0 + CAST(len(list_filter(k.t, x -> x = 'join')) AS DOUBLE))
+      * ln(CAST(s.n AS DOUBLE) / (1.0 + CAST(s.df2 AS DOUBLE)))
+    + ln(1.0 + CAST(len(list_filter(k.t, x -> x = 'hash')) AS DOUBLE))
+      * ln(CAST(s.n AS DOUBLE) / (1.0 + CAST(s.df3 AS DOUBLE)))
+    AS tfidf
+  FROM toks k, stats s
+)
+SELECT doc_id, round(tfidf * 10000.0) / 10000.0 AS tfidf
+FROM scored
+ORDER BY round(tfidf * 10000.0) / 10000.0 DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+def _q_ml_pca_cov_embeddings(spark, sf_dir):
+    """PCA's distributed stage under FULL value oracle: the 64×64 sample
+    covariance as (i, j, cov) rows from the one-pass gram sketch — only
+    the d+1 sum/count scalars touch the driver; the d² gram cells stay in
+    the DataFrame. Past this stage pca_fit is a driver-side eigh
+    (differential-tested vs numpy), so this row pins everything that
+    actually scales. Rounded at 1e-6 (cov entries are ~1e-2 magnitude)."""
+    from bid_evaluation_spark.operators.pca import pca_covariance
+
+    df = _t(spark, sf_dir, "embeddings")
+    res = pca_covariance(df, "embedding")
+    # + 0.0 canonicalizes IEEE negative zero (a tiny negative cov rounds to
+    # -0.0 in DuckDB but 0.0 in Spark; -0.0 + 0.0 = +0.0 in both)
+    r6 = F.round(F.col("cov") * 1000000.0) / 1000000.0 + F.lit(0.0)
+    return res.select("i", "j", r6.alias("cov"))
+
+
+_SQL_ML_PCA_COV_EMBEDDINGS = """
+WITH v AS (
+  SELECT vec_id, embedding AS e FROM embeddings WHERE embedding IS NOT NULL
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+flat AS (SELECT vec_id, unnest(generate_series(1, len(e))) AS k, e FROM v),
+cells AS (SELECT vec_id, k - 1 AS dim, CAST(e[k] AS DOUBLE) AS x FROM flat),
+s AS (SELECT dim, sum(x) AS s FROM cells GROUP BY dim),
+gram AS (
+  SELECT a.dim AS i, b.dim AS j, sum(a.x * b.x) AS g
+  FROM cells a JOIN cells b USING (vec_id) GROUP BY 1, 2
+)
+SELECT g.i, g.j,
+  round(((g.g - sa.s * sb.s / nn.n) / (nn.n - 1)) * 1000000.0)
+    / 1000000.0 + 0.0 AS cov
+FROM gram g
+JOIN s sa ON g.i = sa.dim
+JOIN s sb ON g.j = sb.dim
+CROSS JOIN nn
+"""
+
+
+def _q_cluster_assign_embeddings(spark, sf_dir):
+    """Nearest-centroid assignment as a standalone column transform (the
+    map-only kernel shared by IVF and SemDeDup), under pinned centroids
+    (the vec_id < 8 embeddings, ids 0..7 — verified consecutive, so the
+    matrix row index IS the centroid id). Broadcast centroid matrix, one
+    argmin matmul per Arrow batch, no shuffle."""
+    import numpy as np
+
+    from bid_evaluation_spark.operators.similarity import assign_clusters
+
+    df = _t(spark, sf_dir, "embeddings")
+    cent_rows = (df.filter(F.col("vec_id") < 8)
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    centroids = np.array([r["embedding"] for r in cent_rows],
+                         dtype=np.float64)
+    res = assign_clusters(df, centroids, vec_col="embedding")
+    return res.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+_SQL_CLUSTER_ASSIGN_EMBEDDINGS = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+  SELECT v.vec_id, c.cid,
+    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      list_sum(list_transform(c.ce, x -> x*x))
+        - 2 * list_sum(list_transform(generate_series(1, len(v.e)),
+                                      i -> v.e[i]*c.ce[i])) ASC,
+      c.cid ASC) AS pr
+  FROM v CROSS JOIN c
+) WHERE pr = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -4925,6 +5137,18 @@ _QUERIES: dict = {
                                _SQL_EVENTS_ROLLUP_TYPE_DAY),
     "events_pivot_type_user": (_q_events_pivot_type_user,
                                _SQL_EVENTS_PIVOT_TYPE_USER),
+    "analytics_pareto_part": (_q_analytics_pareto_part,
+                              _SQL_ANALYTICS_PARETO_PART),
+    "analytics_gini_orders": (_q_analytics_gini_orders,
+                              _SQL_ANALYTICS_GINI_ORDERS),
+    "analytics_entropy_documents": (_q_analytics_entropy_documents,
+                                    _SQL_ANALYTICS_ENTROPY_DOCUMENTS),
+    "text_tfidf_topk_documents": (_q_text_tfidf_topk_documents,
+                                  _SQL_TEXT_TFIDF_TOPK_DOCUMENTS),
+    "ml_pca_cov_embeddings": (_q_ml_pca_cov_embeddings,
+                              _SQL_ML_PCA_COV_EMBEDDINGS),
+    "cluster_assign_embeddings": (_q_cluster_assign_embeddings,
+                                  _SQL_CLUSTER_ASSIGN_EMBEDDINGS),
 }
 
 

@@ -1,0 +1,139 @@
+"""Decision-analytics operators over scored tables: Pareto frontier
+(skyline), Gini concentration, and categorical diversity profiles.
+
+Beyond-reference operators, but squarely in the reference's domain — after
+``bid_evaluation`` scores bids, the natural follow-up questions are "which
+bids are undominated on (cost, quality)?" (skyline), "how concentrated is
+spend across winners?" (Gini), and "how diverse is each segment?"
+(entropy / HHI). The reference stops at ranked scores
+(`/root/reference/bid_evaluation/evaluator.py` emits score columns +
+rank); these close the analysis loop Spark-side.
+
+Scale shapes:
+
+- :func:`pareto_frontier_2d` — the 2-D skyline reduces to a prefix-max
+  over distinct x-keys. We never run an all-pairs dominance join: one
+  ``groupBy(x)`` shuffle collapses the corpus to distinct x values, a
+  driver-sized bucket table (``buckets`` rows) carries the exclusive
+  prefix max ACROSS buckets, and a window partitioned BY BUCKET finishes
+  the prefix within each bucket. No unpartitioned window, no cartesian;
+  the only driver traffic is ``buckets`` boundary/max scalars. ``buckets``
+  bounds window-partition size at ~|distinct x| / buckets rows — raise it
+  for high-cardinality keys.
+- :func:`gini_by_group` — one window (partitioned by group) + one
+  aggregation; per-group history serializes within its partition, which
+  is inherent to rank-based Gini.
+- :func:`category_diversity` — two partially-aggregated ``groupBy``
+  shuffles (group × category, then group); entropy and HHI come from
+  ``Σ c·ln c`` / ``Σ c²`` identities so no per-category join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
+                       buckets: int = 64) -> DataFrame:
+    """Rows not dominated by any other row: ``q`` dominates ``p`` iff
+    ``q.minimize <= p.minimize`` and ``q.maximize >= p.maximize`` with at
+    least one strict. Duplicates of a frontier point all survive; rows
+    with a null in either column are excluded (incomparable).
+
+    Identity used (per distinct key ``x`` of ``minimize_col`` with
+    ``M(x) = max(maximize)`` at ``x`` and ``P(x) = max M over keys < x``):
+    a row survives iff ``row.maximize == M(x)`` and ``M(x) > P(x)``.
+    """
+    mn, mx = F.col(minimize_col), F.col(maximize_col)
+    base = df.filter(mn.isNotNull() & mx.isNotNull())
+
+    # Bucket boundaries from approximate quantiles of the raw key column —
+    # `buckets` doubles to the driver, deduped (constant columns collapse
+    # to one bucket, which degrades to a single window partition).
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(base.select(mn.cast("double").alias("_k"))
+                        .approxQuantile("_k", probs, 0.001))) if probs else []
+    bexpr = F.lit(0)
+    for b in bounds:
+        bexpr = bexpr + F.when(mn.cast("double") > F.lit(b), 1).otherwise(0)
+    # One shuffle collapses the corpus to distinct keys; cached because it
+    # feeds both the bucket-max collect and the final frontier join.
+    keyed = (base.groupBy(minimize_col)
+             .agg(F.max(mx.cast("double")).alias("_m"))
+             .withColumn("_b", bexpr)
+             .persist())
+
+    # Exclusive prefix max across buckets: <= `buckets` rows to the driver.
+    bmax = {r["_b"]: r["_bm"] for r in
+            keyed.groupBy("_b").agg(F.max("_m").alias("_bm")).collect()}
+    prefix = {}
+    run = None
+    for b in sorted(bmax):
+        prefix[b] = run
+        run = bmax[b] if run is None else max(run, bmax[b])
+    pre_expr = F.lit(None).cast("double")
+    for b, p in prefix.items():
+        if p is not None:
+            pre_expr = F.when(F.col("_b") == F.lit(b), F.lit(p)).otherwise(pre_expr)
+
+    w = (Window.partitionBy("_b").orderBy(mn)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    neg_inf = F.lit(float("-inf"))
+    p_col = F.greatest(F.coalesce(F.max("_m").over(w), neg_inf),
+                       F.coalesce(pre_expr, neg_inf))
+    frontier_keys = (keyed.withColumn("_p", p_col)
+                     .filter(F.col("_m") > F.col("_p"))
+                     .select(minimize_col, "_m"))
+
+    return (base.join(frontier_keys, on=minimize_col)
+            .filter(mx.cast("double") == F.col("_m"))
+            .drop("_m"))
+
+
+def gini_by_group(df: DataFrame, group_col: str, value_col: str,
+                  out_col: str = "gini") -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column, via the
+    rank identity ``G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n`` (x ascending,
+    i = 1..n). Ties contribute identically under any tie order, so the
+    result is deterministic despite ``row_number``. Groups with a zero or
+    null value sum yield null. Null values are excluded; negative values
+    violate the Gini contract and raise no error (caller filters).
+
+    Returns ``(group_col, n, gini)``.
+    """
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    w = Window.partitionBy(group_col).orderBy(v)
+    ranked = base.withColumn("_i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    tot = F.sum(v)
+    gini = (2.0 * F.sum(F.col("_i") * v) / (n * tot)
+            - (n + F.lit(1.0)) / n)
+    return (ranked.groupBy(group_col)
+            .agg(n.alias("n"),
+                 F.when(tot > 0, gini).alias(out_col)))
+
+
+def category_diversity(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:
+    """Per-group diversity of a categorical column: Shannon entropy (nats),
+    normalized entropy (÷ ln k, null for k = 1), and HHI ``Σ p²``.
+
+    Uses ``H = ln T − (Σ c·ln c)/T`` over category counts ``c`` (total
+    ``T``), so the plan is two partial-agg shuffles with no join. Null
+    categories count as their own category (``coalesce`` sentinel applied
+    by the caller if undesired).
+
+    Returns ``(group_col, n, n_categories, entropy, entropy_norm, hhi)``.
+    """
+    counts = (df.groupBy(group_col, cat_col)
+              .agg(F.count(F.lit(1)).cast("double").alias("_c")))
+    t = F.sum("_c")
+    k = F.count(F.lit(1))
+    h = F.log(t) - F.sum(F.col("_c") * F.log("_c")) / t
+    return (counts.groupBy(group_col)
+            .agg(t.cast("long").alias("n"),
+                 k.alias("n_categories"),
+                 h.alias("entropy"),
+                 F.when(k > 1, h / F.log(k.cast("double")))
+                  .alias("entropy_norm"),
+                 (F.sum(F.col("_c") * F.col("_c")) / (t * t)).alias("hhi")))

@@ -98,6 +98,48 @@ def pca_fit(df: DataFrame, n_components: int = 8,
                     n_samples=int(n))
 
 
+def pca_covariance(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The fit's distributed stage as a value-oracle surface: the sample
+    covariance matrix as ``(i, j, cov)`` rows, computed with the same
+    one-pass gram sketch :func:`pca_fit` reduces over — but with the d²
+    gram cells kept IN the DataFrame (only the d+1 sum/count scalars come
+    to the driver, as literals for the centering term). Everything past
+    this stage in ``pca_fit`` is a driver-side ``eigh`` on these numbers,
+    so a value match here pins the whole distributed portion of PCA.
+    """
+    base = df.select(F.col(vec_col).alias("_v")).filter(F.col("_v").isNotNull())
+    head = base.select(F.size("_v").alias("d")).first()
+    if head is None:
+        raise ValueError("no vectors to compute covariance on")
+    d = int(head["d"])
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("_v", i + 1).cast("double")).alias(f"s{i}")
+          for i in range(d)]).first()
+    n = int(stats["n"])
+    if n < 2:
+        raise ValueError(f"need at least 2 vectors, got {n}")
+    s = [float(stats[f"s{i}"]) for i in range(d)]
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            k = X.shape[1]
+            i, j = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+            yield pd.DataFrame({"i": i.ravel(), "j": j.ravel(),
+                                "v": (X.T @ X).ravel()})
+
+    gram = (base.mapInPandas(partials, "i int, j int, v double")
+            .groupBy("i", "j").agg(F.sum("v").alias("_g")))
+    s_arr = F.array(*[F.lit(x) for x in s])
+    si = F.element_at(s_arr, F.col("i") + 1)
+    sj = F.element_at(s_arr, F.col("j") + 1)
+    cov = (F.col("_g") - si * sj / F.lit(float(n))) / F.lit(float(n - 1))
+    return gram.select("i", "j", cov.alias("cov"))
+
+
 def pca_transform(df: DataFrame, model: PCAModel, vec_col: str = "embedding",
                   out_col: str = "pca") -> DataFrame:
     """Project the embedding column onto the fitted axes (map-only)."""

@@ -1,0 +1,178 @@
+"""Decision-analytics operators: Pareto frontier, Gini, diversity, and the
+PCA covariance oracle surface — each checked against a brute-force or numpy
+reference on constructed data."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.analytics import (
+    category_diversity, gini_by_group, pareto_frontier_2d)
+
+
+def _brute_frontier(points):
+    """O(n²) dominance reference: (minimize x, maximize y)."""
+    out = []
+    for i, (x, y) in enumerate(points):
+        dominated = any(
+            (qx <= x and qy >= y and (qx < x or qy > y))
+            for j, (qx, qy) in enumerate(points) if j != i)
+        if not dominated:
+            out.append(i)
+    return set(out)
+
+
+class TestParetoFrontier:
+    def test_crafted_cases(self, spark):
+        # duplicates of a frontier point both survive; equal-price bigger-y
+        # wins; equal-y cheaper-x wins; strictly interior point dies
+        pts = [
+            (1.0, 5),   # frontier
+            (1.0, 5),   # duplicate of a frontier point — survives
+            (1.0, 3),   # same price, smaller y — dominated
+            (2.0, 5),   # same y, more expensive — dominated
+            (2.0, 7),   # frontier
+            (3.0, 7),   # dominated by (2, 7)
+            (3.0, 9),   # frontier
+            (0.5, 1),   # frontier (cheapest)
+            (4.0, 2),   # interior — dominated
+        ]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id long, x double, y long")
+        got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+        assert got == _brute_frontier(pts)
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0, 5), (1, None, 99), (2, 0.5, None), (3, 2.0, 6)],
+            "id long, x double, y long")
+        got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+        # null rows are incomparable and excluded; (0) and (3) both survive
+        assert got == {0, 3}
+
+    @pytest.mark.parametrize("buckets", [1, 3, 64])
+    def test_random_vs_brute_force(self, spark, buckets):
+        rng = random.Random(7)
+        # heavy duplication in both coordinates to exercise tie handling
+        pts = [(float(rng.randint(0, 20)), rng.randint(0, 20))
+               for _ in range(300)]
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(pts)],
+            "id long, x double, y long")
+        got = {r["id"]
+               for r in pareto_frontier_2d(df, "x", "y", buckets=buckets)
+               .collect()}
+        assert got == _brute_frontier(pts)
+
+    def test_constant_key_degrades_to_single_bucket(self, spark):
+        df = spark.createDataFrame(
+            [(0, 1.0, 5), (1, 1.0, 9), (2, 1.0, 9)],
+            "id long, x double, y long")
+        got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
+        assert got == {1, 2}
+
+
+def _gini_ref(values):
+    xs = sorted(values)
+    n = len(xs)
+    tot = sum(xs)
+    if tot <= 0:
+        return None
+    return 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) \
+        - (n + 1.0) / n
+
+
+class TestGini:
+    def test_known_shapes(self, spark):
+        rows = ([("eq", 5.0)] * 4                       # all equal → 0
+                + [("hot", 0.0)] * 9 + [("hot", 10.0)]  # one-hot → (n-1)/n
+                + [("zero", 0.0)] * 3)                  # zero mass → null
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r["g"]: r for r in gini_by_group(df, "g", "v").collect()}
+        assert got["eq"]["gini"] == pytest.approx(0.0, abs=1e-12)
+        assert got["hot"]["gini"] == pytest.approx(0.9, abs=1e-12)
+        assert got["zero"]["gini"] is None
+        assert got["eq"]["n"] == 4 and got["zero"]["n"] == 3
+
+    def test_random_vs_reference(self, spark):
+        rng = random.Random(11)
+        rows = [(f"g{i % 3}", float(rng.randint(0, 100))) for i in range(200)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {r["g"]: r["gini"] for r in gini_by_group(df, "g", "v").collect()}
+        for g in ("g0", "g1", "g2"):
+            ref = _gini_ref([v for k, v in rows if k == g])
+            assert got[g] == pytest.approx(ref, abs=1e-9)
+
+    def test_nulls_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 3.0)], "g string, v double")
+        row = gini_by_group(df, "g", "v").collect()[0]
+        assert row["n"] == 2
+        assert row["gini"] == pytest.approx(_gini_ref([1.0, 3.0]), abs=1e-12)
+
+
+class TestCategoryDiversity:
+    def test_uniform_and_degenerate(self, spark):
+        rows = ([("u", c) for c in "abcd"] * 3      # uniform over 4 cats
+                + [("one", "x")] * 5)               # single category
+        df = spark.createDataFrame(rows, "g string, c string")
+        got = {r["g"]: r for r in category_diversity(df, "g", "c").collect()}
+        u = got["u"]
+        assert u["n"] == 12 and u["n_categories"] == 4
+        assert u["entropy"] == pytest.approx(math.log(4), abs=1e-12)
+        assert u["entropy_norm"] == pytest.approx(1.0, abs=1e-12)
+        assert u["hhi"] == pytest.approx(0.25, abs=1e-12)
+        one = got["one"]
+        assert one["entropy"] == pytest.approx(0.0, abs=1e-12)
+        assert one["entropy_norm"] is None
+        assert one["hhi"] == pytest.approx(1.0, abs=1e-12)
+
+    def test_skewed_vs_reference(self, spark):
+        counts = {"a": 7, "b": 2, "c": 1}
+        rows = [("g", c) for c, k in counts.items() for _ in range(k)]
+        df = spark.createDataFrame(rows, "g string, c string")
+        row = category_diversity(df, "g", "c").collect()[0]
+        t = sum(counts.values())
+        ps = [k / t for k in counts.values()]
+        h = -sum(p * math.log(p) for p in ps)
+        assert row["entropy"] == pytest.approx(h, abs=1e-12)
+        assert row["entropy_norm"] == pytest.approx(h / math.log(3), abs=1e-12)
+        assert row["hhi"] == pytest.approx(sum(p * p for p in ps), abs=1e-12)
+
+
+class TestPcaCovariance:
+    def test_matches_numpy_cov(self, spark):
+        from bid_evaluation_spark.operators.pca import pca_covariance
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(40, 6)).astype(np.float32)
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+            "id long, embedding array<float>")
+        got = pca_covariance(df, "embedding").collect()
+        C = np.cov(X.astype(np.float64), rowvar=False, ddof=1)
+        assert len(got) == 36
+        for r in got:
+            assert r["cov"] == pytest.approx(C[r["i"], r["j"]], abs=1e-10)
+
+    def test_null_vectors_skipped_and_min_rows(self, spark):
+        from bid_evaluation_spark.operators.pca import pca_covariance
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, None), (2, [3.0, 5.0])],
+            "id long, embedding array<float>")
+        got = {(r["i"], r["j"]): r["cov"]
+               for r in pca_covariance(df, "embedding").collect()}
+        C = np.cov(np.array([[1.0, 2.0], [3.0, 5.0]]), rowvar=False, ddof=1)
+        for (i, j), v in got.items():
+            assert v == pytest.approx(C[i, j], abs=1e-12)
+        one = spark.createDataFrame([(0, [1.0, 2.0])],
+                                    "id long, embedding array<float>")
+        with pytest.raises(ValueError, match="at least 2"):
+            pca_covariance(one, "embedding")
