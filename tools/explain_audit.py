@@ -609,6 +609,70 @@ def _mm_kernel_plan(spark, sf_dir):
     return probs
 
 
+@check("pareto frontier: no dominance cartesian, bucketed window, broadcast join back")
+def _pareto_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.analytics import pareto_frontier_2d
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "part")
+    plan = plan_of(pareto_frontier_2d(df, "p_retailprice", "p_size",
+                                      buckets=16))
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("dominance computed via a product join, not prefix-max")
+    if "windowspecdefinition(_b" not in plan:
+        probs.append("prefix-max window is not partitioned by the bucket key")
+    if "BroadcastHashJoin" not in plan:
+        probs.append("frontier-keys join back is not broadcast")
+    if "PushedFilters: [IsNotNull(p_retailprice), IsNotNull(p_size)]" not in plan:
+        probs.append("null filters not pushed to the parquet scan")
+    if "partial_max" not in plan:
+        probs.append("per-key max lacks map-side partial aggregation")
+    return probs
+
+
+@check("gini + diversity: window partitioning reused by the agg, partial aggs, no join")
+def _gini_entropy_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.analytics import (
+        category_diversity, gini_by_group)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    g = gini_by_group(load_table(spark, sf_dir, "orders"),
+                      "o_orderpriority", "o_totalprice")
+    gp = plan_of(g)
+    if gp.count("Exchange") != 1:
+        probs.append("gini should have exactly ONE exchange "
+                     "(agg reuses the window's group partitioning); got "
+                     f"{gp.count('Exchange')}")
+    e = category_diversity(load_table(spark, sf_dir, "documents"),
+                           "source", "lang")
+    ep = plan_of(e)
+    if "Join" in ep:
+        probs.append("diversity uses a join; the sum c*ln c identity "
+                     "should make it pure aggregation")
+    if ep.count("partial_") < 2:
+        probs.append("diversity aggregations lack map-side partials")
+    return probs
+
+
+@check("pca covariance: gram cells stay distributed, partial agg on (i, j)")
+def _pca_cov_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pca import pca_covariance
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(pca_covariance(df, "embedding"))
+    probs = []
+    if "MapInPandas" not in plan:
+        probs.append("gram sketch is not an Arrow-batched MapInPandas")
+    if "partial_sum" not in plan:
+        probs.append("gram cell sums lack map-side partial aggregation")
+    if "CartesianProduct" in plan:
+        probs.append("unexpected cartesian in the covariance plan")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
