@@ -4919,6 +4919,114 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
 
 
 # ---------------------------------------------------------------------------
+# Incremental snapshots: CDC diff / upsert merge / latest-version compaction
+# ---------------------------------------------------------------------------
+
+
+def _q_cdc_snapshot_diff_orders(spark, sf_dir):
+    """Snapshot CDC classification: two derived order snapshots (old drops
+    every 7th key; new drops every 5th and doubles every 3rd price) full-
+    outer-joined ONCE on the key, change detection as a null-safe equality
+    conjunction in the join projection. Doubling is FP-exact, so the
+    changed/unchanged split has no float knife edge."""
+    from bid_evaluation_spark.operators.cdc import snapshot_diff
+
+    od = _t(spark, sf_dir, "orders")
+    old = od.filter(F.col("o_orderkey") % 7 != 0)
+    new = (od.filter(F.col("o_orderkey") % 5 != 0)
+           .withColumn("o_totalprice",
+                       F.when(F.col("o_orderkey") % 3 == 0,
+                              F.col("o_totalprice") * 2)
+                       .otherwise(F.col("o_totalprice"))))
+    diff = snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+    return diff.select("o_orderkey", "change_type",
+                       _r4("old_o_totalprice").alias("old_price"),
+                       _r4("new_o_totalprice").alias("new_price"))
+
+
+_SQL_CDC_SNAPSHOT_DIFF_ORDERS = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'inserted'
+       WHEN n.o_orderkey IS NULL THEN 'deleted'
+       WHEN o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+         THEN 'unchanged'
+       ELSE 'changed' END AS change_type,
+  round(o.o_totalprice * 10000.0) / 10000.0 AS old_price,
+  round(n.o_totalprice * 10000.0) / 10000.0 AS new_price
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+"""
+
+
+def _q_cdc_upsert_orders(spark, sf_dir):
+    """Upsert merge with deletes: updates (every 3rd key, price + 1000,
+    every 9th key flagged for delete) merged into a snapshot (every key
+    not divisible by 5) — left-anti survivors + unionByName, no window,
+    no global sort."""
+    from bid_evaluation_spark.operators.cdc import apply_upsert
+
+    od = _t(spark, sf_dir, "orders")
+    snap = (od.filter(F.col("o_orderkey") % 5 != 0)
+            .select("o_orderkey", "o_totalprice"))
+    upd = (od.filter(F.col("o_orderkey") % 3 == 0)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+                   (F.col("o_orderkey") % 9 == 0).alias("_delete")))
+    merged = apply_upsert(snap, upd, ["o_orderkey"], delete_col="_delete")
+    return merged.select("o_orderkey", _r4("o_totalprice").alias("price"))
+
+
+_SQL_CDC_UPSERT_ORDERS = """
+WITH snap AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+),
+upd AS (
+  SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+         o_orderkey % 9 = 0 AS del
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT o_orderkey, round(o_totalprice * 10000.0) / 10000.0 AS price FROM (
+  SELECT s.o_orderkey, s.o_totalprice FROM snap s
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = s.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_totalprice FROM upd WHERE NOT del
+)
+"""
+
+
+def _q_cdc_compact_latest_events(spark, sf_dir):
+    """CDC-log → snapshot compaction: latest event per (user, type) by
+    (ts DESC, event_id DESC) — one key-partitioned window shuffle with the
+    unique event_id as the deterministic tiebreak (a ts-only ordering with
+    duplicate timestamps is engine-dependent)."""
+    from bid_evaluation_spark.operators.cdc import compact_latest
+
+    ev = _t(spark, sf_dir, "events")
+    res = compact_latest(ev, ["user_id", "event_type"], "ts", "event_id")
+    return res.select("user_id", "event_type", "event_id",
+                      _r4("value").alias("value"))
+
+
+_SQL_CDC_COMPACT_LATEST_EVENTS = """
+SELECT user_id, event_type, event_id,
+       round(value * 10000.0) / 10000.0 AS value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -5149,6 +5257,11 @@ _QUERIES: dict = {
                               _SQL_ML_PCA_COV_EMBEDDINGS),
     "cluster_assign_embeddings": (_q_cluster_assign_embeddings,
                                   _SQL_CLUSTER_ASSIGN_EMBEDDINGS),
+    "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
+                                 _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
+    "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),
+    "cdc_compact_latest_events": (_q_cdc_compact_latest_events,
+                                  _SQL_CDC_COMPACT_LATEST_EVENTS),
 }
 
 

@@ -1,0 +1,91 @@
+"""Incremental-snapshot operators: diff classification, upsert merge with
+deletes, latest-version compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.cdc import (
+    apply_upsert, compact_latest, snapshot_diff)
+
+
+@pytest.fixture
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, name string, price double")
+    new = spark.createDataFrame(
+        [(1, "a", 10.0),        # unchanged
+         (2, "b", 25.0),        # changed (price)
+         (3, "c", None),        # unchanged (null == null is not a change)
+         (5, "e", 50.0)],       # inserted; key 4 deleted
+        "k long, name string, price double")
+    return old, new
+
+
+class TestSnapshotDiff:
+    def test_classification(self, spark, snapshots):
+        old, new = snapshots
+        got = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert {k: r["change_type"] for k, r in got.items()} == {
+            1: "unchanged", 2: "changed", 3: "unchanged",
+            4: "deleted", 5: "inserted"}
+        assert got[5]["old_price"] is None and got[5]["new_price"] == 50.0
+        assert got[4]["new_name"] is None and got[4]["old_name"] == "d"
+        assert got[2]["old_price"] == 20.0 and got[2]["new_price"] == 25.0
+
+    def test_null_transitions_are_changes(self, spark):
+        old = spark.createDataFrame([(1, None), (2, 9.0)],
+                                    "k long, price double")
+        new = spark.createDataFrame([(1, 5.0), (2, None)],
+                                    "k long, price double")
+        got = {r["k"]: r["change_type"]
+               for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {1: "changed", 2: "changed"}
+
+    def test_compare_cols_subset(self, spark, snapshots):
+        old, new = snapshots
+        # only compare `name` — the price change at key 2 is invisible
+        got = {r["k"]: r["change_type"]
+               for r in snapshot_diff(old, new, ["k"], ["name"]).collect()}
+        assert got[2] == "unchanged"
+
+
+class TestApplyUpsert:
+    def test_insert_update_survive(self, spark):
+        snap = spark.createDataFrame([(1, 10.0), (2, 20.0)],
+                                     "k long, v double")
+        upd = spark.createDataFrame([(2, 99.0), (3, 30.0)],
+                                    "k long, v double")
+        got = {r["k"]: r["v"]
+               for r in apply_upsert(snap, upd, ["k"]).collect()}
+        assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+
+    def test_delete_flag(self, spark):
+        snap = spark.createDataFrame([(1, 10.0), (2, 20.0), (3, 30.0)],
+                                     "k long, v double")
+        upd = spark.createDataFrame(
+            [(2, 0.0, True),     # delete key 2
+             (3, 33.0, False),   # update key 3
+             (4, 44.0, None)],   # null flag = not deleted → insert
+            "k long, v double, dead boolean")
+        got = {r["k"]: r["v"]
+               for r in apply_upsert(snap, upd, ["k"],
+                                     delete_col="dead").collect()}
+        assert got == {1: 10.0, 3: 33.0, 4: 44.0}
+
+
+class TestCompactLatest:
+    def test_latest_by_version_then_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [("u", 1, 100, "first"),
+             ("u", 2, 101, "mid"),
+             ("u", 2, 102, "winner"),   # same version, higher tiebreak
+             ("v", 9, 50, "only")],
+            "k string, ver long, seq long, payload string")
+        got = {r["k"]: r for r in
+               compact_latest(df, ["k"], "ver", "seq").collect()}
+        assert got["u"]["payload"] == "winner" and got["u"]["seq"] == 102
+        assert got["v"]["payload"] == "only"
+        assert len(got) == 2

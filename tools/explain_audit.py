@@ -673,6 +673,41 @@ def _pca_cov_plan(spark, sf_dir):
     return probs
 
 
+@check("cdc: diff is one hashed full-outer join; upsert anti+union; compact one window")
+def _cdc_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.cdc import (
+        apply_upsert, compact_latest, snapshot_diff)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    od = load_table(spark, sf_dir, "orders")
+    old = od.filter(F.col("o_orderkey") % 7 != 0)
+    new = od.filter(F.col("o_orderkey") % 5 != 0)
+    dp = plan_of(snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"]))
+    if "FullOuter" not in dp:
+        probs.append("diff does not plan a full-outer join")
+    if dp.count("Join") != 1:
+        probs.append(f"diff should be exactly one join, got {dp.count('Join')}")
+    if "CartesianProduct" in dp or "BroadcastNestedLoopJoin" in dp:
+        probs.append("diff join is not hashed/equi")
+    up = plan_of(apply_upsert(
+        od.select("o_orderkey", "o_totalprice"),
+        od.filter(F.col("o_orderkey") % 3 == 0)
+          .select("o_orderkey", "o_totalprice"), ["o_orderkey"]))
+    if "LeftAnti" not in up:
+        probs.append("upsert survivors are not a left-anti join")
+    if "Window" in up or "Sort [o_orderkey" in up:
+        probs.append("upsert plans a window/global sort it does not need")
+    cp = plan_of(compact_latest(load_table(spark, sf_dir, "events"),
+                                ["user_id", "event_type"], "ts", "event_id"))
+    if cp.count("Exchange") != 1:
+        probs.append("compaction should be exactly one key-partitioned "
+                     f"exchange, got {cp.count('Exchange')}")
+    if "row_number()" not in cp:
+        probs.append("compaction is not a row_number window")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
