@@ -4918,6 +4918,50 @@ SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
 """
 
 
+def _q_analytics_normalize_orders(spark, sf_dir):
+    """Per-group score normalization, all three methods in one pass:
+    min-max and z-score are window AGGREGATES over the group partition (no
+    ordering → no sort; Catalyst shares ONE exchange across all windows),
+    percent_rank adds the ordered window on the same key. The rank method
+    is tie-safe cross-engine (ties share a value; order among ties is
+    irrelevant)."""
+    from bid_evaluation_spark.operators.analytics import normalize_scores
+
+    df = _t(spark, sf_dir, "orders")
+    res = normalize_scores(df, "o_totalprice", "o_orderpriority",
+                           method="minmax", out_col="mm")
+    res = normalize_scores(res, "o_totalprice", "o_orderpriority",
+                           method="zscore", out_col="z")
+    res = normalize_scores(res, "o_totalprice", "o_orderpriority",
+                           method="percent_rank", out_col="pr")
+    return res.select("o_orderkey", "o_orderpriority",
+                      _r4("mm").alias("mm"), _r4("z").alias("z"),
+                      _r4("pr").alias("pr"))
+
+
+_SQL_ANALYTICS_NORMALIZE_ORDERS = """
+SELECT o_orderkey, o_orderpriority,
+  round(CASE WHEN mx <> mn THEN (v - mn) / (mx - mn) END * 10000.0)
+    / 10000.0 AS mm,
+  round(CASE WHEN sd > 0 THEN (v - mu) / sd END * 10000.0) / 10000.0 AS z,
+  round(pr * 10000.0) / 10000.0 AS pr
+FROM (
+  SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+    min(CAST(o_totalprice AS DOUBLE))
+      OVER (PARTITION BY o_orderpriority) AS mn,
+    max(CAST(o_totalprice AS DOUBLE))
+      OVER (PARTITION BY o_orderpriority) AS mx,
+    avg(CAST(o_totalprice AS DOUBLE))
+      OVER (PARTITION BY o_orderpriority) AS mu,
+    stddev_samp(CAST(o_totalprice AS DOUBLE))
+      OVER (PARTITION BY o_orderpriority) AS sd,
+    percent_rank() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice) AS pr
+  FROM orders
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental snapshots: CDC diff / upsert merge / latest-version compaction
 # ---------------------------------------------------------------------------
@@ -5257,6 +5301,8 @@ _QUERIES: dict = {
                               _SQL_ML_PCA_COV_EMBEDDINGS),
     "cluster_assign_embeddings": (_q_cluster_assign_embeddings,
                                   _SQL_CLUSTER_ASSIGN_EMBEDDINGS),
+    "analytics_normalize_orders": (_q_analytics_normalize_orders,
+                                   _SQL_ANALYTICS_NORMALIZE_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -30,6 +30,8 @@ Scale shapes:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -112,6 +114,40 @@ def gini_by_group(df: DataFrame, group_col: str, value_col: str,
     return (ranked.groupBy(group_col)
             .agg(n.alias("n"),
                  F.when(tot > 0, gini).alias(out_col)))
+
+
+def normalize_scores(df: DataFrame, value_col: str,
+                     group_col: Optional[str] = None,
+                     method: str = "minmax",
+                     out_col: Optional[str] = None) -> DataFrame:
+    """Score normalization within each group (or globally with
+    ``group_col=None``): ``minmax`` → [0, 1] (null when the group is
+    constant), ``zscore`` → (x − mean)/stddev_samp (null when stddev is 0
+    or the group is a singleton), ``percent_rank`` → [0, 1] with ties
+    sharing a value (0 for a singleton group).
+
+    minmax/zscore are window AGGREGATES (no ordering → no sort, one
+    exchange on the group key); percent_rank needs the ordered window.
+    Global normalization (no group) is the documented single-partition
+    escape — prefer a group key at scale, or inline the two aggregate
+    scalars as literals the way curriculum_bins does.
+    """
+    v = F.col(value_col).cast("double")
+    out = out_col or f"{value_col}_norm"
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    if method == "minmax":
+        lo, hi = F.min(v).over(part), F.max(v).over(part)
+        expr = F.when(hi != lo, (v - lo) / (hi - lo))
+    elif method == "zscore":
+        mu, sd = F.avg(v).over(part), F.stddev_samp(v).over(part)
+        expr = F.when(sd > 0, (v - mu) / sd)
+    elif method == "percent_rank":
+        ordered = (part.orderBy(v) if group_col
+                   else Window.partitionBy().orderBy(v))
+        expr = F.percent_rank().over(ordered)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return df.withColumn(out, expr)
 
 
 def category_diversity(df: DataFrame, group_col: str, cat_col: str) -> DataFrame:

@@ -146,6 +146,39 @@ class TestCategoryDiversity:
         assert row["hhi"] == pytest.approx(sum(p * p for p in ps), abs=1e-12)
 
 
+class TestNormalizeScores:
+    def test_minmax_zscore_percent_rank(self, spark):
+        from bid_evaluation_spark.operators.analytics import normalize_scores
+
+        df = spark.createDataFrame(
+            [("g", 0, 10.0), ("g", 1, 20.0), ("g", 2, 30.0),
+             ("h", 3, 5.0), ("h", 4, 5.0)],   # constant group
+            "grp string, id long, v double")
+        mm = {r["id"]: r["n"] for r in normalize_scores(
+            df, "v", "grp", "minmax", out_col="n").collect()}
+        assert mm[0] == 0.0 and mm[1] == 0.5 and mm[2] == 1.0
+        assert mm[3] is None and mm[4] is None   # constant group → null
+        z = {r["id"]: r["n"] for r in normalize_scores(
+            df, "v", "grp", "zscore", out_col="n").collect()}
+        assert z[1] == pytest.approx(0.0, abs=1e-12)
+        assert z[2] == pytest.approx(1.0, abs=1e-12)   # (30-20)/10
+        assert z[3] is None                            # sd == 0 → null
+        pr = {r["id"]: r["n"] for r in normalize_scores(
+            df, "v", "grp", "percent_rank", out_col="n").collect()}
+        assert pr[0] == 0.0 and pr[1] == 0.5 and pr[2] == 1.0
+        assert pr[3] == 0.0 and pr[4] == 0.0           # ties share rank 0
+
+    def test_global_and_bad_method(self, spark):
+        from bid_evaluation_spark.operators.analytics import normalize_scores
+
+        df = spark.createDataFrame([(0, 1.0), (1, 3.0)], "id long, v double")
+        got = {r["id"]: r["v_norm"]
+               for r in normalize_scores(df, "v").collect()}
+        assert got == {0: 0.0, 1: 1.0}
+        with pytest.raises(ValueError, match="unknown method"):
+            normalize_scores(df, "v", method="nope")
+
+
 class TestPcaCovariance:
     def test_matches_numpy_cov(self, spark):
         from bid_evaluation_spark.operators.pca import pca_covariance
