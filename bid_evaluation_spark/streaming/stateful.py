@@ -266,3 +266,53 @@ def flag_value_anomalies(events: DataFrame, user_col: str = "user_id",
         update, ANOMALY_OUTPUT, ANOMALY_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+LATEST_OUTPUT = "key long, ver double, seq long, val double"
+LATEST_STATE = "ver double, seq long, val double"
+
+
+def streaming_latest_by_key(updates: DataFrame, key_col: str = "user_id",
+                            version_col: str = "ts",
+                            tiebreak_col: str = "event_id",
+                            value_col: str = "value") -> DataFrame:
+    """Streaming twin of :func:`..operators.cdc.compact_latest`: maintain
+    the latest (version, tiebreak) row per key across micro-batches,
+    emitting a row only when a batch CHANGES a key's latest — the
+    update-stream → materialized-snapshot pattern (a CDC upsert feed
+    compacted on the fly).
+
+    Out-of-order protection: an arrival with (version, tiebreak) ≤ the
+    stored pair is ignored, so replayed or late updates cannot regress the
+    snapshot. State is three numbers per key — O(distinct keys) forever.
+    The version column is cast to double (timestamps become epoch
+    seconds); the tiebreak must be unique per (key, version) for
+    determinism, same contract as the batch twin.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        cur = state.get if state.exists else None
+        changed = False
+        for pdf in pdfs:
+            for ver, seq, val in zip(pdf["_ver"], pdf["_seq"], pdf["_val"]):
+                if ver is None or pd.isna(ver):
+                    continue
+                cand = (float(ver), int(seq))
+                if cur is None or cand > (cur[0], cur[1]):
+                    v = None if val is None or pd.isna(val) else float(val)
+                    cur = (float(ver), int(seq), v)
+                    changed = True
+        if changed:
+            state.update(cur)
+            yield pd.DataFrame({"key": [key[0]], "ver": [cur[0]],
+                                "seq": [cur[1]], "val": [cur[2]]})
+
+    prepared = updates.select(
+        F.col(key_col).alias("_k"),
+        F.col(version_col).cast("double").alias("_ver"),
+        F.col(tiebreak_col).cast("long").alias("_seq"),
+        F.col(value_col).cast("double").alias("_val"))
+    return prepared.groupBy("_k").applyInPandasWithState(
+        update, LATEST_OUTPUT, LATEST_STATE, "update",
+        GroupStateTimeout.NoTimeout,
+    )

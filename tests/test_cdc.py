@@ -89,3 +89,39 @@ class TestCompactLatest:
         assert got["u"]["payload"] == "winner" and got["u"]["seq"] == 102
         assert got["v"]["payload"] == "only"
         assert len(got) == 2
+
+
+def test_streaming_latest_by_key(spark, tmp_path):
+    """Streaming twin: latest-per-key maintained across micro-batches,
+    late/out-of-order updates ignored, unchanged keys emit nothing."""
+    import time as _time
+
+    from bid_evaluation_spark.streaming.stateful import streaming_latest_by_key
+
+    b1 = spark.createDataFrame(
+        [(100, 1.0, 10, 1.5),    # key 100 ver 1
+         (100, 2.0, 11, 2.5),    # key 100 ver 2 — wins within the batch
+         (200, 5.0, 20, 9.0)],
+        "user_id long, ts double, event_id long, value double")
+    b2 = spark.createDataFrame(
+        [(100, 1.0, 9, 7.7),     # LATE: older version — must be ignored
+         (200, 5.0, 21, 10.0),   # same version, higher tiebreak — wins
+         (300, 1.0, 30, 3.0)],   # new key
+        "user_id long, ts double, event_id long, value double")
+    src = str(tmp_path / "upd_stream")
+    b1.coalesce(1).write.parquet(f"{src}/batch=0")
+    _time.sleep(1.1)
+    b2.coalesce(1).write.parquet(f"{src}/batch=1")
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_latest_by_key(stream)
+         .writeStream.format("memory").queryName("latest_smoke")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM latest_smoke").collect()
+    emitted = [(r["key"], r["ver"], r["seq"], r["val"]) for r in rows]
+    # batch 1: latest for 100 and 200; batch 2: 200 advanced + new 300.
+    # key 100 must NOT re-emit (its batch-2 arrival was older).
+    assert sorted(emitted) == [
+        (100, 2.0, 11, 2.5), (200, 5.0, 20, 9.0),
+        (200, 5.0, 21, 10.0), (300, 1.0, 30, 3.0)]
