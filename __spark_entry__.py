@@ -4962,6 +4962,38 @@ FROM (
 """
 
 
+def _q_profile_key_skew_events(spark, sf_dir):
+    """Shuffle-key skew diagnostic: per heavy key its count, table share,
+    ratio to a uniform key, and the salt factor the salted aggregation
+    would need. ONE corpus shuffle (persisted counts frame reused for the
+    global scalars — no rescan); top-k via TakeOrdered."""
+    from bid_evaluation_spark.operators.profile import key_skew_report
+
+    ev = _t(spark, sf_dir, "events")
+    res = key_skew_report(ev, "event_type", top_k=10,
+                          target_rows_per_task=1000)
+    return res.select("event_type", "key_rows",
+                      _r4("share").alias("share"),
+                      _r4("skew_ratio").alias("skew_ratio"),
+                      "salt_factor")
+
+
+_SQL_PROFILE_KEY_SKEW_EVENTS = """
+WITH c AS (
+  SELECT event_type, count(*) AS key_rows FROM events GROUP BY event_type
+),
+t AS (SELECT sum(key_rows) AS r, count(*) AS d FROM c)
+SELECT c.event_type, c.key_rows,
+  round(c.key_rows / CAST(t.r AS DOUBLE) * 10000.0) / 10000.0 AS share,
+  round(c.key_rows / (CAST(t.r AS DOUBLE) / t.d) * 10000.0) / 10000.0
+    AS skew_ratio,
+  CAST(ceil(c.key_rows / CAST(1000.0 AS DOUBLE)) AS BIGINT) AS salt_factor
+FROM c, t
+ORDER BY c.key_rows DESC, c.event_type ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Incremental snapshots: CDC diff / upsert merge / latest-version compaction
 # ---------------------------------------------------------------------------
@@ -5303,6 +5335,8 @@ _QUERIES: dict = {
                                   _SQL_CLUSTER_ASSIGN_EMBEDDINGS),
     "analytics_normalize_orders": (_q_analytics_normalize_orders,
                                    _SQL_ANALYTICS_NORMALIZE_ORDERS),
+    "profile_key_skew_events": (_q_profile_key_skew_events,
+                                _SQL_PROFILE_KEY_SKEW_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

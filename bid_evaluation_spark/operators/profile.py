@@ -218,3 +218,36 @@ def validate_rules(df: DataFrame, rules: Sequence[dict]) -> DataFrame:
     return df.sparkSession.createDataFrame(
         out, "rule string, kind string, column string, "
              "n_violations long, n_checked long")
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10,
+                    target_rows_per_task: int = 1_000_000) -> DataFrame:
+    """Shuffle-key skew diagnostic ahead of a big join/groupBy: per heavy
+    key its row count, share of the table, the ratio to a perfectly
+    uniform key (count / (rows / distinct)), and the salt factor
+    ``ceil(count / target_rows_per_task)`` that operators/skew.py's salted
+    aggregation would need to break the key into target-sized tasks.
+
+    One partially-aggregated ``groupBy(key)`` shuffle; the global scalars
+    (rows, distinct keys) come from a second aggregate OVER THE COUNTS
+    table (no rescan of the data — the counts frame is reused, so the
+    expensive corpus shuffle happens once). Top-k by count is TakeOrdered
+    with key-ascending tiebreak. Null keys count as a key (the classic
+    skew culprit); the caller sees them as a null row.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("key_rows"))
+    counts.persist()
+    tot = counts.agg(F.sum("key_rows").alias("r"),
+                     F.count(F.lit(1)).alias("d")).collect()[0]
+    rows, distinct = int(tot["r"] or 0), int(tot["d"] or 0)
+    uniform = rows / distinct if distinct else 0.0
+    return (counts
+            .withColumn("share", F.col("key_rows") / F.lit(float(rows or 1)))
+            .withColumn("skew_ratio",
+                        F.col("key_rows") / F.lit(float(uniform or 1.0)))
+            .withColumn("salt_factor",
+                        F.ceil(F.col("key_rows")
+                               / F.lit(float(target_rows_per_task)))
+                        .cast("long"))
+            .orderBy(F.desc("key_rows"), F.asc(key_col))
+            .limit(top_k))

@@ -96,3 +96,19 @@ def test_validate_rules_contract_errors(spark):
         validate_rules(df, [{"kind": "accepted_values", "column": "id"}])
     with pytest.raises(ValueError, match="min and/or max"):
         validate_rules(df, [{"kind": "range", "column": "id"}])
+
+
+def test_key_skew_report(spark):
+    from bid_evaluation_spark.operators.profile import key_skew_report
+
+    rows = ([("hot",)] * 80 + [("warm",)] * 15 + [(None,)] * 4 + [("cold",)])
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_report(df, "k", top_k=3, target_rows_per_task=10).collect()
+    assert [r["k"] for r in got] == ["hot", "warm", None]
+    hot = got[0]
+    assert hot["key_rows"] == 80
+    assert hot["share"] == pytest.approx(0.8)
+    # uniform key would have 100/4 = 25 rows -> ratio 3.2; salt ceil(80/10)=8
+    assert hot["skew_ratio"] == pytest.approx(3.2)
+    assert hot["salt_factor"] == 8
+    assert got[2]["key_rows"] == 4   # null keys are a real (reported) key
