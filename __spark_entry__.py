@@ -4962,6 +4962,116 @@ FROM (
 """
 
 
+def _q_sketch_hll_by_group_documents(spark, sf_dir):
+    """Per-language HLL distinct-token estimate (the grouped twin of the
+    global sketch): register shuffle bounded at groups × 2^b rows with
+    partial max map-side, per-group Flajolet + linear-counting estimator,
+    exact distinct joined alongside for the oracle row. Deterministic md5
+    ⇒ DuckDB reproduces every register and the identical estimate."""
+    from bid_evaluation_spark.operators.sketch import hll_distinct_by_group
+    from bid_evaluation_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(_tokens(F.lower(F.col("text")))).alias("_tok"))
+    est = hll_distinct_by_group(toks, "lang", "_tok", b=10, seed="hll")
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("_tok").alias("exact"))
+    return (est.join(exact, "lang")
+            .select("lang", _r4("estimate").alias("estimate"), "m",
+                    "zero_registers", "exact"))
+
+
+_SQL_SKETCH_HLL_BY_GROUP_DOCUMENTS = f"""
+WITH tok AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(lower(text)) != ''
+),
+h AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(tok || 'hll'), 1, 15)) AS BIGINT) AS h,
+         tok
+  FROM tok
+),
+r AS (
+  SELECT lang, h % 1024 AS idx,
+         CASE WHEN (h >> 10) = 0 THEN 51
+              ELSE 50 - length(bin(h >> 10)) + 1 END AS rho
+  FROM h
+),
+regs AS (SELECT lang, idx, max(rho) AS M FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT lang, sum(power(CAST(2 AS DOUBLE), -M)) AS zp,
+         count(*) AS present
+  FROM regs GROUP BY lang
+),
+raw AS (
+  SELECT lang,
+         {_HLL_ALPHA_M2} / (zp + CAST(1024 - present AS DOUBLE)) AS rawe,
+         CAST(1024 - present AS BIGINT) AS zero_registers
+  FROM agg
+),
+exact AS (SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact
+          FROM tok GROUP BY lang)
+SELECT r.lang,
+  round((CASE WHEN rawe <= CAST(2560 AS DOUBLE) AND zero_registers > 0
+         THEN CAST(1024 AS DOUBLE)
+              * ln(CAST(1024 AS DOUBLE) / CAST(zero_registers AS DOUBLE))
+         ELSE rawe END) * 10000.0) / 10000.0 AS estimate,
+  CAST(1024 AS BIGINT) AS m,
+  zero_registers,
+  e.exact
+FROM raw r JOIN exact e ON r.lang = e.lang
+"""
+
+
+def _q_analytics_trend_events(spark, sf_dir):
+    """Per-type OLS trend of event value against hour-of-day: ONE
+    partially-aggregated shuffle collects six sufficient statistics per
+    group; slope/intercept/r² are closed-form arithmetic on them — no
+    per-group solver, no window. Hour-of-day keeps the x magnitudes small
+    so the float sums stay well-conditioned cross-engine."""
+    from bid_evaluation_spark.operators.analytics import grouped_linear_fit
+
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor((F.col("ts").cast("double") % 86400) / 3600)
+    base = ev.select("event_type", hour.alias("hod"), "value")
+    res = grouped_linear_fit(base, "event_type", "hod", "value")
+    return res.select("event_type", "n", _r4("slope").alias("slope"),
+                      _r4("intercept").alias("intercept"),
+                      _r4("r2").alias("r2"))
+
+
+_SQL_ANALYTICS_TREND_EVENTS = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor((epoch(ts) % 86400) / 3600) AS DOUBLE) AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+         sum(x*x) AS sxx, sum(y*y) AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
+             THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * 10000.0)
+    / 10000.0 AS slope,
+  round((sy - CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
+                   THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * sx) / n
+        * 10000.0) / 10000.0 AS intercept,
+  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
+             THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
+                  / ((n*sxx - sx*sx) * (n*syy - sy*sy))
+             WHEN n > 1 AND (n*sxx - sx*sx) > 0 THEN 1.0 END
+        * 10000.0) / 10000.0 AS r2
+FROM s
+"""
+
+
 def _q_profile_key_skew_events(spark, sf_dir):
     """Shuffle-key skew diagnostic: per heavy key its count, table share,
     ratio to a uniform key, and the salt factor the salted aggregation
@@ -5337,6 +5447,10 @@ _QUERIES: dict = {
                                    _SQL_ANALYTICS_NORMALIZE_ORDERS),
     "profile_key_skew_events": (_q_profile_key_skew_events,
                                 _SQL_PROFILE_KEY_SKEW_EVENTS),
+    "analytics_trend_events": (_q_analytics_trend_events,
+                               _SQL_ANALYTICS_TREND_EVENTS),
+    "sketch_hll_by_group_documents": (_q_sketch_hll_by_group_documents,
+                                      _SQL_SKETCH_HLL_BY_GROUP_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

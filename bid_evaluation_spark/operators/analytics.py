@@ -173,3 +173,34 @@ def category_diversity(df: DataFrame, group_col: str, cat_col: str) -> DataFrame
                  F.when(k > 1, h / F.log(k.cast("double")))
                   .alias("entropy_norm"),
                  (F.sum(F.col("_c") * F.col("_c")) / (t * t)).alias("hhi")))
+
+
+def grouped_linear_fit(df: DataFrame, group_col: str, x_col: str,
+                       y_col: str) -> DataFrame:
+    """Per-group ordinary-least-squares line fit from sufficient
+    statistics: ONE partially-aggregated shuffle collects (n, Σx, Σy, Σxy,
+    Σx², Σy²) per group and the slope/intercept/r² come from closed-form
+    arithmetic on those six numbers — the per-segment trend pass over an
+    event/metric table, never a per-group solver.
+
+    Returns ``(group_col, n, slope, intercept, r2)``. Rows with a null in
+    either column are excluded; groups with < 2 points or zero x-variance
+    get null slope/intercept/r²; zero y-variance (perfect horizontal fit)
+    gives r² = 1.
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum(x), F.sum(y)
+    sxy, sxx, syy = F.sum(x * y), F.sum(x * x), F.sum(y * y)
+    vx = n * sxx - sx * sx       # n² · var-ish (scale-free in the ratios)
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.when((n > 1) & (vx > 0), cov / vx)
+    intercept = (sy - slope * sx) / n
+    r2 = (F.when((n > 1) & (vx > 0) & (vy > 0), cov * cov / (vx * vy))
+          .when((n > 1) & (vx > 0) & (vy <= 0), F.lit(1.0)))
+    return (base.groupBy(group_col)
+            .agg(n.cast("long").alias("n"), slope.alias("slope"),
+                 intercept.alias("intercept"), r2.alias("r2")))

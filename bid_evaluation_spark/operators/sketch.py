@@ -183,3 +183,55 @@ def hll_estimate_from_registers(regs: DataFrame, b: int) -> DataFrame:
             F.lit(m).cast("long").alias("m"),
             "zero_registers"))
     return est
+
+
+def hll_registers_by_group(df: DataFrame, group_col: str, key_col: str,
+                           b: int = 10, seed: str = "hll") -> DataFrame:
+    """Per-group HLL state ``(group_col, _idx, _M)`` — at most ``2^b`` rows
+    PER GROUP survive each task (partial max before the shuffle), merged
+    across partitions/sketches by ``max(_M)`` per (group, bucket). The
+    grouped twin of :func:`hll_registers` for "distinct X per segment" at
+    corpus scale."""
+    if not 4 <= b <= 16:
+        raise ValueError(f"b must be in [4, 16], got {b}")
+    m = 1 << b
+    w_bits = _HASH_BITS - b
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null"))
+    h = _h60(key, seed)
+    rest = F.shiftright(h, b)
+    rho = F.when(rest == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(rest)) + 1)
+    return (df.select(F.col(group_col), (h % m).alias("_idx"),
+                      rho.alias("_rho"))
+            .groupBy(group_col, "_idx").agg(F.max("_rho").alias("_M")))
+
+
+def hll_distinct_by_group(df: DataFrame, group_col: str, key_col: str,
+                          b: int = 10, seed: str = "hll") -> DataFrame:
+    """Approximate distinct ``key_col`` per ``group_col`` — one register
+    shuffle (≤ groups × 2^b rows) + one per-group estimator agg, the same
+    Flajolet + linear-counting arithmetic as the global sketch. Returns
+    ``(group_col, estimate, m, zero_registers)``; deterministic md5
+    hashing, so an engine-independent oracle reproduces every register."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    if m <= 16:
+        alpha = 0.673
+    elif m <= 32:
+        alpha = 0.697
+    elif m <= 64:
+        alpha = 0.709
+    regs = hll_registers_by_group(df, group_col, key_col, b=b, seed=seed)
+    agg = regs.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_M"))).alias("_zp"),
+        F.count(F.lit(1)).alias("_present"))
+    zero = (F.lit(m) - F.col("_present")).cast("long")
+    raw = (F.lit(float(alpha * m * m))
+           / (F.col("_zp") + (F.lit(m) - F.col("_present")).cast("double")))
+    est = (F.when((raw <= F.lit(2.5 * m)) & (zero > 0),
+                  F.lit(float(m)) * F.log(F.lit(float(m))
+                                          / zero.cast("double")))
+           .otherwise(raw))
+    return agg.select(group_col, est.alias("estimate"),
+                      F.lit(m).cast("long").alias("m"),
+                      zero.alias("zero_registers"))

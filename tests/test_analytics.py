@@ -209,3 +209,45 @@ class TestPcaCovariance:
                                     "id long, embedding array<float>")
         with pytest.raises(ValueError, match="at least 2"):
             pca_covariance(one, "embedding")
+
+
+class TestGroupedLinearFit:
+    def test_exact_line_and_noise(self, spark):
+        from bid_evaluation_spark.operators.analytics import grouped_linear_fit
+
+        rng = random.Random(5)
+        rows = []
+        for i in range(50):                       # exact: y = 3x - 7
+            rows.append(("exact", float(i), 3.0 * i - 7.0))
+        pts = [(float(i), float(i) + rng.uniform(-1, 1)) for i in range(60)]
+        rows += [("noisy", x, y) for x, y in pts]
+        rows += [("flat", float(i), 5.0) for i in range(10)]   # vy = 0
+        rows += [("const_x", 2.0, float(i)) for i in range(5)]  # vx = 0
+        rows += [("single", 1.0, 1.0)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r["g"]: r for r in
+               grouped_linear_fit(df, "g", "x", "y").collect()}
+        assert got["exact"]["slope"] == pytest.approx(3.0, abs=1e-9)
+        assert got["exact"]["intercept"] == pytest.approx(-7.0, abs=1e-9)
+        assert got["exact"]["r2"] == pytest.approx(1.0, abs=1e-9)
+        # numpy reference for the noisy group
+        xs = np.array([x for x, _ in pts]); ys = np.array([y for _, y in pts])
+        m, b = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1] ** 2
+        assert got["noisy"]["slope"] == pytest.approx(m, abs=1e-9)
+        assert got["noisy"]["intercept"] == pytest.approx(b, abs=1e-9)
+        assert got["noisy"]["r2"] == pytest.approx(r, abs=1e-9)
+        assert got["flat"]["slope"] == pytest.approx(0.0, abs=1e-12)
+        assert got["flat"]["r2"] == 1.0           # horizontal perfect fit
+        assert got["const_x"]["slope"] is None
+        assert got["single"]["slope"] is None and got["single"]["n"] == 1
+
+    def test_nulls_excluded(self, spark):
+        from bid_evaluation_spark.operators.analytics import grouped_linear_fit
+
+        df = spark.createDataFrame(
+            [("g", 0.0, 0.0), ("g", 1.0, 2.0), ("g", None, 9.0),
+             ("g", 4.0, None)],
+            "g string, x double, y double")
+        row = grouped_linear_fit(df, "g", "x", "y").collect()[0]
+        assert row["n"] == 2 and row["slope"] == pytest.approx(2.0)

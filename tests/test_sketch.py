@@ -115,3 +115,26 @@ def test_hll_validates_b(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="b must be"):
         hll_distinct(df, "k", b=2)
+
+
+def test_hll_by_group_matches_per_group_global(spark):
+    """The grouped sketch must equal the global sketch run on each group's
+    subset — same registers, same estimate."""
+    from bid_evaluation_spark.operators.sketch import (
+        hll_distinct, hll_distinct_by_group)
+
+    rows = [(f"g{i % 3}", f"k{(i * 7) % 40}") for i in range(500)]
+    rows += [("g0", None)]   # null key counts as one key
+    df = spark.createDataFrame(rows, "g string, k string")
+    grouped = {r["g"]: r for r in
+               hll_distinct_by_group(df, "g", "k", b=6).collect()}
+    assert set(grouped) == {"g0", "g1", "g2"}
+    for g in sorted(grouped):
+        sub = df.filter(F.col("g") == g)
+        ref = hll_distinct(sub, "k", b=6).collect()[0]
+        assert grouped[g]["estimate"] == pytest.approx(ref["estimate"],
+                                                       rel=1e-12)
+        assert grouped[g]["zero_registers"] == ref["zero_registers"]
+        # sanity: estimate lands near the true distinct count
+        exact = sub.select("k").distinct().count()
+        assert abs(grouped[g]["estimate"] - exact) / exact < 0.35
