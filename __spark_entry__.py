@@ -4962,6 +4962,60 @@ FROM (
 """
 
 
+def _q_ts_concurrency_events(spark, sf_dir):
+    """Sweep-line concurrency over 30-min user sessions: how many sessions
+    are simultaneously open at every boundary instant (closed intervals —
+    zero-length single-event sessions count at their instant). Boundaries
+    collapse to distinct instants in one partial-agg shuffle; the prefix
+    sum runs bucket-partitioned with driver-carried offsets — no
+    unpartitioned window, no self-join."""
+    from bid_evaluation_spark.operators.timeseries import concurrency_timeline
+    from bid_evaluation_spark.streaming.events import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sessions = sessionize(ev, gap_seconds=1800)
+    res = concurrency_timeline(sessions, "session_start", "session_end",
+                               buckets=16)
+    return res.select(F.col("ts").cast("double").alias("ts"), "net",
+                      "concurrency")
+
+
+_SQL_TS_CONCURRENCY_EVENTS = """
+WITH seq AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                 OR (epoch(ts) - epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_id
+),
+deltas AS (
+  SELECT CAST(epoch(session_start) AS DOUBLE) AS ts, 1 AS d FROM sessions
+  UNION ALL
+  SELECT CAST(epoch(session_end) AS DOUBLE) AS ts, -1 AS d FROM sessions
+),
+net AS (
+  SELECT ts, CAST(sum(d) AS BIGINT) AS net,
+         sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS ends
+  FROM deltas GROUP BY ts
+)
+SELECT ts, net,
+  CAST(sum(net) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) + ends
+       AS BIGINT) AS concurrency
+FROM net
+"""
+
+
 def _q_sketch_hll_by_group_documents(spark, sf_dir):
     """Per-language HLL distinct-token estimate (the grouped twin of the
     global sketch): register shuffle bounded at groups × 2^b rows with
@@ -5451,6 +5505,8 @@ _QUERIES: dict = {
                                _SQL_ANALYTICS_TREND_EVENTS),
     "sketch_hll_by_group_documents": (_q_sketch_hll_by_group_documents,
                                       _SQL_SKETCH_HLL_BY_GROUP_DOCUMENTS),
+    "ts_concurrency_events": (_q_ts_concurrency_events,
+                              _SQL_TS_CONCURRENCY_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -125,3 +125,36 @@ def test_streaming_latest_by_key(spark, tmp_path):
     assert sorted(emitted) == [
         (100, 2.0, 11, 2.5), (200, 5.0, 20, 9.0),
         (200, 5.0, 21, 10.0), (300, 1.0, 30, 3.0)]
+
+
+def test_diff_then_upsert_reconstructs_new_snapshot(spark):
+    """Glue invariant: applying a diff's inserted+changed rows as upserts
+    and its deleted keys as deletes turns `old` exactly into `new`."""
+    import random
+
+    rng = random.Random(17)
+    old_rows = [(k, rng.choice("abc"), float(rng.randint(0, 5)))
+                for k in range(40)]
+    new_rows = []
+    for k, name, price in old_rows:
+        r = rng.random()
+        if r < 0.25:
+            continue                                    # deleted
+        if r < 0.5:
+            new_rows.append((k, name, price + 10.0))    # changed
+        else:
+            new_rows.append((k, name, price))           # unchanged
+    new_rows += [(k, "new", 1.0) for k in range(100, 110)]  # inserted
+    old = spark.createDataFrame(old_rows, "k long, name string, price double")
+    new = spark.createDataFrame(new_rows, "k long, name string, price double")
+
+    diff = snapshot_diff(old, new, ["k"])
+    updates = (diff.filter(F.col("change_type").isin("inserted", "changed",
+                                                     "deleted"))
+               .select("k",
+                       F.coalesce("new_name", F.lit("")).alias("name"),
+                       F.coalesce("new_price", F.lit(0.0)).alias("price"),
+                       (F.col("change_type") == "deleted").alias("_dead")))
+    rebuilt = apply_upsert(old, updates, ["k"], delete_col="_dead")
+    assert sorted(tuple(r) for r in rebuilt.collect()) \
+        == sorted(tuple(r) for r in new.collect())

@@ -130,3 +130,41 @@ def test_retention_cohorts_golden(spark):
     assert len(got) == 4
     with pytest.raises(ValueError, match="bucket_seconds"):
         retention_cohorts(df, bucket_seconds=0)
+
+
+class TestConcurrencyTimeline:
+    def _brute(self, intervals):
+        """Concurrency at each boundary: #intervals with s <= t <= e."""
+        ts = sorted({t for s, e in intervals for t in (s, e)})
+        return {t: sum(1 for s, e in intervals if s <= t <= e) for t in ts}
+
+    def test_crafted_and_random(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            concurrency_timeline)
+        import random
+
+        crafted = [(0.0, 10.0), (5.0, 15.0), (10.0, 20.0),  # chain overlap
+                   (10.0, 10.0),                            # zero-length
+                   (30.0, 40.0)]                            # isolated
+        rng = random.Random(23)
+        rand = []
+        for _ in range(200):
+            s = float(rng.randint(0, 100))
+            rand.append((s, s + rng.randint(0, 20)))
+        for intervals, buckets in ((crafted, 4), (rand, 1), (rand, 16)):
+            df = spark.createDataFrame(intervals, "s double, e double")
+            got = {r["ts"]: r["concurrency"]
+                   for r in concurrency_timeline(df, "s", "e",
+                                                 buckets=buckets).collect()}
+            assert got == self._brute(intervals)
+
+    def test_invalid_rows_dropped(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            concurrency_timeline)
+
+        df = spark.createDataFrame(
+            [(0.0, 5.0), (9.0, 1.0), (None, 3.0), (2.0, None)],
+            "s double, e double")
+        got = {r["ts"]: r["concurrency"]
+               for r in concurrency_timeline(df, "s", "e").collect()}
+        assert got == {0.0: 1, 5.0: 1}

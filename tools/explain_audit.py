@@ -708,6 +708,25 @@ def _cdc_plan(spark, sf_dir):
     return probs
 
 
+@check("concurrency sweep-line: boundaries partial-agg'd, prefix sum bucket-partitioned")
+def _concurrency_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.timeseries import concurrency_timeline
+    from bid_evaluation_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(F.min("ts").alias("s"),
+                                   F.max("ts").alias("e"))
+    plan = plan_of(concurrency_timeline(iv, "s", "e", buckets=8))
+    probs = []
+    if "partial_sum" not in plan:
+        probs.append("per-instant net lacks map-side partial aggregation")
+    if "windowspecdefinition(_b" not in plan:
+        probs.append("prefix sum window is not partitioned by the bucket key")
+    if "CartesianProduct" in plan or "Join" in plan:
+        probs.append("sweep-line plans a join it does not need")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
