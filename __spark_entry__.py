@@ -4962,6 +4962,137 @@ FROM (
 """
 
 
+def _q_metrics_calibration_embeddings(spark, sf_dir):
+    """Calibration / decile-lift table for a deterministic probe scorer
+    (sigmoid of the first embedding component) against label >= 5:
+    equal-population score bands from exact percentile thresholds inlined
+    as literals (map-only assignment — no ntile global sort), then one
+    grouped agg for count / mean prob / positive rate / lift."""
+    from bid_evaluation_spark.operators.metrics import calibration_table
+
+    df = _t(spark, sf_dir, "embeddings")
+    scored = df.select(
+        (F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-F.element_at(F.col("embedding"), 1)
+                               .cast("double")))).alias("prob"),
+        (F.col("label") >= 5).cast("double").alias("_y"))
+    res = calibration_table(scored, "_y", "prob", n_bins=5)
+    return res.select("bin", "n", _r4("mean_prob").alias("mean_prob"),
+                      _r4("pos_rate").alias("pos_rate"),
+                      _r4("lift").alias("lift"))
+
+
+_SQL_METRICS_CALIBRATION_EMBEDDINGS = """
+WITH scored AS (
+  SELECT 1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS prob,
+         CAST(label >= 5 AS DOUBLE) AS y
+  FROM embeddings
+),
+th AS (
+  SELECT quantile_cont(prob, [
+           CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+           CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)]) AS t,
+         avg(y) AS base
+  FROM scored
+),
+binned AS (
+  SELECT CAST(prob > t[1] AS INT) + CAST(prob > t[2] AS INT)
+         + CAST(prob > t[3] AS INT) + CAST(prob > t[4] AS INT) AS bin,
+         prob, y, base
+  FROM scored, th
+)
+SELECT bin, count(*) AS n,
+  round(avg(prob) * 10000.0) / 10000.0 AS mean_prob,
+  round(avg(y) * 10000.0) / 10000.0 AS pos_rate,
+  round(CASE WHEN any_value(base) > 0
+             THEN avg(y) / any_value(base) END * 10000.0) / 10000.0 AS lift
+FROM binned GROUP BY bin
+"""
+
+
+def _q_ts_merge_intervals_events(spark, sf_dir):
+    """Flatten overlapping per-user coverage windows (each event opens a
+    1-hour closed interval): one key-partitioned window pass flags a new
+    span when an interval's start exceeds the running max end of all
+    predecessors, then spans collapse in a grouped agg — no self-join, no
+    sweep re-sort. Touching intervals merge (closed semantics)."""
+    from bid_evaluation_spark.operators.timeseries import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select("user_id", "event_id",
+                   F.col("ts").cast("double").alias("s"),
+                   (F.col("ts").cast("double") + 3600.0).alias("e"))
+    res = merge_intervals(iv, "user_id", "s", "e", tiebreak_col="event_id")
+    return res.select("user_id", "s", "e",
+                      F.col("n_merged").cast("long").alias("n_merged"))
+
+
+_SQL_TS_MERGE_INTERVALS_EVENTS = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(epoch(ts) AS DOUBLE) AS s,
+         CAST(epoch(ts) AS DOUBLE) + 3600.0 AS e
+  FROM events
+),
+m AS (
+  SELECT user_id, s, e,
+    CASE WHEN s > coalesce(
+           max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           CAST('-infinity' AS DOUBLE))
+         THEN 1 ELSE 0 END AS ns,
+    event_id
+  FROM iv
+),
+sp AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                          ROWS UNBOUNDED PRECEDING) AS span
+  FROM m
+)
+SELECT user_id, min(s) AS s, max(e) AS e, count(*) AS n_merged
+FROM sp GROUP BY user_id, span
+"""
+
+
+def _q_layout_zorder_orders(spark, sf_dir):
+    """Z-order (Morton) clustering key over (price, customer): one fused
+    min/max agg inlined as literals, then a pure bit-interleave Column
+    expression (8 bits/col → 16-bit key) — the multi-dimensional
+    data-skipping layout rewrite. Quantization replays the exact IEEE
+    operation order on both engines, so keys match bit-for-bit."""
+    from bid_evaluation_spark.operators.layout import zorder_key
+
+    od = _t(spark, sf_dir, "orders")
+    res = zorder_key(od, ["o_totalprice", "o_custkey"], bits=8)
+    return res.select("o_orderkey", "zkey")
+
+
+_ZO_TERMS = " | ".join(
+    f"(((q{j + 1} >> {i}) & 1) << {i * 2 + j})"
+    for i in range(8) for j in range(2))
+
+_SQL_LAYOUT_ZORDER_ORDERS = f"""
+WITH b AS (
+  SELECT min(CAST(o_totalprice AS DOUBLE)) AS mn1,
+         max(CAST(o_totalprice AS DOUBLE)) AS mx1,
+         min(CAST(o_custkey AS DOUBLE)) AS mn2,
+         max(CAST(o_custkey AS DOUBLE)) AS mx2
+  FROM orders
+),
+q AS (
+  SELECT o_orderkey,
+    least(greatest(coalesce(CAST(floor(
+      ((CAST(o_totalprice AS DOUBLE) - mn1) / (mx1 - mn1)) * 255.0)
+      AS BIGINT), 0), 0), 255) AS q1,
+    least(greatest(coalesce(CAST(floor(
+      ((CAST(o_custkey AS DOUBLE) - mn2) / (mx2 - mn2)) * 255.0)
+      AS BIGINT), 0), 0), 255) AS q2
+  FROM orders, b
+)
+SELECT o_orderkey, CAST({_ZO_TERMS} AS BIGINT) AS zkey FROM q
+"""
+
+
 def _q_ts_concurrency_events(spark, sf_dir):
     """Sweep-line concurrency over 30-min user sessions: how many sessions
     are simultaneously open at every boundary instant (closed intervals —
@@ -5507,6 +5638,12 @@ _QUERIES: dict = {
                                       _SQL_SKETCH_HLL_BY_GROUP_DOCUMENTS),
     "ts_concurrency_events": (_q_ts_concurrency_events,
                               _SQL_TS_CONCURRENCY_EVENTS),
+    "layout_zorder_orders": (_q_layout_zorder_orders,
+                             _SQL_LAYOUT_ZORDER_ORDERS),
+    "metrics_calibration_embeddings": (_q_metrics_calibration_embeddings,
+                                       _SQL_METRICS_CALIBRATION_EMBEDDINGS),
+    "ts_merge_intervals_events": (_q_ts_merge_intervals_events,
+                                  _SQL_TS_MERGE_INTERVALS_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

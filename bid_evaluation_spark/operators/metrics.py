@@ -100,3 +100,47 @@ def roc_auc(df: DataFrame, label_col: str = "_y", prob_col: str = "prob",
                / (F.col("_npos") * F.col("_nneg"))).alias("auc"),
         F.col("_npos").cast("long").alias("n_pos"),
         F.col("_nneg").cast("long").alias("n_neg"))
+
+
+def calibration_table(df: DataFrame, label_col: str = "_y",
+                      prob_col: str = "prob", n_bins: int = 10) -> DataFrame:
+    """Score-calibration / lift table: rows bucketed into equal-population
+    predicted-score bands (exact percentile thresholds inlined as literals
+    — map-only assignment, no ntile global sort), then per band: count,
+    mean predicted probability, observed positive rate, and lift vs the
+    global base rate. The reliability-diagram / decile-lift input.
+
+    Two driver round-trips of scalars (thresholds; base rate), two
+    partially-aggregated shuffles, no window. Ties at a threshold land in
+    the lower band (the deterministic oracle-replayable contract shared
+    with curriculum_bins). Rows with a null score or label are excluded.
+
+    Returns ``(bin, n, mean_prob, pos_rate, lift)`` with lift null when
+    the base rate is 0.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    qs = [i / n_bins for i in range(1, n_bins)]
+    agg = base.agg(
+        F.percentile(p, F.array(*[F.lit(q) for q in qs])).alias("_t"),
+        F.avg(y).alias("_base")).collect()[0]
+    if agg["_t"] is None:
+        return base.sparkSession.createDataFrame(
+            [], "bin int, n long, mean_prob double, pos_rate double, "
+                "lift double")
+    rate = float(agg["_base"])
+    bin_expr = None
+    for t in agg["_t"]:
+        step = (p > F.lit(float(t))).cast("int")
+        bin_expr = step if bin_expr is None else bin_expr + step
+    pos = F.avg(y)
+    lift = F.when(F.lit(rate) > 0, pos / F.lit(rate))
+    return (base.withColumn("bin", bin_expr)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(p).alias("mean_prob"),
+                 pos.alias("pos_rate"),
+                 lift.alias("lift")))

@@ -247,3 +247,37 @@ def concurrency_timeline(df: DataFrame, start_col: str, end_col: str,
     return (keyed.select("ts", F.col("net").cast("long").alias("net"),
                          (running + F.col("_ends")).cast("long")
                          .alias("concurrency")))
+
+
+def merge_intervals(df: DataFrame, key_col: str, start_col: str,
+                    end_col: str, tiebreak_col: Optional[str] = None
+                    ) -> DataFrame:
+    """Coalesce overlapping/touching closed intervals per key into maximal
+    disjoint spans — the "flatten ranges" op (union of on-call windows,
+    session coverage, blackout periods). Returns
+    ``(key_col, start_col, end_col, n_merged)``.
+
+    One key-partitioned window pass: intervals ordered by (start, end),
+    an interval opens a new span when its start exceeds the running max
+    end of all predecessors (exclusive frame), spans then groupBy
+    (key, span_id). Touching intervals (next.start == prev.end) merge —
+    closed-interval semantics, matching :func:`concurrency_timeline`.
+    Per-key history serializes in its partition (inherent to ordered
+    per-key semantics). Invalid rows (null endpoint, end < start) drop.
+    """
+    s = F.col(start_col).cast("double")
+    e = F.col(end_col).cast("double")
+    base = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
+    order = [s.asc(), e.asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w_prev = (Window.partitionBy(key_col).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, -1))
+    new_span = F.when(s > F.coalesce(F.max(e).over(w_prev),
+                                     F.lit(float("-inf"))), 1).otherwise(0)
+    w_run = (Window.partitionBy(key_col).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    spans = base.withColumn("_span", F.sum(new_span).over(w_run))
+    return (spans.groupBy(key_col, "_span")
+            .agg(F.min(s).alias(start_col), F.max(e).alias(end_col),
+                 F.count(F.lit(1)).alias("n_merged"))
+            .drop("_span"))

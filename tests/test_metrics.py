@@ -99,3 +99,41 @@ def test_end_to_end_with_logreg(spark):
     (m,) = binary_classification_metrics(scored).collect()
     assert a["auc"] > 0.95, a["auc"]
     assert m["accuracy"] > 0.85
+
+
+class TestCalibrationTable:
+    def test_perfectly_calibrated_probe(self, spark):
+        from bid_evaluation_spark.operators.metrics import calibration_table
+        import random
+
+        rng = random.Random(13)
+        rows = []
+        for _ in range(2000):
+            p = rng.random()
+            rows.append((p, 1.0 if rng.random() < p else 0.0))
+        df = spark.createDataFrame(rows, "prob double, _y double")
+        got = {r["bin"]: r for r in
+               calibration_table(df, "_y", "prob", n_bins=4).collect()}
+        assert set(got) == {0, 1, 2, 3}
+        base = sum(y for _, y in rows) / len(rows)
+        for b, r in got.items():
+            # calibrated: observed rate tracks mean predicted prob
+            assert r["pos_rate"] == pytest.approx(r["mean_prob"], abs=0.08)
+            assert r["lift"] == pytest.approx(r["pos_rate"] / base, abs=1e-9)
+        # equal-population bands (up to tie mass; probs here are unique)
+        assert max(r["n"] for r in got.values()) \
+            - min(r["n"] for r in got.values()) <= 1
+        # monotone mean prob across bins
+        means = [got[b]["mean_prob"] for b in sorted(got)]
+        assert means == sorted(means)
+
+    def test_null_exclusion_and_validation(self, spark):
+        from bid_evaluation_spark.operators.metrics import calibration_table
+
+        df = spark.createDataFrame(
+            [(0.1, 0.0), (0.9, 1.0), (None, 1.0), (0.5, None)],
+            "prob double, _y double")
+        rows = calibration_table(df, "_y", "prob", n_bins=2).collect()
+        assert sum(r["n"] for r in rows) == 2
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_table(df, "_y", "prob", n_bins=1)

@@ -168,3 +168,49 @@ class TestConcurrencyTimeline:
         got = {r["ts"]: r["concurrency"]
                for r in concurrency_timeline(df, "s", "e").collect()}
         assert got == {0.0: 1, 5.0: 1}
+
+
+class TestMergeIntervals:
+    def _brute(self, intervals):
+        """Merge closed intervals: sort, sweep, touching counts as overlap."""
+        out = []
+        for s, e in sorted(intervals):
+            if out and s <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], e)
+                out[-1][2] += 1
+            else:
+                out.append([s, e, 1])
+        return sorted((s, e, n) for s, e, n in out)
+
+    def test_crafted_and_random(self, spark):
+        from bid_evaluation_spark.operators.timeseries import merge_intervals
+        import random
+
+        crafted = {"a": [(0.0, 5.0), (5.0, 9.0),       # touching -> merge
+                         (20.0, 30.0), (22.0, 25.0),   # contained
+                         (40.0, 41.0)],                # isolated
+                   "b": [(1.0, 2.0)]}
+        rng = random.Random(31)
+        rand = {"c": [(float(rng.randint(0, 200)),) * 1 +
+                      (float(rng.randint(0, 200) + rng.randint(0, 30)),)
+                      for _ in range(150)]}
+        rand["c"] = [(s, max(s, e)) for s, e in rand["c"]]
+        for data in (crafted, rand):
+            rows = [(k, i, s, e) for k, ivs in data.items()
+                    for i, (s, e) in enumerate(ivs)]
+            df = spark.createDataFrame(rows, "k string, i long, s double, e double")
+            got = {}
+            for r in merge_intervals(df, "k", "s", "e",
+                                     tiebreak_col="i").collect():
+                got.setdefault(r["k"], []).append((r["s"], r["e"], r["n_merged"]))
+            for k, ivs in data.items():
+                assert sorted(got[k]) == self._brute(ivs), k
+
+    def test_invalid_rows_dropped(self, spark):
+        from bid_evaluation_spark.operators.timeseries import merge_intervals
+
+        df = spark.createDataFrame(
+            [("a", 0.0, 5.0), ("a", 9.0, 1.0), ("a", None, 3.0)],
+            "k string, s double, e double")
+        got = merge_intervals(df, "k", "s", "e").collect()
+        assert [(r["s"], r["e"], r["n_merged"]) for r in got] == [(0.0, 5.0, 1)]
