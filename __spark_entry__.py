@@ -4962,6 +4962,70 @@ FROM (
 """
 
 
+def _q_dedup_minhash_corpus_documents(spark, sf_dir):
+    """Incremental cross-corpus near-dup: a simulated delivery (every 10th
+    doc re-sent with three appended tokens, re-keyed +1000000) banded
+    against the kept corpus — the band equi-join runs BETWEEN the two
+    signature frames, candidates verified with exact shingle Jaccard. The
+    oracle is the exact cross-corpus all-pairs Jaccard ≥ 0.2: valid
+    because this corpus's true pair similarities are bimodal (≥ ~0.75 or
+    ≈ 0), where 32-band/2-row LSH recall is ~1 (same device as the
+    within-corpus minhash oracle)."""
+    from bid_evaluation_spark.operators.dedup import minhash_against_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    new = (docs.filter(F.col("doc_id") % 10 == 0)
+           .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                   F.concat(F.col("text"),
+                            F.lit(" incremental delivery copy"))
+                   .alias("text")))
+    res = minhash_against_corpus(new, docs, threshold=0.2,
+                                 num_perm=64, bands=32)
+    return res.select("new_id", "corpus_id", _r4("jaccard").alias("jaccard"))
+
+
+_SQL_DEDUP_MINHASH_CORPUS_DOCUMENTS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+),
+newd AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         text || ' incremental delivery copy' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+shc AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM (SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM corpus)
+),
+shn AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM (SELECT doc_id,
+          CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+               ELSE string_split_regex(trim(text), '\\s+') END AS t
+        FROM newd)
+),
+pairs AS (
+  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+    CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(n.s, c.s))) AS j
+  FROM shn n JOIN shc c ON len(n.s) > 0 AND len(c.s) > 0
+)
+SELECT new_id, corpus_id, round((j) * 10000.0) / 10000.0 AS jaccard
+FROM pairs WHERE j >= 0.2
+"""
+
+
 def _q_metrics_calibration_embeddings(spark, sf_dir):
     """Calibration / decile-lift table for a deterministic probe scorer
     (sigmoid of the first embedding component) against label >= 5:
@@ -5644,6 +5708,8 @@ _QUERIES: dict = {
                                        _SQL_METRICS_CALIBRATION_EMBEDDINGS),
     "ts_merge_intervals_events": (_q_ts_merge_intervals_events,
                                   _SQL_TS_MERGE_INTERVALS_EVENTS),
+    "dedup_minhash_corpus_documents": (_q_dedup_minhash_corpus_documents,
+                                       _SQL_DEDUP_MINHASH_CORPUS_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -732,3 +732,53 @@ def dedup_near_duplicates(df: DataFrame, pairs: DataFrame,
     drop = clusters.filter(F.col("id") != F.col("cluster_id")).select("id")
     return _track_cached(df.join(drop, df[id_col] == drop["id"], "left_anti"),
                          getattr(clusters, "_cached_deps", []))
+
+
+def minhash_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           threshold: float = 0.7, num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 3,
+                           seed: int = 42) -> DataFrame:
+    """Cross-corpus near-duplicate detection: which NEW documents
+    near-duplicate the KEPT corpus — the approximate companion to
+    :func:`dedup_against_corpus` (exact digests) for an incremental
+    corpus refresh, and the document-level sibling of shingle
+    decontamination.
+
+    Same machinery as :func:`minhash_near_duplicates`, but the band
+    equi-join runs BETWEEN the two signature frames (never within one),
+    so candidate volume scales with true cross-corpus collisions. Both
+    sides hash with the same permutations/seed — band identity is
+    bit-compatible by construction. Returns ``(new_id, corpus_id,
+    jaccard)`` for exact shingle-Jaccard ≥ threshold over LSH candidates;
+    anti-join the new batch on ``new_id`` to keep only fresh content.
+    """
+    def _sig(df, alias):
+        return (with_minhash_signature(df, text_col, num_perm, shingle_k,
+                                       seed)
+                .filter(F.size("_shingles") > 0)
+                .select(F.col(id_col).alias(alias), "_shingles", "_minhash")
+                .persist())
+
+    sig_n = _sig(new_df, "_nid")
+    sig_c = _sig(corpus_df, "_cid")
+    bs = minhash_band_structs(num_perm, bands)
+    banded_n = (sig_n.select("_nid", F.explode(bs).alias("b"))
+                .select("_nid", "b.band", "b.bh"))
+    banded_c = (sig_c.select("_cid", F.explode(bs).alias("b"))
+                .select("_cid", "b.band", "b.bh"))
+    cand = (banded_n.join(banded_c, ["band", "bh"])
+            .select("_nid", "_cid").distinct())
+    a = sig_n.select(F.col("_nid").alias("_na"),
+                     F.col("_shingles").alias("_sa"))
+    b = sig_c.select(F.col("_cid").alias("_cb"),
+                     F.col("_shingles").alias("_sb"))
+    out = (cand.join(a, F.col("_nid") == F.col("_na"))
+           .join(b, F.col("_cid") == F.col("_cb"))
+           .withColumn("jaccard", F.try_divide(
+               F.size(F.array_intersect("_sa", "_sb")),
+               F.size(F.array_union("_sa", "_sb"))).cast("double"))
+           .filter(F.col("jaccard") >= threshold)
+           .select(F.col("_nid").alias("new_id"),
+                   F.col("_cid").alias("corpus_id"), "jaccard"))
+    return _track_cached(out, [sig_n, sig_c])

@@ -76,3 +76,29 @@ def test_collocations_empty_corpus(spark):
     out = collocations(df)
     assert out.count() == 0
     assert out.columns == ["left", "right", "n_pair", "pmi"]
+
+
+def test_minhash_against_corpus(spark):
+    """Cross-corpus near-dup: a perturbed re-send is flagged against the
+    kept corpus; genuinely new text is not; the verify is exact Jaccard."""
+    from bid_evaluation_spark.operators.dedup import minhash_against_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog while the calm "
+            "river flows past the old stone bridge in the quiet valley")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely unrelated content about distributed query engines "
+             "and columnar storage formats with vectorized execution")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, base + " with one extra clause"),       # near-dup of 1
+         (101, "entirely fresh material regarding alpine weather patterns "
+               "and seasonal snowfall accumulation in high meadows")],
+        "doc_id long, text string")
+    got = minhash_against_corpus(new, corpus, threshold=0.5).collect()
+    assert [(r["new_id"], r["corpus_id"]) for r in got] == [(100, 1)]
+    assert got[0]["jaccard"] > 0.7
+    # anti-join keeps only fresh content
+    flagged = spark.createDataFrame([(r["new_id"],) for r in got], "doc_id long")
+    fresh = new.join(flagged, "doc_id", "left_anti")
+    assert [r["doc_id"] for r in fresh.collect()] == [101]
