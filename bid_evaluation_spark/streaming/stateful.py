@@ -82,7 +82,8 @@ DEDUP_STATE = "seen long"
 
 
 def streaming_dedup_filter(docs: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           state_ttl_ms: int = 0) -> DataFrame:
     """Streaming exact dedup: emit each document once, across micro-batches.
 
     Groups by content fingerprint (normalized-text hash, same key as the
@@ -94,16 +95,27 @@ def streaming_dedup_filter(docs: DataFrame, id_col: str = "doc_id",
     ``flag_only`` downstream for audit counts).
 
     Spark's built-in ``dropDuplicates`` on a stream needs a watermark to ever
-    evict and silently re-admits duplicates older than it; this keeps exact
-    forever-dedup semantics with explicitly-bounded (1 long/key) state.
+    evict and silently re-admits duplicates older than it; the default here
+    keeps exact forever-dedup semantics with explicitly-bounded (1 long/key)
+    state. On unbounded-vocabulary streams O(distinct contents) still grows
+    forever — ``state_ttl_ms > 0`` evicts fingerprints idle past the TTL
+    (processing-time timeout), trading exactness at the horizon (a
+    duplicate arriving after its fingerprint's eviction re-admits as first)
+    for hard-bounded state: the standard dedup-window contract, made
+    explicit instead of silent.
     """
     from ..operators.text import fingerprint as _fp
 
     keyed = docs.select(F.col(id_col).alias("doc_id"),
                         _fp(text_col).alias("fp"))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms > 0
+               else GroupStateTimeout.NoTimeout)
 
     def update(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
         (seen,) = state.get if state.exists else (0,)
         for pdf in pdfs:
             pdf = pdf.sort_values("doc_id")
@@ -117,10 +129,11 @@ def streaming_dedup_filter(docs: DataFrame, id_col: str = "doc_id",
                 "is_first": flags,
             })
         state.update((seen,))
+        if state_ttl_ms > 0:
+            state.setTimeoutDuration(state_ttl_ms)
 
     return keyed.groupBy("fp").applyInPandasWithState(
-        update, DEDUP_OUTPUT, DEDUP_STATE, "append",
-        GroupStateTimeout.NoTimeout,
+        update, DEDUP_OUTPUT, DEDUP_STATE, "append", timeout,
     )
 
 

@@ -158,3 +158,31 @@ def test_diff_then_upsert_reconstructs_new_snapshot(spark):
     rebuilt = apply_upsert(old, updates, ["k"], delete_col="_dead")
     assert sorted(tuple(r) for r in rebuilt.collect()) \
         == sorted(tuple(r) for r in new.collect())
+
+
+def test_streaming_dedup_ttl_evicts_idle_fingerprints(spark, tmp_path):
+    """With state_ttl_ms, a fingerprint idle past the TTL is evicted on a
+    later trigger, so its next occurrence re-admits as first — bounded
+    state traded for exactness at the horizon (documented contract)."""
+    import time as _time
+
+    from bid_evaluation_spark.streaming.stateful import streaming_dedup_filter
+
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame([(1, "hello world content")], schema)
+    b2 = spark.createDataFrame([(2, "unrelated filler text")], schema)
+    b3 = spark.createDataFrame([(3, "hello world content")], schema)
+    src = str(tmp_path / "ttl_stream")
+    for i, b in enumerate((b1, b2, b3)):
+        b.coalesce(1).write.parquet(f"{src}/batch={i}")
+        _time.sleep(1.1)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_dedup_filter(stream, state_ttl_ms=100)
+         .writeStream.format("memory").queryName("ttl_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["is_first"]
+            for r in spark.sql("SELECT * FROM ttl_smoke").collect()}
+    # doc 3 re-admits as first: its fingerprint was evicted during batch 2
+    assert rows == {1: True, 2: True, 3: True}
