@@ -4962,6 +4962,95 @@ FROM (
 """
 
 
+def _q_analytics_weighted_median_lineitem(spark, sf_dir):
+    """Quantity-weighted price quantiles per return flag (the
+    token-weighted median-length question in TPC-H clothes): one
+    group-keyed window pass for the running weight sum, one grouped agg.
+    Tie runs cannot change the selected value (the crossing test reads
+    the run-end cumulative weight), so no rounding is needed on the
+    selection — output values are exact input values."""
+    from bid_evaluation_spark.operators.analytics import (
+        weighted_quantile_by_group)
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = weighted_quantile_by_group(li, "l_returnflag", "l_extendedprice",
+                                     "l_quantity", quantiles=(0.25, 0.5, 0.9))
+    return res.select("l_returnflag",
+                      _r4("wq_0_25").alias("wq25"),
+                      _r4("wq_0_5").alias("wq50"),
+                      _r4("wq_0_9").alias("wq90"))
+
+
+_SQL_ANALYTICS_WEIGHTED_MEDIAN_LINEITEM = """
+WITH base AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(l_quantity AS DOUBLE) AS w
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_quantity >= 0
+),
+marked AS (
+  SELECT l_returnflag, v,
+    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM base
+)
+SELECT l_returnflag,
+  round(min(CASE WHEN cum >= CAST(0.25 AS DOUBLE) * tot THEN v END)
+        * 10000.0) / 10000.0 AS wq25,
+  round(min(CASE WHEN cum >= CAST(0.5 AS DOUBLE) * tot THEN v END)
+        * 10000.0) / 10000.0 AS wq50,
+  round(min(CASE WHEN cum >= CAST(0.9 AS DOUBLE) * tot THEN v END)
+        * 10000.0) / 10000.0 AS wq90
+FROM marked GROUP BY l_returnflag
+"""
+
+
+def _q_er_supplier_entities(spark, sf_dir):
+    """Entity resolution end-to-end: exact edit-distance blocking
+    (q-gram count filter + length windows, no all-pairs step) feeds
+    min-label connected components — (supplier, canonical entity id) for
+    every supplier in a ≥2-member cluster. Composition of two
+    independently-oracled operators; the oracle here re-derives the
+    whole thing from all-pairs levenshtein + a recursive transitive
+    closure, so the hash match checks blocking exactness AND the
+    clustering fixpoint together."""
+    from bid_evaluation_spark.operators.dedup import near_duplicate_clusters
+    from bid_evaluation_spark.operators.fuzzy import fuzzy_join
+
+    sup = _t(spark, sf_dir, "supplier")
+    pairs = (fuzzy_join(sup, sup, "s_name", "s_suppkey", "s_suppkey",
+                        max_dist=1)
+             .filter(F.col("l_id") < F.col("r_id"))
+             .select(F.col("l_id").alias("a_id"),
+                     F.col("r_id").alias("b_id")))
+    clusters = near_duplicate_clusters(pairs)
+    return clusters.select(F.col("id").cast("long").alias("s_suppkey"),
+                           F.col("cluster_id").cast("long").alias("entity_id"))
+
+
+_SQL_ER_SUPPLIER_ENTITIES = """
+WITH RECURSIVE sup AS (
+  SELECT s_suppkey, s_name FROM supplier WHERE s_name IS NOT NULL
+),
+pairs AS (
+  SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id
+  FROM sup a JOIN sup b ON a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.s_name, b.s_name) <= 1
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, lab) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src
+)
+SELECT id AS s_suppkey, CAST(min(lab) AS BIGINT) AS entity_id
+FROM reach GROUP BY id
+"""
+
+
 def _q_dedup_minhash_corpus_documents(spark, sf_dir):
     """Incremental cross-corpus near-dup: a simulated delivery (every 10th
     doc re-sent with three appended tokens, re-keyed +1000000) banded
@@ -5710,6 +5799,11 @@ _QUERIES: dict = {
                                   _SQL_TS_MERGE_INTERVALS_EVENTS),
     "dedup_minhash_corpus_documents": (_q_dedup_minhash_corpus_documents,
                                        _SQL_DEDUP_MINHASH_CORPUS_DOCUMENTS),
+    "er_supplier_entities": (_q_er_supplier_entities,
+                             _SQL_ER_SUPPLIER_ENTITIES),
+    "analytics_weighted_median_lineitem": (
+        _q_analytics_weighted_median_lineitem,
+        _SQL_ANALYTICS_WEIGHTED_MEDIAN_LINEITEM),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -30,7 +30,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -204,3 +204,43 @@ def grouped_linear_fit(df: DataFrame, group_col: str, x_col: str,
     return (base.groupBy(group_col)
             .agg(n.cast("long").alias("n"), slope.alias("slope"),
                  intercept.alias("intercept"), r2.alias("r2")))
+
+
+def weighted_quantile_by_group(df: DataFrame, group_col: str,
+                               value_col: str, weight_col: str,
+                               quantiles: Sequence[float] = (0.5,)
+                               ) -> DataFrame:
+    """Per-group weighted quantiles: for each ``q``, the smallest value
+    whose cumulative weight share reaches ``q`` (the token-weighted
+    median-document-length question). Returns ``(group_col, wq_<q>...)``
+    with one column per requested quantile.
+
+    One group-keyed window pass (running weight sum over values ascending)
+    + one grouped agg. Deterministic under value ties: the crossing
+    decision only reads the cumulative weight at the END of a tie run, so
+    tie order cannot change which value is selected. Rows with null value
+    or null/negative weight are excluded; zero-total groups yield nulls.
+    """
+    qs = list(quantiles)
+    if not qs or any(not 0 < q <= 1 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    v = F.col(value_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    base = df.filter(v.isNotNull() & wt.isNotNull() & (wt >= 0))
+    w_run = (Window.partitionBy(group_col).orderBy(v)
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy(group_col)
+    cum = F.sum(wt).over(w_run)
+    tot = F.sum(wt).over(w_all)
+    marked = base.select(
+        group_col, v.alias("_v"), tot.alias("_t"),
+        *[(cum >= F.lit(q) * tot).alias(f"_c{i}")
+          for i, q in enumerate(qs)])
+    aggs = []
+    for i, q in enumerate(qs):
+        name = f"wq_{str(q).replace('.', '_')}"
+        aggs.append(
+            F.when(F.max("_t") > 0,
+                   F.min(F.when(F.col(f"_c{i}"), F.col("_v"))))
+            .alias(name))
+    return marked.groupBy(group_col).agg(*aggs)

@@ -251,3 +251,43 @@ class TestGroupedLinearFit:
             "g string, x double, y double")
         row = grouped_linear_fit(df, "g", "x", "y").collect()[0]
         assert row["n"] == 2 and row["slope"] == pytest.approx(2.0)
+
+
+class TestWeightedQuantile:
+    def test_vs_numpy_reference(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            weighted_quantile_by_group)
+
+        rng = random.Random(19)
+        rows = [("g", float(rng.randint(0, 100)), float(rng.randint(1, 9)))
+                for _ in range(300)]
+        rows += [("z", 5.0, 0.0)]          # zero-total group -> nulls
+        df = spark.createDataFrame(rows, "g string, v double, w double")
+        got = {r["g"]: r for r in weighted_quantile_by_group(
+            df, "g", "v", "w", quantiles=(0.25, 0.5, 0.9)).collect()}
+
+        def ref(pairs, q):
+            pairs = sorted(pairs)
+            tot = sum(w for _, w in pairs)
+            cum = 0.0
+            for v, w in pairs:
+                cum += w
+                if cum >= q * tot:
+                    return v
+        pairs = [(v, w) for g, v, w in rows if g == "g"]
+        for q, col in ((0.25, "wq_0_25"), (0.5, "wq_0_5"), (0.9, "wq_0_9")):
+            assert got["g"][col] == ref(pairs, q), q
+        assert got["z"]["wq_0_5"] is None
+
+    def test_ties_and_validation(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            weighted_quantile_by_group)
+
+        # heavy tie run at the crossing value
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0)] + [("g", 2.0, 1.0)] * 5 + [("g", 9.0, 1.0)],
+            "g string, v double, w double")
+        row = weighted_quantile_by_group(df, "g", "v", "w").collect()[0]
+        assert row["wq_0_5"] == 2.0
+        with pytest.raises(ValueError, match="quantiles"):
+            weighted_quantile_by_group(df, "g", "v", "w", quantiles=(0.0,))
