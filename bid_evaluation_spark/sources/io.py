@@ -188,3 +188,36 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols,
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a (bucketed) table registered in the session catalog."""
     return spark.table(table)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """CSV source with an EXPLICIT schema (header on). At corpus scale
+    schema inference is a full extra pass over the data — callers supply
+    the DDL string; malformed rows null out (PERMISSIVE), matching
+    Spark's default contract."""
+    return spark.read.option("header", True).schema(schema).csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of most LLM-data tooling
+    (one JSON object per line, distributed write, splittable reads)."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """JSON-lines source with an EXPLICIT schema (same no-inference-pass
+    rationale as :func:`read_csv`; inference on JSON additionally
+    type-widens inconsistently across files)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — second columnar format (built into Spark), same
+    pushdown/pruning story as parquet for ORC-standardized estates."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — columnar, with predicate pushdown and column pruning
+    (self-describing schema; no inference pass needed)."""
+    return spark.read.orc(path)

@@ -213,3 +213,59 @@ def test_write_training_shards_contiguous_ordered(spark, tmp_path):
     assert all(spans[i][1] < spans[i + 1][0] for i in range(len(spans) - 1))
     with pytest.raises(ValueError, match="n_shards"):
         write_training_shards(docs, out, 0, pos_col="doc_id")
+
+
+class TestFormatRoundtrips:
+    SCHEMA = "id long, name string, score double"
+
+    def _frame(self, spark):
+        return spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", None), (3, None, -2.25)], self.SCHEMA)
+
+    def test_csv_roundtrip_explicit_schema(self, spark, tmp_path):
+        from bid_evaluation_spark.sources.io import read_csv, write_csv
+
+        p = str(tmp_path / "csv")
+        df = self._frame(spark)
+        write_csv(df, p)
+        back = read_csv(spark, p, self.SCHEMA)
+        assert back.schema == df.schema
+        assert sorted(map(tuple, back.collect())) \
+            == sorted(map(tuple, df.collect()))
+
+    def test_jsonl_roundtrip(self, spark, tmp_path):
+        from bid_evaluation_spark.sources.io import read_jsonl, write_jsonl
+
+        p = str(tmp_path / "jsonl")
+        df = self._frame(spark)
+        write_jsonl(df, p)
+        back = read_jsonl(spark, p, self.SCHEMA)
+        assert back.schema == df.schema
+        # JSON omits null fields on write; explicit schema restores them
+        assert sorted(map(tuple, back.collect())) \
+            == sorted(map(tuple, df.collect()))
+
+    def test_orc_roundtrip_with_pushdown(self, spark, tmp_path):
+        from bid_evaluation_spark.sources.io import read_orc, write_orc
+
+        p = str(tmp_path / "orc")
+        df = self._frame(spark)
+        write_orc(df, p)
+        back = read_orc(spark, p).filter(F.col("id") > 1).select("id", "score")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(id), GreaterThan(id,1)]" in plan
+        assert sorted(r["id"] for r in back.collect()) == [2, 3]
+
+    def test_partitioned_write_prunes(self, spark, tmp_path):
+        from bid_evaluation_spark.sources.io import write_parquet
+
+        p = str(tmp_path / "part")
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], float(i)) for i in range(20)],
+            "id long, shard string, v double")
+        write_parquet(df, p, partition_by=["shard"])
+        back = spark.read.parquet(p).filter(F.col("shard") == "a")
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        # the partition predicate must hit the file index, not a row filter
+        assert "PartitionFilters: [isnotnull(shard" in plan
+        assert back.count() == 10
