@@ -4962,6 +4962,41 @@ FROM (
 """
 
 
+def _q_events_sessionize_capped(spark, sf_dir):
+    """Gap + max-duration sessionization (split after 30 min idle OR 4000 s
+    since session start). The cap makes assignment inherently sequential —
+    one Arrow kernel per key over (key, epoch, tiebreak) triples; the
+    oracle replays the exact recurrence as a DuckDB RECURSIVE CTE stepping
+    event-by-event per user, so even this non-window operator carries a
+    full value oracle."""
+    from bid_evaluation_spark.streaming.events import sessionize_capped
+
+    ev = _t(spark, sf_dir, "events")
+    res = sessionize_capped(ev, gap_seconds=1800, max_session_seconds=4000)
+    return res.select("user_id", "event_id", "session_id")
+
+
+_SQL_EVENTS_SESSIONIZE_CAPPED = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, CAST(epoch(ts) AS DOUBLE) AS t,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE ts IS NOT NULL
+),
+r(user_id, i, event_id, t, sess, start_t) AS (
+  SELECT user_id, i, event_id, t, 1, t FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.event_id, e.t,
+    CASE WHEN e.t - r.t > 1800 OR e.t - r.start_t > 4000
+         THEN r.sess + 1 ELSE r.sess END,
+    CASE WHEN e.t - r.t > 1800 OR e.t - r.start_t > 4000
+         THEN e.t ELSE r.start_t END
+  FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i + 1
+)
+SELECT user_id, event_id, CAST(sess AS BIGINT) AS session_id FROM r
+"""
+
+
 def _q_analytics_weighted_median_lineitem(spark, sf_dir):
     """Quantity-weighted price quantiles per return flag (the
     token-weighted median-length question in TPC-H clothes): one
@@ -5804,6 +5839,8 @@ _QUERIES: dict = {
     "analytics_weighted_median_lineitem": (
         _q_analytics_weighted_median_lineitem,
         _SQL_ANALYTICS_WEIGHTED_MEDIAN_LINEITEM),
+    "events_sessionize_capped": (_q_events_sessionize_capped,
+                                 _SQL_EVENTS_SESSIONIZE_CAPPED),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

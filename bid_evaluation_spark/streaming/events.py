@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -193,3 +195,56 @@ def session_funnel(events: DataFrame, stages: Sequence[str] = ("view", "click", 
     out = [(i + 1, s, int(row[f"_d{i}"] or 0)) for i, s in enumerate(stages)]
     return events.sparkSession.createDataFrame(
         out, "depth int, stage string, n_sessions long")
+
+
+def sessionize_capped(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", tiebreak_col: str = "event_id",
+                      gap_seconds: int = 1800,
+                      max_session_seconds: int = 14400) -> DataFrame:
+    """Sessionization with BOTH an inactivity gap and a max-duration cap:
+    a new session starts when the gap from the previous event exceeds
+    ``gap_seconds`` OR the event sits more than ``max_session_seconds``
+    after its session's FIRST event (the real-world "split after 24 h"
+    rule analytics warehouses apply).
+
+    Unlike the pure-gap rule (a lag/cumsum window — :func:`sessionize`),
+    the cap makes assignment inherently sequential: whether an event
+    opens a session depends on where the previous session STARTED, which
+    itself depends on every assignment before it. No fixed-depth window
+    expresses that, so this runs as one Arrow kernel per key
+    (``applyInPandas``) over (key, epoch, tiebreak) triples only — the
+    same per-key-history contract as ordered feature generation; a key's
+    events serialize within its partition. Returns
+    ``(key_col, tiebreak_col, session_id)`` with 1-based per-key ids.
+    """
+    prepared = events.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+    ).filter(F.col("_ts").isNotNull())
+
+    gap, cap = float(gap_seconds), float(max_session_seconds)
+
+    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_tb"])
+        out = []
+        sess = 0
+        prev_ts = None
+        start_ts = None
+        for t in pdf["_ts"].to_numpy():
+            if (prev_ts is None or t - prev_ts > gap
+                    or t - start_ts > cap):
+                sess += 1
+                start_ts = t
+            out.append(sess)
+            prev_ts = t
+        pdf = pdf.copy()
+        pdf["session_id"] = out
+        return pdf
+
+    tb_type = dict(prepared.dtypes)["_tb"]
+    res = prepared.groupBy("_k").applyInPandas(
+        assign, f"_k {dict(prepared.dtypes)['_k']}, _ts double, "
+                f"_tb {tb_type}, session_id long")
+    return res.select(F.col("_k").alias(key_col),
+                      F.col("_tb").alias(tiebreak_col), "session_id")

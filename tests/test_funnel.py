@@ -138,3 +138,39 @@ def test_event_sequences_order_and_cap(spark):
     capped = {r["user_id"]: r["seq"]
               for r in event_sequences(df, max_len=2).collect()}
     assert capped[1] == "a,b"
+
+
+def test_sessionize_capped(spark):
+    """Gap + cap splits vs a pure-python replay of the recurrence; cap=inf
+    degenerates to pure-gap sessionization."""
+    from bid_evaluation_spark.streaming.events import sessionize_capped
+
+    rows = []
+    # user A: burst every 100s for 10 events (gap never trips; cap 450 does)
+    rows += [(1, i, 1000.0 + 100 * i) for i in range(10)]
+    # user B: two gap-split bursts
+    rows += [(2, 100, 0.0), (2, 101, 50.0), (2, 102, 5000.0)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts double")
+
+    def ref(ts_list, gap, cap):
+        out, sess, prev, start = [], 0, None, None
+        for t in sorted(ts_list):
+            if prev is None or t - prev > gap or t - start > cap:
+                sess += 1
+                start = t
+            out.append(sess)
+            prev = t
+        return out
+
+    got = {(r["user_id"], r["event_id"]): r["session_id"]
+           for r in sessionize_capped(df, gap_seconds=1000,
+                                      max_session_seconds=450).collect()}
+    a_ts = [1000.0 + 100 * i for i in range(10)]
+    for i, s in enumerate(ref(a_ts, 1000, 450)):
+        assert got[(1, i)] == s
+    assert [got[(2, e)] for e in (100, 101, 102)] == [1, 1, 2]
+    # cap=inf == pure gap rule
+    got_inf = {(r["user_id"], r["event_id"]): r["session_id"]
+               for r in sessionize_capped(df, gap_seconds=1000,
+                                          max_session_seconds=10**9).collect()}
+    assert all(s == 1 for (u, e), s in got_inf.items() if u == 1)
