@@ -727,6 +727,46 @@ def _concurrency_plan(spark, sf_dir):
     return probs
 
 
+@check("zorder + weighted quantile + interval merge: single-exchange shapes, codegen key")
+def _layout_wq_merge_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.analytics import (
+        weighted_quantile_by_group)
+    from bid_evaluation_spark.operators.layout import (
+        cluster_by_zorder, zorder_key)
+    from bid_evaluation_spark.operators.timeseries import merge_intervals
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    od = load_table(spark, sf_dir, "orders")
+    zp = plan_of(zorder_key(od, ["o_totalprice", "o_custkey"], bits=8))
+    if "BatchEvalPython" in zp or "MapInPandas" in zp:
+        probs.append("zorder key fell out of JVM codegen into Python")
+    if "Exchange" in zp:
+        probs.append("zorder key computation should be map-only")
+    cp = plan_of(cluster_by_zorder(od, ["o_totalprice", "o_custkey"], 8,
+                                   bits=8))
+    if cp.count("Exchange") != 1:
+        probs.append("clustering rewrite should be exactly ONE range "
+                     f"exchange, got {cp.count('Exchange')}")
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = plan_of(weighted_quantile_by_group(
+        li, "l_returnflag", "l_extendedprice", "l_quantity"))
+    if wq.count("Exchange") != 1:
+        probs.append("weighted quantile should reuse one group exchange, "
+                     f"got {wq.count('Exchange')}")
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select("user_id", "event_id",
+                   F.col("ts").cast("double").alias("s"),
+                   (F.col("ts").cast("double") + 3600.0).alias("e"))
+    mp = plan_of(merge_intervals(iv, "user_id", "s", "e", "event_id"))
+    if "Join" in mp:
+        probs.append("interval merge plans a self-join it does not need")
+    if mp.count("Exchange") != 1:
+        probs.append("interval merge should be one key exchange, got "
+                     f"{mp.count('Exchange')}")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
