@@ -329,3 +329,56 @@ def streaming_latest_by_key(updates: DataFrame, key_col: str = "user_id",
         update, LATEST_OUTPUT, LATEST_STATE, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT = "key long, tiebreak long, session_id long"
+SESSION_STATE = "sess long, prev_ts double, start_ts double"
+
+
+def streaming_sessionize_capped(events: DataFrame, key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                tiebreak_col: str = "event_id",
+                                gap_seconds: float = 1800.0,
+                                max_session_seconds: float = 14400.0
+                                ) -> DataFrame:
+    """Streaming twin of ``events.sessionize_capped``: per-key session ids
+    assigned across micro-batches with three numbers of state (current
+    session counter, previous event time, session start time).
+
+    Ordering contract: events are processed in (ts, tiebreak) order WITHIN
+    each micro-batch; across batches the recurrence consumes arrival
+    order — an event arriving out of order after its session's horizon
+    starts a new session, exactly like every watermark-less streaming
+    sessionizer. (For late-data tolerance use the windowed
+    ``session_window`` aggregation instead; this operator exists for the
+    CAP rule, which session_window cannot express.)
+    """
+    gap, cap = float(gap_seconds), float(max_session_seconds)
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    ).filter(F.col("_ts").isNotNull())
+
+    def update(key, pdfs, state: GroupState):
+        sess, prev_ts, start_ts = (state.get if state.exists
+                                   else (0, None, None))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["_ts", "_tb"])
+            ids = []
+            for t in pdf["_ts"].to_numpy():
+                t = float(t)
+                if (prev_ts is None or t - prev_ts > gap
+                        or t - start_ts > cap):
+                    sess += 1
+                    start_ts = t
+                ids.append(sess)
+                prev_ts = t
+            yield pd.DataFrame({"key": key[0], "tiebreak": pdf["_tb"],
+                                "session_id": ids})
+        state.update((sess, prev_ts, start_ts))
+
+    return prepared.groupBy("_k").applyInPandasWithState(
+        update, SESSION_OUTPUT, SESSION_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -174,3 +174,41 @@ def test_sessionize_capped(spark):
                for r in sessionize_capped(df, gap_seconds=1000,
                                           max_session_seconds=10**9).collect()}
     assert all(s == 1 for (u, e), s in got_inf.items() if u == 1)
+
+
+def test_streaming_sessionize_capped_matches_batch(spark, tmp_path):
+    """The streaming twin must assign the same session ids as the batch
+    operator when batches arrive in order — state carries the recurrence
+    across the batch boundary."""
+    import time as _time
+
+    from bid_evaluation_spark.streaming.events import sessionize_capped
+    from bid_evaluation_spark.streaming.stateful import (
+        streaming_sessionize_capped)
+
+    schema = "user_id long, event_id long, ts double"
+    all_rows = ([(1, i, 1000.0 + 100 * i) for i in range(6)]      # cap splits
+                + [(2, 50, 0.0), (2, 51, 9000.0)])                # gap split
+    # cross-batch order matters (the recurrence consumes arrival order),
+    # so split batches at a time cut: batch 1 strictly precedes batch 2
+    cut = 1250.0
+    batch1 = [r for r in all_rows if r[2] <= cut]
+    batch2 = [r for r in all_rows if r[2] > cut]
+    src = str(tmp_path / "sess_stream")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(f"{src}/batch=0")
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(f"{src}/batch=1")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_sessionize_capped(stream, gap_seconds=1000,
+                                     max_session_seconds=450)
+         .writeStream.format("memory").queryName("sess_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["key"], r["tiebreak"]): r["session_id"]
+           for r in spark.sql("SELECT * FROM sess_smoke").collect()}
+    batch_df = spark.createDataFrame(all_rows, schema)
+    want = {(r["user_id"], r["event_id"]): r["session_id"]
+            for r in sessionize_capped(batch_df, gap_seconds=1000,
+                                       max_session_seconds=450).collect()}
+    assert got == want
