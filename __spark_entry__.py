@@ -4962,6 +4962,58 @@ FROM (
 """
 
 
+def _q_sketch_cms_by_group_documents(spark, sf_dir):
+    """Per-language heavy hitters through a per-group count-min sketch
+    (cells bounded at groups × depth × width, partial agg map-side;
+    candidate estimates via the cell equi-join; top-5 per group by a
+    group-partitioned row_number). est ≥ exact always — both ride in the
+    checked row."""
+    from bid_evaluation_spark.operators.sketch import cms_topk_by_group
+
+    docs = _t(spark, sf_dir, "documents")
+    res = cms_topk_by_group(docs, "lang", "text", k=5, with_exact=True)
+    return res.select("lang", "token", "est",
+                      F.col("exact").cast("long").alias("exact"))
+
+
+_SQL_SKETCH_CMS_BY_GROUP_DOCUMENTS = """
+WITH tok AS (
+  SELECT lang,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(lower(text)) != ''
+),
+js AS (SELECT unnest(generate_series(0, 3)) AS j),
+cells AS (
+  SELECT lang, j.j AS row,
+         CAST(('0x' || substr(md5(tok || 'cms' || CAST(j.j AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 1024 AS bucket,
+         count(*) AS cnt
+  FROM tok CROSS JOIN js j
+  GROUP BY 1, 2, 3
+),
+cand AS (SELECT DISTINCT lang, tok FROM tok),
+est AS (
+  SELECT c.lang, c.tok AS token, min(coalesce(s.cnt, 0)) AS est
+  FROM cand c CROSS JOIN js j
+  LEFT JOIN cells s
+    ON s.lang = c.lang AND s.row = j.j
+   AND s.bucket = CAST(('0x' || substr(md5(c.tok || 'cms'
+                       || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % 1024
+  GROUP BY 1, 2
+),
+exact AS (SELECT lang, tok AS token, count(*) AS exact
+          FROM tok GROUP BY 1, 2),
+ranked AS (
+  SELECT e.lang, e.token, CAST(e.est AS BIGINT) AS est,
+         CAST(x.exact AS BIGINT) AS exact,
+         row_number() OVER (PARTITION BY e.lang
+                            ORDER BY e.est DESC, e.token ASC) AS rn
+  FROM est e JOIN exact x ON e.lang = x.lang AND e.token = x.token
+)
+SELECT lang, token, est, exact FROM ranked WHERE rn <= 5
+"""
+
+
 def _q_events_sessionize_capped(spark, sf_dir):
     """Gap + max-duration sessionization (split after 30 min idle OR 4000 s
     since session start). The cap makes assignment inherently sequential —
@@ -5841,6 +5893,8 @@ _QUERIES: dict = {
         _SQL_ANALYTICS_WEIGHTED_MEDIAN_LINEITEM),
     "events_sessionize_capped": (_q_events_sessionize_capped,
                                  _SQL_EVENTS_SESSIONIZE_CAPPED),
+    "sketch_cms_by_group_documents": (_q_sketch_cms_by_group_documents,
+                                      _SQL_SKETCH_CMS_BY_GROUP_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

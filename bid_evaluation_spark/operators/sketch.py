@@ -235,3 +235,43 @@ def hll_distinct_by_group(df: DataFrame, group_col: str, key_col: str,
     return agg.select(group_col, est.alias("estimate"),
                       F.lit(m).cast("long").alias("m"),
                       zero.alias("zero_registers"))
+
+
+def cms_topk_by_group(df: DataFrame, group_col: str, text_col: str = "text",
+                      k: int = 10, depth: int = 4, width: int = 1024,
+                      seed: str = "cms", lowercase: bool = True,
+                      with_exact: bool = False) -> DataFrame:
+    """Heavy hitters PER GROUP over the token stream — the grouped twin of
+    :func:`cms_topk`: one count-min sketch per group (cells bounded at
+    groups × depth × width with map-side partial aggregation), candidate
+    tokens estimated via the cell equi-join, top ``k`` per group by
+    ``(est desc, token asc)`` through a group-partitioned row_number (no
+    global sort). Same deterministic md5 hashing as the global sketch, so
+    an engine-independent oracle replays every cell."""
+    from pyspark.sql import Window
+
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(F.col(group_col), F.explode(tokens(text)).alias("_tok"))
+    key = F.coalesce(F.col("_tok").cast("string"), F.lit("\x00null"))
+    buckets = F.array(*[(_h60(key, f"{seed}{j}") % width)
+                        for j in range(depth)])
+    sketch = (toks.select(group_col, F.posexplode(buckets)
+                          .alias("row", "bucket"))
+              .groupBy(group_col, "row", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    cand = toks.distinct()
+    probes = cand.select(group_col, "_tok",
+                         F.posexplode(buckets).alias("row", "bucket"))
+    est = (probes.join(sketch, on=[group_col, "row", "bucket"], how="left")
+           .groupBy(group_col, "_tok")
+           .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                .cast("long").alias("est")))
+    if with_exact:
+        exact = (toks.groupBy(group_col, "_tok")
+                 .agg(F.count(F.lit(1)).alias("exact")))
+        est = est.join(exact, on=[group_col, "_tok"])
+    w = (Window.partitionBy(group_col)
+         .orderBy(F.desc("est"), F.asc("_tok")))
+    return (est.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn")
+            .withColumnRenamed("_tok", "token"))

@@ -138,3 +138,26 @@ def test_hll_by_group_matches_per_group_global(spark):
         # sanity: estimate lands near the true distinct count
         exact = sub.select("k").distinct().count()
         assert abs(grouped[g]["estimate"] - exact) / exact < 0.35
+
+
+def test_cms_topk_by_group_matches_per_group_global(spark):
+    """Grouped CMS top-k must equal the global cms_topk run on each
+    group's subset (same cells, same estimates, same ranking)."""
+    from bid_evaluation_spark.operators.sketch import (
+        cms_topk, cms_topk_by_group)
+
+    rows = [("g0", "alpha beta alpha gamma alpha beta"),
+            ("g0", "beta delta beta"),
+            ("g1", "zeta zeta eta theta zeta eta")]
+    df = spark.createDataFrame(rows, "g string, text string")
+    grouped = {}
+    for r in cms_topk_by_group(df, "g", "text", k=3,
+                               with_exact=True).collect():
+        grouped.setdefault(r["g"], []).append(
+            (r["token"], r["est"], r["exact"]))
+    for g in ("g0", "g1"):
+        sub = df.filter(F.col("g") == g)
+        ref = [(r["token"], r["est"], r["exact"])
+               for r in cms_topk(sub, "text", k=3, with_exact=True).collect()]
+        assert grouped[g] == ref, g
+    assert grouped["g0"][0] == ("beta", 4, 4)   # est == exact (no collision)
