@@ -202,3 +202,68 @@ def test_nb_duplication_equivalence_with_scaled_smoothing(spark, texts,
         assert base[i]["pred_label"] == duped[i]["pred_label"]
         assert math.isclose(base[i]["pred_logp"], duped[i]["pred_logp"],
                             rel_tol=1e-9, abs_tol=1e-9)
+
+
+# --- decision analytics & CDC invariants (this round's operators) ---------
+
+pts_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12),
+              st.integers(min_value=0, max_value=12)),
+    min_size=1, max_size=24)
+
+
+@SET
+@given(pts=pts_lists)
+def test_pareto_frontier_permutation_and_duplication_invariant(spark, pts):
+    """The frontier SET is invariant under row order; duplicating every
+    point keeps exactly the frontier values (each duplicated)."""
+    from bid_evaluation_spark.operators.analytics import pareto_frontier_2d
+
+    def frontier_vals(rows):
+        df = spark.createDataFrame(
+            [(i, float(x), y) for i, (x, y) in enumerate(rows)],
+            "id long, x double, y long")
+        return sorted((r["x"], r["y"]) for r in
+                      pareto_frontier_2d(df, "x", "y", buckets=3).collect())
+
+    base = frontier_vals(pts)
+    assert frontier_vals(list(reversed(pts))) == base
+    doubled = frontier_vals(pts + pts)
+    assert doubled == sorted(base + base)
+
+
+@SET
+@given(vals=st.lists(st.integers(min_value=0, max_value=1000),
+                     min_size=2, max_size=20),
+       c=st.integers(min_value=1, max_value=9))
+def test_gini_scale_invariant(spark, vals, c):
+    """Gini is scale-invariant: gini(c·x) == gini(x)."""
+    from bid_evaluation_spark.operators.analytics import gini_by_group
+
+    def g(xs):
+        df = spark.createDataFrame([("g", float(v)) for v in xs],
+                                   "g string, v double")
+        return gini_by_group(df, "g", "v").collect()[0]["gini"]
+
+    a, b = g(vals), g([v * c for v in vals])
+    if a is None:
+        assert b is None
+    else:
+        assert abs(a - b) < 1e-9
+
+
+@SET
+@given(snap=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 99)),
+                     min_size=0, max_size=12, unique_by=lambda t: t[0]),
+       upd=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 99)),
+                    min_size=0, max_size=12, unique_by=lambda t: t[0]))
+def test_upsert_idempotent(spark, snap, upd):
+    """Applying the same update batch twice equals applying it once."""
+    from bid_evaluation_spark.operators.cdc import apply_upsert
+
+    s = spark.createDataFrame(snap or [(999999, 0)], "k long, v long")
+    u = spark.createDataFrame(upd or [(999998, 0)], "k long, v long")
+    once = apply_upsert(s, u, ["k"])
+    twice = apply_upsert(once, u, ["k"])
+    assert sorted(map(tuple, once.collect())) \
+        == sorted(map(tuple, twice.collect()))
