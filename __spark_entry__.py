@@ -4962,6 +4962,70 @@ FROM (
 """
 
 
+def _q_graph_triangles_events(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficients over the
+    user co-occurrence graph (users sharing an (event_type, hour) cell).
+    Degree-ordered orientation bounds the wedge join's fan-out by
+    O(sqrt(m)) on any graph — the celebrity-node guard — so the plan is
+    three equi-joins + aggregations, no cartesian. The oracle recounts
+    triangles with the canonical u<v<w triple join."""
+    from bid_evaluation_spark.operators.graph import triangle_counts
+
+    ev = _t(spark, sf_dir, "events")
+    co = (ev.select("event_type",
+                    F.floor(F.col("ts").cast("double") / 3600)
+                    .cast("long").alias("hr"), "user_id")
+          .distinct())
+    a, b = co.alias("a"), co.alias("b")
+    edges = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
+                    & (F.col("a.hr") == F.col("b.hr"))
+                    & (F.col("a.user_id") < F.col("b.user_id")))
+             .select(F.col("a.user_id").alias("u"),
+                     F.col("b.user_id").alias("v"))
+             .distinct())
+    res = triangle_counts(edges, "u", "v")
+    return res.select("node", "degree", "triangles",
+                      _r4("clustering_coeff").alias("clustering_coeff"))
+
+
+_SQL_GRAPH_TRIANGLES_EVENTS = """
+WITH co AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, user_id
+  FROM events
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM co a JOIN co b
+    ON a.event_type = b.event_type AND a.hr = b.hr
+   AND a.user_id < b.user_id
+),
+deg AS (
+  SELECT n, count(*) AS deg FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY n
+),
+tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.v
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per AS (
+  SELECT n, count(*) AS triangles FROM (
+    SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+    UNION ALL SELECT z AS n FROM tri
+  ) GROUP BY n
+)
+SELECT d.n AS node, d.deg AS degree,
+  CAST(coalesce(p.triangles, 0) AS BIGINT) AS triangles,
+  CASE WHEN d.deg >= 2 THEN
+    round(2.0 * coalesce(p.triangles, 0) / (d.deg * (d.deg - 1))
+          * 10000.0) / 10000.0 END AS clustering_coeff
+FROM deg d LEFT JOIN per p ON d.n = p.n
+"""
+
+
 def _q_sketch_cms_by_group_documents(spark, sf_dir):
     """Per-language heavy hitters through a per-group count-min sketch
     (cells bounded at groups × depth × width, partial agg map-side;
@@ -5895,6 +5959,8 @@ _QUERIES: dict = {
                                  _SQL_EVENTS_SESSIONIZE_CAPPED),
     "sketch_cms_by_group_documents": (_q_sketch_cms_by_group_documents,
                                       _SQL_SKETCH_CMS_BY_GROUP_DOCUMENTS),
+    "graph_triangles_events": (_q_graph_triangles_events,
+                               _SQL_GRAPH_TRIANGLES_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

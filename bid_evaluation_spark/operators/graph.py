@@ -104,3 +104,67 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     outw.unpersist()
     norm_e.unpersist()
     return ranks
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b"
+                    ) -> DataFrame:
+    """Per-node triangle counts and local clustering coefficients over an
+    undirected simple graph (``(a, b)`` pairs; direction/duplicates/self
+    -loops are normalized away first).
+
+    The classic degree-ordered algorithm, join-shaped: orient every edge
+    from its lower-(degree, id) endpoint to the higher one, join oriented
+    edges with themselves on the wedge midpoint, then verify the closing
+    edge with one more equi-join. Degree orientation bounds each node's
+    out-degree by O(sqrt(m)) on any graph (arboricity bound), so the
+    wedge join's fan-out — the term that explodes on celebrity nodes in
+    the naive formulation — stays polynomial-free at scale. Three
+    equi-joins + aggregations, no cartesian.
+
+    Returns ``(node, degree, triangles, clustering_coeff)`` for every
+    node with at least one edge (coefficient null when degree < 2).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = (edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+           .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+           .distinct()
+           .persist())
+    deg = (und.select(F.col("u").alias("n"))
+           .unionAll(und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+           .persist())
+
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    keyed = und.join(du, "u").join(dv, "v")
+    lower_first = ((F.col("du") < F.col("dv"))
+                   | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oriented = keyed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("d"))
+
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = (e1.join(e2, F.col("e1.d") == F.col("e2.s"))
+              .select(F.col("e1.s").alias("x"), F.col("e1.d").alias("y"),
+                      F.col("e2.d").alias("z")))
+    closing = und.select(F.least("u", "v").alias("cu"),
+                         F.greatest("u", "v").alias("cv"))
+    tris = wedges.join(
+        closing, (F.least("x", "z") == F.col("cu"))
+        & (F.greatest("x", "z") == F.col("cv"))).select("x", "y", "z")
+
+    per_node = (tris.select(F.explode(F.array("x", "y", "z")).alias("n"))
+                .groupBy("n").agg(F.count(F.lit(1)).alias("triangles")))
+    out = (deg.join(per_node, "n", "left")
+           .select(F.col("n").alias("node"), F.col("deg").alias("degree"),
+                   F.coalesce("triangles", F.lit(0)).cast("long")
+                   .alias("triangles"),
+                   F.when(F.col("deg") >= 2,
+                          2.0 * F.coalesce("triangles", F.lit(0))
+                          / (F.col("deg") * (F.col("deg") - 1)))
+                   .alias("clustering_coeff")))
+    # und/deg stay persisted: each feeds 2-3 branches of the RETURNED lazy
+    # plan (unpersisting here, before materialization, would cache nothing
+    # — NOTES lesson #8); both are O(edges)/O(nodes) key-only frames.
+    return out

@@ -83,3 +83,64 @@ def test_tol_early_stop_matches_converged(spark):
 def test_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string, w double")
     assert pagerank(df, weight="w").count() == 0
+
+
+class TestTriangleCounts:
+    def _brute(self, edges):
+        from itertools import combinations
+        adj = {}
+        und = set()
+        for a, b in edges:
+            if a == b:
+                continue
+            und.add((min(a, b), max(a, b)))
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        tri = {n: 0 for n in adj}
+        for n, nbrs in adj.items():
+            for x, y in combinations(sorted(nbrs), 2):
+                if y in adj.get(x, ()):
+                    tri[n] += 1
+        out = {}
+        for n in adj:
+            d = len(adj[n])
+            cc = 2.0 * tri[n] / (d * (d - 1)) if d >= 2 else None
+            out[n] = (d, tri[n], cc)
+        return out
+
+    def test_crafted_and_random(self, spark):
+        import random
+
+        from bid_evaluation_spark.operators.graph import triangle_counts
+
+        crafted = [(1, 2), (2, 3), (1, 3),          # triangle
+                   (3, 4), (4, 5),                  # tail (no triangle)
+                   (2, 1), (1, 1),                  # dup direction + loop
+                   (6, 7), (7, 8), (6, 8), (6, 9), (7, 9), (8, 9)]  # K4
+        rng = random.Random(3)
+        rand = [(rng.randint(0, 25), rng.randint(0, 25)) for _ in range(150)]
+        for edges in (crafted, rand):
+            df = spark.createDataFrame(edges, "a long, b long")
+            got = {r["node"]: (r["degree"], r["triangles"],
+                               r["clustering_coeff"])
+                   for r in triangle_counts(df, "a", "b").collect()}
+            want = self._brute(edges)
+            assert set(got) == set(want)
+            for n in want:
+                d, t, cc = want[n]
+                gd, gt, gcc = got[n]
+                assert (gd, gt) == (d, t), n
+                if cc is None:
+                    assert gcc is None
+                else:
+                    assert gcc == pytest.approx(cc, abs=1e-12)
+
+    def test_k4_counts(self, spark):
+        from bid_evaluation_spark.operators.graph import triangle_counts
+
+        k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+        df = spark.createDataFrame(k4, "a long, b long")
+        rows = triangle_counts(df, "a", "b").collect()
+        assert all(r["triangles"] == 3 and r["degree"] == 3
+                   and r["clustering_coeff"] == 1.0 for r in rows)

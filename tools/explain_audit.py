@@ -767,6 +767,28 @@ def _layout_wq_merge_plan(spark, sf_dir):
     return probs
 
 
+@check("triangle counting: equi-joins only (degree-oriented), partial aggs, no cartesian")
+def _triangles_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.graph import triangle_counts
+    from bid_evaluation_spark.sources.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    edges = (ev.select("user_id",
+                       F.floor(F.col("ts").cast("double") / 3600)
+                       .cast("long").alias("hr"))
+             .distinct()
+             .groupBy("hr").agg(F.min("user_id").alias("u"),
+                                F.max("user_id").alias("v"))
+             .filter(F.col("u") != F.col("v")))
+    plan = plan_of(triangle_counts(edges, "u", "v"))
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("wedge/closing join is not an equi-join")
+    if "partial_count" not in plan:
+        probs.append("degree/triangle counts lack map-side partials")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
