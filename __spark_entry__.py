@@ -4962,6 +4962,39 @@ FROM (
 """
 
 
+def _q_dedup_jaccard_prefix_documents(spark, sf_dir):
+    """EXACT token-set Jaccard ≥ 0.75 join via prefix filtering (PPJoin
+    family) — recall 1 by the prefix lemma, so the all-pairs oracle
+    checks blocking COMPLETENESS, not just the verify arithmetic. No
+    vocabulary-wide rank window: the (freq, token) struct order IS the
+    global order; candidates join on prefix tokens only."""
+    from bid_evaluation_spark.operators.dedup import jaccard_similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    res = jaccard_similarity_join(docs, threshold=0.75)
+    return res.select("a_id", "b_id", _r4("jaccard").alias("jaccard"))
+
+
+_SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+    END AS s
+  FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+  round((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / len(list_distinct(list_concat(a.s, b.s)))) * 10000.0)
+    / 10000.0 AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s)))
+      >= CAST(0.75 AS DOUBLE)
+"""
+
+
 def _q_graph_triangles_events(spark, sf_dir):
     """Per-node triangle counts + local clustering coefficients over the
     user co-occurrence graph (users sharing an (event_type, hour) cell).
@@ -5961,6 +5994,8 @@ _QUERIES: dict = {
                                       _SQL_SKETCH_CMS_BY_GROUP_DOCUMENTS),
     "graph_triangles_events": (_q_graph_triangles_events,
                                _SQL_GRAPH_TRIANGLES_EVENTS),
+    "dedup_jaccard_prefix_documents": (_q_dedup_jaccard_prefix_documents,
+                                       _SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

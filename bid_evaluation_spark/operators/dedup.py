@@ -782,3 +782,60 @@ def minhash_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
            .select(F.col("_nid").alias("new_id"),
                    F.col("_cid").alias("corpus_id"), "jaccard"))
     return _track_cached(out, [sig_n, sig_c])
+
+
+def jaccard_similarity_join(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            threshold: float = 0.5,
+                            lowercase: bool = True) -> DataFrame:
+    """EXACT token-set Jaccard join via prefix filtering (the PPJoin
+    family) — recall 1 by construction, unlike MinHash: two sets with
+    J ≥ t MUST share a token within their first ``|X| − ⌈t·|X|⌉ + 1``
+    tokens under any shared global token order (rarest-first minimizes
+    candidates). Returns ``(a_id, b_id, jaccard)`` with ``a_id < b_id``.
+
+    Plan shape: one token-frequency aggregate (partial-agg shuffle), one
+    doc-keyed shuffle to assemble each doc's frequency-sorted token
+    array, a candidate equi-join on PREFIX tokens only (never the full
+    token lists), and an exact verify on the candidate pairs. No ranks
+    are materialized for the global order — sorting by the (freq, token)
+    struct itself is the total order, so no vocabulary-wide window
+    exists anywhere.
+    """
+    from .text import tokens
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    t = (df.select(F.col(id_col).alias("_id"),
+                   F.explode(F.array_distinct(tokens(text))).alias("_tok")))
+    freq = t.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
+    ordered = (t.join(freq, "_tok")
+               .groupBy("_id")
+               .agg(F.sort_array(F.collect_list(F.struct("_f", "_tok")))
+                    .alias("_st"))
+               .select("_id",
+                       F.expr("transform(_st, x -> x._tok)").alias("_ts"))
+               .persist())
+    n = F.size("_ts")
+    # ceil via -floor(-x): exact for the binary-representable thresholds
+    # this is meant for (0.5, 0.25, ...); the verify is exact regardless
+    plen = (n - (-F.floor(-(F.lit(float(threshold)) * n))).cast("int")
+            + F.lit(1))
+    pref = (ordered.filter(n > 0)
+            .select("_id", F.explode(F.slice("_ts", 1, plen)).alias("_tok")))
+    a, b = pref.alias("pa"), pref.alias("pb")
+    cand = (a.join(b, (F.col("pa._tok") == F.col("pb._tok"))
+                   & (F.col("pa._id") < F.col("pb._id")))
+            .select(F.col("pa._id").alias("a_id"),
+                    F.col("pb._id").alias("b_id")).distinct())
+    fa = ordered.select(F.col("_id").alias("_ia"), F.col("_ts").alias("_ta"))
+    fb = ordered.select(F.col("_id").alias("_ib"), F.col("_ts").alias("_tb"))
+    out = (cand.join(fa, F.col("a_id") == F.col("_ia"))
+           .join(fb, F.col("b_id") == F.col("_ib"))
+           .withColumn("jaccard", F.try_divide(
+               F.size(F.array_intersect("_ta", "_tb")),
+               F.size(F.array_union("_ta", "_tb"))).cast("double"))
+           .filter(F.col("jaccard") >= threshold)
+           .select("a_id", "b_id", "jaccard"))
+    return _track_cached(out, [ordered])

@@ -820,3 +820,38 @@ def test_simhash_chunk_param(docs):
     d16 = {(r["a_id"], r["b_id"]) for r in
            D.simhash_near_duplicates(docs, max_hamming=3, num_chunks=16).collect()}
     assert d4 <= d16
+
+
+def test_jaccard_similarity_join_exact_recall(spark):
+    """Prefix-filtered Jaccard join must equal brute-force all-pairs at
+    the threshold (recall 1 — the prefix lemma), including tie-at-threshold
+    and short-doc edge cases."""
+    import itertools
+    import random
+
+    from bid_evaluation_spark.operators.dedup import jaccard_similarity_join
+
+    vocab = [f"w{i}" for i in range(30)]
+    rng = random.Random(77)
+    docs = []
+    for i in range(40):
+        k = rng.randint(1, 12)
+        docs.append((i, " ".join(rng.sample(vocab, k))))
+    docs.append((100, docs[0][1]))                    # exact duplicate
+    docs.append((101, ""))                            # empty doc
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def brute(th):
+        sets = {i: set(t.split()) for i, t in docs if t.split()}
+        out = set()
+        for a, b in itertools.combinations(sorted(sets), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= th:
+                out.add((a, b))
+        return out
+
+    for th in (0.5, 0.25, 1.0):
+        got = {(r["a_id"], r["b_id"])
+               for r in jaccard_similarity_join(df, threshold=th).collect()}
+        assert got == brute(th), th
