@@ -4962,6 +4962,41 @@ FROM (
 """
 
 
+def _q_ts_ewma_events(spark, sf_dir):
+    """Per-user EWMA of event values (α = 0.25 — binary-exact literal):
+    a sequential recurrence no window frame expresses, run as one Arrow
+    kernel per key and value-oracled by a RECURSIVE CTE replaying
+    ``α·x + (1−α)·s`` with the identical operation order (bit-identical
+    doubles before the shared 1e-4 rounding)."""
+    from bid_evaluation_spark.operators.timeseries import ewma_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    res = ewma_by_key(ev, "user_id", "ts", "value", "event_id", alpha=0.25)
+    return res.select("user_id", "event_id", _r4("value").alias("value"),
+                      _r4("ewma").alias("ewma"))
+
+
+_SQL_TS_EWMA_EVENTS = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+r(user_id, i, event_id, v, s) AS (
+  SELECT user_id, i, event_id, v, v FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.event_id, e.v,
+         CAST(0.25 AS DOUBLE) * e.v
+           + (CAST(1.0 AS DOUBLE) - CAST(0.25 AS DOUBLE)) * r.s
+  FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i + 1
+)
+SELECT user_id, event_id, round(v * 10000.0) / 10000.0 AS value,
+       round(s * 10000.0) / 10000.0 AS ewma
+FROM r
+"""
+
+
 def _q_dedup_jaccard_prefix_documents(spark, sf_dir):
     """EXACT token-set Jaccard ≥ 0.75 join via prefix filtering (PPJoin
     family) — recall 1 by the prefix lemma, so the all-pairs oracle
@@ -5996,6 +6031,7 @@ _QUERIES: dict = {
                                _SQL_GRAPH_TRIANGLES_EVENTS),
     "dedup_jaccard_prefix_documents": (_q_dedup_jaccard_prefix_documents,
                                        _SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS),
+    "ts_ewma_events": (_q_ts_ewma_events, _SQL_TS_EWMA_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

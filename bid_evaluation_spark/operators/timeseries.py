@@ -281,3 +281,48 @@ def merge_intervals(df: DataFrame, key_col: str, start_col: str,
             .agg(F.min(s).alias(start_col), F.max(e).alias(end_col),
                  F.count(F.lit(1)).alias("n_merged"))
             .drop("_span"))
+
+
+def ewma_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                tiebreak_col: str, alpha: float = 0.2) -> DataFrame:
+    """Per-key exponentially weighted moving average in event order:
+    ``s_1 = x_1``, ``s_t = α·x_t + (1−α)·s_{t−1}`` — the standard
+    smoother behind drift monitors and trend features.
+
+    The recurrence depends on every prior row, so (like capped
+    sessionization) no fixed window frame expresses it; it runs as one
+    Arrow kernel per key over (key, ts, tiebreak, value) — a key's
+    history serializes within its partition. The arithmetic is written
+    as EXACTLY ``α·x + (1−α)·s`` so an engine replaying the recurrence
+    (the recursive-CTE oracle) lands on bit-identical doubles. Rows with
+    a null value are excluded. Returns
+    ``(key_col, tiebreak_col, value, ewma)``.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    prepared = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
+    a = float(alpha)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_tb"])
+        out = []
+        s = None
+        for x in pdf["_v"].to_numpy():
+            x = float(x)
+            s = x if s is None else a * x + (1.0 - a) * s
+            out.append(s)
+        pdf = pdf.copy()
+        pdf["ewma"] = out
+        return pdf
+
+    k_type = dict(prepared.dtypes)["_k"]
+    res = prepared.groupBy("_k").applyInPandas(
+        smooth, f"_k {k_type}, _ts double, _tb long, _v double, ewma double")
+    return res.select(F.col("_k").alias(key_col),
+                      F.col("_tb").alias(tiebreak_col),
+                      F.col("_v").alias("value"), "ewma")

@@ -214,3 +214,31 @@ class TestMergeIntervals:
             "k string, s double, e double")
         got = merge_intervals(df, "k", "s", "e").collect()
         assert [(r["s"], r["e"], r["n_merged"]) for r in got] == [(0.0, 5.0, 1)]
+
+
+def test_ewma_by_key(spark):
+    """EWMA recurrence vs a python replay; nulls excluded; bad alpha."""
+    import pytest as _pytest
+
+    from bid_evaluation_spark.operators.timeseries import ewma_by_key
+
+    rows = [(1, float(i), i, v) for i, v in
+            enumerate([10.0, 20.0, 5.0, None, 40.0])]
+    rows += [(2, 0.0, 99, 7.0)]
+    df = spark.createDataFrame(rows, "k long, ts double, tb long, v double")
+    got = {(r["k"], r["tb"]): r["ewma"]
+           for r in ewma_by_key(df, "k", "ts", "v", "tb",
+                                alpha=0.5).collect()}
+    s = None
+    want = {}
+    for i, v in enumerate([10.0, 20.0, 5.0, None, 40.0]):
+        if v is None:
+            continue
+        s = v if s is None else 0.5 * v + 0.5 * s
+        want[(1, i)] = s
+    want[(2, 99)] = 7.0
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key] == want[key], key
+    with _pytest.raises(ValueError, match="alpha"):
+        ewma_by_key(df, "k", "ts", "v", "tb", alpha=0.0)
