@@ -4962,6 +4962,53 @@ FROM (
 """
 
 
+def _q_metrics_rbo_supplier(spark, sf_dir):
+    """Rank-biased overlap between two supplier rankings (pure account
+    balance vs nation-grouped balance) — how much two evaluator
+    configurations agree, top-weighted (p = 0.9). The depth sum is
+    inverted into a per-item literal-array lookup g(max(ra, rb)), so the
+    plan is ONE equi-join + one aggregate — no per-depth pass."""
+    from pyspark.sql import Window
+
+    from bid_evaluation_spark.operators.metrics import rank_biased_overlap
+
+    sup = _t(spark, sf_dir, "supplier")
+    wa = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    wb = Window.orderBy(F.asc("s_nationkey"), F.desc("s_acctbal"),
+                        F.asc("s_suppkey"))
+    ra = sup.select("s_suppkey", F.row_number().over(wa).alias("rnk"))
+    rb = sup.select("s_suppkey", F.row_number().over(wb).alias("rnk"))
+    res = rank_biased_overlap(ra, rb, "s_suppkey", p=0.9)
+    return res.select(_r4("rbo").alias("rbo"), "depth")
+
+
+_SQL_METRICS_RBO_SUPPLIER = """
+WITH ra AS (
+  SELECT s_suppkey AS id,
+         row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS ra
+  FROM supplier
+),
+rb AS (
+  SELECT s_suppkey AS id,
+         row_number() OVER (ORDER BY s_nationkey, s_acctbal DESC,
+                            s_suppkey) AS rb
+  FROM supplier
+),
+n AS (SELECT count(*) AS d FROM ra),
+j AS (SELECT greatest(ra.ra, rb.rb) AS m FROM ra JOIN rb ON ra.id = rb.id),
+terms AS (
+  SELECT sum(power(CAST(0.9 AS DOUBLE), dd - 1) / dd) AS gsum
+  FROM j CROSS JOIN n,
+       unnest(generate_series(1, (SELECT d FROM n))) AS t(dd)
+  WHERE dd >= j.m AND dd <= n.d
+)
+SELECT round(((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE)) * gsum)
+             * 10000.0) / 10000.0 AS rbo,
+       (SELECT d FROM n) AS depth
+FROM terms
+"""
+
+
 def _q_ts_ewma_events(spark, sf_dir):
     """Per-user EWMA of event values (α = 0.25 — binary-exact literal):
     a sequential recurrence no window frame expresses, run as one Arrow
@@ -6032,6 +6079,8 @@ _QUERIES: dict = {
     "dedup_jaccard_prefix_documents": (_q_dedup_jaccard_prefix_documents,
                                        _SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS),
     "ts_ewma_events": (_q_ts_ewma_events, _SQL_TS_EWMA_EVENTS),
+    "metrics_rbo_supplier": (_q_metrics_rbo_supplier,
+                             _SQL_METRICS_RBO_SUPPLIER),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -144,3 +144,46 @@ def calibration_table(df: DataFrame, label_col: str = "_y",
                  F.avg(p).alias("mean_prob"),
                  pos.alias("pos_rate"),
                  lift.alias("lift")))
+
+
+def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
+                        rank_col: str = "rnk", p: float = 0.9,
+                        max_depth: int = 1000) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two STRICT
+    rankings of the same item set — how much two evaluator configurations
+    agree, weighted toward the top. Returns one row ``(rbo, depth)``;
+    1.0 = identical rankings, → 0 = disjoint prefixes everywhere.
+
+    Shape: the depth-sum is inverted so no per-depth pass exists — an
+    item ranked ``ra`` and ``rb`` first appears in both prefixes at
+    ``m = max(ra, rb)`` and then contributes to every deeper overlap, so
+    ``RBO = (1−p) · Σ_items g(max(ra, rb))`` with
+    ``g(m) = Σ_{d=m}^{D} p^{d−1}/d`` precomputed on the driver as a
+    ``D``-element literal array (``max_depth`` caps it). The plan is ONE
+    equi-join on the item id + a map-side array lookup + one aggregate.
+    Rankings must be strict permutations (row_number, not rank) over the
+    same ids; depths beyond ``max_depth`` are truncated (standard
+    top-weighted usage).
+    """
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    ra = a.select(F.col(id_col).alias("_id"),
+                  F.col(rank_col).cast("int").alias("_ra"))
+    rb = b.select(F.col(id_col).alias("_id"),
+                  F.col(rank_col).cast("int").alias("_rb"))
+    n_a, n_b = ra.count(), rb.count()
+    if n_a != n_b:
+        raise ValueError(f"rankings differ in size: {n_a} vs {n_b}")
+    depth = min(n_a, max_depth)
+    if depth == 0:
+        raise ValueError("empty rankings")
+    # suffix sums of p^(d-1)/d, computed once on the driver
+    g = [0.0] * (depth + 2)
+    for d in range(depth, 0, -1):
+        g[d] = g[d + 1] + (p ** (d - 1)) / d
+    g_arr = F.array(*[F.lit(float(x)) for x in g[1:depth + 1]])
+    m = F.greatest("_ra", "_rb")
+    contrib = F.when(m <= depth, F.element_at(g_arr, m)).otherwise(0.0)
+    return (ra.join(rb, "_id")
+            .agg((F.lit(1.0 - p) * F.sum(contrib)).alias("rbo"),
+                 F.lit(depth).cast("long").alias("depth")))

@@ -137,3 +137,53 @@ class TestCalibrationTable:
         assert sum(r["n"] for r in rows) == 2
         with pytest.raises(ValueError, match="n_bins"):
             calibration_table(df, "_y", "prob", n_bins=1)
+
+
+class TestRankBiasedOverlap:
+    def _ref(self, perm_a, perm_b, p):
+        """Direct definition: (1-p) * sum_d p^(d-1) * |A_d ∩ B_d| / d."""
+        n = len(perm_a)
+        total = 0.0
+        for d in range(1, n + 1):
+            ov = len(set(perm_a[:d]) & set(perm_b[:d]))
+            total += p ** (d - 1) * ov / d
+        return (1 - p) * total
+
+    def test_identity_reversal_random(self, spark):
+        import random
+
+        from pyspark.sql import Window
+
+        from bid_evaluation_spark.operators.metrics import rank_biased_overlap
+
+        ids = list(range(1, 21))
+        rng = random.Random(7)
+        shuffled = ids[:]
+        rng.shuffle(shuffled)
+        cases = [(ids, ids), (ids, list(reversed(ids))), (ids, shuffled)]
+        for pa, pb in cases:
+            a = spark.createDataFrame(
+                [(x, i + 1) for i, x in enumerate(pa)], "id long, rnk int")
+            b = spark.createDataFrame(
+                [(x, i + 1) for i, x in enumerate(pb)], "id long, rnk int")
+            row = rank_biased_overlap(a, b, "id", p=0.8).collect()[0]
+            assert row["depth"] == 20
+            assert row["rbo"] == pytest.approx(self._ref(pa, pb, 0.8),
+                                               abs=1e-9)
+        ident = rank_biased_overlap(
+            spark.createDataFrame([(x, i + 1) for i, x in enumerate(ids)],
+                                  "id long, rnk int"),
+            spark.createDataFrame([(x, i + 1) for i, x in enumerate(ids)],
+                                  "id long, rnk int"),
+            "id", p=0.8).collect()[0]["rbo"]
+        assert ident == pytest.approx(self._ref(ids, ids, 0.8), abs=1e-12)
+
+    def test_validation(self, spark):
+        from bid_evaluation_spark.operators.metrics import rank_biased_overlap
+
+        a = spark.createDataFrame([(1, 1)], "id long, rnk int")
+        b = spark.createDataFrame([(1, 1), (2, 2)], "id long, rnk int")
+        with pytest.raises(ValueError, match="differ in size"):
+            rank_biased_overlap(a, b, "id")
+        with pytest.raises(ValueError, match="p must be"):
+            rank_biased_overlap(a, a, "id", p=1.0)
