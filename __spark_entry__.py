@@ -5009,6 +5009,57 @@ FROM terms
 """
 
 
+def _q_metrics_auc_by_group_embeddings(spark, sf_dir):
+    """Segment-level model evaluation: tie-corrected Mann-Whitney AUC per
+    label-bucket segment for the sigmoid probe scorer. Every stage keys
+    by the group — the per-(group, score) table bounds the window input,
+    the rank window partitions by group (never global)."""
+    from bid_evaluation_spark.operators.metrics import roc_auc_by_group
+
+    df = _t(spark, sf_dir, "embeddings")
+    scored = df.select(
+        (F.col("label") % 3).cast("long").alias("seg"),
+        (F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-F.element_at(F.col("embedding"), 1)
+                               .cast("double")))).alias("prob"),
+        (F.col("label") >= 5).cast("double").alias("_y"))
+    res = roc_auc_by_group(scored, "seg", "_y", "prob", digits=6)
+    return res.select("seg", _r4("auc").alias("auc"), "n_pos", "n_neg")
+
+
+_SQL_METRICS_AUC_BY_GROUP_EMBEDDINGS = """
+WITH scored AS (
+  SELECT CAST(label % 3 AS BIGINT) AS seg,
+         round(1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE)))
+               * 1000000.0) / 1000000.0 AS s,
+         CAST(label >= 5 AS DOUBLE) AS y
+  FROM embeddings
+),
+per_score AS (
+  SELECT seg, s, CAST(count(*) AS DOUBLE) AS n, sum(y) AS np
+  FROM scored GROUP BY seg, s
+),
+ranked AS (
+  SELECT seg, s, n, np,
+         coalesce(sum(n) OVER (PARTITION BY seg ORDER BY s
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0.0) AS before
+  FROM per_score
+),
+agg AS (
+  SELECT seg, sum(np * (before + (n + 1.0) / 2.0)) AS rs,
+         sum(np) AS npos, sum(n - np) AS nneg
+  FROM ranked GROUP BY seg
+)
+SELECT seg,
+  round(CASE WHEN npos > 0 AND nneg > 0
+        THEN (rs - npos * (npos + 1.0) / 2.0) / (npos * nneg) END
+        * 10000.0) / 10000.0 AS auc,
+  CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg
+FROM agg
+"""
+
+
 def _q_ts_ewma_events(spark, sf_dir):
     """Per-user EWMA of event values (α = 0.25 — binary-exact literal):
     a sequential recurrence no window frame expresses, run as one Arrow
@@ -6081,6 +6132,9 @@ _QUERIES: dict = {
     "ts_ewma_events": (_q_ts_ewma_events, _SQL_TS_EWMA_EVENTS),
     "metrics_rbo_supplier": (_q_metrics_rbo_supplier,
                              _SQL_METRICS_RBO_SUPPLIER),
+    "metrics_auc_by_group_embeddings": (
+        _q_metrics_auc_by_group_embeddings,
+        _SQL_METRICS_AUC_BY_GROUP_EMBEDDINGS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -187,3 +187,40 @@ def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
     return (ra.join(rb, "_id")
             .agg((F.lit(1.0 - p) * F.sum(contrib)).alias("rbo"),
                  F.lit(depth).cast("long").alias("depth")))
+
+
+def roc_auc_by_group(df: DataFrame, group_col: str, label_col: str = "_y",
+                     prob_col: str = "prob", digits: int = 6) -> DataFrame:
+    """Tie-corrected ROC-AUC PER GROUP — the segment/fairness evaluation
+    slice ("AUC by language / domain / cohort"). Same Mann-Whitney
+    machinery as :func:`roc_auc` with every stage keyed by the group: the
+    per-(group, score) table bounds the window input at
+    groups × 10^digits rows, the cumulative-rank window partitions by
+    group (never global), and one grouped aggregate finishes. Returns
+    ``(group_col, auc, n_pos, n_neg)``; auc null when a group lacks a
+    class."""
+    y = F.col(label_col).cast("double")
+    scale = float(10 ** digits)
+    s = (F.round(F.col(prob_col).cast("double") * scale) / scale)
+    rows = (df.filter(y.isNotNull() & F.col(prob_col).isNotNull())
+            .select(F.col(group_col), s.alias("_s"), y.alias("_y")))
+    per_score = rows.groupBy(group_col, "_s").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_y").alias("_np"))
+    w = (Window.partitionBy(group_col).orderBy("_s")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_score.withColumn(
+        "_before", F.coalesce(F.sum("_n").over(w), F.lit(0.0)))
+    agg = ranked.groupBy(group_col).agg(
+        F.sum(F.col("_np") * (F.col("_before") + (F.col("_n") + 1.0) / 2.0))
+        .alias("_rs"),
+        F.sum("_np").alias("_npos"),
+        F.sum(F.col("_n") - F.col("_np")).alias("_nneg"))
+    return agg.select(
+        group_col,
+        F.when((F.col("_npos") > 0) & (F.col("_nneg") > 0),
+               (F.col("_rs")
+                - F.col("_npos") * (F.col("_npos") + 1.0) / 2.0)
+               / (F.col("_npos") * F.col("_nneg"))).alias("auc"),
+        F.col("_npos").cast("long").alias("n_pos"),
+        F.col("_nneg").cast("long").alias("n_neg"))

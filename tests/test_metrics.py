@@ -3,6 +3,7 @@ parity vs a dense numpy reference, tie handling, and degenerate classes."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from bid_evaluation_spark.operators.metrics import (
     binary_classification_metrics, roc_auc,
@@ -187,3 +188,33 @@ class TestRankBiasedOverlap:
             rank_biased_overlap(a, b, "id")
         with pytest.raises(ValueError, match="p must be"):
             rank_biased_overlap(a, a, "id", p=1.0)
+
+
+def test_roc_auc_by_group_matches_global_per_subset(spark):
+    """Grouped AUC must equal roc_auc run on each group's subset, incl.
+    ties and a single-class group (null auc)."""
+    import random
+
+    from bid_evaluation_spark.operators.metrics import roc_auc, roc_auc_by_group
+
+    rng = random.Random(29)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(120):
+            y = rng.random() < 0.4
+            # informative but noisy score, quantized to force ties
+            p = round(min(1, max(0, (0.6 if y else 0.3) + rng.gauss(0, 0.2))), 1)
+            rows.append((g, float(p), 1.0 if y else 0.0))
+    rows += [("onlypos", 0.7, 1.0), ("onlypos", 0.2, 1.0)]
+    df = spark.createDataFrame(rows, "g string, prob double, _y double")
+    got = {r["g"]: r for r in
+           roc_auc_by_group(df, "g", "_y", "prob").collect()}
+    for g in ("a", "b", "onlypos"):
+        ref = roc_auc(df.filter(F.col("g") == g), "_y", "prob").collect()[0]
+        assert got[g]["n_pos"] == ref["n_pos"]
+        assert got[g]["n_neg"] == ref["n_neg"]
+        if ref["auc"] is None:
+            assert got[g]["auc"] is None
+        else:
+            assert got[g]["auc"] == pytest.approx(ref["auc"], abs=1e-12)
+    assert got["onlypos"]["auc"] is None
