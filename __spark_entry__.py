@@ -4962,6 +4962,88 @@ FROM (
 """
 
 
+def _q_dedup_keep_best_documents(spark, sf_dir):
+    """End-to-end curation dedup: MinHash near-dup pairs → connected
+    components → keep each cluster's HIGHEST-quality member (rounded
+    score, doc_id tiebreak) — the keep-best policy instead of min-id.
+    The oracle re-derives the whole chain: exact all-pairs Jaccard ≥ 0.2,
+    recursive transitive closure, the quality formula, and the per-cluster
+    argmax — one hash match over four composed stages."""
+    from bid_evaluation_spark.operators.dedup import (
+        dedup_keep_best, minhash_near_duplicates)
+    from bid_evaluation_spark.operators.text import quality_score
+
+    df = _t(spark, sf_dir, "documents").withColumn("q", _r4(quality_score()))
+    pairs = minhash_near_duplicates(df, threshold=0.2, num_perm=64, bands=16)
+    kept = dedup_keep_best(df, pairs, "q")
+    return kept.select("doc_id", F.col("q").alias("quality"))
+
+
+_SQL_DEDUP_KEEP_BEST_DOCUMENTS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, lab) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src
+),
+clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+comp AS (
+  SELECT doc_id,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0 AS length_c,
+    (CASE WHEN len(t) > 0
+          THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+          ELSE 0.0 END) * 30.0 AS div_c,
+    least((CASE WHEN len(t) > 0
+                THEN CAST(len(list_filter(t, x -> x IN {_STOPWORDS_SQL}))
+                          AS DOUBLE) / len(t)
+                ELSE 0.0 END) * 5.0, 1.0) * 20.0 AS stop_c,
+    (1.0 - least((CASE WHEN length(text) > 0
+                       THEN CAST(length(regexp_replace(text, '[\\w\\s]', '',
+                                                       'g')) AS DOUBLE)
+                            / length(text)
+                       ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS punct_c
+  FROM toks
+),
+quality AS (
+  SELECT doc_id,
+    round((length_c + div_c + stop_c + punct_c) * 10000.0) / 10000.0 AS q
+  FROM comp
+),
+members AS (
+  SELECT c.id, c.cluster_id, q.q,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q DESC, c.id ASC) AS rn
+  FROM clusters c JOIN quality q ON c.id = q.doc_id
+),
+dropped AS (SELECT id FROM members WHERE rn > 1)
+SELECT d.doc_id, q.q AS quality
+FROM documents d JOIN quality q ON d.doc_id = q.doc_id
+WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.id = d.doc_id)
+"""
+
+
 def _q_metrics_rbo_supplier(spark, sf_dir):
     """Rank-biased overlap between two supplier rankings (pure account
     balance vs nation-grouped balance) — how much two evaluator
@@ -6135,6 +6217,8 @@ _QUERIES: dict = {
     "metrics_auc_by_group_embeddings": (
         _q_metrics_auc_by_group_embeddings,
         _SQL_METRICS_AUC_BY_GROUP_EMBEDDINGS),
+    "dedup_keep_best_documents": (_q_dedup_keep_best_documents,
+                                  _SQL_DEDUP_KEEP_BEST_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -839,3 +839,31 @@ def jaccard_similarity_join(df: DataFrame, id_col: str = "doc_id",
            .filter(F.col("jaccard") >= threshold)
            .select("a_id", "b_id", "jaccard"))
     return _track_cached(out, [ordered])
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
+                    id_col: str = "doc_id", a_col: str = "a_id",
+                    b_col: str = "b_id") -> DataFrame:
+    """Keep the HIGHEST-scoring row per near-duplicate cluster (ties →
+    lowest id) instead of :func:`dedup_near_duplicates`'s min-id rule —
+    the curation policy that keeps the best-quality representative of
+    each duplicate family. ``score_col`` should already be rounded if an
+    engine-independent tie order matters (the quality-score contract).
+
+    One clusters pass (min-label CC over the verified pairs), a
+    cluster-keyed rank window over members only (never the corpus), and
+    a left-anti join back — rows in no pair are untouched.
+    """
+    from pyspark.sql import Window
+
+    clusters = near_duplicate_clusters(pairs, a_col, b_col)
+    members = clusters.join(
+        df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_q")),
+        "id")
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.desc("_q"), F.asc("id")))
+    drop = (members.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1).select("id"))
+    return _track_cached(
+        df.join(drop, df[id_col] == drop["id"], "left_anti"),
+        getattr(clusters, "_cached_deps", []))

@@ -855,3 +855,20 @@ def test_jaccard_similarity_join_exact_recall(spark):
         got = {(r["a_id"], r["b_id"])
                for r in jaccard_similarity_join(df, threshold=th).collect()}
         assert got == brute(th), th
+
+
+def test_dedup_keep_best(spark):
+    """Keep-best policy: cluster keeps the max-score member (ties -> min
+    id); unpaired rows untouched."""
+    from bid_evaluation_spark.operators.dedup import dedup_keep_best
+
+    df = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (9, 0.0)],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "a_id long, b_id long")  # one cluster
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_best(df, pairs, "q").collect())
+    # cluster {1,2,3,4}: max q = 0.9 shared by 2 and 3 -> min id 2 wins;
+    # 9 is unpaired and survives
+    assert kept == [2, 9]
