@@ -382,3 +382,46 @@ def streaming_sessionize_capped(events: DataFrame, key_col: str = "user_id",
         update, SESSION_OUTPUT, SESSION_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_OUTPUT = "key long, tiebreak long, value double, ewma double"
+EWMA_STATE = "s double"
+
+
+def streaming_ewma_by_key(events: DataFrame, key_col: str = "user_id",
+                          ts_col: str = "ts", value_col: str = "value",
+                          tiebreak_col: str = "event_id",
+                          alpha: float = 0.2) -> DataFrame:
+    """Streaming twin of ``timeseries.ewma_by_key``: the α·x + (1−α)·s
+    recurrence carried across micro-batches with ONE double of state per
+    key. Within each batch events process in (ts, tiebreak) order; across
+    batches the recurrence consumes arrival order (same contract as the
+    other streaming recurrences here). Emits every smoothed row
+    (append mode)."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
+
+    def update(key, pdfs, state: GroupState):
+        (s,) = state.get if state.exists else (None,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["_ts", "_tb"])
+            out = []
+            for x in pdf["_v"].to_numpy():
+                x = float(x)
+                s = x if s is None else a * x + (1.0 - a) * s
+                out.append(s)
+            yield pd.DataFrame({"key": key[0], "tiebreak": pdf["_tb"],
+                                "value": pdf["_v"], "ewma": out})
+        state.update((s,))
+
+    return prepared.groupBy("_k").applyInPandasWithState(
+        update, EWMA_OUTPUT, EWMA_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )

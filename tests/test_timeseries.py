@@ -242,3 +242,37 @@ def test_ewma_by_key(spark):
         assert got[key] == want[key], key
     with _pytest.raises(ValueError, match="alpha"):
         ewma_by_key(df, "k", "ts", "v", "tb", alpha=0.0)
+
+
+def test_streaming_ewma_matches_batch(spark, tmp_path):
+    """The streaming EWMA must equal the batch operator when batches
+    arrive in time order — one double of state crosses the boundary."""
+    import time as _time
+
+    from bid_evaluation_spark.operators.timeseries import ewma_by_key
+    from bid_evaluation_spark.streaming.stateful import streaming_ewma_by_key
+
+    schema = "user_id long, ts double, event_id long, value double"
+    rows = [(1, float(i), i, float(v)) for i, v in
+            enumerate([10, 20, 5, 40, 15, 30])]
+    rows += [(2, 0.0, 50, 7.0), (2, 9.0, 51, 9.0)]
+    cut = 2.5
+    b1 = [r for r in rows if r[1] <= cut]
+    b2 = [r for r in rows if r[1] > cut]
+    src = str(tmp_path / "ewma_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(f"{src}/batch=0")
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(f"{src}/batch=1")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_ewma_by_key(stream, alpha=0.5)
+         .writeStream.format("memory").queryName("ewma_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["key"], r["tiebreak"]): r["ewma"]
+           for r in spark.sql("SELECT * FROM ewma_smoke").collect()}
+    batch = {(r["user_id"], r["event_id"]): r["ewma"]
+             for r in ewma_by_key(spark.createDataFrame(rows, schema),
+                                  "user_id", "ts", "value", "event_id",
+                                  alpha=0.5).collect()}
+    assert got == batch
