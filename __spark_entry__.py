@@ -4962,6 +4962,58 @@ FROM (
 """
 
 
+def _q_metrics_calibration_by_group_embeddings(spark, sf_dir):
+    """Per-segment calibration table: each label-bucket segment gets its
+    own equal-population score bands and base rate; the per-group
+    thresholds broadcast-join back (no driver literals, group cardinality
+    unbounded). Same probe scorer as the global calibration row."""
+    from bid_evaluation_spark.operators.metrics import (
+        calibration_table_by_group)
+
+    df = _t(spark, sf_dir, "embeddings")
+    scored = df.select(
+        (F.col("label") % 3).cast("long").alias("seg"),
+        (F.lit(1.0) / (F.lit(1.0)
+                       + F.exp(-F.element_at(F.col("embedding"), 1)
+                               .cast("double")))).alias("prob"),
+        (F.col("label") >= 5).cast("double").alias("_y"))
+    res = calibration_table_by_group(scored, "seg", "_y", "prob", n_bins=4)
+    return res.select("seg", "bin", "n",
+                      _r4("mean_prob").alias("mean_prob"),
+                      _r4("pos_rate").alias("pos_rate"),
+                      _r4("lift").alias("lift"))
+
+
+_SQL_METRICS_CALIBRATION_BY_GROUP_EMBEDDINGS = """
+WITH scored AS (
+  SELECT CAST(label % 3 AS BIGINT) AS seg,
+         1.0 / (1.0 + exp(-CAST(embedding[1] AS DOUBLE))) AS prob,
+         CAST(label >= 5 AS DOUBLE) AS y
+  FROM embeddings
+),
+th AS (
+  SELECT seg,
+         quantile_cont(prob, [CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                              CAST(0.75 AS DOUBLE)]) AS t,
+         avg(y) AS base
+  FROM scored GROUP BY seg
+),
+binned AS (
+  SELECT s.seg,
+         CAST(s.prob > t[1] AS INT) + CAST(s.prob > t[2] AS INT)
+           + CAST(s.prob > t[3] AS INT) AS bin,
+         s.prob, s.y, th.base
+  FROM scored s JOIN th ON s.seg = th.seg
+)
+SELECT seg, bin, count(*) AS n,
+  round(avg(prob) * 10000.0) / 10000.0 AS mean_prob,
+  round(avg(y) * 10000.0) / 10000.0 AS pos_rate,
+  round(CASE WHEN max(base) > 0 THEN avg(y) / max(base) END
+        * 10000.0) / 10000.0 AS lift
+FROM binned GROUP BY seg, bin
+"""
+
+
 def _q_dedup_keep_best_documents(spark, sf_dir):
     """End-to-end curation dedup: MinHash near-dup pairs → connected
     components → keep each cluster's HIGHEST-quality member (rounded
@@ -6219,6 +6271,9 @@ _QUERIES: dict = {
         _SQL_METRICS_AUC_BY_GROUP_EMBEDDINGS),
     "dedup_keep_best_documents": (_q_dedup_keep_best_documents,
                                   _SQL_DEDUP_KEEP_BEST_DOCUMENTS),
+    "metrics_calibration_by_group_embeddings": (
+        _q_metrics_calibration_by_group_embeddings,
+        _SQL_METRICS_CALIBRATION_BY_GROUP_EMBEDDINGS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

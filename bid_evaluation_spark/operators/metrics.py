@@ -224,3 +224,44 @@ def roc_auc_by_group(df: DataFrame, group_col: str, label_col: str = "_y",
                / (F.col("_npos") * F.col("_nneg"))).alias("auc"),
         F.col("_npos").cast("long").alias("n_pos"),
         F.col("_nneg").cast("long").alias("n_neg"))
+
+
+def calibration_table_by_group(df: DataFrame, group_col: str,
+                               label_col: str = "_y",
+                               prob_col: str = "prob",
+                               n_bins: int = 5) -> DataFrame:
+    """Per-group calibration / lift table: every segment gets its OWN
+    equal-population score bands and its own base rate — the grouped twin
+    of :func:`calibration_table`, with no driver-side literals at all:
+    the per-group percentile thresholds come back as a (group,
+    thresholds-array, base-rate) frame that broadcast-joins onto the
+    rows, so group cardinality is unbounded. Two shuffles (threshold agg,
+    final grouped agg) + the broadcast join.
+
+    Returns ``(group_col, bin, n, mean_prob, pos_rate, lift)``; lift is
+    vs the GROUP's base rate (null when it is 0). Ties at a threshold
+    land in the lower band (the shared deterministic contract).
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    p = F.col(prob_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(p.isNotNull() & y.isNotNull())
+    qs = [i / n_bins for i in range(1, n_bins)]
+    th = (base.groupBy(group_col)
+          .agg(F.percentile(p, F.array(*[F.lit(q) for q in qs]))
+               .alias("_th"),
+               F.avg(y).alias("_base")))
+    joined = base.join(F.broadcast(th), group_col)
+    bin_expr = None
+    for i in range(len(qs)):
+        step = (p > F.element_at("_th", i + 1)).cast("int")
+        bin_expr = step if bin_expr is None else bin_expr + step
+    pos = F.avg(y)
+    return (joined.withColumn("bin", bin_expr)
+            .groupBy(group_col, "bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(p).alias("mean_prob"),
+                 pos.alias("pos_rate"),
+                 F.when(F.max("_base") > 0, pos / F.max("_base"))
+                 .alias("lift")))

@@ -218,3 +218,35 @@ def test_roc_auc_by_group_matches_global_per_subset(spark):
         else:
             assert got[g]["auc"] == pytest.approx(ref["auc"], abs=1e-12)
     assert got["onlypos"]["auc"] is None
+
+
+def test_calibration_by_group_matches_global_per_subset(spark):
+    """Grouped calibration must equal calibration_table run per subset
+    (each group's own thresholds and base rate)."""
+    import random
+
+    from bid_evaluation_spark.operators.metrics import (
+        calibration_table, calibration_table_by_group)
+
+    rng = random.Random(41)
+    rows = []
+    for g in ("a", "b"):
+        bias = 0.2 if g == "a" else 0.6
+        for _ in range(200):
+            p = rng.random()
+            rows.append((g, p, 1.0 if rng.random() < min(1, p + bias) else 0.0))
+    df = spark.createDataFrame(rows, "g string, prob double, _y double")
+    got = {}
+    for r in calibration_table_by_group(df, "g", "_y", "prob",
+                                        n_bins=4).collect():
+        got[(r["g"], r["bin"])] = (r["n"], r["mean_prob"], r["pos_rate"],
+                                   r["lift"])
+    for g in ("a", "b"):
+        ref = calibration_table(df.filter(F.col("g") == g), "_y", "prob",
+                                n_bins=4).collect()
+        for r in ref:
+            n, mp, pr, lf = got[(g, r["bin"])]
+            assert n == r["n"]
+            assert mp == pytest.approx(r["mean_prob"], abs=1e-12)
+            assert pr == pytest.approx(r["pos_rate"], abs=1e-12)
+            assert lf == pytest.approx(r["lift"], abs=1e-12)
