@@ -186,3 +186,37 @@ def test_streaming_dedup_ttl_evicts_idle_fingerprints(spark, tmp_path):
             for r in spark.sql("SELECT * FROM ttl_smoke").collect()}
     # doc 3 re-admits as first: its fingerprint was evicted during batch 2
     assert rows == {1: True, 2: True, 3: True}
+
+
+def test_snapshot_diff_bucketed_no_exchange(spark, tmp_path):
+    """The 100-TB CDC path: both snapshots bucketed on the business key →
+    the full-outer diff join runs with ZERO shuffle exchange (bucket-
+    co-located sort-merge join), and classification still matches."""
+    from pyspark.sql import Row
+
+    from bid_evaluation_spark.sources import io as IO
+
+    old = spark.createDataFrame(
+        [Row(k=i, v=float(i)) for i in range(100)])
+    new = spark.createDataFrame(
+        [Row(k=i, v=float(i if i % 3 else i + 1000)) for i in range(5, 105)])
+    IO.write_bucketed(old, "cdc_old", "k", num_buckets=4,
+                      path=str(tmp_path / "o"), sort_cols=["k"])
+    IO.write_bucketed(new, "cdc_new", "k", num_buckets=4,
+                      path=str(tmp_path / "n"), sort_cols=["k"])
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            diff = snapshot_diff(IO.read_table(spark, "cdc_old"),
+                                 IO.read_table(spark, "cdc_new"), ["k"])
+            plan = diff._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan[:2000]
+            got = {r["k"]: r["change_type"] for r in diff.collect()}
+            assert sum(1 for v in got.values() if v == "deleted") == 5
+            assert sum(1 for v in got.values() if v == "inserted") == 5
+            assert got[6] == "changed" and got[7] == "unchanged"
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cdc_old")
+        spark.sql("DROP TABLE IF EXISTS cdc_new")
