@@ -1,0 +1,96 @@
+"""StreamingRollup: incremental ≡ one-shot, replay idempotency, restart
+from manifest, partitioned state pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.streaming.rollup import StreamingRollup
+
+
+def _batches(spark):
+    rows1 = [("d1", "click", 1.0), ("d1", "click", 3.0), ("d1", "view", 2.0)]
+    rows2 = [("d1", "click", 5.0), ("d2", "view", None), ("d2", "view", 4.0)]
+    rows3 = [("d2", "click", -1.0)]
+    mk = lambda rows: spark.createDataFrame(rows, "day string, et string, v double")
+    return [mk(r) for r in (rows1, rows2, rows3)], mk(rows1 + rows2 + rows3)
+
+
+def test_incremental_equals_one_shot(spark, tmp_path):
+    batches, full = _batches(spark)
+    r = StreamingRollup(spark, str(tmp_path / "s"), ["day", "et"], ["v"])
+    for i, b in enumerate(batches):
+        r.process_batch(b, batch_id=i)
+    got = {(x["day"], x["et"]): x for x in r.current().collect()}
+    want = {(x["day"], x["et"]): x for x in
+            full.groupBy("day", "et")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count("v").alias("c"), F.sum("v").alias("s"),
+                     F.avg("v").alias("m"), F.min("v").alias("lo"),
+                     F.max("v").alias("hi")).collect()}
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert g["n_rows"] == w["n_rows"] and g["v_count"] == w["c"]
+        assert g["v_sum"] == pytest.approx(w["s"] or 0.0) or g["v_sum"] is None
+        if w["m"] is None:
+            assert g["v_mean"] is None
+        else:
+            assert g["v_mean"] == pytest.approx(w["m"])
+        assert g["v_min"] == w["lo"] and g["v_max"] == w["hi"]
+    assert r.n_rows == 7
+
+
+def test_replay_skipped_and_restart_resumes(spark, tmp_path):
+    batches, _ = _batches(spark)
+    path = str(tmp_path / "s2")
+    r = StreamingRollup(spark, path, ["day", "et"], ["v"])
+    r.process_batch(batches[0], batch_id=0)
+    r.process_batch(batches[1], batch_id=1)
+    before = sorted(map(tuple, r.current().collect()))
+    r.process_batch(batches[1], batch_id=1)      # replay: must be a no-op
+    assert sorted(map(tuple, r.current().collect())) == before
+    # restart: a new object resumes from the manifest
+    r2 = StreamingRollup(spark, path, ["day", "et"], ["v"])
+    assert r2.version == r.version and r2.last_batch_id == 1
+    r2.process_batch(batches[2], batch_id=2)
+    clicks = {(x["day"], x["et"]): x["v_sum"]
+              for x in r2.current().collect()}
+    assert clicks[("d2", "click")] == -1.0
+    # shape mismatch on reopen is rejected
+    with pytest.raises(ValueError, match="shape"):
+        StreamingRollup(spark, path, ["day"], ["v"])
+
+
+def test_partitioned_state_prunes(spark, tmp_path):
+    batches, _ = _batches(spark)
+    r = StreamingRollup(spark, str(tmp_path / "s3"), ["day", "et"], ["v"],
+                        partition_col="day")
+    for i, b in enumerate(batches):
+        r.process_batch(b, batch_id=i)
+    q = r.current().filter(F.col("day") == "d1")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert {x["et"] for x in q.collect()} == {"click", "view"}
+
+
+def test_live_stream_attach(spark, tmp_path):
+    import time as _time
+
+    batches, full = _batches(spark)
+    src = str(tmp_path / "stream_src")
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{src}/batch={i}")
+        _time.sleep(1.1)
+    stream = spark.readStream.schema(batches[0].schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    r = StreamingRollup(spark, str(tmp_path / "s4"), ["day", "et"], ["v"])
+    q = r.attach(stream, checkpoint=str(tmp_path / "ckpt")).trigger(
+        availableNow=True).start()
+    q.awaitTermination(120)
+    got = {(x["day"], x["et"]): x["n_rows"] for x in r.current().collect()}
+    want = {(x["day"], x["et"]): x["n"]
+            for x in full.groupBy("day", "et")
+                         .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
