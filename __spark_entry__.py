@@ -4962,6 +4962,58 @@ FROM (
 """
 
 
+def _q_analytics_quantile_match_orders(spark, sf_dir):
+    """Distribution harmonization: order totals remapped onto the
+    lineitem price distribution by piecewise-affine quantile matching
+    (8 exact-eighth landmarks per side, two fused percentile aggregates
+    → literals, then a pure map-only codegen expression — no window, no
+    join). The oracle recomputes both landmark sets with quantile_cont
+    and replays the identical segment arithmetic."""
+    from bid_evaluation_spark.operators.analytics import quantile_match
+
+    od = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    res = quantile_match(od, "o_totalprice", li, "l_extendedprice",
+                         n_segments=8, out_col="matched")
+    return res.select("o_orderkey", _r4("matched").alias("matched"))
+
+
+def _qm_cases(n: int) -> str:
+    out = []
+    for i in range(n):
+        ub = "<=" if i == n - 1 else "<"
+        out.append(
+            f"WHEN x >= qa[{i + 1}] AND x {ub} qa[{i + 2}] THEN "
+            f"CASE WHEN qa[{i + 2}] > qa[{i + 1}] THEN "
+            f"qb[{i + 1}] + (x - qa[{i + 1}]) / (qa[{i + 2}] - qa[{i + 1}])"
+            f" * (qb[{i + 2}] - qb[{i + 1}]) "
+            f"ELSE qb[{i + 1}] END")
+    return "\n    ".join(out)
+
+
+_QM_QS = ", ".join(f"CAST({i / 8} AS DOUBLE)" for i in range(9))
+
+_SQL_ANALYTICS_QUANTILE_MATCH_ORDERS = f"""
+WITH la AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [{_QM_QS}]) AS qa
+  FROM orders
+),
+lb AS (
+  SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), [{_QM_QS}]) AS qb
+  FROM lineitem
+)
+SELECT o_orderkey,
+  round(CASE
+    WHEN x IS NULL THEN NULL
+    WHEN x < qa[1] THEN qb[1]
+    WHEN x > qa[9] THEN qb[9]
+    {_qm_cases(8)}
+  END * 10000.0) / 10000.0 AS matched
+FROM (SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS x FROM orders)
+CROSS JOIN la CROSS JOIN lb
+"""
+
+
 def _q_metrics_calibration_by_group_embeddings(spark, sf_dir):
     """Per-segment calibration table: each label-bucket segment gets its
     own equal-population score bands and base rate; the per-group
@@ -6274,6 +6326,9 @@ _QUERIES: dict = {
     "metrics_calibration_by_group_embeddings": (
         _q_metrics_calibration_by_group_embeddings,
         _SQL_METRICS_CALIBRATION_BY_GROUP_EMBEDDINGS),
+    "analytics_quantile_match_orders": (
+        _q_analytics_quantile_match_orders,
+        _SQL_ANALYTICS_QUANTILE_MATCH_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

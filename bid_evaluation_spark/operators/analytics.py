@@ -244,3 +244,52 @@ def weighted_quantile_by_group(df: DataFrame, group_col: str,
                    F.min(F.when(F.col(f"_c{i}"), F.col("_v"))))
             .alias(name))
     return marked.groupBy(group_col).agg(*aggs)
+
+
+def quantile_match(df: DataFrame, value_col: str, reference: DataFrame,
+                   ref_value_col: str, n_segments: int = 16,
+                   out_col: Optional[str] = None) -> DataFrame:
+    """Map a value column onto the DISTRIBUTION of a reference column
+    (quantile matching / rank harmonization): a value sitting at the
+    q-th quantile of ``df`` is replaced by the reference's q-th quantile
+    — the score-harmonization step when two annotator batches, scorers,
+    or corpora disagree in scale.
+
+    Both distributions reduce to ``n_segments + 1`` exact quantile
+    landmarks (two fused percentile aggregates → driver literals); the
+    transform is then a piecewise-affine segment-to-segment map — pure
+    codegen expressions, map-only, no window, no join. Degenerate source
+    segments (heavy ties) map to the segment's reference start;
+    out-of-fit values clamp to the edge landmarks. Nulls pass through.
+    """
+    qs = [i / n_segments for i in range(n_segments + 1)]
+    def _landmarks(frame, col):
+        row = frame.agg(F.percentile(F.col(col).cast("double"),
+                                     F.array(*[F.lit(q) for q in qs]))
+                        .alias("_q")).collect()[0]["_q"]
+        if row is None:
+            raise ValueError(f"no rows to fit quantiles on for {col!r}")
+        return [float(v) for v in row]
+
+    qa = _landmarks(df, value_col)
+    qb = _landmarks(reference, ref_value_col)
+    x = F.col(value_col).cast("double")
+    out = out_col or f"{value_col}_matched"
+    expr = F.lit(None).cast("double")
+    # chain from the LAST segment down so earlier whens win at shared
+    # boundaries (half-open [lo, hi) segments; the last is closed)
+    for i in range(n_segments - 1, -1, -1):
+        lo_a, hi_a = qa[i], qa[i + 1]
+        lo_b, hi_b = qb[i], qb[i + 1]
+        if hi_a > lo_a:
+            t = (x - F.lit(lo_a)) / F.lit(hi_a - lo_a)
+            seg = F.lit(lo_b) + t * F.lit(hi_b - lo_b)
+        else:                       # degenerate tie-segment
+            seg = F.lit(lo_b)
+        cond = (x >= F.lit(lo_a)) & (
+            (x <= F.lit(hi_a)) if i == n_segments - 1 else (x < F.lit(hi_a)))
+        expr = F.when(cond, seg).otherwise(expr)
+    clamped = (F.when(x < F.lit(qa[0]), F.lit(qb[0]))
+               .when(x > F.lit(qa[-1]), F.lit(qb[-1]))
+               .otherwise(expr))
+    return df.withColumn(out, F.when(x.isNotNull(), clamped))

@@ -291,3 +291,49 @@ class TestWeightedQuantile:
         assert row["wq_0_5"] == 2.0
         with pytest.raises(ValueError, match="quantiles"):
             weighted_quantile_by_group(df, "g", "v", "w", quantiles=(0.0,))
+
+
+class TestQuantileMatch:
+    def test_self_match_is_identity_and_shift_recovers(self, spark):
+        from bid_evaluation_spark.operators.analytics import quantile_match
+
+        rng = random.Random(53)
+        vals = sorted(rng.uniform(0, 100) for _ in range(400))
+        df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                                   "id long, v double")
+        # matching a distribution onto itself is the identity (within
+        # segment interpolation error at the landmarks = exact there)
+        ident = {r["id"]: r["v_matched"] for r in
+                 quantile_match(df, "v", df, "v", n_segments=8).collect()}
+        for i, v in enumerate(vals):
+            assert ident[i] == pytest.approx(v, abs=1e-9)
+        # a constant shift is recovered exactly by the affine segments
+        shifted = spark.createDataFrame(
+            [(i, v + 1000.0) for i, v in enumerate(vals)],
+            "id long, v double")
+        back = {r["id"]: r["v_matched"] for r in
+                quantile_match(shifted, "v", df, "v",
+                               n_segments=8).collect()}
+        for i, v in enumerate(vals):
+            assert back[i] == pytest.approx(v, abs=1e-6)
+
+    def test_clamp_nulls_and_degenerate(self, spark):
+        from bid_evaluation_spark.operators.analytics import quantile_match
+
+        ref = spark.createDataFrame([(float(v),) for v in range(11)],
+                                    "r double")
+        src = spark.createDataFrame(
+            [(0, 5.0), (1, None), (2, -99.0), (3, 99.0)],
+            "id long, v double")
+        got = {r["id"]: r["v_matched"] for r in
+               quantile_match(src, "v", ref, "r", n_segments=4).collect()}
+        assert got[1] is None
+        assert got[2] == 0.0 and got[3] == 10.0       # clamped to edges
+        # all-ties source: every value maps to a reference landmark
+        ties = spark.createDataFrame([(i, 7.0) for i in range(5)],
+                                     "id long, v double")
+        tg = {r["v_matched"] for r in
+              quantile_match(ties, "v", ref, "r", n_segments=4).collect()}
+        # a constant source collapses every segment; values land in the
+        # LAST (closed) segment and map to its reference start = q0.75
+        assert tg == {7.5}
