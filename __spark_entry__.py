@@ -4962,6 +4962,61 @@ FROM (
 """
 
 
+def _q_pipe_novelty_documents(spark, sf_dir):
+    """Per-document shingle novelty vs the rest of the corpus (docs with
+    doc_id % 5 == 0 scored against the other 80%): the corpus collapses
+    once to its distinct shingle-hash set (fixed-width longs, partial
+    agg), doc shingles LEFT-join it, one per-doc aggregate. The oracle
+    recomputes membership with string shingles — equality also certifies
+    the hash path collision-free on this data."""
+    from bid_evaluation_spark.operators.pipeline import novelty_score
+
+    df = _t(spark, sf_dir, "documents")
+    docs = df.filter(F.col("doc_id") % 5 == 0)
+    corpus = df.filter(F.col("doc_id") % 5 != 0)
+    res = novelty_score(docs, corpus, k=3)
+    return res.select("doc_id", "n_shingles", "n_unseen",
+                      _r4("novelty").alias("novelty"))
+
+
+_SQL_PIPE_NOVELTY_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+seen AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0
+),
+doc_sh AS (
+  SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 = 0
+),
+per AS (
+  SELECT d.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN x.g IS NULL THEN 1 ELSE 0 END) AS n_unseen
+  FROM doc_sh d LEFT JOIN seen x ON d.g = x.g
+  GROUP BY d.doc_id
+)
+SELECT b.doc_id,
+  CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+  CAST(coalesce(p.n_unseen, 0) AS BIGINT) AS n_unseen,
+  round(CASE WHEN p.n_shingles > 0
+        THEN CAST(p.n_unseen AS DOUBLE) / p.n_shingles END
+        * 10000.0) / 10000.0 AS novelty
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) b
+LEFT JOIN per p ON b.doc_id = p.doc_id
+"""
+
+
 def _q_analytics_quantile_match_orders(spark, sf_dir):
     """Distribution harmonization: order totals remapped onto the
     lineitem price distribution by piecewise-affine quantile matching
@@ -6329,6 +6384,8 @@ _QUERIES: dict = {
     "analytics_quantile_match_orders": (
         _q_analytics_quantile_match_orders,
         _SQL_ANALYTICS_QUANTILE_MATCH_ORDERS),
+    "pipe_novelty_documents": (_q_pipe_novelty_documents,
+                               _SQL_PIPE_NOVELTY_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

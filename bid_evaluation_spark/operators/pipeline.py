@@ -1006,3 +1006,49 @@ def curriculum_bins(
     return df.withColumn(
         output_col,
         F.when(F.col(score_col).isNotNull(), expr).cast("int"))
+
+
+def novelty_score(docs: DataFrame, corpus: DataFrame, k: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text"
+                  ) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus: the
+    fraction of the doc's DISTINCT word-``k``-shingles that appear
+    nowhere in the corpus — the memorization / contamination lens
+    (novelty 0 = every shingle already exists; 1 = entirely fresh).
+
+    Shape: the corpus collapses ONCE to its distinct shingle-hash set
+    (partial-agg shuffle of fixed-width longs — document bodies never
+    move), each doc's distinct shingles explode and LEFT-join that set
+    on the hash, and a per-doc aggregate computes the unseen fraction.
+    Docs shorter than ``k`` tokens have no shingles → null novelty.
+    Returns ``(id_col, n_shingles, n_unseen, novelty)``.
+    """
+    from ..operators.text import hashed_word_shingles
+    from ..operators.dedup import _MERSENNE_PRIME
+
+    def shingled(df):
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.array_distinct(
+                hashed_word_shingles(F.col(text_col), k,
+                                     modulus=_MERSENNE_PRIME)))
+            .alias("_sh"))
+
+    seen = (shingled(corpus).select("_sh").distinct()
+            .withColumn("_hit", F.lit(1)))
+    doc_sh = shingled(docs)
+    marked = doc_sh.join(seen, "_sh", "left")
+    per_doc = (marked.groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_shingles"),
+                    F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+                    .alias("n_unseen")))
+    base = docs.select(F.col(id_col).alias("_id"))
+    return (base.join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_shingles", F.lit(0)).cast("long")
+                    .alias("n_shingles"),
+                    F.coalesce("n_unseen", F.lit(0)).cast("long")
+                    .alias("n_unseen"),
+                    F.when(F.col("n_shingles") > 0,
+                           F.col("n_unseen").cast("double")
+                           / F.col("n_shingles")).alias("novelty")))

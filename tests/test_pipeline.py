@@ -362,3 +362,27 @@ def test_lm_quality_score_matches_hand_model(spark):
         (-math.log(1.5 / 3.0) + floor) / 2)
     with pytest.raises(ValueError, match="add_k"):
         lm_quality_score(df, add_k=0)
+
+
+def test_novelty_score(spark):
+    """Novelty vs a reference corpus: fresh text -> 1.0, exact re-send ->
+    0.0, partial overlap in between, short docs -> null."""
+    from bid_evaluation_spark.operators.pipeline import novelty_score
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "columnar storage formats with vectorized execution")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog"),   # re-send
+         (11, "alpine weather patterns and seasonal snowfall data"),  # fresh
+         (12, "the quick brown fox discusses alpine snowfall today"),  # mixed
+         (13, "too short")],                                     # no shingles
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in novelty_score(docs, corpus, k=3).collect()}
+    assert got[10]["novelty"] == 0.0
+    assert got[11]["novelty"] == 1.0
+    assert 0.0 < got[12]["novelty"] < 1.0
+    # mixed doc: shingles 'the quick brown' + 'quick brown fox' are seen
+    assert got[12]["n_unseen"] == got[12]["n_shingles"] - 2
+    assert got[13]["novelty"] is None and got[13]["n_shingles"] == 0
