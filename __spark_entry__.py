@@ -4962,6 +4962,48 @@ FROM (
 """
 
 
+def _q_dedup_containment_documents(spark, sf_dir):
+    """EXACT containment join (|needle ∩ hay| / |needle| ≥ 0.75): short
+    probe docs (doc_id % 25 == 0, first 12 tokens — simulated excerpts)
+    against the full corpus. One-sided prefix filtering — recall 1 by the
+    lemma, only the needle side pays prefix machinery — so the all-pairs
+    oracle again checks blocking completeness. Self-pairs excluded."""
+    from bid_evaluation_spark.operators.dedup import containment_join
+
+    df = _t(spark, sf_dir, "documents")
+    needles = (df.filter(F.col("doc_id") % 25 == 0)
+               .select((F.col("doc_id") + 1000000).alias("doc_id"),
+                       F.array_join(
+                           F.slice(F.split(F.trim(F.lower(F.col("text"))),
+                                           r"\s+"), 1, 12), " ")
+                       .alias("text")))
+    res = containment_join(needles, df, threshold=0.75)
+    return res.select("needle_id", "hay_id",
+                      _r4("containment").alias("containment"))
+
+
+_SQL_DEDUP_CONTAINMENT_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
+    END AS s
+  FROM documents
+),
+needles AS (
+  SELECT doc_id + 1000000 AS doc_id,
+    list_distinct(string_split_regex(trim(lower(text)), '\\s+')[1:12]) AS s
+  FROM documents WHERE doc_id % 25 = 0 AND trim(lower(text)) != ''
+)
+SELECT n.doc_id AS needle_id, h.doc_id AS hay_id,
+  round((CAST(len(list_intersect(n.s, h.s)) AS DOUBLE) / len(n.s))
+        * 10000.0) / 10000.0 AS containment
+FROM needles n JOIN toks h ON len(n.s) > 0 AND len(h.s) > 0
+WHERE CAST(len(list_intersect(n.s, h.s)) AS DOUBLE) / len(n.s)
+      >= CAST(0.75 AS DOUBLE)
+"""
+
+
 def _q_pipe_novelty_documents(spark, sf_dir):
     """Per-document shingle novelty vs the rest of the corpus (docs with
     doc_id % 5 == 0 scored against the other 80%): the corpus collapses
@@ -6386,6 +6428,8 @@ _QUERIES: dict = {
         _SQL_ANALYTICS_QUANTILE_MATCH_ORDERS),
     "pipe_novelty_documents": (_q_pipe_novelty_documents,
                                _SQL_PIPE_NOVELTY_DOCUMENTS),
+    "dedup_containment_documents": (_q_dedup_containment_documents,
+                                    _SQL_DEDUP_CONTAINMENT_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

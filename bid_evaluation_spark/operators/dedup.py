@@ -867,3 +867,65 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
     return _track_cached(
         df.join(drop, df[id_col] == drop["id"], "left_anti"),
         getattr(clusters, "_cached_deps", []))
+
+
+def containment_join(needles: DataFrame, haystack: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.5,
+                     lowercase: bool = True) -> DataFrame:
+    """EXACT asymmetric set-containment join: pairs where
+    ``|needle ∩ hay| / |needle| ≥ t`` — the excerpt/quote-detection case
+    symmetric Jaccard misses (a benchmark question QUOTED inside a long
+    document has tiny Jaccard but containment ≈ 1).
+
+    Prefix lemma, one-sided: if containment ≥ t, the needle's rarest
+    ``|A| − ⌈t·|A|⌉ + 1`` tokens cannot ALL miss the hay (else
+    ``|A∩B| < t·|A|``), so candidates = needle-PREFIX tokens equi-joined
+    against the hay's full distinct-token postings — recall 1, and only
+    the needle side pays the prefix machinery. Verify is exact on the
+    candidate pairs. Returns ``(needle_id, hay_id, containment)``.
+    Token frequencies for the rarest-first order come from the HAY side
+    (the side that determines collision cost); needle tokens absent from
+    the hay sort first (frequency 0 — maximally selective).
+    """
+    from .text import tokens
+
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+
+    def tokset(df, alias):
+        text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        return df.select(F.col(id_col).alias(alias),
+                         F.array_distinct(tokens(text)).alias("_ts"))
+
+    hay = tokset(haystack, "_hid").persist()
+    hay_post = hay.select("_hid", F.explode("_ts").alias("_tok"))
+    freq = hay_post.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
+
+    ndl = tokset(needles, "_nid").persist()
+    ndl_tok = ndl.select("_nid", F.explode("_ts").alias("_tok"))
+    ordered = (ndl_tok.join(freq, "_tok", "left")
+               .groupBy("_nid")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct(F.coalesce("_f", F.lit(0)).alias("_f"),
+                            F.col("_tok").alias("_tok")))).alias("_st"))
+               .select("_nid",
+                       F.expr("transform(_st, x -> x._tok)").alias("_os")))
+    n = F.size("_os")
+    plen = (n - (-F.floor(-(F.lit(float(threshold)) * n))).cast("int")
+            + F.lit(1))
+    pref = (ordered.filter(n > 0)
+            .select("_nid", F.explode(F.slice("_os", 1, plen)).alias("_tok")))
+    cand = (pref.join(hay_post, "_tok")
+            .select("_nid", "_hid").distinct())
+    na = ndl.select(F.col("_nid").alias("_ni"), F.col("_ts").alias("_nt"))
+    ha = hay.select(F.col("_hid").alias("_hi"), F.col("_ts").alias("_ht"))
+    out = (cand.join(na, F.col("_nid") == F.col("_ni"))
+           .join(ha, F.col("_hid") == F.col("_hi"))
+           .withColumn("containment", F.try_divide(
+               F.size(F.array_intersect("_nt", "_ht")),
+               F.size("_nt")).cast("double"))
+           .filter(F.col("containment") >= threshold)
+           .select(F.col("_nid").alias("needle_id"),
+                   F.col("_hid").alias("hay_id"), "containment"))
+    return _track_cached(out, [hay, ndl])

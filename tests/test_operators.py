@@ -872,3 +872,42 @@ def test_dedup_keep_best(spark):
     # cluster {1,2,3,4}: max q = 0.9 shared by 2 and 3 -> min id 2 wins;
     # 9 is unpaired and survives
     assert kept == [2, 9]
+
+
+def test_containment_join_exact_recall(spark):
+    """One-sided prefix-filtered containment join vs brute force — recall
+    1, excerpt case (tiny Jaccard, high containment) included."""
+    import itertools
+
+    from bid_evaluation_spark.operators.dedup import containment_join
+
+    hay = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+         (2, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string")
+    needles = spark.createDataFrame(
+        [(10, "beta gamma delta"),          # fully inside 1 (J tiny!)
+         (11, "two three foreign"),         # 2/3 inside 2
+         (12, "nothing matches here"),      # fresh
+         (13, "")],                         # empty
+        "doc_id long, text string")
+
+    def brute(th):
+        hs = {i: set(t.split()) for i, t in hay.collect()}
+        out = set()
+        for ni, nt in needles.collect():
+            ns = set(nt.split())
+            if not ns:
+                continue
+            for hi, hset in hs.items():
+                if len(ns & hset) / len(ns) >= th:
+                    out.add((ni, hi))
+        return out
+
+    for th in (0.9, 0.6, 0.34):
+        got = {(r["needle_id"], r["hay_id"]) for r in
+               containment_join(needles, hay, threshold=th).collect()}
+        assert got == brute(th), th
+    full = {(r["needle_id"], r["hay_id"]): r["containment"] for r in
+            containment_join(needles, hay, threshold=0.9).collect()}
+    assert full[(10, 1)] == 1.0
