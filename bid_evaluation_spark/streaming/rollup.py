@@ -193,3 +193,26 @@ class StreamingRollup:
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         return writer
+
+
+def merge_rollup_states(a: DataFrame, b: DataFrame,
+                        group_cols: Sequence[str]) -> DataFrame:
+    """Merge two raw rollup STATE tables (``StreamingRollup.state()``
+    shape) into one — union + one group-keyed re-aggregation, the
+    algebra that combines rollups across corpora, re-shards, or
+    independently-maintained pipelines without rescanning history.
+    Column sets must match (same value_cols)."""
+    if set(a.columns) != set(b.columns):
+        raise ValueError(f"state schemas differ: {sorted(a.columns)} vs "
+                         f"{sorted(b.columns)}")
+    value_stats = [c for c in a.columns
+                   if c not in group_cols and c != "n_rows"]
+    aggs = [F.sum("n_rows").alias("n_rows")]
+    for c in value_stats:
+        if c.endswith("__min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("__max"):
+            aggs.append(F.max(c).alias(c))
+        else:                       # __n / __sum both add
+            aggs.append(F.sum(c).alias(c))
+    return a.unionByName(b).groupBy(*group_cols).agg(*aggs)

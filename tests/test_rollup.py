@@ -94,3 +94,25 @@ def test_live_stream_attach(spark, tmp_path):
             for x in full.groupBy("day", "et")
                          .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_merge_rollup_states(spark, tmp_path):
+    """Two independently-maintained rollups merge into the rollup of the
+    concatenated data — the cross-corpus algebra, no history rescan."""
+    from bid_evaluation_spark.streaming.rollup import merge_rollup_states
+
+    batches, full = _batches(spark)
+    r1 = StreamingRollup(spark, str(tmp_path / "m1"), ["day", "et"], ["v"])
+    r2 = StreamingRollup(spark, str(tmp_path / "m2"), ["day", "et"], ["v"])
+    r1.process_batch(batches[0], 0)
+    r1.process_batch(batches[1], 1)
+    r2.process_batch(batches[2], 0)
+    merged = merge_rollup_states(r1.state(), r2.state(), ["day", "et"])
+    whole = StreamingRollup(spark, str(tmp_path / "m3"), ["day", "et"], ["v"])
+    whole.process_batch(full, 0)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.state().collect()))
+    bad = r1.state().withColumnRenamed("v__sum", "w__sum")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="schemas differ"):
+        merge_rollup_states(r1.state(), bad, ["day", "et"])

@@ -789,6 +789,40 @@ def _triangles_plan(spark, sf_dir):
     return probs
 
 
+@check("prefix jaccard/containment + novelty + quantile match: equi-joins, map-only transform")
+def _setsim_novelty_qmatch_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.analytics import quantile_match
+    from bid_evaluation_spark.operators.dedup import (
+        containment_join, jaccard_similarity_join)
+    from bid_evaluation_spark.operators.pipeline import novelty_score
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    sub = docs.filter(F.col("doc_id") % 25 == 0)
+    for name, frame in (
+            ("jaccard prefix join",
+             jaccard_similarity_join(sub, threshold=0.75)),
+            ("containment join",
+             containment_join(sub, docs, threshold=0.75)),
+            ("novelty", novelty_score(sub, docs))):
+        plan = plan_of(frame)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            probs.append(f"{name}: non-equi product join in the plan")
+        if "windowspecdefinition" in plan and name != "containment join":
+            probs.append(f"{name}: unexpected window (no ranks should "
+                         "materialize)")
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qm = plan_of(quantile_match(od, "o_totalprice", li, "l_extendedprice",
+                                n_segments=8))
+    if "Join" in qm or "Exchange" in qm:
+        probs.append("quantile match transform is not map-only")
+    if "BatchEvalPython" in qm or "MapInPandas" in qm:
+        probs.append("quantile match fell out of JVM codegen")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
