@@ -5004,6 +5004,64 @@ WHERE CAST(len(list_intersect(n.s, h.s)) AS DOUBLE) / len(n.s)
 """
 
 
+def _qm_cases(n: int) -> str:
+    out = []
+    for i in range(n):
+        ub = "<=" if i == n - 1 else "<"
+        out.append(
+            f"WHEN x >= qa[{i + 1}] AND x {ub} qa[{i + 2}] THEN "
+            f"CASE WHEN qa[{i + 2}] > qa[{i + 1}] THEN "
+            f"qb[{i + 1}] + (x - qa[{i + 1}]) / (qa[{i + 2}] - qa[{i + 1}])"
+            f" * (qb[{i + 2}] - qb[{i + 1}]) "
+            f"ELSE qb[{i + 1}] END")
+    return "\n    ".join(out)
+
+
+_QM_QS = ", ".join(f"CAST({i / 8} AS DOUBLE)" for i in range(9))
+
+
+def _q_analytics_qmatch_group_orders(spark, sf_dir):
+    """Per-priority harmonization: each priority's order totals map
+    through that group's OWN quantile landmarks onto the global price
+    scale — the annotator-batch normalization. Source landmarks
+    broadcast-join back (no driver literals for the source side); the
+    shared reference landmarks inline as literals."""
+    from bid_evaluation_spark.operators.analytics import (
+        quantile_match_by_group)
+
+    od = _t(spark, sf_dir, "orders")
+    res = quantile_match_by_group(od, "o_orderpriority", "o_totalprice",
+                                  od, "o_totalprice", n_segments=8,
+                                  out_col="matched")
+    return res.select("o_orderkey", "o_orderpriority",
+                      _r4("matched").alias("matched"))
+
+
+_SQL_ANALYTICS_QMATCH_GROUP_ORDERS = f"""
+WITH lb AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [{_QM_QS}]) AS qb
+  FROM orders
+),
+la AS (
+  SELECT o_orderpriority,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), [{_QM_QS}]) AS qa
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+  round(CASE
+    WHEN x IS NULL THEN NULL
+    WHEN x < qa[1] THEN qb[1]
+    WHEN x > qa[9] THEN qb[9]
+    {_qm_cases(8)}
+  END * 10000.0) / 10000.0 AS matched
+FROM (SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DOUBLE) AS x FROM orders) o
+LEFT JOIN la ON o.o_orderpriority = la.o_orderpriority
+CROSS JOIN lb
+"""
+
+
 def _q_pipe_novelty_documents(spark, sf_dir):
     """Per-document shingle novelty vs the rest of the corpus (docs with
     doc_id % 5 == 0 scored against the other 80%): the corpus collapses
@@ -5075,20 +5133,6 @@ def _q_analytics_quantile_match_orders(spark, sf_dir):
     return res.select("o_orderkey", _r4("matched").alias("matched"))
 
 
-def _qm_cases(n: int) -> str:
-    out = []
-    for i in range(n):
-        ub = "<=" if i == n - 1 else "<"
-        out.append(
-            f"WHEN x >= qa[{i + 1}] AND x {ub} qa[{i + 2}] THEN "
-            f"CASE WHEN qa[{i + 2}] > qa[{i + 1}] THEN "
-            f"qb[{i + 1}] + (x - qa[{i + 1}]) / (qa[{i + 2}] - qa[{i + 1}])"
-            f" * (qb[{i + 2}] - qb[{i + 1}]) "
-            f"ELSE qb[{i + 1}] END")
-    return "\n    ".join(out)
-
-
-_QM_QS = ", ".join(f"CAST({i / 8} AS DOUBLE)" for i in range(9))
 
 _SQL_ANALYTICS_QUANTILE_MATCH_ORDERS = f"""
 WITH la AS (
@@ -6430,6 +6474,8 @@ _QUERIES: dict = {
                                _SQL_PIPE_NOVELTY_DOCUMENTS),
     "dedup_containment_documents": (_q_dedup_containment_documents,
                                     _SQL_DEDUP_CONTAINMENT_DOCUMENTS),
+    "analytics_qmatch_group_orders": (_q_analytics_qmatch_group_orders,
+                                      _SQL_ANALYTICS_QMATCH_GROUP_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

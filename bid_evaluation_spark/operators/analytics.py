@@ -293,3 +293,58 @@ def quantile_match(df: DataFrame, value_col: str, reference: DataFrame,
                .when(x > F.lit(qa[-1]), F.lit(qb[-1]))
                .otherwise(expr))
     return df.withColumn(out, F.when(x.isNotNull(), clamped))
+
+
+def quantile_match_by_group(df: DataFrame, group_col: str, value_col: str,
+                            reference: DataFrame, ref_value_col: str,
+                            n_segments: int = 16,
+                            out_col: Optional[str] = None) -> DataFrame:
+    """Per-group quantile matching onto ONE shared reference scale — the
+    annotator-batch harmonization: each group's values map through its
+    OWN quantile landmarks onto the common reference's landmarks, so a
+    group's q-th quantile always lands on the reference's q-th quantile
+    regardless of that group's bias or spread.
+
+    The per-group landmark arrays come back as a (group, landmarks)
+    frame that broadcast-joins onto the rows (group cardinality
+    unbounded — no driver literals for the source side); the reference
+    landmarks are one fused aggregate inlined as literals. The transform
+    itself is the same piecewise-affine segment map as
+    :func:`quantile_match`, written over ``element_at`` on the joined
+    array column. Nulls pass through; out-of-fit values clamp.
+    """
+    qs = [i / n_segments for i in range(n_segments + 1)]
+    ref_row = reference.agg(
+        F.percentile(F.col(ref_value_col).cast("double"),
+                     F.array(*[F.lit(q) for q in qs])).alias("_q")
+    ).collect()[0]["_q"]
+    if ref_row is None:
+        raise ValueError("no rows to fit reference quantiles on")
+    qb = [float(v) for v in ref_row]
+
+    x = F.col(value_col).cast("double")
+    th = (df.filter(x.isNotNull())
+          .groupBy(group_col)
+          .agg(F.percentile(x, F.array(*[F.lit(q) for q in qs]))
+               .alias("_qa")))
+    joined = df.join(F.broadcast(th), group_col, "left")
+
+    def qa(i):                     # 1-based element_at over the array col
+        return F.element_at("_qa", i + 1)
+
+    out = out_col or f"{value_col}_matched"
+    expr = F.lit(None).cast("double")
+    for i in range(n_segments - 1, -1, -1):
+        lo_b, hi_b = qb[i], qb[i + 1]
+        width = qa(i + 1) - qa(i)
+        t = (x - qa(i)) / width
+        seg = F.when(width > 0, F.lit(lo_b) + t * F.lit(hi_b - lo_b)) \
+               .otherwise(F.lit(lo_b))
+        cond = (x >= qa(i)) & (
+            (x <= qa(i + 1)) if i == n_segments - 1 else (x < qa(i + 1)))
+        expr = F.when(cond, seg).otherwise(expr)
+    clamped = (F.when(x < qa(0), F.lit(qb[0]))
+               .when(x > qa(n_segments), F.lit(qb[-1]))
+               .otherwise(expr))
+    return (joined.withColumn(out, F.when(x.isNotNull(), clamped))
+            .drop("_qa"))

@@ -337,3 +337,23 @@ class TestQuantileMatch:
         # a constant source collapses every segment; values land in the
         # LAST (closed) segment and map to its reference start = q0.75
         assert tg == {7.5}
+
+
+def test_quantile_match_by_group_harmonizes_shifted_groups(spark):
+    """Two groups drawing the same base distribution with different
+    shifts land on the SAME common scale after per-group matching."""
+    from bid_evaluation_spark.operators.analytics import (
+        quantile_match_by_group)
+
+    rng = random.Random(61)
+    base = sorted(rng.uniform(0, 50) for _ in range(300))
+    rows = ([("a", i, v) for i, v in enumerate(base)]                 # raw
+            + [("b", 1000 + i, v + 500.0) for i, v in enumerate(base)])
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    ref = spark.createDataFrame([(v,) for v in base], "r double")
+    got = {r["id"]: r["m"] for r in quantile_match_by_group(
+        df, "g", "v", ref, "r", n_segments=8, out_col="m").collect()}
+    for i, v in enumerate(base):
+        # both the raw and the +500-shifted copy recover the base value
+        assert got[i] == pytest.approx(v, abs=1e-6), i
+        assert got[1000 + i] == pytest.approx(v, abs=1e-6), i
