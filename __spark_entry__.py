@@ -5004,6 +5004,74 @@ WHERE CAST(len(list_intersect(n.s, h.s)) AS DOUBLE) / len(n.s)
 """
 
 
+def _q_metrics_psi_orders(spark, sf_dir):
+    """Distribution-drift monitor: PSI of order totals between an even-key
+    reference window and an odd-key current window with a +10% price
+    shift. Reference-quantile bins inline as literals (map-only
+    assignment both sides), empty bins clip at 1e-6 — the standard PSI
+    recipe, fully deterministic."""
+    from bid_evaluation_spark.operators.metrics import psi_drift
+
+    od = _t(spark, sf_dir, "orders")
+    ref = od.filter(F.col("o_orderkey") % 2 == 0)
+    cur = (od.filter(F.col("o_orderkey") % 2 == 1)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    res = psi_drift(ref, cur, "o_totalprice", n_bins=5)
+    return res.select("bin", "ref_n", "cur_n",
+                      _r4("ref_share").alias("ref_share"),
+                      _r4("cur_share").alias("cur_share"),
+                      _r4("psi_term").alias("psi_term"))
+
+
+_SQL_METRICS_PSI_ORDERS = """
+WITH ref AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+),
+cur AS (
+  SELECT CAST(o_totalprice AS DOUBLE) * CAST(1.1 AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+),
+th AS (
+  SELECT quantile_cont(v, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)]) AS t
+  FROM ref
+),
+rb AS (
+  SELECT CAST(v > t[1] AS INT) + CAST(v > t[2] AS INT)
+         + CAST(v > t[3] AS INT) + CAST(v > t[4] AS INT) AS bin,
+         count(*) AS ref_n
+  FROM ref, th GROUP BY 1
+),
+cb AS (
+  SELECT CAST(v > t[1] AS INT) + CAST(v > t[2] AS INT)
+         + CAST(v > t[3] AS INT) + CAST(v > t[4] AS INT) AS bin,
+         count(*) AS cur_n
+  FROM cur, th GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(0, 4)) AS bin),
+j AS (
+  SELECT g.bin, coalesce(rb.ref_n, 0) AS ref_n,
+         coalesce(cb.cur_n, 0) AS cur_n
+  FROM grid g LEFT JOIN rb ON g.bin = rb.bin LEFT JOIN cb ON g.bin = cb.bin
+),
+tot AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS r,
+               CAST(sum(cur_n) AS DOUBLE) AS c FROM j)
+SELECT CAST(j.bin AS INT) AS bin, j.ref_n, j.cur_n,
+  round(greatest(j.ref_n / t.r, CAST(0.000001 AS DOUBLE)) * 10000.0)
+    / 10000.0 AS ref_share,
+  round(greatest(j.cur_n / t.c, CAST(0.000001 AS DOUBLE)) * 10000.0)
+    / 10000.0 AS cur_share,
+  round(((greatest(j.cur_n / t.c, CAST(0.000001 AS DOUBLE))
+          - greatest(j.ref_n / t.r, CAST(0.000001 AS DOUBLE)))
+         * ln(greatest(j.cur_n / t.c, CAST(0.000001 AS DOUBLE))
+              / greatest(j.ref_n / t.r, CAST(0.000001 AS DOUBLE))))
+        * 10000.0) / 10000.0 AS psi_term
+FROM j, tot t
+"""
+
+
 def _qm_cases(n: int) -> str:
     out = []
     for i in range(n):
@@ -6476,6 +6544,7 @@ _QUERIES: dict = {
                                     _SQL_DEDUP_CONTAINMENT_DOCUMENTS),
     "analytics_qmatch_group_orders": (_q_analytics_qmatch_group_orders,
                                       _SQL_ANALYTICS_QMATCH_GROUP_ORDERS),
+    "metrics_psi_orders": (_q_metrics_psi_orders, _SQL_METRICS_PSI_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -265,3 +265,54 @@ def calibration_table_by_group(df: DataFrame, group_col: str,
                  pos.alias("pos_rate"),
                  F.when(F.max("_base") > 0, pos / F.max("_base"))
                  .alias("lift")))
+
+
+def psi_drift(reference: DataFrame, current: DataFrame, value_col: str,
+              n_bins: int = 10, min_share: float = 1e-6) -> DataFrame:
+    """Population Stability Index per bin — the standard score/feature
+    drift monitor between a reference window and a current window:
+    ``PSI = Σ (cur_share − ref_share) · ln(cur_share / ref_share)`` over
+    equal-population bins OF THE REFERENCE (exact percentile thresholds
+    inlined as literals, map-only assignment on both sides; empty-bin
+    shares clip at ``min_share`` so the log stays finite — the standard
+    practice, made deterministic).
+
+    Returns one row per bin: ``(bin, ref_n, cur_n, ref_share, cur_share,
+    psi_term)``; total PSI = sum of ``psi_term`` (< 0.1 stable, 0.1–0.25
+    drifting, > 0.25 shifted, by the usual rule of thumb). Null values
+    are excluded on both sides.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    ref = reference.filter(v.isNotNull())
+    cur = current.filter(v.isNotNull())
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = ref.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+                  .alias("_t")).collect()[0]["_t"]
+    if row is None:
+        raise ValueError("empty reference window")
+    bin_expr = F.lit(0)
+    for t in row:
+        bin_expr = bin_expr + (v > F.lit(float(t))).cast("int")
+
+    def binned(df, name):
+        return (df.select(bin_expr.alias("bin"))
+                .groupBy("bin").agg(F.count(F.lit(1)).alias(name)))
+
+    grid = reference.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin"))
+    j = (grid.join(binned(ref, "ref_n"), "bin", "left")
+         .join(binned(cur, "cur_n"), "bin", "left")
+         .select("bin",
+                 F.coalesce("ref_n", F.lit(0)).alias("ref_n"),
+                 F.coalesce("cur_n", F.lit(0)).alias("cur_n")))
+    tot = j.agg(F.sum("ref_n").alias("r"), F.sum("cur_n").alias("c")
+                ).collect()[0]
+    rt, ct = float(tot["r"] or 0), float(tot["c"] or 0)
+    ms = float(min_share)
+    rs = F.greatest(F.col("ref_n") / F.lit(rt if rt else 1.0), F.lit(ms))
+    cs = F.greatest(F.col("cur_n") / F.lit(ct if ct else 1.0), F.lit(ms))
+    return j.select("bin", "ref_n", "cur_n",
+                    rs.alias("ref_share"), cs.alias("cur_share"),
+                    ((cs - rs) * F.log(cs / rs)).alias("psi_term"))

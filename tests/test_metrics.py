@@ -250,3 +250,50 @@ def test_calibration_by_group_matches_global_per_subset(spark):
             assert mp == pytest.approx(r["mean_prob"], abs=1e-12)
             assert pr == pytest.approx(r["pos_rate"], abs=1e-12)
             assert lf == pytest.approx(r["lift"], abs=1e-12)
+
+
+class TestPsiDrift:
+    def test_identical_and_shifted(self, spark):
+        import math
+        import random
+
+        from bid_evaluation_spark.operators.metrics import psi_drift
+
+        rng = random.Random(67)
+        vals = [rng.gauss(50, 10) for _ in range(2000)]
+        ref = spark.createDataFrame([(v,) for v in vals], "v double")
+        # identical windows -> every bin's share matches -> PSI ~ 0
+        same = psi_drift(ref, ref, "v", n_bins=5).collect()
+        assert sum(r["psi_term"] for r in same) == pytest.approx(0.0,
+                                                                 abs=1e-12)
+        assert all(r["ref_share"] == pytest.approx(r["cur_share"])
+                   for r in same)
+        # a strong shift -> substantial PSI, python-reference checked
+        cur = spark.createDataFrame([(v + 15.0,) for v in vals], "v double")
+        rows = psi_drift(ref, cur, "v", n_bins=5).collect()
+        psi = sum(r["psi_term"] for r in rows)
+        qs = sorted(vals)
+        th = [qs[int(0.2 * i * len(qs))] for i in (1, 2, 3, 4)]
+
+        def share(xs):
+            counts = [0] * 5
+            for x in xs:
+                counts[sum(x > t for t in th)] += 1
+            return [max(c / len(xs), 1e-6) for c in counts]
+
+        # thresholds differ slightly from exact interpolation — compare
+        # PSI magnitude, not bin-exact values
+        rs, cs = share(vals), share([v + 15.0 for v in vals])
+        ref_psi = sum((c - r) * math.log(c / r) for r, c in zip(rs, cs))
+        assert psi == pytest.approx(ref_psi, rel=0.1)
+        assert psi > 0.25    # "shifted" by the standard rule of thumb
+
+    def test_validation(self, spark):
+        from bid_evaluation_spark.operators.metrics import psi_drift
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError, match="n_bins"):
+            psi_drift(df, df, "v", n_bins=1)
+        empty = spark.createDataFrame([], "v double")
+        with pytest.raises(ValueError, match="empty reference"):
+            psi_drift(empty, df, "v")
