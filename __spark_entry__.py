@@ -5072,6 +5072,55 @@ FROM j, tot t
 """
 
 
+def _q_metrics_ks_orders(spark, sf_dir):
+    """Two-sample KS statistic between the same drift windows as the PSI
+    row (even-key reference vs odd-key +10%): per-value counts full-outer
+    merged, one cumulative window over the bounded quantized-value table,
+    max CDF gap. The binning-free companion to PSI."""
+    from bid_evaluation_spark.operators.metrics import ks_statistic
+
+    od = _t(spark, sf_dir, "orders")
+    ref = od.filter(F.col("o_orderkey") % 2 == 0)
+    cur = (od.filter(F.col("o_orderkey") % 2 == 1)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    res = ks_statistic(ref, cur, "o_totalprice", digits=4)
+    return res.select(_r4("ks").alias("ks"), "n_a", "n_b")
+
+
+_SQL_METRICS_KS_ORDERS = """
+WITH ref AS (
+  SELECT round(CAST(o_totalprice AS DOUBLE) * 10000.0) / 10000.0 AS v
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+),
+cur AS (
+  SELECT round(CAST(o_totalprice AS DOUBLE) * CAST(1.1 AS DOUBLE)
+               * 10000.0) / 10000.0 AS v
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+),
+pa AS (SELECT v, count(*) AS ca FROM ref GROUP BY v),
+pb AS (SELECT v, count(*) AS cb FROM cur GROUP BY v),
+m AS (
+  SELECT coalesce(pa.v, pb.v) AS v, coalesce(ca, 0) AS ca,
+         coalesce(cb, 0) AS cb
+  FROM pa FULL OUTER JOIN pb ON pa.v = pb.v
+),
+tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+               CAST(sum(cb) AS DOUBLE) AS nb,
+               sum(ca) AS ia, sum(cb) AS ib FROM m),
+g AS (
+  SELECT abs(CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / t.na
+             - CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) / t.nb) AS gap
+  FROM m, tot t
+)
+SELECT round(max(gap) * 10000.0) / 10000.0 AS ks,
+       (SELECT CAST(ia AS BIGINT) FROM tot) AS n_a,
+       (SELECT CAST(ib AS BIGINT) FROM tot) AS n_b
+FROM g
+"""
+
+
 def _qm_cases(n: int) -> str:
     out = []
     for i in range(n):
@@ -6545,6 +6594,7 @@ _QUERIES: dict = {
     "analytics_qmatch_group_orders": (_q_analytics_qmatch_group_orders,
                                       _SQL_ANALYTICS_QMATCH_GROUP_ORDERS),
     "metrics_psi_orders": (_q_metrics_psi_orders, _SQL_METRICS_PSI_ORDERS),
+    "metrics_ks_orders": (_q_metrics_ks_orders, _SQL_METRICS_KS_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

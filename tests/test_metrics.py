@@ -297,3 +297,37 @@ class TestPsiDrift:
         empty = spark.createDataFrame([], "v double")
         with pytest.raises(ValueError, match="empty reference"):
             psi_drift(empty, df, "v")
+
+
+def test_ks_statistic(spark):
+    """KS vs a python reference; identical samples -> 0; disjoint -> 1;
+    empty side -> null."""
+    import random
+
+    from bid_evaluation_spark.operators.metrics import ks_statistic
+
+    rng = random.Random(71)
+    xs = [rng.gauss(0, 1) for _ in range(500)]
+    ys = [rng.gauss(0.5, 1.2) for _ in range(400)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+
+    def ref_ks(u, w):
+        pts = sorted(set(round(x, 6) for x in u + w))
+        su, sw = sorted(round(x, 6) for x in u), sorted(round(x, 6) for x in w)
+        import bisect
+        best = 0.0
+        for p in pts:
+            fa = bisect.bisect_right(su, p) / len(su)
+            fb = bisect.bisect_right(sw, p) / len(sw)
+            best = max(best, abs(fa - fb))
+        return best
+
+    row = ks_statistic(a, b, "v").collect()[0]
+    assert row["n_a"] == 500 and row["n_b"] == 400
+    assert row["ks"] == pytest.approx(ref_ks(xs, ys), abs=1e-9)
+    assert ks_statistic(a, a, "v").collect()[0]["ks"] == 0.0
+    c = spark.createDataFrame([(v + 100.0,) for v in ys], "v double")
+    assert ks_statistic(a, c, "v").collect()[0]["ks"] == 1.0
+    empty = spark.createDataFrame([], "v double")
+    assert ks_statistic(a, empty, "v").collect()[0]["ks"] is None
