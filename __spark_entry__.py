@@ -5072,6 +5072,58 @@ FROM j, tot t
 """
 
 
+def _q_metrics_chi2_documents(spark, sf_dir):
+    """Categorical drift: chi-square homogeneity + Cramér's V of the
+    language distribution between two document windows (even vs odd
+    doc_id) — two tiny per-window count tables full-outer merged,
+    expected counts from pooled shares, one aggregate."""
+    from bid_evaluation_spark.operators.metrics import chi_square_drift
+
+    df = _t(spark, sf_dir, "documents")
+    ref = df.filter(F.col("doc_id") % 2 == 0)
+    cur = df.filter(F.col("doc_id") % 2 == 1)
+    res = chi_square_drift(ref, cur, "lang")
+    return res.select(_r4("chi2").alias("chi2"), "dof",
+                      _r4("cramers_v").alias("cramers_v"),
+                      "n_ref", "n_cur")
+
+
+_SQL_METRICS_CHI2_DOCUMENTS = """
+WITH r AS (
+  SELECT coalesce(lang, chr(0) || 'null') AS c, count(*) AS rn
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+),
+u AS (
+  SELECT coalesce(lang, chr(0) || 'null') AS c, count(*) AS un
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1
+),
+m AS (
+  SELECT coalesce(r.c, u.c) AS c, coalesce(rn, 0) AS rn,
+         coalesce(un, 0) AS un
+  FROM r FULL OUTER JOIN u ON r.c = u.c
+),
+tot AS (SELECT CAST(sum(rn) AS DOUBLE) AS nr, CAST(sum(un) AS DOUBLE) AS nu,
+               sum(rn) AS ir, sum(un) AS iu, count(*) AS k FROM m),
+agg AS (
+  SELECT sum(
+    (m.rn - (m.rn + m.un) / (t.nr + t.nu) * t.nr)
+      * (m.rn - (m.rn + m.un) / (t.nr + t.nu) * t.nr)
+      / ((m.rn + m.un) / (t.nr + t.nu) * t.nr)
+    + (m.un - (m.rn + m.un) / (t.nr + t.nu) * t.nu)
+      * (m.un - (m.rn + m.un) / (t.nr + t.nu) * t.nu)
+      / ((m.rn + m.un) / (t.nr + t.nu) * t.nu)) AS chi2,
+    max(t.k) AS k, max(t.nr + t.nu) AS n,
+    max(t.ir) AS ir, max(t.iu) AS iu
+  FROM m, tot t
+)
+SELECT round(chi2 * 10000.0) / 10000.0 AS chi2,
+       CAST(k - 1 AS BIGINT) AS dof,
+       round(sqrt(chi2 / n) * 10000.0) / 10000.0 AS cramers_v,
+       CAST(ir AS BIGINT) AS n_ref, CAST(iu AS BIGINT) AS n_cur
+FROM agg
+"""
+
+
 def _q_metrics_ks_orders(spark, sf_dir):
     """Two-sample KS statistic between the same drift windows as the PSI
     row (even-key reference vs odd-key +10%): per-value counts full-outer
@@ -6595,6 +6647,8 @@ _QUERIES: dict = {
                                       _SQL_ANALYTICS_QMATCH_GROUP_ORDERS),
     "metrics_psi_orders": (_q_metrics_psi_orders, _SQL_METRICS_PSI_ORDERS),
     "metrics_ks_orders": (_q_metrics_ks_orders, _SQL_METRICS_KS_ORDERS),
+    "metrics_chi2_documents": (_q_metrics_chi2_documents,
+                               _SQL_METRICS_CHI2_DOCUMENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -21,7 +21,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["binary_classification_metrics", "roc_auc"]
+__all__ = ["binary_classification_metrics", "roc_auc", "roc_auc_by_group",
+           "calibration_table", "calibration_table_by_group",
+           "rank_biased_overlap", "psi_drift", "ks_statistic",
+           "chi_square_drift"]
 
 
 def binary_classification_metrics(df: DataFrame, label_col: str = "_y",
@@ -355,3 +358,48 @@ def ks_statistic(a: DataFrame, b: DataFrame, value_col: str,
             .agg(F.max("_g").alias("ks"),
                  F.lit(na).cast("long").alias("n_a"),
                  F.lit(nb).cast("long").alias("n_b")))
+
+
+def chi_square_drift(reference: DataFrame, current: DataFrame,
+                     cat_col: str) -> DataFrame:
+    """Categorical drift between two windows: the chi-square homogeneity
+    statistic over the category × window contingency table, plus
+    Cramér's V (``sqrt(chi2 / n)`` for the 2-window case — 0 identical
+    shares, → 1 disjoint) — the categorical companion to
+    :func:`psi_drift`/:func:`ks_statistic`.
+
+    One partial-agg count per window on the category key, a full-outer
+    merge of the two tiny count tables, expected counts from pooled
+    shares, one aggregate. Null categories count as a category. Returns
+    ``(chi2, dof, cramers_v, n_ref, n_cur)``; nulls when either window
+    is empty or only one category exists.
+    """
+    c = F.coalesce(F.col(cat_col).cast("string"), F.lit("\x00null"))
+
+    def counts(df, name):
+        return df.select(c.alias("_c")).groupBy("_c").agg(
+            F.count(F.lit(1)).alias(name))
+
+    m = (counts(reference, "_r").join(counts(current, "_u"), "_c",
+                                      "full_outer")
+         .select("_c", F.coalesce("_r", F.lit(0)).alias("_r"),
+                 F.coalesce("_u", F.lit(0)).alias("_u")))
+    tot = m.agg(F.sum("_r").alias("r"), F.sum("_u").alias("u"),
+                F.count(F.lit(1)).alias("k")).collect()[0]
+    nr, nu, k = int(tot["r"] or 0), int(tot["u"] or 0), int(tot["k"] or 0)
+    if nr == 0 or nu == 0 or k < 2:
+        return m.sparkSession.createDataFrame(
+            [(None, None, None, nr, nu)],
+            "chi2 double, dof long, cramers_v double, n_ref long, "
+            "n_cur long")
+    n = float(nr + nu)
+    pooled = (F.col("_r") + F.col("_u")).cast("double") / F.lit(n)
+    er = pooled * F.lit(float(nr))
+    eu = pooled * F.lit(float(nu))
+    term = ((F.col("_r") - er) * (F.col("_r") - er) / er
+            + (F.col("_u") - eu) * (F.col("_u") - eu) / eu)
+    return (m.agg(F.sum(term).alias("chi2"))
+            .select("chi2", F.lit(k - 1).cast("long").alias("dof"),
+                    F.sqrt(F.col("chi2") / F.lit(n)).alias("cramers_v"),
+                    F.lit(nr).cast("long").alias("n_ref"),
+                    F.lit(nu).cast("long").alias("n_cur")))

@@ -331,3 +331,34 @@ def test_ks_statistic(spark):
     assert ks_statistic(a, c, "v").collect()[0]["ks"] == 1.0
     empty = spark.createDataFrame([], "v double")
     assert ks_statistic(a, empty, "v").collect()[0]["ks"] is None
+
+
+def test_chi_square_drift(spark):
+    """Chi-square homogeneity vs a python reference; identical shares ->
+    0; degenerate windows -> nulls."""
+    from bid_evaluation_spark.operators.metrics import chi_square_drift
+
+    ref_counts = {"en": 60, "fr": 25, "de": 15}
+    cur_counts = {"en": 30, "fr": 45, "zh": 25}
+    mk = lambda cnts: spark.createDataFrame(
+        [(c,) for c, k in cnts.items() for _ in range(k)], "lang string")
+    row = chi_square_drift(mk(ref_counts), mk(cur_counts), "lang").collect()[0]
+
+    cats = sorted(set(ref_counts) | set(cur_counts))
+    nr, nu = sum(ref_counts.values()), sum(cur_counts.values())
+    chi2 = 0.0
+    for c in cats:
+        r, u = ref_counts.get(c, 0), cur_counts.get(c, 0)
+        pooled = (r + u) / (nr + nu)
+        er, eu = pooled * nr, pooled * nu
+        chi2 += (r - er) ** 2 / er + (u - eu) ** 2 / eu
+    assert row["chi2"] == pytest.approx(chi2, abs=1e-9)
+    assert row["dof"] == len(cats) - 1
+    assert row["cramers_v"] == pytest.approx((chi2 / (nr + nu)) ** 0.5,
+                                             abs=1e-9)
+    same = chi_square_drift(mk(ref_counts), mk(ref_counts),
+                            "lang").collect()[0]
+    assert same["chi2"] == pytest.approx(0.0, abs=1e-9)
+    one_cat = spark.createDataFrame([("en",)] * 5, "lang string")
+    deg = chi_square_drift(one_cat, one_cat, "lang").collect()[0]
+    assert deg["chi2"] is None and deg["dof"] is None
