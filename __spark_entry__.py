@@ -5072,6 +5072,55 @@ FROM j, tot t
 """
 
 
+def _q_metrics_w1_orders(spark, sf_dir):
+    """1-D Wasserstein distance between the drift windows — the
+    magnitude-aware companion (KS: IF they differ; W1: by HOW MUCH in
+    price units). Sum of |cdf gap| × Δx over the merged bounded
+    quantized-value support."""
+    from bid_evaluation_spark.operators.metrics import wasserstein_1d
+
+    od = _t(spark, sf_dir, "orders")
+    ref = od.filter(F.col("o_orderkey") % 2 == 0)
+    cur = (od.filter(F.col("o_orderkey") % 2 == 1)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    res = wasserstein_1d(ref, cur, "o_totalprice", digits=4)
+    return res.select(_r4("w1").alias("w1"), "n_a", "n_b")
+
+
+_SQL_METRICS_W1_ORDERS = """
+WITH ref AS (
+  SELECT round(CAST(o_totalprice AS DOUBLE) * 10000.0) / 10000.0 AS v
+  FROM orders WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+),
+cur AS (
+  SELECT round(CAST(o_totalprice AS DOUBLE) * CAST(1.1 AS DOUBLE)
+               * 10000.0) / 10000.0 AS v
+  FROM orders WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+),
+pa AS (SELECT v, count(*) AS ca FROM ref GROUP BY v),
+pb AS (SELECT v, count(*) AS cb FROM cur GROUP BY v),
+m AS (
+  SELECT coalesce(pa.v, pb.v) AS v, coalesce(ca, 0) AS ca,
+         coalesce(cb, 0) AS cb
+  FROM pa FULL OUTER JOIN pb ON pa.v = pb.v
+),
+tot AS (SELECT CAST(sum(ca) AS DOUBLE) AS na, CAST(sum(cb) AS DOUBLE) AS nb,
+               sum(ca) AS ia, sum(cb) AS ib FROM m),
+g AS (
+  SELECT abs(CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / t.na
+             - CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE) / t.nb)
+         * (lead(v) OVER (ORDER BY v) - v) AS term
+  FROM m, tot t
+)
+SELECT round(sum(term) * 10000.0) / 10000.0 AS w1,
+       (SELECT CAST(ia AS BIGINT) FROM tot) AS n_a,
+       (SELECT CAST(ib AS BIGINT) FROM tot) AS n_b
+FROM g
+"""
+
+
 def _q_metrics_chi2_documents(spark, sf_dir):
     """Categorical drift: chi-square homogeneity + Cramér's V of the
     language distribution between two document windows (even vs odd
@@ -6649,6 +6698,7 @@ _QUERIES: dict = {
     "metrics_ks_orders": (_q_metrics_ks_orders, _SQL_METRICS_KS_ORDERS),
     "metrics_chi2_documents": (_q_metrics_chi2_documents,
                                _SQL_METRICS_CHI2_DOCUMENTS),
+    "metrics_w1_orders": (_q_metrics_w1_orders, _SQL_METRICS_W1_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

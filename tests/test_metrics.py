@@ -362,3 +362,36 @@ def test_chi_square_drift(spark):
     one_cat = spark.createDataFrame([("en",)] * 5, "lang string")
     deg = chi_square_drift(one_cat, one_cat, "lang").collect()[0]
     assert deg["chi2"] is None and deg["dof"] is None
+
+
+def test_wasserstein_1d(spark):
+    """W1 vs a python cdf-gap reference; pure shift of equal-size samples
+    -> exactly the shift; identical -> 0."""
+    import random
+
+    from bid_evaluation_spark.operators.metrics import wasserstein_1d
+
+    rng = random.Random(83)
+    xs = [round(rng.uniform(0, 10), 3) for _ in range(400)]
+    ys = [round(rng.uniform(2, 14), 3) for _ in range(300)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+
+    def ref_w1(u, w):
+        pts = sorted(set(u) | set(w))
+        su, sw = sorted(u), sorted(w)
+        import bisect
+        total = 0.0
+        for p, q in zip(pts, pts[1:]):
+            fa = bisect.bisect_right(su, p) / len(su)
+            fb = bisect.bisect_right(sw, p) / len(sw)
+            total += abs(fa - fb) * (q - p)
+        return total
+
+    row = wasserstein_1d(a, b, "v").collect()[0]
+    assert row["w1"] == pytest.approx(ref_w1(xs, ys), abs=1e-9)
+    assert wasserstein_1d(a, a, "v").collect()[0]["w1"] \
+        == pytest.approx(0.0, abs=1e-12)
+    shifted = spark.createDataFrame([(v + 5.0,) for v in xs], "v double")
+    assert wasserstein_1d(a, shifted, "v").collect()[0]["w1"] \
+        == pytest.approx(5.0, abs=1e-9)
