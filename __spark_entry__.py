@@ -5072,6 +5072,85 @@ FROM j, tot t
 """
 
 
+def _q_analytics_ab_test_events(spark, sf_dir):
+    """Experiment read-out: per-user conversion (any purchase event) by
+    user-parity variant — rates, Wilson 95% intervals, lift, pooled
+    two-proportion z. One groupBy(user) pass + a 2-row reduction; the
+    oracle replays every closed-form formula with identical literals."""
+    from bid_evaluation_spark.operators.analytics import ab_conversion_test
+
+    ev = _t(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.max((F.col("event_type") == "purchase").cast("int"))
+                  .alias("converted"))
+             .withColumn("variant", (F.col("user_id") % 2).cast("int")))
+    res = ab_conversion_test(users, "variant", "converted")
+    return res.select(
+        "control", "treatment", "n_c", "n_t",
+        _r4("rate_c").alias("rate_c"), _r4("rate_t").alias("rate_t"),
+        _r4("lift_abs").alias("lift_abs"), _r4("lift_rel").alias("lift_rel"),
+        _r4("z").alias("z"),
+        _r4("ci_c_lo").alias("ci_c_lo"), _r4("ci_c_hi").alias("ci_c_hi"),
+        _r4("ci_t_lo").alias("ci_t_lo"), _r4("ci_t_hi").alias("ci_t_hi"))
+
+
+_AB_Z = repr(1.959963984540054)
+_AB_Z2 = repr(1.959963984540054 * 1.959963984540054)
+
+_SQL_ANALYTICS_AB_TEST_EVENTS = f"""
+WITH users AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(conv) AS DOUBLE) AS k
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    (SELECT n FROM c WHERE variant = 0) AS nc,
+    (SELECT k FROM c WHERE variant = 0) AS kc,
+    (SELECT n FROM c WHERE variant = 1) AS nt,
+    (SELECT k FROM c WHERE variant = 1) AS kt
+)
+SELECT '0' AS control, '1' AS treatment,
+  CAST(nc AS BIGINT) AS n_c, CAST(nt AS BIGINT) AS n_t,
+  round(kc / nc * 10000.0) / 10000.0 AS rate_c,
+  round(kt / nt * 10000.0) / 10000.0 AS rate_t,
+  round((kt / nt - kc / nc) * 10000.0) / 10000.0 AS lift_abs,
+  round(CASE WHEN kc / nc > 0
+        THEN (kt / nt - kc / nc) / (kc / nc) END * 10000.0) / 10000.0
+    AS lift_rel,
+  round(CASE WHEN sqrt((kc + kt) / (nc + nt)
+                       * (1.0 - (kc + kt) / (nc + nt))
+                       * (1.0 / nc + 1.0 / nt)) > 0
+        THEN (kt / nt - kc / nc)
+             / sqrt((kc + kt) / (nc + nt)
+                    * (1.0 - (kc + kt) / (nc + nt))
+                    * (1.0 / nc + 1.0 / nt)) END * 10000.0) / 10000.0 AS z,
+  round(((kc / nc + {_AB_Z2} / (2.0 * nc)) / (1.0 + {_AB_Z2} / nc)
+         - {_AB_Z} * sqrt(kc / nc * (1.0 - kc / nc) / nc
+                          + {_AB_Z2} / (4.0 * nc * nc))
+           / (1.0 + {_AB_Z2} / nc)) * 10000.0) / 10000.0 AS ci_c_lo,
+  round(((kc / nc + {_AB_Z2} / (2.0 * nc)) / (1.0 + {_AB_Z2} / nc)
+         + {_AB_Z} * sqrt(kc / nc * (1.0 - kc / nc) / nc
+                          + {_AB_Z2} / (4.0 * nc * nc))
+           / (1.0 + {_AB_Z2} / nc)) * 10000.0) / 10000.0 AS ci_c_hi,
+  round(((kt / nt + {_AB_Z2} / (2.0 * nt)) / (1.0 + {_AB_Z2} / nt)
+         - {_AB_Z} * sqrt(kt / nt * (1.0 - kt / nt) / nt
+                          + {_AB_Z2} / (4.0 * nt * nt))
+           / (1.0 + {_AB_Z2} / nt)) * 10000.0) / 10000.0 AS ci_t_lo,
+  round(((kt / nt + {_AB_Z2} / (2.0 * nt)) / (1.0 + {_AB_Z2} / nt)
+         + {_AB_Z} * sqrt(kt / nt * (1.0 - kt / nt) / nt
+                          + {_AB_Z2} / (4.0 * nt * nt))
+           / (1.0 + {_AB_Z2} / nt)) * 10000.0) / 10000.0 AS ci_t_hi
+FROM w
+"""
+
+
 def _q_metrics_w1_orders(spark, sf_dir):
     """1-D Wasserstein distance between the drift windows — the
     magnitude-aware companion (KS: IF they differ; W1: by HOW MUCH in
@@ -6699,6 +6778,8 @@ _QUERIES: dict = {
     "metrics_chi2_documents": (_q_metrics_chi2_documents,
                                _SQL_METRICS_CHI2_DOCUMENTS),
     "metrics_w1_orders": (_q_metrics_w1_orders, _SQL_METRICS_W1_ORDERS),
+    "analytics_ab_test_events": (_q_analytics_ab_test_events,
+                                 _SQL_ANALYTICS_AB_TEST_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -348,3 +348,61 @@ def quantile_match_by_group(df: DataFrame, group_col: str, value_col: str,
                .otherwise(expr))
     return (joined.withColumn(out, F.when(x.isNotNull(), clamped))
             .drop("_qa"))
+
+
+def ab_conversion_test(df: DataFrame, variant_col: str, converted_col: str
+                       ) -> DataFrame:
+    """Two-variant conversion comparison: per-variant rate with a 95%
+    Wilson score interval, absolute/relative lift of the second variant
+    over the first, and the pooled two-proportion z statistic — the
+    experiment read-out, one fused aggregate per variant (a 2-row
+    reduction of the corpus; every formula is closed-form arithmetic on
+    four counts).
+
+    ``variant_col`` must have exactly two distinct non-null values
+    (ordered ascending → control, treatment); ``converted_col`` is
+    boolean/0-1. Returns one row: ``(control, treatment, n_c, n_t,
+    rate_c, rate_t, lift_abs, lift_rel, z, ci_c_lo, ci_c_hi, ci_t_lo,
+    ci_t_hi)``. z is null when a pooled-variance term degenerates.
+    """
+    v = F.col(variant_col)
+    y = F.col(converted_col).cast("double")
+    counts = (df.filter(v.isNotNull() & y.isNotNull())
+              .groupBy(v.alias("_v"))
+              .agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_k"))
+              .orderBy("_v").collect())
+    if len(counts) != 2:
+        raise ValueError(f"need exactly 2 variants, got "
+                         f"{[r['_v'] for r in counts]}")
+    (cv, nc, kc), (tv, nt, kt) = [(r["_v"], int(r["_n"]), float(r["_k"]))
+                                  for r in counts]
+    spark = df.sparkSession
+    base = spark.createDataFrame(
+        [(str(cv), str(tv), nc, nt, kc, kt)],
+        "control string, treatment string, n_c long, n_t long, "
+        "k_c double, k_t double")
+    z975 = 1.959963984540054          # Φ⁻¹(0.975)
+
+    def wilson(k, n, side):
+        p = k / n
+        z2 = F.lit(z975 * z975)
+        center = (p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+        half = (F.lit(z975) * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+                / (1.0 + z2 / n))
+        return center - half if side == "lo" else center + half
+
+    kcol, ncol = F.col("k_c"), F.col("n_c").cast("double")
+    ktol, ntol = F.col("k_t"), F.col("n_t").cast("double")
+    rc, rt = kcol / ncol, ktol / ntol
+    pooled = (kcol + ktol) / (ncol + ntol)
+    se = F.sqrt(pooled * (1.0 - pooled) * (1.0 / ncol + 1.0 / ntol))
+    return base.select(
+        "control", "treatment", "n_c", "n_t",
+        rc.alias("rate_c"), rt.alias("rate_t"),
+        (rt - rc).alias("lift_abs"),
+        F.when(rc > 0, (rt - rc) / rc).alias("lift_rel"),
+        F.when(se > 0, (rt - rc) / se).alias("z"),
+        wilson(kcol, ncol, "lo").alias("ci_c_lo"),
+        wilson(kcol, ncol, "hi").alias("ci_c_hi"),
+        wilson(ktol, ntol, "lo").alias("ci_t_lo"),
+        wilson(ktol, ntol, "hi").alias("ci_t_hi"))

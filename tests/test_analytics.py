@@ -357,3 +357,33 @@ def test_quantile_match_by_group_harmonizes_shifted_groups(spark):
         # both the raw and the +500-shifted copy recover the base value
         assert got[i] == pytest.approx(v, abs=1e-6), i
         assert got[1000 + i] == pytest.approx(v, abs=1e-6), i
+
+
+def test_ab_conversion_test(spark):
+    from bid_evaluation_spark.operators.analytics import ab_conversion_test
+
+    rows = ([("a", 1)] * 30 + [("a", 0)] * 70       # control 30%
+            + [("b", 1)] * 45 + [("b", 0)] * 55)    # treatment 45%
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = ab_conversion_test(df, "variant", "converted").collect()[0]
+    assert (r["control"], r["treatment"]) == ("a", "b")
+    assert r["rate_c"] == pytest.approx(0.30) and r["rate_t"] == pytest.approx(0.45)
+    assert r["lift_abs"] == pytest.approx(0.15)
+    assert r["lift_rel"] == pytest.approx(0.5)
+    # python reference for pooled z and a Wilson bound
+    p = 75 / 200
+    se = (p * (1 - p) * (1 / 100 + 1 / 100)) ** 0.5
+    assert r["z"] == pytest.approx(0.15 / se, abs=1e-9)
+    z = 1.959963984540054
+    pc, n = 0.30, 100
+    center = (pc + z * z / (2 * n)) / (1 + z * z / n)
+    half = z * ((pc * (1 - pc) / n + z * z / (4 * n * n)) ** 0.5) \
+        / (1 + z * z / n)
+    assert r["ci_c_lo"] == pytest.approx(center - half, abs=1e-9)
+    assert r["ci_c_hi"] == pytest.approx(center + half, abs=1e-9)
+    # interval sanity: rates inside their own CI, z clearly significant
+    assert r["ci_t_lo"] < 0.45 < r["ci_t_hi"]
+    assert r["z"] > 1.96
+    with pytest.raises(ValueError, match="exactly 2"):
+        ab_conversion_test(df.filter(F.col("variant") == "a"),
+                           "variant", "converted")
