@@ -5151,6 +5151,47 @@ FROM w
 """
 
 
+def _q_analytics_cuped_events(spark, sf_dir):
+    """CUPED variance reduction: per-user purchase value adjusted by the
+    user's view-value covariate — θ and x̄ from one fused five-statistic
+    aggregate inlined as literals, then a map-only projection. The
+    oracle replays θ with the identical operation order."""
+    from bid_evaluation_spark.operators.analytics import cuped_adjust
+
+    ev = _t(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("event_type") == "view",
+                                F.col("value"))), F.lit(0.0)).alias("c"),
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase",
+                                F.col("value"))), F.lit(0.0)).alias("m")))
+    res = cuped_adjust(users, "m", "c")
+    return res.select("user_id", _r4("m").alias("m"),
+                      _r4("m_cuped").alias("m_cuped"))
+
+
+_SQL_ANALYTICS_CUPED_EVENTS = """
+WITH u AS (
+  SELECT user_id,
+    CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0.0)
+         AS DOUBLE) AS c,
+    CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS DOUBLE) AS m
+  FROM events GROUP BY user_id
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(c) AS sx, sum(m) AS sy,
+         sum(c * m) AS sxy, sum(c * c) AS sxx
+  FROM u
+)
+SELECT user_id, round(m * 10000.0) / 10000.0 AS m,
+  round((m - (CASE WHEN (n * sxx - sx * sx) > 0
+                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                   ELSE 0.0 END) * (c - sx / n)) * 10000.0) / 10000.0
+    AS m_cuped
+FROM u, s
+"""
+
+
 def _q_metrics_w1_orders(spark, sf_dir):
     """1-D Wasserstein distance between the drift windows — the
     magnitude-aware companion (KS: IF they differ; W1: by HOW MUCH in
@@ -6780,6 +6821,8 @@ _QUERIES: dict = {
     "metrics_w1_orders": (_q_metrics_w1_orders, _SQL_METRICS_W1_ORDERS),
     "analytics_ab_test_events": (_q_analytics_ab_test_events,
                                  _SQL_ANALYTICS_AB_TEST_EVENTS),
+    "analytics_cuped_events": (_q_analytics_cuped_events,
+                               _SQL_ANALYTICS_CUPED_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

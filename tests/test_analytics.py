@@ -387,3 +387,32 @@ def test_ab_conversion_test(spark):
     with pytest.raises(ValueError, match="exactly 2"):
         ab_conversion_test(df.filter(F.col("variant") == "a"),
                            "variant", "converted")
+
+
+def test_cuped_adjust(spark):
+    from bid_evaluation_spark.operators.analytics import cuped_adjust
+
+    rng = random.Random(97)
+    rows = []
+    for i in range(500):
+        x = rng.gauss(10, 3)
+        rows.append((i, x, 2.0 * x + rng.gauss(0, 1)))   # y driven by x
+    rows.append((999, None, 42.0))                       # null covariate
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r for r in cuped_adjust(df, "y", "x").collect()}
+    xs = [x for _, x, _ in rows[:-1]]
+    ys = [y for _, _, y in rows[:-1]]
+    n = len(xs)
+    theta = (n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)) \
+        / (n * sum(a * a for a in xs) - sum(xs) ** 2)
+    mx = sum(xs) / n
+    for i, x, y in rows[:-1]:
+        assert out[i]["y_cuped"] == pytest.approx(y - theta * (x - mx),
+                                                  abs=1e-9)
+    assert out[999]["y_cuped"] == 42.0      # null covariate -> raw metric
+    # the point of CUPED: adjusted variance collapses, mean is preserved
+    import statistics
+    adj = [out[i]["y_cuped"] for i, _, _ in rows[:-1]]
+    assert statistics.pvariance(adj) < 0.1 * statistics.pvariance(ys)
+    assert statistics.fmean(adj) == pytest.approx(statistics.fmean(ys),
+                                                  abs=1e-9)
