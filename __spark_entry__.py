@@ -5151,6 +5151,44 @@ FROM w
 """
 
 
+def _q_analytics_winsorized_orders(spark, sf_dir):
+    """Robust per-priority revenue: means with values clipped at each
+    group's own [5%, 95%] exact quantiles — per-group thresholds
+    broadcast-joined back, map-only clipping, one grouped agg."""
+    from bid_evaluation_spark.operators.analytics import (
+        winsorized_mean_by_group)
+
+    od = _t(spark, sf_dir, "orders")
+    res = winsorized_mean_by_group(od, "o_orderpriority", "o_totalprice",
+                                   lower=0.05, upper=0.95)
+    return res.select("o_orderpriority", "n",
+                      _r4("mean_raw").alias("mean_raw"),
+                      _r4("mean_winsorized").alias("mean_winsorized"),
+                      "n_clipped")
+
+
+_SQL_ANALYTICS_WINSORIZED_ORDERS = """
+WITH th AS (
+  SELECT o_orderpriority,
+         quantile_cont(CAST(o_totalprice AS DOUBLE),
+                       [CAST(0.05 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS t
+  FROM orders WHERE o_totalprice IS NOT NULL
+  GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, count(*) AS n,
+  round(avg(CAST(o.o_totalprice AS DOUBLE)) * 10000.0) / 10000.0
+    AS mean_raw,
+  round(avg(least(greatest(CAST(o.o_totalprice AS DOUBLE), t[1]), t[2]))
+        * 10000.0) / 10000.0 AS mean_winsorized,
+  CAST(sum(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < t[1]
+                  OR CAST(o.o_totalprice AS DOUBLE) > t[2]
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM orders o JOIN th ON o.o_orderpriority = th.o_orderpriority
+WHERE o.o_totalprice IS NOT NULL
+GROUP BY o.o_orderpriority
+"""
+
+
 def _q_analytics_cuped_events(spark, sf_dir):
     """CUPED variance reduction: per-user purchase value adjusted by the
     user's view-value covariate — θ and x̄ from one fused five-statistic
@@ -6823,6 +6861,8 @@ _QUERIES: dict = {
                                  _SQL_ANALYTICS_AB_TEST_EVENTS),
     "analytics_cuped_events": (_q_analytics_cuped_events,
                                _SQL_ANALYTICS_CUPED_EVENTS),
+    "analytics_winsorized_orders": (_q_analytics_winsorized_orders,
+                                    _SQL_ANALYTICS_WINSORIZED_ORDERS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

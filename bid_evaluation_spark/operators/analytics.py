@@ -441,3 +441,34 @@ def cuped_adjust(df: DataFrame, metric_col: str, covariate_col: str,
     out = out_col or f"{metric_col}_cuped"
     adj = F.when(both, y - F.lit(theta) * (x - F.lit(mean_x))).otherwise(y)
     return df.withColumn(out, adj)
+
+
+def winsorized_mean_by_group(df: DataFrame, group_col: str, value_col: str,
+                             lower: float = 0.01, upper: float = 0.99
+                             ) -> DataFrame:
+    """Per-group winsorized mean: values clip at the group's own
+    [lower, upper] exact quantiles before averaging — the robust
+    aggregation for heavy-tailed metrics (revenue per user), where a
+    single whale otherwise owns the mean. Per-group thresholds come back
+    as a broadcast-joined frame (group cardinality unbounded); clipping
+    is map-only; one grouped aggregate finishes. Returns
+    ``(group_col, n, mean_raw, mean_winsorized, n_clipped)``.
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError(f"need 0 <= lower < upper <= 1, got "
+                         f"({lower}, {upper})")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    th = (base.groupBy(group_col)
+          .agg(F.percentile(v, F.array(F.lit(float(lower)),
+                                       F.lit(float(upper))))
+               .alias("_t")))
+    j = base.join(F.broadcast(th), group_col)
+    lo, hi = F.element_at("_t", 1), F.element_at("_t", 2)
+    clipped = F.least(F.greatest(v, lo), hi)
+    return (j.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(v).alias("mean_raw"),
+                 F.avg(clipped).alias("mean_winsorized"),
+                 F.sum(((v < lo) | (v > hi)).cast("int"))
+                 .cast("long").alias("n_clipped")))

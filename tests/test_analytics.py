@@ -416,3 +416,26 @@ def test_cuped_adjust(spark):
     assert statistics.pvariance(adj) < 0.1 * statistics.pvariance(ys)
     assert statistics.fmean(adj) == pytest.approx(statistics.fmean(ys),
                                                   abs=1e-9)
+
+
+def test_winsorized_mean_by_group(spark):
+    from bid_evaluation_spark.operators.analytics import (
+        winsorized_mean_by_group)
+
+    vals = [float(v) for v in range(1, 100)] + [100000.0]   # one whale
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    row = winsorized_mean_by_group(df, "g", "v",
+                                   lower=0.0, upper=0.95).collect()[0]
+    # 95th exact percentile of 1..99,100000 (interpolated) caps the whale
+    qs = sorted(vals)
+    import math
+    pos = 0.95 * (len(qs) - 1)
+    lo_i = math.floor(pos)
+    q95 = qs[lo_i] + (pos - lo_i) * (qs[lo_i + 1] - qs[lo_i])
+    expect = sum(min(v, q95) for v in vals) / len(vals)
+    assert row["mean_winsorized"] == pytest.approx(expect, abs=1e-9)
+    assert row["mean_raw"] == pytest.approx(sum(vals) / len(vals))
+    assert row["n_clipped"] == sum(1 for v in vals if v > q95)
+    assert row["mean_winsorized"] < 0.1 * row["mean_raw"]
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorized_mean_by_group(df, "g", "v", lower=0.5, upper=0.5)
