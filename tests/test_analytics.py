@@ -439,3 +439,38 @@ def test_winsorized_mean_by_group(spark):
     assert row["mean_winsorized"] < 0.1 * row["mean_raw"]
     with pytest.raises(ValueError, match="lower < upper"):
         winsorized_mean_by_group(df, "g", "v", lower=0.5, upper=0.5)
+
+
+def test_welch_t_test(spark):
+    import math
+
+    from bid_evaluation_spark.operators.analytics import welch_t_test
+
+    rng = random.Random(101)
+    xs = [rng.gauss(10, 2) for _ in range(80)]
+    ys = [rng.gauss(11, 4) for _ in range(120)]
+    rows = [("a", v) for v in xs] + [("b", v) for v in ys]
+    df = spark.createDataFrame(rows, "variant string, m double")
+    r = welch_t_test(df, "variant", "m").collect()[0]
+
+    def mv(vals):
+        n = len(vals)
+        mean = sum(vals) / n
+        var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+        return n, mean, var
+
+    nc, mc, vc = mv(xs)
+    nt, mt, vt = mv(ys)
+    a, b = vc / nc, vt / nt
+    t_ref = (mt - mc) / math.sqrt(a + b)
+    dof_ref = (a + b) ** 2 / (a * a / (nc - 1) + b * b / (nt - 1))
+    assert (r["n_c"], r["n_t"]) == (80, 120)
+    assert r["mean_c"] == pytest.approx(mc, abs=1e-9)
+    assert r["t"] == pytest.approx(t_ref, abs=1e-9)
+    assert r["dof"] == pytest.approx(dof_ref, abs=1e-6)
+    # constant metric in one arm -> t still defined via the other's var;
+    # both arms constant -> null t
+    const = spark.createDataFrame([("a", 5.0)] * 3 + [("b", 5.0)] * 3,
+                                  "variant string, m double")
+    rc = welch_t_test(const, "variant", "m").collect()[0]
+    assert rc["t"] is None and rc["diff"] == 0.0
