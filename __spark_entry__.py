@@ -5390,6 +5390,73 @@ FROM agg
 """
 
 
+def _q_metrics_jsd_orders(spark, sf_dir):
+    """Jensen-Shannon divergence over the same drift windows and
+    reference-quantile bins as the PSI row — bounded symmetric drift;
+    a projection over the oracled PSI bin table."""
+    from bid_evaluation_spark.operators.metrics import js_divergence
+
+    od = _t(spark, sf_dir, "orders")
+    ref = od.filter(F.col("o_orderkey") % 2 == 0)
+    cur = (od.filter(F.col("o_orderkey") % 2 == 1)
+           .withColumn("o_totalprice", F.col("o_totalprice") * 1.1))
+    res = js_divergence(ref, cur, "o_totalprice", n_bins=5)
+    return res.select("bin", _r4("ref_share").alias("ref_share"),
+                      _r4("cur_share").alias("cur_share"),
+                      _r4("jsd_term").alias("jsd_term"))
+
+
+_SQL_METRICS_JSD_ORDERS = """
+WITH ref AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders
+  WHERE o_orderkey % 2 = 0 AND o_totalprice IS NOT NULL
+),
+cur AS (
+  SELECT CAST(o_totalprice AS DOUBLE) * CAST(1.1 AS DOUBLE) AS v
+  FROM orders
+  WHERE o_orderkey % 2 = 1 AND o_totalprice IS NOT NULL
+),
+th AS (
+  SELECT quantile_cont(v, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)]) AS t
+  FROM ref
+),
+rb AS (
+  SELECT CAST(v > t[1] AS INT) + CAST(v > t[2] AS INT)
+         + CAST(v > t[3] AS INT) + CAST(v > t[4] AS INT) AS bin,
+         count(*) AS ref_n
+  FROM ref, th GROUP BY 1
+),
+cb AS (
+  SELECT CAST(v > t[1] AS INT) + CAST(v > t[2] AS INT)
+         + CAST(v > t[3] AS INT) + CAST(v > t[4] AS INT) AS bin,
+         count(*) AS cur_n
+  FROM cur, th GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(0, 4)) AS bin),
+j AS (
+  SELECT g.bin, coalesce(rb.ref_n, 0) AS ref_n,
+         coalesce(cb.cur_n, 0) AS cur_n
+  FROM grid g LEFT JOIN rb ON g.bin = rb.bin LEFT JOIN cb ON g.bin = cb.bin
+),
+tot AS (SELECT CAST(sum(ref_n) AS DOUBLE) AS r,
+               CAST(sum(cur_n) AS DOUBLE) AS c FROM j),
+sh AS (
+  SELECT j.bin,
+         greatest(j.ref_n / t.r, CAST(0.000001 AS DOUBLE)) AS p,
+         greatest(j.cur_n / t.c, CAST(0.000001 AS DOUBLE)) AS q
+  FROM j, tot t
+)
+SELECT CAST(bin AS INT) AS bin,
+  round(p * 10000.0) / 10000.0 AS ref_share,
+  round(q * 10000.0) / 10000.0 AS cur_share,
+  round((0.5 * p * ln(p / ((p + q) / 2.0))
+         + 0.5 * q * ln(q / ((p + q) / 2.0))) * 10000.0) / 10000.0
+    AS jsd_term
+FROM sh
+"""
+
+
 def _q_metrics_ks_orders(spark, sf_dir):
     """Two-sample KS statistic between the same drift windows as the PSI
     row (even-key reference vs odd-key +10%): per-value counts full-outer
@@ -6913,6 +6980,7 @@ _QUERIES: dict = {
                                       _SQL_ANALYTICS_QMATCH_GROUP_ORDERS),
     "metrics_psi_orders": (_q_metrics_psi_orders, _SQL_METRICS_PSI_ORDERS),
     "metrics_ks_orders": (_q_metrics_ks_orders, _SQL_METRICS_KS_ORDERS),
+    "metrics_jsd_orders": (_q_metrics_jsd_orders, _SQL_METRICS_JSD_ORDERS),
     "metrics_chi2_documents": (_q_metrics_chi2_documents,
                                _SQL_METRICS_CHI2_DOCUMENTS),
     "metrics_w1_orders": (_q_metrics_w1_orders, _SQL_METRICS_W1_ORDERS),

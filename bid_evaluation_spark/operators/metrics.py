@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 __all__ = ["binary_classification_metrics", "roc_auc", "roc_auc_by_group",
            "calibration_table", "calibration_table_by_group",
            "rank_biased_overlap", "psi_drift", "ks_statistic",
-           "chi_square_drift", "wasserstein_1d"]
+           "chi_square_drift", "wasserstein_1d", "js_divergence"]
 
 
 def binary_classification_metrics(df: DataFrame, label_col: str = "_y",
@@ -443,3 +443,22 @@ def wasserstein_1d(a: DataFrame, b: DataFrame, value_col: str,
             .agg(F.sum("_t").alias("w1"),
                  F.lit(na).cast("long").alias("n_a"),
                  F.lit(nb).cast("long").alias("n_b")))
+
+
+def js_divergence(reference: DataFrame, current: DataFrame, value_col: str,
+                  n_bins: int = 10, min_share: float = 1e-6) -> DataFrame:
+    """Jensen-Shannon divergence over the same reference-quantile bins as
+    :func:`psi_drift` — the bounded, symmetric drift measure
+    (0 ≤ JSD ≤ ln 2), preferable when PSI's unbounded log-ratio terms
+    overreact to near-empty bins. Reuses the PSI bin table: per bin
+    ``0.5·p·ln(p/m) + 0.5·q·ln(q/m)`` with ``m = (p+q)/2`` and the same
+    deterministic ``min_share`` clip. Returns
+    ``(bin, ref_share, cur_share, jsd_term)``; total JSD = Σ terms.
+    """
+    bins = psi_drift(reference, current, value_col, n_bins=n_bins,
+                     min_share=min_share)
+    p, q = F.col("ref_share"), F.col("cur_share")
+    m = (p + q) / 2.0
+    term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    return bins.select("bin", "ref_share", "cur_share",
+                       term.alias("jsd_term"))

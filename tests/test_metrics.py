@@ -395,3 +395,30 @@ def test_wasserstein_1d(spark):
     shifted = spark.createDataFrame([(v + 5.0,) for v in xs], "v double")
     assert wasserstein_1d(a, shifted, "v").collect()[0]["w1"] \
         == pytest.approx(5.0, abs=1e-9)
+
+
+def test_js_divergence(spark):
+    import math
+    import random
+
+    from bid_evaluation_spark.operators.metrics import js_divergence
+
+    rng = random.Random(103)
+    xs = [rng.gauss(0, 1) for _ in range(1500)]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    # identical -> 0; strong shift -> positive, bounded by ln 2
+    same = sum(r["jsd_term"] for r in js_divergence(a, a, "v").collect())
+    assert same == pytest.approx(0.0, abs=1e-12)
+    b = spark.createDataFrame([(v + 3.0,) for v in xs], "v double")
+    rows = js_divergence(a, b, "v", n_bins=5).collect()
+    jsd = sum(r["jsd_term"] for r in rows)
+    assert 0.0 < jsd <= math.log(2) + 1e-9
+    # python reference on the emitted shares
+    ref = sum(0.5 * r["ref_share"]
+              * math.log(r["ref_share"]
+                         / ((r["ref_share"] + r["cur_share"]) / 2))
+              + 0.5 * r["cur_share"]
+              * math.log(r["cur_share"]
+                         / ((r["ref_share"] + r["cur_share"]) / 2))
+              for r in rows)
+    assert jsd == pytest.approx(ref, abs=1e-12)
