@@ -34,6 +34,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .cache import track_cached
+
 
 def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
                        buckets: int = 64) -> DataFrame:
@@ -87,9 +89,11 @@ def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
                      .filter(F.col("_m") > F.col("_p"))
                      .select(minimize_col, "_m"))
 
-    return (base.join(frontier_keys, on=minimize_col)
-            .filter(mx.cast("double") == F.col("_m"))
-            .drop("_m"))
+    # `keyed` has a second consumer (the returned lazy plan), so it cannot
+    # be unpersisted here — registered with the shared release registry.
+    return track_cached(base.join(frontier_keys, on=minimize_col)
+                        .filter(mx.cast("double") == F.col("_m"))
+                        .drop("_m"), [keyed])
 
 
 def gini_by_group(df: DataFrame, group_col: str, value_col: str,

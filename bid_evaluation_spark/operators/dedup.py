@@ -32,53 +32,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .cache import release, release_all, track_cached as _track_cached  # noqa: F401 — re-exported; registry shared across operator modules
 from .text import fingerprint, hashed_word_shingles, word_shingles
 
 # fixed, public-knowledge mixing constants for the permutation family
 _MERSENNE_PRIME = (1 << 31) - 1
-
-
-#: every persisted intermediate any operator in this module creates — the
-#: robust release handle (the per-frame attribute below dies on the first
-#: .select() a caller applies to the returned frame)
-_ALL_CACHED: List[DataFrame] = []
-
-
-def _track_cached(result: DataFrame, deps) -> DataFrame:
-    """Record persisted intermediates on the returned frame (for
-    :func:`release`) AND in the module registry (for :func:`release_all`)."""
-    deps = list(deps)
-    result._cached_deps = list(getattr(result, "_cached_deps", [])) + deps
-    _ALL_CACHED.extend(deps)
-    return result
-
-
-def release(df: DataFrame) -> None:
-    """Unpersist intermediate frames cached while building ``df``.
-
-    Call after the result has been materialized (written / collected);
-    repeated operator calls in one session otherwise accumulate cached
-    signature blocks for the session lifetime. Only works on the EXACT
-    frame an operator returned (the handle does not survive further
-    transformations) — when in doubt, use :func:`release_all`."""
-    deps = getattr(df, "_cached_deps", [])
-    for dep in deps:
-        dep.unpersist()
-        try:
-            _ALL_CACHED.remove(dep)
-        except ValueError:
-            pass
-    df._cached_deps = []
-
-
-def release_all() -> None:
-    """Unpersist EVERY intermediate this module has cached in the session.
-
-    The safe sweep for harnesses that transform or discard the returned
-    frames (a ``result.select(...)`` drops the per-frame release handle)."""
-    for dep in _ALL_CACHED:
-        dep.unpersist()
-    del _ALL_CACHED[:]
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> List[tuple]:

@@ -187,7 +187,16 @@ def rank_biased_overlap(a: DataFrame, b: DataFrame, id_col: str,
     g_arr = F.array(*[F.lit(float(x)) for x in g[1:depth + 1]])
     m = F.greatest("_ra", "_rb")
     contrib = F.when(m <= depth, F.element_at(g_arr, m)).otherwise(0.0)
-    return (ra.join(rb, "_id")
+    joined = ra.join(rb, "_id")
+    # Same-id-set contract: equal sizes alone let disjoint-id rankings
+    # slip through the inner join and silently understate RBO — one extra
+    # scalar on an already tiny frame catches it.
+    n_joined = joined.count()
+    if n_joined != n_a:
+        raise ValueError(
+            f"rankings cover different id sets: {n_a - n_joined} of {n_a} "
+            f"ids appear in only one ranking")
+    return (joined
             .agg((F.lit(1.0 - p) * F.sum(contrib)).alias("rbo"),
                  F.lit(depth).cast("long").alias("depth")))
 

@@ -27,6 +27,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .cache import track_cached
+
 
 def column_profile(df: DataFrame, cols: Optional[Sequence[str]] = None,
                    top_k: int = 5) -> DataFrame:
@@ -241,13 +243,15 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10,
                      F.count(F.lit(1)).alias("d")).collect()[0]
     rows, distinct = int(tot["r"] or 0), int(tot["d"] or 0)
     uniform = rows / distinct if distinct else 0.0
-    return (counts
-            .withColumn("share", F.col("key_rows") / F.lit(float(rows or 1)))
-            .withColumn("skew_ratio",
-                        F.col("key_rows") / F.lit(float(uniform or 1.0)))
-            .withColumn("salt_factor",
-                        F.ceil(F.col("key_rows")
-                               / F.lit(float(target_rows_per_task)))
-                        .cast("long"))
-            .orderBy(F.desc("key_rows"), F.asc(key_col))
-            .limit(top_k))
+    # `counts` also feeds the returned lazy plan — release via cache registry.
+    return track_cached(
+        counts
+        .withColumn("share", F.col("key_rows") / F.lit(float(rows or 1)))
+        .withColumn("skew_ratio",
+                    F.col("key_rows") / F.lit(float(uniform or 1.0)))
+        .withColumn("salt_factor",
+                    F.ceil(F.col("key_rows")
+                           / F.lit(float(target_rows_per_task)))
+                    .cast("long"))
+        .orderBy(F.desc("key_rows"), F.asc(key_col))
+        .limit(top_k), [counts])

@@ -140,7 +140,8 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
 
 def kmeans_centroids(corpus: DataFrame, vec_col: str = "embedding",
                      k: int = 16, max_iter: int = 10, tol: float = 1e-4,
-                     seed: int = 42) -> np.ndarray:
+                     seed: int = 42,
+                     init: Optional[np.ndarray] = None) -> np.ndarray:
     """Lloyd's k-means over an embedding column → (k, dim) centroid matrix.
 
     Spark-shaped iteration: the (k × dim) centroid matrix broadcasts each
@@ -151,15 +152,27 @@ def kmeans_centroids(corpus: DataFrame, vec_col: str = "embedding",
     hash order of their contents — stable across partitionings and input
     order. Stops when every centroid moves < ``tol`` (L2) or after
     ``max_iter`` rounds.
+
+    ``init`` (a (k, dim) matrix) overrides the hash init — the warm-start /
+    pinned-init surface. Pinned init also makes the training loop itself
+    value-oracle-able: each Lloyd round is an argmin assignment + a
+    per-(cluster, dim) mean, both plain SQL under fixed starting centroids
+    (the ``ml_kmeans_lloyd_embeddings`` oracle unrolls two rounds exactly
+    like ``classify_logreg_embeddings`` unrolls gradient descent).
     """
     sc = corpus.sparkSession.sparkContext
-    # deterministic init: k vectors in xxhash order of their serialized form
-    init_rows = (
-        corpus.select(F.col(vec_col).alias("_v"))
-        .withColumn("_h", F.xxhash64(F.concat_ws(",", F.col("_v").cast("array<string>")), F.lit(seed)))
-        .orderBy("_h").limit(k).collect()
-    )
-    cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
+    if init is not None:
+        cents = np.asarray(init, dtype=np.float64)
+        k = len(cents)
+    else:
+        # deterministic init: k vectors in xxhash order of their serialized
+        # form
+        init_rows = (
+            corpus.select(F.col(vec_col).alias("_v"))
+            .withColumn("_h", F.xxhash64(F.concat_ws(",", F.col("_v").cast("array<string>")), F.lit(seed)))
+            .orderBy("_h").limit(k).collect()
+        )
+        cents = np.array([r["_v"] for r in init_rows], dtype=np.float64)
     if len(cents) < k:
         raise ValueError(f"corpus has fewer than k={k} vectors")
 

@@ -33,6 +33,8 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .cache import track_cached
+
 _FILLS = ("none", "zero", "locf", "linear")
 
 
@@ -244,9 +246,11 @@ def concurrency_timeline(df: DataFrame, start_col: str, end_col: str,
     w = (Window.partitionBy("_b").orderBy("ts")
          .rowsBetween(Window.unboundedPreceding, 0))
     running = F.sum("net").over(w) + off_expr
-    return (keyed.select("ts", F.col("net").cast("long").alias("net"),
-                         (running + F.col("_ends")).cast("long")
-                         .alias("concurrency")))
+    # `keyed` also feeds the returned lazy plan — release via cache registry.
+    return track_cached(
+        keyed.select("ts", F.col("net").cast("long").alias("net"),
+                     (running + F.col("_ends")).cast("long")
+                     .alias("concurrency")), [keyed])
 
 
 def merge_intervals(df: DataFrame, key_col: str, start_col: str,

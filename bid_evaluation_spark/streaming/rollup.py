@@ -52,11 +52,20 @@ class StreamingRollup:
             usual aggregate contract; ``n_rows`` counts all rows).
         partition_col: optional member of ``group_cols`` to hive-partition
             the state by (pruned point reads on big grids).
+        group_schema: optional DDL fragment typing the group columns
+            (e.g. ``"day date, event_type string"``) — used to build the
+            correctly-typed EMPTY frame :meth:`state` returns at version 0.
+            Without it the pre-first-batch state types every group column
+            as string, which fails or coerces when unioned with a typed
+            rollup (``merge_rollup_states`` against a populated state).
+            After the first merge the state is typed by the data and this
+            argument is ignored.
     """
 
     def __init__(self, spark, path: str, group_cols: Sequence[str],
                  value_cols: Sequence[str],
-                 partition_col: Optional[str] = None):
+                 partition_col: Optional[str] = None,
+                 group_schema: Optional[str] = None):
         if not group_cols or not value_cols:
             raise ValueError("need at least one group col and one value col")
         if partition_col is not None and partition_col not in group_cols:
@@ -67,6 +76,17 @@ class StreamingRollup:
         self.group_cols: List[str] = list(group_cols)
         self.value_cols: List[str] = list(value_cols)
         self.partition_col = partition_col
+        if group_schema is not None:
+            typed = {}
+            for part in group_schema.split(","):
+                name, _, typ = part.strip().partition(" ")
+                typed[name.strip("`")] = typ.strip()
+            missing = [c for c in group_cols if c not in typed]
+            if missing:
+                raise ValueError(f"group_schema missing columns {missing}")
+            self._group_types = {c: typed[c] for c in group_cols}
+        else:
+            self._group_types = {c: "string" for c in group_cols}
         self.version = 0
         self.last_batch_id: Optional[int] = None
         self.n_rows = 0
@@ -131,7 +151,8 @@ class StreamingRollup:
     def state(self) -> DataFrame:
         """Raw mergeable state ``(group_cols..., n_rows, <c>__n/sum/min/max)``."""
         if self.version == 0:
-            fields = [f"`{c}` string" for c in self.group_cols]
+            fields = [f"`{c}` {self._group_types[c]}"
+                      for c in self.group_cols]
             fields += ["n_rows long"]
             for c in self.value_cols:
                 fields += [f"`{c}__n` long", f"`{c}__sum` double",

@@ -310,6 +310,10 @@ def streaming_latest_by_key(updates: DataFrame, key_col: str = "user_id",
             for ver, seq, val in zip(pdf["_ver"], pdf["_seq"], pdf["_val"]):
                 if ver is None or pd.isna(ver):
                     continue
+                if seq is None or pd.isna(seq):
+                    # a null tiebreak is as undecidable as a null version:
+                    # skip the row rather than kill the streaming query
+                    continue
                 cand = (float(ver), int(seq))
                 if cur is None or cand > (cur[0], cur[1]):
                     v = None if val is None or pd.isna(val) else float(val)

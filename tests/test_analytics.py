@@ -474,3 +474,35 @@ def test_welch_t_test(spark):
                                   "variant string, m double")
     rc = welch_t_test(const, "variant", "m").collect()[0]
     assert rc["t"] is None and rc["diff"] == 0.0
+
+
+def test_persisted_intermediates_registered_for_release(spark):
+    """Operators that persist an intermediate with a lazy second consumer
+    (pareto_frontier_2d, concurrency_timeline, key_skew_report) must
+    register it with the shared cache registry so release_all() can sweep
+    it — otherwise repeated calls leak cached blocks for the session."""
+    from bid_evaluation_spark.operators import cache
+    from bid_evaluation_spark.operators.analytics import pareto_frontier_2d
+    from bid_evaluation_spark.operators.profile import key_skew_report
+    from bid_evaluation_spark.operators.timeseries import concurrency_timeline
+
+    cache.release_all()
+    assert not cache._ALL_CACHED
+
+    pts = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 7.0), (3.0, 6.0), (4.0, 9.0)], "cost double, q double")
+    pareto_frontier_2d(pts, "cost", "q").collect()
+    iv = spark.createDataFrame(
+        [(0.0, 2.0), (1.0, 3.0), (2.5, 4.0)], "s double, e double")
+    concurrency_timeline(iv, "s", "e").collect()
+    keys = spark.createDataFrame([(i % 3,) for i in range(30)], "k long")
+    key_skew_report(keys, "k").collect()
+
+    assert len(cache._ALL_CACHED) == 3
+    deps = list(cache._ALL_CACHED)
+    assert all(dep.storageLevel.useMemory or dep.storageLevel.useDisk
+               for dep in deps)
+    cache.release_all()
+    assert not cache._ALL_CACHED
+    assert all(not (dep.storageLevel.useMemory or dep.storageLevel.useDisk)
+               for dep in deps)

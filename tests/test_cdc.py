@@ -106,7 +106,8 @@ def test_streaming_latest_by_key(spark, tmp_path):
     b2 = spark.createDataFrame(
         [(100, 1.0, 9, 7.7),     # LATE: older version — must be ignored
          (200, 5.0, 21, 10.0),   # same version, higher tiebreak — wins
-         (300, 1.0, 30, 3.0)],   # new key
+         (300, 1.0, 30, 3.0),    # new key
+         (300, 9.0, None, 4.0)], # null tiebreak — skipped, must not crash
         "user_id long, ts double, event_id long, value double")
     src = str(tmp_path / "upd_stream")
     b1.coalesce(1).write.parquet(f"{src}/batch=0")

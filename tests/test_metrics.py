@@ -188,6 +188,12 @@ class TestRankBiasedOverlap:
             rank_biased_overlap(a, b, "id")
         with pytest.raises(ValueError, match="p must be"):
             rank_biased_overlap(a, a, "id", p=1.0)
+        # equal sizes over DIFFERENT id sets: the inner join would drop
+        # rows and silently understate RBO — must raise instead
+        c = spark.createDataFrame([(1, 1), (2, 2)], "id long, rnk int")
+        d = spark.createDataFrame([(2, 1), (3, 2)], "id long, rnk int")
+        with pytest.raises(ValueError, match="different id sets"):
+            rank_biased_overlap(c, d, "id")
 
 
 def test_roc_auc_by_group_matches_global_per_subset(spark):

@@ -116,3 +116,33 @@ def test_merge_rollup_states(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="schemas differ"):
         merge_rollup_states(r1.state(), bad, ["day", "et"])
+
+
+def test_empty_state_group_schema_types(spark, tmp_path):
+    """A v0 (pre-first-batch) state built with group_schema carries the
+    caller's group-column types, so it unions cleanly with a populated
+    TYPED rollup; without group_schema the columns default to string and
+    a typed merge raises instead of silently coercing."""
+    from pyspark.sql.types import LongType, StringType
+
+    from bid_evaluation_spark.streaming.rollup import merge_rollup_states
+
+    typed_rows = spark.createDataFrame(
+        [(1, "click", 2.0), (2, "view", 3.0)],
+        "day long, et string, v double")
+    populated = StreamingRollup(spark, str(tmp_path / "p"),
+                                ["day", "et"], ["v"])
+    populated.process_batch(typed_rows, 0)
+
+    empty = StreamingRollup(spark, str(tmp_path / "e"), ["day", "et"], ["v"],
+                            group_schema="day long, et string")
+    st = empty.state()
+    assert isinstance(st.schema["day"].dataType, LongType)
+    assert isinstance(st.schema["et"].dataType, StringType)
+    merged = merge_rollup_states(st, populated.state(), ["day", "et"])
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, populated.state().collect()))
+
+    with pytest.raises(ValueError, match="missing columns"):
+        StreamingRollup(spark, str(tmp_path / "bad"), ["day", "et"], ["v"],
+                        group_schema="day long")
