@@ -1951,23 +1951,170 @@ FROM ranked WHERE rnk <= 5
 
 
 def _q_ann_ivf_topk_embeddings(spark, sf_dir):
-    """Trained-IVF approximate top-k: k-means inverted lists + multiprobe.
+    """Trained-IVF approximate top-k under FULL value oracle: the REAL
+    ``kmeans_centroids`` Lloyd loop (2 rounds, pinned init = the vec_id<8
+    embeddings, tol=0 so neither engine early-stops) trains the inverted
+    lists, then multiprobe search runs over them. With the init pinned,
+    every stage is SQL-expressible — each Lloyd round is an argmin
+    assignment + per-(cluster, dim) means (the oracle unrolls both rounds
+    as CTEs, exactly like ``classify_logreg_embeddings`` unrolls gradient
+    descent; empty clusters keep their previous centroid via coalesce),
+    and the search stages are the same SQL as
+    ``ann_ivf_pretrained_topk_embeddings``. The hash-seeded init variant
+    (the default ``kmeans_centroids`` path) stays differential-tested
+    against numpy Lloyd and recall-floor-tested vs exact top-k in
+    tests/test_embeddings.py."""
+    import numpy as np
 
-    Rows-only check — justification: the ONLY unoracled stage here is the
-    k-means training loop (iterative, not expressible in portable SQL).
-    Every other stage is value-oracled elsewhere: centroid argmin probe
-    assignment + shared-list pairing in ``dedup_semantic_embeddings``
-    (pinned centroids), exact-cosine ranking in
-    ``ann_cosine_topk_embeddings`` / ``ann_lsh_topk_embeddings``. Training
-    itself is differential-tested against numpy Lloyd iterations and
-    recall-floor-tested vs exact top-k in tests/test_embeddings.py."""
-    from bid_evaluation_spark.operators.similarity import ivf_topk
+    from bid_evaluation_spark.operators.similarity import (
+        ivf_topk, kmeans_centroids,
+    )
 
     df = _t(spark, sf_dir, "embeddings")
+    cent_rows = (df.filter(F.col("vec_id") < 8)
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    init = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    trained = kmeans_centroids(df, max_iter=2, tol=0.0, init=init)
     queries_df = df.filter(F.col("vec_id") < 10)
-    res = ivf_topk(queries_df, df, k=5, nprobe=3, n_clusters=8)
+    res = ivf_topk(queries_df, df, centroids=trained, k=5, nprobe=3)
     return res.select("query_id", "neighbor_id",
                       _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
+
+
+#: two unrolled Lloyd rounds from the pinned vec_id<8 init: round N is an
+#: argmin assignment (same c² − 2x·c expression the Spark kernel computes)
+#: + per-(cluster, dim) AVG, with empty clusters coalescing to their
+#: previous centroid — shared by the kmeans query and the trained-IVF query
+_SQL_KMEANS_LLOYD_CTES = """
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+  WHERE embedding IS NOT NULL
+),
+c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c0.cid,
+      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        list_sum(list_transform(c0.ce, x -> x*x))
+          - 2 * list_sum(list_transform(generate_series(1, len(v.e)),
+                                        i -> v.e[i]*c0.ce[i])) ASC,
+        c0.cid ASC) AS pr
+    FROM v CROSS JOIN c0
+  ) WHERE pr = 1
+),
+m1 AS (
+  SELECT a1.cid, dims.i, avg(q.e[dims.i]) AS m
+  FROM a1 JOIN v q ON q.vec_id = a1.vec_id CROSS JOIN dims
+  GROUP BY a1.cid, dims.i
+),
+c1 AS (
+  SELECT c0.cid, dims.i, coalesce(m1.m, c0.ce[dims.i]) AS m
+  FROM c0 CROSS JOIN dims
+  LEFT JOIN m1 ON m1.cid = c0.cid AND m1.i = dims.i
+),
+d2 AS (
+  SELECT v.vec_id, c1.cid,
+         sum(c1.m * c1.m - 2 * v.e[c1.i] * c1.m) AS dist
+  FROM v CROSS JOIN c1
+  GROUP BY v.vec_id, c1.cid
+),
+a2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      row_number() OVER (PARTITION BY vec_id
+                         ORDER BY dist ASC, cid ASC) AS pr
+    FROM d2
+  ) WHERE pr = 1
+),
+m2 AS (
+  SELECT a2.cid, dims.i, avg(q.e[dims.i]) AS m
+  FROM a2 JOIN v q ON q.vec_id = a2.vec_id CROSS JOIN dims
+  GROUP BY a2.cid, dims.i
+),
+cfinal AS (
+  SELECT c1.cid, c1.i, coalesce(m2.m, c1.m) AS m
+  FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.i = c1.i
+)
+"""
+
+
+_SQL_ANN_IVF_TOPK_EMBEDDINGS = f"""
+WITH {_SQL_KMEANS_LLOYD_CTES},
+dist_all AS (
+  SELECT v.vec_id, cf.cid,
+         sum(cf.m * cf.m - 2 * v.e[cf.i] * cf.m) AS dist
+  FROM v CROSS JOIN cfinal cf
+  GROUP BY v.vec_id, cf.cid
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, cid ASC) AS pr
+    FROM dist_all
+  ) WHERE pr = 1
+),
+probes AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      ORDER BY dist ASC, cid ASC) AS pr
+    FROM dist_all WHERE vec_id < 10
+  ) WHERE pr <= 3
+),
+sims AS (
+  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) AS cosine
+  FROM probes p JOIN assign a ON p.cid = a.cid
+  JOIN v q ON q.vec_id = p.vec_id
+  JOIN v b ON b.vec_id = a.vec_id
+  WHERE p.vec_id != a.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id,
+       round(cosine * 10000.0) / 10000.0 AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+def _q_ml_kmeans_lloyd_embeddings(spark, sf_dir):
+    """The k-means TRAINING LOOP itself under full value oracle: two
+    ``kmeans_centroids`` Lloyd rounds from the pinned vec_id<8 init
+    (tol=0 — no early stop), returning every (cluster, dim, centroid)
+    cell. The k·dim result matrix is driver-sized BY DESIGN (that is the
+    whole output of training), so materializing it as rows costs nothing
+    extra; each round's distributed work — the mapInPandas argmin
+    assignment and the posexplode per-(cluster, dim) mean — is what the
+    unrolled CTE oracle replays. Rounded at 1e-6 (centroid cells are
+    feature-scale ~1e-1; cross-engine drift is summation-order only);
+    + 0.0 canonicalizes IEEE -0.0 (NOTES.md lesson)."""
+    import numpy as np
+
+    from bid_evaluation_spark.operators.similarity import kmeans_centroids
+
+    df = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    cent_rows = (df.filter(F.col("vec_id") < 8)
+                 .select("vec_id", "embedding").orderBy("vec_id").collect())
+    init = np.array([r["embedding"] for r in cent_rows], dtype=np.float64)
+    cents = kmeans_centroids(df, max_iter=2, tol=0.0, init=init)
+    rows = [(int(c), int(d), float(cents[c, d]))
+            for c in range(cents.shape[0]) for d in range(cents.shape[1])]
+    out = spark.createDataFrame(rows, "cluster long, dim long, centroid double")
+    r6 = F.round(F.col("centroid") * 1000000.0) / 1000000.0 + F.lit(0.0)
+    return out.select("cluster", "dim", r6.alias("centroid"))
+
+
+_SQL_ML_KMEANS_LLOYD_EMBEDDINGS = f"""
+WITH {_SQL_KMEANS_LLOYD_CTES}
+SELECT CAST(cid AS BIGINT) AS cluster, CAST(i - 1 AS BIGINT) AS dim,
+       round(m * 1000000.0) / 1000000.0 + 0.0 AS centroid
+FROM cfinal
+"""
 
 
 def _q_ann_ivf_pretrained_topk_embeddings(spark, sf_dir):
@@ -2553,6 +2700,53 @@ def _q_pipe_bpe_pair_counts_documents(spark, sf_dir):
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(20)
             .select(F.col("l").alias("left"), F.col("r").alias("right"),
                     F.col("c").cast("long").alias("c")))
+
+
+def _q_pipe_bpe_first_merge_documents(spark, sf_dir):
+    """The BPE merge loop's ROUND-1 DECISION under full value oracle: run
+    the real ``bpe_train`` loop for exactly one round and return the pair
+    it picks. Unlike ``pipe_bpe_pair_counts_documents`` (which oracles the
+    counting table), this drives the loop's own selection machinery — the
+    ``c >= min_count`` floor, the (count desc, left asc, right asc)
+    argmax, and the one-row driver collect — so together the two queries
+    leave only the iterative symbol REWRITE outside the value gate (that
+    stays parity-tested vs a pure-python reference in tests/test_bpe.py,
+    and ``pipe_bpe_merges_documents`` carries the rows-only record)."""
+    from bid_evaluation_spark.operators.bpe import bpe_train
+
+    df = _t(spark, sf_dir, "documents")
+    merges = bpe_train(df, n_merges=1, min_count=2)
+    return spark.createDataFrame(
+        [(l, r) for l, r in merges], "left string, right string")
+
+
+_SQL_PIPE_BPE_FIRST_MERGE_DOCUMENTS = """
+WITH words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(lower(text)), '\\s+')
+                  END) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+syms AS (
+  SELECT n,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i]), '</w>') AS s
+  FROM words
+),
+idx AS (
+  SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i FROM syms
+),
+pairs AS (
+  SELECT s[i] AS l, s[i+1] AS r, sum(n) AS c FROM idx GROUP BY s[i], s[i+1]
+)
+SELECT l AS "left", r AS "right"
+FROM pairs WHERE c >= 2
+ORDER BY c DESC, l ASC, r ASC
+LIMIT 1
+"""
 
 
 _SQL_PIPE_BPE_PAIR_COUNTS_DOCUMENTS = """
@@ -6785,7 +6979,10 @@ _QUERIES: dict = {
                                   _SQL_DEDUP_SEMANTIC_EMBEDDINGS),
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings,
                                 _SQL_ANN_LSH_TOPK_EMBEDDINGS),
-    "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings, None),
+    "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings,
+                                _SQL_ANN_IVF_TOPK_EMBEDDINGS),
+    "ml_kmeans_lloyd_embeddings": (_q_ml_kmeans_lloyd_embeddings,
+                                   _SQL_ML_KMEANS_LLOYD_EMBEDDINGS),
     "ann_ivf_pretrained_topk_embeddings": (
         _q_ann_ivf_pretrained_topk_embeddings,
         _SQL_ANN_IVF_PRETRAINED_TOPK_EMBEDDINGS),
@@ -6809,6 +7006,8 @@ _QUERIES: dict = {
         _q_pipe_decontaminate_bloom_documents,
         _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS),
     "pipe_bpe_merges_documents": (_q_pipe_bpe_merges_documents, None),
+    "pipe_bpe_first_merge_documents": (_q_pipe_bpe_first_merge_documents,
+                                       _SQL_PIPE_BPE_FIRST_MERGE_DOCUMENTS),
     "pipe_bpe_pair_counts_documents": (_q_pipe_bpe_pair_counts_documents,
                                        _SQL_PIPE_BPE_PAIR_COUNTS_DOCUMENTS),
     "pipe_hash_sample_documents": (_q_pipe_hash_sample_documents,
