@@ -129,6 +129,20 @@ def bench_decontaminate_documents(spark, sf_dir):
 
     df = load_table(spark, sf_dir, "documents")
     _force(decontaminate(df.filter(F.col("doc_id") % 10 != 0),
+                         df.filter(F.col("doc_id") % 10 == 0), threshold=0.3,
+                         method="exact"))
+
+
+def bench_decontaminate_auto_documents(spark, sf_dir):
+    """The default dispatch: Catalyst plan-size stats pick exact here (the
+    eval side broadcasts, so Bloom has no exchange to shrink) — this row
+    should track bench_decontaminate_documents, demonstrating the default
+    path no longer pays Bloom's fixed overhead at local scale."""
+    from bid_evaluation_spark.operators.pipeline import decontaminate
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(decontaminate(df.filter(F.col("doc_id") % 10 != 0),
                          df.filter(F.col("doc_id") % 10 == 0), threshold=0.3))
 
 
@@ -236,6 +250,7 @@ BENCHES = {
     "ann_topk_embeddings": bench_ann_topk_embeddings,
     "embedding_neardup": bench_embedding_neardup,
     "decontaminate_documents": bench_decontaminate_documents,
+    "decontaminate_auto_documents": bench_decontaminate_auto_documents,
     "decontaminate_bloom_documents": bench_decontaminate_bloom_documents,
     "events_sliding": bench_events_sliding,
     "events_sessionize": bench_events_sessionize,

@@ -53,6 +53,34 @@ from .text import hashed_word_shingles, token_count, tokens, word_shingles
 # Decontamination (train/eval overlap)
 # ---------------------------------------------------------------------------
 
+def _plan_size_bytes(df: DataFrame) -> Optional[int]:
+    """Catalyst's size estimate for a frame's optimized plan — file-size
+    based for parquet scans, FREE (no job). None when unavailable or when
+    Catalyst reports the unknown-size sentinel (defaultSizeInBytes, a
+    huge value)."""
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes()))
+    except Exception:
+        return None
+    return size if 0 <= size < (1 << 60) else None
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (handles "10MB"
+    style values); -1 (broadcast disabled) maps to 0."""
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        n = int(raw)
+    except ValueError:
+        try:
+            n = int(spark._jvm.org.apache.spark.network.util.JavaUtils
+                    .byteStringAsBytes(raw))
+        except Exception:
+            n = 10 * 1024 * 1024
+    return max(0, n)
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -61,6 +89,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: Optional[int] = None,
+    method: str = "auto",
 ) -> DataFrame:
     """Flag training documents whose word-``k``-shingle Jaccard similarity
     with ANY eval document reaches ``threshold`` — the train/test
@@ -78,9 +107,46 @@ def decontaminate(
     set the result may miss pairs whose every shared shingle is frequent —
     leave ``None`` (exact) unless the eval corpus is huge.
 
+    ``method`` picks the candidate-generation strategy (results are
+    bit-for-bit identical either way — property-tested):
+
+    - ``"exact"``: the plain shared-shingle equi-join.
+    - ``"bloom"``: :func:`decontaminate_bloom`'s broadcast-Bloom map-side
+      pre-filter of train shingles (pays ~0.7 s fixed build overhead;
+      wins only when the eval side is too big to broadcast AND the train
+      side is huge — the 100-TB-train / benchmark-eval shape).
+    - ``"auto"`` (default): dispatch on Catalyst's free plan-size
+      statistics, the same signal AQE's broadcast planning uses — no job
+      is run to decide. Bloom is chosen only when BOTH (a) the estimated
+      eval shingle-hash side (~4x the eval plan bytes, a
+      compression-times-hash-width heuristic) exceeds
+      ``spark.sql.autoBroadcastJoinThreshold`` — otherwise AQE broadcasts
+      the eval side of the exact path's candidate join and there is NO
+      train-side exchange for Bloom to shrink (the measured sf0.1 story:
+      exact 1.2-1.5 s warm vs bloom 2.0-2.1 s, NOTES.md) — and (b) the
+      train side is at least 4x the eval side (the asymmetric profile
+      where shrinking the train shuffle pays for the Bloom build). Unknown
+      sizes (non-file sources) fall back to exact, which never collects
+      eval hashes to the driver. ``max_df`` forces exact (the Bloom
+      variant has no stop-shingle guard).
+
     Returns one row per contaminated (train, eval) pair:
     ``(train_id, eval_id, jaccard)``.
     """
+    if method not in ("exact", "bloom", "auto"):
+        raise ValueError(f"unknown method {method!r}")
+    if method == "bloom" and max_df is not None:
+        raise ValueError("method='bloom' does not support max_df")
+    if method == "auto" and max_df is None:
+        eval_bytes = _plan_size_bytes(eval_df)
+        train_bytes = _plan_size_bytes(train_df)
+        if eval_bytes is not None and train_bytes is not None:
+            bc = _broadcast_threshold_bytes(train_df.sparkSession)
+            if eval_bytes * 4 > bc and train_bytes >= 4 * eval_bytes:
+                method = "bloom"
+    if method == "bloom":
+        return decontaminate_bloom(train_df, eval_df, threshold, k,
+                                   id_col, text_col)
     t_sh = train_df.select(
         F.col(id_col).alias("train_id"),
         word_shingles(F.col(text_col), k).alias("_sh_t"),

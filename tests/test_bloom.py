@@ -92,3 +92,55 @@ def test_decontaminate_bloom_empty_eval(spark):
     out = decontaminate_bloom(docs, ev, threshold=0.2, k=3)
     assert out.count() == 0
     assert out.columns == ["train_id", "eval_id", "jaccard"]
+
+
+def test_decontaminate_auto_dispatch(spark, tmp_path):
+    """method='auto' must pick exact when the eval side is broadcastable
+    (same logical plan — zero added cost on the default path) and flip to
+    the Bloom pre-filter when Catalyst stats say the eval side exceeds the
+    broadcast threshold AND the train side is >=4x bigger. The sides are
+    written to SEPARATE parquet files: without CBO, a Filter node passes
+    its child's size estimate through, so two filters of one file look
+    equal-sized and auto (correctly, conservatively) stays exact."""
+    from bid_evaluation_spark.operators.pipeline import decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.filter(F.col("doc_id") % 10 != 0).write.parquet(
+        str(tmp_path / "train"))
+    docs.filter(F.col("doc_id") % 10 == 0).coalesce(1).write.parquet(
+        str(tmp_path / "eval"))
+    train = spark.read.parquet(str(tmp_path / "train"))
+    ev = spark.read.parquet(str(tmp_path / "eval"))
+
+    # local scale: auto == exact, plan-identical
+    auto_df = decontaminate(train, ev, threshold=0.2, k=3)
+    exact_df = decontaminate(train, ev, threshold=0.2, k=3, method="exact")
+    assert auto_df.sameSemantics(exact_df)
+
+    # max_df forces the exact path regardless of stats
+    guarded = decontaminate(train, ev, threshold=0.2, max_df=5)
+    assert not guarded.sameSemantics(auto_df)  # extra stop-shingle filter
+    with pytest.raises(ValueError, match="does not support max_df"):
+        decontaminate(train, ev, method="bloom", max_df=5)
+    with pytest.raises(ValueError, match="unknown method"):
+        decontaminate(train, ev, method="nope")
+
+    # shrink the broadcast threshold so the eval side "cannot" broadcast:
+    # train is ~9x eval here, so both auto conditions hold -> bloom path
+    # (an ArrowEvalPython kernel appears in the plan; exact has none)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try:
+        bloom_df = decontaminate(train, ev, threshold=0.2, k=3)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    plan = bloom_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ArrowEvalPython" in plan or "PythonUDF" in plan
+    assert "ArrowEvalPython" not in \
+        exact_df._jdf.queryExecution().optimizedPlan().toString()
+    # and the dispatched plans agree on values (bit-for-bit twins)
+    base = {(r["train_id"], r["eval_id"]): round(r["jaccard"], 9)
+            for r in exact_df.collect()}
+    fast = {(r["train_id"], r["eval_id"]): round(r["jaccard"], 9)
+            for r in bloom_df.collect()}
+    assert base == fast and base
