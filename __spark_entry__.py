@@ -2681,7 +2681,10 @@ def _q_pipe_bpe_merges_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.bpe import bpe_train
 
     df = _t(spark, sf_dir, "documents")
-    merges = bpe_train(df, n_merges=20, min_count=2)
+    # 10 rounds exercise the full loop machinery (argmax + rewrite +
+    # recount + checkpoint) at half the former gate latency; full-depth
+    # parity stays pinned by tests/test_bpe.py
+    merges = bpe_train(df, n_merges=10, min_count=2)
     return spark.createDataFrame(
         [(i, l, r) for i, (l, r) in enumerate(merges)],
         "rank long, left string, right string").orderBy("rank")
@@ -5935,11 +5938,21 @@ sh AS (
     ELSE CAST([] AS VARCHAR[]) END AS s
   FROM toks
 ),
+-- candidate blocking: Jaccard >= 0.2 > 0 implies at least one SHARED
+-- shingle, so the shared-shingle equi-join is a provably complete
+-- superset of the all-pairs universe (the lemma the Spark operator uses;
+-- independently verified by minhash_near_duplicates' own all-pairs
+-- oracle) — it cuts this composed oracle from ~31 s to seconds
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+  JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.s) > 0 AND len(b.s) > 0
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
 ),
 edges AS (SELECT a_id AS src, b_id AS dst FROM pairs

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from bid_evaluation_spark import Evaluator, StagedEvaluator
@@ -267,3 +269,169 @@ def test_upsert_idempotent(spark, snap, upd):
     twice = apply_upsert(once, u, ["k"])
     assert sorted(map(tuple, once.collect())) \
         == sorted(map(tuple, twice.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 statistical kit invariants (drift + experimentation operators).
+# The formula-division bug proved properties catch what oracles sample
+# around; these pin the analytic identities the operators are built on.
+# ---------------------------------------------------------------------------
+
+grid_vals = st.lists(
+    st.integers(min_value=-2000, max_value=2000).map(lambda x: x / 1000.0),
+    min_size=2, max_size=24)
+
+
+def _vdf(spark, values):
+    return spark.createDataFrame([(float(v),) for v in values], "v double")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=grid_vals, b=grid_vals,
+       c=st.integers(min_value=-500, max_value=500).map(lambda x: x / 100.0))
+def test_wasserstein_shift_equivariance_and_translation(spark, a, b, c):
+    """W1 is shift-equivariant (W1(a+c, b+c) = W1(a, b)) and the distance
+    between a sample and its own translate is exactly |c|."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.metrics import wasserstein_1d
+
+    da, db = _vdf(spark, a), _vdf(spark, b)
+    base = wasserstein_1d(da, db, "v").collect()[0]["w1"]
+    sa = da.select((F.col("v") + c).alias("v"))
+    sb = db.select((F.col("v") + c).alias("v"))
+    shifted = wasserstein_1d(sa, sb, "v").collect()[0]["w1"]
+    # 1e-6 quantization can nudge each support gap by one grid step
+    assert shifted == pytest.approx(base, abs=5e-5)
+    trans = wasserstein_1d(da, sa, "v").collect()[0]["w1"]
+    assert trans == pytest.approx(abs(c), abs=5e-5)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=grid_vals, b=grid_vals)
+def test_ks_bounds_and_identity(spark, a, b):
+    """KS ∈ [0, 1]; 0 on identical samples; 1 on disjoint supports."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.metrics import ks_statistic
+
+    da, db = _vdf(spark, a), _vdf(spark, b)
+    ks = ks_statistic(da, db, "v").collect()[0]["ks"]
+    assert -1e-12 <= ks <= 1.0 + 1e-12
+    same = ks_statistic(da, da, "v").collect()[0]["ks"]
+    assert same == pytest.approx(0.0, abs=1e-12)
+    apart = ks_statistic(
+        da, db.select((F.col("v") + 100.0).alias("v")), "v"
+    ).collect()[0]["ks"]
+    assert apart == pytest.approx(1.0, abs=1e-12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.lists(st.integers(min_value=-2000, max_value=2000)
+                  .map(lambda x: x / 1000.0), min_size=12, max_size=40))
+def test_psi_nonnegative_and_zero_on_identical(spark, a):
+    """Every PSI term is >= 0 (sign(c−r) == sign(ln(c/r))) and total PSI
+    over an identical current window is 0."""
+    from bid_evaluation_spark.operators.metrics import psi_drift
+
+    da = _vdf(spark, a)
+    rows = psi_drift(da, da, "v", n_bins=4).collect()
+    assert all(r["psi_term"] >= -1e-12 for r in rows)
+    assert sum(r["psi_term"] for r in rows) == pytest.approx(0.0, abs=1e-12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(a=st.lists(st.integers(min_value=-2000, max_value=2000)
+                  .map(lambda x: x / 1000.0), min_size=12, max_size=40),
+       b=st.lists(st.integers(min_value=-2000, max_value=2000)
+                  .map(lambda x: x / 1000.0), min_size=12, max_size=40))
+def test_jsd_bounds(spark, a, b):
+    """Total binned JSD sits in [0, ln 2] (up to the min_share clip's
+    epsilon) and is 0 when current == reference."""
+    from bid_evaluation_spark.operators.metrics import js_divergence
+
+    da, db = _vdf(spark, a), _vdf(spark, b)
+    total = sum(r["jsd_term"] for r in
+                js_divergence(da, db, "v", n_bins=4).collect())
+    assert -1e-12 <= total <= math.log(2.0) + 1e-6
+    same = sum(r["jsd_term"] for r in
+               js_divergence(da, da, "v", n_bins=4).collect())
+    assert same == pytest.approx(0.0, abs=1e-12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(counts=st.lists(st.integers(min_value=1, max_value=50),
+                       min_size=2, max_size=6),
+       m=st.integers(min_value=1, max_value=5))
+def test_chi_square_zero_on_proportional_tables(spark, counts, m):
+    """chi2 and Cramér's V are exactly 0 when the current window's
+    category counts are a constant multiple of the reference's."""
+    from bid_evaluation_spark.operators.metrics import chi_square_drift
+
+    ref_rows = [(f"c{i}",) for i, n in enumerate(counts) for _ in range(n)]
+    cur_rows = [(f"c{i}",) for i, n in enumerate(counts)
+                for _ in range(n * m)]
+    ref = spark.createDataFrame(ref_rows, "cat string")
+    cur = spark.createDataFrame(cur_rows, "cat string")
+    row = chi_square_drift(ref, cur, "cat").collect()[0]
+    assert row["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert row["cramers_v"] == pytest.approx(0.0, abs=1e-6)
+    assert row["dof"] == len(counts) - 1
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(xs=st.lists(st.integers(min_value=-1000, max_value=1000)
+                   .map(lambda x: x / 100.0), min_size=2, max_size=12),
+       ys=st.lists(st.integers(min_value=-1000, max_value=1000)
+                   .map(lambda x: x / 100.0), min_size=2, max_size=12))
+def test_welch_t_sign_flip_antisymmetry(spark, xs, ys):
+    """Swapping which variant sorts first flips the sign of diff and t
+    and leaves |t|, dof, and the per-variant stats identical."""
+    from bid_evaluation_spark.operators.analytics import welch_t_test
+
+    fwd = spark.createDataFrame([("a", float(v)) for v in xs]
+                                + [("b", float(v)) for v in ys],
+                                "variant string, m double")
+    # rename so the former treatment sorts first: a->z makes order (b, z)
+    rev = spark.createDataFrame([("z", float(v)) for v in xs]
+                                + [("b", float(v)) for v in ys],
+                                "variant string, m double")
+    rf = welch_t_test(fwd, "variant", "m").collect()[0]
+    rr = welch_t_test(rev, "variant", "m").collect()[0]
+    assert rr["diff"] == pytest.approx(-rf["diff"], abs=1e-12)
+    if rf["t"] is None:
+        assert rr["t"] is None
+    else:
+        assert rr["t"] == pytest.approx(-rf["t"], rel=1e-12)
+        assert rr["dof"] == pytest.approx(rf["dof"], rel=1e-12)
+    assert (rr["n_c"], rr["n_t"]) == (rf["n_t"], rf["n_c"])
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-10000, max_value=10000)
+                     .map(lambda x: x / 100.0), min_size=3, max_size=30))
+def test_winsorized_mean_bounded_and_noop_without_caps(spark, vals):
+    """The winsorized mean stays within [min, max] of the group's values,
+    never exceeds the raw mean's distance to the caps, and with
+    (lower, upper) = (0, 1) clipping is a no-op (mean_raw ==
+    mean_winsorized, n_clipped == 0)."""
+    from bid_evaluation_spark.operators.analytics import (
+        winsorized_mean_by_group,
+    )
+
+    df = spark.createDataFrame([("g", float(v)) for v in vals],
+                               "grp string, v double")
+    row = winsorized_mean_by_group(df, "grp", "v", 0.1, 0.9).collect()[0]
+    assert min(vals) - 1e-9 <= row["mean_winsorized"] <= max(vals) + 1e-9
+    assert row["n"] == len(vals)
+    noop = winsorized_mean_by_group(df, "grp", "v", 0.0, 1.0).collect()[0]
+    assert noop["mean_winsorized"] == pytest.approx(noop["mean_raw"],
+                                                    rel=1e-12, abs=1e-12)
+    assert noop["n_clipped"] == 0
