@@ -1950,6 +1950,61 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _q_ann_lsh_multitable_topk_embeddings(spark, sf_dir):
+    """Multi-table LSH top-k (OR-amplification): 4 independent hyperplane
+    tables, candidates = collision in ANY table, deduped on (query,
+    neighbor) BEFORE the exact-cosine verify — recall rises from p^planes
+    to 1 − (1 − p^planes)^4 at ×4 candidate cost, the standard LSH recall
+    lever. FULL value oracle: each table's plane matrix is a deterministic
+    function of its seed (base + 1e6+3·t), embedded as literals; the OR of
+    the four bucket equalities reproduces the deduped candidate set
+    exactly, and ranking parity follows ``ann_lsh_topk_embeddings``."""
+    from bid_evaluation_spark.operators.similarity import lsh_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    queries_df = df.filter(F.col("vec_id") < 10)
+    res = lsh_topk(queries_df, df, k=5, num_planes=3, num_tables=4)
+    return res.select("query_id", "neighbor_id",
+                      _r4("cosine").alias("cosine"), F.col("rnk").cast("long"))
+
+
+def _lsh_multitable_sql() -> str:
+    cols = []
+    for t in range(4):
+        cols.append(f"{_lsh_bucket_sql_expr(num_planes=3, seed=42 + 1_000_003 * t)} AS b{t}")
+    bucket_cols = ", ".join(cols)
+    on = " OR ".join(f"q.b{t} = b.b{t}" for t in range(4))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+b AS (SELECT vec_id, e, {bucket_cols} FROM v),
+q AS (SELECT vec_id AS query_id, e AS qe, b0, b1, b2, b3
+      FROM b WHERE vec_id < 10),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM q JOIN b ON ({on})
+  WHERE q.query_id != b.vec_id
+),
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+    list_sum(list_transform(generate_series(1, len(qv.e)),
+                            i -> qv.e[i]*nv.e[i]))
+      / (sqrt(list_sum(list_transform(qv.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(nv.e, x -> x*x)))) AS cosine
+  FROM cand c
+  JOIN v qv ON qv.vec_id = c.query_id
+  JOIN v nv ON nv.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+  FROM sims
+)
+SELECT query_id, neighbor_id,
+       round(cosine * 10000.0) / 10000.0 AS cosine, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def _q_ann_ivf_topk_embeddings(spark, sf_dir):
     """Trained-IVF approximate top-k under FULL value oracle: the REAL
     ``kmeans_centroids`` Lloyd loop (2 rounds, pinned init = the vec_id<8
@@ -6992,6 +7047,8 @@ _QUERIES: dict = {
                                   _SQL_DEDUP_SEMANTIC_EMBEDDINGS),
     "ann_lsh_topk_embeddings": (_q_ann_lsh_topk_embeddings,
                                 _SQL_ANN_LSH_TOPK_EMBEDDINGS),
+    "ann_lsh_multitable_topk_embeddings": (
+        _q_ann_lsh_multitable_topk_embeddings, _lsh_multitable_sql()),
     "ann_ivf_topk_embeddings": (_q_ann_ivf_topk_embeddings,
                                 _SQL_ANN_IVF_TOPK_EMBEDDINGS),
     "ml_kmeans_lloyd_embeddings": (_q_ml_kmeans_lloyd_embeddings,

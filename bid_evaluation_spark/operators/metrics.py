@@ -448,8 +448,11 @@ def wasserstein_1d(a: DataFrame, b: DataFrame, value_col: str,
     gap = F.abs(F.sum("_ca").over(w).cast("double") / F.lit(float(na))
                 - F.sum("_cb").over(w).cast("double") / F.lit(float(nb)))
     dx = F.lead("_v").over(wl) - F.col("_v")
+    # the last support point's term is null by construction (no lead) and
+    # sum() ignores it — but when the union support is a SINGLE point every
+    # term is null and sum() returns null; that distance is exactly 0
     return (merged.select((gap * dx).alias("_t"))
-            .agg(F.sum("_t").alias("w1"),
+            .agg(F.coalesce(F.sum("_t"), F.lit(0.0)).alias("w1"),
                  F.lit(na).cast("long").alias("n_a"),
                  F.lit(nb).cast("long").alias("n_b")))
 

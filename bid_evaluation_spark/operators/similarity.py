@@ -109,21 +109,41 @@ def _cosine_topk_two_phase(queries: DataFrame, corpus: DataFrame, k: int,
 def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
              query_id: str = "vec_id", corpus_id: str = "vec_id",
              vec_col: str = "embedding", num_planes: int = 6,
-             exclude_self: bool = True, seed: int = 42) -> DataFrame:
-    """Approximate top-k: probe only the query's hyperplane bucket.
+             num_tables: int = 1, exclude_self: bool = True,
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: probe the query's hyperplane bucket in each of
+    ``num_tables`` independent hash tables (the standard LSH
+    OR-amplification: a neighbor is a candidate if it collides in ANY
+    table, lifting recall from p^planes to 1 − (1 − p^planes)^tables at
+    ×tables candidate cost).
 
-    The IVF/LSH scale path — corpus vectors land in 2^num_planes inverted
-    lists; each query joins its own list only. Recall < 1 by construction;
-    verify against :func:`cosine_topk` on samples.
+    The scale shape stays ONE equi-join: both sides explode to
+    (table_id, bucket) keys — 2^num_planes × num_tables inverted lists —
+    and candidates dedup on (query, neighbor) BEFORE the exact-cosine
+    verify, so a pair colliding in several tables is verified once.
+    Recall < 1 by construction; the seeded floor is pinned in
+    tests/test_embeddings.py against :func:`cosine_topk`.
     """
-    bq = _hyperplane_bucket(F.col(vec_col), num_planes, seed)
-    q = queries.select(F.col(query_id).alias("query_id"),
-                       F.col(vec_col).alias("_qv"), bq.alias("_bkt"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      F.col(vec_col).alias("_cv"), bq.alias("_bkt"))
-    sims = q.join(c, on="_bkt").withColumn(
-        "cosine", cosine(F.col("_qv"), F.col("_cv"))
-    )
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be >= 1, got {num_tables}")
+    buckets = F.array(*[
+        F.struct(F.lit(t).alias("_tbl"),
+                 _hyperplane_bucket(F.col(vec_col), num_planes,
+                                    seed + 1_000_003 * t).alias("_bkt"))
+        for t in range(num_tables)])
+    q = (queries.select(F.col(query_id).alias("query_id"),
+                        F.col(vec_col).alias("_qv"),
+                        F.explode(buckets).alias("_p"))
+         .select("query_id", "_qv", "_p._tbl", "_p._bkt"))
+    c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                       F.col(vec_col).alias("_cv"),
+                       F.explode(buckets).alias("_p"))
+         .select("neighbor_id", "_cv", "_p._tbl", "_p._bkt"))
+    cand = q.join(c, on=["_tbl", "_bkt"]).select(
+        "query_id", "neighbor_id", "_qv", "_cv")
+    if num_tables > 1:
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    sims = cand.withColumn("cosine", cosine(F.col("_qv"), F.col("_cv")))
     if exclude_self:
         sims = sims.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

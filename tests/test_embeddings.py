@@ -107,3 +107,74 @@ def test_sample_exact_k_edges(docs):
     assert sample_exact_k(docs, 1000).count() == 200  # k > n → all rows
     with pytest.raises(ValueError):
         sample_exact_k(docs, -1)
+
+
+def test_lsh_recall_floor_pinned(spark):
+    """CI-visible recall floor for the LSH scale path on real testdata with
+    fixed seeds — a kernel change that silently degrades recall fails HERE
+    instead of passing a rows-only check. Deterministic (seeded planes +
+    deterministic tiebreaks), so these are pinned values, not statistical
+    bounds: measured 0.828 multi-table / 0.384 single-table at sf0.01."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    q = emb.filter(F.col("vec_id") < 50)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.cosine_topk(q, emb, k=10).collect()}
+    multi = {(r.query_id, r.neighbor_id)
+             for r in S.lsh_topk(q, emb, k=10, num_planes=3, num_tables=8,
+                                 seed=42).collect()}
+    assert len(multi & exact) / len(exact) >= 0.80
+    single = {(r.query_id, r.neighbor_id)
+              for r in S.lsh_topk(q, emb, k=10, num_planes=2,
+                                  seed=42).collect()}
+    assert len(single & exact) / len(exact) >= 0.35
+    # OR-amplification must strictly beat the single table it contains
+    assert len(multi & exact) > len(single & exact)
+    emb.unpersist()
+
+
+def test_semantic_dedup_recall_floor_pinned_sf001(spark):
+    """Same CI floor for SemDeDup at sf0.01 (the driver-gate scale):
+    measured 0.982 recall with ZERO false pairs under seed=7."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.dedup import (
+        embedding_near_duplicates, semantic_dedup_pairs)
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+    exact = {(r.a_id, r.b_id) for r in embedding_near_duplicates(
+        emb.withColumn("_one", F.lit(0)), threshold=0.35,
+        block_col="_one").collect()}
+    got = {(r.a_id, r.b_id) for r in semantic_dedup_pairs(
+        emb, threshold=0.35, n_clusters=8, nprobe=3, seed=7).collect()}
+    assert got <= exact            # verify is exact -> no false pairs
+    assert len(got) / len(exact) >= 0.95
+    emb.unpersist()
+
+
+def test_kmeans_pinned_init_warm_start(spark):
+    """init= overrides the hash init: zero iterations returns the init
+    matrix unchanged; one iteration equals a hand-rolled numpy Lloyd round
+    (argmin assign + per-cluster means, empty clusters keep their row)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    X = np.array([r["embedding"] for r in
+                  emb.orderBy("vec_id").collect()], dtype=np.float64)
+    init = X[:4]
+    got0 = kmeans_centroids(emb, max_iter=0, tol=0.0, init=init)
+    assert np.allclose(got0, init)
+    got1 = kmeans_centroids(emb, max_iter=1, tol=0.0, init=init)
+    d = (init ** 2).sum(axis=1)[None, :] - 2.0 * (X @ init.T)
+    a = np.argmin(d, axis=1)
+    want = init.copy()
+    for c in range(4):
+        if (a == c).any():
+            want[c] = X[a == c].mean(axis=0)
+    assert np.allclose(got1, want, atol=1e-9)
