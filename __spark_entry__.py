@@ -1289,6 +1289,58 @@ FROM p
 """
 
 
+def _q_mm_flac_decode_documents(spark, sf_dir):
+    """REAL compressed-audio decode end-to-end: the same deterministic
+    square waves as ``mm_audio_decode_documents``, but container-encoded
+    as FLAC (fixed-order-2 predictor + Rice residuals — the compressed
+    path, not verbatim) by the pure-stdlib encoder and decoded by the
+    pure-stdlib FLAC decoder (operators/flac.py, written from the public
+    RFC 9639 spec; CRC-8/CRC-16 verified per frame). FLAC is lossless and
+    both containers quantize floats identically (truncation), so the
+    arithmetic oracle is the SAME closed form as the WAV query — any
+    decode bug (bit reader, Rice, predictor reconstruction, CRC, scaling)
+    breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.flac import encode_flac
+    from bid_evaluation_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 400 + int(d) % 5 * 200
+                h = 10 + int(d) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(encode_flac(0.5 * sgn, rate=8000,
+                                            strategy="fixed"))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_audio_features(media, strict=True)
+    return feats.select("media_id", "sample_rate", "duration_ms",
+                        _r4("rms").alias("rms"), "zero_crossings")
+
+
+_SQL_MM_FLAC_DECODE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id,
+         400 + (doc_id % 5) * 200 AS n,
+         10 + (doc_id % 7) * 2 AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  round((16383.0 / 32768.0) * 10000.0) / 10000.0 AS rms,
+  CAST((n - 1) // h AS BIGINT) AS zero_crossings
+FROM p
+"""
+
+
 def _q_mm_video_frames_documents(spark, sf_dir):
     """REAL video decode end-to-end: deterministic Y4M clips are encoded per
     doc (frame k pixel(x,y) = (x + 3y + 5k + doc_id) mod 256, dims/length
@@ -7115,6 +7167,8 @@ _QUERIES: dict = {
                                       _SQL_PIPE_PACK_SEQUENCES_DOCUMENTS),
     "pipe_end_to_end_documents": (_q_pipe_end_to_end_documents,
                                   _SQL_PIPE_END_TO_END_DOCUMENTS),
+    "mm_flac_decode_documents": (_q_mm_flac_decode_documents,
+                                 _SQL_MM_FLAC_DECODE_DOCUMENTS),
     "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,

@@ -141,18 +141,20 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                            strict: bool = False) -> DataFrame:
     """Decode + feature-extract audio via Arrow-batched ``mapInPandas``.
 
-    The REAL kernel (``fake=False``, default) decodes PCM WAV payloads with
-    the pure-stdlib codec (:mod:`.wav`): sample rate and duration from the
-    container, RMS / zero-crossings / a 13-band log-spectral feature vector
-    from the actual samples. Non-WAV or undecodable payloads yield null
-    audio features (corrupt media must not kill a 100-TB scan) unless
-    ``strict=True``. Compressed codecs (mp3/aac) need a real audio library
-    swapped into the same seam.
+    The REAL kernel (``fake=False``, default) decodes PCM WAV and FLAC
+    payloads with the pure-stdlib codecs (:mod:`.wav`, :mod:`.flac` —
+    magic-byte dispatch, same ``(rate, mono float64)`` contract): sample
+    rate and duration from the container, RMS / zero-crossings / a 13-band
+    log-spectral feature vector from the actual samples. Undecodable
+    payloads yield null audio features (corrupt media must not kill a
+    100-TB scan) unless ``strict=True``. Lossy codecs (mp3/aac) need a
+    real audio library swapped into the same seam.
 
     ``fake=True`` keeps the old stub: payload bytes treated as a crude
     8-bit waveform with a payload-hash feature vector — useful when testing
     the plumbing on arbitrary bytes.
     """
+    from . import flac as _flac
     from . import wav as _wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -175,7 +177,10 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                                  "mfcc_like": _fake_features(payload, dim=13)})
                     continue
                 try:
-                    rate, data = _wav.decode_wav(payload)
+                    if payload[:4] == b"fLaC":
+                        rate, data = _flac.decode_flac(payload)
+                    else:
+                        rate, data = _wav.decode_wav(payload)
                     # signbit transitions, not sign products: a sample landing
                     # exactly on 0 must still count one crossing, not none
                     rows.append({**base, "sample_rate": rate,
