@@ -4040,6 +4040,113 @@ def _q_pipe_split_documents(spark, sf_dir):
     return res.select("doc_id", "lang", "split")
 
 
+def _q_pipe_leakage_safe_split_documents(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-duplicate components (the
+    same MinHash pair graph as dedup_keep_best) share ONE split label via
+    the component's canonical min-id as the md5 key — the contamination
+    mode per-row splitting permits (a paraphrase in train, its original in
+    test) is structurally impossible. The oracle re-derives the whole
+    chain: blocked exact-Jaccard pairs, recursive transitive closure to
+    the min label, coalesce to the row id for singletons, and the same
+    cumulative hex thresholds as pipe_split_documents."""
+    from bid_evaluation_spark.operators.dedup import minhash_near_duplicates
+    from bid_evaluation_spark.operators.pipeline import leakage_safe_split
+
+    df = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(df, threshold=0.2, num_perm=64, bands=16)
+    res = leakage_safe_split(df, pairs, seed="r4split")
+    return res.select("doc_id", F.col("split_key").cast("long")
+                      .alias("split_key"), "split")
+
+
+_SQL_PIPE_LEAKAGE_SAFE_SPLIT_DOCUMENTS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
+  JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
+    ON a.g = b.g AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+),
+edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+reach(id, lab) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON r.id = e.src
+),
+clusters AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id
+)
+SELECT doc_id, CAST(split_key AS BIGINT) AS split_key,
+  CASE WHEN substr(md5(CAST(split_key AS VARCHAR) || 'r4split'), 1, 8)
+            < 'cccccccc' THEN 'train'
+       WHEN substr(md5(CAST(split_key AS VARCHAR) || 'r4split'), 1, 8)
+            < 'e6666666' THEN 'val'
+       ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+def _q_analytics_cohens_kappa_documents(spark, sf_dir):
+    """Cohen's kappa between the ground-truth language label and a
+    deterministic simulated annotator (agrees when n_chars % 10 < 7, else
+    says 'other') — the chance-corrected agreement readout for labeling
+    pipelines. The contingency table is ONE partial-agg groupBy; po, pe,
+    and kappa are closed-form on integer counts, so the oracle replays the
+    identical arithmetic."""
+    from bid_evaluation_spark.operators.analytics import cohens_kappa
+
+    df = _t(spark, sf_dir, "documents").select(
+        F.col("lang").alias("a"),
+        F.when(F.col("n_chars") % 10 < 7, F.col("lang"))
+         .otherwise(F.lit("other")).alias("b"))
+    res = cohens_kappa(df, "a", "b")
+    return res.select(_r4("kappa").alias("kappa"), _r4("p_o").alias("p_o"),
+                      _r4("p_e").alias("p_e"), "n")
+
+
+_SQL_ANALYTICS_COHENS_KAPPA_DOCUMENTS = """
+WITH lab AS (
+  SELECT lang AS a,
+         CASE WHEN n_chars % 10 < 7 THEN lang ELSE 'other' END AS b
+  FROM documents WHERE lang IS NOT NULL
+),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lab),
+agree AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM lab WHERE a = b),
+ma AS (SELECT a AS k, CAST(count(*) AS DOUBLE) AS c FROM lab GROUP BY a),
+mb AS (SELECT b AS k, CAST(count(*) AS DOUBLE) AS c FROM lab GROUP BY b),
+pe AS (SELECT sum(ma.c * mb.c) AS s FROM ma JOIN mb USING (k))
+SELECT
+  round(((agree.c / nn.n - pe.s / (nn.n * nn.n))
+         / (1 - pe.s / (nn.n * nn.n))) * 10000.0) / 10000.0 AS kappa,
+  round((agree.c / nn.n) * 10000.0) / 10000.0 AS p_o,
+  round((pe.s / (nn.n * nn.n)) * 10000.0) / 10000.0 AS p_e,
+  CAST(nn.n AS BIGINT) AS n
+FROM nn, agree, pe
+"""
+
+
 # 0.8 * 16^8 → 'cccccccc'; 0.9 * 16^8 → 'e6666666' (same int truncation as
 # pipeline._hex_threshold)
 _SQL_PIPE_SPLIT_DOCUMENTS = """
@@ -7195,6 +7302,12 @@ _QUERIES: dict = {
                               _SQL_EMB_L2NORM_EMBEDDINGS),
     "emb_quantize_embeddings": (_q_emb_quantize_embeddings,
                                 _SQL_EMB_QUANTIZE_EMBEDDINGS),
+    "pipe_leakage_safe_split_documents": (
+        _q_pipe_leakage_safe_split_documents,
+        _SQL_PIPE_LEAKAGE_SAFE_SPLIT_DOCUMENTS),
+    "analytics_cohens_kappa_documents": (
+        _q_analytics_cohens_kappa_documents,
+        _SQL_ANALYTICS_COHENS_KAPPA_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -524,3 +524,45 @@ def welch_t_test(df: DataFrame, variant_col: str, metric_col: str
         [(str(cv), str(tv), nc, nt, mc, mt, diff, t, dof)],
         "control string, treatment string, n_c long, n_t long, "
         "mean_c double, mean_t double, diff double, t double, dof double")
+
+
+def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str
+                 ) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two label
+    columns (two annotators, or model vs human, on the same rows):
+    ``kappa = (p_o − p_e) / (1 − p_e)`` with ``p_o`` the observed
+    agreement share and ``p_e = Σ_k p_a(k)·p_b(k)`` the chance agreement
+    from the marginals. The quality-control readout for any labeling
+    pipeline (is annotator agreement better than chance before the labels
+    train a classifier?).
+
+    Shape: ONE partially-aggregated ``groupBy(a, b)`` over the row count
+    — the contingency table is label-cardinality-sized — then driver
+    arithmetic on that tiny table. Rows with a null on either side are
+    excluded. Returns one row ``(kappa, p_o, p_e, n)``; kappa is null
+    when ``p_e = 1`` (both raters constant — chance correction
+    undefined).
+    """
+    a = F.col(rater_a_col).cast("string")
+    b = F.col(rater_b_col).cast("string")
+    cells = (df.filter(a.isNotNull() & b.isNotNull())
+             .groupBy(a.alias("_a"), b.alias("_b"))
+             .agg(F.count(F.lit(1)).alias("_n"))
+             .collect())
+    n = sum(r["_n"] for r in cells)
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [(None, None, None, 0)],
+            "kappa double, p_o double, p_e double, n long")
+    po = sum(r["_n"] for r in cells if r["_a"] == r["_b"]) / n
+    ma: dict = {}
+    mb: dict = {}
+    for r in cells:
+        ma[r["_a"]] = ma.get(r["_a"], 0) + r["_n"]
+        mb[r["_b"]] = mb.get(r["_b"], 0) + r["_n"]
+    pe = sum(ma[k] * mb.get(k, 0) for k in ma) / (n * n)
+    kappa = (po - pe) / (1.0 - pe) if pe < 1.0 else None
+    return spark.createDataFrame(
+        [(kappa, float(po), float(pe), int(n))],
+        "kappa double, p_o double, p_e double, n long")

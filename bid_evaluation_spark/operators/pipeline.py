@@ -411,6 +411,47 @@ def train_test_split(
     return df.select("*", expr.otherwise(F.lit(names[-1])).alias(split_col))
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    fractions: Optional[dict] = None,
+    seed: str = "",
+    split_col: str = "split",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+) -> DataFrame:
+    """:func:`train_test_split` that cannot leak near-duplicates across
+    splits: every member of a connected component of the ``pairs`` graph
+    (near-dup pairs from MinHash/SimHash/embedding dedup) receives the
+    SAME split label, because the md5 assignment keys on the component's
+    canonical id instead of the row id. A benchmark document's paraphrase
+    landing in train while the original sits in test is exactly the
+    contamination mode plain per-row splitting permits.
+
+    Shape: connected components over the (tiny relative to the corpus)
+    pair graph, one broadcast-size left join back, then the same map-only
+    md5 projection as :func:`train_test_split`. Documents in no pair keep
+    their own id as the key — and since a component's canonical id is its
+    MIN member id, a previously-singleton document that later gains a
+    duplicate with a higher id keeps its split assignment (corpus growth
+    does not reshuffle history, the same stability contract as
+    ``hash_sample``). Returns ``df`` plus ``split`` and the component's
+    ``split_key``.
+    """
+    from .dedup import near_duplicate_clusters
+
+    clusters = near_duplicate_clusters(pairs, a_col, b_col)
+    joined = df.join(
+        clusters.select(F.col("id").alias(id_col),
+                        F.col("cluster_id").alias("_cl")),
+        on=id_col, how="left")
+    keyed = joined.withColumn(
+        "split_key", F.coalesce(F.col("_cl"), F.col(id_col))).drop("_cl")
+    return train_test_split(keyed, fractions, key_col="split_key",
+                            seed=seed, split_col=split_col)
+
+
 def sample_exact_k(
     df: DataFrame,
     k: int,

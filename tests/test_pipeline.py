@@ -386,3 +386,57 @@ def test_novelty_score(spark):
     # mixed doc: shingles 'the quick brown' + 'quick brown fox' are seen
     assert got[12]["n_unseen"] == got[12]["n_shingles"] - 2
     assert got[13]["novelty"] is None and got[13]["n_shingles"] == 0
+
+
+def test_leakage_safe_split_invariant(spark):
+    """Every member of a near-dup component gets the SAME split label, and
+    a singleton keys by its own id (identical to plain train_test_split)."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.pipeline import (
+        leakage_safe_split, train_test_split)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string")
+    # components: {0,1,2}, {10,11}, rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a_id long, b_id long")
+    res = leakage_safe_split(docs, pairs, seed="s").collect()
+    by_id = {r["doc_id"]: r for r in res}
+    assert len(res) == 200
+    assert {by_id[i]["split"] for i in (0, 1, 2)} == {by_id[0]["split"]}
+    assert {by_id[i]["split_key"] for i in (0, 1, 2)} == {0}
+    assert by_id[10]["split"] == by_id[11]["split"]
+    assert by_id[10]["split_key"] == by_id[11]["split_key"] == 10
+    # singletons match the per-row split exactly (same md5 key)
+    plain = {r["doc_id"]: r["split"] for r in
+             train_test_split(docs, seed="s").collect()}
+    for i in range(20, 200):
+        assert by_id[i]["split"] == plain[i]
+        assert by_id[i]["split_key"] == i
+
+
+def test_cohens_kappa_known_values(spark):
+    from bid_evaluation_spark.operators.analytics import cohens_kappa
+
+    # perfect agreement -> kappa 1
+    perfect = spark.createDataFrame(
+        [("x", "x")] * 5 + [("y", "y")] * 5, "a string, b string")
+    row = cohens_kappa(perfect, "a", "b").collect()[0]
+    assert row["kappa"] == pytest.approx(1.0) and row["p_o"] == 1.0
+    # hand-computed 2x2 case: po=0.6, pe=0.5 -> kappa=0.2
+    mixed = spark.createDataFrame(
+        [("x", "x")] * 3 + [("x", "y")] * 2 + [("y", "y")] * 3
+        + [("y", "x")] * 2, "a string, b string")
+    row = cohens_kappa(mixed, "a", "b").collect()[0]
+    assert row["p_o"] == pytest.approx(0.6)
+    assert row["p_e"] == pytest.approx(0.5)
+    assert row["kappa"] == pytest.approx(0.2)
+    assert row["n"] == 10
+    # both raters constant -> pe = 1 -> undefined
+    const = spark.createDataFrame([("x", "x")] * 4, "a string, b string")
+    assert cohens_kappa(const, "a", "b").collect()[0]["kappa"] is None
+    # nulls excluded
+    nulls = spark.createDataFrame(
+        [("x", "x"), ("x", None), (None, "x")], "a string, b string")
+    assert cohens_kappa(nulls, "a", "b").collect()[0]["n"] == 1
