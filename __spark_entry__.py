@@ -4029,6 +4029,50 @@ FROM q
 """
 
 
+def _q_web_url_features_documents(spark, sf_dir):
+    """Crawl-curation URL features (operators/web.py): deterministic URLs
+    synthesized per doc_id (scheme/host/path-depth/query-params all
+    closed-form in the id), parsed by the JVM ``parse_url`` expression —
+    map-only, codegen, no Python. The oracle never parses anything: it
+    recomputes every feature from the same id arithmetic, so a parse_url
+    semantics drift (host casing, empty-query handling, path splitting)
+    breaks the hash."""
+    from bid_evaluation_spark.operators.web import with_url_features
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 5 == 0, F.lit("cdn.")).otherwise(F.lit("www.")),
+        F.lit("Site"), (d % 20).cast("string"),
+        F.when(d % 3 == 0, F.lit(".org")).otherwise(F.lit(".com")),
+        F.lit("/"), F.repeat(F.lit("p/"), (d % 4).cast("int")),
+        F.when(d % 3 == 0, F.lit(""))
+         .when(d % 3 == 1, F.lit("?a=1"))
+         .otherwise(F.lit("?a=1&b=2")))
+    df = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    res = with_url_features(df)
+    return res.select("doc_id", "url_host", "url_domain",
+                      F.col("url_path_depth").cast("long")
+                      .alias("url_path_depth"),
+                      F.col("url_n_params").cast("long")
+                      .alias("url_n_params"), "url_is_https")
+
+
+_SQL_WEB_URL_FEATURES_DOCUMENTS = """
+SELECT doc_id,
+  (CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE 'www.' END)
+    || 'site' || CAST(doc_id % 20 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END) AS url_host,
+  'site' || CAST(doc_id % 20 AS VARCHAR)
+    || (CASE WHEN doc_id % 3 = 0 THEN '.org' ELSE '.com' END) AS url_domain,
+  CAST(doc_id % 4 AS BIGINT) AS url_path_depth,
+  CAST(doc_id % 3 AS BIGINT) AS url_n_params,
+  doc_id % 2 = 0 AS url_is_https
+FROM documents
+"""
+
+
 def _q_pipe_split_documents(spark, sf_dir):
     """Deterministic 80/10/10 train/val/test labels from cumulative md5
     thresholds — the oracle recomputes the identical hex predicate, so the
@@ -7308,6 +7352,8 @@ _QUERIES: dict = {
     "analytics_cohens_kappa_documents": (
         _q_analytics_cohens_kappa_documents,
         _SQL_ANALYTICS_COHENS_KAPPA_DOCUMENTS),
+    "web_url_features_documents": (_q_web_url_features_documents,
+                                   _SQL_WEB_URL_FEATURES_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -823,6 +823,66 @@ def _setsim_novelty_qmatch_plan(spark, sf_dir):
     return probs
 
 
+@check("multi-table LSH: one (table, bucket) equi-join, dedup before verify, no product")
+def _lsh_multitable_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.similarity import lsh_topk
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    plan = plan_of(lsh_topk(q, emb, k=5, num_planes=3, num_tables=4))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("candidate generation degenerated to a product join")
+    if plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") \
+            + plan.count("ShuffledHashJoin") > 1:
+        probs.append("more than one join: the table/bucket key should fuse "
+                     "all tables into ONE equi-join")
+    # the dedup must run on (query, neighbor) BEFORE the rank window
+    # (SortAggregate, not Hash: the carried vector arrays aren't hashable)
+    if "Aggregate(key=[query_id" not in plan \
+            and "Aggregate(keys=[query_id" not in plan:
+        probs.append("no candidate dedup stage before the verify")
+    return probs
+
+
+@check("decontaminate auto: dispatch adds nothing to the exact plan at local scale")
+def _decontaminate_auto_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import decontaminate
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    auto = decontaminate(train, ev, threshold=0.3)
+    exact = decontaminate(train, ev, threshold=0.3, method="exact")
+    if not auto.sameSemantics(exact):
+        probs.append("auto did not resolve to the exact plan on the "
+                     "broadcastable eval side")
+    if "ArrowEvalPython" in plan_of(auto):
+        probs.append("auto path pays the Bloom Python kernel locally")
+    return probs
+
+
+@check("leakage-safe split: map-only md5 projection after one left join back")
+def _leakage_split_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pipeline import leakage_safe_split
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "a_id long, b_id long")
+    plan = plan_of(leakage_safe_split(docs, pairs, seed="audit"))
+    if "CartesianProduct" in plan:
+        probs.append("cartesian in the cluster join-back")
+    if "windowspecdefinition" in plan:
+        probs.append("unexpected window: split labels must be a projection")
+    if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        probs.append("md5 split fell out of JVM codegen")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
