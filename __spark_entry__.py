@@ -3444,6 +3444,70 @@ LIMIT 50
 """
 
 
+def _q_lm_perplexity_documents(spark, sf_dir):
+    """CCNet-style LM quality filter (operators/lm.py): train an add-k
+    bigram LM on the even-doc_id half of the corpus, score the held-out
+    odd half by perplexity. Training is two count aggregations (the model
+    stays a distributed DataFrame pair — no driver vocabulary); scoring is
+    two hashed equi-joins + one per-doc avg. The oracle replays the exact
+    count tables and the smoothed ``ln((c2+k)/(c1+k*V))`` arithmetic."""
+    from bid_evaluation_spark.operators.lm import perplexity, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    res = perplexity(docs.filter(F.col("doc_id") % 2 == 1), uni, big,
+                     add_k=0.5)
+    return res.select(
+        "doc_id", F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        (_r4("avg_logprob") + F.lit(0.0)).alias("avg_logprob"),
+        (_r4("ppl") + F.lit(0.0)).alias("ppl"))
+
+
+_SQL_LM_PERPLEXITY_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+train_pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE doc_id % 2 = 0)
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM toks WHERE doc_id % 2 = 0)
+  GROUP BY w1
+),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM train_pairs GROUP BY w1, w2),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+score_pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE doc_id % 2 = 1)
+),
+lp AS (
+  SELECT p.doc_id,
+    ln((COALESCE(big.c2, 0) + 0.5)
+       / (COALESCE(uni.c1, 0) + 0.5 * (SELECT vocab FROM v))) AS lp
+  FROM score_pairs p
+  LEFT JOIN big ON p.w1 = big.w1 AND p.w2 = big.w2
+  LEFT JOIN uni ON p.w1 = uni.w1
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, AVG(lp) AS avg_logprob
+  FROM lp GROUP BY doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  round(p.avg_logprob * 10000.0) / 10000.0 + 0.0 AS avg_logprob,
+  round(exp(-p.avg_logprob) * 10000.0) / 10000.0 + 0.0 AS ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def _q_pipe_pack_sequences_documents(spark, sf_dir):
     """Block packing of documents into 512-token training sequences,
     sharded by source (windows partition by the shard — no global
@@ -4070,6 +4134,112 @@ SELECT doc_id,
   CAST(doc_id % 3 AS BIGINT) AS url_n_params,
   doc_id % 2 = 0 AS url_is_https
 FROM documents
+"""
+
+
+def _q_dsir_weights_documents(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
+    hashed uni+bigram bag distributions for the target (doc_id%5==0) and
+    raw corpora, add-k smoothed log-likelihood-ratio sum per raw doc. The
+    ratio table is bounded at `buckets` rows (broadcast); the oracle
+    replays the identical md5 bucket fold and smoothing arithmetic."""
+    from bid_evaluation_spark.operators.dsir import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    res = dsir_logweights(docs.filter(F.col("doc_id") % 5 != 0),
+                          docs.filter(F.col("doc_id") % 5 == 0),
+                          buckets=1024, add_k=0.5, seed="dsir")
+    return res.select("doc_id",
+                      F.col("n_features").cast("long").alias("n_features"),
+                      (_r4("log_weight") + F.lit(0.0)).alias("log_weight"))
+
+
+_SQL_DSIR_FEATS = """
+toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+bags AS (
+  SELECT doc_id, list_concat(t,
+    CASE WHEN len(t) >= 2 THEN list_transform(
+      generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i + 1])
+    ELSE CAST([] AS VARCHAR[]) END) AS bag
+  FROM toks
+),
+feats AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(g || 'dsir'), 1, 15)) AS BIGINT) % 1024
+      AS bucket
+  FROM (SELECT doc_id, unnest(bag) AS g FROM bags)
+),
+tc AS (SELECT bucket, count(*) AS t_cnt FROM feats
+       WHERE doc_id % 5 = 0 GROUP BY bucket),
+rc AS (SELECT bucket, count(*) AS r_cnt FROM feats
+       WHERE doc_id % 5 <> 0 GROUP BY bucket),
+tt AS (SELECT COALESCE(sum(t_cnt), 0) AS tot FROM tc),
+rt AS (SELECT COALESCE(sum(r_cnt), 0) AS tot FROM rc),
+ratio AS (
+  SELECT COALESCE(tc.bucket, rc.bucket) AS bucket,
+    ln((COALESCE(t_cnt, 0) + 0.5) / ((SELECT tot FROM tt) + 0.5 * 1024))
+    - ln((COALESCE(r_cnt, 0) + 0.5) / ((SELECT tot FROM rt) + 0.5 * 1024))
+      AS log_ratio
+  FROM tc FULL OUTER JOIN rc ON tc.bucket = rc.bucket
+),
+perdoc AS (
+  SELECT f.doc_id, count(*) AS n_features, sum(log_ratio) AS log_weight
+  FROM feats f JOIN ratio USING (bucket)
+  WHERE f.doc_id % 5 <> 0
+  GROUP BY f.doc_id
+)
+"""
+
+_SQL_DSIR_WEIGHTS_DOCUMENTS = f"""
+WITH {_SQL_DSIR_FEATS.strip()}
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_features, 0) AS BIGINT) AS n_features,
+  round(COALESCE(p.log_weight, 0.0) * 10000.0) / 10000.0 + 0.0
+    AS log_weight
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
+def _q_dsir_sample_documents(spark, sf_dir):
+    """DSIR Gumbel-top-k importance resampling without replacement:
+    the 40 raw docs maximizing log_weight + Gumbel(md5(doc_id)), ranking
+    score rounded to 1e-6 so both engines order identical doubles
+    (weighted-sample lesson); deterministic, fully oracle-replayed."""
+    from bid_evaluation_spark.operators.dsir import dsir_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    res = dsir_sample(docs.filter(F.col("doc_id") % 5 != 0),
+                      docs.filter(F.col("doc_id") % 5 == 0),
+                      k=40, buckets=1024, add_k=0.5, seed="dsir")
+    return res.select("doc_id",
+                      F.col("n_features").cast("long").alias("n_features"),
+                      (_r4("log_weight") + F.lit(0.0)).alias("log_weight"))
+
+
+_SQL_DSIR_SAMPLE_DOCUMENTS = f"""
+WITH {_SQL_DSIR_FEATS.strip()},
+scored AS (
+  SELECT d.doc_id,
+    CAST(COALESCE(p.n_features, 0) AS BIGINT) AS n_features,
+    COALESCE(p.log_weight, 0.0) AS lw,
+    (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'dsir|gumbel'),
+                          1, 15)) AS BIGINT) + 0.5)
+      / 1152921504606846976.0 AS u
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+  LEFT JOIN perdoc p USING (doc_id)
+)
+SELECT doc_id, n_features,
+  round(lw * 10000.0) / 10000.0 + 0.0 AS log_weight
+FROM scored
+ORDER BY round((lw + -ln(-ln(u))) * 1000000.0) / 1000000.0 DESC,
+         doc_id ASC
+LIMIT 40
 """
 
 
@@ -7354,6 +7524,12 @@ _QUERIES: dict = {
         _SQL_ANALYTICS_COHENS_KAPPA_DOCUMENTS),
     "web_url_features_documents": (_q_web_url_features_documents,
                                    _SQL_WEB_URL_FEATURES_DOCUMENTS),
+    "lm_perplexity_documents": (_q_lm_perplexity_documents,
+                                _SQL_LM_PERPLEXITY_DOCUMENTS),
+    "dsir_weights_documents": (_q_dsir_weights_documents,
+                               _SQL_DSIR_WEIGHTS_DOCUMENTS),
+    "dsir_sample_documents": (_q_dsir_sample_documents,
+                              _SQL_DSIR_SAMPLE_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

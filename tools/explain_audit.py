@@ -865,6 +865,46 @@ def _decontaminate_auto_plan(spark, sf_dir):
     return probs
 
 
+@check("bigram LM: count-agg training, equi-join scoring, tokens in codegen")
+def _lm_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.lm import perplexity, train_bigram_lm
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    plan = plan_of(perplexity(docs.filter(F.col("doc_id") % 2 == 1),
+                              uni, big))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("model lookup degenerated to a product join")
+    if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        probs.append("tokenize/logprob fell out of JVM codegen into Python")
+    # training counts must partially aggregate before their shuffle
+    if "partial_count" not in plan and "partial" not in plan.lower():
+        probs.append("no map-side partial aggregation in the count tables")
+    return probs
+
+
+@check("dsir: bounded ratio table broadcast to the feature stream, no product")
+def _dsir_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.dsir import dsir_logweights
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(dsir_logweights(docs.filter(F.col("doc_id") % 5 != 0),
+                                   docs.filter(F.col("doc_id") % 5 == 0),
+                                   buckets=1024))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("ratio lookup degenerated to a product join")
+    if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        probs.append("feature hashing fell out of JVM codegen into Python")
+    if "BroadcastHashJoin" not in plan:
+        probs.append("bounded (<= buckets rows) ratio table not broadcast "
+                     "to the exploded feature stream")
+    return probs
+
+
 @check("leakage-safe split: map-only md5 projection after one left join back")
 def _leakage_split_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.pipeline import leakage_safe_split
