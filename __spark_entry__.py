@@ -4137,6 +4137,98 @@ FROM documents
 """
 
 
+def _q_pq_encode_embeddings(spark, sf_dir):
+    """Product-quantization encode (operators/pq.py, Jégou et al. TPAMI
+    2011): 64-dim vectors → 8 subspaces × 16-entry codebook, argmin per
+    subspace as a pure codegen expression (ordered-fold squared L2,
+    first-min tie-break). Codebook is the closed-form formula
+    ``((c·7+t·3+j·5) mod 13 − 6)/4`` so the oracle replays it as integer
+    arithmetic — no literal tables, no FP transport."""
+    from bid_evaluation_spark.operators.pq import formula_codebook, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = pq_encode(emb, formula_codebook(8, 16, 8))
+    return res.select("vec_id", F.col("subspace").cast("long").alias("subspace"),
+                      F.col("code").cast("long").alias("code"))
+
+
+_SQL_PQ_DISTS = """
+dists AS (
+  SELECT e.vec_id, j.j AS subspace, c.c AS code,
+    list_sum(list_transform(generate_series(1, 8), t ->
+      (CAST(e.embedding[j.j * 8 + t] AS DOUBLE)
+         - (((c.c * 7 + (t - 1) * 3 + j.j * 5) % 13) - 6) / 4.0)
+      * (CAST(e.embedding[j.j * 8 + t] AS DOUBLE)
+         - (((c.c * 7 + (t - 1) * 3 + j.j * 5) % 13) - 6) / 4.0))) AS d
+  FROM embeddings e,
+       (SELECT unnest(generate_series(0, 7)) AS j) j,
+       (SELECT unnest(generate_series(0, 15)) AS c) c
+)
+"""
+
+_SQL_PQ_ENCODE_EMBEDDINGS = f"""
+WITH {_SQL_PQ_DISTS.strip()}
+SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+  CAST(min(code) FILTER (WHERE d = md) AS BIGINT) AS code
+FROM (SELECT vec_id, subspace, code, d,
+             min(d) OVER (PARTITION BY vec_id, subspace) AS md
+      FROM dists)
+GROUP BY vec_id, subspace
+"""
+
+
+def _q_pq_adc_topk_embeddings(spark, sf_dir):
+    """PQ asymmetric-distance top-5: exact query subvectors vs the
+    compressed corpus codes — per-query LUT exploded and broadcast, ONE
+    (subspace, code) equi-join, sum-agg, rank window on the
+    1e-6-quantized distance with id tie-break. The oracle replays encode
+    + LUT + the same quantized ranking."""
+    from bid_evaluation_spark.operators.pq import (formula_codebook,
+                                                   pq_adc_topk, pq_encode)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = formula_codebook(8, 16, 8)
+    codes = pq_encode(emb, cb)
+    res = pq_adc_topk(emb.filter(F.col("vec_id") < 8), codes, cb, k=5)
+    return res.select("query_id", "neighbor_id",
+                      (_r4("adc_dist") + F.lit(0.0)).alias("adc_dist"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_PQ_ADC_TOPK_EMBEDDINGS = f"""
+WITH {_SQL_PQ_DISTS.strip()},
+codes AS (
+  SELECT vec_id, subspace,
+    min(code) FILTER (WHERE d = md) AS code
+  FROM (SELECT vec_id, subspace, code, d,
+               min(d) OVER (PARTITION BY vec_id, subspace) AS md
+        FROM dists)
+  GROUP BY vec_id, subspace
+),
+lut AS (
+  SELECT vec_id AS query_id, subspace, code, d
+  FROM dists WHERE vec_id < 8
+),
+cand AS (
+  SELECT l.query_id, k.vec_id AS neighbor_id, sum(l.d) AS adc_dist
+  FROM codes k JOIN lut l
+    ON l.subspace = k.subspace AND l.code = k.code
+  WHERE l.query_id <> k.vec_id
+  GROUP BY l.query_id, k.vec_id
+)
+SELECT query_id, neighbor_id,
+  round(adc_dist * 10000.0) / 10000.0 + 0.0 AS adc_dist,
+  CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(adc_dist * 1000000.0) / 1000000.0,
+                                neighbor_id) AS rank
+  FROM cand)
+WHERE rank <= 5
+"""
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed uni+bigram bag distributions for the target (doc_id%5==0) and
@@ -7530,6 +7622,10 @@ _QUERIES: dict = {
                                _SQL_DSIR_WEIGHTS_DOCUMENTS),
     "dsir_sample_documents": (_q_dsir_sample_documents,
                               _SQL_DSIR_SAMPLE_DOCUMENTS),
+    "pq_encode_embeddings": (_q_pq_encode_embeddings,
+                             _SQL_PQ_ENCODE_EMBEDDINGS),
+    "pq_adc_topk_embeddings": (_q_pq_adc_topk_embeddings,
+                               _SQL_PQ_ADC_TOPK_EMBEDDINGS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -885,6 +885,32 @@ def _lm_plan(spark, sf_dir):
     return probs
 
 
+@check("pq: encode map-only codegen; ADC one equi-join, LUT broadcast, no Python")
+def _pq_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pq import (formula_codebook,
+                                                   pq_adc_topk, pq_encode)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = formula_codebook(8, 16, 8)
+    enc_plan = plan_of(pq_encode(emb, cb))
+    if "Exchange" in enc_plan:
+        probs.append("encode should be map-only (no exchange)")
+    if "Python" in enc_plan:
+        probs.append("encode argmin fell out of JVM codegen into Python")
+    codes = pq_encode(emb, cb)
+    plan = plan_of(pq_adc_topk(emb.filter(F.col("vec_id") < 8), codes, cb,
+                               k=5))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("ADC degenerated to a product join")
+    if "BroadcastHashJoin" not in plan:
+        probs.append("query LUT (queries x m x ksub rows) not broadcast")
+    if "Python" in plan:
+        probs.append("ADC scoring fell out of JVM codegen into Python")
+    return probs
+
+
 @check("dsir: bounded ratio table broadcast to the feature stream, no product")
 def _dsir_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.dsir import dsir_logweights
