@@ -4137,6 +4137,110 @@ FROM documents
 """
 
 
+def _q_retrieval_rrf_hybrid_documents(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (retrieval.py rrf_fuse,
+    Cormack et al. SIGIR 2009): lexical BM25 top-100 for
+    ['spark','join','hash'] fused with the vector top-100 (cosine vs query
+    vec 0, doc_id ≡ vec_id) — ``Σ 1/(60+rank)``, scale-free. Fusion is a
+    union of bounded candidate lists + ONE partial-agg groupBy (no join,
+    no window); the oracle replays both rankings and the fused sum."""
+    from pyspark.sql import Window
+
+    from bid_evaluation_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    scored = bm25_scores(docs, ["spark", "join", "hash"])
+    r4 = F.round(F.col("bm25") * 10000) / 10000
+    w = Window.orderBy(r4.desc(), F.col("doc_id").asc())
+    lex = (scored.select("doc_id", F.row_number().over(w).alias("rank"))
+           .filter(F.col("rank") <= 100))
+
+    sem = (cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=100)
+           .select(F.col("neighbor_id").alias("doc_id"),
+                   F.col("rnk").alias("rank")))
+
+    res = rrf_fuse([lex, sem], k=60, top_n=50)
+    return res.select(
+        "doc_id",
+        (F.round(F.col("rrf_score") * F.lit(1e6)) / F.lit(1e6)
+         + F.lit(0.0)).alias("rrf_score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+        F.col("best_rank").cast("long").alias("best_rank"))
+
+
+_SQL_RETRIEVAL_RRF_HYBRID_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+stats AS (
+  SELECT count(*) AS n, sum(len(t)) AS toks,
+         sum(CAST(list_contains(t, 'spark') AS BIGINT)) AS df1,
+         sum(CAST(list_contains(t, 'join') AS BIGINT)) AS df2,
+         sum(CAST(list_contains(t, 'hash') AS BIGINT)) AS df3
+  FROM toks
+),
+scored AS (
+  SELECT k.doc_id,
+    0.0
+    + ln(1.0 + (CAST(s.n - s.df1 AS DOUBLE) + 0.5) / (CAST(s.df1 AS DOUBLE) + 0.5))
+      * CAST(len(list_filter(k.t, x -> x = 'spark')) AS DOUBLE) * 2.2
+      / (CAST(len(list_filter(k.t, x -> x = 'spark')) AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(len(k.t) AS DOUBLE) / (s.toks / s.n)))
+    + ln(1.0 + (CAST(s.n - s.df2 AS DOUBLE) + 0.5) / (CAST(s.df2 AS DOUBLE) + 0.5))
+      * CAST(len(list_filter(k.t, x -> x = 'join')) AS DOUBLE) * 2.2
+      / (CAST(len(list_filter(k.t, x -> x = 'join')) AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(len(k.t) AS DOUBLE) / (s.toks / s.n)))
+    + ln(1.0 + (CAST(s.n - s.df3 AS DOUBLE) + 0.5) / (CAST(s.df3 AS DOUBLE) + 0.5))
+      * CAST(len(list_filter(k.t, x -> x = 'hash')) AS DOUBLE) * 2.2
+      / (CAST(len(list_filter(k.t, x -> x = 'hash')) AS DOUBLE)
+         + 1.2 * (0.25 + 0.75 * CAST(len(k.t) AS DOUBLE) / (s.toks / s.n)))
+    AS bm25
+  FROM toks k CROSS JOIN stats s
+),
+lex AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY round(bm25 * 10000.0) / 10000.0 DESC,
+                       doc_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= 100
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+sims AS (
+  SELECT v.vec_id AS doc_id,
+    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i]*v.e[i]))
+      / (sqrt(list_sum(list_transform(q.e, x -> x*x)))
+         * sqrt(list_sum(list_transform(v.e, x -> x*x)))) AS cosine
+  FROM (SELECT e FROM v WHERE vec_id = 0) q CROSS JOIN v
+  WHERE v.vec_id != 0
+),
+sem AS (
+  SELECT doc_id,
+    row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank
+  FROM sims
+  QUALIFY rank <= 100
+),
+u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+f AS (
+  SELECT doc_id, sum(1.0 / (60.0 + CAST(rank AS DOUBLE))) AS s,
+         count(*) AS n_lists, min(rank) AS best_rank
+  FROM u GROUP BY doc_id
+)
+SELECT doc_id,
+  round(s * 1000000.0) / 1000000.0 + 0.0 AS rrf_score,
+  CAST(n_lists AS BIGINT) AS n_lists,
+  CAST(best_rank AS BIGINT) AS best_rank
+FROM f
+ORDER BY round(s * 1000000000.0) / 1000000000.0 DESC, doc_id ASC
+LIMIT 50
+"""
+
+
 def _q_pq_encode_embeddings(spark, sf_dir):
     """Product-quantization encode (operators/pq.py, Jégou et al. TPAMI
     2011): 64-dim vectors → 8 subspaces × 16-entry codebook, argmin per
@@ -7624,6 +7728,8 @@ _QUERIES: dict = {
                               _SQL_DSIR_SAMPLE_DOCUMENTS),
     "pq_encode_embeddings": (_q_pq_encode_embeddings,
                              _SQL_PQ_ENCODE_EMBEDDINGS),
+    "retrieval_rrf_hybrid_documents": (_q_retrieval_rrf_hybrid_documents,
+                                       _SQL_RETRIEVAL_RRF_HYBRID_DOCUMENTS),
     "pq_adc_topk_embeddings": (_q_pq_adc_topk_embeddings,
                                _SQL_PQ_ADC_TOPK_EMBEDDINGS),
     "pipe_split_documents": (_q_pipe_split_documents,

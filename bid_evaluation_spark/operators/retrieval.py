@@ -115,3 +115,43 @@ def tfidf_scores(df: DataFrame, terms: Sequence[str],
         idf = F.log(F.lit(float(n)) / (F.lit(1.0) + F.lit(float(df_t))))
         score = score + F.log(F.lit(1.0) + _tf(t, term)) * idf
     return df.select("*", score.alias("tfidf"))
+
+
+def rrf_fuse(rankings: Sequence[DataFrame], k: int = 60,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             top_n: int | None = None) -> DataFrame:
+    """Reciprocal Rank Fusion of N candidate rankings (Cormack et al.,
+    SIGIR 2009): ``score(d) = Σ_lists 1/(k + rank_d)`` — the standard
+    hybrid-retrieval combiner (lexical BM25 + vector ANN), score-scale
+    free by construction. Each input needs ``(id_col, rank_col)`` with
+    rank 1-based; documents absent from a list simply contribute nothing.
+
+    Returns ``(id_col, rrf_score, n_lists, best_rank)`` ordered by fused
+    score (quantized to 1e-9 before ordering — with 3+ lists the float
+    sum's association order is engine/partition-dependent) descending,
+    id ascending; ``top_n`` cuts via TakeOrdered when given.
+
+    Scale shape: union of the (already top-k-bounded) candidate lists →
+    ONE partially-aggregated ``groupBy(id)`` — no join, no window. The
+    fan-in is Σ|lists|, independent of corpus size.
+    """
+    if k <= 0:
+        raise ValueError(f"rrf k must be positive, got {k}")
+    if not rankings:
+        raise ValueError("need at least one ranking")
+    parts = [r.select(F.col(id_col),
+                      F.col(rank_col).cast("long").alias("_rrf_rank"))
+             for r in rankings]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = (u.groupBy(id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("_rrf_rank").cast("double"))
+              ).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_lists"),
+        F.min("_rrf_rank").alias("best_rank")))
+    q9 = F.round(F.col("rrf_score") * F.lit(1e9)) / F.lit(1e9)
+    out = scored.orderBy(q9.desc(), F.col(id_col).asc())
+    if top_n is not None:
+        out = out.limit(int(top_n))
+    return out

@@ -76,3 +76,55 @@ def test_tfidf_hand_computed(docs):
 def test_bm25_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     assert R.bm25_scores(df, ["x"]).count() == 0
+
+
+class TestRRFFusion:
+    """Reciprocal Rank Fusion (retrieval.py::rrf_fuse)."""
+
+    def _lists(self, spark):
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                                  "doc_id long, rank long")
+        b = spark.createDataFrame([(3, 1), (2, 2), (9, 3)],
+                                  "doc_id long, rank long")
+        return a, b
+
+    def test_known_values(self, spark):
+        from bid_evaluation_spark.operators.retrieval import rrf_fuse
+
+        a, b = self._lists(spark)
+        rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+        import pytest as _pt
+        # doc 2 and doc 3 both appear in both lists
+        assert rows[2]["rrf_score"] == _pt.approx(2 / 62.0)
+        assert rows[3]["rrf_score"] == _pt.approx(1 / 63.0 + 1 / 61.0)
+        assert rows[1]["rrf_score"] == _pt.approx(1 / 61.0)
+        assert rows[2]["n_lists"] == 2 and rows[1]["n_lists"] == 1
+        assert rows[3]["best_rank"] == 1
+
+    def test_ordering_and_topn(self, spark):
+        from bid_evaluation_spark.operators.retrieval import rrf_fuse
+
+        a, b = self._lists(spark)
+        out = rrf_fuse([a, b], k=60, top_n=2).collect()
+        assert len(out) == 2
+        # consensus docs (2, 3) beat single-list docs
+        assert {r["doc_id"] for r in out} == {2, 3}
+        scores = [r["rrf_score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_single_list_is_monotone(self, spark):
+        from bid_evaluation_spark.operators.retrieval import rrf_fuse
+
+        a, _ = self._lists(spark)
+        out = rrf_fuse([a], k=10).collect()
+        assert [r["doc_id"] for r in out] == [1, 2, 3]
+
+    def test_validation(self, spark):
+        from bid_evaluation_spark.operators.retrieval import rrf_fuse
+        import pytest as _pt
+
+        a, _ = self._lists(spark)
+        with _pt.raises(ValueError):
+            rrf_fuse([], k=60)
+        with _pt.raises(ValueError):
+            rrf_fuse([a], k=0)
