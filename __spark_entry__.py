@@ -4333,6 +4333,141 @@ WHERE rank <= 5
 """
 
 
+def _q_pq_ivfpq_topk_embeddings(spark, sf_dir):
+    """IVF-PQ composed ANN (operators/pq.py ivfpq_topk): corpus as
+    (coarse list, PQ code), queries probe 4 of 16 lists, ADC scores only
+    probed candidates — the canonical compressed 100-TB ANN layout. All
+    codegen + equi-joins; coarse centroids AND codebooks are closed-form
+    formulas, so the oracle replays assignment, probing, and ADC
+    end-to-end in integer arithmetic."""
+    from bid_evaluation_spark.operators.pq import (formula_coarse,
+                                                   formula_codebook,
+                                                   ivfpq_topk)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = ivfpq_topk(emb.filter(F.col("vec_id") < 8), emb,
+                     formula_coarse(16, 64), formula_codebook(8, 16, 8),
+                     k=5, nprobe=4)
+    return res.select("query_id", "neighbor_id",
+                      (_r4("adc_dist") + F.lit(0.0)).alias("adc_dist"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+_SQL_PQ_IVFPQ_TOPK_EMBEDDINGS = f"""
+WITH {_SQL_PQ_DISTS.strip()},
+codes AS (
+  SELECT vec_id, subspace,
+    min(code) FILTER (WHERE d = md) AS code
+  FROM (SELECT vec_id, subspace, code, d,
+               min(d) OVER (PARTITION BY vec_id, subspace) AS md
+        FROM dists)
+  GROUP BY vec_id, subspace
+),
+cdists AS (
+  SELECT e.vec_id, c.c AS list_id,
+    list_sum(list_transform(generate_series(1, 64), t ->
+      (CAST(e.embedding[t] AS DOUBLE)
+         - (((c.c * 11 + (t - 1) * 7) % 19) - 9) / 3.0)
+      * (CAST(e.embedding[t] AS DOUBLE)
+         - (((c.c * 11 + (t - 1) * 7) % 19) - 9) / 3.0))) AS d
+  FROM embeddings e, (SELECT unnest(generate_series(0, 15)) AS c) c
+),
+assign AS (
+  SELECT vec_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, list_id) AS rn
+        FROM cdists)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id
+  FROM (SELECT vec_id, list_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, list_id) AS rn
+        FROM cdists WHERE vec_id < 8)
+  WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (list_id)
+  WHERE p.query_id <> a.vec_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, sum(l.d) AS adc_dist
+  FROM cand c
+  JOIN codes k ON k.vec_id = c.neighbor_id
+  JOIN (SELECT vec_id AS query_id, subspace, code, d
+        FROM dists WHERE vec_id < 8) l
+    ON l.query_id = c.query_id
+   AND l.subspace = k.subspace AND l.code = k.code
+  GROUP BY c.query_id, c.neighbor_id
+)
+SELECT query_id, neighbor_id,
+  round(adc_dist * 10000.0) / 10000.0 + 0.0 AS adc_dist,
+  CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+    row_number() OVER (PARTITION BY query_id
+                       ORDER BY round(adc_dist * 1000000.0) / 1000000.0,
+                                neighbor_id) AS rank
+  FROM adc)
+WHERE rank <= 5
+"""
+
+
+def _q_dedup_span_stats_documents(spark, sf_dir):
+    """Span-level exact-substring duplication (operators/spans.py, Lee et
+    al. ACL 2022): strided 10-token windows, corpus-wide hash counts,
+    keep-first policy — a span occurrence is duplicated iff the same hash
+    appears earlier in (doc, pos) order. One groupBy(hash) + one join +
+    one per-doc agg; the oracle replays windows, md5 hashes, packed keys
+    and ratios exactly."""
+    from bid_evaluation_spark.operators.spans import duplicated_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    res = duplicated_span_stats(docs, span=10, stride=5)
+    return res.select("doc_id",
+                      F.col("n_spans").cast("long").alias("n_spans"),
+                      F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+                      (_r4("dup_ratio") + F.lit(0.0)).alias("dup_ratio"))
+
+
+_SQL_DEDUP_SPAN_STATS_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    CAST(('0x' || substr(md5(array_to_string(t[i:i+9], ' ') || 'span'),
+                         1, 15)) AS BIGINT) AS h,
+    doc_id * 1073741824 + CAST(i AS BIGINT) AS key
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9, 5)) AS i
+        FROM toks WHERE len(t) >= 10)
+),
+firsts AS (
+  SELECT h, count(*) AS n_occ, min(key) AS first
+  FROM occ GROUP BY h
+),
+perdoc AS (
+  SELECT o.doc_id, count(*) AS n_spans,
+         sum(CAST(o.key > f.first AS BIGINT)) AS n_dup
+  FROM occ o JOIN firsts f USING (h)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+  CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+  round(CASE WHEN COALESCE(p.n_spans, 0) > 0
+             THEN CAST(p.n_dup AS DOUBLE) / CAST(p.n_spans AS DOUBLE)
+             ELSE 0.0 END * 10000.0) / 10000.0 + 0.0 AS dup_ratio
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+"""
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed uni+bigram bag distributions for the target (doc_id%5==0) and
@@ -7732,6 +7867,10 @@ _QUERIES: dict = {
                                        _SQL_RETRIEVAL_RRF_HYBRID_DOCUMENTS),
     "pq_adc_topk_embeddings": (_q_pq_adc_topk_embeddings,
                                _SQL_PQ_ADC_TOPK_EMBEDDINGS),
+    "pq_ivfpq_topk_embeddings": (_q_pq_ivfpq_topk_embeddings,
+                                 _SQL_PQ_IVFPQ_TOPK_EMBEDDINGS),
+    "dedup_span_stats_documents": (_q_dedup_span_stats_documents,
+                                   _SQL_DEDUP_SPAN_STATS_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

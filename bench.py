@@ -239,6 +239,31 @@ def bench_pareto_frontier_part(spark, sf_dir):
     _force(pareto_frontier_2d(df, "p_retailprice", "p_size", buckets=32))
 
 
+def bench_lm_perplexity_documents(spark, sf_dir):
+    """Bigram-LM quality filter: train on half the corpus, score the rest
+    (two count aggs + two hashed equi-joins + per-doc avg)."""
+    from bid_evaluation_spark.operators.lm import perplexity, train_bigram_lm
+    from bid_evaluation_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, big = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    _force(perplexity(docs.filter(F.col("doc_id") % 2 == 1), uni, big))
+
+
+def bench_ivfpq_embeddings(spark, sf_dir):
+    """IVF-PQ compressed ANN: 64 queries probe 4/16 lists over PQ codes —
+    codegen assignment/encode + equi-join ADC."""
+    from bid_evaluation_spark.operators.pq import (formula_coarse,
+                                                   formula_codebook,
+                                                   ivfpq_topk)
+    from bid_evaluation_spark.sources.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _force(ivfpq_topk(emb.filter(F.col("vec_id") < 64), emb,
+                      formula_coarse(16, 64), formula_codebook(8, 16, 8),
+                      k=10, nprobe=4))
+
+
 BENCHES = {
     "eval_rank_lineitem": bench_eval_rank_lineitem,
     "staged_orders": bench_staged_orders,
@@ -260,6 +285,8 @@ BENCHES = {
     "cms_topk_documents": bench_cms_topk_documents,
     "cdc_diff_orders": bench_cdc_diff_orders,
     "pareto_frontier_part": bench_pareto_frontier_part,
+    "lm_perplexity_documents": bench_lm_perplexity_documents,
+    "ivfpq_embeddings": bench_ivfpq_embeddings,
 }
 
 

@@ -133,3 +133,94 @@ def formula_codebook(m: int = 8, ksub: int = 16, dsub: int = 8) -> list:
     exact double, replayable as pure integer arithmetic in SQL."""
     return [[[((c * 7 + t * 3 + j * 5) % 13 - 6) / 4.0
               for t in range(dsub)] for c in range(ksub)] for j in range(m)]
+
+
+def coarse_assign(df: DataFrame, centroids: Sequence,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  nprobe: int = 1) -> DataFrame:
+    """Nearest coarse-centroid list id(s) per vector as pure codegen
+    expressions (the Column-expression twin of `similarity.assign_clusters`
+    — no Python, fully oracle-replayable under pinned centroids). With
+    ``nprobe > 1`` each row explodes to its nprobe nearest lists
+    (``array_sort`` on (dist, list) structs — distance-then-id tie-break).
+    Returns ``(id_col, list_id)``; short/null vectors get list −1."""
+    n_lists = len(centroids)
+    dim = len(centroids[0])
+    p = max(1, int(nprobe))
+    v = F.col(vec_col).cast("array<double>")
+    ok = F.size(v) >= dim
+
+    entries = F.array(*[
+        F.struct(_sqdist(v, centroids[c]).alias("d"),
+                 F.lit(c).alias("c")) for c in range(n_lists)])
+    probes = F.slice(F.array_sort(entries), 1, min(p, n_lists))
+    lists = F.when(ok, F.transform(probes, lambda s: s["c"])
+                   ).otherwise(F.array(F.lit(-1)))
+    return (df.select(F.col(id_col), F.explode(lists).alias("list_id"))
+            .select(id_col, F.col("list_id").cast("int").alias("list_id")))
+
+
+def ivfpq_topk(queries: DataFrame, corpus: DataFrame, coarse: Sequence,
+               codebooks: Sequence, k: int = 10, nprobe: int = 4,
+               vec_col: str = "embedding", query_id: str = "vec_id",
+               corpus_id: str = "vec_id",
+               exclude_self: bool = True) -> DataFrame:
+    """IVF-PQ approximate top-k — the canonical 100-TB ANN composition:
+    the corpus lives as (coarse list id, m-byte PQ code); a query probes
+    its ``nprobe`` nearest lists and ADC-scores only those candidates.
+    Per-query work scales with ``nprobe/n_lists`` of the corpus × m bytes
+    per candidate — neither raw vectors nor unprobed lists are touched.
+
+    Everything is codegen + equi-joins: corpus assignment and codes are
+    map-only projections (computable once and persisted as a real index —
+    see `streaming/ivf.py` for the incremental maintenance pattern);
+    probe→list is one equi-join; ADC is the (query, subspace, code) LUT
+    join + sum-agg; ranking quantizes to 1e-6 with id tie-break. Returns
+    ``(query_id, neighbor_id, adc_dist, rank ≤ k)``. Recall < 1 by
+    construction (unprobed lists); codebooks/centroids are pinned inputs
+    — train with `similarity.kmeans_centroids`."""
+    m, ksub, dsub = _shape(codebooks)
+    if k < 0:
+        raise ValueError(f"k must be non-negative, got {k}")
+    assign = (coarse_assign(corpus, coarse, vec_col, corpus_id, nprobe=1)
+              .withColumnRenamed(corpus_id, "neighbor_id"))
+    codes = (pq_encode(corpus, codebooks, vec_col, corpus_id)
+             .withColumnRenamed(corpus_id, "neighbor_id"))
+    probes = (coarse_assign(queries, coarse, vec_col, query_id,
+                            nprobe=nprobe)
+              .withColumnRenamed(query_id, "query_id"))
+
+    cand = probes.join(assign, ["list_id"]).select("query_id", "neighbor_id")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    v = F.col(vec_col).cast("array<double>")
+    lut_entries = []
+    for j in range(m):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        for c in range(ksub):
+            lut_entries.append(F.struct(
+                F.lit(j).alias("subspace"), F.lit(c).alias("code"),
+                _sqdist(sub, codebooks[j][c]).alias("d")))
+    lut = (queries.select(F.col(query_id).alias("query_id"),
+                          F.explode(F.array(*lut_entries)).alias("e"))
+           .select("query_id", "e.subspace", "e.code", "e.d"))
+
+    scored = (cand.join(codes, ["neighbor_id"])
+              .join(lut, ["query_id", "subspace", "code"])
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum("d").alias("adc_dist"),
+                   F.count(F.lit(1)).alias("_m"))
+              .filter(F.col("_m") == m).drop("_m"))
+    q6 = F.round(F.col("adc_dist") * F.lit(1e6)) / F.lit(1e6)
+    w = Window.partitionBy("query_id").orderBy(q6.asc(),
+                                               F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def formula_coarse(n_lists: int = 16, dim: int = 64) -> list:
+    """Deterministic closed-form coarse centroids for tests/oracles:
+    ``((c·11 + t·7) mod 19 − 9) / 3`` — exact doubles, SQL-replayable."""
+    return [[((c * 11 + t * 7) % 19 - 9) / 3.0 for t in range(dim)]
+            for c in range(n_lists)]

@@ -1,0 +1,94 @@
+"""Span-level exact-substring duplication: the Lee et al. dedup lens.
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+ACL 2022, public arXiv:2107.06499) deduplicates EXACT token spans (e.g.
+50-gram substrings) across a corpus, not whole documents — boilerplate,
+licenses, and templated text repeat verbatim inside otherwise-unique
+pages. This module flags them Spark-first:
+
+- every document emits its strided token windows (codegen: ``sequence``
+  start positions → ``slice`` + ``concat_ws`` → portable 60-bit md5);
+- ONE partially-aggregated ``groupBy(span_hash)`` computes each span's
+  corpus-wide occurrence count and its FIRST occurrence (min packed
+  ``doc·2³⁰+pos`` key — the keep-first policy);
+- a join back marks every later occurrence as duplicated, and a per-doc
+  aggregate yields the duplicated-span ratio — the filter/trim signal.
+
+Scale shape: explode factor is ``⌈tokens/stride⌉`` rows per doc (each a
+16-byte hash + two ints — no span strings shuffle when ``hash_only``);
+the span table shuffles once on the hash key; no window functions, no
+Python. The quadratic suffix-array machinery of the paper collapses into
+count-agg + join because Spark gives the corpus-wide hash table for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import tokens
+
+#: md5-hex prefix width for portable 60-bit hashes (fits signed 64)
+_HEX_DIGITS = 15
+
+#: position packing base — positions below 2^30 tokens per doc by contract
+_POS_BASE = 1 << 30
+
+
+def span_occurrences(df: DataFrame, span: int = 50, stride: int = 1,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     seed: str = "span") -> DataFrame:
+    """One row per strided token window: ``(id_col, pos, span_hash)`` with
+    ``pos`` the 1-based start token index and ``span_hash`` the 60-bit md5
+    of the space-joined window (salted with ``seed``). Documents shorter
+    than ``span`` tokens emit nothing. Map-only."""
+    if span < 1 or stride < 1:
+        raise ValueError(f"need span >= 1 and stride >= 1, "
+                         f"got span={span} stride={stride}")
+    t = tokens(F.col(text_col))
+    m = F.size(t) - F.lit(span - 1)
+    starts = F.when(m >= 1, F.sequence(F.lit(1), m, F.lit(stride))
+                    ).otherwise(F.array().cast("array<int>"))
+    occ = df.select(F.col(id_col), F.explode(starts).alias("pos"), t.alias("_t"))
+    text = F.concat_ws(" ", F.slice(F.col("_t"), F.col("pos"), span))
+    h = F.conv(F.substring(F.md5(F.concat(text, F.lit(seed)).cast("binary")),
+                           1, _HEX_DIGITS), 16, 10).cast("long")
+    return occ.select(id_col, F.col("pos").cast("long").alias("pos"),
+                      h.alias("span_hash"))
+
+
+def duplicated_span_stats(df: DataFrame, span: int = 50, stride: int = 1,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          seed: str = "span") -> DataFrame:
+    """Per-document duplicated-span statistics under the keep-first policy:
+    ``(id_col, n_spans, n_dup_spans, dup_ratio)`` where a span occurrence
+    counts as duplicated iff the same hash occurs anywhere earlier in the
+    corpus order (smaller ``doc·2³⁰+pos`` packed key) — the FIRST
+    occurrence is never penalized, so a corpus of unique text scores 0.
+    Documents with no spans (shorter than ``span``) keep their row with
+    zeros. ``dup_ratio`` is exact (n_dup/n_spans, unrounded).
+
+    One groupBy(span_hash) (partial-agg count+min) + one equi-join back +
+    one per-doc agg — no window, no Python, nothing quadratic.
+    """
+    occ = span_occurrences(df, span, stride, text_col, id_col, seed)
+    key = (F.col(id_col) * F.lit(_POS_BASE) + F.col("pos")).alias("_key")
+    occ = occ.select(id_col, "span_hash", key)
+    firsts = occ.groupBy("span_hash").agg(
+        F.count(F.lit(1)).alias("_n_occ"), F.min("_key").alias("_first"))
+    marked = (occ.join(firsts, ["span_hash"])
+              .select(id_col,
+                      (F.col("_key") > F.col("_first")).cast("long")
+                      .alias("_dup")))
+    per_doc = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("_dup").alias("n_dup_spans"))
+    return (df.select(id_col)
+            .join(per_doc, [id_col], "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                F.coalesce(F.col("n_dup_spans"), F.lit(0)
+                           ).alias("n_dup_spans"),
+                F.when(F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                       F.col("n_dup_spans") / F.col("n_spans"))
+                .otherwise(F.lit(0.0)).alias("dup_ratio")))

@@ -89,3 +89,50 @@ def test_adc_rank_and_k(spark):
         pq_adc_topk(df, codes, cb, k=-1)
     with pytest.raises(ValueError):
         pq_encode(df, [[[0.0], [0.0, 1.0]]])
+
+
+def test_coarse_assign_nprobe(spark):
+    from bid_evaluation_spark.operators.pq import coarse_assign
+
+    cents = [[0.0, 0.0], [10.0, 10.0], [20.0, 20.0]]
+    df = _vecs(spark, [(0, [1.0, 1.0]), (1, [19.0, 21.0]), (2, [0.5])],
+               dim=2)
+    one = {r["vec_id"]: r["list_id"]
+           for r in coarse_assign(df, cents, nprobe=1).collect()}
+    assert one[0] == 0 and one[1] == 2
+    assert one[2] == -1  # short vector flagged, not dropped
+    two = {}
+    for r in coarse_assign(df, cents, nprobe=2).collect():
+        two.setdefault(r["vec_id"], []).append(r["list_id"])
+    assert two[0] == [0, 1] and two[1] == [2, 1]
+
+
+def test_ivfpq_subset_of_full_adc(spark):
+    """IVF-PQ results are exactly the full-ADC results restricted to the
+    probed lists — with nprobe == n_lists the two searches coincide."""
+    from bid_evaluation_spark.operators.pq import (
+        formula_coarse, formula_codebook, ivfpq_topk, pq_adc_topk,
+        pq_encode)
+
+    rng = np.random.RandomState(11)
+    m, dsub = 4, 4
+    cb = formula_codebook(m, 8, dsub)
+    coarse = formula_coarse(4, m * dsub)
+    df = _vecs(spark, [(i, rng.randn(m * dsub) * 3) for i in range(30)],
+               dim=m * dsub)
+    q = df.filter("vec_id < 3")
+
+    full = pq_adc_topk(q, pq_encode(df, cb), cb, k=5)
+    allprobe = ivfpq_topk(q, df, coarse, cb, k=5, nprobe=4)
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"])
+         for r in allprobe.collect()}
+    assert a == b
+
+    # narrow probing returns a subset of the candidate pool, ranks contiguous
+    narrow = ivfpq_topk(q, df, coarse, cb, k=5, nprobe=1).collect()
+    per_q = {}
+    for r in narrow:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

@@ -1,0 +1,71 @@
+"""Span-level exact-substring duplication (operators/spans.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bid_evaluation_spark.operators.spans import (
+    duplicated_span_stats,
+    span_occurrences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_occurrences_positions_and_stride(spark):
+    df = _docs(spark, [(0, "a b c d e")])
+    occ = span_occurrences(df, span=3, stride=2).collect()
+    assert [(r["pos"]) for r in sorted(occ, key=lambda r: r["pos"])] == [1, 3]
+    # same window text → same hash regardless of document
+    df2 = _docs(spark, [(0, "a b c"), (1, "a b c")])
+    hs = [r["span_hash"] for r in span_occurrences(df2, span=3).collect()]
+    assert hs[0] == hs[1]
+
+
+def test_keep_first_policy(spark):
+    """Unique corpus scores 0; an exact repeat is flagged only on the
+    LATER document; within-doc repeats count too."""
+    df = _docs(spark, [(0, "x y z w"),
+                       (1, "x y z q"),      # shares span 'x y z' with 0
+                       (2, "p p p p p p")])  # self-repeating
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, span=3, stride=1).collect()}
+    assert out[0]["n_dup_spans"] == 0            # first occurrence free
+    assert out[1]["n_dup_spans"] == 1            # 'x y z' seen in doc 0
+    assert out[1]["n_spans"] == 2
+    assert out[2]["n_spans"] == 4                # 'p p p' ×4 windows
+    assert out[2]["n_dup_spans"] == 3            # all but the first
+    assert out[2]["dup_ratio"] == pytest.approx(0.75)
+
+
+def test_short_docs_keep_zero_rows(spark):
+    df = _docs(spark, [(0, "only two"), (1, ""), (2, None),
+                       (3, "a b c d")])
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, span=3).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for d in (0, 1, 2):
+        assert out[d]["n_spans"] == 0 and out[d]["dup_ratio"] == 0.0
+    assert out[3]["n_spans"] == 2
+
+
+def test_duplicating_corpus_flags_the_copy(spark):
+    base = [(i, f"a{i} b{i} c{i} d{i} e{i} f{i}") for i in range(4)]
+    df = _docs(spark, base)
+    copy = _docs(spark, [(100 + i, t) for i, t in base])
+    both = df.union(copy)
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(both, span=4, stride=1).collect()}
+    for i in range(4):
+        assert out[i]["n_dup_spans"] == 0
+        assert out[100 + i]["dup_ratio"] == 1.0
+
+
+def test_validation(spark):
+    df = _docs(spark, [(0, "a b c")])
+    with pytest.raises(ValueError):
+        span_occurrences(df, span=0)
+    with pytest.raises(ValueError):
+        duplicated_span_stats(df, span=3, stride=0)

@@ -911,6 +911,42 @@ def _pq_plan(spark, sf_dir):
     return probs
 
 
+@check("ivfpq: probe->list->code equi-joins only, no product, no Python")
+def _ivfpq_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.pq import (formula_coarse,
+                                                   formula_codebook,
+                                                   ivfpq_topk)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(ivfpq_topk(emb.filter(F.col("vec_id") < 8), emb,
+                              formula_coarse(16, 64),
+                              formula_codebook(8, 16, 8), k=5, nprobe=4))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("IVF-PQ degenerated to a product join")
+    if "Python" in plan:
+        probs.append("assignment/ADC fell out of JVM codegen into Python")
+    return probs
+
+
+@check("span dedup: one hash groupBy with partial agg, equi-join back, no window")
+def _span_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.spans import duplicated_span_stats
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(duplicated_span_stats(docs, span=10, stride=5))
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("span matching degenerated to a product join")
+    if "windowspecdefinition" in plan.lower() or "Window" in plan:
+        probs.append("unexpected window: keep-first must be min-agg, not rank")
+    if "Python" in plan:
+        probs.append("span hashing fell out of JVM codegen into Python")
+    return probs
+
+
 @check("dsir: bounded ratio table broadcast to the feature stream, no product")
 def _dsir_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.dsir import dsir_logweights
