@@ -4468,6 +4468,102 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _q_web_canonical_url_documents(spark, sf_dir):
+    """URL canonicalization (operators/web.py canonical_url): synthesized
+    URLs exercise every normalization branch — case noise, default vs
+    non-default ports, trailing slashes, fragments, tracking params,
+    argument order. The oracle never parses a URL: it recomputes the
+    canonical string from the same doc_id arithmetic, so any parse_url or
+    filtering drift breaks the hash."""
+    from bid_evaluation_spark.operators.web import canonical_url
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("http")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site")),
+        (d % 20).cast("string"),
+        F.when(d % 3 == 0, F.lit(".COM")).otherwise(F.lit(".com")),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/"), F.repeat(F.lit("p/"), (d % 4).cast("int")),
+        F.when(d % 5 == 0, F.lit(""))
+         .when(d % 5 == 1, F.lit("?utm_source=x"))
+         .when(d % 5 == 2, F.lit("?b=2&a=1"))
+         .when(d % 5 == 3, F.lit("?b=2&utm_campaign=y&a=1"))
+         .otherwise(F.lit("?a=1")),
+        F.when(d % 2 == 0, F.lit("#sec")).otherwise(F.lit("")))
+    df = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return df.select("doc_id", canonical_url(F.col("url"))
+                     .alias("canonical_url"))
+
+
+_SQL_WEB_CANONICAL_URL_DOCUMENTS = """
+SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END)
+  || '://www.site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+  || (CASE WHEN doc_id % 7 = 0 AND doc_id % 2 = 1 THEN ':443' ELSE '' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN ''
+           ELSE '/' || rtrim(repeat('p/', CAST(doc_id % 4 AS INT)), '/')
+      END)
+  || (CASE WHEN doc_id % 5 IN (2, 3) THEN '?a=1&b=2'
+           WHEN doc_id % 5 = 4 THEN '?a=1'
+           ELSE '' END) AS canonical_url
+FROM documents
+"""
+
+
+def _q_analytics_krippendorff_documents(spark, sf_dir):
+    """Krippendorff's alpha (operators/analytics.py): 5-rating units
+    (doc_id mod 100) over the lang label with injected missing ratings
+    (doc_id mod 17 → null, excluded) — the multi-rater, missing-tolerant
+    agreement readout. Integer coincidence identities until the final
+    division; the oracle replays counts → per-unit pairs → alpha."""
+    from bid_evaluation_spark.operators.analytics import krippendorff_alpha
+
+    docs = _t(spark, sf_dir, "documents")
+    rated = docs.select(
+        (F.col("doc_id") % 100).alias("unit_id"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(None).cast("string"))
+         .otherwise(F.col("lang")).alias("value"))
+    res = krippendorff_alpha(rated)
+    return res.select((_r4("alpha") + F.lit(0.0)).alias("alpha"),
+                      "n_ratings", "n_units")
+
+
+_SQL_ANALYTICS_KRIPPENDORFF_DOCUMENTS = """
+WITH rated AS (
+  SELECT doc_id % 100 AS u,
+         CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS v
+  FROM documents
+),
+counts AS (
+  SELECT u, v, count(*) AS r FROM rated WHERE v IS NOT NULL GROUP BY u, v
+),
+per_unit AS (
+  SELECT u, sum(r) AS m, sum(r * (r - 1)) AS same
+  FROM counts GROUP BY u HAVING sum(r) >= 2
+),
+head AS (
+  SELECT sum(m) AS n, count(*) AS units,
+         sum(CAST(m * (m - 1) - same AS DOUBLE) / CAST(m - 1 AS DOUBLE))
+           AS do_num
+  FROM per_unit
+),
+nc AS (
+  SELECT c.v, sum(c.r) AS nc
+  FROM counts c JOIN per_unit p USING (u) GROUP BY c.v
+),
+nc2 AS (SELECT sum(nc * nc) AS s FROM nc)
+SELECT
+  round((1.0 - (h.n - 1) * h.do_num
+         / (CAST(h.n AS DOUBLE) * h.n - CAST(nc2.s AS DOUBLE)))
+        * 10000.0) / 10000.0 + 0.0 AS alpha,
+  CAST(h.n AS BIGINT) AS n_ratings,
+  CAST(h.units AS BIGINT) AS n_units
+FROM head h, nc2
+"""
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed uni+bigram bag distributions for the target (doc_id%5==0) and
@@ -7871,6 +7967,11 @@ _QUERIES: dict = {
                                  _SQL_PQ_IVFPQ_TOPK_EMBEDDINGS),
     "dedup_span_stats_documents": (_q_dedup_span_stats_documents,
                                    _SQL_DEDUP_SPAN_STATS_DOCUMENTS),
+    "web_canonical_url_documents": (_q_web_canonical_url_documents,
+                                    _SQL_WEB_CANONICAL_URL_DOCUMENTS),
+    "analytics_krippendorff_documents": (
+        _q_analytics_krippendorff_documents,
+        _SQL_ANALYTICS_KRIPPENDORFF_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

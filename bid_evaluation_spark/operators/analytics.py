@@ -566,3 +566,52 @@ def cohens_kappa(df: DataFrame, rater_a_col: str, rater_b_col: str
     return spark.createDataFrame(
         [(kappa, float(po), float(pe), int(n))],
         "kappa double, p_o double, p_e double, n long")
+
+
+def krippendorff_alpha(df: DataFrame, unit_col: str = "unit_id",
+                       value_col: str = "value") -> DataFrame:
+    """Krippendorff's alpha (nominal) — chance-corrected agreement for
+    ANY number of raters with missing ratings (Krippendorff, "Content
+    Analysis", public methodology): the generalization of
+    :func:`cohens_kappa` that real annotation pipelines need once units
+    stop having exactly two labels each. Computed from the coincidence
+    identities, never materializing pairs:
+
+    ``alpha = 1 − (n−1) · Σ_u [(m_u(m_u−1) − Σ_c r_uc(r_uc−1))/(m_u−1)]
+    / (n² − Σ_c n_c²)`` where ``r_uc`` counts value ``c`` in unit ``u``,
+    ``m_u`` is the unit's rating count (units with < 2 ratings drop —
+    they carry no agreement evidence), ``n_c`` the value total over kept
+    units and ``n = Σ m_u``.
+
+    Shape: groupBy(unit, value) → groupBy(unit) → two scalar aggregates
+    — integer arithmetic until the final division. Null values are
+    missing ratings (excluded). Returns one row ``(alpha, n_ratings,
+    n_units)``; alpha is null when every rating agrees on one value
+    (``De = 0`` — chance correction undefined).
+    """
+    v = F.col(value_col).cast("string")
+    counts = (df.filter(v.isNotNull())
+              .groupBy(F.col(unit_col).alias("_u"), v.alias("_v"))
+              .agg(F.count(F.lit(1)).alias("_r")))
+    per_unit = (counts.groupBy("_u")
+                .agg(F.sum("_r").alias("_m"),
+                     F.sum(F.col("_r") * (F.col("_r") - 1)).alias("_same"))
+                .filter(F.col("_m") >= 2))
+    head = per_unit.agg(
+        F.sum("_m").alias("_n"),
+        F.count(F.lit(1)).alias("_units"),
+        F.sum(((F.col("_m") * (F.col("_m") - 1) - F.col("_same"))
+               .cast("double")) / (F.col("_m") - 1).cast("double")
+              ).alias("_do")).collect()[0]
+    spark = df.sparkSession
+    n, units = int(head["_n"] or 0), int(head["_units"] or 0)
+    schema = "alpha double, n_ratings long, n_units long"
+    if n < 2:
+        return spark.createDataFrame([(None, n, units)], schema)
+    do_num = float(head["_do"])
+    sum_nc2 = (counts.join(per_unit.select("_u"), ["_u"])
+               .groupBy("_v").agg(F.sum("_r").alias("_nc"))
+               .agg(F.sum(F.col("_nc") * F.col("_nc"))).collect()[0][0])
+    de = float(n) * n - float(sum_nc2)
+    alpha = 1.0 - (n - 1) * do_num / de if de > 0 else None
+    return spark.createDataFrame([(alpha, n, units)], schema)

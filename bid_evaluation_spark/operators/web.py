@@ -72,3 +72,66 @@ def domain_counts(df: DataFrame, url_col: str = "url",
             .withColumn("share", F.col("n_pages") / F.lit(float(total)))
             .orderBy(F.desc("n_pages"), F.asc("url_domain"))
             .limit(top_k))
+
+
+#: query parameters that never identify content (tracking/session noise)
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+                   "ref_src", "igshid")
+
+
+def canonical_url(u: Column, extra_tracking: tuple = ()) -> Column:
+    """Canonical form of a URL for exact dedup — the crawl-frontier
+    normalizer: lowercase scheme/host, default port stripped (``:80`` for
+    http, ``:443`` for https; non-default ports kept), trailing path
+    slashes stripped (root path → empty), fragment dropped, tracking
+    query parameters removed (prefix match on :data:`TRACKING_PARAMS` +
+    ``extra_tracking``), remaining parameters SORTED so argument order
+    never splits a page into two identities. Null/unparseable URLs (no
+    host) yield null. Pure codegen string/array expressions — map-only.
+    """
+    scheme = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    auth = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443")))
+    path = F.regexp_replace(F.coalesce(F.parse_url(u, F.lit("PATH")),
+                                       F.lit("")), r"/+$", "")
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    prefixes = tuple(TRACKING_PARAMS) + tuple(extra_tracking)
+
+    def _keep(p: Column) -> Column:
+        bad = p == ""
+        for t in prefixes:
+            bad = bad | p.startswith(t)
+        return ~bad
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
+    qs = F.concat_ws("&", params)
+    out = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")))
+    return F.when(host.isNull() | (host == ""), F.lit(None).cast("string")
+                  ).otherwise(out)
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id",
+              extra_tracking: tuple = ()) -> DataFrame:
+    """Exact dedup on the canonical URL: keeps the minimum-id row per
+    canonical identity (rows with null canonical — unparseable URLs —
+    are all kept; dropping them would silently delete the corrupt slice).
+    ONE groupBy(canonical) min-agg + one equi-join back — the same
+    keep-min shape as content-hash dedup, no window."""
+    keyed = df.withColumn("_curl", canonical_url(F.col(url_col),
+                                                 extra_tracking))
+    firsts = (keyed.filter(F.col("_curl").isNotNull())
+              .groupBy("_curl").agg(F.min(id_col).alias("_keep_id")))
+    kept = (keyed.join(firsts, ["_curl"], "left")
+            .filter(F.col("_curl").isNull()
+                    | (F.col(id_col) == F.col("_keep_id")))
+            .drop("_keep_id"))
+    return kept.withColumnRenamed("_curl", "canonical_url")

@@ -506,3 +506,70 @@ def test_persisted_intermediates_registered_for_release(spark):
     assert not cache._ALL_CACHED
     assert all(not (dep.storageLevel.useMemory or dep.storageLevel.useDisk)
                for dep in deps)
+
+
+class TestKrippendorffAlpha:
+    def test_textbook_example(self, spark):
+        """Krippendorff's canonical nominal example (4 raters, 12 units
+        with missing data) — published alpha ≈ 0.743 for the reduced
+        (m_u >= 2) matrix with values a/b/c/d."""
+        import math
+
+        from bid_evaluation_spark.operators.analytics import (
+            krippendorff_alpha)
+
+        # units as columns of the standard example (None = missing)
+        ratings = {
+            1: ["a", None, None, "a"], 2: ["b", "b", None, "b"],
+            3: ["c", "c", None, "c"], 4: ["c", "c", None, "c"],
+            5: ["b", "b", None, "b"], 6: ["a", "b", "c", "d"],
+            7: ["d", "d", None, "d"], 8: ["a", "a", "b", "a"],
+            9: ["b", "b", "b", "b"], 10: [None, "e", "e", "e"],
+            11: [None, None, "a", "a"], 12: [None, "c", "c", "c"],
+        }
+        rows = [(u, v) for u, vals in ratings.items() for v in vals]
+        df = spark.createDataFrame(rows, "unit_id long, value string")
+        got = krippendorff_alpha(df).collect()[0]
+
+        # python replay of the coincidence identities
+        kept = {u: [v for v in vs if v is not None]
+                for u, vs in ratings.items()}
+        kept = {u: vs for u, vs in kept.items() if len(vs) >= 2}
+        n = sum(len(vs) for vs in kept.values())
+        do = sum((len(vs) * (len(vs) - 1)
+                  - sum(vs.count(c) * (vs.count(c) - 1) for c in set(vs)))
+                 / (len(vs) - 1) for vs in kept.values())
+        nc = {}
+        for vs in kept.values():
+            for v in vs:
+                nc[v] = nc.get(v, 0) + 1
+        de = n * n - sum(c * c for c in nc.values())
+        want = 1.0 - (n - 1) * do / de
+        assert got["alpha"] == pytest.approx(want, rel=1e-12)
+        assert 0.7 < got["alpha"] < 0.8
+        assert got["n_ratings"] == n
+        assert math.isfinite(got["alpha"])
+
+    def test_perfect_agreement_with_variation(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            krippendorff_alpha)
+
+        rows = [(u, v) for u, v in [(1, "x"), (1, "x"), (1, "x"),
+                                    (2, "y"), (2, "y")]]
+        df = spark.createDataFrame(rows, "unit_id long, value string")
+        assert krippendorff_alpha(df).collect()[0]["alpha"] == \
+            pytest.approx(1.0)
+
+    def test_degenerate_cases(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            krippendorff_alpha)
+
+        # single-value corpus: De = 0 → alpha null
+        one = spark.createDataFrame([(1, "x"), (1, "x"), (2, "x"), (2, "x")],
+                                    "unit_id long, value string")
+        assert krippendorff_alpha(one).collect()[0]["alpha"] is None
+        # all units singleton: no agreement evidence → null
+        singles = spark.createDataFrame([(1, "x"), (2, "y")],
+                                        "unit_id long, value string")
+        r = krippendorff_alpha(singles).collect()[0]
+        assert r["alpha"] is None and r["n_units"] == 0

@@ -87,3 +87,53 @@ def test_domain_counts_top_k(spark):
     out = domain_counts(df, top_k=3).collect()
     assert len(out) == 3
     assert out[0]["n_pages"] >= out[-1]["n_pages"]
+
+
+def test_canonical_url_normalizations(spark):
+    from bid_evaluation_spark.operators.web import canonical_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "HTTPS://Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag"),
+            (2, "http://example.com:80/"),
+            (3, "http://example.com:8080/x"),
+            (4, "https://example.com/a//"),
+            (5, "https://example.com/?utm_campaign=y&gclid=z"),
+            (6, "not a url"),
+            (7, None),
+            (8, "https://example.com/p?a=1&b=2"),
+            (9, "https://example.com/p?b=2&a=1"),
+        ],
+        "doc_id long, url string")
+    out = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", canonical_url(F.col("url")).alias("c"))
+           .collect()}
+    assert out[1] == "https://example.com/a/b?a=1&b=2"
+    assert out[2] == "http://example.com"        # default port + root path
+    assert out[3] == "http://example.com:8080/x"  # non-default port kept
+    assert out[4] == "https://example.com/a"
+    assert out[5] == "https://example.com"        # all params tracking
+    assert out[6] is None and out[7] is None
+    # argument order never splits identity
+    assert out[8] == out[9] == "https://example.com/p?a=1&b=2"
+
+
+def test_url_dedup_keep_min(spark):
+    from bid_evaluation_spark.operators.web import url_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://example.com/p?a=1&b=2"),
+            (2, "https://EXAMPLE.com/p/?b=2&a=1&utm_source=x"),
+            (3, "https://example.com/q"),
+            (4, "garbage"),
+            (5, "also garbage"),
+        ],
+        "doc_id long, url string")
+    kept = url_dedup(df).collect()
+    ids = sorted(r["doc_id"] for r in kept)
+    # 2 collapses into 1; unparseable rows all survive
+    assert ids == [1, 3, 4, 5]
+    canon = {r["doc_id"]: r["canonical_url"] for r in kept}
+    assert canon[1] == "https://example.com/p?a=1&b=2"
+    assert canon[4] is None
