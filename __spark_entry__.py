@@ -4564,6 +4564,99 @@ FROM head h, nc2
 """
 
 
+def _q_analytics_mwu_orders(spark, sf_dir):
+    """Mann-Whitney U / rank-sum (operators/analytics.py): nonparametric
+    A/B test on order value, variant = orderkey parity, integer-dollar
+    quantization (digits=0) so the ONE cumulative-rank window is bounded
+    by the distinct-price count. The oracle replays the per-value rank
+    table, tie correction, and z arithmetic operation-for-operation."""
+    from bid_evaluation_spark.operators.analytics import mann_whitney_u
+
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "variant", (F.col("o_orderkey") % 2).cast("int"))
+    res = mann_whitney_u(orders, "variant", "o_totalprice",
+                         control=0, treatment=1, digits=0)
+    return res.select((_r4("u") + F.lit(0.0)).alias("u"),
+                      (_r4("z") + F.lit(0.0)).alias("z"),
+                      "n_control", "n_treatment")
+
+
+_SQL_ANALYTICS_MWU_ORDERS = """
+WITH rws AS (
+  SELECT round(o_totalprice * 1.0) / 1.0 AS v,
+         CAST(o_orderkey % 2 = 1 AS DOUBLE) AS t
+  FROM orders
+),
+per_value AS (
+  SELECT v, CAST(count(*) AS DOUBLE) AS n, sum(t) AS nt
+  FROM rws GROUP BY v
+),
+ranked AS (
+  SELECT *, COALESCE(sum(n) OVER (ORDER BY v
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS bef
+  FROM per_value
+),
+agg AS (
+  SELECT sum(nt * (bef + (n + 1.0) / 2.0)) AS rt,
+         sum(nt) AS nb, sum(n - nt) AS na,
+         sum(n * n * n - n) AS ties
+  FROM ranked
+)
+SELECT
+  round((rt - nb * (nb + 1.0) / 2.0) * 10000.0) / 10000.0 + 0.0 AS u,
+  round(((rt - nb * (nb + 1.0) / 2.0) - na * nb / 2.0)
+        / sqrt(na * nb / 12.0
+               * ((na + nb + 1.0) - ties / ((na + nb) * (na + nb - 1.0))))
+        * 10000.0) / 10000.0 + 0.0 AS z,
+  CAST(na AS BIGINT) AS n_control,
+  CAST(nb AS BIGINT) AS n_treatment
+FROM agg
+"""
+
+
+def _q_analytics_bh_documents(spark, sf_dir):
+    """Benjamini-Hochberg step-up FDR adjustment (analytics.py bh_adjust)
+    over a 20-test family with deterministic synthetic p-values — the
+    oracle replays rank + reversed running-min + cap identically."""
+    from bid_evaluation_spark.operators.analytics import bh_adjust
+
+    d = F.col("doc_id")
+    fam = (_t(spark, sf_dir, "documents").filter(d < 20)
+           .select(F.concat(F.lit("m"), d.cast("string")).alias("metric"),
+                   (((d * 37) % 100) / F.lit(100.0)).alias("p_value")))
+    res = bh_adjust(fam, q=0.1)
+    return res.select("metric",
+                      (_r4("p_value") + F.lit(0.0)).alias("p_value"),
+                      F.col("p_rank").cast("long").alias("p_rank"),
+                      (_r4("p_adj") + F.lit(0.0)).alias("p_adj"),
+                      "reject")
+
+
+_SQL_ANALYTICS_BH_DOCUMENTS = """
+WITH fam AS (
+  SELECT 'm' || CAST(doc_id AS VARCHAR) AS metric,
+         ((doc_id * 37) % 100) / 100.0 AS p_value
+  FROM documents WHERE doc_id < 20
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p_value ASC, metric ASC) AS p_rank
+  FROM fam
+),
+adj AS (
+  SELECT *, least(1.0, min(p_value * 20.0 / p_rank) OVER (
+    ORDER BY p_rank DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS p_adj
+  FROM ranked
+)
+SELECT metric,
+  round(p_value * 10000.0) / 10000.0 + 0.0 AS p_value,
+  CAST(p_rank AS BIGINT) AS p_rank,
+  round(p_adj * 10000.0) / 10000.0 + 0.0 AS p_adj,
+  p_adj <= 0.1 AS reject
+FROM adj
+"""
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed uni+bigram bag distributions for the target (doc_id%5==0) and
@@ -7972,6 +8065,10 @@ _QUERIES: dict = {
     "analytics_krippendorff_documents": (
         _q_analytics_krippendorff_documents,
         _SQL_ANALYTICS_KRIPPENDORFF_DOCUMENTS),
+    "analytics_mwu_orders": (_q_analytics_mwu_orders,
+                             _SQL_ANALYTICS_MWU_ORDERS),
+    "analytics_bh_documents": (_q_analytics_bh_documents,
+                               _SQL_ANALYTICS_BH_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -615,3 +615,82 @@ def krippendorff_alpha(df: DataFrame, unit_col: str = "unit_id",
     de = float(n) * n - float(sum_nc2)
     alpha = 1.0 - (n - 1) * do_num / de if de > 0 else None
     return spark.createDataFrame([(alpha, n, units)], schema)
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   control, treatment, digits: int = 6) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric two-sample
+    test for experiment metrics whose distributions are too skewed for
+    :func:`welch_t_test` (latency, spend, session length). Returns one
+    row ``(u, z, n_control, n_treatment)`` where ``u`` is the treatment
+    group's U statistic and ``z`` its tie-corrected normal approximation
+    ``(U − n_a·n_b/2) / sqrt(n_a·n_b/12 · (n+1 − Σ(t³−t)/(n(n−1))))``
+    (null when the variance degenerates — all values tied).
+
+    Same scale machinery as `metrics.roc_auc` (U and AUC are the same
+    statistic): values quantize to ``digits`` decimals, so the ONE
+    cumulative-rank window runs over a table bounded by ``10^digits``
+    rows whatever the row count; everything else is aggregation. Null
+    values/groups other than the two named are excluded.
+    """
+    g = F.col(group_col)
+    scale = float(10 ** digits)
+    v = F.round(F.col(value_col).cast("double") * scale) / scale
+    rows = (df.filter(F.col(value_col).isNotNull()
+                      & g.isin([control, treatment]))
+            .select(v.alias("_v"),
+                    (g == treatment).cast("double").alias("_t")))
+    per_value = rows.groupBy("_v").agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum("_t").alias("_nt"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_value.withColumn(
+        "_before", F.coalesce(F.sum("_n").over(w), F.lit(0.0)))
+    agg = ranked.agg(
+        F.sum(F.col("_nt") * (F.col("_before") + (F.col("_n") + 1.0) / 2.0)
+              ).alias("_rt"),
+        F.sum("_nt").alias("_nb"),
+        F.sum(F.col("_n") - F.col("_nt")).alias("_na"),
+        F.sum(F.col("_n") * F.col("_n") * F.col("_n") - F.col("_n")
+              ).alias("_ties"))
+    na, nb = F.col("_na"), F.col("_nb")
+    n = na + nb
+    u = F.col("_rt") - nb * (nb + 1.0) / 2.0
+    var = (na * nb / 12.0
+           * ((n + 1.0) - F.col("_ties") / (n * (n - 1.0))))
+    z = F.when(var > 0, (u - na * nb / 2.0) / F.sqrt(var))
+    return agg.select(
+        F.when((na > 0) & (nb > 0), u).alias("u"),
+        F.when((na > 0) & (nb > 0), z).alias("z"),
+        na.cast("long").alias("n_control"),
+        nb.cast("long").alias("n_treatment"))
+
+
+def bh_adjust(df: DataFrame, p_col: str = "p_value",
+              key_col: str = "metric", q: float = 0.05) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment over a family of test p-values —
+    what an experimentation readout needs the moment it reports more than
+    one metric (the Σ of 5%-level tests is not a 5%-level family).
+    Returns every input row plus ``(p_rank, p_adj, reject)`` with
+    ``p_adj = min_{j ≥ rank}(p_j · m / j)`` capped at 1 (the monotone
+    step-up adjustment) and ``reject = p_adj ≤ q``.
+
+    The input is one row per TEST (a bounded family by construction —
+    tens of metrics, not a data table), so the two ordered windows are
+    driver-cheap; m comes from one count. Null p-values raise — a
+    missing test in a correction family is a pipeline bug, not data.
+    """
+    if not 0 < q < 1:
+        raise ValueError(f"q must be in (0,1), got {q}")
+    if df.filter(F.col(p_col).isNull()).limit(1).count() > 0:
+        raise ValueError(f"null {p_col} in the correction family")
+    m = df.count()
+    p = F.col(p_col).cast("double")
+    w_rank = Window.orderBy(p.asc(), F.col(key_col).asc())
+    ranked = df.withColumn("p_rank", F.row_number().over(w_rank))
+    w_min = (Window.orderBy(F.col("p_rank").desc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    stepup = F.min(p * F.lit(float(m)) / F.col("p_rank")).over(w_min)
+    return (ranked
+            .withColumn("p_adj", F.least(F.lit(1.0), stepup))
+            .withColumn("reject", F.col("p_adj") <= F.lit(float(q))))

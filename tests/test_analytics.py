@@ -573,3 +573,102 @@ class TestKrippendorffAlpha:
                                         "unit_id long, value string")
         r = krippendorff_alpha(singles).collect()[0]
         assert r["alpha"] is None and r["n_units"] == 0
+
+
+class TestMannWhitneyU:
+    def test_python_replay(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.analytics import mann_whitney_u
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 20, 40)          # heavy ties
+        b = rng.randint(3, 23, 35)
+        rows = [("c", float(x)) for x in a] + [("t", float(x)) for x in b]
+        df = spark.createDataFrame(rows, "variant string, v double")
+        got = mann_whitney_u(df, "variant", "v", "c", "t").collect()[0]
+
+        # direct average-rank replay
+        allv = sorted([(x, "c") for x in a] + [(x, "t") for x in b])
+        vals = [x for x, _ in allv]
+        import collections
+        cnt = collections.Counter(vals)
+        start, avg_rank = 1, {}
+        for v in sorted(cnt):
+            t = cnt[v]
+            avg_rank[v] = start + (t - 1) / 2.0
+            start += t
+        rt = sum(avg_rank[x] for x in b)
+        nb, na, n = len(b), len(a), len(a) + len(b)
+        u = rt - nb * (nb + 1) / 2.0
+        ties = sum(t ** 3 - t for t in cnt.values())
+        var = na * nb / 12.0 * ((n + 1) - ties / (n * (n - 1)))
+        z = (u - na * nb / 2.0) / var ** 0.5
+        assert got["u"] == pytest.approx(u)
+        assert got["z"] == pytest.approx(z, rel=1e-9)
+        assert got["n_control"] == na and got["n_treatment"] == nb
+
+    def test_equals_auc_identity(self, spark):
+        """U / (n_pos · n_neg) is exactly the tie-corrected AUC with the
+        treatment group as the positive class."""
+        import numpy as np
+
+        from bid_evaluation_spark.operators.analytics import mann_whitney_u
+        from bid_evaluation_spark.operators.metrics import roc_auc
+
+        rng = np.random.RandomState(9)
+        rows = [(int(i % 2), float(rng.randint(0, 15))) for i in range(60)]
+        df = spark.createDataFrame(rows, "y int, v double")
+        u = mann_whitney_u(df, "y", "v", 0, 1).collect()[0]
+        auc = roc_auc(df, "y", "v").collect()[0]["auc"]
+        assert u["u"] / (u["n_control"] * u["n_treatment"]) == \
+            pytest.approx(auc, rel=1e-12)
+
+    def test_degenerate_all_tied(self, spark):
+        from bid_evaluation_spark.operators.analytics import mann_whitney_u
+
+        df = spark.createDataFrame([("c", 1.0), ("t", 1.0), ("t", 1.0)],
+                                   "variant string, v double")
+        got = mann_whitney_u(df, "variant", "v", "c", "t").collect()[0]
+        assert got["z"] is None  # zero variance
+        assert got["u"] is not None
+
+
+class TestBHAdjust:
+    def test_known_values(self, spark):
+        from bid_evaluation_spark.operators.analytics import bh_adjust
+
+        df = spark.createDataFrame(
+            [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)],
+            "metric string, p_value double")
+        rows = {r["metric"]: r for r in bh_adjust(df, q=0.05).collect()}
+        # m=4; sorted: d(.005,1) a(.01,2) c(.03,3) b(.04,4)
+        # raw: .02 .02 .04 .04 → step-up mins from the tail
+        assert rows["d"]["p_adj"] == pytest.approx(0.02)
+        assert rows["a"]["p_adj"] == pytest.approx(0.02)
+        assert rows["c"]["p_adj"] == pytest.approx(0.04)
+        assert rows["b"]["p_adj"] == pytest.approx(0.04)
+        assert all(rows[k]["reject"] for k in "dacb")
+
+    def test_monotone_and_capped(self, spark):
+        from bid_evaluation_spark.operators.analytics import bh_adjust
+
+        df = spark.createDataFrame(
+            [(f"m{i}", p) for i, p in
+             enumerate([0.001, 0.2, 0.5, 0.9, 0.95, 0.99])],
+            "metric string, p_value double")
+        out = sorted(bh_adjust(df).collect(), key=lambda r: r["p_rank"])
+        adjs = [r["p_adj"] for r in out]
+        assert adjs == sorted(adjs)          # monotone in rank
+        assert all(a <= 1.0 for a in adjs)   # capped
+        assert out[0]["reject"] and not out[-1]["reject"]
+
+    def test_null_p_raises(self, spark):
+        from bid_evaluation_spark.operators.analytics import bh_adjust
+
+        df = spark.createDataFrame([("a", 0.1), ("b", None)],
+                                   "metric string, p_value double")
+        with pytest.raises(ValueError):
+            bh_adjust(df)
+        with pytest.raises(ValueError):
+            bh_adjust(df.filter("p_value is not null"), q=1.5)
