@@ -4657,6 +4657,50 @@ FROM adj
 """
 
 
+def _q_ts_cusum_events(spark, sf_dir):
+    """Per-user two-sided CUSUM change chart (timeseries.py cusum_by_key,
+    Page 1954): binary-exact literals (target 50, slack 2, threshold
+    100), sequential recurrence as one Arrow kernel per key, value-
+    oracled by a RECURSIVE CTE replaying ``max(0, S + (x − t − k))``
+    with identical operation order — the EWMA pattern applied to
+    change-point detection."""
+    from bid_evaluation_spark.operators.timeseries import cusum_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    res = cusum_by_key(ev, "user_id", "ts", "value", "event_id",
+                       target=50.0, slack=2.0, threshold=100.0)
+    return res.select("user_id", "event_id", _r4("value").alias("value"),
+                      (_r4("cusum_pos") + F.lit(0.0)).alias("cusum_pos"),
+                      (_r4("cusum_neg") + F.lit(0.0)).alias("cusum_neg"),
+                      "alarm")
+
+
+_SQL_TS_CUSUM_EVENTS = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+r(user_id, i, event_id, v, sp, sn) AS (
+  SELECT user_id, i, event_id, v,
+         greatest(0.0, 0.0 + (v - 50.0 - 2.0)),
+         greatest(0.0, 0.0 + (50.0 - 2.0 - v))
+  FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.event_id, e.v,
+         greatest(0.0, r.sp + (e.v - 50.0 - 2.0)),
+         greatest(0.0, r.sn + (50.0 - 2.0 - e.v))
+  FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i + 1
+)
+SELECT user_id, event_id, round(v * 10000.0) / 10000.0 AS value,
+  round(sp * 10000.0) / 10000.0 + 0.0 AS cusum_pos,
+  round(sn * 10000.0) / 10000.0 + 0.0 AS cusum_neg,
+  sp > 100.0 OR sn > 100.0 AS alarm
+FROM r
+"""
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed uni+bigram bag distributions for the target (doc_id%5==0) and
@@ -8069,6 +8113,7 @@ _QUERIES: dict = {
                              _SQL_ANALYTICS_MWU_ORDERS),
     "analytics_bh_documents": (_q_analytics_bh_documents,
                                _SQL_ANALYTICS_BH_DOCUMENTS),
+    "ts_cusum_events": (_q_ts_cusum_events, _SQL_TS_CUSUM_EVENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

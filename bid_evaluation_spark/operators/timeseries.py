@@ -330,3 +330,59 @@ def ewma_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     return res.select(F.col("_k").alias(key_col),
                       F.col("_tb").alias(tiebreak_col),
                       F.col("_v").alias("value"), "ewma")
+
+
+def cusum_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                 tiebreak_col: str, target: float, slack: float = 0.5,
+                 threshold: float = 5.0) -> DataFrame:
+    """Per-key two-sided CUSUM change detection in event order (Page 1954
+    — the classic sequential change-point chart behind production drift
+    alarms): ``S⁺_t = max(0, S⁺_{t−1} + (x_t − target − slack))``,
+    ``S⁻_t = max(0, S⁻_{t−1} + (target − slack − x_t))``, alarm when
+    either side exceeds ``threshold``. Detects small persistent mean
+    shifts that per-point z-scores (`robust_zscore`) miss.
+
+    Same execution shape as :func:`ewma_by_key`: the recurrence depends
+    on every prior row, so it runs as one Arrow kernel per key, with the
+    arithmetic written EXACTLY as the formulas above so a recursive-CTE
+    oracle replays bit-identical doubles. Null values/timestamps are
+    excluded. Returns ``(key_col, tiebreak_col, value, cusum_pos,
+    cusum_neg, alarm)``.
+    """
+    if slack < 0:
+        raise ValueError(f"slack must be non-negative, got {slack}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    prepared = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
+    t, k, h = float(target), float(slack), float(threshold)
+
+    def chart(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_tb"])
+        sp = sn = 0.0
+        pos, neg, alarm = [], [], []
+        for x in pdf["_v"].to_numpy():
+            x = float(x)
+            sp = max(0.0, sp + (x - t - k))
+            sn = max(0.0, sn + (t - k - x))
+            pos.append(sp)
+            neg.append(sn)
+            alarm.append(sp > h or sn > h)
+        pdf = pdf.copy()
+        pdf["cusum_pos"] = pos
+        pdf["cusum_neg"] = neg
+        pdf["alarm"] = alarm
+        return pdf
+
+    k_type = dict(prepared.dtypes)["_k"]
+    res = prepared.groupBy("_k").applyInPandas(
+        chart, f"_k {k_type}, _ts double, _tb long, _v double, "
+               "cusum_pos double, cusum_neg double, alarm boolean")
+    return res.select(F.col("_k").alias(key_col),
+                      F.col("_tb").alias(tiebreak_col),
+                      F.col("_v").alias("value"),
+                      "cusum_pos", "cusum_neg", "alarm")

@@ -276,3 +276,66 @@ def test_streaming_ewma_matches_batch(spark, tmp_path):
                                   "user_id", "ts", "value", "event_id",
                                   alpha=0.5).collect()}
     assert got == batch
+
+
+class TestCusumByKey:
+    def _events(self, spark, vals, key="u"):
+        rows = [(key, float(i), i, float(v)) for i, v in enumerate(vals)]
+        return spark.createDataFrame(
+            rows, "k string, ts double, eid long, v double")
+
+    def test_known_recurrence(self, spark):
+        from bid_evaluation_spark.operators.timeseries import cusum_by_key
+
+        # target 10, slack 1: x-11 on the upside, 9-x on the downside
+        df = self._events(spark, [10, 14, 14, 6, 6, 6])
+        out = {r["eid"]: r for r in cusum_by_key(
+            df, "k", "ts", "v", "eid", target=10.0, slack=1.0,
+            threshold=4.0).collect()}
+        # sp: 0, 3, 6, 1, 0, 0 ; sn: 0, 0, 0, 3, 6, 9
+        assert [out[i]["cusum_pos"] for i in range(6)] == \
+            [0.0, 3.0, 6.0, 1.0, 0.0, 0.0]
+        assert [out[i]["cusum_neg"] for i in range(6)] == \
+            [0.0, 0.0, 0.0, 3.0, 6.0, 9.0]
+        assert [out[i]["alarm"] for i in range(6)] == \
+            [False, False, True, False, True, True]
+
+    def test_in_control_stays_flat(self, spark):
+        from bid_evaluation_spark.operators.timeseries import cusum_by_key
+
+        df = self._events(spark, [10.0, 10.4, 9.7, 10.2, 9.9] * 4)
+        out = cusum_by_key(df, "k", "ts", "v", "eid",
+                           target=10.0, slack=1.0).collect()
+        assert all(not r["alarm"] for r in out)
+        assert all(r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0
+                   for r in out)
+
+    def test_small_persistent_shift_alarms(self, spark):
+        from bid_evaluation_spark.operators.timeseries import cusum_by_key
+
+        # +2 shift, under the slack+z radar per-point, accumulates
+        df = self._events(spark, [10.0] * 5 + [12.0] * 20)
+        out = sorted(cusum_by_key(df, "k", "ts", "v", "eid",
+                                  target=10.0, slack=0.5,
+                                  threshold=10.0).collect(),
+                     key=lambda r: r["eid"])
+        assert not out[4]["alarm"] and out[-1]["alarm"]
+
+    def test_keys_independent_and_validation(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.timeseries import cusum_by_key
+
+        a = self._events(spark, [100.0] * 3, key="a")
+        b = self._events(spark, [0.0] * 3, key="b")
+        out = {(r["k"], r["eid"]): r for r in cusum_by_key(
+            a.union(b), "k", "ts", "v", "eid", target=10.0,
+            slack=1.0).collect()}
+        assert out[("a", 2)]["cusum_pos"] > 0 and \
+            out[("a", 2)]["cusum_neg"] == 0.0
+        assert out[("b", 2)]["cusum_neg"] > 0 and \
+            out[("b", 2)]["cusum_pos"] == 0.0
+        with _pt.raises(ValueError):
+            cusum_by_key(a, "k", "ts", "v", "eid", target=1.0, slack=-1)
+        with _pt.raises(ValueError):
+            cusum_by_key(a, "k", "ts", "v", "eid", target=1.0, threshold=0)
