@@ -4701,6 +4701,34 @@ FROM r
 """
 
 
+def _q_io_footer_stats_orders(spark, sf_dir):
+    """Metadata-only COUNT/MIN/MAX from parquet footer statistics
+    (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
+    `PushedAggregation`, zero data pages read — the way a 100-TB pipeline
+    sizes itself before scanning. The oracle computes the same stats from
+    the data (footer stats are exact for count/min/max)."""
+    from bid_evaluation_spark.sources.io import footer_stats
+
+    stats = footer_stats(spark, f"{sf_dir}/orders.parquet",
+                         ["o_totalprice", "o_orderkey"])
+    return spark.createDataFrame(
+        [(int(stats["count"]),
+          float(stats["min_o_totalprice"]),
+          float(stats["max_o_totalprice"]),
+          int(stats["min_o_orderkey"]), int(stats["max_o_orderkey"]))],
+        "n_rows long, min_price double, max_price double, "
+        "min_key long, max_key long")
+
+
+_SQL_IO_FOOTER_STATS_ORDERS = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+"""
+
+
 def _q_dsir_weights_documents(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py, arXiv:2302.03169):
     hashed uni+bigram bag distributions for the target (doc_id%5==0) and
@@ -8114,6 +8142,8 @@ _QUERIES: dict = {
     "analytics_bh_documents": (_q_analytics_bh_documents,
                                _SQL_ANALYTICS_BH_DOCUMENTS),
     "ts_cusum_events": (_q_ts_cusum_events, _SQL_TS_CUSUM_EVENTS),
+    "io_footer_stats_orders": (_q_io_footer_stats_orders,
+                               _SQL_IO_FOOTER_STATS_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

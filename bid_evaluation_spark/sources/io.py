@@ -221,3 +221,53 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — columnar, with predicate pushdown and column pruning
     (self-describing schema; no inference pass needed)."""
     return spark.read.orc(path)
+
+
+def footer_stats(spark: SparkSession, path: str, columns) -> dict:
+    """COUNT/MIN/MAX answered from parquet FOOTER statistics — zero data
+    pages read. At 100 TB this is the difference between a metadata-only
+    job (one task per file listing row-group stats) and a full-corpus
+    scan; it is how a pipeline sizes itself (row counts, value ranges for
+    bin/bucket planning) before touching data.
+
+    Mechanics: Spark's parquet aggregate pushdown is a DataSource-v2-only
+    feature, so the reader configs (`spark.sql.sources.useV1SourceList`,
+    `spark.sql.parquet.aggregatePushdown`) are flipped for the duration of
+    the call and restored after. The plan is ASSERTED to contain
+    ``PushedAggregation`` before execution — if pushdown silently fell
+    back to a scan (nested/string column, row-group without stats),
+    this raises instead of quietly paying the full read.
+
+    Returns ``{"count": n, "min_<col>": v, "max_<col>": v, ...}``.
+    Numeric/date columns only by contract.
+    """
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    old_push = conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        conf.set("spark.sql.sources.useV1SourceList", "")
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(path)
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in columns:
+            aggs.append(F.min(c).alias(f"min_{c}"))
+            aggs.append(F.max(c).alias(f"max_{c}"))
+        q = df.agg(*aggs)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        # an EMPTY "PushedAggregation: []" means the scan silently fell
+        # back to reading data — only a populated list is a pushed plan
+        if "PushedAggregation: [COUNT" not in plan \
+                and "PushedAggregation: [MIN" not in plan \
+                and "PushedAggregation: [Min" not in plan \
+                and "PushedAggregation: [Count" not in plan:
+            raise ValueError(
+                f"aggregate pushdown did not engage for {path} "
+                f"(columns {list(columns)}) — unsupported column type or "
+                "missing row-group statistics; run a real scan instead")
+        row = q.collect()[0]
+        return row.asDict()
+    finally:
+        conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        conf.set("spark.sql.parquet.aggregatePushdown", old_push)

@@ -269,3 +269,45 @@ class TestFormatRoundtrips:
         # the partition predicate must hit the file index, not a row filter
         assert "PartitionFilters: [isnotnull(shard" in plan
         assert back.count() == 10
+
+
+class TestFooterStats:
+    def test_matches_full_scan(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from bid_evaluation_spark.sources.io import footer_stats
+
+        path = str(tmp_path / "t.parquet")
+        df = spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") * 2.5 - 100).alias("v"))
+        df.write.mode("overwrite").parquet(path)
+        got = footer_stats(spark, path, ["id", "v"])
+        want = df.agg(F.count(F.lit(1)), F.min("id"), F.max("id"),
+                      F.min("v"), F.max("v")).collect()[0]
+        assert got["count"] == want[0]
+        assert got["min_id"] == want[1] and got["max_id"] == want[2]
+        assert got["min_v"] == want[3] and got["max_v"] == want[4]
+
+    def test_restores_session_confs(self, spark, tmp_path):
+        from bid_evaluation_spark.sources.io import footer_stats
+
+        path = str(tmp_path / "t2.parquet")
+        spark.range(5).write.mode("overwrite").parquet(path)
+        before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+        before_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+        footer_stats(spark, path, ["id"])
+        assert spark.conf.get("spark.sql.sources.useV1SourceList") == before_v1
+        assert spark.conf.get(
+            "spark.sql.parquet.aggregatePushdown") == before_push
+
+    def test_unsupported_column_raises(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from bid_evaluation_spark.sources.io import footer_stats
+
+        path = str(tmp_path / "t3.parquet")
+        spark.range(5).select(F.struct("id").alias("s")).write \
+            .mode("overwrite").parquet(path)
+        import pytest as _pt
+        with _pt.raises(Exception):
+            footer_stats(spark, path, ["s"])
