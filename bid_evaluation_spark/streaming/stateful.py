@@ -429,3 +429,55 @@ def streaming_ewma_by_key(events: DataFrame, key_col: str = "user_id",
         update, EWMA_OUTPUT, EWMA_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT = ("key long, tiebreak long, value double, "
+                "cusum_pos double, cusum_neg double, alarm boolean")
+CUSUM_STATE = "sp double, sn double"
+
+
+def streaming_cusum_by_key(events: DataFrame, target: float,
+                           slack: float = 0.5, threshold: float = 5.0,
+                           key_col: str = "user_id", ts_col: str = "ts",
+                           value_col: str = "value",
+                           tiebreak_col: str = "event_id") -> DataFrame:
+    """Streaming twin of ``timeseries.cusum_by_key``: the two one-sided
+    CUSUM accumulators carried across micro-batches with TWO doubles of
+    state per key — the live change-point alarm over an event stream.
+    Within each batch events process in (ts, tiebreak) order; across
+    batches the recurrence consumes arrival order (same contract as the
+    other streaming recurrences here). Emits every charted row (append).
+    """
+    if slack < 0:
+        raise ValueError(f"slack must be non-negative, got {slack}")
+    if threshold <= 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    t, k, h = float(target), float(slack), float(threshold)
+    prepared = events.select(
+        F.col(key_col).cast("long").alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+    ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
+
+    def update(key, pdfs, state: GroupState):
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["_ts", "_tb"])
+            pos, neg, alarm = [], [], []
+            for x in pdf["_v"].to_numpy():
+                x = float(x)
+                sp = max(0.0, sp + (x - t - k))
+                sn = max(0.0, sn + (t - k - x))
+                pos.append(sp)
+                neg.append(sn)
+                alarm.append(sp > h or sn > h)
+            yield pd.DataFrame({"key": key[0], "tiebreak": pdf["_tb"],
+                                "value": pdf["_v"], "cusum_pos": pos,
+                                "cusum_neg": neg, "alarm": alarm})
+        state.update((sp, sn))
+
+    return prepared.groupBy("_k").applyInPandasWithState(
+        update, CUSUM_OUTPUT, CUSUM_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -435,3 +435,44 @@ def test_winsorized_mean_bounded_and_noop_without_caps(spark, vals):
     assert noop["mean_winsorized"] == pytest.approx(noop["mean_raw"],
                                                     rel=1e-12, abs=1e-12)
     assert noop["n_clipped"] == 0
+
+
+@SET
+@given(a=st.lists(st.integers(0, 12), min_size=2, max_size=12),
+       b=st.lists(st.integers(0, 12), min_size=2, max_size=12))
+def test_mwu_group_swap_antisymmetry(spark, a, b):
+    """Swapping control/treatment maps U → n_a·n_b − U and flips z's sign
+    (the rank-sum identity) — catches any asymmetry bug in the rank or
+    tie bookkeeping."""
+    from bid_evaluation_spark.operators.analytics import mann_whitney_u
+
+    rows = [("c", float(x)) for x in a] + [("t", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    fwd = mann_whitney_u(df, "g", "v", "c", "t").collect()[0]
+    rev = mann_whitney_u(df, "g", "v", "t", "c").collect()[0]
+    n_prod = fwd["n_control"] * fwd["n_treatment"]
+    assert rev["u"] == pytest.approx(n_prod - fwd["u"], abs=1e-9)
+    if fwd["z"] is not None:
+        assert rev["z"] == pytest.approx(-fwd["z"], rel=1e-9)
+
+
+@SET
+@given(perm=st.permutations(list(range(3))),
+       ranks=st.lists(st.lists(st.integers(1, 50), min_size=1, max_size=6,
+                               unique=True),
+                      min_size=3, max_size=3))
+def test_rrf_list_order_invariance(spark, perm, ranks):
+    """RRF is a sum over lists — permuting the input list order never
+    changes a fused score."""
+    from bid_evaluation_spark.operators.retrieval import rrf_fuse
+
+    lists = [spark.createDataFrame(
+        [(100 + i, r) for i, r in enumerate(rs)], "doc_id long, rank long")
+        for rs in ranks]
+    base = {r["doc_id"]: r["rrf_score"]
+            for r in rrf_fuse(lists, k=60).collect()}
+    permuted = {r["doc_id"]: r["rrf_score"]
+                for r in rrf_fuse([lists[i] for i in perm], k=60).collect()}
+    assert set(base) == set(permuted)
+    for d in base:
+        assert permuted[d] == pytest.approx(base[d], rel=1e-12)

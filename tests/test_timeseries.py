@@ -339,3 +339,44 @@ class TestCusumByKey:
             cusum_by_key(a, "k", "ts", "v", "eid", target=1.0, slack=-1)
         with _pt.raises(ValueError):
             cusum_by_key(a, "k", "ts", "v", "eid", target=1.0, threshold=0)
+
+
+def test_streaming_cusum_matches_batch(spark, tmp_path):
+    """The streaming CUSUM must equal the batch operator when batches
+    arrive in time order — two doubles of state cross the boundary."""
+    import time as _time
+
+    from bid_evaluation_spark.operators.timeseries import cusum_by_key
+    from bid_evaluation_spark.streaming.stateful import (
+        streaming_cusum_by_key)
+
+    schema = "user_id long, ts double, event_id long, value double"
+    rows = [(1, float(i), i, float(v)) for i, v in
+            enumerate([10, 14, 14, 6, 6, 6, 15, 15])]
+    rows += [(2, 0.0, 50, 30.0), (2, 9.0, 51, 1.0)]
+    cut = 3.5
+    b1 = [r for r in rows if r[1] <= cut]
+    b2 = [r for r in rows if r[1] > cut]
+    src = str(tmp_path / "cusum_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        f"{src}/batch=0")
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        f"{src}/batch=1")
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (streaming_cusum_by_key(stream, target=10.0, slack=1.0,
+                                threshold=4.0)
+         .writeStream.format("memory").queryName("cusum_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["key"], r["tiebreak"]): (r["cusum_pos"], r["cusum_neg"],
+                                       r["alarm"])
+           for r in spark.sql("SELECT * FROM cusum_smoke").collect()}
+    batch = {(r["user_id"], r["event_id"]): (r["cusum_pos"], r["cusum_neg"],
+                                             r["alarm"])
+             for r in cusum_by_key(spark.createDataFrame(rows, schema),
+                                   "user_id", "ts", "value", "event_id",
+                                   target=10.0, slack=1.0,
+                                   threshold=4.0).collect()}
+    assert got == batch
