@@ -4701,6 +4701,94 @@ FROM r
 """
 
 
+def _q_emb_matryoshka_embeddings(spark, sf_dir):
+    """Matryoshka truncation to 16 dims + renorm (operators/embeddings.py,
+    arXiv:2205.13147): map-only projection; order-insensitive summaries
+    (sum/max of the renormalized head) make any wrong element flip the
+    hash — same verification shape as emb_l2norm."""
+    from bid_evaluation_spark.operators.embeddings import matryoshka_truncate
+
+    df = _t(spark, sf_dir, "embeddings")
+    res = matryoshka_truncate(df, dim=16, out_col="head16")
+    s = F.aggregate(F.col("head16"), F.lit(0.0), lambda a, x: a + x)
+    return res.select(
+        "vec_id",
+        F.size("head16").cast("long").alias("head_dim"),
+        _r4(s).alias("head_sum"),
+        _r4(F.array_max(F.col("head16"))).alias("head_max"))
+
+
+_SQL_EMB_MATRYOSHKA_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+h AS (SELECT vec_id, e[1:16] AS t FROM v WHERE len(e) >= 16),
+n AS (SELECT vec_id, t,
+        sqrt(list_sum(list_transform(t, x -> x * x))) AS nrm FROM h),
+u AS (SELECT vec_id,
+        CASE WHEN nrm = 0.0 THEN t
+             ELSE list_transform(t, x -> x / nrm) END AS t
+      FROM n)
+SELECT vec_id, CAST(len(t) AS BIGINT) AS head_dim,
+  round(list_sum(t) * 10000.0) / 10000.0 AS head_sum,
+  round(list_max(t) * 10000.0) / 10000.0 AS head_max
+FROM u
+"""
+
+
+def _q_pipe_neyman_orders(spark, sf_dir):
+    """Neyman-optimal stratified allocation (pipeline.py): 1000-row budget
+    across order priorities ∝ N_h·S_h, largest-remainder rounding on the
+    1e-9-quantized fractional part, stddev quantized to 1e-6 before use
+    (engine low-order-bit drift). The oracle replays counts, stddevs, and
+    every rounding step."""
+    from bid_evaluation_spark.operators.pipeline import neyman_allocation
+
+    orders = _t(spark, sf_dir, "orders")
+    res = neyman_allocation(orders, "o_orderpriority", "o_totalprice",
+                            budget=1000)
+    return res.select(F.col("o_orderpriority"), "n_rows",
+                      _r4("stddev").alias("stddev"), "alloc")
+
+
+_SQL_PIPE_NEYMAN_ORDERS = """
+WITH g AS (
+  SELECT o_orderpriority, count(*) AS n_rows,
+         stddev_samp(o_totalprice) AS sd,
+         round(COALESCE(stddev_samp(o_totalprice), 0.0) * 1000000.0)
+           / 1000000.0 AS sq
+  FROM orders GROUP BY o_orderpriority
+),
+w AS (
+  SELECT *, n_rows * sq AS w0,
+         sum(n_rows * sq) OVER () AS tot0
+  FROM g
+),
+w2 AS (
+  SELECT *, CASE WHEN tot0 > 0 THEN w0
+                 ELSE CAST(n_rows AS DOUBLE) END AS wf
+  FROM w
+),
+r AS (
+  SELECT *, 1000.0 * wf / sum(wf) OVER () AS raw
+  FROM w2
+),
+b AS (
+  SELECT *, least(n_rows, CAST(floor(raw) AS BIGINT)) AS base,
+         round((raw - floor(raw)) * 1000000000.0) / 1000000000.0 AS frac
+  FROM r
+),
+fin AS (
+  SELECT *, 1000 - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY frac DESC, o_orderpriority ASC) AS rn
+  FROM b
+)
+SELECT o_orderpriority, CAST(n_rows AS BIGINT) AS n_rows,
+  round(sd * 10000.0) / 10000.0 AS stddev,
+  CAST(base + (CASE WHEN rn <= leftover AND base < n_rows
+                    THEN 1 ELSE 0 END) AS BIGINT) AS alloc
+FROM fin
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8144,6 +8232,9 @@ _QUERIES: dict = {
     "ts_cusum_events": (_q_ts_cusum_events, _SQL_TS_CUSUM_EVENTS),
     "io_footer_stats_orders": (_q_io_footer_stats_orders,
                                _SQL_IO_FOOTER_STATS_ORDERS),
+    "emb_matryoshka_embeddings": (_q_emb_matryoshka_embeddings,
+                                  _SQL_EMB_MATRYOSHKA_EMBEDDINGS),
+    "pipe_neyman_orders": (_q_pipe_neyman_orders, _SQL_PIPE_NEYMAN_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -77,3 +77,33 @@ def quantization_error(df: DataFrame, vec_col: str = "embedding",
         F.array_max(resid).alias("max_abs_err"),
         _norm(resid).alias("l2_err"),
     )
+
+
+def matryoshka_truncate(df: DataFrame, dim: int,
+                        vec_col: str = "embedding",
+                        out_col: str = None,
+                        renormalize: bool = True) -> DataFrame:
+    """Truncate Matryoshka-trained embeddings to their leading ``dim``
+    dimensions and (by default) re-normalize to unit L2 (Kusupati et al.,
+    NeurIPS 2022, public arXiv:2205.13147) — the storage/recall dial of an
+    MRL embedding estate: 64→16 dims is a 4× scan shrink on every ANN
+    query, applied as a pure projection at read time. Vectors shorter
+    than ``dim`` become null (truncation is undefined, surfacing schema
+    drift instead of mixed-length silently entering an index); zero
+    truncated vectors stay zero rather than dividing by zero. Map-only,
+    no Python, no shuffle."""
+    if dim < 1:
+        raise ValueError(f"dim must be positive, got {dim}")
+    out_col = out_col or vec_col
+    head = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    if renormalize:
+        nrm = F.sqrt(F.aggregate(head, F.lit(0.0),
+                                 lambda a, x: a + x * x))
+        head = F.when(nrm == 0.0, head).otherwise(
+            F.transform(head, lambda x: x / nrm))
+    res = F.when(F.size(F.col(vec_col)) >= dim, head)
+    cols = [res.alias(out_col) if c == out_col else F.col(c)
+            for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(res.alias(out_col))
+    return df.select(*cols)

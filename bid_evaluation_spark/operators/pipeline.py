@@ -1159,3 +1159,51 @@ def novelty_score(docs: DataFrame, corpus: DataFrame, k: int = 3,
                     F.when(F.col("n_shingles") > 0,
                            F.col("n_unseen").cast("double")
                            / F.col("n_shingles")).alias("novelty")))
+
+
+def neyman_allocation(df: DataFrame, group_col: str, value_col: str,
+                      budget: int) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: split ``budget`` rows
+    across strata ∝ ``N_h·S_h`` (size × within-stratum stddev) — the
+    design that minimizes the estimator variance of a stratified mean for
+    a fixed budget (classic survey sampling, Neyman 1934). The planning
+    step before `sample_k_per_group` draws an eval set from a skewed
+    corpus: volatile strata get proportionally more budget.
+
+    Deterministic largest-remainder rounding: floors first, then one +1
+    round by descending fractional part (quantized to 1e-9 — float
+    division association differs across engines) with group-name
+    tie-break; allocations cap at the stratum size (no up-sampling), so
+    when caps bind the total may fall short of ``budget`` — by design,
+    never silently duplicating rows. Per-stratum stddev quantizes to 1e-6
+    before use (engines disagree in stddev's low-order bits). All-zero
+    variance (or singleton-only strata) falls back to proportional-to-N.
+    Returns ``(group_col, n_rows, stddev, alloc)``.
+
+    Shape: one groupBy over the data; every window after that runs on the
+    bounded per-stratum table (strata count, not row count).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be non-negative, got {budget}")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("stddev"))
+    s_q = F.round(F.coalesce(F.col("stddev"), F.lit(0.0)) * F.lit(1e6)) \
+        / F.lit(1e6)
+    g = g.withColumn("_w", F.col("n_rows") * s_q)
+    everything = Window.partitionBy()
+    tot_w = F.sum("_w").over(everything)
+    g = g.withColumn("_w", F.when(tot_w > 0, F.col("_w"))
+                     .otherwise(F.col("n_rows").cast("double")))
+    raw = F.lit(float(budget)) * F.col("_w") / F.sum("_w").over(everything)
+    g = g.withColumn("_base",
+                     F.least(F.col("n_rows"), F.floor(raw)).cast("long"))
+    frac = F.round((raw - F.floor(raw)) * F.lit(1e9)) / F.lit(1e9)
+    leftover = F.lit(budget) - F.sum("_base").over(everything)
+    rn = F.row_number().over(
+        Window.orderBy(frac.desc(), F.col(group_col).asc()))
+    alloc = (F.col("_base")
+             + F.when((rn <= leftover) & (F.col("_base") < F.col("n_rows")),
+                      F.lit(1)).otherwise(F.lit(0)))
+    return (g.select(group_col, "n_rows", "stddev",
+                     alloc.cast("long").alias("alloc")))

@@ -178,3 +178,34 @@ def test_kmeans_pinned_init_warm_start(spark):
         if (a == c).any():
             want[c] = X[a == c].mean(axis=0)
     assert np.allclose(got1, want, atol=1e-9)
+
+
+class TestMatryoshka:
+    def test_truncate_and_renorm(self, spark):
+        import math
+
+        from bid_evaluation_spark.operators.embeddings import (
+            matryoshka_truncate)
+
+        df = spark.createDataFrame(
+            [(0, [3.0, 4.0, 100.0, 100.0]), (1, [0.0, 0.0, 5.0, 5.0]),
+             (2, [1.0]), (3, None)],
+            "vec_id long, embedding array<float>")
+        out = {r["vec_id"]: r["embedding"]
+               for r in matryoshka_truncate(df, dim=2).collect()}
+        assert out[0] == pytest.approx([0.6, 0.8])     # 3-4-5 renorm
+        assert out[1] == [0.0, 0.0]                    # zero head stays
+        assert out[2] is None and out[3] is None       # short/null flagged
+
+    def test_no_renorm_is_plain_slice(self, spark):
+        from bid_evaluation_spark.operators.embeddings import (
+            matryoshka_truncate)
+
+        df = spark.createDataFrame([(0, [2.0, 4.0, 8.0])],
+                                   "vec_id long, embedding array<float>")
+        out = matryoshka_truncate(df, dim=2, renormalize=False,
+                                  out_col="head").collect()[0]
+        assert out["head"] == [2.0, 4.0]
+        assert out["embedding"] == [2.0, 4.0, 8.0]  # source kept
+        with pytest.raises(ValueError):
+            matryoshka_truncate(df, dim=0)

@@ -440,3 +440,46 @@ def test_cohens_kappa_known_values(spark):
     nulls = spark.createDataFrame(
         [("x", "x"), ("x", None), (None, "x")], "a string, b string")
     assert cohens_kappa(nulls, "a", "b").collect()[0]["n"] == 1
+
+
+class TestNeymanAllocation:
+    def test_allocation_tracks_n_times_sigma(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.pipeline import neyman_allocation
+
+        rng = np.random.RandomState(3)
+        rows = ([("calm", float(v)) for v in rng.normal(100, 1, 300)]
+                + [("wild", float(v)) for v in rng.normal(100, 50, 300)]
+                + [("tiny", float(v)) for v in rng.normal(100, 50, 10)])
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r for r in
+               neyman_allocation(df, "grp", "v", budget=200).collect()}
+        # equal-size strata: the volatile one gets ~50x the budget
+        assert out["wild"]["alloc"] > out["calm"]["alloc"] * 10
+        # caps bind: tiny stratum never exceeds its 10 rows
+        assert out["tiny"]["alloc"] <= 10
+        assert sum(r["alloc"] for r in out.values()) <= 200
+
+    def test_exact_budget_without_caps(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.pipeline import neyman_allocation
+
+        rng = np.random.RandomState(7)
+        rows = [(f"g{i % 7}", float(v)) for i, v in
+                enumerate(rng.normal(0, 1, 700) * (1 + rng.rand(700)))]
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = neyman_allocation(df, "grp", "v", budget=50).collect()
+        assert sum(r["alloc"] for r in out) == 50   # largest-remainder lands
+
+    def test_zero_variance_falls_back_proportional(self, spark):
+        from bid_evaluation_spark.operators.pipeline import neyman_allocation
+
+        rows = [("a", 1.0)] * 30 + [("b", 2.0)] * 10
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r["alloc"] for r in
+               neyman_allocation(df, "grp", "v", budget=8).collect()}
+        assert out["a"] == 6 and out["b"] == 2
+        with pytest.raises(ValueError):
+            neyman_allocation(df, "grp", "v", budget=-1)
