@@ -4789,6 +4789,67 @@ FROM fin
 """
 
 
+def _q_analytics_bootstrap_orders(spark, sf_dir):
+    """Poisson-bootstrap mean CI per order priority (analytics.py
+    poisson_bootstrap_ci, Chamandy et al. 2012): 20 replicates, each
+    row's replication weight = Poisson(1)-inverse of a deterministic md5
+    uniform — ALL replicates in ONE aggregation pass, no resample ever
+    materialized. The oracle replays every weight, replicate mean, and
+    the exact-element quantile rule."""
+    from bid_evaluation_spark.operators.analytics import poisson_bootstrap_ci
+
+    orders = _t(spark, sf_dir, "orders")
+    res = poisson_bootstrap_ci(orders, "o_orderpriority", "o_totalprice",
+                               n_boot=20, id_col="o_orderkey", seed="boot")
+    return res.select("o_orderpriority", "n_rows",
+                      _r4("mean").alias("mean"),
+                      _r4("ci_lo").alias("ci_lo"),
+                      _r4("ci_hi").alias("ci_hi"))
+
+
+def _poisson_case_sql(u_expr: str) -> str:
+    from bid_evaluation_spark.operators.analytics import _POISSON1_CDF
+
+    whens = " ".join(
+        f"WHEN {u_expr} < {t!r} THEN {j}"
+        for j, t in enumerate(_POISSON1_CDF))
+    return f"CASE {whens} ELSE 9 END"
+
+
+_SQL_ANALYTICS_BOOTSTRAP_ORDERS = f"""
+WITH drawn AS (
+  SELECT o_orderpriority AS grp, b.b, o_totalprice AS v,
+    CAST({_poisson_case_sql(
+        "(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+        "|| CAST(b.b AS VARCHAR) || '|boot'), 1, 15)) AS BIGINT) + 0.5) "
+        "/ 1152921504606846976.0")} AS DOUBLE) AS k
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS b) b
+),
+reps AS (
+  SELECT grp, b, sum(k * v) AS s, sum(k) AS w
+  FROM drawn GROUP BY grp, b
+),
+meanlist AS (
+  SELECT grp,
+    list_sort(list_filter(list(CASE WHEN w > 0 THEN s / w END),
+                          x -> x IS NOT NULL)) AS li
+  FROM reps GROUP BY grp
+),
+base AS (
+  SELECT o_orderpriority AS grp, count(*) AS n_rows,
+         avg(o_totalprice) AS mean
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT b.grp AS o_orderpriority, CAST(b.n_rows AS BIGINT) AS n_rows,
+  round(b.mean * 10000.0) / 10000.0 AS mean,
+  round(m.li[CAST(floor(0.025 * (len(m.li) - 1)) AS INT) + 1]
+        * 10000.0) / 10000.0 AS ci_lo,
+  round(m.li[CAST(floor(0.975 * (len(m.li) - 1)) AS INT) + 1]
+        * 10000.0) / 10000.0 AS ci_hi
+FROM base b JOIN meanlist m USING (grp)
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8235,6 +8296,8 @@ _QUERIES: dict = {
     "emb_matryoshka_embeddings": (_q_emb_matryoshka_embeddings,
                                   _SQL_EMB_MATRYOSHKA_EMBEDDINGS),
     "pipe_neyman_orders": (_q_pipe_neyman_orders, _SQL_PIPE_NEYMAN_ORDERS),
+    "analytics_bootstrap_orders": (_q_analytics_bootstrap_orders,
+                                   _SQL_ANALYTICS_BOOTSTRAP_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -694,3 +694,82 @@ def bh_adjust(df: DataFrame, p_col: str = "p_value",
     return (ranked
             .withColumn("p_adj", F.least(F.lit(1.0), stepup))
             .withColumn("reject", F.col("p_adj") <= F.lit(float(q))))
+
+
+#: Poisson(1) CDF thresholds for k = 0..8 (tail truncated at 9 —
+#: P(k > 8) ≈ 1.1e-6; exact doubles, replayed verbatim in oracles)
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253, 0.999998874797402,
+)
+
+#: md5-hex prefix width used for 60-bit uniform draws
+_HEX15 = 15
+
+
+def poisson_bootstrap_ci(df: DataFrame, group_col: str, value_col: str,
+                         n_boot: int = 40, lo: float = 0.025,
+                         hi: float = 0.975, id_col: str = "doc_id",
+                         seed: str = "boot") -> DataFrame:
+    """Per-group bootstrap confidence interval for the MEAN via the
+    Poisson bootstrap (Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", Google 2012 — the resampling scheme that
+    distributes: each row independently draws a Poisson(1) replication
+    weight per replicate, so no resample ever materializes and one
+    aggregation pass computes ALL replicates). Deterministic: the weight
+    for (row, replicate b) inverts the Poisson(1) CDF at a 60-bit md5
+    uniform of ``(id, b, seed)`` (tail truncated at k=9, P≈1.1e-6), so
+    runs — and engines — reproduce bit-identically.
+
+    Returns ``(group_col, n_rows, mean, ci_lo, ci_hi)`` where the bounds
+    are the empirical ``lo``/``hi`` quantiles (index rule:
+    ``sorted_means[floor(q·(B−1))]`` — exact element, no interpolation)
+    of the B replicate means. Replicates where a group draws total weight
+    0 contribute a null mean and are skipped by the quantile (only
+    possible for tiny groups; with n rows the chance is e^(−n) per
+    replicate). ``id_col`` values must be unique per row (duplicate ids
+    draw identical weights).
+
+    Shape: ONE aggregation pass over the data computes all 2·B partial
+    sums per group (map-side combine; 2·B + 2 columns of state per
+    group); the quantile runs on the B-length array per group — bounded
+    driver-free arithmetic. Row count cost: B md5 calls per row
+    (B=40 default) — one scan regardless of B.
+    """
+    if n_boot < 2:
+        raise ValueError(f"n_boot must be >= 2, got {n_boot}")
+    if not 0 <= lo < hi <= 1:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}, {hi}")
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+
+    def w(b: int) -> Column:
+        hx = F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"),
+                           F.lit(f"|{b}|{seed}")).cast("binary")),
+            1, _HEX15)
+        u = (F.conv(hx, 16, 10).cast("long").cast("double") + F.lit(0.5)) \
+            / F.lit(float(16 ** _HEX15))
+        k = F.lit(9)
+        for j in range(len(_POISSON1_CDF) - 1, -1, -1):
+            k = F.when(u < F.lit(_POISSON1_CDF[j]), F.lit(j)).otherwise(k)
+        return k.cast("double")
+
+    aggs = [F.count(F.lit(1)).alias("n_rows"), F.avg(v).alias("mean")]
+    for b in range(n_boot):
+        wb = w(b)
+        aggs.append(F.sum(wb * v).alias(f"_s{b}"))
+        aggs.append(F.sum(wb).alias(f"_w{b}"))
+    g = base.groupBy(group_col).agg(*aggs)
+
+    means = F.array_sort(F.filter(F.array(*[
+        F.when(F.col(f"_w{b}") > 0, F.col(f"_s{b}") / F.col(f"_w{b}"))
+        for b in range(n_boot)]), lambda x: x.isNotNull()))
+    nb = F.size(means)
+    lo_i = F.floor(F.lit(float(lo)) * (nb - 1).cast("double")).cast("int")
+    hi_i = F.floor(F.lit(float(hi)) * (nb - 1).cast("double")).cast("int")
+    return g.select(
+        group_col, "n_rows", "mean",
+        F.element_at(means, lo_i + 1).alias("ci_lo"),
+        F.element_at(means, hi_i + 1).alias("ci_hi"))

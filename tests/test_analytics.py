@@ -672,3 +672,75 @@ class TestBHAdjust:
             bh_adjust(df)
         with pytest.raises(ValueError):
             bh_adjust(df.filter("p_value is not null"), q=1.5)
+
+
+class TestPoissonBootstrap:
+    def test_exact_python_replay(self, spark):
+        """Replicate weights are md5-deterministic — replay them in
+        hashlib and match every replicate mean path (via the CI bounds
+        of a tiny B)."""
+        import hashlib
+
+        from bid_evaluation_spark.operators.analytics import (
+            _POISSON1_CDF, poisson_bootstrap_ci)
+
+        rows = [(i, "g", float(v)) for i, v in
+                enumerate([10.0, 20.0, 40.0, 80.0])]
+        df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+        got = poisson_bootstrap_ci(df, "grp", "v", n_boot=5,
+                                   seed="t").collect()[0]
+
+        def weight(i, b):
+            hx = hashlib.md5(f"{i}|{b}|t".encode()).hexdigest()[:15]
+            u = (int(hx, 16) + 0.5) / 16 ** 15
+            for j, t in enumerate(_POISSON1_CDF):
+                if u < t:
+                    return j
+            return 9
+
+        means = []
+        for b in range(5):
+            ws = [weight(i, b) for i, _, _ in rows]
+            if sum(ws) > 0:
+                means.append(sum(w * v for w, (_, _, v) in zip(ws, rows))
+                             / sum(ws))
+        means.sort()
+        nb = len(means)
+        assert got["ci_lo"] == pytest.approx(
+            means[int(0.025 * (nb - 1))], rel=1e-12)
+        assert got["ci_hi"] == pytest.approx(
+            means[int(0.975 * (nb - 1))], rel=1e-12)
+        assert got["mean"] == pytest.approx(37.5)
+
+    def test_ci_brackets_mean_and_tightens(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.analytics import (
+            poisson_bootstrap_ci)
+
+        rng = np.random.RandomState(1)
+        rows = ([(i, "small", float(v)) for i, v in
+                 enumerate(rng.normal(50, 10, 40))]
+                + [(1000 + i, "big", float(v)) for i, v in
+                   enumerate(rng.normal(50, 10, 4000))])
+        df = spark.createDataFrame(rows, "doc_id long, grp string, v double")
+        out = {r["grp"]: r for r in poisson_bootstrap_ci(
+            df, "grp", "v", n_boot=40).collect()}
+        for r in out.values():
+            assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        width = {g: r["ci_hi"] - r["ci_lo"] for g, r in out.items()}
+        assert width["big"] < width["small"]  # 10x n → ~3x tighter
+
+    def test_determinism_and_validation(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            poisson_bootstrap_ci)
+
+        df = spark.createDataFrame([(i, "g", float(i)) for i in range(20)],
+                                   "doc_id long, grp string, v double")
+        a = poisson_bootstrap_ci(df, "grp", "v", n_boot=10).collect()[0]
+        b = poisson_bootstrap_ci(df, "grp", "v", n_boot=10).collect()[0]
+        assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(df, "grp", "v", n_boot=1)
+        with pytest.raises(ValueError):
+            poisson_bootstrap_ci(df, "grp", "v", lo=0.9, hi=0.1)
