@@ -9,19 +9,22 @@ table entries. At 100 TB this is the difference between scanning raw
 float vectors (4·d bytes/row) and scanning ``m``-byte codes with the
 query LUT broadcast: the corpus-side scan shrinks ~d·4/m ×.
 
-Spark-first shape — NO Python in any per-row path (contrast the Arrow
-kernels in `similarity.py`, which carry full vectors; here the codebook
-is small and pinned, so everything stays a Catalyst expression):
+Execution shape:
 
-- **Encode is a map-only codegen projection**: per subspace, squared
-  distances to each codebook entry via ``zip_with`` + ordered
-  ``aggregate`` fold, argmin by ``array_position(array_min)`` (first
-  minimum — deterministic tie-break). One output row per (id, subspace).
-- **ADC is one equi-join**: the per-query LUT is an exploded literal
-  expression (queries × m × ksub rows, broadcast); codes join it on
-  ``(subspace, code)``, one ``groupBy(query, neighbor)`` sums the m
-  partial distances, and a per-query rank window cuts top-k. The rank
-  orders on the 1e-6-quantized distance (float-sum association order
+- **Encode / coarse-assign / LUT are map-only Arrow kernels** with
+  FOLD-ORDER-PRESERVING arithmetic: each squared distance accumulates
+  ``((0 + d₁²) + d₂²) + …`` in element order (a numpy loop over the
+  dimension index), which is bit-identical to the SQL oracle's ordered
+  list fold — so argmins, ADC sums, and every emitted double replay
+  exactly in DuckDB. Why not Column expressions: Spark evaluates
+  higher-order-function lambdas interpreted (measured 14.5 s for the
+  sf0.1 IVF-PQ bench row), and unrolling 2k-term distance trees breaks
+  Janino codegen (66 s with compile fallback); the Arrow kernel runs the
+  same arithmetic vectorized (~100× on the kernel, same precedent as
+  `similarity.assign_clusters`).
+- **Search is equi-joins + one sum-agg**: codes join the broadcast
+  per-query LUT on ``(subspace, code)``; the rank window partitions by
+  query and orders on the 1e-6-quantized distance (float-sum association
   differs across engines/partitions) with id tie-break — deterministic.
 
 Codebooks are pinned numpy/py lists ``(m, ksub, dsub)`` — training them
@@ -32,7 +35,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _shape(codebooks: Sequence) -> tuple[int, int, int]:
@@ -45,14 +50,18 @@ def _shape(codebooks: Sequence) -> tuple[int, int, int]:
     return m, ksub, dsub
 
 
-def _sqdist(sub: Column, cent: Sequence[float]) -> Column:
-    """Ordered-fold squared L2 distance between a subvector column and one
-    literal centroid — ``aggregate`` folds left in element order, so both
-    engines (and every partition) compute the identical double."""
-    lit = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _ordered_sqdists(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n × k) squared L2 distances with ORDERED accumulation: the t-loop
+    adds ``(x_t − c_t)²`` in index order per (row, centroid) cell, making
+    every cell bit-identical to the SQL oracle's left-fold
+    ``((0 + d₁²) + d₂²) + …`` — vectorized over rows and centroids, exact
+    over the fold order."""
+    n, k = X.shape[0], C.shape[0]
+    acc = np.zeros((n, k))
+    for t in range(C.shape[1]):
+        diff = X[:, t:t + 1] - C[None, :, t]
+        acc += diff * diff
+    return acc
 
 
 def pq_encode(df: DataFrame, codebooks: Sequence,
@@ -60,25 +69,77 @@ def pq_encode(df: DataFrame, codebooks: Sequence,
               id_col: str = "vec_id") -> DataFrame:
     """PQ-encode vectors: returns one row per ``(id_col, subspace, code)``
     with ``code`` the argmin codebook entry for that subspace (first
-    minimum on ties). Vectors shorter than ``m·dsub`` (or null) encode as
-    ``code = -1`` in every subspace — corrupt rows stay visible instead
-    of vanishing. Map-only; the whole distance/argmin tree is one codegen
-    projection."""
+    minimum on ties — numpy argmin and the oracle's min-rank agree).
+    Vectors shorter than ``m·dsub`` (or null) encode as ``code = -1`` in
+    every subspace — corrupt rows stay visible instead of vanishing.
+    Map-only Arrow kernel (fold-order-exact distances) + posexplode."""
     m, ksub, dsub = _shape(codebooks)
-    v = F.col(vec_col).cast("array<double>")
-    ok = F.size(v) >= m * dsub
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
 
-    entries = []
-    for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        dists = F.array(*[_sqdist(sub, codebooks[j][c]) for c in range(ksub)])
-        code = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        entries.append(F.struct(F.lit(j).alias("subspace"),
-                                F.when(ok, code).otherwise(F.lit(-1))
-                                .alias("code")))
-    return (df.select(F.col(id_col), F.explode(F.array(*entries)).alias("e"))
-            .select(id_col, F.col("e.subspace").alias("subspace"),
-                    F.col("e.code").alias("code")))
+    @F.pandas_udf("array<int>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        C = bc.value
+        mm, _, dd = C.shape
+        vals = vs.tolist()
+        out = [[-1] * mm] * len(vals)
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) >= mm * dd]
+        if ok:
+            X = np.asarray([vals[i][:mm * dd] for i in ok],
+                           dtype=np.float64)
+            codes = np.empty((len(ok), mm), dtype=np.int64)
+            for j in range(mm):
+                D = _ordered_sqdists(X[:, j * dd:(j + 1) * dd], C[j])
+                codes[:, j] = np.argmin(D, axis=1)
+            for row, i in zip(codes, ok):
+                out[i] = [int(c) for c in row]
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col),
+                      F.posexplode(_codes(F.col(vec_col)))
+                      .alias("subspace", "code"))
+            .select(id_col, F.col("subspace").cast("int").alias("subspace"),
+                    F.col("code").cast("int").alias("code")))
+
+
+def _lut_frame(queries: DataFrame, codebooks: Sequence, vec_col: str,
+               query_id: str) -> DataFrame:
+    """Per-query ADC lookup table ``(query_id, subspace, code, d)`` —
+    one Arrow kernel emits the flat m·ksub distance array per query
+    (fold-order-exact), posexplode splits it. Null/short query vectors
+    yield no LUT rows (the query returns no results, by contract)."""
+    m, ksub, dsub = _shape(codebooks)
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    @F.pandas_udf("array<double>")
+    def _lut(vs: pd.Series) -> pd.Series:
+        C = bc.value
+        mm, kk, dd = C.shape
+        vals = vs.tolist()
+        out = [None] * len(vals)
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) >= mm * dd]
+        if ok:
+            X = np.asarray([vals[i][:mm * dd] for i in ok],
+                           dtype=np.float64)
+            flat = np.empty((len(ok), mm * kk))
+            for j in range(mm):
+                flat[:, j * kk:(j + 1) * kk] = _ordered_sqdists(
+                    X[:, j * dd:(j + 1) * dd], C[j])
+            for row, i in zip(flat, ok):
+                out[i] = [float(x) for x in row]
+        return pd.Series(out)
+
+    return (queries.select(F.col(query_id).alias("query_id"),
+                           F.posexplode(_lut(F.col(vec_col)))
+                           .alias("_pos", "d"))
+            .select("query_id",
+                    F.floor(F.col("_pos") / ksub).cast("int")
+                    .alias("subspace"),
+                    (F.col("_pos") % ksub).cast("int").alias("code"),
+                    "d"))
 
 
 def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks: Sequence,
@@ -89,28 +150,16 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks: Sequence,
     compressed corpus codes. Returns ``(query_id, neighbor_id, adc_dist,
     rank)`` with ``rank ≤ k`` per query.
 
-    The per-query LUT (``m × ksub`` squared subspace distances) is an
-    exploded literal projection on the (small) query side — Catalyst
-    broadcasts it to the codes scan; scoring is ONE equi-join on
-    ``(subspace, code)`` + one sum-agg; the rank window partitions by
-    query. Codes with ``-1`` (corrupt source vectors) never match the
-    LUT and drop out naturally."""
+    The per-query LUT (``m × ksub`` squared subspace distances) comes
+    from one Arrow kernel on the (small) query side — Catalyst broadcasts
+    it to the codes scan; scoring is ONE equi-join on ``(subspace,
+    code)`` + one sum-agg; the rank window partitions by query. Codes
+    with ``-1`` (corrupt source vectors) never match the LUT and drop out
+    naturally."""
     m, ksub, dsub = _shape(codebooks)
     if k < 0:
         raise ValueError(f"k must be non-negative, got {k}")
-    v = F.col(vec_col).cast("array<double>")
-
-    lut_entries = []
-    for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        for c in range(ksub):
-            lut_entries.append(F.struct(
-                F.lit(j).alias("subspace"), F.lit(c).alias("code"),
-                _sqdist(sub, codebooks[j][c]).alias("d")))
-    lut = (queries.select(F.col(query_id).alias("query_id"),
-                          F.explode(F.array(*lut_entries)).alias("e"))
-           .select("query_id", "e.subspace", "e.code", "e.d"))
-
+    lut = _lut_frame(queries, codebooks, vec_col, query_id)
     cand = (codes.withColumnRenamed(code_id, "neighbor_id")
             .join(lut, ["subspace", "code"])
             .groupBy("query_id", "neighbor_id")
@@ -138,25 +187,37 @@ def formula_codebook(m: int = 8, ksub: int = 16, dsub: int = 8) -> list:
 def coarse_assign(df: DataFrame, centroids: Sequence,
                   vec_col: str = "embedding", id_col: str = "vec_id",
                   nprobe: int = 1) -> DataFrame:
-    """Nearest coarse-centroid list id(s) per vector as pure codegen
-    expressions (the Column-expression twin of `similarity.assign_clusters`
-    — no Python, fully oracle-replayable under pinned centroids). With
-    ``nprobe > 1`` each row explodes to its nprobe nearest lists
-    (``array_sort`` on (dist, list) structs — distance-then-id tie-break).
+    """Nearest coarse-centroid list id(s) per vector — the IVF routing
+    step, as one Arrow kernel (fold-order-exact distances; stable argsort
+    gives the (distance, list) tie-break the oracle's rank replays). With
+    ``nprobe > 1`` each row explodes to its nprobe nearest lists.
     Returns ``(id_col, list_id)``; short/null vectors get list −1."""
     n_lists = len(centroids)
     dim = len(centroids[0])
-    p = max(1, int(nprobe))
-    v = F.col(vec_col).cast("array<double>")
-    ok = F.size(v) >= dim
+    p = min(max(1, int(nprobe)), n_lists)
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
 
-    entries = F.array(*[
-        F.struct(_sqdist(v, centroids[c]).alias("d"),
-                 F.lit(c).alias("c")) for c in range(n_lists)])
-    probes = F.slice(F.array_sort(entries), 1, min(p, n_lists))
-    lists = F.when(ok, F.transform(probes, lambda s: s["c"])
-                   ).otherwise(F.array(F.lit(-1)))
-    return (df.select(F.col(id_col), F.explode(lists).alias("list_id"))
+    @F.pandas_udf("array<int>")
+    def _probes(vs: pd.Series) -> pd.Series:
+        C = bc.value
+        vals = vs.tolist()
+        out = [[-1]] * len(vals)
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) >= dim]
+        if ok:
+            X = np.asarray([vals[i][:dim] for i in ok], dtype=np.float64)
+            D = _ordered_sqdists(X, C)
+            if p == 1:
+                near = np.argmin(D, axis=1)[:, None]
+            else:
+                near = np.argsort(D, axis=1, kind="stable")[:, :p]
+            for row, i in zip(near, ok):
+                out[i] = [int(c) for c in row]
+        return pd.Series(out)
+
+    return (df.select(F.col(id_col),
+                      F.explode(_probes(F.col(vec_col))).alias("list_id"))
             .select(id_col, F.col("list_id").cast("int").alias("list_id")))
 
 
@@ -171,11 +232,10 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, coarse: Sequence,
     Per-query work scales with ``nprobe/n_lists`` of the corpus × m bytes
     per candidate — neither raw vectors nor unprobed lists are touched.
 
-    Everything is codegen + equi-joins: corpus assignment and codes are
-    map-only projections (computable once and persisted as a real index —
-    see `streaming/ivf.py` for the incremental maintenance pattern);
-    probe→list is one equi-join; ADC is the (query, subspace, code) LUT
-    join + sum-agg; ranking quantizes to 1e-6 with id tie-break. Returns
+    Assignment/codes/LUT are map-only Arrow kernels (computable once and
+    persisted as a real index — see `streaming/ivf.py` for the
+    incremental maintenance pattern); probe→list and ADC are equi-joins +
+    one sum-agg; ranking quantizes to 1e-6 with id tie-break. Returns
     ``(query_id, neighbor_id, adc_dist, rank ≤ k)``. Recall < 1 by
     construction (unprobed lists); codebooks/centroids are pinned inputs
     — train with `similarity.kmeans_centroids`."""
@@ -194,18 +254,7 @@ def ivfpq_topk(queries: DataFrame, corpus: DataFrame, coarse: Sequence,
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
 
-    v = F.col(vec_col).cast("array<double>")
-    lut_entries = []
-    for j in range(m):
-        sub = F.slice(v, j * dsub + 1, dsub)
-        for c in range(ksub):
-            lut_entries.append(F.struct(
-                F.lit(j).alias("subspace"), F.lit(c).alias("code"),
-                _sqdist(sub, codebooks[j][c]).alias("d")))
-    lut = (queries.select(F.col(query_id).alias("query_id"),
-                          F.explode(F.array(*lut_entries)).alias("e"))
-           .select("query_id", "e.subspace", "e.code", "e.d"))
-
+    lut = _lut_frame(queries, codebooks, vec_col, query_id)
     scored = (cand.join(codes, ["neighbor_id"])
               .join(lut, ["query_id", "subspace", "code"])
               .groupBy("query_id", "neighbor_id")

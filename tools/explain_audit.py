@@ -885,7 +885,7 @@ def _lm_plan(spark, sf_dir):
     return probs
 
 
-@check("pq: encode map-only codegen; ADC one equi-join, LUT broadcast, no Python")
+@check("pq: encode map-only Arrow kernel; ADC one equi-join, LUT broadcast")
 def _pq_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.pq import (formula_codebook,
                                                    pq_adc_topk, pq_encode)
@@ -897,8 +897,10 @@ def _pq_plan(spark, sf_dir):
     enc_plan = plan_of(pq_encode(emb, cb))
     if "Exchange" in enc_plan:
         probs.append("encode should be map-only (no exchange)")
-    if "Python" in enc_plan:
-        probs.append("encode argmin fell out of JVM codegen into Python")
+    if "BatchEvalPython" in enc_plan:
+        probs.append("encode kernel degraded to row-at-a-time Python")
+    if "ArrowEvalPython" not in enc_plan:
+        probs.append("encode kernel should be the Arrow-vectorized path")
     codes = pq_encode(emb, cb)
     plan = plan_of(pq_adc_topk(emb.filter(F.col("vec_id") < 8), codes, cb,
                                k=5))
@@ -906,12 +908,12 @@ def _pq_plan(spark, sf_dir):
         probs.append("ADC degenerated to a product join")
     if "BroadcastHashJoin" not in plan:
         probs.append("query LUT (queries x m x ksub rows) not broadcast")
-    if "Python" in plan:
-        probs.append("ADC scoring fell out of JVM codegen into Python")
+    if "BatchEvalPython" in plan:
+        probs.append("ADC kernel degraded to row-at-a-time Python")
     return probs
 
 
-@check("ivfpq: probe->list->code equi-joins only, no product, no Python")
+@check("ivfpq: probe->list->code equi-joins only, no product, Arrow kernels")
 def _ivfpq_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.pq import (formula_coarse,
                                                    formula_codebook,
@@ -925,8 +927,8 @@ def _ivfpq_plan(spark, sf_dir):
                               formula_codebook(8, 16, 8), k=5, nprobe=4))
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
         probs.append("IVF-PQ degenerated to a product join")
-    if "Python" in plan:
-        probs.append("assignment/ADC fell out of JVM codegen into Python")
+    if "BatchEvalPython" in plan:
+        probs.append("assignment/ADC degraded to row-at-a-time Python")
     return probs
 
 
