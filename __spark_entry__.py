@@ -4850,6 +4850,109 @@ FROM base b JOIN meanlist m USING (grp)
 """
 
 
+def _q_analytics_conformal_orders(spark, sf_dir):
+    """Split conformal intervals (analytics.py conformal_interval): a
+    synthetic model (0.9·price + 1000) calibrated on even order keys
+    wraps odd-key predictions in distribution-free 90% intervals. The
+    k-th order statistic comes from the bounded quantized-residual table;
+    the oracle replays residuals, the ⌈(n+1)(1−α)⌉ rank, the cumulative
+    cut, and the interval projection."""
+    from bid_evaluation_spark.operators.analytics import conformal_interval
+
+    orders = _t(spark, sf_dir, "orders")
+    pred = (F.col("o_totalprice") * 0.9 + 1000.0).alias("pred")
+    cal = (orders.filter(F.col("o_orderkey") % 2 == 0)
+           .select(pred, F.col("o_totalprice").alias("actual")))
+    tgt = (orders.filter(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", pred))
+    res = conformal_interval(cal, tgt, alpha=0.1, digits=6)
+    return res.select("o_orderkey", _r4("pred").alias("pred"),
+                      _r4("conf_lo").alias("conf_lo"),
+                      _r4("conf_hi").alias("conf_hi"))
+
+
+_SQL_ANALYTICS_CONFORMAL_ORDERS = """
+WITH cal AS (
+  SELECT round(abs(o_totalprice - (o_totalprice * 0.9 + 1000.0))
+               * 1000000.0) / 1000000.0 AS r
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+meta AS (
+  SELECT count(*) AS n,
+         CAST(ceil((count(*) + 1) * (1.0 - 0.1)) AS BIGINT) AS k
+  FROM cal
+),
+per_r AS (SELECT r, count(*) AS c FROM cal GROUP BY r),
+cum AS (
+  SELECT r, sum(c) OVER (ORDER BY r
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+  FROM per_r
+),
+q AS (SELECT min(r) AS qhat FROM cum, meta WHERE cc >= meta.k)
+SELECT o_orderkey,
+  round((o_totalprice * 0.9 + 1000.0) * 10000.0) / 10000.0 AS pred,
+  round(((o_totalprice * 0.9 + 1000.0) - (SELECT qhat FROM q))
+        * 10000.0) / 10000.0 AS conf_lo,
+  round(((o_totalprice * 0.9 + 1000.0) + (SELECT qhat FROM q))
+        * 10000.0) / 10000.0 AS conf_hi
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+def _q_profile_corr_lineitem(spark, sf_dir):
+    """Pairwise Pearson correlation matrix (profile.py
+    correlation_matrix) over the four lineitem measures — ONE fused
+    sufficient-statistics pass, k² expressions, no shuffle beyond the
+    aggregate. The oracle replays n/Σx/Σx²/Σxy and the exact formula
+    arithmetic."""
+    from bid_evaluation_spark.operators.profile import correlation_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    res = correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return res.select("col_a", "col_b", _r4("r").alias("r"),
+                      F.col("n").cast("long").alias("n"))
+
+
+_SQL_PROFILE_CORR_LINEITEM = """
+WITH s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_i,
+    sum(l_quantity) AS s_q, sum(l_quantity * l_quantity) AS ss_q,
+    sum(l_extendedprice) AS s_e,
+    sum(l_extendedprice * l_extendedprice) AS ss_e,
+    sum(l_discount) AS s_d, sum(l_discount * l_discount) AS ss_d,
+    sum(l_tax) AS s_t, sum(l_tax * l_tax) AS ss_t,
+    sum(l_quantity * l_extendedprice) AS x_qe,
+    sum(l_quantity * l_discount) AS x_qd,
+    sum(l_quantity * l_tax) AS x_qt,
+    sum(l_extendedprice * l_discount) AS x_ed,
+    sum(l_extendedprice * l_tax) AS x_et,
+    sum(l_discount * l_tax) AS x_dt
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+)
+SELECT p.col_a, p.col_b,
+  round((p.num / (sqrt(p.va) * sqrt(p.vb))) * 10000.0) / 10000.0 AS r,
+  CAST(s.n_i AS BIGINT) AS n
+FROM s, LATERAL (VALUES
+  ('l_extendedprice', 'l_quantity',
+   n * x_qe - s_q * s_e, n * ss_q - s_q * s_q, n * ss_e - s_e * s_e),
+  ('l_discount', 'l_quantity',
+   n * x_qd - s_q * s_d, n * ss_q - s_q * s_q, n * ss_d - s_d * s_d),
+  ('l_quantity', 'l_tax',
+   n * x_qt - s_q * s_t, n * ss_q - s_q * s_q, n * ss_t - s_t * s_t),
+  ('l_discount', 'l_extendedprice',
+   n * x_ed - s_e * s_d, n * ss_e - s_e * s_e, n * ss_d - s_d * s_d),
+  ('l_extendedprice', 'l_tax',
+   n * x_et - s_e * s_t,
+   n * ss_e - s_e * s_e, n * ss_t - s_t * s_t),
+  ('l_discount', 'l_tax',
+   n * x_dt - s_d * s_t, n * ss_d - s_d * s_d, n * ss_t - s_t * s_t)
+) AS p(col_a, col_b, num, va, vb)
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8298,6 +8401,10 @@ _QUERIES: dict = {
     "pipe_neyman_orders": (_q_pipe_neyman_orders, _SQL_PIPE_NEYMAN_ORDERS),
     "analytics_bootstrap_orders": (_q_analytics_bootstrap_orders,
                                    _SQL_ANALYTICS_BOOTSTRAP_ORDERS),
+    "analytics_conformal_orders": (_q_analytics_conformal_orders,
+                                   _SQL_ANALYTICS_CONFORMAL_ORDERS),
+    "profile_corr_lineitem": (_q_profile_corr_lineitem,
+                              _SQL_PROFILE_CORR_LINEITEM),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

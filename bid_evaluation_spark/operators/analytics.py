@@ -773,3 +773,54 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, value_col: str,
         group_col, "n_rows", "mean",
         F.element_at(means, lo_i + 1).alias("ci_lo"),
         F.element_at(means, hi_i + 1).alias("ci_hi"))
+
+
+def conformal_interval(cal: DataFrame, target: DataFrame,
+                       pred_col: str = "pred", actual_col: str = "actual",
+                       alpha: float = 0.1, digits: int = 6) -> DataFrame:
+    """Split conformal prediction intervals (Vovk et al.; Lei et al. 2018
+    — public methodology): from a CALIBRATION set of (prediction, actual)
+    pairs, find the finite-sample-corrected quantile of absolute
+    residuals ``q̂ = k``-th smallest with ``k = ⌈(n+1)(1−α)⌉``, then wrap
+    every target prediction in ``[pred − q̂, pred + q̂]`` — distribution-
+    free ≥(1−α) coverage, no model access needed. The uncertainty
+    companion to :func:`poisson_bootstrap_ci` for per-row predictions.
+
+    Scale machinery: the k-th order statistic comes from the bounded
+    quantized-residual table (|r| rounded to ``digits`` decimals —
+    ≤10^digits rows whatever the calibration size) via one cumulative
+    window: the smallest quantized residual whose cumulative count
+    reaches k. Exact on the quantized residuals (1e-6 resolution by
+    default, documented); q̂ then applies to targets as a map-only
+    projection. Returns the target frame plus ``(conf_lo, conf_hi)``.
+    Raises when the calibration set is empty or k exceeds it (α too
+    small for n — coverage would be vacuous).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    import math
+
+    scale = float(10 ** digits)
+    r = F.abs(F.col(actual_col).cast("double")
+              - F.col(pred_col).cast("double"))
+    rq = F.round(r * scale) / scale
+    rows = (cal.filter(F.col(actual_col).isNotNull()
+                       & F.col(pred_col).isNotNull())
+            .select(rq.alias("_r")))
+    n = rows.count()
+    k = math.ceil((n + 1) * (1.0 - alpha))
+    if n == 0 or k > n:
+        raise ValueError(
+            f"calibration too small: n={n}, need k={k} <= n "
+            f"(alpha={alpha} unattainable — collect more calibration rows)")
+    per_r = rows.groupBy("_r").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy("_r").rowsBetween(Window.unboundedPreceding,
+                                         Window.currentRow)
+    q_hat = (per_r.withColumn("_cum", F.sum("_c").over(w))
+             .filter(F.col("_cum") >= k)
+             .agg(F.min("_r")).collect()[0][0])
+    p = F.col(pred_col).cast("double")
+    return target.select(
+        "*",
+        (p - F.lit(float(q_hat))).alias("conf_lo"),
+        (p + F.lit(float(q_hat))).alias("conf_hi"))

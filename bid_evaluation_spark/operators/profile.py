@@ -255,3 +255,52 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10,
                     .cast("long"))
         .orderBy(F.desc("key_rows"), F.asc(key_col))
         .limit(top_k), [counts])
+
+
+def correlation_matrix(df: DataFrame, cols) -> DataFrame:
+    """Pairwise Pearson correlations for ``cols`` from ONE fused
+    aggregation pass of sufficient statistics (n, Σx per column, Σxy per
+    pair): ``r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))``
+    — the profiling step that finds redundant features/columns before
+    training. Listwise complete-case: rows with a null in ANY profiled
+    column are excluded (pairwise-complete would make the per-pair n's
+    differ silently; the dropped-row count is visible as n). Returns one
+    row per unordered pair ``(col_a, col_b, r, n)`` with ``col_a <
+    col_b`` lexicographically; ``r`` is null when either column is
+    constant (zero variance). O(k²) expressions in one scan — no
+    shuffle beyond the single aggregate, no driver loop over data.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need at least 2 columns, got {cols}")
+    base = df
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        x = F.col(c).cast("double")
+        aggs.append(F.sum(x).alias(f"_s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(F.sum(F.col(a).cast("double")
+                              * F.col(b).cast("double"))
+                        .alias(f"_sxy_{a}_{b}"))
+    stats = base.agg(*aggs)
+
+    pairs = []
+    n = F.col("_n").cast("double")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            ca, cb = (a, b) if a < b else (b, a)
+            num = n * F.col(f"_sxy_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+            va = n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+            vb = n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+            r = F.when((va > 0) & (vb > 0),
+                       num / (F.sqrt(va) * F.sqrt(vb)))
+            pairs.append(F.struct(F.lit(ca).alias("col_a"),
+                                  F.lit(cb).alias("col_b"),
+                                  r.alias("r"),
+                                  F.col("_n").alias("n")))
+    return (stats.select(F.explode(F.array(*pairs)).alias("p"))
+            .select("p.col_a", "p.col_b", "p.r", "p.n"))

@@ -744,3 +744,53 @@ class TestPoissonBootstrap:
             poisson_bootstrap_ci(df, "grp", "v", n_boot=1)
         with pytest.raises(ValueError):
             poisson_bootstrap_ci(df, "grp", "v", lo=0.9, hi=0.1)
+
+
+class TestConformalInterval:
+    def _cal(self, spark, residuals):
+        rows = [(float(100 + r), 100.0) for r in residuals]
+        return spark.createDataFrame(rows, "actual double, pred double") \
+            .select(F.col("pred"), F.col("actual"))
+
+    def test_known_quantile_and_coverage_rule(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            conformal_interval)
+
+        # residuals 1..10; alpha=0.2 → k = ceil(11*0.8) = 9 → q = 9
+        cal = self._cal(spark, range(1, 11))
+        tgt = spark.createDataFrame([(1, 50.0), (2, 60.0)],
+                                    "id long, pred double")
+        out = {r["id"]: r for r in
+               conformal_interval(cal, tgt, alpha=0.2).collect()}
+        assert out[1]["conf_lo"] == pytest.approx(41.0)
+        assert out[1]["conf_hi"] == pytest.approx(59.0)
+        assert out[2]["conf_lo"] == pytest.approx(51.0)
+
+    def test_empirical_coverage(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.analytics import (
+            conformal_interval)
+
+        rng = np.random.RandomState(2)
+        cal_rows = [(float(p), float(p + e)) for p, e in
+                    zip(rng.uniform(0, 100, 500), rng.normal(0, 5, 500))]
+        cal = spark.createDataFrame(cal_rows, "pred double, actual double")
+        tst = [(i, float(p), float(p + e)) for i, (p, e) in
+               enumerate(zip(rng.uniform(0, 100, 500),
+                             rng.normal(0, 5, 500)))]
+        tgt = spark.createDataFrame(tst, "id long, pred double, y double")
+        out = conformal_interval(cal, tgt, alpha=0.1).collect()
+        covered = sum(1 for r in out if r["conf_lo"] <= r["y"] <= r["conf_hi"])
+        assert covered / len(out) >= 0.85  # ≥ 1−α up to finite-sample noise
+
+    def test_validation(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            conformal_interval)
+
+        cal = self._cal(spark, [1.0])
+        tgt = spark.createDataFrame([(1, 5.0)], "id long, pred double")
+        with pytest.raises(ValueError):   # k=2 > n=1
+            conformal_interval(cal, tgt, alpha=0.1)
+        with pytest.raises(ValueError):
+            conformal_interval(cal, tgt, alpha=1.5)

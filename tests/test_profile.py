@@ -112,3 +112,40 @@ def test_key_skew_report(spark):
     assert hot["skew_ratio"] == pytest.approx(3.2)
     assert hot["salt_factor"] == 8
     assert got[2]["key_rows"] == 4   # null keys are a real (reported) key
+
+
+class TestCorrelationMatrix:
+    def test_matches_numpy(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.profile import correlation_matrix
+
+        rng = np.random.RandomState(4)
+        a = rng.normal(0, 1, 200)
+        b = 2 * a + rng.normal(0, 0.5, 200)   # strongly correlated
+        c = rng.normal(0, 1, 200)             # independent
+        df = spark.createDataFrame(
+            [(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+            "a double, b double, c double")
+        got = {(r["col_a"], r["col_b"]): r["r"]
+               for r in correlation_matrix(df, ["a", "b", "c"]).collect()}
+        want = np.corrcoef(np.vstack([a, b, c]))
+        assert got[("a", "b")] == pytest.approx(want[0, 1], abs=1e-9)
+        assert got[("a", "c")] == pytest.approx(want[0, 2], abs=1e-9)
+        assert got[("b", "c")] == pytest.approx(want[1, 2], abs=1e-9)
+        assert got[("a", "b")] > 0.9 and abs(got[("a", "c")]) < 0.3
+
+    def test_constant_column_null_and_listwise(self, spark):
+        from bid_evaluation_spark.operators.profile import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0, 1.0), (2.0, 5.0, None), (3.0, 5.0, 3.0)],
+            "x double, k double, z double")
+        rows = {(r["col_a"], r["col_b"]): r
+                for r in correlation_matrix(df, ["x", "k", "z"]).collect()}
+        assert rows[("k", "x")]["r"] is None      # constant column
+        assert rows[("x", "z")]["n"] == 2         # listwise null drop
+        assert rows[("x", "z")]["r"] == pytest.approx(1.0)
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            correlation_matrix(df, ["x"])
