@@ -4953,6 +4953,45 @@ FROM s, LATERAL (VALUES
 """
 
 
+def _q_ts_seasonal_naive_events(spark, sf_dir):
+    """Seasonal-naive backtest with MASE (timeseries.py
+    seasonal_naive_backtest, Hyndman & Koehler 2006): per-user season-7
+    forecast scored by MAE / one-step-naive MAE — two lag windows + one
+    aggregate, the mandatory pre-model baseline. The oracle replays both
+    lags and the ratio."""
+    from bid_evaluation_spark.operators.timeseries import (
+        seasonal_naive_backtest)
+
+    ev = _t(spark, sf_dir, "events")
+    res = seasonal_naive_backtest(ev, "user_id", "ts", "value", season=7,
+                                  tiebreak_col="event_id")
+    return res.select("user_id", F.col("n_eval").cast("long").alias("n_eval"),
+                      _r4("mae").alias("mae"), _r4("mase").alias("mase"))
+
+
+_SQL_TS_SEASONAL_NAIVE_EVENTS = """
+WITH lagged AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+    lag(CAST(value AS DOUBLE), 7) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS f,
+    lag(CAST(value AS DOUBLE), 1) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS p
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+per_key AS (
+  SELECT user_id, count(f) AS n_eval,
+    avg(abs(v - f)) AS mae,
+    avg(CASE WHEN f IS NOT NULL THEN abs(v - p) END) AS mae_naive
+  FROM lagged GROUP BY user_id
+)
+SELECT user_id, CAST(n_eval AS BIGINT) AS n_eval,
+  round(mae * 10000.0) / 10000.0 AS mae,
+  round(CASE WHEN mae_naive > 0 THEN mae / mae_naive END
+        * 10000.0) / 10000.0 AS mase
+FROM per_key
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8405,6 +8444,8 @@ _QUERIES: dict = {
                                    _SQL_ANALYTICS_CONFORMAL_ORDERS),
     "profile_corr_lineitem": (_q_profile_corr_lineitem,
                               _SQL_PROFILE_CORR_LINEITEM),
+    "ts_seasonal_naive_events": (_q_ts_seasonal_naive_events,
+                                 _SQL_TS_SEASONAL_NAIVE_EVENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -386,3 +386,40 @@ def cusum_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
                       F.col("_tb").alias(tiebreak_col),
                       F.col("_v").alias("value"),
                       "cusum_pos", "cusum_neg", "alarm")
+
+
+def seasonal_naive_backtest(df: DataFrame, key_col: str, ts_col: str,
+                            value_col: str, season: int,
+                            tiebreak_col: str) -> DataFrame:
+    """Per-key seasonal-naive forecast backtest: forecast ŷ_t = y_{t−m}
+    (the value one season back in event order) scored by MAE and MASE —
+    MASE = MAE / MAE(one-step naive), the scale-free accuracy measure of
+    Hyndman & Koehler 2006. The mandatory BASELINE before any real
+    forecasting model ships: a model that can't beat seasonal-naive
+    (MASE < 1 on this readout) is noise.
+
+    Two ``lag`` windows per key (season and 1) + one per-key aggregate —
+    no Python, no cross-row recurrence. Rows lacking a lag (the first
+    ``season`` per key) don't score; keys with fewer than ``season + 2``
+    rows return null metrics (no evaluable forecast), and a constant
+    series returns null MASE (naive denominator 0) rather than ∞.
+    Returns ``(key_col, n_eval, mae, mase)``.
+    """
+    if season < 1:
+        raise ValueError(f"season must be positive, got {season}")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).cast("double"),
+                                            F.col(tiebreak_col))
+    lagged = (df.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+              .select(key_col, v.alias("_v"),
+                      F.lag(v, season).over(w).alias("_f"),
+                      F.lag(v, 1).over(w).alias("_p")))
+    per_key = (lagged.groupBy(key_col).agg(
+        F.count("_f").alias("n_eval"),
+        F.avg(F.abs(F.col("_v") - F.col("_f"))).alias("mae"),
+        F.avg(F.when(F.col("_f").isNotNull(),
+                     F.abs(F.col("_v") - F.col("_p")))).alias("_mae_naive")))
+    return per_key.select(
+        key_col, "n_eval", "mae",
+        F.when(F.col("_mae_naive") > 0,
+               F.col("mae") / F.col("_mae_naive")).alias("mase"))

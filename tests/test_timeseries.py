@@ -380,3 +380,50 @@ def test_streaming_cusum_matches_batch(spark, tmp_path):
                                    target=10.0, slack=1.0,
                                    threshold=4.0).collect()}
     assert got == batch
+
+
+class TestSeasonalNaiveBacktest:
+    def test_known_values(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            seasonal_naive_backtest)
+
+        # season 2 over [1,2,3,4,5,6]: forecasts 1,2,3,4 for rows 3..6
+        rows = [("u", float(i), i, float(i + 1)) for i in range(6)]
+        df = spark.createDataFrame(rows, "k string, ts double, eid long, "
+                                         "v double")
+        out = seasonal_naive_backtest(df, "k", "ts", "v", season=2,
+                                      tiebreak_col="eid").collect()[0]
+        assert out["n_eval"] == 4
+        assert out["mae"] == pytest.approx(2.0)   # every error is 2
+        assert out["mase"] == pytest.approx(2.0)  # naive errors are 1
+
+    def test_perfectly_seasonal_series_scores_zero(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            seasonal_naive_backtest)
+
+        pattern = [10.0, 20.0, 30.0]
+        rows = [("u", float(i), i, pattern[i % 3]) for i in range(12)]
+        df = spark.createDataFrame(rows, "k string, ts double, eid long, "
+                                         "v double")
+        out = seasonal_naive_backtest(df, "k", "ts", "v", season=3,
+                                      tiebreak_col="eid").collect()[0]
+        assert out["mae"] == 0.0 and out["mase"] == 0.0
+
+    def test_short_and_constant_keys(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.timeseries import (
+            seasonal_naive_backtest)
+
+        rows = ([("short", float(i), i, float(i)) for i in range(2)]
+                + [("const", float(i), i, 5.0) for i in range(10)])
+        df = spark.createDataFrame(rows, "k string, ts double, eid long, "
+                                         "v double")
+        out = {r["k"]: r for r in seasonal_naive_backtest(
+            df, "k", "ts", "v", season=3, tiebreak_col="eid").collect()}
+        assert out["short"]["n_eval"] == 0 and out["short"]["mae"] is None
+        assert out["const"]["mae"] == 0.0
+        assert out["const"]["mase"] is None   # naive denominator 0, not inf
+        with _pt.raises(ValueError):
+            seasonal_naive_backtest(df, "k", "ts", "v", season=0,
+                                    tiebreak_col="eid")
