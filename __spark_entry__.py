@@ -4992,6 +4992,57 @@ FROM per_key
 """
 
 
+def _q_analytics_conformal_group_orders(spark, sf_dir):
+    """Group-conditional conformal intervals (analytics.py
+    conformal_interval_by_group): per-priority residual quantiles via a
+    partitioned cumulative window + ceil((n_g+1)(1−α)) rank, broadcast
+    back by equi-join — per-slice coverage with unbounded group
+    cardinality. Oracle replays the whole per-group pipeline."""
+    from bid_evaluation_spark.operators.analytics import (
+        conformal_interval_by_group)
+
+    orders = _t(spark, sf_dir, "orders")
+    pred = (F.col("o_totalprice") * 0.9 + 1000.0).alias("pred")
+    cal = (orders.filter(F.col("o_orderkey") % 2 == 0)
+           .select("o_orderpriority", pred,
+                   F.col("o_totalprice").alias("actual")))
+    tgt = (orders.filter(F.col("o_orderkey") % 2 == 1)
+           .select("o_orderkey", "o_orderpriority", pred))
+    res = conformal_interval_by_group(cal, tgt, "o_orderpriority",
+                                      alpha=0.1, digits=6)
+    return res.select("o_orderkey", "o_orderpriority",
+                      _r4("pred").alias("pred"),
+                      _r4("conf_lo").alias("conf_lo"),
+                      _r4("conf_hi").alias("conf_hi"))
+
+
+_SQL_ANALYTICS_CONFORMAL_GROUP_ORDERS = """
+WITH cal AS (
+  SELECT o_orderpriority AS g,
+    round(abs(o_totalprice - (o_totalprice * 0.9 + 1000.0))
+          * 1000000.0) / 1000000.0 AS r
+  FROM orders WHERE o_orderkey % 2 = 0
+),
+per_r AS (SELECT g, r, count(*) AS c FROM cal GROUP BY g, r),
+cum AS (
+  SELECT g, r,
+    sum(c) OVER (PARTITION BY g ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+    ceil((sum(c) OVER (PARTITION BY g) + 1) * 0.9) AS k
+  FROM per_r
+),
+hats AS (SELECT g, min(r) AS qhat FROM cum WHERE cc >= k GROUP BY g)
+SELECT t.o_orderkey, t.o_orderpriority,
+  round(t.pred * 10000.0) / 10000.0 AS pred,
+  round((t.pred - h.qhat) * 10000.0) / 10000.0 AS conf_lo,
+  round((t.pred + h.qhat) * 10000.0) / 10000.0 AS conf_hi
+FROM (SELECT o_orderkey, o_orderpriority,
+             o_totalprice * 0.9 + 1000.0 AS pred
+      FROM orders WHERE o_orderkey % 2 = 1) t
+LEFT JOIN hats h ON h.g = t.o_orderpriority
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8446,6 +8497,9 @@ _QUERIES: dict = {
                               _SQL_PROFILE_CORR_LINEITEM),
     "ts_seasonal_naive_events": (_q_ts_seasonal_naive_events,
                                  _SQL_TS_SEASONAL_NAIVE_EVENTS),
+    "analytics_conformal_group_orders": (
+        _q_analytics_conformal_group_orders,
+        _SQL_ANALYTICS_CONFORMAL_GROUP_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

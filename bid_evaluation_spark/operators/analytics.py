@@ -824,3 +824,48 @@ def conformal_interval(cal: DataFrame, target: DataFrame,
         "*",
         (p - F.lit(float(q_hat))).alias("conf_lo"),
         (p + F.lit(float(q_hat))).alias("conf_hi"))
+
+
+def conformal_interval_by_group(cal: DataFrame, target: DataFrame,
+                                group_col: str, pred_col: str = "pred",
+                                actual_col: str = "actual",
+                                alpha: float = 0.1,
+                                digits: int = 6) -> DataFrame:
+    """Group-conditional split conformal: one residual quantile PER GROUP
+    (domain / language / source), giving ≥(1−α) coverage within each
+    group instead of only marginally — the per-domain calibration an
+    LLM-eval pipeline needs when error scales differ across slices.
+
+    Same machinery as :func:`conformal_interval` but the quantized
+    residual table and the cumulative window PARTITION by the group, the
+    per-group ``k = ⌈(n_g+1)(1−α)⌉`` comes from a count aggregate, and
+    q̂ broadcasts back via an equi-join (unbounded group cardinality —
+    never driver literals). Target rows whose group has no attainable
+    calibration quantile (``k > n_g``, including unseen groups) get null
+    bounds — visible, not silently global-calibrated.
+    Returns the target frame plus ``(conf_lo, conf_hi)``.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0,1), got {alpha}")
+    scale = float(10 ** digits)
+    r = F.abs(F.col(actual_col).cast("double")
+              - F.col(pred_col).cast("double"))
+    rq = F.round(r * scale) / scale
+    rows = (cal.filter(F.col(actual_col).isNotNull()
+                       & F.col(pred_col).isNotNull())
+            .select(F.col(group_col), rq.alias("_r")))
+    per_r = rows.groupBy(group_col, "_r").agg(F.count(F.lit(1)).alias("_c"))
+    wn = Window.partitionBy(group_col)
+    wcum = (Window.partitionBy(group_col).orderBy("_r")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    k = F.ceil((F.sum("_c").over(wn) + 1) * F.lit(1.0 - alpha))
+    hats = (per_r
+            .withColumn("_cum", F.sum("_c").over(wcum))
+            .withColumn("_k", k)
+            .filter(F.col("_cum") >= F.col("_k"))
+            .groupBy(group_col).agg(F.min("_r").alias("_qhat")))
+    p = F.col(pred_col).cast("double")
+    return (target.join(hats, [group_col], "left")
+            .select(*[F.col(c) for c in target.columns],
+                    (p - F.col("_qhat")).alias("conf_lo"),
+                    (p + F.col("_qhat")).alias("conf_hi")))

@@ -794,3 +794,37 @@ class TestConformalInterval:
             conformal_interval(cal, tgt, alpha=0.1)
         with pytest.raises(ValueError):
             conformal_interval(cal, tgt, alpha=1.5)
+
+
+class TestConformalByGroup:
+    def test_per_group_quantiles_differ(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            conformal_interval_by_group)
+
+        # group a: residuals 1..10, group b: residuals 10..100 (x10)
+        rows = ([("a", 100.0, float(100 + r)) for r in range(1, 11)]
+                + [("b", 100.0, float(100 + 10 * r)) for r in range(1, 11)])
+        cal = spark.createDataFrame(rows, "g string, pred double, "
+                                          "actual double")
+        tgt = spark.createDataFrame([(1, "a", 50.0), (2, "b", 50.0),
+                                     (3, "zz", 50.0)],
+                                    "id long, g string, pred double")
+        out = {r["id"]: r for r in conformal_interval_by_group(
+            cal, tgt, "g", alpha=0.2).collect()}
+        # k = ceil(11*0.8) = 9 → q_a = 9, q_b = 90
+        assert out[1]["conf_hi"] == pytest.approx(59.0)
+        assert out[2]["conf_hi"] == pytest.approx(140.0)
+        # unseen group: null bounds, row kept
+        assert out[3]["conf_lo"] is None and out[3]["conf_hi"] is None
+
+    def test_unattainable_alpha_group_is_null(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            conformal_interval_by_group)
+
+        cal = spark.createDataFrame([("tiny", 1.0, 2.0)],
+                                    "g string, pred double, actual double")
+        tgt = spark.createDataFrame([(1, "tiny", 5.0)],
+                                    "id long, g string, pred double")
+        out = conformal_interval_by_group(cal, tgt, "g",
+                                          alpha=0.1).collect()[0]
+        assert out["conf_lo"] is None  # k=2 > n_g=1

@@ -949,6 +949,31 @@ def _span_plan(spark, sf_dir):
     return probs
 
 
+@check("stat ops: corr one fused agg; conformal bounded windows; backtest lag-only")
+def _stat_ops_plan(spark, sf_dir):
+    from bid_evaluation_spark.operators.profile import correlation_matrix
+    from bid_evaluation_spark.operators.timeseries import (
+        seasonal_naive_backtest)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = plan_of(correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]))
+    if plan.count("HashAggregate") + plan.count("SortAggregate") > 2:
+        probs.append("correlation should be ONE fused agg (partial+final)")
+    if "Join" in plan:
+        probs.append("correlation needs no join")
+    ev = load_table(spark, sf_dir, "events")
+    plan = plan_of(seasonal_naive_backtest(ev, "user_id", "ts", "value", 7,
+                                           "event_id"))
+    if "CartesianProduct" in plan or "Python" in plan:
+        probs.append("backtest should be lag windows + agg only")
+    if "Window" in plan and "user_id" not in plan.split("Window")[1][:400]:
+        probs.append("lag window not partitioned by key")
+    return probs
+
+
 @check("dsir: bounded ratio table broadcast to the feature stream, no product")
 def _dsir_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.dsir import dsir_logweights
