@@ -5043,6 +5043,50 @@ LEFT JOIN hats h ON h.g = t.o_orderpriority
 """
 
 
+def _q_profile_fingerprint_orders(spark, sf_dir):
+    """Content-fingerprint manifest (profile.py table_fingerprint): 256
+    buckets of (count, two mod-prime row-hash checksums) over a
+    portably-canonicalized projection of orders — the tiny manifest that
+    answers "did this table change, and where" across engines/copies.
+    Doubles are pre-folded to integer cents (round·100→long) because
+    double→string casts format differently across engines (Spark
+    scientific vs DuckDB decimal) — the operator contract documents
+    this. The oracle rebuilds every row hash and checksum."""
+    from bid_evaluation_spark.operators.profile import table_fingerprint
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderpriority")
+    res = table_fingerprint(orders, buckets=256)
+    return res.select(F.col("bucket").cast("long").alias("bucket"),
+                      "n_rows", "checksum", "checksum2")
+
+
+_SQL_PROFILE_FINGERPRINT_ORDERS = """
+WITH src AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS c1,
+         CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) AS c2,
+         o_orderpriority AS c3
+  FROM orders
+),
+hashed AS (
+  SELECT
+    CAST(('0x' || substr(md5(concat_ws(chr(1), c1, c2, c3)), 1, 15))
+         AS BIGINT) AS h,
+    CAST(('0x' || substr(md5(concat_ws(chr(1), c1, c2, c3)
+                             || chr(2) || 'salt'), 1, 15))
+         AS BIGINT) AS h2
+  FROM src
+)
+SELECT CAST(h % 256 AS BIGINT) AS bucket,
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(h % 1000003) AS BIGINT) AS checksum,
+  CAST(sum(h2 % 1000003) AS BIGINT) AS checksum2
+FROM hashed GROUP BY h % 256
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8500,6 +8544,8 @@ _QUERIES: dict = {
     "analytics_conformal_group_orders": (
         _q_analytics_conformal_group_orders,
         _SQL_ANALYTICS_CONFORMAL_GROUP_ORDERS),
+    "profile_fingerprint_orders": (_q_profile_fingerprint_orders,
+                                   _SQL_PROFILE_FINGERPRINT_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

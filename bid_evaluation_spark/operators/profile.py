@@ -304,3 +304,69 @@ def correlation_matrix(df: DataFrame, cols) -> DataFrame:
                                   F.col("_n").alias("n")))
     return (stats.select(F.explode(F.array(*pairs)).alias("p"))
             .select("p.col_a", "p.col_b", "p.r", "p.n"))
+
+
+#: prime modulus keeping per-bucket checksum sums far from int64 overflow
+_CKSUM_MOD = 1_000_003
+
+
+def table_fingerprint(df: DataFrame, cols=None,
+                      buckets: int = 256) -> DataFrame:
+    """Content fingerprint manifest: every row hashes (md5, portable) over
+    its canonicalized column values, lands in one of ``buckets`` cells,
+    and each cell aggregates ``(n_rows, checksum, checksum2)`` — two
+    independent mod-prime sums of the row hashes. Comparing two tables'
+    manifests (tiny: ``buckets`` rows) answers "is this copy/version
+    identical, and if not WHICH slice changed" without ever joining row
+    data — the integrity check before/after a 100-TB migration, where
+    `cdc.snapshot_diff` is the row-level follow-up on the buckets that
+    differ. Order-insensitive by construction (sums commute); column
+    ORDER matters (part of the schema contract). Nulls canonicalize to a
+    sentinel distinct from the string 'null'.
+
+    One partially-aggregated groupBy on the bucket key — map-side state
+    is ``buckets`` cells per task regardless of table size.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("no columns to fingerprint")
+    canon = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+             for c in cols]
+    h = F.conv(F.substring(F.md5(F.concat_ws("\x01", *canon)
+                                 .cast("binary")), 1, 15), 16, 10) \
+        .cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.concat_ws("\x01", *canon),
+                                           F.lit("\x02salt"))
+                                  .cast("binary")), 1, 15), 16, 10) \
+        .cast("long")
+    return (df.select(F.pmod(h, F.lit(buckets)).alias("bucket"),
+                      (h % F.lit(_CKSUM_MOD)).alias("_h1"),
+                      (h2 % F.lit(_CKSUM_MOD)).alias("_h2"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("_h1").alias("checksum"),
+                 F.sum("_h2").alias("checksum2")))
+
+
+def fingerprint_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Buckets where two :func:`table_fingerprint` manifests disagree —
+    full-outer join on the (tiny) bucket key; empty result ⟺ same row
+    multiset per bucket (up to the documented checksum collision odds).
+    Returns ``(bucket, n_rows_a, n_rows_b, checksum_a, checksum_b)``."""
+    an = (a.withColumnRenamed("n_rows", "n_rows_a")
+          .withColumnRenamed("checksum", "checksum_a")
+          .withColumnRenamed("checksum2", "checksum2_a"))
+    bn = (b.withColumnRenamed("n_rows", "n_rows_b")
+          .withColumnRenamed("checksum", "checksum_b")
+          .withColumnRenamed("checksum2", "checksum2_b"))
+    j = an.join(bn, ["bucket"], "full_outer")
+    diff = (F.coalesce(F.col("n_rows_a"), F.lit(-1))
+            != F.coalesce(F.col("n_rows_b"), F.lit(-1))) \
+        | (F.coalesce(F.col("checksum_a"), F.lit(-1))
+           != F.coalesce(F.col("checksum_b"), F.lit(-1))) \
+        | (F.coalesce(F.col("checksum2_a"), F.lit(-1))
+           != F.coalesce(F.col("checksum2_b"), F.lit(-1)))
+    return j.filter(diff).select("bucket", "n_rows_a", "n_rows_b",
+                                 "checksum_a", "checksum_b")

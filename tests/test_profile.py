@@ -149,3 +149,48 @@ class TestCorrelationMatrix:
         import pytest as _pt
         with _pt.raises(ValueError):
             correlation_matrix(df, ["x"])
+
+
+class TestTableFingerprint:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, v string")
+
+    def test_identical_tables_no_diff(self, spark):
+        from bid_evaluation_spark.operators.profile import (
+            fingerprint_diff, table_fingerprint)
+
+        a = self._df(spark, [(i, f"v{i}") for i in range(100)])
+        fa = table_fingerprint(a, buckets=16)
+        fb = table_fingerprint(self._df(spark,
+                                        [(i, f"v{i}")
+                                         for i in reversed(range(100))]),
+                               buckets=16)
+        assert fingerprint_diff(fa, fb).count() == 0  # order-insensitive
+
+    def test_single_row_change_localizes(self, spark):
+        from bid_evaluation_spark.operators.profile import (
+            fingerprint_diff, table_fingerprint)
+
+        a = self._df(spark, [(i, f"v{i}") for i in range(100)])
+        rows = [(i, f"v{i}") for i in range(100)]
+        rows[42] = (42, "CHANGED")
+        b = self._df(spark, rows)
+        diff = fingerprint_diff(table_fingerprint(a, buckets=16),
+                                table_fingerprint(b, buckets=16)).collect()
+        assert 1 <= len(diff) <= 2  # old row's bucket and/or new row's
+        total = table_fingerprint(a, buckets=16)
+        assert total.agg(F.sum("n_rows")).collect()[0][0] == 100
+
+    def test_null_vs_literal_null_string_differ(self, spark):
+        from bid_evaluation_spark.operators.profile import (
+            fingerprint_diff, table_fingerprint)
+
+        a = self._df(spark, [(1, None)])
+        b = self._df(spark, [(1, "null")])
+        assert fingerprint_diff(table_fingerprint(a),
+                                table_fingerprint(b)).count() > 0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            table_fingerprint(a, buckets=0)
+        with _pt.raises(ValueError):
+            table_fingerprint(a, cols=[])
