@@ -5087,6 +5087,65 @@ FROM hashed GROUP BY h % 256
 """
 
 
+def _q_fuzzy_fellegi_sunter_customer(spark, sf_dir):
+    """Fellegi-Sunter record-linkage scoring (fuzzy.py
+    fellegi_sunter_score): deterministic candidate pairs (custkey,
+    custkey+750), three field comparisons (segment equality, balance
+    within 100, nation equality) under pinned m/u probabilities —
+    log-likelihood-ratio sum and link/possible/non_link classes. The
+    oracle replays every agreement predicate and ln(m/u) weight."""
+    from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_score
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = (a.join(b, F.col("a_c_custkey") + 750 == F.col("b_c_custkey"))
+             .select(F.col("a_c_custkey").alias("a_id"),
+                     F.col("b_c_custkey").alias("b_id"),
+                     "a_c_mktsegment", "b_c_mktsegment",
+                     "a_c_acctbal", "b_c_acctbal",
+                     "a_c_nationkey", "b_c_nationkey"))
+    res = fellegi_sunter_score(pairs, {
+        "segment": (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+                    0.9, 0.2),
+        "balance": (F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal"))
+                    <= 100.0, 0.8, 0.05),
+        "nation": (F.col("a_c_nationkey") == F.col("b_c_nationkey"),
+                   0.95, 0.04),
+    }, lower=0.0, upper=2.0)
+    return res.select("a_id", "b_id",
+                      (_r4("fs_score") + F.lit(0.0)).alias("fs_score"),
+                      "fs_class")
+
+
+_SQL_FUZZY_FELLEGI_SUNTER_CUSTOMER = """
+WITH pairs AS (
+  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+    (a.c_mktsegment = b.c_mktsegment) AS agree_seg,
+    (abs(a.c_acctbal - b.c_acctbal) <= 100.0) AS agree_bal,
+    (a.c_nationkey = b.c_nationkey) AS agree_nat
+  FROM customer a JOIN customer b ON a.c_custkey + 750 = b.c_custkey
+),
+scored AS (
+  SELECT a_id, b_id,
+    0.0
+    + (CASE WHEN COALESCE(agree_seg, FALSE) THEN ln(0.9 / 0.2)
+            ELSE ln((1.0 - 0.9) / (1.0 - 0.2)) END)
+    + (CASE WHEN COALESCE(agree_bal, FALSE) THEN ln(0.8 / 0.05)
+            ELSE ln((1.0 - 0.8) / (1.0 - 0.05)) END)
+    + (CASE WHEN COALESCE(agree_nat, FALSE) THEN ln(0.95 / 0.04)
+            ELSE ln((1.0 - 0.95) / (1.0 - 0.04)) END) AS fs_score
+  FROM pairs
+)
+SELECT a_id, b_id,
+  round(fs_score * 10000.0) / 10000.0 + 0.0 AS fs_score,
+  CASE WHEN fs_score >= 2.0 THEN 'link'
+       WHEN fs_score >= 0.0 THEN 'possible'
+       ELSE 'non_link' END AS fs_class
+FROM scored
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8546,6 +8605,8 @@ _QUERIES: dict = {
         _SQL_ANALYTICS_CONFORMAL_GROUP_ORDERS),
     "profile_fingerprint_orders": (_q_profile_fingerprint_orders,
                                    _SQL_PROFILE_FINGERPRINT_ORDERS),
+    "fuzzy_fellegi_sunter_customer": (_q_fuzzy_fellegi_sunter_customer,
+                                      _SQL_FUZZY_FELLEGI_SUNTER_CUSTOMER),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

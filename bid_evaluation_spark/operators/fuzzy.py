@@ -116,3 +116,46 @@ def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "name",
                 .filter(F.col("dist") <= max_dist)
                 .select("l_id", "r_id", F.col("dist").cast("long")))
     return verified
+
+
+def fellegi_sunter_score(pairs: DataFrame, comparisons: dict,
+                         lower: float = 0.0,
+                         upper: float = 4.0) -> DataFrame:
+    """Fellegi-Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter, JASA 1969 — the canonical ER decision model): each field
+    comparison contributes ``ln(m/u)`` on agreement and
+    ``ln((1−m)/(1−u))`` on disagreement; the summed log-likelihood ratio
+    classifies pairs into ``link`` / ``possible`` / ``non_link`` by the
+    two thresholds. The probabilistic upgrade over the plain edit-
+    distance verify in :func:`fuzzy_join`: fields carry different
+    evidence weights (a matching rare field means more than a matching
+    common one).
+
+    ``comparisons`` maps field name → ``(agree_col, m, u)`` where
+    ``agree_col`` is a BOOLEAN Column over the pairs frame (exact
+    equality, within-epsilon, token overlap — caller's choice; null
+    agreement counts as disagreement, documented). ``m``/``u`` are the
+    pinned match/non-match agreement probabilities — train them via EM
+    or label audits offline; this op is the scoring pass. Map-only:
+    score and class are pure projections over the candidate-pair frame
+    (generation stays the blocking join's job).
+    """
+    import math
+
+    if not comparisons:
+        raise ValueError("need at least one field comparison")
+    if not lower <= upper:
+        raise ValueError(f"need lower <= upper, got {lower} > {upper}")
+    score = F.lit(0.0)
+    for field, (agree, m, u) in comparisons.items():
+        if not 0 < m < 1 or not 0 < u < 1:
+            raise ValueError(f"{field}: m/u must be in (0,1), got {m}, {u}")
+        w_agree = math.log(m / u)
+        w_dis = math.log((1.0 - m) / (1.0 - u))
+        score = score + F.when(F.coalesce(agree, F.lit(False)),
+                               F.lit(w_agree)).otherwise(F.lit(w_dis))
+    cls = (F.when(score >= F.lit(float(upper)), F.lit("link"))
+           .when(score >= F.lit(float(lower)), F.lit("possible"))
+           .otherwise(F.lit("non_link")))
+    return pairs.select("*", score.alias("fs_score"),
+                        cls.alias("fs_class"))

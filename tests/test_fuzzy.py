@@ -74,3 +74,59 @@ def test_validation(spark):
         fuzzy_join(df, df, "name", "id", "id", max_dist=0)
     with pytest.raises(ValueError, match="q must"):
         fuzzy_join(df, df, "name", "id", "id", q=0)
+
+
+class TestFellegiSunter:
+    def _pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2, "A", "A", 10.0, 12.0),
+             (3, 4, "A", "B", 10.0, 500.0),
+             (5, 6, "A", "A", 10.0, 900.0),
+             (7, 8, None, "A", None, 5.0)],
+            "a_id long, b_id long, a_seg string, b_seg string, "
+            "a_bal double, b_bal double")
+
+    def _comparisons(self):
+        from pyspark.sql import functions as F
+        return {
+            "seg": (F.col("a_seg") == F.col("b_seg"), 0.9, 0.1),
+            "bal": (F.abs(F.col("a_bal") - F.col("b_bal")) <= 50.0,
+                    0.8, 0.05),
+        }
+
+    def test_weights_and_classes(self, spark):
+        import math
+
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_score
+
+        out = {r["a_id"]: r for r in fellegi_sunter_score(
+            self._pairs(spark), self._comparisons(),
+            lower=0.0, upper=4.0).collect()}
+        w_seg_a, w_seg_d = math.log(0.9 / 0.1), math.log(0.1 / 0.9)
+        w_bal_a, w_bal_d = math.log(0.8 / 0.05), math.log(0.2 / 0.95)
+        assert out[1]["fs_score"] == _pt.approx(w_seg_a + w_bal_a)
+        assert out[1]["fs_class"] == "link"
+        assert out[3]["fs_score"] == _pt.approx(w_seg_d + w_bal_d)
+        assert out[3]["fs_class"] == "non_link"
+        assert out[5]["fs_score"] == _pt.approx(w_seg_a + w_bal_d)
+        # null comparisons count as disagreement, never null out the score
+        assert out[7]["fs_score"] == _pt.approx(w_seg_d + w_bal_d)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_score
+
+        pairs = self._pairs(spark)
+        with _pt.raises(ValueError):
+            fellegi_sunter_score(pairs, {})
+        bad = dict(self._comparisons())
+        from pyspark.sql import functions as F
+        bad["x"] = (F.lit(True), 1.5, 0.5)
+        with _pt.raises(ValueError):
+            fellegi_sunter_score(pairs, bad)
+        with _pt.raises(ValueError):
+            fellegi_sunter_score(pairs, self._comparisons(),
+                                 lower=5.0, upper=1.0)
