@@ -5146,6 +5146,113 @@ FROM scored
 """
 
 
+def _q_fuzzy_fs_em_customer(spark, sf_dir):
+    """Unsupervised EM fit of Fellegi-Sunter m/u (fuzzy.py
+    fellegi_sunter_em): 2 rounds over the deterministic customer pairs —
+    training IS aggregation (one fused agg per round, 7 scalars to the
+    driver). The oracle unrolls both E/M rounds as CTE chains with the
+    identical literal arithmetic (the logreg 2-round-GD oracle pattern)."""
+    from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_em
+
+    c = _t(spark, sf_dir, "customer")
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    pairs = a.join(b, F.col("a_c_custkey") + 750 == F.col("b_c_custkey"))
+    res = fellegi_sunter_em(pairs, {
+        "segment": F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+        "balance": F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal"))
+        <= 100.0,
+        "nation": F.col("a_c_nationkey") == F.col("b_c_nationkey"),
+    }, init_m=0.8, init_u=0.1, init_p=0.3, rounds=2)
+    return res.select("field", (_r4("m") + F.lit(0.0)).alias("m"),
+                      (_r4("u") + F.lit(0.0)).alias("u"),
+                      (_r4("p") + F.lit(0.0)).alias("p"),
+                      "n_pairs", "rounds")
+
+
+_SQL_FUZZY_FS_EM_CUSTOMER = """
+WITH flags AS (
+  SELECT
+    CAST(COALESCE(a.c_mktsegment = b.c_mktsegment, FALSE) AS DOUBLE) AS a0,
+    CAST(COALESCE(abs(a.c_acctbal - b.c_acctbal) <= 100.0, FALSE)
+         AS DOUBLE) AS a1,
+    CAST(COALESCE(a.c_nationkey = b.c_nationkey, FALSE) AS DOUBLE) AS a2
+  FROM customer a JOIN customer b ON a.c_custkey + 750 = b.c_custkey
+),
+g1 AS (
+  SELECT a0, a1, a2,
+    (0.3 * (a0 * 0.8 + (1.0 - a0) * (1.0 - 0.8))
+         * (a1 * 0.8 + (1.0 - a1) * (1.0 - 0.8))
+         * (a2 * 0.8 + (1.0 - a2) * (1.0 - 0.8)))
+    / ((0.3 * (a0 * 0.8 + (1.0 - a0) * (1.0 - 0.8))
+            * (a1 * 0.8 + (1.0 - a1) * (1.0 - 0.8))
+            * (a2 * 0.8 + (1.0 - a2) * (1.0 - 0.8)))
+       + ((1.0 - 0.3) * (a0 * 0.1 + (1.0 - a0) * (1.0 - 0.1))
+              * (a1 * 0.1 + (1.0 - a1) * (1.0 - 0.1))
+              * (a2 * 0.1 + (1.0 - a2) * (1.0 - 0.1)))) AS g
+  FROM flags
+),
+s1 AS (
+  SELECT count(*) AS n, sum(g) AS sg,
+    sum(g * a0) AS sga0, sum((1.0 - g) * a0) AS sua0,
+    sum(g * a1) AS sga1, sum((1.0 - g) * a1) AS sua1,
+    sum(g * a2) AS sga2, sum((1.0 - g) * a2) AS sua2
+  FROM g1
+),
+p1 AS (
+  SELECT n,
+    least(greatest(sga0 / sg, 0.000001), 1.0 - 0.000001) AS m0,
+    least(greatest(sua0 / (n - sg), 0.000001), 1.0 - 0.000001) AS u0,
+    least(greatest(sga1 / sg, 0.000001), 1.0 - 0.000001) AS m1,
+    least(greatest(sua1 / (n - sg), 0.000001), 1.0 - 0.000001) AS u1,
+    least(greatest(sga2 / sg, 0.000001), 1.0 - 0.000001) AS m2,
+    least(greatest(sua2 / (n - sg), 0.000001), 1.0 - 0.000001) AS u2,
+    least(greatest(sg / n, 0.000001), 1.0 - 0.000001) AS p
+  FROM s1
+),
+g2 AS (
+  SELECT f.a0, f.a1, f.a2,
+    (q.p * (f.a0 * q.m0 + (1.0 - f.a0) * (1.0 - q.m0))
+         * (f.a1 * q.m1 + (1.0 - f.a1) * (1.0 - q.m1))
+         * (f.a2 * q.m2 + (1.0 - f.a2) * (1.0 - q.m2)))
+    / ((q.p * (f.a0 * q.m0 + (1.0 - f.a0) * (1.0 - q.m0))
+           * (f.a1 * q.m1 + (1.0 - f.a1) * (1.0 - q.m1))
+           * (f.a2 * q.m2 + (1.0 - f.a2) * (1.0 - q.m2)))
+       + ((1.0 - q.p) * (f.a0 * q.u0 + (1.0 - f.a0) * (1.0 - q.u0))
+              * (f.a1 * q.u1 + (1.0 - f.a1) * (1.0 - q.u1))
+              * (f.a2 * q.u2 + (1.0 - f.a2) * (1.0 - q.u2)))) AS g
+  FROM flags f, p1 q
+),
+s2 AS (
+  SELECT count(*) AS n, sum(g) AS sg,
+    sum(g * a0) AS sga0, sum((1.0 - g) * a0) AS sua0,
+    sum(g * a1) AS sga1, sum((1.0 - g) * a1) AS sua1,
+    sum(g * a2) AS sga2, sum((1.0 - g) * a2) AS sua2
+  FROM g2
+),
+p2 AS (
+  SELECT n,
+    least(greatest(sga0 / sg, 0.000001), 1.0 - 0.000001) AS m0,
+    least(greatest(sua0 / (n - sg), 0.000001), 1.0 - 0.000001) AS u0,
+    least(greatest(sga1 / sg, 0.000001), 1.0 - 0.000001) AS m1,
+    least(greatest(sua1 / (n - sg), 0.000001), 1.0 - 0.000001) AS u1,
+    least(greatest(sga2 / sg, 0.000001), 1.0 - 0.000001) AS m2,
+    least(greatest(sua2 / (n - sg), 0.000001), 1.0 - 0.000001) AS u2,
+    least(greatest(sg / n, 0.000001), 1.0 - 0.000001) AS p
+  FROM s2
+)
+SELECT v.field,
+  round(v.m * 10000.0) / 10000.0 + 0.0 AS m,
+  round(v.u * 10000.0) / 10000.0 + 0.0 AS u,
+  round(p2.p * 10000.0) / 10000.0 + 0.0 AS p,
+  CAST(p2.n AS BIGINT) AS n_pairs, CAST(2 AS BIGINT) AS rounds
+FROM p2, LATERAL (VALUES
+  ('segment', p2.m0, p2.u0),
+  ('balance', p2.m1, p2.u1),
+  ('nation', p2.m2, p2.u2)) AS v(field, m, u)
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8607,6 +8714,8 @@ _QUERIES: dict = {
                                    _SQL_PROFILE_FINGERPRINT_ORDERS),
     "fuzzy_fellegi_sunter_customer": (_q_fuzzy_fellegi_sunter_customer,
                                       _SQL_FUZZY_FELLEGI_SUNTER_CUSTOMER),
+    "fuzzy_fs_em_customer": (_q_fuzzy_fs_em_customer,
+                             _SQL_FUZZY_FS_EM_CUSTOMER),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

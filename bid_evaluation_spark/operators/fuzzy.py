@@ -159,3 +159,74 @@ def fellegi_sunter_score(pairs: DataFrame, comparisons: dict,
            .otherwise(F.lit("non_link")))
     return pairs.select("*", score.alias("fs_score"),
                         cls.alias("fs_class"))
+
+
+def fellegi_sunter_em(pairs: DataFrame, agreements: dict,
+                      init_m: float = 0.8, init_u: float = 0.1,
+                      init_p: float = 0.3, rounds: int = 5) -> DataFrame:
+    """Unsupervised EM training of the Fellegi-Sunter ``m``/``u``
+    probabilities (Winkler's classic EM for record linkage — public
+    methodology): per round, the E-step scores every candidate pair's
+    match posterior ``g = p·Π(m|1−m) / (p·Π(m|1−m) + (1−p)·Π(u|1−u))``
+    and the M-step re-estimates ``m_f = Σg·a_f/Σg``,
+    ``u_f = Σ(1−g)·a_f/Σ(1−g)``, ``p = Σg/n`` — training IS aggregation:
+    each round is ONE fused aggregate over the pair frame (map-side
+    partial), only 2·|fields|+1 scalars visit the driver, so the pair
+    count can be arbitrary. Deterministic given the init (no random
+    restarts); factor multiplication follows dict order, so an engine
+    replaying the arithmetic lands on the same doubles.
+
+    ``agreements`` maps field → BOOLEAN Column (null = disagreement,
+    as in :func:`fellegi_sunter_score`). Returns one row per field:
+    ``(field, m, u, p, n_pairs, rounds)`` — feed the fitted ``m``/``u``
+    into :func:`fellegi_sunter_score`. Estimates clamp to
+    [1e-6, 1−1e-6] (EM can collapse a perfectly-separating field to
+    0/1, which breaks the next round's logs/products).
+    """
+    if not agreements:
+        raise ValueError("need at least one field comparison")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    for nm, v in (("init_m", init_m), ("init_u", init_u),
+                  ("init_p", init_p)):
+        if not 0 < v < 1:
+            raise ValueError(f"{nm} must be in (0,1), got {v}")
+    fields = list(agreements)
+    flags = pairs.select(*[
+        F.coalesce(agreements[f], F.lit(False)).cast("double")
+        .alias(f"_a_{i}") for i, f in enumerate(fields)])
+
+    lo, hi = 1e-6, 1.0 - 1e-6
+    m = {f: float(init_m) for f in fields}
+    u = {f: float(init_u) for f in fields}
+    p = float(init_p)
+    n = None
+    for _ in range(rounds):
+        w_match = F.lit(p)
+        w_non = F.lit(1.0 - p)
+        for i, f in enumerate(fields):
+            a = F.col(f"_a_{i}")
+            w_match = w_match * (a * F.lit(m[f])
+                                 + (1.0 - a) * F.lit(1.0 - m[f]))
+            w_non = w_non * (a * F.lit(u[f])
+                             + (1.0 - a) * F.lit(1.0 - u[f]))
+        g = w_match / (w_match + w_non)
+        aggs = [F.count(F.lit(1)).alias("_n"), F.sum(g).alias("_sg")]
+        for i, f in enumerate(fields):
+            aggs.append(F.sum(g * F.col(f"_a_{i}")).alias(f"_sga_{i}"))
+            aggs.append(F.sum((1.0 - g) * F.col(f"_a_{i}"))
+                        .alias(f"_sua_{i}"))
+        row = flags.agg(*aggs).collect()[0]
+        n, sg = int(row["_n"]), float(row["_sg"])
+        if n == 0:
+            raise ValueError("empty pair frame")
+        for i, f in enumerate(fields):
+            m[f] = min(max(float(row[f"_sga_{i}"]) / sg, lo), hi)
+            u[f] = min(max(float(row[f"_sua_{i}"]) / (n - sg), lo), hi)
+        p = min(max(sg / n, lo), hi)
+
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [(f, m[f], u[f], p, n, rounds) for f in fields],
+        "field string, m double, u double, p double, "
+        "n_pairs long, rounds long")

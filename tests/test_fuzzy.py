@@ -130,3 +130,73 @@ class TestFellegiSunter:
         with _pt.raises(ValueError):
             fellegi_sunter_score(pairs, self._comparisons(),
                                  lower=5.0, upper=1.0)
+
+
+class TestFellegiSunterEM:
+    def test_em_separates_planted_matches(self, spark):
+        """Planted 30%-match population: matched pairs agree on both
+        fields w.p. 0.95, non-matches w.p. 0.1 — EM recovers m >> u and
+        p near the plant rate without labels."""
+        import numpy as np
+
+        from bid_evaluation_spark.operators.fuzzy import (
+            fellegi_sunter_em, fellegi_sunter_score)
+
+        rng = np.random.RandomState(8)
+        rows = []
+        for i in range(2000):
+            is_match = i < 600
+            pa = 0.95 if is_match else 0.1
+            rows.append((i, bool(rng.rand() < pa), bool(rng.rand() < pa)))
+        df = spark.createDataFrame(rows, "pid long, f1 boolean, f2 boolean")
+        from pyspark.sql import functions as F
+        fit = {r["field"]: r for r in fellegi_sunter_em(
+            df, {"f1": F.col("f1"), "f2": F.col("f2")},
+            rounds=25).collect()}
+        for f in ("f1", "f2"):
+            assert fit[f]["m"] > 0.8
+            assert fit[f]["u"] < 0.25
+        assert 0.2 < fit["f1"]["p"] < 0.4
+        assert fit["f1"]["n_pairs"] == 2000
+
+    def test_python_replay_one_round(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_em
+        from pyspark.sql import functions as F
+
+        rows = [(1, True, True), (2, True, False), (3, False, False),
+                (4, None, True)]
+        df = spark.createDataFrame(rows, "pid long, f1 boolean, f2 boolean")
+        got = {r["field"]: r for r in fellegi_sunter_em(
+            df, {"f1": F.col("f1"), "f2": F.col("f2")},
+            init_m=0.8, init_u=0.1, init_p=0.3, rounds=1).collect()}
+
+        flags = [(1.0, 1.0), (1.0, 0.0), (0.0, 0.0), (0.0, 1.0)]
+        gs = []
+        for a0, a1 in flags:
+            wm = 0.3 * (a0 * 0.8 + (1.0 - a0) * (1.0 - 0.8)) \
+                * (a1 * 0.8 + (1.0 - a1) * (1.0 - 0.8))
+            wn = (1.0 - 0.3) * (a0 * 0.1 + (1.0 - a0) * (1.0 - 0.1)) \
+                * (a1 * 0.1 + (1.0 - a1) * (1.0 - 0.1))
+            gs.append(wm / (wm + wn))
+        sg = sum(gs)
+        m0 = sum(g * a for g, (a, _) in zip(gs, flags)) / sg
+        u0 = sum((1 - g) * a for g, (a, _) in zip(gs, flags)) / (4 - sg)
+        assert got["f1"]["m"] == _pt.approx(m0, rel=1e-12)
+        assert got["f1"]["u"] == _pt.approx(u0, rel=1e-12)
+        assert got["f1"]["p"] == _pt.approx(sg / 4, rel=1e-12)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_em
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, True)], "pid long, f1 boolean")
+        with _pt.raises(ValueError):
+            fellegi_sunter_em(df, {}, rounds=1)
+        with _pt.raises(ValueError):
+            fellegi_sunter_em(df, {"f1": F.col("f1")}, rounds=0)
+        with _pt.raises(ValueError):
+            fellegi_sunter_em(df, {"f1": F.col("f1")}, init_p=1.5)
