@@ -5253,6 +5253,66 @@ FROM p2, LATERAL (VALUES
 """
 
 
+def _q_privacy_kanon_customer(spark, sf_dir):
+    """k-anonymity audit (operators/privacy.py): equivalence classes of
+    the (nation, segment, balance-band) quasi-identifier projection that
+    isolate fewer than k=5 customers — one groupBy, violating classes
+    only. Oracle replays the banding and the HAVING cut."""
+    from bid_evaluation_spark.operators.privacy import k_anonymity_report
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"))
+    res = k_anonymity_report(c, ["c_nationkey", "c_mktsegment", "bal_band"],
+                             k=5)
+    return res.select(F.col("c_nationkey").cast("long").alias("c_nationkey"),
+                      "c_mktsegment", "bal_band",
+                      F.col("class_size").cast("long").alias("class_size"))
+
+
+_SQL_PRIVACY_KANON_CUSTOMER = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+  CAST(count(*) AS BIGINT) AS class_size
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, floor(c_acctbal / 2000)
+HAVING count(*) < 5
+"""
+
+
+def _q_privacy_dp_counts_documents(spark, sf_dir):
+    """Seeded Laplace noisy counts (privacy.py dp_noisy_counts,
+    testing/accounting mode — the docstring spells out that a fixed seed
+    is NOT a DP release): per-language counts, ε=0.5, md5-uniform →
+    inverse-CDF noise, clamp at 0. Fully replayed by the oracle."""
+    from bid_evaluation_spark.operators.privacy import dp_noisy_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    res = dp_noisy_counts(docs, "lang", epsilon=0.5, seed="r4dp")
+    return res.select("lang", "true_count",
+                      (_r4("noisy_count") + F.lit(0.0)).alias("noisy_count"))
+
+
+_SQL_PRIVACY_DP_COUNTS_DOCUMENTS = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS true_count
+  FROM documents GROUP BY lang
+),
+noised AS (
+  SELECT lang, true_count,
+    (CAST(('0x' || substr(md5(COALESCE(lang, chr(0) || 'null')
+                              || '|r4dp'), 1, 15)) AS BIGINT) + 0.5)
+      / 1152921504606846976.0 - 0.5 AS c
+  FROM counts
+)
+SELECT lang, true_count,
+  round(greatest(0.0,
+    true_count + (-(1.0 / 0.5) * sign(c) * ln(1.0 - 2.0 * abs(c))))
+    * 10000.0) / 10000.0 + 0.0 AS noisy_count
+FROM noised
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8716,6 +8776,10 @@ _QUERIES: dict = {
                                       _SQL_FUZZY_FELLEGI_SUNTER_CUSTOMER),
     "fuzzy_fs_em_customer": (_q_fuzzy_fs_em_customer,
                              _SQL_FUZZY_FS_EM_CUSTOMER),
+    "privacy_kanon_customer": (_q_privacy_kanon_customer,
+                               _SQL_PRIVACY_KANON_CUSTOMER),
+    "privacy_dp_counts_documents": (_q_privacy_dp_counts_documents,
+                                    _SQL_PRIVACY_DP_COUNTS_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,
