@@ -5313,6 +5313,59 @@ FROM noised
 """
 
 
+def _q_mm_image_resize_documents(spark, sf_dir):
+    """Nearest-neighbor image resize on the REAL decode path
+    (multimodal.py resize_image_features): the same formula PNGs as
+    mm_image_decode, resized to 4×4 with integer-exact sampling
+    (⌊x·w/out⌋) — the oracle replays every sampled coordinate and the
+    resized mean arithmetically, so a resample-index bug breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.multimodal import (
+        resize_image_features)
+    from bid_evaluation_spark.operators.png import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 3
+                img = ((np.arange(w)[None, :] + 7 * np.arange(h)[:, None]
+                        + int(d)) % 256).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = resize_image_features(media, out_w=4, out_h=4, strict=True)
+    return res.select("media_id", "width", "height", "out_w", "out_h",
+                      _r4("resized_mean_luma").alias("resized_mean_luma"))
+
+
+_SQL_MM_IMAGE_RESIZE_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h,
+    ((x.i * w) // 4 + 7 * ((y.i * h) // 4) + doc_id) % 256 AS px
+  FROM dims,
+       (SELECT unnest(generate_series(0, 3)) AS i) x,
+       (SELECT unnest(generate_series(0, 3)) AS i) y
+)
+SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(4 AS BIGINT) AS out_w, CAST(4 AS BIGINT) AS out_h,
+  round(avg(CAST(px AS DOUBLE)) * 10000.0) / 10000.0
+    AS resized_mean_luma
+FROM grid GROUP BY doc_id, w, h
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8780,6 +8833,8 @@ _QUERIES: dict = {
                                _SQL_PRIVACY_KANON_CUSTOMER),
     "privacy_dp_counts_documents": (_q_privacy_dp_counts_documents,
                                     _SQL_PRIVACY_DP_COUNTS_DOCUMENTS),
+    "mm_image_resize_documents": (_q_mm_image_resize_documents,
+                                  _SQL_MM_IMAGE_RESIZE_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

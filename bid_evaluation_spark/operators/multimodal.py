@@ -315,3 +315,65 @@ def synthetic_media_df(spark, n: int = 100, seed: int = 42) -> DataFrame:
             rows.append((i, payload, mtype, "video/x-yuv4mpeg",
                          w, h, n_frames * 1000))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZE_SCHEMA = ("media_id long, width long, height long, "
+                 "out_w long, out_h long, resized_mean_luma double")
+
+
+def resize_image_features(df: DataFrame, out_w: int, out_h: int,
+                          payload_col: str = "payload",
+                          id_col: str = "media_id", *,
+                          strict: bool = False) -> DataFrame:
+    """Decode + nearest-neighbor resize + re-featurize in one Arrow
+    kernel — the standard image-preprocessing stage (thumbnail / model
+    input normalization) on the real decode path. The resample is
+    integer-exact: output pixel ``(x, y)`` reads source
+    ``(⌊x·w/out_w⌋, ⌊y·h/out_h⌋)`` — integer products and floors only,
+    so an oracle can replay every sampled coordinate and the resized
+    mean arithmetically. Returns ``(media_id, width, height, out_w,
+    out_h, resized_mean_luma)``; undecodable payloads yield nulls unless
+    ``strict`` (same corrupt-media contract as
+    :func:`extract_image_features`). The full resized raster stays in
+    the kernel — only features leave (carry the payload separately if a
+    resized artifact sink is needed).
+    """
+    from . import jpeg as _jpeg
+    from . import png as _png
+
+    if out_w < 1 or out_h < 1:
+        raise ValueError(f"need positive output dims, got {out_w}x{out_h}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means = [], [], []
+            for p in pdf[payload_col]:
+                try:
+                    if _jpeg.is_jpeg(p or b""):
+                        img = _jpeg.decode_jpeg(p)
+                    else:
+                        img = _png.decode_png(p or b"")
+                    lum = _png.luma(img)
+                    h, w = lum.shape
+                    sx = (np.arange(out_w, dtype=np.int64) * w) // out_w
+                    sy = (np.arange(out_h, dtype=np.int64) * h) // out_h
+                    resized = lum[np.ix_(sy, sx)]
+                    widths.append(w)
+                    heights.append(h)
+                    means.append(float(resized.astype(np.float64).mean()))
+                except Exception:
+                    if strict:
+                        raise
+                    widths.append(None)
+                    heights.append(None)
+                    means.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "width": pd.array(widths, dtype="Int64"),
+                "height": pd.array(heights, dtype="Int64"),
+                "out_w": np.full(len(pdf), out_w, dtype=np.int64),
+                "out_h": np.full(len(pdf), out_h, dtype=np.int64),
+                "resized_mean_luma": pd.array(means, dtype="float64"),
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, RESIZE_SCHEMA)

@@ -911,3 +911,54 @@ def test_containment_join_exact_recall(spark):
     full = {(r["needle_id"], r["hay_id"]): r["containment"] for r in
             containment_join(needles, hay, threshold=0.9).collect()}
     assert full[(10, 1)] == 1.0
+
+
+class TestResizeImageFeatures:
+    def _media(self, spark, imgs):
+        import pandas as pd
+
+        from bid_evaluation_spark.operators.png import encode_png
+
+        rows = [(i, bytearray(encode_png(img))) for i, img in imgs]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_known_nearest_neighbor(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.multimodal import (
+            resize_image_features)
+
+        # 4x2 image resized to 2x2: sx = (x*4)//2 -> {0,2}; sy = (y*2)//2
+        img = np.array([[0, 10, 20, 30], [40, 50, 60, 70]], dtype=np.uint8)
+        df = self._media(spark, [(0, img)])
+        out = resize_image_features(df, out_w=2, out_h=2,
+                                    strict=True).collect()[0]
+        assert (out["width"], out["height"]) == (4, 2)
+        # sampled pixels: (0,0)=0 (2,0)=20 (0,1)=40 (2,1)=60 -> mean 30
+        assert out["resized_mean_luma"] == 30.0
+
+    def test_identity_resize_matches_decode_mean(self, spark):
+        import numpy as np
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.multimodal import (
+            extract_image_features, resize_image_features)
+
+        img = (np.arange(48, dtype=np.uint8).reshape(6, 8) * 3) % 256
+        df = self._media(spark, [(0, img)])
+        full = extract_image_features(df, strict=True).collect()[0]
+        same = resize_image_features(df, out_w=8, out_h=6,
+                                     strict=True).collect()[0]
+        assert same["resized_mean_luma"] == _pt.approx(full["mean_luma"])
+
+    def test_corrupt_payload_nulls_not_raise(self, spark):
+        from bid_evaluation_spark.operators.multimodal import (
+            resize_image_features)
+
+        df = spark.createDataFrame([(0, bytearray(b"not a png"))],
+                                   "media_id long, payload binary")
+        out = resize_image_features(df, out_w=2, out_h=2).collect()[0]
+        assert out["width"] is None and out["resized_mean_luma"] is None
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            resize_image_features(df, out_w=0, out_h=2)
