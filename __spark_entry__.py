@@ -5366,6 +5366,64 @@ FROM grid GROUP BY doc_id, w, h
 """
 
 
+def _q_mm_audio_decimate_documents(spark, sf_dir):
+    """Integer audio decimation on the REAL decode path (multimodal.py
+    decimate_audio_features): the same square-wave WAVs as
+    mm_audio_decode, decimated ×3 — surviving samples, output rate, RMS
+    (amplitude-constant ⇒ exactly 16383/32768) and the decimated
+    zero-crossing count are all closed-form in (doc_id, factor), so the
+    oracle replays the whole decimation arithmetically."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.multimodal import (
+        decimate_audio_features)
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 800 + int(d) % 5 * 400
+                h = 10 + int(d) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(encode_wav(0.5 * sgn, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = decimate_audio_features(media, factor=3, strict=True)
+    return res.select("media_id", "sample_rate", "out_rate", "n_in",
+                      "n_out", _r4("rms").alias("rms"), "zero_crossings")
+
+
+_SQL_MM_AUDIO_DECIMATE_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, 800 + doc_id % 5 * 400 AS n, 10 + doc_id % 7 * 2 AS h
+  FROM documents
+),
+counts AS (SELECT doc_id, n, h, (n + 2) // 3 AS n_out FROM dims),
+zc AS (
+  SELECT c.doc_id,
+    count(*) FILTER (WHERE ((i.i * 3 // c.h) % 2)
+                     != (((i.i - 1) * 3 // c.h) % 2)) AS z
+  FROM counts c,
+       (SELECT unnest(generate_series(1, 800)) AS i) i
+  WHERE i.i <= c.n_out - 1
+  GROUP BY c.doc_id
+)
+SELECT c.doc_id AS media_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(8000 // 3 AS BIGINT) AS out_rate,
+  CAST(c.n AS BIGINT) AS n_in, CAST(c.n_out AS BIGINT) AS n_out,
+  round((16383.0 / 32768.0) * 10000.0) / 10000.0 AS rms,
+  CAST(zc.z AS BIGINT) AS zero_crossings
+FROM counts c JOIN zc ON zc.doc_id = c.doc_id
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8835,6 +8893,8 @@ _QUERIES: dict = {
                                     _SQL_PRIVACY_DP_COUNTS_DOCUMENTS),
     "mm_image_resize_documents": (_q_mm_image_resize_documents,
                                   _SQL_MM_IMAGE_RESIZE_DOCUMENTS),
+    "mm_audio_decimate_documents": (_q_mm_audio_decimate_documents,
+                                    _SQL_MM_AUDIO_DECIMATE_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

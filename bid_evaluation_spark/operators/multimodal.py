@@ -377,3 +377,63 @@ def resize_image_features(df: DataFrame, out_w: int, out_h: int,
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+DECIMATE_SCHEMA = ("media_id long, sample_rate long, out_rate long, "
+                   "n_in long, n_out long, rms double, zero_crossings long")
+
+
+def decimate_audio_features(df: DataFrame, factor: int,
+                            payload_col: str = "payload",
+                            id_col: str = "media_id", *,
+                            strict: bool = False) -> DataFrame:
+    """Decode + integer-decimate audio + re-featurize in one Arrow kernel
+    — the sample-rate normalization stage (every model front-end wants
+    one rate). Plain every-``factor``-th-sample decimation, NOT a
+    filtered resample: integer-exact (``x[::factor]``), so an oracle can
+    replay which samples survive and the resulting RMS/zero-crossings
+    arithmetically. (An anti-aliased polyphase resampler needs a DSP
+    library — same seam, documented like the lossy codecs.) Returns
+    ``(media_id, sample_rate, out_rate, n_in, n_out, rms,
+    zero_crossings)``; undecodable payloads yield nulls unless
+    ``strict``. Zero-crossing convention matches
+    :func:`extract_audio_features` (signbit diffs).
+    """
+    from . import flac as _flac
+    from . import wav as _wav
+
+    if factor < 1:
+        raise ValueError(f"factor must be positive, got {factor}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b""
+                base = {"media_id": int(row[id_col])}
+                try:
+                    if payload[:4] == b"fLaC":
+                        rate, data = _flac.decode_flac(payload)
+                    else:
+                        rate, data = _wav.decode_wav(payload)
+                    dec = data[::factor]
+                    rows.append({
+                        **base, "sample_rate": int(rate),
+                        "out_rate": int(rate) // factor,
+                        "n_in": int(len(data)), "n_out": int(len(dec)),
+                        "rms": float(np.sqrt(np.mean(dec ** 2)))
+                        if len(dec) else None,
+                        "zero_crossings": int(np.count_nonzero(
+                            np.diff(np.signbit(dec)))),
+                    })
+                except Exception:
+                    if strict:
+                        raise
+                    rows.append({**base, "sample_rate": None,
+                                 "out_rate": None, "n_in": None,
+                                 "n_out": None, "rms": None,
+                                 "zero_crossings": None})
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(kernel,
+                                                      DECIMATE_SCHEMA)

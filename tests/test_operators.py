@@ -962,3 +962,61 @@ class TestResizeImageFeatures:
         import pytest as _pt
         with _pt.raises(ValueError):
             resize_image_features(df, out_w=0, out_h=2)
+
+
+class TestDecimateAudioFeatures:
+    def _media(self, spark, waves, rate=8000):
+        import pandas as pd
+
+        from bid_evaluation_spark.operators.wav import encode_wav
+
+        rows = [(i, bytearray(encode_wav(w, rate=rate)))
+                for i, w in waves]
+        return spark.createDataFrame(rows, "media_id long, payload binary")
+
+    def test_known_decimation(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.multimodal import (
+            decimate_audio_features)
+
+        # alternating +/-0.5 every sample, 12 samples, factor 2 keeps the
+        # even indices -> all +0.5, zero crossings 0
+        w = 0.5 * (1 - 2 * (np.arange(12) % 2))
+        df = self._media(spark, [(0, w)])
+        out = decimate_audio_features(df, factor=2,
+                                      strict=True).collect()[0]
+        assert out["n_in"] == 12 and out["n_out"] == 6
+        assert out["out_rate"] == 4000
+        assert out["zero_crossings"] == 0
+        assert out["rms"] == 16383.0 / 32768.0
+
+    def test_factor_one_matches_decode(self, spark):
+        import numpy as np
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.multimodal import (
+            decimate_audio_features, extract_audio_features)
+
+        rng = np.random.RandomState(6)
+        w = np.clip(rng.randn(500) * 0.2, -0.9, 0.9)
+        df = self._media(spark, [(0, w)])
+        full = extract_audio_features(df, strict=True).collect()[0]
+        same = decimate_audio_features(df, factor=1,
+                                       strict=True).collect()[0]
+        assert same["rms"] == _pt.approx(full["rms"])
+        assert same["zero_crossings"] == full["zero_crossings"]
+        assert same["n_out"] == same["n_in"]
+
+    def test_corrupt_and_validation(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.multimodal import (
+            decimate_audio_features)
+
+        df = spark.createDataFrame([(0, bytearray(b"junk"))],
+                                   "media_id long, payload binary")
+        out = decimate_audio_features(df, factor=2).collect()[0]
+        assert out["rms"] is None and out["n_in"] is None
+        with _pt.raises(ValueError):
+            decimate_audio_features(df, factor=0)
