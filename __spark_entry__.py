@@ -5424,6 +5424,56 @@ FROM counts c JOIN zc ON zc.doc_id = c.doc_id
 """
 
 
+def _q_analytics_poststrat_orders(spark, sf_dir):
+    """Post-stratified mean (analytics.py post_stratified_mean): a
+    deliberately mix-drifted sample (urgent orders half-dropped) repaired
+    by known population priority shares — Σ W_h·ȳ_h vs the naive sample
+    mean, plus the share-coverage diagnostic. Oracle replays shares,
+    per-stratum means, and both estimators."""
+    from bid_evaluation_spark.operators.analytics import post_stratified_mean
+
+    orders = _t(spark, sf_dir, "orders")
+    total = orders.count()
+    shares = (orders.groupBy("o_orderpriority")
+              .agg((F.count(F.lit(1)) / F.lit(float(total)))
+                   .alias("share")))
+    samp = orders.filter(
+        (F.col("o_orderkey") % 7 == 0)
+        & ~((F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderkey") % 2 == 0)))
+    res = post_stratified_mean(samp, shares, "o_orderpriority",
+                               "o_totalprice")
+    return res.select((_r4("estimate") + F.lit(0.0)).alias("estimate"),
+                      (_r4("naive_mean") + F.lit(0.0)).alias("naive_mean"),
+                      F.col("n").cast("long").alias("n"),
+                      (_r4("coverage") + F.lit(0.0)).alias("coverage"))
+
+
+_SQL_ANALYTICS_POSTSTRAT_ORDERS = """
+WITH shares AS (
+  SELECT o_orderpriority,
+    count(*) / CAST((SELECT count(*) FROM orders) AS DOUBLE) AS share
+  FROM orders GROUP BY o_orderpriority
+),
+samp AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 7 = 0
+    AND NOT (o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0)
+),
+per_g AS (
+  SELECT o_orderpriority, avg(o_totalprice) AS ybar, count(*) AS n
+  FROM samp GROUP BY o_orderpriority
+),
+j AS (SELECT * FROM per_g JOIN shares USING (o_orderpriority))
+SELECT
+  round(sum(share * ybar) * 10000.0) / 10000.0 + 0.0 AS estimate,
+  round(sum(ybar * n) / sum(n) * 10000.0) / 10000.0 + 0.0 AS naive_mean,
+  CAST(sum(n) AS BIGINT) AS n,
+  round(sum(share) * 10000.0) / 10000.0 + 0.0 AS coverage
+FROM j
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8895,6 +8945,8 @@ _QUERIES: dict = {
                                   _SQL_MM_IMAGE_RESIZE_DOCUMENTS),
     "mm_audio_decimate_documents": (_q_mm_audio_decimate_documents,
                                     _SQL_MM_AUDIO_DECIMATE_DOCUMENTS),
+    "analytics_poststrat_orders": (_q_analytics_poststrat_orders,
+                                   _SQL_ANALYTICS_POSTSTRAT_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

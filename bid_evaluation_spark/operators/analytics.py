@@ -869,3 +869,30 @@ def conformal_interval_by_group(cal: DataFrame, target: DataFrame,
             .select(*[F.col(c) for c in target.columns],
                     (p - F.col("_qhat")).alias("conf_lo"),
                     (p + F.col("_qhat")).alias("conf_hi")))
+
+
+def post_stratified_mean(sample: DataFrame, shares: DataFrame,
+                         group_col: str, value_col: str) -> DataFrame:
+    """Post-stratified population-mean estimate: ``Σ_h W_h·ȳ_h`` with
+    known population stratum shares ``W_h`` (survey-sampling classic —
+    repairs a sample whose stratum mix drifted from the population,
+    the estimator companion to :func:`quantile_match`'s distributional
+    repair). ``shares`` is a DataFrame ``(group_col, share)`` — joined,
+    never collected, so stratum cardinality is unbounded. Returns one
+    row ``(estimate, naive_mean, n, coverage)`` where ``coverage`` is
+    the share mass of strata the sample actually has rows for —
+    anything < 1 means strata are missing from the sample and the
+    estimate silently extrapolates; the caller decides the threshold.
+    Two aggregates + one equi-join on the (tiny) per-stratum frame.
+    """
+    v = F.col(value_col).cast("double")
+    rows = sample.filter(v.isNotNull())
+    per_g = rows.groupBy(group_col).agg(F.avg(v).alias("_ybar"),
+                                        F.count(F.lit(1)).alias("_n"))
+    joined = per_g.join(shares, [group_col], "inner")
+    return joined.agg(
+        F.sum(F.col("share") * F.col("_ybar")).alias("estimate"),
+        (F.sum(F.col("_ybar") * F.col("_n")) / F.sum("_n"))
+        .alias("naive_mean"),
+        F.sum("_n").alias("n"),
+        F.sum("share").alias("coverage"))

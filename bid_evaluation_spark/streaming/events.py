@@ -248,3 +248,20 @@ def sessionize_capped(events: DataFrame, key_col: str = "user_id",
                 f"_tb {tb_type}, session_id long")
     return res.select(F.col("_k").alias(key_col),
                       F.col("_tb").alias(tiebreak_col), "session_id")
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str,
+                  how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) event frame
+    against a static dimension table — THE standard Structured Streaming
+    pattern for attaching user/item attributes at ingest. The static
+    side is re-scanned per micro-batch (Spark's stream-static contract,
+    so slowly-changing dimensions pick up updates between batches) and
+    broadcast when small; the stream side never buffers state for this
+    join. Works identically on batch frames (same plan, no stream
+    machinery) — the batch-parity test runs both. Inner and left joins
+    only: right/full against a stream would need unbounded state and
+    raise in Spark anyway."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"stream-static join supports left/inner, got {how}")
+    return events.join(dim, [on], how)

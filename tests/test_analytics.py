@@ -828,3 +828,33 @@ class TestConformalByGroup:
         out = conformal_interval_by_group(cal, tgt, "g",
                                           alpha=0.1).collect()[0]
         assert out["conf_lo"] is None  # k=2 > n_g=1
+
+
+class TestPostStratifiedMean:
+    def test_repairs_mix_drift(self, spark):
+        """Two strata with different means; the sample over-represents
+        the high stratum — post-stratification recovers the population
+        mean, the naive mean doesn't."""
+        rows = ([("lo", 10.0)] * 8 + [("hi", 100.0)] * 32)  # drifted 80% hi
+        samp = spark.createDataFrame(rows, "grp string, v double")
+        shares = spark.createDataFrame([("lo", 0.5), ("hi", 0.5)],
+                                       "grp string, share double")
+        from bid_evaluation_spark.operators.analytics import (
+            post_stratified_mean)
+
+        out = post_stratified_mean(samp, shares, "grp", "v").collect()[0]
+        assert out["estimate"] == pytest.approx(55.0)     # 0.5·10 + 0.5·100
+        assert out["naive_mean"] == pytest.approx(82.0)   # drifted
+        assert out["coverage"] == pytest.approx(1.0)
+        assert out["n"] == 40
+
+    def test_missing_stratum_shows_in_coverage(self, spark):
+        samp = spark.createDataFrame([("a", 1.0)], "grp string, v double")
+        shares = spark.createDataFrame([("a", 0.6), ("b", 0.4)],
+                                       "grp string, share double")
+        from bid_evaluation_spark.operators.analytics import (
+            post_stratified_mean)
+
+        out = post_stratified_mean(samp, shares, "grp", "v").collect()[0]
+        assert out["coverage"] == pytest.approx(0.6)  # stratum b unsampled
+        assert out["estimate"] == pytest.approx(0.6)  # extrapolation visible

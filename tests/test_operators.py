@@ -1020,3 +1020,39 @@ class TestDecimateAudioFeatures:
         assert out["rms"] is None and out["n_in"] is None
         with _pt.raises(ValueError):
             decimate_audio_features(df, factor=0)
+
+
+def test_enrich_stream_static_parity(spark, tmp_path):
+    """Stream-static enrichment equals the batch join, per micro-batch."""
+    import time as _time
+
+    from bid_evaluation_spark.streaming.events import enrich_stream
+
+    schema = "event_id long, user_id long, value double"
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "basic")], "user_id long, tier string")
+    b1 = [(10, 1, 5.0), (11, 2, 6.0)]
+    b2 = [(12, 1, 7.0), (13, 9, 8.0)]  # user 9 unknown -> null tier
+    src = str(tmp_path / "enrich_stream")
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        f"{src}/batch=0")
+    _time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        f"{src}/batch=1")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1).parquet(f"{src}/batch=*")
+    q = (enrich_stream(stream, dim, on="user_id")
+         .writeStream.format("memory").queryName("enrich_smoke")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_id"], r["tier"])
+           for r in spark.sql("SELECT * FROM enrich_smoke").collect()}
+    batch = {(r["event_id"], r["tier"]) for r in enrich_stream(
+        spark.createDataFrame(b1 + b2, schema), dim,
+        on="user_id").collect()}
+    assert got == batch
+    assert (13, None) in got  # left join keeps unmatched stream rows
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        enrich_stream(stream, dim, on="user_id", how="full")
