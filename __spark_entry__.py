@@ -5474,6 +5474,84 @@ FROM j
 """
 
 
+def _q_metrics_psi_timeline_events(spark, sf_dir):
+    """PSI drift TIMELINE (metrics.py psi_timeline): reference-quantile
+    bins scored per day of a +15%-drifted current stream — the dashboard
+    series where burn-in shows as a rising curve. One groupBy(bucket,
+    bin); missing bins clip at 1e-6 exactly like psi_drift. The oracle
+    rebuilds the full bucket×bin grid and replays every share and log."""
+    from bid_evaluation_spark.operators.metrics import psi_timeline
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = (ev.filter(F.col("event_id") % 2 == 1)
+           .withColumn("value", F.col("value") * 1.15))
+    res = psi_timeline(ref, cur, "value", bucket="1 day", n_bins=5)
+    return res.select(
+        F.date_format("bucket_start", _TS_FMT_SPARK).alias("bucket_start"),
+        "n", (_r4("psi") + F.lit(0.0)).alias("psi"))
+
+
+_SQL_METRICS_PSI_TIMELINE_EVENTS = f"""
+WITH ref AS (
+  SELECT CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_id % 2 = 0 AND value IS NOT NULL
+),
+th AS (
+  SELECT quantile_cont(v, [CAST(0.2 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                           CAST(0.6 AS DOUBLE), CAST(0.8 AS DOUBLE)]) AS t
+  FROM ref
+),
+rb AS (
+  SELECT CAST(v > t[1] AS INT) + CAST(v > t[2] AS INT)
+         + CAST(v > t[3] AS INT) + CAST(v > t[4] AS INT) AS bin,
+         count(*) AS ref_n
+  FROM ref, th GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(0, 4)) AS bin),
+rs AS (
+  SELECT g.bin,
+    greatest(coalesce(rb.ref_n, 0)
+             / (SELECT CAST(sum(ref_n) AS DOUBLE) FROM rb),
+             CAST(0.000001 AS DOUBLE)) AS rs
+  FROM grid g LEFT JOIN rb ON rb.bin = g.bin
+),
+cur AS (
+  SELECT ts, CAST(value AS DOUBLE) * 1.15 AS v FROM events
+  WHERE event_id % 2 = 1 AND value IS NOT NULL AND ts IS NOT NULL
+),
+cb AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS bs,
+    CAST(v > t[1] AS INT) + CAST(v > t[2] AS INT)
+    + CAST(v > t[3] AS INT) + CAST(v > t[4] AS INT) AS bin,
+    count(*) AS cur_n
+  FROM cur, th GROUP BY 1, 2
+),
+buckets AS (SELECT DISTINCT bs FROM cb),
+fullgrid AS (
+  SELECT b.bs, g.bin, coalesce(cb.cur_n, 0) AS cur_n
+  FROM buckets b CROSS JOIN grid g
+  LEFT JOIN cb ON cb.bs = b.bs AND cb.bin = g.bin
+),
+tot AS (SELECT bs, sum(cur_n) AS nt FROM fullgrid GROUP BY bs),
+terms AS (
+  SELECT f.bs,
+    (greatest(f.cur_n / CAST(t.nt AS DOUBLE), CAST(0.000001 AS DOUBLE))
+       - r.rs)
+    * ln(greatest(f.cur_n / CAST(t.nt AS DOUBLE),
+                  CAST(0.000001 AS DOUBLE)) / r.rs) AS term
+  FROM fullgrid f
+  JOIN tot t ON t.bs = f.bs
+  JOIN rs r ON r.bin = f.bin
+)
+SELECT strftime(t.bs, '{{fmt}}') AS bucket_start,
+  CAST(t.nt AS BIGINT) AS n,
+  round(s.psi * 10000.0) / 10000.0 + 0.0 AS psi
+FROM tot t JOIN (SELECT bs, sum(term) AS psi FROM terms GROUP BY bs) s
+  ON s.bs = t.bs
+""".replace("{fmt}", _TS_FMT_DUCK)
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -8947,6 +9025,8 @@ _QUERIES: dict = {
                                     _SQL_MM_AUDIO_DECIMATE_DOCUMENTS),
     "analytics_poststrat_orders": (_q_analytics_poststrat_orders,
                                    _SQL_ANALYTICS_POSTSTRAT_ORDERS),
+    "metrics_psi_timeline_events": (_q_metrics_psi_timeline_events,
+                                    _SQL_METRICS_PSI_TIMELINE_EVENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

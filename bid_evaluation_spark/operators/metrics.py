@@ -474,3 +474,74 @@ def js_divergence(reference: DataFrame, current: DataFrame, value_col: str,
     term = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
     return bins.select("bin", "ref_share", "cur_share",
                        term.alias("jsd_term"))
+
+
+def psi_timeline(reference: DataFrame, current: DataFrame, value_col: str,
+                 ts_col: str = "ts", bucket: str = "1 day",
+                 n_bins: int = 10, min_share: float = 1e-6) -> DataFrame:
+    """PSI per TIME BUCKET — the drift dashboard feed: reference-window
+    quantile bins (same construction as :func:`psi_drift`, exact
+    percentiles → literals, map-only assignment) scored against every
+    ``bucket`` of the current stream independently, so a slow burn-in
+    shows as a rising PSI series rather than one diluted total. Returns
+    one row per bucket: ``(bucket_start, n, psi)`` with each bucket's
+    shares clipped at ``min_share`` exactly like the single-window
+    operator (a bucket with no rows yields no row).
+
+    Shape: one reference percentile agg (driver literals) + ONE
+    groupBy(bucket, bin) over the current stream + per-bucket totals via
+    a bucket-partitioned window over the ≤ buckets·n_bins count table —
+    never a second data scan per bucket.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    v = F.col(value_col).cast("double")
+    ref = reference.filter(v.isNotNull())
+    qs = [i / n_bins for i in range(1, n_bins)]
+    row = ref.agg(F.percentile(v, F.array(*[F.lit(q) for q in qs]))
+                  .alias("_t")).collect()[0]["_t"]
+    if row is None:
+        raise ValueError("empty reference window")
+    bin_expr = F.lit(0)
+    for t in row:
+        bin_expr = bin_expr + (v > F.lit(float(t))).cast("int")
+
+    ref_counts = (ref.select(bin_expr.alias("bin"))
+                  .groupBy("bin").agg(F.count(F.lit(1)).alias("ref_n")))
+    ref_rows = {r["bin"]: r["ref_n"] for r in ref_counts.collect()}
+    rt = float(sum(ref_rows.values()))
+    ms = float(min_share)
+
+    cur = current.filter(v.isNotNull() & F.col(ts_col).isNotNull())
+    binned = (cur.select(F.window(ts_col, bucket)["start"]
+                         .alias("bucket_start"), bin_expr.alias("bin"))
+              .groupBy("bucket_start", "bin")
+              .agg(F.count(F.lit(1)).alias("cur_n")))
+    wb = Window.partitionBy("bucket_start")
+    ct = F.sum("cur_n").over(wb)
+    cs = F.greatest(F.col("cur_n") / ct, F.lit(ms))
+    rs_map = F.lit(0.0)
+    for b in range(n_bins):
+        share = max((ref_rows.get(b, 0)) / (rt if rt else 1.0), ms)
+        rs_map = F.when(F.col("bin") == b, F.lit(share)).otherwise(rs_map)
+    term = (cs - rs_map) * F.log(cs / rs_map)
+    # bins absent from a bucket contribute (ms − rs)·ln(ms/rs): add via the
+    # per-bucket constant Σ_all-bins minus the present-bin adjustment
+    present = binned.withColumn("_term", term).withColumn("_n", ct)
+    per_bucket = (present.groupBy("bucket_start")
+                  .agg(F.max("_n").alias("n"),
+                       F.sum("_term").alias("_psi_present"),
+                       F.collect_set("bin").alias("_bins")))
+    missing_terms = []
+    for b in range(n_bins):
+        share = max((ref_rows.get(b, 0)) / (rt if rt else 1.0), ms)
+        t_miss = (ms - share) * __import__("math").log(ms / share)
+        missing_terms.append(
+            F.when(~F.array_contains(F.col("_bins"), F.lit(b)),
+                   F.lit(t_miss)).otherwise(F.lit(0.0)))
+    miss = missing_terms[0]
+    for t_ in missing_terms[1:]:
+        miss = miss + t_
+    return (per_bucket
+            .select("bucket_start", F.col("n").cast("long").alias("n"),
+                    (F.col("_psi_present") + miss).alias("psi")))

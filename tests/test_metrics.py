@@ -428,3 +428,49 @@ def test_js_divergence(spark):
                          / ((r["ref_share"] + r["cur_share"]) / 2))
               for r in rows)
     assert jsd == pytest.approx(ref, abs=1e-12)
+
+
+class TestPsiTimeline:
+    def _frames(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        ref = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(100, 10, 400)], "value double")
+        # day 1 matches the reference; day 2 is shifted hard
+        day1 = [("2024-01-01 06:00:00", float(v))
+                for v in rng.normal(100, 10, 200)]
+        day2 = [("2024-01-02 06:00:00", float(v))
+                for v in rng.normal(160, 10, 200)]
+        cur = spark.createDataFrame(day1 + day2, "ts string, value double") \
+            .selectExpr("CAST(ts AS TIMESTAMP) AS ts", "value")
+        return ref, cur
+
+    def test_drift_rises_in_the_shifted_bucket(self, spark):
+        from bid_evaluation_spark.operators.metrics import (
+            psi_drift, psi_timeline)
+
+        ref, cur = self._frames(spark)
+        out = {str(r["bucket_start"])[:10]: r
+               for r in psi_timeline(ref, cur, "value", n_bins=5).collect()}
+        assert out["2024-01-01"]["psi"] < 0.1       # stable day
+        assert out["2024-01-02"]["psi"] > 1.0       # fully shifted day
+        assert out["2024-01-01"]["n"] == 200
+
+        # single-bucket timeline equals the one-shot psi_drift total
+        one_day = cur.filter("ts < timestamp '2024-01-02'")
+        total = sum(r["psi_term"] for r in
+                    psi_drift(ref, one_day, "value", n_bins=5).collect())
+        import pytest as _pt
+        assert out["2024-01-01"]["psi"] == _pt.approx(total, rel=1e-9)
+
+    def test_validation(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.metrics import psi_timeline
+
+        ref, cur = self._frames(spark)
+        with _pt.raises(ValueError):
+            psi_timeline(ref, cur, "value", n_bins=1)
+        with _pt.raises(ValueError):
+            psi_timeline(ref.filter("value IS NULL"), cur, "value")
