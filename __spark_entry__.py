@@ -5552,6 +5552,120 @@ FROM tot t JOIN (SELECT bs, sum(term) AS psi FROM terms GROUP BY bs) s
 """.replace("{fmt}", _TS_FMT_DUCK)
 
 
+def _q_pipe_curation_funnel_documents(spark, sf_dir):
+    """The composed curation funnel as ONE oracled query: synthesized
+    crawl URLs → canonical-URL dedup (keep-min) → span-duplication
+    filter (dup_ratio ≤ 0.6) → bigram-LM perplexity on the survivors
+    (trained on their even-id half). Each stage is an individually
+    oracled operator; this query certifies the COMPOSITION end-to-end —
+    the example_llm_curation.py pipeline under the correctness gate."""
+    from bid_evaluation_spark.operators.lm import perplexity, train_bigram_lm
+    from bid_evaluation_spark.operators.spans import duplicated_span_stats
+    from bid_evaluation_spark.operators.web import url_dedup
+
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://www.site"), (d % 25).cast("string"),
+                   F.lit(".com/page/"), (d % 50).cast("string"),
+                   F.when(d % 2 == 0, F.lit("?utm_source=feed"))
+                    .otherwise(F.lit("")))
+    docs = _t(spark, sf_dir, "documents").withColumn("url", url)
+    kept_urls = url_dedup(docs).select("doc_id", "text")
+
+    stats = duplicated_span_stats(kept_urls, span=10, stride=5)
+    survivors = (kept_urls.join(
+        stats.filter(F.col("dup_ratio") <= 0.6)
+        .select("doc_id", "dup_ratio"), "doc_id"))
+
+    uni, big = train_bigram_lm(survivors.filter(d % 2 == 0))
+    scored = perplexity(survivors, uni, big)
+    return (survivors.select("doc_id", "dup_ratio")
+            .join(scored.select("doc_id", "ppl"), "doc_id")
+            .select("doc_id",
+                    (_r4("dup_ratio") + F.lit(0.0)).alias("dup_ratio"),
+                    (_r4("ppl") + F.lit(0.0)).alias("ppl")))
+
+
+_SQL_PIPE_CURATION_FUNNEL_DOCUMENTS = """
+WITH canon AS (
+  SELECT doc_id, text,
+    'https://www.site' || CAST(doc_id % 25 AS VARCHAR) || '.com/page/'
+      || CAST(doc_id % 50 AS VARCHAR) AS curl
+  FROM documents
+),
+kept AS (
+  SELECT c.doc_id, c.text
+  FROM canon c
+  JOIN (SELECT curl, min(doc_id) AS keep_id FROM canon GROUP BY curl) k
+    ON c.curl = k.curl AND c.doc_id = k.keep_id
+),
+toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM kept
+),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    CAST(('0x' || substr(md5(array_to_string(t[i:i+9], ' ') || 'span'),
+                         1, 15)) AS BIGINT) AS h,
+    doc_id * 1073741824 + CAST(i AS BIGINT) AS key
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9, 5)) AS i
+        FROM toks WHERE len(t) >= 10)
+),
+firsts AS (SELECT h, min(key) AS first FROM occ GROUP BY h),
+spanstats AS (
+  SELECT o.doc_id,
+    CAST(sum(CAST(o.key > f.first AS BIGINT)) AS DOUBLE)
+      / CAST(count(*) AS DOUBLE) AS dup_ratio
+  FROM occ o JOIN firsts f USING (h)
+  GROUP BY o.doc_id
+),
+surv AS (
+  SELECT k.doc_id, k.text, COALESCE(s.dup_ratio, 0.0) AS dup_ratio
+  FROM kept k LEFT JOIN spanstats s USING (doc_id)
+  WHERE COALESCE(s.dup_ratio, 0.0) <= 0.6
+),
+stoks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM surv
+),
+train_pairs AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM stoks WHERE doc_id % 2 = 0)
+),
+uni AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(t) AS w1 FROM stoks WHERE doc_id % 2 = 0)
+  GROUP BY w1
+),
+big AS (SELECT w1, w2, COUNT(*) AS c2 FROM train_pairs GROUP BY w1, w2),
+v AS (SELECT COUNT(*) AS vocab FROM uni),
+score_pairs AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM stoks)
+),
+lp AS (
+  SELECT p.doc_id,
+    ln((COALESCE(big.c2, 0) + 0.5)
+       / (COALESCE(uni.c1, 0) + 0.5 * (SELECT vocab FROM v))) AS lp
+  FROM score_pairs p
+  LEFT JOIN big ON p.w1 = big.w1 AND p.w2 = big.w2
+  LEFT JOIN uni ON p.w1 = uni.w1
+),
+per_doc AS (
+  SELECT doc_id, AVG(lp) AS avg_logprob FROM lp GROUP BY doc_id
+)
+SELECT s.doc_id,
+  round(s.dup_ratio * 10000.0) / 10000.0 + 0.0 AS dup_ratio,
+  round(exp(-p.avg_logprob) * 10000.0) / 10000.0 + 0.0 AS ppl
+FROM surv s LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -9027,6 +9141,8 @@ _QUERIES: dict = {
                                    _SQL_ANALYTICS_POSTSTRAT_ORDERS),
     "metrics_psi_timeline_events": (_q_metrics_psi_timeline_events,
                                     _SQL_METRICS_PSI_TIMELINE_EVENTS),
+    "pipe_curation_funnel_documents": (_q_pipe_curation_funnel_documents,
+                                       _SQL_PIPE_CURATION_FUNNEL_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,
