@@ -5666,6 +5666,146 @@ FROM surv s LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _q_analytics_did_events(spark, sf_dir):
+    """Difference-in-differences (analytics.py diff_in_diff): even-user
+    treatment, every-third-event 'post' period, a planted +25 effect on
+    the treated-post cell — ONE fused four-cell aggregate recovers it
+    net of baseline and trend. The oracle replays all four conditional
+    means and the double difference."""
+    from bid_evaluation_spark.operators.analytics import diff_in_diff
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("grp", (F.col("user_id") % 2 == 0).cast("int"))
+          .withColumn("period", (F.col("event_id") % 3 == 0).cast("int"))
+          .withColumn("value", F.col("value")
+                      + F.when((F.col("grp") == 1)
+                               & (F.col("period") == 1),
+                               F.lit(25.0)).otherwise(F.lit(0.0))))
+    res = diff_in_diff(ev, "grp", "period", "value", treated=1, post=1)
+    return res.select(
+        (_r4("did") + F.lit(0.0)).alias("did"),
+        (_r4("mean_tpost") + F.lit(0.0)).alias("mean_tpost"),
+        (_r4("mean_tpre") + F.lit(0.0)).alias("mean_tpre"),
+        (_r4("mean_cpost") + F.lit(0.0)).alias("mean_cpost"),
+        (_r4("mean_cpre") + F.lit(0.0)).alias("mean_cpre"),
+        "n_tpost", "n_tpre", "n_cpost", "n_cpre")
+
+
+_SQL_ANALYTICS_DID_EVENTS = """
+WITH rws AS (
+  SELECT CAST(user_id % 2 = 0 AS INT) AS grp,
+         CAST(event_id % 3 = 0 AS INT) AS period,
+         CAST(value AS DOUBLE)
+           + (CASE WHEN user_id % 2 = 0 AND event_id % 3 = 0
+                   THEN 25.0 ELSE 0.0 END) AS v
+  FROM events WHERE value IS NOT NULL
+),
+cells AS (
+  SELECT
+    sum(CASE WHEN grp = 1 AND period = 1 THEN v END) AS s_tpost,
+    count(CASE WHEN grp = 1 AND period = 1 THEN v END) AS n_tpost,
+    sum(CASE WHEN grp = 1 AND period <> 1 THEN v END) AS s_tpre,
+    count(CASE WHEN grp = 1 AND period <> 1 THEN v END) AS n_tpre,
+    sum(CASE WHEN grp <> 1 AND period = 1 THEN v END) AS s_cpost,
+    count(CASE WHEN grp <> 1 AND period = 1 THEN v END) AS n_cpost,
+    sum(CASE WHEN grp <> 1 AND period <> 1 THEN v END) AS s_cpre,
+    count(CASE WHEN grp <> 1 AND period <> 1 THEN v END) AS n_cpre
+  FROM rws
+)
+SELECT
+  round(((s_tpost / n_tpost - s_tpre / n_tpre)
+         - (s_cpost / n_cpost - s_cpre / n_cpre)) * 10000.0) / 10000.0
+    + 0.0 AS did,
+  round(s_tpost / n_tpost * 10000.0) / 10000.0 + 0.0 AS mean_tpost,
+  round(s_tpre / n_tpre * 10000.0) / 10000.0 + 0.0 AS mean_tpre,
+  round(s_cpost / n_cpost * 10000.0) / 10000.0 + 0.0 AS mean_cpost,
+  round(s_cpre / n_cpre * 10000.0) / 10000.0 + 0.0 AS mean_cpre,
+  CAST(n_tpost AS BIGINT) AS n_tpost, CAST(n_tpre AS BIGINT) AS n_tpre,
+  CAST(n_cpost AS BIGINT) AS n_cpost, CAST(n_cpre AS BIGINT) AS n_cpre
+FROM cells
+"""
+
+
+def _q_ts_transitions_events(spark, sf_dir):
+    """First-order Markov transition table over per-user event-type
+    sequences (timeseries.py event_transitions): one lag window + one
+    groupBy; row-normalized probabilities. Oracle replays the lag,
+    counts, and normalization."""
+    from bid_evaluation_spark.operators.timeseries import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    res = event_transitions(ev, "user_id", "ts", "event_type", "event_id")
+    return res.select("from_state", "to_state",
+                      F.col("n").cast("long").alias("n"),
+                      (_r4("p") + F.lit(0.0)).alias("p"))
+
+
+_SQL_TS_TRANSITIONS_EVENTS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM pairs WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+)
+SELECT from_state, to_state, CAST(n AS BIGINT) AS n,
+  round((n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE))
+        * 10000.0) / 10000.0 + 0.0 AS p
+FROM counts
+"""
+
+
+def _q_ts_entropy_rate_events(spark, sf_dir):
+    """Entropy rate of the user-journey transition table (timeseries.py
+    transition_entropy_rate): Σ π_i Σ −p ln p over the bounded
+    state×state table — the next-event predictability summary. Oracle
+    replays the whole chain: lag → counts → normalize → entropy."""
+    from bid_evaluation_spark.operators.timeseries import (
+        event_transitions, transition_entropy_rate)
+
+    ev = _t(spark, sf_dir, "events")
+    res = transition_entropy_rate(
+        event_transitions(ev, "user_id", "ts", "event_type", "event_id"))
+    return res.select(
+        (_r4("entropy_rate") + F.lit(0.0)).alias("entropy_rate"),
+        F.col("n_states").cast("long").alias("n_states"),
+        F.col("n_transitions").cast("long").alias("n_transitions"))
+
+
+_SQL_TS_ENTROPY_RATE_EVENTS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_state,
+         event_type AS to_state
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+),
+counts AS (
+  SELECT from_state, to_state, count(*) AS n
+  FROM pairs WHERE from_state IS NOT NULL
+  GROUP BY from_state, to_state
+),
+probs AS (
+  SELECT from_state, n,
+    n / CAST(sum(n) OVER (PARTITION BY from_state) AS DOUBLE) AS p
+  FROM counts
+),
+per_from AS (
+  SELECT from_state, sum(n) AS nf, sum(-p * ln(p)) AS h
+  FROM probs GROUP BY from_state
+)
+SELECT
+  round((sum(nf * h) / CAST(sum(nf) AS DOUBLE)) * 10000.0) / 10000.0
+    + 0.0 AS entropy_rate,
+  CAST(count(*) AS BIGINT) AS n_states,
+  CAST(sum(nf) AS BIGINT) AS n_transitions
+FROM per_from
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -9143,6 +9283,12 @@ _QUERIES: dict = {
                                     _SQL_METRICS_PSI_TIMELINE_EVENTS),
     "pipe_curation_funnel_documents": (_q_pipe_curation_funnel_documents,
                                        _SQL_PIPE_CURATION_FUNNEL_DOCUMENTS),
+    "analytics_did_events": (_q_analytics_did_events,
+                             _SQL_ANALYTICS_DID_EVENTS),
+    "ts_transitions_events": (_q_ts_transitions_events,
+                              _SQL_TS_TRANSITIONS_EVENTS),
+    "ts_entropy_rate_events": (_q_ts_entropy_rate_events,
+                               _SQL_TS_ENTROPY_RATE_EVENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -896,3 +896,48 @@ def post_stratified_mean(sample: DataFrame, shares: DataFrame,
         .alias("naive_mean"),
         F.sum("_n").alias("n"),
         F.sum("share").alias("coverage"))
+
+
+def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
+                 value_col: str, treated, post) -> DataFrame:
+    """Difference-in-differences estimator — the 2×2 quasi-experimental
+    readout when randomization wasn't possible (feature shipped to one
+    segment, policy changed on one date): ``DiD = (ȳ_treated,post −
+    ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre)``, which removes
+    both the group baseline and the common time trend under the
+    parallel-trends assumption (stated, not testable here). Returns one
+    row with the four cell means, their counts, and the estimate; any
+    empty cell → null estimate (a DiD without all four cells is
+    undefined, not zero).
+
+    ONE fused aggregation over the data (map-side partial) — the four
+    cells are conditional sums, no join, no second scan. Cell variances
+    ride along so downstream can form the large-sample standard error.
+    """
+    g = F.col(group_col)
+    p = F.col(period_col)
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull())
+    cells = {}
+    aggs = []
+    for name, cond in (
+            ("tpost", (g == treated) & (p == post)),
+            ("tpre", (g == treated) & (p != post)),
+            ("cpost", (g != treated) & (p == post)),
+            ("cpre", (g != treated) & (p != post))):
+        aggs.append(F.sum(F.when(cond, v)).alias(f"_s_{name}"))
+        aggs.append(F.count(F.when(cond, v)).alias(f"_n_{name}"))
+        cells[name] = None
+    stats = rows.agg(*aggs)
+    means = {name: F.col(f"_s_{name}") / F.col(f"_n_{name}")
+             for name in cells}
+    ok = None
+    for name in cells:
+        nz = F.col(f"_n_{name}") > 0
+        ok = nz if ok is None else (ok & nz)
+    did = ((means["tpost"] - means["tpre"])
+           - (means["cpost"] - means["cpre"]))
+    return stats.select(
+        F.when(ok, did).alias("did"),
+        *[means[n].alias(f"mean_{n}") for n in cells],
+        *[F.col(f"_n_{n}").alias(f"n_{n}") for n in cells])

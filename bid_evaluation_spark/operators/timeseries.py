@@ -423,3 +423,49 @@ def seasonal_naive_backtest(df: DataFrame, key_col: str, ts_col: str,
         key_col, "n_eval", "mae",
         F.when(F.col("_mae_naive") > 0,
                F.col("mae") / F.col("_mae_naive")).alias("mase"))
+
+
+def event_transitions(df: DataFrame, key_col: str, ts_col: str,
+                      state_col: str, tiebreak_col: str) -> DataFrame:
+    """First-order Markov transition table from per-key event sequences:
+    one lag window in (ts, tiebreak) order per key, then ONE groupBy over
+    (from_state, to_state) — the user-journey model behind funnel
+    diagnostics and next-event prediction baselines. Returns
+    ``(from_state, to_state, n, p)`` with ``p = n / Σ_to n`` (row-
+    normalized via a from-state-partitioned window over the bounded
+    state×state table). Null states and each key's first event (no
+    predecessor) contribute no transition. Transitions never cross keys.
+    """
+    s = F.col(state_col).cast("string")
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).cast("double"),
+                                            F.col(tiebreak_col))
+    pairs = (df.filter(s.isNotNull() & F.col(ts_col).isNotNull())
+             .select(F.lag(s).over(w).alias("from_state"),
+                     s.alias("to_state"))
+             .filter(F.col("from_state").isNotNull()))
+    counts = (pairs.groupBy("from_state", "to_state")
+              .agg(F.count(F.lit(1)).alias("n")))
+    wf = Window.partitionBy("from_state")
+    return counts.select(
+        "from_state", "to_state", "n",
+        (F.col("n") / F.sum("n").over(wf)).alias("p"))
+
+
+def transition_entropy_rate(transitions: DataFrame) -> DataFrame:
+    """Entropy rate of a fitted transition table (output of
+    :func:`event_transitions`): ``H = Σ_i π_i · Σ_j −p_ij·ln p_ij`` with
+    ``π`` the empirical from-state distribution — 0 for a deterministic
+    journey, ln(k) for a uniform random walk over k next-states; the
+    single-number "how predictable is the next event" summary. Two
+    aggregates over the (bounded) transition table. Returns one row
+    ``(entropy_rate, n_states, n_transitions)``.
+    """
+    t = transitions
+    per_from = (t.groupBy("from_state")
+                .agg(F.sum("n").alias("_nf"),
+                     F.sum(-F.col("p") * F.log("p")).alias("_h")))
+    return (per_from
+            .agg((F.sum(F.col("_nf") * F.col("_h")) / F.sum("_nf"))
+                 .alias("entropy_rate"),
+                 F.count(F.lit(1)).alias("n_states"),
+                 F.sum("_nf").alias("n_transitions")))

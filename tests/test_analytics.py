@@ -858,3 +858,35 @@ class TestPostStratifiedMean:
         out = post_stratified_mean(samp, shares, "grp", "v").collect()[0]
         assert out["coverage"] == pytest.approx(0.6)  # stratum b unsampled
         assert out["estimate"] == pytest.approx(0.6)  # extrapolation visible
+
+
+class TestDiffInDiff:
+    def test_recovers_planted_effect(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.analytics import diff_in_diff
+
+        rng = np.random.RandomState(1)
+        rows = []
+        for g in (0, 1):
+            for p in (0, 1):
+                base = 50 + 10 * g + 5 * p       # baseline + common trend
+                effect = 20 if (g == 1 and p == 1) else 0
+                rows += [(g, p, float(base + effect + rng.randn()))
+                         for _ in range(300)]
+        df = spark.createDataFrame(rows, "grp int, period int, v double")
+        out = diff_in_diff(df, "grp", "period", "v",
+                           treated=1, post=1).collect()[0]
+        assert out["did"] == pytest.approx(20.0, abs=0.5)
+        assert out["n_tpost"] == 300
+
+    def test_empty_cell_nulls_estimate(self, spark):
+        from bid_evaluation_spark.operators.analytics import diff_in_diff
+
+        df = spark.createDataFrame(
+            [(1, 1, 5.0), (1, 0, 4.0), (0, 0, 3.0)],  # no control-post
+            "grp int, period int, v double")
+        out = diff_in_diff(df, "grp", "period", "v",
+                           treated=1, post=1).collect()[0]
+        assert out["did"] is None
+        assert out["n_cpost"] == 0

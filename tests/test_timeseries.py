@@ -427,3 +427,55 @@ class TestSeasonalNaiveBacktest:
         with _pt.raises(ValueError):
             seasonal_naive_backtest(df, "k", "ts", "v", season=0,
                                     tiebreak_col="eid")
+
+
+class TestEventTransitions:
+    def _chain(self, spark, seq, key="u"):
+        rows = [(key, float(i), i, s) for i, s in enumerate(seq)]
+        return spark.createDataFrame(
+            rows, "k string, ts double, eid long, state string")
+
+    def test_known_counts_and_probs(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            event_transitions)
+
+        df = self._chain(spark, ["a", "b", "a", "b", "b"])
+        out = {(r["from_state"], r["to_state"]): r
+               for r in event_transitions(df, "k", "ts", "state",
+                                          "eid").collect()}
+        assert out[("a", "b")]["n"] == 2
+        assert out[("a", "b")]["p"] == pytest.approx(1.0)   # a always -> b
+        assert out[("b", "a")]["p"] == pytest.approx(0.5)
+        assert out[("b", "b")]["p"] == pytest.approx(0.5)
+        assert ("b", None) not in out
+
+    def test_no_cross_key_transitions(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            event_transitions)
+
+        a = self._chain(spark, ["x", "x"], key="a")
+        b = self._chain(spark, ["y", "y"], key="b")
+        out = {(r["from_state"], r["to_state"])
+               for r in event_transitions(a.union(b), "k", "ts", "state",
+                                          "eid").collect()}
+        assert out == {("x", "x"), ("y", "y")}
+
+    def test_entropy_rate_extremes(self, spark):
+        import math
+
+        from bid_evaluation_spark.operators.timeseries import (
+            event_transitions, transition_entropy_rate)
+
+        # deterministic cycle -> entropy 0
+        det = self._chain(spark, ["a", "b", "a", "b", "a", "b"])
+        h0 = transition_entropy_rate(
+            event_transitions(det, "k", "ts", "state", "eid")).collect()[0]
+        assert h0["entropy_rate"] == pytest.approx(0.0)
+        # perfectly alternating 2-way split from one state: ln 2
+        mix = self._chain(spark, ["s", "a", "s", "b", "s", "a", "s", "b"])
+        h1 = transition_entropy_rate(
+            event_transitions(mix, "k", "ts", "state", "eid")).collect()[0]
+        # from 's': p(a)=p(b)=.5 -> ln2; from a/b: deterministic 's' -> 0
+        # pi weights: 's' has 4 outgoing of 7
+        want = (4 / 7) * math.log(2)
+        assert h1["entropy_rate"] == pytest.approx(want, rel=1e-9)
