@@ -5806,6 +5806,63 @@ FROM per_from
 """
 
 
+def _q_ts_kaplan_meier_events(spark, sf_dir):
+    """Kaplan-Meier survival curve (timeseries.py kaplan_meier) over
+    synthetic durations (event_id mod 97 + 1) with 20% right-censoring
+    (event_id mod 5 = 0) — censoring-aware retention. The oracle replays
+    at-risk counts, the ordered log-sum product, and the exhausted-tail
+    zero pin."""
+    from bid_evaluation_spark.operators.timeseries import kaplan_meier
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 97) + 1).cast("double").alias("dur"),
+        (F.col("event_id") % 5 != 0).alias("observed"))
+    res = kaplan_meier(ev, "dur", "observed")
+    return res.select(F.col("duration").cast("long").alias("duration"),
+                      "n_risk", "n_event", "n_censored",
+                      (_r4("survival") + F.lit(0.0)).alias("survival"))
+
+
+_SQL_TS_KAPLAN_MEIER_EVENTS = """
+WITH rws AS (
+  SELECT CAST(event_id % 97 + 1 AS DOUBLE) AS dur,
+         (event_id % 5 <> 0) AS observed
+  FROM events
+),
+per_t AS (
+  SELECT dur AS duration, count(*) AS leaving,
+         sum(CAST(observed AS BIGINT)) AS n_event
+  FROM rws GROUP BY dur
+),
+staged AS (
+  SELECT duration, n_event, leaving - n_event AS n_censored,
+    (SELECT sum(leaving) FROM per_t)
+      - COALESCE(sum(leaving) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+curves AS (
+  SELECT *,
+    max(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead,
+    sum(CASE WHEN n_event < n_risk
+             THEN ln(1.0 - n_event / CAST(n_risk AS DOUBLE))
+             ELSE 0.0 END)
+      OVER (ORDER BY duration
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS logsum
+  FROM staged
+)
+SELECT CAST(duration AS BIGINT) AS duration,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(n_event AS BIGINT) AS n_event,
+  CAST(n_censored AS BIGINT) AS n_censored,
+  round((CASE WHEN dead = 1 THEN 0.0 ELSE exp(logsum) END)
+        * 10000.0) / 10000.0 + 0.0 AS survival
+FROM curves
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -9289,6 +9346,8 @@ _QUERIES: dict = {
                               _SQL_TS_TRANSITIONS_EVENTS),
     "ts_entropy_rate_events": (_q_ts_entropy_rate_events,
                                _SQL_TS_ENTROPY_RATE_EVENTS),
+    "ts_kaplan_meier_events": (_q_ts_kaplan_meier_events,
+                               _SQL_TS_KAPLAN_MEIER_EVENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

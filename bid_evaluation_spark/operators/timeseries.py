@@ -469,3 +469,52 @@ def transition_entropy_rate(transitions: DataFrame) -> DataFrame:
                  .alias("entropy_rate"),
                  F.count(F.lit(1)).alias("n_states"),
                  F.sum("_nf").alias("n_transitions")))
+
+
+def kaplan_meier(df: DataFrame, duration_col: str,
+                 event_col: str) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve (1958 — the standard
+    censoring-aware retention/churn estimator; naive "share still alive
+    at t" is biased the moment observation windows differ): at each
+    distinct event time ``S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)`` with
+    ``d_i`` events and ``n_i`` at-risk (still under observation) at
+    ``t_i``. ``event_col`` is boolean — false rows are right-censored:
+    they leave the risk set at their duration without counting as
+    events. Returns one row per distinct duration with an event or
+    censoring: ``(duration, n_risk, n_event, n_censored, survival)``.
+
+    Shape: ONE groupBy(duration) + ordered cumulative windows over the
+    bounded distinct-duration table; the product becomes
+    ``exp(Σ ln(1 − d/n))`` (ordered window sum — deterministic), with
+    the exhausted-risk-set tail (``d = n``) pinned to exactly 0 instead
+    of flowing through ``ln(0)`` (Spark nulls it, other engines −inf).
+    """
+    dur = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("boolean")
+    rows = df.filter(dur.isNotNull() & ev.isNotNull())
+    per_t = (rows.groupBy(dur.alias("duration"))
+             .agg(F.count(F.lit(1)).alias("_leaving"),
+                  F.sum(ev.cast("long")).alias("n_event")))
+    w_ord = Window.orderBy("duration")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    total = F.sum("_leaving").over(
+        w_ord.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    n_risk = total - F.coalesce(F.sum("_leaving").over(w_cum), F.lit(0))
+    staged = per_t.select(
+        "duration", "n_event",
+        (F.col("_leaving") - F.col("n_event")).alias("n_censored"),
+        n_risk.alias("n_risk"))
+    frac = F.col("n_event") / F.col("n_risk")
+    term = F.when(F.col("n_event") < F.col("n_risk"),
+                  F.log(F.lit(1.0) - frac)).otherwise(F.lit(0.0))
+    dead = F.max((F.col("n_event") >= F.col("n_risk")).cast("int")).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    logsum = F.sum(term).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return staged.select(
+        "duration", F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("n_event").cast("long").alias("n_event"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(logsum))
+        .alias("survival"))

@@ -479,3 +479,52 @@ class TestEventTransitions:
         # pi weights: 's' has 4 outgoing of 7
         want = (4 / 7) * math.log(2)
         assert h1["entropy_rate"] == pytest.approx(want, rel=1e-9)
+
+
+class TestKaplanMeier:
+    def test_textbook_curve(self, spark):
+        """Classic small example: events at 1, 3; censor at 2."""
+        from bid_evaluation_spark.operators.timeseries import kaplan_meier
+
+        rows = [(1.0, True), (2.0, False), (3.0, True), (3.0, True),
+                (4.0, False)]
+        df = spark.createDataFrame(rows, "dur double, ev boolean")
+        out = {r["duration"]: r for r in
+               kaplan_meier(df, "dur", "ev").collect()}
+        # t=1: n=5, d=1 -> S=4/5
+        assert out[1.0]["n_risk"] == 5
+        assert out[1.0]["survival"] == pytest.approx(0.8)
+        # t=2: censor only -> S unchanged
+        assert out[2.0]["n_event"] == 0
+        assert out[2.0]["survival"] == pytest.approx(0.8)
+        # t=3: n=3, d=2 -> S = 0.8 * 1/3
+        assert out[3.0]["survival"] == pytest.approx(0.8 / 3)
+        # t=4: censor; survival flat
+        assert out[4.0]["survival"] == pytest.approx(0.8 / 3)
+
+    def test_no_censoring_matches_empirical(self, spark):
+        from bid_evaluation_spark.operators.timeseries import kaplan_meier
+
+        durs = [1.0, 2.0, 2.0, 3.0, 5.0]
+        df = spark.createDataFrame([(d, True) for d in durs],
+                                   "dur double, ev boolean")
+        out = {r["duration"]: r["survival"]
+               for r in kaplan_meier(df, "dur", "ev").collect()}
+        # without censoring KM == empirical survivor function
+        assert out[2.0] == pytest.approx(2 / 5)
+        assert out[5.0] == pytest.approx(0.0)  # risk set exhausts exactly
+
+    def test_monotone_nonincreasing(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.timeseries import kaplan_meier
+
+        rng = np.random.RandomState(4)
+        rows = [(float(rng.randint(1, 30)), bool(rng.rand() < 0.7))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "dur double, ev boolean")
+        curve = sorted(kaplan_meier(df, "dur", "ev").collect(),
+                       key=lambda r: r["duration"])
+        surv = [r["survival"] for r in curve]
+        assert all(a >= b - 1e-12 for a, b in zip(surv, surv[1:]))
+        assert all(0.0 <= s <= 1.0 for s in surv)
