@@ -5863,6 +5863,127 @@ FROM curves
 """
 
 
+def _q_analytics_msprt_events(spark, sf_dir):
+    """mSPRT always-valid p-value (analytics.py msprt_always_valid, KDD
+    2017): peeking-safe A/B readout on event values, variant = event
+    parity with a planted +8 shift, τ=5. One fused sufficient-statistic
+    aggregate; the oracle replays the pooled variance, Λ, and the
+    1/Λ cap operation-for-operation."""
+    from bid_evaluation_spark.operators.analytics import msprt_always_valid
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("variant", (F.col("event_id") % 2).cast("int"))
+          .withColumn("value", F.col("value")
+                      + F.when(F.col("event_id") % 2 == 1, F.lit(8.0))
+                      .otherwise(F.lit(0.0))))
+    res = msprt_always_valid(ev, "variant", "value", control=0,
+                             treatment=1, tau=5.0)
+    return res.select((_r4("delta") + F.lit(0.0)).alias("delta"),
+                      "n_control", "n_treatment",
+                      (_r4("lambda") + F.lit(0.0)).alias("lambda"),
+                      (F.round(F.col("p_always_valid") * F.lit(1e8))
+                       / F.lit(1e8) + F.lit(0.0)).alias("p_always_valid"))
+
+
+_SQL_ANALYTICS_MSPRT_EVENTS = """
+WITH rws AS (
+  SELECT CAST(event_id % 2 = 1 AS DOUBLE) AS t,
+    CAST(value AS DOUBLE)
+      + (CASE WHEN event_id % 2 = 1 THEN 8.0 ELSE 0.0 END) AS v
+  FROM events WHERE value IS NOT NULL
+),
+agg AS (
+  SELECT sum(t) AS nt, sum(1.0 - t) AS nc,
+         sum(t * v) AS st, sum((1.0 - t) * v) AS sc,
+         sum(t * v * v) AS sst, sum((1.0 - t) * v * v) AS ssc
+  FROM rws
+),
+calc AS (
+  SELECT nt, nc, st / nt AS mt, sc / nc AS mc,
+    ((sst - nt * (st / nt) * (st / nt))
+     + (ssc - nc * (sc / nc) * (sc / nc))) / (nt + nc - 2.0) AS var
+  FROM agg
+),
+fin AS (
+  SELECT nt, nc, mt - mc AS delta,
+    var * (1.0 / nc + 1.0 / nt) AS vhat
+  FROM calc
+)
+SELECT
+  round(delta * 10000.0) / 10000.0 + 0.0 AS delta,
+  CAST(nc AS BIGINT) AS n_control, CAST(nt AS BIGINT) AS n_treatment,
+  round(sqrt(vhat / (vhat + 25.0))
+        * exp(delta * delta * 25.0 / (2.0 * vhat * (vhat + 25.0)))
+        * 10000.0) / 10000.0 + 0.0 AS "lambda",
+  round(least(1.0, 1.0 / (sqrt(vhat / (vhat + 25.0))
+        * exp(delta * delta * 25.0 / (2.0 * vhat * (vhat + 25.0)))))
+        * 100000000.0) / 100000000.0 + 0.0 AS p_always_valid
+FROM fin
+"""
+
+
+def _q_text_zipf_slope_documents(spark, sf_dir):
+    """Zipf-law slope of the corpus token spectrum — ln(freq) ~ ln(rank)
+    OLS over the top-100 tokens via the existing `grouped_linear_fit`
+    sufficient-statistics op (natural text slopes near −1; synthetic or
+    templated corpora flatten — a corpus-health fingerprint). Rank =
+    count-desc/token-asc row_number on the bounded top-k table; the
+    oracle replays tokenize → counts → rank → the OLS closed form."""
+    from pyspark.sql import Window
+
+    from bid_evaluation_spark.operators.analytics import grouped_linear_fit
+    from bid_evaluation_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (docs.select(F.explode(tokens(F.lower(F.col("text"))))
+                          .alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= 100)
+              .select(F.lit("corpus").alias("g"),
+                      F.log(F.col("rank").cast("double")).alias("lx"),
+                      F.log(F.col("freq").cast("double")).alias("ly")))
+    res = grouped_linear_fit(ranked, "g", "lx", "ly")
+    return res.select(F.col("n").cast("long").alias("n"),
+                      (_r4("slope") + F.lit(0.0)).alias("slope"),
+                      (_r4("intercept") + F.lit(0.0)).alias("intercept"),
+                      (_r4("r2") + F.lit(0.0)).alias("r2"))
+
+
+_SQL_TEXT_ZIPF_SLOPE_DOCUMENTS = """
+WITH toks AS (
+  SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                ELSE string_split_regex(trim(lower(text)), '\\s+')
+                END) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS freq FROM toks GROUP BY tok),
+ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok ASC)
+                 AS DOUBLE)) AS lx,
+         ln(CAST(freq AS DOUBLE)) AS ly,
+         row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+  FROM counts QUALIFY rnk <= 100
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_i,
+    sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
+    sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+  FROM ranked
+)
+SELECT CAST(n_i AS BIGINT) AS n,
+  round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0)
+    / 10000.0 + 0.0 AS slope,
+  round(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
+        * 10000.0) / 10000.0 + 0.0 AS intercept,
+  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+        * 10000.0) / 10000.0 + 0.0 AS r2
+FROM s
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -9348,6 +9469,10 @@ _QUERIES: dict = {
                                _SQL_TS_ENTROPY_RATE_EVENTS),
     "ts_kaplan_meier_events": (_q_ts_kaplan_meier_events,
                                _SQL_TS_KAPLAN_MEIER_EVENTS),
+    "analytics_msprt_events": (_q_analytics_msprt_events,
+                               _SQL_ANALYTICS_MSPRT_EVENTS),
+    "text_zipf_slope_documents": (_q_text_zipf_slope_documents,
+                                  _SQL_TEXT_ZIPF_SLOPE_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -941,3 +941,52 @@ def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
         F.when(ok, did).alias("did"),
         *[means[n].alias(f"mean_{n}") for n in cells],
         *[F.col(f"_n_{n}").alias(f"n_{n}") for n in cells])
+
+
+def msprt_always_valid(df: DataFrame, group_col: str, value_col: str,
+                       control, treatment, tau: float = 1.0) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) always-valid
+    p-value for a two-sample mean difference (Johari et al., "Peeking at
+    A/B Tests", KDD 2017 — public): unlike :func:`welch_t_test`'s fixed-
+    horizon p, this one stays valid under CONTINUOUS MONITORING — peek
+    every batch, stop whenever it crosses α. With ``δ̂`` the mean
+    difference, ``V = σ̂²·(1/n_c + 1/n_t)`` its plug-in variance and
+    ``τ²`` the mixture prior: ``Λ = √(V/(V+τ²)) ·
+    exp(δ̂²·τ²/(2V(V+τ²)))`` and ``p = min(1, 1/Λ)`` (monotone
+    nonincreasing as evidence accumulates; the plug-in pooled σ̂² is the
+    standard large-sample approximation). One fused sufficient-statistic
+    aggregate; returns ``(delta, n_control, n_treatment, lambda,
+    p_always_valid)`` — nulls when a group is empty or variance
+    degenerates. Pick ``τ`` near the effect size worth detecting.
+    """
+    if tau <= 0:
+        raise ValueError(f"tau must be positive, got {tau}")
+    g = F.col(group_col)
+    v = F.col(value_col).cast("double")
+    rows = df.filter(v.isNotNull() & g.isin([control, treatment]))
+    t = (g == treatment).cast("double")
+    agg = rows.agg(
+        F.sum(t).alias("_nt"), F.sum(1.0 - t).alias("_nc"),
+        F.sum(t * v).alias("_st"), F.sum((1.0 - t) * v).alias("_sc"),
+        F.sum(t * v * v).alias("_sst"),
+        F.sum((1.0 - t) * v * v).alias("_ssc"))
+    nt, nc = F.col("_nt"), F.col("_nc")
+    mt = F.col("_st") / nt
+    mc = F.col("_sc") / nc
+    # pooled variance from the two within-group sums of squares
+    ssq = ((F.col("_sst") - nt * mt * mt)
+           + (F.col("_ssc") - nc * mc * mc))
+    var = ssq / (nt + nc - 2.0)
+    delta = mt - mc
+    vhat = var * (1.0 / nc + 1.0 / nt)
+    t2 = float(tau) * float(tau)
+    lam = (F.sqrt(vhat / (vhat + F.lit(t2)))
+           * F.exp(delta * delta * F.lit(t2)
+                   / (2.0 * vhat * (vhat + F.lit(t2)))))
+    ok = (nt > 1) & (nc > 1) & (var > 0)
+    return agg.select(
+        F.when(ok, delta).alias("delta"),
+        nc.cast("long").alias("n_control"),
+        nt.cast("long").alias("n_treatment"),
+        F.when(ok, lam).alias("lambda"),
+        F.when(ok, F.least(F.lit(1.0), 1.0 / lam)).alias("p_always_valid"))

@@ -890,3 +890,58 @@ class TestDiffInDiff:
                            treated=1, post=1).collect()[0]
         assert out["did"] is None
         assert out["n_cpost"] == 0
+
+
+class TestMsprt:
+    def _ab(self, spark, shift, n=400, seed=2):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        rows = ([("c", float(v)) for v in rng.normal(10, 3, n)]
+                + [("t", float(v)) for v in rng.normal(10 + shift, 3, n)])
+        return spark.createDataFrame(rows, "g string, v double")
+
+    def test_null_effect_keeps_high_p(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            msprt_always_valid)
+
+        out = msprt_always_valid(self._ab(spark, 0.0), "g", "v",
+                                 "c", "t", tau=1.0).collect()[0]
+        assert out["p_always_valid"] > 0.05
+
+    def test_real_effect_drives_p_down_and_monotone_in_n(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            msprt_always_valid)
+
+        small = msprt_always_valid(self._ab(spark, 2.0, n=50), "g", "v",
+                                   "c", "t", tau=1.0).collect()[0]
+        big = msprt_always_valid(self._ab(spark, 2.0, n=800), "g", "v",
+                                 "c", "t", tau=1.0).collect()[0]
+        assert big["p_always_valid"] < 1e-6
+        assert big["p_always_valid"] < small["p_always_valid"]
+
+    def test_python_replay_and_validation(self, spark):
+        import math
+
+        import pytest as _pt
+
+        from bid_evaluation_spark.operators.analytics import (
+            msprt_always_valid)
+
+        rows = [("c", 1.0), ("c", 3.0), ("t", 4.0), ("t", 8.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = msprt_always_valid(df, "g", "v", "c", "t",
+                                 tau=2.0).collect()[0]
+        mt, mc = 6.0, 2.0
+        ssq = (4 ** 2 + 8 ** 2 - 2 * 6 ** 2) + (1 + 9 - 2 * 2 ** 2)
+        var = ssq / 2.0
+        vhat = var * (1 / 2 + 1 / 2)
+        t2 = 4.0
+        lam = math.sqrt(vhat / (vhat + t2)) * math.exp(
+            (mt - mc) ** 2 * t2 / (2 * vhat * (vhat + t2)))
+        assert out["delta"] == _pt.approx(4.0)
+        assert out["lambda"] == _pt.approx(lam, rel=1e-12)
+        assert out["p_always_valid"] == _pt.approx(min(1.0, 1 / lam),
+                                                   rel=1e-12)
+        with _pt.raises(ValueError):
+            msprt_always_valid(df, "g", "v", "c", "t", tau=0)
