@@ -5984,6 +5984,54 @@ FROM s
 """
 
 
+def _q_profile_benford_orders(spark, sf_dir):
+    """Benford first-digit deviation (profile.py benford_deviation) over
+    order totals — string-based digit extraction on integer cents (the
+    floor(log10) path is off-by-one at binary-float powers of ten). The
+    oracle replays digits, shares, and chi-square terms; expected shares
+    are log10(1+1/d) on both engines."""
+    from bid_evaluation_spark.operators.profile import benford_deviation
+
+    orders = _t(spark, sf_dir, "orders")
+    res = benford_deviation(orders, "o_totalprice")
+    return res.select(F.col("digit").cast("long").alias("digit"),
+                      F.col("n").cast("long").alias("n"),
+                      (_r4("observed_share") + F.lit(0.0))
+                      .alias("observed_share"),
+                      (_r4("expected_share") + F.lit(0.0))
+                      .alias("expected_share"),
+                      (_r4("chi2_term") + F.lit(0.0)).alias("chi2_term"))
+
+
+_SQL_PROFILE_BENFORD_ORDERS = """
+WITH rws AS (
+  SELECT CAST(substr(CAST(CAST(round(abs(o_totalprice) * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND CAST(round(abs(o_totalprice) * 100) AS BIGINT) > 0
+),
+counts AS (SELECT digit, count(*) AS n FROM rws GROUP BY digit),
+grid AS (SELECT unnest(generate_series(1, 9)) AS digit),
+j AS (
+  SELECT g.digit, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN counts c ON c.digit = g.digit
+),
+tot AS (SELECT sum(n) AS t FROM j)
+SELECT CAST(j.digit AS BIGINT) AS digit, CAST(j.n AS BIGINT) AS n,
+  round((j.n / CAST(t.t AS DOUBLE)) * 10000.0) / 10000.0 + 0.0
+    AS observed_share,
+  round(log10(1.0 + 1.0 / j.digit) * 10000.0) / 10000.0 + 0.0
+    AS expected_share,
+  round((CAST(t.t AS DOUBLE)
+         * (j.n / CAST(t.t AS DOUBLE) - log10(1.0 + 1.0 / j.digit))
+         * (j.n / CAST(t.t AS DOUBLE) - log10(1.0 + 1.0 / j.digit))
+         / log10(1.0 + 1.0 / j.digit)) * 10000.0) / 10000.0 + 0.0
+    AS chi2_term
+FROM j, tot t
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -9473,6 +9521,8 @@ _QUERIES: dict = {
                                _SQL_ANALYTICS_MSPRT_EVENTS),
     "text_zipf_slope_documents": (_q_text_zipf_slope_documents,
                                   _SQL_TEXT_ZIPF_SLOPE_DOCUMENTS),
+    "profile_benford_orders": (_q_profile_benford_orders,
+                               _SQL_PROFILE_BENFORD_ORDERS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -370,3 +370,43 @@ def fingerprint_diff(a: DataFrame, b: DataFrame) -> DataFrame:
            != F.coalesce(F.col("checksum2_b"), F.lit(-1)))
     return j.filter(diff).select("bucket", "n_rows_a", "n_rows_b",
                                  "checksum_a", "checksum_b")
+
+
+def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    classic fabricated-/truncated-data smell test for naturally-spanning
+    numeric columns (amounts, populations; NOT for bounded or assigned
+    values, caller's judgment). Digit extraction is STRING-based on the
+    integer cents (``first char of CAST(round(|v|·100) AS BIGINT)``) —
+    ``floor(log10(v))`` is off-by-one exactly at powers of ten in
+    binary floats, so no log path touches the digit. Zero/null values
+    are excluded (no first significant digit).
+
+    Returns 9 rows: ``(digit, n, observed_share, expected_share,
+    chi2_term)`` — Σ chi2_term is the Benford chi-square (8 dof).
+    One groupBy on the 9-value digit key; expected shares are
+    ``log10(1 + 1/d)`` literals.
+    """
+    import math
+
+    v = F.abs(F.col(value_col).cast("double"))
+    cents = F.round(v * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    rows = (df.filter(v.isNotNull() & (cents > 0))
+            .select(digit.alias("digit")))
+    counts = rows.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    grid = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit"))
+    j = (grid.join(counts, ["digit"], "left")
+         .select("digit", F.coalesce("n", F.lit(0)).alias("n")))
+    total = F.sum("n").over(Window.partitionBy())
+    obs = F.col("n") / total
+    exp_map = F.lit(0.0)
+    for d in range(1, 10):
+        exp_map = F.when(F.col("digit") == d,
+                         F.lit(math.log10(1.0 + 1.0 / d))).otherwise(exp_map)
+    chi2 = (total.cast("double") * (obs - exp_map) * (obs - exp_map)
+            / exp_map)
+    return j.select("digit", "n", obs.alias("observed_share"),
+                    exp_map.alias("expected_share"),
+                    chi2.alias("chi2_term"))

@@ -194,3 +194,40 @@ class TestTableFingerprint:
             table_fingerprint(a, buckets=0)
         with _pt.raises(ValueError):
             table_fingerprint(a, cols=[])
+
+
+class TestBenford:
+    def test_benford_sample_fits_and_uniform_fails(self, spark):
+        import numpy as np
+
+        from bid_evaluation_spark.operators.profile import benford_deviation
+
+        rng = np.random.RandomState(5)
+        # log-uniform values follow Benford; uniform values don't
+        benford_vals = 10 ** rng.uniform(0, 5, 4000)
+        uniform_vals = rng.uniform(100, 1000, 4000)
+        b = spark.createDataFrame([(float(v),) for v in benford_vals],
+                                  "v double")
+        u = spark.createDataFrame([(float(v),) for v in uniform_vals],
+                                  "v double")
+        chi_b = sum(r["chi2_term"]
+                    for r in benford_deviation(b, "v").collect())
+        chi_u = sum(r["chi2_term"]
+                    for r in benford_deviation(u, "v").collect())
+        assert chi_b < 30          # consistent with Benford
+        assert chi_u > 500         # wildly off
+
+    def test_digit_extraction_and_exclusions(self, spark):
+        from bid_evaluation_spark.operators.profile import benford_deviation
+
+        df = spark.createDataFrame(
+            [(912.34,), (0.07,), (-70.0,), (0.0,), (None,)], "v double")
+        out = {r["digit"]: r["n"] for r in
+               benford_deviation(df, "v").collect()}
+        assert out[9] == 1   # 912.34 -> 91234
+        assert out[7] == 2   # 0.07 -> 7 ; -70.0 -> 7000
+        assert sum(out.values()) == 3  # zero/null excluded
+        shares = {r["digit"]: r["expected_share"] for r in
+                  benford_deviation(df, "v").collect()}
+        import math
+        assert shares[1] == pytest.approx(math.log10(2))
