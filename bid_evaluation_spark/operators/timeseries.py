@@ -472,7 +472,7 @@ def transition_entropy_rate(transitions: DataFrame) -> DataFrame:
 
 
 def kaplan_meier(df: DataFrame, duration_col: str,
-                 event_col: str) -> DataFrame:
+                 event_col: str, digits: int = 6) -> DataFrame:
     """Kaplan-Meier product-limit survival curve (1958 — the standard
     censoring-aware retention/churn estimator; naive "share still alive
     at t" is biased the moment observation windows differ): at each
@@ -483,13 +483,17 @@ def kaplan_meier(df: DataFrame, duration_col: str,
     events. Returns one row per distinct duration with an event or
     censoring: ``(duration, n_risk, n_event, n_censored, survival)``.
 
-    Shape: ONE groupBy(duration) + ordered cumulative windows over the
-    bounded distinct-duration table; the product becomes
-    ``exp(Σ ln(1 − d/n))`` (ordered window sum — deterministic), with
-    the exhausted-risk-set tail (``d = n``) pinned to exactly 0 instead
-    of flowing through ``ln(0)`` (Spark nulls it, other engines −inf).
+    Shape: durations quantize to ``digits`` decimals first (the
+    ks_statistic pattern — continuous durations would otherwise make
+    every row a distinct time and the ordered window unbounded), then
+    ONE groupBy(duration) + ordered cumulative windows over the bounded
+    distinct-duration table; the product becomes ``exp(Σ ln(1 − d/n))``
+    (ordered window sum — deterministic), with the exhausted-risk-set
+    tail (``d = n``) pinned to exactly 0 instead of flowing through
+    ``ln(0)`` (Spark nulls it, other engines −inf).
     """
-    dur = F.col(duration_col).cast("double")
+    scale = float(10 ** digits)
+    dur = (F.round(F.col(duration_col).cast("double") * scale) / scale)
     ev = F.col(event_col).cast("boolean")
     rows = df.filter(dur.isNotNull() & ev.isNotNull())
     per_t = (rows.groupBy(dur.alias("duration"))
