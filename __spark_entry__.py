@@ -6869,6 +6869,101 @@ FROM raw
 """
 
 
+def _q_sketch_hll_overlap_documents(spark, sf_dir):
+    """Sketch-algebra corpus overlap (sketch.py hll_overlap): vocabulary
+    Jaccard between the two corpus halves from THREE HLL estimates —
+    |A|, |B|, and the union via elementwise register max — no corpus
+    join anywhere. Deterministic md5 registers: the oracle rebuilds all
+    three register tables and the inclusion-exclusion arithmetic."""
+    from bid_evaluation_spark.operators.sketch import hll_overlap
+    from bid_evaluation_spark.operators.text import tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       F.explode(_tokens(F.lower(F.col("text"))))
+                       .alias("tok"))
+    a = toks.filter(F.col("doc_id") < 250).select("tok")
+    b_df = toks.filter(F.col("doc_id") >= 250).select("tok")
+    res = hll_overlap(a, b_df, "tok", b=10, seed="hll")
+    return res.select(_r4("est_a").alias("est_a"),
+                      _r4("est_b").alias("est_b"),
+                      _r4("est_union").alias("est_union"),
+                      _r4("est_intersection").alias("est_intersection"),
+                      (_r4("jaccard") + F.lit(0.0)).alias("jaccard"))
+
+
+_SQL_SKETCH_HLL_OVERLAP_DOCUMENTS = f"""
+WITH tokall AS (
+  SELECT doc_id,
+    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents WHERE trim(lower(text)) != ''
+),
+ha AS (
+  SELECT CAST(('0x' || substr(md5(tok || 'hll'), 1, 15)) AS BIGINT) AS h
+  FROM tokall WHERE doc_id < 250
+),
+hb AS (
+  SELECT CAST(('0x' || substr(md5(tok || 'hll'), 1, 15)) AS BIGINT) AS h
+  FROM tokall WHERE doc_id >= 250
+),
+ra AS (
+  SELECT h % 1024 AS idx,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 50 - length(bin(h >> 10)) + 1 END) AS M
+  FROM ha GROUP BY 1
+),
+rb AS (
+  SELECT h % 1024 AS idx,
+    max(CASE WHEN (h >> 10) = 0 THEN 51
+             ELSE 50 - length(bin(h >> 10)) + 1 END) AS M
+  FROM hb GROUP BY 1
+),
+ru AS (
+  SELECT idx, max(M) AS M
+  FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY idx
+),
+ea AS (
+  SELECT CASE WHEN rawe <= CAST(2560 AS DOUBLE) AND zr > 0
+         THEN CAST(1024 AS DOUBLE)
+              * ln(CAST(1024 AS DOUBLE) / CAST(zr AS DOUBLE))
+         ELSE rawe END AS e
+  FROM (SELECT {{alpha}} / (sum(power(CAST(2 AS DOUBLE), -M))
+                + CAST(1024 - count(*) AS DOUBLE)) AS rawe,
+               CAST(1024 - count(*) AS BIGINT) AS zr
+        FROM ra)
+),
+eb AS (
+  SELECT CASE WHEN rawe <= CAST(2560 AS DOUBLE) AND zr > 0
+         THEN CAST(1024 AS DOUBLE)
+              * ln(CAST(1024 AS DOUBLE) / CAST(zr AS DOUBLE))
+         ELSE rawe END AS e
+  FROM (SELECT {{alpha}} / (sum(power(CAST(2 AS DOUBLE), -M))
+                + CAST(1024 - count(*) AS DOUBLE)) AS rawe,
+               CAST(1024 - count(*) AS BIGINT) AS zr
+        FROM rb)
+),
+eu AS (
+  SELECT CASE WHEN rawe <= CAST(2560 AS DOUBLE) AND zr > 0
+         THEN CAST(1024 AS DOUBLE)
+              * ln(CAST(1024 AS DOUBLE) / CAST(zr AS DOUBLE))
+         ELSE rawe END AS e
+  FROM (SELECT {{alpha}} / (sum(power(CAST(2 AS DOUBLE), -M))
+                + CAST(1024 - count(*) AS DOUBLE)) AS rawe,
+               CAST(1024 - count(*) AS BIGINT) AS zr
+        FROM ru)
+)
+SELECT
+  round(ea.e * 10000.0) / 10000.0 AS est_a,
+  round(eb.e * 10000.0) / 10000.0 AS est_b,
+  round(eu.e * 10000.0) / 10000.0 AS est_union,
+  round(greatest(0.0, ea.e + eb.e - eu.e) * 10000.0) / 10000.0
+    AS est_intersection,
+  round((greatest(0.0, ea.e + eb.e - eu.e) / eu.e) * 10000.0) / 10000.0
+    + 0.0 AS jaccard
+FROM ea, eb, eu
+""".replace("{alpha}", _HLL_ALPHA_M2)
+
+
 def _q_classify_nb_lang_documents(spark, sf_dir):
     """Multinomial Naive Bayes language classifier (operators/classify.py):
     train on the corpus's own (text, lang) pairs — one explode + groupBy
@@ -9523,6 +9618,8 @@ _QUERIES: dict = {
                                   _SQL_TEXT_ZIPF_SLOPE_DOCUMENTS),
     "profile_benford_orders": (_q_profile_benford_orders,
                                _SQL_PROFILE_BENFORD_ORDERS),
+    "sketch_hll_overlap_documents": (_q_sketch_hll_overlap_documents,
+                                     _SQL_SKETCH_HLL_OVERLAP_DOCUMENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

@@ -275,3 +275,40 @@ def cms_topk_by_group(df: DataFrame, group_col: str, text_col: str = "text",
     return (est.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn")
             .withColumnRenamed("_tok", "token"))
+
+
+def hll_overlap(a: DataFrame, b_df: DataFrame, key_col: str,
+                b: int = 10, seed: str = "hll") -> DataFrame:
+    """Sketch-algebra corpus overlap: |A|, |B| and |A∪B| from THREE HLL
+    estimates (the union sketch is the elementwise register max — the
+    mergeability that makes HLL a distributed-systems primitive), then
+    inclusion-exclusion gives the intersection and Jaccard WITHOUT ever
+    joining the corpora — the O(2^b)-state answer to "how much do these
+    two 100-TB corpora overlap" that the exact distinct-digest join
+    answers at full shuffle cost. Returns one row ``(est_a, est_b,
+    est_union, est_intersection, jaccard)``.
+
+    Deterministic md5 registers ⇒ fully oracle-replayable. Error: each
+    estimate carries HLL's ~1.04/√m relative error and the intersection
+    DIFFERENCES them, so small overlaps of large corpora can even go
+    negative (clamped at 0, documented) — use the exact digest join when
+    the overlap itself is small and precious.
+    """
+    ra = hll_registers(a, key_col, b=b, seed=seed)
+    rb = hll_registers(b_df, key_col, b=b, seed=seed)
+    ru = (ra.unionByName(rb).groupBy("_idx")
+          .agg(F.max("_M").alias("_M")))
+
+    def est(regs):
+        return hll_estimate_from_registers(regs, b).select(
+            F.col("estimate")).collect()[0][0]
+
+    ea, eb, eu = est(ra), est(rb), est(ru)
+    ei = max(0.0, ea + eb - eu)
+    jac = ei / eu if eu > 0 else None
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(float(ea), float(eb), float(eu), float(ei),
+          float(jac) if jac is not None else None)],
+        "est_a double, est_b double, est_union double, "
+        "est_intersection double, jaccard double")

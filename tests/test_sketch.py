@@ -161,3 +161,36 @@ def test_cms_topk_by_group_matches_per_group_global(spark):
                for r in cms_topk(sub, "text", k=3, with_exact=True).collect()]
         assert grouped[g] == ref, g
     assert grouped["g0"][0] == ("beta", 4, 4)   # est == exact (no collision)
+
+
+class TestHllOverlap:
+    def _corpus(self, spark, lo, hi):
+        return spark.createDataFrame([(f"k{i}",) for i in range(lo, hi)],
+                                     "k string")
+
+    def test_estimates_track_exact_overlap(self, spark):
+        from bid_evaluation_spark.operators.sketch import hll_overlap
+
+        a = self._corpus(spark, 0, 3000)       # |A|=3000
+        b = self._corpus(spark, 2000, 5000)    # |B|=3000, overlap 1000
+        out = hll_overlap(a, b, "k", b=10).collect()[0]
+        # HLL rel error ~3% at m=1024; differences widen it — allow 15%
+        assert out["est_a"] == pytest.approx(3000, rel=0.1)
+        assert out["est_union"] == pytest.approx(5000, rel=0.1)
+        assert out["est_intersection"] == pytest.approx(1000, rel=0.35)
+        want_j = 1000 / 5000
+        assert out["jaccard"] == pytest.approx(want_j, abs=0.08)
+
+    def test_disjoint_and_identical(self, spark):
+        from bid_evaluation_spark.operators.sketch import hll_overlap
+
+        a = self._corpus(spark, 0, 2000)
+        d = self._corpus(spark, 10000, 12000)
+        dis = hll_overlap(a, d, "k", b=10).collect()[0]
+        assert dis["jaccard"] < 0.1            # near-zero, clamped >= 0
+        assert dis["est_intersection"] >= 0.0
+        same = hll_overlap(a, self._corpus(spark, 0, 2000),
+                           "k", b=10).collect()[0]
+        # identical corpora: union sketch == each sketch exactly
+        assert same["est_union"] == same["est_a"] == same["est_b"]
+        assert same["jaccard"] == pytest.approx(1.0)
