@@ -474,3 +474,67 @@ class TestPsiTimeline:
             psi_timeline(ref, cur, "value", n_bins=1)
         with _pt.raises(ValueError):
             psi_timeline(ref.filter("value IS NULL"), cur, "value")
+
+
+class TestStreamingPsiMonitor:
+    def test_batch_parity_and_alarm(self, spark, tmp_path):
+        """Each micro-batch's PSI equals psi_drift run in batch mode;
+        the shifted batch alarms, the in-distribution one doesn't."""
+        import time as _time
+
+        import numpy as np
+
+        from bid_evaluation_spark.operators.metrics import psi_drift
+        from bid_evaluation_spark.streaming.drift import (
+            batch_psi, reference_bins, streaming_psi_monitor)
+
+        rng = np.random.RandomState(7)
+        ref = spark.createDataFrame(
+            [(float(v),) for v in rng.normal(50, 5, 500)], "value double")
+        bins = reference_bins(ref, "value", n_bins=5)
+
+        good = [(float(v),) for v in rng.normal(50, 5, 200)]
+        bad = [(float(v),) for v in rng.normal(90, 5, 200)]
+        src = str(tmp_path / "psi_stream")
+        spark.createDataFrame(good, "value double").coalesce(1) \
+            .write.parquet(f"{src}/b=0")
+        _time.sleep(1.1)
+        spark.createDataFrame(bad, "value double").coalesce(1) \
+            .write.parquet(f"{src}/b=1")
+
+        sink = []
+        stream = spark.readStream.schema("value double").option(
+            "maxFilesPerTrigger", 1).parquet(f"{src}/b=*")
+        q = (streaming_psi_monitor(stream, bins, "value", sink,
+                                   threshold=0.25)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+        assert len(sink) == 2
+        by_alarm = sorted(sink, key=lambda r: r["psi"])
+        assert not by_alarm[0]["alarm"] and by_alarm[1]["alarm"]
+        assert by_alarm[1]["psi"] > 1.0
+
+        # parity: the kernel equals psi_drift's total on the same frame
+        import pytest as _pt
+        batch = spark.createDataFrame(bad, "value double")
+        _, psi_stream = batch_psi(batch, bins, "value")
+        total = sum(r["psi_term"] for r in
+                    psi_drift(ref, batch, "value", n_bins=5).collect())
+        assert psi_stream == _pt.approx(total, rel=1e-9)
+
+    def test_empty_batch_and_validation(self, spark):
+        import pytest as _pt
+
+        from bid_evaluation_spark.streaming.drift import (
+            batch_psi, reference_bins, streaming_psi_monitor)
+
+        ref = spark.createDataFrame([(float(i),) for i in range(50)],
+                                    "value double")
+        bins = reference_bins(ref, "value", n_bins=4)
+        n, psi = batch_psi(ref.filter("value < -1"), bins, "value")
+        assert n == 0 and psi is None
+        with _pt.raises(ValueError):
+            reference_bins(ref, "value", n_bins=1)
+        with _pt.raises(ValueError):
+            streaming_psi_monitor(ref, bins, "value", [], threshold=0)
