@@ -6032,6 +6032,75 @@ FROM j, tot t
 """
 
 
+def _q_ts_km_summary_events(spark, sf_dir):
+    """KM curve summaries (timeseries.py km_summary): median survival +
+    restricted mean to τ=80 over the same synthetic censored durations
+    as ts_kaplan_meier_events. The oracle replays the full curve, the
+    first-crossing median, and the step-integral RMST."""
+    from bid_evaluation_spark.operators.timeseries import (kaplan_meier,
+                                                           km_summary)
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 97) + 1).cast("double").alias("dur"),
+        (F.col("event_id") % 5 != 0).alias("observed"))
+    res = km_summary(kaplan_meier(ev, "dur", "observed"), horizon=80.0)
+    return res.select(
+        (_r4("median_survival") + F.lit(0.0)).alias("median_survival"),
+        (_r4("rmst") + F.lit(0.0)).alias("rmst"),
+        (_r4("horizon") + F.lit(0.0)).alias("horizon"))
+
+
+_SQL_TS_KM_SUMMARY_EVENTS = """
+WITH rws AS (
+  SELECT CAST(event_id % 97 + 1 AS DOUBLE) AS dur,
+         (event_id % 5 <> 0) AS observed
+  FROM events
+),
+per_t AS (
+  SELECT round(dur * 1000000.0) / 1000000.0 AS duration,
+         count(*) AS leaving,
+         sum(CAST(observed AS BIGINT)) AS n_event
+  FROM rws GROUP BY 1
+),
+staged AS (
+  SELECT duration, n_event,
+    (SELECT sum(leaving) FROM per_t)
+      - COALESCE(sum(leaving) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+),
+curves AS (
+  SELECT duration,
+    CASE WHEN max(CASE WHEN n_event >= n_risk THEN 1 ELSE 0 END)
+              OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+         THEN 0.0
+         ELSE exp(sum(CASE WHEN n_event < n_risk
+                      THEN ln(1.0 - n_event / CAST(n_risk AS DOUBLE))
+                      ELSE 0.0 END)
+              OVER (ORDER BY duration
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    END AS survival
+  FROM staged
+),
+segs AS (
+  SELECT duration, survival,
+    COALESCE(lead(duration) OVER (ORDER BY duration), 80.0) AS nxt,
+    min(duration) OVER () AS first_t
+  FROM curves
+)
+SELECT
+  round(min(CASE WHEN round(survival * 1000000000.0) / 1000000000.0
+                 <= 0.5 THEN duration END) * 10000.0)
+    / 10000.0 + 0.0 AS median_survival,
+  round((max(least(first_t, 80.0))
+         + sum(survival * (least(nxt, 80.0) - least(duration, 80.0))))
+        * 10000.0) / 10000.0 + 0.0 AS rmst,
+  round(80.0 * 10000.0) / 10000.0 + 0.0 AS horizon
+FROM segs
+"""
+
+
 def _q_io_footer_stats_orders(spark, sf_dir):
     """Metadata-only COUNT/MIN/MAX from parquet footer statistics
     (sources/io.py footer_stats): DSv2 aggregate pushdown, plan-asserted
@@ -9620,6 +9689,8 @@ _QUERIES: dict = {
                                _SQL_PROFILE_BENFORD_ORDERS),
     "sketch_hll_overlap_documents": (_q_sketch_hll_overlap_documents,
                                      _SQL_SKETCH_HLL_OVERLAP_DOCUMENTS),
+    "ts_km_summary_events": (_q_ts_km_summary_events,
+                             _SQL_TS_KM_SUMMARY_EVENTS),
     "pipe_split_documents": (_q_pipe_split_documents,
                              _SQL_PIPE_SPLIT_DOCUMENTS),
     "pipe_sample_k_documents": (_q_pipe_sample_k_documents,

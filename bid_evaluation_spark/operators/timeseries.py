@@ -522,3 +522,38 @@ def kaplan_meier(df: DataFrame, duration_col: str,
         F.col("n_censored").cast("long").alias("n_censored"),
         F.when(dead == 1, F.lit(0.0)).otherwise(F.exp(logsum))
         .alias("survival"))
+
+
+def km_summary(km: DataFrame, horizon: float) -> DataFrame:
+    """Summaries of a fitted Kaplan-Meier curve (output of
+    :func:`kaplan_meier`): the MEDIAN survival time (first duration with
+    ``S ≤ 0.5``; null when the curve never crosses — the honest answer
+    under heavy censoring, where a naive median-of-durations is biased
+    low) and the RESTRICTED MEAN survival time up to ``horizon`` —
+    ``RMST = ∫₀^τ S(t)dt`` as the step-function sum
+    ``Σ S(tᵢ)·(min(tᵢ₊₁, τ) − tᵢ)`` plus the leading ``[0, t₁)`` strip
+    at S=1 — the standard "expected time alive within τ" readout that
+    stays defined even when the median doesn't. Two ordered windows over
+    the (bounded — see kaplan_meier's quantization) curve table.
+    """
+    if horizon <= 0:
+        raise ValueError(f"horizon must be positive, got {horizon}")
+    w = Window.orderBy("duration")
+    nxt = F.coalesce(F.lead("duration").over(w), F.lit(float(horizon)))
+    first_t = F.min("duration").over(
+        w.rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    seg = (F.least(nxt, F.lit(float(horizon)))
+           - F.least(F.col("duration"), F.lit(float(horizon))))
+    staged = km.select(
+        "duration", "survival",
+        (F.col("survival") * seg).alias("_area"),
+        # quantize before the threshold compare: the exp(Σ ln) product
+        # lands an exact-half crossing at 0.5 ± 1 ulp
+        F.when(F.round(F.col("survival") * F.lit(1e9)) / F.lit(1e9)
+               <= 0.5, F.col("duration")).alias("_med_cand"),
+        F.least(first_t, F.lit(float(horizon))).alias("_lead_strip"))
+    return staged.agg(
+        F.min("_med_cand").alias("median_survival"),
+        (F.max("_lead_strip") + F.sum("_area")).alias("rmst"),
+        F.lit(float(horizon)).alias("horizon"))

@@ -528,3 +528,33 @@ class TestKaplanMeier:
         surv = [r["survival"] for r in curve]
         assert all(a >= b - 1e-12 for a, b in zip(surv, surv[1:]))
         assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+class TestKmSummary:
+    def test_known_curve(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            kaplan_meier, km_summary)
+
+        # no censoring, durations 1..4: S = .75, .5, .25, 0
+        df = spark.createDataFrame([(float(d), True) for d in (1, 2, 3, 4)],
+                                   "dur double, ev boolean")
+        out = km_summary(kaplan_meier(df, "dur", "ev"),
+                         horizon=4.0).collect()[0]
+        assert out["median_survival"] == 2.0   # first S <= 0.5
+        # RMST = 1·(1-0) + .75·(2-1) + .5·(3-2) + .25·(4-3) = 2.5
+        assert out["rmst"] == pytest.approx(2.5)
+
+    def test_heavy_censoring_median_null_rmst_defined(self, spark):
+        from bid_evaluation_spark.operators.timeseries import (
+            kaplan_meier, km_summary)
+
+        # one early event among many censored: S never reaches 0.5
+        rows = [(1.0, True)] + [(float(d), False) for d in range(2, 12)]
+        df = spark.createDataFrame(rows, "dur double, ev boolean")
+        out = km_summary(kaplan_meier(df, "dur", "ev"),
+                         horizon=10.0).collect()[0]
+        assert out["median_survival"] is None
+        assert 8.0 < out["rmst"] <= 10.0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            km_summary(kaplan_meier(df, "dur", "ev"), horizon=0)
