@@ -220,9 +220,15 @@ def fellegi_sunter_em(pairs: DataFrame, agreements: dict,
         n, sg = int(row["_n"]), float(row["_sg"])
         if n == 0:
             raise ValueError("empty pair frame")
+        # Degenerate-posterior guard: when every pair's g rounds to
+        # exactly 1.0 (compounded likelihood ratios underflow w_non
+        # below 1 ulp) sg == n and the u-denominator hits 0; mirror the
+        # [1e-6, 1-1e-6] estimate clamps on both denominators (a no-op
+        # off the boundary, so oracle arithmetic is unchanged).
         for i, f in enumerate(fields):
-            m[f] = min(max(float(row[f"_sga_{i}"]) / sg, lo), hi)
-            u[f] = min(max(float(row[f"_sua_{i}"]) / (n - sg), lo), hi)
+            m[f] = min(max(float(row[f"_sga_{i}"]) / max(sg, 1e-9), lo), hi)
+            u[f] = min(max(float(row[f"_sua_{i}"]) / max(n - sg, 1e-9),
+                           lo), hi)
         p = min(max(sg / n, lo), hi)
 
     spark = pairs.sparkSession

@@ -9,8 +9,9 @@ pages. This module flags them Spark-first:
 - every document emits its strided token windows (codegen: ``sequence``
   start positions → ``slice`` + ``concat_ws`` → portable 60-bit md5);
 - ONE partially-aggregated ``groupBy(span_hash)`` computes each span's
-  corpus-wide occurrence count and its FIRST occurrence (min packed
-  ``doc·2³⁰+pos`` key — the keep-first policy);
+  corpus-wide occurrence count and its FIRST occurrence (tuple
+  ``min(struct(doc, pos))`` — the keep-first policy, exact for any id
+  range including negative or 60-bit hashed ids);
 - a join back marks every later occurrence as duplicated, and a per-doc
   aggregate yields the duplicated-span ratio — the filter/trim signal.
 
@@ -30,8 +31,6 @@ from .text import tokens
 #: md5-hex prefix width for portable 60-bit hashes (fits signed 64)
 _HEX_DIGITS = 15
 
-#: position packing base — positions below 2^30 tokens per doc by contract
-_POS_BASE = 1 << 30
 
 
 def span_occurrences(df: DataFrame, span: int = 50, stride: int = 1,
@@ -62,8 +61,10 @@ def duplicated_span_stats(df: DataFrame, span: int = 50, stride: int = 1,
     """Per-document duplicated-span statistics under the keep-first policy:
     ``(id_col, n_spans, n_dup_spans, dup_ratio)`` where a span occurrence
     counts as duplicated iff the same hash occurs anywhere earlier in the
-    corpus order (smaller ``doc·2³⁰+pos`` packed key) — the FIRST
-    occurrence is never penalized, so a corpus of unique text scores 0.
+    corpus order (lexicographically smaller ``(doc, pos)`` tuple) — the
+    FIRST occurrence is never penalized, so unique text scores 0. The
+    tuple min is exact for ANY id type/range (negative, 60-bit hashed);
+    no packed-arithmetic overflow is possible.
     Documents with no spans (shorter than ``span``) keep their row with
     zeros. ``dup_ratio`` is exact (n_dup/n_spans, unrounded).
 
@@ -71,8 +72,8 @@ def duplicated_span_stats(df: DataFrame, span: int = 50, stride: int = 1,
     one per-doc agg — no window, no Python, nothing quadratic.
     """
     occ = span_occurrences(df, span, stride, text_col, id_col, seed)
-    key = (F.col(id_col) * F.lit(_POS_BASE) + F.col("pos")).alias("_key")
-    occ = occ.select(id_col, "span_hash", key)
+    key = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    occ = occ.select(id_col, "span_hash", key.alias("_key"))
     firsts = occ.groupBy("span_hash").agg(
         F.count(F.lit(1)).alias("_n_occ"), F.min("_key").alias("_first"))
     marked = (occ.join(firsts, ["span_hash"])
