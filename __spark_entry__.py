@@ -2777,14 +2777,22 @@ def _q_pipe_bpe_merges_documents(spark, sf_dir):
     shuffle to a (word, count) table, then deterministic merge rounds over
     the word table only (count desc, pair asc tie-break).
 
-    Rows-only check — justification: the greedy merge loop (argmax, rewrite
-    every word's symbol sequence, recount) is iterative and not
-    SQL-expressible (a recursive CTE cannot aggregate over its own
-    reference). The round-1 counting core IS value-oracled:
-    ``pipe_bpe_pair_counts_documents`` checks the top-20 pairs under the
-    identical (count desc, pair asc) order, whose first row is exactly the
-    first merge this loop picks. Full-loop parity with a pure-python
-    reference implementation is pinned in tests/test_bpe.py."""
+    FULL VALUE ORACLE (was rows-only through r5): the 10-round loop is
+    unrolled into 10 DuckDB CTE rounds over a separator-delimited symbol
+    string per word. Each round = pair-count (split + adjacent zip +
+    groupBy), argmax (``ORDER BY c DESC, l, r LIMIT 1``, ``c >= 2``
+    floor, ``LEFT JOIN`` so an empty round passes state through — the
+    loop's early-stop), and the greedy left-to-right rewrite as a
+    ``list_reduce`` fold: merge when the accumulator's LAST segment equals
+    ``l`` and the incoming symbol equals ``r``. The fold is exactly the
+    scan-and-skip-2 rewrite because a merged segment ``l||r`` can never
+    re-match ``l`` (``r`` is non-empty and symbols contain no separator) —
+    note a replace()-based rewrite is NOT equivalent (odd runs of a
+    repeated symbol resequence differently). CTEs are ``MATERIALIZED``:
+    each state is read twice per round and DuckDB's default inlining made
+    the chain exponential (45 s → 0.15 s at sf0.01). Full-loop parity
+    with a pure-python reference is additionally pinned in
+    tests/test_bpe.py."""
     from bid_evaluation_spark.operators.bpe import bpe_train
 
     df = _t(spark, sf_dir, "documents")
@@ -2818,16 +2826,74 @@ def _q_pipe_bpe_first_merge_documents(spark, sf_dir):
     it picks. Unlike ``pipe_bpe_pair_counts_documents`` (which oracles the
     counting table), this drives the loop's own selection machinery — the
     ``c >= min_count`` floor, the (count desc, left asc, right asc)
-    argmax, and the one-row driver collect — so together the two queries
-    leave only the iterative symbol REWRITE outside the value gate (that
-    stays parity-tested vs a pure-python reference in tests/test_bpe.py,
-    and ``pipe_bpe_merges_documents`` carries the rows-only record)."""
+    argmax, and the one-row driver collect. Since r6 the full loop is
+    ALSO value-oracled (``pipe_bpe_merges_documents`` unrolls all 10
+    rounds in SQL), so this entry now isolates the round-1 decision for
+    cheap localization when the full-loop gate trips."""
     from bid_evaluation_spark.operators.bpe import bpe_train
 
     df = _t(spark, sf_dir, "documents")
     merges = bpe_train(df, n_merges=1, min_count=2)
     return spark.createDataFrame(
         [(l, r) for l, r in merges], "left string, right string")
+
+
+def _sql_bpe_merges(n_rounds: int, min_count: int) -> str:
+    """Unrolled-loop DuckDB oracle for ``bpe_train`` (see the query
+    docstring for the equivalence argument). ``chr(30)`` (ASCII record
+    separator) delimits symbols inside one word's state string — it cannot
+    occur in whitespace-split text tokens."""
+    E = "chr(30)"
+    parts = ["""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                       THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(lower(text)), '\\s+')
+                  END) AS word
+    FROM documents)
+  WHERE word != '' GROUP BY word
+),
+s0 AS MATERIALIZED (
+  SELECT n,
+         array_to_string(
+           list_append(list_transform(generate_series(1, length(word)),
+                                      i -> word[i]), '</w>'), chr(30)) AS s
+  FROM words
+)"""]
+    for r in range(1, n_rounds + 1):
+        parts.append(f""",
+p{r} AS (
+  SELECT a[i] AS pl, a[i+1] AS pr, sum(n) AS c FROM (
+    SELECT n, a, unnest(generate_series(1, len(a) - 1)) AS i
+    FROM (SELECT n, string_split(s, {E}) AS a FROM s{r-1})
+    WHERE len(a) >= 2)
+  GROUP BY pl, pr
+),
+m{r} AS MATERIALIZED (
+  SELECT pl, pr FROM p{r} WHERE c >= {min_count}
+  ORDER BY c DESC, pl ASC, pr ASC LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT n, CASE WHEN m.pl IS NULL
+         OR NOT contains({E} || s || {E}, {E} || m.pl || {E} || m.pr || {E})
+    THEN s ELSE
+    list_reduce(string_split(s, {E}), (acc, x) ->
+      CASE WHEN (acc = m.pl OR ends_with(acc, {E} || m.pl)) AND x = m.pr
+           THEN left(acc, length(acc) - length(m.pl)) || m.pl || m.pr
+           ELSE acc || {E} || x END) END AS s
+  FROM s{r-1} LEFT JOIN m{r} AS m ON TRUE
+)""")
+    union = "\nUNION ALL\n".join(
+        f'SELECT CAST({r - 1} AS BIGINT) AS rank, pl AS "left",'
+        f' pr AS "right" FROM m{r}'
+        for r in range(1, n_rounds + 1))
+    parts.append(
+        f'\nSELECT rank, "left", "right" FROM (\n{union}\n) ORDER BY rank')
+    return "".join(parts)
+
+
+_SQL_PIPE_BPE_MERGES_DOCUMENTS = _sql_bpe_merges(10, 2)
 
 
 _SQL_PIPE_BPE_FIRST_MERGE_DOCUMENTS = """
@@ -9535,7 +9601,8 @@ _QUERIES: dict = {
     "pipe_decontaminate_bloom_documents": (
         _q_pipe_decontaminate_bloom_documents,
         _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS),
-    "pipe_bpe_merges_documents": (_q_pipe_bpe_merges_documents, None),
+    "pipe_bpe_merges_documents": (_q_pipe_bpe_merges_documents,
+                                  _SQL_PIPE_BPE_MERGES_DOCUMENTS),
     "pipe_bpe_first_merge_documents": (_q_pipe_bpe_first_merge_documents,
                                        _SQL_PIPE_BPE_FIRST_MERGE_DOCUMENTS),
     "pipe_bpe_pair_counts_documents": (_q_pipe_bpe_pair_counts_documents,
