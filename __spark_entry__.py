@@ -4844,7 +4844,8 @@ b AS (
 ),
 fin AS (
   SELECT *, 1000 - sum(base) OVER () AS leftover,
-         row_number() OVER (ORDER BY frac DESC, o_orderpriority ASC) AS rn
+         row_number() OVER (ORDER BY (base < n_rows) DESC, frac DESC,
+                            o_orderpriority ASC) AS rn
   FROM b
 )
 SELECT o_orderpriority, CAST(n_rows AS BIGINT) AS n_rows,
@@ -5750,10 +5751,13 @@ def _q_analytics_did_events(spark, sf_dir):
     res = diff_in_diff(ev, "grp", "period", "value", treated=1, post=1)
     return res.select(
         (_r4("did") + F.lit(0.0)).alias("did"),
+        (_r4("se") + F.lit(0.0)).alias("se"),
         (_r4("mean_tpost") + F.lit(0.0)).alias("mean_tpost"),
         (_r4("mean_tpre") + F.lit(0.0)).alias("mean_tpre"),
         (_r4("mean_cpost") + F.lit(0.0)).alias("mean_cpost"),
         (_r4("mean_cpre") + F.lit(0.0)).alias("mean_cpre"),
+        (F.round(F.col("var_tpost"), 2) + F.lit(0.0)).alias("var_tpost"),
+        (F.round(F.col("var_cpre"), 2) + F.lit(0.0)).alias("var_cpre"),
         "n_tpost", "n_tpre", "n_cpost", "n_cpre")
 
 
@@ -5775,13 +5779,21 @@ cells AS (
     sum(CASE WHEN grp <> 1 AND period = 1 THEN v END) AS s_cpost,
     count(CASE WHEN grp <> 1 AND period = 1 THEN v END) AS n_cpost,
     sum(CASE WHEN grp <> 1 AND period <> 1 THEN v END) AS s_cpre,
-    count(CASE WHEN grp <> 1 AND period <> 1 THEN v END) AS n_cpre
+    count(CASE WHEN grp <> 1 AND period <> 1 THEN v END) AS n_cpre,
+    var_samp(CASE WHEN grp = 1 AND period = 1 THEN v END) AS v_tpost,
+    var_samp(CASE WHEN grp = 1 AND period <> 1 THEN v END) AS v_tpre,
+    var_samp(CASE WHEN grp <> 1 AND period = 1 THEN v END) AS v_cpost,
+    var_samp(CASE WHEN grp <> 1 AND period <> 1 THEN v END) AS v_cpre
   FROM rws
 )
 SELECT
   round(((s_tpost / n_tpost - s_tpre / n_tpre)
          - (s_cpost / n_cpost - s_cpre / n_cpre)) * 10000.0) / 10000.0
     + 0.0 AS did,
+  round(sqrt(v_tpost / n_tpost + v_tpre / n_tpre + v_cpost / n_cpost
+             + v_cpre / n_cpre) * 10000.0) / 10000.0 + 0.0 AS se,
+  round(v_tpost * 100.0) / 100.0 + 0.0 AS var_tpost,
+  round(v_cpre * 100.0) / 100.0 + 0.0 AS var_cpre,
   round(s_tpost / n_tpost * 10000.0) / 10000.0 + 0.0 AS mean_tpost,
   round(s_tpre / n_tpre * 10000.0) / 10000.0 + 0.0 AS mean_tpre,
   round(s_cpost / n_cpost * 10000.0) / 10000.0 + 0.0 AS mean_cpost,

@@ -769,10 +769,14 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, value_col: str,
     nb = F.size(means)
     lo_i = F.floor(F.lit(float(lo)) * (nb - 1).cast("double")).cast("int")
     hi_i = F.floor(F.lit(float(hi)) * (nb - 1).cast("double")).cast("int")
+    # tiny groups can draw weight 0 in EVERY replicate → means is empty
+    # and lo_i/hi_i are -1; the guard keeps element_at from the invalid
+    # 0 index (CASE branches evaluate lazily per row) → null CI, not a
+    # crash
     return g.select(
         group_col, "n_rows", "mean",
-        F.element_at(means, lo_i + 1).alias("ci_lo"),
-        F.element_at(means, hi_i + 1).alias("ci_hi"))
+        F.when(nb > 0, F.element_at(means, lo_i + 1)).alias("ci_lo"),
+        F.when(nb > 0, F.element_at(means, hi_i + 1)).alias("ci_hi"))
 
 
 def conformal_interval(cal: DataFrame, target: DataFrame,
@@ -906,13 +910,15 @@ def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
     ȳ_treated,pre) − (ȳ_control,post − ȳ_control,pre)``, which removes
     both the group baseline and the common time trend under the
     parallel-trends assumption (stated, not testable here). Returns one
-    row with the four cell means, their counts, and the estimate; any
-    empty cell → null estimate (a DiD without all four cells is
-    undefined, not zero).
+    row with the four cell means, their counts, their sample variances,
+    the estimate, and its large-sample standard error ``se =
+    √(Σ_cell var_cell/n_cell)`` (independent-cells normal approximation);
+    any empty cell → null estimate, any cell with n < 2 → null variance
+    and null ``se`` (a DiD without all four cells is undefined, not
+    zero).
 
     ONE fused aggregation over the data (map-side partial) — the four
-    cells are conditional sums, no join, no second scan. Cell variances
-    ride along so downstream can form the large-sample standard error.
+    cells are conditional sums/variances, no join, no second scan.
     """
     g = F.col(group_col)
     p = F.col(period_col)
@@ -927,6 +933,7 @@ def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
             ("cpre", (g != treated) & (p != post))):
         aggs.append(F.sum(F.when(cond, v)).alias(f"_s_{name}"))
         aggs.append(F.count(F.when(cond, v)).alias(f"_n_{name}"))
+        aggs.append(F.var_samp(F.when(cond, v)).alias(f"_v_{name}"))
         cells[name] = None
     stats = rows.agg(*aggs)
     means = {name: F.col(f"_s_{name}") / F.col(f"_n_{name}")
@@ -937,9 +944,13 @@ def diff_in_diff(df: DataFrame, group_col: str, period_col: str,
         ok = nz if ok is None else (ok & nz)
     did = ((means["tpost"] - means["tpre"])
            - (means["cpost"] - means["cpre"]))
+    # null var (n < 2 cell) propagates through the sum → null se
+    se = F.sqrt(sum(F.col(f"_v_{n}") / F.col(f"_n_{n}") for n in cells))
     return stats.select(
         F.when(ok, did).alias("did"),
+        F.when(ok, se).alias("se"),
         *[means[n].alias(f"mean_{n}") for n in cells],
+        *[F.col(f"_v_{n}").alias(f"var_{n}") for n in cells],
         *[F.col(f"_n_{n}").alias(f"n_{n}") for n in cells])
 
 

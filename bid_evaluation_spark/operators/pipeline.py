@@ -1173,9 +1173,12 @@ def neyman_allocation(df: DataFrame, group_col: str, value_col: str,
     Deterministic largest-remainder rounding: floors first, then one +1
     round by descending fractional part (quantized to 1e-9 — float
     division association differs across engines) with group-name
-    tie-break; allocations cap at the stratum size (no up-sampling), so
-    when caps bind the total may fall short of ``budget`` — by design,
-    never silently duplicating rows. Per-stratum stddev quantizes to 1e-6
+    tie-break; allocations cap at the stratum size (no up-sampling), and
+    capped strata never consume a +1 slot — the remainder round ranks
+    only strata with headroom, so the leftover lands with strata that
+    can absorb it. When caps leave too little headroom the total may
+    still fall short of ``budget`` — by design, never silently
+    duplicating rows. Per-stratum stddev quantizes to 1e-6
     before use (engines disagree in stddev's low-order bits). All-zero
     variance (or singleton-only strata) falls back to proportional-to-N.
     Returns ``(group_col, n_rows, stddev, alloc)``.
@@ -1200,10 +1203,15 @@ def neyman_allocation(df: DataFrame, group_col: str, value_col: str,
                      F.least(F.col("n_rows"), F.floor(raw)).cast("long"))
     frac = F.round((raw - F.floor(raw)) * F.lit(1e9)) / F.lit(1e9)
     leftover = F.lit(budget) - F.sum("_base").over(everything)
+    # rank only UNCAPPED strata (base < n_rows): a capped stratum in the
+    # top-leftover ranks must not consume a +1 slot it cannot take —
+    # eligible rows sort first, so rn 1..n_eligible enumerates exactly
+    # the strata that can absorb the leftover
+    eligible = F.col("_base") < F.col("n_rows")
     rn = F.row_number().over(
-        Window.orderBy(frac.desc(), F.col(group_col).asc()))
+        Window.orderBy(eligible.desc(), frac.desc(), F.col(group_col).asc()))
     alloc = (F.col("_base")
-             + F.when((rn <= leftover) & (F.col("_base") < F.col("n_rows")),
+             + F.when(eligible & (rn <= leftover),
                       F.lit(1)).otherwise(F.lit(0)))
     return (g.select(group_col, "n_rows", "stddev",
                      alloc.cast("long").alias("alloc")))

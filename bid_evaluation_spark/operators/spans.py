@@ -32,7 +32,6 @@ from .text import tokens
 _HEX_DIGITS = 15
 
 
-
 def span_occurrences(df: DataFrame, span: int = 50, stride: int = 1,
                      text_col: str = "text", id_col: str = "doc_id",
                      seed: str = "span") -> DataFrame:

@@ -945,3 +945,66 @@ class TestMsprt:
                                                    rel=1e-12)
         with _pt.raises(ValueError):
             msprt_always_valid(df, "g", "v", "c", "t", tau=0)
+
+
+class TestBootstrapEmptyReplicates:
+    def test_all_zero_weight_group_yields_null_ci(self, spark):
+        """Regression (r6 fix): a single-row group whose Poisson(1)
+        weight draws 0 in EVERY replicate has no replicate means —
+        element_at previously hit index 0 and crashed. doc_id=19 with
+        seed='bs' and n_boot=5 is such a row (found by md5 replay)."""
+        from bid_evaluation_spark.operators.analytics import (
+            poisson_bootstrap_ci)
+
+        df = spark.createDataFrame(
+            [("dead", 19, 7.0)] + [("live", i, float(i)) for i in range(50)],
+            "grp string, doc_id long, v double")
+        out = {r["grp"]: r for r in poisson_bootstrap_ci(
+            df, "grp", "v", n_boot=5, seed="bs").collect()}
+        assert out["dead"]["mean"] == pytest.approx(7.0)
+        assert out["dead"]["ci_lo"] is None
+        assert out["dead"]["ci_hi"] is None
+        assert out["live"]["ci_lo"] is not None      # normal path intact
+        assert out["live"]["ci_lo"] <= out["live"]["ci_hi"]
+
+
+class TestDiffInDiffVariance:
+    def test_se_matches_cell_formula(self, spark):
+        import math
+
+        from bid_evaluation_spark.operators.analytics import diff_in_diff
+
+        rows = []
+        vals = {}
+        for g in (0, 1):
+            for p in (0, 1):
+                cell = [float(10 * g + 5 * p + k) for k in range(6)]
+                vals[(g, p)] = cell
+                rows += [(g, p, v) for v in cell]
+        df = spark.createDataFrame(rows, "grp int, period int, v double")
+        out = diff_in_diff(df, "grp", "period", "v",
+                           treated=1, post=1).collect()[0]
+
+        def var(xs):
+            m = sum(xs) / len(xs)
+            return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+        want_se = math.sqrt(sum(var(vals[c]) / len(vals[c])
+                                for c in vals))
+        assert out["se"] == pytest.approx(want_se)
+        assert out["var_tpost"] == pytest.approx(var(vals[(1, 1)]))
+        assert out["var_cpre"] == pytest.approx(var(vals[(0, 0)]))
+
+    def test_singleton_cell_nulls_se_not_did(self, spark):
+        from bid_evaluation_spark.operators.analytics import diff_in_diff
+
+        rows = [(1, 1, 5.0),               # singleton treated-post
+                (1, 0, 4.0), (1, 0, 6.0),
+                (0, 1, 3.0), (0, 1, 5.0),
+                (0, 0, 2.0), (0, 0, 4.0)]
+        df = spark.createDataFrame(rows, "grp int, period int, v double")
+        out = diff_in_diff(df, "grp", "period", "v",
+                           treated=1, post=1).collect()[0]
+        assert out["did"] is not None      # all four cells populated
+        assert out["var_tpost"] is None    # n=1 -> var_samp null
+        assert out["se"] is None           # null var propagates

@@ -200,3 +200,29 @@ class TestFellegiSunterEM:
             fellegi_sunter_em(df, {"f1": F.col("f1")}, rounds=0)
         with _pt.raises(ValueError):
             fellegi_sunter_em(df, {"f1": F.col("f1")}, init_p=1.5)
+
+
+def test_em_degenerate_perfect_separation(spark):
+    """Regression (r5 fix): a perfectly-separating field drives every
+    posterior to 1 (Σg == n), so the u-step denominator Σ(1−g) hits 0 —
+    previously ZeroDivisionError. Several rounds must complete with m/u
+    clamped into [1e-6, 1−1e-6]."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.fuzzy import fellegi_sunter_em
+
+    df = spark.createDataFrame([(1, 1)] * 12, "f1 int, f2 int")
+    fit = {r["field"]: r for r in fellegi_sunter_em(
+        df, {"f1": F.col("f1") == F.col("f2")},
+        init_m=0.9, init_u=0.05, init_p=0.5, rounds=6).collect()}
+    r = fit["f1"]
+    assert 1e-6 <= r["m"] <= 1 - 1e-6
+    assert 1e-6 <= r["u"] <= 1 - 1e-6
+    assert r["rounds"] == 6 and r["n_pairs"] == 12
+
+    # mirror case: NO pair ever agrees -> Σg -> 0, m-step denominator 0
+    df2 = spark.createDataFrame([(1, 2)] * 12, "f1 int, f2 int")
+    fit2 = {r["field"]: r for r in fellegi_sunter_em(
+        df2, {"f1": F.col("f1") == F.col("f2")}, rounds=6).collect()}
+    assert 1e-6 <= fit2["f1"]["m"] <= 1 - 1e-6
+    assert 1e-6 <= fit2["f1"]["u"] <= 1 - 1e-6

@@ -483,3 +483,30 @@ class TestNeymanAllocation:
         assert out["a"] == 6 and out["b"] == 2
         with pytest.raises(ValueError):
             neyman_allocation(df, "grp", "v", budget=-1)
+
+
+class TestNeymanCappedSlots:
+    def test_capped_stratum_does_not_steal_remainder_slot(self, spark):
+        """Regression (r6 fix): a CAPPED stratum holding the top
+        fractional rank must not consume a +1 slot it cannot take.
+        Engineered raws ~ (cap 2.9 | aa 3.6 | bb 3.5) at budget 10:
+        bases (2,3,3), leftover 2 — the old frac-desc rank gave cap
+        rank 1 (no +1, capped) and starved bb → total 9. Eligible-first
+        ranking lands both +1s → exact budget."""
+        import math
+
+        from bid_evaluation_spark.operators.pipeline import (
+            neyman_allocation)
+
+        def mk(name, n, v):
+            return ([(name, 0.0)] * (n // 2)
+                    + [(name, float(v))] * (n - n // 2))
+
+        rows = (mk("cap", 2, 2.9 / math.sqrt(2))
+                + mk("aa", 100, 2 * 0.036 / math.sqrt(100 / 99))
+                + mk("bb", 100, 2 * 0.035 / math.sqrt(100 / 99)))
+        df = spark.createDataFrame(rows, "grp string, v double")
+        out = {r["grp"]: r["alloc"] for r in
+               neyman_allocation(df, "grp", "v", budget=10).collect()}
+        assert out == {"cap": 2, "aa": 4, "bb": 4}
+        assert sum(out.values()) == 10

@@ -69,3 +69,31 @@ def test_validation(spark):
         span_occurrences(df, span=0)
     with pytest.raises(ValueError):
         duplicated_span_stats(df, span=3, stride=0)
+
+
+def test_keep_first_extreme_ids(spark):
+    """Regression (r5 fix): the keep-first key is a (doc, pos) struct
+    min — exact for NEGATIVE and 60-bit doc ids, where the former packed
+    ``doc·2^30 + pos`` arithmetic overflowed/mis-ordered. The smallest
+    (doc, pos) tuple owns the span; everyone later pays."""
+    big = 1 << 60                       # doc·2^30 would overflow int64
+    df = _docs(spark, [(-5, "x y z w"),
+                       (big, "x y z q"),
+                       (big + 1, "x y z r")])
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, span=3, stride=1).collect()}
+    assert out[-5]["n_dup_spans"] == 0          # first in (doc,pos) order
+    assert out[big]["n_dup_spans"] == 1         # 'x y z' seen at doc -5
+    assert out[big + 1]["n_dup_spans"] == 1
+    assert out[big]["n_spans"] == 2
+
+
+def test_keep_first_position_order_within_huge_doc(spark):
+    """Within one 60-bit-id document the FIRST position wins — ordering
+    must come from the pos component once doc ids tie."""
+    big = (1 << 60) + 7
+    df = _docs(spark, [(big, "p p p p")])
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, span=3, stride=1).collect()}
+    assert out[big]["n_spans"] == 2
+    assert out[big]["n_dup_spans"] == 1         # pos 2 repeats pos 1
