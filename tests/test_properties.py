@@ -476,3 +476,212 @@ def test_rrf_list_order_invariance(spark, perm, ranks):
     assert set(base) == set(permuted)
     for d in base:
         assert permuted[d] == pytest.approx(base[d], rel=1e-12)
+
+
+# ---- r4 statistical-kit properties (round-6 additions) ----------------
+
+
+@SET
+@given(values=st.lists(st.floats(min_value=-1e4, max_value=1e4,
+                                 allow_nan=False, width=32),
+                       min_size=3, max_size=12),
+       a=st.floats(min_value=0.1, max_value=50.0, allow_nan=False),
+       b=st.floats(min_value=-1e3, max_value=1e3, allow_nan=False))
+def test_poisson_bootstrap_affine_equivariance(spark, values, a, b):
+    """v → a·v + b (a>0) transforms mean and BOTH CI bounds by the same
+    affine map: replication weights depend only on row ids, every
+    replicate mean is affine in v, and a>0 preserves the sort."""
+    from bid_evaluation_spark.operators.analytics import poisson_bootstrap_ci
+
+    rows = [("g", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, v double")
+    df2 = df.withColumn("v", df["v"] * float(a) + float(b))
+    r1 = poisson_bootstrap_ci(df, "grp", "v", n_boot=6).collect()[0]
+    r2 = poisson_bootstrap_ci(df2, "grp", "v", n_boot=6).collect()[0]
+    for c in ("mean", "ci_lo", "ci_hi"):
+        if r1[c] is None:
+            assert r2[c] is None
+        else:
+            assert r2[c] == pytest.approx(a * r1[c] + b,
+                                          rel=1e-9, abs=1e-6)
+
+
+@SET
+@given(resid=st.lists(st.floats(min_value=-100, max_value=100,
+                                allow_nan=False, width=32),
+                      min_size=12, max_size=40),
+       alphas=st.tuples(st.floats(min_value=0.10, max_value=0.45),
+                        st.floats(min_value=0.10, max_value=0.45)))
+def test_conformal_width_constant_and_monotone_in_alpha(spark, resid,
+                                                        alphas):
+    """Every target interval has the SAME width 2·q̂ centered at pred;
+    q̂ matches the pure-python k-th order statistic of quantized
+    residuals; smaller α never narrows the interval."""
+    import math as _m
+
+    from bid_evaluation_spark.operators.analytics import conformal_interval
+
+    a1, a2 = sorted(alphas)
+    cal = spark.createDataFrame(
+        [(float(i), float(i) + float(r)) for i, r in enumerate(resid)],
+        "pred double, actual double")
+    tgt = spark.createDataFrame(
+        [(float(t),) for t in (-5.0, 0.0, 17.5)], "pred double")
+
+    def qhat(alpha):
+        n = len(resid)
+        k = _m.ceil((n + 1) * (1 - alpha))
+        qs = sorted(round(abs(float(r)) * 1e6) / 1e6
+                    for r in resid)
+        return qs[k - 1]
+
+    rows2 = conformal_interval(cal, tgt, alpha=a2).collect()
+    widths = {round(r["conf_hi"] - r["conf_lo"], 9) for r in rows2}
+    assert len(widths) == 1
+    for r in rows2:
+        mid = (r["conf_hi"] + r["conf_lo"]) / 2
+        assert mid == pytest.approx(r["pred"], abs=1e-9)
+        assert (r["conf_hi"] - r["pred"]) == pytest.approx(
+            qhat(a2), abs=1e-6)
+    rows1 = conformal_interval(cal, tgt, alpha=a1).collect()
+    w1 = rows1[0]["conf_hi"] - rows1[0]["conf_lo"]
+    assert w1 >= min(widths) - 1e-9      # stricter alpha never narrower
+
+
+@SET
+@given(ps=st.lists(st.floats(min_value=1e-6, max_value=1.0,
+                             allow_nan=False),
+                   min_size=2, max_size=15))
+def test_bh_adjust_matches_reference_stepup(spark, ps):
+    """p_adj equals the textbook monotone step-up min_{j≥rank}(p_j·m/j)
+    capped at 1; p_adj ≥ p; rejections form a prefix of the rank order."""
+    from bid_evaluation_spark.operators.analytics import bh_adjust
+
+    rows = [(f"m{i}", float(p)) for i, p in enumerate(ps)]
+    df = spark.createDataFrame(rows, "metric string, p_value double")
+    out = sorted(bh_adjust(df, q=0.2).collect(),
+                 key=lambda r: r["p_rank"])
+
+    srt = sorted((float(p), f"m{i}") for i, p in enumerate(ps))
+    m = len(srt)
+    ref, run = [None] * m, None
+    for j in range(m - 1, -1, -1):
+        v = srt[j][0] * m / (j + 1)
+        run = v if run is None else min(run, v)
+        ref[j] = min(1.0, run)
+    for r in out:
+        j = r["p_rank"] - 1
+        assert r["p_adj"] == pytest.approx(ref[j], rel=1e-12)
+        assert r["p_adj"] >= r["p_value"] - 1e-15
+    rejected = [r["reject"] for r in out]
+    assert rejected == sorted(rejected, reverse=True)   # prefix property
+
+
+@SET
+@given(units=st.lists(
+    st.lists(st.integers(min_value=0, max_value=3), min_size=2,
+             max_size=4),
+    min_size=2, max_size=8),
+    relabel=st.permutations([0, 1, 2, 3]))
+def test_krippendorff_label_permutation_invariance(spark, units, relabel):
+    """Nominal alpha only sees match/mismatch — bijective relabeling of
+    the categories leaves it unchanged; unanimous data scores 1."""
+    from bid_evaluation_spark.operators.analytics import krippendorff_alpha
+
+    rows = [(u, int(v)) for u, ratings in enumerate(units)
+            for v in ratings]
+    df = spark.createDataFrame(rows, "unit_id long, value int")
+    df2 = spark.createDataFrame(
+        [(u, int(relabel[v])) for u, v in rows], "unit_id long, value int")
+    a1 = krippendorff_alpha(df).collect()[0]["alpha"]
+    a2 = krippendorff_alpha(df2).collect()[0]["alpha"]
+    if a1 is None:
+        assert a2 is None
+    else:
+        assert a2 == pytest.approx(a1, rel=1e-12)
+
+    perfect = spark.createDataFrame(
+        [(u, u % 2) for u in range(4) for _ in range(3)],
+        "unit_id long, value int")
+    assert krippendorff_alpha(perfect).collect()[0]["alpha"] \
+        == pytest.approx(1.0)
+
+
+@SET
+@given(vals=st.lists(st.floats(min_value=-50, max_value=50,
+                               allow_nan=False, width=32),
+                     min_size=1, max_size=20),
+       c=st.floats(min_value=-1e3, max_value=1e3, allow_nan=False))
+def test_cusum_translation_invariance(spark, vals, c):
+    """Shifting the series AND the target by the same constant leaves
+    the chart unchanged; a constant series at target stays at 0."""
+    from bid_evaluation_spark.operators.timeseries import cusum_by_key
+
+    rows = [("k", i, i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts long, tb long, v double")
+    df2 = df.withColumn("v", df["v"] + float(c))
+    r1 = sorted(cusum_by_key(df, "k", "ts", "v", "tb", target=0.0)
+                .collect(), key=lambda r: r["tb"])
+    r2 = sorted(cusum_by_key(df2, "k", "ts", "v", "tb", target=float(c))
+                .collect(), key=lambda r: r["tb"])
+    for x, y in zip(r1, r2):
+        assert y["cusum_pos"] == pytest.approx(x["cusum_pos"], abs=1e-6)
+        assert y["cusum_neg"] == pytest.approx(x["cusum_neg"], abs=1e-6)
+
+    flat = spark.createDataFrame([("k", i, i, 7.0) for i in range(5)],
+                                 "k string, ts long, tb long, v double")
+    for r in cusum_by_key(flat, "k", "ts", "v", "tb", target=7.0).collect():
+        assert r["cusum_pos"] == 0.0 and r["cusum_neg"] == 0.0
+
+
+@SET
+@given(xs=st.lists(st.floats(min_value=-100, max_value=100,
+                             allow_nan=False, width=32),
+                   min_size=4, max_size=15),
+       a=st.floats(min_value=0.5, max_value=20.0),
+       b=st.floats(min_value=-50, max_value=50))
+def test_correlation_affine_invariance(spark, xs, a, b):
+    """Pearson r is invariant under positive affine maps of a column and
+    always lands in [−1, 1]."""
+    from bid_evaluation_spark.operators.profile import correlation_matrix
+
+    rows = [(float(x), float(2 * x) + float(i % 3), float(i))
+            for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    df2 = df.withColumn("x", df["x"] * float(a) + float(b))
+    r1 = {(r["col_a"], r["col_b"]): r["r"]
+          for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    r2 = {(r["col_a"], r["col_b"]): r["r"]
+          for r in correlation_matrix(df2, ["x", "y", "z"]).collect()}
+    for k in r1:
+        if r1[k] is None:
+            assert r2[k] is None
+        else:
+            assert abs(r1[k]) <= 1 + 1e-9
+            assert r2[k] == pytest.approx(r1[k], rel=1e-6, abs=1e-9)
+
+
+@SET
+@given(groups=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=25),
+              st.floats(min_value=0.0, max_value=40.0)),
+    min_size=1, max_size=6),
+    budget=st.integers(min_value=0, max_value=60))
+def test_neyman_allocation_invariants(spark, groups, budget):
+    """Never over budget, never above stratum size, and when NO stratum
+    is at its cap the largest-remainder round lands the budget exactly
+    (the r6 capped-slot fix makes the last clause hold)."""
+    from bid_evaluation_spark.operators.pipeline import neyman_allocation
+
+    rows = []
+    for gi, (n, spread) in enumerate(groups):
+        for j in range(n):
+            rows.append((f"g{gi}", float(spread) * (j % 2)))
+    df = spark.createDataFrame(rows, "grp string, v double")
+    out = neyman_allocation(df, "grp", "v", budget=budget).collect()
+    total_rows = sum(n for n, _ in groups)
+    assert sum(r["alloc"] for r in out) <= budget
+    for r in out:
+        assert 0 <= r["alloc"] <= r["n_rows"]
+    if all(r["alloc"] < r["n_rows"] for r in out):
+        assert sum(r["alloc"] for r in out) == min(budget, total_rows)
