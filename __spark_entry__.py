@@ -1904,8 +1904,8 @@ def _q_dedup_semantic_embeddings(spark, sf_dir):
 
 _SQL_DEDUP_SEMANTIC_EMBEDDINGS = """
 WITH RECURSIVE v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
-c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
-probes AS (
+c AS MATERIALIZED (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+probes AS MATERIALIZED (
   SELECT vec_id, cid FROM (
     SELECT v.vec_id, c.cid,
       row_number() OVER (PARTITION BY v.vec_id ORDER BY
@@ -1916,7 +1916,7 @@ probes AS (
     FROM v CROSS JOIN c
   ) WHERE pr <= 3
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM probes pa JOIN probes pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
   JOIN v a ON a.vec_id = pa.vec_id
@@ -1925,7 +1925,7 @@ pairs AS (
       / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
          * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.35
 ),
-edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+edges AS MATERIALIZED (SELECT a_id AS s, b_id AS d FROM pairs
           UNION SELECT b_id, a_id FROM pairs),
 reach(id, lab) AS (
   SELECT s, s FROM (SELECT DISTINCT s FROM edges)
@@ -6350,7 +6350,7 @@ WITH RECURSIVE toks AS (
          ELSE string_split_regex(trim(text), '\\s+') END AS t
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
     CASE WHEN len(t) >= 3 THEN list_distinct(
       list_transform(generate_series(1, len(t)-2),
@@ -6364,13 +6364,13 @@ cand AS (
   JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
     ON a.g = b.g AND a.doc_id < b.doc_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT c.a_id, c.b_id
   FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
 ),
-edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
           UNION SELECT b_id, a_id FROM pairs),
 reach(id, lab) AS (
   SELECT src, src FROM (SELECT DISTINCT src FROM edges)
@@ -8523,7 +8523,7 @@ WITH RECURSIVE toks AS (
          ELSE string_split_regex(trim(text), '\\s+') END AS t
   FROM documents
 ),
-sh AS (
+sh AS MATERIALIZED (
   SELECT doc_id,
     CASE WHEN len(t) >= 3 THEN list_distinct(
       list_transform(generate_series(1, len(t)-2),
@@ -8542,13 +8542,13 @@ cand AS (
   JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
     ON a.g = b.g AND a.doc_id < b.doc_id
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT c.a_id, c.b_id
   FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
   WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
 ),
-edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
           UNION SELECT b_id, a_id FROM pairs),
 reach(id, lab) AS (
   SELECT src, src FROM (SELECT DISTINCT src FROM edges)
@@ -8573,7 +8573,7 @@ comp AS (
                        ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS punct_c
   FROM toks
 ),
-quality AS (
+quality AS MATERIALIZED (
   SELECT doc_id,
     round((length_c + div_c + stop_c + punct_c) * 10000.0) / 10000.0 AS q
   FROM comp
