@@ -564,6 +564,49 @@ def _q_a7_salted_group_totals_events(spark, sf_dir):
     )
 
 
+def _q_j_salted_join_orders(spark, sf_dir):
+    """Skew-rescued salted equi-join (operators/skew.py salted_join, new
+    r6): orders joined to a per-custkey-band dimension through the
+    salt-exploded build side — must be row-identical to the plain inner
+    join, which IS the oracle SQL. The salt column never escapes (dropped
+    before return), so the result is deterministic despite the rand()
+    salt draw. Grouped to a bounded output for a stable hash."""
+    from bid_evaluation_spark.operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 23).alias("band"),
+        F.col("o_totalprice").cast("double").alias("price"))
+    dim = _t(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 23).alias("band"),
+        F.col("c_acctbal").cast("double").alias("bal")
+    ).groupBy("band").agg(F.round(F.avg("bal"), 4).alias("band_bal"))
+    joined = salted_join(orders, dim, ["band"], salt_buckets=8)
+    return (joined.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("price"), 2).alias("sum_price"),
+                 F.round(F.max("band_bal"), 4).alias("band_bal"))
+            .select("band", "n_orders", "sum_price", "band_bal"))
+
+
+_SQL_J_SALTED_JOIN_ORDERS = """
+WITH dim AS (
+  SELECT c_custkey % 23 AS band,
+         round(avg(CAST(c_acctbal AS DOUBLE)) * 10000.0) / 10000.0
+           AS band_bal
+  FROM customer GROUP BY c_custkey % 23
+),
+j AS (
+  SELECT o.o_orderkey, o.o_custkey % 23 AS band,
+         CAST(o.o_totalprice AS DOUBLE) AS price, d.band_bal
+  FROM orders o JOIN dim d ON o.o_custkey % 23 = d.band
+)
+SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(price) * 100.0) / 100.0 AS sum_price,
+       round(max(band_bal) * 10000.0) / 10000.0 AS band_bal
+FROM j GROUP BY band
+"""
+
+
 def _q_j3_zscore_orders(spark, sf_dir):
     from bid_evaluation_spark.plans.stats import compute_stats
 
@@ -9530,6 +9573,8 @@ _QUERIES: dict = {
     "a1_stats_bundle_lineitem": (_q_a1_stats_bundle_lineitem,
                                  _SQL_A1_STATS_BUNDLE_LINEITEM),
     "a7_group_totals_events": (_q_a7_group_totals_events, _SQL_A7_GROUP_TOTALS_EVENTS),
+    "j_salted_join_orders": (_q_j_salted_join_orders,
+                             _SQL_J_SALTED_JOIN_ORDERS),
     "a7_salted_group_totals_events": (_q_a7_salted_group_totals_events,
                                       _SQL_A7_GROUP_TOTALS_EVENTS),
     "j3_zscore_orders": (_q_j3_zscore_orders, _SQL_J3_ZSCORE_ORDERS),

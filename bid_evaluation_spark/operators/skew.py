@@ -1,19 +1,28 @@
-"""Skew-resilient aggregation: two-phase salted groupBy.
+"""Skew-resilient shuffles: two-phase salted groupBy and salted join.
 
-A straight ``groupBy(key)`` over a heavily skewed key distribution sends every
-row of a hot key to one reducer — the classic straggler at 100 TB. Salting
-splits each hot key across ``salt_buckets`` partial groups (phase 1 shuffles
-``(key, salt)``, map-side combined), then merges the partials with a second,
-tiny aggregation over one row per (key, salt).
+MEASURED CAVEAT (r6, local[32], 4.8M rows, 95 % of them on one key): for
+the ALGEBRAIC aggregates exposed here, a plain ``groupBy(key)`` is already
+skew-immune — Spark's map-side partial aggregation collapses the hot key to
+ONE partial row per map task before the exchange, and the plain plan beat
+:func:`salted_agg` 0.41 s vs 0.63 s (the salt costs a second shuffle).
+Keep ``salted_agg`` for paths where partial aggregation is ineffective or
+disabled — per-group state that grows with rows (collect_list-style,
+exact-distinct with a huge per-key value set) or engines without map-side
+combine — not as a default for count/sum/min/max/avg.
 
-Phase-2 merge must re-aggregate partial states, so only algebraic aggregates
-are exposed: count, sum, min, max, and avg (carried as sum+count). AQE's skew
-handling covers *joins*; this is the aggregation-side equivalent for when a
-single group's row count itself is the problem.
+Where key skew DOES hurt Spark natively is the shuffle JOIN: every probe
+row of a hot key hashes to one reducer, partial aggregation cannot help,
+and a 1000-executor job waits on that one task. :func:`salted_join`
+implements the classic rescue — salt the big (probe) side, explode the
+small (build) side ``salt_buckets``×, join on ``(key, salt)`` — for when
+AQE's runtime skew-split is unavailable (disabled, streaming micro-batch,
+or a deliberately-pinned plan) or the small side is too big to broadcast
+but fine to replicate B×. Row-for-row identical to the plain inner join.
 
-The salted plan costs one extra (tiny) shuffle, so use it for skewed keys —
-the differential test and the driver query assert bit-identical results with
-the plain ``groupBy``.
+Phase-2 of ``salted_agg`` must re-aggregate partial states, so only
+algebraic aggregates are exposed: count, sum, min, max, avg (as
+sum+count). Differential tests and driver queries assert identical results
+with the plain plans.
 """
 
 from __future__ import annotations
@@ -75,3 +84,37 @@ def salted_agg(df: DataFrame, keys: Sequence[str], aggs: AggSpec,
     partial = salted.groupBy(*keys, "_salt").agg(*p1)
     merged = partial.groupBy(*keys).agg(*p2)
     return merged.select(*[F.col(k) for k in keys], *final)
+
+
+def salted_join(big: DataFrame, small: DataFrame, keys: Sequence[str],
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-rescued equi-join, row-identical to ``big.join(small, keys,
+    how)`` for ``how`` in ``inner | left``.
+
+    The big (probe) side draws a uniform salt in ``[0, salt_buckets)``;
+    the small (build) side is exploded ``salt_buckets``× with every salt
+    value; the join runs on ``keys + [salt]``. A hot key's probe rows now
+    hash across ``salt_buckets`` reducers instead of one, at the cost of
+    replicating the build side B× through the shuffle — the right trade
+    when the build side is orders of magnitude smaller (dimension-sized
+    but above the broadcast threshold) and AQE's runtime skew-split is
+    unavailable. Null join keys behave exactly as in the plain join
+    (never match; preserved by ``left``).
+
+    Columns duplicated between the two inputs follow the same resolution
+    rules as the plain ``join(..., on=keys)``: join keys merge, other
+    collisions raise upstream — pre-select to avoid them, exactly as you
+    would without salt.
+    """
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner or left, got {how!r}")
+    keys = list(keys)
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(
+            F.lit(0), F.lit(int(salt_buckets) - 1))))
+    joined = salted_big.join(exploded_small, keys + ["_salt"], how)
+    return joined.drop("_salt")

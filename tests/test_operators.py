@@ -1056,3 +1056,35 @@ def test_enrich_stream_static_parity(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         enrich_stream(stream, dim, on="user_id", how="full")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join ≡ plain join as a row MULTISET, for inner and left,
+    under hot keys, duplicate build-side keys, unmatched keys on both
+    sides, and null keys."""
+    from pyspark.sql import functions as F
+
+    from bid_evaluation_spark.operators.skew import salted_join
+
+    big_rows = ([(0, i) for i in range(200)]         # hot key
+                + [(k, k * 10) for k in range(1, 6)]  # normal keys
+                + [(99, 1), (None, 7)])               # unmatched + null
+    big = spark.createDataFrame(big_rows, "k int, payload int")
+    small = spark.createDataFrame(
+        [(0, "hot"), (1, "a"), (2, "b"), (2, "b2"), (7, "orphan"),
+         (None, "nullkey")],
+        "k int, tag string")
+
+    from collections import Counter
+
+    for how in ("inner", "left"):
+        want = Counter(map(tuple, big.join(small, ["k"], how).collect()))
+        got = Counter(map(tuple, salted_join(
+            big, small, ["k"], salt_buckets=8, how=how).collect()))
+        assert got == want, how
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salted_join(big, small, ["k"], salt_buckets=0)
+    with _pt.raises(ValueError):
+        salted_join(big, small, ["k"], how="full")
