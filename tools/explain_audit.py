@@ -1012,6 +1012,38 @@ def _leakage_split_plan(spark, sf_dir):
     return probs
 
 
+@check("salted_join: both sides hash-partitioned on (key, salt), no broadcast")
+def _salted_join(spark, sf_dir):
+    from bid_evaluation_spark.operators.skew import salted_join
+    from bid_evaluation_spark.sources.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 23).alias("band"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") % 23).alias("band"),
+        F.col("c_acctbal").alias("bal")).distinct()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(salted_join(orders, dim, ["band"], salt_buckets=8))
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    probs = []
+    # the whole point: the exchange keys must include the salt so a hot
+    # band spreads over salt_buckets reducers
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    salted_parts = [p for p in parts if "_salt" in p and "band" in p]
+    if len(salted_parts) < 2:
+        probs.append(
+            f"expected both join inputs exchanged on (band, _salt), "
+            f"found partitionings: {parts}")
+    if "BroadcastHashJoin" in plan:
+        probs.append("join broadcast despite disabled threshold "
+                     "(salt would be dead weight)")
+    if "CartesianProduct" in plan:
+        probs.append("explode of the build side became a product")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
