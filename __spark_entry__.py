@@ -2881,11 +2881,10 @@ def _q_pipe_bpe_first_merge_documents(spark, sf_dir):
         [(l, r) for l, r in merges], "left string, right string")
 
 
-def _sql_bpe_merges(n_rounds: int, min_count: int) -> str:
-    """Unrolled-loop DuckDB oracle for ``bpe_train`` (see the query
-    docstring for the equivalence argument). ``chr(30)`` (ASCII record
-    separator) delimits symbols inside one word's state string — it cannot
-    occur in whitespace-split text tokens."""
+def _sql_bpe_chain(n_rounds: int, min_count: int) -> str:
+    """The shared training-chain WITH-prefix for the BPE oracles: word
+    frequencies, initial symbol states, and ``n_rounds`` unrolled merge
+    rounds (p{r} pair counts, m{r} argmax, s{r} rewritten state)."""
     E = "chr(30)"
     parts = ["""
 WITH words AS MATERIALIZED (
@@ -2927,16 +2926,113 @@ s{r} AS MATERIALIZED (
            ELSE acc || {E} || x END) END AS s
   FROM s{r-1} LEFT JOIN m{r} AS m ON TRUE
 )""")
+    return "".join(parts)
+
+
+def _sql_bpe_merges(n_rounds: int, min_count: int) -> str:
+    """Unrolled-loop DuckDB oracle for ``bpe_train`` (see the query
+    docstring for the equivalence argument). ``chr(30)`` (ASCII record
+    separator) delimits symbols inside one word's state string — it cannot
+    occur in whitespace-split text tokens."""
     union = "\nUNION ALL\n".join(
         f'SELECT CAST({r - 1} AS BIGINT) AS rank, pl AS "left",'
         f' pr AS "right" FROM m{r}'
         for r in range(1, n_rounds + 1))
-    parts.append(
-        f'\nSELECT rank, "left", "right" FROM (\n{union}\n) ORDER BY rank')
+    return (_sql_bpe_chain(n_rounds, min_count)
+            + f'\nSELECT rank, "left", "right" FROM (\n{union}\n)'
+              ' ORDER BY rank')
+
+
+def _sql_bpe_token_counts(n_rounds: int, min_count: int,
+                          encode_rounds: int) -> str:
+    """Oracle for ``bpe_train`` + ``bpe_token_count`` end-to-end: after
+    the training chain, replay ``_encode_word``'s LOWEST-RANK-FIRST loop
+    per distinct corpus word — NOT rank-sequential application of the
+    merge list, which is provably different (a 200k-case random stress
+    test found ~0.8% divergence: a later merge can create an adjacency
+    for an EARLIER-rank pair, e.g. (aa,a)→aaa re-enabling (b,aaa), and
+    the lowest-rank loop goes back for it while sequential application
+    never revisits). Each encode round finds a word's min-(rank, pos)
+    adjacent merge-table pair and rewrites that single occurrence —
+    exactly the python loop. A word of length L merges at most L times,
+    so ``encode_rounds`` ≥ max word length + 1 makes the unroll exact
+    (testdata max is 8; rounds are no-ops once a word has no pair).
+    Doc token count = Σ over word occurrences of the word's token count;
+    wordless/null docs keep 0 via the left join."""
+    parts = [_sql_bpe_chain(n_rounds, min_count)]
+    ranks_union = "\nUNION ALL\n".join(
+        f"SELECT pl, pr, {r - 1} AS rank FROM m{r}"
+        for r in range(1, n_rounds + 1))
+    parts.append(f""",
+ranks AS MATERIALIZED (
+{ranks_union}
+),
+e0 AS MATERIALIZED (
+  SELECT word,
+         list_append(list_transform(generate_series(1, length(word)),
+                                    i -> word[i]), '</w>') AS s
+  FROM words
+)""")
+    for r in range(1, encode_rounds + 1):
+        parts.append(f""",
+b{r} AS MATERIALIZED (
+  SELECT word, min_by(i, rank * 1000 + i) AS bi FROM (
+    SELECT t.word, t.i, rk.rank
+    FROM (SELECT word, s, unnest(generate_series(1, len(s) - 1)) AS i
+          FROM e{r-1} WHERE len(s) >= 2) t
+    JOIN ranks rk ON t.s[t.i] = rk.pl AND t.s[t.i + 1] = rk.pr)
+  GROUP BY word
+),
+e{r} AS MATERIALIZED (
+  SELECT e.word, CASE WHEN b.bi IS NULL THEN e.s ELSE
+    e.s[1:b.bi - 1] || [e.s[b.bi] || e.s[b.bi + 1]]
+      || e.s[b.bi + 2:len(e.s)] END AS s
+  FROM e{r-1} e LEFT JOIN b{r} b USING (word)
+)""")
+    parts.append(f""",
+wc AS MATERIALIZED (
+  SELECT word, len(s) AS n_tok FROM e{encode_rounds}
+),
+doc_words AS (
+  SELECT doc_id, unnest(CASE WHEN text IS NULL OR trim(text) = ''
+                             THEN CAST([] AS VARCHAR[])
+                             ELSE string_split_regex(trim(lower(text)),
+                                                     '\\s+')
+                        END) AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT dw.doc_id, sum(wc.n_tok) AS n
+  FROM doc_words dw JOIN wc USING (word)
+  WHERE dw.word != ''
+  GROUP BY dw.doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)""")
     return "".join(parts)
 
 
 _SQL_PIPE_BPE_MERGES_DOCUMENTS = _sql_bpe_merges(10, 2)
+_SQL_PIPE_BPE_TOKEN_COUNTS_DOCUMENTS = _sql_bpe_token_counts(5, 2, 12)
+
+
+def _q_pipe_bpe_token_counts_documents(spark, sf_dir):
+    """BPE end-to-end: train 5 merges on the corpus, then segment every
+    document and return its token count (operators/bpe.py bpe_train +
+    bpe_token_count) — the budget metric packing/chunking consume, fully
+    value-oracled. The oracle replays BOTH loops: training (unrolled
+    merge rounds) and the per-word lowest-rank-first encode loop (see
+    ``_sql_bpe_token_counts`` for why rank-sequential replay would be
+    WRONG). The Arrow UDF encodes each batch's distinct words once; the
+    oracle's per-distinct-word table mirrors that structure."""
+    from bid_evaluation_spark.operators.bpe import bpe_token_count, bpe_train
+
+    df = _t(spark, sf_dir, "documents")
+    merges = bpe_train(df, n_merges=5, min_count=2)
+    return df.select(
+        "doc_id",
+        bpe_token_count(F.col("text"), merges).cast("long")
+        .alias("n_tokens"))
 
 
 _SQL_PIPE_BPE_FIRST_MERGE_DOCUMENTS = """
@@ -9660,6 +9756,8 @@ _QUERIES: dict = {
         _SQL_PIPE_DECONTAMINATE_BLOOM_DOCUMENTS),
     "pipe_bpe_merges_documents": (_q_pipe_bpe_merges_documents,
                                   _SQL_PIPE_BPE_MERGES_DOCUMENTS),
+    "pipe_bpe_token_counts_documents": (_q_pipe_bpe_token_counts_documents,
+                                        _SQL_PIPE_BPE_TOKEN_COUNTS_DOCUMENTS),
     "pipe_bpe_first_merge_documents": (_q_pipe_bpe_first_merge_documents,
                                        _SQL_PIPE_BPE_FIRST_MERGE_DOCUMENTS),
     "pipe_bpe_pair_counts_documents": (_q_pipe_bpe_pair_counts_documents,
