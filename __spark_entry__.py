@@ -9636,6 +9636,212 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# supervised feature encoding (operators/encode.py)
+# ---------------------------------------------------------------------------
+
+
+def _q_enc_target_kfold_orders(spark, sf_dir):
+    """K-fold leakage-safe target encoding (operators/encode.py
+    target_encode): each order's priority class is encoded from the OTHER
+    folds' F-rate with smoothing toward the global prior — the
+    training-feature pattern where the row's own label must not leak into
+    its feature. Fold = o_orderkey mod 5 (explicit integer assignment so
+    both engines agree). Category and fold statistics are single groupBys;
+    the encode is a stats join + projection."""
+    from bid_evaluation_spark.operators.encode import target_encode
+
+    df = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("_y"),
+        F.pmod(F.col("o_orderkey"), F.lit(5)).cast("int").alias("_fold"))
+    res = target_encode(df, "o_orderpriority", "_y", method="kfold",
+                        smoothing=10.0, fold_col="_fold")
+    r4 = F.round(F.col("target_enc") * 1e4) / 1e4 + F.lit(0.0)
+    return res.select("o_orderkey", r4.alias("enc"))
+
+
+_SQL_ENC_TARGET_KFOLD_ORDERS = """
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS y,
+         o_orderkey % 5 AS fold
+  FROM orders
+),
+prior AS (SELECT avg(y) AS p FROM base),
+cs AS (SELECT cat, count(y) AS cnt, sum(y) AS s FROM base GROUP BY cat),
+fs AS (SELECT cat, fold, count(y) AS cnt, sum(y) AS s
+       FROM base GROUP BY cat, fold)
+SELECT b.o_orderkey,
+  round((cs.s - fs.s + CAST(10 AS DOUBLE) * prior.p)
+        / (cs.cnt - fs.cnt + CAST(10 AS DOUBLE)) * 1e4) / 1e4 + 0.0 AS enc
+FROM base b
+JOIN cs ON b.cat = cs.cat
+JOIN fs ON b.cat = fs.cat AND b.fold = fs.fold
+CROSS JOIN prior
+"""
+
+
+def _q_text_feature_hash_documents(spark, sf_dir):
+    """Hashing-trick bag-of-words in COO form (operators/encode.py
+    feature_hash_triplets): signed 64-bucket vectorizer whose vocabulary
+    is never materialized — the oracle replays bucket = (md5_60 >> 1) mod
+    64 and sign = low bit per token and re-aggregates. One (doc, bucket)
+    groupBy with map-side combine is the whole plan."""
+    from bid_evaluation_spark.operators.encode import feature_hash_triplets
+
+    df = _t(spark, sf_dir, "documents")
+    return feature_hash_triplets(df, n_features=64).select(
+        "doc_id", F.col("index").cast("long").alias("idx"),
+        F.col("value").alias("val"))
+
+
+_SQL_TEXT_FEATURE_HASH_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                     ELSE string_split_regex(trim(text), '\\s+')
+                END) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok || 'fh'), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+agg AS (
+  SELECT doc_id, CAST((h // 2) % 64 AS BIGINT) AS idx,
+         sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS val
+  FROM h GROUP BY doc_id, (h // 2) % 64
+)
+SELECT doc_id, idx, CAST(val AS BIGINT) AS val FROM agg WHERE val <> 0
+"""
+
+
+def _q_ml_stump_lineitem(spark, sf_dir):
+    """Histogram-based decision-stump training (operators/encode.py
+    decision_stump): the LightGBM split-finding pattern as two
+    aggregations — 16-bin sufficient statistics, prefix sums over the
+    bounded histogram, variance-reduction argmax on the 1e-6-rounded gain
+    (raw double gains are a cross-engine knife edge). The oracle replays
+    binning, prefix sums, and the argmax in SQL."""
+    from bid_evaluation_spark.operators.encode import decision_stump
+
+    df = _t(spark, sf_dir, "lineitem")
+    res = decision_stump(df, "l_extendedprice", "l_quantity", n_bins=16)
+
+    def r4(c):
+        return F.round(F.col(c) * 1e4) / 1e4 + F.lit(0.0)
+
+    return res.select(
+        F.col("split_bin").cast("long").alias("split_bin"),
+        r4("split_value").alias("split_value"),
+        "left_cnt", "right_cnt",
+        r4("left_mean").alias("left_mean"),
+        r4("right_mean").alias("right_mean"),
+        r4("gain").alias("gain"))
+
+
+_SQL_ML_STUMP_LINEITEM = """
+WITH base AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+rng AS (SELECT min(x) AS lo, max(x) AS hi FROM base),
+hist AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(floor((x - lo) / ((hi - lo) / 16.0)), 15)
+              END AS INT) AS bin,
+         count(y) AS cnt, sum(y) AS sy, sum(y * y) AS sy2
+  FROM base, rng GROUP BY 1
+),
+pre AS (
+  SELECT bin,
+    sum(cnt) OVER w AS lc, sum(sy) OVER w AS ls, sum(sy2) OVER w AS ls2,
+    sum(cnt) OVER () AS tc, sum(sy) OVER () AS ts, sum(sy2) OVER () AS ts2,
+    max(bin) OVER () AS last_bin
+  FROM hist
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+gains AS (
+  SELECT bin, lc, tc - lc AS rc, ls, ts - ls AS rs,
+    (ts2 - ts * ts / tc) - (ls2 - ls * ls / lc)
+      - ((ts2 - ls2) - (ts - ls) * (ts - ls) / (tc - lc)) AS gain
+  FROM pre WHERE bin < last_bin AND tc - lc > 0
+)
+SELECT CAST(g.bin AS BIGINT) AS split_bin,
+  round((rng.lo + (g.bin + 1) * ((rng.hi - rng.lo) / 16.0)) * 1e4) / 1e4
+    + 0.0 AS split_value,
+  CAST(g.lc AS BIGINT) AS left_cnt, CAST(g.rc AS BIGINT) AS right_cnt,
+  round(g.ls / g.lc * 1e4) / 1e4 + 0.0 AS left_mean,
+  round(g.rs / g.rc * 1e4) / 1e4 + 0.0 AS right_mean,
+  round(g.gain * 1e4) / 1e4 + 0.0 AS gain
+FROM gains g, rng
+ORDER BY round(g.gain * 1e6) / 1e6 DESC, g.bin
+LIMIT 1
+"""
+
+
+def _q_ml_isotonic_orders(spark, sf_dir):
+    """Isotonic (PAV) probability calibration (operators/encode.py
+    isotonic_bins): 50-bin binned F-rate against o_totalprice, pooled
+    monotone by exact pool-adjacent-violators on the bounded bin table.
+    The oracle replays the MINIMAX characterization iso_k = max_{i<=k}
+    min_{j>=k} mean(bins i..j) (Barlow et al. 1972) — equal to PAV, and
+    bit-compatible because the Spark side reports each block as a single
+    quotient of exactly-accumulated integral sums."""
+    from bid_evaluation_spark.operators.encode import isotonic_bins
+
+    df = _t(spark, sf_dir, "orders").withColumn(
+        "_y", (F.col("o_orderstatus") == "F").cast("int"))
+    res = isotonic_bins(df, "o_totalprice", "_y", n_bins=50)
+    return res.select(F.col("bin").cast("long").alias("bin"),
+                      "cnt", "rate_raw", "rate_iso")
+
+
+_SQL_ML_ISOTONIC_ORDERS = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS s,
+         CASE WHEN o_orderstatus = 'F' THEN CAST(1 AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END AS y
+  FROM orders WHERE o_totalprice IS NOT NULL
+),
+rng AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+bins AS (
+  SELECT CAST(CASE WHEN hi = lo THEN 0
+              ELSE least(floor((s - lo) / ((hi - lo) / 50.0)), 49)
+              END AS INT) AS bin,
+         count(y) AS cnt, sum(y) AS sy
+  FROM base, rng GROUP BY 1
+),
+ord AS (SELECT bin, cnt, sy, row_number() OVER (ORDER BY bin) AS k
+        FROM bins),
+pre AS (
+  SELECT k, bin, cnt, sy,
+         sum(cnt) OVER (ORDER BY k) AS c, sum(sy) OVER (ORDER BY k) AS s
+  FROM ord
+),
+pairs AS (
+  SELECT i.k AS ik, j.k AS jk,
+         (j.s - i.s + i.sy) / (j.c - i.c + i.cnt) AS m
+  FROM pre i JOIN pre j ON i.k <= j.k
+),
+mins AS (
+  SELECT o.k, p.ik, min(p.m) AS mn
+  FROM ord o JOIN pairs p ON p.ik <= o.k AND p.jk >= o.k
+  GROUP BY o.k, p.ik
+),
+iso AS (SELECT k, max(mn) AS iso FROM mins GROUP BY k)
+SELECT CAST(o.bin AS BIGINT) AS bin, CAST(o.cnt AS BIGINT) AS cnt,
+  round(o.sy / o.cnt * 1e4) / 1e4 + 0.0 AS rate_raw,
+  round(iso.iso * 1e4) / 1e4 + 0.0 AS rate_iso
+FROM ord o JOIN iso USING (k)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -10038,6 +10244,12 @@ _QUERIES: dict = {
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),
     "cdc_compact_latest_events": (_q_cdc_compact_latest_events,
                                   _SQL_CDC_COMPACT_LATEST_EVENTS),
+    "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
+                                _SQL_ENC_TARGET_KFOLD_ORDERS),
+    "text_feature_hash_documents": (_q_text_feature_hash_documents,
+                                    _SQL_TEXT_FEATURE_HASH_DOCUMENTS),
+    "ml_stump_lineitem": (_q_ml_stump_lineitem, _SQL_ML_STUMP_LINEITEM),
+    "ml_isotonic_orders": (_q_ml_isotonic_orders, _SQL_ML_ISOTONIC_ORDERS),
 }
 
 

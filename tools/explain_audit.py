@@ -1044,6 +1044,100 @@ def _salted_join(spark, sf_dir):
     return probs
 
 
+@check("target encode: stats-join shape, no window, no row-wise python")
+def _target_encode(spark, sf_dir):
+    from bid_evaluation_spark.operators.encode import target_encode
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        (F.col("o_orderstatus") == "F").cast("int").alias("y"),
+        F.pmod(F.col("o_orderkey"), F.lit(5)).cast("int").alias("fold"))
+    plan = plan_of(target_encode(df, "o_orderpriority", "y",
+                                 method="kfold", fold_col="fold"))
+    probs = []
+    if "Window" in plan:
+        probs.append("window appeared — encode must be agg+join, "
+                     "not a per-category window over the corpus")
+    if "BatchEvalPython" in plan:
+        probs.append("row-at-a-time Python UDF in the encode path")
+    if "CartesianProduct" in plan:
+        probs.append("unexpected product (prior is the only cross join "
+                     "and must be broadcast)")
+    # category/fold stats must aggregate BEFORE joining back (two
+    # aggregate-below-join subtrees), not re-aggregate per row
+    if plan.count("HashAggregate") < 2:
+        probs.append("expected >=2 aggregates (cat stats, cat x fold "
+                     "stats) feeding the joins")
+    return probs
+
+
+@check("feature hash: explode -> one partial-agg groupBy, no join, no python")
+def _feature_hash(spark, sf_dir):
+    from bid_evaluation_spark.operators.encode import feature_hash_triplets
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    res = feature_hash_triplets(df, n_features=64)
+    plan = plan_of(res)
+    fmt = formatted(res)
+    probs = []
+    if "Join" in plan:
+        probs.append("join appeared — the hashing trick is vocabulary-"
+                     "free, nothing to join")
+    if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        probs.append("python UDF in the hash path — md5/conv are JVM "
+                     "expressions")
+    if "partial_sum" not in plan and "partial_" not in plan:
+        probs.append("no map-side partial aggregation before the "
+                     "(doc, bucket) exchange")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+    if m and "text" not in m.group(1):
+        probs.append(f"scan schema missing text: {m.group(1)}")
+    if m and len(m.group(1).split(",")) > 2:
+        probs.append(f"scan reads more than (doc_id, text): {m.group(1)}")
+    return probs
+
+
+@check("stump + isotonic: pruned scan, bounded-histogram window, broadcast map")
+def _stump_isotonic(spark, sf_dir):
+    from bid_evaluation_spark.operators.encode import (decision_stump,
+                                                       isotonic_bins)
+    from bid_evaluation_spark.sources.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    st = decision_stump(li, "l_extendedprice", "l_quantity", n_bins=16)
+    fmt = formatted(st)
+    probs = []
+    m = re.search(r"ReadSchema: struct<([^>]*)>", fmt)
+    if m and sorted(c.split(":")[0] for c in m.group(1).split(",")) != \
+            ["l_extendedprice", "l_quantity"]:
+        probs.append(f"stump scan not pruned to feature+label: "
+                     f"{m.group(1)}")
+    if "BatchEvalPython" in fmt or "ArrowEvalPython" in fmt:
+        probs.append("python UDF in the stump path")
+    # the window runs over the <=16-row histogram — it must sit ABOVE the
+    # binning aggregate, never over raw rows
+    plan = plan_of(st)
+    win_pos = plan.find("Window")
+    agg_pos = plan.rfind("HashAggregate")
+    if win_pos == -1:
+        probs.append("prefix-sum window missing")
+    elif agg_pos < win_pos:
+        probs.append("window below the histogram aggregate — prefix "
+                     "sums would run over raw rows")
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "y", (F.col("o_orderstatus") == "F").cast("int"))
+    iso_plan = plan_of(isotonic_bins(orders, "o_totalprice", "y",
+                                     n_bins=50))
+    if "BroadcastHashJoin" not in iso_plan:
+        probs.append("isotonic calibration map not broadcast-joined")
+    if "BatchEvalPython" in iso_plan:
+        probs.append("python UDF in the isotonic scoring path")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
