@@ -9784,6 +9784,93 @@ LIMIT 1
 """
 
 
+def _q_ml_gbm_stumps_lineitem(spark, sf_dir):
+    """Gradient-boosted stumps (operators/encode.py gbm_stumps): 2
+    boosting rounds trained from ONE corpus histogram pass — stumps
+    split on bin boundaries, so the ensemble is piecewise-constant per
+    bin and every round's residual statistics are closed-form over the
+    exact per-bin (cnt, sum_y, sum_y2). The oracle unrolls both rounds
+    over the same bin table (the logreg-GD / Lloyd unrolled-training
+    pattern); totals are read off the LAST cumulative row so both sides
+    sum residuals in bin order."""
+    from bid_evaluation_spark.operators.encode import gbm_model_rows
+
+    df = _t(spark, sf_dir, "lineitem")
+    return gbm_model_rows(df, "l_extendedprice", "l_quantity",
+                          n_rounds=2, n_bins=8, learning_rate=0.5)
+
+
+def _sql_gbm_round(r: int, pred_expr: str) -> str:
+    """One unrolled boosting round: residual stats under ``pred_expr``
+    (an expression over hist/rng/b{r-1} columns), ordered prefix sums,
+    rounded-gain argmax -> ``b{r}`` with (bin, gain, ld, rd)."""
+    return f"""
+r{r} AS (
+  SELECT bin, cnt, sy - cnt * p AS sr,
+         sy2 - 2 * p * sy + cnt * p * p AS sr2
+  FROM (SELECT h.bin, h.cnt, h.sy, h.sy2, {pred_expr} AS p
+        FROM hist h{', b' + str(r - 1) if r > 1 else ''}, rng)
+),
+p{r} AS (
+  SELECT bin, cnt, sr, sr2,
+    sum(cnt) OVER w AS lc, sum(sr) OVER w AS ls, sum(sr2) OVER w AS ls2,
+    max(bin) OVER () AS last_bin, sum(cnt) OVER () AS tc
+  FROM r{r}
+  WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+t{r} AS (SELECT ls AS ts, ls2 AS ts2 FROM p{r} WHERE bin = last_bin),
+g{r} AS (
+  SELECT bin, lc, ls, rc, rs,
+    (ts2 - ts * ts / tc) - (ls2 - ls * ls / lc)
+      - (rs2 - rs * rs / rc) AS gain
+  FROM (SELECT p.bin, p.lc, p.ls, p.ls2, p.tc - p.lc AS rc,
+               t.ts - p.ls AS rs, t.ts2 - p.ls2 AS rs2, t.ts, t.ts2, p.tc
+        FROM p{r} p, t{r} t WHERE p.bin < p.last_bin)
+),
+b{r} AS (
+  SELECT bin, gain, ls / lc AS ld, rs / rc AS rd
+  FROM g{r} ORDER BY round(gain * 1e6) / 1e6 DESC, bin LIMIT 1
+)"""
+
+
+_SQL_ML_GBM_STUMPS_LINEITEM = """
+WITH base AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+),
+rng AS (SELECT min(x) AS lo, max(x) AS hi, avg(y) AS mean FROM base),
+hist AS (
+  SELECT CAST(least(floor((x - lo) / ((hi - lo) / 8.0)), 7) AS INT) AS bin,
+         count(y) AS cnt, sum(y) AS sy, sum(y * y) AS sy2
+  FROM base, rng GROUP BY 1
+),""" + _sql_gbm_round(1, "rng.mean") + "," + _sql_gbm_round(
+    2, "rng.mean + CAST(0.5 AS DOUBLE) * (CASE WHEN h.bin <= b1.bin"
+       " THEN b1.ld ELSE b1.rd END)") + """
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS round, CAST(b1.bin AS BIGINT) AS split_bin,
+    round((rng.lo + (b1.bin + 1) * ((rng.hi - rng.lo) / 8.0)) * 1e4) / 1e4
+      + 0.0 AS split_value,
+    round(b1.ld * 1e4) / 1e4 + 0.0 AS left_delta,
+    round(b1.rd * 1e4) / 1e4 + 0.0 AS right_delta,
+    round(b1.gain * 1e4) / 1e4 + 0.0 AS gain,
+    round(rng.mean * 1e4) / 1e4 + 0.0 AS base
+  FROM b1, rng
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST(b2.bin AS BIGINT),
+    round((rng.lo + (b2.bin + 1) * ((rng.hi - rng.lo) / 8.0)) * 1e4) / 1e4
+      + 0.0,
+    round(b2.ld * 1e4) / 1e4 + 0.0,
+    round(b2.rd * 1e4) / 1e4 + 0.0,
+    round(b2.gain * 1e4) / 1e4 + 0.0,
+    round(rng.mean * 1e4) / 1e4 + 0.0
+  FROM b2, rng
+) ORDER BY round
+"""
+
+
 def _q_ml_isotonic_orders(spark, sf_dir):
     """Isotonic (PAV) probability calibration (operators/encode.py
     isotonic_bins): 50-bin binned F-rate against o_totalprice, pooled
@@ -10249,6 +10336,8 @@ _QUERIES: dict = {
     "text_feature_hash_documents": (_q_text_feature_hash_documents,
                                     _SQL_TEXT_FEATURE_HASH_DOCUMENTS),
     "ml_stump_lineitem": (_q_ml_stump_lineitem, _SQL_ML_STUMP_LINEITEM),
+    "ml_gbm_stumps_lineitem": (_q_ml_gbm_stumps_lineitem,
+                               _SQL_ML_GBM_STUMPS_LINEITEM),
     "ml_isotonic_orders": (_q_ml_isotonic_orders, _SQL_ML_ISOTONIC_ORDERS),
 }
 

@@ -264,6 +264,170 @@ def decision_stump(df: DataFrame, feature_col: str, label_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Gradient-boosted stumps
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GBMStumpModel:
+    """Boosted-stump regression model: shared histogram geometry plus one
+    ``(split_bin, split_value, left_delta, right_delta, gain)`` tuple per
+    round. Predictions split on the BIN id (``floor((x - lo) / width) <=
+    split_bin``) rather than the raw value — the bin expression is what
+    training binned on, so train/predict and Spark/SQL agree exactly even
+    on knife-edge floats where ``x < split_value`` would not."""
+    base: float
+    lo: float
+    width: float
+    n_bins: int
+    learning_rate: float
+    rounds: List[Tuple[int, float, float, float, float]]
+
+
+def _sql_round(x: float, scale: float) -> float:
+    """SQL ``round(x * scale) / scale`` (half away from zero) in python —
+    python's built-in ``round`` is banker's rounding and disagrees with
+    both engines on exact halves."""
+    import math
+    v = x * scale
+    r = math.floor(abs(v) + 0.5)
+    return (r if v >= 0 else -r) / scale
+
+
+def gbm_stumps(df: DataFrame, feature_col: str, label_col: str,
+               n_rounds: int = 3, n_bins: int = 32,
+               learning_rate: float = 0.5) -> GBMStumpModel:
+    """Train gradient-boosted regression stumps with squared loss —
+    Friedman (2001) boosting in exactly TWO corpus passes regardless of
+    ``n_rounds``: (1) min/max/mean, (2) one histogram of per-bin
+    ``(cnt, sum_y, sum_y2)`` exact sufficient statistics. Because every
+    stump splits on a bin boundary, the ensemble's prediction is
+    piecewise-constant on bins — so each round's residual statistics are
+    CLOSED FORM over the collected histogram (``sum_r = sy - cnt*pred``,
+    ``sum_r2 = sy2 - 2*pred*sy + cnt*pred^2``) and the whole boosting
+    loop runs on the bounded <=``n_bins``-row table on the driver (the
+    k-means-centroid bounded-model pattern). No per-round corpus pass,
+    and no float-order nondeterminism: the shuffled sums are sums of raw
+    ``y``/``y^2`` (exact when labels are integral), every residual
+    quantity a deterministic expression over them — which is what lets
+    the SQL oracle replay training bit-for-bit.
+
+    Squared loss makes the gradient step exact: the optimal leaf value IS
+    the leaf's mean residual. The per-round argmax ranks on the
+    1e-6-rounded gain with the bin id as tiebreak (same knife-edge rule
+    as :func:`decision_stump`).
+    """
+    f = F.col(feature_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base_df = df.filter(f.isNotNull() & y.isNotNull())
+    first = base_df.agg(F.min(f).alias("_lo"), F.max(f).alias("_hi"),
+                        F.avg(y).alias("_mean")).head()
+    lo, hi, base = (float(first["_lo"]), float(first["_hi"]),
+                    float(first["_mean"]))
+    if hi == lo:
+        return GBMStumpModel(base=base, lo=lo, width=1.0, n_bins=n_bins,
+                             learning_rate=learning_rate, rounds=[])
+    width = (hi - lo) / n_bins
+    b = F.least(F.floor((f - F.lit(lo)) / F.lit(width)),
+                F.lit(n_bins - 1)).cast("int")
+    hist = (base_df.groupBy(b.alias("bin"))
+            .agg(F.count(y).alias("cnt"), F.sum(y).alias("sy"),
+                 F.sum(y * y).alias("sy2"))
+            .orderBy("bin").collect())  # bounded: <= n_bins rows
+    bins = [int(r["bin"]) for r in hist]
+    cnt = [float(r["cnt"]) for r in hist]
+    sy = [float(r["sy"]) for r in hist]
+    sy2 = [float(r["sy2"]) for r in hist]
+    n = len(bins)
+    pred = [base] * n
+    rounds: List[Tuple[int, float, float, float, float]] = []
+    for _ in range(n_rounds):
+        if n < 2:
+            break
+        sr = [sy[i] - cnt[i] * pred[i] for i in range(n)]
+        sr2 = [sy2[i] - 2 * pred[i] * sy[i] + cnt[i] * pred[i] * pred[i]
+               for i in range(n)]
+        lc = ls = ls2 = 0.0
+        tc, ts, ts2 = sum(cnt), _ordered_sum(sr), _ordered_sum(sr2)
+        sse_t = ts2 - ts * ts / tc
+        best = None  # (rounded_gain, -bin) maximal
+        lcs, lss, ls2s = [], [], []
+        for i in range(n):
+            lc, ls, ls2 = lc + cnt[i], ls + sr[i], ls2 + sr2[i]
+            lcs.append(lc)
+            lss.append(ls)
+            ls2s.append(ls2)
+        for i in range(n - 1):  # candidates: every bin below the last
+            lc, ls, ls2 = lcs[i], lss[i], ls2s[i]
+            rc, rs, rs2 = tc - lc, ts - ls, ts2 - ls2
+            gain = (sse_t - (ls2 - ls * ls / lc) - (rs2 - rs * rs / rc))
+            rg = _sql_round(gain, 1e6)
+            if best is None or rg > best[0]:
+                best = (rg, i, gain, ls / lc, rs / rc)
+        if best is None:
+            break
+        _rg, i, gain, ld, rd = best
+        sb = bins[i]
+        rounds.append((sb, lo + (sb + 1) * width, ld, rd, gain))
+        for j in range(n):
+            pred[j] = pred[j] + learning_rate * (ld if j <= i else rd)
+    return GBMStumpModel(base=base, lo=lo, width=width, n_bins=n_bins,
+                         learning_rate=learning_rate, rounds=rounds)
+
+
+def _ordered_sum(xs: List[float]) -> float:
+    """Left-to-right float sum — matches an ORDER BY bin cumulative /
+    total in SQL so totals agree bit-for-bit."""
+    acc = 0.0
+    for x in xs:
+        acc += x
+    return acc
+
+
+def gbm_predict(df: DataFrame, model: GBMStumpModel, feature_col: str,
+                out_col: str = "gbm_pred") -> DataFrame:
+    """Map-only scoring: base + lr * sum of per-round leaf deltas, split
+    on the bin id (unclipped floor — below-range rows fall left, beyond-
+    range rows fall right, monotone in x). Pure codegen projection."""
+    f = F.col(feature_col).cast("double")
+    pred: F.Column = F.lit(model.base)
+    for split_bin, _v, ld, rd, _g in model.rounds:
+        left = (F.floor((f - F.lit(model.lo)) / F.lit(model.width))
+                <= F.lit(split_bin))
+        pred = pred + F.lit(model.learning_rate) * F.when(
+            left, F.lit(ld)).otherwise(F.lit(rd))
+    return df.withColumn(out_col, pred)
+
+
+def gbm_model_rows(df: DataFrame, feature_col: str, label_col: str,
+                   n_rounds: int = 2, n_bins: int = 8,
+                   learning_rate: float = 0.5) -> DataFrame:
+    """The trained model as a value surface the driver oracle can check:
+    one row per boosting round ``(round, split_bin, split_value,
+    left_delta, right_delta, gain)`` plus metadata columns (base), all
+    rounded at 1e-4."""
+    model = gbm_stumps(df, feature_col, label_col, n_rounds=n_rounds,
+                       n_bins=n_bins, learning_rate=learning_rate)
+    spark = df.sparkSession
+    rows = [(r + 1, sb, sv, ld, rd, g, model.base)
+            for r, (sb, sv, ld, rd, g) in enumerate(model.rounds)]
+    out = spark.createDataFrame(
+        rows, "round int, split_bin int, split_value double, "
+              "left_delta double, right_delta double, gain double, "
+              "base double")
+
+    def r4(c):
+        return F.round(F.col(c) * 1e4) / 1e4 + F.lit(0.0)
+
+    return out.select(
+        F.col("round").cast("long").alias("round"),
+        F.col("split_bin").cast("long").alias("split_bin"),
+        r4("split_value").alias("split_value"),
+        r4("left_delta").alias("left_delta"),
+        r4("right_delta").alias("right_delta"),
+        r4("gain").alias("gain"), r4("base").alias("base"))
+
+
+# ---------------------------------------------------------------------------
 # Isotonic calibration (PAV on bounded bins)
 # ---------------------------------------------------------------------------
 

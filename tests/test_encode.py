@@ -163,6 +163,71 @@ def test_stump_gain_nonnegative_random(spark):
 
 
 # ---------------------------------------------------------------------------
+# gbm stumps
+# ---------------------------------------------------------------------------
+
+def _gbm_mod():
+    from bid_evaluation_spark.operators.encode import (gbm_predict,
+                                                       gbm_stumps)
+    return gbm_stumps, gbm_predict
+
+
+def test_gbm_one_round_perfect_fit_lr1(spark):
+    gbm_stumps, gbm_predict = _gbm_mod()
+    rows = [(float(i), 0.0) for i in range(50)] + \
+           [(100.0 + i, 10.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    m = gbm_stumps(df, "x", "y", n_rounds=3, n_bins=16, learning_rate=1.0)
+    # lr=1 squared loss: round 1 fits exactly, later rounds gain ~0
+    scored = gbm_predict(df, m, "x")
+    resid = scored.selectExpr("max(abs(y - gbm_pred)) m").head()["m"]
+    assert resid == pytest.approx(0.0, abs=1e-9)
+    assert m.rounds[0][2] == pytest.approx(-5.0)   # left delta vs base 5.0
+    assert m.rounds[0][3] == pytest.approx(5.0)
+
+
+def test_gbm_round1_equals_stump(spark):
+    gbm_stumps, _ = _gbm_mod()
+    rng = random.Random(3)
+    rows = [(rng.uniform(0, 100), rng.uniform(0, 50)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    m = gbm_stumps(df, "x", "y", n_rounds=1, n_bins=8)
+    st = decision_stump(df, "x", "y", n_bins=8).head()
+    sb, sv, ld, rd, gain = m.rounds[0]
+    assert sb == st["split_bin"]
+    assert gain == pytest.approx(st["gain"])
+    # round-1 deltas are leaf means of residuals = leaf mean - base
+    assert ld == pytest.approx(st["left_mean"] - m.base)
+    assert rd == pytest.approx(st["right_mean"] - m.base)
+
+
+def test_gbm_training_mse_monotone(spark):
+    gbm_stumps, gbm_predict = _gbm_mod()
+    rng = random.Random(5)
+    rows = [(rng.uniform(0, 100), x * 0.3 + rng.uniform(0, 10))
+            for x in (rng.uniform(0, 100) for _ in range(400))]
+    df = spark.createDataFrame(rows, "x double, y double")
+    prev = None
+    for k in (0, 1, 3, 5):
+        m = gbm_stumps(df, "x", "y", n_rounds=k, n_bins=8)
+        mse = gbm_predict(df, m, "x").selectExpr(
+            "avg((y - gbm_pred) * (y - gbm_pred)) m").head()["m"]
+        if prev is not None:
+            assert mse <= prev + 1e-9
+        prev = mse
+
+
+def test_gbm_constant_feature_no_rounds(spark):
+    gbm_stumps, gbm_predict = _gbm_mod()
+    df = spark.createDataFrame([(5.0, float(i)) for i in range(20)],
+                               "x double, y double")
+    m = gbm_stumps(df, "x", "y", n_rounds=3)
+    assert m.rounds == []
+    pred = gbm_predict(df, m, "x").select("gbm_pred").head()["gbm_pred"]
+    assert pred == pytest.approx(9.5)
+
+
+# ---------------------------------------------------------------------------
 # isotonic
 # ---------------------------------------------------------------------------
 

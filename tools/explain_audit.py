@@ -1135,6 +1135,17 @@ def _stump_isotonic(spark, sf_dir):
         probs.append("isotonic calibration map not broadcast-joined")
     if "BatchEvalPython" in iso_plan:
         probs.append("python UDF in the isotonic scoring path")
+
+    # gbm scoring must be a pure projection — no join, no shuffle
+    from bid_evaluation_spark.operators.encode import (gbm_predict,
+                                                       gbm_stumps)
+    model = gbm_stumps(li, "l_extendedprice", "l_quantity",
+                       n_rounds=2, n_bins=8)
+    gplan = plan_of(gbm_predict(li, model, "l_extendedprice"))
+    if "Exchange" in gplan or "Join" in gplan:
+        probs.append("gbm_predict is not map-only")
+    if "*(" not in gplan:  # codegen'd nodes print with the * prefix
+        probs.append("gbm scoring projection fell out of codegen")
     return probs
 
 
