@@ -9640,6 +9640,90 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+def _q_graph_textrank_documents(spark, sf_dir):
+    """Per-document TextRank keywords (operators/graph.py
+    textrank_keywords): adjacency co-occurrence graphs, 2 damped
+    PageRank rounds, top-3 words per document — the GROUPED pagerank
+    where one corpus-wide plan ranks every document's graph at once (no
+    driver round-trips, unlike the per-graph model loop). The oracle
+    unrolls both rounds as CTE chains over the same edge table (the
+    graph_pagerank_events pattern) and ranks on the 1e-6-rounded score
+    with the word tiebreak."""
+    from bid_evaluation_spark.operators.graph import textrank_keywords
+
+    df = _t(spark, sf_dir, "documents")
+    return textrank_keywords(df, n_iters=2, window=2, top_k=3)
+
+
+_SQL_GRAPH_TEXTRANK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+),
+prs AS (
+  SELECT doc_id, t[i] AS a, t[i + 1] AS b
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+edges AS MATERIALIZED (
+  SELECT doc_id, src, dst, CAST(count(*) AS DOUBLE) AS w FROM (
+    SELECT doc_id, a AS src, b AS dst FROM prs
+    UNION ALL
+    SELECT doc_id, b AS src, a AS dst FROM prs
+  ) GROUP BY doc_id, src, dst
+),
+outw AS (SELECT doc_id, src, sum(w) AS ow FROM edges
+         GROUP BY doc_id, src),
+ne AS MATERIALIZED (
+  SELECT e.doc_id, e.src, e.dst, e.w / o.ow AS f
+  FROM edges e JOIN outw o ON e.doc_id = o.doc_id AND e.src = o.src
+),
+nodes AS MATERIALIZED (SELECT DISTINCT doc_id, src AS word FROM edges),
+nn AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM nodes
+       GROUP BY doc_id),
+r0 AS MATERIALIZED (
+  SELECT nodes.doc_id, word, CAST(1 AS DOUBLE) / nn.n AS rank
+  FROM nodes JOIN nn ON nodes.doc_id = nn.doc_id
+),
+c1 AS (
+  SELECT ne.doc_id, ne.dst AS word, sum(r.rank * ne.f) AS c
+  FROM ne JOIN r0 r ON ne.doc_id = r.doc_id AND ne.src = r.word
+  GROUP BY ne.doc_id, ne.dst
+),
+r1 AS MATERIALIZED (
+  SELECT n0.doc_id, n0.word,
+    (1 - CAST(0.85 AS DOUBLE)) / nn.n
+      + CAST(0.85 AS DOUBLE) * COALESCE(c.c, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n0
+  JOIN nn ON n0.doc_id = nn.doc_id
+  LEFT JOIN c1 c ON n0.doc_id = c.doc_id AND n0.word = c.word
+),
+c2 AS (
+  SELECT ne.doc_id, ne.dst AS word, sum(r.rank * ne.f) AS c
+  FROM ne JOIN r1 r ON ne.doc_id = r.doc_id AND ne.src = r.word
+  GROUP BY ne.doc_id, ne.dst
+),
+r2 AS (
+  SELECT n0.doc_id, n0.word,
+    (1 - CAST(0.85 AS DOUBLE)) / nn.n
+      + CAST(0.85 AS DOUBLE) * COALESCE(c.c, CAST(0 AS DOUBLE)) AS rank
+  FROM nodes n0
+  JOIN nn ON n0.doc_id = nn.doc_id
+  LEFT JOIN c2 c ON n0.doc_id = c.doc_id AND n0.word = c.word
+)
+SELECT doc_id, word, r6 + 0.0 AS rank, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT doc_id, word, round(rank * 1e6) / 1e6 AS r6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(rank * 1e6) / 1e6 DESC, word)
+           AS rk
+  FROM r2
+) WHERE rk <= 3
+"""
+
+
 def _q_enc_target_kfold_orders(spark, sf_dir):
     """K-fold leakage-safe target encoding (operators/encode.py
     target_encode): each order's priority class is encoded from the OTHER
@@ -10331,6 +10415,8 @@ _QUERIES: dict = {
     "cdc_upsert_orders": (_q_cdc_upsert_orders, _SQL_CDC_UPSERT_ORDERS),
     "cdc_compact_latest_events": (_q_cdc_compact_latest_events,
                                   _SQL_CDC_COMPACT_LATEST_EVENTS),
+    "graph_textrank_documents": (_q_graph_textrank_documents,
+                                 _SQL_GRAPH_TEXTRANK_DOCUMENTS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

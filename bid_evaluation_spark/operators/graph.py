@@ -168,3 +168,104 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b"
     # plan (unpersisting here, before materialization, would cache nothing
     # — NOTES lesson #8); both are O(edges)/O(nodes) key-only frames.
     return out
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", window: int = 2,
+                      n_iters: int = 3, damping: float = 0.85,
+                      top_k: int = 5) -> DataFrame:
+    """Per-document TextRank keyword extraction (Mihalcea & Tarau, EMNLP
+    2004): an undirected co-occurrence graph over each document's token
+    sequence (tokens within ``window`` positions share an edge, weight =
+    co-occurrence count) scored by ``n_iters`` damped PageRank rounds,
+    top ``top_k`` words per document returned as ``(id_col, word, rank,
+    rk)``.
+
+    This is the GROUPED variant of :func:`pagerank`: every frame carries
+    the document id, so one corpus-wide plan ranks millions of small
+    per-document graphs simultaneously — shuffles key on ``(doc, word)``,
+    per-round cost is one equi-join plus one groupBy, and no collect
+    happens anywhere (the corpus-level model loop in ``pagerank`` would
+    need a driver round-trip per document; this needs zero). Undirected
+    edges mean no dangling mass — every node has out-weight, so rounds
+    are pure joins. Lineage is truncated per round (localCheckpoint, the
+    repo-wide iterative-loop rule). Documents with fewer than two tokens
+    have no edges and yield no keywords.
+
+    Ranking determinism: the top-k window orders by the 1e-6-ROUNDED
+    rank with the word as tiebreak (raw float ranks are a cross-engine
+    knife edge); ``rank`` is returned rounded the same way, which is the
+    surface the unrolled SQL oracle checks.
+    """
+    from .text import tokens
+
+    t = tokens(F.lower(F.col(text_col)))
+    toks = df.select(F.col(id_col).alias("_doc"), t.alias("_t")) \
+        .filter(F.size("_t") >= 2)
+    # co-occurrence pairs by zipping shifted slices (NOTES lesson #1: no
+    # per-element indexing inside HOF lambdas). zip_with names the lambda
+    # output fields explicitly, so no arrays_zip field-name guessing.
+    pair_arrays = []
+    for off in range(1, window):
+        ln = F.size("_t") - off
+        pair_arrays.append(
+            F.zip_with(F.slice("_t", 1, ln), F.slice("_t", off + 1, ln),
+                       lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
+    zipped = pair_arrays[0] if len(pair_arrays) == 1 else \
+        F.concat(*pair_arrays)
+    pairs = (toks.select("_doc", F.explode(zipped).alias("_p"))
+             .select("_doc", F.col("_p.a").alias("_a"),
+                     F.col("_p.b").alias("_b")))
+
+    und = pairs.select("_doc", F.col("_a").alias("_src"),
+                       F.col("_b").alias("_dst")).unionByName(
+        pairs.select("_doc", F.col("_b").alias("_src"),
+                     F.col("_a").alias("_dst")))
+    edges = (und.groupBy("_doc", "_src", "_dst")
+             .agg(F.count(F.lit(1)).cast("double").alias("_w")))
+    outw = edges.groupBy("_doc", "_src").agg(F.sum("_w").alias("_ow"))
+    ne = (edges.join(outw, on=["_doc", "_src"])
+          .select("_doc", "_src", "_dst",
+                  (F.col("_w") / F.col("_ow")).alias("_f"))
+          .persist())
+    nodes = edges.select("_doc", F.col("_src").alias("_word")).distinct() \
+        .persist()
+    nn = nodes.groupBy("_doc").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"))
+
+    ranks = (nodes.join(nn, on="_doc")
+             .select("_doc", "_word",
+                     (F.lit(1.0) / F.col("_n")).alias("_rank"))
+             .localCheckpoint())
+    base = 1.0 - damping
+    for _ in range(n_iters):
+        r = (ranks.withColumnRenamed("_doc", "_rd")
+             .withColumnRenamed("_word", "_rw"))
+        contrib = (ne.join(r, (F.col("_doc") == F.col("_rd"))
+                           & (F.col("_src") == F.col("_rw")))
+                   .groupBy("_doc", "_dst")
+                   .agg(F.sum(F.col("_rank") * F.col("_f")).alias("_c"))
+                   .select(F.col("_doc").alias("_cd"),
+                           F.col("_dst").alias("_cw"), "_c"))
+        ranks = (nodes.join(nn, on="_doc")
+                 .join(contrib, (F.col("_doc") == F.col("_cd"))
+                       & (F.col("_word") == F.col("_cw")), "left")
+                 .select("_doc", "_word",
+                         (F.lit(base) / F.col("_n") + F.lit(damping)
+                          * F.coalesce(F.col("_c"), F.lit(0.0)))
+                         .alias("_rank"))
+                 .localCheckpoint())
+
+    from pyspark.sql import Window
+    r6 = F.round(F.col("_rank") * 1e6) / 1e6 + F.lit(0.0)
+    w = Window.partitionBy("_doc").orderBy(F.col("_r6").desc(), "_word")
+    out = (ranks.withColumn("_r6", r6)
+           .withColumn("_rk", F.row_number().over(w))
+           .filter(F.col("_rk") <= top_k)
+           .select(F.col("_doc").alias(id_col),
+                   F.col("_word").alias("word"),
+                   F.col("_r6").alias("rank"),
+                   F.col("_rk").cast("long").alias("rk")))
+    ne.unpersist()
+    nodes.unpersist()
+    return out

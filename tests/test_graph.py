@@ -144,3 +144,78 @@ class TestTriangleCounts:
         rows = triangle_counts(df, "a", "b").collect()
         assert all(r["triangles"] == 3 and r["degree"] == 3
                    and r["clustering_coeff"] == 1.0 for r in rows)
+
+
+class TestTextRank:
+    def test_hub_word_ranks_first(self, spark):
+        from bid_evaluation_spark.operators.graph import textrank_keywords
+
+        d = spark.createDataFrame(
+            [(1, "apple banana apple cherry apple banana")],
+            "doc_id long, text string")
+        rows = textrank_keywords(d, top_k=3).orderBy("rk").collect()
+        assert rows[0]["word"] == "apple"
+        assert [r["rk"] for r in rows] == [1, 2, 3]
+
+    def test_matches_pagerank_on_single_doc(self, spark):
+        """textrank is the grouped pagerank: on one document its ranks
+        must equal running the corpus-level pagerank operator over the
+        same undirected co-occurrence edge list."""
+        from bid_evaluation_spark.operators.graph import (pagerank,
+                                                          textrank_keywords)
+
+        text = "a b c a b d e a c"
+        toks = text.split()
+        pair_counts = {}
+        for x, y in zip(toks, toks[1:]):
+            for s, t in ((x, y), (y, x)):
+                pair_counts[(s, t)] = pair_counts.get((s, t), 0) + 1
+        edges = spark.createDataFrame(
+            [(s, t, float(c)) for (s, t), c in pair_counts.items()],
+            "src string, dst string, w double")
+        pr = {r["node"]: r["rank"]
+              for r in pagerank(edges, weight="w", damping=0.85,
+                                max_iter=3).collect()}
+        d = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        tr = {r["word"]: r["rank"]
+              for r in textrank_keywords(d, n_iters=3, top_k=10).collect()}
+        assert set(tr) == set(pr)
+        for wd, rv in tr.items():
+            assert rv == pytest.approx(round(pr[wd] * 1e6) / 1e6, abs=2e-6)
+
+    def test_docs_are_independent(self, spark):
+        from bid_evaluation_spark.operators.graph import textrank_keywords
+
+        solo = spark.createDataFrame(
+            [(1, "x y x z y")], "doc_id long, text string")
+        both = spark.createDataFrame(
+            [(1, "x y x z y"), (2, "p q r p q p")],
+            "doc_id long, text string")
+        a = {(r["word"], r["rank"])
+             for r in textrank_keywords(solo, top_k=5).collect()}
+        b = {(r["word"], r["rank"])
+             for r in textrank_keywords(both, top_k=5)
+             .filter(F.col("doc_id") == 1).collect()}
+        assert a == b
+
+    def test_degenerate_docs_yield_nothing(self, spark):
+        from bid_evaluation_spark.operators.graph import textrank_keywords
+
+        d = spark.createDataFrame(
+            [(1, "single"), (2, ""), (3, None), (4, "   ")],
+            "doc_id long, text string")
+        assert textrank_keywords(d).count() == 0
+
+    def test_window_widens_edges(self, spark):
+        from bid_evaluation_spark.operators.graph import textrank_keywords
+
+        # with window=3, "a ... c" two apart co-occur; ranks must differ
+        # from the window=2 graph on a path where that matters
+        d = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        w2 = {r["word"]: r["rank"]
+              for r in textrank_keywords(d, window=2, top_k=3).collect()}
+        w3 = {r["word"]: r["rank"]
+              for r in textrank_keywords(d, window=3, top_k=3).collect()}
+        # window=2: b is the hub; window=3: a-c edge evens the graph out
+        assert w2["b"] > w2["a"]
+        assert w3["b"] < w2["b"]

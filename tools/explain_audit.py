@@ -1149,6 +1149,26 @@ def _stump_isotonic(spark, sf_dir):
     return probs
 
 
+@check("textrank: grouped-pagerank rounds are equi-joins, partitioned top-k")
+def _textrank(spark, sf_dir):
+    from bid_evaluation_spark.operators.graph import textrank_keywords
+    from bid_evaluation_spark.sources.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(textrank_keywords(docs, n_iters=2, top_k=3))
+    probs = []
+    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+        probs.append("non-equi join in the textrank plan")
+    if "BatchEvalPython" in plan:
+        probs.append("row-at-a-time python in the textrank plan")
+    # the top-k window must partition by document — a global window
+    # would serialize the whole corpus through one task
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln]
+    if win_lines and not any("_doc" in ln for ln in win_lines):
+        probs.append(f"top-k window not partitioned by doc: {win_lines}")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
