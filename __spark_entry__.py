@@ -9640,6 +9640,115 @@ FROM (
 # ---------------------------------------------------------------------------
 
 
+def _q_dq_audit_orders(spark, sf_dir):
+    """Deequ-style one-pass data-quality audit (operators/dq.py
+    dq_audit): six declarative rules (null / uniqueness / range / set /
+    regex) compiled into ONE fused aggregation — rule count never adds
+    passes. The oracle recomputes every conditional count in one scalar
+    SELECT and unpivots to the same report rows."""
+    from bid_evaluation_spark.operators.dq import DQRule, dq_audit
+
+    df = _t(spark, sf_dir, "orders")
+    rules = [
+        DQRule("o_custkey", "not_null"),
+        DQRule("o_orderkey", "unique"),
+        DQRule("o_totalprice", "min", value=1000.0),
+        DQRule("o_totalprice", "max", value=400000.0),
+        DQRule("o_orderstatus", "in_set", values=["O", "F", "P"]),
+        DQRule("o_orderpriority", "regex", pattern="^[1-5]-"),
+    ]
+    return dq_audit(df, rules)
+
+
+_SQL_DQ_AUDIT_ORDERS = """
+WITH s AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_nn,
+    count(*) - count(DISTINCT o_orderkey)
+      - coalesce(max(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END), 0)
+      AS v_u,
+    sum(CASE WHEN o_totalprice IS NOT NULL
+              AND o_totalprice < CAST(1000 AS DOUBLE)
+             THEN 1 ELSE 0 END) AS v_min,
+    sum(CASE WHEN o_totalprice IS NOT NULL
+              AND o_totalprice > CAST(400000 AS DOUBLE)
+             THEN 1 ELSE 0 END) AS v_max,
+    sum(CASE WHEN o_orderstatus IS NOT NULL
+              AND o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END) AS v_set,
+    sum(CASE WHEN o_orderpriority IS NOT NULL
+              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+             THEN 1 ELSE 0 END) AS v_re
+  FROM orders
+)
+SELECT 'not_null_o_custkey' AS rule, 'o_custkey' AS "column",
+       'not_null' AS kind, CAST(n AS BIGINT) AS n_rows,
+       CAST(v_nn AS BIGINT) AS n_violations, v_nn = 0 AS ok FROM s
+UNION ALL
+SELECT 'unique_o_orderkey', 'o_orderkey', 'unique', CAST(n AS BIGINT),
+       CAST(v_u AS BIGINT), v_u = 0 FROM s
+UNION ALL
+SELECT 'min_o_totalprice', 'o_totalprice', 'min', CAST(n AS BIGINT),
+       CAST(v_min AS BIGINT), v_min = 0 FROM s
+UNION ALL
+SELECT 'max_o_totalprice', 'o_totalprice', 'max', CAST(n AS BIGINT),
+       CAST(v_max AS BIGINT), v_max = 0 FROM s
+UNION ALL
+SELECT 'in_set_o_orderstatus', 'o_orderstatus', 'in_set',
+       CAST(n AS BIGINT), CAST(v_set AS BIGINT), v_set = 0 FROM s
+UNION ALL
+SELECT 'regex_o_orderpriority', 'o_orderpriority', 'regex',
+       CAST(n AS BIGINT), CAST(v_re AS BIGINT), v_re = 0 FROM s
+"""
+
+
+def _q_dq_ri_orders_customer(spark, sf_dir):
+    """Referential-integrity orphan audit (operators/dq.py
+    referential_integrity): orders.o_custkey against customer — one
+    left-anti join on the parent's distinct keys, null child keys
+    excluded by contract."""
+    from bid_evaluation_spark.operators.dq import referential_integrity
+
+    return referential_integrity(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
+        "o_custkey", "c_custkey")
+
+
+_SQL_DQ_RI_ORDERS_CUSTOMER = """
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT) AS n_orphans,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0 AS ok
+"""
+
+
+def _q_dq_stable_ids_orders(spark, sf_dir):
+    """Global dense id assignment WITHOUT a single-partition sort
+    (operators/dq.py assign_stable_ids): range-partition on the key,
+    rank within partitions, add broadcast cumulative offsets — ids equal
+    the global ``row_number() - 1`` the oracle computes directly, but the
+    sort never funnels through one task and the driver only ever sees
+    one count per partition."""
+    from bid_evaluation_spark.operators.dq import assign_stable_ids
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return assign_stable_ids(df, ["o_orderkey"], num_partitions=8)
+
+
+_SQL_DQ_STABLE_IDS_ORDERS = """
+SELECT o_orderkey,
+       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT)
+         AS stable_id
+FROM orders
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -10417,6 +10526,11 @@ _QUERIES: dict = {
                                   _SQL_CDC_COMPACT_LATEST_EVENTS),
     "graph_textrank_documents": (_q_graph_textrank_documents,
                                  _SQL_GRAPH_TEXTRANK_DOCUMENTS),
+    "dq_audit_orders": (_q_dq_audit_orders, _SQL_DQ_AUDIT_ORDERS),
+    "dq_ri_orders_customer": (_q_dq_ri_orders_customer,
+                              _SQL_DQ_RI_ORDERS_CUSTOMER),
+    "dq_stable_ids_orders": (_q_dq_stable_ids_orders,
+                             _SQL_DQ_STABLE_IDS_ORDERS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

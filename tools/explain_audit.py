@@ -1169,6 +1169,48 @@ def _textrank(spark, sf_dir):
     return probs
 
 
+@check("dq audit: N rules share ONE aggregation pass; stable ids partition-local")
+def _dq(spark, sf_dir):
+    from bid_evaluation_spark.operators.dq import (DQRule,
+                                                   assign_stable_ids,
+                                                   dq_audit)
+    from bid_evaluation_spark.sources.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rep = dq_audit(orders, [
+        DQRule("o_custkey", "not_null"), DQRule("o_orderkey", "unique"),
+        DQRule("o_totalprice", "min", value=0.0),
+        DQRule("o_orderstatus", "in_set", values=["O", "F", "P"])])
+    plan = plan_of(rep)
+    probs = []
+    if "Join" in plan:
+        probs.append("dq report joined something — rules must fuse into "
+                     "the single agg")
+    if "Window" in plan:
+        probs.append("window in the dq audit plan")
+    if plan.count("FileScan") > 1:
+        probs.append("multiple scans — rules did not share one pass")
+
+    # the pre-materialization stage must be a RANGE exchange (that is
+    # what makes partition-local ranks globally ordered); checkpointing
+    # truncates it out of the final plan, so audit the stage directly
+    keyed = orders.select("o_orderkey")
+    staged = keyed.repartitionByRange(8, F.col("o_orderkey"))
+    if "rangepartitioning(o_orderkey" not in plan_of(staged):
+        probs.append("stable ids lost the range partitioning")
+    ids = assign_stable_ids(keyed, ["o_orderkey"], num_partitions=8)
+    iplan = plan_of(ids)
+    # the whole point: ordering work stays partition-local — the only
+    # global structure is the broadcast offset table
+    if re.search(r"Exchange SinglePartition", iplan):
+        probs.append("stable ids funneled through a single partition")
+    if "BroadcastHashJoin" not in iplan and "BroadcastNestedLoop" in iplan:
+        probs.append("offset table joined without broadcast hash")
+    if "BroadcastHashJoin" not in iplan:
+        probs.append("offset table not broadcast")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
