@@ -9749,6 +9749,169 @@ FROM orders
 """
 
 
+def _q_basket_rules_lineitem(spark, sf_dir):
+    """Market-basket association rules (operators/basket.py
+    association_rules): orders as baskets, parts as items; Apriori-pruned
+    pair self-join keyed on the basket, support tables joined back. The
+    oracle replays the identical counting and the identical
+    confidence/lift arithmetic (integer counts, double division,
+    1e-4 rounding)."""
+    from bid_evaluation_spark.operators.basket import association_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(li, "l_orderkey", "l_partkey", min_count=3)
+
+
+_SQL_BASKET_RULES_LINEITEM = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+nb AS (SELECT count(DISTINCT b) AS ntot FROM items),
+supp AS (SELECT i, count(*) AS n FROM items GROUP BY i),
+fitems AS (SELECT it.b, it.i FROM items it
+           JOIN supp s ON it.i = s.i AND s.n >= 3),
+pairs AS (
+  SELECT a.i AS ia, b.i AS ib, count(*) AS nj
+  FROM fitems a JOIN fitems b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2 HAVING count(*) >= 3
+),
+dirs AS (SELECT ia AS ant, ib AS con, nj FROM pairs
+         UNION ALL
+         SELECT ib AS ant, ia AS con, nj FROM pairs)
+SELECT d.ant AS antecedent, d.con AS consequent,
+       CAST(d.nj AS BIGINT) AS n_joint,
+       CAST(sa.n AS BIGINT) AS n_antecedent,
+       CAST(sc.n AS BIGINT) AS n_consequent,
+       round(d.nj / CAST(sa.n AS DOUBLE) * 1e4) / 1e4 + 0.0 AS confidence,
+       round(CAST(d.nj AS DOUBLE) * nb.ntot
+             / (CAST(sa.n AS DOUBLE) * sc.n) * 1e4) / 1e4 + 0.0 AS lift
+FROM dirs d, nb, supp sa, supp sc
+WHERE sa.i = d.ant AND sc.i = d.con
+"""
+
+
+def _q_graph_bfs_lineitem(spark, sf_dir):
+    """k-hop BFS distances (operators/graph.py bfs_distances) over the
+    undirected part–supplier bipartite graph (namespaced string nodes),
+    seeded at suppliers 1-3, 3 fixed hops. Frontier expansion emits each
+    node exactly once at its minimum distance; the oracle unrolls the
+    same three rounds as anti-joined CTEs."""
+    from bid_evaluation_spark.operators.graph import bfs_distances
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    seeds = (li.filter(F.col("l_suppkey") <= 3)
+             .select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("node")))
+    return bfs_distances(edges, seeds, max_hops=3, directed=False)
+
+
+_SQL_GRAPH_BFS_LINEITEM = """
+WITH e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+d0 AS (SELECT DISTINCT 's' || l_suppkey AS node FROM lineitem
+       WHERE l_suppkey <= 3),
+f1 AS (SELECT DISTINCT e.d AS node FROM e JOIN d0 ON e.s = d0.node
+       WHERE e.d NOT IN (SELECT node FROM d0)),
+f2 AS (SELECT DISTINCT e.d AS node FROM e JOIN f1 ON e.s = f1.node
+       WHERE e.d NOT IN (SELECT node FROM d0 UNION ALL
+                         SELECT node FROM f1)),
+f3 AS (SELECT DISTINCT e.d AS node FROM e JOIN f2 ON e.s = f2.node
+       WHERE e.d NOT IN (SELECT node FROM d0 UNION ALL
+                         SELECT node FROM f1 UNION ALL
+                         SELECT node FROM f2))
+SELECT node, CAST(0 AS BIGINT) AS dist FROM d0
+UNION ALL SELECT node, CAST(1 AS BIGINT) FROM f1
+UNION ALL SELECT node, CAST(2 AS BIGINT) FROM f2
+UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
+"""
+
+
+def _q_ts_acf_events(spark, sf_dir):
+    """Per-key autocorrelation at lags 1-3 (operators/timeseries.py
+    acf_by_key) over event values ordered by (ts, event_id) — one window
+    pass feeds one fused sufficient-statistic aggregate for all lags.
+    The oracle replays the identical lag alignment and the identical
+    Pearson arithmetic (n·Σxy − Σx·Σy over √ of the variance products)."""
+    from bid_evaluation_spark.operators.timeseries import acf_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return acf_by_key(ev, "event_type", ["ts", "event_id"], "value",
+                      lags=(1, 2, 3))
+
+
+_SQL_TS_ACF_EVENTS = """
+WITH base AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         lag(CAST(value AS DOUBLE), 1) OVER w AS y1,
+         lag(CAST(value AS DOUBLE), 2) OVER w AS y2,
+         lag(CAST(value AS DOUBLE), 3) OVER w AS y3
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+pairs AS (
+  SELECT event_type, l.lag, x,
+         CASE l.lag WHEN 1 THEN y1 WHEN 2 THEN y2 ELSE y3 END AS y
+  FROM base, (SELECT unnest([1, 2, 3]) AS lag) l
+),
+g AS (
+  SELECT event_type, lag,
+    count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS n,
+    sum(x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sx,
+    sum(y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sy,
+    sum(x * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxy,
+    sum(x * x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxx,
+    sum(y * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS syy
+  FROM pairs
+  GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                              * (CAST(n AS DOUBLE) * syy - sy * sy))
+                       * 1e4) / 1e4 + 0.0
+       END AS acf
+FROM g
+"""
+
+
+def _q_emb_jl_project_embeddings(spark, sf_dir):
+    """Johnson–Lindenstrauss ±1 projection 64→16
+    (operators/embeddings.py jl_project): map-only Arrow kernel with an
+    ordered-j accumulation loop, bit-identical to the oracle's ascending
+    list_sum fold over the SAME md5-derived Rademacher signs."""
+    from bid_evaluation_spark.operators.embeddings import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, 64, 16)
+    return (proj.select("vec_id",
+                        F.posexplode(F.col("projected"))
+                        .alias("dim", "val"))
+            .select("vec_id", F.col("dim").cast("long").alias("dim"),
+                    (_r4("val") + F.lit(0.0)).alias("val")))
+
+
+_SQL_EMB_JL_PROJECT_EMBEDDINGS = """
+SELECT vec_id, CAST(t.t AS BIGINT) AS dim,
+  round(list_sum(list_transform(generate_series(1, 64), j ->
+          CAST(embedding[j] AS DOUBLE)
+          * (CASE WHEN substr(md5('jl:' || (j - 1) || ':' || t.t), 1, 1)
+                       IN ('0', '2', '4', '6', '8', 'a', 'c', 'e')
+                  THEN 1.0 ELSE -1.0 END)))
+        / sqrt(CAST(16 AS DOUBLE)) * 1e4) / 1e4 + 0.0 AS val
+FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS t) t
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -10531,6 +10694,12 @@ _QUERIES: dict = {
                               _SQL_DQ_RI_ORDERS_CUSTOMER),
     "dq_stable_ids_orders": (_q_dq_stable_ids_orders,
                              _SQL_DQ_STABLE_IDS_ORDERS),
+    "basket_rules_lineitem": (_q_basket_rules_lineitem,
+                              _SQL_BASKET_RULES_LINEITEM),
+    "graph_bfs_lineitem": (_q_graph_bfs_lineitem, _SQL_GRAPH_BFS_LINEITEM),
+    "ts_acf_events": (_q_ts_acf_events, _SQL_TS_ACF_EVENTS),
+    "emb_jl_project_embeddings": (_q_emb_jl_project_embeddings,
+                                  _SQL_EMB_JL_PROJECT_EMBEDDINGS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

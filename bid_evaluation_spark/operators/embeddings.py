@@ -16,6 +16,8 @@ bodies (element-count work, 64 ops/row — negligible next to the scan).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import _norm
@@ -107,3 +109,61 @@ def matryoshka_truncate(df: DataFrame, dim: int,
     if out_col not in df.columns:
         cols.append(res.alias(out_col))
     return df.select(*cols)
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list:
+    """Deterministic Rademacher (±1) JL sign matrix, ``in_dim × out_dim``:
+    ``S[j][t] = +1`` iff the first hex digit of ``md5(f"{seed}:{j}:{t}")``
+    is even. Portable: DuckDB derives the identical matrix from the same
+    md5 string, so the projection is exactly SQL-replayable."""
+    import hashlib
+    return [[1.0 if int(hashlib.md5(
+        f"{seed}:{j}:{t}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for t in range(out_dim)] for j in range(in_dim)]
+
+
+def jl_project(df: DataFrame, in_dim: int, out_dim: int,
+               vec_col: str = "embedding", out_col: str = "projected",
+               seed: str = "jl") -> DataFrame:
+    """Johnson–Lindenstrauss random projection ``in_dim → out_dim``:
+    ``y[t] = (Σ_j x[j]·S[j][t]) / √out_dim`` with the deterministic
+    Rademacher signs of :func:`jl_signs` (Achlioptas 2003: ±1 entries
+    satisfy the JL lemma — pairwise distances are preserved within
+    ``ε`` w.h.p. for ``out_dim = O(log n / ε²)``).
+
+    Map-only Arrow kernel, no shuffle: the bounded sign matrix is
+    broadcast and each batch accumulates over ``j`` IN INDEX ORDER
+    (``acc += X[:,j] ⊗ S[j,:]``) — fold-order-exact, bit-identical to
+    the oracle's ``list_sum(list_transform(...))`` ascending-``j`` fold
+    (the :mod:`.pq` lesson: vectorize over rows, keep the accumulation
+    loop ordered). Null / too-short vectors project to null. At 100 TB
+    this is the cheap front door to ANN and clustering: 4× fewer
+    dimensions before the shuffle-heavy stages.
+    """
+    if in_dim < 1 or out_dim < 1:
+        raise ValueError("in_dim and out_dim must be positive")
+    S = np.asarray(jl_signs(in_dim, out_dim, seed), dtype=np.float64)
+    root_k = float(np.sqrt(float(out_dim)))
+    bc = df.sparkSession.sparkContext.broadcast(S)
+
+    @F.pandas_udf("array<double>")
+    def _proj(vs: pd.Series) -> pd.Series:
+        M = bc.value
+        d, k = M.shape
+        vals = vs.tolist()
+        out = [None] * len(vals)
+        ok = [i for i, v in enumerate(vals)
+              if v is not None and len(v) >= d]
+        if ok:
+            X = np.asarray([vals[i][:d] for i in ok], dtype=np.float64)
+            acc = np.zeros((len(ok), k), dtype=np.float64)
+            for j in range(d):  # ordered fold over j — oracle-exact
+                acc += X[:, j:j + 1] * M[j:j + 1, :]
+            # divide (not multiply by a reciprocal): the SQL twin writes
+            # list_sum(...)/sqrt(k) and x/s != x*(1/s) in IEEE doubles
+            acc /= root_k
+            for row, i in zip(acc, ok):
+                out[i] = [float(x) for x in row]
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _proj(F.col(vec_col)))

@@ -269,3 +269,48 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     ne.unpersist()
     nodes.unpersist()
     return out
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame,
+                  src: str = "src", dst: str = "dst",
+                  node_col: str = "node", max_hops: int = 3,
+                  directed: bool = True) -> DataFrame:
+    """Min-hop BFS distance from a seed set → ``(node, dist)`` for every
+    node reachable within ``max_hops`` (seeds at 0; unreachable nodes
+    absent). Frontier-expansion semantics: hop ``h`` adds exactly the
+    nodes first reached at ``h``, so the emitted distance IS the minimum
+    — no min-aggregation over late arrivals needed.
+
+    Scale shape: each round is one equi-join (frontier ⋈ edges on the
+    source key — frontier is the SMALL side and shrinks as the graph
+    saturates; AQE broadcasts it) + one distinct + one anti-join against
+    the visited set, both keyed on the node. No collect of nodes or
+    edges; the driver only drives the loop counter. Lineage truncates
+    every round (localCheckpoint) so the plan stays flat for any hop
+    count — the same pattern as :func:`pagerank` and the
+    connected-components pass in :mod:`.dedup`. Exactly ``max_hops``
+    rounds run (an empty frontier still joins cheaply), the mode the
+    unrolled SQL oracle replays.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("_d").alias("_s"),
+                                   F.col("_s").alias("_d")))
+    e = (e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+         .distinct().persist())
+
+    dist = (seeds.select(F.col(node_col).alias("node")).distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+            .localCheckpoint())
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        new = (frontier.join(e, frontier["node"] == e["_s"])
+               .select(F.col("_d").alias("node")).distinct()
+               .join(dist.select("node"), "node", "left_anti")
+               .localCheckpoint())
+        dist = (dist.unionByName(
+            new.withColumn("dist", F.lit(h).cast("long")))
+            .localCheckpoint())
+        frontier = new
+    e.unpersist()
+    return dist

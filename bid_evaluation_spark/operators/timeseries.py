@@ -29,7 +29,7 @@ over event logs (regular feature grids need explicit gap semantics).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -557,3 +557,62 @@ def km_summary(km: DataFrame, horizon: float) -> DataFrame:
         F.min("_med_cand").alias("median_survival"),
         (F.max("_lead_strip") + F.sum("_area")).alias("rmst"),
         F.lit(float(horizon)).alias("horizon"))
+
+
+def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
+               value_col: str, lags: Sequence[int] = (1, 2, 3)) -> DataFrame:
+    """Per-key autocorrelation function → ``(key, lag, n_pairs, acf)``:
+    Pearson correlation between the series and its ``lag``-shifted self,
+    rows ordered by ``order_cols`` (pass a tie-breaking unique suffix —
+    ties would make the shift, and therefore the ACF, nondeterministic).
+
+    ALL lags share ONE window pass (each lag is one more ``lag()`` over
+    the same ordered frame — no re-sort) and ONE groupBy: each lag
+    contributes a 6-tuple of sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy²) to the same fused aggregate, so the lag count never adds
+    passes. Pairs where either end is null are skipped per-lag.
+    ``acf`` is null when either side is constant (zero variance);
+    rounded to 4 decimals (the repo's oracle contract).
+
+    Scale shape: the window partitions by key — parallelism is key
+    cardinality, and a key's history must fit a task (inherent to exact
+    per-key ACF; for monster keys, bucket time first and run the ACF on
+    the bucketed series). The groupBy rides the window's partitioning.
+    """
+    lags = list(lags)
+    if not lags or any(l < 1 for l in lags):
+        raise ValueError("lags must be positive integers")
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    x = F.col(value_col).cast("double")
+    # all lags in ONE select — interleaving withColumn would wrap a
+    # Project between Window nodes and defeat CollapseWindow
+    base = df.select(key_col, *order_cols, value_col,
+                     *[F.lag(x, l).over(w).alias(f"_y{l}") for l in lags])
+
+    aggs = []
+    for l in lags:
+        y = F.col(f"_y{l}")
+        ok = x.isNotNull() & y.isNotNull()
+        xs, ys = F.when(ok, x), F.when(ok, y)
+        aggs.append(F.struct(
+            F.lit(l).cast("long").alias("lag"),
+            F.sum(ok.cast("long")).alias("n"),
+            F.sum(xs).alias("sx"), F.sum(ys).alias("sy"),
+            F.sum(xs * ys).alias("sxy"),
+            F.sum(xs * xs).alias("sxx"),
+            F.sum(ys * ys).alias("syy")).alias(f"_s{l}"))
+    g = base.groupBy(key_col).agg(*aggs)
+
+    s = F.explode(F.array(*[F.col(f"_s{l}") for l in lags])).alias("_s")
+    n = F.col("_s.n").cast("double")
+    num = n * F.col("_s.sxy") - F.col("_s.sx") * F.col("_s.sy")
+    vx = n * F.col("_s.sxx") - F.col("_s.sx") * F.col("_s.sx")
+    vy = n * F.col("_s.syy") - F.col("_s.sy") * F.col("_s.sy")
+    acf = F.when((vx > 0) & (vy > 0),
+                 F.round(num / F.sqrt(vx * vy) * 1e4) / 1e4 + F.lit(0.0))
+    return (g.select(key_col, s)
+            .select(F.col(key_col),
+                    F.col("_s.lag").alias("lag"),
+                    F.coalesce(F.col("_s.n"), F.lit(0)).cast("long")
+                    .alias("n_pairs"),
+                    acf.alias("acf")))

@@ -209,3 +209,68 @@ class TestMatryoshka:
         assert out["embedding"] == [2.0, 4.0, 8.0]  # source kept
         with pytest.raises(ValueError):
             matryoshka_truncate(df, dim=0)
+
+
+class TestJlProject:
+    def test_matches_numpy_reference_exactly(self, spark):
+        import numpy as np
+
+        rows = [(0, [float(i) for i in range(8)]),
+                (1, [0.5 * i - 2.0 for i in range(8)])]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        out = {r["vec_id"]: r["p"]
+               for r in E.jl_project(df, 8, 4, vec_col="v",
+                                     out_col="p").collect()}
+        S = np.asarray(E.jl_signs(8, 4), dtype=np.float64)
+        for vid, vec in rows:
+            x = np.asarray(vec)
+            ref = np.zeros(4)
+            for j in range(8):  # same ordered fold as the kernel
+                ref += x[j] * S[j]
+            ref /= np.sqrt(4.0)
+            assert out[vid] == list(ref)
+
+    def test_null_and_short_vectors_project_null(self, spark):
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (1, None), (2, [1.0, 2.0, 3.0, 4.0])],
+            "vec_id long, v array<double>")
+        out = {r["vec_id"]: r["p"]
+               for r in E.jl_project(df, 4, 2, vec_col="v",
+                                     out_col="p").collect()}
+        assert out[0] is None and out[1] is None
+        assert out[2] is not None and len(out[2]) == 2
+
+    def test_distance_preservation_statistical(self, spark):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        X = rng.standard_normal((20, 64))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in X[i]]) for i in range(20)],
+            "vec_id long, v array<double>")
+        P = {r["vec_id"]: np.asarray(r["p"])
+             for r in E.jl_project(df, 64, 32, vec_col="v",
+                                   out_col="p").collect()}
+        ratios = []
+        for i in range(0, 18, 2):
+            d0 = float(np.sum((X[i] - X[i + 1]) ** 2))
+            d1 = float(np.sum((P[i] - P[i + 1]) ** 2))
+            ratios.append(d1 / d0)
+        # JL at k=32: individual ratios loose, the mean much tighter
+        assert all(0.3 < r < 2.2 for r in ratios)
+        assert 0.7 < sum(ratios) / len(ratios) < 1.4
+
+    def test_seed_changes_projection(self, spark):
+        df = spark.createDataFrame([(0, [1.0, 2.0, 3.0, 4.0])],
+                                   "vec_id long, v array<double>")
+        a = E.jl_project(df, 4, 4, vec_col="v", out_col="p").collect()[0]["p"]
+        b = E.jl_project(df, 4, 4, vec_col="v", out_col="p",
+                         seed="other").collect()[0]["p"]
+        assert a != b
+
+    def test_dim_validation(self, spark):
+        df = spark.createDataFrame([(0, [1.0])],
+                                   "vec_id long, v array<double>")
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            E.jl_project(df, 0, 2, vec_col="v")

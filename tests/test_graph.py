@@ -219,3 +219,36 @@ class TestTextRank:
         # window=2: b is the hub; window=3: a-c edge evens the graph out
         assert w2["b"] > w2["a"]
         assert w3["b"] < w2["b"]
+
+
+class TestBfsDistances:
+    def _bfs(self, spark, edges, seeds, **kw):
+        from bid_evaluation_spark.operators.graph import bfs_distances
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        return {r["node"]: r["dist"]
+                for r in bfs_distances(e, s, **kw).collect()}
+
+    def test_chain_and_hop_bound(self, spark):
+        d = self._bfs(spark, [(1, 2), (2, 3), (3, 4)], [1], max_hops=2)
+        assert d == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops away — absent
+
+    def test_min_distance_over_multiple_paths(self, spark):
+        # 1→2→3 and the 1→3 shortcut: 3 must be dist 1, not 2
+        d = self._bfs(spark, [(1, 2), (2, 3), (1, 3)], [1], max_hops=3)
+        assert d == {1: 0, 2: 1, 3: 1}
+
+    def test_undirected_reaches_backwards(self, spark):
+        d = self._bfs(spark, [(1, 2), (2, 3)], [3], max_hops=1,
+                      directed=False)
+        assert d == {3: 0, 2: 1}
+        assert self._bfs(spark, [(1, 2), (2, 3)], [3], max_hops=1) == {3: 0}
+
+    def test_multi_seed_and_isolated_seed(self, spark):
+        d = self._bfs(spark, [(1, 2), (5, 6)], [1, 5, 99], max_hops=1)
+        assert d == {1: 0, 5: 0, 99: 0, 2: 1, 6: 1}
+
+    def test_cycle_terminates(self, spark):
+        d = self._bfs(spark, [(1, 2), (2, 1)], [1], max_hops=4)
+        assert d == {1: 0, 2: 1}

@@ -558,3 +558,50 @@ class TestKmSummary:
         import pytest as _pt
         with _pt.raises(ValueError):
             km_summary(kaplan_meier(df, "dur", "ev"), horizon=0)
+
+
+class TestAcfByKey:
+    def _acf(self, spark, rows, lags=(1, 2)):
+        from bid_evaluation_spark.operators.timeseries import acf_by_key
+
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        return {(r["k"], r["lag"]): (r["n_pairs"], r["acf"])
+                for r in acf_by_key(df, "k", ["t"], "v", lags=lags)
+                .collect()}
+
+    def test_linear_series_is_perfectly_autocorrelated(self, spark):
+        rows = [("a", t, float(t)) for t in range(6)]
+        out = self._acf(spark, rows)
+        assert out[("a", 1)] == (5, 1.0)
+        assert out[("a", 2)] == (4, 1.0)
+
+    def test_alternating_series_signs(self, spark):
+        rows = [("a", t, 1.0 if t % 2 == 0 else -1.0) for t in range(8)]
+        out = self._acf(spark, rows)
+        assert out[("a", 1)] == (7, -1.0)
+        assert out[("a", 2)] == (6, 1.0)
+
+    def test_constant_series_null_acf(self, spark):
+        rows = [("a", t, 3.0) for t in range(5)]
+        out = self._acf(spark, rows, lags=(1,))
+        assert out[("a", 1)] == (4, None)
+
+    def test_null_values_skipped_pairwise(self, spark):
+        rows = [("a", 0, 1.0), ("a", 1, None), ("a", 2, 3.0),
+                ("a", 3, 4.0)]
+        out = self._acf(spark, rows, lags=(1,))
+        # pairs: (3,None) dropped, (4,3) kept, (None,1) dropped → n=1,
+        # single point has zero variance → null
+        assert out[("a", 1)] == (1, None)
+
+    def test_keys_independent(self, spark):
+        rows = ([("a", t, float(t)) for t in range(5)]
+                + [("b", t, float(-t)) for t in range(5)])
+        out = self._acf(spark, rows, lags=(1,))
+        assert out[("a", 1)] == (4, 1.0)
+        assert out[("b", 1)] == (4, 1.0)
+
+    def test_lag_validation(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._acf(spark, [("a", 0, 1.0)], lags=(0,))

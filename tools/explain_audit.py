@@ -1211,6 +1211,47 @@ def _dq(spark, sf_dir):
     return probs
 
 
+@check("basket: Apriori semi-join, no cartesian; acf: ONE window + ONE "
+       "exchange; jl: map-only Arrow, zero exchange")
+def _basket_acf_jl(spark, sf_dir):
+    from bid_evaluation_spark.operators.basket import association_rules
+    from bid_evaluation_spark.operators.embeddings import jl_project
+    from bid_evaluation_spark.operators.timeseries import acf_by_key
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    li = load_table(spark, sf_dir, "lineitem")
+    bplan = plan_of(association_rules(li, "l_orderkey", "l_partkey",
+                                      min_count=3))
+    if "LeftSemi" not in bplan:
+        probs.append("basket lost the Apriori semi-join prune")
+    if "CartesianProduct" in bplan:
+        probs.append("cartesian product in the basket plan")
+    if "InMemoryTableScan" not in bplan:
+        probs.append("basket items/supp not persisted — every consumer "
+                     "replays the scan + distinct")
+
+    ev = load_table(spark, sf_dir, "events")
+    aplan = plan_of(acf_by_key(ev, "event_type", ["ts", "event_id"],
+                               "value", lags=(1, 2, 3)))
+    if aplan.count("Window") != 1:
+        probs.append("acf lags did not share one window pass: "
+                     f"{aplan.count('Window')} Window nodes")
+    if aplan.count("Exchange") != 1:
+        probs.append("acf expected exactly one exchange (groupBy rides "
+                     f"the window partitioning): {aplan.count('Exchange')}")
+    if "Join" in aplan:
+        probs.append("join in the acf plan")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jplan = plan_of(jl_project(emb, 64, 16))
+    if "Exchange" in jplan:
+        probs.append("jl projection shuffled — must be map-only")
+    if "ArrowEvalPython" not in jplan:
+        probs.append("jl kernel not Arrow-batched")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
