@@ -9912,6 +9912,107 @@ FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS t) t
 """
 
 
+def _q_bandit_ucb1_events(spark, sf_dir):
+    """UCB1 bandit read-out (operators/analytics.py ucb1_scores): per-arm
+    pull counts + mean rewards from one partial-agg groupBy, total pulls
+    broadcast back, ucb = mean + √2·√(ln N / n). The oracle replays the
+    identical arithmetic on the same sums."""
+    from bid_evaluation_spark.operators.analytics import ucb1_scores
+
+    ev = _t(spark, sf_dir, "events")
+    return ucb1_scores(ev, "event_type", "value")
+
+
+_SQL_BANDIT_UCB1_EVENTS = """
+WITH a AS (
+  SELECT event_type AS arm, count(*) AS n,
+         sum(CAST(value AS DOUBLE)) AS s
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot FROM a)
+SELECT arm, CAST(n AS BIGINT) AS n_pulls,
+  round(s / CAST(n AS DOUBLE) * 1e4) / 1e4 + 0.0 AS mean_reward,
+  round((s / CAST(n AS DOUBLE)
+         + 1.4142135623730951 * sqrt(ln(ntot) / CAST(n AS DOUBLE)))
+        * 1e4) / 1e4 + 0.0 AS ucb
+FROM a, t
+"""
+
+
+def _q_spatial_radius_part(spark, sf_dir):
+    """Grid-blocked fixed-radius self-join (operators/spatial.py
+    radius_join): planar coordinates synthesized from key arithmetic
+    (the repo's parse-url lesson — portable inputs both engines derive
+    identically), cells of side r, 3×3 candidate explode, ONE cell-keyed
+    equi-join, exact squared-distance predicate. The oracle is the
+    brute-force all-pairs filter — recall 1 is the claim under test."""
+    from bid_evaluation_spark.operators.spatial import radius_join
+
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("p_partkey") * 61 % 1000) / 10.0).alias("y"))
+    return radius_join(pts, "pid", "x", "y", 2.0)
+
+
+_SQL_SPATIAL_RADIUS_PART = """
+WITH pts AS (
+  SELECT p_partkey AS pid,
+         (p_partkey * 37 % 1000) / 10.0 AS x,
+         (p_partkey * 61 % 1000) / 10.0 AS y
+  FROM part
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       round(sqrt((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y)) * 1e4) / 1e4 + 0.0 AS dist
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+"""
+
+
+def _q_attrib_events(spark, sf_dir):
+    """Multi-touch attribution (operators/attribution.py
+    attribute_conversions): journeys = touch runs between purchases per
+    user (running conversion count), closed journeys semi-joined, first /
+    last / linear credit rolled up per channel in one pass. The oracle
+    replays the identical windows and credit arithmetic."""
+    from bid_evaluation_spark.operators.attribution import (
+        attribute_conversions)
+
+    ev = _t(spark, sf_dir, "events")
+    return attribute_conversions(ev, "user_id", "ts", "event_type",
+                                 "purchase", "event_id")
+
+
+_SQL_ATTRIB_EVENTS = """
+WITH ev AS (
+  SELECT user_id AS u, ts, event_id AS tb, event_type AS ch,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ic,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM events
+),
+touches AS (SELECT u, ts, tb, ch, run AS j FROM ev WHERE ic = 0),
+closed AS (SELECT DISTINCT u, run - 1 AS j FROM ev WHERE ic = 1),
+sized AS (
+  SELECT t.u, t.j, t.ch,
+         row_number() OVER (PARTITION BY t.u, t.j ORDER BY t.ts, t.tb)
+           AS rn,
+         count(*) OVER (PARTITION BY t.u, t.j) AS k
+  FROM touches t JOIN closed c ON t.u = c.u AND t.j = c.j
+)
+SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+  round(sum(CASE WHEN rn = 1 THEN 1.0 ELSE 0.0 END) * 1e4) / 1e4 + 0.0
+    AS credit_first,
+  round(sum(CASE WHEN rn = k THEN 1.0 ELSE 0.0 END) * 1e4) / 1e4 + 0.0
+    AS credit_last,
+  round(sum(1.0 / CAST(k AS DOUBLE)) * 1e4) / 1e4 + 0.0 AS credit_linear
+FROM sized GROUP BY ch
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -10700,6 +10801,10 @@ _QUERIES: dict = {
     "ts_acf_events": (_q_ts_acf_events, _SQL_TS_ACF_EVENTS),
     "emb_jl_project_embeddings": (_q_emb_jl_project_embeddings,
                                   _SQL_EMB_JL_PROJECT_EMBEDDINGS),
+    "bandit_ucb1_events": (_q_bandit_ucb1_events, _SQL_BANDIT_UCB1_EVENTS),
+    "spatial_radius_part": (_q_spatial_radius_part,
+                            _SQL_SPATIAL_RADIUS_PART),
+    "attrib_events": (_q_attrib_events, _SQL_ATTRIB_EVENTS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

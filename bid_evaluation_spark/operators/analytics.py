@@ -1001,3 +1001,38 @@ def msprt_always_valid(df: DataFrame, group_col: str, value_col: str,
         nt.cast("long").alias("n_treatment"),
         F.when(ok, lam).alias("lambda"),
         F.when(ok, F.least(F.lit(1.0), 1.0 / lam)).alias("p_always_valid"))
+
+
+def ucb1_scores(df: DataFrame, arm_col: str, reward_col: str,
+                c: float = 1.4142135623730951) -> DataFrame:
+    """UCB1 bandit read-out (Auer et al. 2002) → one row per arm:
+    ``(arm, n_pulls, mean_reward, ucb)`` with
+    ``ucb = mean + c·√(ln N / n)`` (``N`` = total pulls across arms,
+    default ``c = √2``, the classic constant). The arm with the max
+    ``ucb`` is the next pull a sequential allocator would make —
+    the batch companion to :func:`msprt_always_valid`.
+
+    One partially-aggregated groupBy (per-arm count + sum); the total-N
+    denominator is a whole-frame window over the ALREADY-AGGREGATED
+    per-arm table (arm-count rows — the single partition is bounded by
+    design, and it avoids a second scan of the raw log that a separate
+    total aggregate would replay). No collect. Null rewards are excluded
+    by contract (they are unobserved pulls, not zeros). ``mean_reward``
+    and ``ucb`` round to 4 decimals.
+    """
+    obs = (df.filter(F.col(reward_col).isNotNull())
+           .select(F.col(arm_col).alias("arm"),
+                   F.col(reward_col).cast("double").alias("_r")))
+    arms = (obs.groupBy("arm")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pulls"),
+                 F.sum("_r").alias("_sum")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    ntot = F.sum("n_pulls").over(wall).cast("double")
+    mean = F.col("_sum") / F.col("n_pulls").cast("double")
+    ucb = mean + F.lit(float(c)) * F.sqrt(
+        F.log(ntot) / F.col("n_pulls").cast("double"))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return arms.select("arm", "n_pulls",
+                       r4(mean).alias("mean_reward"),
+                       r4(ucb).alias("ucb"))

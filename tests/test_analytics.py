@@ -1008,3 +1008,33 @@ class TestDiffInDiffVariance:
         assert out["did"] is not None      # all four cells populated
         assert out["var_tpost"] is None    # n=1 -> var_samp null
         assert out["se"] is None           # null var propagates
+
+
+class TestUcb1:
+    def test_hand_computed(self, spark):
+        import math
+
+        from bid_evaluation_spark.operators.analytics import ucb1_scores
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", None)],
+            "arm string, r double")
+        out = {row["arm"]: row.asDict()
+               for row in ucb1_scores(df, "arm", "r").collect()}
+        # null reward excluded: N = 3, a: n=2 mean .5, b: n=1 mean 1
+        assert out["a"]["n_pulls"] == 2 and out["b"]["n_pulls"] == 1
+        assert out["a"]["mean_reward"] == 0.5
+        exp_a = 0.5 + math.sqrt(2) * math.sqrt(math.log(3) / 2)
+        exp_b = 1.0 + math.sqrt(2) * math.sqrt(math.log(3) / 1)
+        import pytest as _pt
+        assert out["a"]["ucb"] == _pt.approx(exp_a, abs=1e-4)
+        assert out["b"]["ucb"] == _pt.approx(exp_b, abs=1e-4)
+
+    def test_less_pulled_arm_gets_exploration_bonus(self, spark):
+        from bid_evaluation_spark.operators.analytics import ucb1_scores
+
+        rows = [("hot", 0.5)] * 50 + [("cold", 0.5)] * 2
+        df = spark.createDataFrame(rows, "arm string, r double")
+        out = {r["arm"]: r["ucb"]
+               for r in ucb1_scores(df, "arm", "r").collect()}
+        assert out["cold"] > out["hot"]

@@ -1252,6 +1252,48 @@ def _basket_acf_jl(spark, sf_dir):
     return probs
 
 
+@check("spatial: cell-keyed equi-join, no cartesian; attribution: bounded "
+       "windows; ucb1: single scan")
+def _spatial_attrib_ucb(spark, sf_dir):
+    from bid_evaluation_spark.operators.analytics import ucb1_scores
+    from bid_evaluation_spark.operators.attribution import (
+        attribute_conversions)
+    from bid_evaluation_spark.operators.spatial import radius_join
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(F.col("p_partkey").alias("pid"),
+                      ((F.col("p_partkey") * 37 % 1000) / 10.0).alias("x"),
+                      ((F.col("p_partkey") * 61 % 1000) / 10.0).alias("y"))
+    splan = plan_of(radius_join(pts, "pid", "x", "y", 2.0))
+    if "CartesianProduct" in splan or "BroadcastNestedLoop" in splan:
+        probs.append("radius join fell back to a product — must equi-join "
+                     "on the cell key")
+    if "Generate explode" not in splan:
+        probs.append("3x3 candidate explode missing from the radius join")
+
+    ev = load_table(spark, sf_dir, "events")
+    aplan = plan_of(attribute_conversions(ev, "user_id", "ts",
+                                          "event_type", "purchase",
+                                          "event_id"))
+    if "Join" in aplan:
+        probs.append("join in the attribution plan — closed journeys "
+                     "must be the journey<total predicate, not a join")
+    if aplan.count("Exchange") > 3:
+        probs.append(f"attribution shuffles too much: "
+                     f"{aplan.count('Exchange')} exchanges")
+    if aplan.count("FileScan") + aplan.count("InMemoryTableScan") != 1:
+        probs.append("attribution scanned the log more than once")
+
+    uplan = plan_of(ucb1_scores(ev, "event_type", "value"))
+    if uplan.count("FileScan") + uplan.count("InMemoryTableScan") != 1:
+        probs.append("ucb1 scanned the log more than once for the total")
+    if "Join" in uplan:
+        probs.append("join in the ucb1 plan")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
