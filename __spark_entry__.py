@@ -10013,6 +10013,161 @@ FROM sized GROUP BY ch
 """
 
 
+def _q_retrieval_postings_documents(spark, sf_dir):
+    """Positional inverted index (operators/retrieval.py
+    inverted_postings): one explode + one (term, doc) groupBy; min_df=5
+    via a term-keyed window count. Postings stay ROWS (a stop word is
+    many rows, never one unsplittable array). The oracle rebuilds the
+    index with the same tokenization and list_sort."""
+    from bid_evaluation_spark.operators.retrieval import inverted_postings
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_postings(docs, min_df=5)
+
+
+_SQL_RETRIEVAL_POSTINGS_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(t) AS term,
+         unnest(generate_series(1, len(t))) AS p
+  FROM toks
+),
+posting AS (
+  SELECT term, doc_id, list_sort(list(p)) AS positions,
+         CAST(count(*) AS BIGINT) AS tf
+  FROM pos GROUP BY 1, 2
+)
+SELECT term, doc_id, positions, tf
+FROM (SELECT *, count(*) OVER (PARTITION BY term) AS dfq FROM posting)
+WHERE dfq >= 5
+"""
+
+
+def _q_retrieval_phrase_documents(spark, sf_dir):
+    """Exact phrase search "table hash" (operators/retrieval.py
+    phrase_search): per-term positional postings (built only for the
+    phrase terms) equi-joined on doc_id, position intersection as an
+    array filter. The oracle counts adjacent-pair matches directly."""
+    from bid_evaluation_spark.operators.retrieval import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, "table hash")
+
+
+_SQL_RETRIEVAL_PHRASE_DOCUMENTS = r"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM idx WHERE t[i] = 'table' AND t[i + 1] = 'hash'
+GROUP BY doc_id
+"""
+
+
+def _q_graph_lpa_lineitem(spark, sf_dir):
+    """Synchronous label propagation, 2 rounds (operators/graph.py
+    label_propagation) over the undirected part–supplier graph: per
+    round one edges⋈labels equi-join, one (node, label) vote count, one
+    per-node argmax window with the min-label tie-break the oracle
+    replays round by round."""
+    from bid_evaluation_spark.operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    return label_propagation(edges, max_iter=2, directed=False)
+
+
+_SQL_GRAPH_LPA_LINEITEM = """
+WITH e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+n AS (SELECT s AS node FROM e UNION SELECT d AS node FROM e),
+l0 AS (SELECT node, node AS label FROM n),
+v1 AS (SELECT e.d AS nd, l0.label, count(*) AS c
+       FROM e JOIN l0 ON e.s = l0.node GROUP BY 1, 2),
+b1 AS (SELECT nd, label FROM (
+         SELECT nd, label,
+                row_number() OVER (PARTITION BY nd
+                                   ORDER BY c DESC, label ASC) AS rk
+         FROM v1) WHERE rk = 1),
+l1 AS (SELECT n.node, coalesce(b1.label, n.node) AS label
+       FROM n LEFT JOIN b1 ON n.node = b1.nd),
+v2 AS (SELECT e.d AS nd, l1.label, count(*) AS c
+       FROM e JOIN l1 ON e.s = l1.node GROUP BY 1, 2),
+b2 AS (SELECT nd, label FROM (
+         SELECT nd, label,
+                row_number() OVER (PARTITION BY nd
+                                   ORDER BY c DESC, label ASC) AS rk
+         FROM v2) WHERE rk = 1)
+SELECT n.node, coalesce(b2.label, n.node) AS label
+FROM n LEFT JOIN b2 ON n.node = b2.nd
+"""
+
+
+def _q_ts_holt_events(spark, sf_dir):
+    """Per-user Holt level+trend smoothing (operators/timeseries.py
+    holt_by_key, α=0.3 β=0.1): sequential recurrence as an Arrow kernel
+    per key, arithmetic written exactly as the recursive-CTE oracle
+    replays it (the ewma pattern, two state variables)."""
+    from bid_evaluation_spark.operators.timeseries import holt_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    res = holt_by_key(ev, "user_id", "ts", "value", "event_id",
+                      alpha=0.3, beta=0.1)
+    return res.select("user_id", "event_id",
+                      (_r4("value") + F.lit(0.0)).alias("value"),
+                      (_r4("level") + F.lit(0.0)).alias("level"),
+                      (_r4("trend") + F.lit(0.0)).alias("trend"),
+                      (_r4("forecast_next") + F.lit(0.0))
+                      .alias("forecast_next"))
+
+
+_SQL_TS_HOLT_EVENTS = """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS i
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+r(user_id, i, event_id, v, l, b) AS (
+  SELECT user_id, i, event_id, v, v, CAST(0.0 AS DOUBLE) FROM e WHERE i = 1
+  UNION ALL
+  SELECT e.user_id, e.i, e.event_id, e.v,
+         CAST(0.3 AS DOUBLE) * e.v
+           + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (r.l + r.b),
+         CAST(0.1 AS DOUBLE)
+           * ((CAST(0.3 AS DOUBLE) * e.v
+               + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE))
+                 * (r.l + r.b)) - r.l)
+           + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * r.b
+  FROM r JOIN e ON e.user_id = r.user_id AND e.i = r.i + 1
+)
+SELECT user_id, event_id,
+       round(v * 10000.0) / 10000.0 + 0.0 AS value,
+       round(l * 10000.0) / 10000.0 + 0.0 AS level,
+       round(b * 10000.0) / 10000.0 + 0.0 AS trend,
+       round((l + b) * 10000.0) / 10000.0 + 0.0 AS forecast_next
+FROM r
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -10805,6 +10960,12 @@ _QUERIES: dict = {
     "spatial_radius_part": (_q_spatial_radius_part,
                             _SQL_SPATIAL_RADIUS_PART),
     "attrib_events": (_q_attrib_events, _SQL_ATTRIB_EVENTS),
+    "retrieval_postings_documents": (_q_retrieval_postings_documents,
+                                     _SQL_RETRIEVAL_POSTINGS_DOCUMENTS),
+    "retrieval_phrase_documents": (_q_retrieval_phrase_documents,
+                                   _SQL_RETRIEVAL_PHRASE_DOCUMENTS),
+    "graph_lpa_lineitem": (_q_graph_lpa_lineitem, _SQL_GRAPH_LPA_LINEITEM),
+    "ts_holt_events": (_q_ts_holt_events, _SQL_TS_HOLT_EVENTS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

@@ -314,3 +314,54 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
         frontier = new
     e.unpersist()
     return dist
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      max_iter: int = 3,
+                      directed: bool = False) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) →
+    ``(node, label)`` after exactly ``max_iter`` rounds. Labels start as
+    the node's own id; each round every node takes the most frequent
+    label among its in-neighbors, ties broken by the SMALLEST label
+    (deterministic — the property that lets the unrolled SQL oracle
+    replay rounds exactly). Nodes with no in-neighbors keep their label.
+
+    Scale shape per round: one equi-join (edges ⋈ labels on the source,
+    both hash-partitioned on it) + one groupBy(node, label) count + one
+    per-node argmax window (partition = node, bounded by the node's
+    DISTINCT neighbor-label count, ≤ degree). Lineage truncates every
+    round (localCheckpoint), same as :func:`pagerank`. Community
+    detection for near-dup clusters where connected components
+    over-merge via hub nodes.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("_d").alias("_s"),
+                                   F.col("_s").alias("_d")))
+    e = (e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("_s").alias("node"))
+             .unionByName(e.select(F.col("_d").alias("node")))
+             .distinct().persist())
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("_n").orderBy(F.col("_c").desc(),
+                                         F.col("label").asc())
+    for _ in range(max_iter):
+        votes = (e.join(labels, e["_s"] == labels["node"])
+                 .groupBy(F.col("_d").alias("_n"), "label")
+                 .agg(F.count(F.lit(1)).alias("_c")))
+        best = (votes.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select(F.col("_n").alias("node"),
+                        F.col("label").alias("_new")))
+        labels = (nodes.join(best, "node", "left")
+                  .select("node",
+                          F.coalesce(F.col("_new"),
+                                     F.col("node")).alias("label"))
+                  .localCheckpoint())
+    e.unpersist()
+    nodes.unpersist()
+    return labels

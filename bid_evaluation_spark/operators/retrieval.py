@@ -155,3 +155,78 @@ def rrf_fuse(rankings: Sequence[DataFrame], k: int = 60,
     if top_n is not None:
         out = out.limit(int(top_n))
     return out
+
+
+def inverted_postings(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      min_df: int = 1) -> DataFrame:
+    """Positional inverted index as a POSTINGS TABLE → one row per
+    (term, doc): ``(term, doc_id, positions, tf)`` with ``positions``
+    the sorted 1-based token offsets. Terms lowercase; terms appearing
+    in fewer than ``min_df`` documents are dropped (the long tail that
+    bloats an index without serving queries).
+
+    Kept as rows — NOT one array per term — so a stop-word's posting
+    list is millions of ROWS spread across partitions, never one
+    unsplittable array. One explode + one groupBy(term, doc) shuffle;
+    the optional min_df filter is a window count over the term key
+    (rides the same partitioning as a term-keyed layout write would).
+    """
+    if min_df < 1:
+        raise ValueError(f"min_df must be >= 1, got {min_df}")
+    t = tokens(F.lower(F.trim(F.col(text_col))))
+    posting = (df.select(F.col(id_col).alias("doc_id"),
+                         F.posexplode(t).alias("_p0", "term"))
+               .groupBy("term", "doc_id")
+               .agg(F.sort_array(F.collect_list(F.col("_p0") + 1))
+                    .cast("array<long>").alias("positions"),
+                    F.count(F.lit(1)).cast("long").alias("tf")))
+    if min_df > 1:
+        from pyspark.sql import Window
+        dfreq = F.count(F.lit(1)).over(Window.partitionBy("term"))
+        posting = (posting.withColumn("_df", dfreq)
+                   .filter(F.col("_df") >= min_df).drop("_df"))
+    return posting
+
+
+def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact phrase search via positional postings → ``(doc_id,
+    n_matches)`` for documents containing the (lowercased,
+    whitespace-tokenized) phrase, ``n_matches`` = occurrence count.
+
+    The classic positional-index phrase join: postings are built ONLY
+    for the phrase's terms (the filter lands before the groupBy, so the
+    index pass scans but never materializes the rest of the vocabulary),
+    the k term postings equi-join on the document id, and a position
+    intersection — ``p`` starts a match iff term ``i``'s list contains
+    ``p+i`` for all ``i`` — runs as an array filter on the joined row.
+    Join fan-in is k−1 joins of already-tiny per-term slices, all keyed
+    on doc_id.
+    """
+    terms = [w for w in phrase.lower().strip().split() if w]
+    if not terms:
+        raise ValueError("phrase must contain at least one term")
+    t = tokens(F.lower(F.trim(F.col(text_col))))
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      F.posexplode(t).alias("_p0", "_term"))
+            .filter(F.col("_term").isin(terms))
+            .groupBy("_term", "doc_id")
+            .agg(F.sort_array(F.collect_list(F.col("_p0") + 1))
+                 .alias("_pos")))
+    joined = None
+    for i, term in enumerate(terms):
+        side = (base.filter(F.col("_term") == term)
+                .select("doc_id", F.col("_pos").alias(f"_pos{i}")))
+        joined = side if joined is None else joined.join(side, "doc_id")
+    def _adjacent(pi, i):
+        # single-arg lambda factory: F.filter introspects the callable's
+        # arity, so captured values must not appear as default params
+        return lambda p: F.array_contains(pi, p + i)
+
+    starts = F.col("_pos0")
+    for i in range(1, len(terms)):
+        starts = F.filter(starts, _adjacent(F.col(f"_pos{i}"), i))
+    return (joined.select("doc_id",
+                          F.size(starts).cast("long").alias("n_matches"))
+            .filter(F.col("n_matches") > 0))

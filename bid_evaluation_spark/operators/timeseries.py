@@ -616,3 +616,61 @@ def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
                     F.coalesce(F.col("_s.n"), F.lit(0)).cast("long")
                     .alias("n_pairs"),
                     acf.alias("acf")))
+
+
+def holt_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
+                tiebreak_col: str, alpha: float = 0.3,
+                beta: float = 0.1) -> DataFrame:
+    """Per-key Holt double-exponential (level + trend) smoothing in event
+    order — the trend-aware upgrade of :func:`ewma_by_key`:
+
+    ``l_1 = x_1``, ``b_1 = 0``; for t > 1:
+    ``l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})``,
+    ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``.
+    ``forecast_next = l_t + b_t`` (the one-step-ahead prediction).
+
+    Same execution shape as :func:`ewma_by_key`: the recurrence depends
+    on all prior rows, so it runs as one Arrow kernel per key, the
+    arithmetic written EXACTLY as above so the recursive-CTE oracle
+    replays bit-identical doubles. Null values / timestamps excluded.
+    Returns ``(key_col, tiebreak_col, value, level, trend,
+    forecast_next)``.
+    """
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0 <= beta <= 1:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    prepared = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+        F.col(tiebreak_col).cast("long").alias("_tb"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
+    a, b = float(alpha), float(beta)
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_ts", "_tb"])
+        lvl, tr, ls, ts_ = None, None, [], []
+        for x in pdf["_v"].to_numpy():
+            x = float(x)
+            if lvl is None:
+                lvl, tr = x, 0.0
+            else:
+                prev = lvl
+                lvl = a * x + (1.0 - a) * (lvl + tr)
+                tr = b * (lvl - prev) + (1.0 - b) * tr
+            ls.append(lvl)
+            ts_.append(tr)
+        pdf = pdf.copy()
+        pdf["level"], pdf["trend"] = ls, ts_
+        return pdf
+
+    k_type = dict(prepared.dtypes)["_k"]
+    res = prepared.groupBy("_k").applyInPandas(
+        smooth, f"_k {k_type}, _ts double, _tb long, _v double, "
+                "level double, trend double")
+    return res.select(F.col("_k").alias(key_col),
+                      F.col("_tb").alias(tiebreak_col),
+                      F.col("_v").alias("value"), "level", "trend",
+                      (F.col("level") + F.col("trend"))
+                      .alias("forecast_next"))

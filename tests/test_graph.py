@@ -252,3 +252,31 @@ class TestBfsDistances:
     def test_cycle_terminates(self, spark):
         d = self._bfs(spark, [(1, 2), (2, 1)], [1], max_hops=4)
         assert d == {1: 0, 2: 1}
+
+
+class TestLabelPropagation:
+    def _lpa(self, spark, edges, **kw):
+        from bid_evaluation_spark.operators.graph import label_propagation
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["label"]
+                for r in label_propagation(e, **kw).collect()}
+
+    def test_two_cliques_converge_to_min_ids(self, spark):
+        k1 = [(1, 2), (2, 3), (1, 3)]
+        k2 = [(10, 11), (11, 12), (10, 12)]
+        out = self._lpa(spark, k1 + k2 + [(3, 10)], max_iter=4)
+        # bridge 3-10 must not merge the cliques under min-label ties
+        assert out[1] == out[2] == out[3]
+        assert out[10] == out[11] == out[12]
+        assert out[1] != out[10]
+
+    def test_deterministic_tie_breaks_to_min(self, spark):
+        # node 3 sees labels {1, 2} once each after round 1 → takes 1
+        out = self._lpa(spark, [(1, 3), (2, 3)], max_iter=1)
+        assert out[3] == 1
+
+    def test_directed_respects_edge_direction(self, spark):
+        out = self._lpa(spark, [(1, 2)], max_iter=1, directed=True)
+        assert out[2] == 1
+        assert out[1] == 1  # no in-edges: keeps own label

@@ -128,3 +128,69 @@ class TestRRFFusion:
             rrf_fuse([], k=60)
         with _pt.raises(ValueError):
             rrf_fuse([a], k=0)
+
+
+class TestInvertedPostings:
+    def test_positions_tf_and_min_df(self, spark):
+        from bid_evaluation_spark.operators.retrieval import (
+            inverted_postings)
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "the dog"), (3, None)],
+            "doc_id long, text string")
+        out = {(r["term"], r["doc_id"]): r
+               for r in inverted_postings(df).collect()}
+        assert out[("the", 1)]["positions"] == [1, 5]
+        assert out[("the", 1)]["tf"] == 2
+        assert out[("cat", 1)]["positions"] == [2]
+        assert out[("the", 2)]["tf"] == 1
+        # min_df=2 keeps only 'the' (2 docs)
+        from bid_evaluation_spark.operators.retrieval import (
+            inverted_postings as ip)
+        terms = {r["term"] for r in ip(df, min_df=2).collect()}
+        assert terms == {"the"}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            ip(df, min_df=0)
+
+    def test_lowercases(self, spark):
+        from bid_evaluation_spark.operators.retrieval import (
+            inverted_postings)
+
+        df = spark.createDataFrame([(1, "The THE the")],
+                                   "doc_id long, text string")
+        out = inverted_postings(df).collect()
+        assert len(out) == 1 and out[0]["tf"] == 3
+
+
+class TestPhraseSearch:
+    def _hits(self, spark, docs, phrase):
+        from bid_evaluation_spark.operators.retrieval import phrase_search
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        return {r["doc_id"]: r["n_matches"]
+                for r in phrase_search(df, phrase).collect()}
+
+    def test_counts_occurrences(self, spark):
+        docs = [(1, "big cat big cat big"), (2, "big dog"),
+                (3, "cat big"), (4, None)]
+        assert self._hits(spark, docs, "big cat") == {1: 2}
+        assert self._hits(spark, docs, "cat big") == {1: 1, 3: 1}
+
+    def test_overlapping_and_repeated_term_phrase(self, spark):
+        docs = [(1, "a a a")]
+        assert self._hits(spark, docs, "a a") == {1: 2}
+        assert self._hits(spark, docs, "a a a") == {1: 1}
+
+    def test_three_term_phrase_and_case(self, spark):
+        docs = [(1, "The Quick Brown fox"), (2, "quick brown cow")]
+        assert self._hits(spark, docs, "quick brown fox") == {1: 1}
+
+    def test_absent_phrase_empty_and_validation(self, spark):
+        docs = [(1, "x y z")]
+        assert self._hits(spark, docs, "y x") == {}
+        import pytest as _pt
+        from bid_evaluation_spark.operators.retrieval import phrase_search
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        with _pt.raises(ValueError):
+            phrase_search(df, "   ")

@@ -605,3 +605,54 @@ class TestAcfByKey:
         import pytest as _pt
         with _pt.raises(ValueError):
             self._acf(spark, [("a", 0, 1.0)], lags=(0,))
+
+
+class TestHoltByKey:
+    def _holt(self, spark, vals, alpha=0.3, beta=0.1):
+        from bid_evaluation_spark.operators.timeseries import holt_by_key
+
+        rows = [("k", float(t), t, v) for t, v in enumerate(vals)]
+        df = spark.createDataFrame(rows,
+                                   "u string, ts double, e long, v double")
+        out = holt_by_key(df, "u", "ts", "v", "e", alpha=alpha, beta=beta)
+        return sorted(((r["e"], r["level"], r["trend"])
+                       for r in out.collect()))
+
+    def test_matches_python_reference(self, spark):
+        vals = [10.0, 12.0, 11.0, 15.0]
+        a, b = 0.3, 0.1
+        lvl, tr, exp = None, None, []
+        for x in vals:
+            if lvl is None:
+                lvl, tr = x, 0.0
+            else:
+                prev = lvl
+                lvl = a * x + (1.0 - a) * (lvl + tr)
+                tr = b * (lvl - prev) + (1.0 - b) * tr
+            exp.append((lvl, tr))
+        got = self._holt(spark, vals)
+        for (e_id, l, t), (el, et) in zip(got, exp):
+            assert l == el and t == et  # bit-exact: same fold
+
+    def test_constant_series_flat(self, spark):
+        got = self._holt(spark, [5.0] * 6)
+        for _, l, t in got:
+            assert l == 5.0 and t == 0.0
+
+    def test_linear_series_learns_positive_trend(self, spark):
+        got = self._holt(spark, [float(i) for i in range(20)])
+        assert got[-1][2] > 0.5  # trend approaches slope 1
+
+    def test_nulls_excluded_and_validation(self, spark):
+        from bid_evaluation_spark.operators.timeseries import holt_by_key
+
+        df = spark.createDataFrame(
+            [("k", 1.0, 1, None), ("k", 2.0, 2, 4.0)],
+            "u string, ts double, e long, v double")
+        out = holt_by_key(df, "u", "ts", "v", "e").collect()
+        assert len(out) == 1 and out[0]["level"] == 4.0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            holt_by_key(df, "u", "ts", "v", "e", alpha=0.0)
+        with _pt.raises(ValueError):
+            holt_by_key(df, "u", "ts", "v", "e", beta=1.5)

@@ -1294,6 +1294,50 @@ def _spatial_attrib_ucb(spark, sf_dir):
     return probs
 
 
+@check("postings: 2 exchanges no join; phrase: doc-keyed joins only; "
+       "lpa: flat checkpointed rounds; holt: one grouped Arrow kernel")
+def _postings_lpa_holt(spark, sf_dir):
+    from bid_evaluation_spark.operators.graph import label_propagation
+    from bid_evaluation_spark.operators.retrieval import (inverted_postings,
+                                                          phrase_search)
+    from bid_evaluation_spark.operators.timeseries import holt_by_key
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    pplan = plan_of(inverted_postings(docs, min_df=5))
+    if "Join" in pplan:
+        probs.append("postings joined — min_df must be a window count")
+    if pplan.count("Exchange") > 2:
+        probs.append(f"postings shuffled {pplan.count('Exchange')}x "
+                     "(expect groupBy + term window)")
+
+    fplan = plan_of(phrase_search(docs, "table hash"))
+    if "CartesianProduct" in fplan or "BroadcastNestedLoop" in fplan:
+        probs.append("phrase join fell back to a product")
+    if "Generate" not in fplan:
+        probs.append("phrase postings lost the posexplode")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                      F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    lplan = plan_of(label_propagation(edges, max_iter=2))
+    if "ExistingRDD" not in lplan:
+        probs.append("lpa rounds not checkpoint-truncated — plan grows "
+                     "per iteration")
+    if lplan.count("Join") > 2:
+        probs.append("lpa final plan carries joins from earlier rounds")
+
+    ev = load_table(spark, sf_dir, "events")
+    hplan = plan_of(holt_by_key(ev, "user_id", "ts", "value", "event_id"))
+    if "FlatMapGroupsInPandas" not in hplan:
+        probs.append("holt kernel not a grouped Arrow kernel")
+    if hplan.count("Exchange") != 1:
+        probs.append(f"holt expected exactly one exchange: "
+                     f"{hplan.count('Exchange')}")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
