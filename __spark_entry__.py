@@ -10168,6 +10168,66 @@ FROM r
 """
 
 
+def _q_graph_kcore_lineitem(spark, sf_dir):
+    """k-core peeling, k=30, 3 fixed rounds (operators/graph.py k_core)
+    over the undirected part–supplier graph: per round one degree
+    groupBy + two endpoint semi-joins, lineage truncated. The oracle
+    unrolls the same three peels and emits the surviving degrees."""
+    from bid_evaluation_spark.operators.graph import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    return k_core(edges, k=30, n_rounds=3)
+
+
+_SQL_GRAPH_KCORE_LINEITEM = """
+WITH e0 AS (
+  SELECT DISTINCT 's' || l_suppkey AS s, 'p' || l_partkey AS d
+  FROM lineitem
+  WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+e1 AS (SELECT s, d FROM e0 UNION SELECT d AS s, s AS d FROM e0),
+k1 AS (SELECT s AS node FROM e1 GROUP BY s HAVING count(*) >= 30),
+e2 AS (SELECT s, d FROM e1 WHERE s IN (SELECT node FROM k1)
+                             AND d IN (SELECT node FROM k1)),
+k2 AS (SELECT s AS node FROM e2 GROUP BY s HAVING count(*) >= 30),
+e3 AS (SELECT s, d FROM e2 WHERE s IN (SELECT node FROM k2)
+                             AND d IN (SELECT node FROM k2)),
+k3 AS (SELECT s AS node FROM e3 GROUP BY s HAVING count(*) >= 30),
+e4 AS (SELECT s, d FROM e3 WHERE s IN (SELECT node FROM k3)
+                             AND d IN (SELECT node FROM k3))
+SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e4 GROUP BY s
+"""
+
+
+def _q_basket_triples_lineitem(spark, sf_dir):
+    """Level-3 Apriori frequent triples (operators/basket.py
+    frequent_triples): frequent-pair extension with item- and pair-level
+    prunes, all joins keyed on the basket. The oracle is the UNPRUNED
+    3-way self-join — the Apriori prunes must be lossless."""
+    from bid_evaluation_spark.operators.basket import frequent_triples
+
+    li = _t(spark, sf_dir, "lineitem")
+    return frequent_triples(li, "l_orderkey", "l_partkey", min_count=2)
+
+
+_SQL_BASKET_TRIPLES_LINEITEM = """
+WITH items AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+)
+SELECT a.i AS item_a, b.i AS item_b, c.i AS item_c,
+       CAST(count(*) AS BIGINT) AS n_joint
+FROM items a
+JOIN items b ON a.b = b.b AND a.i < b.i
+JOIN items c ON b.b = c.b AND c.i > b.i
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -10966,6 +11026,10 @@ _QUERIES: dict = {
                                    _SQL_RETRIEVAL_PHRASE_DOCUMENTS),
     "graph_lpa_lineitem": (_q_graph_lpa_lineitem, _SQL_GRAPH_LPA_LINEITEM),
     "ts_holt_events": (_q_ts_holt_events, _SQL_TS_HOLT_EVENTS),
+    "graph_kcore_lineitem": (_q_graph_kcore_lineitem,
+                             _SQL_GRAPH_KCORE_LINEITEM),
+    "basket_triples_lineitem": (_q_basket_triples_lineitem,
+                                _SQL_BASKET_TRIPLES_LINEITEM),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

@@ -112,3 +112,51 @@ def association_rules(df: DataFrame, basket_col: str, item_col: str,
                    .alias("confidence"),
                    (F.round(lift * 1e4) / 1e4 + F.lit(0.0)).alias("lift")))
     return track_cached(out, [items, supp])
+
+
+def frequent_triples(df: DataFrame, basket_col: str, item_col: str,
+                     min_count: int = 2) -> DataFrame:
+    """Level-3 Apriori: frequent item TRIPLES → ``(item_a, item_b,
+    item_c, n_joint)`` with ``a < b < c`` and joint distinct-basket
+    support ≥ ``min_count``.
+
+    Candidate generation follows the Apriori lattice: only FREQUENT
+    PAIRS extend (a frequent triple's every sub-pair is frequent, so
+    extending (a,b) by items c > b from the same basket loses nothing),
+    and the extending item itself must be frequent. Both prunes land
+    before the widest join. All joins key on the basket id — the same
+    single shuffle layout as :func:`association_rules`.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    items = _items(df, basket_col, item_col)
+    supp = (items.groupBy("_i")
+            .agg(F.count(F.lit(1)).alias("_n")))
+    freq = supp.filter(F.col("_n") >= min_count).select("_i")
+    fitems = items.join(freq, "_i", "left_semi").persist()
+
+    a, b = fitems.alias("a"), fitems.alias("b")
+    pairs = (a.join(b, (F.col("a._b") == F.col("b._b"))
+                    & (F.col("a._i") < F.col("b._i")))
+             .groupBy(F.col("a._i").alias("_ia"), F.col("b._i").alias("_ib"))
+             .agg(F.count(F.lit(1)).alias("_np"))
+             .filter(F.col("_np") >= min_count)
+             .select("_ia", "_ib"))
+
+    pair_occ = (fitems.alias("x")
+                .join(fitems.alias("y"),
+                      (F.col("x._b") == F.col("y._b"))
+                      & (F.col("x._i") < F.col("y._i")))
+                .select(F.col("x._b").alias("_b"),
+                        F.col("x._i").alias("_ia"),
+                        F.col("y._i").alias("_ib"))
+                .join(pairs, ["_ia", "_ib"], "left_semi"))
+    third = fitems.select(F.col("_b"), F.col("_i").alias("_ic"))
+    out = (pair_occ.join(third, "_b")
+           .filter(F.col("_ic") > F.col("_ib"))
+           .groupBy(F.col("_ia").alias("item_a"),
+                    F.col("_ib").alias("item_b"),
+                    F.col("_ic").alias("item_c"))
+           .agg(F.count(F.lit(1)).cast("long").alias("n_joint"))
+           .filter(F.col("n_joint") >= min_count))
+    return track_cached(out, [fitems])

@@ -365,3 +365,54 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           n_rounds: Optional[int] = None) -> DataFrame:
+    """k-core decomposition (undirected): iteratively peel nodes of
+    degree < k until the remaining subgraph has min degree ≥ k; returns
+    the survivors as ``(node, degree)`` (degree WITHIN the core).
+
+    ``n_rounds=None`` peels to the fixpoint (one driver-side scalar
+    count per round decides convergence); a fixed ``n_rounds`` runs
+    exactly that many peels — the mode the unrolled SQL oracle replays
+    (a partial peel is a well-defined superset of the core).
+
+    Scale shape per peel: one degree groupBy + two semi-joins filtering
+    the edge list to surviving endpoints — all keyed on the node /
+    endpoint columns, no collect of nodes or edges, lineage truncated
+    per round. Peels needed in practice ≪ nodes (each round removes
+    whole degree-layers at once).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e = (e.unionByName(e.select(F.col("_d").alias("_s"),
+                                F.col("_s").alias("_d")))
+         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()
+                 & (F.col("_s") != F.col("_d")))
+         .distinct().localCheckpoint())
+
+    def deg(ed):
+        return ed.groupBy(F.col("_s").alias("node")).agg(
+            F.count(F.lit(1)).cast("long").alias("degree"))
+
+    rounds = 0
+    while True:
+        d = deg(e)
+        keep = d.filter(F.col("degree") >= k).select("node")
+        rounds += 1
+        if n_rounds is not None:
+            e = (e.join(keep, e["_s"] == keep["node"], "left_semi")
+                 .join(keep, e["_d"] == keep["node"], "left_semi")
+                 .localCheckpoint())
+            if rounds >= n_rounds:
+                return deg(e)
+            continue
+        n_before = e.count()
+        e2 = (e.join(keep, e["_s"] == keep["node"], "left_semi")
+              .join(keep, e["_d"] == keep["node"], "left_semi")
+              .localCheckpoint())
+        if e2.count() == n_before:
+            return deg(e2)
+        e = e2

@@ -437,3 +437,92 @@ def decimate_audio_features(df: DataFrame, factor: int,
 
     return df.select(id_col, payload_col).mapInPandas(kernel,
                                                       DECIMATE_SCHEMA)
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", *,
+                fake: bool = False, strict: bool = False) -> DataFrame:
+    """Perceptual difference hash per image → ``(media_id, dhash)``
+    (signed 64-bit; null for undecodable payloads unless ``strict``).
+
+    REAL kernel: magic-byte dispatch to the stdlib PNG/JPEG codecs, luma,
+    8×9 block-mean pool, 64 horizontal-gradient bits (:func:`.png.dhash64`)
+    — near-duplicate images (re-encodes, small edits, rescales) land
+    within a few bits. ``fake=True`` hashes the payload bytes instead
+    (plumbing tests on arbitrary bytes). Same mapInPandas shape as
+    :func:`extract_image_features`: payload dropped immediately after
+    the kernel."""
+    from . import jpeg as _jpeg
+    from . import png as _png
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for p in pdf[payload_col]:
+                try:
+                    if fake:
+                        h = int.from_bytes(
+                            hashlib.sha256(p or b"").digest()[:8],
+                            "big", signed=True)
+                    else:
+                        img = (_jpeg.decode_jpeg(p)
+                               if _jpeg.is_jpeg(p or b"")
+                               else _png.decode_png(p or b""))
+                        h = _png.dhash64(_png.luma(img))
+                    hashes.append(h)
+                except Exception:
+                    if strict:
+                        raise
+                    hashes.append(None)
+            yield pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "dhash": pd.array(hashes, dtype="Int64"),
+            })
+
+    return (df.select(id_col, payload_col)
+            .mapInPandas(kernel, "media_id long, dhash long"))
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
+                        id_col: str = "media_id",
+                        hash_col: str = "dhash") -> DataFrame:
+    """Near-duplicate image pairs by dHash → ``(id_a, id_b, hamming)``
+    with ``id_a < id_b`` and ``hamming <= max_hamming``.
+
+    Banded blocking, the SimHash trick: the 64-bit hash splits into 8
+    8-bit bands; by pigeonhole any pair within ``max_hamming < 8`` bits
+    shares at least one identical band, so candidates come from ONE
+    (band_index, band_value) equi-join — never all pairs — and recall
+    is exactly 1. Each candidate verifies with ``bit_count(a XOR b)``.
+    ``max_hamming >= 8`` would break the pigeonhole guarantee → raises.
+    """
+    from pyspark.sql import functions as F
+
+    if not 0 <= max_hamming < 8:
+        raise ValueError("max_hamming must be in [0, 8) for 8-band "
+                         f"pigeonhole recall, got {max_hamming}")
+    h = (hashes.filter(F.col(hash_col).isNotNull())
+         .select(F.col(id_col).alias("_id"),
+                 F.col(hash_col).alias("_h")))
+    bands = h.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("_b"),
+                     F.shiftrightunsigned(F.col(_hc), i * 8)
+                     .bitwiseAND(F.lit(255)).alias("_v"))
+            for i in range(8)
+            for _hc in ["_h"]])).alias("_band")
+    ).select("_id", "_h", F.col("_band._b").alias("_b"),
+             F.col("_band._v").alias("_v"))
+    a = bands.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"),
+                     "_b", "_v")
+    b = bands.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"),
+                     "_b", "_v")
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (a.join(b, ["_b", "_v"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("long").alias("hamming")))

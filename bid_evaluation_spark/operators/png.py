@@ -196,3 +196,32 @@ def grid_embedding(lum: np.ndarray, rows: int = 2, cols: int = 4) -> np.ndarray:
             x1 = max((w * (c + 1)) // cols, x0 + 1)
             out[r * cols + c] = lum[y0:y1, x0:x1].mean() / 255.0
     return out
+
+
+def pool_grid(lum: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Block-mean pool luma to ``rows × cols`` float64 (same block
+    coverage rule as :func:`grid_embedding`, arbitrary target shape)."""
+    h, w = lum.shape
+    out = np.empty((rows, cols), dtype=np.float64)
+    for r in range(rows):
+        y0 = (h * r) // rows
+        y1 = max((h * (r + 1)) // rows, y0 + 1)
+        for c in range(cols):
+            x0 = (w * c) // cols
+            x1 = max((w * (c + 1)) // cols, x0 + 1)
+            out[r, c] = lum[y0:y1, x0:x1].mean()
+    return out
+
+
+def dhash64(lum: np.ndarray) -> int:
+    """64-bit perceptual difference hash (dHash): pool to 8×9, emit one
+    bit per horizontally adjacent cell pair (``left < right``), MSB
+    first. Returned as a SIGNED 64-bit integer (two's complement) so it
+    stores losslessly in a Spark ``long`` column. Robust to rescaling
+    and small luma shifts; near-duplicate images differ in few bits."""
+    g = pool_grid(lum, 8, 9)
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | (1 if g[r, c] < g[r, c + 1] else 0)
+    return v - (1 << 64) if v >= (1 << 63) else v

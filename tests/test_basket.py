@@ -68,3 +68,39 @@ def test_nulls_excluded(spark, baskets):
 def test_min_count_validation(baskets):
     with pytest.raises(ValueError):
         association_rules(baskets, "b", "i", min_count=0)
+
+
+class TestFrequentTriples:
+    def test_hand_computed(self, spark):
+        from bid_evaluation_spark.operators.basket import frequent_triples
+
+        rows = [(1, "a"), (1, "b"), (1, "c"), (1, "d"),
+                (2, "a"), (2, "b"), (2, "c"),
+                (3, "a"), (3, "b"), (3, "d")]
+        df = spark.createDataFrame(rows, "b long, i string")
+        out = {(r["item_a"], r["item_b"], r["item_c"]): r["n_joint"]
+               for r in frequent_triples(df, "b", "i",
+                                         min_count=2).collect()}
+        # abc in baskets 1,2; abd in 1,3; acd only 1; bcd only 1
+        assert out == {("a", "b", "c"): 2, ("a", "b", "d"): 2}
+
+    def test_matches_unpruned_bruteforce(self, spark):
+        from itertools import combinations
+
+        from bid_evaluation_spark.operators.basket import frequent_triples
+
+        rng_rows = [(k % 7, f"i{(k * 5 + j) % 9}")
+                    for k in range(40) for j in range(4)]
+        df = spark.createDataFrame(rng_rows, "b long, i string")
+        baskets = {}
+        for b, i in rng_rows:
+            baskets.setdefault(b, set()).add(i)
+        expect = {}
+        for b, s in baskets.items():
+            for tri in combinations(sorted(s), 3):
+                expect[tri] = expect.get(tri, 0) + 1
+        expect = {t: n for t, n in expect.items() if n >= 2}
+        got = {(r["item_a"], r["item_b"], r["item_c"]): r["n_joint"]
+               for r in frequent_triples(df, "b", "i",
+                                         min_count=2).collect()}
+        assert got == expect

@@ -280,3 +280,35 @@ class TestLabelPropagation:
         out = self._lpa(spark, [(1, 2)], max_iter=1, directed=True)
         assert out[2] == 1
         assert out[1] == 1  # no in-edges: keeps own label
+
+
+class TestKCore:
+    def _core(self, spark, edges, k, **kw):
+        from bid_evaluation_spark.operators.graph import k_core
+
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return {r["node"]: r["degree"]
+                for r in k_core(e, k, **kw).collect()}
+
+    def test_triangle_plus_tail(self, spark):
+        # triangle 1-2-3 with a tail 3-4: 2-core = the triangle
+        out = self._core(spark, [(1, 2), (2, 3), (1, 3), (3, 4)], 2)
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_cascading_peel(self, spark):
+        # path 1-2-3-4-5: 2-core is empty (peeling cascades from the ends)
+        out = self._core(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], 2)
+        assert out == {}
+
+    def test_fixed_rounds_is_superset(self, spark):
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        partial = self._core(spark, edges, 2, n_rounds=1)
+        # one peel removes only the endpoints; interior survives so far
+        assert set(partial) == {2, 3, 4}
+
+    def test_k1_keeps_everything_and_validation(self, spark):
+        out = self._core(spark, [(1, 2), (3, 4)], 1)
+        assert set(out) == {1, 2, 3, 4}
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._core(spark, [(1, 2)], 0)

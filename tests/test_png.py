@@ -126,3 +126,28 @@ def test_luma_and_grid_embedding():
     # single-channel luma is identity
     g = _rand_img(3, 3, 1)
     assert np.array_equal(P.luma(g), g[:, :, 0].astype(np.float64))
+
+
+def test_dhash64_properties():
+    import numpy as np
+
+    from bid_evaluation_spark.operators.png import dhash64, pool_grid
+
+    rng = np.random.default_rng(3)
+    # dims divisible by the 8x9 grid so 2x-upscaled blocks nest exactly
+    lum = rng.integers(0, 256, (64, 72)).astype(np.float64)
+    h = dhash64(lum)
+    assert -(1 << 63) <= h < (1 << 63)
+    assert dhash64(lum) == h
+    up = np.kron(lum, np.ones((2, 2)))
+    assert dhash64(up) == h
+    # global luma shift leaves gradients (and the hash) unchanged
+    assert dhash64(np.clip(lum + 0.25, 0, 255.25)) == h
+    # a forced local gradient flip changes the hash, and only locally
+    lo, hi = lum.copy(), lum.copy()
+    lo[:8, :8], lo[:8, 8:16] = 0.0, 255.0     # g00 < g01 -> bit 1
+    hi[:8, :8], hi[:8, 8:16] = 255.0, 0.0     # g00 > g01 -> bit 0
+    d = bin((dhash64(lo) ^ dhash64(hi)) & ((1 << 64) - 1)).count("1")
+    assert 0 < d <= 4
+    g = pool_grid(lum, 8, 9)
+    assert g.shape == (8, 9)

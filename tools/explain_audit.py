@@ -1338,6 +1338,43 @@ def _postings_lpa_holt(spark, sf_dir):
     return probs
 
 
+@check("triples: Apriori prunes, no product; kcore: truncated peels; "
+       "dhash: band equi-join blocking")
+def _triples_kcore_dhash(spark, sf_dir):
+    from bid_evaluation_spark.operators.basket import frequent_triples
+    from bid_evaluation_spark.operators.graph import k_core
+    from bid_evaluation_spark.operators.multimodal import (
+        dhash_neardup_pairs)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    li = load_table(spark, sf_dir, "lineitem")
+    tplan = plan_of(frequent_triples(li, "l_orderkey", "l_partkey",
+                                     min_count=2))
+    if "CartesianProduct" in tplan:
+        probs.append("cartesian in the triples plan")
+    if tplan.count("LeftSemi") < 2:
+        probs.append("triples lost an Apriori prune (item- and "
+                     "pair-level semi-joins expected)")
+
+    edges = li.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+                      F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    kplan = plan_of(k_core(edges, k=30, n_rounds=3))
+    if "ExistingRDD" not in kplan:
+        probs.append("kcore peels not checkpoint-truncated")
+
+    hashes = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 62)) for i in range(64)],
+        "media_id long, dhash long")
+    dplan = plan_of(dhash_neardup_pairs(hashes, max_hamming=6))
+    if "CartesianProduct" in dplan or "BroadcastNestedLoop" in dplan:
+        probs.append("dhash candidates fell back to a product — must "
+                     "equi-join on (band, value)")
+    if "Generate" not in dplan:
+        probs.append("dhash band explode missing")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
