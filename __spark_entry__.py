@@ -10228,6 +10228,132 @@ GROUP BY 1, 2, 3 HAVING count(*) >= 2
 """
 
 
+def _q_features_mi_documents(spark, sf_dir):
+    """Mutual information lang×source (operators/features.py
+    mutual_information): join-free entropy identity over the aggregated
+    joint-count table; marginals re-aggregate counts, never the corpus.
+    The oracle replays the identical Σc·ln c arithmetic."""
+    from bid_evaluation_spark.operators.features import mutual_information
+
+    docs = _t(spark, sf_dir, "documents")
+    return mutual_information(docs, "lang", "source")
+
+
+_SQL_FEATURES_MI_DOCUMENTS = """
+WITH ab AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS DOUBLE) AS c
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2
+),
+jab AS (SELECT sum(c * ln(c)) AS sab, sum(c) AS n FROM ab),
+ja AS (SELECT sum(c * ln(c)) AS sa
+       FROM (SELECT sum(c) AS c FROM ab GROUP BY a)),
+jb AS (SELECT sum(c * ln(c)) AS sb
+       FROM (SELECT sum(c) AS c FROM ab GROUP BY b))
+SELECT CASE WHEN n > 0
+            THEN round((sab - sa - sb + n * ln(n)) / n * 1e4) / 1e4 + 0.0
+            ELSE 0.0 END AS mi,
+       CAST(n AS BIGINT) AS n
+FROM jab, ja, jb
+"""
+
+
+def _q_features_woe_orders(spark, sf_dir):
+    """Weight-of-evidence + IV per order priority, label = fulfilled
+    status (operators/features.py woe_iv, smoothing 0.5): one groupBy,
+    totals via whole-frame window over the category table. The oracle
+    replays the smoothed-share arithmetic exactly."""
+    from bid_evaluation_spark.operators.features import woe_iv
+
+    o = _t(spark, sf_dir, "orders")
+    o = o.withColumn("_lbl", F.col("o_orderstatus") == "F")
+    return woe_iv(o, "o_orderpriority", "_lbl")
+
+
+_SQL_FEATURES_WOE_ORDERS = """
+WITH g AS (
+  SELECT o_orderpriority AS category,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END) AS nn
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1
+),
+t AS (SELECT CAST(sum(np) AS DOUBLE) AS pt,
+             CAST(sum(nn) AS DOUBLE) AS nt FROM g)
+SELECT category, CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+  round(ln(((np + 0.5) / (pt + 0.5)) / ((nn + 0.5) / (nt + 0.5)))
+        * 1e4) / 1e4 + 0.0 AS woe,
+  round((((np + 0.5) / (pt + 0.5)) - ((nn + 0.5) / (nt + 0.5)))
+        * ln(((np + 0.5) / (pt + 0.5)) / ((nn + 0.5) / (nt + 0.5)))
+        * 1e4) / 1e4 + 0.0 AS iv_term
+FROM g, t
+"""
+
+
+def _q_ts_trend_events(spark, sf_dir):
+    """Theil–Sen + Mann–Kendall per event type (operators/timeseries.py
+    trend_test) on a deterministic 1-in-20 subsample (the statistic is
+    quadratic in group size by definition): pairwise slopes from one
+    group-keyed self-join, median via the shared exact percentile, MK z
+    with continuity + y-tie corrections. The oracle replays the same
+    pair set and formulas."""
+    from bid_evaluation_spark.operators.timeseries import trend_test
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 20 == 0)
+          .withColumn("_x", F.col("ts").cast("double")))
+    return trend_test(ev, "event_type", "_x", "value")
+
+
+_SQL_TS_TREND_EVENTS = """
+WITH pts AS (
+  SELECT event_type AS g,
+         CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS x,
+         CAST(value AS DOUBLE) AS y
+  FROM events
+  WHERE event_id % 20 = 0 AND ts IS NOT NULL AND value IS NOT NULL
+),
+pairs AS (
+  SELECT a.g,
+         (b.y - a.y) / (b.x - a.x) AS slope,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END
+           AS sgn
+  FROM pts a JOIN pts b ON a.g = b.g AND a.x < b.x
+),
+pg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(sgn) AS BIGINT) AS s_stat,
+         quantile_cont(slope, 0.5) AS med
+  FROM pairs GROUP BY g
+),
+ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY g),
+ties AS (
+  SELECT g, sum(t * (t - 1) * (2 * t + 5)) AS tc
+  FROM (SELECT g, y, CAST(count(*) AS DOUBLE) AS t
+        FROM pts GROUP BY g, y)
+  GROUP BY g
+)
+SELECT ng.g AS event_type, ng.n, coalesce(pg.n_pairs, 0) AS n_pairs,
+       coalesce(pg.s_stat, 0) AS s_stat,
+       round(pg.med * 1e4) / 1e4 + 0.0 AS slope,
+       CASE WHEN pg.n_pairs IS NOT NULL AND
+                 (CAST(ng.n AS DOUBLE) * (ng.n - 1) * (2 * ng.n + 5)
+                  - coalesce(ties.tc, 0.0)) / 18.0 > 0
+            THEN round(
+              (CASE WHEN pg.s_stat > 0
+                    THEN (CAST(pg.s_stat AS DOUBLE) - 1)
+                    WHEN pg.s_stat < 0
+                    THEN (CAST(pg.s_stat AS DOUBLE) + 1)
+                    ELSE 0.0 END
+               / sqrt((CAST(ng.n AS DOUBLE) * (ng.n - 1) * (2 * ng.n + 5)
+                       - coalesce(ties.tc, 0.0)) / 18.0)) * 1e4) / 1e4
+              + 0.0
+       END AS z
+FROM ng LEFT JOIN pg ON ng.g = pg.g LEFT JOIN ties ON ng.g = ties.g
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -11030,6 +11156,11 @@ _QUERIES: dict = {
                              _SQL_GRAPH_KCORE_LINEITEM),
     "basket_triples_lineitem": (_q_basket_triples_lineitem,
                                 _SQL_BASKET_TRIPLES_LINEITEM),
+    "features_mi_documents": (_q_features_mi_documents,
+                              _SQL_FEATURES_MI_DOCUMENTS),
+    "features_woe_orders": (_q_features_woe_orders,
+                            _SQL_FEATURES_WOE_ORDERS),
+    "ts_trend_events": (_q_ts_trend_events, _SQL_TS_TREND_EVENTS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

@@ -143,3 +143,71 @@ def event_sequences(df: DataFrame, key_col: str = "user_id",
     return (df.groupBy(key_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_events"),
                  F.array_join(arr, sep).alias("seq")))
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Mutual information between two categorical columns (nats) → one
+    row ``(mi, n)`` — the feature-selection / redundancy score
+    complementing chi-square drift.
+
+    Join-free entropy identity (same trick as ``category_diversity``):
+    ``MI = (Σ c_ab·ln c_ab − Σ c_a·ln c_a − Σ c_b·ln c_b + N·ln N) / N``
+    over the ALREADY-AGGREGATED (a, b) count table — the raw scan
+    collapses in ONE groupBy; marginals re-aggregate the count table
+    (category-cardinality rows, not corpus rows). Rows with a null in
+    either column are excluded by contract. ``mi`` rounds to 4 decimals;
+    n = 0 or a single joint cell yields ``mi = 0.0``.
+    """
+    ab = (df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+          .groupBy(F.col(col_a).alias("_a"), F.col(col_b).alias("_b"))
+          .agg(F.count(F.lit(1)).cast("double").alias("_c")))
+    clnc = F.sum(F.col("_c") * F.log(F.col("_c")))
+    jab = ab.agg(clnc.alias("_sab"), F.sum("_c").alias("_n"))
+    ja = (ab.groupBy("_a").agg(F.sum("_c").alias("_c"))
+          .agg(clnc.alias("_sa")))
+    jb = (ab.groupBy("_b").agg(F.sum("_c").alias("_c"))
+          .agg(clnc.alias("_sb")))
+    n = F.coalesce(F.col("_n"), F.lit(0.0))  # sum over zero rows is null
+    mi = ((F.col("_sab") - F.col("_sa") - F.col("_sb")
+           + n * F.log(n)) / n)
+    mi = F.when(n > 0,
+                F.round(mi * 1e4) / 1e4 + F.lit(0.0)).otherwise(F.lit(0.0))
+    return (jab.crossJoin(ja).crossJoin(jb)
+            .select(mi.alias("mi"), n.cast("long").alias("n")))
+
+
+def woe_iv(df: DataFrame, cat_col: str, label_col: str,
+           smoothing: float = 0.5) -> DataFrame:
+    """Weight-of-evidence encoding + information value per category →
+    ``(category, n_pos, n_neg, woe, iv_term)`` (credit-scoring classic;
+    ``label_col`` boolean-ish: true/1 = positive).
+
+    ``woe = ln( (n_pos_c + s)/(pos_tot + s) / ((n_neg_c + s)/(neg_tot
+    + s)) )`` with additive smoothing ``s`` per CELL (never a zero
+    numerator/denominator); ``iv_term`` is the category's contribution
+    ``(pos_share − neg_share)·woe`` on the SMOOTHED shares — sum it for
+    the global IV. One groupBy over the raw scan; totals via a
+    whole-frame window over the aggregated category table (bounded by
+    category cardinality — no second scan). Null categories/labels are
+    excluded. ``woe``/``iv_term`` round to 4 decimals.
+    """
+    if smoothing <= 0:
+        raise ValueError(f"smoothing must be positive, got {smoothing}")
+    s = float(smoothing)
+    pos = F.col(label_col).cast("boolean").cast("long")
+    g = (df.filter(F.col(cat_col).isNotNull()
+                   & F.col(label_col).isNotNull())
+         .groupBy(F.col(cat_col).alias("category"))
+         .agg(F.sum(pos).cast("long").alias("n_pos"),
+              F.sum(F.lit(1) - pos).cast("long").alias("n_neg")))
+    wall = Window.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    pt = F.sum("n_pos").over(wall).cast("double")
+    nt = F.sum("n_neg").over(wall).cast("double")
+    ps = (F.col("n_pos") + F.lit(s)) / (pt + F.lit(s))
+    ns = (F.col("n_neg") + F.lit(s)) / (nt + F.lit(s))
+    woe = F.log(ps / ns)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return g.select("category", "n_pos", "n_neg",
+                    r4(woe).alias("woe"),
+                    r4((ps - ns) * woe).alias("iv_term"))

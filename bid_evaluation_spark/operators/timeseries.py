@@ -674,3 +674,67 @@ def holt_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
                       F.col("_v").alias("value"), "level", "trend",
                       (F.col("level") + F.col("trend"))
                       .alias("forecast_next"))
+
+
+def trend_test(df: DataFrame, group_col: str, x_col: str,
+               y_col: str) -> DataFrame:
+    """Per-group Theil–Sen slope + Mann–Kendall trend test →
+    ``(group, n, n_pairs, s_stat, slope, z)``.
+
+    - ``slope``: median of all pairwise slopes ``(y_j−y_i)/(x_j−x_i)``
+      over ``x_i < x_j`` (Theil–Sen — up to ~29% outliers cannot move
+      it, unlike OLS in :func:`~.analytics.grouped_linear_fit`).
+    - ``s_stat``: MK ``S = Σ sign(y_j−y_i)``; ``z`` applies the
+      continuity correction and the y-tie variance correction
+      ``var = (n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)) / 18``.
+
+    Pairs come from ONE group-keyed self-join (strict ``x_i < x_j``;
+    equal-x pairs are skipped — their slope is undefined). Work is
+    quadratic in GROUP size by definition of the statistic — bucket or
+    subsample monster groups first (the classic guard; the statistic is
+    rank-based, so uniform subsampling preserves it in expectation).
+    ``slope``/``z`` round to 4 decimals; groups with <2 usable points
+    yield null slope/z.
+    """
+    pts = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+           .select(F.col(group_col).alias("_g"),
+                   F.col(x_col).cast("double").alias("_x"),
+                   F.col(y_col).cast("double").alias("_y")))
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = (a.join(b, (F.col("a._g") == F.col("b._g"))
+                    & (F.col("a._x") < F.col("b._x")))
+             .select(F.col("a._g").alias("_g"),
+                     ((F.col("b._y") - F.col("a._y"))
+                      / (F.col("b._x") - F.col("a._x"))).alias("_slope"),
+                     F.signum(F.col("b._y") - F.col("a._y"))
+                     .cast("long").alias("_sgn")))
+    pg = (pairs.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_sgn").cast("long").alias("s_stat"),
+        F.expr("percentile(_slope, 0.5)").alias("_med"))
+        .withColumnRenamed("_g", "_gp"))
+
+    ng = pts.groupBy("_g").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (pts.groupBy("_g", "_y")
+            .agg(F.count(F.lit(1)).cast("double").alias("_t"))
+            .groupBy("_g")
+            .agg(F.sum(F.col("_t") * (F.col("_t") - 1)
+                       * (2 * F.col("_t") + 5)).alias("_tc"))
+            .withColumnRenamed("_g", "_gt"))
+
+    n = F.col("n").cast("double")
+    var = (n * (n - 1) * (2 * n + 5) - F.coalesce(F.col("_tc"),
+                                                  F.lit(0.0))) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(s > 0, (s - 1) / F.sqrt(var)) \
+         .when(s < 0, (s + 1) / F.sqrt(var)) \
+         .otherwise(F.lit(0.0))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return (ng.join(pg, F.col("_g") == F.col("_gp"), "left")
+            .join(ties, F.col("_g") == F.col("_gt"), "left")
+            .select(F.col("_g").alias(group_col), "n",
+                    F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+                    F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+                    r4(F.col("_med")).alias("slope"),
+                    F.when(F.col("n_pairs").isNotNull() & (var > 0),
+                           r4(z)).alias("z")))

@@ -64,3 +64,67 @@ def test_forward_labels_horizon2(events):
     r = by_eid(FT.forward_labels(events, horizon=2))
     assert r[1]["next2_value"] == 30.0
     assert r[2]["next2_value"] is None
+
+
+class TestMutualInformation:
+    def _mi(self, spark, rows):
+        from bid_evaluation_spark.operators.features import (
+            mutual_information)
+
+        df = spark.createDataFrame(rows, "a string, b string")
+        return mutual_information(df, "a", "b").collect()[0]
+
+    def test_identical_columns_give_entropy(self, spark):
+        import math
+
+        rows = [(x, x) for x in ["p", "q", "r", "s"] * 5]
+        out = self._mi(spark, rows)
+        assert out["n"] == 20
+        assert out["mi"] == pytest.approx(math.log(4), abs=1e-4)
+
+    def test_independent_columns_give_zero(self, spark):
+        rows = [(a, b) for a in ["x", "y"] for b in ["u", "v"]] * 6
+        out = self._mi(spark, rows)
+        assert out["mi"] == 0.0
+
+    def test_nulls_excluded_and_empty_zero(self, spark):
+        rows = [("x", None), (None, "u"), ("x", "u")]
+        out = self._mi(spark, rows)
+        assert out["n"] == 1 and out["mi"] == 0.0
+        out = self._mi(spark, [(None, None)])
+        assert out["n"] == 0 and out["mi"] == 0.0
+
+
+class TestWoeIv:
+    def test_hand_computed(self, spark):
+        import math
+
+        from bid_evaluation_spark.operators.features import woe_iv
+
+        rows = ([("a", True)] * 3 + [("a", False)] * 1
+                + [("b", True)] * 1 + [("b", False)] * 3)
+        df = spark.createDataFrame(rows, "cat string, lbl boolean")
+        out = {r["category"]: r for r in woe_iv(df, "cat", "lbl").collect()}
+        pt, nt = 4.0, 4.0
+        ps_a, ns_a = 3.5 / 4.5, 1.5 / 4.5
+        exp_woe_a = math.log(ps_a / ns_a)
+        assert out["a"]["n_pos"] == 3 and out["a"]["n_neg"] == 1
+        assert out["a"]["woe"] == pytest.approx(exp_woe_a, abs=1e-4)
+        assert out["a"]["iv_term"] == pytest.approx(
+            (ps_a - ns_a) * exp_woe_a, abs=1e-4)
+        # symmetric case: woe_b = -woe_a, iv_b = iv_a
+        assert out["b"]["woe"] == pytest.approx(-exp_woe_a, abs=1e-4)
+        assert out["b"]["iv_term"] == pytest.approx(out["a"]["iv_term"],
+                                                    abs=1e-4)
+
+    def test_zero_cell_survives_smoothing_and_validation(self, spark):
+        from bid_evaluation_spark.operators.features import woe_iv
+
+        rows = [("a", True)] * 4 + [("b", False)] * 4
+        df = spark.createDataFrame(rows, "cat string, lbl boolean")
+        out = {r["category"]: r for r in woe_iv(df, "cat", "lbl").collect()}
+        assert out["a"]["woe"] is not None and out["a"]["woe"] > 0
+        assert out["b"]["woe"] < 0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            woe_iv(df, "cat", "lbl", smoothing=0.0)

@@ -12,7 +12,7 @@ import math
 
 import pytest
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 
 from bid_evaluation_spark import Evaluator, StagedEvaluator
 
@@ -647,6 +647,11 @@ def test_correlation_affine_invariance(spark, xs, a, b):
 
     rows = [(float(x), float(2 * x) + float(i % 3), float(i))
             for i, x in enumerate(xs)]
+    # |b| >> a·spread(x) makes the scaled column NUMERICALLY constant
+    # (n·Σx²−(Σx)² cancels to 0) — float degeneracy, not a property
+    # violation; keep the affine map non-degenerate
+    scaled = [x * float(a) + float(b) for x in xs]
+    assume(max(scaled) - min(scaled) > 1e-6 * max(1.0, abs(float(b))))
     df = spark.createDataFrame(rows, "x double, y double, z double")
     df2 = df.withColumn("x", df["x"] * float(a) + float(b))
     r1 = {(r["col_a"], r["col_b"]): r["r"]

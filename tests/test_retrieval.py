@@ -175,7 +175,8 @@ class TestPhraseSearch:
         docs = [(1, "big cat big cat big"), (2, "big dog"),
                 (3, "cat big"), (4, None)]
         assert self._hits(spark, docs, "big cat") == {1: 2}
-        assert self._hits(spark, docs, "cat big") == {1: 1, 3: 1}
+        # doc 1 = "big cat big cat big": "cat big" at positions 2 AND 4
+        assert self._hits(spark, docs, "cat big") == {1: 2, 3: 1}
 
     def test_overlapping_and_repeated_term_phrase(self, spark):
         docs = [(1, "a a a")]

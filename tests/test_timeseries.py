@@ -656,3 +656,41 @@ class TestHoltByKey:
             holt_by_key(df, "u", "ts", "v", "e", alpha=0.0)
         with _pt.raises(ValueError):
             holt_by_key(df, "u", "ts", "v", "e", beta=1.5)
+
+
+class TestTrendTest:
+    def _tt(self, spark, rows):
+        from bid_evaluation_spark.operators.timeseries import trend_test
+
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        return {r["g"]: r.asDict()
+                for r in trend_test(df, "g", "x", "y").collect()}
+
+    def test_monotone_series(self, spark):
+        up = [("u", float(i), float(i * 2)) for i in range(6)]
+        dn = [("d", float(i), float(-3 * i)) for i in range(6)]
+        out = self._tt(spark, up + dn)
+        assert out["u"]["s_stat"] == 15 and out["u"]["slope"] == 2.0
+        assert out["u"]["z"] > 0
+        assert out["d"]["s_stat"] == -15 and out["d"]["slope"] == -3.0
+        assert out["d"]["z"] < 0
+        assert out["u"]["n_pairs"] == 15
+
+    def test_constant_series_full_ties(self, spark):
+        out = self._tt(spark, [("c", float(i), 7.0) for i in range(5)])
+        c = out["c"]
+        # all slopes 0, S=0; tie correction kills the variance -> z null
+        assert c["s_stat"] == 0 and c["slope"] == 0.0 and c["z"] is None
+
+    def test_single_point_and_equal_x_skipped(self, spark):
+        out = self._tt(spark, [("s", 1.0, 5.0)])
+        assert out["s"]["n_pairs"] == 0 and out["s"]["slope"] is None
+        out = self._tt(spark, [("e", 1.0, 5.0), ("e", 1.0, 9.0),
+                               ("e", 2.0, 7.0)])
+        assert out["e"]["n_pairs"] == 2  # the x-tied pair is skipped
+
+    def test_outlier_resistant_vs_ols(self, spark):
+        rows = [("o", float(i), float(i)) for i in range(10)]
+        rows.append(("o", 10.0, 1000.0))   # gross outlier
+        out = self._tt(spark, rows)
+        assert out["o"]["slope"] == pytest.approx(1.0, abs=1e-4)

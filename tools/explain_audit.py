@@ -1375,6 +1375,38 @@ def _triples_kcore_dhash(spark, sf_dir):
     return probs
 
 
+@check("mi: joins only on 1-row aggregates; woe: single scan; trend: "
+       "group-keyed pair join, no product")
+def _mi_woe_trend(spark, sf_dir):
+    from bid_evaluation_spark.operators.features import (mutual_information,
+                                                         woe_iv)
+    from bid_evaluation_spark.operators.timeseries import trend_test
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    mplan = plan_of(mutual_information(docs, "lang", "source"))
+    if "SortMergeJoin" in mplan or "ShuffledHashJoin" in mplan:
+        probs.append("mi shuffled a join — 1-row aggregates must "
+                     "broadcast/nested-loop")
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "_lbl", F.col("o_orderstatus") == "F")
+    wplan = plan_of(woe_iv(o, "o_orderpriority", "_lbl"))
+    if wplan.count("FileScan") + wplan.count("InMemoryTableScan") != 1:
+        probs.append("woe scanned the table more than once for totals")
+    if "Join" in wplan:
+        probs.append("join in the woe plan")
+
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("event_id") % 20 == 0)
+          .withColumn("_x", F.col("ts").cast("double")))
+    tplan = plan_of(trend_test(ev, "event_type", "_x", "value"))
+    if "CartesianProduct" in tplan:
+        probs.append("cartesian in the trend-test pair join")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
