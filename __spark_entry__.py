@@ -10354,6 +10354,199 @@ FROM ng LEFT JOIN pg ON ng.g = pg.g LEFT JOIN ties ON ng.g = ties.g
 """
 
 
+def _q_ts_seasonal_events(spark, sf_dir):
+    """Classical additive seasonal decomposition per event type, period 7
+    (operators/timeseries.py seasonal_decompose): centered rolling-mean
+    trend, per-phase detrended means, row-weighted centering — all
+    windows sharing one hash(key) exchange. The oracle replays the same
+    windows (identical partial-edge semantics)."""
+    from bid_evaluation_spark.operators.timeseries import seasonal_decompose
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("_x", F.col("ts").cast("double")))
+    res = seasonal_decompose(ev, "event_type", ["_x", "event_id"],
+                             "value", period=7)
+    return res.select("event_type", "event_id",
+                      (_r4("value") + F.lit(0.0)).alias("value"),
+                      "trend", "seasonal",
+                      (_r4("residual") + F.lit(0.0)).alias("residual"))
+
+
+_SQL_TS_SEASONAL_EVENTS = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS e, CAST(value AS DOUBLE) AS x,
+         row_number() OVER w - 1 AS idx,
+         avg(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM events
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, event_id)
+),
+det AS (
+  SELECT g, e, x, trend, idx, x - trend AS d FROM base
+),
+sea AS (
+  SELECT g, e, x, trend,
+         avg(d) OVER (PARTITION BY g, idx % 7) AS sm
+  FROM det
+),
+cen AS (
+  SELECT g, e, x, trend,
+         sm - avg(sm) OVER (PARTITION BY g) AS seasonal
+  FROM sea
+)
+SELECT g AS event_type, e AS event_id,
+       round(x * 1e4) / 1e4 + 0.0 AS value,
+       round(trend * 1e4) / 1e4 + 0.0 AS trend,
+       round(seasonal * 1e4) / 1e4 + 0.0 AS seasonal,
+       round((x - (round(trend * 1e4) / 1e4 + 0.0)
+                - (round(seasonal * 1e4) / 1e4 + 0.0)) * 1e4) / 1e4 + 0.0
+         AS residual
+FROM cen
+"""
+
+
+def _q_ts_nelson_aalen_events(spark, sf_dir):
+    """Nelson–Aalen cumulative hazard (operators/timeseries.py
+    nelson_aalen) over the same synthetic censored durations as the KM
+    query — Σ d_i/n_i over the bounded distinct-duration table. The
+    oracle replays at-risk bookkeeping and the ordered hazard sum."""
+    from bid_evaluation_spark.operators.timeseries import nelson_aalen
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 97) + 1).cast("double").alias("dur"),
+        (F.col("event_id") % 5 != 0).alias("observed"))
+    res = nelson_aalen(ev, "dur", "observed")
+    return res.select(F.col("duration").cast("long").alias("duration"),
+                      "n_risk", "n_event", "n_censored", "cum_hazard")
+
+
+_SQL_TS_NELSON_AALEN_EVENTS = """
+WITH rws AS (
+  SELECT CAST(event_id % 97 + 1 AS DOUBLE) AS dur,
+         (event_id % 5 <> 0) AS observed
+  FROM events
+),
+per_t AS (
+  SELECT dur AS duration, count(*) AS leaving,
+         sum(CAST(observed AS BIGINT)) AS n_event
+  FROM rws GROUP BY dur
+),
+staged AS (
+  SELECT duration, n_event, leaving - n_event AS n_censored,
+    (SELECT sum(leaving) FROM per_t)
+      - COALESCE(sum(leaving) OVER (ORDER BY duration
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM per_t
+)
+SELECT CAST(duration AS BIGINT) AS duration,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  CAST(n_event AS BIGINT) AS n_event,
+  CAST(n_censored AS BIGINT) AS n_censored,
+  round(sum(n_event / CAST(n_risk AS DOUBLE))
+          OVER (ORDER BY duration
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        * 1e4) / 1e4 + 0.0 AS cum_hazard
+FROM staged
+"""
+
+
+def _q_analytics_poisson_events(spark, sf_dir):
+    """Two-sample Poisson rate test error-vs-purchase events
+    (operators/analytics.py poisson_rate_test, exposures 100/120): one
+    filtered aggregate, Wald log-ratio z and 95% CI. The oracle replays
+    the identical arithmetic."""
+    from bid_evaluation_spark.operators.analytics import poisson_rate_test
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_rate_test(ev, "event_type", "error", "purchase",
+                             exposure_a=100.0, exposure_b=120.0)
+
+
+_SQL_ANALYTICS_POISSON_EVENTS = """
+WITH c AS (
+  SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
+  FROM events
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  round(CAST(n_a AS DOUBLE) / 100.0 * 1e4) / 1e4 + 0.0 AS rate_a,
+  round(CAST(n_b AS DOUBLE) / 120.0 * 1e4) / 1e4 + 0.0 AS rate_b,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round((CAST(n_a AS DOUBLE) / 100.0) / (CAST(n_b AS DOUBLE) / 120.0)
+          * 1e4) / 1e4 + 0.0 END AS ratio,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+          * 1e4) / 1e4 + 0.0 END AS log_se,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(ln((CAST(n_a AS DOUBLE) / 100.0) / (CAST(n_b AS DOUBLE) / 120.0))
+          / sqrt(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+          * 1e4) / 1e4 + 0.0 END AS z,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(exp(ln((CAST(n_a AS DOUBLE) / 100.0)
+                 / (CAST(n_b AS DOUBLE) / 120.0))
+              - 1.96 * sqrt(1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE)))
+          * 1e4) / 1e4 + 0.0 END AS ci_lo,
+  CASE WHEN n_a > 0 AND n_b > 0 THEN
+    round(exp(ln((CAST(n_a AS DOUBLE) / 100.0)
+                 / (CAST(n_b AS DOUBLE) / 120.0))
+              + 1.96 * sqrt(1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE)))
+          * 1e4) / 1e4 + 0.0 END AS ci_hi
+FROM c
+"""
+
+
+def _q_funnel_window_events(spark, sf_dir):
+    """Strict-order time-bounded funnel view→click→purchase within 7
+    days of the first view (streaming/events.py window_funnel —
+    ClickHouse windowFunnel semantics): greedy-earliest chained
+    min-aggregates, every pass keyed on the user. The oracle replays the
+    same greedy picks with QUALIFY row_number."""
+    from bid_evaluation_spark.streaming.events import window_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return window_funnel(ev, ["view", "click", "purchase"],
+                         horizon_seconds=604800.0)
+
+
+_SQL_FUNNEL_WINDOW_EVENTS = """
+WITH ev AS (
+  SELECT user_id AS u, event_type AS e,
+         CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+         CAST(event_id AS DOUBLE) AS b
+  FROM events
+),
+s1 AS (
+  SELECT u, t, b FROM (
+    SELECT u, t, b, row_number() OVER (PARTITION BY u ORDER BY t, b) AS rn
+    FROM ev WHERE e = 'view') WHERE rn = 1
+),
+s2 AS (
+  SELECT s1.u, s1.t AS t1, s1.b AS b1, n.t, n.b
+  FROM s1 JOIN ev n ON n.u = s1.u AND n.e = 'click'
+    AND (n.t, n.b) > (s1.t, s1.b) AND n.t <= s1.t + 604800.0
+  QUALIFY row_number() OVER (PARTITION BY s1.u ORDER BY n.t, n.b) = 1
+),
+s3 AS (
+  SELECT s2.u, s2.t1, n.t, n.b
+  FROM s2 JOIN ev n ON n.u = s2.u AND n.e = 'purchase'
+    AND (n.t, n.b) > (s2.t, s2.b) AND n.t <= s2.t1 + 604800.0
+  QUALIFY row_number() OVER (PARTITION BY s2.u ORDER BY n.t, n.b) = 1
+)
+SELECT s1.u AS user_id,
+  CAST(1 + CASE WHEN s2.u IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN s3.u IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS depth,
+  round(s1.t * 1e6) / 1e6 + 0.0 AS t_first,
+  round(coalesce(s3.t, s2.t, s1.t) * 1e6) / 1e6 + 0.0 AS t_last
+FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -11161,6 +11354,13 @@ _QUERIES: dict = {
     "features_woe_orders": (_q_features_woe_orders,
                             _SQL_FEATURES_WOE_ORDERS),
     "ts_trend_events": (_q_ts_trend_events, _SQL_TS_TREND_EVENTS),
+    "ts_seasonal_events": (_q_ts_seasonal_events, _SQL_TS_SEASONAL_EVENTS),
+    "ts_nelson_aalen_events": (_q_ts_nelson_aalen_events,
+                               _SQL_TS_NELSON_AALEN_EVENTS),
+    "analytics_poisson_events": (_q_analytics_poisson_events,
+                                 _SQL_ANALYTICS_POISSON_EVENTS),
+    "funnel_window_events": (_q_funnel_window_events,
+                             _SQL_FUNNEL_WINDOW_EVENTS),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

@@ -1036,3 +1036,43 @@ def ucb1_scores(df: DataFrame, arm_col: str, reward_col: str,
     return arms.select("arm", "n_pulls",
                        r4(mean).alias("mean_reward"),
                        r4(ucb).alias("ucb"))
+
+
+def poisson_rate_test(df: DataFrame, group_col: str, group_a, group_b,
+                      exposure_a: float, exposure_b: float) -> DataFrame:
+    """Two-sample Poisson rate comparison → one row ``(n_a, n_b, rate_a,
+    rate_b, ratio, log_se, z, ci_lo, ci_hi)`` — the count-metric
+    companion of :func:`ab_conversion_test` (errors/user-day,
+    purchases/session, crashes/device-hour).
+
+    Each ROW of ``df`` in group a/b is one event; ``exposure_*`` are the
+    observation totals (user-days, sessions, ...). Wald test on the log
+    rate ratio: ``se = √(1/n_a + 1/n_b)``, ``z = ln(ratio)/se``, 95% CI
+    ``exp(ln(ratio) ± 1.96·se)``. Zero counts yield null
+    ratio/z/CI (nothing to take a log of) — rates still report. ONE
+    filtered aggregate over the scan; rounds to 4 decimals.
+    """
+    if exposure_a <= 0 or exposure_b <= 0:
+        raise ValueError("exposures must be positive")
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    g = F.col(group_col)
+    agg = df.agg(
+        F.coalesce(F.sum(F.when(g == ga, 1)), F.lit(0))
+        .cast("long").alias("n_a"),
+        F.coalesce(F.sum(F.when(g == gb, 1)), F.lit(0))
+        .cast("long").alias("n_b"))
+    ea, eb = float(exposure_a), float(exposure_b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    rate_a, rate_b = na / F.lit(ea), nb / F.lit(eb)
+    ratio = rate_a / rate_b
+    se = F.sqrt(1.0 / na + 1.0 / nb)
+    lr = F.log(ratio)
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        "n_a", "n_b", r4(rate_a).alias("rate_a"), r4(rate_b).alias("rate_b"),
+        F.when(ok, r4(ratio)).alias("ratio"),
+        F.when(ok, r4(se)).alias("log_se"),
+        F.when(ok, r4(lr / se)).alias("z"),
+        F.when(ok, r4(F.exp(lr - 1.96 * se))).alias("ci_lo"),
+        F.when(ok, r4(F.exp(lr + 1.96 * se))).alias("ci_hi"))

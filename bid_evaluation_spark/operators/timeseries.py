@@ -738,3 +738,83 @@ def trend_test(df: DataFrame, group_col: str, x_col: str,
                     r4(F.col("_med")).alias("slope"),
                     F.when(F.col("n_pairs").isNotNull() & (var > 0),
                            r4(z)).alias("z")))
+
+
+def seasonal_decompose(df: DataFrame, key_col: str, order_cols: Sequence[str],
+                       value_col: str, period: int) -> DataFrame:
+    """Additive seasonal decomposition per key →
+    ``(key, order_cols..., value, trend, seasonal, residual)`` with
+    ``value = trend + seasonal + residual`` exactly (residual is the
+    remainder by construction).
+
+    Classical moving-average method: ``trend`` is a centered rolling
+    mean over ``period`` rows (period must be ODD for a symmetric
+    window; edges average the available rows — partial-window
+    semantics, mirrored by the SQL oracle); ``seasonal`` is the per-key,
+    per-phase (row index mod period) mean of the detrended series,
+    row-weighted mean-centered per key so the components are
+    identifiable. ALL steps are windows sharing the hash(key) exchange
+    plus one (key, phase) aggregate window — no joins, one scan.
+    Rows with null values keep null components. Rounds trend/seasonal
+    to 4 decimals; residual = value − trend − seasonal on the ROUNDED
+    parts (so the identity survives the rounding contract).
+    """
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be an odd integer >= 3, got {period}")
+    h = period // 2
+    w_ord = Window.partitionBy(key_col).orderBy(*order_cols)
+    w_tr = w_ord.rowsBetween(-h, h)
+    x = F.col(value_col).cast("double")
+    base = df.select(key_col, *order_cols, value_col).withColumn(
+        "_idx", F.row_number().over(w_ord) - 1).withColumn(
+        "_trend", F.avg(x).over(w_tr))
+    base = base.withColumn("_det", x - F.col("_trend"))
+    w_ph = Window.partitionBy(key_col, F.col("_idx") % period)
+    w_key = Window.partitionBy(key_col)
+    sm = F.avg("_det").over(w_ph)
+    base = base.withColumn("_sm", sm).withColumn(
+        "_seasonal", F.col("_sm") - F.avg("_sm").over(w_key))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    tr, se = r4(F.col("_trend")), r4(F.col("_seasonal"))
+    return base.select(
+        key_col, *order_cols, x.alias("value"),
+        tr.alias("trend"), se.alias("seasonal"),
+        (x - tr - se + F.lit(0.0)).alias("residual"))
+
+
+def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
+                 digits: int = 6) -> DataFrame:
+    """Nelson–Aalen cumulative hazard — the censoring-aware companion of
+    :func:`kaplan_meier`: ``H(t) = Σ_{t_i ≤ t} d_i / n_i`` over distinct
+    event times, with censored rows (``event_col`` false) leaving the
+    risk set without counting as events. Returns one row per distinct
+    quantized duration: ``(duration, n_risk, n_event, n_censored,
+    cum_hazard)`` (hazard rounded to 4 decimals).
+
+    Same shape as KM: durations quantize to ``digits`` decimals, ONE
+    groupBy(duration) bounds the ordered windows to distinct times.
+    """
+    if digits < 0:
+        raise ValueError("digits must be >= 0")
+    q = F.round(F.col(duration_col).cast("double") * (10 ** digits)) \
+        / (10 ** digits)
+    ev = F.col(event_col).cast("boolean").cast("long")
+    g = (df.filter(F.col(duration_col).isNotNull()
+                   & F.col(event_col).isNotNull())
+         .groupBy(q.alias("duration"))
+         .agg(F.sum(ev).cast("long").alias("n_event"),
+              F.sum(1 - ev).cast("long").alias("n_censored"),
+              F.count(F.lit(1)).cast("long").alias("_n")))
+    w = Window.orderBy("duration").rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy("duration").rowsBetween(
+        Window.unboundedPreceding, -1)
+    total = Window.rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing)
+    n_risk = (F.sum("_n").over(total)
+              - F.coalesce(F.sum("_n").over(w_prev), F.lit(0))).cast("long")
+    g = g.withColumn("n_risk", n_risk)
+    hz = F.sum(F.col("n_event").cast("double")
+               / F.col("n_risk")).over(w)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return g.select("duration", "n_risk", "n_event", "n_censored",
+                    r4(hz).alias("cum_hazard"))

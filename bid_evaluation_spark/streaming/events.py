@@ -265,3 +265,73 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str,
     if how not in ("left", "inner"):
         raise ValueError(f"stream-static join supports left/inner, got {how}")
     return events.join(dim, [on], how)
+
+
+def window_funnel(events: DataFrame, stages: Sequence[str],
+                  horizon_seconds: float, ts_col: str = "ts",
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  order_tiebreak: str = "event_id") -> DataFrame:
+    """STRICT-ORDER time-bounded funnel (the ClickHouse ``windowFunnel``
+    semantics, complementing the presence-based :func:`session_funnel`):
+    per user, the depth is the longest stage prefix reachable by picking,
+    greedily, the EARLIEST stage-1 event and then each next stage's
+    earliest event at-or-after the previous stage, all within
+    ``horizon_seconds`` of the stage-1 anchor. Returns one row per user
+    that reached at least stage 1: ``(user, depth, t_first, t_last)``
+    (epoch seconds, rounded to 6 decimals).
+
+    Execution: k−1 chained min-aggregates — stage i's events equi-join
+    the stage-(i−1) frontier on the user key and take the per-user min
+    timestamp within the window. Every join/aggregate keys on the user;
+    the per-stage event slices are filtered BEFORE joining, so each pass
+    touches only that stage's rows, never the full log. Greedy-earliest
+    is optimal here: picking any later stage-i event can only shrink
+    what remains reachable (exchange argument), so the depth is exact.
+    Ties at the same timestamp break by ``order_tiebreak`` (events with
+    equal (ts, tiebreak) — duplicates — behave as one).
+    """
+    if not stages:
+        raise ValueError("stages must be a non-empty sequence")
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_seconds must be positive")
+    t = F.col(ts_col).cast("double")
+    tb = F.col(order_tiebreak).cast("double")
+    # (ts, tiebreak) packed as a struct for lexicographic min
+    ev = events.select(
+        F.col(user_col).alias("_u"), F.col(type_col).alias("_e"),
+        F.struct(t.alias("t"), tb.alias("b")).alias("_k"))
+
+    frontier = (ev.filter(F.col("_e") == stages[0])
+                .groupBy("_u").agg(F.min("_k").alias("_k1"))
+                .select("_u", F.col("_k1").alias("_anchor"),
+                        F.col("_k1").alias("_cur"),
+                        F.lit(1).cast("long").alias("depth")))
+    for i, s in enumerate(stages[1:], start=1):
+        nxt = ev.filter(F.col("_e") == s).select(
+            F.col("_u").alias("_un"), F.col("_k").alias("_kn"))
+        # only users exactly at depth i may take stage i+1 — a user stuck
+        # earlier must not skip ahead on a later stage's event
+        step = (frontier.filter(F.col("depth") == i)
+                .join(nxt, F.col("_u") == F.col("_un"))
+                .filter((F.col("_kn") > F.col("_cur"))
+                        & (F.col("_kn.t") <= F.col("_anchor.t")
+                           + F.lit(float(horizon_seconds))))
+                .groupBy("_u")
+                .agg(F.min("_anchor").alias("_anchor"),
+                     F.min("_kn").alias("_next")))
+        advanced = step.select(
+            "_u", "_anchor", F.col("_next").alias("_cur"))
+        frontier = (frontier.join(
+            advanced.select(F.col("_u").alias("_ua"),
+                            F.col("_cur").alias("_cura")),
+            F.col("_u") == F.col("_ua"), "left")
+            .select("_u", "_anchor",
+                    F.coalesce(F.col("_cura"), F.col("_cur")).alias("_cur"),
+                    (F.col("depth")
+                     + F.when(F.col("_cura").isNotNull(), 1).otherwise(0))
+                    .alias("depth")))
+    r6 = lambda e: F.round(e * 1e6) / 1e6 + F.lit(0.0)  # noqa: E731
+    return frontier.select(
+        F.col("_u").alias(user_col), "depth",
+        r6(F.col("_anchor.t")).alias("t_first"),
+        r6(F.col("_cur.t")).alias("t_last"))

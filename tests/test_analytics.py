@@ -1038,3 +1038,33 @@ class TestUcb1:
         out = {r["arm"]: r["ucb"]
                for r in ucb1_scores(df, "arm", "r").collect()}
         assert out["cold"] > out["hot"]
+
+
+class TestPoissonRateTest:
+    def test_hand_computed(self, spark):
+        import math
+
+        from bid_evaluation_spark.operators.analytics import (
+            poisson_rate_test)
+
+        rows = [("a",)] * 30 + [("b",)] * 10
+        df = spark.createDataFrame(rows, "g string")
+        out = poisson_rate_test(df, "g", "a", "b", 100.0, 50.0).collect()[0]
+        assert (out["n_a"], out["n_b"]) == (30, 10)
+        assert out["rate_a"] == 0.3 and out["rate_b"] == 0.2
+        assert out["ratio"] == 1.5
+        se = math.sqrt(1 / 30 + 1 / 10)
+        assert out["z"] == pytest.approx(math.log(1.5) / se, abs=1e-4)
+        assert out["ci_lo"] < 1.5 < out["ci_hi"]
+
+    def test_zero_count_yields_null_inference(self, spark):
+        from bid_evaluation_spark.operators.analytics import (
+            poisson_rate_test)
+
+        df = spark.createDataFrame([("a",)] * 5, "g string")
+        out = poisson_rate_test(df, "g", "a", "b", 10.0, 10.0).collect()[0]
+        assert out["n_b"] == 0 and out["ratio"] is None and out["z"] is None
+        assert out["rate_a"] == 0.5 and out["rate_b"] == 0.0
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            poisson_rate_test(df, "g", "a", "b", 0.0, 1.0)

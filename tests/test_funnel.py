@@ -212,3 +212,52 @@ def test_streaming_sessionize_capped_matches_batch(spark, tmp_path):
             for r in sessionize_capped(batch_df, gap_seconds=1000,
                                        max_session_seconds=450).collect()}
     assert got == want
+
+
+class TestWindowFunnel:
+    def _wf(self, spark, rows, horizon=100.0,
+            stages=("a", "b", "c")):
+        from bid_evaluation_spark.streaming.events import window_funnel
+
+        df = spark.createDataFrame(
+            rows, "user_id string, ts double, event_id long, "
+                  "event_type string")
+        out = window_funnel(df, list(stages), horizon, ts_col="ts")
+        return {r["user_id"]: r.asDict() for r in out.collect()}
+
+    def test_strict_order_and_horizon(self, spark):
+        rows = [("u1", 1.0, 1, "a"), ("u1", 2.0, 2, "b"), ("u1", 3.0, 3, "c"),
+                ("u2", 1.0, 4, "b"), ("u2", 2.0, 5, "a"),  # b before a
+                ("u3", 1.0, 6, "a"), ("u3", 200.0, 7, "b")]  # b too late
+        out = self._wf(spark, rows)
+        assert out["u1"]["depth"] == 3
+        assert out["u1"]["t_first"] == 1.0 and out["u1"]["t_last"] == 3.0
+        assert out["u2"]["depth"] == 1  # the b before a doesn't count
+        assert out["u3"]["depth"] == 1  # horizon excludes the late b
+
+    def test_no_stage1_no_row_and_out_of_order_skip(self, spark):
+        rows = [("v", 1.0, 1, "b"), ("v", 2.0, 2, "c")]
+        assert self._wf(spark, rows) == {}
+        # stage 3 event between 1 and 2 must NOT advance past depth 1+2
+        rows = [("w", 1.0, 1, "a"), ("w", 2.0, 2, "c"), ("w", 3.0, 3, "b")]
+        out = self._wf(spark, rows)
+        assert out["w"]["depth"] == 2   # a then b; the early c is unusable
+
+    def test_greedy_earliest_anchor(self, spark):
+        # first 'a' at t=1 anchors the horizon even though the a@t=50
+        # would allow the late b — windowFunnel semantics
+        rows = [("x", 1.0, 1, "a"), ("x", 50.0, 2, "a"),
+                ("x", 120.0, 3, "b")]
+        out = self._wf(spark, rows, horizon=100.0)
+        assert out["x"]["depth"] == 1
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        from bid_evaluation_spark.streaming.events import window_funnel
+        df = spark.createDataFrame([("u", 1.0, 1, "a")],
+                                   "user_id string, ts double, "
+                                   "event_id long, event_type string")
+        with _pt.raises(ValueError):
+            window_funnel(df, [], 10.0)
+        with _pt.raises(ValueError):
+            window_funnel(df, ["a"], 0.0)

@@ -694,3 +694,70 @@ class TestTrendTest:
         rows.append(("o", 10.0, 1000.0))   # gross outlier
         out = self._tt(spark, rows)
         assert out["o"]["slope"] == pytest.approx(1.0, abs=1e-4)
+
+
+class TestSeasonalDecompose:
+    def _sd(self, spark, vals, period=3):
+        from bid_evaluation_spark.operators.timeseries import (
+            seasonal_decompose)
+
+        rows = [("k", t, v) for t, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, t long, v double")
+        out = seasonal_decompose(df, "g", ["t"], "v", period=period)
+        return sorted((r["t"], r.asDict()) for r in out.collect())
+
+    def test_identity_holds_exactly(self, spark):
+        vals = [5.0, 9.0, 2.0, 6.0, 10.0, 3.0, 7.0, 11.0, 4.0]
+        for _, r in self._sd(spark, vals):
+            assert r["value"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"], abs=1e-12)
+
+    def test_pure_seasonal_signal_recovered(self, spark):
+        # period-3 pattern around a flat base: seasonal should capture it
+        pattern = [0.0, 6.0, -6.0]
+        vals = [10.0 + pattern[i % 3] for i in range(12)]
+        out = dict(self._sd(spark, vals))
+        # interior rows: trend ~ 10, seasonal ~ pattern
+        for t in range(3, 9):
+            assert out[t]["seasonal"] == pytest.approx(pattern[t % 3],
+                                                       abs=0.8)
+        # seasonal components average ~0 per key (identifiability)
+        mean_sea = sum(r["seasonal"] for r in out.values()) / len(out)
+        assert abs(mean_sea) < 0.2
+
+    def test_period_validation(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._sd(spark, [1.0, 2.0], period=4)
+        with _pt.raises(ValueError):
+            self._sd(spark, [1.0, 2.0], period=1)
+
+
+class TestNelsonAalen:
+    def test_hand_computed(self, spark):
+        from bid_evaluation_spark.operators.timeseries import nelson_aalen
+
+        rows = [(1.0, True), (2.0, True), (2.0, False), (3.0, True)]
+        df = spark.createDataFrame(rows, "dur double, ev boolean")
+        out = {r["duration"]: r.asDict()
+               for r in nelson_aalen(df, "dur", "ev").collect()}
+        # t=1: risk 4, 1 event -> H=0.25
+        # t=2: risk 3, 1 event + 1 censored -> H=0.25+1/3
+        # t=3: risk 1, 1 event -> H += 1
+        assert out[1.0]["n_risk"] == 4
+        assert out[1.0]["cum_hazard"] == 0.25
+        assert out[2.0]["n_risk"] == 3 and out[2.0]["n_censored"] == 1
+        assert out[2.0]["cum_hazard"] == pytest.approx(0.25 + 1 / 3,
+                                                       abs=1e-4)
+        assert out[3.0]["cum_hazard"] == pytest.approx(0.25 + 1 / 3 + 1.0,
+                                                       abs=1e-4)
+
+    def test_censoring_reduces_risk_only(self, spark):
+        from bid_evaluation_spark.operators.timeseries import nelson_aalen
+
+        rows = [(1.0, False)] * 3 + [(2.0, True)]
+        df = spark.createDataFrame(rows, "dur double, ev boolean")
+        out = {r["duration"]: r.asDict()
+               for r in nelson_aalen(df, "dur", "ev").collect()}
+        assert out[1.0]["n_event"] == 0 and out[1.0]["cum_hazard"] == 0.0
+        assert out[2.0]["n_risk"] == 1 and out[2.0]["cum_hazard"] == 1.0

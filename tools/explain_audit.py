@@ -1407,6 +1407,40 @@ def _mi_woe_trend(spark, sf_dir):
     return probs
 
 
+@check("seasonal: join-free shared-key windows; window funnel: user-keyed "
+       "stage slices; nelson-aalen: bounded windows after groupBy")
+def _seasonal_funnel_na(spark, sf_dir):
+    from bid_evaluation_spark.operators.timeseries import (nelson_aalen,
+                                                           seasonal_decompose)
+    from bid_evaluation_spark.sources.io import load_table
+    from bid_evaluation_spark.streaming.events import window_funnel
+
+    probs = []
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "_x", F.col("ts").cast("double"))
+    splan = plan_of(seasonal_decompose(ev, "event_type", ["_x", "event_id"],
+                                       "value", period=7))
+    if "Join" in splan:
+        probs.append("join in the seasonal-decompose plan — components "
+                     "must be windows")
+    if splan.count("FileScan") + splan.count("InMemoryTableScan") != 1:
+        probs.append("seasonal decompose scanned more than once")
+
+    fplan = plan_of(window_funnel(ev, ["view", "click", "purchase"],
+                                  604800.0))
+    if "CartesianProduct" in fplan:
+        probs.append("cartesian in the window-funnel plan")
+
+    durs = ev.select(((F.col("event_id") % 97) + 1).cast("double")
+                     .alias("dur"),
+                     (F.col("event_id") % 5 != 0).alias("obs"))
+    nplan = plan_of(nelson_aalen(durs, "dur", "obs"))
+    if "HashAggregate" not in nplan:
+        probs.append("nelson-aalen lost the duration groupBy — windows "
+                     "must run on the bounded distinct-time table")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
