@@ -10547,6 +10547,72 @@ FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
 """
 
 
+def _q_ivm_join_delta_orders(spark, sf_dir):
+    """Incremental join maintenance (operators/ivm.py join_insert_delta):
+    customer/orders split into base + insert batches by key arithmetic;
+    the view increment is the three-term delta algebra Δa⋈b ∪ a⋈Δb ∪
+    Δa⋈Δb — the full join never recomputes. The oracle replays the same
+    splits and union."""
+    from bid_evaluation_spark.operators.ivm import join_insert_delta
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice")
+    a, da = (cust.filter(F.col("custkey") % 5 != 0),
+             cust.filter(F.col("custkey") % 5 == 0))
+    b, db = (orders.filter(F.col("o_orderkey") % 4 != 0),
+             orders.filter(F.col("o_orderkey") % 4 == 0))
+    return join_insert_delta(a, da, b, db, "custkey")
+
+
+_SQL_IVM_JOIN_DELTA_ORDERS = """
+WITH ca AS (SELECT c_custkey AS custkey, c_acctbal FROM customer
+            WHERE c_custkey % 5 <> 0),
+cda AS (SELECT c_custkey AS custkey, c_acctbal FROM customer
+        WHERE c_custkey % 5 = 0),
+oa AS (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders
+       WHERE o_orderkey % 4 <> 0),
+oda AS (SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 4 = 0)
+SELECT cda.custkey, c_acctbal, o_orderkey, o_totalprice
+FROM cda JOIN oa ON cda.custkey = oa.custkey
+UNION ALL
+SELECT ca.custkey, c_acctbal, o_orderkey, o_totalprice
+FROM ca JOIN oda ON ca.custkey = oda.custkey
+UNION ALL
+SELECT cda.custkey, c_acctbal, o_orderkey, o_totalprice
+FROM cda JOIN oda ON cda.custkey = oda.custkey
+"""
+
+
+def _q_pipeline_quantile2pass_lineitem(spark, sf_dir):
+    """Exact 0.9-quantile without a global sort (operators/pipeline.py
+    exact_quantile_2pass, 512 buckets): bucket-count pass → driver rank
+    walk → one-bucket bounded sort. The oracle is the plain global
+    order statistic — the two-pass scheme must land on the identical
+    element."""
+    from bid_evaluation_spark.operators.pipeline import exact_quantile_2pass
+
+    li = _t(spark, sf_dir, "lineitem")
+    n, k, v = exact_quantile_2pass(li, "l_extendedprice", 0.9,
+                                   n_buckets=512)
+    return spark.createDataFrame([(n, k, float(v) + 0.0)],
+                                 "n long, k long, value double")
+
+
+_SQL_PIPELINE_QUANTILE2PASS_LINEITEM = """
+WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+           WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT count(*) AS c FROM v),
+r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v)
+SELECT CAST((SELECT c FROM n) AS BIGINT) AS n,
+       CAST((SELECT floor(0.9 * (c - 1)) FROM n) AS BIGINT) AS k,
+       x + 0.0 AS value
+FROM r WHERE rk = (SELECT floor(0.9 * (c - 1)) FROM n)
+"""
+
+
 def _q_graph_textrank_documents(spark, sf_dir):
     """Per-document TextRank keywords (operators/graph.py
     textrank_keywords): adjacency co-occurrence graphs, 2 damped
@@ -11361,6 +11427,10 @@ _QUERIES: dict = {
                                  _SQL_ANALYTICS_POISSON_EVENTS),
     "funnel_window_events": (_q_funnel_window_events,
                              _SQL_FUNNEL_WINDOW_EVENTS),
+    "ivm_join_delta_orders": (_q_ivm_join_delta_orders,
+                              _SQL_IVM_JOIN_DELTA_ORDERS),
+    "pipeline_quantile2pass_lineitem": (_q_pipeline_quantile2pass_lineitem,
+                                        _SQL_PIPELINE_QUANTILE2PASS_LINEITEM),
     "enc_target_kfold_orders": (_q_enc_target_kfold_orders,
                                 _SQL_ENC_TARGET_KFOLD_ORDERS),
     "text_feature_hash_documents": (_q_text_feature_hash_documents,

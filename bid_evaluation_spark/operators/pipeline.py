@@ -1215,3 +1215,54 @@ def neyman_allocation(df: DataFrame, group_col: str, value_col: str,
                       F.lit(1)).otherwise(F.lit(0)))
     return (g.select(group_col, "n_rows", "stddev",
                      alloc.cast("long").alias("alloc")))
+
+
+def exact_quantile_2pass(df: DataFrame, value_col: str, q: float,
+                         n_buckets: int = 1024) -> tuple:
+    """EXACT q-quantile (lower / type-1: the element at 0-based rank
+    ``floor(q·(n−1))``) WITHOUT a global sort → ``(n, k, value)``
+    Python scalars.
+
+    The classic two-pass scheme for quantiles too precise for sketches
+    and tables too big to sort: pass 1 bins values into ``n_buckets``
+    equi-width buckets over [min, max] (one partial-agg groupBy — only
+    bucket COUNTS shuffle); the driver walks the bounded count table to
+    find the bucket holding rank k; pass 2 filters to that ONE bucket
+    (~n/n_buckets rows under mild uniformity) and takes its
+    (k − rank_below)-th smallest via a bounded sort. Driver traffic is
+    n_buckets counts + one value — never data. Skewed distributions
+    degrade the bucket to more rows (still exact, just a bigger pass-2
+    sort); raise ``n_buckets`` or recurse if a single bucket dominates.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    v = F.col(value_col).cast("double")
+    vals = df.filter(v.isNotNull()).select(v.alias("_v"))
+    stats = vals.agg(F.count(F.lit(1)).alias("n"), F.min("_v").alias("lo"),
+                     F.max("_v").alias("hi")).collect()[0]
+    n, lo, hi = int(stats["n"]), stats["lo"], stats["hi"]
+    if n == 0:
+        return (0, 0, None)
+    k = int(q * (n - 1))
+    if lo == hi:
+        return (n, k, float(lo))
+    width = (hi - lo) / n_buckets
+    bucket = F.least(F.floor((F.col("_v") - F.lit(lo)) / F.lit(width)),
+                     F.lit(n_buckets - 1)).cast("long")
+    counts = sorted((r["_b"], r["_c"]) for r in
+                    vals.groupBy(bucket.alias("_b"))
+                    .agg(F.count(F.lit(1)).alias("_c")).collect())
+    below, target = 0, None
+    for b, c in counts:
+        if below + c > k:
+            target = b
+            break
+        below += c
+    # pass 2 filters by the SAME bucket expression as pass 1 — a
+    # reconstructed [lo+b·w, lo+(b+1)·w) range could disagree with
+    # floor() on boundary values in the last float bit
+    in_bucket = (vals.filter(bucket == int(target))
+                 .orderBy("_v").limit(k - below + 1).collect())
+    return (n, k, float(in_bucket[k - below]["_v"]))

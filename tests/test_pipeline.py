@@ -510,3 +510,42 @@ class TestNeymanCappedSlots:
                neyman_allocation(df, "grp", "v", budget=10).collect()}
         assert out == {"cap": 2, "aa": 4, "bb": 4}
         assert sum(out.values()) == 10
+
+
+class TestExactQuantile2Pass:
+    def _q(self, spark, vals, q, **kw):
+        from bid_evaluation_spark.operators.pipeline import (
+            exact_quantile_2pass)
+
+        df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+        return exact_quantile_2pass(df, "x", q, **kw)
+
+    def test_matches_sorted_order_statistic(self, spark):
+        vals = [((k * 37) % 101) / 3.0 for k in range(200)]
+        for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+            n, k, v = self._q(spark, vals, q, n_buckets=16)
+            assert n == 200 and k == int(q * 199)
+            assert v == sorted(vals)[k]
+
+    def test_constant_nulls_empty(self, spark):
+        n, k, v = self._q(spark, [7.0] * 5, 0.5)
+        assert (n, v) == (5, 7.0)
+        from bid_evaluation_spark.operators.pipeline import (
+            exact_quantile_2pass)
+        df = spark.createDataFrame([(None,), (3.0,)], "x double")
+        assert exact_quantile_2pass(df, "x", 0.5) == (1, 0, 3.0)
+        empty = spark.createDataFrame([], "x double")
+        assert exact_quantile_2pass(empty, "x", 0.5) == (0, 0, None)
+
+    def test_skewed_single_bucket_still_exact(self, spark):
+        # all mass in one bucket plus one outlier stretching the range
+        vals = [1.0 + i * 1e-6 for i in range(50)] + [1e9]
+        n, k, v = self._q(spark, vals, 0.5, n_buckets=8)
+        assert v == sorted(vals)[k]
+
+    def test_validation(self, spark):
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            self._q(spark, [1.0], 1.5)
+        with _pt.raises(ValueError):
+            self._q(spark, [1.0], 0.5, n_buckets=0)

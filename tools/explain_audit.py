@@ -1441,6 +1441,31 @@ def _seasonal_funnel_na(spark, sf_dir):
     return probs
 
 
+@check("ivm: three delta joins, no full recompute join; quantile2pass: "
+       "counts-only shuffle then one-bucket sort")
+def _ivm_quantile(spark, sf_dir):
+    from bid_evaluation_spark.operators.ivm import join_insert_delta
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_acctbal")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice")
+    a, da = (cust.filter(F.col("custkey") % 5 != 0),
+             cust.filter(F.col("custkey") % 5 == 0))
+    b, db = (orders.filter(F.col("o_orderkey") % 4 != 0),
+             orders.filter(F.col("o_orderkey") % 4 == 0))
+    plan = plan_of(join_insert_delta(a, da, b, db, "custkey"))
+    joins = (plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+             + plan.count("BroadcastHashJoin"))
+    if joins != 3:
+        probs.append(f"ivm delta expected exactly 3 equi-joins, saw {joins}")
+    if "CartesianProduct" in plan:
+        probs.append("cartesian in the ivm plan")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
