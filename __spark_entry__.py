@@ -10985,6 +10985,138 @@ FROM ord o JOIN iso USING (k)
 """
 
 
+def _q_ml_ols2_lineitem(spark, sf_dir):
+    """Per-returnflag closed-form OLS (operators/regress.py ols2):
+    y = extendedprice/1000 on (quantity, discount) — training is ONE
+    partial-agg groupBy producing the nine sufficient statistics; the
+    2×2 centered normal system solves in Column arithmetic on the
+    3-row stats table. The oracle replays the identical raw-moment
+    arithmetic."""
+    from bid_evaluation_spark.operators.regress import ols2
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("_y", F.col("l_extendedprice") / 1000.0))
+    return ols2(li, "l_returnflag", "l_quantity", "l_discount", "_y")
+
+
+_SQL_ML_OLS2_LINEITEM = """
+WITH src AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) / CAST(1000 AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+),
+g AS (
+  SELECT grp, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  FROM src GROUP BY grp
+),
+c AS (
+  SELECT grp, n,
+         s11 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS c11,
+         s22 - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) AS c22,
+         s12 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) AS c12,
+         s1y - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c1y,
+         s2y - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c2y,
+         syy - CAST(n AS DOUBLE)*(sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS cyy,
+         s1/CAST(n AS DOUBLE) AS m1, s2/CAST(n AS DOUBLE) AS m2,
+         sy/CAST(n AS DOUBLE) AS my
+  FROM g
+),
+s AS (
+  SELECT grp, n, cyy, m1, m2, my, c11, c22, c12, c1y, c2y,
+         c11*c22 - c12*c12 AS det,
+         (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+         (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2
+  FROM c
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12
+       THEN round((my - b1*m1 - b2*m2) * 1e4) / 1e4 + 0.0 END AS b0,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12
+       THEN round(b1 * 1e4) / 1e4 + 0.0 END AS b1,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12
+       THEN round(b2 * 1e4) / 1e4 + 0.0 END AS b2,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12 AND cyy > 1e-12
+       THEN round((CAST(1 AS DOUBLE)
+            - (cyy - CAST(2 AS DOUBLE)*(b1*c1y + b2*c2y)
+               + b1*b1*c11 + CAST(2 AS DOUBLE)*b1*b2*c12 + b2*b2*c22) / cyy)
+            * 1e4) / 1e4 + 0.0 END AS r2
+FROM s
+"""
+
+
+def _q_ml_ridge2_lineitem(spark, sf_dir):
+    """Ridge twin of ml_ols2 (operators/regress.py ridge2, λ=1e5 on the
+    centered Gram diagonal, intercept unpenalized): same single-agg
+    training shape; r2 is the plain residual R² of the shrunk
+    coefficients (≤ OLS R² by construction). Oracle replays the
+    penalized solve and unpenalized SSE quadratic."""
+    from bid_evaluation_spark.operators.regress import ridge2
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("_y", F.col("l_extendedprice") / 1000.0))
+    return ridge2(li, "l_returnflag", "l_quantity", "l_discount", "_y",
+                  lam=1e5)
+
+
+_SQL_ML_RIDGE2_LINEITEM = """
+WITH src AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x1,
+         CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) / CAST(1000 AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+),
+g AS (
+  SELECT grp, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  FROM src GROUP BY grp
+),
+c AS (
+  SELECT grp, n,
+         s11 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))
+           + CAST(100000 AS DOUBLE) AS c11,
+         s22 - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
+           + CAST(100000 AS DOUBLE) AS c22,
+         s12 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) AS c12,
+         s1y - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c1y,
+         s2y - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c2y,
+         syy - CAST(n AS DOUBLE)*(sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS cyy,
+         s1/CAST(n AS DOUBLE) AS m1, s2/CAST(n AS DOUBLE) AS m2,
+         sy/CAST(n AS DOUBLE) AS my
+  FROM g
+),
+s AS (
+  SELECT grp, n, cyy, m1, m2, my, c11, c22, c12, c1y, c2y,
+         c11*c22 - c12*c12 AS det,
+         (c22*c1y - c12*c2y) / (c11*c22 - c12*c12) AS b1,
+         (c11*c2y - c12*c1y) / (c11*c22 - c12*c12) AS b2
+  FROM c
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12
+       THEN round((my - b1*m1 - b2*m2) * 1e4) / 1e4 + 0.0 END AS b0,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12
+       THEN round(b1 * 1e4) / 1e4 + 0.0 END AS b1,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12
+       THEN round(b2 * 1e4) / 1e4 + 0.0 END AS b2,
+  CASE WHEN n >= 3 AND abs(det) > 1e-12 AND cyy > 1e-12
+       THEN round((CAST(1 AS DOUBLE)
+            - (cyy - CAST(2 AS DOUBLE)*(b1*c1y + b2*c2y)
+               + b1*b1*(c11 - CAST(100000 AS DOUBLE))
+               + CAST(2 AS DOUBLE)*b1*b2*c12
+               + b2*b2*(c22 - CAST(100000 AS DOUBLE))) / cyy)
+            * 1e4) / 1e4 + 0.0 END AS r2
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11439,6 +11571,8 @@ _QUERIES: dict = {
     "ml_gbm_stumps_lineitem": (_q_ml_gbm_stumps_lineitem,
                                _SQL_ML_GBM_STUMPS_LINEITEM),
     "ml_isotonic_orders": (_q_ml_isotonic_orders, _SQL_ML_ISOTONIC_ORDERS),
+    "ml_ols2_lineitem": (_q_ml_ols2_lineitem, _SQL_ML_OLS2_LINEITEM),
+    "ml_ridge2_lineitem": (_q_ml_ridge2_lineitem, _SQL_ML_RIDGE2_LINEITEM),
 }
 
 
