@@ -11117,6 +11117,94 @@ FROM s
 """
 
 
+def _q_graph_linkpred_lineitem(spark, sf_dir):
+    """Link prediction on the order↔part bipartite incidence
+    (operators/graph.py link_prediction): common-container count,
+    Adamic–Adar and Jaccard per part pair sharing ≥2 orders. The
+    per-container pair blow-up is bounded by the basket cap (7 = the
+    TPC-H max, so nothing is dropped locally but the guard is
+    exercised). The oracle replays the capped self-join and both score
+    formulas."""
+    from bid_evaluation_spark.operators.graph import link_prediction
+
+    li = _t(spark, sf_dir, "lineitem")
+    return link_prediction(li, "l_orderkey", "l_partkey",
+                           max_container_size=7, min_common=2)
+
+
+_SQL_GRAPH_LINKPRED_LINEITEM = """
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS c, l_partkey AS n FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+sz AS (SELECT c, count(*) AS sz FROM inc GROUP BY c
+       HAVING count(*) <= 7),
+kept AS (SELECT inc.c, inc.n, sz.sz FROM inc JOIN sz USING (c)),
+deg AS (SELECT n, count(*) AS degree FROM kept GROUP BY n),
+pairs AS (
+  SELECT a.n AS node_a, b.n AS node_b, count(*) AS common,
+         sum(CAST(1 AS DOUBLE) / ln(CAST(a.sz AS DOUBLE))) AS aa
+  FROM kept a JOIN kept b ON a.c = b.c AND a.n < b.n
+  GROUP BY a.n, b.n HAVING count(*) >= 2
+)
+SELECT node_a, node_b, CAST(common AS BIGINT) AS common,
+  round(aa * 1e4) / 1e4 + 0.0 AS adamic_adar,
+  round(CAST(common AS DOUBLE)
+        / CAST(da.degree + db.degree - common AS DOUBLE) * 1e4) / 1e4
+    + 0.0 AS jaccard
+FROM pairs
+JOIN deg da ON pairs.node_a = da.n
+JOIN deg db ON pairs.node_b = db.n
+"""
+
+
+def _q_rec_item_cosine_lineitem(spark, sf_dir):
+    """Item-item collaborative filtering (operators/recs.py
+    item_item_cosine): top-5 cosine neighbors per part from the
+    order→part interaction table, hub orders capped at 7 items,
+    pairs pruned below 2 common orders. Cosine rounds to 4 decimals
+    BEFORE ranking so rnk is engine-reproducible; the oracle replays
+    cap, co-count, cosine and window."""
+    from bid_evaluation_spark.operators.recs import item_item_cosine
+
+    li = _t(spark, sf_dir, "lineitem")
+    return item_item_cosine(li, "l_orderkey", "l_partkey", k=5,
+                            max_user_items=7, min_common=2)
+
+
+_SQL_REC_ITEM_COSINE_LINEITEM = """
+WITH inc AS (
+  SELECT DISTINCT l_orderkey AS u, l_partkey AS i FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+),
+kept AS (
+  SELECT u, i FROM inc
+  WHERE u IN (SELECT u FROM inc GROUP BY u HAVING count(*) <= 7)
+),
+deg AS (SELECT i, count(*) AS nu FROM kept GROUP BY i),
+co AS (
+  SELECT a.i AS item, b.i AS neighbor, count(*) AS common
+  FROM kept a JOIN kept b ON a.u = b.u AND a.i <> b.i
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+sc AS (
+  SELECT item, neighbor, common,
+    round(CAST(common AS DOUBLE)
+          / sqrt(CAST(di.nu AS DOUBLE) * CAST(dj.nu AS DOUBLE))
+          * 1e4) / 1e4 + 0.0 AS cosine
+  FROM co
+  JOIN deg di ON co.item = di.i
+  JOIN deg dj ON co.neighbor = dj.i
+)
+SELECT item, neighbor, CAST(common AS BIGINT) AS common, cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY item
+                                   ORDER BY cosine DESC, neighbor) AS rnk
+      FROM sc)
+WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11573,6 +11661,10 @@ _QUERIES: dict = {
     "ml_isotonic_orders": (_q_ml_isotonic_orders, _SQL_ML_ISOTONIC_ORDERS),
     "ml_ols2_lineitem": (_q_ml_ols2_lineitem, _SQL_ML_OLS2_LINEITEM),
     "ml_ridge2_lineitem": (_q_ml_ridge2_lineitem, _SQL_ML_RIDGE2_LINEITEM),
+    "graph_linkpred_lineitem": (_q_graph_linkpred_lineitem,
+                                _SQL_GRAPH_LINKPRED_LINEITEM),
+    "rec_item_cosine_lineitem": (_q_rec_item_cosine_lineitem,
+                                 _SQL_REC_ITEM_COSINE_LINEITEM),
 }
 
 
