@@ -11205,6 +11205,136 @@ WHERE rnk <= 5
 """
 
 
+def _q_cdc_scd2_orders(spark, sf_dir):
+    """SCD type-2 dimension history (operators/cdc.py scd2_history):
+    per customer, collapse the (priority, status) change log ordered by
+    (orderdate, orderkey) into validity-interval versions with
+    valid_from/valid_to/is_current — the Kimball warehouse history
+    build as two key-partitioned windows. The oracle replays the
+    null-safe lag comparison and lead/row_number intervals."""
+    from bid_evaluation_spark.operators.cdc import scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    h = scd2_history(o, ["o_custkey"], "o_orderdate",
+                     ["o_orderpriority", "o_orderstatus"], "o_orderkey")
+    return h.select(
+        "o_custkey", "o_orderpriority", "o_orderstatus",
+        F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to"),
+        "version", "is_current")
+
+
+_SQL_CDC_SCD2_ORDERS = f"""
+WITH src AS (
+  SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS id,
+         o_orderpriority AS a1, o_orderstatus AS a2
+  FROM orders
+),
+m AS (
+  SELECT *, lag(a1) OVER w AS p1, lag(a2) OVER w AS p2,
+         row_number() OVER w AS rn
+  FROM src WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+),
+runs AS (
+  SELECT k, ts, id, a1, a2 FROM m
+  WHERE rn = 1 OR (a1 IS DISTINCT FROM p1) OR (a2 IS DISTINCT FROM p2)
+)
+SELECT k AS o_custkey, a1 AS o_orderpriority, a2 AS o_orderstatus,
+  strftime(ts, '{{_FMT}}') AS valid_from,
+  strftime(lead(ts) OVER w2, '{{_FMT}}') AS valid_to,
+  CAST(row_number() OVER w2 AS BIGINT) AS version,
+  (lead(ts) OVER w2) IS NULL AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY k ORDER BY ts, id)
+""".replace("{_FMT}", _TS_FMT_DUCK)
+
+
+def _q_privacy_ldiversity_customer(spark, sf_dir):
+    """ℓ-diversity audit (operators/privacy.py l_diversity_report):
+    quasi-identifiers (nation, market segment), sensitive attribute =
+    1000-wide account-balance band; classes with < 6 distinct bands are
+    the violations, each with its Shannon entropy (the entropy-ℓ
+    statistic). The oracle replays the cell/roll-up arithmetic."""
+    from bid_evaluation_spark.operators.privacy import l_diversity_report
+
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("_band", F.floor(F.col("c_acctbal") / 1000.0)))
+    return l_diversity_report(c, ["c_nationkey", "c_mktsegment"],
+                              "_band", l=6)
+
+
+_SQL_PRIVACY_LDIVERSITY_CUSTOMER = """
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         floor(CAST(c_acctbal AS DOUBLE) / CAST(1000 AS DOUBLE)) AS sv,
+         count(*) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT c_nationkey, c_mktsegment, cnt,
+         sum(cnt) OVER (PARTITION BY c_nationkey, c_mktsegment) AS cs
+  FROM cells
+)
+SELECT c_nationkey, c_mktsegment,
+  CAST(max(cs) AS BIGINT) AS class_size,
+  CAST(count(*) AS BIGINT) AS n_sensitive,
+  round(sum(-(CAST(cnt AS DOUBLE) / CAST(cs AS DOUBLE))
+            * ln(CAST(cnt AS DOUBLE) / CAST(cs AS DOUBLE))) * 1e4) / 1e4
+    + 0.0 AS entropy
+FROM tot GROUP BY 1, 2 HAVING count(*) < 6
+"""
+
+
+def _q_analytics_srm_events(spark, sf_dir):
+    """Sample-ratio-mismatch guardrail (operators/analytics.py
+    srm_check): distinct users hash-split into a synthetic 50/50 A/B
+    assignment, χ² goodness-of-fit against the design shares with the
+    Wilson–Hilferty z as the alarm statistic. The oracle replays count,
+    χ² and the cube-root normal approximation."""
+    from bid_evaluation_spark.operators.analytics import srm_check
+
+    units = (_t(spark, sf_dir, "events")
+             .select("user_id").distinct()
+             .withColumn("arm", F.when(F.col("user_id") % 2 == 0, "A")
+                         .otherwise("B")))
+    return srm_check(units, "arm", {"A": 0.5, "B": 0.5})
+
+
+_SQL_ANALYTICS_SRM_EVENTS = """
+WITH units AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+),
+c AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS DOUBLE) AS oa,
+         CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS DOUBLE) AS ob
+  FROM units
+),
+s AS (
+  SELECT n, (oa - n * CAST(0.5 AS DOUBLE)) * (oa - n * CAST(0.5 AS DOUBLE))
+           / (n * CAST(0.5 AS DOUBLE))
+         + (ob - n * CAST(0.5 AS DOUBLE)) * (ob - n * CAST(0.5 AS DOUBLE))
+           / (n * CAST(0.5 AS DOUBLE)) AS chi2
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n,
+  round(chi2 * 1e4) / 1e4 + 0.0 AS chi2,
+  CAST(1 AS BIGINT) AS dof,
+  round((pow(chi2 / CAST(1 AS DOUBLE),
+             CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+         - (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(9 AS DOUBLE)))
+        / sqrt(CAST(2 AS DOUBLE) / CAST(9 AS DOUBLE)) * 1e4) / 1e4
+    + 0.0 AS z_wh,
+  ((pow(chi2 / CAST(1 AS DOUBLE),
+        CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+    - (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE) / CAST(9 AS DOUBLE)))
+   / sqrt(CAST(2 AS DOUBLE) / CAST(9 AS DOUBLE))) > CAST(3 AS DOUBLE) AS srm,
+  CAST(0 AS BIGINT) AS n_unexpected
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11665,6 +11795,11 @@ _QUERIES: dict = {
                                 _SQL_GRAPH_LINKPRED_LINEITEM),
     "rec_item_cosine_lineitem": (_q_rec_item_cosine_lineitem,
                                  _SQL_REC_ITEM_COSINE_LINEITEM),
+    "cdc_scd2_orders": (_q_cdc_scd2_orders, _SQL_CDC_SCD2_ORDERS),
+    "privacy_ldiversity_customer": (_q_privacy_ldiversity_customer,
+                                    _SQL_PRIVACY_LDIVERSITY_CUSTOMER),
+    "analytics_srm_events": (_q_analytics_srm_events,
+                             _SQL_ANALYTICS_SRM_EVENTS),
 }
 
 

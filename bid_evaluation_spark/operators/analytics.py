@@ -1076,3 +1076,79 @@ def poisson_rate_test(df: DataFrame, group_col: str, group_a, group_b,
         F.when(ok, r4(lr / se)).alias("z"),
         F.when(ok, r4(F.exp(lr - 1.96 * se))).alias("ci_lo"),
         F.when(ok, r4(F.exp(lr + 1.96 * se))).alias("ci_hi"))
+
+
+def srm_check(df: DataFrame, arm_col: str, expected: dict,
+              z_alarm: float = 3.0) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for experiment assignment
+    (standard A/B hygiene, e.g. Fabijan et al. "Diagnosing Sample
+    Ratio Mismatch", KDD 2019): chi-square goodness-of-fit of observed
+    arm counts against the design allocation → one row ``(n, chi2, dof,
+    z_wh, srm, n_unexpected)``.
+
+    ``expected`` maps arm value → design share (must sum to ~1).
+    ``z_wh`` is the Wilson–Hilferty normal approximation of the χ²
+    tail — ``((χ²/ν)^(1/3) − (1 − 2/(9ν))) / sqrt(2/(9ν))`` — so the
+    alarm is a plain z-threshold (default 3.0 ≈ p < 0.0013, the usual
+    SRM trip-wire; allocation bugs produce z in the tens). Rows whose
+    arm is not in ``expected`` are counted in ``n_unexpected`` and
+    EXCLUDED from the test (they are their own, louder, bug). Arms in
+    ``expected`` with zero observed rows still contribute their full
+    expected count. One groupBy over the scan; everything after runs
+    on the #arms-row table. ``df`` should hold one row per
+    randomization unit — pre-deduplicate if units can repeat.
+    """
+    if not expected:
+        raise ValueError("expected allocation must be non-empty")
+    tot_share = float(sum(expected.values()))
+    if abs(tot_share - 1.0) > 1e-6:
+        raise ValueError(f"expected shares must sum to 1, got {tot_share}")
+    if any(s <= 0 for s in expected.values()):
+        raise ValueError("every expected share must be positive")
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in expected.items()],
+        f"_arm {df.schema[arm_col].dataType.simpleString()}, _share double")
+    counts = (df.groupBy(F.col(arm_col).alias("_arm"))
+              .agg(F.count(F.lit(1)).alias("_obs")))
+    # no broadcast hint: Spark cannot broadcast-build a full-outer side,
+    # and both inputs are #arms-row tables anyway
+    m = (counts.join(exp_df, "_arm", "full_outer")
+         .select(F.coalesce(F.col("_obs"), F.lit(0)).alias("_obs"),
+                 "_share"))
+    agg = m.agg(
+        F.coalesce(F.sum(F.when(F.col("_share").isNotNull(),
+                                F.col("_obs"))), F.lit(0))
+        .cast("long").alias("n"),
+        F.coalesce(F.sum(F.when(F.col("_share").isNull(),
+                                F.col("_obs"))), F.lit(0))
+        .cast("long").alias("n_unexpected"),
+        F.collect_list(F.when(F.col("_share").isNotNull(),
+                              F.struct("_obs", "_share"))).alias("_cells"))
+    n = F.col("n").cast("double")
+    chi2 = F.aggregate(
+        "_cells", F.lit(0.0),
+        lambda acc, c: acc
+        + (c["_obs"].cast("double") - n * c["_share"])
+        * (c["_obs"].cast("double") - n * c["_share"])
+        / (n * c["_share"]))
+    dof = float(len(expected) - 1)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    if dof < 1:
+        return agg.select(
+            "n", F.lit(None).cast("double").alias("chi2"),
+            F.lit(0).cast("long").alias("dof"),
+            F.lit(None).cast("double").alias("z_wh"),
+            F.lit(None).cast("boolean").alias("srm"), "n_unexpected")
+    mu = 1.0 - 2.0 / (9.0 * dof)
+    sd = (2.0 / (9.0 * dof)) ** 0.5
+    z = (F.pow(chi2 / F.lit(dof), F.lit(1.0) / F.lit(3.0))
+         - F.lit(mu)) / F.lit(sd)
+    ok = F.col("n") > 0
+    return agg.select(
+        "n",
+        F.when(ok, r4(chi2)).alias("chi2"),
+        F.lit(int(dof)).cast("long").alias("dof"),
+        F.when(ok, r4(z)).alias("z_wh"),
+        F.when(ok, z > F.lit(float(z_alarm))).alias("srm"),
+        "n_unexpected")

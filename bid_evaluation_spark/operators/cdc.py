@@ -105,3 +105,45 @@ def compact_latest(df: DataFrame, key_cols: Sequence[str],
          .orderBy(F.col(version_col).desc(), F.col(tiebreak_col).desc()))
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def scd2_history(df: DataFrame, key_cols: Sequence[str], ts_col: str,
+                 attr_cols: Sequence[str], tiebreak_col: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log
+    (Kimball's SCD2): per key, collapse consecutive rows whose tracked
+    attributes are unchanged and emit one VERSION row per run →
+    ``(*key_cols, *attr_cols, valid_from, valid_to, version,
+    is_current)`` where ``valid_to`` is the next version's
+    ``valid_from`` (null on the open current version) and ``version``
+    counts 1.. per key in time order.
+
+    Ordering within a key is ``(ts_col, tiebreak_col)`` — the tiebreak
+    must be unique per key+timestamp for a deterministic history.
+    Attribute comparison is null-safe (null → null is "no change";
+    null → value is a change). Two key-partitioned window passes over
+    the log, nothing else — the history table is at most the log size
+    and shrinks with every unchanged row.
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    if not keys or not attrs:
+        raise ValueError("need at least one key column and one attribute")
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
+                                          F.col(tiebreak_col).asc())
+    cur = F.struct(*[F.col(a) for a in attrs])
+    prev = F.lag(cur).over(w)
+    changed = prev.isNull() | ~prev.eqNullSafe(cur)
+    runs = (df.select(*keys, ts_col, tiebreak_col, *attrs)
+            .withColumn("_chg", changed)
+            .filter(F.col("_chg"))
+            .drop("_chg"))
+    w2 = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc(),
+                                           F.col(tiebreak_col).asc())
+    return (runs
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("version",
+                        F.row_number().over(w2).cast("long"))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select(*keys, *attrs, "valid_from", "valid_to", "version",
+                    "is_current"))

@@ -77,3 +77,41 @@ def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float,
         group_col, "true_count",
         F.greatest(F.lit(0.0),
                    F.col("true_count") + noise).alias("noisy_count"))
+
+
+def l_diversity_report(df: DataFrame, quasi_cols, sensitive_col: str,
+                       l: int = 3) -> DataFrame:
+    """ℓ-diversity audit (Machanavajjhala et al. ICDE 2006) over the
+    quasi-identifier columns: one row per VIOLATING equivalence class
+    (fewer than ``l`` distinct sensitive values) as ``(*quasi_cols,
+    class_size, n_sensitive, entropy)`` — empty result ⟺ every class is
+    ℓ-diverse. ``entropy`` is the Shannon entropy (nats, 4 decimals) of
+    the class's sensitive-value distribution, the statistic of the
+    stricter entropy-ℓ-diversity variant (a class passes that variant
+    when ``entropy ≥ ln(l)``).
+
+    Null sensitive values count as a value (they are disclosable too).
+    One partial-agg groupBy collapses the scan to (quasi, sensitive)
+    cells; the class-share window and roll-up then run on that bounded
+    cell table, never the raw rows.
+    """
+    quasi_cols = list(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    from pyspark.sql import Window
+
+    cells = (df.groupBy(*quasi_cols,
+                        F.col(sensitive_col).alias("_sv"))
+             .agg(F.count(F.lit(1)).alias("_cnt")))
+    wc = Window.partitionBy(*quasi_cols)
+    p = F.col("_cnt").cast("double") / F.sum("_cnt").over(wc).cast("double")
+    return (cells.withColumn("_term", -p * F.log(p))
+            .groupBy(*quasi_cols)
+            .agg(F.sum("_cnt").cast("long").alias("class_size"),
+                 F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+                 (F.round(F.sum("_term") * 1e4) / 1e4
+                  + F.lit(0.0)).alias("entropy"))
+            .filter(F.col("n_sensitive") < l)
+            .select(*quasi_cols, "class_size", "n_sensitive", "entropy"))
