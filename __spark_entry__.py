@@ -11335,6 +11335,109 @@ FROM s
 """
 
 
+def _q_ts_changepoint_events(spark, sf_dir):
+    """Best single mean-shift changepoint per event type
+    (operators/timeseries.py changepoint_by_key) over the HOURLY mean
+    series — the series is compressed to bounded length before the
+    per-key window, hourly means round to 1e-6 so both engines feed
+    bit-identical inputs into the (order-deterministic) prefix-sum
+    arithmetic. The oracle replays cumsum, gain and the rounded-gain
+    argmax."""
+    from bid_evaluation_spark.operators.timeseries import changepoint_by_key
+
+    hourly = (_t(spark, sf_dir, "events")
+              .groupBy("event_type",
+                       F.date_trunc("hour", F.col("ts")).alias("_h"))
+              .agg((F.round(F.avg("value") * 1e6) / 1e6).alias("_v")))
+    return (changepoint_by_key(hourly, "event_type", ["_h"], "_v")
+            .withColumnRenamed("key", "event_type"))
+
+
+_SQL_TS_CHANGEPOINT_EVENTS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(avg(value) * 1e6) / 1e6 AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (
+  SELECT event_type, v,
+         row_number() OVER w AS t,
+         sum(v) OVER w AS cs,
+         sum(v * v) OVER w AS css,
+         count(*) OVER wk AS n,
+         sum(v) OVER wk AS s,
+         sum(v * v) OVER wk AS ss
+  FROM hourly WHERE v IS NOT NULL
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS UNBOUNDED PRECEDING),
+         wk AS (PARTITION BY event_type)
+),
+cand AS (
+  SELECT event_type, t, n, cs, s,
+    round(((ss - s * s / CAST(n AS DOUBLE))
+           - (css - cs * cs / CAST(t AS DOUBLE))
+           - (ss - css - (s - cs) * (s - cs)
+              / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))) * 1e6) / 1e6
+      AS gain
+  FROM b WHERE t >= 2 AND t <= n - 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY gain DESC, t) AS rk
+  FROM cand
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_after,
+  round(gain * 1e4) / 1e4 + 0.0 AS gain,
+  round(cs / CAST(t AS DOUBLE) * 1e4) / 1e4 + 0.0 AS mean_left,
+  round((s - cs) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * 1e4) / 1e4
+    + 0.0 AS mean_right
+FROM best WHERE rk = 1
+"""
+
+
+def _q_events_top_paths(spark, sf_dir):
+    """Top session journeys (streaming/events.py top_paths): 30-minute
+    gap sessions, first 3 events per session in (ts, event_id) order
+    rendered 'a>b>c', top-20 paths by frequency with path-asc
+    tiebreak. The prefix cut happens BEFORE any collection so no
+    session materializes more than max_len elements. The oracle
+    replays sessionization, the rn≤3 cut and the ordered string_agg."""
+    from bid_evaluation_spark.streaming.events import top_paths
+
+    ev = _t(spark, sf_dir, "events")
+    return top_paths(ev, gap_seconds=1800, max_len=3, k=20)
+
+
+_SQL_EVENTS_TOP_PATHS = """
+WITH m AS (
+  SELECT user_id, ts, event_type, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR (epoch(ts) - epoch(lag(ts) OVER w)) > 1800
+         THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                               ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, sid
+),
+c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY path)
+SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+      FROM c)
+WHERE rnk <= 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11800,6 +11903,9 @@ _QUERIES: dict = {
                                     _SQL_PRIVACY_LDIVERSITY_CUSTOMER),
     "analytics_srm_events": (_q_analytics_srm_events,
                              _SQL_ANALYTICS_SRM_EVENTS),
+    "ts_changepoint_events": (_q_ts_changepoint_events,
+                              _SQL_TS_CHANGEPOINT_EVENTS),
+    "events_top_paths": (_q_events_top_paths, _SQL_EVENTS_TOP_PATHS),
 }
 
 

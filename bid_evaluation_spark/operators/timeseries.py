@@ -818,3 +818,69 @@ def nelson_aalen(df: DataFrame, duration_col: str, event_col: str,
     r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
     return g.select("duration", "n_risk", "n_event", "n_censored",
                     r4(hz).alias("cum_hazard"))
+
+
+def changepoint_by_key(df: DataFrame, key_col: str,
+                       order_cols: Sequence[str], value_col: str,
+                       min_seg: int = 2) -> DataFrame:
+    """Best single mean-shift changepoint per key (the first step of
+    binary segmentation, Scott & Knott 1974): the split ``t`` that
+    maximizes the SSE reduction
+
+        gain(t) = SST − SSE(1..t) − SSE(t+1..n)
+
+    over ``min_seg ≤ t ≤ n − min_seg`` → ``(key, n, split_after,
+    gain, mean_left, mean_right)``; keys too short for any valid split
+    are omitted.  ``split_after`` = size of the left segment, ties on
+    (1e-6-rounded) gain break to the SMALLEST t — rounding before the
+    argmax keeps the winner reproducible across engines.
+
+    All O(n) via running sums: one key-ordered cumulative window
+    provides every candidate's left/right sums-of-squares in closed
+    form; no per-candidate rescan, no driver loop.  The series per key
+    must be bounded (pre-aggregate with :func:`bucket_aggregate` or an
+    hourly roll-up first — the pattern every per-key window operator
+    here uses); ordering over ``order_cols`` must be a total order
+    within a key for a deterministic result.
+    """
+    if min_seg < 1:
+        raise ValueError(f"min_seg must be >= 1, got {min_seg}")
+    order = [F.col(c).asc() for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = (Window.partitionBy(key_col)
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    v = F.col(value_col).cast("double")
+    base = (df.filter(v.isNotNull())
+            .withColumn("_t", F.row_number().over(w).cast("long"))
+            .withColumn("_cs", F.sum(v).over(wc))
+            .withColumn("_css", F.sum(v * v).over(wc))
+            .withColumn("_n", F.count(F.lit(1)).over(wall))
+            .withColumn("_s", F.sum(v).over(wall))
+            .withColumn("_ss", F.sum(v * v).over(wall)))
+    t = F.col("_t").cast("double")
+    n = F.col("_n").cast("double")
+    nr = n - t
+    sse_l = F.col("_css") - F.col("_cs") * F.col("_cs") / t
+    sse_r = (F.col("_ss") - F.col("_css")
+             - (F.col("_s") - F.col("_cs"))
+             * (F.col("_s") - F.col("_cs")) / nr)
+    sst = F.col("_ss") - F.col("_s") * F.col("_s") / n
+    cands = (base.filter((F.col("_t") >= int(min_seg))
+                         & (F.col("_t") <= F.col("_n") - int(min_seg)))
+             .withColumn("_gain",
+                         F.round((sst - sse_l - sse_r) * 1e6) / 1e6)
+             .withColumn("_ml", F.col("_cs") / t)
+             .withColumn("_mr", (F.col("_s") - F.col("_cs")) / nr))
+    wbest = Window.partitionBy(key_col).orderBy(F.desc("_gain"),
+                                                F.asc("_t"))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return (cands.withColumn("_rk", F.row_number().over(wbest))
+            .filter(F.col("_rk") == 1)
+            .select(F.col(key_col).alias("key"),
+                    F.col("_n").cast("long").alias("n"),
+                    F.col("_t").alias("split_after"),
+                    r4(F.col("_gain")).alias("gain"),
+                    r4(F.col("_ml")).alias("mean_left"),
+                    r4(F.col("_mr")).alias("mean_right")))

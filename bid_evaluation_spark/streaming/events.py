@@ -335,3 +335,50 @@ def window_funnel(events: DataFrame, stages: Sequence[str],
         F.col("_u").alias(user_col), "depth",
         r6(F.col("_anchor.t")).alias("t_first"),
         r6(F.col("_cur.t")).alias("t_last"))
+
+
+def top_paths(events: DataFrame, gap_seconds: int = 1800,
+              max_len: int = 5, k: int = 20, ts_col: str = "ts",
+              user_col: str = "user_id", event_col: str = "event_type",
+              tiebreak_col: str = "event_id") -> DataFrame:
+    """Most common session journeys: sessionize (same gap rule as
+    :func:`sessionize`), take each session's first ``max_len`` events in
+    (ts, tiebreak) order, render the journey as ``'a>b>c'``, and return
+    the top-``k`` paths by frequency → ``(path, n_sessions, rnk)``
+    ordered by (count desc, path asc) — deterministic under ties.
+
+    The path-mining staple for onboarding/funnel exploration.  Scale
+    shape: the per-session event prefix is CUT TO ``max_len`` BEFORE
+    any collection, so no session — however long — materializes more
+    than ``max_len`` elements; the path table then partial-aggregates
+    to at most |event-type alphabet|^max_len rows and the final top-k
+    is one window over that bounded table.
+    """
+    if max_len < 1 or k < 1:
+        raise ValueError("max_len and k must be >= 1")
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w_seq = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w_seq)
+    is_new = (prev_ts.isNull()
+              | ((F.col(ts_col).cast("double") - prev_ts.cast("double"))
+                 > gap_seconds)).cast("long")
+    sess = (events
+            .withColumn("_sid", F.sum(is_new).over(
+                w_seq.rowsBetween(Window.unboundedPreceding, 0)))
+            .withColumn("_rn", F.row_number().over(
+                Window.partitionBy(user_col, "_sid").orderBy(*order)))
+            .filter(F.col("_rn") <= int(max_len)))
+    paths = (sess.groupBy(user_col, "_sid")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("_rn").alias("r"),
+                                  F.col(event_col).alias("e")))),
+                     lambda s: s["e"]),
+                 ">").alias("path"))
+             .groupBy("path")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_sessions")))
+    wtop = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return (paths.withColumn("rnk", F.row_number().over(wtop).cast("long"))
+            .filter(F.col("rnk") <= int(k))
+            .select("path", "n_sessions", "rnk"))
