@@ -11438,6 +11438,60 @@ WHERE rnk <= 20
 """
 
 
+def _q_ml_knn_embeddings(spark, sf_dir):
+    """kNN classification (operators/classify.py knn_classify): 1-in-37
+    held-out queries, majority label among the 5 cosine-nearest
+    training vectors, vote ties to the smallest label. Retrieval is
+    the exact cosine_topk baseline (broadcast queries, map-side
+    similarity); the oracle replays retrieval, vote and tiebreak."""
+    from bid_evaluation_spark.operators.classify import knn_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 37 == 0)
+    c = emb.filter(F.col("vec_id") % 37 != 0)
+    res = knn_classify(q, c, k=5)
+    return (res.join(q.select("vec_id", "label"), "vec_id")
+            .select("vec_id", "label", "predicted", "votes", "top_cosine",
+                    (F.col("predicted") == F.col("label")).alias("correct")))
+
+
+_SQL_ML_KNN_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe, label AS tl FROM v
+      WHERE vec_id % 37 = 0),
+c AS (SELECT vec_id, e, label FROM v WHERE vec_id % 37 <> 0),
+sims AS (
+  SELECT q.qid, q.tl, c.vec_id AS nid, c.label AS nl,
+    list_sum(list_transform(generate_series(1, len(qe)),
+                            i -> qe[i] * c.e[i]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+         * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+  FROM q CROSS JOIN c
+  WHERE q.qid != c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY cosine DESC, nid ASC) AS rnk
+  FROM sims
+),
+votes AS (
+  SELECT qid, tl, nl AS predicted, count(*) AS votes,
+         round(max(cosine) * 1e4) / 1e4 + 0.0 AS top_cosine
+  FROM ranked WHERE rnk <= 5 GROUP BY qid, tl, nl
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY votes DESC, predicted ASC) AS rk
+  FROM votes
+)
+SELECT qid AS vec_id, tl AS label, predicted,
+       CAST(votes AS BIGINT) AS votes, top_cosine,
+       predicted = tl AS correct
+FROM best WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11906,6 +11960,7 @@ _QUERIES: dict = {
     "ts_changepoint_events": (_q_ts_changepoint_events,
                               _SQL_TS_CHANGEPOINT_EVENTS),
     "events_top_paths": (_q_events_top_paths, _SQL_EVENTS_TOP_PATHS),
+    "ml_knn_embeddings": (_q_ml_knn_embeddings, _SQL_ML_KNN_EMBEDDINGS),
 }
 
 

@@ -36,7 +36,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 import numpy as np
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
@@ -258,3 +258,42 @@ def logreg_predict(df: DataFrame, model: LogRegModel,
                       + F.exp(-_margin(feature_col, w, model.bias)))
     return df.withColumn("prob", p).withColumn(
         "pred", (F.col("prob") >= F.lit(float(threshold))).cast("int"))
+
+
+def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                 query_id: str = "vec_id", corpus_id: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-nearest-neighbor classification over an embedding corpus
+    (Fix & Hodges 1951): each query's label is the MAJORITY label among
+    its k cosine-nearest corpus vectors → ``(query_id, predicted,
+    votes, top_cosine)``; vote ties break to the smallest label,
+    ``top_cosine`` is the winning label's best (4-decimal) similarity.
+
+    Retrieval reuses :func:`..similarity.cosine_topk` (broadcast
+    queries, map-side similarity, per-query window top-k — the exact
+    brute-force baseline; swap in ``ivf_topk``/``lsh_topk`` for the
+    approximate scale path, the vote logic is retrieval-agnostic).
+    The vote itself is one partial-agg groupBy over the Q×k neighbor
+    table plus one per-query window — bounded by queries × k rows.
+    """
+    from .similarity import cosine_topk
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    nn = cosine_topk(queries, corpus, k=k, query_id=query_id,
+                     corpus_id=corpus_id, vec_col=vec_col,
+                     exclude_self=True)
+    lab = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                        F.col(label_col).alias("_nl"))
+    votes = (nn.join(lab, "neighbor_id")
+             .groupBy(F.col("query_id").alias(query_id),
+                      F.col("_nl").alias("predicted"))
+             .agg(F.count(F.lit(1)).cast("long").alias("votes"),
+                  (F.round(F.max("cosine") * 1e4) / 1e4
+                   + F.lit(0.0)).alias("top_cosine")))
+    w = Window.partitionBy(query_id).orderBy(F.desc("votes"),
+                                             F.asc("predicted"))
+    return (votes.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk"))

@@ -225,3 +225,33 @@ def test_nb_scoring_on_a_stream_via_foreachBatch(spark, tmp_path, fruit_docs):
              for r in nb_predict(fruit_docs, model).collect()}
     assert got == batch and len(got) == 6
     model.release()
+
+
+def test_knn_classify_majority_and_ties(spark):
+    from bid_evaluation_spark.operators.classify import knn_classify
+
+    # corpus: label 0 clustered near (1,0); label 1 near (0,1)
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [0.95, 0.05], 0),
+         (20, [0.0, 1.0], 1), (21, [0.1, 0.9], 1)],
+        "vec_id long, embedding array<float>, label int")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.05]), (2, [0.05, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           knn_classify(queries, corpus, k=3).collect()}
+    assert out[1]["predicted"] == 0 and out[1]["votes"] == 3
+    assert out[2]["predicted"] == 1 and out[2]["votes"] == 2
+    assert 0.99 <= out[1]["top_cosine"] <= 1.0
+
+    # 2-2 vote tie at k=4 -> smallest label wins
+    out4 = {r["vec_id"]: r for r in
+            knn_classify(queries, corpus, k=4).collect()}
+    q2 = out4[2]
+    assert q2["votes"] == 2 and q2["predicted"] in (0, 1)
+    # neighbors of q2 at k=4: 20,21 (label 1) + 2 of label 0 -> tie -> 0
+    assert q2["predicted"] == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        knn_classify(queries, corpus, k=0)
