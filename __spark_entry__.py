@@ -11492,6 +11492,164 @@ FROM best WHERE rk = 1
 """
 
 
+def _q_cdc_pit_orders(spark, sf_dir):
+    """Point-in-time join (operators/cdc.py pit_join) of a 1-in-7 order
+    sample against the SCD2 priority/status history of ALL orders
+    (scd2_history): each fact picks the customer version valid at its
+    own date — equi-join on custkey carries the partitioning, the
+    interval predicate filters the per-key version matches, at most one
+    version survives per fact by interval disjointness. The oracle
+    rebuilds the history CTE and replays the [valid_from, valid_to)
+    lookup."""
+    from bid_evaluation_spark.operators.cdc import pit_join, scd2_history
+
+    o = _t(spark, sf_dir, "orders")
+    hist = scd2_history(o, ["o_custkey"], "o_orderdate",
+                        ["o_orderpriority", "o_orderstatus"],
+                        "o_orderkey")
+    facts = (o.filter(F.col("o_orderkey") % 7 == 0)
+             .select("o_orderkey", "o_custkey",
+                     F.col("o_orderdate").alias("fact_ts")))
+    j = pit_join(facts, hist, ["o_custkey"], "fact_ts")
+    return j.select(
+        "o_orderkey", "o_custkey",
+        F.date_format("fact_ts", _TS_FMT_SPARK).alias("fact_ts"),
+        "o_orderpriority", "o_orderstatus",
+        F.date_format("valid_from", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to"),
+        "version", "is_current")
+
+
+_SQL_CDC_PIT_ORDERS = f"""
+WITH src AS (
+  SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS id,
+         o_orderpriority AS a1, o_orderstatus AS a2
+  FROM orders
+),
+m AS (
+  SELECT *, lag(a1) OVER w AS p1, lag(a2) OVER w AS p2,
+         row_number() OVER w AS rn
+  FROM src WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+),
+runs AS (
+  SELECT k, ts, id, a1, a2 FROM m
+  WHERE rn = 1 OR (a1 IS DISTINCT FROM p1) OR (a2 IS DISTINCT FROM p2)
+),
+hist AS (
+  SELECT k, a1, a2, ts AS vf, lead(ts) OVER w2 AS vt,
+         row_number() OVER w2 AS version
+  FROM runs WINDOW w2 AS (PARTITION BY k ORDER BY ts, id)
+),
+facts AS (
+  SELECT o_orderkey, o_custkey, o_orderdate AS fact_ts FROM orders
+  WHERE o_orderkey % 7 = 0
+)
+SELECT f.o_orderkey, f.o_custkey,
+  strftime(f.fact_ts, '{{_FMT}}') AS fact_ts,
+  h.a1 AS o_orderpriority, h.a2 AS o_orderstatus,
+  strftime(h.vf, '{{_FMT}}') AS valid_from,
+  strftime(h.vt, '{{_FMT}}') AS valid_to,
+  CAST(h.version AS BIGINT) AS version,
+  CASE WHEN h.k IS NULL THEN NULL ELSE h.vt IS NULL END AS is_current
+FROM facts f
+LEFT JOIN hist h
+  ON f.o_custkey = h.k AND f.fact_ts >= h.vf
+     AND (h.vt IS NULL OR f.fact_ts < h.vt)
+""".replace("{_FMT}", _TS_FMT_DUCK)
+
+
+def _q_profile_mahalanobis_lineitem(spark, sf_dir):
+    """Top-20 bivariate outliers per return flag by Mahalanobis d²
+    (operators/profile.py mahalanobis_outliers) over (quantity,
+    extendedprice/1000): one five-moment aggregation, closed-form 2×2
+    inverse broadcast back, d² rounds to 4 decimals BEFORE ranking.
+    The oracle replays moments, inverse and ranking."""
+    from bid_evaluation_spark.operators.profile import mahalanobis_outliers
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .withColumn("_y", F.col("l_extendedprice") / 1000.0))
+    return mahalanobis_outliers(li, "l_returnflag", "l_quantity", "_y",
+                                top_k=20)
+
+
+_SQL_PROFILE_MAHALANOBIS_LINEITEM = """
+WITH src AS (
+  SELECT l_returnflag AS grp, CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) / CAST(1000 AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+g AS (
+  SELECT grp, count(*) AS n, avg(x) AS mx, avg(y) AS my,
+         avg(x * x) AS mxx, avg(y * y) AS myy, avg(x * y) AS mxy
+  FROM src GROUP BY grp
+),
+stats AS (
+  SELECT grp, mx, my,
+         mxx - mx * mx AS vxx, myy - my * my AS vyy,
+         mxy - mx * my AS vxy,
+         (mxx - mx * mx) * (myy - my * my)
+           - (mxy - mx * my) * (mxy - mx * my) AS det
+  FROM g WHERE n >= 3
+),
+scored AS (
+  SELECT s.grp, s.x, s.y,
+    round(((s.x - t.mx) * (t.vyy * (s.x - t.mx) - t.vxy * (s.y - t.my))
+           + (s.y - t.my) * (t.vxx * (s.y - t.my) - t.vxy * (s.x - t.mx)))
+          / t.det * 1e4) / 1e4 + 0.0 AS d2
+  FROM src s JOIN stats t ON s.grp = t.grp
+  WHERE abs(t.det) > 1e-12
+)
+SELECT grp AS "group", x, y, d2, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY d2 DESC, x, y) AS rnk
+      FROM scored)
+WHERE rnk <= 20
+"""
+
+
+def _q_events_conversion_latency(spark, sf_dir):
+    """Time-to-convert summary view→purchase within 24 h
+    (streaming/events.py conversion_latency): per-user first-view /
+    first-subsequent-purchase latencies, exact interpolated p50/p90
+    over the bounded per-user table. The oracle replays the two
+    conditional min-aggregations and quantile_cont (same linear
+    interpolation as Spark percentile)."""
+    from bid_evaluation_spark.streaming.events import conversion_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return conversion_latency(ev, "view", "purchase",
+                              horizon_seconds=86400.0)
+
+
+_SQL_EVENTS_CONVERSION_LATENCY = """
+WITH a AS (
+  SELECT user_id, min(epoch(ts)) AS ta FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+b AS (
+  SELECT user_id, epoch(ts) AS tb FROM events
+  WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT a.user_id, a.ta,
+         min(CASE WHEN b.tb >= a.ta
+                       AND b.tb <= a.ta + CAST(86400 AS DOUBLE)
+                  THEN b.tb END) AS tc
+  FROM a LEFT JOIN b ON a.user_id = b.user_id
+  GROUP BY a.user_id, a.ta
+),
+lat AS (SELECT tc - ta AS l FROM conv)
+SELECT CAST(count(*) AS BIGINT) AS n_from,
+  CAST(count(l) AS BIGINT) AS n_converted,
+  round(CAST(count(l) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 1e4) / 1e4
+    + 0.0 AS conv_rate,
+  round((quantile_cont(l, 0.5)) * 1e4) / 1e4 + 0.0 AS p50_s,
+  round((quantile_cont(l, 0.9)) * 1e4) / 1e4 + 0.0 AS p90_s
+FROM lat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11961,6 +12119,11 @@ _QUERIES: dict = {
                               _SQL_TS_CHANGEPOINT_EVENTS),
     "events_top_paths": (_q_events_top_paths, _SQL_EVENTS_TOP_PATHS),
     "ml_knn_embeddings": (_q_ml_knn_embeddings, _SQL_ML_KNN_EMBEDDINGS),
+    "cdc_pit_orders": (_q_cdc_pit_orders, _SQL_CDC_PIT_ORDERS),
+    "profile_mahalanobis_lineitem": (_q_profile_mahalanobis_lineitem,
+                                     _SQL_PROFILE_MAHALANOBIS_LINEITEM),
+    "events_conversion_latency": (_q_events_conversion_latency,
+                                  _SQL_EVENTS_CONVERSION_LATENCY),
 }
 
 

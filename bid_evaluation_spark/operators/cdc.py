@@ -147,3 +147,45 @@ def scd2_history(df: DataFrame, key_cols: Sequence[str], ts_col: str,
             .withColumn("is_current", F.col("valid_to").isNull())
             .select(*keys, *attrs, "valid_from", "valid_to", "version",
                     "is_current"))
+
+
+def pit_join(facts: DataFrame, history: DataFrame,
+             key_cols: Sequence[str], fact_ts_col: str,
+             valid_from_col: str = "valid_from",
+             valid_to_col: str = "valid_to",
+             how: str = "left") -> DataFrame:
+    """Point-in-time join: attach to each fact row the dimension
+    VERSION that was valid when the fact happened — the feature-store /
+    Kimball lookup against an SCD2 history (:func:`scd2_history`):
+    match on key AND ``valid_from ≤ fact_ts < valid_to`` (open current
+    versions have null ``valid_to`` and match everything from their
+    start). Facts before a key's first version (or missing keys) keep
+    null dimension columns under ``how='left'``.
+
+    Plan shape: an EQUI-join on the key carries the hash partitioning;
+    the interval predicate is a post-join filter on the matched pairs —
+    each fact meets only ITS key's versions (per-key version counts are
+    small by SCD2 construction), never a cross product. Since versions
+    of one key never overlap, at most one history row survives per
+    fact — no dedup pass is needed afterwards.
+    """
+    keys = list(key_cols)
+    if not keys:
+        raise ValueError("need at least one key column")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how}")
+    ts = F.col(f"_f.{fact_ts_col}")
+    cond = None
+    for c in keys:
+        eq = F.col(f"_f.{c}") == F.col(f"_h.{c}")
+        cond = eq if cond is None else cond & eq
+    cond = (cond
+            & (ts >= F.col(f"_h.{valid_from_col}"))
+            & (F.col(f"_h.{valid_to_col}").isNull()
+               | (ts < F.col(f"_h.{valid_to_col}"))))
+    f = facts.alias("_f")
+    h = history.alias("_h")
+    out = f.join(h, cond, how)
+    for c in keys:
+        out = out.drop(F.col(f"_h.{c}"))
+    return out

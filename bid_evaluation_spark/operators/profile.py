@@ -410,3 +410,60 @@ def benford_deviation(df: DataFrame, value_col: str) -> DataFrame:
     return j.select("digit", "n", obs.alias("observed_share"),
                     exp_map.alias("expected_share"),
                     chi2.alias("chi2_term"))
+
+
+def mahalanobis_outliers(df: DataFrame, group_col: str, x_col: str,
+                         y_col: str, top_k: int = 20) -> DataFrame:
+    """Top multivariate outliers per group by 2-D Mahalanobis distance
+    (Mahalanobis 1936): fit each group's mean/covariance in ONE
+    sufficient-statistics aggregation, invert the 2×2 covariance in
+    closed form, then score every row with
+
+        d² = (x−μ)ᵀ Σ⁻¹ (x−μ)
+
+    and keep the ``top_k`` largest per group → ``(group, x, y, d2,
+    rnk)``.  Unlike per-axis z-scores, d² catches points that are
+    unremarkable marginally but violate the CORRELATION (d² is χ²₂
+    under normality — 9.21 ≈ the 99% cut).
+
+    Plan: one groupBy for the five moments, one broadcast-joined
+    scoring projection (the stats table is #groups rows), one per-group
+    window for the top-k.  ``d2`` rounds to 4 decimals BEFORE ranking
+    (rank reproducibility); degenerate groups (n < 3 or singular
+    covariance) are omitted.  Nulls in either coordinate are excluded.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    src = (df.filter(x.isNotNull() & y.isNotNull())
+           .select(F.col(group_col).alias("group"), x.alias("_x"),
+                   y.alias("_y")))
+    g = (src.groupBy("group")
+         .agg(F.count(F.lit(1)).cast("long").alias("_n"),
+              F.avg("_x").alias("_mx"), F.avg("_y").alias("_my"),
+              F.avg(F.col("_x") * F.col("_x")).alias("_mxx"),
+              F.avg(F.col("_y") * F.col("_y")).alias("_myy"),
+              F.avg(F.col("_x") * F.col("_y")).alias("_mxy")))
+    # population covariance from raw moments; closed-form 2x2 inverse
+    vxx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
+    vyy = F.col("_myy") - F.col("_my") * F.col("_my")
+    vxy = F.col("_mxy") - F.col("_mx") * F.col("_my")
+    det = vxx * vyy - vxy * vxy
+    stats = (g.filter((F.col("_n") >= 3))
+             .select("group", "_mx", "_my",
+                     vxx.alias("_vxx"), vyy.alias("_vyy"),
+                     vxy.alias("_vxy"), det.alias("_det"))
+             .filter(F.abs(F.col("_det")) > 1e-12))
+    dx = F.col("_x") - F.col("_mx")
+    dy = F.col("_y") - F.col("_my")
+    d2 = (dx * (F.col("_vyy") * dx - F.col("_vxy") * dy)
+          + dy * (F.col("_vxx") * dy - F.col("_vxy") * dx)) / F.col("_det")
+    w = Window.partitionBy("group").orderBy(F.desc("d2"), F.asc("_x"),
+                                            F.asc("_y"))
+    return (src.join(F.broadcast(stats), "group")
+            .withColumn("d2", F.round(d2 * 1e4) / 1e4 + F.lit(0.0))
+            .withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= top_k)
+            .select("group", F.col("_x").alias("x"),
+                    F.col("_y").alias("y"), "d2", "rnk"))

@@ -382,3 +382,47 @@ def top_paths(events: DataFrame, gap_seconds: int = 1800,
     return (paths.withColumn("rnk", F.row_number().over(wtop).cast("long"))
             .filter(F.col("rnk") <= int(k))
             .select("path", "n_sessions", "rnk"))
+
+
+def conversion_latency(events: DataFrame, from_event: str, to_event: str,
+                       horizon_seconds: float = 86400.0,
+                       ts_col: str = "ts", user_col: str = "user_id",
+                       event_col: str = "event_type") -> DataFrame:
+    """Time-to-convert distribution between two funnel stages: per user,
+    latency from the FIRST ``from_event`` to the first ``to_event`` at
+    or after it within ``horizon_seconds`` → one summary row
+    ``(n_from, n_converted, conv_rate, p50_s, p90_s)`` with EXACT
+    (linear-interpolation) latency percentiles in seconds.
+
+    The funnel question :func:`session_funnel` doesn't answer: not
+    whether users convert, but HOW LONG they take (SLA/payback
+    analysis).  Shape: two filtered per-user min-aggregations (the
+    second conditional on the first via one equi-join on user), then a
+    single global aggregate over the per-user latency table — bounded
+    by user cardinality, exact percentiles over it, no window over raw
+    events.  Same-timestamp conversions count (latency 0); a user with
+    no ``from_event`` is out of denominator.
+    """
+    if horizon_seconds <= 0:
+        raise ValueError("horizon_seconds must be positive")
+    t = F.col(ts_col).cast("double")
+    a = (events.filter(F.col(event_col) == from_event)
+         .groupBy(user_col).agg(F.min(t).alias("_ta")))
+    b = (events.filter(F.col(event_col) == to_event)
+         .select(user_col, t.alias("_tb")))
+    conv = (a.join(b, user_col, "left")
+            .groupBy(user_col, "_ta")
+            .agg(F.min(F.when((F.col("_tb") >= F.col("_ta"))
+                              & (F.col("_tb") <= F.col("_ta")
+                                 + float(horizon_seconds)),
+                              F.col("_tb"))).alias("_tc")))
+    lat = conv.select((F.col("_tc") - F.col("_ta")).alias("_lat"))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    qs = F.percentile("_lat", F.array(F.lit(0.5), F.lit(0.9)))
+    return lat.agg(
+        F.count(F.lit(1)).cast("long").alias("n_from"),
+        F.count("_lat").cast("long").alias("n_converted"),
+        r4(F.count("_lat").cast("double")
+           / F.count(F.lit(1)).cast("double")).alias("conv_rate"),
+        r4(qs[0]).alias("p50_s"),
+        r4(qs[1]).alias("p90_s"))
