@@ -11650,6 +11650,177 @@ FROM lat
 """
 
 
+def _q_ts_logrank_events(spark, sf_dir):
+    """Two-sample log-rank test (operators/timeseries.py logrank_test)
+    over the KM query's synthetic censored durations, groups = user
+    parity: per distinct event time the pooled d·n1/n expectation and
+    hypergeometric variance, one final aggregate → (n_times, o1, e1,
+    v, z, chi2). The oracle replays the at-risk bookkeeping and both
+    sums."""
+    from bid_evaluation_spark.operators.timeseries import logrank_test
+
+    ev = _t(spark, sf_dir, "events").select(
+        ((F.col("event_id") % 97) + 1).cast("double").alias("dur"),
+        (F.col("event_id") % 5 != 0).alias("observed"),
+        F.when(F.col("user_id") % 2 == 0, "a").otherwise("b").alias("g"))
+    return logrank_test(ev, "dur", "observed", "g", "a", "b")
+
+
+_SQL_TS_LOGRANK_EVENTS = """
+WITH rws AS (
+  SELECT CAST(event_id % 97 + 1 AS DOUBLE) AS t,
+         (event_id % 5 <> 0) AS ev,
+         CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS g
+  FROM events
+),
+per_t AS (
+  SELECT t,
+         sum(CASE WHEN g = 'a' THEN 1 ELSE 0 END) AS l1,
+         sum(CASE WHEN g = 'a' AND ev THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN g = 'b' THEN 1 ELSE 0 END) AS l2,
+         sum(CASE WHEN g = 'b' AND ev THEN 1 ELSE 0 END) AS d2
+  FROM rws GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d2,
+    sum(l1) OVER () - COALESCE(sum(l1) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+    sum(l2) OVER () - COALESCE(sum(l2) OVER (ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+  FROM per_t
+),
+terms AS (
+  SELECT d1,
+    CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      / CAST(n1 + n2 AS DOUBLE) AS e1,
+    CASE WHEN CAST(n1 + n2 AS DOUBLE) > CAST(1 AS DOUBLE)
+         THEN CAST(d1 + d2 AS DOUBLE)
+              * (CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (CAST(1 AS DOUBLE)
+                 - CAST(n1 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+              * (CAST(n1 + n2 AS DOUBLE) - CAST(d1 + d2 AS DOUBLE))
+              / (CAST(n1 + n2 AS DOUBLE) - CAST(1 AS DOUBLE))
+         ELSE CAST(0 AS DOUBLE) END AS v
+  FROM risk WHERE d1 + d2 >= 1
+),
+agg AS (
+  SELECT count(*) AS n_times, sum(d1) AS o1, sum(e1) AS se1,
+         sum(v) AS sv
+  FROM terms
+)
+SELECT CAST(n_times AS BIGINT) AS n_times, CAST(o1 AS BIGINT) AS o1,
+  round(se1 * 1e4) / 1e4 + 0.0 AS e1,
+  round(sv * 1e4) / 1e4 + 0.0 AS v,
+  CASE WHEN n_times > 0 AND sv > 1e-12
+       THEN round((CAST(o1 AS DOUBLE) - se1) / sqrt(sv) * 1e4) / 1e4
+            + 0.0 END AS z,
+  CASE WHEN n_times > 0 AND sv > 1e-12
+       THEN round(((CAST(o1 AS DOUBLE) - se1) / sqrt(sv))
+                  * ((CAST(o1 AS DOUBLE) - se1) / sqrt(sv)) * 1e4) / 1e4
+            + 0.0 END AS chi2
+FROM agg
+"""
+
+
+def _q_ts_anomaly_events(spark, sf_dir):
+    """Seasonality-aware anomalies (operators/timeseries.py
+    seasonal_anomalies): the ts_seasonal decomposition's residuals
+    scored with per-key median/MAD robust z, flagged at |z| > 3.5.
+    Residuals are bit-identical across engines (value − ROUNDED trend −
+    ROUNDED seasonal), so the exact-percentile med/MAD and the
+    threshold decisions replay exactly in the oracle."""
+    from bid_evaluation_spark.operators.timeseries import seasonal_anomalies
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("_x", F.col("ts").cast("double")))
+    res = seasonal_anomalies(ev, "event_type", ["_x", "event_id"],
+                             "value", period=7, z_thresh=3.5)
+    return res.select("event_type", "event_id",
+                      (_r4("value") + F.lit(0.0)).alias("value"),
+                      (_r4("residual") + F.lit(0.0)).alias("residual"),
+                      "robust_z")
+
+
+_SQL_TS_ANOMALY_EVENTS = """
+WITH base AS (
+  SELECT event_type AS g, event_id AS e, CAST(value AS DOUBLE) AS x,
+         row_number() OVER w - 1 AS idx,
+         avg(CAST(value AS DOUBLE)) OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, event_id
+           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM events
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY CAST(epoch_us(ts) AS DOUBLE) / 1000000.0, event_id)
+),
+det AS (SELECT g, e, x, trend, idx, x - trend AS d FROM base),
+sea AS (
+  SELECT g, e, x, trend, avg(d) OVER (PARTITION BY g, idx % 7) AS sm
+  FROM det
+),
+cen AS (
+  SELECT g, e, x,
+         round(trend * 1e4) / 1e4 + 0.0 AS tr,
+         round((sm - avg(sm) OVER (PARTITION BY g)) * 1e4) / 1e4 + 0.0 AS se
+  FROM sea
+),
+resid AS (SELECT g, e, x, x - tr - se + 0.0 AS r FROM cen),
+med AS (SELECT g, quantile_cont(r, 0.5) AS m FROM resid GROUP BY g),
+mad AS (
+  SELECT resid.g, quantile_cont(abs(r - m), 0.5) AS md
+  FROM resid JOIN med ON resid.g = med.g GROUP BY resid.g
+),
+scored AS (
+  SELECT resid.g, e, x, r,
+         (r - m) / (CAST(1.4826 AS DOUBLE) * md) AS z
+  FROM resid JOIN med ON resid.g = med.g JOIN mad ON resid.g = mad.g
+  WHERE md <> 0
+)
+SELECT g AS event_type, e AS event_id,
+  round(x * 1e4) / 1e4 + 0.0 AS value,
+  round(r * 1e4) / 1e4 + 0.0 AS residual,
+  round(z * 1e4) / 1e4 + 0.0 AS robust_z
+FROM scored WHERE abs(z) > CAST(3.5 AS DOUBLE)
+"""
+
+
+def _q_layout_compaction_orders(spark, sf_dir):
+    """Compaction planning (operators/layout.py compaction_plan) over a
+    synthetic file manifest (one 'file' per order, size = totalprice
+    bytes): deterministic running-total placement into ~1 MB rewrite
+    groups, group totals/counts via a second window — the manifest is
+    the only thing scanned, never data. The oracle replays the ordered
+    cumulative floor-divide."""
+    from bid_evaluation_spark.operators.layout import compaction_plan
+
+    files = (_t(spark, sf_dir, "orders")
+             .select(F.concat(F.lit("part-"),
+                              F.lpad(F.col("o_orderkey").cast("string"),
+                                     10, "0")).alias("path"),
+                     F.floor("o_totalprice").cast("long").alias("size")))
+    return compaction_plan(files, "path", "size", target_bytes=1_000_000)
+
+
+_SQL_LAYOUT_COMPACTION_ORDERS = """
+WITH files AS (
+  SELECT 'part-' || lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS path,
+         CAST(floor(o_totalprice) AS BIGINT) AS size
+  FROM orders
+),
+keyed AS (
+  SELECT path, size,
+    CAST(floor(CAST(COALESCE(sum(size) OVER (ORDER BY path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+         / 1000000) AS BIGINT) AS out_group
+  FROM files WHERE size IS NOT NULL AND size >= 0
+)
+SELECT path, size AS size_bytes, out_group,
+  sum(size) OVER (PARTITION BY out_group) AS group_total,
+  CAST(count(*) OVER (PARTITION BY out_group) AS BIGINT) AS group_files
+FROM keyed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12124,6 +12295,10 @@ _QUERIES: dict = {
                                      _SQL_PROFILE_MAHALANOBIS_LINEITEM),
     "events_conversion_latency": (_q_events_conversion_latency,
                                   _SQL_EVENTS_CONVERSION_LATENCY),
+    "ts_logrank_events": (_q_ts_logrank_events, _SQL_TS_LOGRANK_EVENTS),
+    "ts_anomaly_events": (_q_ts_anomaly_events, _SQL_TS_ANOMALY_EVENTS),
+    "layout_compaction_orders": (_q_layout_compaction_orders,
+                                 _SQL_LAYOUT_COMPACTION_ORDERS),
 }
 
 

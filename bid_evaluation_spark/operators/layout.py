@@ -82,3 +82,44 @@ def cluster_by_zorder(df: DataFrame, cols: Sequence[str],
     keyed = zorder_key(df, cols, bits=bits, out_col="_zk")
     return (keyed.repartitionByRange(num_partitions, "_zk")
             .sortWithinPartitions("_zk").drop("_zk"))
+
+
+def compaction_plan(files: DataFrame, path_col: str, size_col: str,
+                    target_bytes: int) -> DataFrame:
+    """Small-file compaction plan over a file manifest → one output
+    group per ~``target_bytes`` of input: ``(path, size_bytes,
+    out_group, group_total, group_files)``.  The lakehouse maintenance
+    primitive (Iceberg/Delta ``rewrite_data_files`` planning step):
+    thousands of 2 MB parquet files read 100× slower than the same
+    bytes in 512 MB files, so the planner assigns files to
+    target-sized rewrite tasks.
+
+    Deterministic running-total placement: files order by (path) —
+    stable, locality-preserving — and file *i* lands in group
+    ``floor(cum_before / target)`` where ``cum_before`` is the size sum
+    of all earlier files.  Every group's total is < target + its
+    largest member (oversized files get a group of their own, never
+    split here — rewriting splits them).  One ordered window over the
+    MANIFEST (≪ data; one row per file), a second for group totals;
+    the data itself is never touched.
+    """
+    if target_bytes <= 0:
+        raise ValueError("target_bytes must be positive")
+    from pyspark.sql import Window
+
+    w = Window.orderBy(path_col)
+    cum_before = F.coalesce(
+        F.sum(F.col(size_col)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+    keyed = (files
+             .filter(F.col(size_col).isNotNull() & (F.col(size_col) >= 0))
+             .withColumn("out_group",
+                         F.floor(cum_before / F.lit(int(target_bytes)))
+                         .cast("long")))
+    wg = Window.partitionBy("out_group")
+    return keyed.select(
+        F.col(path_col).alias("path"),
+        F.col(size_col).cast("long").alias("size_bytes"),
+        "out_group",
+        F.sum(F.col(size_col).cast("long")).over(wg).alias("group_total"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("group_files"))

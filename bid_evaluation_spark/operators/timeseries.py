@@ -884,3 +884,96 @@ def changepoint_by_key(df: DataFrame, key_col: str,
                     r4(F.col("_gain")).alias("gain"),
                     r4(F.col("_ml")).alias("mean_left"),
                     r4(F.col("_mr")).alias("mean_right")))
+
+
+def logrank_test(df: DataFrame, duration_col: str, event_col: str,
+                 group_col: str, group_a, group_b,
+                 digits: int = 6) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — "do these two survival
+    curves differ?", censoring-aware like :func:`kaplan_meier`: at each
+    distinct event time pool both groups and compare group A's observed
+    events with its at-risk-proportional expectation,
+
+        E1(t) = d(t)·n1(t)/n(t)
+        V(t)  = d(t)·(n1/n)·(1−n1/n)·(n−d)/(n−1)
+        z     = (Σd1 − ΣE1) / √ΣV,   χ² = z²
+
+    → one row ``(n_times, o1, e1, v, z, chi2)``.  Rows outside the two
+    groups are ignored; censored rows leave the risk set silently.
+
+    Same shape discipline as KM: durations quantize to ``digits``
+    decimals, ONE groupBy(duration) produces per-time per-group
+    leaving/event counts, at-risk comes from the total-minus-cumsum
+    window over the bounded distinct-time table, and the test is one
+    final aggregate.  Degenerate inputs (no event times, zero variance)
+    return null z/chi2 rather than failing.
+    """
+    scale = float(10 ** digits)
+    dur = F.round(F.col(duration_col).cast("double") * scale) / scale
+    ev = F.col(event_col).cast("boolean")
+    ga = F.col(group_col) == F.lit(group_a)
+    gb = F.col(group_col) == F.lit(group_b)
+    rows = df.filter(dur.isNotNull() & ev.isNotNull() & (ga | gb))
+    per_t = (rows.groupBy(dur.alias("_t"))
+             .agg(F.sum(ga.cast("long")).alias("_l1"),
+                  F.sum((ga & ev).cast("long")).alias("_d1"),
+                  F.sum(gb.cast("long")).alias("_l2"),
+                  F.sum((gb & ev).cast("long")).alias("_d2")))
+    w_ord = Window.orderBy("_t")
+    w_all = w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.unboundedFollowing)
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+
+    def at_risk(leave_col):
+        return (F.sum(leave_col).over(w_all)
+                - F.coalesce(F.sum(leave_col).over(w_prev), F.lit(0)))
+
+    staged = per_t.select(
+        "_t", "_d1", "_d2",
+        at_risk("_l1").alias("_n1"), at_risk("_l2").alias("_n2"))
+    n1 = F.col("_n1").cast("double")
+    nt = (F.col("_n1") + F.col("_n2")).cast("double")
+    dt = (F.col("_d1") + F.col("_d2")).cast("double")
+    e1 = dt * n1 / nt
+    v = F.when(nt > 1.0,
+               dt * (n1 / nt) * (F.lit(1.0) - n1 / nt)
+               * (nt - dt) / (nt - F.lit(1.0))).otherwise(F.lit(0.0))
+    terms = (staged.filter((F.col("_d1") + F.col("_d2")) >= 1)
+             .select(F.col("_d1").alias("_o1"), e1.alias("_e1"),
+                     v.alias("_v")))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    agg = terms.agg(F.count(F.lit(1)).cast("long").alias("n_times"),
+                    F.sum("_o1").cast("long").alias("o1"),
+                    F.sum("_e1").alias("_se1"),
+                    F.sum("_v").alias("_sv"))
+    ok = (F.col("n_times") > 0) & (F.col("_sv") > F.lit(1e-12))
+    z = (F.col("o1").cast("double") - F.col("_se1")) / F.sqrt("_sv")
+    return agg.select(
+        "n_times", "o1",
+        r4(F.col("_se1")).alias("e1"),
+        r4(F.col("_sv")).alias("v"),
+        F.when(ok, r4(z)).alias("z"),
+        F.when(ok, r4(z * z)).alias("chi2"))
+
+
+def seasonal_anomalies(df: DataFrame, key_col: str,
+                       order_cols: Sequence[str], value_col: str,
+                       period: int, z_thresh: float = 3.5) -> DataFrame:
+    """Seasonality-aware anomaly flags: :func:`seasonal_decompose`
+    residuals scored with per-key median/MAD robust z
+    (features.robust_zscores) and filtered at ``|z| > z_thresh`` →
+    ``(key, *order_cols, value, residual, robust_z)``.  Catches points
+    that are normal in LEVEL but wrong for their phase (a quiet Sunday
+    spike a global threshold misses) while ignoring trend drift.
+    Pure composition — decompose windows + two grouped percentile
+    aggregates; nothing new shuffles.  Keys with MAD = 0 produce no
+    flags (null scores, the try_divide contract).
+    """
+    from .features import robust_zscores
+
+    dec = seasonal_decompose(df, key_col, order_cols, value_col, period)
+    scored = robust_zscores(dec, "residual", group_col=key_col)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return (scored.filter(F.abs(F.col("robust_z")) > float(z_thresh))
+            .select(key_col, *order_cols, "value", "residual",
+                    r4(F.col("robust_z")).alias("robust_z")))
