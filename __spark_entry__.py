@@ -11821,6 +11821,106 @@ FROM keyed
 """
 
 
+def _q_analytics_wilson_orders(spark, sf_dir):
+    """Per-priority fulfilment scorecard with Wilson 95% intervals
+    (operators/analytics.py wilson_by_group) — the many-group companion
+    of the 2-variant A/B read-out, no collect, group cardinality
+    unbounded. The oracle replays the closed-form interval."""
+    from bid_evaluation_spark.operators.analytics import wilson_by_group
+
+    o = (_t(spark, sf_dir, "orders")
+         .withColumn("_s", F.col("o_orderstatus") == "F"))
+    return wilson_by_group(o, "o_orderpriority", "_s")
+
+
+_SQL_ANALYTICS_WILSON_ORDERS = """
+WITH g AS (
+  SELECT o_orderpriority AS grp, count(*) AS n,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS k
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1
+),
+c AS (
+  SELECT grp, n, k,
+         CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         CAST(1.959963984540054 AS DOUBLE)
+           * CAST(1.959963984540054 AS DOUBLE) AS z2,
+         CAST(1.959963984540054 AS DOUBLE) AS z,
+         CAST(n AS DOUBLE) AS nd
+  FROM g
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+  round(p * 1e4) / 1e4 + 0.0 AS rate,
+  round(((p + z2 / (CAST(2 AS DOUBLE) * nd)) / (CAST(1 AS DOUBLE) + z2 / nd)
+         - z * sqrt(p * (CAST(1 AS DOUBLE) - p) / nd
+                    + z2 / (CAST(4 AS DOUBLE) * nd * nd))
+           / (CAST(1 AS DOUBLE) + z2 / nd)) * 1e4) / 1e4 + 0.0 AS ci_lo,
+  round(((p + z2 / (CAST(2 AS DOUBLE) * nd)) / (CAST(1 AS DOUBLE) + z2 / nd)
+         + z * sqrt(p * (CAST(1 AS DOUBLE) - p) / nd
+                    + z2 / (CAST(4 AS DOUBLE) * nd * nd))
+           / (CAST(1 AS DOUBLE) + z2 / nd)) * 1e4) / 1e4 + 0.0 AS ci_hi
+FROM c
+"""
+
+
+def _q_ts_period_events(spark, sf_dir):
+    """Dominant seasonality per event type (operators/timeseries.py
+    dominant_period): argmax of the fused-aggregate ACF over lags 1–12,
+    ties to the smallest lag. One window pass computes all 12 lags;
+    the oracle rebuilds the shifted pairs with a row_number self-join
+    and replays the sufficient-statistics correlation and argmax."""
+    from bid_evaluation_spark.operators.timeseries import dominant_period
+
+    ev = _t(spark, sf_dir, "events")
+    return dominant_period(ev, "event_type", ["ts", "event_id"], "value",
+                           max_lag=12)
+
+
+_SQL_TS_PERIOD_EVENTS = """
+WITH ord AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+),
+lags AS (SELECT unnest(generate_series(1, 12)) AS lag),
+pairs AS (
+  SELECT a.event_type, l.lag, a.x AS x, b.x AS y
+  FROM ord a JOIN lags l ON TRUE
+  LEFT JOIN ord b ON a.event_type = b.event_type AND b.rn = a.rn - l.lag
+),
+g AS (
+  SELECT event_type, lag,
+    count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS n,
+    sum(x)  FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sx,
+    sum(y)  FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sy,
+    sum(x * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxy,
+    sum(x * x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxx,
+    sum(y * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS syy
+  FROM pairs GROUP BY event_type, lag
+),
+acf AS (
+  SELECT event_type, CAST(lag AS BIGINT) AS lag,
+    CAST(coalesce(n, 0) AS BIGINT) AS n_pairs,
+    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+          AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+         THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
+                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                           * (CAST(n AS DOUBLE) * syy - sy * sy))
+                    * 1e4) / 1e4 + 0.0
+    END AS acf
+  FROM g
+)
+SELECT event_type, lag, n_pairs, acf
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY round(acf * 1e6) / 1e6 DESC, lag) AS rk
+      FROM acf WHERE acf IS NOT NULL)
+WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12299,6 +12399,9 @@ _QUERIES: dict = {
     "ts_anomaly_events": (_q_ts_anomaly_events, _SQL_TS_ANOMALY_EVENTS),
     "layout_compaction_orders": (_q_layout_compaction_orders,
                                  _SQL_LAYOUT_COMPACTION_ORDERS),
+    "analytics_wilson_orders": (_q_analytics_wilson_orders,
+                                _SQL_ANALYTICS_WILSON_ORDERS),
+    "ts_period_events": (_q_ts_period_events, _SQL_TS_PERIOD_EVENTS),
 }
 
 

@@ -1152,3 +1152,38 @@ def srm_check(df: DataFrame, arm_col: str, expected: dict,
         F.when(ok, r4(z)).alias("z_wh"),
         F.when(ok, z > F.lit(float(z_alarm))).alias("srm"),
         "n_unexpected")
+
+
+def wilson_by_group(df: DataFrame, group_col: str, success_col: str,
+                    z: float = 1.959963984540054) -> DataFrame:
+    """Per-group binomial scorecard with Wilson score intervals (Wilson
+    1927 — the interval that stays inside [0,1] and behaves at small n
+    where the Wald interval collapses): → ``(group, n, k, rate, ci_lo,
+    ci_hi)``, 4-decimal floats.
+
+    The many-group companion of :func:`ab_conversion_test` (which
+    contracts to exactly two variants and a z-test): one partial-agg
+    groupBy over the scan, closed-form interval arithmetic on the
+    per-group count table, no collect — group cardinality can be
+    millions.  Null group/success rows are excluded.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    y = F.col(success_col).cast("boolean").cast("long")
+    g = (df.filter(F.col(group_col).isNotNull()
+                   & F.col(success_col).isNotNull())
+         .groupBy(F.col(group_col).alias("group"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n"),
+              F.sum(y).cast("long").alias("k")))
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (F.lit(float(z))
+            * F.sqrt(p * (F.lit(1.0) - p) / n
+                     + z2 / (F.lit(4.0) * n * n)) / denom)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return g.select("group", "n", "k", r4(p).alias("rate"),
+                    r4(center - half).alias("ci_lo"),
+                    r4(center + half).alias("ci_hi"))

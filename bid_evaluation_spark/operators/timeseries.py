@@ -977,3 +977,26 @@ def seasonal_anomalies(df: DataFrame, key_col: str,
     return (scored.filter(F.abs(F.col("robust_z")) > float(z_thresh))
             .select(key_col, *order_cols, "value", "residual",
                     r4(F.col("robust_z")).alias("robust_z")))
+
+
+def dominant_period(df: DataFrame, key_col: str,
+                    order_cols: Sequence[str], value_col: str,
+                    max_lag: int = 24) -> DataFrame:
+    """Dominant seasonality per key: the autocorrelation-maximizing lag
+    over ``1..max_lag`` (the standard period detector — pick the ACF
+    peak) → ``(key, lag, acf, n)`` with ties on the 1e-6-rounded ACF
+    breaking to the SMALLEST lag.  Pure composition over
+    :func:`acf_by_key`; one extra per-key window picks the argmax, so
+    the cost profile is exactly ACF's (per-key ordered windows over
+    bounded series — pre-aggregate long series first).
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    acf = acf_by_key(df, key_col, order_cols, value_col,
+                     lags=list(range(1, max_lag + 1)))
+    w = Window.partitionBy(key_col).orderBy(
+        F.desc(F.round(F.col("acf") * 1e6) / 1e6), F.asc("lag"))
+    return (acf.filter(F.col("acf").isNotNull())
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk"))

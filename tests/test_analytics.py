@@ -1068,3 +1068,21 @@ class TestPoissonRateTest:
         import pytest as _pt
         with _pt.raises(ValueError):
             poisson_rate_test(df, "g", "a", "b", 0.0, 1.0)
+
+
+def test_wilson_by_group_values(spark):
+    from bid_evaluation_spark.operators.analytics import wilson_by_group
+
+    rows = [("a", True)] * 8 + [("a", False)] * 2 + [("b", False)] * 5
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r["group"]: r for r in wilson_by_group(df, "g", "s").collect()}
+    a = out["a"]
+    assert a["n"] == 10 and a["k"] == 8 and a["rate"] == 0.8
+    # Wilson 95% for 8/10: approx (0.4902, 0.9433)
+    assert a["ci_lo"] == __import__("pytest").approx(0.4902, abs=2e-3)
+    assert a["ci_hi"] == __import__("pytest").approx(0.9433, abs=2e-3)
+    b = out["b"]
+    assert b["k"] == 0 and b["ci_lo"] == 0.0 and 0 < b["ci_hi"] < 0.5
+    import pytest as _p
+    with _p.raises(ValueError):
+        wilson_by_group(df, "g", "s", z=0)

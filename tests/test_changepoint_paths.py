@@ -96,3 +96,17 @@ def test_top_paths_tie_breaks_on_path(spark):
     assert [r["path"] for r in out] == ["a", "b"]
     with pytest.raises(ValueError):
         top_paths(_ev(spark, rows), k=0)
+
+
+def test_dominant_period_detects_sawtooth(spark):
+    from bid_evaluation_spark.operators.timeseries import dominant_period
+
+    vals = [0.0, 1.0, 2.0, 3.0] * 10  # period 4
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+    r = dominant_period(df, "k", ["t"], "v", max_lag=6).collect()[0]
+    assert r["lag"] == 4
+    assert r["acf"] > 0.9
+    import pytest as _p
+    with _p.raises(ValueError):
+        dominant_period(df, "k", ["t"], "v", max_lag=0)
