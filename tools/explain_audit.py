@@ -1466,6 +1466,148 @@ def _ivm_quantile(spark, sf_dir):
     return probs
 
 
+@check("regress: OLS/ridge train in ONE partial-agg groupBy, no join, "
+       "no window, no python")
+def _regress(spark, sf_dir):
+    from bid_evaluation_spark.operators.regress import ols2
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_y", F.col("l_extendedprice") / 1000.0)
+    plan = plan_of(ols2(li, "l_returnflag", "l_quantity", "l_discount",
+                        "_y"))
+    if plan.count("HashAggregate") != 2:  # partial + final of ONE agg
+        probs.append("expected one partial+final aggregate pair")
+    for bad in ("Join", "Window", "BatchEvalPython", "ArrowEvalPython"):
+        if bad in plan:
+            probs.append(f"unexpected {bad} in OLS plan")
+    if "ReadSchema" in plan and "l_shipdate" in plan:
+        probs.append("scan not pruned: l_shipdate read")
+    return probs
+
+
+@check("linkpred/recs: capped per-container self-join, equi only, "
+       "degree joins broadcastable, no cartesian")
+def _linkpred_recs(spark, sf_dir):
+    from bid_evaluation_spark.operators.graph import link_prediction
+    from bid_evaluation_spark.operators.recs import item_item_cosine
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    li = load_table(spark, sf_dir, "lineitem")
+    for name, df in (
+            ("linkpred", link_prediction(li, "l_orderkey", "l_partkey",
+                                         max_container_size=7,
+                                         min_common=2)),
+            ("recs", item_item_cosine(li, "l_orderkey", "l_partkey", k=5,
+                                      max_user_items=7, min_common=2))):
+        plan = plan_of(df)
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            probs.append(f"{name}: non-equi join in plan")
+        if "BatchEvalPython" in plan:
+            probs.append(f"{name}: python UDF in hot path")
+    return probs
+
+
+@check("scd2+pit: key-partitioned windows, PIT is one equi-join with "
+       "interval filter, no cartesian")
+def _scd2_pit(spark, sf_dir):
+    from bid_evaluation_spark.operators.cdc import pit_join, scd2_history
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    o = load_table(spark, sf_dir, "orders")
+    hist = scd2_history(o, ["o_custkey"], "o_orderdate",
+                        ["o_orderpriority", "o_orderstatus"], "o_orderkey")
+    hp = plan_of(hist)
+    if "CartesianProduct" in hp or "Join" in hp:
+        probs.append("scd2 should be pure windows, saw a join")
+    facts = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").alias("fact_ts"))
+    jp = plan_of(pit_join(facts, hist, ["o_custkey"], "fact_ts"))
+    if "CartesianProduct" in jp or "BroadcastNestedLoopJoin" in jp:
+        probs.append("pit join degenerated to a product")
+    eqj = (jp.count("SortMergeJoin") + jp.count("ShuffledHashJoin")
+           + jp.count("BroadcastHashJoin"))
+    if eqj != 1:
+        probs.append(f"pit expected exactly 1 equi-join, saw {eqj}")
+    return probs
+
+
+@check("mahalanobis/changepoint/logrank: stats broadcast back, per-key "
+       "windows, bounded global window only on distinct-duration table")
+def _maha_cp_lr(spark, sf_dir):
+    from bid_evaluation_spark.operators.profile import mahalanobis_outliers
+    from bid_evaluation_spark.operators.timeseries import (
+        changepoint_by_key, logrank_test)
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_y", F.col("l_extendedprice") / 1000.0)
+    mp = plan_of(mahalanobis_outliers(li, "l_returnflag", "l_quantity",
+                                      "_y", top_k=20))
+    if "BroadcastHashJoin" not in mp:
+        probs.append("mahalanobis stats join not broadcast")
+    if "BatchEvalPython" in mp:
+        probs.append("mahalanobis python in scoring path")
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("_h"))
+              .agg((F.round(F.avg("value") * 1e6) / 1e6).alias("_v")))
+    cp = plan_of(changepoint_by_key(hourly, "event_type", ["_h"], "_v"))
+    if "Join" in cp:
+        probs.append("changepoint should be join-free windows")
+    lr = ev.select(((F.col("event_id") % 97) + 1).cast("double")
+                   .alias("dur"),
+                   (F.col("event_id") % 5 != 0).alias("obs"),
+                   F.when(F.col("user_id") % 2 == 0, "a").otherwise("b")
+                   .alias("g"))
+    lp = plan_of(logrank_test(lr, "dur", "obs", "g", "a", "b"))
+    # the global window must sit ABOVE the groupBy(duration) reduction
+    if lp.index("HashAggregate") > lp.index("Window"):
+        probs.append("logrank window runs before the duration reduction")
+    return probs
+
+
+@check("knn/top_paths/compaction: broadcast retrieval, rn-cut before "
+       "collect_list, manifest-only windows")
+def _knn_paths_compact(spark, sf_dir):
+    from bid_evaluation_spark.operators.classify import knn_classify
+    from bid_evaluation_spark.operators.layout import compaction_plan
+    from bid_evaluation_spark.streaming.events import top_paths
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 37 == 0)
+    c = emb.filter(F.col("vec_id") % 37 != 0)
+    kp = plan_of(knn_classify(q, c, k=5))
+    if "BroadcastNestedLoopJoin" not in kp and "CartesianProduct" not in kp:
+        # brute-force Q×N product IS the intended baseline; it must be the
+        # broadcast variant (queries broadcast), not a shuffled cartesian
+        probs.append("knn retrieval lost its broadcast product shape")
+    if "CartesianProduct" in kp:
+        probs.append("knn product is a shuffled cartesian, not broadcast")
+    ev = load_table(spark, sf_dir, "events")
+    tp = plan_of(top_paths(ev, gap_seconds=1800, max_len=3, k=20))
+    # plan text prints ROOT FIRST, so in a correct plan the collect_list
+    # aggregate (downstream of the cut) appears EARLIER in the text than
+    # the _rn filter it consumes
+    i_filter = tp.find("_rn")
+    i_collect = tp.find("collect_list")
+    if i_collect >= 0 and i_filter >= 0 and i_filter < i_collect:
+        probs.append("collect_list before the rn<=max_len cut")
+    files = load_table(spark, sf_dir, "orders").select(
+        F.concat(F.lit("part-"), F.col("o_orderkey").cast("string"))
+        .alias("path"), F.floor("o_totalprice").cast("long").alias("size"))
+    cp = plan_of(compaction_plan(files, "path", "size", 1_000_000))
+    if "Join" in cp:
+        probs.append("compaction planner should be join-free")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
