@@ -11921,6 +11921,191 @@ WHERE rk = 1
 """
 
 
+def _q_ml_centroid_embeddings(spark, sf_dir):
+    """Nearest-class-centroid (Rocchio) classification
+    (operators/classify.py centroid_classify): training is ONE
+    posexplode aggregation (per-label per-dim means), scoring an
+    in-plan fold against the broadcast C-row centroid table — no numpy
+    in the scored path, so the oracle replays the arithmetic exactly.
+    Same 1-in-37 held-out split as the kNN query."""
+    from bid_evaluation_spark.operators.classify import centroid_classify
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tr = emb.filter(F.col("vec_id") % 37 != 0)
+    te = emb.filter(F.col("vec_id") % 37 == 0)
+    res = centroid_classify(tr, te)
+    lab = te.select(F.col("vec_id").alias("id"), "label")
+    return (res.join(lab, "id")
+            .select(F.col("id").alias("vec_id"), "label", "predicted",
+                    "d2",
+                    (F.col("predicted") == F.col("label")).alias("correct")))
+
+
+_SQL_ML_CENTROID_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label
+           FROM embeddings WHERE embedding IS NOT NULL),
+tr AS (SELECT * FROM v WHERE vec_id % 37 <> 0),
+te AS (SELECT * FROM v WHERE vec_id % 37 = 0),
+dims AS (
+  SELECT label, i, avg(e[i]) AS m
+  FROM (SELECT label, e, unnest(generate_series(1, len(e))) AS i FROM tr)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label AS pred, list(m ORDER BY i) AS ce FROM dims GROUP BY label
+),
+scored AS (
+  SELECT te.vec_id, te.label, c.pred,
+    list_sum(list_transform(c.ce, x -> x * x))
+      - 2 * list_sum(list_transform(generate_series(1, len(te.e)),
+                                    i -> te.e[i] * c.ce[i])) AS rel,
+    list_sum(list_transform(te.e, x -> x * x)) AS x2
+  FROM te CROSS JOIN cent c
+)
+SELECT vec_id, label, pred AS predicted,
+  round((x2 + rel) * 1e4) / 1e4 + 0.0 AS d2,
+  pred = label AS correct
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY rel ASC, pred ASC) AS rk
+      FROM scored)
+WHERE rk = 1
+"""
+
+
+def _q_ml_silhouette_embeddings(spark, sf_dir):
+    """Simplified silhouette per cluster (operators/similarity.py
+    silhouette_simplified) under the pinned vec_id<8 centroids shared
+    with cluster_assign: per point a = nearest-centroid L2, b = second
+    nearest, s = (b−a)/max(a,b), averaged per cluster. In-plan fold
+    distances — exact oracle replay."""
+    from bid_evaluation_spark.operators.similarity import (
+        silhouette_simplified)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = (emb.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").alias("ce")))
+    res = silhouette_simplified(emb, cents)
+    return res.select(F.col("cluster").cast("long").alias("cluster"),
+                      "n", "mean_s")
+
+
+_SQL_ML_SILHOUETTE_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings
+           WHERE embedding IS NOT NULL),
+c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+d AS (
+  SELECT v.vec_id, c.cid,
+    sqrt(greatest(
+      list_sum(list_transform(v.e, x -> x * x))
+      + list_sum(list_transform(c.ce, x -> x * x))
+      - 2 * list_sum(list_transform(generate_series(1, len(v.e)),
+                                    i -> v.e[i] * c.ce[i])),
+      CAST(0 AS DOUBLE))) AS dist
+  FROM v CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, cid ASC) AS rk
+  FROM d
+),
+ab AS (
+  SELECT vec_id,
+         min(CASE WHEN rk = 1 THEN cid END) AS cluster,
+         min(CASE WHEN rk = 1 THEN dist END) AS a,
+         min(CASE WHEN rk = 2 THEN dist END) AS b
+  FROM ranked WHERE rk <= 2 GROUP BY vec_id
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+  CAST(count(*) AS BIGINT) AS n,
+  round(avg(CASE WHEN greatest(a, b) > 0
+                 THEN (b - a) / greatest(a, b)
+                 ELSE CAST(0 AS DOUBLE) END) * 1e4) / 1e4 + 0.0 AS mean_s
+FROM ab WHERE b IS NOT NULL GROUP BY cluster
+"""
+
+
+def _q_ts_disorder_events(spark, sf_dir):
+    """Out-of-orderness / watermark-lag profile per event type
+    (operators/timeseries.py event_disorder): replay in event_id
+    (arrival) order, lateness = running event-time high-water mark
+    minus ts, exact p50/p99 over the late events — the measurement
+    that sets allowed-lateness honestly. The oracle replays the
+    running-max window and quantile_cont."""
+    from bid_evaluation_spark.operators.timeseries import event_disorder
+
+    ev = (_t(spark, sf_dir, "events")
+          .withColumn("_ts", F.col("ts").cast("double")))
+    return event_disorder(ev, "event_type", "event_id", "_ts")
+
+
+_SQL_TS_DISORDER_EVENTS = """
+WITH base AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) AS DOUBLE) / 1000000.0 AS t,
+    max(CAST(epoch_us(ts) AS DOUBLE) / 1000000.0) OVER (
+      PARTITION BY event_type ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+  FROM events
+),
+l AS (
+  SELECT event_type,
+    CASE WHEN hw IS NOT NULL AND hw > t THEN hw - t
+         ELSE CAST(0 AS DOUBLE) END AS late
+  FROM base
+)
+SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  round(CAST(sum(CASE WHEN late > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / CAST(count(*) AS DOUBLE) * 1e4) / 1e4 + 0.0 AS late_share,
+  round((quantile_cont(CASE WHEN late > 0 THEN late END, 0.5)) * 1e4)
+    / 1e4 + 0.0 AS p50_late_s,
+  round((quantile_cont(CASE WHEN late > 0 THEN late END, 0.99)) * 1e4)
+    / 1e4 + 0.0 AS p99_late_s,
+  round(max(CASE WHEN late > 0 THEN late END) * 1e4) / 1e4 + 0.0
+    AS max_late_s
+FROM l GROUP BY event_type
+"""
+
+
+def _q_graph_powerlaw_lineitem(spark, sf_dir):
+    """Power-law exponent MLE over part popularity (operators/graph.py
+    powerlaw_alpha, Clauset–Shalizi–Newman continuous approximation,
+    d_min = 2): degree table = one groupBy of the distinct order↔part
+    incidence, the fit one further aggregate. The oracle replays the
+    Σ ln(d/(d_min−½)) estimator."""
+    from bid_evaluation_spark.operators.graph import powerlaw_alpha
+
+    li = _t(spark, sf_dir, "lineitem")
+    deg = (li.select("l_orderkey", "l_partkey").distinct()
+           .groupBy("l_partkey")
+           .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+    return powerlaw_alpha(deg, d_min=2)
+
+
+_SQL_GRAPH_POWERLAW_LINEITEM = """
+WITH deg AS (
+  SELECT l_partkey, count(*) AS degree
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+  GROUP BY l_partkey
+),
+kept AS (SELECT CAST(degree AS DOUBLE) AS d FROM deg WHERE degree >= 2),
+agg AS (
+  SELECT count(*) AS n,
+         sum(ln(d / CAST(1.5 AS DOUBLE))) AS den,
+         avg(d) AS meand, max(d) AS maxd
+  FROM kept
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(2 AS BIGINT) AS d_min,
+  CASE WHEN den > 0
+       THEN round((CAST(1 AS DOUBLE) + CAST(n AS DOUBLE) / den) * 1e4)
+            / 1e4 + 0.0 END AS alpha,
+  round(meand * 1e4) / 1e4 + 0.0 AS mean_deg,
+  CAST(maxd AS BIGINT) AS max_deg
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12402,6 +12587,13 @@ _QUERIES: dict = {
     "analytics_wilson_orders": (_q_analytics_wilson_orders,
                                 _SQL_ANALYTICS_WILSON_ORDERS),
     "ts_period_events": (_q_ts_period_events, _SQL_TS_PERIOD_EVENTS),
+    "ml_centroid_embeddings": (_q_ml_centroid_embeddings,
+                               _SQL_ML_CENTROID_EMBEDDINGS),
+    "ml_silhouette_embeddings": (_q_ml_silhouette_embeddings,
+                                 _SQL_ML_SILHOUETTE_EMBEDDINGS),
+    "ts_disorder_events": (_q_ts_disorder_events, _SQL_TS_DISORDER_EVENTS),
+    "graph_powerlaw_lineitem": (_q_graph_powerlaw_lineitem,
+                                _SQL_GRAPH_POWERLAW_LINEITEM),
 }
 
 

@@ -297,3 +297,50 @@ def knn_classify(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return (votes.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .drop("_rk"))
+
+
+def centroid_classify(train: DataFrame, test: DataFrame,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      label_col: str = "label") -> DataFrame:
+    """Nearest-class-centroid (Rocchio) classification: TRAINING IS ONE
+    AGGREGATION — each class's centroid is the per-dimension mean of its
+    training vectors — and prediction is an argmin over C centroids →
+    ``(id, predicted, d2)`` with ``d2`` the squared L2 distance to the
+    winning centroid (4 decimals), distance ties to the smallest label.
+
+    The cheapest vector classifier and the sanity baseline for kNN:
+    per-(label, dim) means via ``posexplode`` + groupBy (never the
+    vectors to the driver), the C-row centroid table broadcast back,
+    scoring as an in-plan fold (``Σc² − 2Σx·c`` + ``Σx²``) so the
+    arithmetic replays EXACTLY in the SQL oracle — no numpy in the
+    scoring path, unlike the IVF assign kernel, because here exactness
+    is the contract and C is small.
+    """
+    cent = (train.filter(F.col(vec_col).isNotNull()
+                         & F.col(label_col).isNotNull())
+            .select(label_col, F.posexplode(vec_col).alias("_d", "_x"))
+            .groupBy(label_col, "_d")
+            .agg(F.avg(F.col("_x").cast("double")).alias("_m"))
+            .groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("_d", "_m")))
+                 .alias("_s"))
+            .select(F.col(label_col).alias("predicted"),
+                    F.transform("_s", lambda s: s["_m"]).alias("_ce")))
+    t = test.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_ce"),
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    ce2 = F.aggregate("_ce", F.lit(0.0), lambda acc, v: acc + v * v)
+    x2 = F.aggregate(
+        F.transform("_v", lambda a: a.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v * v)
+    w = Window.partitionBy("id").orderBy(F.asc("_rel"), F.asc("predicted"))
+    return (t.crossJoin(F.broadcast(cent))
+            .withColumn("_rel", ce2 - 2.0 * dot)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(F.col("id"), "predicted",
+                    (F.round((x2 + F.col("_rel")) * 1e4) / 1e4
+                     + F.lit(0.0)).alias("d2")))

@@ -474,3 +474,37 @@ def link_prediction(incidence: DataFrame, container_col: str,
                        / (F.col("_da") + F.col("_db")
                           - F.col("common")).cast("double"))
                     .alias("jaccard")))
+
+
+def powerlaw_alpha(degrees: DataFrame, degree_col: str = "degree",
+                   d_min: int = 1) -> DataFrame:
+    """Continuous-approximation MLE of the power-law exponent over a
+    degree (or frequency) table (Clauset–Shalizi–Newman 2009, eq. 3.1):
+
+        α̂ = 1 + n / Σ ln(d / (d_min − 1/2)),   d ≥ d_min
+
+    → one row ``(n, d_min, alpha, mean_deg, max_deg)`` (floats 4
+    decimals).  The quick heavy-tail diagnostic for degree / token /
+    item-popularity distributions — α near 2 means the usual "a few
+    hubs dominate" regime where hub caps and salting earn their keep.
+    ONE aggregate over the degree table (which is already an aggregate
+    of the edge list); no sorting, no fitting loop.
+    """
+    if d_min < 1:
+        raise ValueError(f"d_min must be >= 1, got {d_min}")
+    d = F.col(degree_col).cast("double")
+    kept = degrees.filter(d.isNotNull() & (d >= float(d_min)))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    denom = F.sum(F.log(d / F.lit(float(d_min) - 0.5)))
+    agg = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        denom.alias("_den"),
+        F.avg(d).alias("_mean"),
+        F.max(d).alias("_max"))
+    return agg.select(
+        "n", F.lit(int(d_min)).cast("long").alias("d_min"),
+        F.when(F.col("_den") > 0,
+               r4(F.lit(1.0) + F.col("n").cast("double") / F.col("_den")))
+        .alias("alpha"),
+        r4(F.col("_mean")).alias("mean_deg"),
+        F.col("_max").cast("long").alias("max_deg"))

@@ -390,3 +390,55 @@ def mine_contrastive_pairs(anchors: DataFrame, corpus: DataFrame,
     return (sims.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= kmax)
             .select("query_id", "neighbor_id", "kind", "cosine", "rnk"))
+
+
+def silhouette_simplified(df: DataFrame, centroids: DataFrame,
+                          vec_col: str = "embedding",
+                          centroid_id: str = "cid",
+                          centroid_vec: str = "ce") -> DataFrame:
+    """Simplified silhouette per cluster (the medoid-free variant used
+    at scale, e.g. sklearn's "simplified silhouette"): each point's
+    ``a`` = L2 distance to its NEAREST centroid (its cluster), ``b`` =
+    distance to the second-nearest, ``s = (b − a)/max(a, b)`` → one row
+    per cluster ``(cluster, n, mean_s)`` (4 decimals).  ``s`` near 1 =
+    tight well-separated cluster; near 0 = boundary soup.
+
+    ``centroids`` is a (small) DataFrame of (id, vector) — pass pinned
+    or trained centroids.  Shape: broadcast C-row centroid table ×
+    corpus, in-plan fold distances (exact, SQL-replayable — same
+    contract as centroid_classify), one per-point window for the two
+    nearest, one groupBy(cluster).  Points with null vectors are
+    skipped; C must be ≥ 2 (no second-nearest otherwise).
+    """
+    c = centroids.select(F.col(centroid_id).alias("_cid"),
+                         F.col(centroid_vec).alias("_ce"))
+    t = df.filter(F.col(vec_col).isNotNull()).select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.col(vec_col).alias("_v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_v"), F.col("_ce"),
+                   lambda a, b: a.cast("double") * b),
+        F.lit(0.0), lambda acc, v: acc + v)
+    ce2 = F.aggregate("_ce", F.lit(0.0), lambda acc, v: acc + v * v)
+    x2 = F.aggregate(
+        F.transform("_v", lambda a: a.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v * v)
+    w = Window.partitionBy("_rid").orderBy(F.asc("_d"), F.asc("_cid"))
+    ranked = (t.crossJoin(F.broadcast(c))
+              .withColumn("_d", F.sqrt(F.greatest(x2 + ce2 - 2.0 * dot,
+                                                  F.lit(0.0))))
+              .withColumn("_rk", F.row_number().over(w))
+              .filter(F.col("_rk") <= 2))
+    ab = (ranked.groupBy("_rid")
+          .agg(F.min(F.when(F.col("_rk") == 1, F.col("_cid")))
+               .alias("cluster"),
+               F.min(F.when(F.col("_rk") == 1, F.col("_d"))).alias("_a"),
+               F.min(F.when(F.col("_rk") == 2, F.col("_d"))).alias("_b")))
+    s = F.when(F.greatest("_a", "_b") > 0,
+               (F.col("_b") - F.col("_a")) / F.greatest("_a", "_b")) \
+         .otherwise(F.lit(0.0))
+    return (ab.filter(F.col("_b").isNotNull())
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 (F.round(F.avg(s) * 1e4) / 1e4 + F.lit(0.0))
+                 .alias("mean_s")))

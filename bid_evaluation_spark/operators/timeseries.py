@@ -1000,3 +1000,44 @@ def dominant_period(df: DataFrame, key_col: str,
             .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") == 1)
             .drop("_rk"))
+
+
+def event_disorder(df: DataFrame, key_col: str, arrival_col: str,
+                   ts_col: str) -> DataFrame:
+    """Out-of-orderness profile per key — the measurement that SETS a
+    stream's watermark delay honestly instead of guessing: replay events
+    in ARRIVAL order (``arrival_col`` — an ingest offset / log sequence
+    number), and for each event measure how far its event-time lags the
+    running event-time high-water mark:
+
+        lateness = max(ts of earlier arrivals) − ts    (0 if in order)
+
+    → ``(key, n, n_late, late_share, p50_late_s, p99_late_s,
+    max_late_s)`` with exact interpolated percentiles over the LATE
+    events only.  ``allowed lateness ≥ p99_late_s`` then bounds dropped
+    rows to ~1% at the observed disorder.
+
+    One key-partitioned arrival-ordered window (running max + lag
+    shape), one grouped aggregate.  A key's arrival history must fit a
+    task — for unbounded keys pass a composite key (key, arrival-day):
+    disorder is measured within a bounded replay window anyway.
+    """
+    w = (Window.partitionBy(key_col)
+         .orderBy(F.col(arrival_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    t = F.col(ts_col).cast("double")
+    hw = F.max(t).over(w)
+    late = F.when(hw.isNotNull() & (hw > t), hw - t).otherwise(F.lit(0.0))
+    base = df.filter(t.isNotNull()).withColumn("_late", late)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    lv = F.when(F.col("_late") > 0, F.col("_late"))
+    qs = F.percentile(lv, F.array(F.lit(0.5), F.lit(0.99)))
+    return (base.groupBy(F.col(key_col).alias("key"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum((F.col("_late") > 0).cast("long")).cast("long")
+                 .alias("n_late"),
+                 r4(F.sum((F.col("_late") > 0).cast("long")).cast("double")
+                    / F.count(F.lit(1)).cast("double")).alias("late_share"),
+                 r4(qs[0]).alias("p50_late_s"),
+                 r4(qs[1]).alias("p99_late_s"),
+                 r4(F.max(lv)).alias("max_late_s")))
