@@ -12106,6 +12106,113 @@ FROM agg
 """
 
 
+def _q_pipe_contamination_report_documents(spark, sf_dir):
+    """Per-eval-doc leakage audit (operators/pipeline.py
+    contamination_report): share of each held-out doc's distinct
+    3-shingles present anywhere in the train split (directional
+    containment on shingle STRINGS — exact, no hash caveat), flagged at
+    0.3. Same split as pipe_decontaminate. The oracle rebuilds the
+    shingle sets and the semi-join containment."""
+    from bid_evaluation_spark.operators.pipeline import contamination_report
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 10 != 0)
+    evals = d.filter(F.col("doc_id") % 10 == 0)
+    return contamination_report(train, evals, k=3, threshold=0.3)
+
+
+_SQL_PIPE_CONTAMINATION_REPORT_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+tsh AS (
+  SELECT DISTINCT unnest(s) AS sg FROM sh WHERE doc_id % 10 != 0
+),
+esh AS (
+  SELECT doc_id AS eval_id, unnest(s) AS sg FROM sh WHERE doc_id % 10 = 0
+),
+tot AS (
+  SELECT doc_id AS eval_id, len(s) AS n_shingles FROM sh
+  WHERE doc_id % 10 = 0
+),
+hit AS (
+  SELECT eval_id, count(*) AS n_hit FROM esh
+  WHERE sg IN (SELECT sg FROM tsh) GROUP BY eval_id
+)
+SELECT t.eval_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(CASE WHEN t.n_shingles > 0
+             THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                  / CAST(t.n_shingles AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END * 1e4) / 1e4 + 0.0 AS share,
+  (round(CASE WHEN t.n_shingles > 0
+              THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                   / CAST(t.n_shingles AS DOUBLE)
+              ELSE CAST(0 AS DOUBLE) END * 1e4) / 1e4 + 0.0)
+    >= CAST(0.3 AS DOUBLE) AS leaked
+FROM tot t LEFT JOIN hit h ON t.eval_id = h.eval_id
+"""
+
+
+def _q_pipe_mix_manifest_documents(spark, sf_dir):
+    """Training-mix manifest (operators/pipeline.py mix_manifest): per
+    language, whitespace-token inventory vs a 40/15/15/15/15 design at
+    a 1M-token budget → sampling rate and epoch count per source. One
+    token-count aggregation; the oracle replays the arithmetic."""
+    from bid_evaluation_spark.operators.pipeline import mix_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    return mix_manifest(d, "lang", "text",
+                        {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15,
+                         "zh": 0.15},
+                        target_total_tokens=1_000_000)
+
+
+_SQL_PIPE_MIX_MANIFEST_DOCUMENTS = """
+WITH g AS (
+  SELECT lang AS source, count(*) AS n_docs,
+    sum(CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\\s+')) END)
+      AS n_tokens
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+w AS (
+  SELECT * FROM (VALUES ('en', CAST(0.4 AS DOUBLE)),
+                        ('de', CAST(0.15 AS DOUBLE)),
+                        ('es', CAST(0.15 AS DOUBLE)),
+                        ('fr', CAST(0.15 AS DOUBLE)),
+                        ('zh', CAST(0.15 AS DOUBLE))) AS t(source, weight)
+)
+SELECT g.source, CAST(n_docs AS BIGINT) AS n_docs,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  round(COALESCE(w.weight, CAST(0 AS DOUBLE)) * 1e4) / 1e4 + 0.0
+    AS weight,
+  CAST(round(COALESCE(w.weight, CAST(0 AS DOUBLE))
+             * CAST(1000000 AS DOUBLE)) AS BIGINT) AS need_tokens,
+  round(CASE WHEN n_tokens > 0
+             THEN COALESCE(w.weight, CAST(0 AS DOUBLE))
+                  * CAST(1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             ELSE CAST(0 AS DOUBLE) END * 1e4) / 1e4 + 0.0
+    AS sampling_rate,
+  CAST(ceil(CASE WHEN n_tokens > 0
+                 THEN COALESCE(w.weight, CAST(0 AS DOUBLE))
+                      * CAST(1000000 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END) AS BIGINT) AS epochs
+FROM g LEFT JOIN w ON g.source = w.source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12594,6 +12701,11 @@ _QUERIES: dict = {
     "ts_disorder_events": (_q_ts_disorder_events, _SQL_TS_DISORDER_EVENTS),
     "graph_powerlaw_lineitem": (_q_graph_powerlaw_lineitem,
                                 _SQL_GRAPH_POWERLAW_LINEITEM),
+    "pipe_contamination_report_documents": (
+        _q_pipe_contamination_report_documents,
+        _SQL_PIPE_CONTAMINATION_REPORT_DOCUMENTS),
+    "pipe_mix_manifest_documents": (_q_pipe_mix_manifest_documents,
+                                    _SQL_PIPE_MIX_MANIFEST_DOCUMENTS),
 }
 
 

@@ -1266,3 +1266,103 @@ def exact_quantile_2pass(df: DataFrame, value_col: str, q: float,
     in_bucket = (vals.filter(bucket == int(target))
                  .orderBy("_v").limit(k - below + 1).collect())
     return (n, k, float(in_bucket[k - below]["_v"]))
+
+
+def contamination_report(train_df: DataFrame, eval_df: DataFrame,
+                         k: int = 3, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         threshold: float = 0.5) -> DataFrame:
+    """Per-EVAL-doc leakage report — the transparency companion of
+    :func:`decontaminate` (which answers "which TRAIN docs to drop");
+    this answers the auditor's question "how much of each benchmark item
+    already appears in the corpus": for every eval document, the share
+    of its distinct word-``k``-shingles found ANYWHERE in train
+    (directional containment) → ``(eval_id, n_shingles, n_hit, share,
+    leaked)`` with ``leaked = share ≥ threshold``; eval docs shorter
+    than ``k`` tokens report 0/0/0.0/false.
+
+    Shape: explode distinct shingle STRINGS on both sides (strings, not
+    hashes — the report is exact, no collision caveat), reduce train to
+    its DISTINCT shingle set (one partial-agg distinct — the train
+    corpus collapses to its vocabulary of shingles), LEFT SEMI join
+    eval shingles against it, one groupBy(eval_id). Train text is
+    never pairwise-compared — cost is two exploded scans + one
+    string-keyed join.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    e_sh = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode_outer(word_shingles(F.col(text_col), k)).alias("_s"))
+    t_sh = (train_df
+            .select(F.explode(word_shingles(F.col(text_col), k))
+                    .alias("_s"))
+            .distinct())
+    hit = (e_sh.filter(F.col("_s").isNotNull())
+           .join(t_sh, "_s", "left_semi")
+           .groupBy("eval_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_hit")))
+    tot = (e_sh.groupBy("eval_id")
+           .agg(F.count("_s").cast("long").alias("n_shingles")))
+    share = (F.when(F.col("n_shingles") > 0,
+                    F.col("n_hit").cast("double")
+                    / F.col("n_shingles").cast("double"))
+             .otherwise(F.lit(0.0)))
+    return (tot.join(hit, "eval_id", "left")
+            .withColumn("n_hit", F.coalesce("n_hit", F.lit(0)))
+            .withColumn("share",
+                        F.round(share * 1e4) / 1e4 + F.lit(0.0))
+            .withColumn("leaked", F.col("share") >= float(threshold))
+            .select("eval_id", "n_shingles", "n_hit", "share", "leaked"))
+
+
+def mix_manifest(df: DataFrame, source_col: str, text_col: str,
+                 weights: dict, target_total_tokens: int) -> DataFrame:
+    """Training-mix manifest: given per-source corpus stats and a target
+    token budget with design weights, the sampling rate (and implied
+    epoch count) each source needs → ``(source, n_docs, n_tokens,
+    weight, need_tokens, sampling_rate, epochs)``.
+
+    The planning step of dataset mixing (cf. temperature/token mixture
+    samplers in this module, which EXECUTE a mix): ``need = weight ×
+    target_total``; ``sampling_rate = need / n_tokens`` (> 1 ⇒ the
+    source repeats — ``epochs = ceil(rate)`` passes with the remainder
+    subsampled).  ONE whitespace-token-count aggregation over the
+    corpus; the manifest is #sources rows.  Sources present in
+    ``weights`` but absent from the corpus error loudly (a silent 0-row
+    mix is a training bug); corpus sources missing from ``weights`` get
+    weight 0 (excluded, listed).
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    tot_w = float(sum(weights.values()))
+    if abs(tot_w - 1.0) > 1e-6:
+        raise ValueError(f"weights must sum to 1, got {tot_w}")
+    if target_total_tokens <= 0:
+        raise ValueError("target_total_tokens must be positive")
+    g = (df.filter(F.col(source_col).isNotNull())
+         .groupBy(F.col(source_col).alias("source"))
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.sum(token_count(F.col(text_col))).cast("long")
+              .alias("n_tokens")))
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()],
+        f"source {df.schema[source_col].dataType.simpleString()}, "
+        "weight double")
+    m = g.join(wdf, "source", "full_outer")
+    missing = m.filter(F.col("n_docs").isNull()).select("source").collect()
+    if missing:
+        raise ValueError(
+            "weighted sources absent from corpus: "
+            f"{sorted(r['source'] for r in missing)}")
+    w = F.coalesce("weight", F.lit(0.0))
+    need = w * F.lit(float(target_total_tokens))
+    rate = F.when(F.col("n_tokens") > 0, need / F.col("n_tokens")
+                  .cast("double")).otherwise(F.lit(0.0))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return m.select(
+        "source", "n_docs", "n_tokens", r4(w).alias("weight"),
+        F.round(need).cast("long").alias("need_tokens"),
+        r4(rate).alias("sampling_rate"),
+        F.ceil(rate).cast("long").alias("epochs"))

@@ -549,3 +549,55 @@ class TestExactQuantile2Pass:
             self._q(spark, [1.0], 1.5)
         with _pt.raises(ValueError):
             self._q(spark, [1.0], 0.5, n_buckets=0)
+
+
+def test_contamination_report_shares(spark):
+    from bid_evaluation_spark.operators.pipeline import contamination_report
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four")],
+        "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"),        # fully contained
+         (11, "alpha beta gamma zeta"),          # 1 of 2 shingles hit
+         (12, "nothing shared here at all"),     # 0 hits
+         (13, "xy")],                            # too short: 0 shingles
+        "doc_id long, text string")
+    out = {r["eval_id"]: r for r in
+           contamination_report(train, evals, k=3,
+                                threshold=0.5).collect()}
+    assert out[10]["share"] == 1.0 and out[10]["leaked"] is True
+    assert out[11]["n_shingles"] == 2 and out[11]["n_hit"] == 1
+    assert out[11]["share"] == 0.5 and out[11]["leaked"] is True
+    assert out[12]["n_hit"] == 0 and out[12]["leaked"] is False
+    assert out[13]["n_shingles"] == 0 and out[13]["share"] == 0.0
+    import pytest as _p
+    with _p.raises(ValueError):
+        contamination_report(train, evals, threshold=0.0)
+
+
+def test_mix_manifest_rates_and_validation(spark):
+    from bid_evaluation_spark.operators.pipeline import mix_manifest
+
+    df = spark.createDataFrame(
+        [("a", "w1 w2 w3 w4"), ("a", "w1 w2 w3 w4 w5 w6"),
+         ("b", "x1 x2")],
+        "src string, text string")
+    out = {r["source"]: r for r in
+           mix_manifest(df, "src", "text", {"a": 0.75, "b": 0.25},
+                        target_total_tokens=100).collect()}
+    a = out["a"]
+    assert a["n_docs"] == 2 and a["n_tokens"] == 10
+    assert a["need_tokens"] == 75
+    assert a["sampling_rate"] == 7.5 and a["epochs"] == 8
+    b = out["b"]
+    assert b["need_tokens"] == 25 and b["sampling_rate"] == 12.5
+    import pytest as _p
+    with _p.raises(ValueError):                      # absent source
+        mix_manifest(df, "src", "text", {"a": 0.5, "zz": 0.5}, 100)
+    with _p.raises(ValueError):                      # bad weights
+        mix_manifest(df, "src", "text", {"a": 0.5, "b": 0.6}, 100)
+    # unweighted corpus source listed with weight 0
+    out2 = {r["source"]: r for r in
+            mix_manifest(df, "src", "text", {"a": 1.0}, 100).collect()}
+    assert out2["b"]["weight"] == 0.0 and out2["b"]["need_tokens"] == 0
