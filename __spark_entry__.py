@@ -12213,6 +12213,39 @@ FROM g LEFT JOIN w ON g.source = w.source
 """
 
 
+def _q_events_active_users(spark, sf_dir):
+    """Rolling exact DAU/WAU/MAU (operators/timeseries.py
+    active_users): distinct user-day table first, bounded contribution
+    explode (≤28 target days per user-day), one groupBy(day) with
+    offset-cut count_distincts, phantom tail trimmed to observed days.
+    The oracle replays expansion and cuts."""
+    from bid_evaluation_spark.operators.timeseries import active_users
+
+    ev = _t(spark, sf_dir, "events")
+    res = active_users(ev, "ts", "user_id", windows=(1, 7, 28))
+    return res.select(F.date_format("day", _TS_FMT_SPARK).alias("day"),
+                      "au_1", "au_7", "au_28")
+
+
+_SQL_EVENTS_ACTIVE_USERS = f"""
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', ts) AS d, user_id AS u FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+tgt AS (
+  SELECT u, k, CAST(d AS DATE) + CAST(k AS INTEGER) AS day
+  FROM (SELECT u, d, unnest(generate_series(0, 27)) AS k FROM ud)
+),
+obs AS (SELECT DISTINCT CAST(d AS DATE) AS day FROM ud)
+SELECT strftime(CAST(day AS TIMESTAMP), '{{_FMT}}') AS day,
+  CAST(count(DISTINCT CASE WHEN k < 1 THEN u END) AS BIGINT) AS au_1,
+  CAST(count(DISTINCT CASE WHEN k < 7 THEN u END) AS BIGINT) AS au_7,
+  CAST(count(DISTINCT CASE WHEN k < 28 THEN u END) AS BIGINT) AS au_28
+FROM tgt WHERE day IN (SELECT day FROM obs)
+GROUP BY day
+""".replace("{_FMT}", _TS_FMT_DUCK)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12706,6 +12739,8 @@ _QUERIES: dict = {
         _SQL_PIPE_CONTAMINATION_REPORT_DOCUMENTS),
     "pipe_mix_manifest_documents": (_q_pipe_mix_manifest_documents,
                                     _SQL_PIPE_MIX_MANIFEST_DOCUMENTS),
+    "events_active_users": (_q_events_active_users,
+                            _SQL_EVENTS_ACTIVE_USERS),
 }
 
 

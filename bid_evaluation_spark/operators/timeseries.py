@@ -1041,3 +1041,46 @@ def event_disorder(df: DataFrame, key_col: str, arrival_col: str,
                  r4(qs[0]).alias("p50_late_s"),
                  r4(qs[1]).alias("p99_late_s"),
                  r4(F.max(lv)).alias("max_late_s")))
+
+
+def active_users(df: DataFrame, ts_col: str, user_col: str,
+                 windows: Sequence[int] = (1, 7, 28)) -> DataFrame:
+    """Rolling exact distinct-actives per day — DAU/WAU/MAU in one pass
+    → ``(day, au_1, au_7, au_28, ...)`` (one ``au_w`` column per
+    requested trailing-window length in days).
+
+    The scale trick: distinct (user, day) FIRST (one partial-agg
+    distinct collapses the event stream to at most |users|×|days|
+    rows), then each user-day replicates to the ≤ max(windows) target
+    days it keeps the user active for (one bounded explode — the
+    standard "sliding distinct-count via contribution expansion"), and
+    one groupBy(day, window) counts distinct users.  No per-day
+    re-scan, no window over raw events, exact counts (the HLL timeline
+    in :mod:`.sketch` is the approximate cousin for when user-days
+    don't fit).  Reported days are exactly the OBSERVED days (a
+    semi-join against the distinct-day table trims the contribution
+    tail that would otherwise report phantom days past the data's
+    end); observed days with no active users in a window can't exist
+    by construction (the day itself contributes).
+    """
+    ws = sorted(set(int(w) for w in windows))
+    if not ws or ws[0] < 1:
+        raise ValueError("windows must be positive integers")
+    wmax = ws[-1]
+    ud = (df.filter(F.col(ts_col).isNotNull()
+                    & F.col(user_col).isNotNull())
+          .select(F.date_trunc("day", F.col(ts_col)).alias("_d"),
+                  F.col(user_col).alias("_u"))
+          .distinct())
+    # replicate each user-day to every day within max-window reach, tag
+    # each target day with the offset, then count per window by offset cut
+    off = F.explode(F.sequence(F.lit(0), F.lit(wmax - 1))).alias("_k")
+    tgt = ud.select("_u", "_d", off).select(
+        "_u", "_k", F.date_add(F.col("_d").cast("date"), F.col("_k"))
+        .alias("day"))
+    observed = ud.select(F.col("_d").cast("date").alias("day")).distinct()
+    aggs = [F.count_distinct(F.when(F.col("_k") < w, F.col("_u")))
+            .cast("long").alias(f"au_{w}") for w in ws]
+    return (tgt.join(observed, "day", "left_semi")
+            .groupBy("day").agg(*aggs)
+            .withColumn("day", F.col("day").cast("timestamp")))

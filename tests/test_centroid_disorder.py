@@ -84,3 +84,27 @@ def test_powerlaw_alpha_mle(spark):
     assert r2["alpha"] == pytest.approx(exp2, abs=1e-3)
     with pytest.raises(ValueError):
         powerlaw_alpha(df, d_min=0)
+
+
+def test_active_users_dau_wau(spark):
+    import datetime as dt
+
+    from bid_evaluation_spark.operators.timeseries import active_users
+
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    # u1 active days 0 and 1; u2 active day 0 only; u3 active day 8
+    for u, d in (("u1", 0), ("u1", 0), ("u1", 1), ("u2", 0), ("u3", 8)):
+        rows.append((u, base + dt.timedelta(days=d, hours=3)))
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {r["day"].day: r for r in
+           active_users(df, "ts", "user_id", windows=(1, 7)).collect()}
+    assert set(out) == {1, 2, 9}          # observed days only, no phantoms
+    assert out[1]["au_1"] == 2 and out[1]["au_7"] == 2
+    assert out[2]["au_1"] == 1 and out[2]["au_7"] == 2   # u1 + trailing u2
+    assert out[9]["au_1"] == 1 and out[9]["au_7"] == 1   # day-0 out of reach
+    import pytest as _p
+    with _p.raises(ValueError):
+        active_users(df, "ts", "user_id", windows=())
+    with _p.raises(ValueError):
+        active_users(df, "ts", "user_id", windows=(0,))
