@@ -12246,6 +12246,161 @@ GROUP BY day
 """.replace("{_FMT}", _TS_FMT_DUCK)
 
 
+def _q_metrics_prf1_embeddings(spark, sf_dir):
+    """Per-class precision/recall/F1 (operators/metrics.py
+    classification_report) over the centroid classifier's held-out
+    predictions — scan collapses to the C×C confusion table, everything
+    after is arithmetic on it. The oracle replays the centroid solve
+    and the confusion roll-up."""
+    from bid_evaluation_spark.operators.classify import centroid_classify
+    from bid_evaluation_spark.operators.metrics import classification_report
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tr = emb.filter(F.col("vec_id") % 37 != 0)
+    te = emb.filter(F.col("vec_id") % 37 == 0)
+    preds = (centroid_classify(tr, te)
+             .join(te.select(F.col("vec_id").alias("id"), "label"), "id"))
+    return classification_report(preds, "label", "predicted")
+
+
+_SQL_METRICS_PRF1_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label
+           FROM embeddings WHERE embedding IS NOT NULL),
+tr AS (SELECT * FROM v WHERE vec_id % 37 <> 0),
+te AS (SELECT * FROM v WHERE vec_id % 37 = 0),
+dims AS (
+  SELECT label, i, avg(e[i]) AS m
+  FROM (SELECT label, e, unnest(generate_series(1, len(e))) AS i FROM tr)
+  GROUP BY label, i
+),
+cent AS (
+  SELECT label AS pred, list(m ORDER BY i) AS ce FROM dims GROUP BY label
+),
+scored AS (
+  SELECT te.vec_id, te.label, c.pred,
+    list_sum(list_transform(c.ce, x -> x * x))
+      - 2 * list_sum(list_transform(generate_series(1, len(te.e)),
+                                    i -> te.e[i] * c.ce[i])) AS rel
+  FROM te CROSS JOIN cent c
+),
+preds AS (
+  SELECT vec_id, label, pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY rel ASC, pred ASC) AS rk
+    FROM scored) WHERE rk = 1
+),
+conf AS (SELECT label AS l, pred AS p, count(*) AS n FROM preds
+         GROUP BY 1, 2),
+per_l AS (
+  SELECT l AS label, sum(n) AS support,
+         sum(CASE WHEN p = l THEN n ELSE 0 END) AS tp
+  FROM conf GROUP BY l
+),
+per_p AS (SELECT p AS label, sum(n) AS pred_n FROM conf GROUP BY p),
+m AS (
+  SELECT COALESCE(per_l.label, per_p.label) AS label,
+         COALESCE(support, 0) AS support, COALESCE(tp, 0) AS tp,
+         COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
+         COALESCE(support, 0) - COALESCE(tp, 0) AS fn
+  FROM per_l FULL OUTER JOIN per_p ON per_l.label = per_p.label
+)
+SELECT label, CAST(support AS BIGINT) AS support,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn,
+  CASE WHEN tp + fp > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1e4)
+            / 1e4 + 0.0 END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1e4)
+            / 1e4 + 0.0 END AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+       THEN round(CAST(2 AS DOUBLE)
+                  * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                  * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                  / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                     + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                  * 1e4) / 1e4 + 0.0
+       WHEN tp + fp > 0 AND tp + fn > 0 THEN CAST(0 AS DOUBLE) + 0.0
+  END AS f1
+FROM m
+"""
+
+
+def _q_retrieval_ndcg_embeddings(spark, sf_dir):
+    """NDCG@5 + MRR per query (operators/metrics.py ndcg_mrr) over the
+    exact cosine top-5 run, relevance = neighbor shares the query's
+    label — the label-agreement retrieval benchmark. The oracle
+    rebuilds the run (ann pattern) and replays DCG/IDCG/RR."""
+    from bid_evaluation_spark.operators.metrics import ndcg_mrr
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 37 == 0)
+    c = emb.filter(F.col("vec_id") % 37 != 0)
+    run = cosine_topk(q, c, k=5)
+    ql = q.select(F.col("vec_id").alias("query_id"),
+                  F.col("label").alias("_ql"))
+    cl = c.select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("label").alias("_nl"))
+    scored = (run.join(ql, "query_id").join(cl, "neighbor_id")
+              .withColumn("_rel", (F.col("_nl") == F.col("_ql"))
+                          .cast("double")))
+    return ndcg_mrr(scored, "query_id", "rnk", "_rel", k=5)
+
+
+_SQL_RETRIEVAL_NDCG_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, label
+           FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe, label AS ql FROM v
+      WHERE vec_id % 37 = 0),
+c AS (SELECT vec_id, e, label FROM v WHERE vec_id % 37 <> 0),
+sims AS (
+  SELECT q.qid, q.ql, c.vec_id AS nid, c.label AS nl,
+    list_sum(list_transform(generate_series(1, len(qe)),
+                            i -> qe[i] * c.e[i]))
+      / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+         * sqrt(list_sum(list_transform(c.e, x -> x * x)))) AS cosine
+  FROM q CROSS JOIN c
+  WHERE q.qid != c.vec_id
+),
+run AS (
+  SELECT qid, ql, nid, nl,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, nid ASC) AS rnk
+  FROM sims
+),
+rel AS (
+  SELECT qid, rnk, CASE WHEN nl = ql THEN CAST(1 AS DOUBLE)
+                        ELSE CAST(0 AS DOUBLE) END AS r,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY (CASE WHEN nl = ql THEN 1 ELSE 0 END)
+                                     DESC, rnk ASC) AS irk
+  FROM run WHERE rnk <= 5
+),
+g AS (
+  SELECT qid,
+    sum(CASE WHEN r > 0 THEN 1 ELSE 0 END) AS n_rel,
+    sum(CASE WHEN rnk <= 5
+             THEN r / (ln(CAST(rnk AS DOUBLE) + CAST(1 AS DOUBLE))
+                       / ln(CAST(2 AS DOUBLE)))
+             ELSE CAST(0 AS DOUBLE) END) AS dcg,
+    sum(CASE WHEN irk <= 5
+             THEN r / (ln(CAST(irk AS DOUBLE) + CAST(1 AS DOUBLE))
+                       / ln(CAST(2 AS DOUBLE)))
+             ELSE CAST(0 AS DOUBLE) END) AS idcg,
+    min(CASE WHEN r > 0 AND rnk <= 5 THEN rnk END) AS fr
+  FROM rel GROUP BY qid
+)
+SELECT qid AS query, CAST(n_rel AS BIGINT) AS n_rel,
+  round(dcg * 1e4) / 1e4 + 0.0 AS dcg,
+  round(idcg * 1e4) / 1e4 + 0.0 AS idcg,
+  CASE WHEN idcg > 0 THEN round(dcg / idcg * 1e4) / 1e4 + 0.0 END AS ndcg,
+  COALESCE(round(CAST(1 AS DOUBLE) / CAST(fr AS DOUBLE) * 1e4) / 1e4
+           + 0.0, CAST(0 AS DOUBLE)) AS rr
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12741,6 +12896,10 @@ _QUERIES: dict = {
                                     _SQL_PIPE_MIX_MANIFEST_DOCUMENTS),
     "events_active_users": (_q_events_active_users,
                             _SQL_EVENTS_ACTIVE_USERS),
+    "metrics_prf1_embeddings": (_q_metrics_prf1_embeddings,
+                                _SQL_METRICS_PRF1_EMBEDDINGS),
+    "retrieval_ndcg_embeddings": (_q_retrieval_ndcg_embeddings,
+                                  _SQL_RETRIEVAL_NDCG_EMBEDDINGS),
 }
 
 

@@ -545,3 +545,100 @@ def psi_timeline(reference: DataFrame, current: DataFrame, value_col: str,
     return (per_bucket
             .select("bucket_start", F.col("n").cast("long").alias("n"),
                     (F.col("_psi_present") + miss).alias("psi")))
+
+
+def classification_report(df: DataFrame, label_col: str,
+                          pred_col: str) -> DataFrame:
+    """Per-class precision/recall/F1 from a (label, prediction) table —
+    the multi-class companion of :func:`binary_classification_metrics`:
+    → ``(label, support, tp, fp, fn, precision, recall, f1)`` (floats 4
+    decimals; null when the denominator is empty — a class never
+    predicted has null precision, honest rather than sklearn's 0).
+
+    One groupBy collapses the scan to the C×C confusion table; per-class
+    tp/fp/fn are two more aggregations OF THAT TABLE (bounded by class
+    cardinality squared, never rows).  Rows with a null on either side
+    are excluded.
+    """
+    base = df.filter(F.col(label_col).isNotNull()
+                     & F.col(pred_col).isNotNull())
+    conf = (base.groupBy(F.col(label_col).alias("_l"),
+                         F.col(pred_col).alias("_p"))
+            .agg(F.count(F.lit(1)).alias("_n")))
+    per_label = (conf.groupBy(F.col("_l").alias("label"))
+                 .agg(F.sum("_n").cast("long").alias("support"),
+                      F.sum(F.when(F.col("_p") == F.col("_l"),
+                                   F.col("_n")).otherwise(F.lit(0)))
+                      .cast("long").alias("tp")))
+    per_pred = (conf.groupBy(F.col("_p").alias("label"))
+                .agg(F.sum("_n").cast("long").alias("_pred_n")))
+    m = (per_label.join(per_pred, "label", "full_outer")
+         .select(F.col("label"),
+                 F.coalesce("support", F.lit(0)).alias("support"),
+                 F.coalesce("tp", F.lit(0)).alias("tp"),
+                 (F.coalesce("_pred_n", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).alias("fp"),
+                 (F.coalesce("support", F.lit(0))
+                  - F.coalesce("tp", F.lit(0))).alias("fn")))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    tp, fp, fn = (F.col("tp").cast("double"), F.col("fp").cast("double"),
+                  F.col("fn").cast("double"))
+    prec = F.when(tp + fp > 0, r4(tp / (tp + fp)))
+    rec = F.when(tp + fn > 0, r4(tp / (tp + fn)))
+    f1 = F.when((tp + fp > 0) & (tp + fn > 0) & (tp > 0),
+                r4(2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                   / (tp / (tp + fp) + tp / (tp + fn)))) \
+          .when((tp + fp > 0) & (tp + fn > 0), F.lit(0.0))
+    return m.select("label", "support", "tp", "fp", "fn",
+                    prec.alias("precision"), rec.alias("recall"),
+                    f1.alias("f1"))
+
+
+def ndcg_mrr(results: DataFrame, query_col: str, rank_col: str,
+             rel_col: str, k: int = 10) -> DataFrame:
+    """Ranking quality per query — NDCG@k (Järvelin & Kekäläinen 2002)
+    and reciprocal rank → ``(query, n_rel, dcg, idcg, ndcg, rr)``, 4
+    decimals.  ``results`` is a ranked run: one row per (query,
+    candidate) with its 1-based ``rank_col`` and graded ``rel_col``
+    (≥ 0).  ``DCG = Σ_{rank≤k} rel / log2(rank+1)``; IDCG re-ranks the
+    SAME candidate set by (rel desc, rank asc — deterministic); ``rr``
+    = 1/rank of the first relevant hit within k, 0.0 if none; queries
+    with zero total relevance have null ndcg (0/0).
+
+    One per-query window for the ideal ordering plus one groupBy —
+    both bounded by the run's k·|queries| rows, never a corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = results.filter(F.col(rank_col).isNotNull()
+                       & F.col(rel_col).isNotNull())
+    w = Window.partitionBy(query_col).orderBy(F.desc(rel_col),
+                                              F.asc(rank_col))
+    ideal = F.row_number().over(w)
+    base = (r.withColumn("_irk", ideal)
+            .withColumn("_rel", F.col(rel_col).cast("double")))
+    log2 = lambda e: F.log(e) / F.log(F.lit(2.0))  # noqa: E731
+    dcg_t = F.when(F.col(rank_col) <= k,
+                   F.col("_rel") / log2(F.col(rank_col).cast("double")
+                                        + F.lit(1.0))).otherwise(F.lit(0.0))
+    idcg_t = F.when(F.col("_irk") <= k,
+                    F.col("_rel") / log2(F.col("_irk").cast("double")
+                                         + F.lit(1.0))) \
+              .otherwise(F.lit(0.0))
+    first_rel = F.min(F.when((F.col("_rel") > 0)
+                             & (F.col(rank_col) <= k),
+                             F.col(rank_col)))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    g = (base.groupBy(F.col(query_col).alias("query"))
+         .agg(F.sum((F.col("_rel") > 0).cast("long")).cast("long")
+              .alias("n_rel"),
+              F.sum(dcg_t).alias("_dcg"),
+              F.sum(idcg_t).alias("_idcg"),
+              first_rel.alias("_fr")))
+    return g.select(
+        "query", "n_rel", r4(F.col("_dcg")).alias("dcg"),
+        r4(F.col("_idcg")).alias("idcg"),
+        F.when(F.col("_idcg") > 0,
+               r4(F.col("_dcg") / F.col("_idcg"))).alias("ndcg"),
+        F.coalesce(r4(F.lit(1.0) / F.col("_fr").cast("double")),
+                   F.lit(0.0)).alias("rr"))

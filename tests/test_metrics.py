@@ -538,3 +538,49 @@ class TestStreamingPsiMonitor:
             reference_bins(ref, "value", n_bins=1)
         with _pt.raises(ValueError):
             streaming_psi_monitor(ref, bins, "value", [], threshold=0)
+
+
+def test_classification_report_values(spark):
+    from bid_evaluation_spark.operators.metrics import classification_report
+
+    # confusion: a->a x3, a->b x1, b->b x2, b->a x1, c never predicted
+    rows = ([("a", "a")] * 3 + [("a", "b")] + [("b", "b")] * 2
+            + [("b", "a")] + [("c", "a")])
+    df = spark.createDataFrame(rows, "y string, p string")
+    out = {r["label"]: r for r in
+           classification_report(df, "y", "p").collect()}
+    a = out["a"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (4, 3, 2, 1)
+    assert a["precision"] == 0.6 and a["recall"] == 0.75
+    import pytest as _pt
+    assert a["f1"] == _pt.approx(2 * 0.6 * 0.75 / 1.35, abs=1e-3)
+    c = out["c"]
+    assert c["support"] == 1 and c["tp"] == 0 and c["fp"] == 0
+    assert c["precision"] is None          # never predicted
+    assert c["recall"] == 0.0
+    assert c["f1"] is None                 # undefined precision -> null f1
+
+
+def test_ndcg_mrr_hand_example(spark):
+    import math
+
+    from bid_evaluation_spark.operators.metrics import ndcg_mrr
+
+    # q1 run: ranks 1..4 with rels 0,2,1,0 -> first rel at rank 2
+    rows = [("q1", 1, 0.0), ("q1", 2, 2.0), ("q1", 3, 1.0), ("q1", 4, 0.0),
+            ("q2", 1, 0.0), ("q2", 2, 0.0)]     # no relevance at all
+    df = spark.createDataFrame(rows, "q string, rank int, rel double")
+    out = {r["query"]: r for r in
+           ndcg_mrr(df, "q", "rank", "rel", k=4).collect()}
+    q1 = out["q1"]
+    dcg = 2 / math.log2(3) + 1 / math.log2(4)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3)
+    import pytest as _pt
+    assert q1["dcg"] == _pt.approx(dcg, abs=1e-3)
+    assert q1["idcg"] == _pt.approx(idcg, abs=1e-3)
+    assert q1["ndcg"] == _pt.approx(dcg / idcg, abs=1e-3)
+    assert q1["rr"] == 0.5 and q1["n_rel"] == 2
+    q2 = out["q2"]
+    assert q2["ndcg"] is None and q2["rr"] == 0.0
+    with _pt.raises(ValueError):
+        ndcg_mrr(df, "q", "rank", "rel", k=0)
