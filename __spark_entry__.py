@@ -12401,6 +12401,185 @@ FROM g
 """
 
 
+def _q_dq_join_size_orders_lineitem(spark, sf_dir):
+    """Exact join-cardinality preflight (operators/dq.py
+    join_size_estimate): |orders ⋈ lineitem| from the two per-key count
+    tables — the skew check (max_key_rows) that decides salting BEFORE
+    a 100-TB join runs. The oracle replays Σ cntA·cntB."""
+    from bid_evaluation_spark.operators.dq import join_size_estimate
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_size_estimate(o, li, "o_orderkey", "l_orderkey")
+
+
+_SQL_DQ_JOIN_SIZE_ORDERS_LINEITEM = """
+WITH lc AS (SELECT o_orderkey AS k, count(*) AS la FROM orders
+            GROUP BY 1),
+rc AS (SELECT l_orderkey AS k, count(*) AS rb FROM lineitem GROUP BY 1),
+j AS (SELECT la * rb AS prod FROM lc JOIN rc USING (k)
+      WHERE k IS NOT NULL)
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_left,
+  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_right,
+  CAST((SELECT count(*) FROM lc WHERE k IS NOT NULL) AS BIGINT)
+    AS n_keys_left,
+  CAST((SELECT count(*) FROM rc WHERE k IS NOT NULL) AS BIGINT)
+    AS n_keys_right,
+  CAST(count(*) AS BIGINT) AS n_keys_common,
+  CAST(COALESCE(sum(prod), 0) AS BIGINT) AS join_rows,
+  CAST(COALESCE(max(prod), 0) AS BIGINT) AS max_key_rows
+FROM j
+"""
+
+
+def _q_ts_pop_events(spark, sf_dir):
+    """Week-over-week report per event type (operators/timeseries.py
+    period_over_period): weekly value sums, change vs the key's
+    previous EXISTING week (gaps compare across). One groupBy + one
+    lag window over the bucket table; the oracle mirrors both."""
+    from bid_evaluation_spark.operators.timeseries import period_over_period
+
+    ev = _t(spark, sf_dir, "events")
+    res = period_over_period(ev, "event_type", "ts", "value", "week")
+    return res.select(
+        "key", F.date_format("period_start", _TS_FMT_SPARK)
+        .alias("period_start"),
+        "total", "prev_total", "change", "pct_change")
+
+
+_SQL_TS_POP_EVENTS = f"""
+WITH g AS (
+  SELECT event_type AS key, date_trunc('week', ts) AS ps,
+         sum(CAST(value AS DOUBLE)) AS tot
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT key, ps, tot, lag(tot) OVER (PARTITION BY key ORDER BY ps) AS pt
+  FROM g
+)
+SELECT key, strftime(ps, '{{_FMT}}') AS period_start,
+  round(tot * 1e4) / 1e4 + 0.0 AS total,
+  round(pt * 1e4) / 1e4 + 0.0 AS prev_total,
+  round((tot - pt) * 1e4) / 1e4 + 0.0 AS change,
+  CASE WHEN abs(pt) > 0
+       THEN round((tot - pt) / pt * CAST(100 AS DOUBLE) * 1e4) / 1e4 + 0.0
+  END AS pct_change
+FROM m
+""".replace("{_FMT}", _TS_FMT_DUCK)
+
+
+def _q_ts_cohort_ltv_events(spark, sf_dir):
+    """Cohort LTV curve (operators/timeseries.py cohort_ltv): users
+    cohorted by first-activity week, cumulative per-user value by age
+    0..8 — min-agg pins cohorts, one equi-join tags events, cumulative
+    window over the bounded cohort×age table. The oracle replays the
+    whole ride."""
+    from bid_evaluation_spark.operators.timeseries import cohort_ltv
+
+    ev = _t(spark, sf_dir, "events")
+    res = cohort_ltv(ev, "ts", "user_id", "value", max_age=8)
+    return res.select(
+        F.date_format("cohort", _TS_FMT_SPARK).alias("cohort"),
+        "age", "n_users", "period_value", "cum_value", "cum_per_user")
+
+
+_SQL_TS_COHORT_LTV_EVENTS = f"""
+WITH ev AS (
+  SELECT user_id AS u, date_trunc('week', ts) AS p,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+first AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+sizes AS (SELECT cohort, count(*) AS n_users FROM first GROUP BY cohort),
+tagged AS (
+  SELECT f.cohort,
+    CAST(floor((epoch(ev.p) - epoch(f.cohort))
+               / CAST(604800 AS DOUBLE)) AS BIGINT) AS age,
+    ev.v
+  FROM ev JOIN first f ON ev.u = f.u
+),
+per AS (
+  SELECT cohort, age, sum(v) AS pv FROM tagged
+  WHERE age <= 8 GROUP BY cohort, age
+),
+cum AS (
+  SELECT cohort, age, pv,
+         sum(pv) OVER (PARTITION BY cohort ORDER BY age
+                       ROWS UNBOUNDED PRECEDING) AS cv
+  FROM per
+)
+SELECT strftime(c.cohort, '{{_FMT}}') AS cohort, c.age,
+  CAST(s.n_users AS BIGINT) AS n_users,
+  round(c.pv * 1e4) / 1e4 + 0.0 AS period_value,
+  round(c.cv * 1e4) / 1e4 + 0.0 AS cum_value,
+  round(c.cv / CAST(s.n_users AS DOUBLE) * 1e4) / 1e4 + 0.0
+    AS cum_per_user
+FROM cum c JOIN sizes s ON c.cohort = s.cohort
+""".replace("{_FMT}", _TS_FMT_DUCK)
+
+
+def _q_analytics_huber_orders(spark, sf_dir):
+    """Huber M-estimate of order value per priority
+    (operators/analytics.py huber_mean_by_group): exact-median start,
+    MAD scale, two unrolled IRLS rounds — the logreg-GD oracle pattern
+    applied to robust location. The oracle unrolls both rounds as
+    CTEs."""
+    from bid_evaluation_spark.operators.analytics import huber_mean_by_group
+
+    o = _t(spark, sf_dir, "orders")
+    return huber_mean_by_group(o, "o_orderpriority", "o_totalprice",
+                               n_rounds=2)
+
+
+_SQL_ANALYTICS_HUBER_ORDERS = """
+WITH base AS (
+  SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS x
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND o_orderpriority IS NOT NULL
+),
+med AS (
+  SELECT g, count(*) AS n, quantile_cont(x, 0.5) AS med FROM base
+  GROUP BY g
+),
+mad AS (
+  SELECT base.g, quantile_cont(abs(x - med), 0.5) AS mad
+  FROM base JOIN med ON base.g = med.g GROUP BY base.g
+),
+stats AS (
+  SELECT med.g, n, med,
+         CAST(1.345 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad AS k
+  FROM med JOIN mad ON med.g = mad.g
+),
+r1 AS (
+  SELECT s.g,
+    sum(CASE WHEN abs(x - s.med) <= s.k THEN CAST(1 AS DOUBLE)
+             ELSE s.k / abs(x - s.med) END * x)
+    / sum(CASE WHEN abs(x - s.med) <= s.k THEN CAST(1 AS DOUBLE)
+               ELSE s.k / abs(x - s.med) END) AS m1
+  FROM base JOIN stats s ON base.g = s.g GROUP BY s.g
+),
+m1t AS (
+  SELECT s.g, s.n, s.med, s.k,
+         CASE WHEN s.k > 0 THEN r1.m1 ELSE s.med END AS m
+  FROM stats s LEFT JOIN r1 ON s.g = r1.g
+),
+r2 AS (
+  SELECT t.g,
+    sum(CASE WHEN abs(x - t.m) <= t.k THEN CAST(1 AS DOUBLE)
+             ELSE t.k / abs(x - t.m) END * x)
+    / sum(CASE WHEN abs(x - t.m) <= t.k THEN CAST(1 AS DOUBLE)
+               ELSE t.k / abs(x - t.m) END) AS m2
+  FROM base JOIN m1t t ON base.g = t.g GROUP BY t.g
+)
+SELECT t.g AS "group", CAST(t.n AS BIGINT) AS n,
+  round(t.med * 1e4) / 1e4 + 0.0 AS median,
+  CASE WHEN t.k > 0 THEN round(t.k * 1e4) / 1e4 + 0.0 END AS scale,
+  round(CASE WHEN t.k > 0 THEN r2.m2 ELSE t.med END * 1e4) / 1e4 + 0.0
+    AS huber_mean
+FROM m1t t LEFT JOIN r2 ON t.g = r2.g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12900,6 +13079,13 @@ _QUERIES: dict = {
                                 _SQL_METRICS_PRF1_EMBEDDINGS),
     "retrieval_ndcg_embeddings": (_q_retrieval_ndcg_embeddings,
                                   _SQL_RETRIEVAL_NDCG_EMBEDDINGS),
+    "dq_join_size_orders_lineitem": (_q_dq_join_size_orders_lineitem,
+                                     _SQL_DQ_JOIN_SIZE_ORDERS_LINEITEM),
+    "ts_pop_events": (_q_ts_pop_events, _SQL_TS_POP_EVENTS),
+    "ts_cohort_ltv_events": (_q_ts_cohort_ltv_events,
+                             _SQL_TS_COHORT_LTV_EVENTS),
+    "analytics_huber_orders": (_q_analytics_huber_orders,
+                               _SQL_ANALYTICS_HUBER_ORDERS),
 }
 
 

@@ -1187,3 +1187,55 @@ def wilson_by_group(df: DataFrame, group_col: str, success_col: str,
     return g.select("group", "n", "k", r4(p).alias("rate"),
                     r4(center - half).alias("ci_lo"),
                     r4(center + half).alias("ci_hi"))
+
+
+def huber_mean_by_group(df: DataFrame, group_col: str, value_col: str,
+                        n_rounds: int = 2, c: float = 1.345) -> DataFrame:
+    """Huber M-estimate of location per group (Huber 1964) — the robust
+    mean that downweights outliers smoothly instead of discarding them
+    (winsorized/trimmed means hard-clip; the median ignores magnitude):
+    IRLS with weights ``w = min(1, k/|x − m|)``, ``k = c·1.4826·MAD``,
+    starting from the exact median, ``n_rounds`` fixed rounds →
+    ``(group, n, median, scale, huber_mean)`` (floats 4 decimals).
+
+    FIXED round count, not convergence-tested: every round is one
+    grouped aggregate joined back (the stats frame is #groups rows —
+    broadcast), so the plan stays flat and the whole computation
+    replays as unrolled SQL (the logreg-GD / FS-EM / Lloyd oracle
+    pattern).  Zero-MAD groups (>50% identical values) return the
+    median with null scale — the estimator is the median there by
+    construction.  Nulls excluded.
+    """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    if c <= 0:
+        raise ValueError(f"c must be positive, got {c}")
+    x = F.col(value_col).cast("double")
+    base = (df.filter(x.isNotNull() & F.col(group_col).isNotNull())
+            .select(F.col(group_col).alias("group"), x.alias("_x")))
+    med = (base.groupBy("group")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.expr("percentile(_x, 0.5)").alias("_med")))
+    mad = (base.join(med, "group")
+           .groupBy("group")
+           .agg(F.expr("percentile(abs(_x - _med), 0.5)").alias("_mad")))
+    stats = (med.join(mad, "group")
+             .withColumn("_k", F.lit(float(c) * 1.4826) * F.col("_mad")))
+    m = F.col("_med")
+    cur = stats.select("group", "n", "_med", "_k", m.alias("_m"))
+    for _ in range(n_rounds):
+        j = base.join(cur, "group")
+        dev = F.abs(F.col("_x") - F.col("_m"))
+        w = F.when(dev <= F.col("_k"), F.lit(1.0)) \
+             .otherwise(F.col("_k") / dev)
+        step = (j.groupBy("group")
+                .agg((F.sum(w * F.col("_x")) / F.sum(w)).alias("_m2")))
+        cur = (cur.join(step, "group", "left")
+               .select("group", "n", "_med", "_k",
+                       F.when(F.col("_k") > 0, F.col("_m2"))
+                       .otherwise(F.col("_med")).alias("_m")))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return cur.select(
+        "group", "n", r4(F.col("_med")).alias("median"),
+        F.when(F.col("_k") > 0, r4(F.col("_k"))).alias("scale"),
+        r4(F.col("_m")).alias("huber_mean"))

@@ -175,3 +175,42 @@ def assign_stable_ids(df: DataFrame, order_cols: Sequence[str],
                         (F.col("_off") + F.row_number().over(w) - 1)
                         .cast("long"))
             .drop("_pid", "_off"))
+
+
+def join_size_estimate(left: DataFrame, right: DataFrame,
+                       left_key: str, right_key: str) -> DataFrame:
+    """EXACT inner-equi-join cardinality WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k cnt_A(k) · cnt_B(k)`` over the two per-key count
+    tables → one row ``(n_left, n_right, n_keys_left, n_keys_right,
+    n_keys_common, join_rows, max_key_rows)``.
+
+    The capacity-planning / skew-preflight check before a 100-TB join:
+    the count tables are each one partial-agg groupBy (≪ the join
+    output when keys repeat), their join touches only distinct keys,
+    and ``max_key_rows`` — the largest single-key output — is exactly
+    the number that decides whether the real join needs salting
+    (:mod:`.skew`) before it is attempted.  Null keys never join; they
+    are excluded from both sides (counted in n_left/n_right though).
+    """
+    lc = (left.groupBy(F.col(left_key).alias("_k"))
+          .agg(F.count(F.lit(1)).alias("_la")))
+    rc = (right.groupBy(F.col(right_key).alias("_k"))
+          .agg(F.count(F.lit(1)).alias("_rb")))
+    nl = left.count()
+    nr = right.count()
+    j = (lc.filter(F.col("_k").isNotNull())
+         .join(rc.filter(F.col("_k").isNotNull()), "_k")
+         .select((F.col("_la") * F.col("_rb")).alias("_prod")))
+    agg = j.agg(F.count(F.lit(1)).cast("long").alias("n_keys_common"),
+                F.coalesce(F.sum("_prod"), F.lit(0)).cast("long")
+                .alias("join_rows"),
+                F.coalesce(F.max("_prod"), F.lit(0)).cast("long")
+                .alias("max_key_rows"))
+    kl = lc.filter(F.col("_k").isNotNull()).count()
+    kr = rc.filter(F.col("_k").isNotNull()).count()
+    return agg.select(
+        F.lit(int(nl)).cast("long").alias("n_left"),
+        F.lit(int(nr)).cast("long").alias("n_right"),
+        F.lit(int(kl)).cast("long").alias("n_keys_left"),
+        F.lit(int(kr)).cast("long").alias("n_keys_right"),
+        "n_keys_common", "join_rows", "max_key_rows")

@@ -1084,3 +1084,84 @@ def active_users(df: DataFrame, ts_col: str, user_col: str,
     return (tgt.join(observed, "day", "left_semi")
             .groupBy("day").agg(*aggs)
             .withColumn("day", F.col("day").cast("timestamp")))
+
+
+def period_over_period(df: DataFrame, key_col: str, ts_col: str,
+                       value_col: str, period: str = "week") -> DataFrame:
+    """Period-over-period change per key — the WoW/MoM report: bucket to
+    ``period`` (any ``date_trunc`` unit), sum the value, and compare
+    each bucket with the key's PREVIOUS bucket → ``(key, period_start,
+    total, prev_total, change, pct_change)`` (floats 4 decimals;
+    ``pct_change`` null when the previous total is 0 or the bucket is
+    the key's first).
+
+    "Previous" means the previous EXISTING bucket for that key (lag
+    over the aggregated bucket table — gaps compare across the gap;
+    run :func:`gapfill` first for calendar-strict comparison).  One
+    groupBy + one key-partitioned lag window over the bounded bucket
+    table.
+    """
+    b = F.date_trunc(period, F.col(ts_col))
+    g = (df.filter(F.col(ts_col).isNotNull())
+         .groupBy(F.col(key_col).alias("key"),
+                  b.alias("period_start"))
+         .agg(F.sum(F.col(value_col).cast("double")).alias("_tot")))
+    w = Window.partitionBy("key").orderBy("period_start")
+    prev = F.lag("_tot").over(w)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return g.select(
+        "key", "period_start", r4(F.col("_tot")).alias("total"),
+        r4(prev).alias("prev_total"),
+        r4(F.col("_tot") - prev).alias("change"),
+        F.when(F.abs(prev) > 0,
+               r4((F.col("_tot") - prev) / prev * 100.0))
+        .alias("pct_change"))
+
+
+def cohort_ltv(df: DataFrame, ts_col: str, user_col: str,
+               value_col: str, max_age: int = 8,
+               period: str = "week") -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion of
+    :func:`retention_cohorts`: users cohorted by first-activity period,
+    each cohort's per-user CUMULATIVE value tracked by age →
+    ``(cohort, age, n_users, period_value, cum_value, cum_per_user)``
+    for ages 0..``max_age`` (floats 4 decimals).
+
+    Shape: one min-aggregation pins each user's cohort, one equi-join
+    tags every event, one groupBy(cohort, age) sums the period value,
+    and the cumulative ride is an ordered window over the bounded
+    cohort×age table.  Ages beyond ``max_age`` are dropped (bounds the
+    report, not the scan).  Cohort size counts DISTINCT users in the
+    cohort (denominator fixed at age 0 — standard LTV convention).
+    """
+    if max_age < 0:
+        raise ValueError(f"max_age must be >= 0, got {max_age}")
+    b = F.date_trunc(period, F.col(ts_col))
+    ev = (df.filter(F.col(ts_col).isNotNull()
+                    & F.col(user_col).isNotNull())
+          .select(F.col(user_col).alias("_u"), b.alias("_p"),
+                  F.col(value_col).cast("double").alias("_v")))
+    first = ev.groupBy("_u").agg(F.min("_p").alias("cohort"))
+    sizes = (first.groupBy("cohort")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_users")))
+    unit = {"week": 7 * 86400, "day": 86400}.get(period)
+    if unit is None:
+        raise ValueError("period must be 'week' or 'day'")
+    age = F.floor((F.col("_p").cast("double")
+                   - F.col("cohort").cast("double")) / float(unit)) \
+           .cast("long")
+    per = (ev.join(first, "_u")
+           .withColumn("_age", age)
+           .filter(F.col("_age") <= int(max_age))
+           .groupBy("cohort", F.col("_age").alias("age"))
+           .agg(F.sum("_v").alias("_pv")))
+    w = (Window.partitionBy("cohort").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    cum = F.sum("_pv").over(w)
+    return (per.join(sizes, "cohort")
+            .select("cohort", "age", "n_users",
+                    r4(F.col("_pv")).alias("period_value"),
+                    r4(cum).alias("cum_value"),
+                    r4(cum / F.col("n_users").cast("double"))
+                    .alias("cum_per_user")))
