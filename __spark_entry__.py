@@ -12580,6 +12580,70 @@ FROM m1t t LEFT JOIN r2 ON t.g = r2.g
 """
 
 
+def _q_spatial_dbscan_part(spark, sf_dir):
+    """Grid-blocked DBSCAN (operators/spatial.py dbscan) over the same
+    synthesized planar coordinates as spatial_radius_part: ε-pairs from
+    the cell-blocked radius join, cores at min_pts=4, clusters =
+    min-label connected components over core-core pairs, borders pinned
+    to the smallest core-neighbor cluster. The oracle recomputes pairs
+    brute-force and labels components with a recursive
+    transitive-closure CTE (the dedup_keepmin pattern)."""
+    from bid_evaluation_spark.operators.spatial import dbscan
+
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("p_partkey") * 61 % 1000) / 10.0).alias("y"))
+    return dbscan(pts, "pid", "x", "y", eps=1.5, min_pts=4)
+
+
+_SQL_SPATIAL_DBSCAN_PART = """
+WITH RECURSIVE pts AS (
+  SELECT p_partkey AS id,
+         (p_partkey * 37 % 1000) / 10.0 AS x,
+         (p_partkey * 61 % 1000) / 10.0 AS y
+  FROM part
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM pts a JOIN pts b ON a.id < b.id
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        <= CAST(2.25 AS DOUBLE)
+),
+sym AS (
+  SELECT ia AS id, ib AS nbr FROM pairs
+  UNION ALL SELECT ib AS id, ia AS nbr FROM pairs
+),
+deg AS (SELECT id, count(*) AS d FROM sym GROUP BY id),
+core AS (SELECT id FROM deg WHERE d >= 3),
+cc AS (
+  SELECT s.id AS src, s.nbr AS dst FROM sym s
+  WHERE s.id IN (SELECT id FROM core) AND s.nbr IN (SELECT id FROM core)
+),
+reach(id, r) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT cc.dst, reach.r FROM cc JOIN reach ON cc.src = reach.id
+),
+labels AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+border AS (
+  SELECT s.id, min(l.cluster_id) AS bcl
+  FROM sym s JOIN labels l ON s.nbr = l.id
+  WHERE s.id NOT IN (SELECT id FROM core)
+  GROUP BY s.id
+)
+SELECT p.id,
+  CASE WHEN l.id IS NOT NULL THEN 'core'
+       WHEN b.id IS NOT NULL THEN 'border'
+       ELSE 'noise' END AS role,
+  COALESCE(l.cluster_id, b.bcl) AS cluster_id
+FROM pts p
+LEFT JOIN labels l ON p.id = l.id
+LEFT JOIN border b ON p.id = b.id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13086,6 +13150,8 @@ _QUERIES: dict = {
                              _SQL_TS_COHORT_LTV_EVENTS),
     "analytics_huber_orders": (_q_analytics_huber_orders,
                                _SQL_ANALYTICS_HUBER_ORDERS),
+    "spatial_dbscan_part": (_q_spatial_dbscan_part,
+                            _SQL_SPATIAL_DBSCAN_PART),
 }
 
 

@@ -62,3 +62,77 @@ def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
             .select(F.col("_ida").alias("id_a"), F.col("_idb").alias("id_b"),
                     (F.round(F.sqrt(d2) * 1e4) / 1e4 + F.lit(0.0))
                     .alias("dist")))
+
+
+def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
+           eps: float, min_pts: int = 4,
+           max_cc_iter: int = 20) -> DataFrame:
+    """Grid-blocked DBSCAN (Ester et al. KDD 1996) → ``(id, role,
+    cluster_id)`` with ``role ∈ {'core', 'border', 'noise'}`` and
+    ``cluster_id = min(core id)`` of the cluster (null for noise).
+
+    Pure composition of verified pieces — no new join geometry:
+
+    1. ε-neighbor pairs from :func:`radius_join` (cell blocking,
+       recall exactly 1);
+    2. core points = neighbor count ≥ ``min_pts − 1`` (the point
+       itself completes the classic ≥ min_pts neighborhood);
+    3. clusters = connected components over CORE–CORE pairs only
+       (``dedup.near_duplicate_clusters`` — min-label propagation,
+       checkpoint-truncated rounds);
+    4. border points attach to the smallest cluster id among their
+       core neighbors (deterministic under the textbook's
+       order-dependent tie — DBSCAN borders are ambiguous by
+       definition; min() pins them);
+    5. everything else is noise.
+
+    Scale: steps 1-2 are the radius join's cost envelope; step 3 runs
+    on core-core pairs (≤ pair count); steps 4-5 are one groupBy and
+    two left joins keyed on id. Isolated core points (no core
+    neighbor) form their own singleton clusters.
+    """
+    if min_pts < 2:
+        raise ValueError(f"min_pts must be >= 2, got {min_pts}")
+    from .dedup import near_duplicate_clusters
+
+    pts = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+           .select(F.col(id_col).alias("id")))
+    pairs = radius_join(df, id_col, x_col, y_col, eps)
+    sym = (pairs.select(F.col("id_a").alias("id"),
+                        F.col("id_b").alias("nbr"))
+           .unionByName(pairs.select(F.col("id_b").alias("id"),
+                                     F.col("id_a").alias("nbr"))))
+    degs = sym.groupBy("id").agg(F.count(F.lit(1)).alias("_deg"))
+    core = degs.filter(F.col("_deg") >= int(min_pts) - 1).select("id")
+    cc_pairs = (sym.join(core, "id", "left_semi")
+                .join(core.select(F.col("id").alias("nbr")), "nbr",
+                      "left_semi")
+                .filter(F.col("id") < F.col("nbr")))
+    has_cc = cc_pairs.limit(1).count() > 0
+    if has_cc:
+        clusters = near_duplicate_clusters(cc_pairs, "id", "nbr",
+                                           max_iter=max_cc_iter)
+    else:
+        clusters = pts.sparkSession.createDataFrame(
+            [], "id long, cluster_id long")
+    # isolated cores (no core neighbor) cluster with themselves
+    core_cl = (core.join(clusters, "id", "left")
+               .select("id", F.coalesce("cluster_id", "id")
+                       .alias("cluster_id")))
+    border_cl = (sym.join(core.select(F.col("id").alias("nbr")), "nbr",
+                          "left_semi")
+                 .join(core, "id", "left_anti")
+                 .join(core_cl.select(F.col("id").alias("nbr"),
+                                      F.col("cluster_id")), "nbr")
+                 .groupBy("id")
+                 .agg(F.min("cluster_id").alias("cluster_id")))
+    out = (pts.join(core_cl.withColumn("_role", F.lit("core")), "id",
+                    "left")
+           .join(border_cl.withColumnRenamed("cluster_id", "_bcl"), "id",
+                 "left"))
+    return out.select(
+        "id",
+        F.when(F.col("_role").isNotNull(), F.lit("core"))
+        .when(F.col("_bcl").isNotNull(), F.lit("border"))
+        .otherwise(F.lit("noise")).alias("role"),
+        F.coalesce(F.col("cluster_id"), F.col("_bcl")).alias("cluster_id"))

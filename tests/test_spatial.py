@@ -57,3 +57,50 @@ def test_nulls_excluded_and_validation(spark):
     assert out == {(1, 3)}
     with pytest.raises(ValueError):
         radius_join(df, "pid", "x", "y", 0.0)
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from bid_evaluation_spark.operators.spatial import dbscan
+
+    rows = []
+    # blob A: 5 tight points at (0,0); blob B: 5 at (100,100); 1 outlier
+    for i in range(5):
+        rows.append((i, 0.0 + i * 0.1, 0.0))
+        rows.append((100 + i, 100.0 + i * 0.1, 100.0))
+    rows.append((999, 50.0, 50.0))
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r for r in dbscan(df, "id", "x", "y", eps=1.0,
+                                      min_pts=3).collect()}
+    assert out[999]["role"] == "noise" and out[999]["cluster_id"] is None
+    a_ids = [i for i in range(5)]
+    b_ids = [100 + i for i in range(5)]
+    assert all(out[i]["role"] == "core" for i in a_ids + b_ids)
+    assert len({out[i]["cluster_id"] for i in a_ids}) == 1
+    assert len({out[i]["cluster_id"] for i in b_ids}) == 1
+    assert out[0]["cluster_id"] != out[100]["cluster_id"]
+    assert out[0]["cluster_id"] == min(a_ids)
+
+
+def test_dbscan_border_attaches_to_min_cluster(spark):
+    from bid_evaluation_spark.operators.spatial import dbscan
+
+    # 3 cores in a row (cluster), one point reachable from one core only
+    rows = [(1, 0.0, 0.0), (2, 0.5, 0.0), (3, 1.0, 0.0),
+            (10, 1.8, 0.0)]  # within eps of 3 only -> 1 neighbor -> border
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = {r["id"]: r for r in dbscan(df, "id", "x", "y", eps=1.0,
+                                      min_pts=3).collect()}
+    assert out[1]["role"] == "core" and out[2]["role"] == "core"
+    assert out[10]["role"] == "border" and out[10]["cluster_id"] == 1
+    import pytest as _p
+    with _p.raises(ValueError):
+        dbscan(df, "id", "x", "y", eps=1.0, min_pts=1)
+
+
+def test_dbscan_no_cores_all_noise(spark):
+    from bid_evaluation_spark.operators.spatial import dbscan
+
+    rows = [(1, 0.0, 0.0), (2, 50.0, 0.0), (3, 100.0, 0.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    out = dbscan(df, "id", "x", "y", eps=1.0, min_pts=3).collect()
+    assert all(r["role"] == "noise" for r in out)
