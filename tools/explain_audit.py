@@ -1608,6 +1608,40 @@ def _knn_paths_compact(spark, sf_dir):
     return probs
 
 
+@check("dbscan/active-users/join-size: cell equi-joins only, bounded "
+       "contribution explode, count-table-only preflight")
+def _dbscan_au_js(spark, sf_dir):
+    from bid_evaluation_spark.operators.dq import join_size_estimate
+    from bid_evaluation_spark.operators.spatial import dbscan
+    from bid_evaluation_spark.operators.timeseries import active_users
+    from bid_evaluation_spark.sources.io import load_table
+
+    probs = []
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 37 % 1000) / 10.0).alias("x"),
+        ((F.col("p_partkey") * 61 % 1000) / 10.0).alias("y"))
+    dp = plan_of(dbscan(pts, "pid", "x", "y", eps=1.5, min_pts=4))
+    if "CartesianProduct" in dp or "BroadcastNestedLoopJoin" in dp:
+        probs.append("dbscan: non-equi join (blocking lost)")
+    ev = load_table(spark, sf_dir, "events")
+    ap = plan_of(active_users(ev, "ts", "user_id", windows=(1, 7, 28)))
+    if "CartesianProduct" in ap:
+        probs.append("active_users: cartesian in plan")
+    if ap.count("Generate") != 1:
+        probs.append("active_users: expected exactly one bounded explode")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    jp = plan_of(join_size_estimate(o, li, "o_orderkey", "l_orderkey"))
+    # the estimator must join COUNT TABLES (aggregates below the join),
+    # never the raw sides: in root-first plan text the join prints before
+    # the per-side aggregates it consumes
+    if "HashAggregate" not in jp:
+        probs.append("join-size: no aggregation below the key join")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
