@@ -12644,6 +12644,83 @@ LEFT JOIN border b ON p.id = b.id
 """
 
 
+def _q_metrics_langid_prf1_documents(spark, sf_dir):
+    """Language-ID quality audit: the marker-word classifier
+    (operators/text.py language_id) scored against the corpus's lang
+    labels with the per-class P/R/F1 report (operators/metrics.py
+    classification_report) — the eval loop a curation pipeline runs
+    before trusting a filter. Composition of two independently-oracled
+    operators under one chained oracle."""
+    from bid_evaluation_spark.operators.metrics import classification_report
+    from bid_evaluation_spark.operators.text import language_id
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("_pred", language_id("text")))
+    return classification_report(d, "lang", "_pred")
+
+
+_SQL_METRICS_LANGID_PRF1_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, lang,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, lang,
+    len(list_filter(t, x -> x IN ('der','die','und','das','ist'))) AS cde,
+    len(list_filter(t, x -> x IN ('the','a','and','of','is'))) AS cen,
+    len(list_filter(t, x -> x IN ('la','el','los','las','es'))) AS ces,
+    len(list_filter(t, x -> x IN ('le','la','les','des','est'))) AS cfr,
+    len(list_filter(t, x -> x IN ('的','是','了','在','和'))) AS czh
+  FROM toks
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN cde >= cen AND cde >= ces AND cde >= cfr AND cde >= czh THEN 'de'
+         WHEN cen > cde AND cen >= ces AND cen >= cfr AND cen >= czh THEN 'en'
+         WHEN ces > cde AND ces > cen AND ces >= cfr AND ces >= czh THEN 'es'
+         WHEN cfr > cde AND cfr > cen AND cfr > ces AND cfr >= czh THEN 'fr'
+         WHEN czh > cde AND czh > cen AND czh > ces AND czh > cfr THEN 'zh'
+         ELSE 'de' END AS p
+  FROM counts WHERE lang IS NOT NULL
+),
+conf AS (SELECT lang AS l, p, count(*) AS n FROM pred GROUP BY 1, 2),
+per_l AS (
+  SELECT l AS label, sum(n) AS support,
+         sum(CASE WHEN p = l THEN n ELSE 0 END) AS tp
+  FROM conf GROUP BY l
+),
+per_p AS (SELECT p AS label, sum(n) AS pred_n FROM conf GROUP BY p),
+m AS (
+  SELECT COALESCE(per_l.label, per_p.label) AS label,
+         COALESCE(support, 0) AS support, COALESCE(tp, 0) AS tp,
+         COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
+         COALESCE(support, 0) - COALESCE(tp, 0) AS fn
+  FROM per_l FULL OUTER JOIN per_p ON per_l.label = per_p.label
+)
+SELECT label, CAST(support AS BIGINT) AS support,
+  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+  CAST(fn AS BIGINT) AS fn,
+  CASE WHEN tp + fp > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) * 1e4)
+            / 1e4 + 0.0 END AS precision,
+  CASE WHEN tp + fn > 0
+       THEN round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) * 1e4)
+            / 1e4 + 0.0 END AS recall,
+  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+       THEN round(CAST(2 AS DOUBLE)
+                  * (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE))
+                  * (CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                  / (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)
+                     + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+                  * 1e4) / 1e4 + 0.0
+       WHEN tp + fp > 0 AND tp + fn > 0 THEN CAST(0 AS DOUBLE) + 0.0
+  END AS f1
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13152,6 +13229,8 @@ _QUERIES: dict = {
                                _SQL_ANALYTICS_HUBER_ORDERS),
     "spatial_dbscan_part": (_q_spatial_dbscan_part,
                             _SQL_SPATIAL_DBSCAN_PART),
+    "metrics_langid_prf1_documents": (_q_metrics_langid_prf1_documents,
+                                      _SQL_METRICS_LANGID_PRF1_DOCUMENTS),
 }
 
 
