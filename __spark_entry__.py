@@ -10688,9 +10688,12 @@ r2 AS (
 )
 SELECT doc_id, word, r6 + 0.0 AS rank, CAST(rk AS BIGINT) AS rk
 FROM (
-  SELECT doc_id, word, round(rank * 1e6) / 1e6 AS r6,
+  SELECT doc_id, word,
+         round(rank * 1e6 + CAST(0.001 AS DOUBLE)) / 1e6 AS r6,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY round(rank * 1e6) / 1e6 DESC, word)
+                            ORDER BY round(rank * 1e6
+                                           + CAST(0.001 AS DOUBLE)) / 1e6
+                                     DESC, word)
            AS rk
   FROM r2
 ) WHERE rk <= 3
@@ -12721,6 +12724,46 @@ FROM m
 """
 
 
+def _q_spatial_geo_radius_part(spark, sf_dir):
+    """Geodetic fixed-radius self-join (operators/spatial.py
+    geo_radius_join): lat/lon synthesized from key arithmetic over the
+    whole globe, latitude bands of radius-equivalent degrees with
+    cos-widened longitude cells (3×3 probe incl. antimeridian wrap),
+    exact haversine on cell-mates only. The oracle is the brute-force
+    all-pairs haversine — recall 1 under the band geometry is the
+    claim under test."""
+    from bid_evaluation_spark.operators.spatial import geo_radius_join
+
+    part = _t(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_partkey").alias("pid"),
+        ((F.col("p_partkey") * 13 % 1600) / 10.0 - 80.0).alias("lat"),
+        ((F.col("p_partkey") * 29 % 3600) / 10.0 - 180.0).alias("lon"))
+    return geo_radius_join(pts, "pid", "lat", "lon", 100.0)
+
+
+_SQL_SPATIAL_GEO_RADIUS_PART = """
+WITH pts AS (
+  SELECT p_partkey AS pid,
+         (p_partkey * 13 % 1600) / 10.0 - 80.0 AS lat,
+         (p_partkey * 29 % 3600) / 10.0 - 180.0 AS lon
+  FROM part
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+  round((2 * CAST(6371.0 AS DOUBLE)
+         * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+                     + cos(radians(a.lat)) * cos(radians(b.lat))
+                     * pow(sin(radians(b.lon - a.lon) / 2), 2))))
+        * 1e4) / 1e4 + 0.0 AS dist_km
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE 2 * CAST(6371.0 AS DOUBLE)
+      * asin(sqrt(pow(sin(radians(b.lat - a.lat) / 2), 2)
+                  + cos(radians(a.lat)) * cos(radians(b.lat))
+                  * pow(sin(radians(b.lon - a.lon) / 2), 2)))
+      <= CAST(100 AS DOUBLE)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13231,6 +13274,8 @@ _QUERIES: dict = {
                             _SQL_SPATIAL_DBSCAN_PART),
     "metrics_langid_prf1_documents": (_q_metrics_langid_prf1_documents,
                                       _SQL_METRICS_LANGID_PRF1_DOCUMENTS),
+    "spatial_geo_radius_part": (_q_spatial_geo_radius_part,
+                                _SQL_SPATIAL_GEO_RADIUS_PART),
 }
 
 

@@ -257,7 +257,15 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
                  .localCheckpoint())
 
     from pyspark.sql import Window
-    r6 = F.round(F.col("_rank") * 1e6) / 1e6 + F.lit(0.0)
+    # +1e-3 pre-round nudge (at the 1e6 scale, i.e. +1e-9 on the rank):
+    # PageRank values are RATIONALS, so scores landing exactly on a
+    # x.5·1e-6 grid boundary are common — there the round() outcome
+    # flips with partition-order sum noise (~1e-10 at this scale) and a
+    # deterministic oracle disagrees one run in N. The nudge is 10^7×
+    # the noise and 500× smaller than the grid step, so it moves every
+    # boundary rational deterministically up without affecting any
+    # non-boundary value. The SQL oracle applies the identical nudge.
+    r6 = F.round(F.col("_rank") * 1e6 + F.lit(1e-3)) / 1e6 + F.lit(0.0)
     w = Window.partitionBy("_doc").orderBy(F.col("_r6").desc(), "_word")
     out = (ranks.withColumn("_r6", r6)
            .withColumn("_rk", F.row_number().over(w))

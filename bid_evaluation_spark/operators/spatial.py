@@ -136,3 +136,79 @@ def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
         .when(F.col("_bcl").isNotNull(), F.lit("border"))
         .otherwise(F.lit("noise")).alias("role"),
         F.coalesce(F.col("cluster_id"), F.col("_bcl")).alias("cluster_id"))
+
+
+def geo_radius_join(df: DataFrame, id_col: str, lat_col: str,
+                    lon_col: str, radius_km: float,
+                    max_abs_lat: float = 85.0) -> DataFrame:
+    """All point pairs within ``radius_km`` GREAT-CIRCLE kilometers
+    (haversine) → ``(id_a, id_b, dist_km)`` with ``id_a < id_b``,
+    distance rounded to 4 decimals — :func:`radius_join`'s geodetic
+    sibling for lat/lon data.
+
+    Blocking: latitude cells of ``radius_km`` degrees-equivalent and
+    longitude cells widened by ``1/cos(band lat)`` (a meridian degree
+    is ~111.2 km everywhere; a parallel degree shrinks with latitude).
+    Each left point probes its 3×3 neighborhood — the cell geometry
+    guarantees any qualifying pair shares one of those 9 cells, so
+    recall is 1 and the join stays a plain cell-keyed equi-join.
+    Poles are excluded (``|lat| > max_abs_lat``, where the cos-scaled
+    cell width degenerates); the antimeridian is handled by probing
+    wrapped cell indices.  The exact haversine runs only on cell-mates.
+    """
+    import math as _math
+
+    if radius_km <= 0:
+        raise ValueError(f"radius_km must be positive, got {radius_km}")
+    if not 0 < max_abs_lat < 90:
+        raise ValueError("max_abs_lat must be in (0, 90)")
+    km_per_deg = 111.195  # mean earth radius 6371.0 km * pi / 180
+    dlat = float(radius_km) / km_per_deg
+    pts = (df.filter(F.col(lat_col).isNotNull()
+                     & F.col(lon_col).isNotNull()
+                     & (F.abs(F.col(lat_col)) <= float(max_abs_lat)))
+           .select(F.col(id_col).alias("_id"),
+                   F.col(lat_col).cast("double").alias("_la"),
+                   F.col(lon_col).cast("double").alias("_lo")))
+    band = F.floor(F.col("_la") / F.lit(dlat))
+    # widest cell of the band (smallest cos) keeps the 3x3 guarantee
+    band_max_abs = F.greatest(F.abs(band * dlat), F.abs((band + 1) * dlat))
+    cosb = F.greatest(F.cos(F.radians(band_max_abs)),
+                      F.lit(_math.cos(_math.radians(max_abs_lat))))
+    dlon = F.lit(dlat) / cosb
+    ncells = F.ceil(F.lit(360.0) / dlon).cast("long")
+    cell = F.floor((F.col("_lo") + 180.0) / dlon).cast("long")
+    right = pts.select(F.col("_id").alias("_idb"),
+                       F.col("_la").alias("_lab"),
+                       F.col("_lo").alias("_lob"),
+                       band.alias("_by"), cell.alias("_bx"))
+    offy = F.expr("explode(array(-1L, 0L, 1L))")
+    offx = F.expr("explode(array(-1L, 0L, 1L))")
+    left = (pts.withColumn("_dy", offy).withColumn("_dx", offx)
+            .withColumn("_by", band + F.col("_dy"))
+            # the neighbor row's OWN band geometry decides its cell width
+            .withColumn("_bma", F.greatest(F.abs(F.col("_by") * dlat),
+                                           F.abs((F.col("_by") + 1) * dlat)))
+            .withColumn("_cb", F.greatest(
+                F.cos(F.radians(F.col("_bma"))),
+                F.lit(_math.cos(_math.radians(max_abs_lat)))))
+            .withColumn("_dl", F.lit(dlat) / F.col("_cb"))
+            .withColumn("_nc", F.ceil(F.lit(360.0) / F.col("_dl"))
+                        .cast("long"))
+            .withColumn("_bx", F.pmod(
+                F.floor((F.col("_lo") + 180.0) / F.col("_dl")).cast("long")
+                + F.col("_dx"), F.col("_nc")))
+            .select("_id", "_la", "_lo", "_by", "_bx"))
+    hav = 2.0 * F.lit(6371.0) * F.asin(F.sqrt(
+        F.pow(F.sin(F.radians(F.col("_lab") - F.col("_la")) / 2), 2)
+        + F.cos(F.radians("_la")) * F.cos(F.radians("_lab"))
+        * F.pow(F.sin(F.radians(F.col("_lob") - F.col("_lo")) / 2), 2)))
+    joined = (left.join(right, ["_by", "_bx"])
+              .filter(F.col("_id") < F.col("_idb"))
+              .withColumn("_d", hav)
+              .filter(F.col("_d") <= float(radius_km)))
+    return (joined.select(F.col("_id").alias("id_a"),
+                          F.col("_idb").alias("id_b"),
+                          (F.round(F.col("_d") * 1e4) / 1e4 + F.lit(0.0))
+                          .alias("dist_km"))
+            .distinct())

@@ -104,3 +104,57 @@ def test_dbscan_no_cores_all_noise(spark):
     df = spark.createDataFrame(rows, "id long, x double, y double")
     out = dbscan(df, "id", "x", "y", eps=1.0, min_pts=3).collect()
     assert all(r["role"] == "noise" for r in out)
+
+
+def _hav(a, b):
+    import math
+    la1, lo1 = a
+    la2, lo2 = b
+    p = math.pi / 180
+    h = (math.sin((la2 - la1) * p / 2) ** 2
+         + math.cos(la1 * p) * math.cos(la2 * p)
+         * math.sin((lo2 - lo1) * p / 2) ** 2)
+    return 2 * 6371.0 * math.asin(math.sqrt(h))
+
+
+def test_geo_radius_join_matches_bruteforce(spark):
+    from bid_evaluation_spark.operators.spatial import geo_radius_join
+
+    pts = [(i, ((i * 13) % 140) - 70.0 + (i % 7) * 0.01,
+            ((i * 29) % 360) - 180.0 + (i % 5) * 0.01)
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    got = {(r["id_a"], r["id_b"]) for r in
+           geo_radius_join(df, "id", "lat", "lon", 150.0).collect()}
+    want = {(a[0], b[0]) for i, a in enumerate(pts) for b in pts[i + 1:]
+            if _hav((a[1], a[2]), (b[1], b[2])) <= 150.0}
+    assert got == want
+
+
+def test_geo_radius_join_antimeridian_and_distance(spark):
+    from bid_evaluation_spark.operators.spatial import geo_radius_join
+
+    pts = [(1, 0.0, 179.9), (2, 0.0, -179.9),   # ~22 km across the seam
+           (3, 0.0, 0.0)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = geo_radius_join(df, "id", "lat", "lon", 100.0).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    import pytest as _p
+    assert r["dist_km"] == _p.approx(_hav((0, 179.9), (0, -179.9)),
+                                     abs=0.01)
+    with _p.raises(ValueError):
+        geo_radius_join(df, "id", "lat", "lon", 0)
+
+
+def test_geo_radius_join_excludes_poles(spark):
+    from bid_evaluation_spark.operators.spatial import geo_radius_join
+
+    pts = [(1, 89.0, 0.0), (2, 89.0, 10.0), (3, 50.0, 0.0),
+           (4, 50.0, 0.1)]
+    df = spark.createDataFrame(pts, "id long, lat double, lon double")
+    out = {(r["id_a"], r["id_b"]) for r in
+           geo_radius_join(df, "id", "lat", "lon", 50.0,
+                           max_abs_lat=85.0).collect()}
+    assert out == {(3, 4)}  # polar points dropped by contract
