@@ -12764,6 +12764,134 @@ WHERE 2 * CAST(6371.0 AS DOUBLE)
 """
 
 
+def _q_pipe_dup_ngram_documents(spark, sf_dir):
+    """Duplicate-3-gram (memorization-risk) rate per source
+    (operators/pipeline.py dup_ngram_rate): share of 3-gram OCCURRENCES
+    that repeat within the source — the dial span-dedup exists to push
+    down. One explode + one count-distinct groupBy; the oracle replays
+    multiplicity-kept n-grams."""
+    from bid_evaluation_spark.operators.pipeline import dup_ngram_rate
+
+    d = _t(spark, sf_dir, "documents")
+    return dup_ngram_rate(d, "source", "text", n=3)
+
+
+_SQL_PIPE_DUP_NGRAM_DOCUMENTS = """
+WITH toks AS (
+  SELECT source,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents WHERE source IS NOT NULL
+),
+ng AS (
+  SELECT source,
+    CASE WHEN len(t) >= 3 THEN list_transform(
+      generate_series(1, len(t) - 2),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM toks
+),
+docs AS (SELECT source, count(*) AS n_docs FROM ng GROUP BY 1),
+ex AS (SELECT source, unnest(g) AS s FROM ng),
+agg AS (
+  SELECT source, count(*) AS total, count(DISTINCT s) AS dist
+  FROM ex GROUP BY 1
+)
+SELECT d.source AS "group", CAST(d.n_docs AS BIGINT) AS n_docs,
+  CAST(COALESCE(a.total, 0) AS BIGINT) AS total_ngrams,
+  CAST(COALESCE(a.dist, 0) AS BIGINT) AS distinct_ngrams,
+  CASE WHEN a.total > 0
+       THEN round((CAST(1 AS DOUBLE)
+                   - CAST(a.dist AS DOUBLE) / CAST(a.total AS DOUBLE))
+                  * 1e4) / 1e4 + 0.0 END AS dup_rate
+FROM docs d LEFT JOIN agg a ON d.source = a.source
+"""
+
+
+def _q_quality_scorecard_documents(spark, sf_dir):
+    """Per-language quality dashboard row (operators/quality.py
+    quality_scorecard): mean / exact-median / pass-rate of the 0-100
+    heuristic score — one codegen scoring pass + one grouped exact
+    percentile. The oracle replays the score composition and
+    roll-up."""
+    from bid_evaluation_spark.operators.quality import quality_scorecard
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_scorecard(d, "lang", threshold=50.0)
+
+
+_SQL_QUALITY_SCORECARD_DOCUMENTS = f"""
+WITH toks AS (
+  SELECT lang, text,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents WHERE lang IS NOT NULL
+),
+comp AS (
+  SELECT lang,
+    least(CAST(len(t) AS DOUBLE) / 200.0, 1.0) * 40.0
+    + (CASE WHEN len(t) > 0
+            THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+            ELSE 0.0 END) * 30.0
+    + least((CASE WHEN len(t) > 0
+                  THEN CAST(len(list_filter(t, x -> x IN {{_SW}})) AS DOUBLE)
+                       / len(t)
+                  ELSE 0.0 END) * 5.0, 1.0) * 20.0
+    + (1.0 - least((CASE WHEN length(text) > 0
+                         THEN CAST(length(regexp_replace(text, '[\\w\\s]',
+                                                         '', 'g')) AS DOUBLE)
+                              / length(text)
+                         ELSE 0.0 END) * 10.0, 1.0)) * 10.0 AS q
+  FROM toks
+)
+SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+  round(avg(q) * 1e4) / 1e4 + 0.0 AS mean_q,
+  round((quantile_cont(q, 0.5)) * 1e4) / 1e4 + 0.0 AS p50_q,
+  round(avg(CASE WHEN q >= CAST(50 AS DOUBLE) THEN CAST(1 AS DOUBLE)
+                 ELSE CAST(0 AS DOUBLE) END) * 1e4) / 1e4 + 0.0
+    AS pass_rate
+FROM comp GROUP BY lang
+""".replace("{_SW}", _STOPWORDS_SQL)
+
+
+def _q_dedup_savings_documents(spark, sf_dir):
+    """Dedup capacity planning (operators/dedup.py
+    dedup_savings_report): per source, docs/chars that exact dedup
+    would drop — cross-source duplicates charge the group holding the
+    redundant bytes (global min-id canonical). Same md5 fingerprint and
+    shuffle key as the dedup itself; the oracle replays the window and
+    roll-up."""
+    from bid_evaluation_spark.operators.dedup import dedup_savings_report
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_savings_report(d, "source")
+
+
+_SQL_DEDUP_SAVINGS_DOCUMENTS = """
+WITH rows_ AS (
+  SELECT source AS g, doc_id,
+    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    COALESCE(n_chars, 0) AS ch
+  FROM documents
+),
+scored AS (
+  SELECT g, doc_id, ch,
+         doc_id <> min(doc_id) OVER (PARTITION BY fp) AS dropped
+  FROM rows_
+)
+SELECT g AS "group", CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+  CAST(sum(ch) AS BIGINT) AS chars_total,
+  CAST(sum(CASE WHEN dropped THEN ch ELSE 0 END) AS BIGINT)
+    AS chars_dropped,
+  CASE WHEN sum(ch) > 0
+       THEN round(CAST(sum(CASE WHEN dropped THEN ch ELSE 0 END) AS DOUBLE)
+                  / CAST(sum(ch) AS DOUBLE) * 1e4) / 1e4 + 0.0
+  END AS savings_rate
+FROM scored GROUP BY g
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13276,6 +13404,12 @@ _QUERIES: dict = {
                                       _SQL_METRICS_LANGID_PRF1_DOCUMENTS),
     "spatial_geo_radius_part": (_q_spatial_geo_radius_part,
                                 _SQL_SPATIAL_GEO_RADIUS_PART),
+    "pipe_dup_ngram_documents": (_q_pipe_dup_ngram_documents,
+                                 _SQL_PIPE_DUP_NGRAM_DOCUMENTS),
+    "quality_scorecard_documents": (_q_quality_scorecard_documents,
+                                    _SQL_QUALITY_SCORECARD_DOCUMENTS),
+    "dedup_savings_documents": (_q_dedup_savings_documents,
+                                _SQL_DEDUP_SAVINGS_DOCUMENTS),
 }
 
 

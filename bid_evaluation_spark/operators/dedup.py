@@ -887,3 +887,41 @@ def containment_join(needles: DataFrame, haystack: DataFrame,
            .select(F.col("_nid").alias("needle_id"),
                    F.col("_hid").alias("hay_id"), "containment"))
     return _track_cached(out, [hay, ndl])
+
+
+def dedup_savings_report(df: DataFrame, group_col: str,
+                         id_col: str = "doc_id", text_col: str = "text",
+                         chars_col: str = "n_chars") -> DataFrame:
+    """What exact dedup would SAVE, per group, before running it — the
+    capacity-planning read-out on top of :func:`exact_duplicate_groups`:
+    ``(group, n_docs, n_dropped, chars_total, chars_dropped,
+    savings_rate)`` where a doc is dropped iff it is not its content
+    fingerprint's min-id canonical (duplicates across groups charge the
+    DUPLICATE's group — the group holding redundant bytes pays).
+
+    One fingerprint projection, one fp-keyed window for the canonical
+    min (same shuffle key as the dedup itself), one groupBy(group).
+    ``savings_rate`` = dropped chars / total chars (4 decimals; null
+    for a group with zero chars).
+    """
+    from pyspark.sql import Window
+
+    rows = df.select(F.col(group_col).alias("group"), F.col(id_col),
+                     fingerprint(text_col).alias("_fp"),
+                     F.coalesce(F.col(chars_col).cast("long"), F.lit(0))
+                     .alias("_ch"))
+    keep = F.min(id_col).over(Window.partitionBy("_fp"))
+    scored = rows.withColumn("_drop", F.col(id_col) != keep)
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return (scored.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum(F.col("_drop").cast("long")).cast("long")
+                 .alias("n_dropped"),
+                 F.sum("_ch").cast("long").alias("chars_total"),
+                 F.sum(F.when(F.col("_drop"), F.col("_ch"))
+                       .otherwise(F.lit(0))).cast("long")
+                 .alias("chars_dropped"))
+            .withColumn("savings_rate",
+                        F.when(F.col("chars_total") > 0,
+                               r4(F.col("chars_dropped").cast("double")
+                                  / F.col("chars_total").cast("double")))))

@@ -1366,3 +1366,45 @@ def mix_manifest(df: DataFrame, source_col: str, text_col: str,
         F.round(need).cast("long").alias("need_tokens"),
         r4(rate).alias("sampling_rate"),
         F.ceil(rate).cast("long").alias("epochs"))
+
+
+def dup_ngram_rate(df: DataFrame, group_col: str, text_col: str = "text",
+                   n: int = 5) -> DataFrame:
+    """Duplicate-n-gram rate per group — the memorization-risk dial
+    (the quantity span-level dedup [Lee et al. ACL 2022] exists to
+    push down): of all word-``n``-gram OCCURRENCES in a group, what
+    share are repeats of an n-gram already seen in that group?
+
+        dup_rate = 1 − distinct_ngrams / total_ngrams
+
+    → ``(group, n_docs, total_ngrams, distinct_ngrams, dup_rate)``
+    (rate 4 decimals, null when a group has no n-grams).  One explode
+    + one partial-agg groupBy(group) with a count-distinct — the
+    distinct set never materializes per doc.  Groups are independent;
+    for the corpus-wide number pass a constant group column.
+    """
+    from .text import word_ngrams
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    g = (df.filter(F.col(group_col).isNotNull())
+         .select(F.col(group_col).alias("group"),
+                 word_ngrams(F.col(text_col), n).alias("_ng")))
+    docs = g.groupBy("group").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_docs"))
+    ex = g.select("group", F.explode("_ng").alias("_s"))
+    agg = (ex.groupBy("group")
+           .agg(F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+                F.count_distinct("_s").cast("long")
+                .alias("distinct_ngrams")))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return (docs.join(agg, "group", "left")
+            .select("group", "n_docs",
+                    F.coalesce("total_ngrams", F.lit(0)).alias("total_ngrams"),
+                    F.coalesce("distinct_ngrams", F.lit(0))
+                    .alias("distinct_ngrams"),
+                    F.when(F.col("total_ngrams") > 0,
+                           r4(F.lit(1.0)
+                              - F.col("distinct_ngrams").cast("double")
+                              / F.col("total_ngrams").cast("double")))
+                    .alias("dup_rate")))

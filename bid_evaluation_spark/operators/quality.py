@@ -234,3 +234,28 @@ def dedup_lines(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                       .alias("n_removed"),
                  ))
     return out
+
+
+def quality_scorecard(df: DataFrame, group_col: str,
+                      text_col: str = "text",
+                      threshold: float = 50.0) -> DataFrame:
+    """Per-group roll-up of the heuristic 0-100 quality score
+    (text.quality_score) — the dashboard row a curation pipeline
+    watches per source/language: ``(group, n_docs, mean_q, p50_q,
+    pass_rate)`` (floats 4 decimals; ``pass_rate`` = share with score ≥
+    ``threshold``).  One grouped aggregate over the scored scan — the
+    score is a pure Column expression, so the whole card is a single
+    codegen pass + exact percentile.
+    """
+    from .text import quality_score
+
+    q = quality_score(text_col)
+    g = (df.filter(F.col(group_col).isNotNull())
+         .select(F.col(group_col).alias("group"), q.alias("_q")))
+    r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
+    return (g.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 r4(F.avg("_q")).alias("mean_q"),
+                 r4(F.expr("percentile(_q, 0.5)")).alias("p50_q"),
+                 r4(F.avg((F.col("_q") >= float(threshold))
+                          .cast("double"))).alias("pass_rate")))

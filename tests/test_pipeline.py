@@ -601,3 +601,42 @@ def test_mix_manifest_rates_and_validation(spark):
     out2 = {r["source"]: r for r in
             mix_manifest(df, "src", "text", {"a": 1.0}, 100).collect()}
     assert out2["b"]["weight"] == 0.0 and out2["b"]["need_tokens"] == 0
+
+
+def test_dup_ngram_rate(spark):
+    from bid_evaluation_spark.operators.pipeline import dup_ngram_rate
+
+    rows = [("s1", "a b c a b c"),      # 2-grams: ab bc ca ab bc -> 5 occ, 3 distinct
+            ("s1", "a b"),              # +1 occ of ab
+            ("s2", "x")]                # too short: none
+    df = spark.createDataFrame(rows, "src string, text string")
+    out = {r["group"]: r for r in
+           dup_ngram_rate(df, "src", "text", n=2).collect()}
+    s1 = out["s1"]
+    assert s1["total_ngrams"] == 6 and s1["distinct_ngrams"] == 3
+    import pytest as _p
+    assert s1["dup_rate"] == _p.approx(0.5, abs=1e-9)
+    s2 = out["s2"]
+    assert s2["total_ngrams"] == 0 and s2["dup_rate"] is None
+    with _p.raises(ValueError):
+        dup_ngram_rate(df, "src", "text", n=0)
+
+
+def test_dedup_savings_report(spark):
+    from bid_evaluation_spark.operators.dedup import dedup_savings_report
+
+    rows = [("s1", 1, "same text", 9), ("s1", 2, "same  TEXT ", 11),
+            ("s2", 3, "same text", 9),   # cross-group dup charged to s2
+            ("s2", 4, "unique", 6)]
+    df = spark.createDataFrame(rows,
+                               "src string, doc_id long, text string, "
+                               "n_chars long")
+    out = {r["group"]: r for r in
+           dedup_savings_report(df, "src").collect()}
+    s1 = out["s1"]
+    assert s1["n_docs"] == 2 and s1["n_dropped"] == 1
+    assert s1["chars_dropped"] == 11  # doc 2 dropped (doc 1 canonical)
+    s2 = out["s2"]
+    assert s2["n_dropped"] == 1 and s2["chars_dropped"] == 9
+    import pytest as _p
+    assert s2["savings_rate"] == _p.approx(9 / 15, abs=1e-3)

@@ -142,3 +142,27 @@ def test_dedup_lines_within_doc_repeat(spark):
 def test_drop_repeated_lines_bad_policy(lined):
     with pytest.raises(ValueError):
         Q.dedup_lines(lined, policy="nope")
+
+
+def test_quality_scorecard_rollup(spark):
+    from bid_evaluation_spark.operators.quality import quality_scorecard
+    from bid_evaluation_spark.operators.text import quality_score
+    from pyspark.sql import functions as F
+
+    rows = [("s1", "the quick brown fox jumps over the lazy dog and runs"),
+            ("s1", "a a a a a"),
+            ("s2", "x")]
+    df = spark.createDataFrame(rows, "src string, text string")
+    per_doc = df.select("src",
+                        quality_score("text").alias("q")).collect()
+    out = {r["group"]: r for r in
+           quality_scorecard(df, "src", threshold=30.0).collect()}
+    import statistics
+    s1_qs = sorted(r["q"] for r in per_doc if r["src"] == "s1")
+    import pytest as _p
+    assert out["s1"]["n_docs"] == 2
+    assert out["s1"]["mean_q"] == _p.approx(sum(s1_qs) / 2, abs=1e-3)
+    assert out["s1"]["p50_q"] == _p.approx(statistics.median(s1_qs),
+                                           abs=1e-3)
+    assert 0.0 <= out["s1"]["pass_rate"] <= 1.0
+    assert out["s2"]["n_docs"] == 1
