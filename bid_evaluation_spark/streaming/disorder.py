@@ -1,0 +1,100 @@
+"""Streaming out-of-orderness monitor — the LIVE twin of
+``operators.timeseries.event_disorder``.
+
+Batch granularity by design: within one micro-batch events are
+concurrent (no arrival order exists), so each event's lateness is
+measured against the PRE-BATCH per-key event-time high-water mark; the
+mark then advances to the batch max. Concatenated per-batch emissions
+therefore equal the batch profiler run with ``arrival = batch index``
+(parity-tested) — coarser than the row-level offline profile, exactly
+right for deciding "is my configured watermark delay still enough"
+while the stream runs.
+
+State is the per-key high-water mark only — one double per key, held
+driver-side and rebuilt from any batch replay (monotone max makes
+replays idempotent for the MARK; emission rows carry batch_id so
+at-least-once consumers dedupe on it, the `streaming/ivf.py`
+contract).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+
+class DisorderMonitor:
+    """Carryable monitor state + per-batch processor.
+
+    Use directly in ``foreachBatch``::
+
+        mon = DisorderMonitor(key_col="event_type", ts_col="ts")
+        stream.writeStream.foreachBatch(mon.process).start()
+
+    ``on_emit`` (if given) receives each batch's summary DataFrame —
+    one row per key present in the batch: ``(batch_id, key, n, n_late,
+    max_late_s, hwm)`` where ``hwm`` is the POST-batch high-water mark.
+    """
+
+    def __init__(self, key_col: str, ts_col: str,
+                 on_emit: Optional[Callable[[DataFrame], None]] = None):
+        self.key_col = key_col
+        self.ts_col = ts_col
+        self.on_emit = on_emit
+        self.hwm: Dict[object, float] = {}
+        self.emitted: list = []
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        t = F.col(self.ts_col).cast("double")
+        base = (batch_df.filter(t.isNotNull()
+                                & F.col(self.key_col).isNotNull())
+                .select(F.col(self.key_col).cast("string").alias("key"),
+                        t.alias("_t")))
+        # lateness is computed EXECUTOR-side against the broadcast
+        # pre-batch marks (one double per key); only per-key aggregate
+        # rows ever reach the driver
+        if self.hwm:
+            hdf = spark.createDataFrame(
+                [(str(k), float(v)) for k, v in self.hwm.items()],
+                "key string, _hw double")
+            j = base.join(F.broadcast(hdf), "key", "left")
+        else:
+            j = base.withColumn("_hw", F.lit(None).cast("double"))
+        late = F.when(F.col("_hw").isNotNull()
+                      & (F.col("_hw") > F.col("_t")),
+                      F.col("_hw") - F.col("_t"))
+        rows = (j.groupBy("key")
+                .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                     F.count(late).cast("long").alias("n_late"),
+                     F.max(late).alias("_ml"),
+                     F.max("_t").alias("_mx")))
+        out = []
+        for r in rows.collect():
+            prev = self.hwm.get(r["key"])
+            new_hwm = r["_mx"] if prev is None else max(prev, r["_mx"])
+            self.hwm[r["key"]] = new_hwm
+            out.append((int(batch_id), r["key"], int(r["n"]),
+                        int(r["n_late"]),
+                        float(r["_ml"]) if r["_ml"] is not None else None,
+                        float(new_hwm)))
+        emit = batch_df.sparkSession.createDataFrame(
+            out, "batch_id long, key string, n long, n_late long, "
+                 "max_late_s double, hwm double")
+        self.emitted.extend(out)
+        if self.on_emit is not None:
+            self.on_emit(emit)
+
+
+def disorder_monitor_stream(stream: DataFrame, key_col: str, ts_col: str,
+                            checkpoint: str,
+                            on_emit: Optional[Callable] = None):
+    """Attach a :class:`DisorderMonitor` to a streaming DataFrame via
+    foreachBatch; returns ``(query, monitor)`` — stop the query, read
+    ``monitor.emitted``/``monitor.hwm``."""
+    mon = DisorderMonitor(key_col, ts_col, on_emit=on_emit)
+    q = (stream.writeStream.foreachBatch(mon.process)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append").start())
+    return q, mon
