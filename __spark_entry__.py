@@ -12892,6 +12892,57 @@ FROM scored GROUP BY g
 """
 
 
+def _q_text_readability_documents(spark, sf_dir):
+    """Coleman–Liau readability per document (operators/text.py
+    coleman_liau): the grade-level index that needs only letters /
+    words / sentences — every count engine-portable (no syllables),
+    sentence split shared with the oracled sentence UDTF. Pure codegen
+    projection; the oracle replays the three counts and the affine
+    formula."""
+    from bid_evaluation_spark.operators.text import (coleman_liau,
+                                                     sentence_count,
+                                                     token_count)
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_words"),
+        sentence_count(F.col("text")).alias("n_sentences"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]")).cast("long")
+        .alias("n_letters"),
+        (_r4(coleman_liau("text")) + F.lit(0.0)).alias("cli"))
+
+
+_SQL_TEXT_READABILITY_DOCUMENTS = """
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS w,
+    len(regexp_extract_all(text, '[A-Za-z]')) AS l,
+    CASE WHEN trim(text) = '' THEN 0
+         ELSE len(list_filter(
+                string_split(
+                  regexp_replace(trim(text), '([.!?])\\s+',
+                                 '\\1' || chr(1), 'g'),
+                  chr(1)),
+                x -> trim(x) != '')) END AS s
+  FROM documents
+)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+  CAST(s AS BIGINT) AS n_sentences, CAST(l AS BIGINT) AS n_letters,
+  CASE WHEN w > 0
+       THEN round((CAST(0.0588 AS DOUBLE)
+                   * (CAST(l AS DOUBLE) / CAST(w AS DOUBLE)
+                      * CAST(100 AS DOUBLE))
+                   - CAST(0.296 AS DOUBLE)
+                     * (CAST(s AS DOUBLE) / CAST(w AS DOUBLE)
+                        * CAST(100 AS DOUBLE))
+                   - CAST(15.8 AS DOUBLE)) * 1e4) / 1e4 + 0.0
+  END AS cli
+FROM base
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13410,6 +13461,8 @@ _QUERIES: dict = {
                                     _SQL_QUALITY_SCORECARD_DOCUMENTS),
     "dedup_savings_documents": (_q_dedup_savings_documents,
                                 _SQL_DEDUP_SAVINGS_DOCUMENTS),
+    "text_readability_documents": (_q_text_readability_documents,
+                                   _SQL_TEXT_READABILITY_DOCUMENTS),
 }
 
 

@@ -305,3 +305,37 @@ def shingle_fingerprints(text_col: str = "text", k: int = 3) -> Column:
     document fingerprint used by MinHash."""
     return F.transform(word_shingles(F.col(text_col), k),
                        lambda sh: F.xxhash64(sh))
+
+
+def sentence_count(text: Column) -> Column:
+    """Sentence count via the same terminator split as
+    ``sentences.split_sentences`` (``[.!?]`` followed by whitespace;
+    the final sentence needs no trailing terminator) — non-empty parts
+    only; 0 for blank text. Pure Column expression.
+    """
+    marked = F.regexp_replace(F.trim(text), r"([.!?])\s+", "$1\x01")
+    parts = F.filter(F.split(marked, "\x01"),
+                     lambda x: F.trim(x) != "")
+    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(parts)) \
+            .cast("long")
+
+
+def coleman_liau(text_col: str = "text") -> Column:
+    """Coleman–Liau readability index (Coleman & Liau 1975) — the
+    grade-level estimate that needs NO syllable counting (letters,
+    words, sentences only — all engine-portable, unlike Flesch):
+
+        CLI = 0.0588·L − 0.296·S − 15.8
+
+    with ``L`` = letters per 100 words, ``S`` = sentences per 100
+    words.  Null for wordless documents.  Pure Column expression —
+    composes as a scoring criterion like :func:`quality_score`.
+    """
+    words = token_count(F.col(text_col)).cast("double")
+    letters = F.regexp_count(F.col(text_col),
+                             F.lit(r"[A-Za-z]")).cast("double")
+    sents = sentence_count(F.col(text_col)).cast("double")
+    L = letters / words * 100.0
+    S = sents / words * 100.0
+    return F.when(words > 0,
+                  F.lit(0.0588) * L - F.lit(0.296) * S - F.lit(15.8))

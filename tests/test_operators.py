@@ -1088,3 +1088,25 @@ def test_salted_join_matches_plain_join(spark):
         salted_join(big, small, ["k"], salt_buckets=0)
     with _pt.raises(ValueError):
         salted_join(big, small, ["k"], how="full")
+
+
+def test_coleman_liau_readability(spark):
+    from bid_evaluation_spark.operators.text import (coleman_liau,
+                                                     sentence_count)
+    from pyspark.sql import functions as F
+
+    rows = [(1, "The cat sat. The dog ran! Did it?"),
+            (2, "word"),
+            (3, "")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in
+           df.select("id", sentence_count(F.col("text")).alias("s"),
+                     coleman_liau("text").alias("cli")).collect()}
+    assert out[1]["s"] == 3
+    # hand check: 8 words, 23 letters, 3 sentences
+    L, S = 23 / 8 * 100, 3 / 8 * 100
+    import pytest as _p
+    assert out[1]["cli"] == _p.approx(0.0588 * L - 0.296 * S - 15.8,
+                                      abs=1e-6)
+    assert out[2]["s"] == 1 and out[2]["cli"] is not None
+    assert out[3]["s"] == 0 and out[3]["cli"] is None
