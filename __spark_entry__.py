@@ -5108,9 +5108,11 @@ FROM orders WHERE o_orderkey % 2 = 1
 def _q_profile_corr_lineitem(spark, sf_dir):
     """Pairwise Pearson correlation matrix (profile.py
     correlation_matrix) over the four lineitem measures — ONE fused
-    sufficient-statistics pass, k² expressions, no shuffle beyond the
-    aggregate. The oracle replays n/Σx/Σx²/Σxy and the exact formula
-    arithmetic."""
+    aggregation pass of k² stable `F.corr` co-moments (the raw-moment
+    formula cancelled catastrophically on near-constant offset columns;
+    round-7 fix). The oracle is DuckDB's own corr() — both sides now
+    compute the numerically true statistic, so the gate certifies the
+    VALUE, not replayed arithmetic."""
     from bid_evaluation_spark.operators.profile import correlation_matrix
 
     li = _t(spark, sf_dir, "lineitem")
@@ -5121,41 +5123,31 @@ def _q_profile_corr_lineitem(spark, sf_dir):
 
 
 _SQL_PROFILE_CORR_LINEITEM = """
-WITH s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_i,
-    sum(l_quantity) AS s_q, sum(l_quantity * l_quantity) AS ss_q,
-    sum(l_extendedprice) AS s_e,
-    sum(l_extendedprice * l_extendedprice) AS ss_e,
-    sum(l_discount) AS s_d, sum(l_discount * l_discount) AS ss_d,
-    sum(l_tax) AS s_t, sum(l_tax * l_tax) AS ss_t,
-    sum(l_quantity * l_extendedprice) AS x_qe,
-    sum(l_quantity * l_discount) AS x_qd,
-    sum(l_quantity * l_tax) AS x_qt,
-    sum(l_extendedprice * l_discount) AS x_ed,
-    sum(l_extendedprice * l_tax) AS x_et,
-    sum(l_discount * l_tax) AS x_dt
+WITH base AS (
+  SELECT l_quantity AS q, l_extendedprice AS e, l_discount AS d, l_tax AS t
   FROM lineitem
   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+), s AS (
+  SELECT count(*) AS n_i,
+    corr(q, e) AS r_qe, corr(q, d) AS r_qd, corr(q, t) AS r_qt,
+    corr(e, d) AS r_ed, corr(e, t) AS r_et, corr(d, t) AS r_dt,
+    var_samp(q) AS v_q, var_samp(e) AS v_e,
+    var_samp(d) AS v_d, var_samp(t) AS v_t
+  FROM base
 )
 SELECT p.col_a, p.col_b,
-  round((p.num / (sqrt(p.va) * sqrt(p.vb))) * 10000.0) / 10000.0 AS r,
+  CASE WHEN p.va > 0 AND p.vb > 0
+       THEN round(p.r * 10000.0) / 10000.0 END AS r,
   CAST(s.n_i AS BIGINT) AS n
 FROM s, LATERAL (VALUES
-  ('l_extendedprice', 'l_quantity',
-   n * x_qe - s_q * s_e, n * ss_q - s_q * s_q, n * ss_e - s_e * s_e),
-  ('l_discount', 'l_quantity',
-   n * x_qd - s_q * s_d, n * ss_q - s_q * s_q, n * ss_d - s_d * s_d),
-  ('l_quantity', 'l_tax',
-   n * x_qt - s_q * s_t, n * ss_q - s_q * s_q, n * ss_t - s_t * s_t),
-  ('l_discount', 'l_extendedprice',
-   n * x_ed - s_e * s_d, n * ss_e - s_e * s_e, n * ss_d - s_d * s_d),
-  ('l_extendedprice', 'l_tax',
-   n * x_et - s_e * s_t,
-   n * ss_e - s_e * s_e, n * ss_t - s_t * s_t),
-  ('l_discount', 'l_tax',
-   n * x_dt - s_d * s_t, n * ss_d - s_d * s_d, n * ss_t - s_t * s_t)
-) AS p(col_a, col_b, num, va, vb)
+  ('l_extendedprice', 'l_quantity', r_qe, v_q, v_e),
+  ('l_discount', 'l_quantity', r_qd, v_q, v_d),
+  ('l_quantity', 'l_tax', r_qt, v_q, v_t),
+  ('l_discount', 'l_extendedprice', r_ed, v_e, v_d),
+  ('l_extendedprice', 'l_tax', r_et, v_e, v_t),
+  ('l_discount', 'l_tax', r_dt, v_d, v_t)
+) AS p(col_a, col_b, r, va, vb)
 """
 
 
@@ -6184,19 +6176,14 @@ ranked AS (
   FROM counts QUALIFY rnk <= 100
 ),
 s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS n_i,
-    sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
-    sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+  SELECT count(*) AS n_i, avg(lx) AS mx, avg(ly) AS my,
+    covar_samp(lx, ly) AS cxy, var_samp(lx) AS vx, var_samp(ly) AS vy
   FROM ranked
 )
 SELECT CAST(n_i AS BIGINT) AS n,
-  round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 10000.0)
-    / 10000.0 + 0.0 AS slope,
-  round(((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n)
-        * 10000.0) / 10000.0 + 0.0 AS intercept,
-  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)
-         / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
-        * 10000.0) / 10000.0 + 0.0 AS r2
+  round((cxy / vx) * 10000.0) / 10000.0 + 0.0 AS slope,
+  round((my - (cxy / vx) * mx) * 10000.0) / 10000.0 + 0.0 AS intercept,
+  round((cxy * cxy / (vx * vy)) * 10000.0) / 10000.0 + 0.0 AS r2
 FROM s
 """
 
@@ -8082,10 +8069,10 @@ FROM w
 
 def _q_analytics_welch_events(spark, sf_dir):
     """Welch's t for a continuous experiment metric: per-user event-value
-    sums compared between user-parity variants — one grouped
-    sufficient-statistic aggregate per variant, closed-form t +
-    Welch-Satterthwaite dof. The oracle replays the identical
-    operation-ordered arithmetic."""
+    sums compared between user-parity variants — one grouped stable
+    co-moment aggregate per variant (avg/var_samp, round-7 conditioning
+    fix), closed-form t + Welch-Satterthwaite dof. The oracle uses
+    DuckDB's matching stable aggregates."""
     from bid_evaluation_spark.operators.analytics import welch_t_test
 
     ev = _t(spark, sf_dir, "events")
@@ -8107,23 +8094,19 @@ WITH users AS (
   FROM events GROUP BY user_id
 ),
 c AS (
-  SELECT variant, count(*) AS n, sum(m) AS s, sum(m * m) AS ss
+  SELECT variant, count(*) AS n, avg(m) AS mean_m, var_samp(m) AS var_m
   FROM users GROUP BY variant
 ),
-w AS (
+d AS (
   SELECT
     (SELECT n FROM c WHERE variant = 0) AS nc,
-    (SELECT s FROM c WHERE variant = 0) AS sc,
-    (SELECT ss FROM c WHERE variant = 0) AS ssc,
     (SELECT n FROM c WHERE variant = 1) AS nt,
-    (SELECT s FROM c WHERE variant = 1) AS st,
-    (SELECT ss FROM c WHERE variant = 1) AS sst
-),
-d AS (
-  SELECT nc, nt, sc / nc AS mc, st / nt AS mt,
-         (ssc - sc * sc / nc) / (nc - 1) / nc AS a,
-         (sst - st * st / nt) / (nt - 1) / nt AS b
-  FROM w
+    (SELECT mean_m FROM c WHERE variant = 0) AS mc,
+    (SELECT mean_m FROM c WHERE variant = 1) AS mt,
+    (SELECT var_m FROM c WHERE variant = 0)
+      / (SELECT n FROM c WHERE variant = 0) AS a,
+    (SELECT var_m FROM c WHERE variant = 1)
+      / (SELECT n FROM c WHERE variant = 1) AS b
 )
 SELECT '0' AS control, '1' AS treatment,
   CAST(nc AS BIGINT) AS n_c, CAST(nt AS BIGINT) AS n_t,
@@ -8179,9 +8162,10 @@ GROUP BY o.o_orderpriority
 
 def _q_analytics_cuped_events(spark, sf_dir):
     """CUPED variance reduction: per-user purchase value adjusted by the
-    user's view-value covariate — θ and x̄ from one fused five-statistic
-    aggregate inlined as literals, then a map-only projection. The
-    oracle replays θ with the identical operation order."""
+    user's view-value covariate — θ and x̄ from one fused stable
+    co-moment aggregate (covar_samp/var_samp, round-7 conditioning fix)
+    inlined as literals, then a map-only projection. The oracle uses
+    DuckDB's matching stable aggregates."""
     from bid_evaluation_spark.operators.analytics import cuped_adjust
 
     ev = _t(spark, sf_dir, "events")
@@ -8205,14 +8189,12 @@ WITH u AS (
   FROM events GROUP BY user_id
 ),
 s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS n, sum(c) AS sx, sum(m) AS sy,
-         sum(c * m) AS sxy, sum(c * c) AS sxx
+  SELECT avg(c) AS mx, covar_samp(c, m) AS cxy, var_samp(c) AS vx
   FROM u
 )
 SELECT user_id, round(m * 10000.0) / 10000.0 AS m,
-  round((m - (CASE WHEN (n * sxx - sx * sx) > 0
-                   THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
-                   ELSE 0.0 END) * (c - sx / n)) * 10000.0) / 10000.0
+  round((m - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END)
+             * (c - mx)) * 10000.0) / 10000.0
     AS m_cuped
 FROM u, s
 """
@@ -9451,10 +9433,10 @@ FROM raw r JOIN exact e ON r.lang = e.lang
 
 def _q_analytics_trend_events(spark, sf_dir):
     """Per-type OLS trend of event value against hour-of-day: ONE
-    partially-aggregated shuffle collects six sufficient statistics per
-    group; slope/intercept/r² are closed-form arithmetic on them — no
-    per-group solver, no window. Hour-of-day keeps the x magnitudes small
-    so the float sums stay well-conditioned cross-engine."""
+    partially-aggregated shuffle collects per-group means + stable
+    co-moments (covar_samp/var_samp, round-7 conditioning fix);
+    slope/intercept/r² are closed-form arithmetic on them — no
+    per-group solver, no window."""
     from bid_evaluation_spark.operators.analytics import grouped_linear_fit
 
     ev = _t(spark, sf_dir, "events")
@@ -9474,22 +9456,19 @@ WITH b AS (
   FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
 ),
 s AS (
-  SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
-         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
-         sum(x*x) AS sxx, sum(y*y) AS syy
+  SELECT event_type, count(*) AS n,
+         avg(x) AS mx, avg(y) AS my,
+         covar_samp(x, y) AS cxy, var_samp(x) AS vx, var_samp(y) AS vy
   FROM b GROUP BY event_type
 )
 SELECT event_type, CAST(n AS BIGINT) AS n,
-  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
-             THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * 10000.0)
+  round(CASE WHEN n > 1 AND vx > 0 THEN cxy / vx END * 10000.0)
     / 10000.0 AS slope,
-  round((sy - CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0
-                   THEN (n*sxy - sx*sy) / (n*sxx - sx*sx) END * sx) / n
+  round((my - CASE WHEN n > 1 AND vx > 0 THEN cxy / vx END * mx)
         * 10000.0) / 10000.0 AS intercept,
-  round(CASE WHEN n > 1 AND (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0
-             THEN (n*sxy - sx*sy) * (n*sxy - sx*sy)
-                  / ((n*sxx - sx*sx) * (n*syy - sy*sy))
-             WHEN n > 1 AND (n*sxx - sx*sx) > 0 THEN 1.0 END
+  round(CASE WHEN n > 1 AND vx > 0 AND vy > 0
+             THEN cxy * cxy / (vx * vy)
+             WHEN n > 1 AND vx > 0 THEN 1.0 END
         * 10000.0) / 10000.0 AS r2
 FROM s
 """
@@ -9836,9 +9815,9 @@ UNION ALL SELECT node, CAST(3 AS BIGINT) FROM f3
 def _q_ts_acf_events(spark, sf_dir):
     """Per-key autocorrelation at lags 1-3 (operators/timeseries.py
     acf_by_key) over event values ordered by (ts, event_id) — one window
-    pass feeds one fused sufficient-statistic aggregate for all lags.
-    The oracle replays the identical lag alignment and the identical
-    Pearson arithmetic (n·Σxy − Σx·Σy over √ of the variance products)."""
+    pass feeds one fused stable co-moment aggregate for all lags
+    (corr/var_samp; round-7 conditioning fix). The oracle replays the
+    identical lag alignment with DuckDB's matching stable corr()."""
     from bid_evaluation_spark.operators.timeseries import acf_by_key
 
     ev = _t(spark, sf_dir, "events")
@@ -9863,22 +9842,16 @@ pairs AS (
 g AS (
   SELECT event_type, lag,
     count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS n,
-    sum(x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sx,
-    sum(y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sy,
-    sum(x * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxy,
-    sum(x * x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxx,
-    sum(y * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS syy
+    corr(x, y) AS r,
+    var_samp(x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS vx,
+    var_samp(y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS vy
   FROM pairs
   GROUP BY event_type, lag
 )
 SELECT event_type, CAST(lag AS BIGINT) AS lag,
        CAST(coalesce(n, 0) AS BIGINT) AS n_pairs,
-       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
-             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
-            THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                       / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                              * (CAST(n AS DOUBLE) * syy - sy * sy))
-                       * 1e4) / 1e4 + 0.0
+       CASE WHEN vx > 0 AND vy > 0
+            THEN round(r * 1e4) / 1e4 + 0.0
        END AS acf
 FROM g
 """
@@ -10993,8 +10966,9 @@ def _q_ml_ols2_lineitem(spark, sf_dir):
     y = extendedprice/1000 on (quantity, discount) — training is ONE
     partial-agg groupBy producing the nine sufficient statistics; the
     2×2 centered normal system solves in Column arithmetic on the
-    3-row stats table. The oracle replays the identical raw-moment
-    arithmetic."""
+    3-row stats table. Round 7: stats come from stable var_samp /
+    covar_samp co-moments (no raw-moment cancellation); the oracle
+    uses DuckDB's matching stable aggregates."""
     from bid_evaluation_spark.operators.regress import ols2
 
     li = (_t(spark, sf_dir, "lineitem")
@@ -11012,21 +10986,22 @@ WITH src AS (
     AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
 ),
 g AS (
-  SELECT grp, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
-         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
-         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  SELECT grp, count(*) AS n,
+         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+         var_samp(x1) AS v11, var_samp(x2) AS v22,
+         covar_samp(x1, x2) AS v12,
+         covar_samp(x1, y) AS v1y, covar_samp(x2, y) AS v2y,
+         var_samp(y) AS vyy
   FROM src GROUP BY grp
 ),
 c AS (
-  SELECT grp, n,
-         s11 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE)) AS c11,
-         s22 - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) AS c22,
-         s12 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) AS c12,
-         s1y - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c1y,
-         s2y - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c2y,
-         syy - CAST(n AS DOUBLE)*(sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS cyy,
-         s1/CAST(n AS DOUBLE) AS m1, s2/CAST(n AS DOUBLE) AS m2,
-         sy/CAST(n AS DOUBLE) AS my
+  SELECT grp, n, m1, m2, my,
+         (CAST(n AS DOUBLE) - 1.0) * v11 AS c11,
+         (CAST(n AS DOUBLE) - 1.0) * v22 AS c22,
+         (CAST(n AS DOUBLE) - 1.0) * v12 AS c12,
+         (CAST(n AS DOUBLE) - 1.0) * v1y AS c1y,
+         (CAST(n AS DOUBLE) - 1.0) * v2y AS c2y,
+         (CAST(n AS DOUBLE) - 1.0) * vyy AS cyy
   FROM g
 ),
 s AS (
@@ -11076,23 +11051,22 @@ WITH src AS (
     AND l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
 ),
 g AS (
-  SELECT grp, count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
-         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
-         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  SELECT grp, count(*) AS n,
+         avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my,
+         var_samp(x1) AS v11, var_samp(x2) AS v22,
+         covar_samp(x1, x2) AS v12,
+         covar_samp(x1, y) AS v1y, covar_samp(x2, y) AS v2y,
+         var_samp(y) AS vyy
   FROM src GROUP BY grp
 ),
 c AS (
-  SELECT grp, n,
-         s11 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s1/CAST(n AS DOUBLE))
-           + CAST(100000 AS DOUBLE) AS c11,
-         s22 - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE))
-           + CAST(100000 AS DOUBLE) AS c22,
-         s12 - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) AS c12,
-         s1y - CAST(n AS DOUBLE)*(s1/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c1y,
-         s2y - CAST(n AS DOUBLE)*(s2/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS c2y,
-         syy - CAST(n AS DOUBLE)*(sy/CAST(n AS DOUBLE))*(sy/CAST(n AS DOUBLE)) AS cyy,
-         s1/CAST(n AS DOUBLE) AS m1, s2/CAST(n AS DOUBLE) AS m2,
-         sy/CAST(n AS DOUBLE) AS my
+  SELECT grp, n, m1, m2, my,
+         (CAST(n AS DOUBLE) - 1.0) * v11 + CAST(100000 AS DOUBLE) AS c11,
+         (CAST(n AS DOUBLE) - 1.0) * v22 + CAST(100000 AS DOUBLE) AS c22,
+         (CAST(n AS DOUBLE) - 1.0) * v12 AS c12,
+         (CAST(n AS DOUBLE) - 1.0) * v1y AS c1y,
+         (CAST(n AS DOUBLE) - 1.0) * v2y AS c2y,
+         (CAST(n AS DOUBLE) - 1.0) * vyy AS cyy
   FROM g
 ),
 s AS (
@@ -11344,8 +11318,10 @@ def _q_ts_changepoint_events(spark, sf_dir):
     series — the series is compressed to bounded length before the
     per-key window, hourly means round to 1e-6 so both engines feed
     bit-identical inputs into the (order-deterministic) prefix-sum
-    arithmetic. The oracle replays cumsum, gain and the rounded-gain
-    argmax."""
+    arithmetic over MEAN-CENTERED values (round-7 conditioning fix —
+    gain is translation-invariant, centering kills the Σv²−(Σv)²/t
+    cancellation). The oracle replays centering, cumsum, gain and the
+    rounded-gain argmax."""
     from bid_evaluation_spark.operators.timeseries import changepoint_by_key
 
     hourly = (_t(spark, sf_dir, "events")
@@ -11362,21 +11338,27 @@ WITH hourly AS (
          round(avg(value) * 1e6) / 1e6 AS v
   FROM events GROUP BY 1, 2
 ),
-b AS (
-  SELECT event_type, v,
-         row_number() OVER w AS t,
-         sum(v) OVER w AS cs,
-         sum(v * v) OVER w AS css,
-         count(*) OVER wk AS n,
-         sum(v) OVER wk AS s,
-         sum(v * v) OVER wk AS ss
+centered AS (
+  SELECT event_type, h, v - avg(v) OVER wk AS d,
+         avg(v) OVER wk AS mu
   FROM hourly WHERE v IS NOT NULL
+  WINDOW wk AS (PARTITION BY event_type)
+),
+b AS (
+  SELECT event_type, mu,
+         row_number() OVER w AS t,
+         sum(d) OVER w AS cs,
+         sum(d * d) OVER w AS css,
+         count(*) OVER wk AS n,
+         sum(d) OVER wk AS s,
+         sum(d * d) OVER wk AS ss
+  FROM centered
   WINDOW w AS (PARTITION BY event_type ORDER BY h
                ROWS UNBOUNDED PRECEDING),
          wk AS (PARTITION BY event_type)
 ),
 cand AS (
-  SELECT event_type, t, n, cs, s,
+  SELECT event_type, t, n, cs, s, mu,
     round(((ss - s * s / CAST(n AS DOUBLE))
            - (css - cs * cs / CAST(t AS DOUBLE))
            - (ss - css - (s - cs) * (s - cs)
@@ -11391,9 +11373,9 @@ best AS (
 )
 SELECT event_type, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS split_after,
   round(gain * 1e4) / 1e4 + 0.0 AS gain,
-  round(cs / CAST(t AS DOUBLE) * 1e4) / 1e4 + 0.0 AS mean_left,
-  round((s - cs) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) * 1e4) / 1e4
-    + 0.0 AS mean_right
+  round((mu + cs / CAST(t AS DOUBLE)) * 1e4) / 1e4 + 0.0 AS mean_left,
+  round((mu + (s - cs) / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)))
+        * 1e4) / 1e4 + 0.0 AS mean_right
 FROM best WHERE rk = 1
 """
 
@@ -11870,9 +11852,10 @@ FROM c
 def _q_ts_period_events(spark, sf_dir):
     """Dominant seasonality per event type (operators/timeseries.py
     dominant_period): argmax of the fused-aggregate ACF over lags 1–12,
-    ties to the smallest lag. One window pass computes all 12 lags;
-    the oracle rebuilds the shifted pairs with a row_number self-join
-    and replays the sufficient-statistics correlation and argmax."""
+    ties to the smallest lag. One window pass computes all 12 lags with
+    stable corr/var_samp co-moments (round-7 conditioning fix); the
+    oracle rebuilds the shifted pairs with a row_number self-join and
+    replays DuckDB's matching stable corr() and the argmax."""
     from bid_evaluation_spark.operators.timeseries import dominant_period
 
     ev = _t(spark, sf_dir, "events")
@@ -11896,22 +11879,16 @@ pairs AS (
 g AS (
   SELECT event_type, lag,
     count(*) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS n,
-    sum(x)  FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sx,
-    sum(y)  FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sy,
-    sum(x * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxy,
-    sum(x * x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS sxx,
-    sum(y * y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS syy
+    corr(x, y) AS r,
+    var_samp(x) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS vx,
+    var_samp(y) FILTER (WHERE x IS NOT NULL AND y IS NOT NULL) AS vy
   FROM pairs GROUP BY event_type, lag
 ),
 acf AS (
   SELECT event_type, CAST(lag AS BIGINT) AS lag,
     CAST(coalesce(n, 0) AS BIGINT) AS n_pairs,
-    CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
-          AND CAST(n AS DOUBLE) * syy - sy * sy > 0
-         THEN round((CAST(n AS DOUBLE) * sxy - sx * sy)
-                    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                           * (CAST(n AS DOUBLE) * syy - sy * sy))
-                    * 1e4) / 1e4 + 0.0
+    CASE WHEN vx > 0 AND vy > 0
+         THEN round(r * 1e4) / 1e4 + 0.0
     END AS acf
   FROM g
 )

@@ -310,6 +310,9 @@ def main():
 
     spark = get_spark("bid-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # console progress bars interleave \r-frames with the result line and
+    # have made every BENCH_r*.json unparseable for the driver
+    spark.conf.set("spark.ui.showConsoleProgress", "false")
 
     # warm-up (excluded from timings — discard-first-iteration practice):
     # one count() per table warms the parquet scan path, codegen/JIT, and the
@@ -347,7 +350,7 @@ def main():
 
     total = round(sum(best.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = json.dumps({
         "metric": ("bid_evaluation_spark headline suite wall time "
                    f"(per-query min of {passes} interleaved passes)"),
         "value": total,
@@ -369,7 +372,23 @@ def main():
                                  "drift from plan regressions"),
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    # result hygiene: Spark progress bars share stdout and have left the
+    # driver's `parsed` field null every round — flush their remnants,
+    # start a FRESH line for the JSON, and mirror it to a sidecar file
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print()
+    print(payload, flush=True)
+    sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT",
+                             os.path.join(os.path.dirname(
+                                 os.path.abspath(__file__)),
+                                 "bench_result.json"))
+    try:
+        with open(sidecar, "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass  # read-only checkout still gets the stdout line
     spark.stop()
 
 

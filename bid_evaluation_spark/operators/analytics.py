@@ -182,9 +182,12 @@ def category_diversity(df: DataFrame, group_col: str, cat_col: str) -> DataFrame
 def grouped_linear_fit(df: DataFrame, group_col: str, x_col: str,
                        y_col: str) -> DataFrame:
     """Per-group ordinary-least-squares line fit from sufficient
-    statistics: ONE partially-aggregated shuffle collects (n, Σx, Σy, Σxy,
-    Σx², Σy²) per group and the slope/intercept/r² come from closed-form
-    arithmetic on those six numbers — the per-segment trend pass over an
+    statistics: ONE partially-aggregated shuffle collects the per-group
+    means plus stable co-moments (``var_samp``/``covar_samp`` —
+    Welford-style; the raw-moment identity ``n·Σxy − Σx·Σy`` cancels
+    catastrophically on large-offset x like timestamps-as-doubles,
+    round-7 fix) and the slope/intercept/r² come from closed-form
+    arithmetic on those numbers — the per-segment trend pass over an
     event/metric table, never a per-group solver.
 
     Returns ``(group_col, n, slope, intercept, r2)``. Rows with a null in
@@ -196,13 +199,12 @@ def grouped_linear_fit(df: DataFrame, group_col: str, x_col: str,
     y = F.col(y_col).cast("double")
     base = df.filter(x.isNotNull() & y.isNotNull())
     n = F.count(F.lit(1)).cast("double")
-    sx, sy = F.sum(x), F.sum(y)
-    sxy, sxx, syy = F.sum(x * y), F.sum(x * x), F.sum(y * y)
-    vx = n * sxx - sx * sx       # n² · var-ish (scale-free in the ratios)
-    vy = n * syy - sy * sy
-    cov = n * sxy - sx * sy
+    mx, my = F.avg(x), F.avg(y)
+    vx = F.var_samp(x)           # stable co-moments; (n−1) scale cancels
+    vy = F.var_samp(y)           # in slope and r² ratios
+    cov = F.covar_samp(x, y)
     slope = F.when((n > 1) & (vx > 0), cov / vx)
-    intercept = (sy - slope * sx) / n
+    intercept = my - slope * mx
     r2 = (F.when((n > 1) & (vx > 0) & (vy > 0), cov * cov / (vx * vy))
           .when((n > 1) & (vx > 0) & (vy <= 0), F.lit(1.0)))
     return (base.groupBy(group_col)
@@ -420,28 +422,29 @@ def cuped_adjust(df: DataFrame, metric_col: str, covariate_col: str,
     standard trick that shrinks metric variance by the covariate's
     explained share (corr²) without biasing the mean.
 
-    One fused aggregate computes the five sufficient statistics
-    (n, Σx, Σy, Σxy, Σx²) → θ and x̄ inline as literals → the adjustment
-    is a map-only projection. Rows with a null covariate keep their raw
-    metric (the standard fallback); θ = 0 when the covariate is
-    constant. Returns the frame plus ``out_col`` (default
-    ``<metric>_cuped``).
+    One fused aggregate computes the sufficient statistics — stable
+    co-moments (``covar_samp``/``var_samp``, Welford-style; the raw
+    ``n·Σxy − Σx·Σy`` identity cancels catastrophically when the
+    covariate has a large mean relative to its spread, exactly the
+    pre-experiment-metric shape; round-7 fix) → θ and x̄ inline as
+    literals → the adjustment is a map-only projection. Rows with a
+    null covariate keep their raw metric (the standard fallback);
+    θ = 0 when the covariate is constant. Returns the frame plus
+    ``out_col`` (default ``<metric>_cuped``).
     """
     x = F.col(covariate_col).cast("double")
     y = F.col(metric_col).cast("double")
     both = x.isNotNull() & y.isNotNull()
     row = df.filter(both).agg(
-        F.count(F.lit(1)).alias("n"), F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"), F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx")).collect()[0]
+        F.count(F.lit(1)).alias("n"), F.avg(x).alias("mx"),
+        F.covar_samp(x, y).alias("cxy"),
+        F.var_samp(x).alias("vx")).collect()[0]
     n = int(row["n"] or 0)
     if n < 2:
         raise ValueError(f"need at least 2 (covariate, metric) pairs, got {n}")
-    sx, sy = float(row["sx"]), float(row["sy"])
-    sxy, sxx = float(row["sxy"]), float(row["sxx"])
-    var = n * sxx - sx * sx
-    theta = (n * sxy - sx * sy) / var if var > 0 else 0.0
-    mean_x = sx / n
+    vx = float(row["vx"])
+    theta = float(row["cxy"]) / vx if vx > 0 else 0.0
+    mean_x = float(row["mx"])
     out = out_col or f"{metric_col}_cuped"
     adj = F.when(both, y - F.lit(theta) * (x - F.lit(mean_x))).otherwise(y)
     return df.withColumn(out, adj)
@@ -483,28 +486,29 @@ def welch_t_test(df: DataFrame, variant_col: str, metric_col: str
     """Welch's unequal-variance t statistic for a continuous metric
     between two variants — the experimentation companion to
     :func:`ab_conversion_test` for revenue/latency-style outcomes. One
-    fused aggregate per variant (n, mean, sample variance via
-    sufficient statistics), then closed-form t and Welch-Satterthwaite
-    degrees of freedom. Returns one row ``(control, treatment, n_c, n_t,
-    mean_c, mean_t, diff, t, dof)``; t/dof null when a variance term
+    fused aggregate per variant (n, mean, sample variance via stable
+    Welford co-moments — ``Σy² − (Σy)²/n`` cancels catastrophically on
+    large-mean metrics like revenue-in-cents; round-7 conditioning
+    fix), then closed-form t and Welch-Satterthwaite degrees of
+    freedom. Returns one row ``(control, treatment, n_c, n_t, mean_c,
+    mean_t, diff, t, dof)``; t/dof null when a variance term
     degenerates (constant metric or n < 2).
     """
     v = F.col(variant_col)
     y = F.col(metric_col).cast("double")
     rows = (df.filter(v.isNotNull() & y.isNotNull())
             .groupBy(v.alias("_v"))
-            .agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_s"),
-                 F.sum(y * y).alias("_ss"))
+            .agg(F.count(F.lit(1)).alias("_n"), F.avg(y).alias("_m"),
+                 F.var_samp(y).alias("_var"))
             .orderBy("_v").collect())
     if len(rows) != 2:
         raise ValueError(f"need exactly 2 variants, got "
                          f"{[r['_v'] for r in rows]}")
 
     def stats(r):
-        n, s, ss = int(r["_n"]), float(r["_s"]), float(r["_ss"])
-        mean = s / n
-        var = (ss - s * s / n) / (n - 1) if n > 1 else None
-        return r["_v"], n, mean, var
+        n = int(r["_n"])
+        var = float(r["_var"]) if n > 1 and r["_var"] is not None else None
+        return r["_v"], n, float(r["_m"]), var
 
     (cv, nc, mc, vc), (tv, nt, mt, vt) = stats(rows[0]), stats(rows[1])
     diff = mt - mc

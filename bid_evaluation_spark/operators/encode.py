@@ -219,7 +219,16 @@ def decision_stump(df: DataFrame, feature_col: str, label_col: str,
     ``gain = SSE_total - SSE_left - SSE_right`` with ``SSE = sum_y2 -
     sum_y^2 / cnt`` — computed from prefix sums over the bounded
     histogram (an unpartitioned window over <= ``n_bins`` rows; bounded
-    by construction, so the single-partition sort is fine). The argmax
+    by construction, so the single-partition sort is fine).
+
+    Conditioning note: additive ``(cnt, Σy, Σy²)`` per bin is
+    STRUCTURAL to histogram split finding (it is what makes partial
+    aggregation and bin merging possible — the same trade every
+    histogram GBM makes, cf. LightGBM), so the raw-moment SSE stays.
+    The bound: SSE loses ~``log10(n·ȳ²/var(y))`` significant digits,
+    so pre-center labels with a large mean-to-spread ratio (e.g.
+    subtract the global mean — gain is translation-invariant) before
+    calling when ``ȳ² ≫ var(y)``. The argmax
     ranks on the 1e-6-ROUNDED gain with the bin id as tiebreak — raw
     double gains are a cross-engine knife edge (float sums are
     order-dependent), rounded gains are stable. Splits with an empty

@@ -259,16 +259,24 @@ def key_skew_report(df: DataFrame, key_col: str, top_k: int = 10,
 
 def correlation_matrix(df: DataFrame, cols) -> DataFrame:
     """Pairwise Pearson correlations for ``cols`` from ONE fused
-    aggregation pass of sufficient statistics (n, Σx per column, Σxy per
-    pair): ``r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))``
-    — the profiling step that finds redundant features/columns before
-    training. Listwise complete-case: rows with a null in ANY profiled
-    column are excluded (pairwise-complete would make the per-pair n's
-    differ silently; the dropped-row count is visible as n). Returns one
-    row per unordered pair ``(col_a, col_b, r, n)`` with ``col_a <
-    col_b`` lexicographically; ``r`` is null when either column is
-    constant (zero variance). O(k²) expressions in one scan — no
-    shuffle beyond the single aggregate, no driver loop over data.
+    aggregation pass — the profiling step that finds redundant
+    features/columns before training. Each pair uses Spark's built-in
+    ``corr`` aggregate (Welford-style stable co-moments, not the
+    cancellation-prone raw-moment formula ``n·Σxy − Σx·Σy``: a
+    near-constant column with a large offset loses ~6 significant
+    digits under raw moments and the result can even leave [−1, 1] on
+    timestamps-as-doubles — a hypothesis test caught exactly that, see
+    tests/test_properties.py::test_correlation_affine_invariance).
+    All k variances + k² corr aggregates still fuse into the SAME
+    single-scan HashAggregate, so the plan shape is unchanged.
+
+    Listwise complete-case: rows with a null in ANY profiled column are
+    excluded (pairwise-complete would make the per-pair n's differ
+    silently; the dropped-row count is visible as n). Returns one row
+    per unordered pair ``(col_a, col_b, r, n)`` with ``col_a < col_b``
+    lexicographically; ``r`` is null when either column is constant
+    (zero variance). O(k²) expressions in one scan — no shuffle beyond
+    the single aggregate, no driver loop over data.
     """
     cols = list(cols)
     if len(cols) < 2:
@@ -278,26 +286,22 @@ def correlation_matrix(df: DataFrame, cols) -> DataFrame:
         base = base.filter(F.col(c).isNotNull())
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
-        x = F.col(c).cast("double")
-        aggs.append(F.sum(x).alias(f"_s_{c}"))
-        aggs.append(F.sum(x * x).alias(f"_ss_{c}"))
+        aggs.append(F.var_samp(F.col(c).cast("double")).alias(f"_v_{c}"))
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
-            aggs.append(F.sum(F.col(a).cast("double")
-                              * F.col(b).cast("double"))
-                        .alias(f"_sxy_{a}_{b}"))
+            aggs.append(F.corr(F.col(a).cast("double"),
+                               F.col(b).cast("double"))
+                        .alias(f"_r_{a}_{b}"))
     stats = base.agg(*aggs)
 
     pairs = []
-    n = F.col("_n").cast("double")
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             ca, cb = (a, b) if a < b else (b, a)
-            num = n * F.col(f"_sxy_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
-            va = n * F.col(f"_ss_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
-            vb = n * F.col(f"_ss_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
-            r = F.when((va > 0) & (vb > 0),
-                       num / (F.sqrt(va) * F.sqrt(vb)))
+            # corr returns NaN on a zero-variance side; the variance
+            # guard pins the documented contract (null, not NaN).
+            r = F.when((F.col(f"_v_{a}") > 0) & (F.col(f"_v_{b}") > 0),
+                       F.col(f"_r_{a}_{b}"))
             pairs.append(F.struct(F.lit(ca).alias("col_a"),
                                   F.lit(cb).alias("col_b"),
                                   r.alias("r"),

@@ -4,17 +4,20 @@ Beyond-reference operators (textbook normal-equation least squares, e.g.
 Hastie/Tibshirani/Friedman ESL §3.2; ridge per Hoerl & Kennard 1970):
 two-regressor OLS / ridge fit per group where TRAINING IS ONE
 AGGREGATION — the 100-TB shape.  A 2-feature linear model with intercept
-needs only the nine sufficient statistics
+needs only the per-group means plus the centered second-moment matrix,
+which one partial-aggregated ``groupBy`` of STABLE co-moment aggregates
+(``var_samp`` / ``covar_samp`` — Welford-style, no catastrophic
+cancellation on large-offset columns; round-7 fix, see
+correlation_matrix's failure mode in operators/profile.py) produces:
 
-    n, Σx1, Σx2, Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y, Σy²
+    n, x̄1, x̄2, ȳ, var(x1), var(x2), cov(x1,x2), cov(x1,y), cov(x2,y), var(y)
 
-which one partial-aggregated ``groupBy`` produces; the 2×2 centered
-normal system is then solved IN CLOSED FORM with Column arithmetic on
-the (tiny) per-group stats table.  No iteration, no collect, no second
-scan — the model table is bounded by group cardinality, never data
-size.  Ridge shrinks via ``(S11+λ, S22+λ)`` on the centered Gram
-diagonal with the intercept left unpenalized (the standard
-centered-data ridge estimator).
+The 2×2 centered normal system (``Sij = (n−1)·cov_ij``) is then solved
+IN CLOSED FORM with Column arithmetic on the (tiny) per-group stats
+table.  No iteration, no collect, no second scan — the model table is
+bounded by group cardinality, never data size.  Ridge shrinks via
+``(S11+λ, S22+λ)`` on the centered Gram diagonal with the intercept
+left unpenalized (the standard centered-data ridge estimator).
 
 SSE is evaluated with the full quadratic form
 ``Syy − 2(b1·S1y + b2·S2y) + b1²S11 + 2b1b2·S12 + b2²S22`` (valid for
@@ -45,22 +48,24 @@ def _fit2(df: DataFrame, group_col: str, x1: str, x2: str, y: str,
     g = (df.filter(c1.isNotNull() & c2.isNotNull() & cy.isNotNull())
          .groupBy(F.col(group_col).alias("group"))
          .agg(F.count(F.lit(1)).cast("long").alias("n"),
-              F.sum(c1).alias("s1"), F.sum(c2).alias("s2"),
-              F.sum(cy).alias("sy"),
-              F.sum(c1 * c1).alias("s11"), F.sum(c2 * c2).alias("s22"),
-              F.sum(c1 * c2).alias("s12"),
-              F.sum(c1 * cy).alias("s1y"), F.sum(c2 * cy).alias("s2y"),
-              F.sum(cy * cy).alias("syy")))
+              F.avg(c1).alias("m1"), F.avg(c2).alias("m2"),
+              F.avg(cy).alias("my"),
+              F.var_samp(c1).alias("v11"), F.var_samp(c2).alias("v22"),
+              F.covar_samp(c1, c2).alias("v12"),
+              F.covar_samp(c1, cy).alias("v1y"),
+              F.covar_samp(c2, cy).alias("v2y"),
+              F.var_samp(cy).alias("vyy")))
     n = F.col("n").cast("double")
-    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
-    # centered second moments (raw-moment identity; both engines replay
-    # the identical arithmetic so accumulation noise stays ~1e-12 rel.)
-    S11 = F.col("s11") - n * m1 * m1 + F.lit(float(lam))
-    S22 = F.col("s22") - n * m2 * m2 + F.lit(float(lam))
-    S12 = F.col("s12") - n * m1 * m2
-    S1y = F.col("s1y") - n * m1 * my
-    S2y = F.col("s2y") - n * m2 * my
-    Syy = F.col("syy") - n * my * my
+    m1, m2, my = F.col("m1"), F.col("m2"), F.col("my")
+    # centered second moments from stable co-moment aggregates
+    # (Sij = (n−1)·cov_ij — no n·mean² cancellation on offset columns)
+    nm1 = n - F.lit(1.0)
+    S11 = nm1 * F.col("v11") + F.lit(float(lam))
+    S22 = nm1 * F.col("v22") + F.lit(float(lam))
+    S12 = nm1 * F.col("v12")
+    S1y = nm1 * F.col("v1y")
+    S2y = nm1 * F.col("v2y")
+    Syy = nm1 * F.col("vyy")
     det = S11 * S22 - S12 * S12
     ok = (F.col("n") >= 3) & (F.abs(det) > F.lit(_EPS))
     b1 = (S22 * S1y - S12 * S2y) / det

@@ -113,8 +113,10 @@ def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
         clusters = near_duplicate_clusters(cc_pairs, "id", "nbr",
                                            max_iter=max_cc_iter)
     else:
-        clusters = pts.sparkSession.createDataFrame(
-            [], "id long, cluster_id long")
+        # empty frame derived from the input's id TYPE (a hardcoded
+        # long schema breaks the downstream join for string ids)
+        clusters = pts.limit(0).select(
+            "id", F.col("id").alias("cluster_id"))
     # isolated cores (no core neighbor) cluster with themselves
     core_cl = (core.join(clusters, "id", "left")
                .select("id", F.coalesce("cluster_id", "id")
@@ -146,15 +148,23 @@ def geo_radius_join(df: DataFrame, id_col: str, lat_col: str,
     distance rounded to 4 decimals — :func:`radius_join`'s geodetic
     sibling for lat/lon data.
 
-    Blocking: latitude cells of ``radius_km`` degrees-equivalent and
-    longitude cells widened by ``1/cos(band lat)`` (a meridian degree
-    is ~111.2 km everywhere; a parallel degree shrinks with latitude).
-    Each left point probes its 3×3 neighborhood — the cell geometry
-    guarantees any qualifying pair shares one of those 9 cells, so
-    recall is 1 and the join stays a plain cell-keyed equi-join.
-    Poles are excluded (``|lat| > max_abs_lat``, where the cos-scaled
-    cell width degenerates); the antimeridian is handled by probing
-    wrapped cell indices.  The exact haversine runs only on cell-mates.
+    Blocking: latitude bands of ``radius_km`` degrees-equivalent;
+    within a band, the ring of longitudes splits into equal cells whose
+    width is the EXACT haversine bound on a qualifying pair's longitude
+    separation, ``2·asin(sin(r/2R) / √(cos φ_a · cos φ_b))`` with the
+    geometric-mean cosine taken at the band's worst latitude and its
+    cross-band partner's (one Δφ higher) — the linear ``Δλ/cos(band)``
+    approximation under-covers near a band's top latitude and for
+    cross-band pairs, silently dropping in-radius pairs at high
+    latitude. Cells are ``360/⌊360/bound⌋`` wide (uniform around the
+    ring — a truncated final cell could otherwise leave a
+    wrap-straddling pair two ring indices apart). Each left point
+    probes its 3×3 neighborhood — any qualifying pair shares one of
+    those 9 cells, so recall is 1 and the join stays a plain
+    cell-keyed equi-join. Poles are excluded (``|lat| > max_abs_lat``,
+    where the cell width degenerates); the antimeridian is handled by
+    probing wrapped cell indices. The exact haversine runs only on
+    cell-mates.
     """
     import math as _math
 
@@ -162,42 +172,52 @@ def geo_radius_join(df: DataFrame, id_col: str, lat_col: str,
         raise ValueError(f"radius_km must be positive, got {radius_km}")
     if not 0 < max_abs_lat < 90:
         raise ValueError("max_abs_lat must be in (0, 90)")
-    km_per_deg = 111.195  # mean earth radius 6371.0 km * pi / 180
-    dlat = float(radius_km) / km_per_deg
+    earth_r = 6371.0
+    # exact Δφ bound in degrees (+ float margin); a rounded km-per-deg
+    # constant here can make bands an ulp too narrow for a pair at
+    # exactly radius distance
+    dlat = _math.degrees(float(radius_km) / earth_r) * 1.0001
+    sin_half = _math.sin(float(radius_km) / (2.0 * earth_r))
+    mal = float(max_abs_lat)
     pts = (df.filter(F.col(lat_col).isNotNull()
                      & F.col(lon_col).isNotNull()
-                     & (F.abs(F.col(lat_col)) <= float(max_abs_lat)))
+                     & (F.abs(F.col(lat_col)) <= mal))
            .select(F.col(id_col).alias("_id"),
                    F.col(lat_col).cast("double").alias("_la"),
                    F.col(lon_col).cast("double").alias("_lo")))
     band = F.floor(F.col("_la") / F.lit(dlat))
-    # widest cell of the band (smallest cos) keeps the 3x3 guarantee
-    band_max_abs = F.greatest(F.abs(band * dlat), F.abs((band + 1) * dlat))
-    cosb = F.greatest(F.cos(F.radians(band_max_abs)),
-                      F.lit(_math.cos(_math.radians(max_abs_lat))))
-    dlon = F.lit(dlat) / cosb
-    ncells = F.ceil(F.lit(360.0) / dlon).cast("long")
-    cell = F.floor((F.col("_lo") + 180.0) / dlon).cast("long")
+
+    def _ring(band_col):
+        """(cell count, cell width°) for a band: exact asin bound with
+        cross-band geometric-mean cos, clamped to the |lat| filter."""
+        bma = F.least(F.greatest(F.abs(band_col * dlat),
+                                 F.abs((band_col + 1) * dlat)),
+                      F.lit(mal))
+        partner = F.least(bma + F.lit(dlat), F.lit(mal))
+        cos_g = F.sqrt(F.cos(F.radians(bma)) * F.cos(F.radians(partner)))
+        bound = (F.degrees(2.0 * F.asin(
+            F.least(F.lit(1.0), F.lit(sin_half) / cos_g)))
+            * F.lit(1.0001))
+        nc = F.greatest(F.floor(F.lit(360.0) / bound).cast("long"),
+                        F.lit(1))
+        return nc, F.lit(360.0) / nc.cast("double")
+
+    nc_r, w_r = _ring(band)
+    cell = F.pmod(F.floor((F.col("_lo") + 180.0) / w_r).cast("long"), nc_r)
     right = pts.select(F.col("_id").alias("_idb"),
                        F.col("_la").alias("_lab"),
                        F.col("_lo").alias("_lob"),
                        band.alias("_by"), cell.alias("_bx"))
     offy = F.expr("explode(array(-1L, 0L, 1L))")
     offx = F.expr("explode(array(-1L, 0L, 1L))")
+    left_band = band + F.col("_dy")
+    nc_l, w_l = _ring(left_band)
     left = (pts.withColumn("_dy", offy).withColumn("_dx", offx)
-            .withColumn("_by", band + F.col("_dy"))
-            # the neighbor row's OWN band geometry decides its cell width
-            .withColumn("_bma", F.greatest(F.abs(F.col("_by") * dlat),
-                                           F.abs((F.col("_by") + 1) * dlat)))
-            .withColumn("_cb", F.greatest(
-                F.cos(F.radians(F.col("_bma"))),
-                F.lit(_math.cos(_math.radians(max_abs_lat)))))
-            .withColumn("_dl", F.lit(dlat) / F.col("_cb"))
-            .withColumn("_nc", F.ceil(F.lit(360.0) / F.col("_dl"))
-                        .cast("long"))
+            # the probed band's OWN ring geometry decides its cell width
+            .withColumn("_by", left_band)
             .withColumn("_bx", F.pmod(
-                F.floor((F.col("_lo") + 180.0) / F.col("_dl")).cast("long")
-                + F.col("_dx"), F.col("_nc")))
+                F.floor((F.col("_lo") + 180.0) / w_l).cast("long")
+                + F.col("_dx"), nc_l))
             .select("_id", "_la", "_lo", "_by", "_bx"))
     hav = 2.0 * F.lit(6371.0) * F.asin(F.sqrt(
         F.pow(F.sin(F.radians(F.col("_lab") - F.col("_la")) / 2), 2)

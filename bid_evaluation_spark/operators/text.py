@@ -311,13 +311,17 @@ def sentence_count(text: Column) -> Column:
     """Sentence count via the same terminator split as
     ``sentences.split_sentences`` (``[.!?]`` followed by whitespace;
     the final sentence needs no trailing terminator) — non-empty parts
-    only; 0 for blank text. Pure Column expression.
+    only; 0 for blank text, null for NULL text (without the explicit
+    guard, non-ANSI ``size(null)`` returns -1 through the otherwise
+    branch — round-7 ADVICE fix). Pure Column expression.
     """
     marked = F.regexp_replace(F.trim(text), r"([.!?])\s+", "$1\x01")
     parts = F.filter(F.split(marked, "\x01"),
                      lambda x: F.trim(x) != "")
-    return F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(parts)) \
-            .cast("long")
+    return (F.when(text.isNull(), F.lit(None))
+            .when(F.trim(text) == "", F.lit(0))
+            .otherwise(F.size(parts))
+            .cast("long"))
 
 
 def coleman_liau(text_col: str = "text") -> Column:

@@ -568,11 +568,15 @@ def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
 
     ALL lags share ONE window pass (each lag is one more ``lag()`` over
     the same ordered frame — no re-sort) and ONE groupBy: each lag
-    contributes a 6-tuple of sufficient statistics (n, Σx, Σy, Σxy,
-    Σx², Σy²) to the same fused aggregate, so the lag count never adds
-    passes. Pairs where either end is null are skipped per-lag.
-    ``acf`` is null when either side is constant (zero variance);
-    rounded to 4 decimals (the repo's oracle contract).
+    contributes a stable co-moment tuple (pair count, ``corr``,
+    ``var_samp`` of each side over the pair-masked values — Welford
+    aggregates, immune to the ``n·Σxy − Σx·Σy`` cancellation on
+    large-mean series; round-7 conditioning fix) to the same fused
+    aggregate, so the lag count never adds passes. Pairs where either
+    end is null are skipped per-lag (the mask nulls both sides, which
+    corr/var_samp then ignore). ``acf`` is null when either side is
+    constant (zero variance); rounded to 4 decimals (the repo's oracle
+    contract).
 
     Scale shape: the window partitions by key — parallelism is key
     cardinality, and a key's history must fit a task (inherent to exact
@@ -597,19 +601,14 @@ def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
         aggs.append(F.struct(
             F.lit(l).cast("long").alias("lag"),
             F.sum(ok.cast("long")).alias("n"),
-            F.sum(xs).alias("sx"), F.sum(ys).alias("sy"),
-            F.sum(xs * ys).alias("sxy"),
-            F.sum(xs * xs).alias("sxx"),
-            F.sum(ys * ys).alias("syy")).alias(f"_s{l}"))
+            F.corr(xs, ys).alias("r"),
+            F.var_samp(xs).alias("vx"),
+            F.var_samp(ys).alias("vy")).alias(f"_s{l}"))
     g = base.groupBy(key_col).agg(*aggs)
 
     s = F.explode(F.array(*[F.col(f"_s{l}") for l in lags])).alias("_s")
-    n = F.col("_s.n").cast("double")
-    num = n * F.col("_s.sxy") - F.col("_s.sx") * F.col("_s.sy")
-    vx = n * F.col("_s.sxx") - F.col("_s.sx") * F.col("_s.sx")
-    vy = n * F.col("_s.syy") - F.col("_s.sy") * F.col("_s.sy")
-    acf = F.when((vx > 0) & (vy > 0),
-                 F.round(num / F.sqrt(vx * vy) * 1e4) / 1e4 + F.lit(0.0))
+    acf = F.when((F.col("_s.vx") > 0) & (F.col("_s.vy") > 0),
+                 F.round(F.col("_s.r") * 1e4) / 1e4 + F.lit(0.0))
     return (g.select(key_col, s)
             .select(F.col(key_col),
                     F.col("_s.lag").alias("lag"),
@@ -837,11 +836,16 @@ def changepoint_by_key(df: DataFrame, key_col: str,
 
     All O(n) via running sums: one key-ordered cumulative window
     provides every candidate's left/right sums-of-squares in closed
-    form; no per-candidate rescan, no driver loop.  The series per key
-    must be bounded (pre-aggregate with :func:`bucket_aggregate` or an
-    hourly roll-up first — the pattern every per-key window operator
-    here uses); ordering over ``order_cols`` must be a total order
-    within a key for a deterministic result.
+    form; no per-candidate rescan, no driver loop.  The prefix sums run
+    over MEAN-CENTERED values (gain is translation-invariant, so the
+    result is mathematically identical, but centering first removes the
+    ``Σv² − (Σv)²/t`` cancellation that loses digits when the series
+    mean dwarfs its variation — timestamps, revenue-in-cents; round-7
+    conditioning fix).  The series per key must be bounded
+    (pre-aggregate with :func:`bucket_aggregate` or an hourly roll-up
+    first — the pattern every per-key window operator here uses);
+    ordering over ``order_cols`` must be a total order within a key for
+    a deterministic result.
     """
     if min_seg < 1:
         raise ValueError(f"min_seg must be >= 1, got {min_seg}")
@@ -852,13 +856,16 @@ def changepoint_by_key(df: DataFrame, key_col: str,
             .rowsBetween(Window.unboundedPreceding,
                          Window.unboundedFollowing))
     v = F.col(value_col).cast("double")
+    d = F.col("_d")
     base = (df.filter(v.isNotNull())
             .withColumn("_t", F.row_number().over(w).cast("long"))
-            .withColumn("_cs", F.sum(v).over(wc))
-            .withColumn("_css", F.sum(v * v).over(wc))
             .withColumn("_n", F.count(F.lit(1)).over(wall))
-            .withColumn("_s", F.sum(v).over(wall))
-            .withColumn("_ss", F.sum(v * v).over(wall)))
+            .withColumn("_mu", F.avg(v).over(wall))
+            .withColumn("_d", v - F.col("_mu"))
+            .withColumn("_cs", F.sum(d).over(wc))
+            .withColumn("_css", F.sum(d * d).over(wc))
+            .withColumn("_s", F.sum(d).over(wall))
+            .withColumn("_ss", F.sum(d * d).over(wall)))
     t = F.col("_t").cast("double")
     n = F.col("_n").cast("double")
     nr = n - t
@@ -871,8 +878,9 @@ def changepoint_by_key(df: DataFrame, key_col: str,
                          & (F.col("_t") <= F.col("_n") - int(min_seg)))
              .withColumn("_gain",
                          F.round((sst - sse_l - sse_r) * 1e6) / 1e6)
-             .withColumn("_ml", F.col("_cs") / t)
-             .withColumn("_mr", (F.col("_s") - F.col("_cs")) / nr))
+             .withColumn("_ml", F.col("_mu") + F.col("_cs") / t)
+             .withColumn("_mr",
+                         F.col("_mu") + (F.col("_s") - F.col("_cs")) / nr))
     wbest = Window.partitionBy(key_col).orderBy(F.desc("_gain"),
                                                 F.asc("_t"))
     r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731

@@ -11,10 +11,17 @@ right for deciding "is my configured watermark delay still enough"
 while the stream runs.
 
 State is the per-key high-water mark only — one double per key, held
-driver-side and rebuilt from any batch replay (monotone max makes
-replays idempotent for the MARK; emission rows carry batch_id so
-at-least-once consumers dedupe on it, the `streaming/ivf.py`
-contract).
+driver-side IN THE MONITOR OBJECT, i.e. single-process and
+session-scoped. Replays of batches the object has already seen are
+idempotent for the mark (monotone max), but a query RESTART from the
+checkpoint resumes at the next batch WITHOUT replaying earlier ones —
+a fresh monitor then measures lateness against empty marks and
+under-reports until the marks warm back up. To survive restarts,
+persist ``hwm`` through the ``on_emit`` sink (each emission row
+carries the post-batch mark) and rebuild via
+``DisorderMonitor(..., initial_hwm=saved)``. Emission rows carry
+batch_id so at-least-once consumers dedupe on it, the
+`streaming/ivf.py` contract.
 """
 
 from __future__ import annotations
@@ -35,14 +42,28 @@ class DisorderMonitor:
     ``on_emit`` (if given) receives each batch's summary DataFrame —
     one row per key present in the batch: ``(batch_id, key, n, n_late,
     max_late_s, hwm)`` where ``hwm`` is the POST-batch high-water mark.
+
+    ``initial_hwm`` seeds the per-key marks (restart continuity — save
+    the latest emission's ``hwm`` per key, reload here). ``keep_emitted``
+    controls the in-memory ``emitted`` log: the default retains
+    everything (convenient for tests/short sessions); pass a bound for
+    long-running queries so the driver list can't grow without limit
+    (only the most recent ``keep_emitted`` rows are retained), or 0 to
+    disable retention entirely — ``on_emit`` remains the durable path.
     """
 
     def __init__(self, key_col: str, ts_col: str,
-                 on_emit: Optional[Callable[[DataFrame], None]] = None):
+                 on_emit: Optional[Callable[[DataFrame], None]] = None,
+                 initial_hwm: Optional[Dict[object, float]] = None,
+                 keep_emitted: Optional[int] = None):
+        if keep_emitted is not None and keep_emitted < 0:
+            raise ValueError(
+                f"keep_emitted must be >= 0, got {keep_emitted}")
         self.key_col = key_col
         self.ts_col = ts_col
         self.on_emit = on_emit
-        self.hwm: Dict[object, float] = {}
+        self.hwm: Dict[object, float] = dict(initial_hwm or {})
+        self.keep_emitted = keep_emitted
         self.emitted: list = []
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -82,7 +103,10 @@ class DisorderMonitor:
         emit = batch_df.sparkSession.createDataFrame(
             out, "batch_id long, key string, n long, n_late long, "
                  "max_late_s double, hwm double")
-        self.emitted.extend(out)
+        if self.keep_emitted is None:
+            self.emitted.extend(out)
+        elif self.keep_emitted > 0:
+            self.emitted = (self.emitted + out)[-self.keep_emitted:]
         if self.on_emit is not None:
             self.on_emit(emit)
 

@@ -1097,7 +1097,8 @@ def test_coleman_liau_readability(spark):
 
     rows = [(1, "The cat sat. The dog ran! Did it?"),
             (2, "word"),
-            (3, "")]
+            (3, ""),
+            (4, None)]
     df = spark.createDataFrame(rows, "id long, text string")
     out = {r["id"]: r for r in
            df.select("id", sentence_count(F.col("text")).alias("s"),
@@ -1110,3 +1111,5 @@ def test_coleman_liau_readability(spark):
                                       abs=1e-6)
     assert out[2]["s"] == 1 and out[2]["cli"] is not None
     assert out[3]["s"] == 0 and out[3]["cli"] is None
+    # round-7 ADVICE fix: NULL text -> null count, never -1
+    assert out[4]["s"] is None and out[4]["cli"] is None

@@ -12,7 +12,8 @@ import math
 
 import pytest
 
-from hypothesis import HealthCheck, assume, given, settings, strategies as st
+from hypothesis import (HealthCheck, assume, example, given, settings,
+                        strategies as st)
 
 from bid_evaluation_spark import Evaluator, StagedEvaluator
 
@@ -640,6 +641,10 @@ def test_cusum_translation_invariance(spark, vals, c):
                    min_size=4, max_size=15),
        a=st.floats(min_value=0.5, max_value=20.0),
        b=st.floats(min_value=-50, max_value=50))
+# hypothesis-found r6 counterexample: near-constant column + offset
+# cancelled ~6 digits under the old raw-moment formula (fixed round 7
+# by switching correlation_matrix to stable F.corr co-moments)
+@example(xs=[0.0, 0.0, 0.0, 6.103515625e-05], a=0.99999, b=3.0)
 def test_correlation_affine_invariance(spark, xs, a, b):
     """Pearson r is invariant under positive affine maps of a column and
     always lands in [−1, 1]."""

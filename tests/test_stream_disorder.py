@@ -82,3 +82,37 @@ def test_monitor_drives_from_a_real_stream(spark, tmp_path):
     q.stop()
     assert mon.hwm == {"k": 50.0}
     assert mon.emitted and mon.emitted[0][2] == 2
+
+
+def test_monitor_restart_continuity_and_bounded_retention(spark):
+    """Round-7 ADVICE fix: initial_hwm seeds marks across a restart so
+    post-restart lateness is NOT measured against empty state, and
+    keep_emitted bounds the in-memory log."""
+    mon = DisorderMonitor("key", "ts")
+    mon.process(_batch(spark, [("k", 100.0)]), 0)
+    saved = dict(mon.hwm)
+
+    # restart WITHOUT the seed: the late event silently reads on-time
+    cold = DisorderMonitor("key", "ts")
+    cold.process(_batch(spark, [("k", 60.0)]), 1)
+    assert cold.emitted[0][3] == 0
+
+    # restart WITH the seed: 40s late vs the persisted mark
+    warm = DisorderMonitor("key", "ts", initial_hwm=saved)
+    warm.process(_batch(spark, [("k", 60.0)]), 1)
+    assert warm.emitted[0][3] == 1 and warm.emitted[0][4] == 40.0
+    assert warm.hwm == {"k": 100.0}
+
+    # bounded retention keeps only the most recent rows
+    cap = DisorderMonitor("key", "ts", keep_emitted=2)
+    for i in range(5):
+        cap.process(_batch(spark, [("k", float(i))]), i)
+    assert len(cap.emitted) == 2
+    assert [e[0] for e in cap.emitted] == [3, 4]
+
+    none = DisorderMonitor("key", "ts", keep_emitted=0)
+    none.process(_batch(spark, [("k", 1.0)]), 0)
+    assert none.emitted == [] and none.hwm == {"k": 1.0}
+
+    with pytest.raises(ValueError):
+        DisorderMonitor("key", "ts", keep_emitted=-1)

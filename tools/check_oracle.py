@@ -56,6 +56,11 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    n_oracled = sum(1 for k in qs if oracles.get(k) is not None)
+    # machine-printed registry count — docs quote THIS header, never a
+    # hand count (the r6 close-out docs drifted to 280 vs the real 279)
+    print(f"registry: {len(qs)} queries, {n_oracled} with value oracles, "
+          f"{len(qs) - n_oracled} rows-only; sf_dir={sf_dir}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
