@@ -308,11 +308,11 @@ def main():
     from bid_evaluation_spark.session import get_spark
     from bid_evaluation_spark.sources.io import TESTDATA_TABLES, load_table
 
+    # console progress bars (disabled in get_spark's builder — a STATIC
+    # conf, not settable at runtime) interleave \r-frames with the result
+    # line and made every BENCH_r*.json unparseable for the driver
     spark = get_spark("bid-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # console progress bars interleave \r-frames with the result line and
-    # have made every BENCH_r*.json unparseable for the driver
-    spark.conf.set("spark.ui.showConsoleProgress", "false")
 
     # warm-up (excluded from timings — discard-first-iteration practice):
     # one count() per table warms the parquet scan path, codegen/JIT, and the

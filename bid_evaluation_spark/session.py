@@ -34,5 +34,8 @@ def get_spark(app_name: str = "bid_evaluation_spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # static conf (cannot be set at runtime): keep \r progress frames
+        # out of stdout so bench.py's result JSON line stays parseable
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -457,6 +457,14 @@ def test_near_duplicate_clusters_and_dedup(spark):
            for r in near_duplicate_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
 
+    # the two CC engines are interchangeable (round-7 twophase addition)
+    got2 = {r["id"]: r["cluster_id"]
+            for r in near_duplicate_clusters(
+                pairs, algorithm="twophase").collect()}
+    assert got2 == got
+    with pytest.raises(ValueError):
+        near_duplicate_clusters(pairs, algorithm="bogus")
+
     docs = spark.createDataFrame(
         [(i, f"d{i}") for i in (1, 2, 3, 5, 6, 9, 42)], "doc_id long, text string"
     )
