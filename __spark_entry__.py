@@ -11546,9 +11546,10 @@ LEFT JOIN hist h
 def _q_profile_mahalanobis_lineitem(spark, sf_dir):
     """Top-20 bivariate outliers per return flag by Mahalanobis d²
     (operators/profile.py mahalanobis_outliers) over (quantity,
-    extendedprice/1000): one five-moment aggregation, closed-form 2×2
+    extendedprice/1000): one stable co-moment aggregation
+    (var_pop/covar_pop, round-7 conditioning fix), closed-form 2×2
     inverse broadcast back, d² rounds to 4 decimals BEFORE ranking.
-    The oracle replays moments, inverse and ranking."""
+    The oracle uses DuckDB's matching stable population co-moments."""
     from bid_evaluation_spark.operators.profile import mahalanobis_outliers
 
     li = (_t(spark, sf_dir, "lineitem")
@@ -11566,15 +11567,12 @@ WITH src AS (
 ),
 g AS (
   SELECT grp, count(*) AS n, avg(x) AS mx, avg(y) AS my,
-         avg(x * x) AS mxx, avg(y * y) AS myy, avg(x * y) AS mxy
+         var_pop(x) AS vxx, var_pop(y) AS vyy, covar_pop(x, y) AS vxy
   FROM src GROUP BY grp
 ),
 stats AS (
-  SELECT grp, mx, my,
-         mxx - mx * mx AS vxx, myy - my * my AS vyy,
-         mxy - mx * my AS vxy,
-         (mxx - mx * mx) * (myy - my * my)
-           - (mxy - mx * my) * (mxy - mx * my) AS det
+  SELECT grp, mx, my, vxx, vyy, vxy,
+         vxx * vyy - vxy * vxy AS det
   FROM g WHERE n >= 3
 ),
 scored AS (

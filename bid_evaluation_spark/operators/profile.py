@@ -446,13 +446,16 @@ def mahalanobis_outliers(df: DataFrame, group_col: str, x_col: str,
     g = (src.groupBy("group")
          .agg(F.count(F.lit(1)).cast("long").alias("_n"),
               F.avg("_x").alias("_mx"), F.avg("_y").alias("_my"),
-              F.avg(F.col("_x") * F.col("_x")).alias("_mxx"),
-              F.avg(F.col("_y") * F.col("_y")).alias("_myy"),
-              F.avg(F.col("_x") * F.col("_y")).alias("_mxy")))
-    # population covariance from raw moments; closed-form 2x2 inverse
-    vxx = F.col("_mxx") - F.col("_mx") * F.col("_mx")
-    vyy = F.col("_myy") - F.col("_my") * F.col("_my")
-    vxy = F.col("_mxy") - F.col("_mx") * F.col("_my")
+              F.var_pop("_x").alias("_vxx0"),
+              F.var_pop("_y").alias("_vyy0"),
+              F.covar_pop("_x", "_y").alias("_vxy0")))
+    # population covariance via stable Welford co-moments (the raw
+    # avg(x²)−avg(x)² identity cancels on large-offset coordinates and
+    # breaks d²'s affine invariance — round-7 conditioning fix);
+    # closed-form 2x2 inverse
+    vxx = F.col("_vxx0")
+    vyy = F.col("_vyy0")
+    vxy = F.col("_vxy0")
     det = vxx * vyy - vxy * vxy
     stats = (g.filter((F.col("_n") >= 3))
              .select("group", "_mx", "_my",
