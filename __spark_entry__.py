@@ -12919,6 +12919,283 @@ FROM base
 
 
 # ---------------------------------------------------------------------------
+# round-7 wave: winnowing, corpus overlap, script profile, MMR
+# ---------------------------------------------------------------------------
+
+def _q_text_winnow_overlap_documents(spark, sf_dir):
+    """Winnowing-fingerprint corpus overlap (text.py winnow_fingerprints,
+    Schleimer et al. SIGMOD 2003) between even- and odd-doc_id halves:
+    md5-portable k-gram hashes, window-min selection (k=3, w=4),
+    distinct fingerprints per half, ONE equi-join for the intersection.
+    The oracle replays tokenize → md5 grams → window mins → distinct →
+    counts, selection and all."""
+    from bid_evaluation_spark.operators.text import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+
+    def fps(side):
+        return (side.select(F.explode(
+            winnow_fingerprints(F.col("text"), k=3, w=4)).alias("fp"))
+            .distinct())
+
+    a = fps(d.filter(F.col("doc_id") % 2 == 0))
+    b = fps(d.filter(F.col("doc_id") % 2 == 1))
+    na = a.count()
+    nb = b.count()
+    common = a.join(b, "fp").count()
+    union = na + nb - common
+    return spark.createDataFrame(
+        [(na, nb, common,
+          float(round(common / union * 1e4) / 1e4) if union else None)],
+        "fp_a long, fp_b long, fp_common long, jaccard double")
+
+
+_SQL_TEXT_WINNOW_OVERLAP_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+),
+fps AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(h) - 3 >= 1 THEN
+      list_transform(generate_series(1, len(h) - 3),
+                     i -> list_min(list_slice(h, i, i + 3)))
+    WHEN len(h) >= 1 THEN [list_min(h)]
+    ELSE CAST([] AS BIGINT[]) END) AS f
+  FROM hashes
+),
+a AS (SELECT DISTINCT unnest(f) AS fp FROM fps WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT unnest(f) AS fp FROM fps WHERE doc_id % 2 = 1),
+c AS (SELECT count(*) AS nc FROM a JOIN b USING (fp))
+SELECT (SELECT count(*) FROM a) AS fp_a,
+       (SELECT count(*) FROM b) AS fp_b,
+       nc AS fp_common,
+       CASE WHEN (SELECT count(*) FROM a) + (SELECT count(*) FROM b) - nc > 0
+            THEN round(CAST(nc AS DOUBLE)
+                       / ((SELECT count(*) FROM a)
+                          + (SELECT count(*) FROM b) - nc) * 1e4) / 1e4
+       END AS jaccard
+FROM c
+"""
+
+
+def _q_dedup_corpus_overlap_documents(spark, sf_dir):
+    """EXACT corpus-level shingle overlap (dedup.py corpus_overlap)
+    between the even/odd doc_id halves: distinct 3-shingles per corpus,
+    one join for the intersection — jaccard + both containments. The
+    aggregate contamination estimate run before per-document
+    decontaminate. The oracle replays distinct shingle sets and the
+    count arithmetic."""
+    from bid_evaluation_spark.operators.dedup import corpus_overlap
+
+    d = _t(spark, sf_dir, "documents")
+    return corpus_overlap(d.filter(F.col("doc_id") % 2 == 0),
+                          d.filter(F.col("doc_id") % 2 == 1), k=3)
+
+
+_SQL_DEDUP_CORPUS_OVERLAP_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t) - 2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+a AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 0),
+b AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 2 = 1),
+c AS (SELECT count(*) AS nc FROM a JOIN b USING (g)),
+n AS (SELECT (SELECT count(*) FROM a) AS na,
+             (SELECT count(*) FROM b) AS nb, nc FROM c)
+SELECT CAST(na AS BIGINT) AS shingles_a, CAST(nb AS BIGINT) AS shingles_b,
+  CAST(nc AS BIGINT) AS shingles_common,
+  CASE WHEN na + nb - nc > 0
+       THEN round(CAST(nc AS DOUBLE) / (na + nb - nc) * 1e4) / 1e4
+  END AS jaccard,
+  CASE WHEN na > 0 THEN round(CAST(nc AS DOUBLE) / na * 1e4) / 1e4
+  END AS containment_a_in_b,
+  CASE WHEN nb > 0 THEN round(CAST(nc AS DOUBLE) / nb * 1e4) / 1e4
+  END AS containment_b_in_a
+FROM n
+"""
+
+
+def _q_text_script_profile_documents(spark, sf_dir):
+    """Writing-system histogram (text.py script_profile) rolled up per
+    (lang, dominant_script): the pre-language-ID router check — zh docs
+    should dominate cjk, European langs latin. Explicit codepoint-range
+    regexes on BOTH engines (never \\p{script=}, the engines disagree).
+    The oracle replays regexp_extract_all counts, the first-maximal
+    dominant pick and the rollup."""
+    from bid_evaluation_spark.operators.text import script_profile
+
+    d = _t(spark, sf_dir, "documents")
+    prof = script_profile(d, "text", id_cols=("doc_id", "lang"))
+    return (prof.groupBy("lang", "dominant_script")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_latin").cast("long").alias("latin_chars"),
+                 F.sum("n_cjk").cast("long").alias("cjk_chars"),
+                 F.sum("n_other").cast("long").alias("other_chars")))
+
+
+_SQL_TEXT_SCRIPT_PROFILE_DOCUMENTS = """
+WITH prof AS (
+  SELECT doc_id, lang,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[A-Za-zÀ-ɏ]')) AS n_latin,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS n_cyrillic,
+    len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS n_greek,
+    len(regexp_extract_all(text, '[؀-ۿ]')) AS n_arabic,
+    len(regexp_extract_all(text, '[֐-׿]')) AS n_hebrew,
+    len(regexp_extract_all(text, '[ऀ-ॿ]')) AS n_devanagari,
+    len(regexp_extract_all(text, '[぀-ヿ一-鿿가-힯]')) AS n_cjk
+  FROM documents
+),
+dom AS (
+  SELECT *,
+    n_chars - (n_latin + n_digit + n_cyrillic + n_greek + n_arabic
+               + n_hebrew + n_devanagari + n_cjk) AS n_other,
+    CASE
+      WHEN n_cjk > greatest(n_latin, n_digit, n_cyrillic, n_greek,
+                            n_arabic, n_hebrew, n_devanagari)
+        THEN 'cjk'
+      WHEN n_devanagari > greatest(n_latin, n_digit, n_cyrillic, n_greek,
+                                   n_arabic, n_hebrew)
+        THEN 'devanagari'
+      WHEN n_hebrew > greatest(n_latin, n_digit, n_cyrillic, n_greek,
+                               n_arabic)
+        THEN 'hebrew'
+      WHEN n_arabic > greatest(n_latin, n_digit, n_cyrillic, n_greek)
+        THEN 'arabic'
+      WHEN n_greek > greatest(n_latin, n_digit, n_cyrillic) THEN 'greek'
+      WHEN n_cyrillic > greatest(n_latin, n_digit) THEN 'cyrillic'
+      WHEN n_digit > n_latin THEN 'digit'
+      WHEN n_latin > 0 THEN 'latin'
+      ELSE 'other'
+    END AS dominant_script
+  FROM prof
+)
+SELECT lang, dominant_script, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_latin) AS BIGINT) AS latin_chars,
+  CAST(sum(n_cjk) AS BIGINT) AS cjk_chars,
+  CAST(sum(n_other) AS BIGINT) AS other_chars
+FROM dom GROUP BY lang, dominant_script
+"""
+
+
+def _q_retrieval_mmr_embeddings(spark, sf_dir):
+    """Maximal-marginal-relevance diversification (retrieval.py
+    mmr_rerank, Carbonell & Goldstein 1998) of each query's cosine
+    top-8: three unrolled greedy steps IN THE PLAN (join against the
+    selected set + cosine max + windowed argmax on the 1e-6-rounded
+    objective). The oracle replays retrieval and all three greedy
+    steps as chained CTEs."""
+    from bid_evaluation_spark.operators.retrieval import mmr_rerank
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    nn = cosine_topk(q, emb, k=8)
+    cands = nn.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id")
+    res = mmr_rerank(cands, select_k=3, lam=0.7, query_col="query_id",
+                     id_col="neighbor_id", rel_col="cosine",
+                     vec_col="embedding")
+    return res.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "mmr_score")
+
+
+_SQL_RETRIEVAL_MMR_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 6),
+sims AS (
+  SELECT q.query_id, v.vec_id AS nid, v.e AS ce,
+    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i]*v.e[i]))
+      / (sqrt(list_sum(list_transform(qe, x -> x*x)))
+         * sqrt(list_sum(list_transform(v.e, x -> x*x)))) AS rel
+  FROM q CROSS JOIN v
+  WHERE q.query_id != v.vec_id
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, nid ASC) AS rnk
+    FROM sims) WHERE rnk <= 8
+),
+s1 AS (
+  SELECT query_id, nid, ce, sc FROM (
+    SELECT *, round(0.7 * rel * 1e6) / 1e6 AS sc,
+      row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(0.7 * rel * 1e6) / 1e6 DESC,
+                                  nid ASC) AS rk
+    FROM cand) WHERE rk = 1
+),
+r2 AS (
+  SELECT c.query_id, c.nid, c.ce, c.rel,
+    round((0.7 * c.rel - 0.3 *
+      list_sum(list_transform(generate_series(1, len(c.ce)),
+                              i -> c.ce[i]*s.ce[i]))
+        / (sqrt(list_sum(list_transform(c.ce, x -> x*x)))
+           * sqrt(list_sum(list_transform(s.ce, x -> x*x)))))
+      * 1e6) / 1e6 AS sc
+  FROM cand c JOIN s1 s ON c.query_id = s.query_id AND c.nid != s.nid
+),
+s2 AS (
+  SELECT query_id, nid, ce, sc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sc DESC, nid ASC) AS rk
+    FROM r2) WHERE rk = 1
+),
+r3 AS (
+  SELECT c.query_id, c.nid,
+    round((0.7 * c.rel - 0.3 *
+      list_max(list_transform([s1.ce, s2.ce], se ->
+        list_sum(list_transform(generate_series(1, len(c.ce)),
+                                i -> c.ce[i]*se[i]))
+          / (sqrt(list_sum(list_transform(c.ce, x -> x*x)))
+             * sqrt(list_sum(list_transform(se, x -> x*x)))))))
+      * 1e6) / 1e6 AS sc
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id
+  JOIN s2 ON c.query_id = s2.query_id
+  WHERE c.nid != s1.nid AND c.nid != s2.nid
+),
+s3 AS (
+  SELECT query_id, nid, sc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sc DESC, nid ASC) AS rk
+    FROM r3) WHERE rk = 1
+)
+SELECT query_id, CAST(1 AS BIGINT) AS rank, nid AS neighbor_id,
+       round(sc * 1e4) / 1e4 + 0.0 AS mmr_score FROM s1
+UNION ALL
+SELECT query_id, CAST(2 AS BIGINT), nid, round(sc * 1e4) / 1e4 + 0.0
+FROM s2
+UNION ALL
+SELECT query_id, CAST(3 AS BIGINT), nid, round(sc * 1e4) / 1e4 + 0.0
+FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -13438,6 +13715,14 @@ _QUERIES: dict = {
                                 _SQL_DEDUP_SAVINGS_DOCUMENTS),
     "text_readability_documents": (_q_text_readability_documents,
                                    _SQL_TEXT_READABILITY_DOCUMENTS),
+    "text_winnow_overlap_documents": (_q_text_winnow_overlap_documents,
+                                      _SQL_TEXT_WINNOW_OVERLAP_DOCUMENTS),
+    "dedup_corpus_overlap_documents": (_q_dedup_corpus_overlap_documents,
+                                       _SQL_DEDUP_CORPUS_OVERLAP_DOCUMENTS),
+    "text_script_profile_documents": (_q_text_script_profile_documents,
+                                      _SQL_TEXT_SCRIPT_PROFILE_DOCUMENTS),
+    "retrieval_mmr_embeddings": (_q_retrieval_mmr_embeddings,
+                                 _SQL_RETRIEVAL_MMR_EMBEDDINGS),
 }
 
 

@@ -1003,3 +1003,51 @@ def dedup_savings_report(df: DataFrame, group_col: str,
                         F.when(F.col("chars_total") > 0,
                                r4(F.col("chars_dropped").cast("double")
                                   / F.col("chars_total").cast("double")))))
+
+
+def corpus_overlap(a: DataFrame, b: DataFrame, text_col: str = "text",
+                   k: int = 3) -> DataFrame:
+    """EXACT corpus-level shingle overlap between two corpora → one row
+    ``(shingles_a, shingles_b, shingles_common, jaccard,
+    containment_a_in_b, containment_b_in_a)`` — the corpus-pair answer
+    to "how much of snapshot B is already in snapshot A" (crawl-refresh
+    dedup budgeting) and "how contaminated is this training mix by that
+    eval set" at the AGGREGATE level, before the per-document
+    ``decontaminate`` pass runs.
+
+    Distinct word-``k``-shingles per corpus FIRST (the same collapse
+    :func:`exact duplicate <.text.fingerprint>` dedup rides: after
+    ``distinct``, volume is bounded by vocabulary, not corpus size),
+    then ONE inner join on the shingle gives the intersection count.
+    All three counts come from the two distinct tables + that join —
+    no document pairs, no signatures, exact by construction. At 100 TB
+    every step shuffles on the shingle hash; the MinHash corpus sketch
+    is unnecessary because the distinct-shingle table is already the
+    collapsed representation.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def _sh(df):
+        return (df.select(F.explode(
+            word_shingles(F.col(text_col), k)).alias("s"))
+            .distinct())
+
+    sa = _sh(a).persist()
+    sb = _sh(b).persist()
+    na = sa.count()
+    nb = sb.count()
+    common = sa.join(sb, "s").count()
+    union = na + nb - common
+    sa.unpersist()
+    sb.unpersist()
+    spark = a.sparkSession
+    r4 = lambda x: round(x * 1e4) / 1e4 if x is not None else None  # noqa: E731
+    return spark.createDataFrame(
+        [(na, nb, common,
+          r4(common / union) if union else None,
+          r4(common / na) if na else None,
+          r4(common / nb) if nb else None)],
+        "shingles_a long, shingles_b long, shingles_common long, "
+        "jaccard double, containment_a_in_b double, "
+        "containment_b_in_a double")

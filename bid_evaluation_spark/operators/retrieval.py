@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
@@ -230,3 +230,86 @@ def phrase_search(df: DataFrame, phrase: str, id_col: str = "doc_id",
     return (joined.select("doc_id",
                           F.size(starts).cast("long").alias("n_matches"))
             .filter(F.col("n_matches") > 0))
+
+
+def mmr_rerank(candidates: DataFrame, select_k: int = 3, lam: float = 0.7,
+               query_col: str = "query_id", id_col: str = "doc_id",
+               rel_col: str = "rel",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — greedy diversification of a retrieval candidate list:
+
+        pick argmax_c  λ·rel(c) − (1−λ)·max_{s∈selected} cos(c, s)
+
+    for ``select_k`` rounds → ``(query_col, rank, id_col, mmr_score)``.
+    The step that turns a near-duplicate-heavy ANN/BM25 top-N into a
+    DIVERSE context set for RAG prompting or eval-set construction —
+    relevance alone happily returns 10 copies of the same paragraph.
+
+    ``candidates`` is the BOUNDED per-query candidate table (top-N from
+    :func:`~.similarity.cosine_topk` / :func:`bm25_topk` joined back to
+    its vectors) — MMR is quadratic in candidates by definition, so the
+    bound is the caller's retrieval ``k``, never corpus size.
+
+    Execution: the greedy loop is UNROLLED INTO THE PLAN — step t is
+    one equi-join of the remaining candidates against the ≤ t-row
+    selected set (per query), a cosine max, and a per-query window
+    argmax. No Python kernel, no collect; every step's arithmetic is
+    plain Column expressions, so a chained-CTE oracle replays it
+    exactly. The objective is rounded to 1e-6 BEFORE the argmax
+    (NOTES.md: never rank a raw double cross-engine); ties break to the
+    smaller ``id_col``. Queries with fewer than ``select_k`` candidates
+    emit what they have; null-similarity pairs (zero vectors) count as
+    similarity 0.
+    """
+    if select_k < 1:
+        raise ValueError(f"select_k must be >= 1, got {select_k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    from .dedup import cosine
+
+    r6 = lambda e: F.round(e * 1e6) / 1e6  # noqa: E731
+    base = candidates.select(
+        F.col(query_col).alias("_q"), F.col(id_col).alias("_id"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        F.col(vec_col).alias("_v"))
+    picks = []  # one small DataFrame per greedy round
+    for t in range(1, select_k + 1):
+        remaining = base
+        for p in picks:
+            remaining = remaining.join(
+                p.select(F.col("_q"), F.col("_id")), ["_q", "_id"],
+                "left_anti")
+        if picks:
+            sel = picks[0]
+            for p in picks[1:]:
+                sel = sel.unionByName(p)
+            sims = (remaining.join(
+                F.broadcast(sel.select(F.col("_q"),
+                                       F.col("_v").alias("_sv"))), "_q")
+                .withColumn("_sim", cosine(F.col("_v"), F.col("_sv")))
+                .groupBy("_q", "_id")
+                .agg(F.max("_rel").alias("_rel"),
+                     F.max(F.coalesce(F.col("_sim"), F.lit(0.0)))
+                     .alias("_ms"),
+                     F.first("_v").alias("_v")))
+            scored = sims.withColumn(
+                "_s", r6(F.lit(float(lam)) * F.col("_rel")
+                         - F.lit(1.0 - float(lam)) * F.col("_ms")))
+        else:
+            scored = remaining.withColumn(
+                "_s", r6(F.lit(float(lam)) * F.col("_rel")))
+        w = Window.partitionBy("_q").orderBy(F.desc("_s"), F.asc("_id"))
+        pick = (scored.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("_q", "_id", "_v", F.col("_s").alias("_score"),
+                        F.lit(t).cast("long").alias("_rank")))
+        picks.append(pick)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(F.col("_q").alias(query_col),
+                      F.col("_rank").alias("rank"),
+                      F.col("_id").alias(id_col),
+                      (F.round(F.col("_score") * 1e4) / 1e4 + F.lit(0.0))
+                      .alias("mmr_score"))

@@ -343,3 +343,102 @@ def coleman_liau(text_col: str = "text") -> Column:
     S = sents / words * 100.0
     return F.when(words > 0,
                   F.lit(0.0588) * L - F.lit(0.296) * S - F.lit(15.8))
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS plagiarism-detection selector): hash every
+    word ``k``-gram, slide a window of ``w`` consecutive hashes, keep
+    each window's MINIMUM, and return the distinct selected hashes.
+    Guarantees: any shared run of ``k + w − 1`` tokens between two
+    documents yields at least one shared fingerprint (the winnowing
+    coverage theorem), while storing only ~``2/(w+1)`` of all k-gram
+    hashes — the principled density/recall dial that plain "sample
+    every Nth shingle" lacks.
+
+    Hashes are PORTABLE md5-derived 60-bit ints (the
+    :func:`fingerprint_md5` / `profile.table_fingerprint` device:
+    ``conv(substring(md5(gram), 1, 15), 16, 10)``), so a DuckDB oracle
+    replays the selection exactly — winnowing picks by hash VALUE, so
+    the hash must cross engines, unlike MinHash where the output is
+    re-verified with exact Jaccard. Pure Column expression, map-only;
+    documents shorter than ``k + w − 1`` tokens fingerprint to the min
+    of what windows exist (empty array below ``k`` tokens).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
+    toks = tokens(text)
+    n = F.size(toks)
+    m = n - F.lit(k - 1)  # number of k-grams
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    hashes = F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15),
+                         16, 10).cast("long"))
+    nwin = m - F.lit(w - 1)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i, w)))
+    picked = F.when(nwin >= 1, mins).otherwise(
+        F.when(m >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>")))
+    return F.array_distinct(picked)
+
+
+_SCRIPT_CLASSES = (
+    # explicit codepoint ranges, NOT \p{script=...} — Java and RE2
+    # disagree on script property syntax; ranges replay identically
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+    ("digit", r"[0-9]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("hebrew", r"[֐-׿]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("cjk", r"[぀-ヿ一-鿿가-힯]"),
+)
+
+
+def script_profile(df: DataFrame, text_col: str = "text",
+                   id_cols: Sequence[str] = ("doc_id",)) -> DataFrame:
+    """Per-document writing-system histogram → ``(id..., n_chars,
+    n_latin, n_digit, ..., n_other, dominant_script)`` — the cheap
+    pre-language-ID router for a multilingual crawl (run the n-gram
+    language model only within the dominant script; route CJK to a
+    different tokenizer; flag mixed-script spam, a classic SEO-junk
+    signal).
+
+    One map-only projection of ``regexp_count`` per class over explicit
+    codepoint RANGES (portable across regex engines, unlike
+    ``\\p{script=}``). ``dominant_script`` is the class with the
+    largest count, ties to the declaration order above, ``'other'``
+    when no class scores (empty/whitespace/symbol-only text; null text
+    → null row values, 'other' dominant by contract so downstream
+    routing never branches on null).
+    """
+    t = F.col(text_col)
+    out = df.select(*id_cols, t.alias("_t"))
+    out = out.withColumn("n_chars", F.length("_t").cast("long"))
+    for name, pat in _SCRIPT_CLASSES:
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(F.col("_t"), F.lit(pat))
+                             .cast("long"))
+    known = None
+    for name, _ in _SCRIPT_CLASSES:
+        known = (F.col(f"n_{name}") if known is None
+                 else known + F.col(f"n_{name}"))
+    out = out.withColumn(
+        "n_other", F.when(F.col("n_chars").isNotNull(),
+                          F.col("n_chars") - F.coalesce(known, F.lit(0)))
+        .cast("long"))
+    best_name = F.lit("other")
+    best_cnt = F.lit(0).cast("long")
+    # declaration-order ties: strictly-greater comparison scanning the
+    # classes in order keeps the FIRST maximal class
+    for name, _ in _SCRIPT_CLASSES:
+        c = F.coalesce(F.col(f"n_{name}"), F.lit(0))
+        best_name = F.when(c > best_cnt, F.lit(name)).otherwise(best_name)
+        best_cnt = F.greatest(best_cnt, c)
+    return out.withColumn("dominant_script", best_name).drop("_t")
