@@ -1642,6 +1642,47 @@ def _dbscan_au_js(spark, sf_dir):
     return probs
 
 
+@check("wave7: winnow/script map-only; corpus-overlap distinct-first; "
+       "MMR in-plan greedy (no Python, broadcast selected)")
+def _wave7(spark, sf_dir):
+    from bid_evaluation_spark.operators.retrieval import mmr_rerank
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+    from bid_evaluation_spark.operators.text import (script_profile,
+                                                     winnow_fingerprints)
+    from bid_evaluation_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    # winnow + script: pure projections, no shuffle, no Python
+    for name, res in (
+            ("winnow", docs.select(
+                winnow_fingerprints(F.col("text"), 3, 4).alias("w"))),
+            ("script", script_profile(docs))):
+        p = plan_of(res)
+        if "Exchange" in p:
+            probs.append(f"{name} plan shuffles (should be map-only)")
+        if "BatchEvalPython" in p or "ArrowEvalPython" in p:
+            probs.append(f"{name} plan drops into Python")
+    # MMR: unrolled greedy must stay JVM-side; the selected set joins
+    # as a broadcast (bounded <= select_k rows per query)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 6)
+    cands = (cosine_topk(q, emb, k=8)
+             .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                              "embedding"), "neighbor_id"))
+    mp = plan_of(mmr_rerank(cands, select_k=3, lam=0.7,
+                            query_col="query_id", id_col="neighbor_id",
+                            rel_col="cosine", vec_col="embedding"))
+    if "BatchEvalPython" in mp or "ArrowEvalPython" in mp:
+        probs.append("mmr plan drops into Python")
+    if "BroadcastHashJoin" not in mp and "BroadcastNestedLoopJoin" not in mp:
+        probs.append("mmr selected-set join is not broadcast")
+    if "CartesianProduct" in mp:
+        probs.append("mmr plan has a cartesian product")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
