@@ -13195,6 +13195,61 @@ FROM s3
 """
 
 
+def _q_mm_netpbm_decode_documents(spark, sf_dir):
+    """REAL color-image decode through the Netpbm (P6 PPM) codec
+    (operators/netpbm.py): deterministic RGB rasters are encoded per doc
+    (R=(x+doc) mod 256, G=(y+2·doc) mod 256, B=(x+y) mod 256, dims from
+    doc_id), shipped as binary payloads, and decoded by the pure-stdlib
+    kernel — width/height from the header, mean Rec. 601 luma from the
+    actual pixels. The oracle reproduces the luma arithmetically, so a
+    header-parse or channel-order bug breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.multimodal import (
+        extract_image_features)
+    from bid_evaluation_spark.operators.netpbm import encode_ppm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 4, 5 + d % 3
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack([(x + d) % 256 + 0 * y,
+                                (y + 2 * d) % 256 + 0 * x,
+                                (x + y) % 256], axis=2).astype(np.uint8)
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_image_features(media, fake=False, strict=True)
+    return feats.select("media_id", "width", "height",
+                        _r4("mean_luma").alias("mean_luma"))
+
+
+_SQL_MM_NETPBM_DECODE_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, CAST(6 + doc_id % 4 AS BIGINT) AS w,
+         CAST(5 + doc_id % 3 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  round(list_avg(flatten(list_transform(generate_series(0, h - 1),
+          y -> list_transform(generate_series(0, w - 1),
+          x -> 0.299 * CAST((x + doc_id) % 256 AS DOUBLE)
+             + 0.587 * CAST((y + 2 * doc_id) % 256 AS DOUBLE)
+             + 0.114 * CAST((x + y) % 256 AS DOUBLE))))) * 10000.0)
+    / 10000.0 AS mean_luma
+FROM dims
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13723,6 +13778,8 @@ _QUERIES: dict = {
                                       _SQL_TEXT_SCRIPT_PROFILE_DOCUMENTS),
     "retrieval_mmr_embeddings": (_q_retrieval_mmr_embeddings,
                                  _SQL_RETRIEVAL_MMR_EMBEDDINGS),
+    "mm_netpbm_decode_documents": (_q_mm_netpbm_decode_documents,
+                                   _SQL_MM_NETPBM_DECODE_DOCUMENTS),
 }
 
 

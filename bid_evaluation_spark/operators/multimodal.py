@@ -2,8 +2,9 @@
 
 Beyond-reference operators (BASELINE.json north star). The Spark-side design
 is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures.
-Decode kernels are REAL pure-stdlib codecs: **PNG and baseline JPEG
-images** (:mod:`.png`, :mod:`.jpeg` — width/height/mean-luma/grid embedding
+Decode kernels are REAL pure-stdlib codecs: **PNG, baseline JPEG and
+binary Netpbm (PGM/PPM) images** (:mod:`.png`, :mod:`.jpeg`,
+:mod:`.netpbm` — width/height/mean-luma/grid embedding
 from actual pixels, magic-byte dispatch), **PCM WAV audio** (:mod:`.wav` —
 rate/duration/RMS/zero-crossings/log-band spectra from actual samples), and
 **Y4M video** (:mod:`.y4m` — per-frame luma digest/dimensions/mean from
@@ -68,8 +69,9 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     """Decode + feature-extract images via Arrow-batched ``mapInPandas``.
 
     The REAL kernel (``fake=False``, default) dispatches on magic bytes and
-    decodes PNG payloads with the pure-stdlib codec (:mod:`.png`) and
-    baseline JPEG payloads with the pure-stdlib codec (:mod:`.jpeg`):
+    decodes PNG payloads with the pure-stdlib codec (:mod:`.png`),
+    baseline JPEG payloads with the pure-stdlib codec (:mod:`.jpeg`),
+    and binary Netpbm (PGM ``P5`` / PPM ``P6``) with :mod:`.netpbm`:
     width/height from the container, mean luma and an 8-dim
     block-mean-luma embedding from the actual pixels. Unrecognized or
     undecodable payloads yield null width/height/luma/embedding (corrupt
@@ -81,6 +83,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     vector (no decode at all) so pipeline tests run on arbitrary bytes.
     """
     from . import jpeg as _jpeg
+    from . import netpbm as _netpbm
     from . import png as _png
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,6 +109,8 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                     try:
                         if _jpeg.is_jpeg(p or b""):
                             img = _jpeg.decode_jpeg(p)
+                        elif _netpbm.is_netpbm(p or b""):
+                            img = _netpbm.decode_netpbm(p)
                         else:
                             img = _png.decode_png(p or b"")
                         lum = _png.luma(img)

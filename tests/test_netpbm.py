@@ -1,0 +1,61 @@
+"""Netpbm (P5/P6) codec: round-trip, header parsing, dispatch seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from bid_evaluation_spark.operators.netpbm import (decode_netpbm, encode_pgm,
+                                                   encode_ppm, is_netpbm)
+
+
+def test_pgm_roundtrip_and_header_variants():
+    img = (np.arange(24).reshape(4, 6) * 10 % 256).astype(np.uint8)
+    data = encode_pgm(img)
+    out = decode_netpbm(data)
+    assert out.shape == (4, 6, 1)
+    assert (out[:, :, 0] == img).all()
+    # comments and mixed whitespace in the header are legal
+    wonky = b"P5\n# a comment\n 6\t4 # inline? no - own token\n255\n" + \
+        img.tobytes()
+    # '#' after a token starts a comment to EOL per spec; craft carefully:
+    wonky = b"P5\n# full line comment\n6 4\n# another\n255\n" + img.tobytes()
+    out2 = decode_netpbm(wonky)
+    assert (out2[:, :, 0] == img).all()
+
+
+def test_ppm_roundtrip_and_luma_shape():
+    img = np.zeros((3, 5, 3), dtype=np.uint8)
+    img[:, :, 0] = 200
+    data = encode_ppm(img)
+    assert is_netpbm(data)
+    out = decode_netpbm(data)
+    assert out.shape == (3, 5, 3)
+    assert (out == img).all()
+
+
+def test_error_paths():
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P3 1 1 255\n0 0 0")  # ASCII variant unsupported
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P5 2 2 65535\n" + b"\x00" * 8)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        decode_netpbm(b"P5 2 2 255\n\x00\x00")  # truncated raster
+    with pytest.raises(ValueError):
+        encode_ppm(np.zeros((2, 2), dtype=np.uint8))
+
+
+def test_dispatch_seam_and_rec601(spark):
+    from bid_evaluation_spark.operators.multimodal import (
+        extract_image_features)
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[:, :, 1] = 100  # pure green -> luma = 58.7
+    rows = [(1, bytearray(encode_ppm(img))),
+            (2, bytearray(encode_pgm(np.full((3, 3), 7, dtype=np.uint8))))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in
+           extract_image_features(df, strict=True).collect()}
+    assert out[1]["width"] == 2 and out[1]["height"] == 2
+    assert out[1]["mean_luma"] == pytest.approx(58.7, abs=1e-9)
+    assert out[2]["mean_luma"] == pytest.approx(7.0, abs=1e-9)
