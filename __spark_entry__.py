@@ -7850,17 +7850,22 @@ def _q_analytics_normalize_orders(spark, sf_dir):
                            method="zscore", out_col="z")
     res = normalize_scores(res, "o_totalprice", "o_orderpriority",
                            method="percent_rank", out_col="pr")
+    # + 0.0 canonicalizes IEEE −0.0 (a z-score an ulp below the group
+    # mean rounds to −0.0 on whichever engine's accumulation lands
+    # negative — caught by the round-7 full sf0.1 sweep)
     return res.select("o_orderkey", "o_orderpriority",
-                      _r4("mm").alias("mm"), _r4("z").alias("z"),
-                      _r4("pr").alias("pr"))
+                      (_r4("mm") + F.lit(0.0)).alias("mm"),
+                      (_r4("z") + F.lit(0.0)).alias("z"),
+                      (_r4("pr") + F.lit(0.0)).alias("pr"))
 
 
 _SQL_ANALYTICS_NORMALIZE_ORDERS = """
 SELECT o_orderkey, o_orderpriority,
   round(CASE WHEN mx <> mn THEN (v - mn) / (mx - mn) END * 10000.0)
-    / 10000.0 AS mm,
-  round(CASE WHEN sd > 0 THEN (v - mu) / sd END * 10000.0) / 10000.0 AS z,
-  round(pr * 10000.0) / 10000.0 AS pr
+    / 10000.0 + 0.0 AS mm,
+  round(CASE WHEN sd > 0 THEN (v - mu) / sd END * 10000.0) / 10000.0
+    + 0.0 AS z,
+  round(pr * 10000.0) / 10000.0 + 0.0 AS pr
 FROM (
   SELECT o_orderkey, o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
     min(CAST(o_totalprice AS DOUBLE))
