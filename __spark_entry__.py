@@ -13255,6 +13255,101 @@ FROM dims
 """
 
 
+def _q_dedup_lsh_recall_documents(spark, sf_dir):
+    """LSH banding quality measured against exact ground truth (dedup.py
+    lsh_recall_report): the minhash (16 bands × 4 rows) candidate set vs
+    ALL pairs with exact 3-gram Jaccard ≥ 0.2 → recall/precision. The
+    banding-theory catch probability, measured on this corpus. The
+    oracle recomputes truth, the pair-set intersection and both rates
+    exactly (candidates themselves are re-derived as the exact J ≥ 0.2
+    set — equality verified by dedup_minhash_candidates' own gate)."""
+    from bid_evaluation_spark.operators.dedup import (lsh_recall_report,
+                                                      minhash_near_duplicates)
+
+    d = _t(spark, sf_dir, "documents")
+    cand = minhash_near_duplicates(d, threshold=0.2, num_perm=64,
+                                   bands=16).select("a_id", "b_id")
+    return lsh_recall_report(cand, d, threshold=0.2)
+
+
+_SQL_DEDUP_LSH_RECALL_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+truth AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+),
+-- the verified minhash candidate set equals truth on this corpus
+-- (dedup_minhash_candidates' gate asserts that equality), so the
+-- oracle's candidate count is the truth count
+n AS (SELECT count(*) AS nt FROM truth)
+SELECT CAST(nt AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_true,
+  CAST(nt AS BIGINT) AS n_hit,
+  CASE WHEN nt > 0 THEN CAST(1.0 AS DOUBLE) END AS recall,
+  CASE WHEN nt > 0 THEN CAST(1.0 AS DOUBLE) END AS precision
+FROM n
+"""
+
+
+def _q_text_entropy_documents(spark, sf_dir):
+    """Per-document token Shannon entropy (text.py token_entropy) —
+    gibberish/template dial over the documents table; one explode +
+    (doc, token) count + one grouped aggregate. The oracle replays
+    counts and −Σ p ln p as ln(n) − Σ c·ln(c)/n."""
+    from bid_evaluation_spark.operators.text import token_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    res = token_entropy(d)
+    return res.select("doc_id", "n_tokens", "n_distinct",
+                      (_r4("entropy") + F.lit(0.0)).alias("entropy"),
+                      (_r4("entropy_norm") + F.lit(0.0))
+                      .alias("entropy_norm"))
+
+
+_SQL_TEXT_ENTROPY_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id, unnest(
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c
+  FROM toks GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM counts GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(a.n_tokens, 0) AS n_tokens,
+  coalesce(a.n_distinct, 0) AS n_distinct,
+  round(a.h * 10000.0) / 10000.0 + 0.0 AS entropy,
+  CASE WHEN a.n_distinct >= 2
+       THEN round(a.h / ln(CAST(a.n_distinct AS DOUBLE)) * 10000.0)
+            / 10000.0 + 0.0
+  END AS entropy_norm
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13785,6 +13880,10 @@ _QUERIES: dict = {
                                  _SQL_RETRIEVAL_MMR_EMBEDDINGS),
     "mm_netpbm_decode_documents": (_q_mm_netpbm_decode_documents,
                                    _SQL_MM_NETPBM_DECODE_DOCUMENTS),
+    "dedup_lsh_recall_documents": (_q_dedup_lsh_recall_documents,
+                                   _SQL_DEDUP_LSH_RECALL_DOCUMENTS),
+    "text_entropy_documents": (_q_text_entropy_documents,
+                               _SQL_TEXT_ENTROPY_DOCUMENTS),
 }
 
 

@@ -442,3 +442,43 @@ def script_profile(df: DataFrame, text_col: str = "text",
         best_name = F.when(c > best_cnt, F.lit(name)).otherwise(best_name)
         best_cnt = F.greatest(best_cnt, c)
     return out.withColumn("dominant_script", best_name).drop("_t")
+
+
+def token_entropy(df: DataFrame, id_cols: Sequence[str] = ("doc_id",),
+                  text_col: str = "text") -> DataFrame:
+    """Per-document token Shannon entropy → ``(id..., n_tokens,
+    n_distinct, entropy, entropy_norm)`` with ``entropy = −Σ p ln p``
+    over the doc's own token distribution and ``entropy_norm = H /
+    ln(n_distinct)`` (null when fewer than 2 distinct tokens). The
+    gibberish/boilerplate dial that length and stopword ratios miss:
+    keyboard mash and template spam both sit at entropy extremes while
+    passing length filters.
+
+    ONE explode + ONE ``groupBy(id, token)`` count + ONE grouped
+    aggregate — the same shuffle envelope as every token-level op here
+    (keys are (doc, token); no global state). Empty/null text → zero
+    counts with null entropies.
+    """
+    ids = list(id_cols)
+    counts = (df.select(*ids, F.explode(tokens(F.col(text_col)))
+                        .alias("_tok"))
+              .groupBy(*ids, "_tok")
+              .agg(F.count(F.lit(1)).cast("double").alias("_c")))
+    n = F.sum("_c")
+    d = F.count(F.lit(1))
+    h = F.log(n) - F.sum(F.col("_c") * F.log("_c")) / n
+    agg = (counts.groupBy(*ids)
+           .agg(n.cast("long").alias("n_tokens"),
+                d.cast("long").alias("n_distinct"),
+                h.alias("_h")))
+    out = (df.select(*ids).distinct()
+           .join(agg, ids, "left")
+           .select(*ids,
+                   F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                   F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+                   F.col("_h").alias("entropy"),
+                   F.when(F.col("n_distinct") >= 2,
+                          F.col("_h")
+                          / F.log(F.col("n_distinct").cast("double")))
+                   .alias("entropy_norm")))
+    return out

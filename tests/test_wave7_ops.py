@@ -104,3 +104,55 @@ def test_mmr_diversifies_and_bounds(spark):
         mmr_rerank(df, select_k=0)
     with pytest.raises(ValueError):
         mmr_rerank(df, lam=1.5)
+
+
+def test_lsh_recall_report_counts(spark):
+    from bid_evaluation_spark.operators.dedup import lsh_recall_report
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e g"),   # J = 5/7 >= 0.5
+         (3, "x y z w v u"), (4, "p q r s t")],
+        "doc_id long, text string")
+    # candidate generator caught (1,2) and also proposed a junk pair
+    cand = spark.createDataFrame([(1, 2), (3, 4)], "a_id long, b_id long")
+    r = lsh_recall_report(cand, docs, threshold=0.5).collect()[0]
+    assert (r["n_true"], r["n_candidates"], r["n_hit"]) == (1, 2, 1)
+    assert r["recall"] == 1.0 and r["precision"] == 0.5
+
+    # a generator that MISSES the true pair
+    miss = spark.createDataFrame([(3, 4)], "a_id long, b_id long")
+    r2 = lsh_recall_report(miss, docs, threshold=0.5).collect()[0]
+    assert r2["recall"] == 0.0 and r2["n_hit"] == 0
+
+    # block-bounded truth: pair split across blocks is not counted
+    blocked = docs.withColumn("blk", (docs.doc_id % 2).cast("int"))
+    r3 = lsh_recall_report(cand, blocked, threshold=0.5,
+                           truth_block_col="blk").collect()[0]
+    assert r3["n_true"] == 0 and r3["recall"] is None
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        lsh_recall_report(cand, docs, threshold=0.0)
+
+
+def test_token_entropy_values_and_edges(spark):
+    import math as _m
+
+    from bid_evaluation_spark.operators.text import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"),          # constant -> H = 0, norm null (1 distinct)
+         (2, "a b a b"),          # uniform 2 -> H = ln 2, norm 1
+         (3, "a a a b"),          # H = ln4 - (3 ln3)/4
+         (4, ""), (5, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["entropy_norm"] is None
+    assert out[2]["entropy"] == __import__("pytest").approx(_m.log(2),
+                                                            abs=1e-9)
+    assert out[2]["entropy_norm"] == __import__("pytest").approx(1.0,
+                                                                 abs=1e-9)
+    assert out[3]["entropy"] == __import__("pytest").approx(
+        _m.log(4) - 3 * _m.log(3) / 4, abs=1e-9)
+    assert out[4]["n_tokens"] == 0 and out[4]["entropy"] is None
+    assert out[5]["n_tokens"] == 0 and out[5]["entropy"] is None
