@@ -13350,6 +13350,55 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+def _q_text_winnow_pairs_documents(spark, sf_dir):
+    """MOSS-style winnow candidate pairs (text.py winnow_candidate_pairs):
+    inverted index on the md5-portable window-min fingerprints,
+    per-fingerprint self-join with the common-fingerprint cap, pairs
+    sharing ≥ 2 fingerprints. The oracle replays selection, the cap and
+    the pair counts exactly."""
+    from bid_evaluation_spark.operators.text import winnow_candidate_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_candidate_pairs(d, k=3, w=4, min_shared=2,
+                                  max_doc_freq=50)
+
+
+_SQL_TEXT_WINNOW_PAIRS_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+hashes AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+),
+inv AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+    CASE WHEN len(h) - 3 >= 1 THEN
+      list_transform(generate_series(1, len(h) - 3),
+                     i -> list_min(list_slice(h, i, i + 3)))
+    WHEN len(h) >= 1 THEN [list_min(h)]
+    ELSE CAST([] AS BIGINT[]) END)) AS fp
+  FROM hashes
+),
+kept AS (
+  SELECT doc_id, fp FROM inv
+  WHERE fp IN (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 50)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13884,6 +13933,8 @@ _QUERIES: dict = {
                                    _SQL_DEDUP_LSH_RECALL_DOCUMENTS),
     "text_entropy_documents": (_q_text_entropy_documents,
                                _SQL_TEXT_ENTROPY_DOCUMENTS),
+    "text_winnow_pairs_documents": (_q_text_winnow_pairs_documents,
+                                    _SQL_TEXT_WINNOW_PAIRS_DOCUMENTS),
 }
 
 

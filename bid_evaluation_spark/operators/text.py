@@ -482,3 +482,42 @@ def token_entropy(df: DataFrame, id_cols: Sequence[str] = ("doc_id",),
                           / F.log(F.col("n_distinct").cast("double")))
                    .alias("entropy_norm")))
     return out
+
+
+def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3, w: int = 4,
+                           min_shared: int = 2,
+                           max_doc_freq: int = 1000) -> DataFrame:
+    """MOSS-style near-duplicate/plagiarism candidates from winnowing
+    fingerprints → ``(a_id, b_id, n_shared)`` for pairs sharing ≥
+    ``min_shared`` selected fingerprints. The full Schleimer pipeline:
+    :func:`winnow_fingerprints` per doc, an INVERTED INDEX on the
+    fingerprint, and a per-fingerprint self-join — candidate volume is
+    Σ bucket², never corpus², and fingerprints appearing in more than
+    ``max_doc_freq`` documents are DROPPED before pairing (boilerplate
+    phrases — headers, licenses — would otherwise create quadratic hot
+    buckets while carrying no specificity; the same move MOSS makes).
+    Verify survivors with ``dedup.ngram_jaccard`` or span-level dedup.
+
+    Shuffles: one explode + distinct on (fp, id), one count per fp for
+    the frequency cap, one equi-join on fp, one (a, b) count — all
+    keyed on the fingerprint or the pair.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    if max_doc_freq < 2:
+        raise ValueError(f"max_doc_freq must be >= 2, got {max_doc_freq}")
+    inv = (df.select(F.col(id_col).alias("_id"),
+                     F.explode(winnow_fingerprints(F.col(text_col), k, w))
+                     .alias("_fp"))
+           .distinct())
+    freq = inv.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+    kept = (inv.join(freq.filter(F.col("_df") <= int(max_doc_freq))
+                     .select("_fp"), "_fp"))
+    a = kept.select("_fp", F.col("_id").alias("a_id"))
+    b = kept.select("_fp", F.col("_id").alias("b_id"))
+    return (a.join(b, "_fp")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= int(min_shared)))

@@ -156,3 +156,35 @@ def test_token_entropy_values_and_edges(spark):
         _m.log(4) - 3 * _m.log(3) / 4, abs=1e-9)
     assert out[4]["n_tokens"] == 0 and out[4]["entropy"] is None
     assert out[5]["n_tokens"] == 0 and out[5]["entropy"] is None
+
+
+def test_winnow_candidate_pairs_cap_and_threshold(spark):
+    from bid_evaluation_spark.operators.text import winnow_candidate_pairs
+
+    # docs 1,2 share a long run (many shared fingerprints); 3 is disjoint
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i k"),
+         (3, "p q r s t u v w")],
+        "doc_id long, text string")
+    out = {(r["a_id"], r["b_id"]): r["n_shared"] for r in
+           winnow_candidate_pairs(docs, min_shared=1).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 1
+    assert all(3 not in p for p in out)
+
+    # boilerplate cap: a fingerprint in EVERY doc is dropped, so three
+    # docs that share ONLY the common phrase produce no pairs
+    boiler = spark.createDataFrame(
+        [(i, f"common header phrase one two six {i} unique{i} "
+             f"tail{i} more{i}") for i in range(3)],
+        "doc_id long, text string")
+    capped = winnow_candidate_pairs(boiler, min_shared=1,
+                                    max_doc_freq=2).collect()
+    uncapped = winnow_candidate_pairs(boiler, min_shared=1,
+                                      max_doc_freq=1000).collect()
+    assert len(capped) < len(uncapped) or len(uncapped) == 0
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        winnow_candidate_pairs(docs, min_shared=0)
+    with _p.raises(ValueError):
+        winnow_candidate_pairs(docs, max_doc_freq=1)
