@@ -13256,19 +13256,24 @@ FROM dims
 
 
 def _q_dedup_lsh_recall_documents(spark, sf_dir):
-    """LSH banding quality measured against exact ground truth (dedup.py
-    lsh_recall_report): the minhash (16 bands × 4 rows) candidate set vs
-    ALL pairs with exact 3-gram Jaccard ≥ 0.2 → recall/precision. The
-    banding-theory catch probability, measured on this corpus. The
-    oracle recomputes truth, the pair-set intersection and both rates
-    exactly (candidates themselves are re-derived as the exact J ≥ 0.2
-    set — equality verified by dedup_minhash_candidates' own gate)."""
-    from bid_evaluation_spark.operators.dedup import (lsh_recall_report,
-                                                      minhash_near_duplicates)
+    """Blocking-generator quality measured against exact ground truth
+    (dedup.py lsh_recall_report): the MOSS winnow candidate pairs
+    (k=3, w=4, min_shared=2, max_doc_freq=50 — the one candidate
+    generator whose md5-portable fingerprint selection DuckDB replays
+    bit-exactly) vs ALL pairs with exact 3-gram Jaccard ≥ 0.2. Unlike
+    a verified-candidate input (cand ⊆ truth by construction, so
+    recall/precision collapse to the degenerate cand==truth point),
+    the winnow set and the truth set genuinely differ — the oracle
+    re-derives BOTH sets independently and computes n_hit as their
+    pair intersection, so the report's pair canonicalization, dedup
+    and hit-join logic are exercised at a non-trivial operating
+    point."""
+    from bid_evaluation_spark.operators.dedup import lsh_recall_report
+    from bid_evaluation_spark.operators.text import winnow_candidate_pairs
 
     d = _t(spark, sf_dir, "documents")
-    cand = minhash_near_duplicates(d, threshold=0.2, num_perm=64,
-                                   bands=16).select("a_id", "b_id")
+    cand = winnow_candidate_pairs(d, k=3, w=4, min_shared=2,
+                                  max_doc_freq=50).select("a_id", "b_id")
     return lsh_recall_report(cand, d, threshold=0.2)
 
 
@@ -13294,14 +13299,45 @@ truth AS (
     AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
 ),
--- the verified minhash candidate set equals truth on this corpus
--- (dedup_minhash_candidates' gate asserts that equality), so the
--- oracle's candidate count is the truth count
-n AS (SELECT count(*) AS nt FROM truth)
-SELECT CAST(nt AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_true,
-  CAST(nt AS BIGINT) AS n_hit,
-  CASE WHEN nt > 0 THEN CAST(1.0 AS DOUBLE) END AS recall,
-  CASE WHEN nt > 0 THEN CAST(1.0 AS DOUBLE) END AS precision
+hashes AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(generate_series(1, greatest(len(t) - 2, 0)),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+      g -> CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)) AS h
+  FROM toks
+),
+inv AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+    CASE WHEN len(h) - 3 >= 1 THEN
+      list_transform(generate_series(1, len(h) - 3),
+                     i -> list_min(list_slice(h, i, i + 3)))
+    WHEN len(h) >= 1 THEN [list_min(h)]
+    ELSE CAST([] AS BIGINT[]) END)) AS fp
+  FROM hashes
+),
+kept AS (
+  SELECT doc_id, fp FROM inv
+  WHERE fp IN (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= 50)
+),
+cand AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 2
+),
+n AS (
+  SELECT (SELECT count(*) FROM cand) AS nc,
+         (SELECT count(*) FROM truth) AS nt,
+         (SELECT count(*) FROM truth t
+          JOIN cand c ON t.a_id = c.a_id AND t.b_id = c.b_id) AS nh
+)
+SELECT CAST(nc AS BIGINT) AS n_candidates, CAST(nt AS BIGINT) AS n_true,
+  CAST(nh AS BIGINT) AS n_hit,
+  CASE WHEN nt > 0 THEN
+    round(CAST(nh AS DOUBLE) / nt * 10000.0) / 10000.0 + 0.0 END AS recall,
+  CASE WHEN nc > 0 THEN
+    round(CAST(nh AS DOUBLE) / nc * 10000.0) / 10000.0 + 0.0 END AS precision
 FROM n
 """
 

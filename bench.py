@@ -383,13 +383,32 @@ def main():
     sidecar = os.environ.get("SPARK_GRAFT_BENCH_OUT",
                              os.path.join(os.path.dirname(
                                  os.path.abspath(__file__)),
-                                 "bench_result.json"))
+                                 "artifacts", "bench_result.json"))
     try:
+        os.makedirs(os.path.dirname(sidecar), exist_ok=True)
         with open(sidecar, "w") as fh:
             fh.write(payload + "\n")
     except OSError:
         pass  # read-only checkout still gets the stdout line
     spark.stop()
+    # The collecting driver keeps only ~1 KB of stdout tail, which truncated
+    # the full 22-query payload mid-JSON in rounds 6-7 ("parsed": null).
+    # Print a compact (<1 KB) summary as the VERY LAST stdout line so the
+    # tail always contains one complete, parseable JSON object; the full
+    # per-query payload stays above and in the sidecar.
+    summary = json.dumps({
+        "metric": "bid_evaluation_spark headline suite wall time",
+        "value": total,
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(best),
+        "cold_value": round(sum(cold.values()), 3),
+        "warm_value": round(sum(warm.values()), 3),
+        "passes": passes,
+        "full_payload": "see prior stdout line or artifacts/bench_result.json",
+    })
+    assert len(summary) < 1000, "summary line must stay under the 1 KB tail"
+    print(summary, flush=True)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,7 @@ bucket is handled by AQE skew-join (enabled in the session factory).
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional
 
 import numpy as np
@@ -655,9 +656,18 @@ def _cc_two_phase(pairs: DataFrame, a_col: str, b_col: str,
                  .filter(F.col("v") != F.col("m"))
                  .select(F.col("v").alias("a"), F.col("m").alias("b"))
                  .distinct().localCheckpoint())
-        row = small.agg(F.count(F.lit(1)).alias("c"),
-                        F.sum(F.xxhash64("a", "b")).alias("h")).collect()[0]
-        sig = (int(row["c"]), row["h"])
+        # Fixpoint detection via a (count, hash-sum, hash-sum) signature.
+        # Two INDEPENDENT 64-bit hash aggregates (xxhash64 with distinct
+        # literal salts) make a premature-convergence collision ~2^-128
+        # even under wrapping long addition — one sum alone leaves a
+        # ~2^-64 window where different edge sets end iteration early
+        # and return wrong labels with no error.
+        row = small.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.xxhash64("a", "b")).alias("h1"),
+            F.sum(F.xxhash64(F.lit(0x9E3779B9), "a", "b")).alias("h2"),
+        ).collect()[0]
+        sig = (int(row["c"]), row["h1"], row["h2"])
         dir_e = small
         if sig == prev_sig:
             labels = (ids.join(dir_e.groupBy("a").agg(F.min("b")
@@ -1042,7 +1052,10 @@ def corpus_overlap(a: DataFrame, b: DataFrame, text_col: str = "text",
     sa.unpersist()
     sb.unpersist()
     spark = a.sparkSession
-    r4 = lambda x: round(x * 1e4) / 1e4 if x is not None else None  # noqa: E731
+    # half-up at 4 decimals (Python round() is half-EVEN; Spark/DuckDB
+    # ROUND are half-up — the oracle compares these scalars, so match)
+    r4 = lambda x: (math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
+                    if x is not None else None)
     return spark.createDataFrame(
         [(na, nb, common,
           r4(common / union) if union else None,
@@ -1057,7 +1070,8 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
                       threshold: float, id_col: str = "doc_id",
                       text_col: str = "text", k: int = 3,
                       a_col: str = "a_id", b_col: str = "b_id",
-                      truth_block_col: Optional[str] = None) -> DataFrame:
+                      truth_block_col: Optional[str] = None,
+                      allow_quadratic_docs: int = 50_000) -> DataFrame:
     """Measure an LSH/blocking candidate generator against EXACT ground
     truth → one row ``(n_candidates, n_true, n_hit, recall, precision)``
     where truth = all pairs with exact word-k-gram Jaccard ≥
@@ -1071,9 +1085,26 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
     all-pairs comparison to within blocks — on a sample corpus leave it
     None. The candidate set is compared AS A PAIR SET (unordered,
     deduped); precision counts candidates that verify at ≥ threshold.
+
+    100-TB recipe: NEVER run the unblocked path on a full corpus — the
+    all-pairs truth join is n² by definition. Either (a) measure on a
+    deterministic sample (``docs.filter(xxhash64(id) % K == 0)`` keeps
+    pair statistics unbiased within the sample) or (b) pass
+    ``truth_block_col`` so truth is Σ block² not corpus². As a guard,
+    the unblocked path counts docs first and raises above
+    ``allow_quadratic_docs`` (default 50k ≈ 1.25B comparisons); raise
+    the ceiling explicitly only when you mean it.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if truth_block_col is None:
+        n_docs = docs.count()  # cheap scalar vs an accidental n² join
+        if n_docs > allow_quadratic_docs:
+            raise ValueError(
+                f"lsh_recall_report: unblocked exact ground truth over "
+                f"{n_docs} docs is an all-pairs join ({n_docs}² /2 "
+                f"comparisons). Sample the corpus, pass truth_block_col, "
+                f"or raise allow_quadratic_docs explicitly.")
     sh = docs.select(F.col(id_col).alias("_id"),
                      word_shingles(F.col(text_col), k).alias("_sh"))
     if truth_block_col is not None:
@@ -1105,7 +1136,8 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
     n_hit = truth.join(cand, ["_a", "_b"]).count()
     truth.unpersist()
     cand.unpersist()
-    r4 = lambda x: round(x * 1e4) / 1e4  # noqa: E731
+    # half-up at 4 decimals to match Spark/DuckDB ROUND (see corpus_overlap)
+    r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
     return docs.sparkSession.createDataFrame(
         [(n_cand, n_true, n_hit,
           r4(n_hit / n_true) if n_true else None,

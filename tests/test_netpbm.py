@@ -43,6 +43,15 @@ def test_error_paths():
         decode_netpbm(b"P5 2 2 255\n\x00\x00")  # truncated raster
     with pytest.raises(ValueError):
         encode_ppm(np.zeros((2, 2), dtype=np.uint8))
+    # comment between maxval and raster must raise, not decode as pixels
+    with pytest.raises(ValueError, match="after raster"):
+        decode_netpbm(b"P5 2 2 255\n# sneaky\n" + b"\x00" * 4)
+    # trailing junk after the raster also violates strict decode
+    with pytest.raises(ValueError, match="after raster"):
+        decode_netpbm(b"P5 2 2 255\n" + b"\x00" * 5)
+    # a legitimate first pixel of 0x23 ('#') with exact length still decodes
+    ok = decode_netpbm(b"P5 2 2 255\n" + b"#\x01\x02\x03")
+    assert ok[0, 0, 0] == 0x23
 
 
 def test_dispatch_seam_and_rec601(spark):

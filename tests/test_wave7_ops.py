@@ -134,6 +134,20 @@ def test_lsh_recall_report_counts(spark):
     with _p.raises(ValueError):
         lsh_recall_report(cand, docs, threshold=0.0)
 
+    # unblocked path refuses an accidental corpus-scale all-pairs join
+    with _p.raises(ValueError, match="all-pairs"):
+        lsh_recall_report(cand, docs, threshold=0.5,
+                          allow_quadratic_docs=3)
+    # ...unless the caller raises the ceiling explicitly
+    ok = lsh_recall_report(cand, docs, threshold=0.5,
+                           allow_quadratic_docs=4).collect()[0]
+    assert ok["n_true"] == 1
+    # the blocked path needs no ceiling: truth is bounded by blocks
+    r4 = lsh_recall_report(cand, blocked, threshold=0.5,
+                           truth_block_col="blk",
+                           allow_quadratic_docs=1).collect()[0]
+    assert r4["n_true"] == 0
+
 
 def test_token_entropy_values_and_edges(spark):
     import math as _m
