@@ -303,7 +303,12 @@ def mmr_rerank(candidates: DataFrame, select_k: int = 3, lam: float = 0.7,
         pick = (scored.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") == 1)
                 .select("_q", "_id", "_v", F.col("_s").alias("_score"),
-                        F.lit(t).cast("long").alias("_rank")))
+                        F.lit(t).cast("long").alias("_rank"))
+                # truncate lineage per round (same rationale as the CC
+                # engines): without this, round t re-embeds every earlier
+                # round's full plan through the anti-joins + selected-set
+                # union, and plan size grows ~exponentially in select_k
+                .localCheckpoint())
         picks.append(pick)
     out = picks[0]
     for p in picks[1:]:

@@ -106,6 +106,21 @@ def test_mmr_diversifies_and_bounds(spark):
         mmr_rerank(df, lam=1.5)
 
 
+def test_mmr_deep_select_k_stays_tractable(spark):
+    # per-round localCheckpoint truncates lineage; before it, plan size
+    # grew ~exponentially in select_k and k=10 was effectively unrunnable
+    from bid_evaluation_spark.operators.retrieval import mmr_rerank
+
+    rows = [(1, i, 1.0 - i * 0.01,
+             [float(i % 4 == j) for j in range(4)]) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, rel double, "
+              "embedding array<double>")
+    out = mmr_rerank(df, select_k=10, lam=0.5).collect()
+    assert len(out) == 10
+    assert sorted({r["rank"] for r in out}) == list(range(1, 11))
+
+
 def test_lsh_recall_report_counts(spark):
     from bid_evaluation_spark.operators.dedup import lsh_recall_report
 
