@@ -291,6 +291,40 @@ FROM sc
 """
 
 
+def _q_f5_formula_membership_part(spark, sf_dir):
+    """Compound-type formula grammar, natively translated (formula.py:
+    membership over a container literal → equality fold; max over a list
+    literal → the multi-arg selection fold). The reference accepts these
+    via simpleeval's EvalWithCompoundTypes (criteria.py:126); here they
+    stay whole-stage-codegen Column expressions — no UDF."""
+    from bid_evaluation_spark import Evaluator
+
+    df = _t(spark, sf_dir, "part")
+    res = Evaluator().formula(
+        "p_size", 1.0,
+        "75 if value in [min, max] else max([value, mean]) / max * 100"
+    ).evaluate(df)
+    return res.select("p_partkey", _r4("score_p_size").alias("score"),
+                      "ranking")
+
+
+_SQL_F5_FORMULA_MEMBERSHIP_PART = """
+WITH st AS (SELECT CAST(min(p_size) AS DOUBLE) mn,
+                   CAST(max(p_size) AS DOUBLE) mx,
+                   avg(p_size) m FROM part),
+sc AS (
+  SELECT p_partkey,
+    least(greatest(
+      CASE WHEN p_size = mn OR p_size = mx THEN 75.0
+           ELSE greatest(p_size, m) / mx * 100.0 END, 0.0), 100.0) AS w
+  FROM part CROSS JOIN st
+)
+SELECT p_partkey, round((w) * 10000.0) / 10000.0 AS score,
+       CAST(rank() OVER (ORDER BY w DESC) AS BIGINT) AS ranking
+FROM sc
+"""
+
+
 # ---------------------------------------------------------------------------
 # F7: built-in custom functions (native expressions)
 # ---------------------------------------------------------------------------
@@ -13452,6 +13486,8 @@ _QUERIES: dict = {
     "batched_linear_orders": (_q_batched_linear_orders,
                               _SQL_BATCHED_LINEAR_ORDERS),
     "f5_formula_clip_events": (_q_f5_formula_clip_events, _SQL_F5_FORMULA_CLIP_EVENTS),
+    "f5_formula_membership_part": (_q_f5_formula_membership_part,
+                                   _SQL_F5_FORMULA_MEMBERSHIP_PART),
     "f7_proximity_to_mean_customer": (_q_f7_proximity_to_mean_customer,
                                       _SQL_F7_PROXIMITY_TO_MEAN_CUSTOMER),
     "f7_log_scale_part": (_q_f7_log_scale_part, _SQL_F7_LOG_SCALE_PART),

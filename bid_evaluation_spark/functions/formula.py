@@ -236,7 +236,11 @@ class _Translator:
             if fname == "abs" and len(node.args) == 1:
                 return self.taint(node.args[0])
             if fname in ("min", "max", "clip"):
-                return _select_taint(*[self.taint(a) for a in node.args])
+                args = node.args
+                if (fname in ("min", "max") and len(args) == 1
+                        and isinstance(args[0], (ast.List, ast.Tuple))):
+                    args = args[0].elts  # min([a, b]) selects an element
+                return _select_taint(*[self.taint(a) for a in args])
         return _MAYBE
 
     def _div_taint(self, node: ast.BinOp) -> str:
@@ -330,6 +334,32 @@ class _Translator:
             raise FormulaTranslationError(f"unary {type(node.op).__name__}")
 
         if isinstance(node, ast.Compare):
+            # membership over a container LITERAL (EvalWithCompoundTypes
+            # grammar, reference criteria.py:126): x in [a, b, c] is an
+            # equality fold. Python semantics: NaN left matches nothing
+            # (no literal can be the same object), an erroring element
+            # poisons the whole test (the list is built before `in` runs).
+            # Chains mixing `in` with other links go to the interpreter.
+            if len(node.ops) == 1 and isinstance(node.ops[0],
+                                                 (ast.In, ast.NotIn)):
+                comparator = node.comparators[0]
+                if not isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
+                    raise FormulaTranslationError(
+                        "membership over a non-literal container")
+                left = self._num(node.left)
+                elems = [self._num(e) for e in comparator.elts]
+                any_null = left.isNull()
+                for e in elems:
+                    any_null = any_null | e.isNull()
+                hit: Column = F.lit(False)
+                for e in elems:
+                    hit = hit | (F.when(F.isnan(left) | F.isnan(e),
+                                        F.lit(False))
+                                 .otherwise(left == e))
+                if isinstance(node.ops[0], ast.NotIn):
+                    hit = ~hit
+                return (F.when(any_null, F.lit(None).cast("boolean"))
+                        .otherwise(hit), True)
             # IEEE NaN semantics: any comparison with NaN is False (!= is
             # True) — Spark SQL instead orders NaN greatest, so each piece is
             # guarded. Null operands (upstream errors) fall through the guard
@@ -397,6 +427,19 @@ class _Translator:
             if not isinstance(node.func, ast.Name) or node.keywords:
                 raise FormulaTranslationError("unsupported call form")
             fname = node.func.id
+            # min([a, b]) / max((a, b)): the container-literal call forms of
+            # the compound-type grammar — same selection semantics as the
+            # multi-arg folds (Python's min/max iterate either way)
+            if (fname in ("min", "max") and len(node.args) == 1
+                    and isinstance(node.args[0], (ast.List, ast.Tuple))):
+                elems = [self._num(e) for e in node.args[0].elts]
+                if not elems:
+                    # min([]) raises per-row in Python → interpreter fallback
+                    raise FormulaTranslationError(f"{fname} of empty list")
+                if len(elems) == 1:
+                    return elems[0], False
+                fold = _py_min_fold if fname == "min" else _py_max_fold
+                return fold(elems), False
             args = [self._num(a) for a in node.args]
             if fname == "abs" and len(args) == 1:
                 return F.abs(args[0]), False

@@ -162,6 +162,63 @@ def test_compound_types_grammar(xs):
     r = eval_formula(xs, "max([5, 30, 70, 90][1:3]) + value * 0")
     assert all(v["score_x"] == pytest.approx(70.0) for v in r.values())
 
+@pytest.mark.parametrize("force_udf", [False, True])
+def test_membership_and_list_minmax_native(xs, force_udf):
+    """The natively-translated slice of the compound-type grammar:
+    list/tuple/set-literal membership (isin-style equality fold) and
+    min/max over a list literal (same folds as the multi-arg forms).
+    Both paths must agree golden-for-golden."""
+    # membership over a list literal
+    r = eval_formula(xs, "100 if value in [5, 8] else 25",
+                     force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(25.0)
+    assert r["B"]["score_x"] == pytest.approx(100.0)
+    assert r["C"]["score_x"] == pytest.approx(100.0)
+
+    # not-in over a tuple literal
+    r = eval_formula(xs, "75 if value not in (10,) else 40",
+                     force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(40.0)
+    assert r["B"]["score_x"] == pytest.approx(75.0)
+    assert r["C"]["score_x"] == pytest.approx(75.0)
+
+    # elements may be expressions (stats enter the container)
+    r = eval_formula(xs, "90 if value in [min, max] else 10",
+                     force_udf=force_udf)  # min=5, max=10
+    assert r["A"]["score_x"] == pytest.approx(90.0)
+    assert r["B"]["score_x"] == pytest.approx(90.0)
+    assert r["C"]["score_x"] == pytest.approx(10.0)
+
+    # max([value, mean]): mean = 23/3
+    r = eval_formula(xs, "max([value, mean])", force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(10.0)
+    assert r["B"]["score_x"] == pytest.approx(23.0 / 3.0)
+    assert r["C"]["score_x"] == pytest.approx(8.0)
+
+    # min over a tuple literal; single-element list degenerates to identity
+    r = eval_formula(xs, "min((value, 6)) + min([value])",
+                     force_udf=force_udf)
+    assert r["A"]["score_x"] == pytest.approx(16.0)
+    assert r["B"]["score_x"] == pytest.approx(10.0)
+    assert r["C"]["score_x"] == pytest.approx(14.0)
+
+
+def test_membership_native_translation_boundary(spark):
+    from pyspark.sql import functions as F
+
+    names = {"min": 1.0, "max": 2.0}
+    # inside the native grammar now
+    for f in ["value in [1, 2, 3]", "value not in (4, 5)",
+              "value in {5, 8}", "max([value, 50])",
+              "min((value, 6, max))"]:
+        formula_to_column(f, F.col("x"), names)
+    # still outside: non-literal containers, chained membership, min([])
+    for f in ["value in max", "1 < value in [2]", "min([])",
+              "value in [1, [2][0]]"]:
+        with pytest.raises(FormulaTranslationError):
+            formula_to_column(f, F.col("x"), names)
+
+
 def test_list_comprehension_golden(xs):
     # A x=10 → bound 90 → max([10,60]) = 60; B x=5 → 45 → 10; C x=8 → 72 → 60
     r = eval_formula(xs, "max([t for t in [10, 60, 95] if t <= value * 9])")
