@@ -19,9 +19,11 @@ a fresh monitor then measures lateness against empty marks and
 under-reports until the marks warm back up. To survive restarts,
 persist ``hwm`` through the ``on_emit`` sink (each emission row
 carries the post-batch mark) and rebuild via
-``DisorderMonitor(..., initial_hwm=saved)``. Emission rows carry
-batch_id so at-least-once consumers dedupe on it, the
-`streaming/ivf.py` contract.
+``DisorderMonitor(..., initial_hwm=saved)`` — or use
+``stateful.streaming_disorder_by_key``, whose marks live in the state
+store under the checkpoint and survive restarts with no manual
+seeding. Emission rows carry batch_id so at-least-once consumers
+dedupe on it, the `streaming/ivf.py` contract.
 """
 
 from __future__ import annotations

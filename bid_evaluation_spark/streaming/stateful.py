@@ -481,3 +481,60 @@ def streaming_cusum_by_key(events: DataFrame, target: float,
         update, CUSUM_OUTPUT, CUSUM_STATE, "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+DISORDER_OUTPUT = ("key string, n long, n_late long, max_late_s double, "
+                   "hwm double")
+DISORDER_STATE = "hw double"
+
+
+def streaming_disorder_by_key(events: DataFrame, key_col: str = "key",
+                              ts_col: str = "ts") -> DataFrame:
+    """Checkpoint-persistent twin of ``streaming.disorder.DisorderMonitor``:
+    the per-key event-time high-water mark lives in the STATE STORE (one
+    double per key under the query's checkpoint), so a query restart
+    resumes with warm marks and lateness is never under-reported after
+    resume — the gap the driver-side monitor documents (its ``hwm`` dict
+    is session-scoped; seeding via ``initial_hwm`` is manual).
+
+    Same batch-granularity contract: all of a key's rows within one
+    trigger are concurrent — each is measured against the PRE-trigger
+    mark, then the mark advances to the trigger max. Emits one row per
+    key per trigger it appears in: ``(key, n, n_late, max_late_s, hwm)``
+    with ``hwm`` the post-trigger mark (append mode; at-least-once
+    consumers dedupe on key + hwm monotonicity).
+    """
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(ts_col).cast("double").alias("_ts"),
+    ).filter(F.col("_ts").isNotNull() & F.col("_k").isNotNull())
+
+    def update(key, pdfs, state: GroupState):
+        (hw,) = state.get if state.exists else (None,)
+        n = 0
+        n_late = 0
+        mx = None
+        trig_max = None
+        for pdf in pdfs:
+            ts = pdf["_ts"].to_numpy(dtype=float)
+            n += int(len(ts))
+            if len(ts) == 0:
+                continue
+            if hw is not None:
+                late = hw - ts[ts < hw]
+                if len(late):
+                    n_late += int(len(late))
+                    mx = max(mx or 0.0, float(late.max()))
+            m = float(ts.max())
+            trig_max = m if trig_max is None else max(trig_max, m)
+        if n == 0:
+            return
+        new_hw = trig_max if hw is None else max(hw, trig_max)
+        state.update((new_hw,))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "n_late": [n_late],
+                            "max_late_s": [mx], "hwm": [new_hw]})
+
+    return prepared.groupBy("_k").applyInPandasWithState(
+        update, DISORDER_OUTPUT, DISORDER_STATE, "append",
+        GroupStateTimeout.NoTimeout,
+    )

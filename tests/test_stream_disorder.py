@@ -116,3 +116,46 @@ def test_monitor_restart_continuity_and_bounded_retention(spark):
 
     with pytest.raises(ValueError):
         DisorderMonitor("key", "ts", keep_emitted=-1)
+
+
+def test_state_store_variant_survives_checkpoint_restart(spark, tmp_path):
+    """streaming_disorder_by_key: the high-water mark persists in the
+    state store, so a stop/restart replay measures post-restart lateness
+    against the PRE-restart mark — no under-report after resume."""
+    from bid_evaluation_spark.streaming.stateful import (
+        streaming_disorder_by_key)
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _batch(spark, [("k", 100.0), ("k", 90.0)]).write.parquet(src)
+
+    def run(src_dir, ckpt_dir, out_dir):
+        # a FILE sink (unlike memory) supports recovery from a checkpoint
+        stream = (spark.readStream.schema("key string, ts double")
+                  .parquet(src_dir))
+        q = (streaming_disorder_by_key(stream, "key", "ts")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("append").start())
+        q.processAllAvailable()
+        q.stop()
+        return {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+
+    first = run(src, ckpt, out)
+    # first trigger: no pre-trigger mark -> nothing late, mark = 100
+    assert first == {("k", 2, 0, None, 100.0)}
+
+    # new data lands while the query is DOWN; restart from the checkpoint
+    _batch(spark, [("k", 60.0), ("k", 95.0)]).write.mode("append").parquet(src)
+    second = run(src, ckpt, out)
+    # the restarted query resumes with the persisted mark (100): both
+    # events measure late against it -> 40s and 5s, mark stays 100
+    assert second == first | {("k", 2, 2, 40.0, 100.0)}
+
+    # a cold query (fresh checkpoint) over only the late file would have
+    # called both events on-time -- the exact under-report being prevented
+    src2 = str(tmp_path / "src2")
+    _batch(spark, [("k", 60.0), ("k", 95.0)]).write.parquet(src2)
+    cold = run(src2, str(tmp_path / "ckpt2"), str(tmp_path / "out2"))
+    assert cold == {("k", 2, 0, None, 95.0)}
