@@ -5,7 +5,15 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet, then compares
 row count, column names and (order-insensitively) values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--deep] [query ...]
+
+``--deep`` merges ``deep_queries()`` into the run set — the FULL-corpus
+variants of the quadratic-ground-truth dedup queries (the registry runs
+them on a doc_id-sampled sub-corpus so routine sweeps stay fast). Run
+the deep gate once per round: ``python tools/check_oracle.py
+/root/testdata/sf0.01 --deep dedup_minhash_candidates_documents_full
+dedup_simhash_documents_full dedup_lsh_recall_documents_full`` (sf0.1
+costs the full n² oracle — budget ~35 min).
 """
 
 from __future__ import annotations
@@ -44,8 +52,10 @@ def normalize(rows, columns):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--deep"]
+    deep = "--deep" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("check-oracle")
     con = duckdb.connect()
@@ -56,6 +66,10 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    if deep:
+        for name, (fn, sql) in entry.deep_queries().items():
+            qs[name] = fn
+            oracles[name] = sql
     n_oracled = sum(1 for k in qs if oracles.get(k) is not None)
     # machine-printed registry count — docs quote THIS header, never a
     # hand count (the r6 close-out docs drifted to 280 vs the real 279)
