@@ -370,17 +370,28 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     toks = tokens(text)
     n = F.size(toks)
     m = n - F.lit(k - 1)  # number of k-grams
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(m, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    mg = F.greatest(m, F.lit(0))
+    # Sliding k-gram / window-min via folds of SHIFTED SLICES, never a
+    # subexpression inside a transform() lambda: Catalyst re-evaluates a
+    # lambda-captured array per element, turning the natural
+    # transform(sequence(1, nwin), i -> array_min(slice(hashes, i, w)))
+    # into O(m^2) md5s per document (measured: 182 s for 5k docs at
+    # sf0.1). Slice arguments are evaluated once, so the fold is
+    # O(k·n + w·m) per document.
+    grams = F.slice(toks, 1, mg)
+    for j in range(1, k):
+        grams = F.zip_with(grams, F.slice(toks, j + 1, mg),
+                           lambda a, b: F.concat_ws(" ", a, b))
     hashes = F.transform(
         grams,
         lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15),
                          16, 10).cast("long"))
     nwin = m - F.lit(w - 1)
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(nwin, F.lit(0))),
-        lambda i: F.array_min(F.slice(hashes, i, w)))
+    nw = F.greatest(nwin, F.lit(0))
+    mins = F.slice(hashes, 1, nw)
+    for j in range(1, w):
+        mins = F.zip_with(mins, F.slice(hashes, j + 1, nw),
+                          lambda a, b: F.least(a, b))
     picked = F.when(nwin >= 1, mins).otherwise(
         F.when(m >= 1, F.array(F.array_min(hashes)))
         .otherwise(F.array().cast("array<long>")))
