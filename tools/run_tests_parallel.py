@@ -45,20 +45,35 @@ def main() -> int:
         procs.append((i, p, log, members))
 
     failed = False
+    import re
+    n_passed = n_failed = n_skipped = 0
+    parsed_all = True
     for i, p, log, members in procs:
         rc = p.wait()
         log.flush()
         log.seek(0)
         tail = log.read().strip().splitlines()[-3:]
         status = "ok" if rc == 0 else f"FAILED rc={rc}"
-        print(f"shard {i} [{status}] ({len(members)} files): "
-              + " | ".join(tail[-1:]))
+        summary = tail[-1] if tail else ""
+        print(f"shard {i} [{status}] ({len(members)} files): " + summary)
+        got = {k: int(v) for v, k in
+               re.findall(r"(\d+) (passed|failed|skipped)", summary)}
+        if got:
+            n_passed += got.get("passed", 0)
+            n_failed += got.get("failed", 0)
+            n_skipped += got.get("skipped", 0)
+        else:
+            parsed_all = False
         if rc != 0:
             failed = True
             print("\n".join(tail))
             print(f"  full log: {log.name}")
         log.close()
-    print(f"total wall: {time.time() - t0:.1f}s")
+    # machine-printed suite total — close-out docs quote THIS line, never
+    # a hand count (r6: 280-vs-279 drift; r7: a stale "872 passed")
+    suffix = "" if parsed_all else " (PARTIAL: a shard summary didn't parse)"
+    print(f"SUITE TOTAL: {n_passed} passed, {n_failed} failed, "
+          f"{n_skipped} skipped in {time.time() - t0:.1f}s wall{suffix}")
     return 1 if failed else 0
 
 
