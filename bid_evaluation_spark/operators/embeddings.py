@@ -29,16 +29,21 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding",
     unchanged rather than dividing by zero). Adds/overwrites ``out_col``
     (default: in place) plus a ``norm`` column with the original norm."""
     out_col = out_col or vec_col
-    nrm = _norm(F.col(vec_col))
+    # Two projections, NOT one: a scalar captured inside a transform()
+    # lambda is re-evaluated per element, making the O(d) norm O(d^2)
+    # per vector (measured 127x at d=512). Materializing it as a column
+    # first makes the lambda body a plain attribute reference; the >=2
+    # static references below keep CollapseProject from re-inlining the
+    # non-cheap aggregate.
+    stage = df.select("*", _norm(F.col(vec_col)).alias("_l2_nrm"))
+    nrm = F.col("_l2_nrm")
     scaled = F.when(nrm == 0.0, F.col(vec_col)).otherwise(
         F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm))
-    # Single projection so the in-place case (out_col == vec_col) still sees
-    # the source column while computing both the norm and the scaled vector.
     cols = [scaled.alias(out_col) if c == out_col else F.col(c)
             for c in df.columns]
     if out_col not in df.columns:
         cols.append(scaled.alias(out_col))
-    return df.select(*cols, nrm.alias("norm"))
+    return stage.select(*cols, nrm.alias("norm"))
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",
@@ -50,10 +55,15 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     column; adds ``(q_col: array<int>, scale_col: double)``."""
     v = F.col(vec_col)
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    # materialize the scale before the quantizing lambda captures it —
+    # see l2_normalize: a captured O(d) scalar is re-evaluated per element
+    stage = df.select("*", F.when(maxabs == 0.0, F.lit(1.0))
+                            .otherwise(maxabs / F.lit(127.0))
+                            .alias(scale_col))
+    scale = F.col(scale_col)
     q = F.transform(v, lambda x: F.round(x.cast("double") / scale)
                     .cast("int"))
-    return df.select("*", q.alias(q_col), scale.alias(scale_col))
+    return stage.select(*df.columns, q.alias(q_col), scale)
 
 
 def dequantize_int8(df: DataFrame, q_col: str = "q_embedding",
@@ -98,9 +108,13 @@ def matryoshka_truncate(df: DataFrame, dim: int,
         raise ValueError(f"dim must be positive, got {dim}")
     out_col = out_col or vec_col
     head = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    stage = df
     if renormalize:
-        nrm = F.sqrt(F.aggregate(head, F.lit(0.0),
-                                 lambda a, x: a + x * x))
+        # materialize the truncated-head norm before the rescaling lambda
+        # captures it (see l2_normalize: captured scalar -> O(d^2))
+        stage = df.select("*", F.sqrt(F.aggregate(
+            head, F.lit(0.0), lambda a, x: a + x * x)).alias("_mtr_nrm"))
+        nrm = F.col("_mtr_nrm")
         head = F.when(nrm == 0.0, head).otherwise(
             F.transform(head, lambda x: x / nrm))
     res = F.when(F.size(F.col(vec_col)) >= dim, head)
@@ -108,7 +122,7 @@ def matryoshka_truncate(df: DataFrame, dim: int,
             for c in df.columns]
     if out_col not in df.columns:
         cols.append(res.alias(out_col))
-    return df.select(*cols)
+    return stage.select(*cols)
 
 
 def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list:

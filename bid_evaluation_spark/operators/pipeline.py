@@ -924,7 +924,13 @@ def chunk_documents(
             f"overlap must be in [0, chunk_tokens), got {overlap}"
         )
     stride = chunk_tokens - overlap
-    t = tokens(F.col(text_col))
+    # Materialize the token array before the windowing lambda captures it:
+    # a captured tokenize re-runs once PER CHUNK START, turning the linear
+    # split into O(n^2/stride) per document. The two references below
+    # (size + slice) also keep CollapseProject from re-inlining it.
+    staged = df.select(F.col(id_col),
+                       tokens(F.col(text_col)).alias("_toks"))
+    t = F.col("_toks")
     n = F.size(t)
     # window starts: 1, 1+stride, ... — at least one; never starting past the
     # final token (a start s is kept while s <= max(n - overlap, 1))
@@ -935,7 +941,7 @@ def chunk_documents(
         starts, lambda s: F.slice(t, s, chunk_tokens)
     )
     out = (
-        df.select(
+        staged.select(
             F.col(id_col),
             F.posexplode(chunks).alias("chunk_index", "_chunk"),
         )

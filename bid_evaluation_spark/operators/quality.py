@@ -134,7 +134,10 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text",
     alpha_words = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
     alpha_word_fraction = alpha_words.cast("double") / nz
     sw = F.array(*[F.lit(w) for w in stopwords])
-    stopword_hits = F.size(F.filter(sw, lambda w: F.array_contains(t, w))).cast("long")
+    # array_intersect, not filter(sw, w -> array_contains(t, w)): the
+    # captured token array would be re-tokenized once per stopword, and
+    # the count is set-semantics either way (stopword lists are distinct)
+    stopword_hits = F.size(F.array_intersect(sw, t)).cast("long")
 
     flags = df.select(
         "*",
