@@ -1111,19 +1111,38 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
         sh = sh.join(docs.select(F.col(id_col).alias("_id"),
                                  F.col(truth_block_col).alias("_blk")),
                      "_id")
-        a = sh.select(F.col("_id").alias("_a"), F.col("_sh").alias("_sa"),
-                      "_blk")
-        b = sh.select(F.col("_id").alias("_b"), F.col("_sh").alias("_sb"),
-                      "_blk")
-        allp = a.join(b, "_blk").filter(F.col("_a") < F.col("_b"))
-    else:
-        a = sh.select(F.col("_id").alias("_a"), F.col("_sh").alias("_sa"))
-        b = sh.select(F.col("_id").alias("_b"), F.col("_sh").alias("_sb"))
-        allp = a.crossJoin(b).filter(F.col("_a") < F.col("_b"))
-    j = (F.size(F.array_intersect("_sa", "_sb"))
-         / F.size(F.array_union("_sa", "_sb")))
-    truth = (allp.filter((F.size("_sa") > 0) & (F.size("_sb") > 0))
-             .filter(j >= float(threshold))
+    # Exact truth WITHOUT materializing all pairs of shingle arrays: for
+    # threshold > 0 a qualifying pair must share >= 1 shingle, so the
+    # inverted-index self-join enumerates exactly the pairs with a
+    # non-zero intersection and counts |A ∩ B| as it goes; sizes join in
+    # and |A ∪ B| = |A| + |B| − |A ∩ B| (shingle sets are distinct).
+    # Same values as the array crossJoin, but the shuffle carries only
+    # (a, b) id pairs and the pair volume is Σ shingle-df² instead of
+    # n²·s̄ array comparisons. Still quadratic in the worst case (a
+    # shingle shared by every doc) — the n_docs guard above stays.
+    sizes = sh.select("_id", F.size("_sh").alias("_n"))
+    inv = sh.select("_id", *(["_blk"] if truth_block_col is not None else []),
+                    F.explode("_sh").alias("_g"))
+    ja = inv.select(F.col("_id").alias("_a"), "_g",
+                    *([F.col("_blk").alias("_ba")]
+                      if truth_block_col is not None else []))
+    jb = inv.select(F.col("_id").alias("_b"), "_g",
+                    *([F.col("_blk").alias("_bb")]
+                      if truth_block_col is not None else []))
+    onp = ja.join(jb, "_g").filter(F.col("_a") < F.col("_b"))
+    if truth_block_col is not None:
+        # blocked truth considers only same-block pairs; null blocks drop,
+        # matching the previous inner equi-join on the block column
+        onp = onp.filter(F.col("_ba") == F.col("_bb"))
+    inter = onp.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_i"))
+    truth = (inter
+             .join(sizes.select(F.col("_id").alias("_a"),
+                                F.col("_n").alias("_na")), "_a")
+             .join(sizes.select(F.col("_id").alias("_b"),
+                                F.col("_n").alias("_nb")), "_b")
+             .filter((F.col("_i")
+                      / (F.col("_na") + F.col("_nb") - F.col("_i")))
+                     >= float(threshold))
              .select("_a", "_b"))
     cand = (candidates.select(
         F.least(F.col(a_col), F.col(b_col)).alias("_a"),
