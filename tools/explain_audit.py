@@ -1671,9 +1671,23 @@ def _wave7(spark, sf_dir):
     cands = (cosine_topk(q, emb, k=8)
              .join(emb.select(F.col("vec_id").alias("neighbor_id"),
                               "embedding"), "neighbor_id"))
-    mp = plan_of(mmr_rerank(cands, select_k=3, lam=0.7,
-                            query_col="query_id", id_col="neighbor_id",
-                            rel_col="cosine", vec_col="embedding"))
+    # mmr_rerank localCheckpoints each greedy round (lineage truncation,
+    # r7 ADVICE fix) — the checkpoint is EAGER, so the returned plan is a
+    # union of checkpointed scans and the per-round joins are no longer
+    # visible in it. Stub checkpointing to identity for the audit so the
+    # full lazy plan (broadcast joins, windows) is what gets inspected.
+    try:  # Spark 4: the concrete class overrides the abstract base
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:
+        from pyspark.sql import DataFrame as _DF
+    _lc = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        mp = plan_of(mmr_rerank(cands, select_k=3, lam=0.7,
+                                query_col="query_id", id_col="neighbor_id",
+                                rel_col="cosine", vec_col="embedding"))
+    finally:
+        _DF.localCheckpoint = _lc
     if "BatchEvalPython" in mp or "ArrowEvalPython" in mp:
         probs.append("mmr plan drops into Python")
     if "BroadcastHashJoin" not in mp and "BroadcastNestedLoopJoin" not in mp:
