@@ -13511,6 +13511,74 @@ HAVING count(*) >= 2
 """
 
 
+def _q_dedup_stream_neardup_documents(spark, sf_dir):
+    """Batch twin of the streaming near-dup filter
+    (streaming/neardup.py StreamingNearDup; operators/dedup.py
+    neardup_mark_ordered): each doc is a near-duplicate iff it shares a
+    PORTABLE md5-minhash band (k=3, 16 perms, 4 bands) with a lower-id
+    doc, with the smallest witness as dup_of — doc_id order stands in
+    for arrival order, so this certifies the exact banding decision the
+    streaming engine makes (the md5 device lets DuckDB replay signature
+    minima and band keys bit-exactly, unlike the xxhash64 production
+    banding which is verified via exact Jaccard instead)."""
+    from bid_evaluation_spark.operators.dedup import neardup_mark_ordered
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return neardup_mark_ordered(df, k=3, num_perm=16, bands=4, seed="mh")
+
+
+def _stream_neardup_sql() -> str:
+    """Unrolled DuckDB replay of the portable minhash banding: 16 per-
+    permutation list_min columns, 4 band-key md5s, bucket-min witness."""
+    h = ("CAST(('0x' || substr(md5('mh:{i}:' || x), 1, 15)) AS BIGINT)")
+    mins = ",\n    ".join(
+        f"list_min(list_transform(s, x -> {h.format(i=i)})) AS m{i}"
+        for i in range(16))
+    bandkeys = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, md5(concat_ws('_', "
+        + ", ".join(f"CAST(m{b * 4 + j} AS VARCHAR)" for j in range(4))
+        + ")) AS key FROM mins" for b in range(4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+mins AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh WHERE len(s) > 0
+),
+keys AS (
+{bandkeys}
+),
+bmin AS (SELECT band, key, min(doc_id) AS m FROM keys GROUP BY band, key),
+flag AS (
+  SELECT k.doc_id,
+         min(CASE WHEN b.m < k.doc_id THEN b.m END) AS dup_of
+  FROM keys k JOIN bmin b USING (band, key)
+  GROUP BY k.doc_id
+)
+SELECT d.doc_id,
+       (f.dup_of IS NOT NULL) AS is_near_dup,
+       f.dup_of
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN flag f USING (doc_id)
+"""
+
+
+_SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14049,6 +14117,8 @@ _QUERIES: dict = {
                                _SQL_TEXT_ENTROPY_DOCUMENTS),
     "text_winnow_pairs_documents": (_q_text_winnow_pairs_documents,
                                     _SQL_TEXT_WINNOW_PAIRS_DOCUMENTS),
+    "dedup_stream_neardup_documents": (_q_dedup_stream_neardup_documents,
+                                       _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS),
 }
 
 

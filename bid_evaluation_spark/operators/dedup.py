@@ -235,6 +235,96 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 # ---------------------------------------------------------------------------
+# Portable (md5-derived) MinHash banding — the streaming near-dup substrate
+# ---------------------------------------------------------------------------
+
+_MD5_HEX_DIGITS = 15  # 60-bit ints survive exact in doubles AND DuckDB BIGINT
+
+
+def _md5_u60(key: Column) -> Column:
+    """The house portable-hash device (winnowing / DSIR / span dedup):
+    first 15 hex digits of md5 as a 60-bit long — DuckDB derives the
+    identical value with ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(key.cast("binary")), 1,
+                              _MD5_HEX_DIGITS), 16, 10).cast("long")
+
+
+def minhash_band_table(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 3,
+                       num_perm: int = 16, bands: int = 4,
+                       seed: str = "mh") -> DataFrame:
+    """PORTABLE MinHash LSH band keys → ``(id, band, key)`` rows, one per
+    non-empty-shingle document × band.
+
+    Unlike the xxhash64 production banding in
+    :func:`_minhash_sig_and_candidates` (whose output is verified with
+    exact Jaccard because the hash cannot cross engines), every value
+    here is md5-derived, so a DuckDB oracle replays the banding
+    bit-exactly — the substrate for :func:`neardup_mark_ordered` and the
+    streaming near-dup filter, where the OUTPUT IS the banding decision
+    and must be value-oracled, not re-verified.
+
+    Per permutation ``i`` the signature is ``min`` over distinct word
+    ``k``-shingles of ``md5_u60(f"{seed}:{i}:" + shingle)``; band ``b``'s
+    key is the md5 hex of its ``num_perm/bands`` minima joined with
+    ``"_"``. Map-only: one projection computes all ``num_perm`` hashes
+    per shingle in a single pass (elementwise-min fold — the signature
+    array is materialized as a column before the band keys reference it,
+    per the lambda-capture rule), then one ``posexplode``. Documents with
+    no shingles yield no rows.
+    """
+    if num_perm % bands != 0:
+        raise ValueError(f"bands must divide num_perm, got {num_perm}/{bands}")
+    rows = num_perm // bands
+    sh = word_shingles(F.col(text_col), k)
+    per_shingle = F.transform(sh, lambda s: F.array(*[
+        _md5_u60(F.concat(F.lit(f"{seed}:{i}:"), s))
+        for i in range(num_perm)]))
+    init = F.array_repeat(F.lit(2 ** 63 - 1).cast("long"), num_perm)
+    mins = F.aggregate(per_shingle, init,
+                       lambda acc, x: F.zip_with(acc, x,
+                                                 lambda a, b: F.least(a, b)))
+    staged = (df.select(F.col(id_col).alias("_id"),
+                        F.size(sh).alias("_nsh"), mins.alias("_mins"))
+              .filter(F.col("_nsh") > 0))
+    keys = F.array(*[
+        F.md5(F.concat_ws(
+            "_", *[F.element_at(F.col("_mins"), b * rows + j + 1)
+                   .cast("string") for j in range(rows)]).cast("binary"))
+        for b in range(bands)])
+    return (staged.select("_id", F.posexplode(keys).alias("band", "key"))
+            .select(F.col("_id").alias(id_col), "band", "key"))
+
+
+def neardup_mark_ordered(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 3,
+                         num_perm: int = 16, bands: int = 4,
+                         seed: str = "mh") -> DataFrame:
+    """Mark each document a near-duplicate iff it shares a MinHash band
+    with any LOWER-id document → ``(id, is_near_dup, dup_of)`` where
+    ``dup_of`` is the smallest such witness id (null when none) — the
+    batch twin of the streaming near-dup filter, with ``id`` order
+    standing in for arrival order.
+
+    Shuffles: one groupBy per band bucket (min id), one join back on the
+    bucket, one per-doc agg — all keyed on the band key or the id; no
+    pair materialization at all (the bucket MIN is the only witness
+    needed, so candidate volume never appears).
+    """
+    bt = minhash_band_table(df, id_col, text_col, k, num_perm, bands, seed)
+    mins = bt.groupBy("band", "key").agg(F.min(id_col).alias("_m"))
+    flags = (bt.join(mins, ["band", "key"])
+             .groupBy(id_col)
+             .agg(F.min(F.when(F.col("_m") < F.col(id_col), F.col("_m")))
+                  .alias("dup_of")))
+    return (df.select(id_col).distinct()
+            .join(flags, id_col, "left")
+            .select(id_col,
+                    F.col("dup_of").isNotNull().alias("is_near_dup"),
+                    "dup_of"))
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise, for given candidate pairs)
 # ---------------------------------------------------------------------------
 
