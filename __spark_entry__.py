@@ -1784,12 +1784,21 @@ sh AS (
     ELSE CAST([] AS VARCHAR[]) END AS s
   FROM toks
 ),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inter AS (
+  -- inverted-index exact truth (same device as lsh_recall_report): for
+  -- j >= 0.2 a pair must share a shingle, so zero-overlap pairs need
+  -- never materialize; |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.s) > 0 AND len(b.s) > 0
+  SELECT a_id, b_id, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS j
+  FROM inter
+  JOIN sz na ON na.doc_id = a_id
+  JOIN sz nb ON nb.doc_id = b_id
 )
 SELECT a_id, b_id, round((j) * 10000.0) / 10000.0 AS jaccard
 FROM pairs WHERE j >= 0.2
@@ -1837,12 +1846,19 @@ sh AS (
     ELSE CAST([] AS VARCHAR[]) END AS s
   FROM toks
 ),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inter AS (
+  -- inverted-index exact truth; see the minhash template above
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.s) > 0 AND len(b.s) > 0
+  SELECT a_id, b_id, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS j
+  FROM inter
+  JOIN sz na ON na.doc_id = a_id
+  JOIN sz nb ON nb.doc_id = b_id
 )
 SELECT a_id, b_id, round((j) * 10000.0) / 10000.0 AS jaccard
 FROM pairs WHERE j >= 0.5
@@ -2851,13 +2867,22 @@ sh AS (
     ELSE CAST([] AS VARCHAR[]) END AS s
   FROM toks
 ),
-pairs AS (
-  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
-    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.s, b.s))) AS j
-  FROM sh a JOIN sh b ON TRUE
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inter AS (
+  -- inverted-index exact truth (train × eval): for j >= 0.3 a pair
+  -- must share a shingle, so the train × eval cross join never
+  -- materializes; |A∪B| = |A|+|B|−|A∩B| on distinct shingle sets
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id, count(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g
   WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
-    AND len(list_distinct(list_concat(a.s, b.s))) > 0
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT train_id, eval_id, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS j
+  FROM inter
+  JOIN sz na ON na.doc_id = train_id
+  JOIN sz nb ON nb.doc_id = eval_id
 )
 SELECT train_id, eval_id, round(j * 10000.0) / 10000.0 AS jaccard
 FROM pairs WHERE j >= 0.3
