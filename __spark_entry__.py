@@ -6578,16 +6578,21 @@ sh AS MATERIALIZED (
   FROM toks
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  -- shared-shingle count IS |A∩B| on distinct shingle sets, so the
+  -- verify needs sizes only, no per-pair list ops (see minhash oracle)
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
   FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
   JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
     ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 ),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
 pairs AS MATERIALIZED (
   SELECT c.a_id, c.b_id
-  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+  FROM cand c
+  JOIN sz na ON na.doc_id = c.a_id
+  JOIN sz nb ON nb.doc_id = c.b_id
+  WHERE CAST(c.i AS DOUBLE) / (na.n + nb.n - c.i) >= 0.2
 ),
 edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
           UNION SELECT b_id, a_id FROM pairs),
@@ -8756,16 +8761,21 @@ sh AS MATERIALIZED (
 -- independently verified by minhash_near_duplicates' own all-pairs
 -- oracle) — it cuts this composed oracle from ~31 s to seconds
 cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  -- shared-shingle count IS |A∩B| on distinct shingle sets, so the
+  -- verify needs sizes only, no per-pair list ops (see minhash oracle)
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
   FROM (SELECT doc_id, unnest(s) AS g FROM sh) a
   JOIN (SELECT doc_id, unnest(s) AS g FROM sh) b
     ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
 ),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
 pairs AS MATERIALIZED (
   SELECT c.a_id, c.b_id
-  FROM cand c JOIN sh a ON a.doc_id = c.a_id JOIN sh b ON b.doc_id = c.b_id
-  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+  FROM cand c
+  JOIN sz na ON na.doc_id = c.a_id
+  JOIN sz nb ON nb.doc_id = c.b_id
+  WHERE CAST(c.i AS DOUBLE) / (na.n + nb.n - c.i) >= 0.2
 ),
 edges AS MATERIALIZED (SELECT a_id AS src, b_id AS dst FROM pairs
           UNION SELECT b_id, a_id FROM pairs),
@@ -8943,37 +8953,53 @@ FROM r
 """
 
 
-def _q_dedup_jaccard_prefix_documents(spark, sf_dir):
+def _q_dedup_jaccard_prefix_documents(spark, sf_dir, _mod=_DOCS_SAMPLE_MOD):
     """EXACT token-set Jaccard ≥ 0.75 join via prefix filtering (PPJoin
     family) — recall 1 by the prefix lemma, so the all-pairs oracle
     checks blocking COMPLETENESS, not just the verify arithmetic. No
     vocabulary-wide rank window: the (freq, token) struct order IS the
-    global order; candidates join on prefix tokens only."""
+    global order; candidates join on prefix tokens only. Runs on the
+    doc_id % 3 == 0 sub-corpus: the OUTPUT is quadratic-shaped here
+    (token vocabularies overlap heavily in this corpus, so ~1/3 of all
+    pairs clear 0.75 at sf0.1 — 3.9M rows whose cross-engine compare
+    dwarfs both engines' query time); same recipe as the
+    quadratic-TRUTH queries, full corpus via deep_queries()."""
     from bid_evaluation_spark.operators.dedup import jaccard_similarity_join
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_sampled(spark, sf_dir, _mod)
     res = jaccard_similarity_join(docs, threshold=0.75)
     return res.select("a_id", "b_id", _r4("jaccard").alias("jaccard"))
 
 
-_SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS = """
+_SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS_TMPL = """
 WITH toks AS (
   SELECT doc_id,
     CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
          ELSE list_distinct(string_split_regex(trim(lower(text)), '\\s+'))
     END AS s
-  FROM documents
+  FROM documents {where}
 )
-SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-  round((CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-         / len(list_distinct(list_concat(a.s, b.s)))) * 10000.0)
+, inv AS (SELECT doc_id, unnest(s) AS g FROM toks),
+sz AS (SELECT doc_id, len(s) AS n FROM toks WHERE len(s) > 0),
+inter AS (
+  -- inverted-index exact truth on distinct token sets (see the
+  -- minhash oracle): a j >= 0.75 pair must share a token
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a_id, b_id,
+  round((CAST(i AS DOUBLE) / (na.n + nb.n - i)) * 10000.0)
     / 10000.0 AS jaccard
-FROM toks a JOIN toks b ON a.doc_id < b.doc_id
-WHERE len(a.s) > 0 AND len(b.s) > 0
-  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.s, b.s)))
-      >= CAST(0.75 AS DOUBLE)
+FROM inter
+JOIN sz na ON na.doc_id = a_id
+JOIN sz nb ON nb.doc_id = b_id
+WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= CAST(0.75 AS DOUBLE)
 """
+
+_SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS = (
+    _SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS_TMPL.format(
+        where=_sample_where(_DOCS_SAMPLE_MOD)))
 
 
 def _q_graph_triangles_events(spark, sf_dir):
@@ -9269,11 +9295,22 @@ shn AS (
                ELSE string_split_regex(trim(text), '\\s+') END AS t
         FROM newd)
 ),
+invn AS (SELECT doc_id, unnest(s) AS g FROM shn),
+invc AS (SELECT doc_id, unnest(s) AS g FROM shc),
+szn AS (SELECT doc_id, len(s) AS n FROM shn WHERE len(s) > 0),
+szc AS (SELECT doc_id, len(s) AS n FROM shc WHERE len(s) > 0),
+inter AS (
+  -- inverted-index exact truth (new × corpus); see the minhash oracle
+  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id, count(*) AS i
+  FROM invn n JOIN invc c ON n.g = c.g
+  GROUP BY n.doc_id, c.doc_id
+),
 pairs AS (
-  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
-    CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
-      / len(list_distinct(list_concat(n.s, c.s))) AS j
-  FROM shn n JOIN shc c ON len(n.s) > 0 AND len(c.s) > 0
+  SELECT new_id, corpus_id,
+    CAST(i AS DOUBLE) / (nn.n + nc.n - i) AS j
+  FROM inter
+  JOIN szn nn ON nn.doc_id = new_id
+  JOIN szc nc ON nc.doc_id = corpus_id
 )
 SELECT new_id, corpus_id, round((j) * 10000.0) / 10000.0 AS jaccard
 FROM pairs WHERE j >= 0.2
@@ -13389,12 +13426,18 @@ sh AS (
     ELSE CAST([] AS VARCHAR[]) END AS s
   FROM toks
 ),
+sinv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+ssz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
 truth AS (
-  SELECT a.doc_id AS a_id, b.doc_id AS b_id
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE len(a.s) > 0 AND len(b.s) > 0
-    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+  -- inverted-index exact truth, mirroring the operator's own rewrite
+  -- (a j >= 0.2 pair must share a shingle; |A∪B| = |A|+|B|−|A∩B|)
+  SELECT p.a_id, p.b_id
+  FROM (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS cnt
+        FROM sinv a JOIN sinv b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id) p
+  JOIN ssz na ON na.doc_id = p.a_id
+  JOIN ssz nb ON nb.doc_id = p.b_id
+  WHERE CAST(p.cnt AS DOUBLE) / (na.n + nb.n - p.cnt) >= 0.2
 ),
 hashes AS (
   SELECT doc_id,
@@ -14175,4 +14218,7 @@ def deep_queries() -> dict[str, tuple]:
         "dedup_lsh_recall_documents_full": (
             lambda s, d: _q_dedup_lsh_recall_documents(s, d, _mod=1),
             _SQL_DEDUP_LSH_RECALL_DOCUMENTS_TMPL.format(where=full)),
+        "dedup_jaccard_prefix_documents_full": (
+            lambda s, d: _q_dedup_jaccard_prefix_documents(s, d, _mod=1),
+            _SQL_DEDUP_JACCARD_PREFIX_DOCUMENTS_TMPL.format(where=full)),
     }

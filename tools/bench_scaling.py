@@ -177,6 +177,13 @@ def fam_bpe_train(spark, base):
     return n, len(merges)
 
 
+def fam_stream_neardup(spark, base):
+    # batch twin of the streaming near-dup filter: banding + bucket-min
+    from bid_evaluation_spark.operators.dedup import neardup_mark_ordered
+    d = _docs(spark, base)
+    return d.count(), neardup_mark_ordered(d).count()
+
+
 def fam_quantile_match(spark, base):
     from bid_evaluation_spark.operators.analytics import quantile_match
     od = spark.read.parquet(f"{base}/orders.parquet")
@@ -209,6 +216,10 @@ FAMILIES = {
     "quantile_match": (fam_quantile_match, 1.0,
                        "n log n sort for landmarks + map-only transform "
                        "(log factor absorbed by SLACK)"),
+    "stream_neardup": (fam_stream_neardup, 1.0,
+                       "map-only portable banding + bucket-min groupBy "
+                       "(no pair materialization; dup structure "
+                       "replicates linearly in the synth corpus)"),
 }
 
 
