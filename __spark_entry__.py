@@ -13060,24 +13060,27 @@ FROM base
 def _q_text_winnow_overlap_documents(spark, sf_dir):
     """Winnowing-fingerprint corpus overlap (text.py winnow_fingerprints,
     Schleimer et al. SIGMOD 2003) between even- and odd-doc_id halves:
-    md5-portable k-gram hashes, window-min selection (k=3, w=4),
-    distinct fingerprints per half, ONE equi-join for the intersection.
-    The oracle replays tokenize → md5 grams → window mins → distinct →
-    counts, selection and all."""
+    md5-portable k-gram hashes, window-min selection (k=3, w=4). ONE
+    pass: fingerprints tagged with their side, one (fp, side) distinct,
+    one per-fp side-presence aggregate → all three counts from a single
+    action (the previous three-action shape re-winnowed the corpus four
+    times). The oracle replays tokenize → md5 grams → window mins →
+    distinct → counts, selection and all."""
     from bid_evaluation_spark.operators.text import winnow_fingerprints
 
     d = _t(spark, sf_dir, "documents")
-
-    def fps(side):
-        return (side.select(F.explode(
-            winnow_fingerprints(F.col("text"), k=3, w=4)).alias("fp"))
-            .distinct())
-
-    a = fps(d.filter(F.col("doc_id") % 2 == 0))
-    b = fps(d.filter(F.col("doc_id") % 2 == 1))
-    na = a.count()
-    nb = b.count()
-    common = a.join(b, "fp").count()
+    fps = (d.select((F.col("doc_id") % 2).alias("side"),
+                    F.explode(winnow_fingerprints(F.col("text"), k=3, w=4))
+                    .alias("fp"))
+           .distinct())
+    per_fp = fps.groupBy("fp").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("_a"),
+        F.max((F.col("side") == 1).cast("int")).alias("_b"))
+    (row,) = (per_fp.agg(
+        F.sum("_a").alias("na"), F.sum("_b").alias("nb"),
+        F.sum(F.col("_a") * F.col("_b")).alias("common")).collect())
+    na, nb, common = int(row["na"] or 0), int(row["nb"] or 0), \
+        int(row["common"] or 0)
     union = na + nb - common
     return spark.createDataFrame(
         [(na, nb, common,
