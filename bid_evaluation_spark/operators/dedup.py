@@ -1117,30 +1117,33 @@ def corpus_overlap(a: DataFrame, b: DataFrame, text_col: str = "text",
 
     Distinct word-``k``-shingles per corpus FIRST (the same collapse
     :func:`exact duplicate <.text.fingerprint>` dedup rides: after
-    ``distinct``, volume is bounded by vocabulary, not corpus size),
-    then ONE inner join on the shingle gives the intersection count.
-    All three counts come from the two distinct tables + that join —
-    no document pairs, no signatures, exact by construction. At 100 TB
-    every step shuffles on the shingle hash; the MinHash corpus sketch
-    is unnecessary because the distinct-shingle table is already the
-    collapsed representation.
+    ``distinct``, volume is bounded by vocabulary, not corpus size).
+    Side-tagged union → one ``(shingle, side)`` distinct → one per-
+    shingle side-presence aggregate: every count comes from a SINGLE
+    action over a single scan of each corpus — no persisted distinct
+    tables (at 100 TB the cached shingle vocabulary is real memory), no
+    join, no document pairs, exact by construction. Every step shuffles
+    on the shingle hash; the MinHash corpus sketch is unnecessary
+    because the distinct-shingle table is already the collapsed
+    representation.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
 
-    def _sh(df):
-        return (df.select(F.explode(
+    def _sh(df, side):
+        return df.select(F.lit(side).alias("_side"), F.explode(
             word_shingles(F.col(text_col), k)).alias("s"))
-            .distinct())
 
-    sa = _sh(a).persist()
-    sb = _sh(b).persist()
-    na = sa.count()
-    nb = sb.count()
-    common = sa.join(sb, "s").count()
+    tagged = _sh(a, 0).unionByName(_sh(b, 1)).distinct()
+    per = tagged.groupBy("s").agg(
+        F.max((F.col("_side") == 0).cast("int")).alias("_a"),
+        F.max((F.col("_side") == 1).cast("int")).alias("_b"))
+    (row,) = per.agg(F.sum("_a").alias("na"), F.sum("_b").alias("nb"),
+                     F.sum(F.col("_a") * F.col("_b")).alias("c")).collect()
+    na = int(row["na"] or 0)
+    nb = int(row["nb"] or 0)
+    common = int(row["c"] or 0)
     union = na + nb - common
-    sa.unpersist()
-    sb.unpersist()
     spark = a.sparkSession
     # half-up at 4 decimals (Python round() is half-EVEN; Spark/DuckDB
     # ROUND are half-up — the oracle compares these scalars, so match)
