@@ -1241,13 +1241,16 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
         F.least(F.col(a_col), F.col(b_col)).alias("_a"),
         F.greatest(F.col(a_col), F.col(b_col)).alias("_b"))
         .filter(F.col("_a") != F.col("_b")).distinct())
-    truth.persist()
-    cand.persist()
-    n_true = truth.count()
-    n_cand = cand.count()
-    n_hit = truth.join(cand, ["_a", "_b"]).count()
-    truth.unpersist()
-    cand.unpersist()
+    # one full-outer join + one aggregate: all three counts from a
+    # single action, no persisted pair tables (corpus_overlap's shape)
+    joined = (truth.withColumn("_t", F.lit(1))
+              .join(cand.withColumn("_c", F.lit(1)), ["_a", "_b"], "full"))
+    (row,) = joined.agg(
+        F.sum("_t").alias("nt"), F.sum("_c").alias("nc"),
+        F.sum(F.col("_t") * F.col("_c")).alias("nh")).collect()
+    n_true = int(row["nt"] or 0)
+    n_cand = int(row["nc"] or 0)
+    n_hit = int(row["nh"] or 0)
     # half-up at 4 decimals to match Spark/DuckDB ROUND (see corpus_overlap)
     r4 = lambda x: math.floor(x * 1e4 + 0.5) / 1e4  # noqa: E731
     return docs.sparkSession.createDataFrame(
