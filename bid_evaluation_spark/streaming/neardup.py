@@ -126,7 +126,7 @@ class StreamingNearDup:
         """Every processed batch's ``(id, is_near_dup, dup_of, batch_id)``."""
         flag_dirs = [os.path.join(self.path, d)
                      for d in sorted(os.listdir(self.path))
-                     if d.startswith("flags_b")]
+                     if d.startswith("flags_v")]
         if not flag_dirs:
             return self.spark.createDataFrame(
                 [], f"{self.id_col} long, is_near_dup boolean, "
@@ -169,12 +169,13 @@ class StreamingNearDup:
                          F.lit(-1 if batch_id is None else int(batch_id))
                          .cast("long").alias("batch_id")))
         # flags are written (and thereby materialized against the OLD
-        # state) before any state mutation; overwrite makes replays of a
-        # crash between this write and the manifest flip idempotent
-        flags.write.mode("overwrite").parquet(os.path.join(
-            self.path, f"flags_b{-1 if batch_id is None else int(batch_id)}"))
-        written = self.spark.read.parquet(os.path.join(
-            self.path, f"flags_b{-1 if batch_id is None else int(batch_id)}"))
+        # state) before any state mutation, keyed by the NEW state
+        # version: unique per processed batch (even with batch_id=None),
+        # and a crash between this write and the manifest flip replays
+        # with the same version — the overwrite is idempotent
+        fdir = os.path.join(self.path, f"flags_v{self.version + 1}")
+        flags.write.mode("overwrite").parquet(fdir)
+        written = self.spark.read.parquet(fdir)
         survivors = written.filter(~F.col("is_near_dup")) \
             .select(F.col(self.id_col))
         new_bands = (bt.join(survivors, self.id_col)
