@@ -1697,6 +1697,36 @@ def _wave7(spark, sf_dir):
     return probs
 
 
+@check("wave8: neardup banding map-only to the explode; ordered marker "
+       "bucket-min aggregate, no cartesian, no Python")
+def _wave8(spark, sf_dir):
+    from bid_evaluation_spark.operators.dedup import (minhash_band_table,
+                                                      neardup_mark_ordered)
+    from bid_evaluation_spark.sources.io import load_table
+    from pyspark.sql import functions as F
+
+    probs = []
+    docs = load_table(spark, sf_dir, "documents")
+    bp = plan_of(minhash_band_table(docs))
+    # banding must be a pure projection chain: scan -> filter -> explode,
+    # with the signature array materialized in its own Project (the
+    # lambda-capture rule) — no shuffle, no Python anywhere
+    if "Exchange" in bp:
+        probs.append("band table shuffles (should be map-only)")
+    if "BatchEvalPython" in bp or "ArrowEvalPython" in bp:
+        probs.append("band table drops into Python")
+    if "Generate explode" not in bp and "Generate posexplode" not in bp:
+        probs.append("band table lost its explode (schema drift?)")
+    mp = plan_of(neardup_mark_ordered(docs))
+    if "BatchEvalPython" in mp or "ArrowEvalPython" in mp:
+        probs.append("neardup marker drops into Python")
+    if "CartesianProduct" in mp or "BroadcastNestedLoopJoin" in mp:
+        probs.append("neardup marker materializes pairs")
+    if "HashAggregate" not in mp:
+        probs.append("neardup marker lost the bucket-min aggregate")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
