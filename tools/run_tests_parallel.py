@@ -52,9 +52,15 @@ def main() -> int:
         rc = p.wait()
         log.flush()
         log.seek(0)
-        tail = log.read().strip().splitlines()[-3:]
+        lines = log.read().strip().splitlines()
+        tail = lines[-3:]
         status = "ok" if rc == 0 else f"FAILED rc={rc}"
-        summary = tail[-1] if tail else ""
+        # the pytest summary is not always the LAST line — a background
+        # Spark thread (e.g. StateStoreCoordinator lag WARNs) can log
+        # after it; scan backward for the first line that parses
+        summary = next((ln for ln in reversed(lines[-25:])
+                        if re.search(r"\d+ (passed|failed|skipped)", ln)),
+                       tail[-1] if tail else "")
         print(f"shard {i} [{status}] ({len(members)} files): " + summary)
         got = {k: int(v) for v, k in
                re.findall(r"(\d+) (passed|failed|skipped)", summary)}
