@@ -32,7 +32,9 @@ import pathlib
 
 PKG = pathlib.Path(__file__).resolve().parent.parent / "bid_evaluation_spark"
 
-HOFS = {"transform", "zip_with", "filter", "aggregate", "exists", "forall"}
+HOFS = {"transform", "zip_with", "filter", "aggregate", "exists", "forall",
+        "reduce", "map_filter", "map_zip_with", "transform_keys",
+        "transform_values"}
 
 #: F.* whose result is an O(1)-per-evaluation scalar when its inputs are
 #: cheap — capturing such a chain costs constant work per element
