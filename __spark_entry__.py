@@ -13388,6 +13388,70 @@ FROM dims
 """
 
 
+def _q_mm_gif_decode_documents(spark, sf_dir):
+    """REAL entropy-coded image decode through the GIF codec
+    (operators/gif.py): per doc a 4-color palette raster
+    (palette_i = ((16i+d)%256, (32i+2d)%256, (48i+d)%256), index
+    (x+2y+d)%4, dims from doc_id) is LZW-encoded — odd docs with
+    mid-stream CLEAR floods, even docs as one literal run — shipped as
+    binary GIF payloads and decoded by the pure-stdlib kernel
+    (sub-block reassembly, LSB-first variable-width codes, palette
+    mapping). The oracle reproduces width/height/mean Rec. 601 luma
+    arithmetically from the generating formula, so a bit-unpacking,
+    width-schedule or palette bug breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.gif import encode_gif
+    from bid_evaluation_spark.operators.multimodal import (
+        extract_image_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 5, 4 + d % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                idx = (x + 2 * y + d) % 4
+                pal = np.array(
+                    [[(16 * i + d) % 256, (32 * i + 2 * d) % 256,
+                      (48 * i + d) % 256] for i in range(4)],
+                    dtype=np.uint8)
+                payloads.append(encode_gif(pal[idx],
+                                           clear_every=7 if d % 2 else 0))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_image_features(media, fake=False, strict=True)
+    return feats.select("media_id", "width", "height",
+                        _r4("mean_luma").alias("mean_luma"))
+
+
+_SQL_MM_GIF_DECODE_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, CAST(5 + doc_id % 5 AS BIGINT) AS w,
+         CAST(4 + doc_id % 4 AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  round(list_avg(flatten(list_transform(generate_series(0, h - 1),
+          y -> list_transform(generate_series(0, w - 1),
+          x -> 0.299 * CAST((16 * ((x + 2 * y + doc_id) % 4) + doc_id)
+                            % 256 AS DOUBLE)
+             + 0.587 * CAST((32 * ((x + 2 * y + doc_id) % 4) + 2 * doc_id)
+                            % 256 AS DOUBLE)
+             + 0.114 * CAST((48 * ((x + 2 * y + doc_id) % 4) + doc_id)
+                            % 256 AS DOUBLE))))) * 10000.0)
+    / 10000.0 AS mean_luma
+FROM dims
+"""
+
+
 def _q_dedup_lsh_recall_documents(spark, sf_dir, _mod=_DOCS_SAMPLE_MOD):
     """Blocking-generator quality measured against exact ground truth
     (dedup.py lsh_recall_report): the MOSS winnow candidate pairs
@@ -14190,6 +14254,8 @@ _QUERIES: dict = {
                                     _SQL_TEXT_WINNOW_PAIRS_DOCUMENTS),
     "dedup_stream_neardup_documents": (_q_dedup_stream_neardup_documents,
                                        _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS),
+    "mm_gif_decode_documents": (_q_mm_gif_decode_documents,
+                                _SQL_MM_GIF_DECODE_DOCUMENTS),
 }
 
 

@@ -82,6 +82,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     ``fake=True`` substitutes a deterministic payload-hash-derived feature
     vector (no decode at all) so pipeline tests run on arbitrary bytes.
     """
+    from . import gif as _gif
     from . import jpeg as _jpeg
     from . import netpbm as _netpbm
     from . import png as _png
@@ -111,6 +112,8 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                             img = _jpeg.decode_jpeg(p)
                         elif _netpbm.is_netpbm(p or b""):
                             img = _netpbm.decode_netpbm(p)
+                        elif _gif.is_gif(p or b""):
+                            img = _gif.decode_gif(p)
                         else:
                             img = _png.decode_png(p or b"")
                         lum = _png.luma(img)
