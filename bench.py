@@ -396,7 +396,7 @@ def main():
     # Print a compact (<1 KB) summary as the VERY LAST stdout line so the
     # tail always contains one complete, parseable JSON object; the full
     # per-query payload stays above and in the sidecar.
-    summary = json.dumps({
+    fields = {
         "metric": "bid_evaluation_spark headline suite wall time",
         "value": total,
         "unit": "sec",
@@ -406,8 +406,17 @@ def main():
         "warm_value": round(sum(warm.values()), 3),
         "passes": passes,
         "full_payload": "see prior stdout line or artifacts/bench_result.json",
-    })
-    assert len(summary) < 1000, "summary line must stay under the 1 KB tail"
+    }
+    summary = json.dumps(fields)
+    # The 1 KB budget must hold even if optional fields grow: shed the
+    # least-important keys until it fits (never abort after the bench ran;
+    # a bare `assert` would also vanish under `python -O`).
+    for drop in ("full_payload", "passes", "cold_value", "warm_value",
+                 "n_queries", "sf"):
+        if len(summary) < 1000:
+            break
+        fields.pop(drop, None)
+        summary = json.dumps(fields)
     print(summary, flush=True)
 
 

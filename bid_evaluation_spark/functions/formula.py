@@ -336,16 +336,25 @@ class _Translator:
         if isinstance(node, ast.Compare):
             # membership over a container LITERAL (EvalWithCompoundTypes
             # grammar, reference criteria.py:126): x in [a, b, c] is an
-            # equality fold. Python semantics: NaN left matches nothing
-            # (no literal can be the same object), an erroring element
-            # poisons the whole test (the list is built before `in` runs).
-            # Chains mixing `in` with other links go to the interpreter.
+            # equality fold. Python semantics: NaN left matches nothing by
+            # VALUE, but `in` checks identity first — `a in [a, ...]` is
+            # True even for NaN `a` because the names dict yields the same
+            # float object. The fold can't see identity, so any element
+            # textually identical to the left operand routes to the
+            # interpreter. An erroring element poisons the whole test (the
+            # list is built before `in` runs). Chains mixing `in` with
+            # other links go to the interpreter too.
             if len(node.ops) == 1 and isinstance(node.ops[0],
                                                  (ast.In, ast.NotIn)):
                 comparator = node.comparators[0]
                 if not isinstance(comparator, (ast.List, ast.Tuple, ast.Set)):
                     raise FormulaTranslationError(
                         "membership over a non-literal container")
+                left_src = ast.dump(node.left)
+                if any(ast.dump(e) == left_src for e in comparator.elts):
+                    raise FormulaTranslationError(
+                        "membership where the left operand appears among "
+                        "the elements (Python `in` identity semantics)")
                 left = self._num(node.left)
                 elems = [self._num(e) for e in comparator.elts]
                 any_null = left.isNull()

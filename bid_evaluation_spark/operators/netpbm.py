@@ -67,17 +67,23 @@ def decode_netpbm(data: bytes) -> np.ndarray:
     raster = data[pos:pos + need]
     if len(raster) < need:
         raise ValueError(f"netpbm: raster truncated ({len(raster)} < {need})")
-    # Strict-decode contract: the raster must consume the payload exactly.
-    # A writer that puts a '#' comment between maxval and the raster makes
-    # the buffer longer than `need`; silently decoding the comment bytes as
-    # pixels would be wrong, so raise. (A legitimate first pixel of 0x23 is
-    # still fine — with no trailing bytes there is no room for a comment.)
-    if len(data) - pos != need:
-        extra = len(data) - pos - need
-        hint = (" (comment after maxval?)"
-                if data[pos:pos + 1] == b"#" else "")
-        raise ValueError(
-            f"netpbm: {extra} unexpected byte(s) after raster{hint}")
+    # Strict-decode contract: the raster must consume the payload — except
+    # for two benign writer shapes: trailing whitespace (many tools emit a
+    # final newline) and a concatenated multi-image PNM stream (the next
+    # frame's magic follows the raster; decode the first frame). A writer
+    # that puts a '#' comment between maxval and the raster makes the
+    # buffer longer than `need` with NON-whitespace, non-magic leftovers;
+    # silently decoding comment bytes as pixels would be wrong, so raise.
+    # (A legitimate first pixel of 0x23 is still fine — the raster length
+    # is fixed by the header, so it never absorbs trailing bytes.)
+    tail = data[pos + need:]
+    if tail:
+        stripped = tail.lstrip(b" \t\r\n\v\f")
+        if stripped and stripped[:2] not in (b"P5", b"P6"):
+            hint = (" (comment after maxval?)"
+                    if data[pos:pos + 1] == b"#" else "")
+            raise ValueError(
+                f"netpbm: {len(tail)} unexpected byte(s) after raster{hint}")
     return (np.frombuffer(raster, dtype=np.uint8, count=need)
             .reshape(h, w, channels).copy())
 

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import uuid
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -75,6 +76,7 @@ class StreamingNearDup:
         self.seed = seed
         self.version = 0
         self.last_batch_id: Optional[int] = None
+        self.last_query_token: Optional[str] = None
         self.n_docs = 0
         self.n_retained = 0
         os.makedirs(path, exist_ok=True)
@@ -98,6 +100,7 @@ class StreamingNearDup:
                 f"{(self.k, self.num_perm, self.bands, self.seed)}")
         self.version = st["version"]
         self.last_batch_id = st.get("last_batch_id")
+        self.last_query_token = st.get("last_query_token")
         self.n_docs = st.get("n_docs", 0)
         self.n_retained = st.get("n_retained", 0)
 
@@ -106,6 +109,7 @@ class StreamingNearDup:
         with open(tmp, "w") as fh:
             json.dump({"version": self.version,
                        "last_batch_id": self.last_batch_id,
+                       "last_query_token": self.last_query_token,
                        "n_docs": self.n_docs,
                        "n_retained": self.n_retained,
                        "k": self.k, "num_perm": self.num_perm,
@@ -136,15 +140,22 @@ class StreamingNearDup:
     # -- ingestion ---------------------------------------------------------
 
     def process_batch(self, df: DataFrame,
-                      batch_id: Optional[int] = None) -> None:
+                      batch_id: Optional[int] = None,
+                      query_token: Optional[str] = None) -> None:
         """Band one micro-batch, flag near-dups vs state + batch, merge
         survivors' bands into a new state version.
 
         Replays of an already-merged ``batch_id`` are skipped entirely
         (flags for that batch were already written — at-least-once
-        ``foreachBatch`` must not re-drop or double-count)."""
+        ``foreachBatch`` must not re-drop or double-count). Batch ids
+        are only monotonic WITHIN one streaming query, so the skip
+        applies only when ``query_token`` (the checkpoint path, stamped
+        by :meth:`attach`) matches the manifest's: attaching existing
+        state to a NEW query restarts batch ids at 0, and silently
+        skipping would mean documents are never flagged or retained."""
         if batch_id is not None and self.last_batch_id is not None \
-                and batch_id <= self.last_batch_id:
+                and batch_id <= self.last_batch_id \
+                and query_token == self.last_query_token:
             return
         bt = minhash_band_table(df, self.id_col, self.text_col, self.k,
                                 self.num_perm, self.bands, self.seed)
@@ -190,6 +201,7 @@ class StreamingNearDup:
         self.version = nv
         if batch_id is not None:
             self.last_batch_id = batch_id
+            self.last_query_token = query_token
         self.n_docs += df.count()
         self.n_retained += survivors.count()
         self._save_manifest()
@@ -197,9 +209,19 @@ class StreamingNearDup:
             shutil.rmtree(self._vdir(old), ignore_errors=True)
 
     def attach(self, stream_df: DataFrame, checkpoint: Optional[str] = None):
-        """Attach to a streaming DataFrame via ``foreachBatch``."""
+        """Attach to a streaming DataFrame via ``foreachBatch``.
+
+        The checkpoint path is the query-identity token for the replay
+        skip: a restart of the SAME query (same checkpoint) replays its
+        last batch id and is skipped idempotently, while a NEW query
+        (different checkpoint, batch ids restart at 0) processes
+        normally against the existing state. Without a checkpoint there
+        is no replay mechanism at all, so a unique per-attach token
+        makes every batch process."""
+        token = checkpoint if checkpoint else f"anon-{uuid.uuid4().hex}"
         writer = stream_df.writeStream.foreachBatch(
-            lambda bdf, bid: self.process_batch(bdf, bid))
+            lambda bdf, bid: self.process_batch(bdf, bid,
+                                                query_token=token))
         if checkpoint:
             writer = writer.option("checkpointLocation", checkpoint)
         return writer

@@ -212,11 +212,31 @@ def test_membership_native_translation_boundary(spark):
               "value in {5, 8}", "max([value, 50])",
               "min((value, 6, max))"]:
         formula_to_column(f, F.col("x"), names)
-    # still outside: non-literal containers, chained membership, min([])
+    # still outside: non-literal containers, chained membership, min([]),
+    # and the left operand appearing among the elements (identity semantics)
     for f in ["value in max", "1 < value in [2]", "min([])",
-              "value in [1, [2][0]]"]:
+              "value in [1, [2][0]]", "value in [value, 1]",
+              "value not in (1, value)"]:
         with pytest.raises(FormulaTranslationError):
             formula_to_column(f, F.col("x"), names)
+
+
+def test_membership_identity_nan(spark):
+    """Python ``in`` checks identity before equality: ``value in [value,
+    7]`` is True even for NaN value (the names dict yields the same float
+    object) — a value-equality fold would say False, so the translator must
+    route these to the interpreter (ADVICE r8)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("A", float("nan")), ("B", 5.0)], "vendor string, x double")
+    r = eval_formula(df, "100 if value in [value, 7] else 25")
+    assert r["A"]["score_x"] == pytest.approx(100.0)
+    assert r["B"]["score_x"] == pytest.approx(100.0)
+    # NaN against a NON-identical container still never matches, natively
+    r = eval_formula(df, "100 if value in [5, 7] else 25")
+    assert r["A"]["score_x"] == pytest.approx(25.0)
+    assert r["B"]["score_x"] == pytest.approx(100.0)
 
 
 def test_list_comprehension_golden(xs):

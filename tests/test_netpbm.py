@@ -54,6 +54,20 @@ def test_error_paths():
     assert ok[0, 0, 0] == 0x23
 
 
+def test_trailing_whitespace_and_concat_streams():
+    # benign trailing newline (many writers emit one) decodes (ADVICE r8)
+    img = decode_netpbm(b"P5 2 2 255\n\x01\x02\x03\x04\n")
+    assert img.shape == (2, 2, 1) and img[1, 1, 0] == 4
+    img = decode_netpbm(b"P6 1 1 255\n\x09\x08\x07 \r\n")
+    assert img.shape == (1, 1, 3)
+    # concatenated multi-image PNM stream: first frame decodes, rest ignored
+    two = b"P5 2 2 255\n\x01\x02\x03\x04" + b"P5 1 1 255\n\xff"
+    assert decode_netpbm(two)[0, 1, 0] == 2
+    # non-whitespace, non-magic trailing bytes still violate strict decode
+    with pytest.raises(ValueError, match="after raster"):
+        decode_netpbm(b"P5 2 2 255\n\x01\x02\x03\x04junk")
+
+
 def test_dispatch_seam_and_rec601(spark):
     from bid_evaluation_spark.operators.multimodal import (
         extract_image_features)

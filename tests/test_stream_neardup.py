@@ -77,6 +77,33 @@ def test_replayed_batch_is_skipped(spark, tmp_path):
     assert nd.flags().count() == 2  # no duplicate flag rows from the replay
 
 
+def test_new_query_identity_processes_restarted_batch_ids(spark, tmp_path):
+    """Batch ids are monotonic only WITHIN one streaming query: attaching
+    existing state to a NEW query (ids restart at 0) must process, not
+    silently skip; the replay skip applies only under the SAME query
+    token (ADVICE r8)."""
+    nd = StreamingNearDup(spark, str(tmp_path / "st"))
+    nd.process_batch(_docs(spark, [(1, BASES[0])]), batch_id=5,
+                     query_token="q1")
+    v = nd.version
+    # same token, replayed id → skipped (at-least-once idempotency)
+    nd.process_batch(_docs(spark, [(2, BASES[1])]), batch_id=5,
+                     query_token="q1")
+    assert nd.version == v
+    # NEW query identity restarts batch ids at 0 → processed against state
+    nd.process_batch(_docs(spark, [(3, BASES[0])]), batch_id=0,
+                     query_token="q2")
+    got = {r["doc_id"]: r["is_near_dup"] for r in nd.flags().collect()}
+    assert got == {1: False, 3: True}
+    # the token survives the manifest round-trip
+    re = StreamingNearDup(spark, str(tmp_path / "st"))
+    assert re.last_query_token == "q2" and re.last_batch_id == 0
+    # ...so a replay of the new query's batch 0 is again skipped
+    re.process_batch(_docs(spark, [(4, BASES[2])]), batch_id=0,
+                     query_token="q2")
+    assert re.flags().count() == 2
+
+
 def test_reopen_resumes_and_validates_shape(spark, tmp_path):
     path = str(tmp_path / "st")
     nd = StreamingNearDup(spark, path, num_perm=16, bands=4, seed="q")

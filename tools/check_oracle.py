@@ -18,7 +18,10 @@ costs the full n² oracle — budget ~35 min).
 
 from __future__ import annotations
 
+import json
 import math
+import os
+import subprocess
 import sys
 import time
 
@@ -29,6 +32,47 @@ import duckdb
 import __spark_entry__ as entry
 from bid_evaluation_spark.session import get_spark
 from bid_evaluation_spark.sources.io import TESTDATA_TABLES
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_DEEP_STAMP = os.path.join(_REPO, "artifacts", "deep_gate_stamp.json")
+
+
+def _git_head() -> str:
+    try:
+        return subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=_REPO,
+            stderr=subprocess.DEVNULL).decode().strip()
+    except Exception:
+        return "unknown"
+
+
+def _stamp_deep_gate(names) -> None:
+    """Record WHICH tree the deep (full-corpus) gate verified, so the
+    routine sweep can tell whether the sampled-registry discipline has
+    lapsed (the sub-corpus rework is a silent coverage reduction if
+    nobody reruns --deep after changes)."""
+    os.makedirs(os.path.dirname(_DEEP_STAMP), exist_ok=True)
+    with open(_DEEP_STAMP, "w") as fh:
+        json.dump({"head": _git_head(), "queries": sorted(names)}, fh)
+
+
+def _check_deep_stamp() -> None:
+    head = _git_head()
+    try:
+        with open(_DEEP_STAMP) as fh:
+            st = json.load(fh)
+    except (OSError, ValueError):
+        print("DEEP GATE: never run in this checkout — run "
+              "`python tools/check_oracle.py <sf_dir> --deep` to verify "
+              "the full-corpus twins of the sampled dedup queries")
+        return
+    if st.get("head") != head:
+        print(f"DEEP GATE: stale — last verified at {st.get('head', '?')[:12]}, "
+              f"HEAD is {head[:12]}; rerun "
+              "`python tools/check_oracle.py <sf_dir> --deep`")
+    else:
+        print(f"DEEP GATE: verified at current HEAD {head[:12]} "
+              f"({len(st.get('queries', []))} full-corpus queries)")
 
 
 def normalize(rows, columns):
@@ -66,10 +110,12 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    deep_names = set()
     if deep:
         for name, (fn, sql) in entry.deep_queries().items():
             qs[name] = fn
             oracles[name] = sql
+            deep_names.add(name)
     n_oracled = sum(1 for k in qs if oracles.get(k) is not None)
     # machine-printed registry count — docs quote THIS header, never a
     # hand count (the r6 close-out docs drifted to 280 vs the real 279)
@@ -122,6 +168,14 @@ def main():
             print(f"OK    {name}: {len(nrows_s)} rows [{time.time()-t0:.1f}s]")
 
     print()
+    if deep and not failures and (not only or deep_names <= only):
+        # all deep queries ran and passed → stamp the verified tree
+        _stamp_deep_gate(deep_names)
+        print(f"DEEP GATE: stamped at HEAD {_git_head()[:12]}")
+    elif not deep and not only:
+        # routine full sweep → remind (loudly, not fatally) if the deep
+        # full-corpus gate hasn't been re-verified against this tree
+        _check_deep_stamp()
     if failures:
         print(f"{len(failures)} FAILURES: {failures}")
         sys.exit(1)
