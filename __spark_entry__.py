@@ -1418,6 +1418,188 @@ FROM p
 """
 
 
+def _q_mm_g711_decode_documents(spark, sf_dir):
+    """REAL LOSSY-codec audio decode end-to-end: the same deterministic
+    square waves as ``mm_audio_decode_documents``, companded through ITU-T
+    G.711 — μ-law (WAV format tag 7) for even doc_ids, A-law (tag 6) for
+    odd — by the pure-stdlib codec (operators/g711.py, Sun g711.c
+    semantics, bit-exact vs CPython's audioop) and decoded back through
+    the multimodal dispatch seam. G.711 is LOSSY, but deterministically
+    so: the ±16383 square-wave levels land on companding outputs ±16764
+    (μ) / ±16128 (A) — constants pinned by tests/test_g711_adpcm.py — so
+    the oracle stays a closed form and any companding bug (segment
+    search, bias, mask, container tag routing) breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.g711 import encode_wav_g711
+    from bid_evaluation_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 800 + int(d) % 5 * 400
+                h = 10 + int(d) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                law = "ulaw" if int(d) % 2 == 0 else "alaw"
+                payloads.append(encode_wav_g711(0.5 * sgn, rate=8000,
+                                                law=law))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_audio_features(media, strict=True)
+    return feats.select("media_id", "sample_rate", "duration_ms",
+                        _r4("rms").alias("rms"), "zero_crossings")
+
+
+_SQL_MM_G711_DECODE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id,
+         800 + (doc_id % 5) * 400 AS n,
+         10 + (doc_id % 7) * 2 AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  round(CASE WHEN doc_id % 2 = 0 THEN 16764.0 / 32768.0
+             ELSE 16128.0 / 32768.0 END * 10000.0) / 10000.0 AS rms,
+  CAST((n - 1) // h AS BIGINT) AS zero_crossings
+FROM p
+"""
+
+
+def _q_mm_adpcm_decode_documents(spark, sf_dir):
+    """REAL ADAPTIVE-lossy audio decode end-to-end: the square-wave
+    fixtures encoded as IMA ADPCM (WAV format tag 0x11 — 4 bits/sample,
+    89-step adaptive table; operators/adpcm.py, nibble-exact vs CPython's
+    audioop IMA coder) and decoded through the multimodal dispatch seam.
+    Unlike G.711, the decoded waveform depends on the step-index
+    trajectory, so per-class RMS has no closed form: the oracle carries a
+    frozen 35-row golden table (one per (doc_id%5, doc_id%7) fixture
+    class), computed ONCE by the same pure-Python codec outside Spark and
+    pinned in the SQL — any later codec or plumbing regression breaks the
+    hash match. Zero-crossings survive ADPCM exactly (the coder tracks a
+    ±16383 square well within half a period), so they stay closed-form."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.adpcm import encode_wav_adpcm
+    from bid_evaluation_spark.operators.multimodal import extract_audio_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 800 + int(d) % 5 * 400
+                h = 10 + int(d) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(encode_wav_adpcm(0.5 * sgn, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_audio_features(media, strict=True)
+    return feats.select("media_id", "sample_rate", "duration_ms",
+                        _r4("rms").alias("rms"), "zero_crossings")
+
+
+_SQL_MM_ADPCM_DECODE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, doc_id % 5 AS a, doc_id % 7 AS b,
+         800 + (doc_id % 5) * 400 AS n,
+         10 + (doc_id % 7) * 2 AS h
+  FROM documents
+),
+golden(a, b, rms) AS (VALUES
+  (0, 0, 0.4805), (0, 1, 0.4704), (0, 2, 0.4842), (0, 3, 0.4898),
+  (0, 4, 0.4848), (0, 5, 0.4786), (0, 6, 0.4825),
+  (1, 0, 0.4802), (1, 1, 0.4701), (1, 2, 0.4839), (1, 3, 0.4903),
+  (1, 4, 0.4865), (1, 5, 0.479),  (1, 6, 0.4822),
+  (2, 0, 0.4801), (2, 1, 0.47),   (2, 2, 0.4832), (2, 3, 0.49),
+  (2, 4, 0.4855), (2, 5, 0.479),  (2, 6, 0.482),
+  (3, 0, 0.4806), (3, 1, 0.4696), (3, 2, 0.4837), (3, 3, 0.4909),
+  (3, 4, 0.488),  (3, 5, 0.4788), (3, 6, 0.4816),
+  (4, 0, 0.4806), (4, 1, 0.4695), (4, 2, 0.4834), (4, 3, 0.4904),
+  (4, 4, 0.4868), (4, 5, 0.479),  (4, 6, 0.4812))
+SELECT doc_id AS media_id,
+  CAST(8000 AS BIGINT) AS sample_rate,
+  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+  CAST(golden.rms AS DOUBLE) AS rms,
+  CAST((n - 1) // h AS BIGINT) AS zero_crossings
+FROM p JOIN golden ON p.a = golden.a AND p.b = golden.b
+"""
+
+
+def _q_mm_mjpeg_avi_frames_documents(spark, sf_dir):
+    """REAL LOSSY-video decode end-to-end: per-doc MJPEG AVI clips —
+    every frame a standalone baseline JPEG in a RIFF AVI container
+    (operators/avi.py) — sampled by the same frame kernel as Y4M via
+    magic-byte dispatch. Frames are blockwise-constant grayscale (8x8
+    block (bx,by) of frame k holds (11*bx + 5*by + 7*k + doc_id) mod 256)
+    under the flat q=1 table, so the lossy path is bit-exact (pure-DC
+    blocks survive quantization) and the oracle reproduces every sampled
+    frame's dimensions and mean luma arithmetically — a bug anywhere in
+    the RIFF walk, strh fps parse, per-frame JPEG decode, or tick→frame
+    mapping breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.avi import encode_avi_mjpeg
+    from bid_evaluation_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                wb, hb = 1 + int(d) % 3, 1 + int(d) % 2
+                frames = []
+                for k in range(2 + int(d) % 3):
+                    blocks = ((11 * np.arange(wb)[None, :]
+                               + 5 * np.arange(hb)[:, None]
+                               + 7 * k + int(d)) % 256)
+                    frames.append(np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                                  .astype(np.uint8))
+                payloads.append(encode_avi_mjpeg(frames, fps_num=5,
+                                                 fps_den=1, qtable=1))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads,
+                                "duration_ms": pd.array([None] * len(pdf),
+                                                        dtype="Int64")})
+
+    media = docs.mapInPandas(
+        gen, "media_id long, payload binary, duration_ms long")
+    frames = sample_frames(media, every_ms=200, strict=True)
+    return frames.select("media_id", "frame_index", "frame_ts_ms",
+                         "width", "height",
+                         _r4("frame_mean_luma").alias("frame_mean_luma"))
+
+
+_SQL_MM_MJPEG_AVI_FRAMES_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb,
+         2 + doc_id % 3 AS nf
+  FROM documents
+),
+f AS (
+  SELECT doc_id, wb, hb, u.k FROM p, UNNEST(generate_series(0, nf - 1)) AS u(k)
+)
+SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_index,
+  CAST(k * 200 AS BIGINT) AS frame_ts_ms,
+  CAST(8 * wb AS BIGINT) AS width, CAST(8 * hb AS BIGINT) AS height,
+  round(list_avg(flatten(list_transform(generate_series(0, hb - 1),
+          by -> list_transform(generate_series(0, wb - 1),
+          bx -> CAST((11*bx + 5*by + 7*k + doc_id) % 256 AS DOUBLE))))) * 10000.0)
+    / 10000.0 AS frame_mean_luma
+FROM f
+"""
+
+
 def _q_mm_video_frames_documents(spark, sf_dir):
     """REAL video decode end-to-end: deterministic Y4M clips are encoded per
     doc (frame k pixel(x,y) = (x + 3y + 5k + doc_id) mod 256, dims/length
@@ -13880,6 +14062,12 @@ _QUERIES: dict = {
                                   _SQL_PIPE_END_TO_END_DOCUMENTS),
     "mm_flac_decode_documents": (_q_mm_flac_decode_documents,
                                  _SQL_MM_FLAC_DECODE_DOCUMENTS),
+    "mm_g711_decode_documents": (_q_mm_g711_decode_documents,
+                                 _SQL_MM_G711_DECODE_DOCUMENTS),
+    "mm_adpcm_decode_documents": (_q_mm_adpcm_decode_documents,
+                                  _SQL_MM_ADPCM_DECODE_DOCUMENTS),
+    "mm_mjpeg_avi_frames_documents": (_q_mm_mjpeg_avi_frames_documents,
+                                      _SQL_MM_MJPEG_AVI_FRAMES_DOCUMENTS),
     "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,

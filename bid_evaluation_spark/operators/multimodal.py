@@ -5,10 +5,13 @@ is fully real — schemas, partitioning, Arrow batch shapes, UDF signatures.
 Decode kernels are REAL pure-stdlib codecs: **PNG, baseline JPEG and
 binary Netpbm (PGM/PPM) images** (:mod:`.png`, :mod:`.jpeg`,
 :mod:`.netpbm` — width/height/mean-luma/grid embedding
-from actual pixels, magic-byte dispatch), **PCM WAV audio** (:mod:`.wav` —
-rate/duration/RMS/zero-crossings/log-band spectra from actual samples), and
-**Y4M video** (:mod:`.y4m` — per-frame luma digest/dimensions/mean from
-actual planes). Remaining compressed containers (webp, mp3, h264, ...) need
+from actual pixels, magic-byte dispatch), **PCM WAV / G.711 μ-law+A-law /
+IMA-ADPCM / FLAC audio** (:mod:`.wav`, :mod:`.g711`, :mod:`.adpcm`,
+:mod:`.flac` — rate/duration/RMS/zero-crossings/log-band spectra from
+actual samples; G.711 and ADPCM are real LOSSY codecs), and **Y4M + MJPEG
+AVI video** (:mod:`.y4m`, :mod:`.avi` — per-frame luma
+digest/dimensions/mean from actual planes or decoded JPEG frames).
+Remaining compressed containers (webp, mp3, h264, ...) need
 a media library swapped into the same decode seams. Every kernel also offers ``fake=True``
 (clearly-marked deterministic payload-hash features) so pipeline plumbing
 is testable on arbitrary bytes.
@@ -52,6 +55,30 @@ FRAME_SAMPLE_SCHEMA = (
     "media_id long, frame_index long, frame_ts_ms long, frame_sha256 string, "
     "width long, height long, frame_mean_luma double"
 )
+
+
+def decode_audio(payload: bytes):
+    """Magic-byte/format-tag audio dispatch → ``(rate, mono float64)``.
+
+    One seam for every audio container the pure-stdlib codecs cover:
+    FLAC (magic ``fLaC``), then WAV by fmt tag — G.711 μ-law/A-law
+    (tags 7/6, :mod:`.g711`) and IMA ADPCM (tag 0x11, :mod:`.adpcm`),
+    the two LOSSY families, else integer PCM (:mod:`.wav`). Remaining
+    lossy codecs (mp3/aac) need a media library added at this seam.
+    """
+    from . import adpcm as _adpcm
+    from . import flac as _flac
+    from . import g711 as _g711
+    from . import wav as _wav
+
+    if payload[:4] == b"fLaC":
+        return _flac.decode_flac(payload)
+    tag = _g711.wav_format_tag(payload)
+    if tag in (_g711.WAVE_FORMAT_MULAW, _g711.WAVE_FORMAT_ALAW):
+        return _g711.decode_wav_g711(payload)
+    if tag == _g711.WAVE_FORMAT_IMA_ADPCM:
+        return _adpcm.decode_wav_adpcm(payload)
+    return _wav.decode_wav(payload)
 
 
 def _fake_features(payload: bytes, dim: int = 8) -> np.ndarray:
@@ -149,20 +176,21 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                            strict: bool = False) -> DataFrame:
     """Decode + feature-extract audio via Arrow-batched ``mapInPandas``.
 
-    The REAL kernel (``fake=False``, default) decodes PCM WAV and FLAC
-    payloads with the pure-stdlib codecs (:mod:`.wav`, :mod:`.flac` —
-    magic-byte dispatch, same ``(rate, mono float64)`` contract): sample
-    rate and duration from the container, RMS / zero-crossings / a 13-band
-    log-spectral feature vector from the actual samples. Undecodable
-    payloads yield null audio features (corrupt media must not kill a
-    100-TB scan) unless ``strict=True``. Lossy codecs (mp3/aac) need a
-    real audio library swapped into the same seam.
+    The REAL kernel (``fake=False``, default) decodes PCM WAV, G.711
+    μ-law/A-law WAV, IMA-ADPCM WAV and FLAC payloads with the
+    pure-stdlib codecs (:func:`decode_audio` — magic-byte/format-tag
+    dispatch, same ``(rate, mono float64)`` contract; G.711 and ADPCM
+    are real LOSSY codecs): sample rate and duration from the
+    container, RMS / zero-crossings / a 13-band log-spectral feature
+    vector from the actual samples. Undecodable payloads yield null
+    audio features (corrupt media must not kill a 100-TB scan) unless
+    ``strict=True``. Perceptual codecs (mp3/aac) need a real audio
+    library swapped into the same seam.
 
     ``fake=True`` keeps the old stub: payload bytes treated as a crude
     8-bit waveform with a payload-hash feature vector — useful when testing
     the plumbing on arbitrary bytes.
     """
-    from . import flac as _flac
     from . import wav as _wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,10 +213,7 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                                  "mfcc_like": _fake_features(payload, dim=13)})
                     continue
                 try:
-                    if payload[:4] == b"fLaC":
-                        rate, data = _flac.decode_flac(payload)
-                    else:
-                        rate, data = _wav.decode_wav(payload)
+                    rate, data = decode_audio(payload)
                     # signbit transitions, not sign products: a sample landing
                     # exactly on 0 must still count one crossing, not none
                     rows.append({**base, "sample_rate": rate,
@@ -222,19 +247,23 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                   strict: bool = False) -> DataFrame:
     """Sample video frames at a fixed cadence via Arrow-batched ``mapInPandas``.
 
-    The REAL kernel (``fake=False``, default) decodes Y4M (YUV4MPEG2)
-    payloads with the pure-stdlib codec (:mod:`.y4m`): one output row per
-    cadence tick within the clip, carrying the luma plane's digest, the
-    frame dimensions, and its mean luma from the actual pixels. The sampled
-    frame at tick ``t`` is the one on screen at ``t`` (``floor(t * fps)``).
-    Undecodable payloads yield zero rows (corrupt media must not kill a
-    100-TB scan) unless ``strict=True``. Compressed codecs (h264/vp9/...)
-    need a real media library swapped into the same decode seam.
+    The REAL kernel (``fake=False``, default) dispatches on magic bytes
+    and decodes Y4M (YUV4MPEG2) payloads with the pure-stdlib codec
+    (:mod:`.y4m`) and MJPEG AVI payloads with :mod:`.avi` (every frame a
+    baseline JPEG through :mod:`.jpeg` — the LOSSY video path): one
+    output row per cadence tick within the clip, carrying the luma
+    plane's digest, the frame dimensions, and its mean luma from the
+    actual pixels. The sampled frame at tick ``t`` is the one on screen
+    at ``t`` (``floor(t * fps)``). Undecodable payloads yield zero rows
+    (corrupt media must not kill a 100-TB scan) unless ``strict=True``.
+    Inter-coded codecs (h264/vp9/...) need a real media library swapped
+    into the same decode seam.
 
     ``fake=True`` keeps the stub: rows at every cadence tick of the
     *metadata* duration with payload+index digests and null pixel features —
     the row-explosion shape on arbitrary bytes.
     """
+    from . import avi as _avi
     from . import y4m as _y4m
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -256,7 +285,10 @@ def sample_frames(df: DataFrame, every_ms: int = 1000,
                         })
                     continue
                 try:
-                    w, h, num, den, frames = _y4m.decode_y4m(payload)
+                    if _avi.is_avi(payload):
+                        w, h, num, den, frames = _avi.decode_avi(payload)
+                    else:
+                        w, h, num, den, frames = _y4m.decode_y4m(payload)
                 except Exception:
                     if strict:
                         raise
@@ -407,9 +439,6 @@ def decimate_audio_features(df: DataFrame, factor: int,
     ``strict``. Zero-crossing convention matches
     :func:`extract_audio_features` (signbit diffs).
     """
-    from . import flac as _flac
-    from . import wav as _wav
-
     if factor < 1:
         raise ValueError(f"factor must be positive, got {factor}")
 
@@ -420,10 +449,7 @@ def decimate_audio_features(df: DataFrame, factor: int,
                 payload = row[payload_col] or b""
                 base = {"media_id": int(row[id_col])}
                 try:
-                    if payload[:4] == b"fLaC":
-                        rate, data = _flac.decode_flac(payload)
-                    else:
-                        rate, data = _wav.decode_wav(payload)
+                    rate, data = decode_audio(payload)
                     dec = data[::factor]
                     rows.append({
                         **base, "sample_rate": int(rate),
