@@ -1535,6 +1535,76 @@ FROM p JOIN golden ON p.a = golden.a AND p.b = golden.b
 """
 
 
+def _q_mm_audio_fingerprint_documents(spark, sf_dir):
+    """Audio fingerprinting (operators/audiofp.py — Haitsma-Kalker-shaped
+    frame-energy gradient bits, the audio leg of the per-modality dedup
+    set next to MinHash/SimHash/dHash): deterministic integer-sawtooth
+    WAVs (sample k = ((a*k+b) mod 97 - 48)/64 with a,b,n derived from
+    doc_id) are encoded per doc and fingerprinted through the full audio
+    dispatch. Every quantity is integer-exact end-to-end — the encoder
+    truncates to int16, decoded samples are pcm/2^30-scaled integers,
+    frame energies are integer sums below 2^53 — so the DuckDB oracle
+    reproduces the energies, the gradient bits, and the MSB-first signed
+    64-bit packing arithmetically; any bug in decode scaling, framing,
+    bit order, or two's-complement packing breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.audiofp import audio_fingerprint
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                a = 1 + int(d) % 5
+                b = int(d) % 11
+                n = 2048 + int(d) % 4 * 256
+                k = np.arange(n)
+                s = (((a * k + b) % 97) - 48) / 64.0
+                payloads.append(encode_wav(s, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return audio_fingerprint(media, frame=256, strict=True)
+
+
+_SQL_MM_AUDIO_FINGERPRINT_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 5 AS a, doc_id % 11 AS b,
+         (2048 + (doc_id % 4) * 256) // 256 AS nf
+  FROM documents
+),
+e AS (
+  SELECT doc_id, nf, u.i AS i,
+    list_sum(list_transform(list_transform(generate_series(0, 255),
+      j -> CAST(trunc((((a * (i * 256 + j) + b) % 97) - 48)
+                      * 32767.0 / 64.0) AS BIGINT)),
+      v -> v * v)) AS en
+  FROM p, UNNEST(generate_series(0, nf - 1)) AS u(i)
+),
+bits AS (
+  SELECT doc_id, nf, i,
+    CASE WHEN lead(en) OVER (PARTITION BY doc_id ORDER BY i) > en
+         THEN 1 ELSE 0 END AS bit
+  FROM e
+),
+packed AS (
+  SELECT doc_id, nf,
+    SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (63 - i))) AS v
+  FROM bits WHERE i < nf - 1
+  GROUP BY doc_id, nf
+)
+SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+  CAST(v - CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+               THEN CAST(1 AS HUGEINT) << 64
+               ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS fp64
+FROM packed
+"""
+
+
 def _q_mm_mjpeg_avi_frames_documents(spark, sf_dir):
     """REAL LOSSY-video decode end-to-end: per-doc MJPEG AVI clips —
     every frame a standalone baseline JPEG in a RIFF AVI container
@@ -14068,6 +14138,8 @@ _QUERIES: dict = {
                                   _SQL_MM_ADPCM_DECODE_DOCUMENTS),
     "mm_mjpeg_avi_frames_documents": (_q_mm_mjpeg_avi_frames_documents,
                                       _SQL_MM_MJPEG_AVI_FRAMES_DOCUMENTS),
+    "mm_audio_fingerprint_documents": (_q_mm_audio_fingerprint_documents,
+                                       _SQL_MM_AUDIO_FINGERPRINT_DOCUMENTS),
     "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,
