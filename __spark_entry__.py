@@ -1605,6 +1605,75 @@ FROM packed
 """
 
 
+def _q_mm_video_signature_documents(spark, sf_dir):
+    """Video fingerprinting (operators/videofp.py — per-frame dHash +
+    majority-bit signature, the video leg of the per-modality dedup set):
+    deterministic 9x8 Y4M clips (pixel(x,y) of frame k =
+    (7x² + 13y + 5k + 3·doc_id) mod 256, nf = 2 + doc_id%4 frames). At
+    exactly 9x8 the dHash's 8x9 pooling grid is the IDENTITY map
+    (pinned by tests), so every hash bit is a raw adjacent-pixel
+    comparison the oracle reproduces arithmetically — then the majority
+    vote per bit position and the signed-64 MSB-first packing. A bug in
+    the frame decode, dHash bit order, majority tie rule, or
+    two's-complement overflow at bit 63 breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.videofp import (
+        video_dhash_frames, video_signature)
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                frames = [((7 * np.arange(9)[None, :] ** 2
+                            + 13 * np.arange(8)[:, None]
+                            + 5 * k + 3 * int(d)) % 256).astype(np.uint8)
+                          for k in range(2 + int(d) % 4)]
+                payloads.append(encode_y4m(frames, fps_num=5, fps_den=1,
+                                           mono=True))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return video_signature(video_dhash_frames(media, strict=True))
+
+
+_SQL_MM_VIDEO_SIGNATURE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, 2 + doc_id % 4 AS nf FROM documents
+),
+bits AS (
+  SELECT doc_id, nf, u.k AS k, r.r AS r, c.c AS c,
+    CASE WHEN (7*c.c*c.c + 13*r.r + 5*u.k + 3*doc_id) % 256
+            < (7*(c.c+1)*(c.c+1) + 13*r.r + 5*u.k + 3*doc_id) % 256
+         THEN 1 ELSE 0 END AS bit
+  FROM p,
+       UNNEST(generate_series(0, nf - 1)) AS u(k),
+       UNNEST(generate_series(0, 7)) AS r(r),
+       UNNEST(generate_series(0, 7)) AS c(c)
+),
+maj AS (
+  SELECT doc_id, nf, r, c,
+    CASE WHEN 2 * SUM(bit) > nf THEN 1 ELSE 0 END AS mbit
+  FROM bits GROUP BY doc_id, nf, r, c
+),
+packed AS (
+  SELECT doc_id, nf,
+    SUM(CAST(mbit AS HUGEINT)
+        * (CAST(1 AS HUGEINT) << (63 - (r * 8 + c)))) AS v
+  FROM maj GROUP BY doc_id, nf
+)
+SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+  CAST(v - CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+               THEN CAST(1 AS HUGEINT) << 64
+               ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS sig64
+FROM packed
+"""
+
+
 def _q_mm_mjpeg_avi_frames_documents(spark, sf_dir):
     """REAL LOSSY-video decode end-to-end: per-doc MJPEG AVI clips —
     every frame a standalone baseline JPEG in a RIFF AVI container
@@ -14140,6 +14209,8 @@ _QUERIES: dict = {
                                       _SQL_MM_MJPEG_AVI_FRAMES_DOCUMENTS),
     "mm_audio_fingerprint_documents": (_q_mm_audio_fingerprint_documents,
                                        _SQL_MM_AUDIO_FINGERPRINT_DOCUMENTS),
+    "mm_video_signature_documents": (_q_mm_video_signature_documents,
+                                     _SQL_MM_VIDEO_SIGNATURE_DOCUMENTS),
     "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,
