@@ -1727,6 +1727,42 @@ def _wave8(spark, sf_dir):
     return probs
 
 
+@check("wave9: media fingerprints — Arrow kernels pruned to (id,payload); "
+       "video signature pure-JVM single-shuffle agg; banded hamming join "
+       "never cartesian")
+def _wave9(spark, sf_dir):
+    from bid_evaluation_spark.operators.audiofp import (
+        audio_fingerprint, audio_neardup_pairs)
+    from bid_evaluation_spark.operators.multimodal import synthetic_media_df
+    from bid_evaluation_spark.operators.videofp import (
+        video_dhash_frames, video_signature)
+
+    probs = []
+    media = synthetic_media_df(spark, n=6)
+    for label, df in (("audio fp", audio_fingerprint(media)),
+                      ("video frame hash", video_dhash_frames(media))):
+        p = plan_of(df)
+        if "MapInPandas" not in p:
+            probs.append(f"{label} kernel is not Arrow-batched MapInPandas")
+        m = re.search(r"Project \[([^\]]*)\]", p)
+        if m and ("mime" in m.group(1) or "duration_ms" in m.group(1)):
+            probs.append(f"{label} input not pruned to (id, payload)")
+    sig = video_signature(video_dhash_frames(media))
+    sp = plan_of(sig)
+    if "BatchEvalPython" in sp or "ArrowEvalPython" in sp.replace(
+            "MapInPandas", ""):
+        probs.append("signature aggregation drops into Python")
+    if "partial_count" not in sp and "partial_sum" not in sp:
+        probs.append("signature agg lacks map-side partial aggregation")
+    # exactly ONE shuffle after the decode kernel (the groupBy on the id)
+    if sp.count("Exchange hashpartitioning") > 1:
+        probs.append("signature agg shuffles more than once")
+    np_ = plan_of(audio_neardup_pairs(audio_fingerprint(media)))
+    if "CartesianProduct" in np_ or "BroadcastNestedLoopJoin" in np_:
+        probs.append("banded hamming near-dup degenerates to all-pairs")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
