@@ -184,6 +184,33 @@ def fam_stream_neardup(spark, base):
     return d.count(), neardup_mark_ordered(d).count()
 
 
+def fam_media_codec_fp(spark, base):
+    # round-9 lossy codec + fingerprint kernels: constant-size ADPCM
+    # payload generated per doc, decoded (sample-sequential Python loop —
+    # the most plausible super-linear suspect) and fingerprinted; cost
+    # must scale with the document count alone
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.adpcm import encode_wav_adpcm
+    from bid_evaluation_spark.operators.audiofp import audio_fingerprint
+
+    d = _docs(spark, base).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                h = 10 + int(did) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(2048) // h) % 2)
+                payloads.append(encode_wav_adpcm(0.5 * sgn, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return d.count(), audio_fingerprint(media).count()
+
+
 def fam_quantile_match(spark, base):
     from bid_evaluation_spark.operators.analytics import quantile_match
     od = spark.read.parquet(f"{base}/orders.parquet")
@@ -220,6 +247,10 @@ FAMILIES = {
                        "map-only portable banding + bucket-min groupBy "
                        "(no pair materialization; dup structure "
                        "replicates linearly in the synth corpus)"),
+    "media_codec_fp": (fam_media_codec_fp, 1.0,
+                       "constant-size ADPCM encode+decode+fingerprint "
+                       "per row inside one Arrow kernel — pure map, "
+                       "no shuffle"),
 }
 
 
