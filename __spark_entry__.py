@@ -13967,6 +13967,71 @@ HAVING count(*) >= 2
 """
 
 
+def _q_dedup_stream_hashdup_documents(spark, sf_dir):
+    """Batch twin of the streaming PERCEPTUAL-HASH near-dup filter
+    (streaming/hashdup.py StreamingHashNearDup / hash_neardup_mark_ordered
+    — the media counterpart of the text twin below, serving image dHash /
+    audio fingerprint / video signature streams): planted 50-cluster
+    fixture hashes (cluster base = golden-ratio multiply mod 2^64, member
+    m flips two m-derived bits, so intra-cluster hamming <= 4 and clusters
+    sit far apart), each doc flagged iff a lower-id doc shares one of the
+    8 pigeonhole bands AND verifies bit_count(xor) <= 6, smallest witness
+    as dup_of. The oracle REPLAYS the whole pipeline in DuckDB — HUGEINT
+    wrap-around multiply, bit flips, band extraction, banded join, xor
+    popcount — so a bug in Java long wrap semantics, band layout, the
+    verify threshold, or witness minimization breaks the hash match."""
+    from bid_evaluation_spark.streaming.hashdup import (
+        hash_neardup_mark_ordered)
+
+    gold = 0x9E3779B97F4A7C15 - (1 << 64)  # signed-long golden ratio
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").alias("media_id"),
+                  F.expr(f"""
+      CASE WHEN doc_id div 50 > 0 THEN
+        (((doc_id % 50) + 1) * {gold}L)
+          ^ shiftleft(1L, cast((5 * (doc_id div 50) + 1) % 64 AS INT))
+          ^ shiftleft(1L, cast((11 * (doc_id div 50) + 3) % 64 AS INT))
+      ELSE ((doc_id % 50) + 1) * {gold}L END""").alias("fp64")))
+    return hash_neardup_mark_ordered(df, id_col="media_id",
+                                     hash_col="fp64", max_hamming=6)
+
+
+_SQL_DEDUP_STREAM_HASHDUP_DOCUMENTS = """
+WITH h0 AS (
+  SELECT doc_id,
+    ((CAST(doc_id % 50 + 1 AS HUGEINT)
+      * CAST(11400714819323198485 AS HUGEINT))
+     % (CAST(1 AS HUGEINT) << 64)) AS u0,
+    doc_id // 50 AS m
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    CASE WHEN m > 0 THEN xor(xor(u0,
+        CAST(1 AS HUGEINT) << CAST((5 * m + 1) % 64 AS INTEGER)),
+        CAST(1 AS HUGEINT) << CAST((11 * m + 3) % 64 AS INTEGER))
+    ELSE u0 END AS u
+  FROM h0
+),
+bands AS (
+  SELECT doc_id, u, b.b AS band, (u >> (8 * b.b)) % 256 AS key
+  FROM h, UNNEST(generate_series(0, 7)) AS b(b)
+),
+pairs AS (
+  SELECT a.doc_id AS id, MIN(l.doc_id) AS dup_of
+  FROM bands a JOIN bands l
+    ON a.band = l.band AND a.key = l.key AND l.doc_id < a.doc_id
+  WHERE bit_count(CAST(xor(a.u, l.u)
+        - CASE WHEN xor(a.u, l.u) >= CAST(1 AS HUGEINT) << 63
+               THEN CAST(1 AS HUGEINT) << 64
+               ELSE CAST(0 AS HUGEINT) END AS BIGINT)) <= 6
+  GROUP BY a.doc_id
+)
+SELECT d.doc_id AS media_id, p.dup_of IS NOT NULL AS is_near_dup, p.dup_of
+FROM documents d LEFT JOIN pairs p ON d.doc_id = p.id
+"""
+
+
 def _q_dedup_stream_neardup_documents(spark, sf_dir):
     """Batch twin of the streaming near-dup filter
     (streaming/neardup.py StreamingNearDup; operators/dedup.py
@@ -14583,6 +14648,8 @@ _QUERIES: dict = {
                                _SQL_TEXT_ENTROPY_DOCUMENTS),
     "text_winnow_pairs_documents": (_q_text_winnow_pairs_documents,
                                     _SQL_TEXT_WINNOW_PAIRS_DOCUMENTS),
+    "dedup_stream_hashdup_documents": (_q_dedup_stream_hashdup_documents,
+                                       _SQL_DEDUP_STREAM_HASHDUP_DOCUMENTS),
     "dedup_stream_neardup_documents": (_q_dedup_stream_neardup_documents,
                                        _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS),
     "mm_gif_decode_documents": (_q_mm_gif_decode_documents,
