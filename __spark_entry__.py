@@ -1605,6 +1605,151 @@ FROM packed
 """
 
 
+def _q_mq_image_quality_documents(spark, sf_dir):
+    """Image quality gates (operators/mediaquality.py — the multimodal
+    counterpart of the Gopher/C4 text filters): contrast, gradient
+    sharpness, dark/bright fractions over REAL decoded pixels. Fixture is
+    the mm_image_decode PNG ramp (pixel(x,y) = (x + 7y + doc_id) mod 256),
+    whose every feature has a closed form the oracle reproduces: the
+    mod-256 ramp makes |horizontal diff| 1-or-255 and |vertical diff|
+    7-or-249 exactly at the wrap points, and the dark/bright counts are
+    integer pixel counts."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mediaquality import image_quality
+    from bid_evaluation_spark.operators.png import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 3
+                img = ((np.arange(w)[None, :] + 7 * np.arange(h)[:, None]
+                        + int(d)) % 256).astype(np.uint8)
+                payloads.append(encode_png(img[:, :, None]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    q = image_quality(media, strict=True)
+    return q.select("media_id", "width", "height",
+                    _r4("contrast").alias("contrast"),
+                    _r4("sharpness").alias("sharpness"),
+                    _r4("dark_frac").alias("dark_frac"),
+                    _r4("bright_frac").alias("bright_frac"))
+
+
+_SQL_MQ_IMAGE_QUALITY_DOCUMENTS = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h,
+    flatten(list_transform(generate_series(0, h - 1),
+      y -> list_transform(generate_series(0, w - 1),
+      x -> (x + 7 * y + doc_id) % 256))) AS v
+  FROM dims
+),
+feats AS (
+  SELECT doc_id, w, h,
+    sqrt(list_avg(list_transform(v, e -> CAST(e * e AS DOUBLE)))
+         - list_avg(list_transform(v, e -> CAST(e AS DOUBLE))) ^ 2)
+      AS contrast,
+    -- horizontal: within a row, consecutive ramp values differ by 1
+    -- except at the 255->0 wrap (|diff| = 255)
+    (list_sum(flatten(list_transform(generate_series(0, h - 1),
+        y -> list_transform(generate_series(0, w - 2),
+        x -> CAST(abs(((x + 1 + 7*y + doc_id) % 256)
+                      - ((x + 7*y + doc_id) % 256)) AS DOUBLE)))))
+       / (h * (w - 1))
+     + list_sum(flatten(list_transform(generate_series(0, h - 2),
+        y -> list_transform(generate_series(0, w - 1),
+        x -> CAST(abs(((x + 7*(y+1) + doc_id) % 256)
+                      - ((x + 7*y + doc_id) % 256)) AS DOUBLE)))))
+       / ((h - 1) * w)) AS sharpness,
+    list_sum(list_transform(v, e -> CASE WHEN e < 16 THEN 1.0 ELSE 0.0 END))
+      / (w * h) AS dark_frac,
+    list_sum(list_transform(v, e -> CASE WHEN e >= 240 THEN 1.0 ELSE 0.0 END))
+      / (w * h) AS bright_frac
+  FROM px
+)
+SELECT doc_id AS media_id, CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  round(contrast * 10000.0) / 10000.0 AS contrast,
+  round(sharpness * 10000.0) / 10000.0 AS sharpness,
+  round(dark_frac * 10000.0) / 10000.0 AS dark_frac,
+  round(bright_frac * 10000.0) / 10000.0 AS bright_frac
+FROM feats
+"""
+
+
+def _q_mq_audio_quality_documents(spark, sf_dir):
+    """Audio quality gates over REAL decoded samples: silence ratio,
+    clipping ratio, DC offset, peak, crest factor. Square-wave fixtures
+    with doc-derived amplitude a = 0.25·(1 + doc_id%4): PCM quantization
+    makes the level trunc(a·32767) exactly, so peak is closed-form,
+    clip_ratio is 1.0 exactly when a = 1.0 (32767/32768 ≥ 0.99) else 0.0,
+    crest factor is exactly 0 dB (|x| constant ⇒ rms = peak, float-exact
+    through square/mean/sqrt — see operators/mediaquality.py), and the
+    DC offset is the half-period remainder the oracle sums outright."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mediaquality import audio_quality
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 800 + int(d) % 5 * 400
+                h = 10 + int(d) % 7 * 2
+                a = 0.25 * (1 + int(d) % 4)
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(encode_wav(a * sgn, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    q = audio_quality(media, strict=True)
+    return q.select("media_id", "n_samples",
+                    _r4("silence_ratio").alias("silence_ratio"),
+                    _r4("clip_ratio").alias("clip_ratio"),
+                    _r4("dc_offset").alias("dc_offset"),
+                    _r4("peak").alias("peak"),
+                    _r4("crest_db").alias("crest_db"))
+
+
+_SQL_MQ_AUDIO_QUALITY_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id,
+         800 + (doc_id % 5) * 400 AS n,
+         10 + (doc_id % 7) * 2 AS h,
+         CAST(trunc(0.25 * (1 + doc_id % 4) * 32767.0) AS BIGINT) AS lvl
+  FROM documents
+),
+dc AS (
+  SELECT doc_id, n, h, lvl,
+    list_sum(list_transform(generate_series(0, n - 1),
+      k -> CASE WHEN (k // h) % 2 = 0 THEN 1 ELSE -1 END)) AS signsum
+  FROM p
+)
+SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+  CAST(0.0 AS DOUBLE) AS silence_ratio,
+  CAST(CASE WHEN lvl / 32768.0 >= 0.99 THEN 1.0 ELSE 0.0 END AS DOUBLE)
+    AS clip_ratio,
+  round((CAST(signsum AS DOUBLE) * (lvl / 32768.0) / n) * 10000.0)
+    / 10000.0 AS dc_offset,
+  round((lvl / 32768.0) * 10000.0) / 10000.0 AS peak,
+  CAST(0.0 AS DOUBLE) AS crest_db
+FROM dc
+"""
+
+
 def _q_mm_video_signature_documents(spark, sf_dir):
     """Video fingerprinting (operators/videofp.py — per-frame dHash +
     majority-bit signature, the video leg of the per-modality dedup set):
@@ -14276,6 +14421,10 @@ _QUERIES: dict = {
                                        _SQL_MM_AUDIO_FINGERPRINT_DOCUMENTS),
     "mm_video_signature_documents": (_q_mm_video_signature_documents,
                                      _SQL_MM_VIDEO_SIGNATURE_DOCUMENTS),
+    "mq_image_quality_documents": (_q_mq_image_quality_documents,
+                                   _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
+    "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
+                                   _SQL_MQ_AUDIO_QUALITY_DOCUMENTS),
     "mm_audio_decode_documents": (_q_mm_audio_decode_documents,
                                   _SQL_MM_AUDIO_DECODE_DOCUMENTS),
     "mm_video_frames_documents": (_q_mm_video_frames_documents,
