@@ -1605,6 +1605,49 @@ FROM packed
 """
 
 
+def _q_wds_tar_roundtrip_documents(spark, sf_dir):
+    """WebDataset tar-shard codec (sources/webdataset.py — the de-facto
+    multimodal training-data container: POSIX tar shards of adjacent
+    ``<key>.<ext>`` members, shard = unit of parallelism): each doc is
+    packed into a 3-sample shard (key ``<doc_id:08d>-<j>``, members
+    ``txt`` = the document text bytes and ``cls`` = a per-sample label)
+    and decoded straight back, with the OUTPUT taken from the decoded
+    members — so member naming, adjacency grouping, sizes, and content
+    all pass through the codec. The oracle reproduces keys, UTF-8 byte
+    lengths, and labels arithmetically; the binaryFile ingest path and
+    the distributed sink are covered by tests/test_webdataset.py."""
+    import pandas as pd
+
+    from bid_evaluation_spark.sources.webdataset import (
+        decode_tar_shard, encode_tar_shard)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                txt = (text or "").encode("utf-8")
+                samples = [{"__key__": f"{int(d):08d}-{j}", "txt": txt,
+                            "cls": str((int(d) + j) % 7).encode()}
+                           for j in range(3)]
+                for s in decode_tar_shard(encode_tar_shard(samples)):
+                    rows.append({"key": s["__key__"],
+                                 "n_txt": len(s["txt"]),
+                                 "cls": int(s["cls"])})
+            yield pd.DataFrame(rows, columns=["key", "n_txt", "cls"])
+
+    return docs.mapInPandas(kernel, "key string, n_txt long, cls long")
+
+
+_SQL_WDS_TAR_ROUNDTRIP_DOCUMENTS = """
+SELECT printf('%08d-%d', doc_id, u.j) AS key,
+  CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n_txt,
+  CAST((doc_id + u.j) % 7 AS BIGINT) AS cls
+FROM documents, UNNEST(generate_series(0, 2)) AS u(j)
+"""
+
+
 def _q_mq_image_quality_documents(spark, sf_dir):
     """Image quality gates (operators/mediaquality.py — the multimodal
     counterpart of the Gopher/C4 text filters): contrast, gradient
@@ -14421,6 +14464,8 @@ _QUERIES: dict = {
                                        _SQL_MM_AUDIO_FINGERPRINT_DOCUMENTS),
     "mm_video_signature_documents": (_q_mm_video_signature_documents,
                                      _SQL_MM_VIDEO_SIGNATURE_DOCUMENTS),
+    "wds_tar_roundtrip_documents": (_q_wds_tar_roundtrip_documents,
+                                    _SQL_WDS_TAR_ROUNDTRIP_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
