@@ -1605,6 +1605,67 @@ FROM packed
 """
 
 
+def _q_mm_resample_documents(spark, sf_dir):
+    """Anti-aliased polyphase resampling (operators/resample.py —
+    windowed-sinc upfirdn, the operator that closes the 'needs a DSP
+    library' seam the decimator documented): the square-wave fixtures
+    downsampled 8 kHz → 3 kHz THROUGH Nyquist, so the RMS depends on how
+    many odd harmonics the anti-alias filter keeps per fixture class —
+    naive every-k-th decimation aliases them back and misses the golden
+    values. The oracle carries a frozen 35-row golden table (one per
+    (doc_id%5, doc_id%7) class, computed once by the same pure-numpy
+    resampler offline, 14 distinct values) plus the exact ceil-length
+    convention; zero-crossing-free columns keep it deterministic."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.resample import resample_audio
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                n = 800 + int(d) % 5 * 400
+                h = 10 + int(d) % 7 * 2
+                sgn = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(encode_wav(0.5 * sgn, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    out = resample_audio(media, out_rate=3000, strict=True)
+    return out.select("media_id", "in_rate", "out_rate", "n_in", "n_out",
+                      _r4("rms").alias("rms"))
+
+
+_SQL_MM_RESAMPLE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, doc_id % 5 AS a, doc_id % 7 AS b,
+         800 + (doc_id % 5) * 400 AS n
+  FROM documents
+),
+golden(a, b, rms) AS (VALUES
+  (0,0,0.4785),(0,1,0.4764),(0,2,0.4803),(0,3,0.4848),(0,4,0.4849),
+  (0,5,0.4877),(0,6,0.4888),
+  (1,0,0.4785),(1,1,0.4766),(1,2,0.4808),(1,3,0.4848),(1,4,0.485),
+  (1,5,0.4877),(1,6,0.4889),
+  (2,0,0.4785),(2,1,0.4765),(2,2,0.4808),(2,3,0.4848),(2,4,0.4851),
+  (2,5,0.4877),(2,6,0.489),
+  (3,0,0.4785),(3,1,0.4765),(3,2,0.4808),(3,3,0.4848),(3,4,0.4849),
+  (3,5,0.4877),(3,6,0.489),
+  (4,0,0.4785),(4,1,0.4765),(4,2,0.4808),(4,3,0.4848),(4,4,0.485),
+  (4,5,0.4877),(4,6,0.4889))
+SELECT doc_id AS media_id,
+  CAST(8000 AS BIGINT) AS in_rate, CAST(3000 AS BIGINT) AS out_rate,
+  CAST(n AS BIGINT) AS n_in,
+  CAST((n * 3 + 7) // 8 AS BIGINT) AS n_out,
+  CAST(golden.rms AS DOUBLE) AS rms
+FROM p JOIN golden ON p.a = golden.a AND p.b = golden.b
+"""
+
+
 def _q_wds_tar_roundtrip_documents(spark, sf_dir):
     """WebDataset tar-shard codec (sources/webdataset.py — the de-facto
     multimodal training-data container: POSIX tar shards of adjacent
@@ -14466,6 +14527,8 @@ _QUERIES: dict = {
                                      _SQL_MM_VIDEO_SIGNATURE_DOCUMENTS),
     "wds_tar_roundtrip_documents": (_q_wds_tar_roundtrip_documents,
                                     _SQL_WDS_TAR_ROUNDTRIP_DOCUMENTS),
+    "mm_resample_documents": (_q_mm_resample_documents,
+                              _SQL_MM_RESAMPLE_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,

@@ -432,8 +432,10 @@ def decimate_audio_features(df: DataFrame, factor: int,
     one rate). Plain every-``factor``-th-sample decimation, NOT a
     filtered resample: integer-exact (``x[::factor]``), so an oracle can
     replay which samples survive and the resulting RMS/zero-crossings
-    arithmetically. (An anti-aliased polyphase resampler needs a DSP
-    library — same seam, documented like the lossy codecs.) Returns
+    arithmetically. (The anti-aliased path is
+    :func:`.resample.resample_audio` — windowed-sinc polyphase, pure
+    numpy; use that when spectra matter, this when sample identity
+    matters.) Returns
     ``(media_id, sample_rate, out_rate, n_in, n_out, rms,
     zero_crossings)``; undecodable payloads yield nulls unless
     ``strict``. Zero-crossing convention matches
