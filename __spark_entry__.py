@@ -1605,6 +1605,69 @@ FROM packed
 """
 
 
+def _q_mm_probe_documents(spark, sf_dir):
+    """Header-only media probing (operators/probe.py — the ffprobe-shaped
+    manifest pass that runs before any decode; touches tens of header
+    bytes per payload): payload modality cycles with doc_id%3 — PNG
+    image / PCM WAV audio / mono Y4M video, with dims, rates and frame
+    counts all doc-derived — and the probe must classify each container
+    and extract width/height/sample_rate/n_units/duration_ms from
+    headers alone; every column is a closed form the oracle reproduces.
+    Tests cover the other ten containers (JPEG/GIF/PNM/G.711/ADPCM/
+    FLAC/AVI/tar) and the corrupt→null-format contract."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.probe import probe_media
+    from bid_evaluation_spark.operators.wav import encode_wav
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 3 == 0:
+                    w, h = 8 + d % 5, 6 + d % 4
+                    img = np.zeros((h, w, 1), dtype=np.uint8)
+                    payloads.append(encode_png(img))
+                elif d % 3 == 1:
+                    n = 400 + d % 5 * 200
+                    payloads.append(encode_wav(np.zeros(n), rate=8000))
+                else:
+                    w, h = 8 + d % 4 * 2, 6 + d % 3 * 2
+                    nf = 2 + d % 4
+                    frames = [np.zeros((h, w), dtype=np.uint8)] * nf
+                    payloads.append(encode_y4m(frames, fps_num=5,
+                                               fps_den=1, mono=True))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return probe_media(media)
+
+
+_SQL_MM_PROBE_DOCUMENTS = """
+SELECT doc_id AS media_id,
+  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav-pcm'
+       ELSE 'y4m' END AS format,
+  CASE doc_id % 3 WHEN 0 THEN CAST(8 + doc_id % 5 AS BIGINT)
+       WHEN 2 THEN CAST(8 + (doc_id % 4) * 2 AS BIGINT) END AS width,
+  CASE doc_id % 3 WHEN 0 THEN CAST(6 + doc_id % 4 AS BIGINT)
+       WHEN 2 THEN CAST(6 + (doc_id % 3) * 2 AS BIGINT) END AS height,
+  CASE doc_id % 3 WHEN 1 THEN CAST(8000 AS BIGINT) END AS sample_rate,
+  CASE doc_id % 3
+       WHEN 1 THEN CAST(400 + (doc_id % 5) * 200 AS BIGINT)
+       WHEN 2 THEN CAST(2 + doc_id % 4 AS BIGINT) END AS n_units,
+  CASE doc_id % 3
+       WHEN 1 THEN CAST((400 + (doc_id % 5) * 200) * 1000 // 8000 AS BIGINT)
+       WHEN 2 THEN CAST((2 + doc_id % 4) * 200 AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
+
 def _q_mm_resample_documents(spark, sf_dir):
     """Anti-aliased polyphase resampling (operators/resample.py —
     windowed-sinc upfirdn, the operator that closes the 'needs a DSP
@@ -14529,6 +14592,8 @@ _QUERIES: dict = {
                                     _SQL_WDS_TAR_ROUNDTRIP_DOCUMENTS),
     "mm_resample_documents": (_q_mm_resample_documents,
                               _SQL_MM_RESAMPLE_DOCUMENTS),
+    "mm_probe_documents": (_q_mm_probe_documents,
+                           _SQL_MM_PROBE_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,

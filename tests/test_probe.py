@@ -1,0 +1,90 @@
+"""Header-only media probe: every container the codec modules speak,
+no-decode guarantee (truncated bodies still probe), corrupt→null."""
+
+import numpy as np
+import pytest
+
+from bid_evaluation_spark.operators.probe import probe_media, probe_payload
+
+
+def _img(w=12, h=8):
+    return ((np.arange(w)[None, :] + 7 * np.arange(h)[:, None]) % 256) \
+        .astype(np.uint8)
+
+
+def test_probe_all_containers():
+    from bid_evaluation_spark.operators.adpcm import encode_wav_adpcm
+    from bid_evaluation_spark.operators.avi import encode_avi_mjpeg
+    from bid_evaluation_spark.operators.flac import encode_flac
+    from bid_evaluation_spark.operators.g711 import encode_wav_g711
+    from bid_evaluation_spark.operators.gif import encode_gif
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+    from bid_evaluation_spark.operators.netpbm import encode_pgm, encode_ppm
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.wav import encode_wav
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+    from bid_evaluation_spark.sources.webdataset import encode_tar_shard
+
+    img = _img()
+    sq = np.tile([0.5, -0.5], 400)
+    frames = [img[:8, :8]] * 3
+    cases = {
+        "png": encode_png(img[:, :, None]),
+        "jpeg": encode_jpeg(img, qtable=1),
+        "gif": encode_gif(np.dstack([img] * 3)),
+        "pgm": encode_pgm(img),
+        "ppm": encode_ppm(np.dstack([img] * 3)),
+        "wav-pcm": encode_wav(sq, rate=8000),
+        "wav-ulaw": encode_wav_g711(sq, rate=8000, law="ulaw"),
+        "wav-alaw": encode_wav_g711(sq, rate=8000, law="alaw"),
+        "wav-adpcm": encode_wav_adpcm(sq, rate=8000),
+        "flac": encode_flac(sq, rate=8000),
+        "y4m": encode_y4m(frames, fps_num=5, fps_den=1, mono=True),
+        "avi-mjpeg": encode_avi_mjpeg(frames, fps_num=5, fps_den=1,
+                                      qtable=1),
+        "tar": encode_tar_shard([{"__key__": "a", "txt": b"x"},
+                                 {"__key__": "b", "txt": b"y"}]),
+    }
+    for want, payload in cases.items():
+        got = probe_payload(payload)
+        assert got["format"] == want, (want, got)
+    for name in ("png", "jpeg", "gif", "pgm", "ppm"):
+        got = probe_payload(cases[name])
+        assert (got["width"], got["height"]) == (12, 8), name
+    for name in ("wav-pcm", "wav-ulaw", "wav-alaw", "wav-adpcm", "flac"):
+        got = probe_payload(cases[name])
+        assert got["sample_rate"] == 8000 and got["n_units"] == 800 \
+            and got["duration_ms"] == 100, name
+    for name in ("y4m", "avi-mjpeg"):
+        got = probe_payload(cases[name])
+        assert got["n_units"] == 3 and got["duration_ms"] == 600, name
+    assert probe_payload(cases["tar"])["n_units"] == 2
+    assert probe_payload(b"random junk")["format"] is None
+    assert probe_payload(b"")["format"] is None
+
+
+def test_probe_is_header_only():
+    """Truncating the BODY must not break the probe — that's the whole
+    point: dims/rates come from headers, not decodes."""
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+
+    png = encode_png(_img()[:, :, None])
+    got = probe_payload(png[:40])  # magic + IHDR only
+    assert got["format"] == "png" and got["width"] == 12
+    y4m = encode_y4m([_img()[:8, :8]] * 4, fps_num=5, fps_den=1,
+                     mono=True)
+    got = probe_payload(y4m[:len(y4m) - 30])  # last frame truncated
+    assert got["format"] == "y4m" and got["n_units"] == 3
+
+
+def test_probe_media_kernel(spark):
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(np.zeros(800), rate=16000))),
+         (2, bytearray(b"junk")), (3, None)],
+        "media_id long, payload binary")
+    got = {r["media_id"]: r for r in probe_media(df).collect()}
+    assert got[1]["format"] == "wav-pcm" and got[1]["sample_rate"] == 16000
+    assert got[2]["format"] is None and got[3]["format"] is None
