@@ -1605,6 +1605,84 @@ FROM packed
 """
 
 
+def _q_mm_bilinear_resize_documents(spark, sf_dir):
+    """Bilinear resize, align_corners=False (operators/resize.py — the
+    model-front-end convention next to the integer-exact NN kernel):
+    AFFINE fixture images (pixel(x,y) = doc_id%50 + x + 2y, no mod wrap)
+    make the interpolation EXACT — bilinear of a linear field is the
+    field — so every output pixel is base + px(x') + 2·py(y') with
+    px = (x'+0.5)·w/out − 0.5, and downscaling to 5×4 keeps every source
+    position unclamped. The oracle reproduces the resized mean AND both
+    corner samples; the corners pin the half-pixel-center convention
+    (align_corners=True or NN sampling yields different corners even
+    though the mean of an affine field survives any symmetric scheme)."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.resize import (
+        bilinear_resize, resize_bilinear_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 3
+                img = (int(d) % 50 + np.arange(w)[None, :]
+                       + 2 * np.arange(h)[:, None]).astype(np.uint8)
+                payloads.append(encode_png(img[:, :, None]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = resize_bilinear_features(media, out_w=5, out_h=4, strict=True)
+
+    # corner samples via a second tiny kernel pass over the same fixture
+    def corners(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                w, h = 8 + int(d) % 5, 6 + int(d) % 3
+                img = (int(d) % 50 + np.arange(w)[None, :]
+                       + 2 * np.arange(h)[:, None]).astype(np.float64)
+                out = bilinear_resize(img, 5, 4)
+                rows.append({"media_id": int(d),
+                             "corner00": float(out[0, 0]),
+                             "corner_last": float(out[3, 4])})
+            yield pd.DataFrame(rows, columns=["media_id", "corner00",
+                                              "corner_last"])
+
+    cdf = docs.mapInPandas(
+        corners, "media_id long, corner00 double, corner_last double")
+    return (feats.join(cdf, "media_id")
+            .select("media_id", "width", "height",
+                    _r4("resized_mean").alias("resized_mean"),
+                    _r4("corner00").alias("corner00"),
+                    _r4("corner_last").alias("corner_last")))
+
+
+_SQL_MM_BILINEAR_RESIZE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, doc_id % 50 AS base,
+         8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  -- mean of an affine field under half-pixel sampling = field mean
+  round((base + (w - 1) / 2.0 + (h - 1)) * 10000.0) / 10000.0
+    AS resized_mean,
+  round((base + (0.5 * (w / 5.0) - 0.5)
+              + 2 * (0.5 * (h / 4.0) - 0.5)) * 10000.0) / 10000.0
+    AS corner00,
+  round((base + (4.5 * (w / 5.0) - 0.5)
+              + 2 * (3.5 * (h / 4.0) - 0.5)) * 10000.0) / 10000.0
+    AS corner_last
+FROM p
+"""
+
+
 def _q_mm_probe_documents(spark, sf_dir):
     """Header-only media probing (operators/probe.py — the ffprobe-shaped
     manifest pass that runs before any decode; touches tens of header
@@ -14594,6 +14672,8 @@ _QUERIES: dict = {
                               _SQL_MM_RESAMPLE_DOCUMENTS),
     "mm_probe_documents": (_q_mm_probe_documents,
                            _SQL_MM_PROBE_DOCUMENTS),
+    "mm_bilinear_resize_documents": (_q_mm_bilinear_resize_documents,
+                                     _SQL_MM_BILINEAR_RESIZE_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
