@@ -1605,6 +1605,55 @@ FROM packed
 """
 
 
+def _q_pdf_text_documents(spark, sf_dir):
+    """PDF text extraction (operators/pdf.py — the document-ingest leg of
+    the media seams: unencrypted + Flate/plain streams + simple-font
+    Tj/TJ, the machine-generated majority; composite fonts/encryption
+    documented out of scope): each doc's text, projected to printable
+    ASCII and wrapped with parens + a trailing backslash (forcing the
+    §7.3.4.2 string-escape round trip), is written into a real
+    xref+FlateDecode PDF by the fixture encoder and extracted back by
+    the Spark kernel. The oracle rebuilds the expected string with SQL
+    concatenation — a bug in stream discovery, zlib handling, operator
+    tokenization, or escape decoding changes text/n_chars and breaks
+    the hash match."""
+    import re as _re
+
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.pdf import (
+        encode_pdf, extract_pdf_text_features)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                proj = _re.sub(r"[^ -~]", "", text or "")
+                page = f"doc {int(d)}: ({proj})\\"
+                payloads.append(encode_pdf([page]))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return extract_pdf_text_features(media, strict=True)
+
+
+_SQL_PDF_TEXT_DOCUMENTS = """
+WITH expected AS (
+  SELECT doc_id,
+    'doc ' || CAST(doc_id AS VARCHAR) || ': ('
+      || regexp_replace(COALESCE(text, ''), '[^ -~]', '', 'g')
+      || ')' || chr(92) AS t
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CAST(1 AS BIGINT) AS n_pages, CAST(1 AS BIGINT) AS n_streams,
+  CAST(length(t) AS BIGINT) AS n_chars, t AS text
+FROM expected
+"""
+
+
 def _q_mm_bilinear_resize_documents(spark, sf_dir):
     """Bilinear resize, align_corners=False (operators/resize.py — the
     model-front-end convention next to the integer-exact NN kernel):
@@ -14674,6 +14723,8 @@ _QUERIES: dict = {
                            _SQL_MM_PROBE_DOCUMENTS),
     "mm_bilinear_resize_documents": (_q_mm_bilinear_resize_documents,
                                      _SQL_MM_BILINEAR_RESIZE_DOCUMENTS),
+    "pdf_text_documents": (_q_pdf_text_documents,
+                           _SQL_PDF_TEXT_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
