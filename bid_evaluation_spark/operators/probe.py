@@ -199,6 +199,66 @@ def _probe_avi(p: bytes) -> Optional[dict]:
             "duration_ms": total * usec // 1000 if usec else None}
 
 
+_MP3_BITRATE = {  # kbps, MPEG-1 layer III column of the public table
+    1: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+
+
+def _probe_mp3(p: bytes) -> Optional[dict]:
+    """MPEG-1/2/2.5 Layer III frame-header probe — the one container
+    here we PROBE but do not decode (the perceptual decode stays a
+    library seam): classify, pull the sample rate, and estimate the
+    duration by walking frame lengths. Requires either an ID3v2 tag or
+    two consecutive valid frame headers, so random 0xFFEx bytes in
+    arbitrary payloads don't classify as mp3."""
+    pos = 0
+    has_id3 = p[:3] == b"ID3" and len(p) >= 10
+    if has_id3:
+        size = ((p[6] & 0x7F) << 21) | ((p[7] & 0x7F) << 14) \
+            | ((p[8] & 0x7F) << 7) | (p[9] & 0x7F)
+        pos = 10 + size
+
+    def frame_at(i):
+        if i + 4 > len(p) or p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
+            return None
+        ver = (p[i + 1] >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (p[i + 1] >> 1) & 3        # 1 = Layer III
+        if ver == 1 or layer != 1:
+            return None
+        br_idx = p[i + 2] >> 4
+        sr_idx = (p[i + 2] >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            return None
+        table = _MP3_BITRATE[1 if ver == 3 else 2]
+        rate = _MP3_RATES[ver][sr_idx]
+        bitrate = table[br_idx] * 1000
+        pad = (p[i + 2] >> 1) & 1
+        spf = 1152 if ver == 3 else 576
+        flen = spf // 8 * bitrate // rate + pad
+        return rate, spf, flen
+
+    first = frame_at(pos)
+    if first is None:
+        return None
+    if not has_id3:
+        nxt = frame_at(pos + first[2])
+        if nxt is None:
+            return None
+    rate = first[0]
+    n = 0
+    while True:
+        fr = frame_at(pos)
+        if fr is None:
+            break
+        n += fr[1]
+        pos += max(fr[2], 4)
+    return {**_NULL, "format": "mp3", "sample_rate": rate, "n_units": n,
+            "duration_ms": n * 1000 // rate}
+
+
 def _probe_tar(p: bytes) -> Optional[dict]:
     # POSIX ustar magic at offset 257 of the first header block
     if len(p) < 512 or p[257:262] != b"ustar":
@@ -212,7 +272,8 @@ def _probe_tar(p: bytes) -> Optional[dict]:
 
 
 _PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_netpbm,
-           _probe_flac, _probe_y4m, _probe_avi, _probe_wav, _probe_tar)
+           _probe_flac, _probe_y4m, _probe_avi, _probe_wav, _probe_mp3,
+           _probe_tar)
 
 
 def probe_payload(p: bytes) -> dict:

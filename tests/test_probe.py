@@ -63,6 +63,38 @@ def test_probe_all_containers():
     assert probe_payload(b"")["format"] is None
 
 
+def _mp3_frame(ver_bits, br_idx, sr_idx):
+    """One MPEG Layer-III frame with a valid header and zeroed payload
+    (header-only fixture: the probe never reads audio data)."""
+    hdr = bytes([0xFF, 0xE0 | (ver_bits << 3) | (1 << 1),
+                 (br_idx << 4) | (sr_idx << 2), 0])
+    spf = 1152 if ver_bits == 3 else 576
+    rates = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+             0: (11025, 12000, 8000)}[ver_bits]
+    brs = {3: (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+               256, 320),
+           2: (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+               160)}[3 if ver_bits == 3 else 2]
+    flen = spf // 8 * (brs[br_idx] * 1000) // rates[sr_idx]
+    return hdr + b"\x00" * (flen - 4)
+
+
+def test_probe_mp3_headers():
+    # MPEG-1 Layer III, 128 kbps, 44.1 kHz, 38 frames ≈ 992 ms
+    stream = b"".join(_mp3_frame(3, 9, 0) for _ in range(38))
+    got = probe_payload(stream)
+    assert got["format"] == "mp3" and got["sample_rate"] == 44100
+    assert got["n_units"] == 38 * 1152
+    assert got["duration_ms"] == 38 * 1152 * 1000 // 44100
+    # ID3v2 tag is skipped (synchsafe size), single frame then suffices
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    got = probe_payload(id3 + _mp3_frame(2, 5, 2))
+    assert got["format"] == "mp3" and got["sample_rate"] == 16000
+    # one lone sync byte in junk must NOT classify (needs 2 frames)
+    assert probe_payload(b"\xff\xfb\x90\x00" + b"junk" * 10)["format"] \
+        is None
+
+
 def test_probe_is_header_only():
     """Truncating the BODY must not break the probe — that's the whole
     point: dims/rates come from headers, not decodes."""
