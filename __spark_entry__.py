@@ -50,6 +50,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _docs_par(spark: SparkSession, sf_dir: str, *cols: str) -> DataFrame:
+    """``documents`` projected to ``cols`` (default ``doc_id``) and
+    repartitioned to the session's default parallelism — for the media
+    FIXTURE queries whose payload generation + decode kernels are
+    CPU-bound per row: ``documents.parquet`` at small SF is one file →
+    one input split → the whole Arrow kernel runs serially on one core
+    (measured: mm_adpcm_decode 17 s warm single-partition vs ~1.5 s
+    across 32). Partition to COMPUTE, not to input bytes — at 100 TB
+    the tiny id shuffle is noise next to the kernel; per-row outputs
+    are partition-invariant so results are unchanged."""
+    df = _t(spark, sf_dir, "documents").select(*(cols or ("doc_id",)))
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _r4(col):
     """Round to 4 decimals via scale-multiply: round(x*1e4)/1e4.
 
@@ -1285,7 +1299,7 @@ def _q_mm_image_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.multimodal import extract_image_features
     from bid_evaluation_spark.operators.png import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1332,7 +1346,7 @@ def _q_mm_audio_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.multimodal import extract_audio_features
     from bid_evaluation_spark.operators.wav import encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1383,7 +1397,7 @@ def _q_mm_flac_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.flac import encode_flac
     from bid_evaluation_spark.operators.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1435,7 +1449,7 @@ def _q_mm_g711_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.g711 import encode_wav_g711
     from bid_evaluation_spark.operators.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1490,7 +1504,7 @@ def _q_mm_adpcm_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.adpcm import encode_wav_adpcm
     from bid_evaluation_spark.operators.multimodal import extract_audio_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1553,7 +1567,7 @@ def _q_mm_audio_fingerprint_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.audiofp import audio_fingerprint
     from bid_evaluation_spark.operators.wav import encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1624,7 +1638,7 @@ def _q_pdf_text_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.pdf import (
         encode_pdf, extract_pdf_text_features)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
 
     def gen(batches):
         for pdf in batches:
@@ -1672,7 +1686,7 @@ def _q_mm_bilinear_resize_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.resize import (
         bilinear_resize, resize_bilinear_features)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1750,7 +1764,7 @@ def _q_mm_probe_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.wav import encode_wav
     from bid_evaluation_spark.operators.y4m import encode_y4m
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1812,7 +1826,7 @@ def _q_mm_resample_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.resample import resample_audio
     from bid_evaluation_spark.operators.wav import encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1872,7 +1886,7 @@ def _q_wds_tar_roundtrip_documents(spark, sf_dir):
     from bid_evaluation_spark.sources.webdataset import (
         decode_tar_shard, encode_tar_shard)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
 
     def kernel(batches):
         for pdf in batches:
@@ -1914,7 +1928,7 @@ def _q_mq_image_quality_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.mediaquality import image_quality
     from bid_evaluation_spark.operators.png import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -1995,7 +2009,7 @@ def _q_mq_audio_quality_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.mediaquality import audio_quality
     from bid_evaluation_spark.operators.wav import encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2062,7 +2076,7 @@ def _q_mm_video_signature_documents(spark, sf_dir):
         video_dhash_frames, video_signature)
     from bid_evaluation_spark.operators.y4m import encode_y4m
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2130,7 +2144,7 @@ def _q_mm_mjpeg_avi_frames_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.avi import encode_avi_mjpeg
     from bid_evaluation_spark.operators.multimodal import sample_frames
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2193,7 +2207,7 @@ def _q_mm_video_frames_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.multimodal import sample_frames
     from bid_evaluation_spark.operators.y4m import encode_y4m
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -2251,7 +2265,7 @@ def _q_mm_jpeg_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.jpeg import encode_jpeg
     from bid_evaluation_spark.operators.multimodal import extract_image_features
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -6378,7 +6392,7 @@ def _q_mm_image_resize_documents(spark, sf_dir):
         resize_image_features)
     from bid_evaluation_spark.operators.png import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -6431,7 +6445,7 @@ def _q_mm_audio_decimate_documents(spark, sf_dir):
         decimate_audio_features)
     from bid_evaluation_spark.operators.wav import encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -14108,7 +14122,7 @@ def _q_mm_netpbm_decode_documents(spark, sf_dir):
         extract_image_features)
     from bid_evaluation_spark.operators.netpbm import encode_ppm
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
@@ -14166,7 +14180,7 @@ def _q_mm_gif_decode_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.multimodal import (
         extract_image_features)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_par(spark, sf_dir)
 
     def gen(batches):
         for pdf in batches:
