@@ -1619,6 +1619,67 @@ FROM packed
 """
 
 
+def _q_html_text_documents(spark, sf_dir):
+    """HTML → text extraction (operators/html.py — the web-ingest leg,
+    stdlib html.parser): each doc's ASCII-projected text is HTML-escaped
+    into a page with a title, a heading, a styled head, a script block
+    that must vanish, doc_id%4 inline anchors, and a tail paragraph. The
+    extractor must decode entities, skip script/style subtrees, break on
+    block tags, collapse whitespace runs, and count href anchors — the
+    oracle rebuilds title/text/counts with SQL string ops, so a bug in
+    any of those changes the full-text hash."""
+    import html as _html
+
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.html import extract_html_features
+
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
+
+    def gen(batches):
+        import re as _re
+        for pdf in batches:
+            pages = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                proj = _re.sub(r"[^ -~]", "", text or "")
+                pages.append(
+                    f"<html><head><title>doc {int(d)}</title>"
+                    "<style>p{color:red}</style></head>"
+                    f"<body><h1>doc {int(d)}</h1>"
+                    f"<p>{_html.escape(proj)}</p>"
+                    "<script>var t = '<p>not text</p>';</script>"
+                    + '<a href="/l">l</a>' * (int(d) % 4)
+                    + "<p>tail</p></body></html>")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": pages})
+
+    pages = docs.mapInPandas(gen, "doc_id long, html string")
+    return extract_html_features(pages, strict=True)
+
+
+_SQL_HTML_TEXT_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(COALESCE(text, ''), '[^ -~]', '', 'g'),
+      ' +', ' ', 'g')) AS proj,
+    doc_id % 4 AS nl
+  FROM documents
+),
+t AS (
+  SELECT doc_id, nl,
+    'doc ' || CAST(doc_id AS VARCHAR)
+    || CASE WHEN proj = '' THEN '' ELSE chr(10) || proj END
+    || CASE WHEN nl = 0 THEN '' ELSE chr(10) || repeat('l', nl) END
+    || chr(10) || 'tail' AS txt
+  FROM p
+)
+SELECT doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title, txt AS text,
+  CAST(length(txt) AS BIGINT) AS n_chars,
+  CAST(nl AS BIGINT) AS n_links, CAST(0 AS BIGINT) AS n_images
+FROM t
+"""
+
+
 def _q_pdf_text_documents(spark, sf_dir):
     """PDF text extraction (operators/pdf.py — the document-ingest leg of
     the media seams: unencrypted + Flate/plain streams + simple-font
@@ -14739,6 +14800,8 @@ _QUERIES: dict = {
                                      _SQL_MM_BILINEAR_RESIZE_DOCUMENTS),
     "pdf_text_documents": (_q_pdf_text_documents,
                            _SQL_PDF_TEXT_DOCUMENTS),
+    "html_text_documents": (_q_html_text_documents,
+                            _SQL_HTML_TEXT_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
