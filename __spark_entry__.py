@@ -1619,6 +1619,50 @@ FROM packed
 """
 
 
+def _q_robots_filter_documents(spark, sf_dir):
+    """robots.txt compliance filtering (operators/robots.py — stdlib
+    urllib.robotparser, 1996-draft first-matching-rule semantics): per
+    doc, a robots file that allows the /p<a>/ok subtree but disallows
+    the rest of /p<a>/ (Allow BEFORE Disallow — order is the semantics)
+    with a doc-derived Crawl-delay; even docs probe a /p<b>/ url
+    (allowed iff b != a), odd docs probe the carved-out /p<a>/ok path
+    (always allowed). All three outputs are closed forms; a bug in rule
+    ordering, prefix matching, or delay parsing breaks the hash."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.robots import robots_filter
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                a, b = d % 5, d % 3
+                robots = (f"User-agent: *\nAllow: /p{a}/ok\n"
+                          f"Disallow: /p{a}/\nCrawl-delay: {1 + d % 4}\n")
+                url = (f"https://ex.com/p{b}/x" if d % 2 == 0
+                       else f"https://ex.com/p{a}/ok/y")
+                rows.append({"doc_id": d, "url": url,
+                             "robots_txt": robots})
+            yield pd.DataFrame(rows, columns=["doc_id", "url",
+                                              "robots_txt"])
+
+    pairs = docs.mapInPandas(
+        gen, "doc_id long, url string, robots_txt string")
+    return robots_filter(pairs, agent="trainbot", strict=True)
+
+
+_SQL_ROBOTS_FILTER_DOCUMENTS = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 1 THEN TRUE
+       ELSE doc_id % 3 != doc_id % 5 END AS allowed,
+  CAST(1 + doc_id % 4 AS DOUBLE) AS crawl_delay
+FROM documents
+"""
+
+
 def _q_html_text_documents(spark, sf_dir):
     """HTML → text extraction (operators/html.py — the web-ingest leg,
     stdlib html.parser): each doc's ASCII-projected text is HTML-escaped
@@ -14802,6 +14846,8 @@ _QUERIES: dict = {
                            _SQL_PDF_TEXT_DOCUMENTS),
     "html_text_documents": (_q_html_text_documents,
                             _SQL_HTML_TEXT_DOCUMENTS),
+    "robots_filter_documents": (_q_robots_filter_documents,
+                                _SQL_ROBOTS_FILTER_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
