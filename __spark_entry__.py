@@ -1619,6 +1619,69 @@ FROM packed
 """
 
 
+def _q_charset_decode_documents(spark, sf_dir):
+    """Charset sniffing (operators/encoding.py — the WHATWG-shaped
+    bytes→text ladder: BOM, strict UTF-8, cp1252, latin-1): each doc's
+    ASCII projection is shipped in a doc_id%4-selected wire encoding —
+    pure ASCII / UTF-8 with an appended 'é' / BOM'd UTF-16-LE with an
+    appended 'Ω' / cp1252 with appended smart quotes (invalid UTF-8) —
+    and the detector must label the rung and decode the exact text.
+    The oracle rebuilds both as closed forms (the Unicode suffixes are
+    literal in the SQL); a bug in BOM precedence, the strict-UTF-8
+    gate, or the cp1252 fallback breaks the hash."""
+    import codecs as _codecs
+    import re as _re
+
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.encoding import detect_decode_text
+
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                proj = _re.sub(r"[^ -~]", "", text or "")
+                k = d % 4
+                if k == 0:
+                    payload = proj.encode("ascii")
+                elif k == 1:
+                    payload = (proj + "é").encode("utf-8")
+                elif k == 2:
+                    payload = _codecs.BOM_UTF16_LE \
+                        + (proj + "Ω").encode("utf-16-le")
+                else:
+                    payload = proj.encode("ascii") + b"\x93\x94"
+                rows.append({"doc_id": d, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return detect_decode_text(media)
+
+
+_SQL_CHARSET_DECODE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, doc_id % 4 AS k,
+    regexp_replace(COALESCE(text, ''), '[^ -~]', '', 'g') AS proj
+  FROM documents
+)
+SELECT doc_id,
+  CASE k WHEN 0 THEN 'ascii' WHEN 1 THEN 'utf-8'
+         WHEN 2 THEN 'utf-16-le' ELSE 'cp1252' END AS encoding,
+  CAST(CASE k
+    WHEN 0 THEN length(proj)
+    WHEN 1 THEN length(proj) + 2
+    WHEN 2 THEN 2 * length(proj) + 4
+    ELSE length(proj) + 2 END AS BIGINT) AS n_bytes,
+  CASE k WHEN 0 THEN proj WHEN 1 THEN proj || 'é'
+         WHEN 2 THEN proj || 'Ω'
+         ELSE proj || chr(8220) || chr(8221) END AS text
+FROM p
+"""
+
+
 def _q_robots_filter_documents(spark, sf_dir):
     """robots.txt compliance filtering (operators/robots.py — stdlib
     urllib.robotparser, 1996-draft first-matching-rule semantics): per
@@ -14848,6 +14911,8 @@ _QUERIES: dict = {
                             _SQL_HTML_TEXT_DOCUMENTS),
     "robots_filter_documents": (_q_robots_filter_documents,
                                 _SQL_ROBOTS_FILTER_DOCUMENTS),
+    "charset_decode_documents": (_q_charset_decode_documents,
+                                 _SQL_CHARSET_DECODE_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
