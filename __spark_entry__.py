@@ -1619,6 +1619,76 @@ FROM packed
 """
 
 
+def _q_warc_ingest_documents(spark, sf_dir):
+    """WARC ingest (sources/warc.py — the Common Crawl / ISO 28500
+    container) composed with HTML extraction: each doc's ASCII-projected
+    text is wrapped in a page, packed into a gzip-member-per-record WARC
+    response (status 200/404 by parity) by the fixture encoder, then the
+    reader must split records, strip the HTTP message, surface
+    status/URL, and the HTML leg recovers the text. Everything is a
+    closed form for the oracle — a bug in record framing,
+    Content-Length slicing, gzip member handling, or HTTP header
+    stripping breaks the hash. The binaryFile shard path + truncation
+    salvage are covered by tests/test_warc.py."""
+    import html as _html
+    import re as _re
+
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.html import extract_html_text
+    from bid_evaluation_spark.sources.warc import decode_warc, encode_warc
+
+    docs = _docs_par(spark, sf_dir, "doc_id", "text")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                proj = _re.sub(r"[^ -~]", "", text or "")
+                page = f"<p>{_html.escape(proj)}</p>".encode("ascii")
+                warc = encode_warc(
+                    [{"type": "response",
+                      "url": f"https://ex.com/doc/{d}",
+                      "status": 200 if d % 2 == 0 else 404,
+                      "payload": page}],
+                    compress=True)
+                recs, n_bad = decode_warc(warc)
+                r = recs[0]
+                out_text = extract_html_text(
+                    r["payload"].decode("ascii"))["text"]
+                rows.append({"doc_id": d, "url": r["url"],
+                             "http_status": r["http_status"],
+                             "n_bad": n_bad, "text": out_text,
+                             "n_chars": len(out_text)})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "url", "http_status", "n_bad", "text",
+                "n_chars"])
+
+    return docs.mapInPandas(
+        gen, "doc_id long, url string, http_status int, n_bad int, "
+             "text string, n_chars long")
+
+
+_SQL_WARC_INGEST_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(COALESCE(text, ''), '[^ -~]', '', 'g'),
+      ' +', ' ', 'g')) AS proj
+  FROM documents
+)
+SELECT doc_id,
+  'https://ex.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+  CAST(CASE WHEN doc_id % 2 = 0 THEN 200 ELSE 404 END AS INTEGER)
+    AS http_status,
+  CAST(0 AS INTEGER) AS n_bad,
+  proj AS text,
+  CAST(length(proj) AS BIGINT) AS n_chars
+FROM p
+"""
+
+
 def _q_charset_decode_documents(spark, sf_dir):
     """Charset sniffing (operators/encoding.py — the WHATWG-shaped
     bytes→text ladder: BOM, strict UTF-8, cp1252, latin-1): each doc's
@@ -14913,6 +14983,8 @@ _QUERIES: dict = {
                                 _SQL_ROBOTS_FILTER_DOCUMENTS),
     "charset_decode_documents": (_q_charset_decode_documents,
                                  _SQL_CHARSET_DECODE_DOCUMENTS),
+    "warc_ingest_documents": (_q_warc_ingest_documents,
+                              _SQL_WARC_INGEST_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
