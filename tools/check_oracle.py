@@ -5,7 +5,13 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` twin on DuckDB over the same parquet, then compares
 row count, column names and (order-insensitively) values.
 
-Usage: python tools/check_oracle.py [sf_dir] [--deep] [query ...]
+Usage: python tools/check_oracle.py [sf_dir] [--deep] [--family PREFIX]
+       [query ...]
+
+``--family PREFIX`` restricts the run to queries whose name starts with
+PREFIX (e.g. ``--family dedup_`` or ``--family mm_``) — targeted slices
+of the ~300-key registry without listing names.  Combinable with
+explicit query names (union).
 
 ``--deep`` merges ``deep_queries()`` into the run set — the FULL-corpus
 variants of the quadratic-ground-truth dedup queries (the registry runs
@@ -96,8 +102,20 @@ def normalize(rows, columns):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--deep"]
-    deep = "--deep" in sys.argv[1:]
+    argv = sys.argv[1:]
+    deep = "--deep" in argv
+    families = []
+    args = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--deep":
+            pass
+        elif argv[i] == "--family":
+            families.append(argv[i + 1])
+            i += 1
+        else:
+            args.append(argv[i])
+        i += 1
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -121,6 +139,12 @@ def main():
     # hand count (the r6 close-out docs drifted to 280 vs the real 279)
     print(f"registry: {len(qs)} queries, {n_oracled} with value oracles, "
           f"{len(qs) - n_oracled} rows-only; sf_dir={sf_dir}")
+    if families:
+        fam_hits = {k for k in qs for p in families if k.startswith(p)}
+        if not fam_hits and not only:
+            print(f"no queries match family prefixes {families}")
+            sys.exit(2)
+        only |= fam_hits
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
