@@ -208,6 +208,18 @@ class FormulaCriterion(CriterionBase):
             if _re.search(rf"\b{k}\b", self.formula)
         )
 
+    @property
+    def translated(self) -> bool:
+        """True when this formula runs on the native Column path; False
+        when :meth:`score` will fall back to the pandas-UDF interpreter
+        (correct either way — this is the observability surface for the
+        silent slow path)."""
+        from .formula import formula_translates
+
+        if self.config.get("force_udf", False):
+            return False
+        return formula_translates(self.formula, self.variables)
+
     def score(self, col: Column, stats: Stats) -> Column:
         from .formula import formula_score_column
 

@@ -713,6 +713,30 @@ def formula_fallback_udf(formula: str, names: Dict[str, Any]) -> Callable[[Colum
     return _formula
 
 
+def formula_translates(
+    formula: str,
+    variables: Optional[Mapping[str, Any]] = None,
+) -> bool:
+    """Dry-run predicate: does ``formula`` stay on the native
+    Column-expression path, or would :func:`formula_score_column` fall
+    back to the pandas-UDF interpreter?
+
+    Observability surface for the silent (and correct) fallback: a
+    grammar regression that pushes a previously-native formula onto the
+    ~10-100x slower interpreter path shows up in a coverage-asserting
+    test instead of a bench (VERDICT r8 task 6).  Uses representative
+    float stats (the five reference stat names) so name resolution
+    matches a real evaluate() call.
+    """
+    names: Dict[str, Any] = {k: np.float64(1.0) for k in STAT_NAMES}
+    names.update(variables or {})
+    try:
+        formula_to_column(formula, F.lit(1.0), names)
+        return True
+    except FormulaTranslationError:
+        return False
+
+
 def formula_score_column(
     formula: str,
     col: Column,

@@ -359,3 +359,53 @@ def test_python_mod_floor_semantics(spark, force_udf):
     assert r["A"]["score_x"] == pytest.approx(2.0)
     r = eval_formula(df, "value // 3 + 10", force_udf=force_udf)
     assert r["A"]["score_x"] == pytest.approx(7.0)
+
+
+# --- translation-coverage observability (VERDICT r8 task 6) ----------------
+#
+# The interpreter fallback is bit-correct but ~10-100x slower; these tests
+# pin WHICH formulas ride the native Column path so a grammar regression to
+# the slow path fails a test instead of surfacing in a bench.
+
+# every formula the reference's own tests/examples/demos use
+# (reference tests/test_criteria.py:76-216 et al.) — all must translate
+_REFERENCE_FORMULAS = [
+    ("value", {}),
+    ("value * 2", {}),
+    ("value * 10", {}),
+    ("value * 100", {}),
+    ("value - 20", {}),
+    ("1 / 0", {}),
+    ("(value - min) / (max - min) * 100", {}),
+    ("100 - abs(value - target) / target * 100", {"target": 100000}),
+    ("clip(sqrt(value) * 30, 0, 100)", {}),
+]
+
+
+@pytest.mark.parametrize("formula,variables", _REFERENCE_FORMULAS)
+def test_every_reference_formula_translates_natively(formula, variables):
+    from bid_evaluation_spark.functions.criteria import FormulaCriterion
+    from bid_evaluation_spark.functions.formula import formula_translates
+
+    assert formula_translates(formula, variables), formula
+    crit = FormulaCriterion("x", 1.0, formula=formula, variables=variables)
+    assert crit.translated, formula
+
+
+def test_translated_surface_reports_known_fallbacks():
+    from bid_evaluation_spark.functions.criteria import FormulaCriterion
+
+    # force_udf pins the interpreter regardless of grammar
+    crit = FormulaCriterion("x", 1.0, formula="value * 2")
+    crit.config["force_udf"] = True
+    assert not crit.translated
+    # mixed numeric/stat min() is a documented interpreter-only case
+    assert not FormulaCriterion(
+        "x", 1.0, formula="3 / min(7, std)").translated
+    # identity-membership (ADVICE r8): left operand among the container
+    # elements routes to the interpreter for NaN-identity parity
+    assert not FormulaCriterion(
+        "x", 1.0, formula="value in [value, 3]").translated
+    # plain membership stays native
+    assert FormulaCriterion(
+        "x", 1.0, formula="value in [1, 2, 3]").translated
