@@ -71,6 +71,7 @@ class StreamingIVFIndex:
         self.counts = np.zeros(len(self.initial), dtype=np.int64)
         self.sums = np.zeros_like(self.initial)
         self.last_batch = -1
+        self.n_appends = 0
         os.makedirs(path, exist_ok=True)
         self._load_state()
 
@@ -89,6 +90,7 @@ class StreamingIVFIndex:
         self.counts = np.array(st["counts"], dtype=np.int64)
         self.sums = np.array(st["sums"], dtype=np.float64)
         self.last_batch = st.get("last_batch", -1)
+        self.n_appends = st.get("n_appends", 0)
 
     def _save_state(self) -> None:
         tmp = self._state_path() + ".tmp"
@@ -97,7 +99,8 @@ class StreamingIVFIndex:
                        "centroids": self.centroids.tolist(),
                        "counts": self.counts.tolist(),
                        "sums": self.sums.tolist(),
-                       "last_batch": self.last_batch}, f)
+                       "last_batch": self.last_batch,
+                       "n_appends": self.n_appends}, f)
         os.replace(tmp, self._state_path())
 
     # -- ingestion -----------------------------------------------------------
@@ -127,9 +130,14 @@ class StreamingIVFIndex:
 
         ``batch_id`` (supplied by ``foreachBatch``) makes whole-batch
         replays after a restart idempotent — an already-recorded id is
-        skipped. A crash BETWEEN the list append and the state snapshot can
-        still double-append one batch (the usual foreachBatch at-least-once
-        caveat); dedupe on ``vec_id`` downstream if exact-once matters.
+        skipped. Each batch's vectors land in their own ``batch=N``
+        subdirectory with overwrite semantics, so a crash BETWEEN the
+        list write and the state snapshot also replays idempotently: the
+        reloaded state replays the batch with the same centroids and the
+        same directory name, overwriting (not doubling) the partial
+        write — the same versioned-write-then-flip discipline as the
+        sketch/rollup/neardup manifests, adapted to an append-only
+        layout.
         """
         if batch_id is not None:
             if batch_id <= self.last_batch:
@@ -151,8 +159,14 @@ class StreamingIVFIndex:
                     self.counts[r["list_id"]] += r["_n"]
             nz = self.counts > 0
             self.centroids[nz] = self.sums[nz] / self.counts[nz, None]
-        (assigned.write.mode("append").partitionBy("list_id")
-         .parquet(os.path.join(self.path, _LISTS_SUBDIR)))
+        # batch=N names the subdir: foreachBatch replays reuse the real
+        # batch_id; manual (None) calls draw from a persisted counter
+        # that only advances in the state snapshot, so a crashed manual
+        # ingest also replays onto the same directory
+        bkey = batch_id if batch_id is not None else f"m{self.n_appends}"
+        (assigned.write.mode("overwrite").partitionBy("list_id")
+         .parquet(os.path.join(self.path, _LISTS_SUBDIR, f"batch={bkey}")))
+        self.n_appends += 1
         self._save_state()
 
     def attach(self, stream_df: DataFrame, checkpoint: Optional[str] = None):
@@ -165,8 +179,14 @@ class StreamingIVFIndex:
     # -- search / monitoring -------------------------------------------------
 
     def lists(self) -> DataFrame:
-        """The stored inverted lists (vec_id, embedding, list_id)."""
-        return self.spark.read.parquet(os.path.join(self.path, _LISTS_SUBDIR))
+        """The stored inverted lists (vec_id, embedding, list_id).
+
+        Layout is ``lists/batch=N/list_id=M/``; both levels are hive
+        partition columns, so a ``list_id`` filter still prunes probed
+        directories. The batch column is an idempotent-replay artifact,
+        not part of the contract — dropped here."""
+        return self.spark.read.parquet(
+            os.path.join(self.path, _LISTS_SUBDIR)).drop("batch")
 
     def search(self, queries: DataFrame, k: int = 10, nprobe: int = 4,
                query_id: str = "vec_id", exclude_self: bool = False) -> DataFrame:
