@@ -59,11 +59,15 @@ def _rot(i):
     return _ABC[i % 26:] + _ABC[:i % 26]
 
 
+#: bump when build_synth's output changes shape — stale caches rebuild
+_SYNTH_VERSION = "v2-graph-keys"
+
+
 def build_synth(spark):
     """Materialize the ~10× blow-up of sf0.1 once (parquet under SYNTH)."""
     os.makedirs(SYNTH, exist_ok=True)
     done = os.path.join(SYNTH, "_DONE")
-    if os.path.exists(done):
+    if os.path.exists(done) and open(done).read().strip() == _SYNTH_VERSION:
         return
     docs = spark.read.parquet(f"{SF2}/documents.parquet")
     parts = []
@@ -94,6 +98,11 @@ def build_synth(spark):
     for i in range(COPIES):
         lparts.append(li.select(
             (F.col("l_orderkey") * 16 + i).alias("l_orderkey"),
+            # supplier/part keys remapped the same way: the bipartite
+            # part-supplier graph replicates as 10 DISJOINT copies
+            # (components multiply, never densify)
+            (F.col("l_suppkey") * 16 + i).alias("l_suppkey"),
+            (F.col("l_partkey") * 16 + i).alias("l_partkey"),
             (F.col("l_extendedprice") + i * 1e-4)
             .alias("l_extendedprice")))
     ll = lparts[0]
@@ -108,7 +117,7 @@ def build_synth(spark):
     for p in pparts[1:]:
         pp = pp.unionByName(p)
     pp.write.mode("overwrite").parquet(f"{SYNTH}/part.parquet")
-    open(done, "w").write("ok\n")
+    open(done, "w").write(_SYNTH_VERSION + "\n")
 
 
 def _docs(spark, base):
@@ -211,6 +220,52 @@ def fam_media_codec_fp(spark, base):
     return d.count(), audio_fingerprint(media).count()
 
 
+def _ps_edges(spark, base):
+    """Undirected part-supplier bipartite edges — the registry graph
+    queries' construction (namespaced string nodes). Under the synth
+    key remap both endpoints shift by *16+i, so the graph replicates as
+    disjoint copies."""
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    return li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+
+
+def fam_graph_bfs(spark, base):
+    # fixed 3 hops → measured exponent is pure per-row/per-frontier
+    # growth; seeds are a FIXED FRACTION of suppliers (suppkey % 7 == 0)
+    # so frontier volume scales with the graph instead of pinning to a
+    # constant seed set that would explore one component per copy
+    from bid_evaluation_spark.operators.graph import bfs_distances
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    edges = _ps_edges(spark, base)
+    seeds = (li.filter(F.col("l_suppkey") % 7 == 0)
+             .select(F.concat(F.lit("s"), F.col("l_suppkey"))
+                     .alias("node")).distinct())
+    n = li.count()
+    return n, bfs_distances(edges, seeds, max_hops=3,
+                            directed=False).count()
+
+
+def fam_graph_lpa(spark, base):
+    # fixed 2 synchronous rounds (registry constants) — per-round cost
+    # is one edges⋈labels join + one vote groupBy + one argmax window
+    from bid_evaluation_spark.operators.graph import label_propagation
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    n = li.count()
+    return n, label_propagation(_ps_edges(spark, base), max_iter=2,
+                                directed=False).count()
+
+
+def fam_graph_kcore(spark, base):
+    # fixed 3 peel rounds, k=30 (registry constants) — per-round cost is
+    # one degree groupBy + two endpoint semi-joins
+    from bid_evaluation_spark.operators.graph import k_core
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    n = li.count()
+    return n, k_core(_ps_edges(spark, base), k=30, n_rounds=3).count()
+
+
 def fam_quantile_match(spark, base):
     from bid_evaluation_spark.operators.analytics import quantile_match
     od = spark.read.parquet(f"{base}/orders.parquet")
@@ -251,6 +306,17 @@ FAMILIES = {
                        "constant-size ADPCM encode+decode+fingerprint "
                        "per row inside one Arrow kernel — pure map, "
                        "no shuffle"),
+    "graph_bfs": (fam_graph_bfs, 1.0,
+                  "3 fixed hops x (frontier join + anti-join); seeds a "
+                  "fixed fraction of suppliers so frontier volume "
+                  "scales with the graph; rounds fixed -> exponent is "
+                  "pure per-row growth"),
+    "graph_lpa": (fam_graph_lpa, 1.0,
+                  "2 fixed synchronous rounds x (edges-labels join + "
+                  "vote groupBy + per-node argmax window)"),
+    "graph_kcore": (fam_graph_kcore, 1.0,
+                    "3 fixed peel rounds x (degree groupBy + two "
+                    "endpoint semi-joins), lineage truncated per round"),
 }
 
 
