@@ -14400,6 +14400,80 @@ FROM dims
 """
 
 
+def _q_mm_mp2_decode_documents(spark, sf_dir):
+    """PERCEPTUAL-family lossy audio decode end-to-end: deterministic
+    tone fixtures (freq class doc_id%7, length+amplitude class doc_id%5)
+    encoded as MPEG-1 Audio Layer II (operators/mp2.py — ISO frame
+    header/sizing/layout/scalefactors/grouped quantizers; exact-PR MDCT
+    filterbank substituted for the standard's tabulated 512-tap window,
+    documented) and decoded through the multimodal dispatch seam
+    (sync-word branch in decode_audio). Lossy + padded-to-frame output
+    means no closed forms: the oracle carries a frozen 35-row golden
+    table (rms to 4 decimals, zero-crossing count over the full decoded
+    signal incl. filterbank ringing) computed ONCE by the same codec
+    outside Spark — any codec, dispatch, or padding regression breaks
+    the hash match. duration_ms IS closed-form: 1152-sample frames,
+    ceil(ceil(n/32)/36)*36 blocks of 32 at 32 kHz."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mp2 import encode_mp2
+    from bid_evaluation_spark.operators.multimodal import extract_audio_features
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                a, b = int(d) % 5, int(d) % 7
+                n = 2048 + a * 1024
+                t = np.arange(n)
+                x = (0.3 + 0.05 * a) * np.sin(
+                    2 * np.pi * 250 * (1 + b) * t / 32000.0)
+                payloads.append(encode_mp2(x, rate=32000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = extract_audio_features(media, strict=True)
+    return feats.select("media_id", "sample_rate", "duration_ms",
+                        _r4("rms").alias("rms"), "zero_crossings")
+
+
+_SQL_MM_MP2_DECODE_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, doc_id % 5 AS a, doc_id % 7 AS b,
+         2048 + (doc_id % 5) * 1024 AS n
+  FROM documents
+),
+golden(a, b, rms, zc) AS (VALUES
+  (0, 0, 0.2001, 52), (0, 1, 0.2, 90), (0, 2, 0.2, 118),
+  (0, 3, 0.1999, 158), (0, 4, 0.2001, 190), (0, 5, 0.2, 222),
+  (0, 6, 0.2, 254),
+  (1, 0, 0.2333, 78), (1, 1, 0.2333, 126), (1, 2, 0.2334, 172),
+  (1, 3, 0.2332, 222), (1, 4, 0.2333, 270), (1, 5, 0.2336, 316),
+  (1, 6, 0.2333, 366),
+  (2, 0, 0.2667, 92), (2, 1, 0.2665, 158), (2, 2, 0.2667, 222),
+  (2, 3, 0.2666, 282), (2, 4, 0.2666, 348), (2, 5, 0.2667, 414),
+  (2, 6, 0.2668, 478),
+  (3, 0, 0.3002, 92), (3, 1, 0.3002, 182), (3, 2, 0.3001, 270),
+  (3, 3, 0.3, 350), (3, 4, 0.3001, 428), (3, 5, 0.3, 508),
+  (3, 6, 0.3002, 590),
+  (4, 0, 0.3333, 126), (4, 1, 0.3336, 220), (4, 2, 0.3332, 318),
+  (4, 3, 0.3333, 414), (4, 4, 0.3335, 508), (4, 5, 0.3335, 606),
+  (4, 6, 0.3333, 702))
+SELECT doc_id AS media_id,
+  CAST(32000 AS BIGINT) AS sample_rate,
+  -- padded decode length: blocks of 32 rounded up to whole 36-block
+  -- frames, i.e. whole 1152-sample frames
+  CAST((((n + 31) // 32 + 35) // 36) * 36 * 32 * 1000 // 32000
+       AS BIGINT) AS duration_ms,
+  CAST(golden.rms AS DOUBLE) AS rms,
+  CAST(golden.zc AS BIGINT) AS zero_crossings
+FROM p JOIN golden ON p.a = golden.a AND p.b = golden.b
+"""
+
+
 def _q_mm_gif_decode_documents(spark, sf_dir):
     """REAL entropy-coded image decode through the GIF codec
     (operators/gif.py): per doc a 4-color palette raster
@@ -14809,7 +14883,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(18) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(19) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(2)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
 #                             privacy(3)
@@ -15386,6 +15460,8 @@ _QUERIES: dict = {
                                        _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS),
     "mm_gif_decode_documents": (_q_mm_gif_decode_documents,
                                 _SQL_MM_GIF_DECODE_DOCUMENTS),
+    "mm_mp2_decode_documents": (_q_mm_mp2_decode_documents,
+                                _SQL_MM_MP2_DECODE_DOCUMENTS),
 }
 
 

@@ -61,18 +61,24 @@ def decode_audio(payload: bytes):
     """Magic-byte/format-tag audio dispatch → ``(rate, mono float64)``.
 
     One seam for every audio container the pure-stdlib codecs cover:
-    FLAC (magic ``fLaC``), then WAV by fmt tag — G.711 μ-law/A-law
+    FLAC (magic ``fLaC``), MPEG-1 Layer II (sync ``0xFFFD``/``0xFFFC``
+    frame header, :mod:`.mp2`), then WAV by fmt tag — G.711 μ-law/A-law
     (tags 7/6, :mod:`.g711`) and IMA ADPCM (tag 0x11, :mod:`.adpcm`),
-    the two LOSSY families, else integer PCM (:mod:`.wav`). Remaining
-    lossy codecs (mp3/aac) need a media library added at this seam.
+    the LOSSY families, else integer PCM (:mod:`.wav`). The remaining
+    perceptual codecs (mp3/aac — Huffman + psychoacoustics) need a
+    media library added at this seam.
     """
     from . import adpcm as _adpcm
     from . import flac as _flac
     from . import g711 as _g711
+    from . import mp2 as _mp2
     from . import wav as _wav
 
     if payload[:4] == b"fLaC":
         return _flac.decode_flac(payload)
+    if len(payload) >= 2 and payload[0] == 0xFF \
+            and (payload[1] & 0xFE) == 0xFC:
+        return _mp2.decode_mp2(payload)
     tag = _g711.wav_format_tag(payload)
     if tag in (_g711.WAVE_FORMAT_MULAW, _g711.WAVE_FORMAT_ALAW):
         return _g711.decode_wav_g711(payload)

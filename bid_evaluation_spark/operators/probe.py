@@ -205,6 +205,9 @@ _MP3_BITRATE = {  # kbps, MPEG-1 layer III column of the public table
 }
 _MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
               0: (11025, 12000, 8000)}
+#: MPEG-1 Layer II column of the same public table (round-9 mp2 codec)
+_MP2_BITRATE = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160,
+                192, 224, 256, 320, 384)
 
 
 def _probe_mp3(p: bytes) -> Optional[dict]:
@@ -225,20 +228,23 @@ def _probe_mp3(p: bytes) -> Optional[dict]:
         if i + 4 > len(p) or p[i] != 0xFF or (p[i + 1] & 0xE0) != 0xE0:
             return None
         ver = (p[i + 1] >> 3) & 3          # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
-        layer = (p[i + 1] >> 1) & 3        # 1 = Layer III
-        if ver == 1 or layer != 1:
-            return None
+        layer = (p[i + 1] >> 1) & 3        # 1 = Layer III, 2 = Layer II
+        if ver == 1 or layer not in (1, 2) or (layer == 2 and ver != 3):
+            return None                    # Layer II: MPEG-1 only (mp2.py)
         br_idx = p[i + 2] >> 4
         sr_idx = (p[i + 2] >> 2) & 3
         if br_idx in (0, 15) or sr_idx == 3:
             return None
-        table = _MP3_BITRATE[1 if ver == 3 else 2]
+        if layer == 2:
+            table = _MP2_BITRATE
+        else:
+            table = _MP3_BITRATE[1 if ver == 3 else 2]
         rate = _MP3_RATES[ver][sr_idx]
         bitrate = table[br_idx] * 1000
         pad = (p[i + 2] >> 1) & 1
-        spf = 1152 if ver == 3 else 576
+        spf = 1152 if ver == 3 or layer == 2 else 576
         flen = spf // 8 * bitrate // rate + pad
-        return rate, spf, flen
+        return rate, spf, flen, layer
 
     first = frame_at(pos)
     if first is None:
@@ -247,15 +253,16 @@ def _probe_mp3(p: bytes) -> Optional[dict]:
         nxt = frame_at(pos + first[2])
         if nxt is None:
             return None
-    rate = first[0]
+    rate, layer = first[0], first[3]
     n = 0
     while True:
         fr = frame_at(pos)
-        if fr is None:
+        if fr is None or fr[3] != layer:   # a layer flip ends the stream
             break
         n += fr[1]
         pos += max(fr[2], 4)
-    return {**_NULL, "format": "mp3", "sample_rate": rate, "n_units": n,
+    return {**_NULL, "format": "mp2" if layer == 2 else "mp3",
+            "sample_rate": rate, "n_units": n,
             "duration_ms": n * 1000 // rate}
 
 

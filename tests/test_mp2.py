@@ -1,0 +1,202 @@
+"""MPEG-1 Layer II codec: filterbank PR proof, round-trip SNR bounds,
+grouped-quantizer arithmetic, silent-subband allocation, probe/dispatch
+integration, and corrupt-stream error paths.
+
+The filterbank is the module's documented substitution (exact-PR MDCT
+in place of the standard's tabulated 512-tap window), so the PR test is
+the foundation everything else stands on: with the bank exactly
+invertible, round-trip error is quantization error alone, which the
+SNR and per-sample bounds here pin.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from bid_evaluation_spark.operators import mp2
+from bid_evaluation_spark.operators.multimodal import decode_audio
+from bid_evaluation_spark.operators.probe import probe_payload
+
+
+def _tone(freq, n=6400, rate=32000, amp=0.6):
+    return amp * np.sin(2 * np.pi * freq * np.arange(n) / rate)
+
+
+# --- filterbank ---------------------------------------------------------
+
+
+def test_filterbank_perfect_reconstruction():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, 7001)
+    y = mp2.synthesize(mp2.analyze(x))
+    assert np.abs(y[: len(x)] - x).max() < 1e-12
+    # the padded tail reconstructs the implicit zeros
+    assert np.abs(y[len(x):]).max() < 1e-12
+
+
+def test_analysis_bounded_for_unit_input():
+    # adversarial sign pattern maximizes one subband; the 1/16 forward
+    # scale must keep |s| under the largest scalefactor (2.0)
+    rng = np.random.default_rng(4)
+    worst = 0.0
+    for _ in range(50):
+        x = np.sign(rng.normal(size=4096))
+        worst = max(worst, np.abs(mp2.analyze(x)).max())
+    assert worst <= 2.0
+
+
+# --- round trip ---------------------------------------------------------
+
+
+@pytest.mark.parametrize("freq", [440, 1000, 3750])
+def test_roundtrip_snr_default_allocation(freq):
+    x = _tone(freq)
+    rate, d = mp2.decode_mp2(mp2.encode_mp2(x, rate=32000))
+    assert rate == 32000
+    err = ((x - d[: len(x)]) ** 2).sum()
+    snr = 10 * math.log10((x ** 2).sum() / err)
+    assert snr > 50.0, snr
+
+
+def _band_limited(rng, n):
+    """Noise living entirely in the 30 TRANSMITTED subbands: analyze,
+    zero the discarded top 2, synthesize. Quantization is then the only
+    round-trip error source (the sblimit truncation, like the
+    standard's, drops the top bands by design and would otherwise
+    dominate white-noise error)."""
+    S = mp2.analyze(rng.uniform(-0.9, 0.9, n))
+    S[:, mp2.SBLIMIT:] = 0.0
+    return mp2.synthesize(S)[: n]
+
+
+@pytest.mark.parametrize("alloc_idx", [1, 2, 4, 7, 11])
+def test_roundtrip_error_bound_per_quantizer(alloc_idx):
+    levels, _ = mp2.QUANT[alloc_idx]
+    rng = np.random.default_rng(alloc_idx)
+    x = _band_limited(rng, 4000)
+    _, d = mp2.decode_mp2(mp2.encode_mp2(x, rate=32000,
+                                         alloc_idx=alloc_idx))
+    # per-subband-sample quantization error <= scf/levels with scf <= 2;
+    # synthesis mixes 32 subbands x 2 overlapped blocks but the window
+    # energy is bounded, so 64 * 2/levels is a loose safe envelope
+    bound = 64 * 2.0 / levels
+    assert np.abs(x - d[: len(x)]).max() < bound
+
+
+def test_white_noise_error_is_the_dropped_top_bands():
+    # full-band noise: round-trip error ~= energy of the 2 discarded
+    # subbands (documented sblimit truncation), NOT a codec defect —
+    # removing those bands from the input shrinks error by ~10x
+    rng = np.random.default_rng(77)
+    x = rng.uniform(-0.9, 0.9, 4000)
+    _, d_full = mp2.decode_mp2(mp2.encode_mp2(x, rate=32000))
+    xb = _band_limited(np.random.default_rng(77), 4000)
+    _, d_band = mp2.decode_mp2(mp2.encode_mp2(xb, rate=32000))
+    e_full = np.abs(x - d_full[: len(x)]).max()
+    e_band = np.abs(xb - d_band[: len(xb)]).max()
+    assert e_band < e_full / 5
+
+
+def test_allocation_degrades_to_fit_short_frames():
+    # at 48 kHz the 384 kbps frame is 1152 bytes — uniform 16-bit
+    # allocation (idx 15) cannot fit and must degrade, not raise
+    rng = np.random.default_rng(15)
+    x = _band_limited(rng, 4000)
+    enc = mp2.encode_mp2(x, rate=48000, alloc_idx=15)
+    _, d = mp2.decode_mp2(enc)
+    snr = 10 * math.log10(
+        (x ** 2).sum() / ((x - d[: len(x)]) ** 2).sum())
+    assert snr > 30.0, snr
+
+
+def test_grouped_quantizer_arithmetic_exact():
+    # levels 3/5/9 pack three codes into one 5/7/10-bit word; decoding
+    # an encoder output must split codes bit-exactly, which shows up as
+    # bounded (not garbage) error on a rich signal
+    rng = np.random.default_rng(9)
+    x = rng.uniform(-0.5, 0.5, 2304)
+    for idx, gbits in ((1, 5), (2, 7), (4, 10)):
+        levels, grouped = mp2.QUANT[idx]
+        assert grouped and mp2._group_bits(levels) == gbits
+        _, d = mp2.decode_mp2(mp2.encode_mp2(x, rate=32000,
+                                             alloc_idx=idx))
+        assert np.abs(x - d[: len(x)]).max() < 64 * 2.0 / levels
+
+
+def test_silence_allocates_zero_and_decodes_to_zero():
+    enc = mp2.encode_mp2(np.zeros(2304), rate=48000)
+    # all subbands silent -> smallest standard bitrate (32 kbps) frames
+    assert len(enc) % mp2.frame_bytes(32, 48000) == 0
+    rate, d = mp2.decode_mp2(enc)
+    assert rate == 48000
+    assert np.abs(d).max() == 0.0
+
+
+def test_encode_is_deterministic_and_frame_aligned():
+    x = _tone(660, n=5000)
+    a = mp2.encode_mp2(x, rate=32000)
+    assert a == mp2.encode_mp2(x, rate=32000)
+    hdr = mp2._parse_header(a, 0)
+    assert hdr is not None and len(a) % hdr[1] == 0
+
+
+@pytest.mark.parametrize("rate", [44100, 48000, 32000])
+def test_all_mpeg1_rates(rate):
+    x = _tone(500, rate=rate)
+    got_rate, d = mp2.decode_mp2(mp2.encode_mp2(x, rate=rate))
+    assert got_rate == rate
+    assert len(d) % mp2.FRAME_SAMPLES == 0
+
+
+# --- probe / dispatch integration --------------------------------------
+
+
+def test_probe_classifies_mp2():
+    x = _tone(1000, n=6400)
+    enc = mp2.encode_mp2(x, rate=32000)
+    got = probe_payload(enc)
+    assert got["format"] == "mp2"
+    assert got["sample_rate"] == 32000
+    assert got["n_units"] == len(mp2.decode_mp2(enc)[1])
+    assert got["duration_ms"] == got["n_units"] * 1000 // 32000
+
+
+def test_probe_layer3_regression_unchanged():
+    # the pre-existing Layer III path must still classify as mp3
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1), (9 << 4) | (0 << 2), 0])
+    flen = 1152 // 8 * 128000 // 44100
+    stream = (hdr + b"\x00" * (flen - 4)) * 3
+    got = probe_payload(stream)
+    assert got["format"] == "mp3" and got["sample_rate"] == 44100
+
+
+def test_decode_audio_dispatch_routes_mp2():
+    x = _tone(250, n=4608)
+    enc = mp2.encode_mp2(x, rate=32000)
+    rate, d = decode_audio(enc)
+    assert rate == 32000 and len(d) == 4608
+
+
+# --- error paths --------------------------------------------------------
+
+
+def test_truncated_stream_raises():
+    enc = mp2.encode_mp2(_tone(300), rate=32000)
+    with pytest.raises(ValueError):
+        mp2.decode_mp2(enc[: len(enc) // 2 - 7])
+
+
+def test_not_mp2_raises():
+    with pytest.raises(ValueError):
+        mp2.decode_mp2(b"RIFF" + b"\x00" * 100)
+
+
+def test_garbage_between_frames_raises():
+    enc = bytearray(mp2.encode_mp2(_tone(300, n=4000), rate=32000))
+    hdr = mp2._parse_header(bytes(enc), 0)
+    enc[hdr[1]] = 0x00                     # destroy 2nd frame's sync
+    with pytest.raises(ValueError):
+        mp2.decode_mp2(bytes(enc))
