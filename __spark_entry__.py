@@ -1619,6 +1619,68 @@ FROM packed
 """
 
 
+def _q_web_linkgraph_documents(spark, sf_dir):
+    """Host-level link graph (operators/linkgraph.py — the crawl-frontier
+    / PageRank-input leg completing the web-ingest family): each doc is
+    a page at http://h{doc_id%10}.example/p/{doc_id} whose anchors
+    exercise every resolution rule — an absolute link to the next host,
+    a relative "/self" (resolves to the OWN host), a protocol-relative
+    "//host/y" (doc_id%3==0), a rel=nofollow absolute link (doc_id%4==0,
+    must be extracted-but-EXCLUDED from the graph), and a mailto: that
+    must never appear. The oracle rebuilds the expected edge multiset
+    from doc_id arithmetic alone, so a bug in anchor parsing, urljoin
+    resolution, scheme filtering, nofollow handling, or host lowering
+    changes counts or keys and breaks the hash."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.linkgraph import (
+        extract_links, host_graph)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            urls, pages = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                urls.append(f"http://h{d % 10}.example/p/{d}")
+                html = (f'<a href="HTTP://H{(d + 1) % 10}.EXAMPLE/x">a</a>'
+                        '<a href="/self">s</a>'
+                        '<a href="mailto:x@y.example">m</a>')
+                if d % 3 == 0:
+                    html += f'<a href="//h{(d + 2) % 10}.example/y">p</a>'
+                if d % 4 == 0:
+                    html += (f'<a rel="nofollow" '
+                             f'href="http://h{(d + 1) % 10}.example/nf">n</a>')
+                pages.append(html)
+            yield pd.DataFrame({"url": urls, "html": pages})
+
+    pages = docs.mapInPandas(gen, "url string, html string")
+    return host_graph(extract_links(pages))
+
+
+# NOTE the uppercase HTTP://H{..}.EXAMPLE absolute link above: scheme
+# matching and host output must both be case-insensitive (hosts
+# lowercased), which the oracle's lowercase host labels enforce.
+_SQL_WEB_LINKGRAPH_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id % 10 AS src, doc_id FROM documents
+),
+edges AS (
+  SELECT 'h' || src || '.example' AS src_host,
+         'h' || ((doc_id + 1) % 10) || '.example' AS dst_host
+  FROM p
+  UNION ALL
+  SELECT 'h' || src || '.example', 'h' || src || '.example' FROM p
+  UNION ALL
+  SELECT 'h' || src || '.example', 'h' || ((doc_id + 2) % 10) || '.example'
+  FROM p WHERE doc_id % 3 = 0
+)
+SELECT src_host, dst_host, COUNT(*) AS n_links
+FROM edges GROUP BY src_host, dst_host
+"""
+
+
 def _q_warc_ingest_documents(spark, sf_dir):
     """WARC ingest (sources/warc.py — the Common Crawl / ISO 28500
     container) composed with HTML extraction: each doc's ASCII-projected
@@ -14884,7 +14946,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
 #   multimodal/web ingest ... mm(19) mq(2) wds(1) pdf(1) html(1)
-#                             robots(1) charset(1) warc(1) web(2)
+#                             robots(1) charset(1) warc(1) web(3)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
 #                             privacy(3)
 
@@ -15078,6 +15140,8 @@ _QUERIES: dict = {
                                  _SQL_CHARSET_DECODE_DOCUMENTS),
     "warc_ingest_documents": (_q_warc_ingest_documents,
                               _SQL_WARC_INGEST_DOCUMENTS),
+    "web_linkgraph_documents": (_q_web_linkgraph_documents,
+                                _SQL_WEB_LINKGRAPH_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
