@@ -1,14 +1,16 @@
 """Property-based invariants for the round-9 wave (pure-Python — no
 Spark session, so the whole file runs in milliseconds).
 
-Four groups: (1) G.711 companding — roundtrip error bounded by half the
+Five groups: (1) G.711 companding — roundtrip error bounded by half the
 segment step at every input, code-domain monotonicity in the linear
 domain; (2) IMA ADPCM — decode(encode(x)) tracks bounded-slope signals
 within the final step size, block re-anchoring exactness at block
 heads; (3) fingerprint packing — pack_bits64 is MSB-first, injective up
 to 64 bits, signed-wrap-correct; (4) the MJPEG AVI container — encode→
 decode is the identity on blockwise-constant frames for ANY frame
-count/dims under the flat q=1 table, and header fps round-trips.
+count/dims under the flat q=1 table, and header fps round-trips;
+(5) the MP2 codec — quantizer-bounded round-trip on band-limited
+noise, closed-form decode length, tightest-scalefactor selection.
 """
 
 from __future__ import annotations
@@ -110,3 +112,55 @@ def test_avi_mjpeg_identity_on_block_frames(nf, wb, hb, base, fps):
     assert len(out) == nf
     for a, b in zip(frames, out):
         assert np.array_equal(a, b)
+
+
+# --- (5) MPEG-1 Layer II codec (added with operators/mp2.py) -------------
+#
+# The filterbank is exactly invertible by construction (MDCT/TDAC), so
+# the properties worth fuzzing are the lossy layers on top: scalefactor
+# choice must bound every normalized sample into [-1, 1], the frame
+# bitstream must round-trip whatever the quantizer ladder produced, and
+# decode length is the documented closed form of the input length.
+
+from bid_evaluation_spark.operators import mp2
+
+
+@given(st.integers(0, 2**32 - 1), st.integers(33, 4000),
+       st.sampled_from([1, 2, 4, 7, 11]))
+@SET
+def test_mp2_roundtrip_bounded_by_quantizer(seed, n, alloc_idx):
+    rng = np.random.default_rng(seed)
+    # band-limit into the 30 transmitted subbands so quantization is the
+    # only error source (sblimit truncation is a documented drop)
+    S = mp2.analyze(rng.uniform(-0.9, 0.9, n))
+    S[:, mp2.SBLIMIT:] = 0.0
+    x = mp2.synthesize(S)[:n]
+    rate, d = mp2.decode_mp2(mp2.encode_mp2(x, rate=32000,
+                                            alloc_idx=alloc_idx))
+    assert rate == 32000
+    levels = mp2.QUANT[alloc_idx][0]
+    assert np.abs(x - d[:n]).max() < 64 * 2.0 / levels
+
+
+@given(st.integers(1, 5000))
+@SET
+def test_mp2_decode_length_closed_form(n):
+    x = 0.4 * np.sin(np.arange(n) / 3.0)
+    _, d = mp2.decode_mp2(mp2.encode_mp2(x, rate=32000))
+    blocks = -(-max(1, -(-n // 32)) // 36) * 36
+    assert len(d) == 32 * blocks
+
+
+@given(st.integers(0, 2**32 - 1))
+@SET
+def test_mp2_scalefactor_bounds_normalized_samples(seed):
+    rng = np.random.default_rng(seed)
+    m = float(rng.uniform(1e-9, 2.0))
+    idx = mp2._scf_index(m)
+    assert 0 <= idx <= 62
+    # chosen scalefactor covers the magnitude (no clip except at the
+    # ladder's top value, where 2.0 is the ceiling by construction)
+    assert mp2.scf_value(idx) >= min(m, 2.0) - 1e-12
+    if idx + 1 <= 62 and m < 2.0:
+        # and is the TIGHTEST such value on the ladder
+        assert mp2.scf_value(idx + 1) < m + 1e-12
