@@ -1763,6 +1763,43 @@ def _wave9(spark, sf_dir):
     return probs
 
 
+@check("wave9b: mp2 fixture kernel parallel + pruned; link-graph host "
+       "aggregation map-side partial, single shuffle, no Python after "
+       "the parse kernel")
+def _wave9b(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    probs = []
+    p = plan_of(entry.queries()["mm_mp2_decode_documents"](spark, sf_dir))
+    if "MapInPandas" not in p:
+        probs.append("mp2 decode is not an Arrow-batched kernel")
+    if "RoundRobinPartitioning" not in p and "REPARTITION" not in p:
+        probs.append("mp2 fixture input not repartitioned to compute "
+                     "parallelism (single-split serial decode)")
+    m = re.search(r"ReadSchema: struct<([^>]*)", p)
+    if m and "text" in m.group(1):
+        probs.append("mp2 scan reads text column it never uses")
+
+    from bid_evaluation_spark.operators.linkgraph import (
+        extract_links, host_degrees, host_graph)
+    pages = spark.createDataFrame(
+        [("http://a.example/", '<a href="/x">x</a>')] * 3,
+        "url string, html string")
+    g = host_graph(extract_links(pages))
+    gp = plan_of(g)
+    if "partial_count" not in gp:
+        probs.append("host_graph lacks map-side partial aggregation")
+    after_kernel = gp.split("MapInPandas")[0]
+    if "BatchEvalPython" in after_kernel:
+        probs.append("host_graph drops into row-Python after the kernel")
+    if gp.count("Exchange hashpartitioning") > 1:
+        probs.append("host_graph shuffles more than once")
+    dp = plan_of(host_degrees(g))
+    if "CartesianProduct" in dp or "BroadcastNestedLoopJoin" in dp:
+        probs.append("host_degrees join degenerates to all-pairs")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
