@@ -44,24 +44,54 @@ _SCHEMES = ("http", "https")
 
 
 class _AnchorCollector(HTMLParser):
+    """Collects ``(href, nofollow, anchor_text)`` triples. Anchor text —
+    the data between ``<a href>`` and its ``</a>`` — is the classic
+    weak-supervision signal of link corpora, so it rides along with the
+    edge. Nested ``<a>`` is illegal HTML; browsers (and this collector)
+    implicitly close the open anchor when a new one starts. Text inside
+    nested non-anchor tags (``<a><b>bold</b></a>``) is kept; whitespace
+    runs collapse to single spaces and ends are stripped."""
+
     def __init__(self):
         super().__init__(convert_charrefs=True)
-        self.anchors: List[Tuple[str, bool]] = []
+        self.anchors: List[Tuple[str, bool, str]] = []
+        self._open: Optional[Tuple[str, bool]] = None
+        self._text: List[str] = []
+
+    def _finish(self):
+        if self._open is not None:
+            href, nofollow = self._open
+            text = " ".join("".join(self._text).split())
+            self.anchors.append((href, nofollow, text))
+        self._open, self._text = None, []
 
     def handle_starttag(self, tag, attrs):
         if tag != "a":
             return
+        self._finish()                       # implicit close of nested <a>
         d = dict(attrs)
         href = d.get("href")
         if href is None:
             return
         rel = (d.get("rel") or "").lower().split()
-        self.anchors.append((href, "nofollow" in rel))
+        self._open = (href, "nofollow" in rel)
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._finish()
+
+    def handle_data(self, data):
+        if self._open is not None:
+            self._text.append(data)
+
+    def close(self):
+        super().close()
+        self._finish()                       # unclosed trailing anchor
 
 
 def page_links(page_url: str, html: str) -> List[dict]:
     """Resolved HTTP(S) links of one page: ``[{href, url, dst_host,
-    nofollow}]`` per the module contract."""
+    nofollow, anchor_text}]`` per the module contract."""
     parser = _AnchorCollector()
     try:
         parser.feed(html or "")
@@ -69,7 +99,7 @@ def page_links(page_url: str, html: str) -> List[dict]:
     except Exception:
         return []
     out = []
-    for href, nofollow in parser.anchors:
+    for href, nofollow, text in parser.anchors:
         try:
             resolved = urljoin(page_url or "", href)
             parts = urlsplit(resolved)
@@ -79,14 +109,15 @@ def page_links(page_url: str, html: str) -> List[dict]:
             continue
         out.append({"href": href, "url": resolved,
                     "dst_host": parts.hostname.lower(),
-                    "nofollow": nofollow})
+                    "nofollow": nofollow, "anchor_text": text})
     return out
 
 
 def extract_links(df: DataFrame, url_col: str = "url",
                   html_col: str = "html") -> DataFrame:
     """One row per resolved anchor: ``(src_host, href, url, dst_host,
-    nofollow)``. Pages that fail to parse contribute zero rows."""
+    nofollow, anchor_text)``. Pages that fail to parse contribute zero
+    rows."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,12 +134,12 @@ def extract_links(df: DataFrame, url_col: str = "url",
                     rows.append({"src_host": src_host, **link})
             yield pd.DataFrame(
                 rows, columns=["src_host", "href", "url", "dst_host",
-                               "nofollow"])
+                               "nofollow", "anchor_text"])
 
     return df.select(url_col, html_col).mapInPandas(
         kernel,
         "src_host string, href string, url string, dst_host string, "
-        "nofollow boolean")
+        "nofollow boolean, anchor_text string")
 
 
 def host_graph(links: DataFrame) -> DataFrame:

@@ -102,3 +102,29 @@ def test_host_degrees_full_outer(pages, spark):
     d2 = {r["host"]: tuple(r)[1:] for r in host_degrees(g2).collect()}
     assert d2["sink.example"] == (0, 0, 1, 4)
     assert d2["x.example"] == (1, 4, 0, 0)
+
+
+def test_anchor_text_capture():
+    html = ('<a href="/a">plain</a>'
+            '<a href="/b"><b>bold</b> and  spaced\n text</a>'
+            '<a href="/c"></a>'
+            '<a href="/d">outer <a href="/e">nested implicit close</a>'
+            '<a href="/f">unclosed tail')
+    texts = {l["href"]: l["anchor_text"]
+             for l in page_links("http://h.example/", html)}
+    assert texts == {
+        "/a": "plain",
+        "/b": "bold and spaced text",
+        "/c": "",
+        "/d": "outer",                    # nested <a> implicitly closes
+        "/e": "nested implicit close",
+        "/f": "unclosed tail",            # finalized at close()
+    }
+
+
+def test_extract_links_carries_anchor_text(spark):
+    df = spark.createDataFrame(
+        [("http://h.example/", '<a href="/x">the  text</a>')],
+        "url string, html string")
+    row = extract_links(df).collect()[0]
+    assert row["anchor_text"] == "the text"
