@@ -1619,6 +1619,91 @@ FROM packed
 """
 
 
+def _q_sitemap_urls_documents(spark, sf_dir):
+    """Sitemap discovery parsing (operators/sitemap.py — sitemaps.org
+    protocol, the crawl-discovery leg next to robots/linkgraph): doc
+    classes cycle the protocol surface — doc_id%7==0 is a 2-child
+    sitemapindex, else doc_id%11==0 is corrupt bytes (must yield ONE
+    visible null-kind row), else a urlset of 1+doc_id%5 urls carrying
+    lastmod always, changefreq on even urls, binary-exact priorities
+    (i%4)/4; every third doc gzip-compressed (mtime-pinned writer). The
+    oracle rebuilds the full entry table from doc_id arithmetic with a
+    lateral generate_series, so kind detection, gzip sniffing, field
+    extraction, null handling, and the one-row-per-corrupt-payload
+    contract all gate the hash."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.sitemap import (
+        sitemap_entries, write_sitemapindex, write_urlset)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gz = d % 3 == 0
+                if d % 7 == 0:
+                    payloads.append(write_sitemapindex(
+                        [f"http://h{d % 10}.example/s{j}.xml"
+                         for j in range(2)], compress=gz))
+                elif d % 11 == 0:
+                    payloads.append(b"garbage not xml <")
+                else:
+                    urls = []
+                    for i in range(1 + d % 5):
+                        u = {"loc": f"http://h{d % 10}.example/u{i}",
+                             "lastmod": f"2026-02-{10 + i:02d}",
+                             "priority": (i % 4) / 4.0}
+                        if i % 2 == 0:
+                            u["changefreq"] = "daily"
+                        urls.append(u)
+                    payloads.append(write_urlset(urls, compress=gz))
+            yield pd.DataFrame({"sitemap_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    maps = docs.mapInPandas(gen, "sitemap_id long, payload binary")
+    return sitemap_entries(maps)
+
+
+_SQL_SITEMAP_URLS_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, doc_id % 10 AS h, doc_id % 5 AS n5,
+         doc_id % 7 AS m7, doc_id % 11 AS m11
+  FROM documents
+),
+urlsets AS (
+  SELECT doc_id AS sitemap_id, 'urlset' AS kind,
+         'http://h' || h || '.example/u' || i AS loc,
+         '2026-02-' || lpad(CAST(10 + i AS VARCHAR), 2, '0') AS lastmod,
+         CASE WHEN i % 2 = 0 THEN 'daily' END AS changefreq,
+         CAST(i % 4 AS DOUBLE) / 4 AS priority
+  FROM p, UNNEST(generate_series(0, n5)) AS t(i)
+  WHERE m7 <> 0 AND m11 <> 0
+),
+indexes AS (
+  SELECT doc_id AS sitemap_id, 'sitemapindex' AS kind,
+         'http://h' || h || '.example/s' || j || '.xml' AS loc,
+         CAST(NULL AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM p, UNNEST(generate_series(0, 1)) AS t(j)
+  WHERE m7 = 0
+),
+corrupt AS (
+  SELECT doc_id AS sitemap_id, CAST(NULL AS VARCHAR) AS kind,
+         CAST(NULL AS VARCHAR) AS loc, CAST(NULL AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM p WHERE m7 <> 0 AND m11 = 0
+)
+SELECT * FROM urlsets
+UNION ALL SELECT * FROM indexes
+UNION ALL SELECT * FROM corrupt
+"""
+
+
 def _q_web_linkgraph_documents(spark, sf_dir):
     """Host-level link graph (operators/linkgraph.py — the crawl-frontier
     / PageRank-input leg completing the web-ingest family): each doc is
@@ -14947,6 +15032,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
 #   multimodal/web ingest ... mm(19) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
+#                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
 #                             privacy(3)
 
@@ -15142,6 +15228,8 @@ _QUERIES: dict = {
                               _SQL_WARC_INGEST_DOCUMENTS),
     "web_linkgraph_documents": (_q_web_linkgraph_documents,
                                 _SQL_WEB_LINKGRAPH_DOCUMENTS),
+    "sitemap_urls_documents": (_q_sitemap_urls_documents,
+                               _SQL_SITEMAP_URLS_DOCUMENTS),
     "mq_image_quality_documents": (_q_mq_image_quality_documents,
                                    _SQL_MQ_IMAGE_QUALITY_DOCUMENTS),
     "mq_audio_quality_documents": (_q_mq_audio_quality_documents,
