@@ -215,17 +215,17 @@ def encode_mp2(samples: np.ndarray, rate: int = 32000,
     frames = []
     for f in range(n_frames):
         FS = S[f * BLOCKS_PER_FRAME:(f + 1) * BLOCKS_PER_FRAME]
-        # per (subband, third) max over its 12 blocks
-        live: List[bool] = []
-        scf_idx = np.zeros((SBLIMIT, 3), dtype=np.int64)
-        for sb in range(SBLIMIT):
-            col = FS[:, sb]
-            thirds = [np.abs(col[t * 12:(t + 1) * 12]).max()
-                      for t in range(3)]
-            live.append(max(thirds) > 0.0)
-            if live[-1]:
-                for t in range(3):
-                    scf_idx[sb, t] = _scf_index(thirds[t])
+        # per (subband, third) max over its 12 blocks — vectorized:
+        # (3 thirds, 12 blocks, 32 subbands) -> (3, 32); the index
+        # formula is _scf_index's floor(3*(1-log2(m))) clamped to the
+        # ladder (safe log: silent thirds are masked by `live`)
+        thirds = np.abs(FS).reshape(3, 12, M).max(axis=1)[:, :SBLIMIT]
+        live = (thirds.max(axis=0) > 0.0).tolist()
+        with np.errstate(divide="ignore"):
+            idx = np.floor(3.0 * (1.0 - np.log2(
+                np.where(thirds > 0, thirds, 1.0))))
+        scf_idx = np.clip(np.where(thirds > 0, idx, _SCF_MAX_IDX),
+                          0, _SCF_MAX_IDX).astype(np.int64).T
         frames.append((FS, live, scf_idx))
 
     br_index = None
@@ -271,26 +271,39 @@ def encode_mp2(samples: np.ndarray, rate: int = 32000,
             if alloc[sb]:
                 for t in range(3):
                     bw.write(int(scf_idx[sb, t]), 6)
-        for gr in range(12):
-            t = gr // 4
-            blocks = FS[gr * 3:gr * 3 + 3]           # (3, 32)
-            for sb in range(SBLIMIT):
-                if not alloc[sb]:
-                    continue
-                levels, grouped = QUANT[alloc[sb]]
-                scf = scf_value(int(scf_idx[sb, t]))
-                codes = []
-                for s in blocks[:, sb]:
-                    v = s / scf
-                    c = int(math.floor((v + 1.0) / 2.0 * levels))
-                    codes.append(min(max(c, 0), levels - 1))
-                if grouped:
-                    g = codes[0] + levels * codes[1] + levels * levels * codes[2]
-                    bw.write(g, _group_bits(levels))
-                else:
-                    nb = _sample_bits(levels)
-                    for c in codes:
-                        bw.write(c, nb)
+        # sample section, vectorized: the allocation is uniform over
+        # live subbands, so the whole frame quantizes as one numpy
+        # expression and each granule packs into ONE arbitrary-precision
+        # int -> one bit write (MSB side = first subband, matching the
+        # per-sample layout the decoder mirrors)
+        live = [sb for sb in range(SBLIMIT) if alloc[sb]]
+        if live:
+            levels, grouped = QUANT[eff]
+            scf_m = np.array([[scf_value(int(scf_idx[sb, t]))
+                               for sb in live] for t in range(3)])
+            V = FS[:, live]                                   # (36, n_live)
+            scf_blocks = scf_m[np.arange(BLOCKS_PER_FRAME) // 12]
+            codes = np.clip(
+                np.floor((V / scf_blocks + 1.0) / 2.0 * levels),
+                0, levels - 1).astype(np.int64)
+            if grouped:
+                gb = _group_bits(levels)
+                for gr in range(12):
+                    c0, c1, c2 = codes[gr * 3:gr * 3 + 3]
+                    gvals = (c0 + levels * c1
+                             + levels * levels * c2).tolist()
+                    acc = 0
+                    for g in gvals:
+                        acc = (acc << gb) | g
+                    bw.write(acc, gb * len(gvals))
+            else:
+                nb = _sample_bits(levels)
+                for gr in range(12):
+                    tri = codes[gr * 3:gr * 3 + 3].T.reshape(-1).tolist()
+                    acc = 0
+                    for c in tri:
+                        acc = (acc << nb) | c
+                    bw.write(acc, nb * len(tri))
         pad_bits = fbytes * 8 - (len(bw.out) * 8 + bw.nbits)
         while pad_bits >= 16:
             bw.write(0, 16)
@@ -353,26 +366,51 @@ def decode_mp2(payload: bytes) -> Tuple[int, np.ndarray]:
                 for t in range(3):
                     scf[sb, t] = scf_value(br.read(6))
         FS = np.zeros((BLOCKS_PER_FRAME, M))
-        for gr in range(12):
-            t = gr // 4
-            for sb in range(SBLIMIT):
-                if not alloc[sb]:
-                    continue
-                levels, grouped = QUANT[alloc[sb]]
-                if grouped:
-                    g = br.read(_group_bits(levels))
-                    codes = [g % levels, (g // levels) % levels,
-                             g // (levels * levels)]
-                    if codes[2] >= levels:
+        live = [sb for sb in range(SBLIMIT) if alloc[sb]]
+        if live:
+            # encoder-mirrored uniform allocation: one quantizer for
+            # every live subband -> each granule is one fixed-width
+            # block, read as a single int and split by shifts, then
+            # dequantized as one numpy expression per frame
+            allocs = {alloc[sb] for sb in live}
+            if len(allocs) != 1:
+                raise ValueError("non-uniform allocation (not this "
+                                 "encoder's output)")
+            levels, grouped = QUANT[allocs.pop()]
+            n_live = len(live)
+            codes = np.empty((BLOCKS_PER_FRAME, n_live), dtype=np.int64)
+            if grouped:
+                gb = _group_bits(levels)
+                gmask = (1 << gb) - 1
+                for gr in range(12):
+                    acc = br.read(gb * n_live)
+                    gvals = []
+                    for _ in range(n_live):
+                        gvals.append(acc & gmask)
+                        acc >>= gb
+                    gvals.reverse()
+                    g = np.array(gvals, dtype=np.int64)
+                    if (g // (levels * levels) >= levels).any():
                         raise ValueError("group code out of range")
-                else:
-                    nb = _sample_bits(levels)
-                    codes = [br.read(nb) for _ in range(3)]
-                    if any(c >= levels for c in codes):
+                    codes[gr * 3] = g % levels
+                    codes[gr * 3 + 1] = (g // levels) % levels
+                    codes[gr * 3 + 2] = g // (levels * levels)
+            else:
+                nb = _sample_bits(levels)
+                mask = (1 << nb) - 1
+                for gr in range(12):
+                    acc = br.read(nb * 3 * n_live)
+                    tri = []
+                    for _ in range(3 * n_live):
+                        tri.append(acc & mask)
+                        acc >>= nb
+                    tri.reverse()
+                    t3 = np.array(tri, dtype=np.int64).reshape(n_live, 3)
+                    if (t3 >= levels).any():
                         raise ValueError("sample code out of range")
-                for j, c in enumerate(codes):
-                    FS[gr * 3 + j, sb] = (2 * c + 1 - levels) / levels \
-                        * scf[sb, t]
+                    codes[gr * 3:gr * 3 + 3] = t3.T
+            scf_blocks = scf[live][:, np.arange(BLOCKS_PER_FRAME) // 12].T
+            FS[:, live] = (2 * codes + 1 - levels) / levels * scf_blocks
         subbands.append(FS)
         pos += flen
     if not subbands:
