@@ -266,6 +266,32 @@ def fam_graph_kcore(spark, base):
     return n, k_core(_ps_edges(spark, base), k=30, n_rounds=3).count()
 
 
+def fam_web_ingest(spark, base):
+    # round-9 web wave: per-doc HTML fixture -> anchor parse kernel ->
+    # host-graph aggregation; constant parse work per row, one shuffle
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.linkgraph import (
+        extract_links, host_graph)
+
+    d = _docs(spark, base).select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            urls, pages = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                urls.append(f"http://h{did % 97}.example/p/{did}")
+                pages.append(
+                    f'<a href="http://h{(did + 1) % 97}.example/x">n</a>'
+                    '<a href="/self">s</a>'
+                    f'<a href="//h{(did + 2) % 97}.example/y">p</a>')
+            yield pd.DataFrame({"url": urls, "html": pages})
+
+    pages = d.mapInPandas(gen, "url string, html string")
+    return d.count(), host_graph(extract_links(pages)).count()
+
+
 def fam_quantile_match(spark, base):
     from bid_evaluation_spark.operators.analytics import quantile_match
     od = spark.read.parquet(f"{base}/orders.parquet")
@@ -317,6 +343,10 @@ FAMILIES = {
     "graph_kcore": (fam_graph_kcore, 1.0,
                     "3 fixed peel rounds x (degree groupBy + two "
                     "endpoint semi-joins), lineage truncated per round"),
+    "web_ingest": (fam_web_ingest, 1.0,
+                   "constant anchor-parse work per page in one Arrow "
+                   "kernel + one host-pair groupBy; edge count linear "
+                   "in pages by construction"),
 }
 
 
