@@ -14547,6 +14547,74 @@ FROM dims
 """
 
 
+def _q_mm_audio_match_documents(spark, sf_dir):
+    """Spectral-landmark audio RETRIEVAL (operators/audiomatch.py —
+    Wang/Shazam constellation: Hann rFFT peaks → (f1,f2,dt) landmark
+    hashes → ONE equi-join + offset-histogram vote): 35 indexed melody
+    clips (even doc_id < 70; 8 bin-centered PRNG tones each) and 35
+    query snippets (odd doc_id < 70: a gain-scaled middle cut of the
+    even neighbor's clip). The fixture set is FIXED across SFs — like
+    the quadratic-truth dedup sub-corpus, correctness runs on a
+    constant witness set while the operator's scale story (hash
+    equi-join, no pairwise clip scan) is plan-audited. Every true match
+    concentrates exactly 264 votes at the closed-form cut offset
+    ((d%3)+1)*8 frames; the deterministic collision ceiling of these
+    pure-tone fixtures is 168 votes, so min_votes=220 admits exactly
+    the 35 true pairs — any FFT/peak/hash/vote regression changes the
+    vote mass and breaks the row/hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.audiomatch import (
+        audio_landmarks, match_clips)
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 70)
+
+    def melody(d):
+        rng = np.random.default_rng(1000 + (d - d % 2))
+        bins = rng.choice(np.arange(12, 112), size=8, replace=False)
+        t = np.arange(1024)
+        return np.concatenate(
+            [0.5 * np.sin(2 * np.pi * (b * 31.25) * t / 8000.0)
+             for b in bins])
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                x = melody(d)
+                if d % 2 == 1:                       # query: scaled snippet
+                    off = ((d % 3) + 1) * 1024
+                    x = 0.3 * x[off:off + 3072]
+                rows.append({"media_id": d, "is_query": d % 2 == 1,
+                             "payload": encode_wav(
+                                 (np.clip(x, -1, 1) * 32000)
+                                 .astype(np.int16), rate=8000)})
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "is_query", "payload"])
+
+    media = docs.mapInPandas(
+        gen, "media_id long, is_query boolean, payload binary")
+    lms = audio_landmarks(media).join(
+        media.select("media_id", "is_query"), "media_id")
+    return match_clips(
+        lms.filter(~F.col("is_query")).select("media_id", "lm_hash", "t"),
+        lms.filter(F.col("is_query")).select("media_id", "lm_hash", "t"),
+        min_votes=220)
+
+
+_SQL_MM_AUDIO_MATCH_DOCUMENTS = """
+SELECT doc_id AS query_id,
+       doc_id - 1 AS index_id,
+       CAST(((doc_id % 3) + 1) * 8 AS INT) AS offset,
+       CAST(264 AS BIGINT) AS votes
+FROM documents
+WHERE doc_id < 70 AND doc_id % 2 = 1
+"""
+
+
 def _q_mm_mp2_decode_documents(spark, sf_dir):
     """PERCEPTUAL-family lossy audio decode end-to-end: deterministic
     tone fixtures (freq class doc_id%7, length+amplitude class doc_id%5)
@@ -15030,7 +15098,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(19) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(20) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -15614,6 +15682,8 @@ _QUERIES: dict = {
                                 _SQL_MM_GIF_DECODE_DOCUMENTS),
     "mm_mp2_decode_documents": (_q_mm_mp2_decode_documents,
                                 _SQL_MM_MP2_DECODE_DOCUMENTS),
+    "mm_audio_match_documents": (_q_mm_audio_match_documents,
+                                 _SQL_MM_AUDIO_MATCH_DOCUMENTS),
 }
 
 

@@ -1797,6 +1797,17 @@ def _wave9b(spark, sf_dir):
     dp = plan_of(host_degrees(g))
     if "CartesianProduct" in dp or "BroadcastNestedLoopJoin" in dp:
         probs.append("host_degrees join degenerates to all-pairs")
+
+    from bid_evaluation_spark.operators.audiomatch import match_clips
+    lm = spark.createDataFrame([(1, 7, 0), (2, 7, 3)],
+                               "media_id long, lm_hash long, t int")
+    mp = plan_of(match_clips(lm, lm, min_votes=1))
+    if "CartesianProduct" in mp or "BroadcastNestedLoopJoin" in mp:
+        probs.append("landmark match degenerates to a clip cross-join")
+    if not re.search(r"Join.{0,120}lm_hash", mp):
+        probs.append("landmark match does not join on lm_hash")
+    if "partial_count" not in mp:
+        probs.append("offset vote lacks map-side partial aggregation")
     return probs
 
 
