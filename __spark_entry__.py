@@ -14547,6 +14547,71 @@ FROM dims
 """
 
 
+def _q_mm_phash_documents(spark, sf_dir):
+    """DCT perceptual hash (operators/phash.py — the low-frequency
+    complement of dHash, convention pinned in the module: 32×32
+    half-pixel bilinear, orthonormal DCT-II, 8×8 block, AC-median
+    threshold, MSB-first signed packing): deterministic gradient+blob
+    PNGs per (doc_id%5, doc_id%7) class through the full
+    decode→luma→hash kernel. The oracle carries a frozen 35-class
+    golden hash table computed ONCE by the same codec chain outside
+    Spark — every stage (PNG decode, luma, resize weights, DCT, median
+    split, bit packing) gates the exact 64-bit values."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.phash import image_phash
+    from bid_evaluation_spark.operators.png import encode_png
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                a, b = int(d) % 5, int(d) % 7
+                y, x = np.mgrid[0:64, 0:48]
+                img = np.clip(
+                    90 + x * (0.5 + 0.1 * a)
+                    + 50 * np.exp(-((x - (10 + 3 * b)) ** 2
+                                    + (y - (12 + 2 * a)) ** 2) / 250.0),
+                    0, 255).astype(np.uint8)
+                payloads.append(encode_png(img))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return image_phash(media, strict=True)
+
+
+_SQL_MM_PHASH_DOCUMENTS = """
+WITH golden(a, b, h) AS (VALUES
+  (0, 0, -9169117463449747656), (0, 1, -9169117463449748166),
+  (0, 2, -9169117463449747910), (0, 3, -9169117463449747662),
+  (0, 4, -9169116363938185668), (0, 5, -9181259180786422941),
+  (0, 6, -8028346476433609877),
+  (1, 0, -9169113065403237318), (1, 1, -9169117463449748418),
+  (1, 2, -9169115264426493636), (1, 3, -9169106468333471693),
+  (1, 4, -9169100970842705102), (1, 5, -9181265782016940693),
+  (1, 6, -8028335481317332374),
+  (2, 0, -9169259300449732584), (2, 1, -9169259300449732560),
+  (2, 2, -9169259300449734600), (2, 3, -9169259300449800141),
+  (2, 4, -9169259300450520525), (2, 5, -9181315260040451217),
+  (2, 6, -8028393755433604245),
+  (3, 0, -9169259300449732584), (3, 1, -9169259300449928648),
+  (3, 2, -9169259300449800134), (3, 3, -9169259300450190276),
+  (3, 4, -9169259300466575816), (3, 5, -9181315260040384667),
+  (3, 6, -8028393755433603477),
+  (4, 0, -9169259300450191299), (4, 1, -9169259300450190276),
+  (4, 2, -9169259300449800134), (4, 3, -9169259300517366727),
+  (4, 4, -9169259300600726990), (4, 5, -9181315255879369887),
+  (4, 6, -8028393755433537694))
+SELECT doc_id AS media_id, CAST(golden.h AS BIGINT) AS phash
+FROM documents
+JOIN golden ON doc_id % 5 = golden.a AND doc_id % 7 = golden.b
+"""
+
+
 def _q_mm_audio_match_documents(spark, sf_dir):
     """Spectral-landmark audio RETRIEVAL (operators/audiomatch.py —
     Wang/Shazam constellation: Hann rFFT peaks → (f1,f2,dt) landmark
@@ -15098,7 +15163,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(20) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(21) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -15684,6 +15749,8 @@ _QUERIES: dict = {
                                 _SQL_MM_MP2_DECODE_DOCUMENTS),
     "mm_audio_match_documents": (_q_mm_audio_match_documents,
                                  _SQL_MM_AUDIO_MATCH_DOCUMENTS),
+    "mm_phash_documents": (_q_mm_phash_documents,
+                           _SQL_MM_PHASH_DOCUMENTS),
 }
 
 
