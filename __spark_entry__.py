@@ -14547,6 +14547,73 @@ FROM dims
 """
 
 
+def _q_mm_scenecut_documents(spark, sf_dir):
+    """Video scene-cut detection (operators/scenecut.py — 16-bin luma
+    histogram L1 detector): per doc a Y4M clip of 1+doc_id%4 flat-luma
+    shots, shot i running 2+(doc_id+i)%3 frames at luma bin
+    1+((doc_id*7+i*5)%14) — adjacent shots always land in different
+    bins (5 is coprime-enough to 14), so every boundary is a
+    full-mass histogram jump and the cut set is exactly the shot
+    boundaries. Output is the exploded per-shot manifest
+    (media_id, shot_index, shot_start, shot_len); the oracle rebuilds
+    it with a lateral generate_series + prefix-sum window, so the
+    detector's cut LOCATIONS (not just counts) gate the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.scenecut import scene_cuts
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = []
+                for i in range(1 + d % 4):
+                    v = 16 * (1 + ((d * 7 + i * 5) % 14)) + 3
+                    frames += [np.full((24, 32), v, dtype=np.uint8)] \
+                        * (2 + (d + i) % 3)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    cuts = scene_cuts(media, strict=True)
+    starts = F.concat(F.array(F.lit(0)), F.col("cut_frames"))
+    exploded = cuts.select(
+        "media_id", F.posexplode("shot_lengths").alias("shot_index",
+                                                       "shot_len"),
+        starts.alias("_starts"))
+    return exploded.select(
+        "media_id",
+        F.col("shot_index").cast("long").alias("shot_index"),
+        F.element_at("_starts", F.col("shot_index") + 1)
+        .cast("long").alias("shot_start"),
+        F.col("shot_len").cast("long").alias("shot_len"))
+
+
+_SQL_MM_SCENECUT_DOCUMENTS = """
+WITH p AS (
+  SELECT doc_id, 1 + doc_id % 4 AS s FROM documents
+),
+shots AS (
+  SELECT doc_id, i AS shot_index, 2 + (doc_id + i) % 3 AS shot_len
+  FROM p, UNNEST(generate_series(0, s - 1)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(shot_index AS BIGINT) AS shot_index,
+       CAST(COALESCE(SUM(shot_len) OVER (
+            PARTITION BY doc_id ORDER BY shot_index
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS shot_start,
+       CAST(shot_len AS BIGINT) AS shot_len
+FROM shots
+"""
+
+
 def _q_mm_phash_documents(spark, sf_dir):
     """DCT perceptual hash (operators/phash.py — the low-frequency
     complement of dHash, convention pinned in the module: 32×32
@@ -15163,7 +15230,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(21) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(22) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -15751,6 +15818,8 @@ _QUERIES: dict = {
                                  _SQL_MM_AUDIO_MATCH_DOCUMENTS),
     "mm_phash_documents": (_q_mm_phash_documents,
                            _SQL_MM_PHASH_DOCUMENTS),
+    "mm_scenecut_documents": (_q_mm_scenecut_documents,
+                              _SQL_MM_SCENECUT_DOCUMENTS),
 }
 
 
