@@ -14547,6 +14547,92 @@ FROM dims
 """
 
 
+def _q_dedup_homoglyph_documents(spark, sf_dir):
+    """Homoglyph/confusable dedup (operators/confusable.py — fixed
+    UTS#39-style mapping, NATIVE Column transform: regexp_replace +
+    translate + lower, zero Python): per doc a spam template
+    (doc_id%9) obfuscated by class — Cyrillic е-swap (d%4==1),
+    Cyrillic о-swap + zero-width space injection (d%4==2), fullwidth
+    'spam' (d%4==3), plain (d%4==0) — all collapsing to one skeleton
+    per template. Output is the ordered dup marking; the oracle is
+    FIRST-PRINCIPLES (no goldens): DuckDB rebuilds the obfuscated raw
+    text, applies the IDENTICAL translate/regexp_replace/lower
+    normalization from the module's own mapping constants, and
+    re-derives the min-id witness."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.confusable import (
+        mark_homoglyph_dups)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        zwsp = "​"
+        for pdf in batches:
+            texts = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                base = f"spam offer {d % 9} click here now"
+                m = d % 4
+                if m == 1:
+                    t = base.replace("e", "е")
+                elif m == 2:
+                    t = base.replace("o", "о")
+                    t = t[0] + zwsp + t[1:]
+                elif m == 3:
+                    t = base.replace("spam", "ｓｐａｍ")
+                else:
+                    t = base
+                texts.append(t)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "text": texts})
+
+    fixture = docs.mapInPandas(gen, "doc_id long, text string")
+    return mark_homoglyph_dups(fixture)
+
+
+def _sql_dedup_homoglyph_documents() -> str:
+    from bid_evaluation_spark.operators.confusable import (
+        CONFUSABLE_FROM, CONFUSABLE_TO, INVISIBLE_RE)
+
+    zwsp = "​"
+    # DuckDB regexps are RE2: no \uXXXX escapes — embed the literal
+    # characters (INVISIBLE_RE already holds them post-Python-escape)
+    inv_re = INVISIBLE_RE
+    return f"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 1 THEN replace('spam offer ' || (doc_id % 9)
+                          || ' click here now', 'e', 'е')
+      WHEN 2 THEN 's' || '{zwsp}'
+                  || substring(replace('spam offer ' || (doc_id % 9)
+                               || ' click here now', 'o', 'о'), 2)
+      WHEN 3 THEN replace('spam offer ' || (doc_id % 9)
+                          || ' click here now', 'spam',
+                          'ｓｐａｍ')
+      ELSE 'spam offer ' || (doc_id % 9) || ' click here now'
+    END AS text
+  FROM documents
+),
+sk AS (
+  SELECT doc_id,
+    lower(translate(regexp_replace(text, '{inv_re}', '', 'g'),
+                    '{CONFUSABLE_FROM}', '{CONFUSABLE_TO}')) AS skeleton
+  FROM raw
+),
+wit AS (
+  SELECT skeleton, MIN(doc_id) AS w FROM sk GROUP BY skeleton
+)
+SELECT sk.doc_id, sk.skeleton,
+       sk.doc_id <> wit.w AS is_dup,
+       CASE WHEN sk.doc_id <> wit.w THEN wit.w END AS dup_of
+FROM sk JOIN wit USING (skeleton)
+"""
+
+
+_SQL_DEDUP_HOMOGLYPH_DOCUMENTS = _sql_dedup_homoglyph_documents()
+
+
 def _q_mm_scenecut_documents(spark, sf_dir):
     """Video scene-cut detection (operators/scenecut.py — 16-bin luma
     histogram L1 detector): per doc a Y4M clip of 1+doc_id%4 flat-luma
@@ -15221,7 +15307,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   reference parity ........ flagship(1) f*(18) a1(2) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(17) quality(5) lm(1) pii(1)
-#   dedup/similarity ........ dedup(19) ann(5) pq(3) emb(4) bitext(1)
+#   dedup/similarity ........ dedup(20) ann(5) pq(3) emb(4) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(5)
 #   pipeline/curation ....... pipe(29) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
@@ -15810,6 +15896,8 @@ _QUERIES: dict = {
                                        _SQL_DEDUP_STREAM_HASHDUP_DOCUMENTS),
     "dedup_stream_neardup_documents": (_q_dedup_stream_neardup_documents,
                                        _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS),
+    "dedup_homoglyph_documents": (_q_dedup_homoglyph_documents,
+                                  _SQL_DEDUP_HOMOGLYPH_DOCUMENTS),
     "mm_gif_decode_documents": (_q_mm_gif_decode_documents,
                                 _SQL_MM_GIF_DECODE_DOCUMENTS),
     "mm_mp2_decode_documents": (_q_mm_mp2_decode_documents,
