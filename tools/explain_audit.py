@@ -1808,6 +1808,18 @@ def _wave9b(spark, sf_dir):
         probs.append("landmark match does not join on lm_hash")
     if "partial_count" not in mp:
         probs.append("offset vote lacks map-side partial aggregation")
+
+    from bid_evaluation_spark.operators.confusable import (
+        mark_homoglyph_dups)
+    docs = spark.createDataFrame([(1, "Frее"), (2, "free")],
+                                 "doc_id long, text string")
+    cp = plan_of(mark_homoglyph_dups(docs))
+    if "BatchEvalPython" in cp or "ArrowEvalPython" in cp \
+            or "MapInPandas" in cp:
+        probs.append("homoglyph skeleton dropped into Python — must be "
+                     "native translate/regexp_replace")
+    if "translate" not in cp:
+        probs.append("homoglyph skeleton lost the translate expression")
     return probs
 
 
