@@ -330,17 +330,32 @@ def _parse_header(p: bytes, i: int):
     return rate, frame_bytes(BITRATES[br_index], rate) + pad
 
 
+def _tag_end(payload: bytes) -> int:
+    """Byte offset past an ID3v2 prefix (0 when none)."""
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14) \
+            | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+        return 10 + size
+    return 0
+
+
+def is_mp2(payload: bytes) -> bool:
+    """True when the payload (optionally ID3v2-prefixed) starts with a
+    valid MPEG-1 Layer II frame header — the dispatch predicate."""
+    return _parse_header(payload, _tag_end(payload)) is not None
+
+
 def decode_mp2(payload: bytes) -> Tuple[int, np.ndarray]:
     """MP2 bitstream -> ``(rate, mono float64)`` (the
     :func:`~.multimodal.decode_audio` contract). Raises ``ValueError``
     on a payload that does not start with a valid Layer II frame or
     whose frames are truncated/corrupt."""
-    first = _parse_header(payload, 0)
+    pos = _tag_end(payload)       # ID3v2 prefix, same skip as the probe
+    first = _parse_header(payload, pos)
     if first is None:
         raise ValueError("not an MPEG-1 Layer II stream")
     rate = first[0]
     subbands = []
-    pos = 0
     while pos < len(payload):
         hdr = _parse_header(payload, pos)
         if hdr is None:

@@ -76,8 +76,7 @@ def decode_audio(payload: bytes):
 
     if payload[:4] == b"fLaC":
         return _flac.decode_flac(payload)
-    if len(payload) >= 2 and payload[0] == 0xFF \
-            and (payload[1] & 0xFE) == 0xFC:
+    if _mp2.is_mp2(payload):      # handles ID3v2-prefixed streams too
         return _mp2.decode_mp2(payload)
     tag = _g711.wav_format_tag(payload)
     if tag in (_g711.WAVE_FORMAT_MULAW, _g711.WAVE_FORMAT_ALAW):

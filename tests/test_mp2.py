@@ -200,3 +200,22 @@ def test_garbage_between_frames_raises():
     enc[hdr[1]] = 0x00                     # destroy 2nd frame's sync
     with pytest.raises(ValueError):
         mp2.decode_mp2(bytes(enc))
+
+
+def test_id3v2_prefixed_stream_decodes_and_dispatches():
+    x = _tone(500, n=4608)
+    enc = mp2.encode_mp2(x, rate=32000)
+    body = b"TAGDATA" * 10
+    n = len(body)
+    # synchsafe size
+    hdr = (b"ID3\x04\x00\x00"
+           + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F,
+                    (n >> 7) & 0x7F, n & 0x7F]))
+    tagged = hdr + body + enc
+    assert mp2.is_mp2(tagged) and mp2.is_mp2(enc)
+    assert not mp2.is_mp2(b"ID3\x04\x00\x00\x00\x00\x00\x00garbage")
+    r1, d1 = mp2.decode_mp2(tagged)
+    r2, d2 = mp2.decode_mp2(enc)
+    assert r1 == r2 and np.array_equal(d1, d2)
+    r3, d3 = decode_audio(tagged)
+    assert r3 == 32000 and np.array_equal(d3, d1)
