@@ -63,14 +63,17 @@ def skeleton_col(col: Column) -> Column:
 def homoglyph_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Collapse homoglyph variants: one row per skeleton with the
-    variant count, the number of rows whose raw text differs from the
-    skeleton (i.e. actually-obfuscated members), and the minimum id as
-    the canonical representative."""
+    variant count, the number of genuinely-obfuscated members (rows
+    whose skeleton differs from their plain casefold — i.e. invisible
+    characters were stripped or confusables translated; case-only
+    differences do NOT count), and the minimum id as the canonical
+    representative."""
     sk = skeleton_col(F.col(text_col)).alias("skeleton")
     return (df.select(F.col(id_col), F.col(text_col), sk)
             .groupBy("skeleton")
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.sum(F.when(F.col(text_col) != F.col("skeleton"), 1)
+                 F.sum(F.when(F.lower(F.col(text_col))
+                              != F.col("skeleton"), 1)
                        .otherwise(0)).alias("n_obfuscated"),
                  F.min(id_col).alias("canonical_id")))
 

@@ -327,7 +327,10 @@ def _parse_header(p: bytes, i: int):
         return None
     rate = SAMPLE_RATES[sr_index]
     pad = (p[i + 2] >> 1) & 1
-    return rate, frame_bytes(BITRATES[br_index], rate) + pad
+    # protection_bit==0 means a 16-bit CRC follows the header
+    # (ISO 11172-3 §2.4.1.3) — the decoder must skip it.
+    crc = (p[i + 1] & 1) == 0
+    return rate, frame_bytes(BITRATES[br_index], rate) + pad, crc
 
 
 def _tag_end(payload: bytes) -> int:
@@ -362,15 +365,17 @@ def decode_mp2(payload: bytes) -> Tuple[int, np.ndarray]:
             if len(payload) - pos < 4:
                 break                                # trailing garbage < header
             raise ValueError(f"bad frame header at byte {pos}")
-        frate, flen = hdr
+        frate, flen, crc = hdr
         if frate != rate:
             raise ValueError("sample-rate change mid-stream")
         if pos + flen > len(payload):
             raise ValueError("truncated final MP2 frame")
-        br = _BitReader(payload, (pos + 4) * 8)
+        # CRC-protected frames carry a 16-bit checksum before the body.
+        br = _BitReader(payload, (pos + 4) * 8 + (16 if crc else 0))
+        # every 4-bit allocation index is valid here: 0 = silent band,
+        # 1..15 all map to real QUANT quantizers — no validity check
+        # is possible at this seam (ISO B.2a's nbal=4 column is total).
         alloc = [br.read(4) for _ in range(SBLIMIT)]
-        if any(a == 0 or QUANT[a] for a in alloc) is False:
-            raise ValueError("invalid allocation index")
         for sb in range(SBLIMIT):
             if alloc[sb]:
                 if br.read(2) != 0:

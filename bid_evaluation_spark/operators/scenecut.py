@@ -39,7 +39,10 @@ def frame_histogram(y: np.ndarray) -> np.ndarray:
     lum = np.clip(np.asarray(y, dtype=np.float64), 0, 255)
     h = np.bincount((lum // _BINS).astype(np.int64).reshape(-1),
                     minlength=_BINS)[:_BINS].astype(np.float64)
-    return h / h.sum()
+    s = h.sum()
+    if s == 0:                       # zero-pixel frame: public API guard
+        raise ValueError("frame_histogram: empty frame")
+    return h / s
 
 
 def cut_positions(frames: List[np.ndarray], *,

@@ -35,6 +35,7 @@ from __future__ import annotations
 import gzip
 from typing import Iterator, List, Optional
 from xml.etree import ElementTree
+from xml.sax.saxutils import escape as _xml_escape
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -130,11 +131,11 @@ def write_urlset(urls: List[dict], *, compress: bool = False) -> bytes:
              'sitemap/0.9">']
     for u in urls:
         parts.append("<url>")
-        parts.append(f"<loc>{u['loc']}</loc>")
+        parts.append(f"<loc>{_xml_escape(str(u['loc']))}</loc>")
         for k in ("lastmod", "changefreq", "priority"):
             v = u.get(k)
             if v is not None:
-                parts.append(f"<{k}>{v}</{k}>")
+                parts.append(f"<{k}>{_xml_escape(str(v))}</{k}>")
         parts.append("</url>")
     parts.append("</urlset>")
     raw = "".join(parts).encode()
@@ -150,7 +151,8 @@ def write_sitemapindex(locs: List[str], *,
              '<sitemapindex xmlns="http://www.sitemaps.org/schemas/'
              'sitemap/0.9">']
     for loc in locs:
-        parts.append(f"<sitemap><loc>{loc}</loc></sitemap>")
+        parts.append(f"<sitemap><loc>{_xml_escape(str(loc))}</loc>"
+                     "</sitemap>")
     parts.append("</sitemapindex>")
     raw = "".join(parts).encode()
     if compress:

@@ -47,12 +47,13 @@ def test_column_twin_matches_python(spark):
 
 def test_homoglyph_groups_and_marking(spark):
     rows = [(0, PLAIN), (1, OBFUSCATED), (2, "Frее Mоnеy Ｎｏｗ"),
-            (3, "unrelated text")]
+            (3, "unrelated text"), (4, "FREE MONEY NOW")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     groups = {r["skeleton"]: r for r in homoglyph_groups(df).collect()}
     g = groups[PLAIN]
-    assert g["n_docs"] == 3 and g["canonical_id"] == 0
-    assert g["n_obfuscated"] == 2                # raw != skeleton rows
+    assert g["n_docs"] == 4 and g["canonical_id"] == 0
+    # case-only row 4 is NOT obfuscated; Cyrillic/fullwidth rows are
+    assert g["n_obfuscated"] == 2
     assert groups["unrelated text"]["n_docs"] == 1
 
     marks = {r["doc_id"]: (r["is_dup"], r["dup_of"])
@@ -60,3 +61,4 @@ def test_homoglyph_groups_and_marking(spark):
     assert marks[0] == (False, None)
     assert marks[1] == (True, 0) and marks[2] == (True, 0)
     assert marks[3] == (False, None)
+    assert marks[4] == (True, 0)          # case variant is still a dup

@@ -219,3 +219,18 @@ def test_id3v2_prefixed_stream_decodes_and_dispatches():
     assert r1 == r2 and np.array_equal(d1, d2)
     r3, d3 = decode_audio(tagged)
     assert r3 == 32000 and np.array_equal(d3, d1)
+
+
+def test_crc_protected_frame_decodes():
+    # third-party CRC-protected streams: protection_bit=0 puts a 16-bit
+    # checksum between the header and the body. Build one from our own
+    # single-frame output: clear the protection bit and splice in two
+    # CRC bytes (the decoder skips, never validates, the checksum).
+    x = _tone(300, n=1152)
+    enc = bytearray(mp2.encode_mp2(x, rate=32000))
+    ref_rate, ref = mp2.decode_mp2(bytes(enc))
+    enc[1] &= 0xFE                       # protection_bit=0 (CRC present)
+    protected = bytes(enc[:4]) + b"\xAB\xCD" + bytes(enc[4:])
+    assert mp2.is_mp2(protected)
+    rate, d = mp2.decode_mp2(protected)
+    assert rate == ref_rate and np.array_equal(d, ref)

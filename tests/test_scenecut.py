@@ -61,3 +61,11 @@ def test_scene_cuts_kernel(spark):
     assert got[3]["n_frames"] is None       # corrupt stays visible
     with pytest.raises(Exception):
         scene_cuts(df, strict=True).collect()
+
+
+def test_frame_histogram_rejects_empty_frame():
+    import numpy as np
+    import pytest
+    from bid_evaluation_spark.operators.scenecut import frame_histogram
+    with pytest.raises(ValueError):
+        frame_histogram(np.zeros((0, 0)))

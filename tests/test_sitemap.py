@@ -96,3 +96,16 @@ def test_sitemap_entries_kernel(spark):
         (2, "sitemapindex", "http://a.example/s.xml", None),
         (3, None, None, None),             # corrupt stays visible
     }
+
+
+def test_writer_escapes_special_chars_roundtrip():
+    from bid_evaluation_spark.operators.sitemap import (
+        parse_sitemap, write_sitemapindex, write_urlset)
+    urls = [{"loc": "https://e.com/s?a=1&b=<2>", "changefreq": "daily"},
+            {"loc": 'https://e.com/"q"&x'}]
+    parsed = parse_sitemap(write_urlset(urls))
+    assert parsed["kind"] == "urlset" and parsed["n_bad"] == 0
+    assert [e["loc"] for e in parsed["entries"]] == [u["loc"] for u in urls]
+    idx = parse_sitemap(write_sitemapindex(["https://e.com/a&b.xml"]))
+    assert idx["kind"] == "sitemapindex"
+    assert idx["entries"][0]["loc"] == "https://e.com/a&b.xml"
