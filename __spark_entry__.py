@@ -15922,59 +15922,65 @@ _QUERIES: dict = {
 # metrics, CDC, privacy, spatial, streaming batch-twin).  All 50 carry
 # value oracles.  The remaining keys follow in original insertion order —
 # the full registry is unchanged as a set.
+#: Round-10 rotation (VERDICT r9 task 2): 35 of the 50 keys are queries
+#: that have NEVER had a driver-verified artifact row (absent from every
+#: CORRECTNESS_r*.json through r09), while the flagship and one anchor
+#: per §2 core family stay pinned.  Rotate ~20 keys per round toward the
+#: never-verified tail; keep tests/test_registry_sample.py green.
 _DRIVER_SAMPLE = [
-    # reference-parity core (SURVEY §2.1-2.8)
+    # reference-parity core (SURVEY §2.1-2.8): flagship + per-family
+    # anchors, plus never-verified criteria/agg/window/staged variants
     "flagship_supplier_scoring",
     "f1_linear_supplier",
-    "f2_threshold_part",
-    "f4_min_ratio_part",
-    "f5_formula_membership_part",
-    "f6_custom_udf_supplier",
-    "f9_sweet_spot_part",
-    "f13_distance_from_mean_customer",
+    "f3_direct_customer",
+    "f7_proximity_to_mean_customer",
+    "f8_budget_proximity_orders",
+    "f11_bonus_tiers_part",
     "a1_stats_bundle_lineitem",
-    "j_salted_join_orders",
+    "a7_salted_group_totals_events",
     "j3_zscore_orders",
     "w1_eval_rank_part",
+    "w5_winner_part",
     "staged_threshold_orders",
-    "staged_topn_exclude_part",
-    "staged_batched_orders",
-    # one per beyond-reference family
-    "text_lang_id_documents",
-    "text_quality_score_documents",
-    "text_fingerprint_documents",
+    "staged_topn_customer",
+    "batched_linear_orders",
+    # beyond-reference families (rotated toward never-verified keys)
+    "text_stats_documents",
+    "text_winnow_overlap_documents",
     "dedup_exact_documents",
     "dedup_minhash_candidates_documents",
-    "dedup_simhash_documents",
-    "dedup_embedding_documents",
-    "ann_cosine_topk_embeddings",
-    "ann_ivf_topk_embeddings",
-    "pq_ivfpq_topk_embeddings",
-    "ml_kmeans_lloyd_embeddings",
+    "dedup_homoglyph_documents",
+    "ann_lsh_topk_embeddings",
+    "pq_adc_topk_embeddings",
+    "ml_pca_cov_embeddings",
     "events_tumbling_hour",
-    "events_sessionize_30m",
-    "asof_click_purchase_events",
+    "events_funnel_sessions",
+    "asof_nearest_events",
     "range_join_event_sessions",
     "pipe_decontaminate_documents",
-    "pipe_bpe_token_counts_documents",
-    "pipe_pack_sequences_documents",
-    "pipe_mixture_sample_documents",
+    "pipe_curation_funnel_documents",
+    "pipe_leakage_safe_split_documents",
+    "dsir_weights_documents",
     "lm_perplexity_documents",
-    "mm_image_decode_documents",
-    "mm_flac_decode_documents",
-    "mm_probe_documents",
+    "quality_gopher_documents",
+    "mm_mp2_decode_documents",
+    "mm_audio_match_documents",
+    "mm_phash_documents",
+    "mm_scenecut_documents",
     "wds_tar_roundtrip_documents",
     "pdf_text_documents",
-    "html_text_documents",
     "warc_ingest_documents",
-    "graph_pagerank_events",
-    "ts_cusum_events",
-    "sketch_hll_distinct_documents",
-    "metrics_psi_orders",
-    "cdc_upsert_orders",
-    "privacy_kanon_customer",
-    "spatial_dbscan_part",
-    "dedup_stream_hashdup_documents",
+    "web_linkgraph_documents",
+    "sitemap_urls_documents",
+    "robots_filter_documents",
+    "graph_lpa_lineitem",
+    "ts_kaplan_meier_events",
+    "sketch_cms_topk_documents",
+    "metrics_ks_orders",
+    "cdc_scd2_orders",
+    "privacy_dp_counts_documents",
+    "spatial_radius_part",
+    "dedup_stream_neardup_documents",
 ]
 
 

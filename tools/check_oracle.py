@@ -52,6 +52,16 @@ def _git_head() -> str:
         return "unknown"
 
 
+def _git_dirty() -> bool:
+    try:
+        out = subprocess.check_output(
+            ["git", "status", "--porcelain"], cwd=_REPO,
+            stderr=subprocess.DEVNULL).decode()
+        return bool(out.strip())
+    except Exception:
+        return False
+
+
 def _stamp_deep_gate(names) -> None:
     """Record WHICH tree the deep (full-corpus) gate verified, so the
     routine sweep can tell whether the sampled-registry discipline has
@@ -137,8 +147,15 @@ def main():
     n_oracled = sum(1 for k in qs if oracles.get(k) is not None)
     # machine-printed registry count — docs quote THIS header, never a
     # hand count (the r6 close-out docs drifted to 280 vs the real 279)
+    # HEAD hash in the header makes each committed sweep artifact
+    # provably cover a specific tree (r9 judge task: a post-sweep source
+    # commit left the shipped tree formally unverified); "+dirty" flags
+    # uncommitted changes so the artifact can't masquerade as covering
+    # any commit at all.
+    head = _git_head()[:12] + ("+dirty" if _git_dirty() else "")
     print(f"registry: {len(qs)} queries, {n_oracled} with value oracles, "
-          f"{len(qs) - n_oracled} rows-only; sf_dir={sf_dir}")
+          f"{len(qs) - n_oracled} rows-only; sf_dir={sf_dir}; "
+          f"verified_head={head}")
     if families:
         fam_hits = {k for k in qs for p in families if k.startswith(p)}
         if not fam_hits and not only:
