@@ -14765,6 +14765,89 @@ JOIN golden ON doc_id % 5 = golden.a AND doc_id % 7 = golden.b
 """
 
 
+def _q_mm_video_neardup_documents(spark, sf_dir):
+    """END-TO-END video near-dup (operators/videodedup.py): MJPEG-AVI
+    decode → histogram scene cuts → per-shot DCT pHash (ONE Arrow
+    kernel, payload dropped immediately) → banded-Hamming shot join →
+    per-video-pair shared-shot verdicts. The composition the r9 verdict
+    asked for (task 3) — shot manifests as join keys across the
+    decode/segment/hash/join seams.
+
+    Fixture (fixed witness set doc_id < 80, constant across SFs like
+    the audio-match fixture): class c = d%8, 2+d%2 shots, shot i's
+    frames are one flat-bin cosine-textured image (luma bin
+    1+(c+5i)%14, texture amplitude ±7 stays strictly inside the 16-wide
+    bin, so adjacent shots are full-mass histogram jumps ≥3 bins apart
+    even after JPEG loss) repeated 2+(d+i)%2 times. Same class ⇒
+    identical shot content ⇒ Hamming 0; the 20 (c,i) golden hashes
+    (computed ONCE outside Spark by the same AVI→JPEG→pHash chain) are
+    ≥7 bits apart pairwise, so near-dup pairs are exactly same-class
+    video pairs. The oracle replays the ENTIRE near-dup decision
+    (bit_count(xor()) ≤ 6 join + pair aggregation) on the golden
+    table — thresholds and counts are value-gated, not trusted."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.avi import encode_avi_mjpeg
+    from bid_evaluation_spark.operators.videodedup import (
+        shot_phashes, video_neardup)
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 80)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c, n = d % 8, 2 + d % 2
+                y, x = np.mgrid[0:24, 0:32]
+                frames = []
+                for i in range(n):
+                    b = 1 + (c + 5 * i) % 14
+                    p = np.round(7 * np.cos(2 * np.pi * x * (1 + c) / 32)
+                                 * np.cos(2 * np.pi * y * (1 + i) / 24))
+                    frames += [(16 * b + 8 + p).astype(np.uint8)] \
+                        * (2 + (d + i) % 2)
+                payloads.append(encode_avi_mjpeg(frames, quality=90))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return video_neardup(shot_phashes(media, strict=True))
+
+
+_SQL_MM_VIDEO_NEARDUP_DOCUMENTS = """
+WITH golden(c, i, h) AS (VALUES
+  (0, 0, -134146356233324212), (0, 1, -1305980208803619320),
+  (1, 0, -2893324645559275431), (1, 1, -3279375923410399097),
+  (1, 2, -6351786339979470844),
+  (2, 0, -7188178206281906243), (2, 1, -8940022983405485727),
+  (3, 0, -7133711112498719360), (3, 1, -9009687484056434520),
+  (3, 2, -9163204606019799776),
+  (4, 0, -3397975769532921341), (4, 1, -8563096752311591914),
+  (5, 0, -3328172011211302672), (5, 1, -8661028612448007156),
+  (5, 2, -7901049483713227390),
+  (6, 0, -8397290229375551552), (6, 1, -4265109097861838584),
+  (7, 0, -2927806912766322729), (7, 1, -9018645858658277339),
+  (7, 2, -3038427998835092224)),
+shots AS (
+  SELECT doc_id AS media_id, t.i AS shot_index, doc_id % 8 AS c
+  FROM documents, UNNEST(generate_series(0, 1 + doc_id % 2)) AS t(i)
+  WHERE doc_id < 80
+),
+hashed AS (
+  SELECT s.media_id, s.shot_index, CAST(g.h AS BIGINT) AS phash
+  FROM shots s JOIN golden g ON g.c = s.c AND g.i = s.shot_index
+)
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_shots
+FROM hashed a JOIN hashed b
+  ON a.media_id < b.media_id
+ AND bit_count(xor(a.phash, b.phash)) <= 6
+GROUP BY 1, 2
+"""
+
+
 def _q_mm_audio_match_documents(spark, sf_dir):
     """Spectral-landmark audio RETRIEVAL (operators/audiomatch.py —
     Wang/Shazam constellation: Hann rFFT peaks → (f1,f2,dt) landmark
@@ -15316,7 +15399,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(22) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(23) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -15908,6 +15991,8 @@ _QUERIES: dict = {
                            _SQL_MM_PHASH_DOCUMENTS),
     "mm_scenecut_documents": (_q_mm_scenecut_documents,
                               _SQL_MM_SCENECUT_DOCUMENTS),
+    "mm_video_neardup_documents": (_q_mm_video_neardup_documents,
+                                   _SQL_MM_VIDEO_NEARDUP_DOCUMENTS),
 }
 
 

@@ -33,6 +33,11 @@ What is implementation-defined (documented, deliberate):
   framing are ISO) but third-party PCM decode would be approximate;
   round-trip through THIS codec is exact up to quantization error,
   which the tests bound. See ``test_mp2.py`` for the PR proof.
+  ``filterbank="pqmf512"`` opts into a DESIGNED 512-tap near-PR
+  pseudo-QMF in the ISO window's own family (:mod:`.mp2_proto`,
+  measured ≈-76 dB reconstruction error) — structurally much closer to
+  what a third-party ISO decoder applies, at the cost of the bit-exact
+  round-trip the frozen oracles gate (hence opt-in, not default).
 - **Allocation table.** The standard's per-subband allowed-quantizer
   tables (B.2a-d) are also lookup-only; here every subband carries a
   uniform 4-bit index into the standard quantizer ladder
@@ -190,8 +195,25 @@ def frame_bytes(bitrate_kbps: int, rate: int) -> int:
 
 # --- encode --------------------------------------------------------------
 
+def _filterbank(name: str):
+    """(analyze, synthesize) pair for a filterbank name: ``"mdct"``
+    (default — exact PR, bit-exact round-trips, the frozen-oracle
+    bank) or ``"pqmf512"`` (the designed 512-tap near-PR pseudo-QMF
+    in the ISO window's own family — see :mod:`.mp2_proto`; ~-76 dB
+    reconstruction error, closer to what a third-party ISO decoder
+    applies)."""
+    if name == "mdct":
+        return analyze, synthesize
+    if name == "pqmf512":
+        from .mp2_proto import analyze_pqmf, synthesize_pqmf
+        return analyze_pqmf, synthesize_pqmf
+    raise ValueError(f"unknown filterbank {name!r} "
+                     "(expected 'mdct' or 'pqmf512')")
+
+
 def encode_mp2(samples: np.ndarray, rate: int = 32000,
-               alloc_idx: int = 11) -> bytes:
+               alloc_idx: int = 11, *,
+               filterbank: str = "mdct") -> bytes:
     """Encode mono float samples (|x| <= 1) to an MP2 bitstream.
 
     ``alloc_idx`` is the UPPER BOUND on the uniform quantizer index for
@@ -204,12 +226,17 @@ def encode_mp2(samples: np.ndarray, rate: int = 32000,
     bit-allocation loop. The bitrate index is then the smallest
     standard rate whose frame holds the worst frame's bits; zero bits
     pad the remainder, as the standard allows (ancillary data).
+
+    ``filterbank`` selects the subband bank (see :func:`_filterbank`);
+    the bitstream layout is identical either way — a decoder must be
+    told which bank to invert (ISO streams don't signal it).
     """
     if rate not in SAMPLE_RATES:
         raise ValueError(f"unsupported MPEG-1 rate {rate}")
     if not 1 <= alloc_idx <= 15:
         raise ValueError("alloc_idx must be 1..15")
-    S = analyze(samples)
+    _analyze, _ = _filterbank(filterbank)
+    S = _analyze(samples)
     n_frames = len(S) // BLOCKS_PER_FRAME
 
     frames = []
@@ -348,11 +375,13 @@ def is_mp2(payload: bytes) -> bool:
     return _parse_header(payload, _tag_end(payload)) is not None
 
 
-def decode_mp2(payload: bytes) -> Tuple[int, np.ndarray]:
+def decode_mp2(payload: bytes, *,
+               filterbank: str = "mdct") -> Tuple[int, np.ndarray]:
     """MP2 bitstream -> ``(rate, mono float64)`` (the
     :func:`~.multimodal.decode_audio` contract). Raises ``ValueError``
     on a payload that does not start with a valid Layer II frame or
-    whose frames are truncated/corrupt."""
+    whose frames are truncated/corrupt. ``filterbank`` must name the
+    bank the stream was ENCODED with (ISO streams don't signal it)."""
     pos = _tag_end(payload)       # ID3v2 prefix, same skip as the probe
     first = _parse_header(payload, pos)
     if first is None:
@@ -435,4 +464,5 @@ def decode_mp2(payload: bytes) -> Tuple[int, np.ndarray]:
         pos += flen
     if not subbands:
         raise ValueError("no MP2 frames decoded")
-    return rate, synthesize(np.concatenate(subbands))
+    _, _synthesize = _filterbank(filterbank)
+    return rate, _synthesize(np.concatenate(subbands))

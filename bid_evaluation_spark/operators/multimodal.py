@@ -526,22 +526,42 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
 
 def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
                         id_col: str = "media_id",
-                        hash_col: str = "dhash") -> DataFrame:
+                        hash_col: str = "dhash", *,
+                        band_bits: int = 8) -> DataFrame:
     """Near-duplicate image pairs by dHash → ``(id_a, id_b, hamming)``
     with ``id_a < id_b`` and ``hamming <= max_hamming``.
 
-    Banded blocking, the SimHash trick: the 64-bit hash splits into 8
-    8-bit bands; by pigeonhole any pair within ``max_hamming < 8`` bits
-    shares at least one identical band, so candidates come from ONE
-    (band_index, band_value) equi-join — never all pairs — and recall
-    is exactly 1. Each candidate verifies with ``bit_count(a XOR b)``.
-    ``max_hamming >= 8`` would break the pigeonhole guarantee → raises.
+    Banded blocking, the SimHash trick: the 64-bit hash splits into
+    ``64/band_bits`` bands; by pigeonhole any pair within
+    ``max_hamming < n_bands`` bits shares at least one identical band,
+    so candidates come from ONE (band_index, band_value) equi-join —
+    never all pairs — and recall is exactly 1. Each candidate verifies
+    with ``bit_count(a XOR b)``.
+
+    ``band_bits`` sizes the bucket space — THE corpus-scale knob.
+    Uniformly-spread hashes put ~``n / 2^band_bits`` rows in each
+    bucket, so the accidental-candidate volume grows as
+    ``n_bands * n^2 / 2^band_bits``:
+
+    - ``band_bits=8`` (default): 8 bands, 256 buckets/band, recall-1
+      for ``max_hamming <= 7`` — right up to ~1M rows per corpus;
+    - ``band_bits=16``: 4 bands, 65 536 buckets/band, recall-1 only
+      for ``max_hamming <= 3`` — the 100-TB layout (256× fewer
+      accidental candidates; a tighter radius is the price of scale).
+
+    A ``max_hamming`` too large for the band count breaks the
+    pigeonhole guarantee → raises.
     """
     from pyspark.sql import functions as F
 
-    if not 0 <= max_hamming < 8:
-        raise ValueError("max_hamming must be in [0, 8) for 8-band "
-                         f"pigeonhole recall, got {max_hamming}")
+    if band_bits not in (8, 16):
+        raise ValueError(f"band_bits must be 8 or 16, got {band_bits}")
+    n_bands = 64 // band_bits
+    if not 0 <= max_hamming < n_bands:
+        raise ValueError(f"max_hamming must be in [0, {n_bands}) for "
+                         f"{n_bands}-band pigeonhole recall, got "
+                         f"{max_hamming}")
+    mask = (1 << band_bits) - 1
     h = (hashes.filter(F.col(hash_col).isNotNull())
          .select(F.col(id_col).alias("_id"),
                  F.col(hash_col).alias("_h")))
@@ -549,9 +569,9 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
         "_id", "_h",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("_b"),
-                     F.shiftrightunsigned(F.col(_hc), i * 8)
-                     .bitwiseAND(F.lit(255)).alias("_v"))
-            for i in range(8)
+                     F.shiftrightunsigned(F.col(_hc), i * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("_v"))
+            for i in range(n_bands)
             for _hc in ["_h"]])).alias("_band")
     ).select("_id", "_h", F.col("_band._b").alias("_b"),
              F.col("_band._v").alias("_v"))

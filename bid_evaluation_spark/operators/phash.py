@@ -102,10 +102,13 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
 
 
 def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
-                        id_col: str = "media_id") -> DataFrame:
+                        id_col: str = "media_id", *,
+                        band_bits: int = 8) -> DataFrame:
     """Banded-Hamming candidate pairs over a ``phash`` column — the
-    SAME kernel as every other 64-bit modality hash."""
+    SAME kernel as every other 64-bit modality hash. ``band_bits=16``
+    (with ``max_hamming <= 3``) is the corpus-scale bucket layout."""
     from .multimodal import dhash_neardup_pairs
 
     return dhash_neardup_pairs(hashes, max_hamming=max_hamming,
-                               id_col=id_col, hash_col="phash")
+                               id_col=id_col, hash_col="phash",
+                               band_bits=band_bits)

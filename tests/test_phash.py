@@ -81,3 +81,31 @@ def test_kernel_and_neardup_pairs(spark):
     assert not any(3 in p for p in pairs)
     with pytest.raises(Exception):
         image_phash(df, strict=True).collect()
+
+
+def test_wide_band_pairs_match_narrow_within_radius(spark):
+    # 16-bit bands (corpus-scale layout): exact recall for hamming<=3 —
+    # pairs must equal the 8-bit-band result filtered to that radius
+    import random
+    rng = random.Random(7)
+    base = [rng.getrandbits(63) for _ in range(40)]
+    rows = []
+    for i, h in enumerate(base):
+        rows.append((2 * i, h))
+        flip = h ^ (1 << rng.randrange(64)) ^ (1 << rng.randrange(64))
+        rows.append((2 * i + 1, flip - (1 << 64) if flip >= (1 << 63)
+                     else flip))
+    df = spark.createDataFrame(rows, "media_id long, phash long")
+    from bid_evaluation_spark.operators.phash import phash_neardup_pairs
+    narrow = {(r["id_a"], r["id_b"], r["hamming"])
+              for r in phash_neardup_pairs(df, max_hamming=3).collect()}
+    wide = {(r["id_a"], r["id_b"], r["hamming"])
+            for r in phash_neardup_pairs(df, max_hamming=3,
+                                         band_bits=16).collect()}
+    assert wide == narrow and len(wide) >= 40
+
+    import pytest
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(df, max_hamming=4, band_bits=16)
+    with pytest.raises(ValueError):
+        phash_neardup_pairs(df, max_hamming=8)

@@ -292,6 +292,99 @@ def fam_web_ingest(spark, base):
     return d.count(), host_graph(extract_links(pages)).count()
 
 
+def fam_video_shot_hash(spark, base):
+    # round-10 composition kernel: AVI decode -> scene cuts -> per-shot
+    # pHash in ONE Arrow pass; constant-size clip per doc so cost must
+    # scale with the document count alone (the banded join half of
+    # video_neardup is measured separately by phash_banded_join)
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.avi import encode_avi_mjpeg
+    from bid_evaluation_spark.operators.videodedup import shot_phashes
+
+    d = _docs(spark, base).select("doc_id")
+
+    def gen(batches):
+        y, x = np.mgrid[0:16, 0:16]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                frames = []
+                for i in range(2):
+                    b = 1 + (did + 7 * i) % 14
+                    p = np.round(7 * np.cos(2 * np.pi * x
+                                            * (1 + did % 5) / 16)
+                                 * np.cos(2 * np.pi * y * (1 + i) / 16))
+                    frames += [(16 * b + 8 + p).astype(np.uint8)] * 2
+                payloads.append(encode_avi_mjpeg(frames, quality=90))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    return d.count(), shot_phashes(media, strict=True).count()
+
+
+def fam_phash_banded_join(spark, base):
+    # the cross-item half of image/video near-dup: banded-Hamming
+    # equi-join in the 16-bit-band corpus-scale layout. Hash clusters
+    # of ~10 equal values (true-dup structure replicates linearly);
+    # everything else is xxhash64-uniform, so the accidental-candidate
+    # term is the documented n_bands*n^2/2^band_bits worst case.
+    from bid_evaluation_spark.operators.phash import phash_neardup_pairs
+
+    d = _docs(spark, base).select("doc_id")
+    n = d.count()
+    hashes = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.xxhash64((F.col("doc_id") % F.lit(max(1, n // 10)))
+                   .cast("string")).alias("phash"))
+    return n, phash_neardup_pairs(hashes, max_hamming=3,
+                                  band_bits=16).count()
+
+
+def fam_audio_match(spark, base):
+    # landmark-hash retrieval with a GROWING index and a fixed query
+    # load (the production shape: the index scales with the corpus,
+    # per-query cost grows with bucket size n / hash_space) — collision
+    # skew shows up as a super-linear tail if buckets go hot
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.audiomatch import (
+        audio_landmarks, match_clips)
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    d = _docs(spark, base).select("doc_id")
+    n = d.count()
+
+    def gen(batches):
+        t = np.arange(2048)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.default_rng(did)
+                bins = rng.choice(np.arange(12, 112), size=4,
+                                  replace=False)
+                xx = sum(0.4 * np.sin(2 * np.pi * (b * 31.25) * t
+                                      / 8000.0) for b in bins)
+                rows.append({"media_id": did,
+                             "payload": encode_wav(
+                                 (np.clip(xx, -1, 1) * 32000)
+                                 .astype(np.int16), rate=8000)})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = d.mapInPandas(gen, "media_id long, payload binary")
+    index_lms = audio_landmarks(media)
+    # fixed 200-clip query set: gain-scaled copies of the first clips
+    queries = media.filter(F.col("media_id") < 200)
+    query_lms = audio_landmarks(queries).select(
+        (F.col("media_id") + 10**9).alias("media_id"), "lm_hash", "t")
+    return n, match_clips(index_lms, query_lms, min_votes=20).count()
+
+
 def fam_quantile_match(spark, base):
     from bid_evaluation_spark.operators.analytics import quantile_match
     od = spark.read.parquet(f"{base}/orders.parquet")
@@ -347,6 +440,22 @@ FAMILIES = {
                    "constant anchor-parse work per page in one Arrow "
                    "kernel + one host-pair groupBy; edge count linear "
                    "in pages by construction"),
+    "video_shot_hash": (fam_video_shot_hash, 1.0,
+                        "constant-size AVI decode + segment + per-shot "
+                        "pHash per row inside one Arrow kernel — pure "
+                        "map, no shuffle"),
+    "phash_banded_join": (fam_phash_banded_join, 1.5,
+                          "linear banding + bounded true-dup pairs + "
+                          "an accidental-candidate term n_bands*n^2/"
+                          "2^band_bits; at 16-bit bands the quadratic "
+                          "term passes the linear term only beyond "
+                          "~10M rows, so measured growth at these "
+                          "scales must stay well under 1.5"),
+    "audio_match": (fam_audio_match, 1.0,
+                    "landmark extraction linear in clips; fixed query "
+                    "load joins against buckets of size n/|hash "
+                    "space| (~266k hashes), so query cost grows "
+                    "linearly with the index too"),
 }
 
 
