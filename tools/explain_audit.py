@@ -1823,6 +1823,34 @@ def _wave9b(spark, sf_dir):
     return probs
 
 
+@check("wave10: video near-dup — ONE decode kernel; shot join is banded "
+       "equi-join (no video cross-join); pair verdict partial-aggregated")
+def check_wave10_video_neardup(spark, sf_dir):
+    from bid_evaluation_spark.operators.videodedup import (
+        shot_phashes, video_neardup)
+
+    probs = []
+    media = spark.createDataFrame([(1, b""), (2, b"")],
+                                  "media_id long, payload binary")
+    shots = shot_phashes(media)
+    sp = plan_of(shots)
+    if sp.count("MapInPandas") != 1:
+        probs.append("shot_phashes must be exactly ONE Arrow kernel "
+                     "(decode+segment+hash in one pass)")
+    vp = plan_of(video_neardup(shots))
+    if "CartesianProduct" in vp or "BroadcastNestedLoopJoin" in vp:
+        probs.append("video near-dup degenerates to a video cross-join")
+    if not re.search(r"Join.{0,160}_v", vp):
+        probs.append("shot join is not the (band,value) equi-join")
+    if "partial_count" not in vp:
+        probs.append("pair verdict lacks map-side partial aggregation")
+    # the wide-band layout must keep the same equi-join shape
+    wp = plan_of(video_neardup(shots, max_hamming=3, band_bits=16))
+    if "CartesianProduct" in wp or "BroadcastNestedLoopJoin" in wp:
+        probs.append("wide-band layout degenerates to all-pairs")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
