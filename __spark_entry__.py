@@ -14848,6 +14848,208 @@ GROUP BY 1, 2
 """
 
 
+def _q_mm_tiff_decode_documents(spark, sf_dir):
+    """Baseline TIFF decode (operators/tiff.py — stdlib IFD walker +
+    PackBits, both byte orders): per doc a 20×24 image whose pixel
+    formula is pixel(x,y,ch) = (3x + 7y + 11c + 13ch) % 251 with class
+    c = doc_id % 12 (gray for c<8, RGB for c≥8), PackBits-compressed
+    for odd doc_id, big-endian for doc_id % 4 == 2, striped every 6
+    rows — decode must invert ALL of it. Output (width, height,
+    channels, pix_sum); the oracle is FIRST-PRINCIPLES: DuckDB
+    recomputes the pixel sum from the same closed-form formula via
+    generate_series, no frozen goldens anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.tiff import decode_tiff, encode_tiff
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        y, x = np.mgrid[0:20, 0:24]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 12
+                if c < 8:
+                    img = ((3 * x + 7 * y + 11 * c) % 251).astype(np.uint8)
+                else:
+                    img = np.stack([(3 * x + 7 * y + 11 * c + 13 * ch)
+                                    % 251 for ch in range(3)],
+                                   axis=2).astype(np.uint8)
+                payloads.append(encode_tiff(
+                    img, packbits=bool(d % 2), big_endian=(d % 4 == 2),
+                    rows_per_strip=6))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_tiff(bytes(p))
+                rows.append({
+                    "media_id": int(mid),
+                    "width": img.shape[1], "height": img.shape[0],
+                    "channels": 1 if img.ndim == 2 else img.shape[2],
+                    "pix_sum": int(img.astype(np.int64).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "channels", "pix_sum"])
+
+    return media.mapInPandas(
+        decode, "media_id long, width long, height long, "
+                "channels long, pix_sum long")
+
+
+_SQL_MM_TIFF_DECODE_DOCUMENTS = """
+WITH cls AS (
+  SELECT c.c, ch.ch,
+         SUM((3 * x.x + 7 * y.y + 11 * c.c + 13 * ch.ch) % 251) AS s
+  FROM UNNEST(generate_series(0, 11)) AS c(c),
+       UNNEST(generate_series(0, 2)) AS ch(ch),
+       UNNEST(generate_series(0, 23)) AS x(x),
+       UNNEST(generate_series(0, 19)) AS y(y)
+  GROUP BY c.c, ch.ch
+),
+per_class AS (
+  SELECT c,
+         CASE WHEN c < 8 THEN MAX(CASE WHEN ch = 0 THEN s END)
+              ELSE SUM(s) END AS pix_sum,
+         CASE WHEN c < 8 THEN 1 ELSE 3 END AS channels
+  FROM cls GROUP BY c
+)
+SELECT doc_id AS media_id,
+       CAST(24 AS BIGINT) AS width, CAST(20 AS BIGINT) AS height,
+       CAST(p.channels AS BIGINT) AS channels,
+       CAST(p.pix_sum AS BIGINT) AS pix_sum
+FROM documents JOIN per_class p ON p.c = doc_id % 12
+"""
+
+
+def _q_mm_exif_documents(spark, sf_dir):
+    """EXIF extraction (operators/exif.py — shared TIFF IFD walker
+    over the JPEG APP1 block): per doc a JPEG whose EXIF carries
+    make='maker-'||d%5, model='model-'||d%7, orientation=1+d%8, and —
+    iff d%3==0 — GPS at lat=(d%80)+(d%4)*0.25 (southern for d%2),
+    lon=(d%160)+(d%4)*0.25 (western for d%5<2). Quarter-degree values
+    are exact in the DMS rational round-trip AND in binary floats, so
+    the oracle rebuilds the decimal coordinates closed-form — no
+    goldens, no rounding seams."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.exif import (
+        build_exif_app1, exif_metadata, insert_app1)
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+
+    docs = _docs_par(spark, sf_dir)
+    base_img = np.tile(np.arange(0, 240, 15, dtype=np.uint8), (16, 1))
+
+    def gen(batches):
+        plain = encode_jpeg(base_img)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gps = None
+                if d % 3 == 0:
+                    lat = (d % 80) + (d % 4) * 0.25
+                    lon = (d % 160) + (d % 4) * 0.25
+                    gps = (-lat if d % 2 else lat,
+                           -lon if d % 5 < 2 else lon)
+                payloads.append(insert_app1(plain, build_exif_app1(
+                    make=f"maker-{d % 5}", model=f"model-{d % 7}",
+                    orientation=1 + d % 8, gps=gps)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return exif_metadata(media).select(
+        "media_id", "make", "model",
+        F.col("orientation").cast("long").alias("orientation"),
+        "has_gps", "lat", "lon")
+
+
+_SQL_MM_EXIF_DOCUMENTS = """
+SELECT doc_id AS media_id,
+       'maker-' || (doc_id % 5) AS make,
+       'model-' || (doc_id % 7) AS model,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       doc_id % 3 = 0 AS has_gps,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN
+         CASE WHEN doc_id % 2 = 1 THEN -1 ELSE 1 END
+         * ((doc_id % 80) + (doc_id % 4) * 0.25)
+       END AS DOUBLE) AS lat,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN
+         CASE WHEN doc_id % 5 < 2 THEN -1 ELSE 1 END
+         * ((doc_id % 160) + (doc_id % 4) * 0.25)
+       END AS DOUBLE) AS lon
+FROM documents
+"""
+
+
+def _q_privacy_exif_scrub_documents(spark, sf_dir):
+    """GPS scrubbing (operators/exif.py scrub_gps — zero the GPS IFD
+    in place, blank the IFD0 pointer, no re-layout): same fixture as
+    mm_exif; output re-extracts metadata AFTER the scrub. The oracle
+    is the privacy CONTRACT stated closed-form: had_gps ⇔ d%3==0,
+    has_gps always false afterwards, lat null, and the non-GPS
+    metadata (make, orientation) byte-preserved."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.exif import (
+        build_exif_app1, exif_metadata, exif_scrub_gps, insert_app1)
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+
+    docs = _docs_par(spark, sf_dir)
+    base_img = np.tile(np.arange(0, 240, 15, dtype=np.uint8), (16, 1))
+
+    def gen(batches):
+        plain = encode_jpeg(base_img)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                gps = None
+                if d % 3 == 0:
+                    lat = (d % 80) + (d % 4) * 0.25
+                    lon = (d % 160) + (d % 4) * 0.25
+                    gps = (-lat if d % 2 else lat,
+                           -lon if d % 5 < 2 else lon)
+                payloads.append(insert_app1(plain, build_exif_app1(
+                    make=f"maker-{d % 5}", model=f"model-{d % 7}",
+                    orientation=1 + d % 8, gps=gps)))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    fixture = docs.mapInPandas(gen, "media_id long, payload binary")
+    scrubbed = exif_scrub_gps(fixture)
+    meta = exif_metadata(scrubbed.select("media_id", "payload"))
+    return (scrubbed.select("media_id", "had_gps")
+            .join(meta, "media_id")
+            .select("media_id", "had_gps", "has_gps",
+                    F.col("lat").alias("lat_after"),
+                    "make",
+                    F.col("orientation").cast("long")
+                    .alias("orientation")))
+
+
+_SQL_PRIVACY_EXIF_SCRUB_DOCUMENTS = """
+SELECT doc_id AS media_id,
+       doc_id % 3 = 0 AS had_gps,
+       FALSE AS has_gps,
+       CAST(NULL AS DOUBLE) AS lat_after,
+       'maker-' || (doc_id % 5) AS make,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation
+FROM documents
+"""
+
+
 def _q_mm_audio_match_documents(spark, sf_dir):
     """Spectral-landmark audio RETRIEVAL (operators/audiomatch.py —
     Wang/Shazam constellation: Hann rFFT peaks → (f1,f2,dt) landmark
@@ -15399,11 +15601,11 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(23) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(25) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
-#                             privacy(3)
+#                             privacy(4)
 
 _QUERIES: dict = {
     "flagship_supplier_scoring": (_flagship, _FLAGSHIP_SQL),
@@ -15993,6 +16195,12 @@ _QUERIES: dict = {
                               _SQL_MM_SCENECUT_DOCUMENTS),
     "mm_video_neardup_documents": (_q_mm_video_neardup_documents,
                                    _SQL_MM_VIDEO_NEARDUP_DOCUMENTS),
+    "mm_tiff_decode_documents": (_q_mm_tiff_decode_documents,
+                                 _SQL_MM_TIFF_DECODE_DOCUMENTS),
+    "mm_exif_documents": (_q_mm_exif_documents,
+                          _SQL_MM_EXIF_DOCUMENTS),
+    "privacy_exif_scrub_documents": (_q_privacy_exif_scrub_documents,
+                                     _SQL_PRIVACY_EXIF_SCRUB_DOCUMENTS),
 }
 
 

@@ -103,12 +103,13 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     The REAL kernel (``fake=False``, default) dispatches on magic bytes and
     decodes PNG payloads with the pure-stdlib codec (:mod:`.png`),
     baseline JPEG payloads with the pure-stdlib codec (:mod:`.jpeg`),
-    and binary Netpbm (PGM ``P5`` / PPM ``P6``) with :mod:`.netpbm`:
+    binary Netpbm (PGM ``P5`` / PPM ``P6``) with :mod:`.netpbm`, and
+    baseline TIFF (gray/RGB, none/PackBits) with :mod:`.tiff`:
     width/height from the container, mean luma and an 8-dim
     block-mean-luma embedding from the actual pixels. Unrecognized or
     undecodable payloads yield null width/height/luma/embedding (corrupt
     media must not kill a 100-TB scan) unless ``strict=True``, which
-    re-raises the decode error. Other container formats (webp, tiff, ...)
+    re-raises the decode error. Other container formats (webp, ...)
     need a real image library — add a branch at the same dispatch seam.
 
     ``fake=True`` substitutes a deterministic payload-hash-derived feature
@@ -118,6 +119,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     from . import jpeg as _jpeg
     from . import netpbm as _netpbm
     from . import png as _png
+    from . import tiff as _tiff
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,8 +148,12 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                             img = _netpbm.decode_netpbm(p)
                         elif _gif.is_gif(p or b""):
                             img = _gif.decode_gif(p)
+                        elif _tiff.is_tiff(p or b""):
+                            img = _tiff.decode_tiff(p)
                         else:
                             img = _png.decode_png(p or b"")
+                        if img.ndim == 2:      # tiff gray → (h,w,1)
+                            img = img[:, :, None]
                         lum = _png.luma(img)
                         widths.append(img.shape[1])
                         heights.append(img.shape[0])

@@ -278,9 +278,34 @@ def _probe_tar(p: bytes) -> Optional[dict]:
     return {**_NULL, "format": "tar", "n_units": n}
 
 
+def _probe_tiff(p: bytes) -> Optional[dict]:
+    from .tiff import T_HEIGHT, T_WIDTH, is_tiff, read_ifd
+    if not is_tiff(p):
+        return None
+    le = p[:2] == b"II"
+    (off,) = struct.unpack_from("<I" if le else ">I", p, 4)
+    w = h = None
+    pages = 0
+    seen = set()
+    try:
+        while off and off not in seen and pages < 10000:
+            seen.add(off)
+            ifd, nxt = read_ifd(p, off, le)
+            if pages == 0:
+                w = ifd.get(T_WIDTH, [None])[0]
+                h = ifd.get(T_HEIGHT, [None])[0]
+            pages += 1
+            off = nxt
+    except ValueError:
+        if pages == 0:
+            return None
+    return {**_NULL, "format": "tiff", "width": w, "height": h,
+            "n_units": pages}
+
+
 _PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_netpbm,
            _probe_flac, _probe_y4m, _probe_avi, _probe_wav, _probe_mp3,
-           _probe_tar)
+           _probe_tar, _probe_tiff)
 
 
 def probe_payload(p: bytes) -> dict:
