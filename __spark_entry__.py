@@ -15050,6 +15050,202 @@ FROM documents
 """
 
 
+def _q_mm_vad_segments_documents(spark, sf_dir):
+    """Energy VAD (operators/vad.py — frame-RMS threshold + hangover
+    morphology): per doc a WAV of 1+d%3 tone bursts (burst i spans
+    3+(d+i)%4 frames, separated by 3+(d+i)%3 silent frames, leading
+    silence 2+d%2). With 256/128 frame geometry ANY tone overlap
+    activates a frame at the -40 dB default (closed-form: a burst over
+    frames [a,b) activates [a-1,b)), and gaps ≥3 frames never bridge —
+    so segment starts/lengths are EXACT integers the oracle rebuilds
+    with a prefix-sum window. The dB column is intentionally excluded:
+    boundaries are the contract; loudness is float plumbing tested in
+    the unit suite."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.vad import speech_segments
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                parts = [np.zeros(128 * (2 + d % 2))]
+                for i in range(1 + d % 3):
+                    t = np.arange(128 * (3 + (d + i) % 4))
+                    parts.append(0.5 * np.sin(2 * np.pi * 440 * t
+                                              / 8000.0))
+                    parts.append(np.zeros(128 * (3 + (d + i) % 3)))
+                parts.append(np.zeros(384))
+                x = np.concatenate(parts)
+                payloads.append(encode_wav(
+                    (np.clip(x, -1, 1) * 32000).astype(np.int16),
+                    rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return speech_segments(media, strict=True).select(
+        "media_id", "seg_index", "start_frame", "n_frames",
+        "start_ms", "dur_ms")
+
+
+_SQL_MM_VAD_SEGMENTS_DOCUMENTS = """
+WITH p AS (SELECT doc_id AS d, 1 + doc_id % 3 AS k FROM documents),
+seg AS (
+  SELECT d, u.i AS seg_index,
+         3 + (d + u.i) % 4 AS t,
+         3 + (d + u.i) % 3 AS g
+  FROM p, UNNEST(generate_series(0, k - 1)) AS u(i)
+),
+acc AS (
+  SELECT d, seg_index, t,
+         (2 + d % 2) + COALESCE(SUM(t + g) OVER (
+              PARTITION BY d ORDER BY seg_index
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+  FROM seg
+)
+SELECT d AS media_id, CAST(seg_index AS BIGINT) AS seg_index,
+       CAST(a - 1 AS BIGINT) AS start_frame,
+       CAST(t + 1 AS BIGINT) AS n_frames,
+       CAST((a - 1) * 16 AS BIGINT) AS start_ms,
+       CAST((t + 1) * 16 AS BIGINT) AS dur_ms
+FROM acc
+"""
+
+
+def _q_mm_melspec_documents(spark, sf_dir):
+    """Log-mel features (operators/melspec.py — Hann rFFT power →
+    HTK triangular filterbank → per-band moments): per doc a
+    bin-centered tone of class c = d%10 (freq (6+11c)·31.25 Hz), 2048
+    samples + flush. The oracle carries a frozen 10-class × 8-band
+    golden table of the r4-rounded moments computed ONCE by the same
+    kernel chain — FFT windowing, mel edges, log floor and the moment
+    math all gate the exact values."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.melspec import mel_features
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        t = np.arange(2048 + 384)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                c = int(d) % 10
+                f = (6 + 11 * c) * 31.25
+                x = 0.5 * np.sin(2 * np.pi * f * t / 8000.0)
+                x[2048:] = 0.0
+                payloads.append(encode_wav(
+                    (np.clip(x, -1, 1) * 32000).astype(np.int16),
+                    rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    feats = mel_features(media, strict=True)
+    return feats.select(
+        "media_id", "band",
+        _r4("mel_mean").alias("mel_mean_r4"),
+        _r4("mel_std").alias("mel_std_r4"))
+
+
+_SQL_MM_MELSPEC_DOCUMENTS = """
+WITH golden(c, band, m, s) AS (VALUES
+  (0, 0, 2.3533, 4.3681),
+  (0, 1, 1.7609, 4.1589),
+  (0, 2, 1.5219, 4.0744),
+  (0, 3, 1.1526, 3.9438),
+  (0, 4, 1.0069, 3.8923),
+  (0, 5, 0.7999, 3.8189),
+  (0, 6, 0.7083, 3.7865),
+  (0, 7, 0.6264, 3.7574),
+  (1, 0, -0.039, 3.527),
+  (1, 1, 1.8968, 4.2066),
+  (1, 2, 2.3114, 4.3534),
+  (1, 3, 0.4576, 3.6973),
+  (1, 4, 1.2646, 3.9833),
+  (1, 5, 1.4087, 4.0342),
+  (1, 6, 1.1048, 3.9267),
+  (1, 7, 1.1477, 3.9418),
+  (2, 0, 0.5989, 3.7474),
+  (2, 1, -0.9182, 3.2312),
+  (2, 2, 1.5462, 4.0824),
+  (2, 3, 2.3823, 4.3785),
+  (2, 4, 0.2678, 3.6319),
+  (2, 5, 0.9262, 3.8634),
+  (2, 6, 1.4309, 4.0421),
+  (2, 7, 1.3343, 4.0078),
+  (3, 0, 0.4507, 3.695),
+  (3, 1, 0.4355, 3.6895),
+  (3, 2, 0.84, 3.833),
+  (3, 3, 1.8632, 4.1948),
+  (3, 4, 2.3243, 4.3579),
+  (3, 5, 1.1376, 3.9379),
+  (3, 6, 0.9364, 3.8672),
+  (3, 7, 1.3323, 4.0072),
+  (4, 0, 1.1066, 3.9276),
+  (4, 1, 0.5479, 3.7294),
+  (4, 2, 0.3415, 3.6563),
+  (4, 3, 0.3925, 3.6744),
+  (4, 4, 2.1349, 4.2909),
+  (4, 5, 2.1889, 4.31),
+  (4, 6, 0.7558, 3.8031),
+  (4, 7, 1.5506, 4.0842),
+  (5, 0, -0.3509, 3.412),
+  (5, 1, 0.2822, 3.6354),
+  (5, 2, 0.2925, 3.6391),
+  (5, 3, 0.6173, 3.754),
+  (5, 4, 1.0696, 3.9141),
+  (5, 5, 2.3504, 4.3671),
+  (5, 6, 1.985, 4.2378),
+  (5, 7, 0.9366, 3.8673),
+  (6, 0, 0.5164, 3.7188),
+  (6, 1, 0.518, 3.7193),
+  (6, 2, -0.1117, 3.4963),
+  (6, 3, 0.8606, 3.8406),
+  (6, 4, 1.4901, 4.0629),
+  (6, 5, 1.8223, 4.1803),
+  (6, 6, 2.3307, 4.3601),
+  (6, 7, 1.0779, 3.9169),
+  (7, 0, 1.4177, 4.0374),
+  (7, 1, 1.1632, 3.9475),
+  (7, 2, 0.6638, 3.7708),
+  (7, 3, 0.4841, 3.7069),
+  (7, 4, 0.495, 3.7107),
+  (7, 5, 0.8037, 3.8199),
+  (7, 6, 2.2942, 4.3472),
+  (7, 7, 2.0183, 4.2496),
+  (8, 0, 0.2332, 3.6181),
+  (8, 1, 0.5167, 3.7187),
+  (8, 2, 1.12, 3.9321),
+  (8, 3, 1.4442, 4.0467),
+  (8, 4, 1.181, 3.9537),
+  (8, 5, 0.6004, 3.748),
+  (8, 6, 1.86, 4.1937),
+  (8, 7, 2.3378, 4.3626),
+  (9, 0, 0.0988, 3.5706),
+  (9, 1, 1.0874, 3.9205),
+  (9, 2, 0.6961, 3.7825),
+  (9, 3, 0.8294, 3.8294),
+  (9, 4, 0.6924, 3.7806),
+  (9, 5, 1.5461, 4.0828),
+  (9, 6, 1.0419, 3.9044),
+  (9, 7, 2.3394, 4.3632))
+SELECT doc_id AS media_id, CAST(band AS BIGINT) AS band,
+       CAST(m AS DOUBLE) AS mel_mean_r4,
+       CAST(s AS DOUBLE) AS mel_std_r4
+FROM documents JOIN golden ON golden.c = doc_id % 10
+"""
+
+
 def _q_mm_audio_match_documents(spark, sf_dir):
     """Spectral-landmark audio RETRIEVAL (operators/audiomatch.py —
     Wang/Shazam constellation: Hann rFFT peaks → (f1,f2,dt) landmark
@@ -15601,7 +15797,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(25) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(27) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -16201,6 +16397,10 @@ _QUERIES: dict = {
                           _SQL_MM_EXIF_DOCUMENTS),
     "privacy_exif_scrub_documents": (_q_privacy_exif_scrub_documents,
                                      _SQL_PRIVACY_EXIF_SCRUB_DOCUMENTS),
+    "mm_vad_segments_documents": (_q_mm_vad_segments_documents,
+                                  _SQL_MM_VAD_SEGMENTS_DOCUMENTS),
+    "mm_melspec_documents": (_q_mm_melspec_documents,
+                             _SQL_MM_MELSPEC_DOCUMENTS),
 }
 
 
