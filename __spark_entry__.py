@@ -15050,6 +15050,99 @@ FROM documents
 """
 
 
+def _q_mm_orient_normalize_documents(spark, sf_dir):
+    """EXIF/TIFF orientation normalization (operators/exif.py
+    apply_orientation — the rotate-before-hash step: portrait and
+    landscape shots of the same photo must hash identically): per doc
+    a LOSSLESS TIFF (pixel p(x,y) = (3x+7y+11c)%251, c=d%12, 20×24)
+    tagged Orientation = 1+d%8; the query decodes, reads the tag from
+    IFD0, normalizes, and emits output dims + a position-WEIGHTED sum
+    Σ out[i,j]·(1+j+3i) that distinguishes every one of the eight
+    transforms. FIRST-PRINCIPLES oracle: DuckDB replays the coordinate
+    mapping of each orientation case over the closed-form pixel
+    formula — no goldens, and any wrong flip/transpose breaks the
+    weighted sum."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.exif import apply_orientation
+    from bid_evaluation_spark.operators.tiff import (
+        T_ORIENTATION, decode_tiff, encode_tiff, tiff_ifd0)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        y, x = np.mgrid[0:20, 0:24]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                img = ((3 * x + 7 * y + 11 * (d % 12)) % 251) \
+                    .astype(np.uint8)
+                payloads.append(encode_tiff(img,
+                                            orientation=1 + d % 8))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def normalize(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(p)
+                o = tiff_ifd0(raw).get(T_ORIENTATION, [1])[0]
+                out = apply_orientation(decode_tiff(raw), o)
+                i, j = np.mgrid[0:out.shape[0], 0:out.shape[1]]
+                rows.append({
+                    "media_id": int(mid),
+                    "out_w": out.shape[1], "out_h": out.shape[0],
+                    "wsum": int((out.astype(np.int64)
+                                 * (1 + j + 3 * i)).sum()),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "out_w", "out_h", "wsum"])
+
+    return media.mapInPandas(
+        normalize, "media_id long, out_w long, out_h long, wsum long")
+
+
+_SQL_MM_ORIENT_NORMALIZE_DOCUMENTS = """
+WITH px AS (
+  SELECT c.c, o.o, x.x, y.y,
+         (3 * x.x + 7 * y.y + 11 * c.c) % 251 AS p,
+         CASE o.o                     -- normalized row index i
+           WHEN 1 THEN y.y      WHEN 2 THEN y.y
+           WHEN 3 THEN 19 - y.y WHEN 4 THEN 19 - y.y
+           WHEN 5 THEN x.x      WHEN 6 THEN x.x
+           WHEN 7 THEN 23 - x.x WHEN 8 THEN 23 - x.x
+         END AS i,
+         CASE o.o                     -- normalized column index j
+           WHEN 1 THEN x.x      WHEN 2 THEN 23 - x.x
+           WHEN 3 THEN 23 - x.x WHEN 4 THEN x.x
+           WHEN 5 THEN y.y      WHEN 6 THEN 19 - y.y
+           WHEN 7 THEN 19 - y.y WHEN 8 THEN y.y
+         END AS j
+  FROM UNNEST(generate_series(0, 11)) AS c(c),
+       UNNEST(generate_series(1, 8)) AS o(o),
+       UNNEST(generate_series(0, 23)) AS x(x),
+       UNNEST(generate_series(0, 19)) AS y(y)
+),
+cls AS (
+  SELECT c, o, SUM(p * (1 + j + 3 * i)) AS wsum
+  FROM px GROUP BY c, o
+)
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 20 ELSE 24 END
+            AS BIGINT) AS out_w,
+       CAST(CASE WHEN 1 + doc_id % 8 >= 5 THEN 24 ELSE 20 END
+            AS BIGINT) AS out_h,
+       CAST(g.wsum AS BIGINT) AS wsum
+FROM documents
+JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
+"""
+
+
 def _q_mm_vad_segments_documents(spark, sf_dir):
     """Energy VAD (operators/vad.py — frame-RMS threshold + hangover
     morphology): per doc a WAV of 1+d%3 tone bursts (burst i spans
@@ -15797,7 +15890,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(27) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(28) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -16399,6 +16492,8 @@ _QUERIES: dict = {
                                      _SQL_PRIVACY_EXIF_SCRUB_DOCUMENTS),
     "mm_vad_segments_documents": (_q_mm_vad_segments_documents,
                                   _SQL_MM_VAD_SEGMENTS_DOCUMENTS),
+    "mm_orient_normalize_documents": (_q_mm_orient_normalize_documents,
+                                      _SQL_MM_ORIENT_NORMALIZE_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
 }

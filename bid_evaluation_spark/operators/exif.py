@@ -248,6 +248,33 @@ def insert_app1(jpeg: bytes, app1: bytes) -> bytes:
     return jpeg[:2] + app1 + jpeg[2:]
 
 
+def apply_orientation(img, orientation: int):
+    """Normalize pixels to EXIF orientation 1 (the step every
+    perceptual-hash/embedding pipeline runs BEFORE hashing — the same
+    photo shot in portrait vs landscape must hash identically).
+    Orientations per the EXIF spec: 1 normal, 2 mirror-H, 3 rotate
+    180, 4 mirror-V, 5 mirror-H+rot270, 6 rotate 90 CW, 7
+    mirror-H+rot90, 8 rotate 270 CW. Unknown/None → unchanged."""
+    import numpy as np
+
+    a = np.asarray(img)
+    if orientation == 2:
+        return a[:, ::-1]
+    if orientation == 3:
+        return a[::-1, ::-1]
+    if orientation == 4:
+        return a[::-1, :]
+    if orientation == 5:
+        return a.swapaxes(0, 1)
+    if orientation == 6:                 # 90 CW: transpose + mirror-H
+        return a.swapaxes(0, 1)[:, ::-1]
+    if orientation == 7:
+        return a.swapaxes(0, 1)[::-1, ::-1]
+    if orientation == 8:                 # 270 CW
+        return a.swapaxes(0, 1)[::-1, :]
+    return a
+
+
 _META_SCHEMA = ("media_id long, has_exif boolean, make string, "
                 "model string, orientation int, datetime string, "
                 "has_gps boolean, lat double, lon double")

@@ -39,6 +39,7 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
 T_WIDTH, T_HEIGHT = 256, 257
 T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 258, 259, 262
 T_STRIP_OFFSETS, T_SPP, T_ROWS_PER_STRIP, T_STRIP_COUNTS = 273, 277, 278, 279
+T_ORIENTATION = 274
 
 
 def is_tiff(data: bytes) -> bool:
@@ -162,6 +163,13 @@ def tiff_page_count(data: bytes) -> int:
     return len(_ifd_chain(data)[1])
 
 
+def tiff_ifd0(data: bytes) -> Dict[int, list]:
+    """Decoded tag map of the FIRST IFD (page metadata without pixel
+    work — orientation, dims, compression, ...)."""
+    le, offsets = _ifd_chain(data)
+    return read_ifd(data, offsets[0], le)[0]
+
+
 def decode_tiff(data: bytes) -> np.ndarray:
     """First page → ``(h, w)`` gray or ``(h, w, 3)`` RGB uint8."""
     le, offsets = _ifd_chain(data)
@@ -205,7 +213,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 def encode_tiff(img: np.ndarray, *, packbits: bool = False,
                 big_endian: bool = False,
-                rows_per_strip: int = 0) -> bytes:
+                rows_per_strip: int = 0,
+                orientation: int = 0) -> bytes:
     """Encode gray/RGB uint8 → single-page baseline TIFF (test aid +
     fixture source; byte-deterministic)."""
     img = np.asarray(img, dtype=np.uint8)
@@ -234,6 +243,9 @@ def encode_tiff(img: np.ndarray, *, packbits: bool = False,
         (T_ROWS_PER_STRIP, 4, 1, rows_per_strip),
         (T_STRIP_COUNTS, 4, n_strips, None),
     ]
+    if orientation:
+        # ascending tag order per TIFF spec: 274 follows 273
+        tags.insert(6, (T_ORIENTATION, 3, 1, orientation))
     ifd_off = 8
     ifd_size = 2 + 12 * len(tags) + 4
     extra_off = ifd_off + ifd_size

@@ -111,3 +111,21 @@ def test_spark_kernels(spark):
              for r in exif_metadata(scrubbed).collect()}
     assert all(not m["has_gps"] for m in meta2.values())
     assert meta2[2]["make"] == "M2"               # metadata preserved
+
+
+def test_apply_orientation_all_eight():
+    import numpy as np
+    from bid_evaluation_spark.operators.exif import apply_orientation
+    a = np.arange(6).reshape(2, 3)
+    assert np.array_equal(apply_orientation(a, 1), a)
+    assert np.array_equal(apply_orientation(a, 2), a[:, ::-1])
+    assert np.array_equal(apply_orientation(a, 3), np.rot90(a, 2))
+    assert np.array_equal(apply_orientation(a, 4), a[::-1, :])
+    assert np.array_equal(apply_orientation(a, 5), a.T)
+    assert np.array_equal(apply_orientation(a, 6), np.rot90(a, -1))
+    assert np.array_equal(apply_orientation(a, 7), np.rot90(a.T, 2))
+    assert np.array_equal(apply_orientation(a, 8), np.rot90(a, 1))
+    assert np.array_equal(apply_orientation(a, None), a)
+    # rgb keeps channels
+    rgb = np.arange(24).reshape(2, 4, 3)
+    assert apply_orientation(rgb, 6).shape == (4, 2, 3)

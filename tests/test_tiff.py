@@ -121,3 +121,20 @@ def test_probe_and_image_feature_dispatch(spark):
     assert feats[1]["width"] == 18 and feats[1]["height"] == 12
     assert feats[2]["width"] == 14 and feats[2]["height"] == 10
     assert feats[1]["mean_luma"] is not None
+
+
+def test_orientation_tag_roundtrip_and_ifd0():
+    from bid_evaluation_spark.operators.tiff import (
+        T_ORIENTATION, tiff_ifd0)
+    img = _gray(6, 9)
+    data = encode_tiff(img, orientation=6, packbits=True)
+    ifd = tiff_ifd0(data)
+    assert ifd[T_ORIENTATION] == [6]
+    assert np.array_equal(decode_tiff(data), img)   # pixels unrotated
+    # tags stay ascending (spec requirement)
+    import struct
+    (n,) = struct.unpack_from("<H", data, 8)
+    tags = [struct.unpack_from("<H", data, 10 + 12 * i)[0]
+            for i in range(n)]
+    assert tags == sorted(tags)
+    assert T_ORIENTATION not in tiff_ifd0(encode_tiff(img))
