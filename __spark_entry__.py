@@ -15050,6 +15050,83 @@ FROM documents
 """
 
 
+#: unigram fixture morphemes — composed words make EM allocate mass to
+#: the planted pieces, and the closed-form construction keeps the
+#: training corpus IDENTICAL at every SF (witness ids 0..199)
+_UNI_P = ("pre", "re", "un", "over")
+_UNI_R = ("pack", "load", "turn", "fix")
+_UNI_S = ("ing", "ed", "er", "")
+
+
+def _unigram_fixture_text(d: int, k_words: int = 10) -> str:
+    return " ".join(
+        _UNI_P[(d + k) % 4] + _UNI_R[(d * 3 + k) % 4]
+        + _UNI_S[(d + 2 * k) % 4] for k in range(k_words))
+
+
+def _q_pipe_unigram_documents(spark, sf_dir):
+    """Unigram-LM tokenizer (operators/unigram.py — SentencePiece-style
+    EM over distinct words, FIXED-POINT expected counts so training is
+    partition-order independent): trains on the fixed 200-id synthetic
+    morpheme corpus (identical at every SF), then segments each doc's
+    class witness text (class = doc_id % 8) with the learned vocab.
+    Output: per-doc token stats + a vocab fingerprint (sha256 of every
+    (piece, logprob_r4)) that pins the ENTIRE trained model to one
+    constant — the oracle carries the fingerprint and the 8 per-class
+    stat rows as frozen goldens computed once by this same chain."""
+    import hashlib
+
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.unigram import (
+        unigram_token_stats, unigram_train)
+
+    train_ids = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200)
+
+    def gen_train(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": [_unigram_fixture_text(int(d))
+                         for d in pdf["doc_id"]]})
+
+    corpus = train_ids.mapInPandas(gen_train,
+                                   "doc_id long, text string")
+    vocab = unigram_train(corpus, vocab_size=48, n_iters=3,
+                          max_piece_len=4, seed_size=160)
+    fp = hashlib.sha256("|".join(
+        f"{p}:{round(lp * 10000.0) / 10000.0:.4f}"
+        for p, lp in vocab).encode()).hexdigest()[:16]
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen_witness(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "text": [_unigram_fixture_text(int(d) % 8, 6)
+                         for d in pdf["doc_id"]]})
+
+    witness = docs.mapInPandas(gen_witness, "doc_id long, text string")
+    stats = unigram_token_stats(witness, vocab)
+    return stats.select("doc_id", "n_words", "n_tokens",
+                        "n_char_fallbacks",
+                        F.lit(fp).alias("vocab_fp"))
+
+
+_SQL_PIPE_UNIGRAM_DOCUMENTS = """
+WITH golden(c, n_words, n_tokens, n_char_fallbacks) AS (VALUES
+  (0, 6, 16, 0), (1, 6, 13, 0), (2, 6, 16, 0), (3, 6, 14, 0),
+  (4, 6, 16, 0), (5, 6, 13, 0), (6, 6, 16, 0), (7, 6, 14, 0))
+SELECT doc_id,
+       CAST(g.n_words AS BIGINT) AS n_words,
+       CAST(g.n_tokens AS BIGINT) AS n_tokens,
+       CAST(g.n_char_fallbacks AS BIGINT) AS n_char_fallbacks,
+       '3168a272403aeec5' AS vocab_fp
+FROM documents JOIN golden g ON g.c = doc_id % 8
+"""
+
+
 def _q_mm_orient_normalize_documents(spark, sf_dir):
     """EXIF/TIFF orientation normalization (operators/exif.py
     apply_orientation — the rotate-before-hash step: portrait and
@@ -15883,7 +15960,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   text/quality/lm ......... text(17) quality(5) lm(1) pii(1)
 #   dedup/similarity ........ dedup(20) ann(5) pq(3) emb(4) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(5)
-#   pipeline/curation ....... pipe(29) pipeline(1) curation(2) dsir(2)
+#   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
 #   events/timeseries ....... events(13) ts(24) asof(4) range(1)
 #                             funnel(1) attrib(1) bandit(1)
@@ -16496,6 +16573,8 @@ _QUERIES: dict = {
                                       _SQL_MM_ORIENT_NORMALIZE_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
+    "pipe_unigram_documents": (_q_pipe_unigram_documents,
+                               _SQL_PIPE_UNIGRAM_DOCUMENTS),
 }
 
 

@@ -1,0 +1,244 @@
+"""Unigram-LM subword tokenizer (SentencePiece-style, Kudo 2018) —
+the OTHER standard tokenizer family next to :mod:`.bpe`: BPE grows a
+vocabulary bottom-up by merging, the unigram model starts from a large
+seed vocabulary and learns piece probabilities by EM, then segments by
+Viterbi. Production LLM tokenizers (T5, Llama's SentencePiece mode)
+are unigram models, so a training-data pipeline needs both.
+
+Distributed shape (the 100-TB design):
+
+- the corpus collapses to DISTINCT WORDS WITH COUNTS first — the
+  heavy-tail dedup that makes tokenizer training tractable (a trillion
+  running words is tens of millions of distinct words);
+- seed vocabulary = the ``seed_size`` most frequent substrings up to
+  ``max_piece_len`` (one explode + one groupBy; all single characters
+  are always kept so every word stays segmentable);
+- each EM round: E-step runs the forward-backward lattice per DISTINCT
+  word inside one Arrow kernel (vocab broadcast as a plain dict —
+  it is a few kB), M-step is ONE groupBy-sum of expected counts;
+- **determinism trick**: expected counts are converted to FIXED-POINT
+  (``round(c * 1e9)`` as int64) BEFORE the shuffle — integer sums are
+  order-independent, so the learned vocabulary is bit-identical
+  regardless of partitioning or shuffle arrival order. Float sums
+  would make the trained vocab depend on partition order, which would
+  poison any frozen-golden verification.
+- prune to ``vocab_size`` by (probability, piece) — the string
+  tiebreak keeps the cut deterministic too.
+
+Segmentation is Viterbi over the final piece logprobs (ties broken
+toward FEWER tokens, then lexicographically smaller pieces — pinned by
+test). Characters outside the vocabulary fall back to a floor logprob
+so corpus-scale segmentation never fails on novel bytes.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+_FIXED = 1_000_000_000          # fixed-point scale for order-free sums
+_FLOOR_LOGPROB = -30.0          # unseen-char fallback at segment time
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, count) over the lowercase alphabetic tokens of a corpus —
+    the distinct-word collapse everything downstream runs on."""
+    w = df.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                    "[^a-z]+")).alias("word"))
+    return (w.filter(F.length("word") > 0)
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def seed_vocab(words: DataFrame, *, seed_size: int = 300,
+               max_piece_len: int = 4) -> List[str]:
+    """Most frequent substrings (≤ ``max_piece_len``) plus ALL single
+    characters seen — the EM starting vocabulary."""
+    pieces = words.select(
+        F.explode(F.expr(
+            f"""flatten(transform(sequence(1, {max_piece_len}), len ->
+                 transform(sequence(1, length(word) - len + 1), i ->
+                   substring(word, i, len))))""")).alias("piece"),
+        "cnt").groupBy("piece").agg(F.sum("cnt").alias("total"))
+    # ALL single characters are kept unconditionally (segmentability);
+    # multi-char pieces compete for the remaining seed slots by count
+    chars = sorted(r["piece"] for r in
+                   pieces.filter(F.length("piece") == 1).collect())
+    multi = [r["piece"] for r in
+             (pieces.filter(F.length("piece") > 1)
+              .orderBy(F.desc("total"), F.asc("piece"))
+              .limit(max(seed_size - len(chars), 0)).collect())]
+    return chars + multi
+
+
+def _forward_backward(word: str, logp: Dict[str, float],
+                      max_len: int) -> Dict[str, float]:
+    """Expected piece counts for one word under the current model
+    (lattice forward-backward in log space)."""
+    n = len(word)
+    NEG = -1e30
+    alpha = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    edges: List[List[Tuple[int, str, float]]] = [[] for _ in range(n + 1)]
+    for i in range(n):
+        if alpha[i] <= NEG / 2:
+            continue
+        for l in range(1, min(max_len, n - i) + 1):
+            piece = word[i:i + l]
+            lp = logp.get(piece)
+            if lp is None:
+                continue
+            j = i + l
+            edges[j].append((i, piece, lp))
+            cand = alpha[i] + lp
+            alpha[j] = cand if alpha[j] <= NEG / 2 else \
+                (max(alpha[j], cand)
+                 + math.log1p(math.exp(-abs(alpha[j] - cand))))
+    if alpha[n] <= NEG / 2:
+        return {}
+    beta = [NEG] * (n + 1)
+    beta[n] = 0.0
+    for j in range(n, 0, -1):
+        if beta[j] <= NEG / 2:
+            continue
+        for i, piece, lp in edges[j]:
+            cand = beta[j] + lp
+            beta[i] = cand if beta[i] <= NEG / 2 else \
+                (max(beta[i], cand)
+                 + math.log1p(math.exp(-abs(beta[i] - cand))))
+    out: Dict[str, float] = {}
+    z = alpha[n]
+    for j in range(1, n + 1):
+        for i, piece, lp in edges[j]:
+            if alpha[i] <= NEG / 2 or beta[j] <= NEG / 2:
+                continue
+            out[piece] = out.get(piece, 0.0) + math.exp(
+                alpha[i] + lp + beta[j] - z)
+    return out
+
+
+def unigram_train(df: DataFrame, text_col: str = "text", *,
+                  vocab_size: int = 60, n_iters: int = 3,
+                  max_piece_len: int = 4,
+                  seed_size: int = 300) -> List[Tuple[str, float]]:
+    """Train a unigram vocabulary → sorted ``[(piece, logprob)]``.
+
+    Every EM round is one Arrow-kernel pass over distinct words plus
+    one integer groupBy-sum; the result is partition-order independent
+    (see module docstring)."""
+    spark = df.sparkSession
+    words = _words(df, text_col).persist()
+    try:
+        vocab = seed_vocab(words, seed_size=seed_size,
+                           max_piece_len=max_piece_len)
+        # uniform start
+        lp0 = -math.log(len(vocab))
+        logp = {p: lp0 for p in vocab}
+        for _ in range(n_iters):
+            b = spark.sparkContext.broadcast(logp)
+
+            def estep(batches: Iterator[pd.DataFrame],
+                      _ml=max_piece_len) -> Iterator[pd.DataFrame]:
+                model = b.value
+                for pdf in batches:
+                    acc: Dict[str, int] = {}
+                    for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                        ec = _forward_backward(str(word), model, _ml)
+                        for piece, c in ec.items():
+                            acc[piece] = acc.get(piece, 0) + int(
+                                round(c * int(cnt) * _FIXED))
+                    yield pd.DataFrame(
+                        {"piece": list(acc), "fcount": list(acc.values())})
+
+            counts = (words.mapInPandas(estep,
+                                        "piece string, fcount long")
+                      .groupBy("piece").agg(F.sum("fcount").alias("fc"))
+                      .collect())
+            total = sum(r["fc"] for r in counts)
+            if not total:
+                break
+            logp = {r["piece"]: math.log(r["fc"] / total)
+                    for r in counts if r["fc"] > 0}
+            # single chars must survive for segmentability
+            for p in vocab:
+                if len(p) == 1 and p not in logp:
+                    logp[p] = _FLOOR_LOGPROB
+        # prune: keep best vocab_size pieces, chars always kept
+        chars = {p: lp for p, lp in logp.items() if len(p) == 1}
+        multi = sorted(((p, lp) for p, lp in logp.items() if len(p) > 1),
+                       key=lambda kv: (-kv[1], kv[0]))
+        keep = dict(chars)
+        for p, lp in multi:
+            if len(keep) >= vocab_size:
+                break
+            keep[p] = lp
+        # renormalize over the kept set; the summands are SORTED first
+        # so the float sum (and hence every logprob) is independent of
+        # dict/collect order — the last nondeterminism seam
+        z = math.log(sum(sorted(math.exp(lp) for lp in keep.values())))
+        return sorted((p, lp - z) for p, lp in keep.items())
+    finally:
+        words.unpersist()
+
+
+def viterbi_segment(word: str, logp: Dict[str, float],
+                    max_len: int = 4) -> List[str]:
+    """Best segmentation (ties → fewer tokens, then lexicographically
+    smaller piece sequence — deterministic by construction)."""
+    n = len(word)
+    best: List[Tuple[float, int, Tuple[str, ...]]] = [None] * (n + 1)
+    best[0] = (0.0, 0, ())
+    for j in range(1, n + 1):
+        cands = []
+        for l in range(1, min(max_len, j) + 1):
+            i = j - l
+            if best[i] is None:
+                continue
+            piece = word[i:j]
+            lp = logp.get(piece)
+            if lp is None:
+                if l == 1:
+                    lp = _FLOOR_LOGPROB          # novel char fallback
+                else:
+                    continue
+            s, k, seq = best[i]
+            cands.append((s + lp, k + 1, seq + (piece,)))
+        if cands:
+            best[j] = max(cands, key=lambda t: (t[0], -t[1],
+                                                [-ord(c) for p in t[2]
+                                                 for c in p]))
+    if best[n] is None:
+        return [word]
+    return list(best[n][2])
+
+
+def unigram_token_stats(df: DataFrame, vocab: List[Tuple[str, float]],
+                        text_col: str = "text",
+                        id_col: str = "doc_id", *,
+                        max_piece_len: int = 4) -> DataFrame:
+    """Per-doc segmentation stats with a trained vocab:
+    ``(doc_id, n_words, n_tokens, n_char_fallbacks)``."""
+    logp = dict(vocab)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = re.findall(r"[a-z]+", str(text or "").lower())
+                n_tok = n_fb = 0
+                for w in words:
+                    toks = viterbi_segment(w, logp, max_piece_len)
+                    n_tok += len(toks)
+                    n_fb += sum(1 for t in toks if t not in logp)
+                rows.append({"doc_id": int(did), "n_words": len(words),
+                             "n_tokens": n_tok,
+                             "n_char_fallbacks": n_fb})
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_words", "n_tokens", "n_char_fallbacks"])
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, n_words long, n_tokens long, "
+                "n_char_fallbacks long")
