@@ -15220,6 +15220,84 @@ JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
 """
 
 
+def _q_mm_bmp_decode_documents(spark, sf_dir):
+    """BMP decode (operators/bmp.py — BITMAPINFOHEADER BI_RGB, 24-bit
+    BGR + 8-bit paletted, row padding, bottom-up AND top-down): pixel
+    formula p(x,y,ch) = (5x + 3y + 7c + 11ch) % 241 with c = d%9;
+    paletted gray (p with ch=0 on all three channels) for d%4==1,
+    top-down rows for d%3==0 — decode must normalize all of it.
+    FIRST-PRINCIPLES oracle: the pixel sum is recomputed closed-form in
+    DuckDB via generate_series."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.bmp import decode_bmp, encode_bmp
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        y, x = np.mgrid[0:18, 0:22]
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 9
+                td = d % 3 == 0
+                if d % 4 == 1:
+                    img = ((5 * x + 3 * y + 7 * c) % 241) \
+                        .astype(np.uint8)
+                    payloads.append(encode_bmp(img, top_down=td,
+                                               paletted=True))
+                else:
+                    img = np.stack([(5 * x + 3 * y + 7 * c + 11 * ch)
+                                    % 241 for ch in range(3)],
+                                   axis=2).astype(np.uint8)
+                    payloads.append(encode_bmp(img, top_down=td))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+
+    def decode(batches):
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_bmp(bytes(p))
+                rows.append({"media_id": int(mid),
+                             "width": img.shape[1],
+                             "height": img.shape[0],
+                             "pix_sum": int(img.astype(np.int64).sum())})
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "pix_sum"])
+
+    return media.mapInPandas(
+        decode, "media_id long, width long, height long, pix_sum long")
+
+
+_SQL_MM_BMP_DECODE_DOCUMENTS = """
+WITH cls AS (
+  SELECT c.c, ch.ch,
+         SUM((5 * x.x + 3 * y.y + 7 * c.c + 11 * ch.ch) % 241) AS s
+  FROM UNNEST(generate_series(0, 8)) AS c(c),
+       UNNEST(generate_series(0, 2)) AS ch(ch),
+       UNNEST(generate_series(0, 21)) AS x(x),
+       UNNEST(generate_series(0, 17)) AS y(y)
+  GROUP BY c.c, ch.ch
+),
+per_mode AS (
+  -- paletted gray replicates channel 0 across RGB; color sums all 3
+  SELECT c, 3 * MAX(CASE WHEN ch = 0 THEN s END) AS gray_sum,
+         SUM(s) AS color_sum
+  FROM cls GROUP BY c
+)
+SELECT doc_id AS media_id,
+       CAST(22 AS BIGINT) AS width, CAST(18 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN p.gray_sum
+                 ELSE p.color_sum END AS BIGINT) AS pix_sum
+FROM documents JOIN per_mode p ON p.c = doc_id % 9
+"""
+
+
 def _q_mm_vad_segments_documents(spark, sf_dir):
     """Energy VAD (operators/vad.py — frame-RMS threshold + hangover
     morphology): per doc a WAV of 1+d%3 tone bursts (burst i spans
@@ -15967,7 +16045,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(28) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(29) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -16571,6 +16649,8 @@ _QUERIES: dict = {
                                   _SQL_MM_VAD_SEGMENTS_DOCUMENTS),
     "mm_orient_normalize_documents": (_q_mm_orient_normalize_documents,
                                       _SQL_MM_ORIENT_NORMALIZE_DOCUMENTS),
+    "mm_bmp_decode_documents": (_q_mm_bmp_decode_documents,
+                                _SQL_MM_BMP_DECODE_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,

@@ -115,6 +115,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     ``fake=True`` substitutes a deterministic payload-hash-derived feature
     vector (no decode at all) so pipeline tests run on arbitrary bytes.
     """
+    from . import bmp as _bmp
     from . import gif as _gif
     from . import jpeg as _jpeg
     from . import netpbm as _netpbm
@@ -150,6 +151,8 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                             img = _gif.decode_gif(p)
                         elif _tiff.is_tiff(p or b""):
                             img = _tiff.decode_tiff(p)
+                        elif _bmp.is_bmp(p or b""):
+                            img = _bmp.decode_bmp(p)
                         else:
                             img = _png.decode_png(p or b"")
                         if img.ndim == 2:      # tiff gray → (h,w,1)

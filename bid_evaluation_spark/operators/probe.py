@@ -278,6 +278,18 @@ def _probe_tar(p: bytes) -> Optional[dict]:
     return {**_NULL, "format": "tar", "n_units": n}
 
 
+def _probe_bmp(p: bytes) -> Optional[dict]:
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    (hdr_size,) = struct.unpack_from("<I", p, 14)
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", p, 18)
+    if w <= 0 or h == 0:
+        return None
+    return {**_NULL, "format": "bmp", "width": w, "height": abs(h)}
+
+
 def _probe_tiff(p: bytes) -> Optional[dict]:
     from .tiff import T_HEIGHT, T_WIDTH, is_tiff, read_ifd
     if not is_tiff(p):
@@ -305,7 +317,7 @@ def _probe_tiff(p: bytes) -> Optional[dict]:
 
 _PROBES = (_probe_png, _probe_jpeg, _probe_gif, _probe_netpbm,
            _probe_flac, _probe_y4m, _probe_avi, _probe_wav, _probe_mp3,
-           _probe_tar, _probe_tiff)
+           _probe_tar, _probe_tiff, _probe_bmp)
 
 
 def probe_payload(p: bytes) -> dict:

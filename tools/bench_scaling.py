@@ -385,6 +385,18 @@ def fam_audio_match(spark, base):
     return n, match_clips(index_lms, query_lms, min_votes=20).count()
 
 
+def fam_unigram_train(spark, base):
+    # SentencePiece-style EM: corpus collapses to distinct words first,
+    # then per-round one lattice kernel + one integer groupBy — cost
+    # scales with DISTINCT words (the alphabet-rotated synth copies
+    # multiply the distinct-word set ~10x, the honest blow-up)
+    from bid_evaluation_spark.operators.unigram import unigram_train
+    d = _docs(spark, base)
+    vocab = unigram_train(d, vocab_size=40, n_iters=2,
+                          max_piece_len=3, seed_size=150)
+    return d.count(), len(vocab)
+
+
 def fam_quantile_match(spark, base):
     from bid_evaluation_spark.operators.analytics import quantile_match
     od = spark.read.parquet(f"{base}/orders.parquet")
@@ -456,6 +468,11 @@ FAMILIES = {
                     "load joins against buckets of size n/|hash "
                     "space| (~266k hashes), so query cost grows "
                     "linearly with the index too"),
+    "unigram_train": (fam_unigram_train, 1.0,
+                      "fixed EM rounds x (one lattice kernel over "
+                      "DISTINCT words + one integer groupBy); distinct "
+                      "words grow ~linearly under the rotated-alphabet "
+                      "blow-up"),
 }
 
 
