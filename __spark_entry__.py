@@ -15220,6 +15220,56 @@ JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
 """
 
 
+def _q_retrieval_maxsim_embeddings(spark, sf_dir):
+    """ColBERT-style MaxSim late interaction
+    (operators/lateinteraction.py — Σ_q max_d cos per token pair,
+    native zip_with/aggregate math, broadcast query tokens, two
+    partial-aggregated groupBys): token table derived from embeddings
+    (doc = vec_id div 4, token = vec_id % 4), queries = docs 0..7,
+    self-doc excluded, k=5. The oracle replays the ENTIRE scoring —
+    per-token cosine, per-query-token max, per-doc sum, ranking — in
+    DuckDB list math; only the final score is r4-rounded."""
+    from bid_evaluation_spark.operators.lateinteraction import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.expr("vec_id div 4").cast("long").alias("doc_id"),
+        (F.col("vec_id") % 4).cast("long").alias("token_idx"),
+        F.col("embedding").cast("array<double>").alias("vec"))
+    queries = (emb.filter(F.col("doc_id") < 8)
+               .select(F.col("doc_id").alias("query_id"),
+                       "token_idx", "vec"))
+    top = maxsim_topk(emb, queries, k=5, exclude_self=True)
+    return top.select("query_id", "doc_id",
+                      _r4("maxsim").alias("maxsim_r4"), "rnk")
+
+
+_SQL_RETRIEVAL_MAXSIM_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+tok AS (SELECT vec_id // 4 AS d, vec_id % 4 AS t, e FROM v),
+q AS (SELECT d AS qid, t AS qt, e AS qe FROM tok WHERE d < 8),
+per_qt AS (
+  SELECT q.qid, tok.d, q.qt,
+         MAX(list_sum(list_transform(generate_series(1, len(qe)),
+                                     i -> qe[i] * tok.e[i]))
+             / (sqrt(list_sum(list_transform(qe, x -> x * x)))
+                * sqrt(list_sum(list_transform(tok.e, x -> x * x)))))
+           AS m
+  FROM q JOIN tok ON tok.d != q.qid
+  GROUP BY q.qid, tok.d, q.qt
+),
+scores AS (SELECT qid, d, SUM(m) AS s FROM per_qt GROUP BY qid, d),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY s DESC, d ASC) AS rnk
+  FROM scores
+)
+SELECT qid AS query_id, d AS doc_id,
+       round(s * 10000.0) / 10000.0 AS maxsim_r4,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def _q_mm_bmp_decode_documents(spark, sf_dir):
     """BMP decode (operators/bmp.py — BITMAPINFOHEADER BI_RGB, 24-bit
     BGR + 8-bit paletted, row padding, bottom-up AND top-down): pixel
@@ -16037,7 +16087,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(17) quality(5) lm(1) pii(1)
 #   dedup/similarity ........ dedup(20) ann(5) pq(3) emb(4) bitext(1)
-#                             cluster(1) er(1) fuzzy(3) retrieval(5)
+#                             cluster(1) er(1) fuzzy(3) retrieval(6)
 #   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
 #   events/timeseries ....... events(13) ts(24) asof(4) range(1)
@@ -16651,6 +16701,8 @@ _QUERIES: dict = {
                                       _SQL_MM_ORIENT_NORMALIZE_DOCUMENTS),
     "mm_bmp_decode_documents": (_q_mm_bmp_decode_documents,
                                 _SQL_MM_BMP_DECODE_DOCUMENTS),
+    "retrieval_maxsim_embeddings": (_q_retrieval_maxsim_embeddings,
+                                    _SQL_RETRIEVAL_MAXSIM_EMBEDDINGS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,

@@ -1,0 +1,66 @@
+"""MaxSim late interaction: hand-computable scores, two-phase ==
+brute on separable data, tie determinism, self exclusion."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bid_evaluation_spark.operators.lateinteraction import maxsim_topk
+
+
+def _tok(rows, spark, idc="doc_id"):
+    return spark.createDataFrame(
+        rows, f"{idc} long, token_idx long, vec array<double>")
+
+
+def test_hand_computed_maxsim(spark):
+    # doc 1 tokens: e1, e2 ; doc 2 tokens: e3-ish
+    docs = _tok([(1, 0, [1.0, 0.0, 0.0]), (1, 1, [0.0, 1.0, 0.0]),
+                 (2, 0, [0.0, 0.0, 1.0]), (2, 1, [0.0, 0.6, 0.8])],
+                spark)
+    # query: tokens e1 and e2 → doc1 score 1+1=2;
+    # doc2: max cos(e1,·)=0, max cos(e2,·)=0.6 → 0.6
+    qs = _tok([(7, 0, [1.0, 0.0, 0.0]), (7, 1, [0.0, 1.0, 0.0])],
+              spark, "query_id")
+    got = {(r["query_id"], r["doc_id"]): (r["maxsim"], r["rnk"])
+           for r in maxsim_topk(docs, qs, k=5).collect()}
+    assert abs(got[(7, 1)][0] - 2.0) < 1e-12 and got[(7, 1)][1] == 1
+    assert abs(got[(7, 2)][0] - 0.6) < 1e-12 and got[(7, 2)][1] == 2
+
+
+def test_two_phase_matches_brute_on_separable_clusters(spark):
+    import numpy as np
+    rng = np.random.default_rng(0)
+    rows = []
+    for d in range(20):
+        center = np.zeros(8)
+        center[d % 8] = 1.0
+        for t in range(3):
+            v = center + 0.05 * rng.normal(size=8)
+            rows.append((d, t, [float(x) for x in v]))
+    docs = _tok(rows, spark)
+    qs = _tok([r for r in rows if r[0] < 4],
+              spark, "query_id")
+    brute = {(r["query_id"], r["rnk"]): r["doc_id"]
+             for r in maxsim_topk(docs, qs, k=3).collect()}
+    two = {(r["query_id"], r["rnk"]): r["doc_id"]
+           for r in maxsim_topk(docs, qs, k=3,
+                                n_candidates=8).collect()}
+    assert brute == two
+    # rank 1 is always the query's own doc (exclude_self off)
+    for qid in range(4):
+        assert brute[(qid, 1)] == qid
+    # and with exclusion it isn't
+    excl = maxsim_topk(docs, qs, k=3, exclude_self=True)
+    assert all(r["doc_id"] != r["query_id"] for r in excl.collect())
+
+
+def test_tie_breaks_by_doc_id(spark):
+    docs = _tok([(5, 0, [1.0, 0.0]), (3, 0, [1.0, 0.0])], spark)
+    qs = _tok([(0, 0, [2.0, 0.0])], spark, "query_id")
+    got = [(r["doc_id"], r["rnk"])
+           for r in maxsim_topk(docs, qs, k=2).collect()]
+    assert sorted(got) == [(3, 1), (5, 2)]
