@@ -15220,6 +15220,67 @@ JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
 """
 
 
+def _q_dedup_lsh_tune_documents(spark, sf_dir):
+    """LSH parameter auto-tuning (operators/lshtune.py — MMDS §3.4
+    error-area minimization over the S-curve 1-(1-s^r)^b): the
+    planning table for num_perm=64 across nine thresholds. The oracle
+    REPLAYS the whole optimization in SQL — midpoint grid, both error
+    integrals, the 1e-6-rounded objective and the (obj, -b, r) argmin
+    — so the tuner's math, not a frozen answer, is what's gated."""
+    from bid_evaluation_spark.operators.lshtune import lsh_tuning_table
+
+    rows = lsh_tuning_table(64, [round(0.1 * i, 1)
+                                 for i in range(1, 10)])
+    df = spark.createDataFrame(
+        [(r["threshold"], r["bands"], r["rows"],
+          r["threshold_est"], r["objective"]) for r in rows],
+        "threshold double, bands long, rows long, "
+        "threshold_est double, objective double")
+    return df.select("threshold", "bands", "rows",
+                     _r4("threshold_est").alias("threshold_est_r4"),
+                     _r4("objective").alias("objective_r4"))
+
+
+_SQL_DEDUP_LSH_TUNE_DOCUMENTS = """
+WITH t(threshold) AS (
+  SELECT CAST(ROUND(0.1 * i, 1) AS DOUBLE)
+  FROM UNNEST(generate_series(1, 9)) AS u(i)
+),
+cand AS (
+  SELECT r.r AS rows_, (64 // r.r) AS bands
+  FROM UNNEST(generate_series(1, 64)) AS r(r)
+  WHERE 64 // r.r >= 1
+),
+areas AS (
+  SELECT t.threshold, c.bands, c.rows_,
+         SUM(CASE WHEN s.s < t.threshold
+                  THEN 1.0 - pow(1.0 - pow(s.s, c.rows_), c.bands)
+                  ELSE 0.0 END) / 1000.0 AS fp,
+         SUM(CASE WHEN s.s >= t.threshold
+                  THEN pow(1.0 - pow(s.s, c.rows_), c.bands)
+                  ELSE 0.0 END) / 1000.0 AS fn
+  FROM t, cand c,
+       (SELECT (i + 0.5) / 1000.0 AS s
+        FROM UNNEST(generate_series(0, 999)) AS g(i)) s
+  GROUP BY t.threshold, c.bands, c.rows_
+),
+ranked AS (
+  SELECT threshold, bands, rows_,
+         round(fp + fn, 6) AS obj,
+         row_number() OVER (PARTITION BY threshold
+                            ORDER BY round(fp + fn, 6) ASC,
+                                     bands DESC, rows_ ASC) AS rk
+  FROM areas
+)
+SELECT threshold, CAST(bands AS BIGINT) AS bands,
+       CAST(rows_ AS BIGINT) AS rows,
+       round(pow(1.0 / bands, 1.0 / rows_) * 10000.0) / 10000.0
+         AS threshold_est_r4,
+       round(obj * 10000.0) / 10000.0 AS objective_r4
+FROM ranked WHERE rk = 1
+"""
+
+
 def _q_retrieval_maxsim_embeddings(spark, sf_dir):
     """ColBERT-style MaxSim late interaction
     (operators/lateinteraction.py — Σ_q max_d cos per token pair,
@@ -16086,7 +16147,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   reference parity ........ flagship(1) f*(18) a1(2) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(17) quality(5) lm(1) pii(1)
-#   dedup/similarity ........ dedup(20) ann(5) pq(3) emb(4) bitext(1)
+#   dedup/similarity ........ dedup(21) ann(5) pq(3) emb(4) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
 #   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
@@ -16703,6 +16764,8 @@ _QUERIES: dict = {
                                 _SQL_MM_BMP_DECODE_DOCUMENTS),
     "retrieval_maxsim_embeddings": (_q_retrieval_maxsim_embeddings,
                                     _SQL_RETRIEVAL_MAXSIM_EMBEDDINGS),
+    "dedup_lsh_tune_documents": (_q_dedup_lsh_tune_documents,
+                                 _SQL_DEDUP_LSH_TUNE_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,

@@ -1851,6 +1851,40 @@ def check_wave10_video_neardup(spark, sf_dir):
     return probs
 
 
+@check("wave10b: maxsim — query tokens broadcast, scoring native "
+       "(no Python), partial-aggregated max/sum; media fixtures "
+       "repartitioned + one kernel each")
+def check_wave10b_maxsim_media(spark, sf_dir):
+    import __spark_entry__ as entry
+    from bid_evaluation_spark.operators.lateinteraction import maxsim_topk
+
+    probs = []
+    toks = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [0.0, 1.0])],
+        "doc_id long, token_idx long, vec array<double>")
+    qs = toks.withColumnRenamed("doc_id", "query_id")
+    mp = plan_of(maxsim_topk(toks, qs, k=2))
+    if "BroadcastExchange" not in mp:
+        probs.append("maxsim query tokens are not broadcast")
+    if "BatchEvalPython" in mp or "ArrowEvalPython" in mp \
+            or "MapInPandas" in mp:
+        probs.append("maxsim scoring dropped into Python — must be "
+                     "native zip_with/aggregate")
+    if "partial_max" not in mp and "partial_sum" not in mp:
+        probs.append("maxsim aggregations lack map-side partials")
+
+    for name in ("mm_tiff_decode_documents", "mm_bmp_decode_documents",
+                 "mm_vad_segments_documents",
+                 "mm_orient_normalize_documents"):
+        p = plan_of(entry.queries()[name](spark, sf_dir))
+        if "RoundRobinPartitioning" not in p and "REPARTITION" not in p:
+            probs.append(f"{name}: fixture not repartitioned to "
+                         "compute parallelism")
+        if "MapInPandas" not in p:
+            probs.append(f"{name}: decode is not an Arrow kernel")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
