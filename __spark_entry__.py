@@ -15220,6 +15220,37 @@ JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
 """
 
 
+def _q_a1_approx_quantiles_lineitem(spark, sf_dir):
+    """Sketch-based quantiles (percentile_approx — Greenwald-Khanna,
+    the MERGEABLE O(1)-state 100-TB path the exact percentile buffer
+    can't walk): per-returnflag p50/p95/p99 of extendedprice. At test
+    scale the 1e6-accuracy buffer holds every value, so the sketch
+    returns the exact lower order statistic and DuckDB's
+    ``quantile_disc`` is a true value oracle — the query gates that
+    the approx path is WIRED correctly (grouping, accuracy, element
+    semantics), while SCALE.md documents the accuracy/state trade."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.percentile_approx("l_extendedprice",
+                            F.array(F.lit(0.5), F.lit(0.95),
+                                    F.lit(0.99)),
+                            F.lit(1_000_000))
+    return (li.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"), q.alias("_q"))
+            .select("l_returnflag", "n",
+                    F.element_at("_q", 1).alias("p50"),
+                    F.element_at("_q", 2).alias("p95"),
+                    F.element_at("_q", 3).alias("p99")))
+
+
+_SQL_A1_APPROX_QUANTILES_LINEITEM = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_disc(l_extendedprice, 0.5) AS p50,
+       quantile_disc(l_extendedprice, 0.95) AS p95,
+       quantile_disc(l_extendedprice, 0.99) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def _q_dedup_lsh_tune_documents(spark, sf_dir):
     """LSH parameter auto-tuning (operators/lshtune.py — MMDS §3.4
     error-area minimization over the S-curve 1-(1-s^r)^b): the
@@ -16144,7 +16175,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 # Family index (one line per name-prefix; counts are maintained by
 # tests/test_registry_sample.py::test_family_index_matches_census —
 # run `python tools/check_oracle.py <sf> --family <prefix>` for a slice):
-#   reference parity ........ flagship(1) f*(18) a1(2) a7(2) j(1)
+#   reference parity ........ flagship(1) f*(18) a1(3) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(17) quality(5) lm(1) pii(1)
 #   dedup/similarity ........ dedup(21) ann(5) pq(3) emb(4) bitext(1)
@@ -16766,6 +16797,8 @@ _QUERIES: dict = {
                                     _SQL_RETRIEVAL_MAXSIM_EMBEDDINGS),
     "dedup_lsh_tune_documents": (_q_dedup_lsh_tune_documents,
                                  _SQL_DEDUP_LSH_TUNE_DOCUMENTS),
+    "a1_approx_quantiles_lineitem": (_q_a1_approx_quantiles_lineitem,
+                                     _SQL_A1_APPROX_QUANTILES_LINEITEM),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
