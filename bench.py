@@ -264,6 +264,20 @@ def bench_ivfpq_embeddings(spark, sf_dir):
                       k=10, nprobe=4))
 
 
+def bench_video_neardup_documents(spark, sf_dir):
+    """Round-10 composition: AVI decode→cuts→shot pHash→banded join."""
+    import __spark_entry__ as e
+
+    _force(e.queries()["mm_video_neardup_documents"](spark, sf_dir))
+
+
+def bench_maxsim_embeddings(spark, sf_dir):
+    """Round-10 late-interaction rerank (native zip_with/aggregate)."""
+    import __spark_entry__ as e
+
+    _force(e.queries()["retrieval_maxsim_embeddings"](spark, sf_dir))
+
+
 BENCHES = {
     "eval_rank_lineitem": bench_eval_rank_lineitem,
     "staged_orders": bench_staged_orders,
@@ -287,6 +301,8 @@ BENCHES = {
     "pareto_frontier_part": bench_pareto_frontier_part,
     "lm_perplexity_documents": bench_lm_perplexity_documents,
     "ivfpq_embeddings": bench_ivfpq_embeddings,
+    "video_neardup_documents": bench_video_neardup_documents,
+    "maxsim_embeddings": bench_maxsim_embeddings,
 }
 
 
