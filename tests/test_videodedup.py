@@ -101,3 +101,42 @@ def test_video_neardup_min_shared_threshold(spark):
     shots = shot_phashes(df, strict=True)
     assert video_neardup(shots, min_shared=1).count() == 1
     assert video_neardup(shots, min_shared=2).count() == 0
+
+
+def test_streaming_shot_dedup_composition(spark, tmp_path):
+    """Shot-level video dedup ON INGEST: per-batch shot_phashes feed
+    the persisted band-bucket state (StreamingHashNearDup) keyed by
+    shot_uid — re-ingesting a clip whose shots were already seen flags
+    every shot as a duplicate, across batch (and restart) boundaries."""
+    from bid_evaluation_spark.streaming.hashdup import StreamingHashNearDup
+
+    state = StreamingHashNearDup(spark, str(tmp_path / "state"),
+                                 id_col="shot_uid", hash_col="phash")
+
+    def ingest(rows, batch_id):
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        shots = shot_phashes(df, strict=True).select(
+            (F.shiftleft(F.col("media_id"), 20)
+             + F.col("shot_index")).alias("shot_uid"), "phash")
+        state.process_batch(shots, batch_id=batch_id)
+
+    ingest([(1, _clip([2, 8])), (2, _clip([5, 12], tex=4))], 0)
+    ingest([(3, _clip([2, 8]))], 1)          # same content as clip 1
+    flags = {r["shot_uid"]: r["is_near_dup"]
+             for r in state.flags().collect()}
+    v = 1 << 20
+    assert flags[1 * v + 0] is False and flags[1 * v + 1] is False
+    assert flags[3 * v + 0] is True and flags[3 * v + 1] is True
+    assert flags[2 * v + 0] is False
+
+    # restart from disk: state survives, replayed batch is idempotent
+    re = StreamingHashNearDup(spark, str(tmp_path / "state"),
+                              id_col="shot_uid", hash_col="phash")
+    n_before = re.n_docs
+    ingest_rows = [(3, _clip([2, 8]))]
+    df = spark.createDataFrame(ingest_rows, "media_id long, payload binary")
+    shots = shot_phashes(df, strict=True).select(
+        (F.shiftleft(F.col("media_id"), 20)
+         + F.col("shot_index")).alias("shot_uid"), "phash")
+    re.process_batch(shots, batch_id=1)      # replay of batch 1
+    assert re.n_docs == n_before
