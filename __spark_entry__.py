@@ -15220,6 +15220,37 @@ JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
 """
 
 
+def _q_text_blocklist_documents(spark, sf_dir):
+    """Aho-Corasick blocklist scan (operators/blocklist.py — one
+    automaton pass per doc regardless of lexicon size): four-term
+    blocklist over the REAL document text. The chosen patterns have no
+    proper border (prefix ≠ suffix), so occurrences can't overlap
+    themselves and DuckDB's replace-count is an exact FIRST-PRINCIPLES
+    oracle for the automaton's totals."""
+    from bid_evaluation_spark.operators.blocklist import blocklist_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_hits(docs, ["filter", "merge", "spark", "table"])
+
+
+_SQL_TEXT_BLOCKLIST_DOCUMENTS = """
+WITH pats(p) AS (VALUES ('filter'), ('merge'), ('spark'), ('table')),
+cnt AS (
+  SELECT doc_id, p,
+         (length(COALESCE(text, '')) -
+          length(replace(COALESCE(text, ''), p, ''))) // length(p)
+           AS c
+  FROM documents, pats
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_patterns,
+       MIN(CASE WHEN c > 0 THEN p END) AS first_pattern
+FROM cnt GROUP BY doc_id
+"""
+
+
 def _q_a1_approx_quantiles_lineitem(spark, sf_dir):
     """Sketch-based quantiles (percentile_approx — Greenwald-Khanna,
     the MERGEABLE O(1)-state 100-TB path the exact percentile buffer
@@ -16177,7 +16208,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 # run `python tools/check_oracle.py <sf> --family <prefix>` for a slice):
 #   reference parity ........ flagship(1) f*(18) a1(3) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
-#   text/quality/lm ......... text(17) quality(5) lm(1) pii(1)
+#   text/quality/lm ......... text(18) quality(5) lm(1) pii(1)
 #   dedup/similarity ........ dedup(21) ann(5) pq(3) emb(4) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
 #   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
@@ -16799,6 +16830,8 @@ _QUERIES: dict = {
                                  _SQL_DEDUP_LSH_TUNE_DOCUMENTS),
     "a1_approx_quantiles_lineitem": (_q_a1_approx_quantiles_lineitem,
                                      _SQL_A1_APPROX_QUANTILES_LINEITEM),
+    "text_blocklist_documents": (_q_text_blocklist_documents,
+                                 _SQL_TEXT_BLOCKLIST_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
