@@ -53,10 +53,13 @@ def _git_head() -> str:
 
 
 def _git_dirty() -> bool:
+    # untracked files are ignored: the sweep's own in-progress output
+    # artifact (ORACLE_*.txt) must not mark the verified tree dirty —
+    # only modified TRACKED sources invalidate the header's HEAD claim
     try:
         out = subprocess.check_output(
-            ["git", "status", "--porcelain"], cwd=_REPO,
-            stderr=subprocess.DEVNULL).decode()
+            ["git", "status", "--porcelain", "--untracked-files=no"],
+            cwd=_REPO, stderr=subprocess.DEVNULL).decode()
         return bool(out.strip())
     except Exception:
         return False
