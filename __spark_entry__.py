@@ -15220,6 +15220,56 @@ JOIN cls g ON g.c = doc_id % 12 AND g.o = 1 + doc_id % 8
 """
 
 
+def _q_mm_loudness_documents(spark, sf_dir):
+    """Gated integrated loudness (operators/loudness.py — BS.1770
+    two-stage gate, unweighted at the 8 kHz fixture rate, divergence
+    documented in the module): per doc a 2 s 400 Hz tone at amplitude
+    (1+d%6)/10 followed by 1 s of digital silence — the silence blocks
+    die at the absolute gate, the tone→silence straddle blocks survive
+    deterministically, and the tone is block-exact (20 cycles per
+    400 ms block). Oracle: frozen 6-class golden of (n_blocks,
+    n_gated_blocks, r4 LUFS) computed ONCE by this same decode→block→
+    gate chain; the ungated analytic value -0.691+10·log10(a²/200)
+    cross-checks the goldens in tests."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.loudness import clip_loudness
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        t = np.arange(16000)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                amp = (1 + int(d) % 6) / 10.0
+                x = np.concatenate([
+                    amp * np.sin(2 * np.pi * 400 * t / 8000.0),
+                    np.zeros(8000)])
+                payloads.append(encode_wav(x, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = clip_loudness(media, strict=True)
+    return res.select("media_id", "n_blocks", "n_gated_blocks",
+                      _r4("integrated_lufs").alias("lufs_r4"))
+
+
+_SQL_MM_LOUDNESS_DOCUMENTS = """
+WITH golden(c, n_blocks, n_gated, lufs) AS (VALUES
+  (0, 27, 20, -24.0424), (1, 27, 20, -18.0207), (2, 27, 20, -14.4986),
+  (3, 27, 20, -11.9994), (4, 27, 20, -10.0612), (5, 27, 20, -8.4775))
+SELECT doc_id AS media_id,
+       CAST(g.n_blocks AS BIGINT) AS n_blocks,
+       CAST(g.n_gated AS BIGINT) AS n_gated_blocks,
+       CAST(g.lufs AS DOUBLE) AS lufs_r4
+FROM documents JOIN golden g ON g.c = doc_id % 6
+"""
+
+
 def _q_text_blocklist_documents(spark, sf_dir):
     """Aho-Corasick blocklist scan (operators/blocklist.py — one
     automaton pass per doc regardless of lexicon size): four-term
@@ -16218,7 +16268,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(29) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(30) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -16832,6 +16882,8 @@ _QUERIES: dict = {
                                      _SQL_A1_APPROX_QUANTILES_LINEITEM),
     "text_blocklist_documents": (_q_text_blocklist_documents,
                                  _SQL_TEXT_BLOCKLIST_DOCUMENTS),
+    "mm_loudness_documents": (_q_mm_loudness_documents,
+                              _SQL_MM_LOUDNESS_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
