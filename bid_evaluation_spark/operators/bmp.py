@@ -6,9 +6,11 @@ least decode-or-count them.
 Pure stdlib ``struct`` + numpy. Covered (the profile that dominates
 real BMP files): BITMAPINFOHEADER (40-byte) DIBs, bottom-up or
 top-down rows, BI_RGB (uncompressed) at 24-bit BGR and 8-bit paletted,
-4-byte row padding. 32-bit BGRA is accepted (alpha dropped). RLE and
-V4/V5 headers raise cleanly — corrupt/exotic files must be countable,
-never silently wrong.
+4-byte row padding. 32-bit BGRA is accepted (alpha dropped). V4/V5
+headers (108/124 bytes) decode when BI_RGB — the palette offset is
+computed from the header size, so the larger header is handled
+correctly. RLE/BITFIELDS compression raises cleanly — corrupt/exotic
+files must be countable, never silently wrong.
 """
 
 from __future__ import annotations

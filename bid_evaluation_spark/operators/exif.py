@@ -15,7 +15,11 @@ TIFF container. Two corpus-scale operations live here:
   out-of-line value block it references) and blanks the GPSInfo
   pointer in IFD0, so no byte of coordinate data survives, while every
   other offset in the file stays valid (no re-layout, no re-encode:
-  pixels and remaining metadata are byte-identical).
+  pixels and remaining metadata are byte-identical). The scrub runs
+  UNCONDITIONALLY over EVERY APP1 Exif segment — it does not depend on
+  coordinate decode succeeding, so a GPS IFD carrying only
+  altitude/timestamp/destination tags, malformed DMS counts, or a
+  second APP1 Exif segment is scrubbed too.
 
 Spark shape: both are constant-work-per-row transforms inside one
 Arrow kernel — the standard map-only decode shape that scales by
@@ -60,11 +64,28 @@ def _walk_jpeg_segments(data: bytes):
 
 
 def _find_exif_block(data: bytes) -> Optional[Tuple[int, int]]:
-    """(tiff_block_start, tiff_block_len) of the APP1 Exif payload."""
+    """(tiff_block_start, tiff_block_len) of the FIRST APP1 Exif
+    payload (extraction reads the first, per the EXIF spec)."""
     for marker, start, blen in _walk_jpeg_segments(data):
         if marker == 0xE1 and data[start:start + 6] == _EXIF_SIG:
             return start + 6, blen - 6
     return None
+
+
+def _find_exif_blocks(data: bytes) -> list:
+    """ALL APP1 Exif payloads — the scrub path must visit every one,
+    because a (malformed but real-world) JPEG can carry a second APP1
+    Exif segment with its own GPS IFD. A walk error after some blocks
+    were found returns the blocks found so far (scrub what's
+    reachable)."""
+    out = []
+    try:
+        for marker, start, blen in _walk_jpeg_segments(data):
+            if marker == 0xE1 and data[start:start + 6] == _EXIF_SIG:
+                out.append((start + 6, blen - 6))
+    except (ValueError, struct.error):
+        pass
+    return out
 
 
 def _dms_to_decimal(vals, ref: str) -> Optional[float]:
@@ -115,37 +136,35 @@ def parse_exif(data: bytes) -> dict:
     return out
 
 
-def scrub_gps(data: bytes) -> bytes:
-    """Return the JPEG with every byte of GPS data zeroed (same
-    length; all other segments byte-identical). No-op when there is no
-    EXIF block or no GPS IFD."""
-    loc = _find_exif_block(data)
-    if loc is None:
-        return data
-    t0, tlen = loc
-    buf = bytearray(data)
+def _scrub_tiff_gps(buf: bytearray, t0: int, tlen: int) -> bool:
+    """Zero the GPS IFD inside one embedded TIFF block (in place).
+    Returns True when a nonzero GPSInfo pointer was found — it is
+    always zeroed, and the IFD it points to (entry count, entries,
+    out-of-line value blocks) is zeroed when in range."""
     tiff = memoryview(buf)[t0:t0 + tlen]
     if bytes(tiff[:4]) not in (b"II*\x00", b"MM\x00*"):
-        return data
+        return False
     le = bytes(tiff[:2]) == b"II"
     e = "<" if le else ">"
     (ifd0_off,) = struct.unpack_from(e + "I", tiff, 4)
     if ifd0_off + 2 > tlen:
-        return data
+        return False
     (n,) = struct.unpack_from(e + "H", tiff, ifd0_off)
     gps_off = 0
     for i in range(n):
         pos = ifd0_off + 2 + 12 * i
         if pos + 12 > tlen:
-            return data
+            return False
         tag, typ, cnt = struct.unpack_from(e + "HHI", tiff, pos)
         if tag == T_GPS_IFD:
             (gps_off,) = struct.unpack_from(e + "I", tiff, pos + 8)
             # blank the pointer itself (keeps directory length intact)
             struct.pack_into(e + "I", tiff, pos + 8, 0)
             break
-    if not gps_off or gps_off + 2 > tlen:
-        return bytes(buf)
+    if not gps_off:
+        return False
+    if gps_off + 2 > tlen:
+        return True                            # pointer zeroed; IFD out of range
     (gn,) = struct.unpack_from(e + "H", tiff, gps_off)
     sizes = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 9: 4, 10: 8}
     for i in range(gn):
@@ -160,7 +179,31 @@ def scrub_gps(data: bytes) -> bytes:
                 tiff[voff:voff + total] = b"\x00" * total
         tiff[pos:pos + 12] = b"\x00" * 12      # the entry itself
     struct.pack_into(e + "H", tiff, gps_off, 0)   # empty GPS IFD
-    return bytes(buf)
+    return True
+
+
+def scrub_gps_report(data: bytes) -> Tuple[bytes, bool]:
+    """(scrubbed JPEG, had_gps). The scrub runs UNCONDITIONALLY over
+    EVERY APP1 Exif segment — ``had_gps`` reports whether any GPSInfo
+    pointer was found and zeroed, NOT whether coordinates decoded
+    (a GPS IFD carrying only altitude/timestamp, or malformed DMS
+    counts, is still location data and still gets zeroed). Same
+    length; all non-GPS bytes byte-identical."""
+    blocks = _find_exif_blocks(data)
+    if not blocks:
+        return data, False
+    buf = bytearray(data)
+    had = False
+    for t0, tlen in blocks:
+        had = _scrub_tiff_gps(buf, t0, tlen) or had
+    return bytes(buf), had
+
+
+def scrub_gps(data: bytes) -> bytes:
+    """Return the JPEG with every byte of GPS data zeroed (same
+    length; all other segments byte-identical). No-op when there is no
+    EXIF block or no GPS IFD."""
+    return scrub_gps_report(data)[0]
 
 
 def build_exif_app1(*, make: str = None, model: str = None,
@@ -315,8 +358,10 @@ def exif_scrub_gps(df: DataFrame, payload_col: str = "payload",
             for p in pdf[payload_col]:
                 raw = bytes(p or b"")
                 try:
-                    g = parse_exif(raw)["has_gps"]
-                    payloads.append(scrub_gps(raw) if g else raw)
+                    # unconditional: had_gps = "a GPS pointer existed
+                    # and was zeroed", never "coordinates decoded"
+                    scrubbed, g = scrub_gps_report(raw)
+                    payloads.append(scrubbed)
                     had.append(g)
                 except Exception:
                     payloads.append(raw)

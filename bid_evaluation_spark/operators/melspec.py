@@ -24,6 +24,7 @@ columns, so downstream filters are native DataFrame predicates.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -35,8 +36,12 @@ from .multimodal import decode_audio
 _LOG_FLOOR = 1e-10
 
 
+@lru_cache(maxsize=32)
 def mel_filterbank(n_fft: int, rate: int, n_mels: int) -> np.ndarray:
-    """(n_mels, n_fft//2 + 1) triangular HTK-mel filters."""
+    """(n_mels, n_fft//2 + 1) triangular HTK-mel filters. Cached —
+    (n_fft, rate, n_mels) are constant per job, and the nested-loop
+    construction would otherwise run per clip inside the Arrow
+    kernel. Callers must not mutate the returned array."""
 
     def to_mel(f):
         return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64)

@@ -149,10 +149,21 @@ def speech_segments(df: DataFrame, payload_col: str = "payload",
 def speech_ratio(segments: DataFrame,
                  clip_ms: DataFrame = None) -> DataFrame:
     """Per-clip speech totals from a manifest: ``(media_id, n_segments,
-    speech_ms)`` — the curation filter's input (plain aggregation)."""
+    speech_ms)`` — the curation filter's input (plain aggregation).
+    When ``clip_ms`` (a ``(media_id, clip_ms)`` DataFrame of clip
+    durations) is given, adds ``speech_ratio`` = speech_ms / clip_ms
+    (null where the duration is missing or zero), left-joined so every
+    manifested clip keeps its row."""
     from pyspark.sql import functions as F
 
-    return (segments.groupBy("media_id")
-            .agg(F.count(F.col("seg_index")).alias("n_segments"),
-                 F.coalesce(F.sum("dur_ms"), F.lit(0))
-                 .alias("speech_ms")))
+    totals = (segments.groupBy("media_id")
+              .agg(F.count(F.col("seg_index")).alias("n_segments"),
+                   F.coalesce(F.sum("dur_ms"), F.lit(0))
+                   .alias("speech_ms")))
+    if clip_ms is None:
+        return totals
+    return (totals.join(clip_ms.select("media_id", "clip_ms"),
+                        "media_id", "left")
+            .withColumn("speech_ratio",
+                        F.try_divide(F.col("speech_ms"),
+                                     F.col("clip_ms"))))

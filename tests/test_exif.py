@@ -82,6 +82,55 @@ def test_scrub_gps_removes_every_coordinate_byte():
     assert struct.pack("<I", 10000) not in s
 
 
+def _app1_gps_altitude_only():
+    """APP1 whose GPS IFD carries ONLY GPSAltitude (tag 6) — no
+    lat/lon, so coordinate decode reports has_gps False, but it is
+    still location data the scrub must remove."""
+    import struct
+    ifd0_off = 8
+    gps_off = ifd0_off + 2 + 12 + 4
+    alt_off = gps_off + 2 + 12 + 4
+    tiff = bytearray(b"II*\x00" + struct.pack("<I", ifd0_off))
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHII", 34853, 4, 1, gps_off)   # GPSInfo ptr
+    tiff += struct.pack("<I", 0)
+    tiff += struct.pack("<H", 1)
+    tiff += struct.pack("<HHII", 6, 5, 1, alt_off)       # GPSAltitude
+    tiff += struct.pack("<I", 0)
+    tiff += struct.pack("<II", 1234, 10)                 # 123.4 m
+    body = b"Exif\x00\x00" + bytes(tiff)
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def test_scrub_gps_ifd_without_coordinates():
+    import struct
+    from bid_evaluation_spark.operators.exif import scrub_gps_report
+    plain = encode_jpeg(np.full((8, 8), 7, dtype=np.uint8))
+    j = insert_app1(plain, _app1_gps_altitude_only())
+    assert parse_exif(j)["has_gps"] is False      # no lat/lon decodes
+    s, had = scrub_gps_report(j)
+    assert had is True                            # ...but it IS GPS data
+    assert len(s) == len(j)
+    assert struct.pack("<II", 1234, 10) in j
+    assert struct.pack("<II", 1234, 10) not in s  # altitude bytes gone
+    assert np.array_equal(decode_jpeg(s), decode_jpeg(j))
+
+
+def test_scrub_second_app1_segment():
+    import struct
+    from bid_evaluation_spark.operators.exif import scrub_gps_report
+    plain = encode_jpeg(np.full((8, 8), 7, dtype=np.uint8))
+    # two APP1 Exif segments, each with its own GPS IFD
+    j = insert_app1(insert_app1(plain, build_exif_app1(gps=(11.0, 22.0))),
+                    build_exif_app1(gps=(33.0, 44.0)))
+    s, had = scrub_gps_report(j)
+    assert had is True and len(s) == len(j)
+    for deg in (11, 22, 33, 44):
+        assert struct.pack("<II", deg, 1) not in s
+    assert parse_exif(s)["has_gps"] is False
+    assert np.array_equal(decode_jpeg(s), decode_jpeg(j))
+
+
 def test_scrub_is_noop_without_gps():
     j = _jpeg_with(dict(make="ACME"))
     assert scrub_gps(j) == j

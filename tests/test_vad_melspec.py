@@ -106,6 +106,16 @@ def test_spark_kernels(spark):
     assert ratio[1]["n_segments"] == 2 and ratio[1]["speech_ms"] > 0
     assert ratio[9]["n_segments"] == 0 and ratio[9]["speech_ms"] == 0
 
+    # clip_ms join path: ratio normalized by clip duration
+    durs = spark.createDataFrame(
+        [(i, 2000) for i in range(4)], "media_id long, clip_ms long")
+    rat2 = {r["media_id"]: r
+            for r in speech_ratio(segs, durs).collect()}
+    assert abs(rat2[1]["speech_ratio"]
+               - rat2[1]["speech_ms"] / 2000.0) < 1e-12
+    assert 0 < rat2[1]["speech_ratio"] <= 1
+    assert rat2[9]["speech_ratio"] is None       # no duration row
+
     mel = mel_features(df)
     got = {}
     for r in mel.collect():
