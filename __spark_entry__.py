@@ -15270,6 +15270,61 @@ FROM documents JOIN golden g ON g.c = doc_id % 6
 """
 
 
+def _q_mm_loudness_kw_documents(spark, sf_dir):
+    """K-WEIGHTED gated loudness (operators/loudness.py — the full
+    BS.1770 measurement: shelf+RLB biquads derived at the 8 kHz
+    fixture rate from the published prototype, verified against the
+    spec's 48 kHz tables in tests): per doc a 2 s tone at class
+    frequency [100,300,500,1000,2000,3000] Hz (block-exact: f·0.4 is
+    an integer cycle count) and amplitude 0.3+0.1·class, then 1 s of
+    silence. The class FREQUENCY makes the weighting load-bearing —
+    the 2/3 kHz classes read ~+3/+4 dB over unweighted via the shelf,
+    100 Hz reads low via the high-pass — so a no-op weighting can't
+    pass. Oracle: frozen 6-class golden computed ONCE by this same
+    encode→decode→K-weight→block→gate chain; tests cross-check the
+    filter against the analytic |H(e^jw)| response and the spec's
+    997 Hz/48 kHz −3.01 LUFS calibration tone."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.loudness import clip_loudness
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir)
+    freqs = [100, 300, 500, 1000, 2000, 3000]
+
+    def gen(batches):
+        t = np.arange(16000)
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                c = int(d) % 6
+                amp = (1 + c) / 10.0 + 0.2
+                x = np.concatenate([
+                    amp * np.sin(2 * np.pi * freqs[c] * t / 8000.0),
+                    np.zeros(8000)])
+                payloads.append(encode_wav(x, rate=8000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = clip_loudness(media, strict=True, weighting="k")
+    return res.select("media_id", "n_blocks", "n_gated_blocks",
+                      _r4("integrated_lufs").alias("lufs_r4"))
+
+
+_SQL_MM_LOUDNESS_KW_DOCUMENTS = """
+WITH golden(c, n_blocks, n_gated, lufs) AS (VALUES
+  (0, 27, 21, -15.4158), (1, 27, 21, -11.8754), (2, 27, 21, -9.8243),
+  (3, 27, 21, -7.7668), (4, 27, 21, -3.6442), (5, 27, 21, -1.749))
+SELECT doc_id AS media_id,
+       CAST(g.n_blocks AS BIGINT) AS n_blocks,
+       CAST(g.n_gated AS BIGINT) AS n_gated_blocks,
+       CAST(g.lufs AS DOUBLE) AS lufs_r4
+FROM documents JOIN golden g ON g.c = doc_id % 6
+"""
+
+
 def _q_text_blocklist_documents(spark, sf_dir):
     """Aho-Corasick blocklist scan (operators/blocklist.py — one
     automaton pass per doc regardless of lexicon size): four-term
@@ -16884,6 +16939,8 @@ _QUERIES: dict = {
                                  _SQL_TEXT_BLOCKLIST_DOCUMENTS),
     "mm_loudness_documents": (_q_mm_loudness_documents,
                               _SQL_MM_LOUDNESS_DOCUMENTS),
+    "mm_loudness_kw_documents": (_q_mm_loudness_kw_documents,
+                                 _SQL_MM_LOUDNESS_KW_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,

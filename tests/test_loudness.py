@@ -98,3 +98,105 @@ def test_registry_goldens_track_analytic_within_straddle_margin():
         a = (1 + c) / 10.0
         analytic = -0.691 + 10 * math.log10(a * a / 2)
         assert 0.25 < analytic - lufs < 0.45, (c, analytic, lufs)
+
+
+# ---------------------------------------------------------------- K-weighting
+
+def test_k_coeffs_reproduce_bs1770_48k_tables():
+    """The closed forms must reproduce the ITU-R BS.1770-4 Table 1/2
+    coefficients at 48 kHz (the only published rate)."""
+    from bid_evaluation_spark.operators.loudness import k_weighting_coeffs
+    (bs, as_), (bh, ah) = k_weighting_coeffs(48000)
+    ref_bs = (1.53512485958697, -2.69169618940638, 1.19839281085285)
+    ref_as = (1.0, -1.69065929318241, 0.73248077421585)
+    ref_ah = (1.0, -1.99004745483398, 0.99007225036621)
+    for got, ref in ((bs, ref_bs), (as_, ref_as),
+                     (bh, (1.0, -2.0, 1.0)), (ah, ref_ah)):
+        assert np.abs(np.array(got) - np.array(ref)).max() < 1e-9
+
+
+def test_k_weight_equals_sequential_biquads():
+    """The FFT/IR fast path must equal the exact sequential cascade."""
+    from bid_evaluation_spark.operators.loudness import (
+        biquad, k_weight, k_weighting_coeffs)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(6000)
+    (bs, as_), (bh, ah) = k_weighting_coeffs(RATE)
+    exact = biquad(biquad(x, bs, as_), bh, ah)
+    assert np.abs(k_weight(x, RATE) - exact).max() < 1e-9
+
+
+def test_k_weighted_997hz_calibration_tone():
+    """BS.1770's calibration property: a full-scale 997 Hz sine at
+    48 kHz measures -3.01 LUFS (that is what the -0.691 offset is
+    FOR). Run at 48 kHz where the spec tables apply verbatim."""
+    t = np.arange(5 * 48000)
+    x = np.sin(2 * np.pi * 997.0 * t / 48000.0)
+    got = integrated_loudness(x, 48000, weighting="k")
+    assert abs(got - (-3.01)) < 0.05
+
+
+def test_k_weighting_gain_matches_analytic_frequency_response():
+    """A steady tone's K-weighted LUFS minus unweighted LUFS must be
+    the cascade's analytic |H|^2 gain at that frequency."""
+    from bid_evaluation_spark.operators.loudness import k_weighting_coeffs
+
+    def h2_db(f, rate):
+        w = 2 * np.pi * f / rate
+        z = np.exp(-1j * w)
+        g = 1.0
+        for b, a in k_weighting_coeffs(rate):
+            g *= abs((b[0] + b[1] * z + b[2] * z * z)
+                     / (a[0] + a[1] * z + a[2] * z * z))
+        return 20 * math.log10(g)
+
+    for freq in (100.0, 500.0, 3000.0):
+        x = _tone(4 * RATE, 0.5, freq=freq)
+        # skip the filter's startup transient: measure steady blocks only
+        un = integrated_loudness(x, RATE)
+        kw = integrated_loudness(x, RATE, weighting="k")
+        assert abs((kw - un) - h2_db(freq, RATE)) < 0.12, freq
+    # the shelf boosts HF: 3 kHz must read ~+3..5 dB over unweighted
+    hf = h2_db(3000.0, RATE)
+    assert 2.0 < hf < 6.0
+
+
+def test_k_weighted_gate_still_drops_silence():
+    x = np.concatenate([_tone(2 * RATE, 0.4), np.zeros(RATE)])
+    kw = integrated_loudness(x, RATE, weighting="k")
+    full = integrated_loudness(_tone(2 * RATE, 0.4), RATE, weighting="k")
+    # silence blocks (-300 LUFS) are gated OUT; only the tone→silence
+    # straddle blocks legitimately remain (±0.5 dB), never the 1/3 of
+    # the clip that is digital silence (which would read ~-1.8 dB off)
+    assert abs(kw - full) < 0.5
+    assert integrated_loudness(np.zeros(3 * RATE), RATE,
+                               weighting="k") is None
+
+
+def test_weighting_rejects_unknown():
+    with pytest.raises(ValueError):
+        block_loudness(np.zeros(8000), RATE, weighting="a")
+    # clip_loudness validates eagerly on the driver
+    with pytest.raises(ValueError):
+        clip_loudness(None, weighting="z")
+
+
+def test_clip_loudness_k_weighted_kernel(spark):
+    rows = []
+    for i in range(4):
+        amp = 0.2 + 0.2 * i
+        x = np.concatenate([_tone(2 * RATE, amp, freq=500 * (i + 1)),
+                            np.zeros(RATE)])
+        rows.append((i, encode_wav(x, rate=RATE)))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r
+           for r in clip_loudness(df, weighting="k").collect()}
+    for i in range(4):
+        amp, freq = 0.2 + 0.2 * i, 500 * (i + 1)
+        x = np.concatenate([_tone(2 * RATE, amp, freq=freq),
+                            np.zeros(RATE)])
+        # encode_wav quantizes to int16 — decode round-trip via the local path
+        from bid_evaluation_spark.operators.multimodal import decode_audio
+        rate, s = decode_audio(encode_wav(x, rate=RATE))
+        want = integrated_loudness(s, rate, weighting="k")
+        assert abs(got[i]["integrated_lufs"] - want) < 1e-9
