@@ -121,18 +121,35 @@ def _forward_backward(word: str, logp: Dict[str, float],
 
 def unigram_train(df: DataFrame, text_col: str = "text", *,
                   vocab_size: int = 60, n_iters: int = 3,
-                  max_piece_len: int = 4,
-                  seed_size: int = 300) -> List[Tuple[str, float]]:
+                  max_piece_len: int = 4, seed_size: int = 300,
+                  driver_vocab_cap: int = 2_000_000
+                  ) -> List[Tuple[str, float]]:
     """Train a unigram vocabulary → sorted ``[(piece, logprob)]``.
 
     Every EM round is one Arrow-kernel pass over distinct words plus
     one integer groupBy-sum; the result is partition-order independent
-    (see module docstring)."""
+    (see module docstring).
+
+    Driver/broadcast envelope: the only driver-side state is the piece
+    vocabulary — bounded by ``seed_size`` plus the distinct single
+    characters (≤ a few hundred for any human script mix), so the
+    per-round broadcast is ``O(seed_size)`` dict entries (a few MB at
+    SentencePiece's standard 1M seed). ``driver_vocab_cap`` turns that
+    argument into an ASSERTION: if the seed vocabulary or a round's
+    collected count table ever exceeds it (e.g. a pathological
+    ``seed_size``, or corpus text whose single-character alphabet is
+    unexpectedly huge), training raises instead of silently melting
+    the driver."""
     spark = df.sparkSession
     words = _words(df, text_col).persist()
     try:
         vocab = seed_vocab(words, seed_size=seed_size,
                            max_piece_len=max_piece_len)
+        if len(vocab) > driver_vocab_cap:
+            raise ValueError(
+                f"seed vocabulary ({len(vocab)} pieces) exceeds "
+                f"driver_vocab_cap={driver_vocab_cap}; raise the cap "
+                f"explicitly if the driver can hold it")
         # uniform start
         lp0 = -math.log(len(vocab))
         logp = {p: lp0 for p in vocab}
@@ -156,6 +173,10 @@ def unigram_train(df: DataFrame, text_col: str = "text", *,
                                         "piece string, fcount long")
                       .groupBy("piece").agg(F.sum("fcount").alias("fc"))
                       .collect())
+            if len(counts) > driver_vocab_cap:
+                raise ValueError(
+                    f"EM count table ({len(counts)} pieces) exceeds "
+                    f"driver_vocab_cap={driver_vocab_cap}")
             total = sum(r["fc"] for r in counts)
             if not total:
                 break

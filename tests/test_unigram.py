@@ -80,3 +80,16 @@ def test_token_stats_kernel(planted, spark):
     assert 2 <= got[0]["n_tokens"] <= 8   # morphemes compress
     assert got[1]["n_words"] == 1 and got[1]["n_char_fallbacks"] >= 0
     assert got[2]["n_words"] == 0 and got[2]["n_tokens"] == 0
+
+
+def test_driver_vocab_cap_guards_collects(planted):
+    from bid_evaluation_spark.operators.unigram import unigram_train
+    # the planted corpus has ~15 distinct chars + multi-char pieces:
+    # a cap of 10 must trip on the seed vocabulary, not melt the driver
+    with pytest.raises(ValueError, match="driver_vocab_cap"):
+        unigram_train(planted, vocab_size=20, n_iters=1,
+                      driver_vocab_cap=10)
+    # a generous cap trains normally
+    vocab = unigram_train(planted, vocab_size=20, n_iters=1,
+                          driver_vocab_cap=10_000)
+    assert len(vocab) >= 10
