@@ -15325,6 +15325,120 @@ FROM documents JOIN golden g ON g.c = doc_id % 6
 """
 
 
+def _q_mm_audio_curation_documents(spark, sf_dir):
+    """END-TO-END audio curation (operators/audiocuration.py — the r10
+    verdict's task-5 composition): decode → energy VAD → K-weighted
+    BS.1770 gated loudness → log-mel moments → landmark dedup, ONE
+    Arrow decode pass per clip, content gates as native predicates,
+    dedup as a landmark-hash equi-join over content-passing clips
+    only, verdict as a precedence CASE.
+
+    Fixture (fixed witness set doc_id < 120, constant across SFs):
+    class c = d%10 picks a signal that trips exactly one gate —
+    silence (no_speech), −39 LUFS quiet bursts (loudness-low), −3.3
+    LUFS hot tone (loudness-high, only ABOVE the gate because the
+    K-shelf adds +3.2 dB at 2 kHz — a no-op weighting flips the
+    verdict), keepable bursts at 500/1000/3000 Hz (classes 3/6/7;
+    every doc beyond the class minimum is an exact duplicate), a
+    12 % speech-ratio clip, junk bytes (undecodable), sub-threshold
+    bursts (no_speech). Same-class clips are identical ⇒ landmark
+    self-votes ≥1092 at offset 0; measured cross-class vote mass is 0,
+    so min_votes=50 separates perfectly. Oracle: frozen 10-class
+    feature goldens computed ONCE by the same decode→VAD→K-weight→
+    gate→mel chain, plus a FULL SQL replay of the verdict precedence
+    and the dup_of = class-minimum rule."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.audiocuration import audio_curation
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 120)
+
+    def gen(batches):
+        R = 8000
+
+        def tone(n, amp, f):
+            return amp * np.sin(2 * np.pi * f * np.arange(n) / R)
+
+        def bursts(on, off, reps, amp, f):
+            return np.concatenate(sum(
+                [[tone(on, amp, f), np.zeros(off)]
+                 for _ in range(reps)], []))
+
+        def sig(c):
+            if c == 0:
+                return np.zeros(16000)
+            if c == 1:
+                return bursts(4000, 2000, 3, 0.02, 500)
+            if c == 2:
+                return tone(16000, 0.7, 2000)
+            if c == 3:
+                return bursts(4000, 2000, 3, 0.3, 500)
+            if c == 4:
+                return np.concatenate([tone(2800, 0.3, 500),
+                                       np.zeros(20000)])
+            if c == 6:
+                return bursts(3200, 1600, 4, 0.45, 1000)
+            if c == 7:
+                return tone(12000, 0.25, 3000)
+            if c == 8:
+                return bursts(4000, 2000, 3, 0.005, 500)
+            return tone(16000, 0.9, 2500)          # c == 9
+
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                c = int(d) % 10
+                payloads.append(b"junk!" if c == 5
+                                else encode_wav(sig(c), rate=R))
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = audio_curation(media, min_votes=50)
+    return res.select("media_id", "decode_ok", "duration_ms",
+                      "n_segments", "speech_ms",
+                      _r4("speech_ratio").alias("ratio_r4"),
+                      _r4("integrated_lufs").alias("lufs_r4"),
+                      _r4("mel_std_mean").alias("mel_r4"),
+                      "dup_of", "keep", "drop_reason")
+
+
+_SQL_MM_AUDIO_CURATION_DOCUMENTS = """
+WITH golden(c, ok, dur, nseg, sp, ratio, lufs, mel) AS (VALUES
+  (0, true, 2000, 0, 0,    0.0,    NULL,     0.0),
+  (1, true, 2250, 3, 1504, 0.6684, -39.0177, 2.4246),
+  (2, true, 2000, 1, 1984, 0.992,  -3.3057,  0.0),
+  (3, true, 2250, 3, 1584, 0.704,  -15.4889, 3.0836),
+  (4, true, 2850, 1, 352,  0.1235, -16.9327, 2.1183),
+  (5, false, NULL, NULL, NULL, NULL, NULL,   NULL),
+  (6, true, 2400, 4, 1680, 0.7,    -11.6106, 3.349),
+  (7, true, 1500, 1, 1472, 0.9813, -11.5139, 0.0),
+  (8, true, 2250, 0, 0,    0.0,    -51.0941, 2.1429),
+  (9, true, 2000, 1, 1984, 0.992,  -0.5409,  0.0))
+SELECT d.doc_id AS media_id,
+       g.ok AS decode_ok,
+       CAST(g.dur AS BIGINT) AS duration_ms,
+       CAST(g.nseg AS BIGINT) AS n_segments,
+       CAST(g.sp AS BIGINT) AS speech_ms,
+       CAST(g.ratio AS DOUBLE) AS ratio_r4,
+       CAST(g.lufs AS DOUBLE) AS lufs_r4,
+       CAST(g.mel AS DOUBLE) AS mel_r4,
+       CAST(CASE WHEN g.c IN (3, 6, 7) AND d.doc_id > g.c
+                 THEN g.c END AS BIGINT) AS dup_of,
+       (g.c IN (3, 6, 7) AND d.doc_id = g.c) AS keep,
+       CASE WHEN g.c = 5 THEN 'undecodable'
+            WHEN g.c IN (0, 8) THEN 'no_speech'
+            WHEN g.c = 4 THEN 'low_speech_ratio'
+            WHEN g.c IN (1, 2, 9) THEN 'loudness'
+            WHEN d.doc_id > g.c THEN 'duplicate'
+       END AS drop_reason
+FROM documents d JOIN golden g ON g.c = d.doc_id % 10
+WHERE d.doc_id < 120
+"""
+
+
 def _q_text_blocklist_documents(spark, sf_dir):
     """Aho-Corasick blocklist scan (operators/blocklist.py — one
     automaton pass per doc regardless of lexicon size): four-term
@@ -16941,6 +17055,8 @@ _QUERIES: dict = {
                               _SQL_MM_LOUDNESS_DOCUMENTS),
     "mm_loudness_kw_documents": (_q_mm_loudness_kw_documents,
                                  _SQL_MM_LOUDNESS_KW_DOCUMENTS),
+    "mm_audio_curation_documents": (_q_mm_audio_curation_documents,
+                                    _SQL_MM_AUDIO_CURATION_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,

@@ -1885,6 +1885,39 @@ def check_wave10b_maxsim_media(spark, sf_dir):
     return probs
 
 
+@check("wave11: audio curation — ONE decode kernel; gates native "
+       "predicates; dedup is a landmark equi-join (no clip cross-join) "
+       "with partial-aggregated votes and canonical min")
+def check_wave11_audio_curation(spark, sf_dir):
+    from bid_evaluation_spark.operators.audiocuration import audio_curation
+
+    from bid_evaluation_spark.operators.audiocuration import (
+        curation_features)
+    from bid_evaluation_spark.operators.cache import release_all
+
+    probs = []
+    media = spark.createDataFrame([(1, b""), (2, b"")],
+                                  "media_id long, payload binary")
+    fp = plan_of(curation_features(media))
+    if fp.count("MapInPandas") != 1:
+        probs.append("curation features must be exactly ONE Arrow "
+                     "kernel (decode+VAD+loudness+mel+landmarks)")
+    p = plan_of(audio_curation(media))
+    release_all()
+    if "InMemoryTableScan" not in p:
+        probs.append("manifest not persisted — the decode kernel would "
+                     "re-run once per consumer branch")
+    if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+        probs.append("landmark dedup degenerates to a clip cross-join")
+    if not re.search(r"Join.{0,160}lm_hash", p):
+        probs.append("dedup join is not the landmark-hash equi-join")
+    if "partial_count" not in p:
+        probs.append("offset votes lack map-side partial aggregation")
+    if "partial_min" not in p:
+        probs.append("canonical dup_of lacks a partial-aggregated min")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
