@@ -16437,7 +16437,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(30) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(32) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17081,59 +17081,63 @@ _QUERIES: dict = {
 #: per §2 core family stay pinned.  Rotate ~20 keys per round toward the
 #: never-verified tail; keep tests/test_registry_sample.py green.
 _DRIVER_SAMPLE = [
-    # reference-parity core (SURVEY §2.1-2.8): flagship + per-family
-    # anchors, plus never-verified criteria/agg/window/staged variants
+    # reference-parity core (SURVEY §2.1-2.8): flagship + one anchor
+    # per family (criteria/agg/join/window/staged/batched); the A-family
+    # anchor rotated to the never-verified GK-sketch quantile path
     "flagship_supplier_scoring",
     "f1_linear_supplier",
-    "f3_direct_customer",
-    "f7_proximity_to_mean_customer",
-    "f8_budget_proximity_orders",
     "f11_bonus_tiers_part",
-    "a1_stats_bundle_lineitem",
-    "a7_salted_group_totals_events",
+    "a1_approx_quantiles_lineitem",
     "j3_zscore_orders",
     "w1_eval_rank_part",
     "w5_winner_part",
     "staged_threshold_orders",
-    "staged_topn_customer",
     "batched_linear_orders",
-    # beyond-reference families (rotated toward never-verified keys)
-    "text_stats_documents",
-    "text_winnow_overlap_documents",
+    # r10/r11 additions the driver has never verified (VERDICT r10
+    # task 3's explicit list, plus this round's loudness/curation work)
+    "mm_video_neardup_documents",
+    "retrieval_maxsim_embeddings",
+    "dedup_lsh_tune_documents",
+    "text_blocklist_documents",
+    "mm_loudness_documents",
+    "mm_loudness_kw_documents",
+    "mm_audio_curation_documents",
+    "mm_tiff_decode_documents",
+    "mm_bmp_decode_documents",
+    "mm_exif_documents",
+    "privacy_exif_scrub_documents",
+    "mm_vad_segments_documents",
+    "mm_melspec_documents",
+    "pipe_unigram_documents",
+    # never-driver-verified breadth across the remaining families
+    "dedup_semantic_embeddings",
+    "pipe_bpe_merges_documents",
+    "pipe_end_to_end_documents",
+    "pipe_token_mixture_documents",
+    "mm_g711_decode_documents",
+    "mm_adpcm_decode_documents",
+    "mm_bilinear_resize_documents",
+    "charset_decode_documents",
+    "quality_repetition_documents",
+    "text_bm25_topk_documents",
+    "pii_redact_documents",
+    "features_rolling_events",
+    "emb_quantize_embeddings",
+    "retrieval_rrf_hybrid_documents",
+    "analytics_bootstrap_orders",
+    "ts_seasonal_naive_events",
+    "fuzzy_fellegi_sunter_customer",
+    "profile_histogram_events",
+    "web_canonical_url_documents",
+    "pq_encode_embeddings",
+    # per-family continuity anchors (stay driver-verified every round)
     "dedup_exact_documents",
     "dedup_minhash_candidates_documents",
-    "dedup_homoglyph_documents",
-    "ann_lsh_topk_embeddings",
-    "pq_adc_topk_embeddings",
-    "ml_pca_cov_embeddings",
     "events_tumbling_hour",
-    "events_funnel_sessions",
-    "asof_nearest_events",
-    "range_join_event_sessions",
-    "pipe_decontaminate_documents",
-    "pipe_curation_funnel_documents",
-    "pipe_leakage_safe_split_documents",
-    "dsir_weights_documents",
-    "lm_perplexity_documents",
-    "quality_gopher_documents",
-    "mm_mp2_decode_documents",
-    "mm_audio_match_documents",
-    "mm_phash_documents",
-    "mm_scenecut_documents",
-    "wds_tar_roundtrip_documents",
-    "pdf_text_documents",
-    "warc_ingest_documents",
-    "web_linkgraph_documents",
-    "sitemap_urls_documents",
-    "robots_filter_documents",
-    "graph_lpa_lineitem",
-    "ts_kaplan_meier_events",
-    "sketch_cms_topk_documents",
-    "metrics_ks_orders",
-    "cdc_scd2_orders",
-    "privacy_dp_counts_documents",
-    "spatial_radius_part",
     "dedup_stream_neardup_documents",
+    "warc_ingest_documents",
+    "graph_lpa_lineitem",
+    "lm_perplexity_documents",
 ]
 
 

@@ -58,6 +58,32 @@ def _sum_pool(tokens: DataFrame, id_col: str,
                 lambda st: st["_s"]).alias("pooled")))
 
 
+def pooled_candidates(doc_tokens: DataFrame, query_tokens: DataFrame,
+                      n_candidates: int, *, doc_id: str = "doc_id",
+                      query_id: str = "query_id",
+                      vec_col: str = "vec",
+                      exclude_self: bool = False) -> DataFrame:
+    """Phase 1 of the two-phase path: the ``n_candidates`` best
+    pooled-cosine docs per query (ties by ascending doc id) →
+    ``(_q, _d)``. BY CONSTRUCTION the output is ≤ n_candidates rows
+    per query (row_number cutoff), so the exact-MaxSim rerank joined
+    onto it never widens beyond ``n_candidates × query_tokens ×
+    doc_tokens_per_doc`` rows per query regardless of corpus size —
+    the bound the scaling family measures and a test asserts."""
+    dp = _sum_pool(doc_tokens, doc_id, vec_col).select(
+        F.col(doc_id).alias("_d"), F.col("pooled").alias("_dp"))
+    qp = _sum_pool(query_tokens, query_id, vec_col).select(
+        F.col(query_id).alias("_q"), F.col("pooled").alias("_qp"))
+    sims = dp.crossJoin(F.broadcast(qp)).select(
+        "_q", "_d", _cos(F.col("_qp"), F.col("_dp")).alias("_s"))
+    if exclude_self:
+        sims = sims.filter(F.col("_q") != F.col("_d"))
+    w0 = Window.partitionBy("_q").orderBy(F.desc("_s"), F.asc("_d"))
+    return (sims.withColumn("_r", F.row_number().over(w0))
+            .filter(F.col("_r") <= n_candidates)
+            .select("_q", "_d"))
+
+
 def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
                 k: int = 5, *, n_candidates: int = 0,
                 doc_id: str = "doc_id", query_id: str = "query_id",
@@ -79,18 +105,10 @@ def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
                             F.col(vec_col).alias("_qv"))
 
     if n_candidates > 0:
-        dp = _sum_pool(doc_tokens, doc_id, vec_col).select(
-            F.col(doc_id).alias("_d"), F.col("pooled").alias("_dp"))
-        qp = _sum_pool(query_tokens, query_id, vec_col).select(
-            F.col(query_id).alias("_q"), F.col("pooled").alias("_qp"))
-        sims = dp.crossJoin(F.broadcast(qp)).select(
-            "_q", "_d", _cos(F.col("_qp"), F.col("_dp")).alias("_s"))
-        if exclude_self:
-            sims = sims.filter(F.col("_q") != F.col("_d"))
-        w0 = Window.partitionBy("_q").orderBy(F.desc("_s"), F.asc("_d"))
-        cand = (sims.withColumn("_r", F.row_number().over(w0))
-                .filter(F.col("_r") <= n_candidates)
-                .select("_q", "_d"))
+        cand = pooled_candidates(doc_tokens, query_tokens,
+                                 n_candidates, doc_id=doc_id,
+                                 query_id=query_id, vec_col=vec_col,
+                                 exclude_self=exclude_self)
         pairs = d.join(cand, "_d").join(F.broadcast(q), "_q")
     else:
         pairs = d.crossJoin(F.broadcast(q))

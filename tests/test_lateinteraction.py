@@ -64,3 +64,35 @@ def test_tie_breaks_by_doc_id(spark):
     got = [(r["doc_id"], r["rnk"])
            for r in maxsim_topk(docs, qs, k=2).collect()]
     assert sorted(got) == [(3, 1), (5, 2)]
+
+
+def test_pooled_candidates_width_is_pinned(spark):
+    """The two-phase rerank can never widen beyond n_candidates per
+    query — the 100-TB contract (verdict r10 task 6)."""
+    import pyspark.sql.functions as F
+    from bid_evaluation_spark.operators.lateinteraction import (
+        pooled_candidates)
+
+    n_docs, n_cand = 300, 7
+    toks = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("token_idx")
+    ).withColumn("vec", F.expr(
+        "transform(sequence(0, 3), j -> "
+        "cos(doc_id * 0.7 + token_idx * 1.3 + j))"))
+    qs = spark.range(5).select(
+        F.col("id").alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("token_idx")
+    ).withColumn("vec", F.expr(
+        "transform(sequence(0, 3), j -> "
+        "cos(query_id * 0.9 + token_idx * 1.7 + j))"))
+    cand = pooled_candidates(toks, qs, n_cand)
+    per_q = {r["_q"]: r["n"] for r in
+             cand.groupBy("_q").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    assert set(per_q) == set(range(5))
+    assert all(n == n_cand for n in per_q.values())
+    # fewer docs than n_candidates → all docs, never more
+    cand2 = pooled_candidates(toks.filter("doc_id < 4"), qs, n_cand)
+    assert cand2.groupBy("_q").count().agg(
+        F.max("count")).collect()[0][0] == 4

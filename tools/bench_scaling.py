@@ -407,6 +407,32 @@ def fam_quantile_match(spark, base):
 
 
 #: family -> (runner, stated complexity exponent in input size, rationale)
+def fam_maxsim_twophase(spark, base):
+    # the r10 late-interaction rerank at corpus shape: doc-token table
+    # grows with the corpus (4 tokens x 8 dims per doc, native exprs),
+    # query load fixed (16 queries x 4 tokens). Phase 1 (pool + pooled
+    # Q x N prune) is linear in docs; phase 2 (exact MaxSim) is pinned
+    # to n_candidates per query by pooled_candidates' row_number
+    # cutoff, so total growth must be ~linear no matter the corpus
+    from bid_evaluation_spark.operators.lateinteraction import maxsim_topk
+
+    d = _docs(spark, base).select("doc_id")
+    n = d.count()
+    toks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("token_idx")
+    ).withColumn("vec", F.expr(
+        "transform(sequence(0, 7), j -> "
+        "cos(doc_id * 0.7 + token_idx * 1.3 + j * 0.41))"))
+    qs = spark.range(16).select(
+        F.col("id").alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("token_idx")
+    ).withColumn("vec", F.expr(
+        "transform(sequence(0, 7), j -> "
+        "cos(query_id * 0.9 + token_idx * 1.7 + j * 0.53))"))
+    return n, maxsim_topk(toks, qs, k=10, n_candidates=50).count()
+
+
 FAMILIES = {
     "minhash_lsh": (fam_minhash, 1.0,
                     "map-only signatures + banded buckets; candidate "
@@ -463,6 +489,11 @@ FAMILIES = {
                           "term passes the linear term only beyond "
                           "~10M rows, so measured growth at these "
                           "scales must stay well under 1.5"),
+    "maxsim_twophase": (fam_maxsim_twophase, 1.0,
+                        "pool + fixed-Q pooled prune linear in docs; "
+                        "exact rerank pinned to n_candidates per query "
+                        "by the row_number cutoff (log factor of the "
+                        "per-query prune sort absorbed by SLACK)"),
     "audio_match": (fam_audio_match, 1.0,
                     "landmark extraction linear in clips; fixed query "
                     "load joins against buckets of size n/|hash "
