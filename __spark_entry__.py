@@ -5925,6 +5925,70 @@ FROM documents d LEFT JOIN perdoc p USING (doc_id)
 """
 
 
+def _q_dedup_span_removal_documents(spark, sf_dir):
+    """ExactSubstr REMOVAL (operators/spans.py remove_duplicated_spans
+    — the Lee et al. dedup OUTPUT, beyond the r8 statistic): strided
+    10-token windows, keep-first marking, every covered token cut, doc
+    reassembled natively (transform/filter/exists — no Python, no
+    window). Oracle: full first-principles replay — DuckDB rebuilds
+    windows, md5 hashes, packed keep-first keys, duplicated starts,
+    interval coverage, and the surviving-token string_agg, so the
+    CLEAN TEXT ITSELF is value-compared, not just counts."""
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, span=10, stride=3)
+
+
+_SQL_DEDUP_SPAN_REMOVAL_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+    CAST(('0x' || substr(md5(array_to_string(t[i:i+9], ' ') || 'span'),
+                         1, 15)) AS BIGINT) AS h,
+    doc_id * 1073741824 + CAST(i AS BIGINT) AS key
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 9, 3)) AS i
+        FROM toks WHERE len(t) >= 10)
+),
+firsts AS (SELECT h, min(key) AS first FROM occ GROUP BY h),
+dups AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN firsts f USING (h)
+  WHERE o.key > f.first
+),
+tok_idx AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, t[i] AS tok
+  FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+),
+covered AS (
+  SELECT DISTINCT ti.doc_id, ti.i
+  FROM tok_idx ti JOIN dups d
+    ON d.doc_id = ti.doc_id AND ti.i >= d.pos AND ti.i < d.pos + 10
+),
+kept AS (
+  SELECT ti.doc_id, ti.i, ti.tok
+  FROM tok_idx ti ANTI JOIN covered c
+    ON ti.doc_id = c.doc_id AND ti.i = c.i
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(len(t.t) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_removed_tokens
+FROM toks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_web_canonical_url_documents(spark, sf_dir):
     """URL canonicalization (operators/web.py canonical_url): synthesized
     URLs exercise every normalization branch — case noise, default vs
@@ -16428,7 +16492,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   reference parity ........ flagship(1) f*(18) a1(3) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(18) quality(5) lm(1) pii(1)
-#   dedup/similarity ........ dedup(21) ann(5) pq(3) emb(4) bitext(1)
+#   dedup/similarity ........ dedup(22) ann(5) pq(3) emb(4) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
 #   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
@@ -16691,6 +16755,8 @@ _QUERIES: dict = {
                                  _SQL_PQ_IVFPQ_TOPK_EMBEDDINGS),
     "dedup_span_stats_documents": (_q_dedup_span_stats_documents,
                                    _SQL_DEDUP_SPAN_STATS_DOCUMENTS),
+    "dedup_span_removal_documents": (_q_dedup_span_removal_documents,
+                                     _SQL_DEDUP_SPAN_REMOVAL_DOCUMENTS),
     "web_canonical_url_documents": (_q_web_canonical_url_documents,
                                     _SQL_WEB_CANONICAL_URL_DOCUMENTS),
     "analytics_krippendorff_documents": (

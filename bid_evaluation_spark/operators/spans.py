@@ -92,3 +92,54 @@ def duplicated_span_stats(df: DataFrame, span: int = 50, stride: int = 1,
                 F.when(F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
                        F.col("n_dup_spans") / F.col("n_spans"))
                 .otherwise(F.lit(0.0)).alias("dup_ratio")))
+
+
+def remove_duplicated_spans(df: DataFrame, span: int = 50,
+                            stride: int = 1, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            seed: str = "span") -> DataFrame:
+    """ExactSubstr REMOVAL — the actual Lee et al. dedup output, not
+    just the statistic: every token covered by a DUPLICATED span
+    occurrence (keep-first policy, same marking as
+    :func:`duplicated_span_stats`) is cut, and the document is
+    reassembled from the surviving tokens. Returns
+    ``(id_col, clean_text, n_tokens, n_removed_tokens)`` — docs with
+    nothing duplicated (or too short to window) pass through verbatim
+    modulo whitespace normalization (single spaces).
+
+    Shape: the span table shuffles once on the hash key (partial-agg
+    count+min), duplicated START positions come back as ONE sorted
+    array per doc (bounded by ``⌈tokens/stride⌉`` ints — the same
+    explode factor the stats pay), and the rebuild is a native
+    ``transform``/``filter``/``exists`` over the token array: no
+    Python, no window. The per-doc rebuild is O(tokens × dup_starts)
+    comparisons inside codegen; with the standard stride > 1 the dup
+    array is small, and a doc that is mostly duplicated has few
+    SURVIVING tokens, not more work."""
+    occ = span_occurrences(df, span, stride, text_col, id_col, seed)
+    key = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+    occ = occ.select(id_col, "pos", "span_hash", key.alias("_key"))
+    firsts = occ.groupBy("span_hash").agg(F.min("_key").alias("_first"))
+    dup_starts = (occ.join(firsts, ["span_hash"])
+                  .filter(F.col("_key") > F.col("_first"))
+                  .groupBy(id_col)
+                  .agg(F.sort_array(F.collect_list("pos"))
+                       .alias("_dups")))
+    t = tokens(F.col(text_col))
+    joined = (df.select(id_col, t.alias("_t"))
+              .join(dup_starts, [id_col], "left")
+              .withColumn("_dups", F.coalesce(
+                  F.col("_dups"), F.array().cast("array<long>"))))
+    idx = F.transform(F.col("_t"),
+                      lambda tok, i: F.struct(tok.alias("tok"),
+                                              (i + 1).alias("i")))
+    kept = F.filter(idx, lambda st: ~F.exists(
+        F.col("_dups"),
+        lambda s: (s <= st["i"]) & (st["i"] < s + span)))
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", F.transform(kept, lambda st: st["tok"]))
+        .alias("clean_text"),
+        F.size("_t").cast("long").alias("n_tokens"),
+        (F.size("_t") - F.size(kept)).cast("long")
+        .alias("n_removed_tokens"))

@@ -97,3 +97,49 @@ def test_keep_first_position_order_within_huge_doc(spark):
            duplicated_span_stats(df, span=3, stride=1).collect()}
     assert out[big]["n_spans"] == 2
     assert out[big]["n_dup_spans"] == 1         # pos 2 repeats pos 1
+
+
+def test_removal_cuts_exactly_the_covered_tokens(spark):
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+    rows = [
+        (0, "a b c d e f g h"),                 # first occurrence kept
+        (1, "x y a b c d e f g h z"),           # 8 copied tokens cut
+        (2, "unique text with no repeats at all"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(df, span=4, stride=1).collect()}
+    assert out[0]["clean_text"] == "a b c d e f g h"
+    assert out[0]["n_removed_tokens"] == 0
+    # windows a-b-c-d .. e-f-g-h all duplicated → tokens 3..10 covered
+    assert out[1]["clean_text"] == "x y z"
+    assert out[1]["n_removed_tokens"] == 8 and out[1]["n_tokens"] == 11
+    assert out[2]["n_removed_tokens"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_tokens"] == 0
+
+
+def test_removal_intra_doc_repeat_keeps_first_copy(spark):
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+    # the SAME 4-gram twice inside one doc: the first stays, the
+    # second is cut (keep-first is positional, not per-document)
+    df = spark.createDataFrame(
+        [(7, "p q r s GAP1 GAP2 p q r s tail")],
+        "doc_id long, text string")
+    r = remove_duplicated_spans(df, span=4, stride=1).collect()[0]
+    assert r["clean_text"] == "p q r s GAP1 GAP2 tail"
+    assert r["n_removed_tokens"] == 4
+
+
+def test_removal_is_plan_native(spark):
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = remove_duplicated_spans(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
