@@ -15503,6 +15503,74 @@ WHERE d.doc_id < 120
 """
 
 
+def _q_mm_truepeak_documents(spark, sf_dir):
+    """BS.1770-4 TRUE PEAK (operators/loudness.py true_peak — ideal
+    bandlimited 4× interpolation via rfft zero-padding, the spec's
+    Annex-2 oversampled-peak measure): per doc a 1 s tone whose class
+    picks (freq, amp, phase). Classes 4/5 put the crest BETWEEN
+    samples (rate/4 at phase π/4 — sample peak 0.707·A), so the true
+    peak reads ~3 dB above the sample peak, and class 5 (A=1.05) is an
+    INTER-SAMPLE OVER: every stored sample is legal (−2.59 dBFS) but
+    the true peak is +0.42 dBTP — the clip a resampler will clip.
+    A sample-peak-only implementation cannot produce these rows.
+    Oracle: frozen 6-class goldens through the same
+    encode→decode→interpolate chain."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.loudness import clip_true_peak
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        R = 8000
+        t = np.arange(R)
+
+        def sig(c):
+            if c == 0:
+                return np.zeros(R)
+            if c == 1:
+                return 0.5 * np.sin(2 * np.pi * 100 * t / R)
+            if c == 2:
+                return 0.8 * np.sin(2 * np.pi * 500 * t / R)
+            if c == 3:
+                return 0.6 * np.sin(2 * np.pi * 1900 * t / R)
+            if c == 4:
+                return 0.7 * np.sin(2 * np.pi * 2000 * t / R
+                                    + np.pi / 4)
+            return 1.05 * np.sin(2 * np.pi * 2000 * t / R + np.pi / 4)
+
+        for pdf in batches:
+            payloads = [encode_wav(sig(int(d) % 6), rate=R)
+                        for d in pdf["doc_id"]]
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = clip_true_peak(media, strict=True)
+    return res.select("media_id",
+                      _r4("sample_peak_db").alias("sp_r4"),
+                      _r4("true_peak_dbtp").alias("tp_r4"),
+                      "intersample_over")
+
+
+_SQL_MM_TRUEPEAK_DOCUMENTS = """
+WITH golden(c, sp, tp, over) AS (VALUES
+  (0, NULL, NULL, NULL),
+  (1, -6.0211, -6.0211, false),
+  (2, -1.9387, -1.9387, false),
+  (3, -4.4373, -4.4373, false),
+  (4, -6.1091, -3.0988, false),
+  (5, -2.5869, 0.4234, true))
+SELECT doc_id AS media_id,
+       CAST(g.sp AS DOUBLE) AS sp_r4,
+       CAST(g.tp AS DOUBLE) AS tp_r4,
+       g.over AS intersample_over
+FROM documents JOIN golden g ON g.c = doc_id % 6
+"""
+
+
 def _q_text_blocklist_documents(spark, sf_dir):
     """Aho-Corasick blocklist scan (operators/blocklist.py — one
     automaton pass per doc regardless of lexicon size): four-term
@@ -16501,7 +16569,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(32) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(33) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17123,6 +17191,8 @@ _QUERIES: dict = {
                                  _SQL_MM_LOUDNESS_KW_DOCUMENTS),
     "mm_audio_curation_documents": (_q_mm_audio_curation_documents,
                                     _SQL_MM_AUDIO_CURATION_DOCUMENTS),
+    "mm_truepeak_documents": (_q_mm_truepeak_documents,
+                              _SQL_MM_TRUEPEAK_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,

@@ -231,3 +231,75 @@ def normalize_gain(samples: np.ndarray, rate: int,
     gain = 10 ** ((target_lufs - lufs) / 20.0)
     return np.clip(np.asarray(samples, dtype=np.float64) * gain,
                    -1.0, 1.0)
+
+
+# ---------------------------------------------------------------- true peak
+
+def true_peak(samples: np.ndarray, oversample: int = 4) -> float:
+    """BS.1770-4 Annex-2-style TRUE PEAK: the max absolute value of
+    the bandlimited-interpolated signal, linear scale. The spec
+    oversamples ≥4× with an interpolation FIR (any filter meeting the
+    attenuation template is allowed); here the oversampling is IDEAL
+    bandlimited interpolation via rfft zero-padding — deterministic,
+    vectorized, and at least as accurate as the example FIR. A sine
+    whose crest falls between samples (e.g. rate/4 at phase π/4 —
+    sample peak 0.707·A) reads its full amplitude A (pinned by test).
+    Empty input → 0.0."""
+    x = np.asarray(samples, dtype=np.float64)
+    n = len(x)
+    if not n:
+        return 0.0
+    X = np.fft.rfft(x)
+    Y = np.zeros(oversample * n // 2 + 1, dtype=complex)
+    Y[:len(X)] = X
+    if n % 2 == 0:
+        # the original Nyquist bin represents a cosine split between
+        # ±f_N; after padding it becomes an interior bin and must carry
+        # half the weight or the interpolation overshoots
+        Y[n // 2] *= 0.5
+    y = np.fft.irfft(Y, oversample * n) * oversample
+    return float(np.abs(y).max())
+
+
+def clip_true_peak(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id", *, oversample: int = 4,
+                   strict: bool = False) -> DataFrame:
+    """Per-clip peak manifest: ``(media_id, sample_peak_db,
+    true_peak_dbtp, intersample_over)`` — ``intersample_over`` flags
+    clips whose TRUE peak exceeds full scale while every SAMPLE is in
+    range (the clipping a resampler or DAC will introduce even though
+    the stored samples look legal — the standard mastering gate).
+    Digital silence → nulls. One Arrow kernel, constant work/row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rate, samples = decode_audio(bytes(p or b""))
+                    sp = float(np.abs(np.asarray(samples)).max()) \
+                        if len(samples) else 0.0
+                    tp = true_peak(samples, oversample)
+                except Exception:
+                    if strict:
+                        raise
+                    sp = tp = 0.0
+                if tp <= 0.0 or sp <= 0.0:
+                    rows.append({"media_id": int(mid),
+                                 "sample_peak_db": None,
+                                 "true_peak_dbtp": None,
+                                 "intersample_over": None})
+                    continue
+                rows.append({
+                    "media_id": int(mid),
+                    "sample_peak_db": 20 * math.log10(sp),
+                    "true_peak_dbtp": 20 * math.log10(tp),
+                    "intersample_over": bool(tp > 1.0 >= sp),
+                })
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_peak_db", "true_peak_dbtp",
+                "intersample_over"])
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, "media_id long, sample_peak_db double, "
+                "true_peak_dbtp double, intersample_over boolean")

@@ -200,3 +200,40 @@ def test_clip_loudness_k_weighted_kernel(spark):
         rate, s = decode_audio(encode_wav(x, rate=RATE))
         want = integrated_loudness(s, rate, weighting="k")
         assert abs(got[i]["integrated_lufs"] - want) < 1e-9
+
+
+# ---------------------------------------------------------------- true peak
+
+def test_true_peak_recovers_intersample_crest():
+    from bid_evaluation_spark.operators.loudness import true_peak
+    t = np.arange(2 * RATE)
+    # rate/4 sine at phase pi/4: every sample is 0.707*A, crest between
+    x = 0.5 * np.sin(2 * np.pi * (RATE / 4) * t / RATE + np.pi / 4)
+    assert abs(np.abs(x).max() - 0.5 / math.sqrt(2)) < 1e-9
+    assert abs(true_peak(x) - 0.5) < 1e-6
+    # low-frequency sine: sample peak IS the true peak
+    y = 0.5 * np.sin(2 * np.pi * 100 * t / RATE)
+    assert abs(true_peak(y) - 0.5) < 1e-6
+    assert true_peak(np.zeros(100)) == 0.0
+    assert true_peak(np.empty(0)) == 0.0
+
+
+def test_clip_true_peak_kernel_flags_intersample_overs(spark):
+    from bid_evaluation_spark.operators.loudness import clip_true_peak
+    from bid_evaluation_spark.operators.wav import encode_wav
+    t = np.arange(RATE)
+    rows = [
+        (0, encode_wav(0.5 * np.sin(2 * np.pi * 100 * t / RATE),
+                       rate=RATE)),
+        (1, encode_wav(1.05 * np.sin(2 * np.pi * 2000 * t / RATE
+                                     + np.pi / 4), rate=RATE)),
+        (2, encode_wav(np.zeros(RATE), rate=RATE)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in clip_true_peak(df).collect()}
+    assert not got[0]["intersample_over"]
+    assert abs(got[0]["true_peak_dbtp"] - got[0]["sample_peak_db"]) < 0.01
+    # every stored sample legal, true peak over full scale
+    assert got[1]["sample_peak_db"] < 0 < got[1]["true_peak_dbtp"]
+    assert got[1]["intersample_over"]
+    assert got[2]["true_peak_dbtp"] is None
