@@ -15503,6 +15503,91 @@ WHERE d.doc_id < 120
 """
 
 
+def _q_mm_mp3_inventory_documents(spark, sf_dir):
+    """MP3 frame-header INVENTORY (operators/mp3.py — ISO 11172-3/
+    13818-3 header walk: sync/version/layer/bitrate/rate tables,
+    padding, ID3v2 syncsafe skip, ID3v1, Xing VBR tag, desync-tolerant
+    truncation counting). Per doc a synthesized stream whose class
+    (d%8) exercises one branch each: CBR with doc-dependent frame
+    count, VBR+Xing, MPEG2.5 Layer III, Layer II, Layer I, junk bytes,
+    a truncated tail, MPEG2 stereo+Xing. The oracle is CLOSED-FORM —
+    every output column (incl. integer-division durations) recomputed
+    from doc_id arithmetic; no frozen goldens."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mp3 import build_mp3, mp3_inventory
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 8
+                if c == 0:
+                    p = build_mp3([9] * (4 + d % 5),
+                                  id3v2_bytes=100 if d % 2 else 0,
+                                  id3v1=d % 3 == 0)
+                elif c == 1:
+                    p = build_mp3([9, 11] * 3, xing_frames=6)
+                elif c == 2:
+                    p = build_mp3([3] * 8, version=0, sr_idx=2)
+                elif c == 3:
+                    p = build_mp3([6] * 5, layer=2)
+                elif c == 4:
+                    p = build_mp3([9] * 10, layer=1)
+                elif c == 5:
+                    p = b"this is not an mpeg stream at all"
+                elif c == 6:
+                    p = build_mp3([9] * 3) + b"junktail"
+                else:
+                    p = build_mp3([8] * 7, version=2, sr_idx=1,
+                                  mode=0, xing_frames=7)
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return mp3_inventory(media)
+
+
+_SQL_MM_MP3_INVENTORY_DOCUMENTS = """
+WITH d AS (SELECT doc_id, doc_id % 8 AS c FROM documents)
+SELECT doc_id AS media_id,
+  CAST(CASE c WHEN 0 THEN 4 + doc_id % 5 WHEN 1 THEN 6 WHEN 2 THEN 8
+              WHEN 3 THEN 5 WHEN 4 THEN 10 WHEN 5 THEN 0 WHEN 6 THEN 3
+              ELSE 7 END AS BIGINT) AS n_frames,
+  CASE c WHEN 2 THEN 'MPEG2.5' WHEN 5 THEN NULL WHEN 7 THEN 'MPEG2'
+         ELSE 'MPEG1' END AS version,
+  CAST(CASE c WHEN 3 THEN 2 WHEN 4 THEN 1 WHEN 5 THEN NULL
+              ELSE 3 END AS INT) AS layer,
+  CAST(CASE c WHEN 2 THEN 8000 WHEN 5 THEN NULL WHEN 7 THEN 24000
+              ELSE 44100 END AS INT) AS sample_rate,
+  CAST(CASE c
+    WHEN 0 THEN (4 + doc_id % 5) * 1152 * 1000 // 44100
+    WHEN 1 THEN 6 * 1152 * 1000 // 44100
+    WHEN 2 THEN 8 * 576 * 1000 // 8000
+    WHEN 3 THEN 5 * 1152 * 1000 // 44100
+    WHEN 4 THEN 10 * 384 * 1000 // 44100
+    WHEN 5 THEN 0
+    WHEN 6 THEN 3 * 1152 * 1000 // 44100
+    ELSE 7 * 576 * 1000 // 24000 END AS BIGINT) AS duration_ms,
+  CASE c WHEN 1 THEN false WHEN 5 THEN NULL ELSE true END AS is_cbr,
+  CAST(CASE c WHEN 0 THEN 128 WHEN 1 THEN 128 WHEN 2 THEN 24
+              WHEN 3 THEN 96 WHEN 4 THEN 288 WHEN 5 THEN NULL
+              WHEN 6 THEN 128 ELSE 64 END AS INT) AS bitrate_kbps_min,
+  CAST(CASE c WHEN 1 THEN 192 WHEN 2 THEN 24 WHEN 3 THEN 96
+              WHEN 4 THEN 288 WHEN 5 THEN NULL WHEN 7 THEN 64
+              ELSE 128 END AS INT) AS bitrate_kbps_max,
+  CAST(CASE c WHEN 1 THEN 6 WHEN 7 THEN 7 END AS BIGINT) AS xing_frames,
+  (c = 0 AND doc_id % 2 = 1) AS has_id3v2,
+  (c = 0 AND doc_id % 3 = 0) AS has_id3v1,
+  (c NOT IN (5, 6)) AS clean
+FROM d
+"""
+
+
 def _q_mm_truepeak_documents(spark, sf_dir):
     """BS.1770-4 TRUE PEAK (operators/loudness.py true_peak — ideal
     bandlimited 4× interpolation via rfft zero-padding, the spec's
@@ -16569,7 +16654,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(33) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(34) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17193,6 +17278,8 @@ _QUERIES: dict = {
                                     _SQL_MM_AUDIO_CURATION_DOCUMENTS),
     "mm_truepeak_documents": (_q_mm_truepeak_documents,
                               _SQL_MM_TRUEPEAK_DOCUMENTS),
+    "mm_mp3_inventory_documents": (_q_mm_mp3_inventory_documents,
+                                   _SQL_MM_MP3_INVENTORY_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
