@@ -278,6 +278,27 @@ def bench_maxsim_embeddings(spark, sf_dir):
     _force(e.queries()["retrieval_maxsim_embeddings"](spark, sf_dir))
 
 
+def bench_audio_curation_documents(spark, sf_dir):
+    """Round-11 composition: ONE decode pass (VAD+K-loudness+mel+
+    landmarks) → native gates → landmark equi-join dedup → verdict."""
+    import __spark_entry__ as e
+    from bid_evaluation_spark.operators.cache import release_all
+
+    _force(e.queries()["mm_audio_curation_documents"](spark, sf_dir))
+    release_all()                 # the query persists its manifest
+
+
+def bench_span_removal_documents(spark, sf_dir):
+    """Round-11 ExactSubstr removal over the full corpus: windows →
+    keep-first marking → covered-token cut → native text rebuild."""
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+    from bid_evaluation_spark.sources.io import load_table
+
+    df = load_table(spark, sf_dir, "documents")
+    _force(remove_duplicated_spans(df, span=10, stride=3))
+
+
 BENCHES = {
     "eval_rank_lineitem": bench_eval_rank_lineitem,
     "staged_orders": bench_staged_orders,
@@ -303,6 +324,8 @@ BENCHES = {
     "ivfpq_embeddings": bench_ivfpq_embeddings,
     "video_neardup_documents": bench_video_neardup_documents,
     "maxsim_embeddings": bench_maxsim_embeddings,
+    "audio_curation_documents": bench_audio_curation_documents,
+    "span_removal_documents": bench_span_removal_documents,
 }
 
 
