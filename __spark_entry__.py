@@ -15588,6 +15588,88 @@ FROM d
 """
 
 
+def _q_mm_mp4_inventory_documents(spark, sf_dir):
+    """MP4/ISO-BMFF box inventory (operators/mp4.py — 14496-12 box
+    walk: ftyp brand, mvhd v0/v1 timescale→duration, per-trak hdlr +
+    stsd sample-entry fourcc, tkhd 16.16 dimensions, damage-tolerant
+    salvage). Classes (d%6): AV mp42 with doc-dependent duration,
+    v1-mvhd audio-only M4A, live (duration 0) HEVC video, junk bytes,
+    a mid-moov truncation (ftyp salvaged, clean=false), a 3-track
+    vide+soun+text file. Oracle: CLOSED-FORM — every column from
+    doc_id arithmetic, no frozen goldens."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mp4 import build_mp4, mp4_inventory
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 6
+                if c == 0:
+                    p = build_mp4(brand="mp42", timescale=1000,
+                                  duration=1000 + (d % 7) * 500,
+                                  tracks=[("vide", "avc1", 640, 360),
+                                          ("soun", "mp4a", 0, 0)])
+                elif c == 1:
+                    p = build_mp4(brand="M4A ", timescale=90000,
+                                  duration=90000 * (30 + d % 10),
+                                  mvhd_version=1,
+                                  tracks=[("soun", "mp4a", 0, 0)])
+                elif c == 2:
+                    p = build_mp4(brand="isom", duration=0,
+                                  tracks=[("vide", "hev1",
+                                           1920, 1080)])
+                elif c == 3:
+                    p = b"certainly not an iso-bmff container"
+                elif c == 4:
+                    full = build_mp4(brand="mp42", duration=5000,
+                                     tracks=[("vide", "avc1",
+                                              320, 240)])
+                    p = full[:28]       # ftyp + 4 bytes of moov header
+                else:
+                    p = build_mp4(brand="isom", duration=60000,
+                                  tracks=[("vide", "avc1", 1280, 720),
+                                          ("soun", "mp4a", 0, 0),
+                                          ("text", "tx3g", 0, 0)])
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return mp4_inventory(media)
+
+
+_SQL_MM_MP4_INVENTORY_DOCUMENTS = """
+WITH d AS (SELECT doc_id, doc_id % 6 AS c FROM documents)
+SELECT doc_id AS media_id,
+  (c <> 3) AS is_mp4,
+  CASE c WHEN 0 THEN 'mp42' WHEN 1 THEN 'M4A ' WHEN 2 THEN 'isom'
+         WHEN 4 THEN 'mp42' WHEN 5 THEN 'isom' END AS major_brand,
+  CAST(CASE c WHEN 0 THEN 1000 + (doc_id % 7) * 500
+              WHEN 1 THEN (30 + doc_id % 10) * 1000
+              WHEN 2 THEN 0 WHEN 5 THEN 60000 END AS BIGINT)
+    AS duration_ms,
+  CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+              WHEN 5 THEN 3 ELSE 0 END AS INT) AS n_tracks,
+  CASE c WHEN 0 THEN 'avc1' WHEN 2 THEN 'hev1' WHEN 5 THEN 'avc1'
+         END AS video_codec,
+  CASE c WHEN 0 THEN 'mp4a' WHEN 1 THEN 'mp4a' WHEN 5 THEN 'mp4a'
+         END AS audio_codec,
+  CAST(CASE c WHEN 0 THEN 640 WHEN 2 THEN 1920 WHEN 5 THEN 1280
+         END AS DOUBLE) AS width,
+  CAST(CASE c WHEN 0 THEN 360 WHEN 2 THEN 1080 WHEN 5 THEN 720
+         END AS DOUBLE) AS height,
+  CASE c WHEN 0 THEN 'vide,soun' WHEN 1 THEN 'soun' WHEN 2 THEN 'vide'
+         WHEN 5 THEN 'vide,soun,text' END AS track_types,
+  (c NOT IN (3, 4)) AS clean
+FROM d
+"""
+
+
 def _q_mm_truepeak_documents(spark, sf_dir):
     """BS.1770-4 TRUE PEAK (operators/loudness.py true_peak — ideal
     bandlimited 4× interpolation via rfft zero-padding, the spec's
@@ -16654,7 +16736,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(34) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(35) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17280,6 +17362,8 @@ _QUERIES: dict = {
                               _SQL_MM_TRUEPEAK_DOCUMENTS),
     "mm_mp3_inventory_documents": (_q_mm_mp3_inventory_documents,
                                    _SQL_MM_MP3_INVENTORY_DOCUMENTS),
+    "mm_mp4_inventory_documents": (_q_mm_mp4_inventory_documents,
+                                   _SQL_MM_MP4_INVENTORY_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
