@@ -15670,6 +15670,74 @@ FROM d
 """
 
 
+def _q_mm_ogg_inventory_documents(spark, sf_dir):
+    """Ogg container inventory (operators/ogg.py — RFC 3533 page walk
+    + Vorbis I / OggOpus id headers; Opus granules are ALWAYS 48 kHz
+    minus pre-skip, Vorbis granules are PCM samples at the stream
+    rate — both timescale rules exercised). Classes (d%5): Opus with
+    doc-dependent duration, Vorbis likewise, FLAC-in-Ogg (codec known,
+    duration unknowable from pages), junk bytes, a truncated stream
+    whose duration falls back to the last intact audio page's granule.
+    Oracle: CLOSED-FORM from doc_id arithmetic."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.ogg import build_ogg, ogg_inventory
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 5
+                if c == 0:
+                    p = build_ogg("opus", rate=16000, channels=2,
+                                  pre_skip=312,
+                                  final_granule=48000 * (5 + d % 6)
+                                  + 312, n_audio_pages=2)
+                elif c == 1:
+                    p = build_ogg("vorbis", rate=44100, channels=1,
+                                  final_granule=44100 * (2 + d % 4))
+                elif c == 2:
+                    p = build_ogg("flac", final_granule=1000)
+                elif c == 3:
+                    p = b"not an ogg bitstream"
+                else:
+                    full = build_ogg("opus", rate=48000, channels=1,
+                                     pre_skip=312,
+                                     final_granule=48000)
+                    p = full[:-5]          # EOS page loses its tail
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return ogg_inventory(media)
+
+
+_SQL_MM_OGG_INVENTORY_DOCUMENTS = """
+WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents)
+SELECT doc_id AS media_id,
+  (c <> 3) AS is_ogg,
+  CASE c WHEN 0 THEN 'opus' WHEN 1 THEN 'vorbis' WHEN 2 THEN 'flac'
+         WHEN 4 THEN 'opus' END AS codec,
+  CAST(CASE c WHEN 0 THEN 16000 WHEN 1 THEN 44100 WHEN 4 THEN 48000
+         END AS INT) AS sample_rate,
+  CAST(CASE c WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 4 THEN 1
+         END AS INT) AS channels,
+  CAST(CASE c WHEN 0 THEN 4 WHEN 1 THEN 3 WHEN 2 THEN 3 WHEN 3 THEN 0
+              WHEN 4 THEN 2 END AS INT) AS n_pages,
+  CAST(CASE c WHEN 3 THEN 0 ELSE 1 END AS INT) AS n_streams,
+  CAST(CASE c WHEN 0 THEN (5 + doc_id % 6) * 1000
+              WHEN 1 THEN (2 + doc_id % 4) * 1000
+              WHEN 4 THEN (24000 - 312) * 1000 // 48000
+         END AS BIGINT) AS duration_ms,
+  (c NOT IN (3, 4)) AS clean
+FROM d
+"""
+
+
 def _q_mm_truepeak_documents(spark, sf_dir):
     """BS.1770-4 TRUE PEAK (operators/loudness.py true_peak — ideal
     bandlimited 4× interpolation via rfft zero-padding, the spec's
@@ -16736,7 +16804,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(35) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(36) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17364,6 +17432,8 @@ _QUERIES: dict = {
                                    _SQL_MM_MP3_INVENTORY_DOCUMENTS),
     "mm_mp4_inventory_documents": (_q_mm_mp4_inventory_documents,
                                    _SQL_MM_MP4_INVENTORY_DOCUMENTS),
+    "mm_ogg_inventory_documents": (_q_mm_ogg_inventory_documents,
+                                   _SQL_MM_OGG_INVENTORY_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
