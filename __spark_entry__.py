@@ -15738,6 +15738,82 @@ FROM d
 """
 
 
+def _q_mm_media_census_documents(spark, sf_dir):
+    """Corpus media-type CENSUS (operators/mediatype.py — the magic-
+    byte router at the TOP of the multimodal funnel): 16 classes, one
+    per in-repo container family — PNG/JPEG/GIF/TIFF/BMP/Netpbm images,
+    WAV/FLAC/Ogg-Opus/bare-MP3 audio, MP4/MJPEG-AVI video, PDF, HTML,
+    plain text, binary junk — every payload built by the repo's OWN
+    encoder for that format, so the census and the codecs gate each
+    other. RIFF form-type splitting (WAV vs AVI), offset-4 ftyp, and
+    table-validated MPEG sync are all load-bearing. Oracle:
+    CLOSED-FORM class constants."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.avi import encode_avi_mjpeg
+    from bid_evaluation_spark.operators.bmp import encode_bmp
+    from bid_evaluation_spark.operators.flac import encode_flac
+    from bid_evaluation_spark.operators.gif import encode_gif
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+    from bid_evaluation_spark.operators.mediatype import media_census
+    from bid_evaluation_spark.operators.mp3 import build_mp3
+    from bid_evaluation_spark.operators.mp4 import build_mp4
+    from bid_evaluation_spark.operators.netpbm import encode_pgm
+    from bid_evaluation_spark.operators.ogg import build_ogg
+    from bid_evaluation_spark.operators.pdf import encode_pdf
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.tiff import encode_tiff
+    from bid_evaluation_spark.operators.wav import encode_wav
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        rgb = np.full((8, 8, 3), 100, dtype=np.uint8)
+        x = 0.2 * np.sin(2 * np.pi * 400 * np.arange(4000) / 8000.0)
+        fixed = {
+            0: encode_png(img), 1: encode_jpeg(img),
+            2: encode_gif(rgb), 3: encode_tiff(img),
+            4: encode_bmp(rgb), 5: encode_pgm(img),
+            6: encode_wav(x, rate=8000),
+            7: encode_flac((x * 30000).astype(np.int16), rate=8000),
+            8: build_ogg("opus", final_granule=48312),
+            9: build_mp3([9] * 2),
+            10: build_mp4(duration=1000,
+                          tracks=[("vide", "avc1", 32, 24)]),
+            11: encode_avi_mjpeg([img] * 2),
+            12: encode_pdf(["hello"]),
+            13: b"<html><body>a page</body></html>",
+            14: b"just some plain utf-8 prose, no markup",
+            15: b"\x00\xfe\x80\xff raw binary garbage \x81\x82",
+        }
+        for pdf_ in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_["doc_id"],
+                "payload": [fixed[int(d) % 16] for d in pdf_["doc_id"]],
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return media_census(media)
+
+
+_SQL_MM_MEDIA_CENSUS_DOCUMENTS = """
+WITH golden(c, mt, cont, det) AS (VALUES
+  (0, 'image', 'png', ''),   (1, 'image', 'jpeg', ''),
+  (2, 'image', 'gif', 'GIF89a'), (3, 'image', 'tiff', 'le'),
+  (4, 'image', 'bmp', ''),   (5, 'image', 'netpbm', 'P5'),
+  (6, 'audio', 'wav', ''),   (7, 'audio', 'flac', ''),
+  (8, 'audio', 'ogg', 'opus'), (9, 'audio', 'mpeg', 'layer3'),
+  (10, 'video', 'mp4', 'isom'), (11, 'video', 'avi', ''),
+  (12, 'document', 'pdf', '1.4'), (13, 'text', 'html', ''),
+  (14, 'text', 'plain', ''), (15, 'unknown', 'binary', ''))
+SELECT doc_id AS media_id, g.mt AS media_type,
+       g.cont AS container, g.det AS detail
+FROM documents JOIN golden g ON g.c = doc_id % 16
+"""
+
+
 def _q_mm_truepeak_documents(spark, sf_dir):
     """BS.1770-4 TRUE PEAK (operators/loudness.py true_peak — ideal
     bandlimited 4× interpolation via rfft zero-padding, the spec's
@@ -16804,7 +16880,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(36) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(37) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17434,6 +17510,8 @@ _QUERIES: dict = {
                                    _SQL_MM_MP4_INVENTORY_DOCUMENTS),
     "mm_ogg_inventory_documents": (_q_mm_ogg_inventory_documents,
                                    _SQL_MM_OGG_INVENTORY_DOCUMENTS),
+    "mm_media_census_documents": (_q_mm_media_census_documents,
+                                  _SQL_MM_MEDIA_CENSUS_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
                              _SQL_MM_MELSPEC_DOCUMENTS),
     "pipe_unigram_documents": (_q_pipe_unigram_documents,
