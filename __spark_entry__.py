@@ -2968,6 +2968,76 @@ _SQL_DEDUP_MINHASH_CANDIDATES_DOCUMENTS = (
         where=_sample_where(_DOCS_SAMPLE_MOD)))
 
 
+def _q_dedup_incremental_minhash_documents(spark, sf_dir,
+                                           _mod=_DOCS_SAMPLE_MOD):
+    """INCREMENTAL MinHash dedup (operators/dedup.py
+    minhash_band_table + incremental_minhash_candidates — the
+    continuous-crawl shape: the standing corpus is a persisted
+    (doc, band, bh) index and today's delta equi-joins it, old docs
+    never re-shingled): old = doc_id%6==0, delta = doc_id%6==3 within
+    the %3==0 sub-corpus; candidates (new-vs-index ∪ new-vs-new) are
+    exact-Jaccard verified at the same 0.2 threshold as the batch
+    query. Oracle: the FULL quadratic exact-Jaccard truth restricted
+    to pairs touching the delta (old-vs-old must NOT appear — the
+    whole point), with source derived from membership parity; the
+    operator's own source labels are value-gated against it."""
+    from bid_evaluation_spark.operators.dedup import (
+        incremental_minhash_candidates, minhash_band_table, ngram_jaccard)
+
+    docs = _docs_sampled(spark, sf_dir, _mod)
+    old = docs.filter(F.col("doc_id") % 6 == 0)
+    new = docs.filter(F.col("doc_id") % 6 == 3)
+    index = minhash_band_table(old)
+    cand = incremental_minhash_candidates(new, index)
+    verified = (ngram_jaccard(cand.select("a_id", "b_id"), docs, k=3)
+                .filter(F.col("jaccard") >= 0.2))
+    return (verified.join(cand, ["a_id", "b_id"])
+            .select("a_id", "b_id", _r4("jaccard").alias("jaccard"),
+                    "source"))
+
+
+_SQL_DEDUP_INCREMENTAL_MINHASH_DOCUMENTS_TMPL = """
+WITH docs AS (SELECT * FROM documents {where}),
+toks AS (
+  SELECT doc_id,
+    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM docs
+),
+sh AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 3 THEN list_distinct(
+      list_transform(generate_series(1, len(t)-2),
+                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+    ELSE CAST([] AS VARCHAR[]) END AS s
+  FROM toks
+),
+inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+sz AS (SELECT doc_id, len(s) AS n FROM sh WHERE len(s) > 0),
+inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a_id, b_id, CAST(i AS DOUBLE) / (na.n + nb.n - i) AS j
+  FROM inter
+  JOIN sz na ON na.doc_id = a_id
+  JOIN sz nb ON nb.doc_id = b_id
+)
+SELECT a_id, b_id, round((j) * 10000.0) / 10000.0 AS jaccard,
+       CASE WHEN a_id % 6 = 0 OR b_id % 6 = 0 THEN 'index'
+            ELSE 'new' END AS source
+FROM pairs
+WHERE j >= 0.2
+  AND NOT (a_id % 6 = 0 AND b_id % 6 = 0)   -- old-vs-old never recomputed
+"""
+
+_SQL_DEDUP_INCREMENTAL_MINHASH_DOCUMENTS = (
+    _SQL_DEDUP_INCREMENTAL_MINHASH_DOCUMENTS_TMPL.format(
+        where=_sample_where(_DOCS_SAMPLE_MOD)))
+
+
 def _q_dedup_simhash_documents(spark, sf_dir, _mod=_DOCS_SAMPLE_MOD):
     """SimHash-blocked near-dup pipeline with exact-Jaccard verify, against
     the full exact-Jaccard oracle. Blocking at num_chunks=16 guarantees
@@ -16871,7 +16941,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   reference parity ........ flagship(1) f*(18) a1(3) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(18) quality(5) lm(1) pii(1)
-#   dedup/similarity ........ dedup(22) ann(5) pq(3) emb(4) bitext(1)
+#   dedup/similarity ........ dedup(23) ann(5) pq(3) emb(4) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
 #   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
@@ -17136,6 +17206,9 @@ _QUERIES: dict = {
                                    _SQL_DEDUP_SPAN_STATS_DOCUMENTS),
     "dedup_span_removal_documents": (_q_dedup_span_removal_documents,
                                      _SQL_DEDUP_SPAN_REMOVAL_DOCUMENTS),
+    "dedup_incremental_minhash_documents": (
+        _q_dedup_incremental_minhash_documents,
+        _SQL_DEDUP_INCREMENTAL_MINHASH_DOCUMENTS),
     "web_canonical_url_documents": (_q_web_canonical_url_documents,
                                     _SQL_WEB_CANONICAL_URL_DOCUMENTS),
     "analytics_krippendorff_documents": (

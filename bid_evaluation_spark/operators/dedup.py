@@ -1259,3 +1259,84 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
           r4(n_hit / n_cand) if n_cand else None)],
         "n_candidates long, n_true long, n_hit long, "
         "recall double, precision double")
+
+
+# ------------------------------------------------------- incremental dedup
+
+def minhash_band_table(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_perm: int = 64,
+                       bands: int = 16, shingle_k: int = 3,
+                       seed: int = 42) -> DataFrame:
+    """The PERSISTABLE LSH index for incremental dedup: one row per
+    (doc, band) — ``(id_col, band, bh)``. A continuous-crawl pipeline
+    writes this table once per snapshot (it is a few ints per doc, two
+    orders smaller than text) and every later delta joins against it
+    WITHOUT recomputing old documents' signatures. Shingle-less docs
+    (shorter than ``shingle_k`` tokens) emit nothing — same banding
+    discipline as :func:`minhash_lsh_candidates`."""
+    sig = (with_minhash_signature(df, text_col, num_perm, shingle_k,
+                                  seed)
+           .filter(F.size("_shingles") > 0))
+    band_structs = minhash_band_structs(num_perm, bands)
+    return (sig.select(F.col(id_col),
+                       F.explode(band_structs).alias("bs"))
+            .select(id_col, F.col("bs.band").alias("band"),
+                    F.col("bs.bh").alias("bh")))
+
+
+def incremental_minhash_candidates(new_docs: DataFrame,
+                                   index: DataFrame = None,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text", *,
+                                   num_perm: int = 64, bands: int = 16,
+                                   shingle_k: int = 3,
+                                   seed: int = 42) -> DataFrame:
+    """Candidate near-dup pairs for TODAY'S DELTA against a standing
+    corpus — the production shape of continuous-crawl dedup:
+
+    - ``new-vs-index``: the delta's banded hashes equi-join the
+      persisted :func:`minhash_band_table` on ``(band, bh)`` — the
+      standing corpus is NEVER re-shingled or re-hashed;
+    - ``new-vs-new``: the usual banded self-join within the delta.
+
+    Returns distinct ``(a_id, b_id, source)`` with ``a_id < b_id`` and
+    ``source`` ∈ ('index', 'new'). The caller appends the delta's band
+    table to the index for the next snapshot (a pure union — the index
+    is monotone). With ``index=None`` this degrades to plain
+    within-delta candidates (first snapshot).
+
+    At 100 TB: the delta is small; the only large operand is the index
+    side of one hash equi-join, which is exactly the shape Spark
+    shuffles well — and with the index bucketed by ``bh`` on disk the
+    join is shuffle-free on the big side."""
+    new_banded = minhash_band_table(new_docs, id_col, text_col,
+                                    num_perm, bands, shingle_k, seed
+                                    ).persist()
+    ln, rn = new_banded.alias("l"), new_banded.alias("r")
+    nn = (ln.join(rn, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bh") == F.col("r.bh"))
+                  & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+          .select(F.col(f"l.{id_col}").alias("a_id"),
+                  F.col(f"r.{id_col}").alias("b_id"),
+                  F.lit("new").alias("source")))
+    out = nn
+    if index is not None:
+        ix = index.alias("ix")
+        ni = (ix.join(new_banded.alias("nb"),
+                      (F.col("ix.band") == F.col("nb.band"))
+                      & (F.col("ix.bh") == F.col("nb.bh"))
+                      # a re-crawled id must not pair with itself
+                      & (F.col(f"ix.{id_col}")
+                         != F.col(f"nb.{id_col}")))
+              .select(F.least(F.col(f"ix.{id_col}"),
+                              F.col(f"nb.{id_col}")).alias("a_id"),
+                      F.greatest(F.col(f"ix.{id_col}"),
+                                 F.col(f"nb.{id_col}")).alias("b_id"),
+                      F.lit("index").alias("source")))
+        out = ni.unionByName(nn)
+    # a pair can surface from several bands (and, for re-crawls, from
+    # both branches): one row wins, 'index' preferred so provenance is
+    # deterministic
+    dedup = (out.groupBy("a_id", "b_id")
+             .agg(F.min("source").alias("source")))
+    return _track_cached(dedup, [new_banded])

@@ -102,3 +102,79 @@ def test_minhash_against_corpus(spark):
     flagged = spark.createDataFrame([(r["new_id"],) for r in got], "doc_id long")
     fresh = new.join(flagged, "doc_id", "left_anti")
     assert [r["doc_id"] for r in fresh.collect()] == [101]
+
+
+# ------------------------------------------- MinHash band-index delta dedup
+
+def _shared_corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the quiet woods tonight").split()
+    rows = []
+    # docs 0,1: near-identical (old); 2: unique old
+    rows.append((0, " ".join(base)))
+    rows.append((1, " ".join(base[:-1] + ["yesterday"])))
+    rows.append((2, "completely different text about spark physics "
+                    "and parquet files stored on disk"))
+    # new docs: 10 near-dups doc 0, 11 unique, 12 near-dups itself w/ 13
+    rows.append((10, " ".join(base[:-2] + ["this", "evening"])))
+    rows.append((11, "another genuinely novel document with words "
+                     "never seen before anywhere else here"))
+    twin = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lambda mu nu xi omicron pi rho sigma").split()
+    rows.append((12, " ".join(twin)))
+    rows.append((13, " ".join(twin[:-1] + ["tau"])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_band_table_is_persistable_index(spark):
+    from bid_evaluation_spark.operators.dedup import minhash_band_table
+    docs = _shared_corpus(spark).filter("doc_id < 10")
+    bt = minhash_band_table(docs, bands=16, num_perm=64)
+    rows = bt.collect()
+    assert {r["doc_id"] for r in rows} == {0, 1, 2}
+    assert all(0 <= r["band"] < 16 for r in rows)
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["band"])
+    assert all(len(b) == 16 for b in per_doc.values())
+
+
+def test_incremental_candidates_index_and_delta(spark):
+    from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.dedup import (
+        incremental_minhash_candidates, minhash_band_table)
+    corpus = _shared_corpus(spark)
+    index = minhash_band_table(corpus.filter("doc_id < 10"))
+    new = corpus.filter("doc_id >= 10")
+    got = {(r["a_id"], r["b_id"]): r["source"]
+           for r in incremental_minhash_candidates(new, index).collect()}
+    release_all()
+    # 10 pairs old 0 and 1 through the index; 12/13 pair within delta
+    assert got.get((0, 10)) == "index"
+    assert got.get((1, 10)) == "index"
+    assert got.get((12, 13)) == "new"
+    # unique docs pair with nothing; old-vs-old is NEVER recomputed
+    assert not any(11 in p for p in got)
+    assert (0, 1) not in got
+
+
+def test_incremental_without_index_is_within_delta_only(spark):
+    from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.dedup import (
+        incremental_minhash_candidates)
+    new = _shared_corpus(spark).filter("doc_id >= 10")
+    got = {(r["a_id"], r["b_id"]) for r in
+           incremental_minhash_candidates(new).collect()}
+    release_all()
+    assert got == {(12, 13)}
+
+
+def test_recrawled_id_never_pairs_with_itself(spark):
+    from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.dedup import (
+        incremental_minhash_candidates, minhash_band_table)
+    docs = _shared_corpus(spark).filter("doc_id = 0")
+    index = minhash_band_table(docs)
+    got = incremental_minhash_candidates(docs, index).collect()
+    release_all()
+    assert got == []
