@@ -6059,6 +6059,66 @@ FROM toks t LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_privacy_ccn_luhn_documents(spark, sf_dir):
+    """Checksum-VALIDATED payment-card redaction (operators/pii.py
+    redact_ccn — candidates by regex, Luhn as native transform/
+    aggregate math, only validated numbers redacted): per doc a text
+    carrying one VALID 16-digit card (check digit computed by Luhn
+    over base digits (doc_id + 7i) % 10) and one INVALID twin (check
+    digit +5 mod 10 — always breaks the checksum since the rightmost
+    digit is undoubled). The valid one must be replaced, the invalid
+    one must SURVIVE — the false-positive discipline a pure-regex
+    redactor cannot express. Oracle: FIRST-PRINCIPLES — DuckDB
+    recomputes the Luhn check digit with its own list math and
+    rebuilds the exact redacted text."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    base_digits = F.transform(F.sequence(F.lit(1), F.lit(15)),
+                              lambda i: (d + i * 7) % 10)
+    luhn_sum = F.aggregate(
+        F.transform(F.sequence(F.lit(1), F.lit(15)),
+                    lambda i: F.when(
+                        i % 2 == 1,
+                        F.when(((d + i * 7) % 10) * 2 > 9,
+                               ((d + i * 7) % 10) * 2 - 9)
+                        .otherwise(((d + i * 7) % 10) * 2))
+                    .otherwise((d + i * 7) % 10)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    b15 = F.array_join(F.transform(base_digits,
+                                   lambda x: x.cast("string")), "")
+    chk = (10 - luhn_sum % 10) % 10
+    text = F.concat(F.lit("payment card "), b15,
+                    chk.cast("string"), F.lit(" backup "), b15,
+                    ((chk + 5) % 10).cast("string"), F.lit(" end"))
+    from bid_evaluation_spark.operators.pii import redact_ccn
+
+    fixture = docs.select("doc_id", text.alias("text"))
+    return redact_ccn(fixture)
+
+
+_SQL_PRIVACY_CCN_LUHN_DOCUMENTS = """
+WITH lu AS (
+  SELECT doc_id,
+    array_to_string(list_transform(generate_series(1, 15),
+                                   i -> (doc_id + i*7) % 10), '') AS b15,
+    list_sum(list_transform(generate_series(1, 15), i ->
+      CASE WHEN i % 2 = 1 THEN
+        CASE WHEN 2 * ((doc_id + i*7) % 10) > 9
+             THEN 2 * ((doc_id + i*7) % 10) - 9
+             ELSE 2 * ((doc_id + i*7) % 10) END
+      ELSE (doc_id + i*7) % 10 END)) AS s
+  FROM documents
+)
+SELECT doc_id,
+  'payment card <CCN> backup ' || b15
+    || CAST(((10 - s % 10) % 10 + 5) % 10 AS VARCHAR)
+    || ' end' AS text,
+  CAST(2 AS BIGINT) AS n_ccn_candidates,
+  CAST(1 AS BIGINT) AS n_ccn_valid
+FROM lu
+"""
+
+
 def _q_web_canonical_url_documents(spark, sf_dir):
     """URL canonicalization (operators/web.py canonical_url): synthesized
     URLs exercise every normalization branch — case noise, default vs
@@ -16954,7 +17014,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
-#                             privacy(4)
+#                             privacy(5)
 
 _QUERIES: dict = {
     "flagship_supplier_scoring": (_flagship, _FLAGSHIP_SQL),
@@ -17209,6 +17269,8 @@ _QUERIES: dict = {
     "dedup_incremental_minhash_documents": (
         _q_dedup_incremental_minhash_documents,
         _SQL_DEDUP_INCREMENTAL_MINHASH_DOCUMENTS),
+    "privacy_ccn_luhn_documents": (_q_privacy_ccn_luhn_documents,
+                                   _SQL_PRIVACY_CCN_LUHN_DOCUMENTS),
     "web_canonical_url_documents": (_q_web_canonical_url_documents,
                                     _SQL_WEB_CANONICAL_URL_DOCUMENTS),
     "analytics_krippendorff_documents": (

@@ -63,3 +63,54 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         ]
     keep = [c for c in df.columns if c != text_col]
     return df.select(*keep, red.alias(text_col), *counts)
+
+
+# ------------------------------------------------- Luhn-validated card PII
+
+#: candidate payment-card shapes: 13-19 digits, optional single space or
+#: dash between digits (the common formatting); portable Java/RE2 subset
+CCN_CANDIDATE_PATTERN = r"\b(?:\d[ -]?){12,18}\d\b"
+
+
+def luhn_valid(digits: Column) -> Column:
+    """Luhn checksum over a pure-digit string Column — NATIVE math
+    (transform/aggregate over character positions, whole-stage
+    codegen): every second digit from the RIGHT is doubled (minus 9
+    when >9) and the total must divide by 10. Empty/non-digit input is
+    the caller's problem (pre-strip separators)."""
+    n = F.length(digits)
+    d = lambda i: F.ascii(F.substring(digits, i, 1)) - 48  # noqa: E731
+    term = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when((n - i) % 2 == 1,
+                         F.when(d(i) * 2 > 9, d(i) * 2 - 9)
+                         .otherwise(d(i) * 2))
+        .otherwise(d(i)))
+    total = F.aggregate(term, F.lit(0), lambda acc, x: acc + x)
+    return (n > 0) & (total % 10 == 0)
+
+
+def redact_ccn(df: DataFrame, text_col: str = "text",
+               placeholder: str = "<CCN>") -> DataFrame:
+    """Checksum-VALIDATED payment-card redaction: candidates come from
+    :data:`CCN_CANDIDATE_PATTERN`, but only those whose digits pass
+    :func:`luhn_valid` are redacted and counted — a 16-digit order id
+    with a wrong check digit survives, which is the false-positive
+    behavior a pure-regex redactor cannot offer. Appends
+    ``n_ccn_candidates``, ``n_ccn_valid`` and replaces each validated
+    candidate (literal, separators preserved) in ``text_col``. All
+    native: regexp_extract_all → filter(luhn) → aggregate-replace."""
+    # null text → zero counts and null output (never -1 via sizeOfNull)
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(t, F.lit(CCN_CANDIDATE_PATTERN), 0)
+    valid = F.filter(
+        cands, lambda c: luhn_valid(F.regexp_replace(c, "[ -]", "")))
+    red = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.aggregate(valid, t,
+                    lambda acc, c: F.replace(acc, c,
+                                             F.lit(placeholder))))
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(
+        *keep, red.alias(text_col),
+        F.size(cands).cast("long").alias("n_ccn_candidates"),
+        F.size(valid).cast("long").alias("n_ccn_valid"))

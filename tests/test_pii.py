@@ -65,3 +65,46 @@ def test_email_consumed_before_ip(spark):
                                "doc_id long, text string")
     r = by_id(P.redact_pii(df))
     assert r[1]["text"] == "x <EMAIL> y"
+
+
+# ---------------------------------------------------- Luhn-validated cards
+
+def test_luhn_known_vectors(spark):
+    from bid_evaluation_spark.operators.pii import luhn_valid
+    from pyspark.sql import functions as F
+    # public test numbers: valid visa/amex; off-by-one invalid
+    rows = [("4539148803436467", True), ("4539148803436468", False),
+            ("374245455400126", True), ("79927398713", True),
+            ("79927398710", False)]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "d string")
+    got = [r["v"] for r in
+           df.select(luhn_valid(F.col("d")).alias("v")).collect()]
+    assert got == [v for _, v in rows]
+
+
+def test_redact_ccn_only_validated(spark):
+    from bid_evaluation_spark.operators.pii import redact_ccn
+    rows = [
+        (0, "pay with 4539 1488 0343 6467 thanks"),
+        (1, "order id 4539 1488 0343 6468 is not a card"),
+        (2, "amex 374245455400126 and junk 1234567890123"),
+        (3, "no digits"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in redact_ccn(df).collect()}
+    assert got[0]["text"] == "pay with <CCN> thanks"
+    assert got[0]["n_ccn_valid"] == 1
+    # wrong check digit: candidate counted, NOT redacted
+    assert "4539 1488 0343 6468" in got[1]["text"]
+    assert got[1]["n_ccn_candidates"] == 1 and got[1]["n_ccn_valid"] == 0
+    assert got[2]["text"] == "amex <CCN> and junk 1234567890123"
+    assert got[3]["n_ccn_candidates"] == 0
+    assert got[4]["text"] is None and got[4]["n_ccn_candidates"] == 0
+
+
+def test_redact_ccn_is_plan_native(spark):
+    from bid_evaluation_spark.operators.pii import redact_ccn
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = redact_ccn(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
