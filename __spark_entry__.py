@@ -3188,6 +3188,56 @@ FROM ranked WHERE rnk <= 5
 """
 
 
+def _q_emb_hard_negatives_embeddings(spark, sf_dir):
+    """Hard-negative mining (operators/similarity.py hard_negatives —
+    per anchor the top-5 highest-cosine DIFFERENT-label vectors, the
+    contrastive-training op; anchors broadcast, map-side similarity,
+    one partial window): 64 anchors over the full table, with the
+    max_cosine=0.95 mislabeled-duplicate ceiling active. Oracle:
+    first-principles DuckDB replay (list-math cosine, label filter,
+    ceiling, deterministic rank)."""
+    from bid_evaluation_spark.operators.similarity import hard_negatives
+
+    df = _t(spark, sf_dir, "embeddings")
+    res = hard_negatives(df, k=5, max_cosine=0.95,
+                         anchors=df.filter(F.col("vec_id") < 64))
+    return res.select("anchor_id",
+                      F.col("anchor_label").cast("long").alias("anchor_label"),
+                      "negative_id",
+                      F.col("negative_label").cast("long").alias("negative_label"),
+                      _r4("cosine").alias("cosine"),
+                      F.col("rnk").cast("long").alias("rnk"))
+
+
+_SQL_EMB_HARD_NEGATIVES_EMBEDDINGS = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e
+           FROM embeddings),
+a AS (SELECT vec_id AS anchor_id, label AS anchor_label, e AS ae
+      FROM v WHERE vec_id < 64),
+sims AS (
+  SELECT a.anchor_id, a.anchor_label, v.vec_id AS negative_id,
+         v.label AS negative_label,
+    list_sum(list_transform(generate_series(1, len(ae)),
+                            i -> ae[i]*v.e[i]))
+      / (sqrt(list_sum(list_transform(ae, x -> x*x)))
+         * sqrt(list_sum(list_transform(v.e, x -> x*x)))) AS cosine
+  FROM a CROSS JOIN v
+  WHERE a.anchor_label != v.label
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+                               ORDER BY cosine DESC, negative_id ASC)
+            AS rnk
+  FROM sims WHERE cosine <= 0.95
+)
+SELECT anchor_id, CAST(anchor_label AS BIGINT) AS anchor_label,
+       negative_id, CAST(negative_label AS BIGINT) AS negative_label,
+       round((cosine) * 10000.0) / 10000.0 AS cosine,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
 def _q_dedup_keepmin_embeddings(spark, sf_dir):
     """Keep-one-per-near-dup-group (operators/dedup.py
     dedup_near_duplicates) under a FULL oracle: with the label column as
@@ -17001,7 +17051,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   reference parity ........ flagship(1) f*(18) a1(3) a7(2) j(1)
 #                             j3(1) w1(2) w5(1) staged(5) batched(1)
 #   text/quality/lm ......... text(18) quality(5) lm(1) pii(1)
-#   dedup/similarity ........ dedup(23) ann(5) pq(3) emb(4) bitext(1)
+#   dedup/similarity ........ dedup(23) ann(5) pq(3) emb(5) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
 #   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
@@ -17099,6 +17149,8 @@ _QUERIES: dict = {
                                  _SQL_DEDUP_EMBEDDING_CLUSTERS),
     "ann_cosine_topk_embeddings": (_q_ann_cosine_topk_embeddings,
                                    _SQL_ANN_COSINE_TOPK_EMBEDDINGS),
+    "emb_hard_negatives_embeddings": (_q_emb_hard_negatives_embeddings,
+                                      _SQL_EMB_HARD_NEGATIVES_EMBEDDINGS),
     "dedup_keepmin_embeddings": (_q_dedup_keepmin_embeddings,
                                  _SQL_DEDUP_KEEPMIN_EMBEDDINGS),
     "dedup_semantic_embeddings": (_q_dedup_semantic_embeddings,

@@ -442,3 +442,46 @@ def silhouette_simplified(df: DataFrame, centroids: DataFrame,
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  (F.round(F.avg(s) * 1e4) / 1e4 + F.lit(0.0))
                  .alias("mean_s")))
+
+
+def hard_negatives(df: DataFrame, k: int = 5, *,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   label_col: str = "label",
+                   max_cosine: float = None,
+                   anchors: DataFrame = None) -> DataFrame:
+    """Hard-NEGATIVE mining for contrastive training: per anchor, the
+    top-k highest-cosine vectors whose LABEL DIFFERS — the negatives
+    that actually move an embedding model (random negatives are too
+    easy; same-label vectors are positives). Returns ``(anchor_id,
+    anchor_label, negative_id, negative_label, cosine, rnk)``,
+    deterministic ties (cosine desc, id asc).
+
+    ``max_cosine`` (optional) excludes candidates ABOVE the ceiling —
+    near-identical cross-label pairs are usually mislabeled duplicates,
+    and training on them as negatives poisons the objective; route
+    them to the dedup/label-audit queue instead.
+
+    Shape: the anchor side broadcasts (the standard fixed-query-load
+    mining pass over a growing corpus — same cost model as
+    :func:`cosine_topk`); similarity rows are produced map-side and
+    the per-anchor top-k is one partial window. At full-corpus anchor
+    loads, run per label-block or over ANN candidates instead."""
+    a = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("_av"))
+    c = df.select(F.col(id_col).alias("negative_id"),
+                  F.col(label_col).alias("negative_label"),
+                  F.col(vec_col).alias("_cv"))
+    sims = (c.crossJoin(F.broadcast(a))
+            .filter(F.col("anchor_label") != F.col("negative_label"))
+            .withColumn("cosine", cosine(F.col("_av"), F.col("_cv"))))
+    if max_cosine is not None:
+        sims = sims.filter(F.col("cosine") <= max_cosine)
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id"))
+    return (sims.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("anchor_id", "anchor_label", "negative_id",
+                    "negative_label", "cosine", "rnk"))
