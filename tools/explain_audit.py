@@ -1918,6 +1918,57 @@ def check_wave11_audio_curation(spark, sf_dir):
     return probs
 
 
+@check("wave11b: r11 operators — span removal & Luhn redaction fully "
+       "native; incremental dedup joins the index (no re-shingle "
+       "cross-join); hard negatives broadcast anchors; container "
+       "inventories are single Arrow kernels")
+def check_wave11b_r11_operators(spark, sf_dir):
+    import __spark_entry__ as entry
+    from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.dedup import (
+        incremental_minhash_candidates, minhash_band_table)
+    from bid_evaluation_spark.operators.pii import redact_ccn
+    from bid_evaluation_spark.operators.similarity import hard_negatives
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+
+    probs = []
+    docs = spark.createDataFrame([(0, "a b c d e")],
+                                 "doc_id long, text string")
+    for name, df in (("span_removal", remove_duplicated_spans(docs)),
+                     ("redact_ccn", redact_ccn(docs))):
+        p = plan_of(df)
+        if "BatchEvalPython" in p or "MapInPandas" in p:
+            probs.append(f"{name} dropped into Python — must be "
+                         "native Column math")
+    idx = minhash_band_table(docs)
+    p = plan_of(incremental_minhash_candidates(docs, idx))
+    release_all()
+    if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+        probs.append("incremental dedup degenerates to a cross-join")
+    if not re.search(r"Join.{0,200}bh", p):
+        probs.append("incremental dedup lost the (band, bh) equi-join")
+    emb = spark.createDataFrame([(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+                                "vec_id long, embedding array<double>, "
+                                "label int")
+    p = plan_of(hard_negatives(emb, k=1))
+    if "BroadcastExchange" not in p:
+        probs.append("hard_negatives anchors are not broadcast")
+    for name in ("mm_mp3_inventory_documents",
+                 "mm_mp4_inventory_documents",
+                 "mm_ogg_inventory_documents",
+                 "mm_media_census_documents"):
+        p = plan_of(entry.queries()[name](spark, sf_dir))
+        # fixture gen + inventory parse = exactly two Arrow kernels
+        if p.count("MapInPandas") != 2:
+            probs.append(f"{name}: expected fixture+parse as exactly "
+                         "two Arrow kernels")
+        if "RoundRobinPartitioning" not in p and "REPARTITION" not in p:
+            probs.append(f"{name}: fixture not repartitioned to "
+                         "compute parallelism")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
