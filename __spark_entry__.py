@@ -2971,7 +2971,7 @@ _SQL_DEDUP_MINHASH_CANDIDATES_DOCUMENTS = (
 def _q_dedup_incremental_minhash_documents(spark, sf_dir,
                                            _mod=_DOCS_SAMPLE_MOD):
     """INCREMENTAL MinHash dedup (operators/dedup.py
-    minhash_band_table + incremental_minhash_candidates — the
+    minhash_index_table + incremental_minhash_candidates — the
     continuous-crawl shape: the standing corpus is a persisted
     (doc, band, bh) index and today's delta equi-joins it, old docs
     never re-shingled): old = doc_id%6==0, delta = doc_id%6==3 within
@@ -2982,12 +2982,12 @@ def _q_dedup_incremental_minhash_documents(spark, sf_dir,
     whole point), with source derived from membership parity; the
     operator's own source labels are value-gated against it."""
     from bid_evaluation_spark.operators.dedup import (
-        incremental_minhash_candidates, minhash_band_table, ngram_jaccard)
+        incremental_minhash_candidates, minhash_index_table, ngram_jaccard)
 
     docs = _docs_sampled(spark, sf_dir, _mod)
     old = docs.filter(F.col("doc_id") % 6 == 0)
     new = docs.filter(F.col("doc_id") % 6 == 3)
-    index = minhash_band_table(old)
+    index = minhash_index_table(old)
     cand = incremental_minhash_candidates(new, index)
     verified = (ngram_jaccard(cand.select("a_id", "b_id"), docs, k=3)
                 .filter(F.col("jaccard") >= 0.2))

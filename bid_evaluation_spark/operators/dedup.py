@@ -1263,7 +1263,7 @@ def lsh_recall_report(candidates: DataFrame, docs: DataFrame,
 
 # ------------------------------------------------------- incremental dedup
 
-def minhash_band_table(df: DataFrame, id_col: str = "doc_id",
+def minhash_index_table(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", num_perm: int = 64,
                        bands: int = 16, shingle_k: int = 3,
                        seed: int = 42) -> DataFrame:
@@ -1295,7 +1295,7 @@ def incremental_minhash_candidates(new_docs: DataFrame,
     corpus — the production shape of continuous-crawl dedup:
 
     - ``new-vs-index``: the delta's banded hashes equi-join the
-      persisted :func:`minhash_band_table` on ``(band, bh)`` — the
+      persisted :func:`minhash_index_table` on ``(band, bh)`` — the
       standing corpus is NEVER re-shingled or re-hashed;
     - ``new-vs-new``: the usual banded self-join within the delta.
 
@@ -1309,7 +1309,7 @@ def incremental_minhash_candidates(new_docs: DataFrame,
     side of one hash equi-join, which is exactly the shape Spark
     shuffles well — and with the index bucketed by ``bh`` on disk the
     join is shuffle-free on the big side."""
-    new_banded = minhash_band_table(new_docs, id_col, text_col,
+    new_banded = minhash_index_table(new_docs, id_col, text_col,
                                     num_perm, bands, shingle_k, seed
                                     ).persist()
     ln, rn = new_banded.alias("l"), new_banded.alias("r")

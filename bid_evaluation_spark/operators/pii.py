@@ -79,13 +79,18 @@ def luhn_valid(digits: Column) -> Column:
     when >9) and the total must divide by 10. Empty/non-digit input is
     the caller's problem (pre-strip separators)."""
     n = F.length(digits)
-    d = lambda i: F.ascii(F.substring(digits, i, 1)) - 48  # noqa: E731
-    term = F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when((n - i) % 2 == 1,
-                         F.when(d(i) * 2 > 9, d(i) * 2 - 9)
-                         .otherwise(d(i) * 2))
-        .otherwise(d(i)))
+    # digits and right-positions are the HOF *arguments* (lesson 18:
+    # a captured local would re-evaluate per element); zip_with pairs
+    # digit value with its position from the right
+    ds = F.transform(F.sequence(F.lit(1), n),
+                     lambda i: F.ascii(F.substring(digits, i, 1)) - 48)
+    pos_r = F.sequence(n, F.lit(1), F.lit(-1))
+    term = F.zip_with(
+        ds, pos_r,
+        lambda dd, p: F.when(p % 2 == 0,
+                             F.when(dd * 2 > 9, dd * 2 - 9)
+                             .otherwise(dd * 2))
+        .otherwise(dd))
     total = F.aggregate(term, F.lit(0), lambda acc, x: acc + x)
     return (n > 0) & (total % 10 == 0)
 

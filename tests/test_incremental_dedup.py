@@ -127,9 +127,9 @@ def _shared_corpus(spark):
 
 
 def test_band_table_is_persistable_index(spark):
-    from bid_evaluation_spark.operators.dedup import minhash_band_table
+    from bid_evaluation_spark.operators.dedup import minhash_index_table
     docs = _shared_corpus(spark).filter("doc_id < 10")
-    bt = minhash_band_table(docs, bands=16, num_perm=64)
+    bt = minhash_index_table(docs, bands=16, num_perm=64)
     rows = bt.collect()
     assert {r["doc_id"] for r in rows} == {0, 1, 2}
     assert all(0 <= r["band"] < 16 for r in rows)
@@ -142,9 +142,9 @@ def test_band_table_is_persistable_index(spark):
 def test_incremental_candidates_index_and_delta(spark):
     from bid_evaluation_spark.operators.cache import release_all
     from bid_evaluation_spark.operators.dedup import (
-        incremental_minhash_candidates, minhash_band_table)
+        incremental_minhash_candidates, minhash_index_table)
     corpus = _shared_corpus(spark)
-    index = minhash_band_table(corpus.filter("doc_id < 10"))
+    index = minhash_index_table(corpus.filter("doc_id < 10"))
     new = corpus.filter("doc_id >= 10")
     got = {(r["a_id"], r["b_id"]): r["source"]
            for r in incremental_minhash_candidates(new, index).collect()}
@@ -172,9 +172,9 @@ def test_incremental_without_index_is_within_delta_only(spark):
 def test_recrawled_id_never_pairs_with_itself(spark):
     from bid_evaluation_spark.operators.cache import release_all
     from bid_evaluation_spark.operators.dedup import (
-        incremental_minhash_candidates, minhash_band_table)
+        incremental_minhash_candidates, minhash_index_table)
     docs = _shared_corpus(spark).filter("doc_id = 0")
-    index = minhash_band_table(docs)
+    index = minhash_index_table(docs)
     got = incremental_minhash_candidates(docs, index).collect()
     release_all()
     assert got == []

@@ -1926,7 +1926,7 @@ def check_wave11b_r11_operators(spark, sf_dir):
     import __spark_entry__ as entry
     from bid_evaluation_spark.operators.cache import release_all
     from bid_evaluation_spark.operators.dedup import (
-        incremental_minhash_candidates, minhash_band_table)
+        incremental_minhash_candidates, minhash_index_table)
     from bid_evaluation_spark.operators.pii import redact_ccn
     from bid_evaluation_spark.operators.similarity import hard_negatives
     from bid_evaluation_spark.operators.spans import (
@@ -1941,7 +1941,7 @@ def check_wave11b_r11_operators(spark, sf_dir):
         if "BatchEvalPython" in p or "MapInPandas" in p:
             probs.append(f"{name} dropped into Python — must be "
                          "native Column math")
-    idx = minhash_band_table(docs)
+    idx = minhash_index_table(docs)
     p = plan_of(incremental_minhash_candidates(docs, idx))
     release_all()
     if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
