@@ -15918,10 +15918,74 @@ FROM d
 """
 
 
+def _q_mm_webp_inventory_documents(spark, sf_dir):
+    """WebP container inventory (operators/webp.py — RIFF chunk walk +
+    VP8/VP8L/VP8X headers: 14-bit lossy dims behind the 9D012A start
+    code, the lossless 0x2F bitfield with its alpha flag, the extended
+    flag byte + 24-bit canvas dims, odd-size chunk padding, damage
+    salvage). Classes (d%5): lossy with doc-dependent dims,
+    lossless+alpha, extended animated+EXIF, junk, truncation. Oracle:
+    CLOSED-FORM from doc_id arithmetic."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.webp import (build_webp,
+                                                     webp_inventory)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 5
+                if c == 0:
+                    p = build_webp("lossy", width=64 + d % 9 * 16,
+                                   height=48 + d % 7 * 16)
+                elif c == 1:
+                    p = build_webp("lossless", width=100, height=50,
+                                   alpha=True)
+                elif c == 2:
+                    p = build_webp("extended", width=1920,
+                                   height=1080, animated=True,
+                                   exif=True)
+                elif c == 3:
+                    p = b"certainly not a webp"
+                else:
+                    p = build_webp("lossy", width=32, height=24)[:20]
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return webp_inventory(media)
+
+
+_SQL_MM_WEBP_INVENTORY_DOCUMENTS = """
+WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents)
+SELECT doc_id AS media_id,
+  (c <> 3) AS is_webp,
+  CASE c WHEN 0 THEN 'lossy' WHEN 1 THEN 'lossless'
+         WHEN 2 THEN 'extended' END AS format,
+  CAST(CASE c WHEN 0 THEN 64 + doc_id % 9 * 16 WHEN 1 THEN 100
+              WHEN 2 THEN 1920 END AS INT) AS width,
+  CAST(CASE c WHEN 0 THEN 48 + doc_id % 7 * 16 WHEN 1 THEN 50
+              WHEN 2 THEN 1080 END AS INT) AS height,
+  (c = 1) AS has_alpha,
+  (c = 2) AS is_animated,
+  (c = 2) AS has_exif,
+  false AS has_xmp,
+  CAST(CASE c WHEN 2 THEN 3 WHEN 3 THEN 0 WHEN 4 THEN 0 ELSE 1 END
+       AS INT) AS n_chunks,
+  (c <> 4) AS clean   -- junk is not-a-webp, not DAMAGE; truncation is
+FROM d
+"""
+
+
 def _q_mm_media_census_documents(spark, sf_dir):
     """Corpus media-type CENSUS (operators/mediatype.py — the magic-
-    byte router at the TOP of the multimodal funnel): 16 classes, one
-    per in-repo container family — PNG/JPEG/GIF/TIFF/BMP/Netpbm images,
+    byte router at the TOP of the multimodal funnel): 17 classes, one
+    per in-repo container family — PNG/JPEG/GIF/TIFF/BMP/Netpbm/WebP images,
     WAV/FLAC/Ogg-Opus/bare-MP3 audio, MP4/MJPEG-AVI video, PDF, HTML,
     plain text, binary junk — every payload built by the repo's OWN
     encoder for that format, so the census and the codecs gate each
@@ -15945,6 +16009,7 @@ def _q_mm_media_census_documents(spark, sf_dir):
     from bid_evaluation_spark.operators.png import encode_png
     from bid_evaluation_spark.operators.tiff import encode_tiff
     from bid_evaluation_spark.operators.wav import encode_wav
+    from bid_evaluation_spark.operators.webp import build_webp
 
     docs = _docs_par(spark, sf_dir)
 
@@ -15967,11 +16032,12 @@ def _q_mm_media_census_documents(spark, sf_dir):
             13: b"<html><body>a page</body></html>",
             14: b"just some plain utf-8 prose, no markup",
             15: b"\x00\xfe\x80\xff raw binary garbage \x81\x82",
+            16: build_webp("lossy", width=64, height=48),
         }
         for pdf_ in batches:
             yield pd.DataFrame({
                 "media_id": pdf_["doc_id"],
-                "payload": [fixed[int(d) % 16] for d in pdf_["doc_id"]],
+                "payload": [fixed[int(d) % 17] for d in pdf_["doc_id"]],
             })
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
@@ -15987,10 +16053,11 @@ WITH golden(c, mt, cont, det) AS (VALUES
   (8, 'audio', 'ogg', 'opus'), (9, 'audio', 'mpeg', 'layer3'),
   (10, 'video', 'mp4', 'isom'), (11, 'video', 'avi', ''),
   (12, 'document', 'pdf', '1.4'), (13, 'text', 'html', ''),
-  (14, 'text', 'plain', ''), (15, 'unknown', 'binary', ''))
+  (14, 'text', 'plain', ''), (15, 'unknown', 'binary', ''),
+  (16, 'image', 'webp', 'lossy'))
 SELECT doc_id AS media_id, g.mt AS media_type,
        g.cont AS container, g.det AS detail
-FROM documents JOIN golden g ON g.c = doc_id % 16
+FROM documents JOIN golden g ON g.c = doc_id % 17
 """
 
 
@@ -17060,7 +17127,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(37) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(38) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17697,6 +17764,8 @@ _QUERIES: dict = {
                                    _SQL_MM_MP4_INVENTORY_DOCUMENTS),
     "mm_ogg_inventory_documents": (_q_mm_ogg_inventory_documents,
                                    _SQL_MM_OGG_INVENTORY_DOCUMENTS),
+    "mm_webp_inventory_documents": (_q_mm_webp_inventory_documents,
+                                    _SQL_MM_WEBP_INVENTORY_DOCUMENTS),
     "mm_media_census_documents": (_q_mm_media_census_documents,
                                   _SQL_MM_MEDIA_CENSUS_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,

@@ -54,6 +54,10 @@ def sniff_media_type(data: bytes) -> Tuple[str, str, str]:
             return "audio", "wav", ""
         if form == b"AVI ":
             return "video", "avi", ""
+        if form == b"WEBP":
+            from .webp import parse_webp_inventory
+            fmt = parse_webp_inventory(data).get("format")
+            return "image", "webp", fmt or ""
         return "unknown", "riff", form.decode("latin1", "replace")
     # --- other audio ---------------------------------------------------
     if data[:4] == b"fLaC":

@@ -1,0 +1,161 @@
+"""WebP container INVENTORY (public RIFF/WebP container spec +
+VP8/VP8L/VP8X bitstream headers) — the modern crawl's dominant image
+format after JPEG/PNG; routing and dimension census need only the
+chunk headers:
+
+- RIFF outer: ``RIFF <size> WEBP``, then chunks ``<4cc> <size u32 LE>``
+  (odd sizes pad one byte);
+- ``VP8 `` (lossy): frame tag (3 bytes: keyframe bit, version,
+  show_frame, partition length), start code ``9D 01 2A``, then 14-bit
+  width/height (little-endian u16, upper 2 bits are scaling);
+- ``VP8L`` (lossless): 1-byte signature ``0x2F``, then a 32-bit LE
+  field with 14-bit width-1 / height-1 and the alpha flag;
+- ``VP8X`` (extended): flag byte (ICC/alpha/EXIF/XMP/animation) and
+  24-bit LE canvas width-1 / height-1; feature chunks (``ANIM``/
+  ``ALPH``/``EXIF``/``XMP ``) follow.
+
+Sample decode (VP8 DCT / VP8L entropy) stays a library seam like
+MP3/H.264 — everything a curation router needs (format tier,
+dimensions, alpha, animation, metadata presence) is header-level.
+
+Spark shape: one Arrow kernel, header bytes only.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def is_webp(data: bytes) -> bool:
+    return (len(data) >= 16 and data[:4] == b"RIFF"
+            and data[8:12] == b"WEBP")
+
+
+def parse_webp_inventory(data: bytes) -> dict:
+    """Chunk walk → inventory dict (``is_webp`` False when the RIFF/
+    WEBP frame is absent; damage → valid-prefix inventory with
+    ``clean=false``)."""
+    out = {"is_webp": False, "format": None, "width": None,
+           "height": None, "has_alpha": False, "is_animated": False,
+           "has_exif": False, "has_xmp": False, "n_chunks": 0,
+           "clean": True}
+    if not is_webp(data):
+        return out
+    out["is_webp"] = True
+    (riff_size,) = struct.unpack_from("<I", data, 4)
+    end = min(len(data), 8 + riff_size)
+    pos = 12
+    while pos + 8 <= end:
+        fourcc = data[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if body + size > end:
+            out["clean"] = False
+            break
+        out["n_chunks"] += 1
+        if fourcc == b"VP8 " and size >= 10:
+            if data[body + 3:body + 6] == b"\x9d\x01\x2a":
+                (w,) = struct.unpack_from("<H", data, body + 6)
+                (h,) = struct.unpack_from("<H", data, body + 8)
+                if out["format"] is None:
+                    out["format"] = "lossy"
+                    out["width"] = w & 0x3FFF
+                    out["height"] = h & 0x3FFF
+        elif fourcc == b"VP8L" and size >= 5 \
+                and data[body] == 0x2F:
+            (bits,) = struct.unpack_from("<I", data, body + 1)
+            if out["format"] is None:
+                out["format"] = "lossless"
+                out["width"] = (bits & 0x3FFF) + 1
+                out["height"] = ((bits >> 14) & 0x3FFF) + 1
+            out["has_alpha"] |= bool((bits >> 28) & 1)
+        elif fourcc == b"VP8X" and size >= 10:
+            flags = data[body]
+            out["has_alpha"] |= bool(flags & 0x10)
+            out["is_animated"] |= bool(flags & 0x02)
+            out["has_exif"] |= bool(flags & 0x08)
+            out["has_xmp"] |= bool(flags & 0x04)
+            out["format"] = "extended"
+            out["width"] = int.from_bytes(
+                data[body + 4:body + 7], "little") + 1
+            out["height"] = int.from_bytes(
+                data[body + 7:body + 10], "little") + 1
+        elif fourcc == b"ALPH":
+            out["has_alpha"] = True
+        pos = body + size + (size & 1)          # odd sizes pad
+    if pos != end:
+        out["clean"] = out["clean"] and pos >= end
+    return out
+
+
+# ---------------------------------------------------------------- builder
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) & 1 else b""
+    return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+
+def build_webp(fmt: str, *, width: int = 32, height: int = 24,
+               alpha: bool = False, animated: bool = False,
+               exif: bool = False) -> bytes:
+    """Deterministic fixture WebP (header-true, payload bytes zero —
+    this module never reads samples). ``fmt`` ∈ lossy/lossless/
+    extended."""
+    chunks = b""
+    if fmt == "lossy":
+        body = (b"\x00\x00\x00" + b"\x9d\x01\x2a"
+                + struct.pack("<HH", width, height) + b"\x00" * 6)
+        chunks = _chunk(b"VP8 ", body)
+    elif fmt == "lossless":
+        bits = (width - 1) | ((height - 1) << 14) \
+            | ((1 if alpha else 0) << 28)
+        chunks = _chunk(b"VP8L", b"\x2f" + struct.pack("<I", bits)
+                        + b"\x00" * 4)
+    else:
+        flags = (0x10 if alpha else 0) | (0x02 if animated else 0) \
+            | (0x08 if exif else 0)
+        body = (bytes([flags]) + b"\x00\x00\x00"
+                + (width - 1).to_bytes(3, "little")
+                + (height - 1).to_bytes(3, "little"))
+        chunks = _chunk(b"VP8X", body)
+        if animated:
+            chunks += _chunk(b"ANIM", b"\x00" * 6)
+        if exif:
+            chunks += _chunk(b"EXIF", b"\x00" * 8)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" \
+        + chunks
+
+
+_SCHEMA = ("media_id long, is_webp boolean, format string, "
+           "width int, height int, has_alpha boolean, "
+           "is_animated boolean, has_exif boolean, has_xmp boolean, "
+           "n_chunks int, clean boolean")
+
+
+def webp_inventory(df: DataFrame, payload_col: str = "payload",
+                   id_col: str = "media_id") -> DataFrame:
+    """Per-file WebP inventory manifest (one Arrow kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    inv = parse_webp_inventory(bytes(p or b""))
+                except Exception:
+                    inv = parse_webp_inventory(b"")
+                    inv["clean"] = False
+                rows.append({"media_id": int(mid), **inv})
+            out = pd.DataFrame(rows, columns=[
+                "media_id", "is_webp", "format", "width", "height",
+                "has_alpha", "is_animated", "has_exif", "has_xmp",
+                "n_chunks", "clean"])
+            for c in ("width", "height", "n_chunks"):
+                out[c] = out[c].astype("Int32")
+            yield out
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, _SCHEMA)
