@@ -2980,7 +2980,15 @@ def _q_dedup_incremental_minhash_documents(spark, sf_dir,
     query. Oracle: the FULL quadratic exact-Jaccard truth restricted
     to pairs touching the delta (old-vs-old must NOT appear — the
     whole point), with source derived from membership parity; the
-    operator's own source labels are value-gated against it."""
+    operator's own source labels are value-gated against it.
+
+    Equality vs the J≥0.2 truth holds for the same data-distribution
+    reason _q_dedup_minhash_candidates_documents documents: a 16-band
+    × 4-row banding catches a J≈0.2 pair with only ~2.5% probability,
+    but THIS corpus's qualifying pairs are all J≥0.9 (verified by the
+    oracle's own distribution), where the catch probability is
+    ≈1-4e-8. If a future SF dir introduces borderline-J pairs and this
+    sweep reddens, diagnose it as data, not code."""
     from bid_evaluation_spark.operators.dedup import (
         incremental_minhash_candidates, minhash_index_table, ngram_jaccard)
 

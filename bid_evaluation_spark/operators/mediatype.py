@@ -55,17 +55,18 @@ def sniff_media_type(data: bytes) -> Tuple[str, str, str]:
         if form == b"AVI ":
             return "video", "avi", ""
         if form == b"WEBP":
-            from .webp import parse_webp_inventory
-            fmt = parse_webp_inventory(data).get("format")
-            return "image", "webp", fmt or ""
+            from .webp import sniff_webp_format
+            # first-chunk sniff only — the census must stay constant
+            # work per file; the full chunk walk is webp_inventory's
+            return "image", "webp", sniff_webp_format(data) or ""
         return "unknown", "riff", form.decode("latin1", "replace")
     # --- other audio ---------------------------------------------------
     if data[:4] == b"fLaC":
         return "audio", "flac", ""
     if data[:4] == b"OggS":
-        from .ogg import parse_ogg_inventory
-        codec = parse_ogg_inventory(data).get("codec")
-        return "audio", "ogg", codec or ""
+        from .ogg import sniff_ogg_codec
+        # BOS-page sniff only — never the full O(file) page walk
+        return "audio", "ogg", sniff_ogg_codec(data) or ""
     if data[:3] == b"ID3":
         return "audio", "mpeg", "id3"
     if len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0:

@@ -67,6 +67,7 @@ def _frame_info(hdr: int) -> Optional[dict]:
         return None                       # free-format unsupported / bad
     pad = (hdr >> 9) & 1
     mode = (hdr >> 6) & 3
+    crc = ((hdr >> 16) & 1) == 0          # protection bit 0 = CRC-16
     vgroup = 1 if version == 3 else 2
     bitrate = _BITRATES[(vgroup, layer)][br_idx] * 1000
     rate = _RATES[version][sr_idx]
@@ -81,7 +82,7 @@ def _frame_info(hdr: int) -> Optional[dict]:
         size = (144 if vgroup == 1 else 72) * bitrate // rate + pad
     return {"version": version, "layer": layer, "bitrate": bitrate,
             "rate": rate, "samples": samples, "size": size,
-            "mode": mode}
+            "mode": mode, "crc": crc}
 
 
 def _skip_id3v2(data: bytes) -> int:
@@ -97,7 +98,9 @@ def _skip_id3v2(data: bytes) -> int:
 def _xing_frames(data: bytes, pos: int, info: dict) -> Optional[int]:
     """Frame count from a Xing/Info tag in the frame at ``pos`` (None
     when absent). The tag sits after the side-info block, whose size
-    depends on version and channel mode (public layout)."""
+    depends on version and channel mode (public layout); a
+    CRC-protected frame (protection bit 0) carries a 2-byte CRC-16
+    between header and side info, shifting the tag by 2."""
     if info["layer"] != 3:
         return None
     mono = info["mode"] == 3
@@ -105,7 +108,9 @@ def _xing_frames(data: bytes, pos: int, info: dict) -> Optional[int]:
         side = 17 if mono else 32
     else:
         side = 9 if mono else 17
-    off = pos + 4 + side
+    off = pos + 4 + (2 if info["crc"] else 0) + side
+    if off + 12 > len(data):              # truncation degrades to None
+        return None
     if data[off:off + 4] not in (b"Xing", b"Info"):
         return None
     (flags,) = struct.unpack_from(">I", data, off + 4)
@@ -159,11 +164,13 @@ def parse_mp3_inventory(data: bytes) -> dict:
 
 def build_mp3(frames, *, version: int = 3, layer: int = 3,
               sr_idx: int = 0, mode: int = 3, id3v2_bytes: int = 0,
-              id3v1: bool = False, xing_frames: int = None) -> bytes:
+              id3v1: bool = False, xing_frames: int = None,
+              crc: bool = False) -> bytes:
     """Assemble an MPEG audio stream from ``frames`` = list of
     bitrate-table indices (deterministic fixture source; payloads are
     zero bytes — this module never reads them). ``xing_frames`` writes
-    a Xing tag into the first frame."""
+    a Xing tag into the first frame; ``crc=True`` sets protection
+    bit 0 (a 2-byte CRC-16 precedes the side info, shifting the tag)."""
     out = bytearray()
     if id3v2_bytes:
         body = id3v2_bytes - 10
@@ -172,7 +179,8 @@ def build_mp3(frames, *, version: int = 3, layer: int = 3,
              (body >> 7) & 0x7F, body & 0x7F]) + b"\x00" * body
     for k, br_idx in enumerate(frames):
         hdr = (0x7FF << 21) | (version << 19) | ((4 - layer) << 17) \
-            | (1 << 16) | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+            | ((0 if crc else 1) << 16) | (br_idx << 12) \
+            | (sr_idx << 10) | (mode << 6)
         info = _frame_info(hdr)
         frame = bytearray(struct.pack(">I", hdr))
         frame += b"\x00" * (info["size"] - 4)
@@ -180,9 +188,10 @@ def build_mp3(frames, *, version: int = 3, layer: int = 3,
             mono = mode == 3
             side = (17 if mono else 32) if version == 3 \
                 else (9 if mono else 17)
-            frame[4 + side:4 + side + 4] = b"Xing"
-            struct.pack_into(">I", frame, 4 + side + 4, 1)
-            struct.pack_into(">I", frame, 4 + side + 8, xing_frames)
+            base = 4 + (2 if crc else 0) + side
+            frame[base:base + 4] = b"Xing"
+            struct.pack_into(">I", frame, base + 4, 1)
+            struct.pack_into(">I", frame, base + 8, xing_frames)
         out += frame
     if id3v1:
         out += b"TAG" + b"\x00" * 125

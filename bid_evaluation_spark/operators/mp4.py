@@ -72,9 +72,13 @@ def _mvhd(data: bytes, b: int) -> Tuple[int, int]:
     return ts, dur
 
 
-def _tkhd_dims(data: bytes, b: int, e: int) -> Tuple[float, float]:
+def _tkhd_dims(data: bytes, b: int, e: int) -> Tuple[Optional[float],
+                                                     Optional[float]]:
     """(width, height) from a tkhd body — 16.16 fixed point, last 8
-    bytes of the box."""
+    bytes of the box. A malformed tkhd shorter than 8 bytes degrades
+    to (None, None) rather than reading the preceding box's bytes."""
+    if e - b < 8:
+        return None, None
     w, h = struct.unpack_from(">II", data, e - 8)
     return w / 65536.0, h / 65536.0
 

@@ -75,6 +75,18 @@ def _codec_id(packet: bytes) -> Optional[dict]:
     return None
 
 
+def sniff_ogg_codec(data: bytes) -> Optional[str]:
+    """Codec name from the FIRST (BOS) page's id packet only —
+    constant work per file, for :mod:`.mediatype`'s census (the full
+    inventory walks every page; a sniff must not)."""
+    if data[:4] != b"OggS" or len(data) < 28 or data[4] != 0:
+        return None
+    nseg = data[26]
+    body = 27 + nseg
+    cid = _codec_id(data[body:body + 64])
+    return cid["codec"] if cid else None
+
+
 def parse_ogg_inventory(data: bytes) -> dict:
     """Page walk → inventory dict (first audio stream's codec fields;
     ``n_pages=0`` means not an Ogg)."""

@@ -24,7 +24,7 @@ Spark shape: one Arrow kernel, header bytes only.
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -33,6 +33,18 @@ from pyspark.sql import DataFrame
 def is_webp(data: bytes) -> bool:
     return (len(data) >= 16 and data[:4] == b"RIFF"
             and data[8:12] == b"WEBP")
+
+
+def sniff_webp_format(data: bytes) -> Optional[str]:
+    """Format tier from the FIRST chunk fourcc only (a conformant
+    WebP leads with its format chunk — VP8 /VP8L/VP8X) — constant work
+    per file, for :mod:`.mediatype`'s census; the full inventory walks
+    all chunks."""
+    if not is_webp(data):
+        return None
+    fourcc = data[12:16]
+    return {b"VP8 ": "lossy", b"VP8L": "lossless",
+            b"VP8X": "extended"}.get(bytes(fourcc))
 
 
 def parse_webp_inventory(data: bytes) -> dict:

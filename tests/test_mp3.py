@@ -59,3 +59,26 @@ def test_kernel(spark):
     assert got[0]["n_frames"] == 5 and got[0]["clean"]
     assert got[1]["n_frames"] == 0 and not got[1]["clean"]
     assert got[2]["n_frames"] == 0
+
+
+def test_crc_protected_xing_offset_and_truncated_magic():
+    # ADVICE r11: protection bit 0 inserts a 2-byte CRC-16 before the
+    # side info — the Xing tag shifts by 2 and must still be found.
+    inv = parse_mp3_inventory(build_mp3([9] * 4, crc=True,
+                                        xing_frames=4))
+    assert inv["xing_frames"] == 4 and inv["n_frames"] == 4
+    # A CRC-marked frame WITHOUT the shift (tag written at the
+    # unprotected offset) must NOT be misread as a Xing tag.
+    unshifted = bytearray(build_mp3([9] * 4, xing_frames=4))
+    unshifted[1] &= 0xFE                  # clear protection bit only
+    assert parse_mp3_inventory(bytes(unshifted))["xing_frames"] is None
+    # Truncation right past the 'Xing' magic degrades to None, not a
+    # struct.error escaping the 'never raised' contract.
+    from bid_evaluation_spark.operators.mp3 import (
+        _frame_info, _xing_frames)
+    import struct
+    whole = build_mp3([9], xing_frames=1)
+    info = _frame_info(struct.unpack_from(">I", whole, 0)[0])
+    cut = whole[:4 + 17 + 4 + 2]          # mono side 17, magic + 2
+    assert _xing_frames(cut, 0, info) is None
+    assert parse_mp3_inventory(cut)["xing_frames"] is None

@@ -57,3 +57,25 @@ def test_kernel(spark):
     assert got[0]["is_mp4"] and got[0]["video_codec"] == "avc1"
     assert got[1]["is_mp4"] is False
     assert got[2]["is_mp4"] is False
+
+
+def test_malformed_tiny_tkhd_degrades_to_null_dims():
+    # ADVICE r11: a tkhd box shorter than 8 bytes must yield null
+    # width/height, never the previous box's bytes as 16.16 dims.
+    import struct
+
+    from bid_evaluation_spark.operators.mp4 import _box
+
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    entry = _box(b"avc1", b"\x00" * 70)
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    mdia = _box(b"mdia", hdlr + _box(b"minf", _box(b"stbl", stsd)))
+    tiny_tkhd = _box(b"tkhd", b"\x00" * 4)          # 4-byte body
+    trak = _box(b"trak", tiny_tkhd + mdia)
+    mvhd = _box(b"mvhd", b"\x00" * 12 + struct.pack(">II", 1000, 0)
+                + b"\x00" * 80)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0) + b"isomiso2")
+    inv = parse_mp4_inventory(ftyp + _box(b"moov", mvhd + trak))
+    assert inv["is_mp4"] and inv["video_codec"] == "avc1"
+    assert inv["width"] is None and inv["height"] is None
+    assert inv["clean"]

@@ -51,3 +51,14 @@ def test_kernel(spark):
     assert got[0]["codec"] == "opus" and got[0]["duration_ms"] == 1000
     assert got[1]["is_ogg"] is False
     assert got[2]["is_ogg"] is False
+
+
+def test_bos_sniff_is_constant_work():
+    # ADVICE r11: the census sniff must read only the BOS page, never
+    # walk all pages — codec survives a payload cut mid-stream.
+    from bid_evaluation_spark.operators.ogg import sniff_ogg_codec
+    full = build_ogg("vorbis", rate=44100, n_audio_pages=4)
+    assert sniff_ogg_codec(full) == "vorbis"
+    assert sniff_ogg_codec(full[:120]) == "vorbis"   # tail gone
+    assert sniff_ogg_codec(b"OggS") is None
+    assert sniff_ogg_codec(b"junk") is None

@@ -55,3 +55,13 @@ def test_kernel(spark):
     got = {r["media_id"]: r for r in webp_inventory(df).collect()}
     assert got[0]["format"] == "lossless"
     assert got[1]["is_webp"] is False and got[2]["is_webp"] is False
+
+
+def test_first_chunk_sniff_is_constant_work():
+    # ADVICE r11: the census sniff reads only the first chunk fourcc;
+    # a truncated chunk body no longer hides the format tier.
+    from bid_evaluation_spark.operators.webp import sniff_webp_format
+    assert sniff_webp_format(build_webp("lossless")) == "lossless"
+    assert sniff_webp_format(build_webp("lossy")[:20]) == "lossy"
+    assert sniff_webp_format(b"RIFF\x00\x00\x00\x00WEBPJUNK") is None
+    assert sniff_webp_format(b"junk") is None
