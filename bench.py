@@ -329,6 +329,17 @@ BENCHES = {
 }
 
 
+#: Idle-box anchor for the fixed calibration job below: the minimum
+#: calibration second observed across this repo's idle close-out runs
+#: (r10: 0.306, r11: 0.263). ``calibration_ratio`` =
+#: min(before, after) / this — >1 means THIS run's box was slower than
+#: the anchor and the raw headline overstates regressions by that
+#: factor; ``value_normalized`` = value / ratio is the machine-written
+#: deflation (r11 verdict task 2: the artifact must carry the
+#: normalization itself, not leave it to prose).
+CALIB_BASELINE_SEC = 0.263
+
+
 def _calibrate(spark):
     """Deterministic fixed-work JVM job timed as a box-speed anchor: the
     same plan every round, so round-over-round drift in THIS number is
@@ -364,6 +375,7 @@ def main():
             yield b
 
     spark.range(1).mapInPandas(_noop_udf, "id long").count()
+    _calibrate(spark)   # discarded: first range-agg JVM job pays JIT
     calib_before = _calibrate(spark)
 
     # k interleaved passes over the whole suite (pass 0 is the cold pass;
@@ -408,12 +420,26 @@ def main():
 
     total = round(sum(best.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # self-normalization (r11 verdict task 2): deflate by how much
+    # slower than the idle-box anchor this run's JVM measurably was,
+    # so a loaded box can no longer print an apparent regression the
+    # prose has to explain. Raw numbers stay primary; normalized ones
+    # are the cross-round comparable.
+    calib_ratio = round(min(calib_before, calib_after)
+                        / CALIB_BASELINE_SEC, 3)
+    norm = max(calib_ratio, 1.0)   # never inflate on a fast box
+    total_normalized = round(total / norm, 3)
+    best_normalized = {n: round(v / norm, 3) for n, v in best.items()}
     payload = json.dumps({
         "metric": ("bid_evaluation_spark headline suite wall time "
                    f"(per-query min of {passes} interleaved passes)"),
         "value": total,
         "unit": "sec",
+        "value_normalized": total_normalized,
+        "calibration_ratio": calib_ratio,
+        "calibration_baseline_sec": CALIB_BASELINE_SEC,
         "queries": best,
+        "queries_normalized": best_normalized,
         "cold_value": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "warm_value": round(sum(warm.values()), 3),
@@ -429,9 +455,11 @@ def main():
             "extra_passes": extra_passes,
             "calibration_sec_before": calib_before,
             "calibration_sec_after": calib_after,
-            "calibration_note": ("fixed 200M-row JVM aggregate; compare "
-                                 "across rounds to separate box-speed "
-                                 "drift from plan regressions"),
+            "calibration_note": ("fixed 200M-row JVM aggregate (first "
+                                 "run discarded for JIT); ratio vs the "
+                                 "pinned idle-box anchor deflates "
+                                 "value_normalized — box-speed drift "
+                                 "is machine-written, not prose"),
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     })
@@ -462,6 +490,8 @@ def main():
         "metric": "bid_evaluation_spark headline suite wall time",
         "value": total,
         "unit": "sec",
+        "value_normalized": total_normalized,
+        "calibration_ratio": calib_ratio,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(best),
         "cold_value": round(sum(cold.values()), 3),
