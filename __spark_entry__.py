@@ -15579,26 +15579,39 @@ FROM documents JOIN golden g ON g.c = doc_id % 6
 
 def _q_mm_audio_curation_documents(spark, sf_dir):
     """END-TO-END audio curation (operators/audiocuration.py — the r10
-    verdict's task-5 composition): decode → energy VAD → K-weighted
-    BS.1770 gated loudness → log-mel moments → landmark dedup, ONE
-    Arrow decode pass per clip, content gates as native predicates,
-    dedup as a landmark-hash equi-join over content-passing clips
-    only, verdict as a precedence CASE.
+    verdict's task-5 composition, extended r12 per verdict task 7 with
+    the BS.1770-4 true-peak gate and polyphase rate normalization):
+    decode → true peak on the stored waveform → resample to 8 kHz →
+    energy VAD → K-weighted BS.1770 gated loudness → log-mel moments →
+    landmark dedup, ONE Arrow decode pass per clip, content gates as
+    native predicates, dedup as a landmark-hash equi-join over
+    content-passing clips only, verdict as a precedence CASE
+    (undecodable → no_speech → low_speech_ratio → loudness →
+    true_peak_over → duplicate → keep).
 
     Fixture (fixed witness set doc_id < 120, constant across SFs):
-    class c = d%10 picks a signal that trips exactly one gate —
+    class c = d%12 picks a signal that trips exactly one gate —
     silence (no_speech), −39 LUFS quiet bursts (loudness-low), −3.3
     LUFS hot tone (loudness-high, only ABOVE the gate because the
     K-shelf adds +3.2 dB at 2 kHz — a no-op weighting flips the
     verdict), keepable bursts at 500/1000/3000 Hz (classes 3/6/7;
     every doc beyond the class minimum is an exact duplicate), a
     12 % speech-ratio clip, junk bytes (undecodable), sub-threshold
-    bursts (no_speech). Same-class clips are identical ⇒ landmark
-    self-votes ≥1092 at offset 0; measured cross-class vote mass is 0,
-    so min_votes=50 separates perfectly. Oracle: frozen 10-class
-    feature goldens computed ONCE by the same decode→VAD→K-weight→
-    gate→mel chain, plus a FULL SQL replay of the verdict precedence
-    and the dup_of = class-minimum rule."""
+    bursts (no_speech), plus the two r12 classes: c10 = class-3
+    bursts with a rate/4, phase-π/4 inter-sample-over transient in
+    the first gap (every SAMPLE ≤0.78, true peak 1.1 = +0.83 dBTP —
+    a sample-peak fake passes it, the gate must not), and c11 = the
+    class-6 recording STORED AT 16 kHz (duplicate only because
+    target_rate=8000 resamples it before the landmark stage; its
+    dup_of=6 row value-asserts the cross-rate path). c10 also
+    value-asserts the gate order: its landmarks contain class 3's,
+    but dup_of stays NULL because the tp gate removes it from the
+    dedup set. Same-class clips are identical ⇒ landmark self-votes
+    ≥1092 at offset 0; cross-class vote mass is 0 except the designed
+    c11↔c6 match, so min_votes=50 separates perfectly. Oracle: frozen
+    12-class feature goldens computed ONCE by the same decode→peak→
+    resample→VAD→K-weight→gate→mel chain, plus a FULL SQL replay of
+    the verdict precedence and the dup_of = class-minimum rule."""
     import numpy as np
     import pandas as pd
 
@@ -15610,12 +15623,13 @@ def _q_mm_audio_curation_documents(spark, sf_dir):
     def gen(batches):
         R = 8000
 
-        def tone(n, amp, f):
-            return amp * np.sin(2 * np.pi * f * np.arange(n) / R)
+        def tone(n, amp, f, rate=R, phase=0.0):
+            return amp * np.sin(2 * np.pi * f * np.arange(n) / rate
+                                + phase)
 
-        def bursts(on, off, reps, amp, f):
+        def bursts(on, off, reps, amp, f, rate=R):
             return np.concatenate(sum(
-                [[tone(on, amp, f), np.zeros(off)]
+                [[tone(on, amp, f, rate), np.zeros(off)]
                  for _ in range(reps)], []))
 
         def sig(c):
@@ -15636,20 +15650,29 @@ def _q_mm_audio_curation_documents(spark, sf_dir):
                 return tone(12000, 0.25, 3000)
             if c == 8:
                 return bursts(4000, 2000, 3, 0.005, 500)
+            if c == 10:
+                x = bursts(4000, 2000, 3, 0.3, 500)
+                x[4100:4900] = tone(800, 1.1, R / 4, phase=np.pi / 4)
+                return x
+            if c == 11:                 # class-6 recording at 16 kHz
+                return bursts(6400, 3200, 4, 0.45, 1000, rate=16000)
             return tone(16000, 0.9, 2500)          # c == 9
 
         for pdf in batches:
             payloads = []
             for d in pdf["doc_id"]:
-                c = int(d) % 10
-                payloads.append(b"junk!" if c == 5
-                                else encode_wav(sig(c), rate=R))
+                c = int(d) % 12
+                payloads.append(
+                    b"junk!" if c == 5
+                    else encode_wav(sig(c),
+                                    rate=16000 if c == 11 else R))
             yield pd.DataFrame({"media_id": pdf["doc_id"],
                                 "payload": payloads})
 
     media = docs.mapInPandas(gen, "media_id long, payload binary")
-    res = audio_curation(media, min_votes=50)
+    res = audio_curation(media, min_votes=50, target_rate=8000)
     return res.select("media_id", "decode_ok", "duration_ms",
+                      _r4("true_peak_dbtp").alias("tp_r4"),
                       "n_segments", "speech_ms",
                       _r4("speech_ratio").alias("ratio_r4"),
                       _r4("integrated_lufs").alias("lufs_r4"),
@@ -15658,35 +15681,42 @@ def _q_mm_audio_curation_documents(spark, sf_dir):
 
 
 _SQL_MM_AUDIO_CURATION_DOCUMENTS = """
-WITH golden(c, ok, dur, nseg, sp, ratio, lufs, mel) AS (VALUES
-  (0, true, 2000, 0, 0,    0.0,    NULL,     0.0),
-  (1, true, 2250, 3, 1504, 0.6684, -39.0177, 2.4246),
-  (2, true, 2000, 1, 1984, 0.992,  -3.3057,  0.0),
-  (3, true, 2250, 3, 1584, 0.704,  -15.4889, 3.0836),
-  (4, true, 2850, 1, 352,  0.1235, -16.9327, 2.1183),
-  (5, false, NULL, NULL, NULL, NULL, NULL,   NULL),
-  (6, true, 2400, 4, 1680, 0.7,    -11.6106, 3.349),
-  (7, true, 1500, 1, 1472, 0.9813, -11.5139, 0.0),
-  (8, true, 2250, 0, 0,    0.0,    -51.0941, 2.1429),
-  (9, true, 2000, 1, 1984, 0.992,  -0.5409,  0.0))
+WITH golden(c, ok, dur, tp, nseg, sp, ratio, lufs, mel) AS (VALUES
+  (0, true, 2000, NULL,     0, 0,    0.0,    NULL,     0.0),
+  (1, true, 2250, -33.9766, 3, 1504, 0.6684, -39.0177, 2.4246),
+  (2, true, 2000, -3.0986,  1, 1984, 0.992,  -3.3057,  0.0),
+  (3, true, 2250, -10.4497, 3, 1584, 0.704,  -15.4889, 3.0836),
+  (4, true, 2850, -10.4496, 1, 352,  0.1235, -16.9327, 2.1183),
+  (5, false, NULL, NULL, NULL, NULL, NULL,   NULL,     NULL),
+  (6, true, 2400, -6.9001,  4, 1680, 0.7,    -11.6106, 3.349),
+  (7, true, 1500, -12.0423, 1, 1472, 0.9813, -11.5139, 0.0),
+  (8, true, 2250, -46.0537, 0, 0,    0.0,    -51.0941, 2.1429),
+  (9, true, 2000, -0.9155,  1, 1984, 0.992,  -0.5409,  0.0),
+  -- r12: sample-legal inter-sample over (+0.92 dBTP) on class-3 bursts
+  (10, true, 2250, 0.9154,  3, 1696, 0.7538, -10.5106, 3.3403),
+  -- r12: the class-6 recording stored at 16 kHz, rate-normalized
+  (11, true, 2400, -6.9279, 4, 1680, 0.7,    -11.6109, 3.3364))
 SELECT d.doc_id AS media_id,
        g.ok AS decode_ok,
        CAST(g.dur AS BIGINT) AS duration_ms,
+       CAST(g.tp AS DOUBLE) AS tp_r4,
        CAST(g.nseg AS BIGINT) AS n_segments,
        CAST(g.sp AS BIGINT) AS speech_ms,
        CAST(g.ratio AS DOUBLE) AS ratio_r4,
        CAST(g.lufs AS DOUBLE) AS lufs_r4,
        CAST(g.mel AS DOUBLE) AS mel_r4,
-       CAST(CASE WHEN g.c IN (3, 6, 7) AND d.doc_id > g.c
-                 THEN g.c END AS BIGINT) AS dup_of,
+       CAST(CASE WHEN g.c IN (3, 6, 7) AND d.doc_id > g.c THEN g.c
+                 WHEN g.c = 11 THEN 6 END AS BIGINT) AS dup_of,
        (g.c IN (3, 6, 7) AND d.doc_id = g.c) AS keep,
        CASE WHEN g.c = 5 THEN 'undecodable'
             WHEN g.c IN (0, 8) THEN 'no_speech'
             WHEN g.c = 4 THEN 'low_speech_ratio'
             WHEN g.c IN (1, 2, 9) THEN 'loudness'
+            WHEN g.c = 10 THEN 'true_peak_over'
+            WHEN g.c = 11 THEN 'duplicate'
             WHEN d.doc_id > g.c THEN 'duplicate'
        END AS drop_reason
-FROM documents d JOIN golden g ON g.c = d.doc_id % 10
+FROM documents d JOIN golden g ON g.c = d.doc_id % 12
 WHERE d.doc_id < 120
 """
 
@@ -17812,44 +17842,44 @@ _DRIVER_SAMPLE = [
     "w5_winner_part",
     "staged_threshold_orders",
     "batched_linear_orders",
-    # r10/r11 additions the driver has never verified (VERDICT r10
-    # task 3's explicit list, plus this round's loudness/curation work)
-    "mm_video_neardup_documents",
-    "retrieval_maxsim_embeddings",
-    "dedup_lsh_tune_documents",
-    "text_blocklist_documents",
-    "mm_loudness_documents",
-    "mm_loudness_kw_documents",
-    "mm_audio_curation_documents",
-    "mm_tiff_decode_documents",
-    "mm_bmp_decode_documents",
-    "mm_exif_documents",
-    "privacy_exif_scrub_documents",
-    "mm_vad_segments_documents",
-    "mm_melspec_documents",
-    "pipe_unigram_documents",
+    # r11 additions the driver has never verified (VERDICT r11 task 3's
+    # explicit list)
+    "mm_truepeak_documents",
+    "mm_mp3_inventory_documents",
+    "mm_mp4_inventory_documents",
+    "mm_ogg_inventory_documents",
+    "mm_webp_inventory_documents",
+    "mm_media_census_documents",
+    "dedup_span_removal_documents",
+    "dedup_incremental_minhash_documents",
+    "privacy_ccn_luhn_documents",
+    "emb_hard_negatives_embeddings",
     # never-driver-verified breadth across the remaining families
-    "dedup_semantic_embeddings",
-    "pipe_bpe_merges_documents",
-    "pipe_end_to_end_documents",
-    "pipe_token_mixture_documents",
-    "mm_g711_decode_documents",
-    "mm_adpcm_decode_documents",
-    "mm_bilinear_resize_documents",
-    "charset_decode_documents",
-    "quality_repetition_documents",
-    "text_bm25_topk_documents",
-    "pii_redact_documents",
-    "features_rolling_events",
-    "emb_quantize_embeddings",
-    "retrieval_rrf_hybrid_documents",
-    "analytics_bootstrap_orders",
-    "ts_seasonal_naive_events",
-    "fuzzy_fellegi_sunter_customer",
-    "profile_histogram_events",
-    "web_canonical_url_documents",
-    "pq_encode_embeddings",
-    # per-family continuity anchors (stay driver-verified every round)
+    "dedup_span_stats_documents",
+    "dedup_keep_best_documents",
+    "mq_image_quality_documents",
+    "mm_jpeg_decode_documents",
+    "mm_gif_decode_documents",
+    "mm_resample_documents",
+    "mm_audio_fingerprint_documents",
+    "mm_video_signature_documents",
+    "ts_changepoint_events",
+    "ts_km_summary_events",
+    "analytics_ab_test_events",
+    "analytics_gini_orders",
+    "graph_triangles_events",
+    "ml_gbm_stumps_lineitem",
+    "ml_knn_embeddings",
+    "retrieval_ndcg_embeddings",
+    "pipe_contamination_report_documents",
+    "pipe_split_documents",
+    "sketch_hll_by_group_documents",
+    "dq_audit_orders",
+    "fuzzy_join_supplier_names",
+    "io_footer_stats_orders",
+    "text_zipf_slope_documents",
+    # per-family continuity anchors (stay driver-verified every round;
+    # mm_audio_curation is the r11 composition headliner kept warm)
     "dedup_exact_documents",
     "dedup_minhash_candidates_documents",
     "events_tumbling_hour",
@@ -17857,6 +17887,7 @@ _DRIVER_SAMPLE = [
     "warc_ingest_documents",
     "graph_lpa_lineitem",
     "lm_perplexity_documents",
+    "mm_audio_curation_documents",
 ]
 
 

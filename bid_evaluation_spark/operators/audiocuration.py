@@ -39,11 +39,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from math import gcd, log10
+
 from .audiomatch import clip_landmarks
 from .cache import track_cached as _track_cached
-from .loudness import _gate_blocks, block_loudness
+from .loudness import _gate_blocks, block_loudness, true_peak
 from .melspec import log_mel_spectrogram
 from .multimodal import decode_audio
+from .resample import resample_poly
 from .vad import vad_segments
 
 #: landmark packing: hash (32 bits used) << 16 | anchor frame (< 2^16)
@@ -56,18 +59,28 @@ def curation_features(df: DataFrame, payload_col: str = "payload",
                       weighting: str = "k", frame: int = 256,
                       hop: int = 128, threshold_db: float = -40.0,
                       min_speech: int = 3, min_gap: int = 2,
-                      n_mels: int = 8) -> DataFrame:
+                      n_mels: int = 8,
+                      target_rate: int = None) -> DataFrame:
     """ONE decode pass → per-clip curation manifest:
 
-    ``(media_id, decode_ok, duration_ms, n_segments, speech_ms,
-    integrated_lufs, mel_std_mean, landmarks array<long>)``
+    ``(media_id, decode_ok, duration_ms, true_peak_dbtp, n_segments,
+    speech_ms, integrated_lufs, mel_std_mean, landmarks array<long>)``
 
     ``mel_std_mean`` is the mean over bands of the per-band temporal
     std — the cheap speech-vs-steady-tone signal. ``landmarks`` packs
     ``(hash << 16) | anchor_frame`` per landmark (anchor frame counts
-    are < 2^16 for any clip the kernel should see). Undecodable
-    payloads get ``decode_ok=false`` and null features — corruption
-    must stay countable, never fail the scan."""
+    are < 2^16 for any clip the kernel should see).
+    ``true_peak_dbtp`` is the BS.1770-4 bandlimited-interpolated peak
+    (:func:`.loudness.true_peak`) of the STORED waveform — measured
+    before any resampling, because inter-sample overs are a property
+    of the original samples (null for digital silence). When
+    ``target_rate`` is set, clips at any other rate are rate-normalized
+    through the anti-aliased polyphase resampler
+    (:func:`.resample.resample_poly`) before VAD/loudness/mel/
+    landmarks, so landmark dedup catches the SAME recording stored at
+    different rates (duration_ms stays the original clip's).
+    Undecodable payloads get ``decode_ok=false`` and null features —
+    corruption must stay countable, never fail the scan."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -77,11 +90,20 @@ def curation_features(df: DataFrame, payload_col: str = "payload",
                     rate, samples = decode_audio(bytes(p or b""))
                 except Exception:
                     rows.append({"media_id": int(mid), "decode_ok": False,
-                                 "duration_ms": None, "n_segments": None,
+                                 "duration_ms": None,
+                                 "true_peak_dbtp": None,
+                                 "n_segments": None,
                                  "speech_ms": None,
                                  "integrated_lufs": None,
                                  "mel_std_mean": None, "landmarks": []})
                     continue
+                duration_ms = len(samples) * 1000 // rate
+                tp = true_peak(samples)
+                if target_rate and rate != target_rate:
+                    g = gcd(int(target_rate), int(rate))
+                    samples = resample_poly(samples, target_rate // g,
+                                            rate // g)
+                    rate = target_rate
                 segs = vad_segments(samples, frame=frame, hop=hop,
                                     threshold_db=threshold_db,
                                     min_speech=min_speech,
@@ -92,7 +114,9 @@ def curation_features(df: DataFrame, payload_col: str = "payload",
                 marks = clip_landmarks(samples, frame=frame, hop=hop)
                 rows.append({
                     "media_id": int(mid), "decode_ok": True,
-                    "duration_ms": len(samples) * 1000 // rate,
+                    "duration_ms": duration_ms,
+                    "true_peak_dbtp": (20 * log10(tp) if tp > 0.0
+                                       else None),
                     "n_segments": len(segs),
                     "speech_ms": sum(nf for _, nf, _ in segs)
                     * hop * 1000 // rate,
@@ -103,13 +127,15 @@ def curation_features(df: DataFrame, payload_col: str = "payload",
                                   for h, t in marks],
                 })
             yield pd.DataFrame(rows, columns=[
-                "media_id", "decode_ok", "duration_ms", "n_segments",
+                "media_id", "decode_ok", "duration_ms",
+                "true_peak_dbtp", "n_segments",
                 "speech_ms", "integrated_lufs", "mel_std_mean",
                 "landmarks"])
 
     return df.select(id_col, payload_col).mapInPandas(
         kernel,
         "media_id long, decode_ok boolean, duration_ms long, "
+        "true_peak_dbtp double, "
         "n_segments long, speech_ms long, integrated_lufs double, "
         "mel_std_mean double, landmarks array<long>")
 
@@ -150,27 +176,41 @@ def audio_curation(df: DataFrame, payload_col: str = "payload",
                    id_col: str = "media_id", *,
                    min_speech_ratio: float = 0.2,
                    min_lufs: float = -35.0, max_lufs: float = -5.0,
+                   max_true_peak_dbtp: float = -1.0,
                    min_votes: int = 50,
-                   weighting: str = "k") -> DataFrame:
+                   weighting: str = "k",
+                   target_rate: int = None) -> DataFrame:
     """The full curation gate: per clip one row
 
-    ``(media_id, decode_ok, duration_ms, n_segments, speech_ms,
-    speech_ratio, integrated_lufs, mel_std_mean, dup_of, keep,
-    drop_reason)``
+    ``(media_id, decode_ok, duration_ms, true_peak_dbtp, n_segments,
+    speech_ms, speech_ratio, integrated_lufs, mel_std_mean, dup_of,
+    keep, drop_reason)``
 
     with ``drop_reason`` ∈ (undecodable, no_speech, low_speech_ratio,
-    loudness, duplicate) by precedence, null when kept. Dedup runs
-    only over clips that pass the content gates, and the content
-    gates are native Column predicates — Catalyst sees all of it."""
+    loudness, true_peak_over, duplicate) by precedence, null when
+    kept. ``true_peak_over`` is the EBU R128-style clipping-risk gate
+    (default ceiling −1 dBTP): a clip whose bandlimited-interpolated
+    peak exceeds the ceiling will clip in any downstream resample/DAC
+    even when every stored sample is legal, so it is dropped BEFORE
+    the pairwise dedup stage (null true peak = digital silence, which
+    no_speech already owns — not a gate trip). ``target_rate``
+    rate-normalizes clips before the landmark stage so the dedup
+    catches cross-rate copies of the same recording. Dedup runs only
+    over clips that pass the content gates, and the content gates are
+    native Column predicates — Catalyst sees all of it."""
     feats = (curation_features(df, payload_col, id_col,
-                               weighting=weighting)
+                               weighting=weighting,
+                               target_rate=target_rate)
              .withColumn("speech_ratio",
                          F.try_divide("speech_ms", "duration_ms")))
     content_ok = (F.col("decode_ok")
                   & (F.col("n_segments") > 0)
                   & (F.col("speech_ratio") >= min_speech_ratio)
                   & F.col("integrated_lufs").between(min_lufs,
-                                                     max_lufs))
+                                                     max_lufs)
+                  & ~F.coalesce(
+                      F.col("true_peak_dbtp") > max_true_peak_dbtp,
+                      F.lit(False)))
     # persist the manifest: it feeds BOTH the dedup branch and the
     # final verdict join, and without the cache Spark would run the
     # decode kernel twice — the one pass is the composition's whole
@@ -193,10 +233,13 @@ def audio_curation(df: DataFrame, payload_col: str = "payload",
                     | ~F.col("integrated_lufs").between(min_lufs,
                                                         max_lufs),
                     F.lit("loudness"))
+              .when(F.col("true_peak_dbtp") > max_true_peak_dbtp,
+                    F.lit("true_peak_over"))
               .when(F.col("dup_of").isNotNull(), F.lit("duplicate")))
     result = (out.withColumn("drop_reason", reason)
               .withColumn("keep", F.col("drop_reason").isNull())
               .select("media_id", "decode_ok", "duration_ms",
+                      "true_peak_dbtp",
                       "n_segments", "speech_ms", "speech_ratio",
                       "integrated_lufs", "mel_std_mean", "dup_of",
                       "keep", "drop_reason"))

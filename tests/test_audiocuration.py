@@ -89,13 +89,65 @@ def test_verdict_precedence(corpus):
 
 
 def test_gate_parameters_move_the_line(corpus):
-    # loosen the loudness window: the hot tone now passes content
-    # gates and survives (it duplicates nothing)
+    # loosen the loudness window: the hot tone (amp 0.9 → −0.91 dBTP)
+    # now falls through to the r12 true-peak gate instead
     out = {r["media_id"]: r
            for r in audio_curation(corpus, max_lufs=0.0).collect()}
-    assert out[3]["keep"]
+    assert out[3]["drop_reason"] == "true_peak_over"
+    # loosen the true-peak ceiling too: NOW it survives
+    out_tp = {r["media_id"]: r
+              for r in audio_curation(corpus, max_lufs=0.0,
+                                      max_true_peak_dbtp=0.0).collect()}
+    assert out_tp[3]["keep"]
     # tighten speech ratio: the bursty keeps fail
     out2 = {r["media_id"]: r
             for r in audio_curation(corpus,
                                     min_speech_ratio=0.95).collect()}
     assert out2[0]["drop_reason"] == "low_speech_ratio"
+
+
+def test_true_peak_gate_intersample_over(spark):
+    # r11 verdict task 7: a clip whose SAMPLES are all legal but whose
+    # bandlimited-interpolated peak exceeds −1 dBTP must drop as
+    # true_peak_over AFTER loudness and BEFORE dedup. Construction:
+    # class-0-style 500 Hz bursts (in the loudness window) plus a
+    # rate/4 sine at phase π/4 in the first gap — samples ±A/√2=0.78,
+    # true peak A=1.1 (+0.83 dBTP).
+    base = _bursts(4000, 2000, 3, 0.3, 500)
+    over = base.copy()
+    k = np.arange(800)
+    over[4100:4900] = 1.1 * np.sin(2 * np.pi * (RATE / 4) * k / RATE
+                                   + np.pi / 4)
+    assert np.abs(over).max() <= 0.79           # every sample legal
+    rows = [(0, encode_wav(base, rate=RATE)),
+            (1, encode_wav(over, rate=RATE))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in audio_curation(df).collect()}
+    assert out[0]["keep"]
+    assert out[1]["drop_reason"] == "true_peak_over"
+    assert out[1]["true_peak_dbtp"] > -1.0 > out[0]["true_peak_dbtp"]
+    # gated before dedup: the over clip shares 500 Hz bursts with
+    # clip 0 but must NOT surface as its duplicate
+    assert out[1]["dup_of"] is None
+
+
+def test_cross_rate_duplicate_detected_after_resample(spark):
+    # r11 verdict task 7: the same recording stored at 16 kHz must
+    # dedup against its 8 kHz twin once target_rate normalizes the
+    # landmark stage; without target_rate the rates differ and the
+    # landmark frames don't align.
+    def sig(rate):
+        t = np.arange(int(0.5 * rate))
+        on = 0.45 * np.sin(2 * np.pi * 1000 * t / rate)
+        return np.concatenate(sum([[on, np.zeros(int(0.25 * rate))]
+                                   for _ in range(4)], []))
+
+    rows = [(0, encode_wav(sig(8000), rate=8000)),
+            (1, encode_wav(sig(16000), rate=16000))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r
+           for r in audio_curation(df, target_rate=8000).collect()}
+    assert out[0]["keep"] and out[0]["dup_of"] is None
+    assert out[1]["drop_reason"] == "duplicate" and out[1]["dup_of"] == 0
+    # duration reports the ORIGINAL clip's length at ITS stored rate
+    assert out[0]["duration_ms"] == out[1]["duration_ms"] == 3000
