@@ -7368,6 +7368,171 @@ FROM surv s LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def _q_pipe_media_funnel_documents(spark, sf_dir):
+    """Census-routed MULTIMODAL curation funnel (operators/
+    mediafunnel.py — r12 verdict task 1): a mixed-payload corpus goes
+    through magic-byte census → per-modality processing → ONE unified
+    keep/drop manifest, with the payload read exactly once. 19 classes
+    (d % 19), every payload built by the repo's OWN encoder, each
+    tripping exactly one route+gate:
+
+    images — 0 PNG texture (canonical), 1 BMP of the SAME pixels
+    (cross-container duplicate: the census routes both to the image
+    decoder, so they share a dHash and dedup), 2 flat JPEG
+    (low_contrast — gated out BEFORE dedup, removing the dHash-0 hot
+    key), 3 tiny GIF (too_small), 13 WebP (inventory dims, null dHash
+    — the documented coded-pixel seam), 15 truncated PNG
+    (undecodable); audio — 4 burst speech (keep), 5 silence
+    (no_speech), 6 hot tone (loudness), 18 one short burst in 2 s
+    (low_speech_ratio), 10 MP3 inventory (keep), 12 two-hour Ogg
+    (too_long); video — 11 mid-moov-truncated MP4 (damaged), 17 Y4M
+    (keep); text — 7 prose (keep), 8 two tokens (short_text), 9 HTML
+    extract (keep), 16 digits (low_alpha); 14 binary junk
+    (unknown_route).
+
+    Image dedup is exact-dHash groupBy→min (LINEAR, no pairwise
+    join); dup_of = the class-{0,1} group's min doc_id. Oracle: frozen
+    per-class feature goldens (computed once by the same kernels
+    outside Spark) + full verdict-precedence replay."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.bmp import encode_bmp
+    from bid_evaluation_spark.operators.gif import encode_gif
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+    from bid_evaluation_spark.operators.mediafunnel import media_funnel
+    from bid_evaluation_spark.operators.mp3 import build_mp3
+    from bid_evaluation_spark.operators.mp4 import build_mp4
+    from bid_evaluation_spark.operators.ogg import build_ogg
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.wav import encode_wav
+    from bid_evaluation_spark.operators.webp import build_webp
+    from bid_evaluation_spark.operators.y4m import encode_y4m
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        grad = ((np.add.outer(np.arange(12) * 23, np.arange(16) * 41)
+                 * 7) % 211).astype(np.uint8)
+        t = np.arange(int(8000 * 1.2)) / 8000.0
+        speech = (0.1 * np.sin(2 * np.pi * 300 * t)
+                  * ((t % 0.6) < 0.4).astype(float))
+        t1 = np.arange(8000) / 8000.0
+        t2 = np.arange(16000) / 8000.0
+        lowr = (0.1 * np.sin(2 * np.pi * 300 * t2)
+                * ((t2 >= 0.5) & (t2 < 0.65)).astype(float))
+        mp4_full = build_mp4(duration=2000,
+                             tracks=[("vide", "avc1", 32, 24)])
+        fixed = {
+            0: encode_png(grad),
+            1: encode_bmp(np.repeat(grad[:, :, None], 3, axis=2)),
+            2: encode_jpeg(np.full((16, 16), 128, dtype=np.uint8)),
+            3: encode_gif(np.full((4, 4, 3), 200, dtype=np.uint8)),
+            4: encode_wav(speech, rate=8000),
+            5: encode_wav(np.zeros(8000), rate=8000),
+            6: encode_wav(0.9 * np.sin(2 * np.pi * 1000 * t1),
+                          rate=8000),
+            7: ("the quick brown fox jumps over the lazy dog "
+                * 4).encode(),
+            8: b"ok sure",
+            9: (b"<html><head><title>T</title></head><body><p>a tidy "
+                b"page of twenty five plain words for the extraction "
+                b"route to count as body text here</p>"
+                b"<a href=\"x\">link</a></body></html>"),
+            10: build_mp3([9] * 40),
+            11: mp4_full[:len(mp4_full) // 2],
+            12: build_ogg("opus", rate=48000, pre_skip=0,
+                          final_granule=48000 * 7200, n_audio_pages=2),
+            13: build_webp("lossy", width=64, height=48),
+            14: b"\x00\xfe\x80\xff raw junk \x81\x82",
+            15: encode_png(grad)[:20],
+            16: b"12345 67890 ++-- 1029 38 47 56",
+            17: encode_y4m([np.full((16, 16), i * 40, dtype=np.uint8)
+                            for i in range(3)], fps_num=10),
+            18: encode_wav(lowr, rate=8000),
+        }
+        for pdf_ in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_["doc_id"],
+                "payload": [fixed[int(d) % 19] for d in pdf_["doc_id"]],
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = media_funnel(media)
+    return res.select(
+        "media_id", "media_type", "container", "width", "height",
+        (_r4("contrast") + F.lit(0.0)).alias("contrast"),
+        "duration_ms",
+        (_r4("speech_ratio") + F.lit(0.0)).alias("speech_ratio"),
+        (_r4("integrated_lufs") + F.lit(0.0)).alias("integrated_lufs"),
+        "n_tokens",
+        (_r4("alpha_ratio") + F.lit(0.0)).alias("alpha_ratio"),
+        "dup_of", "keep", "drop_reason")
+
+
+_SQL_PIPE_MEDIA_FUNNEL_DOCUMENTS = """
+WITH g(c, mt, cont, w, h, contrast, dur, sr, lufs, nt, ar, reason)
+AS (VALUES
+  (0, 'image', 'png',  16, 12, 61.0624, NULL, NULL, NULL, NULL, NULL,
+   NULL),
+  (1, 'image', 'bmp',  16, 12, 61.0624, NULL, NULL, NULL, NULL, NULL,
+   NULL),
+  (2, 'image', 'jpeg', 16, 16, 0.0, NULL, NULL, NULL, NULL, NULL,
+   'low_contrast'),
+  (3, 'image', 'gif',   4,  4, 0.0, NULL, NULL, NULL, NULL, NULL,
+   'too_small'),
+  (4, 'audio', 'wav', NULL, NULL, NULL, 1200, 0.6933, -25.1645, NULL,
+   NULL, NULL),
+  (5, 'audio', 'wav', NULL, NULL, NULL, 1000, 0.0, NULL, NULL, NULL,
+   'no_speech'),
+  (6, 'audio', 'wav', NULL, NULL, NULL, 1000, 0.976, -3.9063, NULL,
+   NULL, 'loudness'),
+  (7, 'text', 'plain', NULL, NULL, NULL, NULL, NULL, NULL, 36, 1.0,
+   NULL),
+  (8, 'text', 'plain', NULL, NULL, NULL, NULL, NULL, NULL, 2, 1.0,
+   'short_text'),
+  (9, 'text', 'html', NULL, NULL, NULL, NULL, NULL, NULL, 19, 1.0,
+   NULL),
+  (10, 'audio', 'mpeg', NULL, NULL, NULL, 1044, NULL, NULL, NULL,
+   NULL, NULL),
+  (11, 'video', 'mp4', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   NULL, 'damaged'),
+  (12, 'audio', 'ogg', NULL, NULL, NULL, 7200000, NULL, NULL, NULL,
+   NULL, 'too_long'),
+  (13, 'image', 'webp', 64, 48, NULL, NULL, NULL, NULL, NULL, NULL,
+   NULL),
+  (14, 'unknown', 'binary', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   NULL, 'unknown_route'),
+  (15, 'image', 'png', NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+   NULL, 'undecodable'),
+  (16, 'text', 'plain', NULL, NULL, NULL, NULL, NULL, NULL, 7, 0.0,
+   'low_alpha'),
+  (17, 'video', 'y4m', 16, 16, NULL, 300, NULL, NULL, NULL, NULL,
+   NULL),
+  (18, 'audio', 'wav', NULL, NULL, NULL, 2000, 0.088, -28.8138, NULL,
+   NULL, 'low_speech_ratio')),
+base AS (SELECT doc_id, doc_id % 19 AS c FROM documents),
+cmin AS (SELECT min(doc_id) AS m FROM base WHERE c IN (0, 1))
+SELECT b.doc_id AS media_id, g.mt AS media_type,
+  g.cont AS container,
+  CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+  CAST(g.contrast AS DOUBLE) + 0.0 AS contrast,
+  CAST(g.dur AS BIGINT) AS duration_ms,
+  CAST(g.sr AS DOUBLE) + 0.0 AS speech_ratio,
+  CAST(g.lufs AS DOUBLE) + 0.0 AS integrated_lufs,
+  CAST(g.nt AS BIGINT) AS n_tokens,
+  CAST(g.ar AS DOUBLE) + 0.0 AS alpha_ratio,
+  CAST(CASE WHEN g.c IN (0, 1) AND b.doc_id > (SELECT m FROM cmin)
+            THEN (SELECT m FROM cmin) END AS BIGINT) AS dup_of,
+  (g.reason IS NULL
+   AND NOT (g.c IN (0, 1) AND b.doc_id > (SELECT m FROM cmin)))
+    AS keep,
+  CASE WHEN g.c IN (0, 1) AND b.doc_id > (SELECT m FROM cmin)
+       THEN 'duplicate' ELSE g.reason END AS drop_reason
+FROM base b JOIN g ON g.c = b.c
+"""
+
+
 def _q_analytics_did_events(spark, sf_dir):
     """Difference-in-differences (analytics.py diff_in_diff): even-user
     treatment, every-third-event 'post' period, a planted +25 effect on
@@ -17158,7 +17323,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   text/quality/lm ......... text(18) quality(5) lm(1) pii(1)
 #   dedup/similarity ........ dedup(23) ann(5) pq(3) emb(5) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
-#   pipeline/curation ....... pipe(30) pipeline(1) curation(2) dsir(2)
+#   pipeline/curation ....... pipe(31) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
 #   events/timeseries ....... events(13) ts(24) asof(4) range(1)
 #                             funnel(1) attrib(1) bandit(1)
@@ -17472,6 +17637,8 @@ _QUERIES: dict = {
                                    _SQL_ANALYTICS_POSTSTRAT_ORDERS),
     "metrics_psi_timeline_events": (_q_metrics_psi_timeline_events,
                                     _SQL_METRICS_PSI_TIMELINE_EVENTS),
+    "pipe_media_funnel_documents": (_q_pipe_media_funnel_documents,
+                                    _SQL_PIPE_MEDIA_FUNNEL_DOCUMENTS),
     "pipe_curation_funnel_documents": (_q_pipe_curation_funnel_documents,
                                        _SQL_PIPE_CURATION_FUNNEL_DOCUMENTS),
     "analytics_did_events": (_q_analytics_did_events,

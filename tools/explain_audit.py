@@ -1969,6 +1969,37 @@ def check_wave11b_r11_operators(spark, sf_dir):
     return probs
 
 
+@check("wave12: media funnel — payload crosses exactly ONE Arrow "
+       "kernel (census+route+features fused); manifest persisted; "
+       "image dedup is a partial-aggregated groupBy-min, never a "
+       "pairwise join")
+def check_wave12_media_funnel(spark, sf_dir):
+    from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.mediafunnel import (
+        funnel_manifest, media_funnel)
+
+    probs = []
+    media = spark.createDataFrame([(1, b""), (2, b"")],
+                                  "media_id long, payload binary")
+    fp = plan_of(funnel_manifest(media))
+    if fp.count("MapInPandas") != 1:
+        probs.append("funnel manifest must be exactly ONE Arrow kernel "
+                     "(sniff+route+decode+features)")
+    p = plan_of(media_funnel(media))
+    release_all()
+    if "InMemoryTableScan" not in p:
+        probs.append("manifest not persisted — the decode kernel would "
+                     "re-run across the dedup branch and the verdict")
+    if "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p:
+        probs.append("image dedup degenerates to a pairwise cross-join")
+    if "SortMergeJoin" in p and "dhash" not in p:
+        probs.append("dedup join lost the dhash equi-key")
+    if "partial_min" not in p:
+        probs.append("canonical keep-lowest lacks a partial-aggregated "
+                     "min (the linear dedup shape)")
+    return probs
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from bid_evaluation_spark.session import get_spark
