@@ -18022,7 +18022,8 @@ _DRIVER_SAMPLE = [
     "privacy_ccn_luhn_documents",
     "emb_hard_negatives_embeddings",
     # never-driver-verified breadth across the remaining families
-    "dedup_span_stats_documents",
+    # (+ the r12 census-routed funnel headliner)
+    "pipe_media_funnel_documents",
     "dedup_keep_best_documents",
     "mq_image_quality_documents",
     "mm_jpeg_decode_documents",

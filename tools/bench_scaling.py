@@ -178,6 +178,40 @@ def fam_span_dedup(spark, base):
     return d.count(), duplicated_span_stats(d, span=10, stride=5).count()
 
 
+def fam_span_removal(spark, base):
+    # the r11 ExactSubstr REMOVAL (heavier than span stats: the doc is
+    # rebuilt from surviving tokens via native transform/filter) at the
+    # registry query's window shape
+    from bid_evaluation_spark.operators.spans import (
+        remove_duplicated_spans)
+    d = _docs(spark, base)
+    return d.count(), remove_duplicated_spans(d, span=10,
+                                              stride=5).count()
+
+
+#: standing-index cache for fam_incremental_minhash: pass 1 builds and
+#: persists the index (discarded by measure()'s min), pass 2 measures
+#: the PRODUCTION shape — a fixed delta joining an already-materialized
+#: index that scales 10x per step
+_IDX_CACHE: dict = {}
+
+
+def fam_incremental_minhash(spark, base):
+    from bid_evaluation_spark.operators.dedup import (
+        incremental_minhash_candidates, minhash_index_table)
+    d = _docs(spark, base)
+    n = d.count()
+    if base not in _IDX_CACHE:
+        idx = minhash_index_table(d).persist()
+        idx.count()
+        _IDX_CACHE[base] = idx
+    # ~200-doc delta at every scale (the fixed daily crawl slice)
+    step = max(1, n // 200)
+    delta = d.filter(F.col("doc_id") % step == 0)
+    return n, incremental_minhash_candidates(delta,
+                                             _IDX_CACHE[base]).count()
+
+
 def fam_bpe_train(spark, base):
     from bid_evaluation_spark.operators.bpe import bpe_train
     d = _docs(spark, base)
@@ -450,6 +484,19 @@ FAMILIES = {
                      "self-join (max_doc_freq bounds bucket^2)"),
     "span_dedup": (fam_span_dedup, 1.0,
                    "one groupBy(hash) + one join + one per-doc agg"),
+    "span_removal": (fam_span_removal, 1.0,
+                     "span stats' one hash shuffle + a native per-doc "
+                     "rebuild (O(tokens x dup_starts) codegen "
+                     "comparison, dup_starts bounded per doc)"),
+    "incremental_minhash": (fam_incremental_minhash, 1.0,
+                            "fixed delta vs 10x-scaling standing "
+                            "index: delta shingles map-only; the "
+                            "banded equi-join touches only the "
+                            "delta's buckets, whose size grows with "
+                            "corpus density (~linear under the "
+                            "rotated-alphabet blow-up); index build "
+                            "excluded (pass-1 cached, the production "
+                            "amortization)"),
     "bpe_train": (fam_bpe_train, 1.0,
                   "fixed merge count; each round one corpus-vocab scan"),
     "quantile_match": (fam_quantile_match, 1.0,
