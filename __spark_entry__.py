@@ -16185,6 +16185,76 @@ FROM d
 """
 
 
+def _q_mm_webp_decode_documents(spark, sf_dir):
+    """VP8L lossless WebP PIXEL decode (operators/vp8l.py — r12
+    verdict task 4: canonical prefix codes, LZ77 backrefs, color
+    cache, all 4 transforms), wired into the image dispatch seam so
+    WebP rows get real dHash/contrast through the funnel manifest.
+    Classes (d % 6): 0 plain-coded texture; 1 the SAME pixels coded
+    through subtract-green + Select-predictor + 4-bit color cache
+    (100 vs 718 bytes — identical dHash/contrast goldens, so a
+    payload-hash fake decode cannot pass); 2 8-color palette
+    (delta-coded, bundled); 3 VP8 LOSSY (the documented coded-pixel
+    seam: inventory dims, null pixels); 4 truncated VP8L (salvaged
+    header, clean=false); 5 constant-row image (LZ77 RLE path,
+    gradient dHash 0). Oracle: frozen per-class goldens through the
+    same kernels outside Spark."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mediafunnel import (
+        funnel_manifest)
+    from bid_evaluation_spark.operators.vp8l import encode_webp_lossless
+    from bid_evaluation_spark.operators.webp import build_webp
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        grad = ((np.add.outer(np.arange(12) * 23, np.arange(16) * 41)
+                 * 7) % 211).astype(np.uint8)
+        pal = (((np.add.outer(np.arange(10) * 3, np.arange(14) * 5)
+                 * 13) % 8) * 31).astype(np.uint8)
+        rows = np.repeat((np.arange(12) * 20 % 256)[:, None], 16,
+                         axis=1).astype(np.uint8)
+        fixed = {
+            0: encode_webp_lossless(grad),
+            1: encode_webp_lossless(grad, subtract_green=True,
+                                    predictor=11, cache_bits=4),
+            2: encode_webp_lossless(pal, palette=True),
+            3: build_webp("lossy", width=40, height=30),
+            4: encode_webp_lossless(grad)[:24],
+            5: encode_webp_lossless(rows),
+        }
+        for pdf_ in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_["doc_id"],
+                "payload": [fixed[int(d) % 6] for d in pdf_["doc_id"]],
+            })
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return funnel_manifest(media).select(
+        "media_id", "media_type", "container", "decode_ok", "clean",
+        "width", "height",
+        (_r4("contrast") + F.lit(0.0)).alias("contrast"), "dhash")
+
+
+_SQL_MM_WEBP_DECODE_DOCUMENTS = """
+WITH g(c, ok, clean, w, h, contrast, dhash) AS (VALUES
+  (0, true, true, 16, 12, 61.0624, -4879132701358006888),
+  (1, true, true, 16, 12, 61.0624, -4879132701358006888),
+  (2, true, true, 14, 10, 70.7047, -902059556661627021),
+  (3, true, true, 40, 30, NULL, NULL),
+  (4, true, false, NULL, NULL, NULL, NULL),
+  (5, true, true, 16, 12, 69.0411, 0))
+SELECT doc_id AS media_id, 'image' AS media_type,
+  'webp' AS container, g.ok AS decode_ok, g.clean AS clean,
+  CAST(g.w AS BIGINT) AS width, CAST(g.h AS BIGINT) AS height,
+  CAST(g.contrast AS DOUBLE) + 0.0 AS contrast,
+  CAST(g.dhash AS BIGINT) AS dhash
+FROM documents JOIN g ON g.c = doc_id % 6
+"""
+
+
 def _q_mm_media_census_documents(spark, sf_dir):
     """Corpus media-type CENSUS (operators/mediatype.py — the magic-
     byte router at the TOP of the multimodal funnel): 17 classes, one
@@ -17330,7 +17400,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(38) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(39) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -17971,6 +18041,8 @@ _QUERIES: dict = {
                                    _SQL_MM_OGG_INVENTORY_DOCUMENTS),
     "mm_webp_inventory_documents": (_q_mm_webp_inventory_documents,
                                     _SQL_MM_WEBP_INVENTORY_DOCUMENTS),
+    "mm_webp_decode_documents": (_q_mm_webp_decode_documents,
+                                 _SQL_MM_WEBP_DECODE_DOCUMENTS),
     "mm_media_census_documents": (_q_mm_media_census_documents,
                                   _SQL_MM_MEDIA_CENSUS_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,

@@ -32,10 +32,12 @@ images are gated out BEFORE dedup, which both drops junk and removes
 the classic dHash hot key (every flat image hashes to 0 — a
 mega-group the gate never lets reach the aggregate).
 
-Divergences (documented): WebP pixels stay behind the format's coded
-seam, so WebP rows carry inventory dims with a null dHash and are
-exempt from image dedup; PDF text extraction covers the repo's own
-Tj/TJ subset (:func:`.pdf.extract_pdf_text`).
+Divergences (documented): lossless (VP8L) WebP decodes to real
+pixels via :mod:`.vp8l` (r12) and joins the full image path; LOSSY
+(VP8) WebP stays behind the coded-pixel seam, carrying inventory
+dims with a null dHash and exempt from image dedup. PDF text
+extraction covers the repo's own Tj/TJ subset
+(:func:`.pdf.extract_pdf_text`).
 """
 
 from __future__ import annotations
@@ -119,11 +121,26 @@ def _route_row(p: bytes, *, frame: int, hop: int, threshold_db: float,
            "alpha_ratio": None}
     try:
         if mt == "image" and cont == "webp":
+            from . import png as _png
+            from .vp8l import decode_webp_lossless
             from .webp import parse_webp_inventory
-            inv = parse_webp_inventory(p)
-            row.update(decode_ok=bool(inv["is_webp"]),
-                       clean=bool(inv["clean"]), width=inv["width"],
-                       height=inv["height"])
+            try:
+                # VP8L lossless pixels (r12) go through the full
+                # image path — dHash, contrast, dedup all light up
+                rgba = decode_webp_lossless(p)
+                lum = _png.luma(rgba)
+                row.update(decode_ok=True, clean=True,
+                           width=int(lum.shape[1]),
+                           height=int(lum.shape[0]),
+                           contrast=float(lum.std()),
+                           dhash=_png.dhash64(lum))
+            except ValueError:
+                # VP8 lossy stays the documented coded-pixel seam:
+                # header inventory only, null dHash, dedup-exempt
+                inv = parse_webp_inventory(p)
+                row.update(decode_ok=bool(inv["is_webp"]),
+                           clean=bool(inv["clean"]),
+                           width=inv["width"], height=inv["height"])
         elif mt == "image":
             lum = _decode_image(p)
             row.update(decode_ok=True, clean=True,

@@ -11,7 +11,8 @@ IMA-ADPCM / FLAC audio** (:mod:`.wav`, :mod:`.g711`, :mod:`.adpcm`,
 actual samples; G.711 and ADPCM are real LOSSY codecs), and **Y4M + MJPEG
 AVI video** (:mod:`.y4m`, :mod:`.avi` — per-frame luma
 digest/dimensions/mean from actual planes or decoded JPEG frames).
-Remaining compressed containers (webp, mp3, h264, ...) need
+**VP8L lossless WebP** decodes real pixels since r12 (:mod:`.vp8l`).
+Remaining perceptual codecs (VP8 lossy, mp3, h264, ...) need
 a media library swapped into the same decode seams. Every kernel also offers ``fake=True``
 (clearly-marked deterministic payload-hash features) so pipeline plumbing
 is testable on arbitrary bytes.
@@ -121,6 +122,8 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
     from . import netpbm as _netpbm
     from . import png as _png
     from . import tiff as _tiff
+    from . import vp8l as _vp8l
+    from . import webp as _webp
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -153,6 +156,10 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload",
                             img = _tiff.decode_tiff(p)
                         elif _bmp.is_bmp(p or b""):
                             img = _bmp.decode_bmp(p)
+                        elif _webp.is_webp(p or b""):
+                            # VP8L lossless pixels (r12); VP8 lossy
+                            # raises into the null path (library seam)
+                            img = _vp8l.decode_webp_lossless(p)
                         else:
                             img = _png.decode_png(p or b"")
                         if img.ndim == 2:      # tiff gray → (h,w,1)
@@ -504,6 +511,8 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
     the kernel."""
     from . import jpeg as _jpeg
     from . import png as _png
+    from . import vp8l as _vp8l
+    from . import webp as _webp
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -515,9 +524,12 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
                             hashlib.sha256(p or b"").digest()[:8],
                             "big", signed=True)
                     else:
-                        img = (_jpeg.decode_jpeg(p)
-                               if _jpeg.is_jpeg(p or b"")
-                               else _png.decode_png(p or b""))
+                        if _jpeg.is_jpeg(p or b""):
+                            img = _jpeg.decode_jpeg(p)
+                        elif _webp.is_webp(p or b""):
+                            img = _vp8l.decode_webp_lossless(p)
+                        else:
+                            img = _png.decode_png(p or b"")
                         h = _png.dhash64(_png.luma(img))
                     hashes.append(h)
                 except Exception:

@@ -72,6 +72,8 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
     dispatch and kernel shape as :func:`~.multimodal.image_dhash`."""
     from . import jpeg as _jpeg
     from . import png as _png
+    from . import vp8l as _vp8l
+    from . import webp as _webp
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -83,9 +85,12 @@ def image_phash(df: DataFrame, payload_col: str = "payload",
                             hashlib.sha256(p or b"").digest()[:8],
                             "big", signed=True)
                     else:
-                        img = (_jpeg.decode_jpeg(p)
-                               if _jpeg.is_jpeg(p or b"")
-                               else _png.decode_png(p or b""))
+                        if _jpeg.is_jpeg(p or b""):
+                            img = _jpeg.decode_jpeg(p)
+                        elif _webp.is_webp(p or b""):
+                            img = _vp8l.decode_webp_lossless(p)
+                        else:
+                            img = _png.decode_png(p or b"")
                         h = phash64(_png.luma(img))
                     hashes.append(h)
                 except Exception:

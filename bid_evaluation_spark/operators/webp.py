@@ -14,9 +14,11 @@ chunk headers:
   24-bit LE canvas width-1 / height-1; feature chunks (``ANIM``/
   ``ALPH``/``EXIF``/``XMP ``) follow.
 
-Sample decode (VP8 DCT / VP8L entropy) stays a library seam like
-MP3/H.264 — everything a curation router needs (format tier,
-dimensions, alpha, animation, metadata presence) is header-level.
+VP8L (lossless) SAMPLE decode is in-repo since r12 — :mod:`.vp8l`
+decodes real ARGB pixels through the image dispatch seam; VP8 lossy
+(DCT + bool-coder) stays a library seam like MP3/H.264. Everything a
+curation ROUTER needs (format tier, dimensions, alpha, animation,
+metadata presence) remains header-level here.
 
 Spark shape: one Arrow kernel, header bytes only.
 """
