@@ -18197,8 +18197,8 @@ _DRIVER_SAMPLE = [
     "dedup_keep_best_documents",
     "mq_image_quality_documents",
     "mm_jpeg_decode_documents",
-    "mm_gif_decode_documents",
-    "mm_resample_documents",
+    "mm_webp_decode_documents",
+    "mm_mp3_sideinfo_documents",
     "mm_audio_fingerprint_documents",
     "mm_video_signature_documents",
     "ts_changepoint_events",

@@ -299,6 +299,25 @@ def bench_span_removal_documents(spark, sf_dir):
     _force(remove_duplicated_spans(df, span=10, stride=3))
 
 
+def bench_media_funnel_documents(spark, sf_dir):
+    """Round-12 census-routed funnel: ONE Arrow pass (sniff + routed
+    decode + features) → native gates → linear dHash dedup →
+    precedence verdict over a 19-class mixed-payload corpus."""
+    import __spark_entry__ as e
+    from bid_evaluation_spark.operators.cache import release_all
+
+    _force(e.queries()["pipe_media_funnel_documents"](spark, sf_dir))
+    release_all()                 # the funnel persists its manifest
+
+
+def bench_webp_decode_documents(spark, sf_dir):
+    """Round-12 VP8L pixel decode through the funnel manifest kernel
+    (canonical prefix codes + transforms + LZ77 per row)."""
+    import __spark_entry__ as e
+
+    _force(e.queries()["mm_webp_decode_documents"](spark, sf_dir))
+
+
 BENCHES = {
     "eval_rank_lineitem": bench_eval_rank_lineitem,
     "staged_orders": bench_staged_orders,
@@ -326,6 +345,8 @@ BENCHES = {
     "maxsim_embeddings": bench_maxsim_embeddings,
     "audio_curation_documents": bench_audio_curation_documents,
     "span_removal_documents": bench_span_removal_documents,
+    "media_funnel_documents": bench_media_funnel_documents,
+    "webp_decode_documents": bench_webp_decode_documents,
 }
 
 
