@@ -16255,6 +16255,79 @@ FROM documents JOIN g ON g.c = doc_id % 6
 """
 
 
+def _q_mm_webp_anim_documents(spark, sf_dir):
+    """Animated-WebP TIMELINE inventory (operators/webp.py
+    parse_webp_animation — VP8X animation flag + ANIM loop count +
+    per-ANMF 24-bit duration walk): the census a curation pass gates
+    GIF-successor content on (frame count, wall duration, loop
+    policy) without decoding frame payloads. Classes (d % 5):
+    0 multi-frame with doc-derived frame count/durations/loop;
+    1 single full-canvas frame; 2 static lossy (not animated);
+    3 junk; 4 truncated mid-ANMF (frames before the cut counted,
+    clean=false). Oracle: CLOSED-FORM from doc_id arithmetic."""
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.webp import (
+        build_webp, build_webp_animation, webp_animation_inventory)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        for pdf_ in batches:
+            payloads = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                c = d % 5
+                if c == 0:
+                    n = 2 + d % 4
+                    dur = 40 + d % 20
+                    p = build_webp_animation(
+                        [(2 * i, 0, 24, 16, dur) for i in range(n)],
+                        canvas_w=64, canvas_h=32,
+                        loop_count=d % 10)
+                elif c == 1:
+                    p = build_webp_animation(
+                        [(0, 0, 48, 48, 1000)], canvas_w=48,
+                        canvas_h=48, loop_count=1)
+                elif c == 2:
+                    p = build_webp("lossy", width=32, height=24)
+                elif c == 3:
+                    p = b"not riff at all"
+                else:
+                    full = build_webp_animation(
+                        [(0, 0, 8, 8, 100)] * 3, canvas_w=8,
+                        canvas_h=8, loop_count=2)
+                    p = full[:-10]        # third ANMF loses its tail
+                payloads.append(p)
+            yield pd.DataFrame({"media_id": pdf_["doc_id"],
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    return webp_animation_inventory(media)
+
+
+_SQL_MM_WEBP_ANIM_DOCUMENTS = """
+WITH d AS (SELECT doc_id, doc_id % 5 AS c FROM documents)
+SELECT doc_id AS media_id,
+  (c <> 3) AS is_webp,
+  (c IN (0, 1, 4)) AS is_animated,
+  CAST(CASE c WHEN 0 THEN doc_id % 10 WHEN 1 THEN 1 WHEN 4 THEN 2
+       END AS INT) AS loop_count,
+  CAST(CASE c WHEN 0 THEN 2 + doc_id % 4 WHEN 1 THEN 1
+              WHEN 2 THEN 0 WHEN 3 THEN 0 WHEN 4 THEN 2
+       END AS INT) AS n_frames,
+  CAST(CASE c WHEN 0 THEN (2 + doc_id % 4) * (40 + doc_id % 20)
+              WHEN 1 THEN 1000 WHEN 4 THEN 200
+       END AS BIGINT) AS total_duration_ms,
+  CAST(CASE c WHEN 0 THEN 64 WHEN 1 THEN 48 WHEN 4 THEN 8
+       END AS INT) AS canvas_w,
+  CAST(CASE c WHEN 0 THEN 32 WHEN 1 THEN 48 WHEN 4 THEN 8
+       END AS INT) AS canvas_h,
+  (c <> 4) AS clean   -- junk is not-a-webp, not DAMAGE
+FROM d
+"""
+
+
 def _q_mm_mp3_sideinfo_documents(spark, sf_dir):
     """MP3 Layer III SIDE-INFO census (operators/mp3dec.py — the r12
     decode tier, verdict task 6 partial credit: side info + bit
@@ -17496,7 +17569,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(40) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(41) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -18141,6 +18214,8 @@ _QUERIES: dict = {
                                  _SQL_MM_WEBP_DECODE_DOCUMENTS),
     "mm_mp3_sideinfo_documents": (_q_mm_mp3_sideinfo_documents,
                                   _SQL_MM_MP3_SIDEINFO_DOCUMENTS),
+    "mm_webp_anim_documents": (_q_mm_webp_anim_documents,
+                               _SQL_MM_WEBP_ANIM_DOCUMENTS),
     "mm_media_census_documents": (_q_mm_media_census_documents,
                                   _SQL_MM_MEDIA_CENSUS_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,

@@ -329,6 +329,28 @@ def ms_stereo(mid, side):
     return (m + s) * inv, (m - s) * inv
 
 
+#: §2.4.3.4.9.3 intensity position ratios: is_ratio = tan(is_pos·π/12)
+#: (is_pos 7 would be tan(π·7/12) < 0 — the spec marks it illegal)
+def intensity_ratio(is_pos: int) -> float:
+    if not 0 <= is_pos <= 6:
+        raise ValueError("intensity position must be 0-6 "
+                         "(7 is the spec's illegal marker)")
+    return float(np.tan(is_pos * np.pi / 12.0))
+
+
+def intensity_stereo(xr_left, is_pos: int):
+    """§2.4.3.4.9.3 MPEG-1 intensity decode for one band: the LEFT
+    channel carries the summed signal, ``is_pos`` (decoded in place
+    of the right channel's scalefactor) positions it:
+    L = xr·ratio/(1+ratio), R = xr/(1+ratio). is_pos 6 (ratio → tan
+    (π/2)⁻ huge) puts everything left; is_pos 0 everything right."""
+    xr = np.asarray(xr_left, dtype=np.float64)
+    r = intensity_ratio(is_pos)
+    if np.isinf(r):
+        return xr.copy(), np.zeros_like(xr)
+    return xr * (r / (1.0 + r)), xr * (1.0 / (1.0 + r))
+
+
 # ----------------------------------------------------- alias reduce
 
 def alias_reduce(xr):

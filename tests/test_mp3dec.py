@@ -237,6 +237,28 @@ def test_reorder_short_inverts_interleave():
 
 # ------------------------------------------------------------- stereo
 
+def test_intensity_stereo_positions():
+    from bid_evaluation_spark.operators.mp3dec import (
+        intensity_ratio, intensity_stereo)
+
+    xr = np.array([3.0, -6.0])
+    # is_pos 3: ratio = tan(pi/4) = 1 -> equal split
+    l, r = intensity_stereo(xr, 3)
+    np.testing.assert_allclose(l, xr / 2, atol=1e-12)
+    np.testing.assert_allclose(r, xr / 2, atol=1e-12)
+    # L + R always reconstructs the transmitted sum
+    for pos in range(7):
+        l, r = intensity_stereo(xr, pos)
+        np.testing.assert_allclose(l + r, xr, atol=1e-9)
+    # is_pos 0: everything right
+    l, r = intensity_stereo(xr, 0)
+    np.testing.assert_allclose(l, 0.0, atol=1e-12)
+    np.testing.assert_allclose(r, xr, atol=1e-12)
+    assert intensity_ratio(2) == pytest.approx(np.tan(np.pi / 6))
+    with pytest.raises(ValueError):
+        intensity_ratio(7)                # the spec's illegal marker
+
+
 def test_ms_stereo_roundtrip():
     rng = np.random.default_rng(2)
     left = rng.standard_normal(576)

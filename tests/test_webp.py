@@ -65,3 +65,42 @@ def test_first_chunk_sniff_is_constant_work():
     assert sniff_webp_format(build_webp("lossy")[:20]) == "lossy"
     assert sniff_webp_format(b"RIFF\x00\x00\x00\x00WEBPJUNK") is None
     assert sniff_webp_format(b"junk") is None
+
+
+def test_animation_timeline_walk():
+    from bid_evaluation_spark.operators.webp import (
+        build_webp_animation, parse_webp_animation)
+
+    p = build_webp_animation(
+        [(0, 0, 24, 16, 40), (8, 4, 24, 16, 60), (16, 8, 24, 16, 80)],
+        canvas_w=64, canvas_h=32, loop_count=5)
+    inv = parse_webp_animation(p)
+    assert inv["is_animated"] and inv["n_frames"] == 3
+    assert inv["total_duration_ms"] == 180
+    assert inv["loop_count"] == 5
+    assert (inv["canvas_w"], inv["canvas_h"]) == (64, 32)
+    assert inv["clean"]
+    # truncation mid-ANMF: frames before the cut counted, clean false
+    cut = parse_webp_animation(p[:-10])
+    assert cut["n_frames"] == 2 and cut["total_duration_ms"] == 100
+    assert not cut["clean"]
+    # a static file is not animated, and junk is not a webp
+    static = parse_webp_animation(build_webp("lossy"))
+    assert static["is_webp"] and not static["is_animated"]
+    assert static["n_frames"] == 0 and static["clean"]
+    assert not parse_webp_animation(b"junk")["is_webp"]
+
+
+def test_animation_kernel(spark):
+    from bid_evaluation_spark.operators.webp import (
+        build_webp_animation, webp_animation_inventory)
+
+    rows = [(0, build_webp_animation([(0, 0, 8, 8, 100)] * 2,
+                                     canvas_w=8, canvas_h=8)),
+            (1, b"junk"), (2, None)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           webp_animation_inventory(df).collect()}
+    assert got[0]["n_frames"] == 2
+    assert got[0]["total_duration_ms"] == 200
+    assert got[1]["is_webp"] is False and got[2]["is_webp"] is False
