@@ -103,6 +103,26 @@ def test_funnel_verdicts_and_dedup(corpus):
     assert out[8]["drop_reason"] == "unknown_route"
 
 
+def test_lossless_webp_joins_image_dedup(spark):
+    # r12: a VP8L-coded copy of the PNG canonical dedups against it
+    # through the funnel's webp pixel path; a LOSSY webp stays on the
+    # inventory route (null dHash, dedup-exempt)
+    from bid_evaluation_spark.operators.vp8l import encode_webp_lossless
+    from bid_evaluation_spark.operators.webp import build_webp
+
+    df = spark.createDataFrame(
+        [(0, encode_png(_grad())),
+         (1, encode_webp_lossless(_grad(), subtract_green=True,
+                                  predictor=11)),
+         (2, build_webp("lossy", width=64, height=48))],
+        "media_id long, payload binary")
+    out = {r["media_id"]: r for r in media_funnel(df).collect()}
+    assert out[0]["keep"]
+    assert out[1]["drop_reason"] == "duplicate"
+    assert out[1]["dup_of"] == 0
+    assert out[2]["keep"] and out[2]["dup_of"] is None
+
+
 def test_gated_images_never_reach_dedup(spark):
     # two identical FLAT images share dhash 0 — the hot key — but the
     # contrast gate drops them before the grouping stage, so neither
