@@ -125,7 +125,11 @@ def main() -> int:
             print(f"CALIB: before {calib_before:.2f}s after "
                   f"{calib_after:.2f}s baseline {calib_baseline:.2f}s "
                   f"ratio {ratio:.3f}")
-        norm = ratio if ratio else 1.0
+        # calibration DEFLATES apparent regressions on a slow box; it
+        # must never demand speedups on a fast one (a faster-than-
+        # anchor calibration job says nothing about scheduler-latency-
+        # bound query walls) — clamp the normalizer at 1.0
+        norm = max(ratio, 1.0) if ratio else 1.0
         flagged = []
         for n in names:
             bw = base.get(n, {}).get("warm", 0)
@@ -142,7 +146,8 @@ def main() -> int:
         # artifact is judged against the box speed at verdict time
         if flagged:
             solo_calib = _calibrate(spark)
-            solo_norm = (round(solo_calib / calib_baseline, 3)
+            solo_norm = (max(round(solo_calib / calib_baseline, 3),
+                             1.0)
                          if calib_baseline else 1.0)
             for name in flagged:
                 solos = []
