@@ -7394,13 +7394,29 @@ def _q_pipe_media_funnel_documents(spark, sf_dir):
     join); dup_of = the class-{0,1} group's min doc_id. Oracle: frozen
     per-class feature goldens (computed once by the same kernels
     outside Spark) + full verdict-precedence replay."""
+    from bid_evaluation_spark.operators.mediafunnel import media_funnel
+
+    media = _media_funnel_fixture(spark, sf_dir)
+    res = media_funnel(media)
+    return res.select(
+        "media_id", "media_type", "container", "width", "height",
+        (_r4("contrast") + F.lit(0.0)).alias("contrast"),
+        "duration_ms",
+        (_r4("speech_ratio") + F.lit(0.0)).alias("speech_ratio"),
+        (_r4("integrated_lufs") + F.lit(0.0)).alias("integrated_lufs"),
+        "n_tokens",
+        (_r4("alpha_ratio") + F.lit(0.0)).alias("alpha_ratio"),
+        "dup_of", "keep", "drop_reason")
+
+
+def _media_funnel_fixture(spark, sf_dir):
+    """The 19-class mixed-payload corpus both funnel queries share."""
     import numpy as np
     import pandas as pd
 
     from bid_evaluation_spark.operators.bmp import encode_bmp
     from bid_evaluation_spark.operators.gif import encode_gif
     from bid_evaluation_spark.operators.jpeg import encode_jpeg
-    from bid_evaluation_spark.operators.mediafunnel import media_funnel
     from bid_evaluation_spark.operators.mp3 import build_mp3
     from bid_evaluation_spark.operators.mp4 import build_mp4
     from bid_evaluation_spark.operators.ogg import build_ogg
@@ -7457,17 +7473,7 @@ def _q_pipe_media_funnel_documents(spark, sf_dir):
                 "payload": [fixed[int(d) % 19] for d in pdf_["doc_id"]],
             })
 
-    media = docs.mapInPandas(gen, "media_id long, payload binary")
-    res = media_funnel(media)
-    return res.select(
-        "media_id", "media_type", "container", "width", "height",
-        (_r4("contrast") + F.lit(0.0)).alias("contrast"),
-        "duration_ms",
-        (_r4("speech_ratio") + F.lit(0.0)).alias("speech_ratio"),
-        (_r4("integrated_lufs") + F.lit(0.0)).alias("integrated_lufs"),
-        "n_tokens",
-        (_r4("alpha_ratio") + F.lit(0.0)).alias("alpha_ratio"),
-        "dup_of", "keep", "drop_reason")
+    return docs.mapInPandas(gen, "media_id long, payload binary")
 
 
 _SQL_PIPE_MEDIA_FUNNEL_DOCUMENTS = """
@@ -7530,6 +7536,134 @@ SELECT b.doc_id AS media_id, g.mt AS media_type,
   CASE WHEN g.c IN (0, 1) AND b.doc_id > (SELECT m FROM cmin)
        THEN 'duplicate' ELSE g.reason END AS drop_reason
 FROM base b JOIN g ON g.c = b.c
+"""
+
+
+def _q_pipe_media_funnel_report_documents(spark, sf_dir):
+    """Funnel YIELD REPORT (r12): the corpus-level rollup a curation
+    run publishes — per (media_type, drop_reason) file counts over
+    the 19-class funnel corpus (drop_reason null = kept). One
+    partial-aggregated groupBy on the funnel output; the oracle
+    replays every cell from class arithmetic, including the dedup
+    split (the class-{0,1} group keeps exactly ONE canonical image —
+    the corpus-min doc — and marks the rest duplicate)."""
+    from bid_evaluation_spark.operators.mediafunnel import media_funnel
+
+    media = _media_funnel_fixture(spark, sf_dir)
+    return (media_funnel(media)
+            .groupBy("media_type", "drop_reason")
+            .agg(F.count(F.lit(1)).alias("n_files")))
+
+
+_SQL_PIPE_MEDIA_FUNNEL_REPORT_DOCUMENTS = """
+WITH base AS (SELECT doc_id, doc_id % 19 AS c FROM documents),
+cnt AS (SELECT c, count(*) AS n FROM base GROUP BY c),
+m(c, mt, reason) AS (VALUES
+  (2, 'image', 'low_contrast'), (3, 'image', 'too_small'),
+  (4, 'audio', NULL), (5, 'audio', 'no_speech'),
+  (6, 'audio', 'loudness'), (7, 'text', NULL),
+  (8, 'text', 'short_text'), (9, 'text', NULL),
+  (10, 'audio', NULL), (11, 'video', 'damaged'),
+  (12, 'audio', 'too_long'), (13, 'image', NULL),
+  (14, 'unknown', 'unknown_route'), (15, 'image', 'undecodable'),
+  (16, 'text', 'low_alpha'), (17, 'video', NULL),
+  (18, 'audio', 'low_speech_ratio')),
+cells AS (
+  SELECT m.mt, m.reason, cnt.n
+  FROM cnt JOIN m ON m.c = cnt.c
+  UNION ALL
+  SELECT 'image', NULL, 1
+  UNION ALL
+  SELECT 'image', 'duplicate',
+    (SELECT sum(n) FROM cnt WHERE c IN (0, 1)) - 1
+)
+SELECT mt AS media_type, reason AS drop_reason,
+  CAST(sum(n) AS BIGINT) AS n_files
+FROM cells GROUP BY mt, reason
+"""
+
+
+def _q_pipe_wds_funnel_documents(spark, sf_dir):
+    """WebDataset → media funnel COMPOSITION (r12): the end-to-end
+    shape of multimodal training-data curation — tar shards of
+    adjacent ``<key>.<ext>`` samples (sources/webdataset.py) are
+    decoded into (media_id, payload) rows and pushed through the
+    census-routed funnel (operators/mediafunnel.py), so shard
+    adjacency, member extraction, magic-byte routing, per-modality
+    gates, image dedup, and the precedence verdict are certified as
+    ONE pipeline. Each doc packs a 4-sample shard: j=0 a PNG texture
+    IDENTICAL across all docs (the whole corpus dedups to the global
+    min media_id — keep-lowest at corpus scope), j=1 a speech WAV
+    (keep; frozen funnel goldens), j=2 a two-token text (short_text),
+    j=3 binary junk (unknown_route). media_id = doc_id*4 + j.
+    Oracle: closed-form verdicts + the corpus-min dup_of replay."""
+    import numpy as np
+    import pandas as pd
+
+    from bid_evaluation_spark.operators.mediafunnel import media_funnel
+    from bid_evaluation_spark.operators.png import encode_png
+    from bid_evaluation_spark.operators.wav import encode_wav
+    from bid_evaluation_spark.sources.webdataset import (
+        decode_tar_shard, encode_tar_shard)
+
+    docs = _docs_par(spark, sf_dir)
+
+    def gen(batches):
+        grad = ((np.add.outer(np.arange(12) * 23, np.arange(16) * 41)
+                 * 7) % 211).astype(np.uint8)
+        t = np.arange(int(8000 * 1.2)) / 8000.0
+        speech = (0.1 * np.sin(2 * np.pi * 300 * t)
+                  * ((t % 0.6) < 0.4).astype(float))
+        members = [("png", encode_png(grad)),
+                   ("wav", encode_wav(speech, rate=8000)),
+                   ("txt", b"ok sure"),
+                   ("bin", b"\x00\xfe\x80\xff junk \x81")]
+        for pdf_ in batches:
+            rows = []
+            for d in pdf_["doc_id"]:
+                d = int(d)
+                shard = encode_tar_shard(
+                    [{"__key__": f"{d:08d}-{j}", ext: payload}
+                     for j, (ext, payload) in enumerate(members)])
+                # the decode side of the composition: adjacency
+                # grouping + member extraction back to payload rows
+                for j, s in enumerate(decode_tar_shard(shard)):
+                    ext = [e for e in s if e != "__key__"][0]
+                    rows.append({"media_id": d * 4 + j,
+                                 "payload": s[ext]})
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(gen, "media_id long, payload binary")
+    res = media_funnel(media)
+    return res.select(
+        "media_id", "media_type", "container", "duration_ms",
+        (_r4("speech_ratio") + F.lit(0.0)).alias("speech_ratio"),
+        "n_tokens", "dup_of", "keep", "drop_reason")
+
+
+_SQL_PIPE_WDS_FUNNEL_DOCUMENTS = """
+WITH base AS (
+  SELECT doc_id, u.j AS j, doc_id * 4 + u.j AS media_id
+  FROM documents, UNNEST(generate_series(0, 3)) AS u(j)
+),
+cmin AS (SELECT min(doc_id) * 4 AS m FROM documents)
+SELECT media_id,
+  CASE j WHEN 0 THEN 'image' WHEN 1 THEN 'audio' WHEN 2 THEN 'text'
+         ELSE 'unknown' END AS media_type,
+  CASE j WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'plain'
+         ELSE 'binary' END AS container,
+  CAST(CASE j WHEN 1 THEN 1200 END AS BIGINT) AS duration_ms,
+  CAST(CASE j WHEN 1 THEN 0.6933 END AS DOUBLE) + 0.0
+    AS speech_ratio,
+  CAST(CASE j WHEN 2 THEN 2 END AS BIGINT) AS n_tokens,
+  CAST(CASE WHEN j = 0 AND media_id > (SELECT m FROM cmin)
+            THEN (SELECT m FROM cmin) END AS BIGINT) AS dup_of,
+  (j = 1 OR (j = 0 AND media_id = (SELECT m FROM cmin))) AS keep,
+  CASE WHEN j = 0 AND media_id > (SELECT m FROM cmin)
+         THEN 'duplicate'
+       WHEN j = 2 THEN 'short_text'
+       WHEN j = 3 THEN 'unknown_route' END AS drop_reason
+FROM base
 """
 
 
@@ -17562,7 +17696,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   text/quality/lm ......... text(18) quality(5) lm(1) pii(1)
 #   dedup/similarity ........ dedup(23) ann(5) pq(3) emb(5) bitext(1)
 #                             cluster(1) er(1) fuzzy(3) retrieval(6)
-#   pipeline/curation ....... pipe(31) pipeline(1) curation(2) dsir(2)
+#   pipeline/curation ....... pipe(33) pipeline(1) curation(2) dsir(2)
 #                             enc(1) features(5) classify(2)
 #   events/timeseries ....... events(13) ts(24) asof(4) range(1)
 #                             funnel(1) attrib(1) bandit(1)
@@ -17878,6 +18012,11 @@ _QUERIES: dict = {
                                     _SQL_METRICS_PSI_TIMELINE_EVENTS),
     "pipe_media_funnel_documents": (_q_pipe_media_funnel_documents,
                                     _SQL_PIPE_MEDIA_FUNNEL_DOCUMENTS),
+    "pipe_wds_funnel_documents": (_q_pipe_wds_funnel_documents,
+                                  _SQL_PIPE_WDS_FUNNEL_DOCUMENTS),
+    "pipe_media_funnel_report_documents": (
+        _q_pipe_media_funnel_report_documents,
+        _SQL_PIPE_MEDIA_FUNNEL_REPORT_DOCUMENTS),
     "pipe_curation_funnel_documents": (_q_pipe_curation_funnel_documents,
                                        _SQL_PIPE_CURATION_FUNNEL_DOCUMENTS),
     "analytics_did_events": (_q_analytics_did_events,

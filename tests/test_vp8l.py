@@ -140,6 +140,49 @@ def test_distance_plane_map_hand_pinned():
     assert list(img[0, 2, :3]) == [3, 30, 7]   # RGB of third literal
 
 
+def test_meta_prefix_groups_hand_pinned():
+    # 8x4 image, huffman_bits=2 -> 2x1 meta image: the left 4x4 block
+    # decodes with group 0's codes, the right with group 1's. Built by
+    # hand (the encoder writes a single group), so the decoder's
+    # spatially-varying code-group dispatch is exercised directly.
+    bw = _BitWriter()
+    bw.write(7, 14)
+    bw.write(3, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    bw.write(0, 1)                        # no transforms
+    bw.write(0, 1)                        # no color cache
+    bw.write(1, 1)                        # meta prefix present
+    bw.write(0, 3)                        # huffman_bits = 2
+    bw.write(0, 1)                        # meta image: no cache
+    mg = _write_prefix_code(bw, {0: 1, 1: 1}, 280)
+    mo = [_write_prefix_code(bw, {0: 2}, 256) for _ in range(3)]
+    _write_prefix_code(bw, {0: 1}, 40)
+    for gidx in (0, 1):                   # group index in green
+        _emit(bw, mg, gidx)
+        for c in mo:
+            _emit(bw, c, 0)
+    groups = []
+    for g, r, b in ((10, 20, 30), (77, 88, 99)):
+        groups.append((
+            _write_prefix_code(bw, {g: 1}, 280),
+            _write_prefix_code(bw, {r: 1}, 256),
+            _write_prefix_code(bw, {b: 1}, 256),
+            _write_prefix_code(bw, {255: 1}, 256),
+            _write_prefix_code(bw, {0: 1}, 40), (g, r, b)))
+    for _y in range(4):
+        for x in range(8):
+            cg, cr, cb, ca, _, (g, r, b) = groups[0 if x < 4 else 1]
+            _emit(bw, cg, g)
+            _emit(bw, cr, r)
+            _emit(bw, cb, b)
+            _emit(bw, ca, 255)
+    img = decode_vp8l(b"\x2f" + bw.bytes())
+    assert img.shape == (4, 8, 4)
+    assert (img[:, :4] == [20, 10, 30, 255]).all()
+    assert (img[:, 4:] == [88, 77, 99, 255]).all()
+
+
 def test_corruption_and_lossy_contracts():
     grad = _grad()
     good = encode_webp_lossless(grad)
