@@ -353,12 +353,13 @@ def intensity_stereo(xr_left, is_pos: int):
 
 # ----------------------------------------------------- alias reduce
 
-def alias_reduce(xr):
-    """Decoder-side alias-reduction butterflies across the 31
-    subband boundaries (§2.4.3.4.10.1). ``xr`` is the 576-vector in
-    subband-major order (18 per subband); returns a new vector."""
+def alias_reduce(xr, n_boundaries: int = 31):
+    """Decoder-side alias-reduction butterflies across subband
+    boundaries (§2.4.3.4.10.1) — all 31 for long blocks, 1 for MIXED
+    blocks (only the two long subbands), none for pure short. ``xr``
+    is the 576-vector in subband-major order; returns a new vector."""
     x = np.array(xr, dtype=np.float64)
-    for sb in range(1, 32):
+    for sb in range(1, 1 + n_boundaries):
         b = sb * 18
         for i in range(8):
             lo = x[b - 1 - i]
@@ -463,6 +464,31 @@ def hybrid_synthesis(xr, block_type: int, mixed: int,
     for sb in range(1, 32, 2):
         ss[1::2, sb] = -ss[1::2, sb]
     return ss, new_overlap
+
+
+def decode_granule_samples(is_values, g: dict, *, sfb_long,
+                           sfb_short, long_sf=None, short_sf=None,
+                           overlap=None):
+    """The tier's complete BACK HALF for one granule-channel: decoded
+    integer spectrum → ``(ss (18, 32) subband time samples, new
+    overlap)``. Chains reorder (short) → requantization → alias
+    reduction (31 boundaries long / 1 mixed / 0 pure-short) → hybrid
+    IMDCT + overlap-add + frequency inversion. Once the Annex-B
+    Huffman tables land (r13), :func:`decode_spectrum` output feeds
+    straight in here and :func:`.mp2.synthesize` turns the result
+    into PCM — every stage below the table seam is already wired."""
+    if overlap is None:
+        overlap = np.zeros((32, 18))
+    short = g["block_type"] == 2 and g["window_switching"]
+    if short:
+        reordered = reorder_short(list(is_values), sfb_short)
+        xr = requantize_short(reordered, g, short_sf, sfb_short)
+        xr = alias_reduce(xr, 1 if g["mixed_block_flag"] else 0)
+    else:
+        xr = requantize_long(list(is_values), g, long_sf, sfb_long)
+        xr = alias_reduce(xr, 31)
+    return hybrid_synthesis(xr, g["block_type"],
+                            g["mixed_block_flag"], overlap)
 
 
 # ------------------------------------------------- spectral plumbing

@@ -389,6 +389,33 @@ def test_decode_spectrum_without_tables_is_the_documented_seam():
         decode_spectrum(_BitReader(b"\x00" * 8), g, (36, 72))
 
 
+def test_decode_granule_samples_chains_both_block_families():
+    from bid_evaluation_spark.operators.mp3dec import (
+        decode_granule_samples)
+
+    sfb_short = tuple(range(0, 577, 48))[:13] + (576,)
+    is_values = [0] * 576
+    is_values[3] = 2
+    # long: requantize 2 -> 2^{4/3} at gain 210, through alias+IMDCT
+    g = _granule(global_gain=210)
+    ss, ov = decode_granule_samples(
+        is_values, g, sfb_long=SFB_LONG_TEST, sfb_short=sfb_short,
+        long_sf=[0] * 21)
+    assert ss.shape == (18, 32) and ov.shape == (32, 18)
+    assert np.abs(ss).sum() > 0
+    # short unmixed: no alias butterflies, 3-window IMDCT path
+    g2 = _granule(window_switching=1, block_type=2,
+                  global_gain=210)
+    short_sf = [[0] * 3 for _ in range(12)]
+    ss2, _ = decode_granule_samples(
+        is_values, g2, sfb_long=SFB_LONG_TEST, sfb_short=sfb_short,
+        short_sf=short_sf)
+    assert ss2.shape == (18, 32)
+    # a single band-0 coefficient excites only subband 0 when no
+    # alias butterflies run (pure short)
+    assert np.abs(ss2[:, 2:]).sum() == pytest.approx(0.0, abs=1e-12)
+
+
 # ------------------------------------------------ side-info census
 
 def test_sideinfo_inventory_census(spark):

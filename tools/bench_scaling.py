@@ -212,6 +212,23 @@ def fam_incremental_minhash(spark, base):
                                              _IDX_CACHE[base]).count()
 
 
+def fam_media_funnel(spark, base):
+    # the r12 flagship composition at corpus shape: one Arrow pass
+    # (sniff + routed decode + features over the 19-class fixture
+    # corpus) + the linear dHash groupBy-min + the verdict join —
+    # cost must scale with file count alone (pure map + two small
+    # shuffles)
+    import __spark_entry__ as entry
+    from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.mediafunnel import media_funnel
+
+    media = entry._media_funnel_fixture(spark, base)
+    n = media.count()
+    out = media_funnel(media).count()
+    release_all()
+    return n, out
+
+
 def fam_bpe_train(spark, base):
     from bid_evaluation_spark.operators.bpe import bpe_train
     d = _docs(spark, base)
@@ -488,6 +505,11 @@ FAMILIES = {
                      "span stats' one hash shuffle + a native per-doc "
                      "rebuild (O(tokens x dup_starts) codegen "
                      "comparison, dup_starts bounded per doc)"),
+    "media_funnel": (fam_media_funnel, 1.0,
+                     "one Arrow routing/decode kernel per file + a "
+                     "partial-aggregated dHash groupBy-min + the "
+                     "manifest join; per-file work constant by "
+                     "fixture construction"),
     "incremental_minhash": (fam_incremental_minhash, 1.0,
                             "fixed delta vs 10x-scaling standing "
                             "index: delta shingles map-only; the "
