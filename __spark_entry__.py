@@ -16389,6 +16389,53 @@ FROM documents JOIN g ON g.c = doc_id % 6
 """
 
 
+def _q_mm_stream_census_documents(spark, sf_dir):
+    """STREAMING media census (streaming/census.py — the continuous-
+    ingest twin of mm_media_census): the 17-class census corpus
+    arrives as THREE ordered micro-batches (doc_id % 3) processed
+    through the restart-safe versioned-state accumulator, incl. one
+    deliberately REPLAYED batch id (must be skipped, or every count
+    in the replayed slice doubles and the oracle fails). Output = the
+    final persisted totals per (media_type, container). Oracle:
+    closed-form class counts. State is bounded by route kinds (~13
+    rows), never corpus size."""
+    import os
+    import tempfile
+
+    from bid_evaluation_spark.streaming.census import (
+        StreamingMediaCensus)
+
+    media = _media_census_fixture(spark, sf_dir)
+    with tempfile.TemporaryDirectory(dir="/tmp") as root:
+        c = StreamingMediaCensus(spark, os.path.join(root, "st"))
+        for b in range(3):
+            batch = media.filter(F.col("media_id") % 3 == b)
+            c.process_batch(batch, batch_id=b, query_token="q")
+            if b == 1:                    # crash-window replay
+                c.process_batch(batch, batch_id=b, query_token="q")
+        out = c.counts().collect()
+    return spark.createDataFrame(
+        out, "media_type string, container string, n_files long")
+
+
+_SQL_MM_STREAM_CENSUS_DOCUMENTS = """
+WITH g(c, mt, cont) AS (VALUES
+  (0, 'image', 'png'),   (1, 'image', 'jpeg'),
+  (2, 'image', 'gif'), (3, 'image', 'tiff'),
+  (4, 'image', 'bmp'),   (5, 'image', 'netpbm'),
+  (6, 'audio', 'wav'),   (7, 'audio', 'flac'),
+  (8, 'audio', 'ogg'), (9, 'audio', 'mpeg'),
+  (10, 'video', 'mp4'), (11, 'video', 'avi'),
+  (12, 'document', 'pdf'), (13, 'text', 'html'),
+  (14, 'text', 'plain'), (15, 'unknown', 'binary'),
+  (16, 'image', 'webp'))
+SELECT g.mt AS media_type, g.cont AS container,
+  CAST(count(*) AS BIGINT) AS n_files
+FROM documents d JOIN g ON g.c = d.doc_id % 17
+GROUP BY g.mt, g.cont
+"""
+
+
 def _q_mm_webp_anim_documents(spark, sf_dir):
     """Animated-WebP TIMELINE inventory (operators/webp.py
     parse_webp_animation — VP8X animation flag + ANIM loop count +
@@ -16568,6 +16615,14 @@ def _q_mm_media_census_documents(spark, sf_dir):
     other. RIFF form-type splitting (WAV vs AVI), offset-4 ftyp, and
     table-validated MPEG sync are all load-bearing. Oracle:
     CLOSED-FORM class constants."""
+    from bid_evaluation_spark.operators.mediatype import media_census
+
+    return media_census(_media_census_fixture(spark, sf_dir))
+
+
+def _media_census_fixture(spark, sf_dir):
+    """The 17-class census corpus shared by the batch census query
+    and its streaming twin."""
     import numpy as np
     import pandas as pd
 
@@ -16616,8 +16671,7 @@ def _q_mm_media_census_documents(spark, sf_dir):
                 "payload": [fixed[int(d) % 17] for d in pdf_["doc_id"]],
             })
 
-    media = docs.mapInPandas(gen, "media_id long, payload binary")
-    return media_census(media)
+    return docs.mapInPandas(gen, "media_id long, payload binary")
 
 
 _SQL_MM_MEDIA_CENSUS_DOCUMENTS = """
@@ -17703,7 +17757,7 @@ _SQL_DEDUP_STREAM_NEARDUP_DOCUMENTS = _stream_neardup_sql()
 #   analytics/metrics ....... analytics(26) metrics(13) profile(8)
 #                             sketch(5) basket(2) rec(1)
 #   ml/graph/spatial ........ ml(10) graph(8) spatial(3)
-#   multimodal/web ingest ... mm(41) mq(2) wds(1) pdf(1) html(1)
+#   multimodal/web ingest ... mm(42) mq(2) wds(1) pdf(1) html(1)
 #                             robots(1) charset(1) warc(1) web(3)
 #                             sitemap(1)
 #   storage/ops ............. cdc(5) dq(4) io(1) ivm(1) layout(2)
@@ -18355,6 +18409,8 @@ _QUERIES: dict = {
                                   _SQL_MM_MP3_SIDEINFO_DOCUMENTS),
     "mm_webp_anim_documents": (_q_mm_webp_anim_documents,
                                _SQL_MM_WEBP_ANIM_DOCUMENTS),
+    "mm_stream_census_documents": (_q_mm_stream_census_documents,
+                                   _SQL_MM_STREAM_CENSUS_DOCUMENTS),
     "mm_media_census_documents": (_q_mm_media_census_documents,
                                   _SQL_MM_MEDIA_CENSUS_DOCUMENTS),
     "mm_melspec_documents": (_q_mm_melspec_documents,
