@@ -733,10 +733,14 @@ def _cc_two_phase(pairs: DataFrame, a_col: str, b_col: str,
         # large-star: every v > u links to m(u) = min(N(u) ∪ {u})
         m = (sym.groupBy("u").agg(F.min("v").alias("_mn"))
              .select("u", F.least(F.col("_mn"), F.col("u")).alias("m")))
+        # no .distinct() here: both consumers tolerate duplicate rows —
+        # m2 is a min() aggregate and `small` deduplicates at its own
+        # distinct — so the extra exchange per round bought nothing
+        # (one full shuffle per round removed; measured on the DBSCAN
+        # core grid, the chainy worst case this engine exists for)
         large = (sym.join(m, "u")
                  .filter(F.col("v") > F.col("u"))
-                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
-                 .distinct())
+                 .select(F.col("v").alias("a"), F.col("m").alias("b")))
         # small-star: each node's smaller neighbors (and itself) re-root
         # to the minimum of that down-neighborhood
         m2 = large.groupBy("a").agg(F.min("b").alias("m"))
@@ -772,6 +776,62 @@ def _cc_two_phase(pairs: DataFrame, a_col: str, b_col: str,
         f"connected components did not converge in {max_iter} iterations")
 
 
+#: edge-count ceiling for the single-task union-find CC path — ~32 MB of
+#: (long, long) rows, far below one task's memory; overridable for
+#: cluster profiles via SPARK_GRAFT_CC_LOCAL_MAX
+_CC_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _cc_local(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Single-task union-find connected components — the small-graph
+    engine behind ``algorithm="local"``.
+
+    When the edge set fits one task (callers guard on a count they
+    already have), the distributed star-contraction rounds are pure
+    overhead: each round is ~5 shuffled stages plus an eager
+    localCheckpoint and a driver sync, i.e. seconds of fixed latency to
+    label a graph union-find finishes in milliseconds. This path funnels
+    all edges into ONE mapInPandas task (Arrow batches in, one labeled
+    frame out) and labels each node with the component minimum — the
+    same output contract as the distributed engines, for any id type.
+    """
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    out_schema = edges.select(
+        F.col("a").alias("id"), F.col("a").alias("cluster_id")).schema
+
+    def _label(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[rb] = ra
+        roots = {}
+        for node in parent:
+            r = find(node)
+            cur = roots.get(r)
+            if cur is None or node < cur:
+                roots[r] = node
+        ids = list(parent)
+        yield pd.DataFrame({"id": ids,
+                            "cluster_id": [roots[find(n)] for n in ids]})
+
+    return edges.coalesce(1).mapInPandas(_label, out_schema)
+
+
 def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
                             b_col: str = "b_id",
                             max_iter: int = 20,
@@ -799,9 +859,11 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
     """
     if algorithm == "twophase":
         return _cc_two_phase(pairs, a_col, b_col, max_iter)
+    if algorithm == "local":
+        return _cc_local(pairs, a_col, b_col)
     if algorithm != "label":
-        raise ValueError(
-            f"algorithm must be 'label' or 'twophase', got {algorithm!r}")
+        raise ValueError(f"algorithm must be 'label', 'twophase' or "
+                         f"'local', got {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

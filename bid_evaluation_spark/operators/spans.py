@@ -73,24 +73,38 @@ def duplicated_span_stats(df: DataFrame, span: int = 50, stride: int = 1,
     occ = span_occurrences(df, span, stride, text_col, id_col, seed)
     key = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
     occ = occ.select(id_col, "span_hash", key.alias("_key"))
-    firsts = occ.groupBy("span_hash").agg(
-        F.count(F.lit(1)).alias("_n_occ"), F.min("_key").alias("_first"))
-    marked = (occ.join(firsts, ["span_hash"])
-              .select(id_col,
-                      (F.col("_key") > F.col("_first")).cast("long")
-                      .alias("_dup")))
-    per_doc = marked.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("_dup").alias("n_dup_spans"))
-    return (df.select(id_col)
-            .join(per_doc, [id_col], "left")
+    # duplicated occurrences straight out of the hash groups: collect
+    # each hash's (doc, pos) keys once and re-emit every key above the
+    # group minimum. One shuffle of the occurrence table, no join back
+    # (the old groupBy + self-join recomputed the tokenize/md5 subtree
+    # a second time AND paid a sort-merge join); singleton hash groups
+    # — the vast majority — are dropped before the explode.
+    dups = (occ.groupBy("span_hash")
+            .agg(F.min("_key").alias("_first"),
+                 F.collect_list("_key").alias("_ks"))
+            .filter(F.size("_ks") > 1)
+            .select(F.explode(F.filter(
+                "_ks", lambda k: k > F.col("_first"))).alias("_k"))
+            .select(F.col("_k.d").alias(id_col)))
+    dup_doc = dups.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"))
+    # n_spans has a closed form from the token count — the number of
+    # strided window starts — so the unduplicated side needs no
+    # aggregation at all (value-identical to counting emitted windows)
+    n_tok = F.size(tokens(F.col(text_col)))
+    m = n_tok - F.lit(span - 1)
+    n_spans = F.when(m >= 1, ((m - 1) / F.lit(stride)).cast("long")
+                     + F.lit(1)).otherwise(F.lit(0))
+    return (df.select(id_col, n_spans.alias("n_spans"))
+            .join(dup_doc, [id_col], "left")
             .select(
                 id_col,
-                F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+                F.col("n_spans"),
                 F.coalesce(F.col("n_dup_spans"), F.lit(0)
                            ).alias("n_dup_spans"),
-                F.when(F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
-                       F.col("n_dup_spans") / F.col("n_spans"))
+                F.when(F.col("n_spans") > 0,
+                       F.coalesce(F.col("n_dup_spans"), F.lit(0))
+                       / F.col("n_spans"))
                 .otherwise(F.lit(0.0)).alias("dup_ratio")))
 
 
@@ -118,12 +132,18 @@ def remove_duplicated_spans(df: DataFrame, span: int = 50,
     SURVIVING tokens, not more work."""
     occ = span_occurrences(df, span, stride, text_col, id_col, seed)
     key = F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
-    occ = occ.select(id_col, "pos", "span_hash", key.alias("_key"))
-    firsts = occ.groupBy("span_hash").agg(F.min("_key").alias("_first"))
-    dup_starts = (occ.join(firsts, ["span_hash"])
-                  .filter(F.col("_key") > F.col("_first"))
-                  .groupBy(id_col)
-                  .agg(F.sort_array(F.collect_list("pos"))
+    occ = occ.select(id_col, "span_hash", key.alias("_key"))
+    # same one-shuffle group trick as duplicated_span_stats: duplicated
+    # (doc, pos) keys are re-emitted from each hash group directly —
+    # no join back, no second tokenize/md5 pass over the corpus
+    dup_starts = (occ.groupBy("span_hash")
+                  .agg(F.min("_key").alias("_first"),
+                       F.collect_list("_key").alias("_ks"))
+                  .filter(F.size("_ks") > 1)
+                  .select(F.explode(F.filter(
+                      "_ks", lambda k: k > F.col("_first"))).alias("_k"))
+                  .groupBy(F.col("_k.d").alias(id_col))
+                  .agg(F.sort_array(F.collect_list("_k.p"))
                        .alias("_dups")))
     t = tokens(F.col(text_col))
     joined = (df.select(id_col, t.alias("_t"))

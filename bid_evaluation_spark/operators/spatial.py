@@ -93,39 +93,70 @@ def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
     """
     if min_pts < 2:
         raise ValueError(f"min_pts must be >= 2, got {min_pts}")
-    from .dedup import near_duplicate_clusters
+    from .cache import track_cached
+    from .dedup import _CC_LOCAL_MAX_EDGES, near_duplicate_clusters
 
     pts = (df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
            .select(F.col(id_col).alias("id")))
     pairs = radius_join(df, id_col, x_col, y_col, eps)
+    # the ε-pair table feeds FOUR independent consumers (degree count,
+    # core-core pairs — themselves read twice by the CC engine —, the
+    # border attachment, and the emptiness probe); unpersisted, each one
+    # re-runs the cell-blocked self-join from the scan (measured: a
+    # 4,445-line physical plan with 173 Exchanges at sf0.1). Persist the
+    # symmetric pair view once; downstream branches are joins over it.
     sym = (pairs.select(F.col("id_a").alias("id"),
                         F.col("id_b").alias("nbr"))
            .unionByName(pairs.select(F.col("id_b").alias("id"),
-                                     F.col("id_a").alias("nbr"))))
+                                     F.col("id_a").alias("nbr")))
+           .persist())
     degs = sym.groupBy("id").agg(F.count(F.lit(1)).alias("_deg"))
-    core = degs.filter(F.col("_deg") >= int(min_pts) - 1).select("id")
+    # core ids are read by cc_pairs (both sides), border_cl (both sides)
+    # and core_cl — a tiny id-only frame; cache it too
+    core = (degs.filter(F.col("_deg") >= int(min_pts) - 1).select("id")
+            .persist())
+    # cc_pairs feeds THREE consumers (the emptiness probe and the CC
+    # engine's ids + dir_e scans) — persist, and probe with a full
+    # count() so the probe job is also the one that fills the cache
+    # (limit(1) would cache only the partitions it touched)
     cc_pairs = (sym.join(core, "id", "left_semi")
                 .join(core.select(F.col("id").alias("nbr")), "nbr",
                       "left_semi")
-                .filter(F.col("id") < F.col("nbr")))
-    has_cc = cc_pairs.limit(1).count() > 0
+                .filter(F.col("id") < F.col("nbr"))
+                .persist())
+    n_cc = cc_pairs.count()
+    has_cc = n_cc > 0
     if has_cc:
-        # twophase: grid-adjacent cores form CHAINY components whose
-        # diameter grows with point density — large-star/small-star
-        # converges in O(log² n) rounds vs label propagation's
-        # O(diameter) (measured 11.7 s → see NOTES.md round-7 A/B)
-        clusters = near_duplicate_clusters(cc_pairs, "id", "nbr",
-                                           max_iter=max_cc_iter,
-                                           algorithm="twophase")
+        # engine choice from the edge count the probe already paid for:
+        # small graphs (≤ SPARK_GRAFT_CC_LOCAL_MAX edges, default 2M ≈
+        # 32 MB) run single-task union-find — the distributed rounds are
+        # pure fixed latency there (~5 shuffled stages + checkpoint +
+        # driver sync PER ROUND to label a graph union-find finishes in
+        # milliseconds). Above the ceiling: twophase — grid-adjacent
+        # cores form CHAINY components whose diameter grows with point
+        # density, and large-star/small-star converges in O(log² n)
+        # rounds vs label propagation's O(diameter) (measured 11.7 s →
+        # see NOTES.md round-7 A/B).
+        import os
+        local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX",
+                                       str(_CC_LOCAL_MAX_EDGES)))
+        clusters = near_duplicate_clusters(
+            cc_pairs, "id", "nbr", max_iter=max_cc_iter,
+            algorithm="local" if n_cc <= local_max else "twophase")
     else:
         # empty frame derived from the input's id TYPE (a hardcoded
         # long schema breaks the downstream join for string ids)
         clusters = pts.limit(0).select(
             "id", F.col("id").alias("cluster_id"))
-    # isolated cores (no core neighbor) cluster with themselves
+    # isolated cores (no core neighbor) cluster with themselves.
+    # core_cl is consumed twice (role join + border attachment) and its
+    # `clusters` input is itself a lazy join over the CC engine's cached
+    # frames — persist the one-row-per-core result instead of inlining
+    # that subtree twice into the final plan.
     core_cl = (core.join(clusters, "id", "left")
                .select("id", F.coalesce("cluster_id", "id")
-                       .alias("cluster_id")))
+                       .alias("cluster_id"))
+               .persist())
     border_cl = (sym.join(core.select(F.col("id").alias("nbr")), "nbr",
                           "left_semi")
                  .join(core, "id", "left_anti")
@@ -137,12 +168,18 @@ def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
                     "left")
            .join(border_cl.withColumnRenamed("cluster_id", "_bcl"), "id",
                  "left"))
-    return out.select(
+    out = out.select(
         "id",
         F.when(F.col("_role").isNotNull(), F.lit("core"))
         .when(F.col("_bcl").isNotNull(), F.lit("border"))
         .otherwise(F.lit("noise")).alias("role"),
         F.coalesce(F.col("cluster_id"), F.col("_bcl")).alias("cluster_id"))
+    # sym/core/core_cl must stay persisted until the caller materializes
+    # the returned lazy plan — register them for the harnesses'
+    # release()/release_all() sweep (the repo-wide pattern)
+    return track_cached(
+        out, [sym, core, cc_pairs, core_cl]
+        + list(getattr(clusters, "_cached_deps", [])))
 
 
 def geo_radius_join(df: DataFrame, id_col: str, lat_col: str,

@@ -62,6 +62,9 @@ def seed_vocab(words: DataFrame, *, seed_size: int = 300,
                  transform(sequence(1, length(word) - len + 1), i ->
                    substring(word, i, len))))""")).alias("piece"),
         "cnt").groupBy("piece").agg(F.sum("cnt").alias("total"))
+    # persist across the two collects below — unpersisted, the second
+    # collect re-ran the whole explode+groupBy subtree
+    pieces = pieces.persist()
     # ALL single characters are kept unconditionally (segmentability);
     # multi-char pieces compete for the remaining seed slots by count
     chars = sorted(r["piece"] for r in
@@ -70,6 +73,7 @@ def seed_vocab(words: DataFrame, *, seed_size: int = 300,
              (pieces.filter(F.length("piece") > 1)
               .orderBy(F.desc("total"), F.asc("piece"))
               .limit(max(seed_size - len(chars), 0)).collect())]
+    pieces.unpersist()
     return chars + multi
 
 
@@ -143,6 +147,16 @@ def unigram_train(df: DataFrame, text_col: str = "text", *,
     spark = df.sparkSession
     words = _words(df, text_col).persist()
     try:
+        # right-size the E-step parallelism from the DISTINCT-WORD count
+        # (known for free once the persist fills): the default layout
+        # inherits shuffle.partitions, so a small vocabulary corpus ran
+        # every EM round as dozens of near-empty Python tasks — pure
+        # scheduler + worker round-trip latency. ~4k words per task keeps
+        # big corpora parallel and small ones on a handful of tasks.
+        n_words = words.count()
+        n_slots = max(1, min(int(words.rdd.getNumPartitions()),
+                             (n_words + 4095) // 4096))
+        em_words = words.coalesce(n_slots)
         vocab = seed_vocab(words, seed_size=seed_size,
                            max_piece_len=max_piece_len)
         if len(vocab) > driver_vocab_cap:
@@ -169,19 +183,25 @@ def unigram_train(df: DataFrame, text_col: str = "text", *,
                     yield pd.DataFrame(
                         {"piece": list(acc), "fcount": list(acc.values())})
 
-            counts = (words.mapInPandas(estep,
-                                        "piece string, fcount long")
-                      .groupBy("piece").agg(F.sum("fcount").alias("fc"))
-                      .collect())
-            if len(counts) > driver_vocab_cap:
+            # tasks emit PARTIALLY-aggregated (piece, fixed-count) rows
+            # (one dict per batch); the final merge over ≤ vocab-sized
+            # tables is integer addition — exact and order-free — so it
+            # runs on the driver, saving a shuffle + extra stage per EM
+            # round (the collect itself is bounded by driver_vocab_cap)
+            rows = em_words.mapInPandas(
+                estep, "piece string, fcount long").collect()
+            fc: Dict[str, int] = {}
+            for r in rows:
+                fc[r["piece"]] = fc.get(r["piece"], 0) + r["fcount"]
+            if len(fc) > driver_vocab_cap:
                 raise ValueError(
-                    f"EM count table ({len(counts)} pieces) exceeds "
+                    f"EM count table ({len(fc)} pieces) exceeds "
                     f"driver_vocab_cap={driver_vocab_cap}")
-            total = sum(r["fc"] for r in counts)
+            total = sum(fc.values())
             if not total:
                 break
-            logp = {r["piece"]: math.log(r["fc"] / total)
-                    for r in counts if r["fc"] > 0}
+            logp = {p: math.log(c / total)
+                    for p, c in fc.items() if c > 0}
             # single chars must survive for segmentability
             for p in vocab:
                 if len(p) == 1 and p not in logp:
@@ -209,13 +229,24 @@ def viterbi_segment(word: str, logp: Dict[str, float],
     """Best segmentation (ties → fewer tokens, then lexicographically
     smaller piece sequence — deterministic by construction)."""
     n = len(word)
-    best: List[Tuple[float, int, Tuple[str, ...]]] = [None] * (n + 1)
-    best[0] = (0.0, 0, ())
+    # (score, n_pieces, prev_index) per position + the winning last
+    # piece — backpointers instead of materialized sequences. The old
+    # per-candidate tuple-concat + flattened char-ord key was a NO-OP
+    # tiebreak: every candidate at position j spells the identical
+    # prefix word[:j], so the char list never differed and max() fell
+    # back to first-wins over (score, -n_pieces) — which iteration
+    # order (l ascending) already provides. Behavior is bit-identical;
+    # the O(j) allocations per candidate are gone.
+    best: List[Tuple[float, int, int]] = [None] * (n + 1)
+    piece_at: List[str] = [""] * (n + 1)
+    best[0] = (0.0, 0, 0)
     for j in range(1, n + 1):
-        cands = []
+        top = None
+        top_piece = None
         for l in range(1, min(max_len, j) + 1):
             i = j - l
-            if best[i] is None:
+            prev = best[i]
+            if prev is None:
                 continue
             piece = word[i:j]
             lp = logp.get(piece)
@@ -224,15 +255,22 @@ def viterbi_segment(word: str, logp: Dict[str, float],
                     lp = _FLOOR_LOGPROB          # novel char fallback
                 else:
                     continue
-            s, k, seq = best[i]
-            cands.append((s + lp, k + 1, seq + (piece,)))
-        if cands:
-            best[j] = max(cands, key=lambda t: (t[0], -t[1],
-                                                [-ord(c) for p in t[2]
-                                                 for c in p]))
+            cand = (prev[0] + lp, -(prev[1] + 1))
+            if top is None or cand > top:
+                top = cand
+                top_piece = piece
+                best[j] = (cand[0], -cand[1], i)
+        if top is not None:
+            piece_at[j] = top_piece
     if best[n] is None:
         return [word]
-    return list(best[n][2])
+    out: List[str] = []
+    j = n
+    while j > 0:
+        out.append(piece_at[j])
+        j = best[j][2]
+    out.reverse()
+    return out
 
 
 def unigram_token_stats(df: DataFrame, vocab: List[Tuple[str, float]],
@@ -245,15 +283,24 @@ def unigram_token_stats(df: DataFrame, vocab: List[Tuple[str, float]],
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import re
+        # corpora repeat words heavily; segmentation is a pure function
+        # of (word, vocab), so memoize (n_tokens, n_fallbacks) per
+        # distinct word once per task (guide: amortize per-task work)
+        memo: Dict[str, Tuple[int, int]] = {}
         for pdf in batches:
             rows = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 words = re.findall(r"[a-z]+", str(text or "").lower())
                 n_tok = n_fb = 0
                 for w in words:
-                    toks = viterbi_segment(w, logp, max_piece_len)
-                    n_tok += len(toks)
-                    n_fb += sum(1 for t in toks if t not in logp)
+                    hit = memo.get(w)
+                    if hit is None:
+                        toks = viterbi_segment(w, logp, max_piece_len)
+                        hit = (len(toks),
+                               sum(1 for t in toks if t not in logp))
+                        memo[w] = hit
+                    n_tok += hit[0]
+                    n_fb += hit[1]
                 rows.append({"doc_id": int(did), "n_words": len(words),
                              "n_tokens": n_tok,
                              "n_char_fallbacks": n_fb})
