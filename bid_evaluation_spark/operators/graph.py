@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -181,108 +183,137 @@ def textrank_keywords(df: DataFrame, text_col: str = "text",
     top ``top_k`` words per document returned as ``(id_col, word, rank,
     rk)``.
 
-    This is the GROUPED variant of :func:`pagerank`: every frame carries
-    the document id, so one corpus-wide plan ranks millions of small
-    per-document graphs simultaneously — shuffles key on ``(doc, word)``,
-    per-round cost is one equi-join plus one groupBy, and no collect
-    happens anywhere (the corpus-level model loop in ``pagerank`` would
-    need a driver round-trip per document; this needs zero). Undirected
-    edges mean no dangling mass — every node has out-weight, so rounds
-    are pure joins. Lineage is truncated per round (localCheckpoint, the
-    repo-wide iterative-loop rule). Documents with fewer than two tokens
-    have no edges and yield no keywords.
+    Every document's graph is bounded by its own token count and is
+    independent of every other document's, so the whole computation is
+    embarrassingly parallel: tokenization stays native (oracle-parity
+    surface), and ONE map-only Arrow kernel builds each document's
+    co-occurrence graph, runs the ``n_iters`` damped rounds, and emits
+    the rounded top-k — zero shuffles, zero per-round lineage
+    checkpoints. (The former corpus-wide formulation paid one
+    equi-join + one groupBy + an eager localCheckpoint per round — all
+    fixed latency, since no round ever needs cross-document data.)
+    Documents with fewer than two tokens have no edges and yield no
+    keywords.
 
-    Ranking determinism: the top-k window orders by the 1e-6-ROUNDED
-    rank with the word as tiebreak (raw float ranks are a cross-engine
-    knife edge); ``rank`` is returned rounded the same way, which is the
-    surface the unrolled SQL oracle checks.
+    Ranking determinism: the top-k orders by the 1e-6-ROUNDED rank with
+    the word as tiebreak (raw float ranks are a cross-engine knife
+    edge); ``rank`` is returned rounded the same way, which is the
+    surface the unrolled SQL oracle checks. The kernel's float64
+    arithmetic is the same formula the SQL oracle replays; contribution
+    sums are accumulated per document in deterministic key order, and
+    the +1e-9 boundary nudge (below) absorbs the ≤1e-13 sum-order
+    difference vs any other association order, exactly as it absorbs
+    Spark partition-order noise.
     """
+    import math
+
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
     from .text import tokens
 
     t = tokens(F.lower(F.col(text_col)))
     toks = df.select(F.col(id_col).alias("_doc"), t.alias("_t")) \
         .filter(F.size("_t") >= 2)
-    # co-occurrence pairs by zipping shifted slices (NOTES lesson #1: no
-    # per-element indexing inside HOF lambdas). zip_with names the lambda
-    # output fields explicitly, so no arrays_zip field-name guessing.
-    pair_arrays = []
-    for off in range(1, window):
-        ln = F.size("_t") - off
-        pair_arrays.append(
-            F.zip_with(F.slice("_t", 1, ln), F.slice("_t", off + 1, ln),
-                       lambda a, b: F.struct(a.alias("a"), b.alias("b"))))
-    zipped = pair_arrays[0] if len(pair_arrays) == 1 else \
-        F.concat(*pair_arrays)
-    pairs = (toks.select("_doc", F.explode(zipped).alias("_p"))
-             .select("_doc", F.col("_p.a").alias("_a"),
-                     F.col("_p.b").alias("_b")))
 
-    und = pairs.select("_doc", F.col("_a").alias("_src"),
-                       F.col("_b").alias("_dst")).unionByName(
-        pairs.select("_doc", F.col("_b").alias("_src"),
-                     F.col("_a").alias("_dst")))
-    edges = (und.groupBy("_doc", "_src", "_dst")
-             .agg(F.count(F.lit(1)).cast("double").alias("_w")))
-    outw = edges.groupBy("_doc", "_src").agg(F.sum("_w").alias("_ow"))
-    ne = (edges.join(outw, on=["_doc", "_src"])
-          .select("_doc", "_src", "_dst",
-                  (F.col("_w") / F.col("_ow")).alias("_f"))
-          .persist())
-    nodes = edges.select("_doc", F.col("_src").alias("_word")).distinct() \
-        .persist()
-    nn = nodes.groupBy("_doc").agg(
-        F.count(F.lit(1)).cast("double").alias("_n"))
+    out_schema = StructType([
+        StructField(id_col, toks.schema["_doc"].dataType),
+        StructField("word", StringType()),
+        StructField("rank", DoubleType()),
+        StructField("rk", LongType()),
+    ])
+    n_win = int(window)
+    n_rounds = int(n_iters)
+    d_factor = float(damping)
+    base = 1.0 - d_factor
+    k_top = int(top_k)
 
-    ranks = (nodes.join(nn, on="_doc")
-             .select("_doc", "_word",
-                     (F.lit(1.0) / F.col("_n")).alias("_rank"))
-             .localCheckpoint())
-    base = 1.0 - damping
-    for _ in range(n_iters):
-        r = (ranks.withColumnRenamed("_doc", "_rd")
-             .withColumnRenamed("_word", "_rw"))
-        contrib = (ne.join(r, (F.col("_doc") == F.col("_rd"))
-                           & (F.col("_src") == F.col("_rw")))
-                   .groupBy("_doc", "_dst")
-                   .agg(F.sum(F.col("_rank") * F.col("_f")).alias("_c"))
-                   .select(F.col("_doc").alias("_cd"),
-                           F.col("_dst").alias("_cw"), "_c"))
-        ranks = (nodes.join(nn, on="_doc")
-                 .join(contrib, (F.col("_doc") == F.col("_cd"))
-                       & (F.col("_word") == F.col("_cw")), "left")
-                 .select("_doc", "_word",
-                         (F.lit(base) / F.col("_n") + F.lit(damping)
-                          * F.coalesce(F.col("_c"), F.lit(0.0)))
-                         .alias("_rank"))
-                 .localCheckpoint())
+    def _half_up(v: float) -> float:
+        # exact HALF_UP on a non-negative double, matching Spark's
+        # BigDecimal round(): frac = v - floor(v) is exact for v < 2^52,
+        # so the >= 0.5 comparison decides on the true real value (no
+        # `floor(v + 0.5)` float-addition pitfall at x.49999... inputs).
+        fl = math.floor(v)
+        return fl + 1.0 if v - fl >= 0.5 else float(fl)
 
-    from pyspark.sql import Window
-    # +1e-3 pre-round nudge (at the 1e6 scale, i.e. +1e-9 on the rank):
-    # PageRank values are RATIONALS, so scores landing exactly on a
-    # x.5·1e-6 grid boundary are common — there the round() outcome
-    # flips with partition-order sum noise (~1e-10 at this scale) and a
-    # deterministic oracle disagrees one run in N. The nudge is 10^7×
-    # the noise and 500× smaller than the grid step, so it moves every
-    # boundary rational deterministically up without affecting any
-    # non-boundary value. The SQL oracle applies the identical nudge.
-    r6 = F.round(F.col("_rank") * 1e6 + F.lit(1e-3)) / 1e6 + F.lit(0.0)
-    w = Window.partitionBy("_doc").orderBy(F.col("_r6").desc(), "_word")
-    out = (ranks.withColumn("_r6", r6)
-           .withColumn("_rk", F.row_number().over(w))
-           .filter(F.col("_rk") <= top_k)
-           .select(F.col("_doc").alias(id_col),
-                   F.col("_word").alias("word"),
-                   F.col("_r6").alias("rank"),
-                   F.col("_rk").cast("long").alias("rk")))
-    ne.unpersist()
-    nodes.unpersist()
-    return out
+    def _rank_docs(batches):
+        for pdf in batches:
+            out_doc, out_word, out_rank, out_rk = [], [], [], []
+            for doc, tok in zip(pdf["_doc"], pdf["_t"]):
+                tl = list(tok)
+                w: dict = {}
+                for off in range(1, n_win):
+                    for a, b in zip(tl, tl[off:]):
+                        w[(a, b)] = w.get((a, b), 0) + 1
+                        w[(b, a)] = w.get((b, a), 0) + 1
+                ow: dict = {}
+                for (s, _dst), c in w.items():
+                    ow[s] = ow.get(s, 0) + c
+                nodes = sorted(ow)
+                n = float(len(nodes))
+                rank = {v: 1.0 / n for v in nodes}
+                items = sorted(w.items())  # deterministic sum order
+                for _ in range(n_rounds):
+                    contrib = {v: 0.0 for v in nodes}
+                    for (s, dst), c in items:
+                        contrib[dst] += rank[s] * (float(c) / float(ow[s]))
+                    rank = {v: base / n + d_factor * contrib[v]
+                            for v in nodes}
+                # +1e-3 pre-round nudge (at the 1e6 scale, i.e. +1e-9 on
+                # the rank): PageRank values are RATIONALS, so scores
+                # landing exactly on a x.5·1e-6 grid boundary are common
+                # — there the round() outcome flips with sum-order noise
+                # (~1e-10 at this scale) and a deterministic oracle
+                # disagrees one run in N. The nudge is 10^7× the noise
+                # and 500× smaller than the grid step, so it moves every
+                # boundary rational deterministically up without
+                # affecting any non-boundary value. The SQL oracle
+                # applies the identical nudge.
+                scored = sorted(
+                    ((_half_up(rank[v] * 1e6 + 1e-3) / 1e6 + 0.0, v)
+                     for v in nodes),
+                    key=lambda rv: (-rv[0], rv[1]))
+                for rk, (r6, wd) in enumerate(scored[:k_top], start=1):
+                    out_doc.append(doc)
+                    out_word.append(wd)
+                    out_rank.append(r6)
+                    out_rk.append(rk)
+            yield pd.DataFrame({id_col: out_doc, "word": out_word,
+                                "rank": out_rank, "rk": out_rk})
+
+    return toks.mapInPandas(_rank_docs, out_schema)
+
+
+#: raw-pair ceiling for the single-task graph engines (~32 MB of id
+#: pairs, far below one task's memory) — the same size-adaptive dispatch
+#: as the connected-components ``local`` path in :mod:`.dedup`.
+#: Overridable for cluster profiles via SPARK_GRAFT_GRAPH_LOCAL_MAX.
+_GRAPH_LOCAL_MAX_EDGES = 2_000_000
+
+
+def _graph_local_max() -> int:
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_GRAPH_LOCAL_MAX",
+                              _GRAPH_LOCAL_MAX_EDGES))
+
+
+def _fits_local(e: DataFrame, limit: int) -> bool:
+    """True when ``e`` has at most ``limit`` rows, decided by a plain
+    ``count()`` probe. count() prunes every column (a parquet scan
+    answers it from footer metadata; a filtered scan reads only the
+    filter columns), so the probe costs at most what the FIRST stage of
+    any round engine pays anyway — measured cheaper than a
+    ``limit(n+1).count()`` probe, whose GlobalLimit shuffles every
+    surviving row to one partition."""
+    return e.count() <= limit
 
 
 def bfs_distances(edges: DataFrame, seeds: DataFrame,
                   src: str = "src", dst: str = "dst",
                   node_col: str = "node", max_hops: int = 3,
-                  directed: bool = True) -> DataFrame:
+                  directed: bool = True,
+                  engine: str = "auto") -> DataFrame:
     """Min-hop BFS distance from a seed set → ``(node, dist)`` for every
     node reachable within ``max_hops`` (seeds at 0; unreachable nodes
     absent). Frontier-expansion semantics: hop ``h`` adds exactly the
@@ -299,13 +330,30 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
     connected-components pass in :mod:`.dedup`. Exactly ``max_hops``
     rounds run (an empty frontier still joins cheaply), the mode the
     unrolled SQL oracle replays.
+
+    ``engine="auto"`` (default) dispatches on a bounded row probe: when
+    the raw pair list fits one task (≤ SPARK_GRAFT_GRAPH_LOCAL_MAX,
+    default 2M), the whole BFS runs as ONE numpy frontier-expansion
+    kernel — the distributed rounds are pure fixed latency (~3 shuffled
+    stages + 2 eager localCheckpoints + a driver sync per hop) on a
+    graph a vectorized sweep finishes in milliseconds. Above the ceiling
+    the per-round engine runs unchanged (``engine="rounds"`` forces it,
+    ``"local"`` forces the kernel).
     """
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e_raw = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+             .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()))
+    if engine not in ("auto", "local", "rounds"):
+        raise ValueError(f"engine must be 'auto', 'local' or 'rounds', "
+                         f"got {engine!r}")
+    if engine == "local" or (engine == "auto"
+                             and _fits_local(e_raw, _graph_local_max())):
+        return _bfs_local(e_raw, seeds, node_col, max_hops, directed)
+
+    e = e_raw
     if not directed:
         e = e.unionByName(e.select(F.col("_d").alias("_s"),
                                    F.col("_s").alias("_d")))
-    e = (e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-         .distinct().persist())
+    e = e.distinct().persist()
 
     dist = (seeds.select(F.col(node_col).alias("node")).distinct()
             .withColumn("dist", F.lit(0).cast("long"))
@@ -324,9 +372,96 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame,
     return dist
 
 
+def _bfs_local(e_raw: DataFrame, seeds: DataFrame, node_col: str,
+               max_hops: int, directed: bool) -> DataFrame:
+    """Single-task vectorized BFS — the small-graph engine behind
+    ``bfs_distances(engine="local")``. Seed rows ride the same frame as
+    the edges (marked by a boolean flag), so NO shuffle happens anywhere
+    beyond the single-partition gather: no edge distinct (np.unique
+    dedups candidates per hop), no seed distinct, no per-hop anti-join.
+    mapInArrow, not mapInPandas: node ids are integer-coded by Arrow's
+    ``dictionary_encode`` (C-speed hashing), so millions of string ids
+    never materialize as Python objects. Output contract identical to
+    the round engine: seeds at dist 0 (a null seed passes through at 0,
+    as the null-safe rounds did), every reachable node exactly once at
+    its min hop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # seed rows carry the node in BOTH id slots plus a marker flag
+    tagged = (seeds.select(F.col(node_col).alias("_s"),
+                           F.col(node_col).alias("_d"),
+                           F.lit(True).alias("_seed"))
+              .unionByName(e_raw.withColumn("_seed", F.lit(False))))
+    out_schema = StructType([
+        StructField("node", e_raw.schema["_s"].dataType),
+        StructField("dist", LongType()),
+    ])
+    hops = int(max_hops)
+    und = not directed
+
+    def _sweep(batches):
+        s_ch, d_ch, m_ch = [], [], []
+        for b in batches:
+            s_ch.append(b.column(0))
+            d_ch.append(b.column(1))
+            m_ch.append(b.column(2))
+        if not s_ch:
+            return
+        s_arr = pa.chunked_array(s_ch).combine_chunks()
+        d_arr = pa.chunked_array(d_ch).combine_chunks()
+        m_arr = pa.chunked_array(m_ch).combine_chunks()
+        seed_vals = pc.filter(s_arr, m_arr)
+        null_seed = seed_vals.null_count > 0
+        seed_vals = pc.drop_null(seed_vals)
+        em = pc.invert(m_arr)
+        s_e = pc.filter(s_arr, em)
+        d_e = pc.filter(d_arr, em)
+        comb = pa.concat_arrays([s_e, d_e, seed_vals])
+        enc = comb.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        dic = enc.dictionary
+        n = len(dic)
+        ne = len(s_e)
+        s_c, d_c = codes[:ne], codes[ne:2 * ne]
+        if und and ne:
+            s_c, d_c = (np.concatenate([s_c, d_c]),
+                        np.concatenate([d_c, s_c]))
+        seed_c = np.unique(codes[2 * ne:])
+        dist = np.full(n, -1, dtype=np.int64)
+        dist[seed_c] = 0
+        frontier = seed_c
+        for h in range(1, hops + 1):
+            if not len(frontier) or not len(s_c):
+                break
+            in_f = np.zeros(n, dtype=bool)
+            in_f[frontier] = True
+            cand = np.unique(d_c[in_f[s_c]])
+            new = cand[dist[cand] < 0]
+            dist[new] = h
+            frontier = new
+        found = dist >= 0
+        idx = np.nonzero(found)[0]
+        node_arr = pc.take(dic, pa.array(idx))
+        dist_arr = pa.array(dist[found], type=pa.int64())
+        if null_seed:
+            node_arr = pa.concat_arrays(
+                [node_arr, pa.nulls(1, node_arr.type)])
+            dist_arr = pa.concat_arrays(
+                [dist_arr, pa.array([0], type=pa.int64())])
+        yield pa.RecordBatch.from_arrays([node_arr, dist_arr],
+                                         ["node", "dist"])
+
+    return tagged.repartition(1).mapInArrow(_sweep, out_schema)
+
+
 def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
                       max_iter: int = 3,
-                      directed: bool = False) -> DataFrame:
+                      directed: bool = False,
+                      engine: str = "auto") -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) →
     ``(node, label)`` after exactly ``max_iter`` rounds. Labels start as
     the node's own id; each round every node takes the most frequent
@@ -341,15 +476,28 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     round (localCheckpoint), same as :func:`pagerank`. Community
     detection for near-dup clusters where connected components
     over-merge via hub nodes.
+
+    ``engine="auto"`` dispatches on a bounded row probe exactly like
+    :func:`bfs_distances`: a raw pair list within
+    SPARK_GRAFT_GRAPH_LOCAL_MAX runs all rounds in ONE vectorized
+    kernel (``"local"``/``"rounds"`` force a path).
     """
     from pyspark.sql import Window
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e_raw = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+             .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()))
+    if engine not in ("auto", "local", "rounds"):
+        raise ValueError(f"engine must be 'auto', 'local' or 'rounds', "
+                         f"got {engine!r}")
+    if engine == "local" or (engine == "auto"
+                             and _fits_local(e_raw, _graph_local_max())):
+        return _lpa_local(e_raw, max_iter, directed)
+
+    e = e_raw
     if not directed:
         e = e.unionByName(e.select(F.col("_d").alias("_s"),
                                    F.col("_s").alias("_d")))
-    e = (e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-         .distinct().persist())
+    e = e.distinct().persist()
     nodes = (e.select(F.col("_s").alias("node"))
              .unionByName(e.select(F.col("_d").alias("node")))
              .distinct().persist())
@@ -375,8 +523,87 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     return labels
 
 
+def _lpa_local(e_raw: DataFrame, max_iter: int, directed: bool) -> DataFrame:
+    """Single-task vectorized label propagation — the small-graph engine
+    behind ``label_propagation(engine="local")``. mapInArrow: node ids
+    are integer-coded by Arrow's ``dictionary_encode`` (C-speed hashing,
+    no Python objects), then remapped to SORTED value order so code
+    comparisons reproduce the min-label tie-break on the original
+    values exactly — the sort only touches the (small) distinct-node
+    dictionary, never the edge list. Votes are counted with one
+    np.unique over ``dst*N + label`` composite keys per round and the
+    argmax resolved by one ``np.maximum.at`` over ``count*(N+1) -
+    label`` packed values — no join, no groupBy, no per-round
+    checkpoint."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e_raw.schema["_s"].dataType
+    out_schema = StructType([StructField("node", id_type),
+                             StructField("label", id_type)])
+    rounds = int(max_iter)
+    und = not directed
+
+    def _propagate(batches):
+        s_ch, d_ch = [], []
+        for b in batches:
+            s_ch.append(b.column(0))
+            d_ch.append(b.column(1))
+        if not s_ch:
+            return
+        comb = pa.chunked_array(s_ch + d_ch).combine_chunks()
+        half = len(comb) // 2
+        if half == 0:
+            return
+        enc = comb.dictionary_encode()
+        raw_codes = enc.indices.to_numpy().astype(np.int64)
+        dic = enc.dictionary
+        n = len(dic)
+        # value-order remap: the min-label tie-break compares ORIGINAL
+        # values, so codes must be rank-ordered
+        order = pc.array_sort_indices(dic).to_numpy().astype(np.int64)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        codes = rank[raw_codes]
+        s_c, d_c = codes[:half], codes[half:]
+        if und:
+            s_c, d_c = (np.concatenate([s_c, d_c]),
+                        np.concatenate([d_c, s_c]))
+        pair = np.unique(s_c * n + d_c)
+        s_c, d_c = pair // n, pair % n
+        label = np.arange(n, dtype=np.int64)
+        for _ in range(rounds):
+            key = d_c * n + label[s_c]
+            uk, cnt = np.unique(key, return_counts=True)
+            dd, ll = uk // n, uk % n
+            # argmax by (count desc, label asc) in one packed int64:
+            # count*(N+1) - label is strictly ordered that way because
+            # 0 <= label <= N-1 < N+1
+            val = cnt * (n + 1) - ll
+            best = np.full(n, -1, dtype=np.int64)
+            np.maximum.at(best, dd, val)
+            # nodes with no in-neighbors fall back to their OWN id
+            # (the round engine's coalesce(best, node)), not the
+            # previous round's label
+            nxt = np.arange(n, dtype=np.int64)
+            has = best >= 0
+            ll_best = (-best) % (n + 1)
+            nxt[has] = ll_best[has]
+            label = nxt
+        sorted_dic = pc.take(dic, pa.array(order))
+        yield pa.RecordBatch.from_arrays(
+            [sorted_dic, pc.take(sorted_dic, pa.array(label))],
+            ["node", "label"])
+
+    return e_raw.repartition(1).mapInArrow(_propagate, out_schema)
+
+
 def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
-           n_rounds: Optional[int] = None) -> DataFrame:
+           n_rounds: Optional[int] = None,
+           engine: str = "auto") -> DataFrame:
     """k-core decomposition (undirected): iteratively peel nodes of
     degree < k until the remaining subgraph has min degree ≥ k; returns
     the survivors as ``(node, degree)`` (degree WITHIN the core).
@@ -391,14 +618,27 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
     endpoint columns, no collect of nodes or edges, lineage truncated
     per round. Peels needed in practice ≪ nodes (each round removes
     whole degree-layers at once).
+
+    ``engine="auto"`` dispatches on a bounded row probe exactly like
+    :func:`bfs_distances`: a raw pair list within
+    SPARK_GRAFT_GRAPH_LOCAL_MAX runs every peel in ONE vectorized
+    kernel (``"local"``/``"rounds"`` force a path).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    e_raw = (edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+             .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()
+                     & (F.col("_s") != F.col("_d"))))
+    if engine not in ("auto", "local", "rounds"):
+        raise ValueError(f"engine must be 'auto', 'local' or 'rounds', "
+                         f"got {engine!r}")
+    if engine == "local" or (engine == "auto"
+                             and _fits_local(e_raw, _graph_local_max())):
+        return _kcore_local(e_raw, k, n_rounds)
+
+    e = e_raw
     e = (e.unionByName(e.select(F.col("_d").alias("_s"),
                                 F.col("_s").alias("_d")))
-         .filter(F.col("_s").isNotNull() & F.col("_d").isNotNull()
-                 & (F.col("_s") != F.col("_d")))
          .distinct().localCheckpoint())
 
     def deg(ed):
@@ -424,6 +664,74 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         if e2.count() == n_before:
             return deg(e2)
         e = e2
+
+
+def _kcore_local(e_raw: DataFrame, k: int,
+                 n_rounds: Optional[int]) -> DataFrame:
+    """Single-task vectorized k-core peeling — the small-graph engine
+    behind ``k_core(engine="local")``. Per peel: one bincount for the
+    degrees, one boolean mask over the (deduped, doubled) edge arrays —
+    no semi-joins, no per-round checkpoint, no driver count action in
+    fixpoint mode. mapInArrow: node ids are integer-coded by Arrow's
+    ``dictionary_encode`` (C-speed hashing; degree peeling needs no
+    value ordering), doubling done in code space. Output contract
+    identical to the round engine: survivors as ``(node, degree)`` with
+    degree counted WITHIN the remaining subgraph (nodes that lose every
+    edge drop out)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([StructField("node", e_raw.schema["_s"].dataType),
+                             StructField("degree", LongType())])
+    kk = int(k)
+    fixed = None if n_rounds is None else int(n_rounds)
+
+    def _peel(batches):
+        s_ch, d_ch = [], []
+        for b in batches:
+            s_ch.append(b.column(0))
+            d_ch.append(b.column(1))
+        if not s_ch:
+            return
+        comb = pa.chunked_array(s_ch + d_ch).combine_chunks()
+        half = len(comb) // 2
+        if half == 0:
+            return
+        enc = comb.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        dic = enc.dictionary
+        n = len(dic)
+        s_c0, d_c0 = codes[:half], codes[half:]
+        s_c = np.concatenate([s_c0, d_c0])
+        d_c = np.concatenate([d_c0, s_c0])
+        pair = np.unique(s_c * n + d_c)
+        s_c, d_c = pair // n, pair % n
+        rounds = 0
+        while True:
+            deg = np.bincount(s_c, minlength=n)
+            keep = deg >= kk
+            mask = keep[s_c] & keep[d_c]
+            rounds += 1
+            if fixed is not None:
+                s_c, d_c = s_c[mask], d_c[mask]
+                if rounds >= fixed:
+                    break
+                continue
+            if mask.all():
+                break
+            s_c, d_c = s_c[mask], d_c[mask]
+        deg = np.bincount(s_c, minlength=n)
+        has = deg > 0
+        idx = np.nonzero(has)[0]
+        yield pa.RecordBatch.from_arrays(
+            [pc.take(dic, pa.array(idx)),
+             pa.array(deg[has], type=pa.int64())],
+            ["node", "degree"])
+
+    return e_raw.repartition(1).mapInArrow(_peel, out_schema)
 
 
 def link_prediction(incidence: DataFrame, container_col: str,

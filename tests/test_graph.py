@@ -312,3 +312,85 @@ class TestKCore:
         import pytest as _pt
         with _pt.raises(ValueError):
             self._core(spark, [(1, 2)], 0)
+
+
+class TestLocalEngineParity:
+    """The size-guarded single-task engines must agree with the
+    distributed round engines on random graphs (r12 optimization)."""
+
+    def _random_edges(self, seed, n_nodes=40, n_edges=120):
+        import random
+        rng = random.Random(seed)
+        return [(f"n{rng.randrange(n_nodes)}", f"n{rng.randrange(n_nodes)}")
+                for _ in range(n_edges)]
+
+    def test_bfs_local_matches_rounds(self, spark):
+        from bid_evaluation_spark.operators.graph import bfs_distances
+
+        for seed in (1, 2):
+            e = spark.createDataFrame(self._random_edges(seed),
+                                      "src string, dst string")
+            seeds = spark.createDataFrame([("n0",), ("n1",), ("n0",)],
+                                          "node string")
+            for directed in (True, False):
+                loc = {(r["node"], r["dist"]) for r in bfs_distances(
+                    e, seeds, max_hops=3, directed=directed,
+                    engine="local").collect()}
+                dist = {(r["node"], r["dist"]) for r in bfs_distances(
+                    e, seeds, max_hops=3, directed=directed,
+                    engine="rounds").collect()}
+                assert loc == dist
+
+    def test_lpa_local_matches_rounds(self, spark):
+        from bid_evaluation_spark.operators.graph import label_propagation
+
+        for seed in (3, 4):
+            e = spark.createDataFrame(self._random_edges(seed),
+                                      "src string, dst string")
+            for directed in (True, False):
+                loc = {(r["node"], r["label"]) for r in label_propagation(
+                    e, max_iter=3, directed=directed,
+                    engine="local").collect()}
+                dist = {(r["node"], r["label"]) for r in label_propagation(
+                    e, max_iter=3, directed=directed,
+                    engine="rounds").collect()}
+                assert loc == dist
+
+    def test_kcore_local_matches_rounds(self, spark):
+        from bid_evaluation_spark.operators.graph import k_core
+
+        for seed in (5, 6):
+            e = spark.createDataFrame(self._random_edges(seed),
+                                      "src string, dst string")
+            for n_rounds in (None, 2):
+                loc = {(r["node"], r["degree"]) for r in k_core(
+                    e, 3, n_rounds=n_rounds, engine="local").collect()}
+                dist = {(r["node"], r["degree"]) for r in k_core(
+                    e, 3, n_rounds=n_rounds, engine="rounds").collect()}
+                assert loc == dist
+
+    def test_bfs_local_null_seed_and_long_ids(self, spark):
+        from bid_evaluation_spark.operators.graph import bfs_distances
+
+        e = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        seeds = spark.createDataFrame([(1,), (None,)], "node long")
+        loc = {(r["node"], r["dist"]) for r in bfs_distances(
+            e, seeds, max_hops=2, engine="local").collect()}
+        dist = {(r["node"], r["dist"]) for r in bfs_distances(
+            e, seeds, max_hops=2, engine="rounds").collect()}
+        assert loc == dist == {(1, 0), (None, 0), (2, 1), (3, 2)}
+
+    def test_engine_validation(self, spark):
+        import pytest as _pt
+        from bid_evaluation_spark.operators.graph import (bfs_distances,
+                                                          k_core,
+                                                          label_propagation)
+
+        e = spark.createDataFrame([(1, 2)], "src long, dst long")
+        seeds = spark.createDataFrame([(1,)], "node long")
+        with _pt.raises(ValueError):
+            bfs_distances(e, seeds, engine="bogus")
+        with _pt.raises(ValueError):
+            label_propagation(e, engine="bogus")
+        with _pt.raises(ValueError):
+            k_core(e, 2, engine="bogus")
