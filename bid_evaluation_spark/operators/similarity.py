@@ -449,7 +449,9 @@ def hard_negatives(df: DataFrame, k: int = 5, *,
                    vec_col: str = "embedding",
                    label_col: str = "label",
                    max_cosine: float = None,
-                   anchors: DataFrame = None) -> DataFrame:
+                   anchors: DataFrame = None,
+                   engine: str = "auto",
+                   max_local_anchors: int = 10000) -> DataFrame:
     """Hard-NEGATIVE mining for contrastive training: per anchor, the
     top-k highest-cosine vectors whose LABEL DIFFERS — the negatives
     that actually move an embedding model (random negatives are too
@@ -462,11 +464,33 @@ def hard_negatives(df: DataFrame, k: int = 5, *,
     and training on them as negatives poisons the objective; route
     them to the dedup/label-audit queue instead.
 
-    Shape: the anchor side broadcasts (the standard fixed-query-load
-    mining pass over a growing corpus — same cost model as
-    :func:`cosine_topk`); similarity rows are produced map-side and
-    the per-anchor top-k is one partial window. At full-corpus anchor
-    loads, run per label-block or over ANN candidates instead."""
+    Shape: the anchor side is collected to the driver (the standard
+    fixed-query-load mining pass — the same bounded set the previous
+    formulation broadcast) and similarities are computed in ONE
+    vectorized ``mapInPandas`` kernel over the corpus scan that emits
+    only each anchor's per-batch top-k frontier (candidates at or above
+    the batch's k-th cosine), so the shuffle into the global top-k
+    window carries O(anchors × k) rows per batch instead of the full
+    anchors × corpus cross product evaluated through interpreted
+    higher-order-function folds. The kernel's float64 dot/norm folds
+    accumulate in element order — bit-identical to the previous
+    ``aggregate(zip_with(...))`` Column expression, so unrounded-cosine
+    tie-breaks cannot drift. Anchor loads above ``max_local_anchors``
+    fall back to the broadcast crossJoin plan (``engine="join"`` forces
+    it; at full-corpus anchor loads run per label-block or over ANN
+    candidates instead).
+
+    Corner-case note (kernel path): every NaN the kernel computes
+    (zero-norm vectors' 0/0, null elements arriving as NaN through
+    Arrow) is emitted as a pandas NaN and becomes a SQL **null** on the
+    Arrow hop back — which is exactly what the Column expression
+    produces for those inputs (Spark's ``Divide`` nulls on a zero
+    divisor; a null element nulls the ``zip_with`` fold), so ordering
+    and ceiling semantics match the join engine. The one remaining
+    divergence is a vector whose DATA contains a real NaN value: the
+    join engine yields a NaN cosine (sorts before all reals in the
+    desc window) while the kernel's NaN degrades to null (sorts last).
+    ``engine="join"`` restores exact NaN ordering for such data."""
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),
@@ -474,14 +498,200 @@ def hard_negatives(df: DataFrame, k: int = 5, *,
     c = df.select(F.col(id_col).alias("negative_id"),
                   F.col(label_col).alias("negative_label"),
                   F.col(vec_col).alias("_cv"))
-    sims = (c.crossJoin(F.broadcast(a))
-            .filter(F.col("anchor_label") != F.col("negative_label"))
-            .withColumn("cosine", cosine(F.col("_av"), F.col("_cv"))))
-    if max_cosine is not None:
-        sims = sims.filter(F.col("cosine") <= max_cosine)
+    if engine not in ("auto", "local", "join"):
+        raise ValueError(f"engine must be 'auto', 'local' or 'join', "
+                         f"got {engine!r}")
+    a_rows = None
+    if engine != "join":
+        probe = a.limit(max_local_anchors + 1).collect()
+        if len(probe) <= max_local_anchors:
+            a_rows = probe
+        elif engine == "local":
+            raise ValueError(
+                f"engine='local' but anchor count exceeds "
+                f"max_local_anchors={max_local_anchors}")
+    if a_rows is not None:
+        sims = _hard_negatives_map(c, a, a_rows, k, max_cosine)
+    else:
+        sims = (c.crossJoin(F.broadcast(a))
+                .filter(F.col("anchor_label") != F.col("negative_label"))
+                .withColumn("cosine", cosine(F.col("_av"), F.col("_cv")))
+                .select("anchor_id", "anchor_label", "negative_id",
+                        "negative_label", "cosine"))
+        if max_cosine is not None:
+            sims = sims.filter(F.col("cosine") <= max_cosine)
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("negative_id"))
     return (sims.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= k)
             .select("anchor_id", "anchor_label", "negative_id",
                     "negative_label", "cosine", "rnk"))
+
+
+def _hard_negatives_map(c: DataFrame, a: DataFrame, a_rows: list,
+                        k: int, max_cosine) -> DataFrame:
+    """Map-side hard-negative frontier: per corpus batch, each anchor's
+    candidates at or above the batch's k-th highest cosine (ties and
+    NaNs included), computed with element-order float64 folds that
+    bit-match the native ``aggregate(zip_with(...))`` expression. The
+    global window over the union of batch frontiers reproduces the full
+    cross-product top-k exactly."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("anchor_id", a.schema["anchor_id"].dataType),
+        StructField("anchor_label", a.schema["anchor_label"].dataType),
+        StructField("negative_id", c.schema["negative_id"].dataType),
+        StructField("negative_label", c.schema["negative_label"].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    kk = int(k)
+    ceiling = None if max_cosine is None else float(max_cosine)
+
+    # driver-side anchor prep: group valid-vector anchors by dimension
+    # (one matrix per dim); anchors with a null label produce no rows
+    # (label != null is never true); anchors with an unusable vector
+    # pair at null cosine — only visible without a ceiling.
+    by_dim: dict = {}
+    bad_vec: list = []
+    for r in a_rows:
+        aid, alab, av = r[0], r[1], r[2]
+        if alab is None:
+            continue
+        arr = None
+        if av is not None:
+            try:
+                cand = np.asarray(av, dtype=np.float64)
+                if cand.ndim == 1 and not any(x is None for x in av):
+                    arr = cand
+            except (TypeError, ValueError):
+                arr = None
+        if arr is None:
+            bad_vec.append((aid, alab))
+        else:
+            by_dim.setdefault(len(arr), []).append((aid, alab, arr))
+    groups = []
+    for d_, items in by_dim.items():
+        A = np.stack([it[2] for it in items])
+        # norm via the same left fold the Column expression runs
+        accn = np.zeros(len(items))
+        for i in range(d_):
+            accn += A[:, i] * A[:, i]
+        groups.append((d_, [it[0] for it in items],
+                       [it[1] for it in items], A, np.sqrt(accn)))
+
+    def _mine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nb = len(pdf)
+            ids = pdf["negative_id"].to_numpy()
+            labs = pdf["negative_label"].to_numpy()
+            lab_ok = pdf["negative_label"].notna().to_numpy()
+            raw = pdf["_cv"].to_numpy()
+            # vector parse: fast path one stack; slow path per-row on
+            # ragged / null / malformed cells
+            mats: dict = {}
+            covered = np.zeros(nb, dtype=bool)
+            try:
+                M = np.stack(raw).astype(np.float64)
+                if M.ndim == 2:
+                    mats[M.shape[1]] = (np.arange(nb), M)
+                    covered[:] = True
+            except (TypeError, ValueError):
+                pass
+            if not covered.all():
+                arrs, dims = [], np.full(nb, -1, dtype=np.int64)
+                for i, v in enumerate(raw):
+                    if v is None:
+                        arrs.append(None)
+                        continue
+                    try:
+                        a_ = np.asarray(v, dtype=np.float64)
+                    except (TypeError, ValueError):
+                        arrs.append(None)
+                        continue
+                    if a_.ndim != 1:
+                        arrs.append(None)
+                        continue
+                    arrs.append(a_)
+                    dims[i] = len(a_)
+                for d_ in np.unique(dims[dims >= 0]):
+                    idx = np.nonzero(dims == d_)[0]
+                    mats[int(d_)] = (idx, np.stack([arrs[i] for i in idx]))
+                    covered[idx] = True
+            frames = []
+
+            def _emit(aid, alab, rsel, cos_vals):
+                if len(rsel) == 0:
+                    return
+                frames.append(pd.DataFrame({
+                    "anchor_id": [aid] * len(rsel),
+                    "anchor_label": [alab] * len(rsel),
+                    "negative_id": ids[rsel],
+                    "negative_label": labs[rsel],
+                    "cosine": cos_vals,
+                }))
+
+            def _emit_nulls(aid, alab, mask):
+                # null-cosine pairs matter only without a ceiling
+                # (desc sorts them last): k smallest candidate ids
+                if ceiling is not None or not mask.any():
+                    return
+                sel = pd.Series(ids[mask]).sort_values(kind="stable")
+                rsel = np.nonzero(mask)[0][sel.index[:kk].to_numpy()]
+                _emit(aid, alab, rsel, [None] * len(rsel))
+
+            for d_, a_ids, a_labs, A, an in groups:
+                hit = mats.get(d_)
+                if hit is not None:
+                    ridx, M = hit
+                    nbm = len(ridx)
+                    na = len(a_ids)
+                    # element-order folds == aggregate(zip_with) exactly
+                    acc = np.zeros((nbm, na))
+                    for i in range(d_):
+                        acc += M[:, i][:, None] * A[:, i][None, :]
+                    accn = np.zeros(nbm)
+                    for i in range(d_):
+                        accn += M[:, i] * M[:, i]
+                    cn = np.sqrt(accn)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / (an[None, :] * cn[:, None])
+                    b_lab_ok = lab_ok[ridx]
+                    b_labs = labs[ridx]
+                for j, (aid, alab) in enumerate(zip(a_ids, a_labs)):
+                    if hit is not None:
+                        m = b_lab_ok & (b_labs != alab)
+                        rows = ridx[m]
+                        cj = cos[m, j]
+                        if ceiling is not None:
+                            keep = cj <= ceiling  # NaN excluded, as SQL
+                            rows, cj = rows[keep], cj[keep]
+                        if len(cj) > kk:
+                            # NaN cosines become SQL NULLs on the Arrow
+                            # hop (pandas NaN -> null) and sort LAST in
+                            # the desc window, exactly like the join
+                            # engine's divide-by-zero nulls — so the
+                            # k-th-highest threshold must be computed
+                            # over REAL values only (np.partition would
+                            # otherwise rank NaN highest and evict real
+                            # candidates from the frontier).
+                            real = cj[~np.isnan(cj)]
+                            if len(real) > kk:
+                                thr = np.partition(
+                                    real, len(real) - kk)[len(real) - kk]
+                                keep = (cj >= thr) | np.isnan(cj)
+                                rows, cj = rows[keep], cj[keep]
+                        _emit(aid, alab, rows, cj)
+                        _emit_nulls(aid, alab,
+                                    ~covered & lab_ok & (labs != alab))
+                    else:
+                        _emit_nulls(aid, alab, lab_ok & (labs != alab))
+            for aid, alab in bad_vec:
+                _emit_nulls(aid, alab, lab_ok & (labs != alab))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return c.select("negative_id", "negative_label", "_cv") \
+        .mapInPandas(_mine, out_schema)

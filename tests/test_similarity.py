@@ -33,3 +33,48 @@ def test_hard_negatives_max_cosine_routes_out_mislabeled_dups(spark):
     gated = hard_negatives(df, k=2, max_cosine=0.95,
                            anchors=df.filter("vec_id = 0"))
     assert [r["negative_id"] for r in gated.collect()] == [2]
+
+
+def test_hard_negatives_kernel_matches_join_engine(spark):
+    """r12 optimization parity: the mapInPandas frontier kernel must
+    reproduce the broadcast-crossJoin plan row-for-row (cosines
+    bit-identical, same tie-breaks) on a messy corpus: multiple dims,
+    null vectors, null labels, heavy ties, with and without a ceiling."""
+    import random
+    from bid_evaluation_spark.operators.similarity import hard_negatives
+    rng = random.Random(12)
+    rows = []
+    for i in range(240):
+        dim = rng.choice([3, 3, 3, 5])
+        vec = [round(rng.uniform(-1, 1), 1) for _ in range(dim)]
+        if i % 29 == 0:
+            vec = None                      # unusable vector
+        elif i % 31 == 0:
+            vec = [0.0] * dim               # zero norm -> null cosine
+        elif i % 41 == 0:
+            vec[0] = None                   # null element -> null cosine
+        lab = None if i % 37 == 0 else rng.randrange(3)
+        rows.append((i, vec, lab))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    anchors = df.filter("vec_id % 11 = 0")
+    for ceiling in (None, 0.8):
+        fast = hard_negatives(df, k=3, max_cosine=ceiling, anchors=anchors,
+                              engine="local")
+        slow = hard_negatives(df, k=3, max_cosine=ceiling, anchors=anchors,
+                              engine="join")
+        key = ["anchor_id", "rnk"]
+        assert sorted(map(tuple, fast.collect())) \
+            == sorted(map(tuple, slow.collect())), f"ceiling={ceiling}"
+
+
+def test_hard_negatives_auto_falls_back_above_anchor_cap(spark):
+    from bid_evaluation_spark.operators.similarity import hard_negatives
+    rows = [(i, [1.0, float(i)], i % 2) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    capped = hard_negatives(df, k=2, max_local_anchors=3)   # 8 anchors > 3
+    assert "MapInPandas" not in capped._jdf.queryExecution().toString()
+    full = hard_negatives(df, k=2, engine="local")
+    assert sorted(map(tuple, capped.collect())) \
+        == sorted(map(tuple, full.collect()))
