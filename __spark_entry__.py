@@ -15580,14 +15580,16 @@ def _q_privacy_exif_scrub_documents(spark, sf_dir):
 
     fixture = docs.mapInPandas(gen, "media_id long, payload binary")
     scrubbed = exif_scrub_gps(fixture)
-    meta = exif_metadata(scrubbed.select("media_id", "payload"))
-    return (scrubbed.select("media_id", "had_gps")
-            .join(meta, "media_id")
-            .select("media_id", "had_gps", "has_gps",
-                    F.col("lat").alias("lat_after"),
-                    "make",
-                    F.col("orientation").cast("long")
-                    .alias("orientation")))
+    # had_gps rides through the metadata kernel, so the fixture
+    # generator + scrub run ONCE in one lineage (the former
+    # re-association join duplicated the whole payload subtree under
+    # both sides — r12 optimization, guide §2.4)
+    meta = exif_metadata(scrubbed, passthrough=["had_gps"])
+    return meta.select("media_id", "had_gps", "has_gps",
+                       F.col("lat").alias("lat_after"),
+                       "make",
+                       F.col("orientation").cast("long")
+                       .alias("orientation"))
 
 
 _SQL_PRIVACY_EXIF_SCRUB_DOCUMENTS = """

@@ -324,8 +324,21 @@ _META_SCHEMA = ("media_id long, has_exif boolean, make string, "
 
 
 def exif_metadata(df: DataFrame, payload_col: str = "payload",
-                  id_col: str = "media_id") -> DataFrame:
-    """Per-image EXIF columns (one Arrow kernel, payload dropped)."""
+                  id_col: str = "media_id",
+                  passthrough: "list[str] | None" = None) -> DataFrame:
+    """Per-image EXIF columns (one Arrow kernel, payload dropped).
+
+    ``passthrough`` names input columns to carry through the kernel
+    unchanged (appended after the metadata columns) — this lets a
+    scrub→re-extract pipeline stay ONE lineage instead of re-running
+    the upstream payload producer on both sides of a re-association
+    join (r12 optimization; guide §2.4)."""
+    extra = list(passthrough or [])
+    schema = _META_SCHEMA
+    if extra:
+        fields = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}"
+                           for c in extra)
+        schema = f"{_META_SCHEMA}, {fields}"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -342,9 +355,11 @@ def exif_metadata(df: DataFrame, payload_col: str = "payload",
                 "media_id", "has_exif", "make", "model", "orientation",
                 "datetime", "has_gps", "lat", "lon"])
             out["orientation"] = out["orientation"].astype("Int32")
+            for c in extra:
+                out[c] = pdf[c].reset_index(drop=True)
             yield out
 
-    return df.select(id_col, payload_col).mapInPandas(kernel, _META_SCHEMA)
+    return df.select(id_col, payload_col, *extra).mapInPandas(kernel, schema)
 
 
 def exif_scrub_gps(df: DataFrame, payload_col: str = "payload",

@@ -178,3 +178,29 @@ def test_apply_orientation_all_eight():
     # rgb keeps channels
     rgb = np.arange(24).reshape(2, 4, 3)
     assert apply_orientation(rgb, 6).shape == (4, 2, 3)
+
+
+def test_exif_metadata_passthrough_columns(spark):
+    """r12 optimization: passthrough columns ride through the metadata
+    kernel row-aligned (lets scrub -> re-extract stay one lineage
+    instead of a re-association join)."""
+    import numpy as np
+    from bid_evaluation_spark.operators.exif import (
+        build_exif_app1, exif_metadata, exif_scrub_gps, insert_app1)
+    from bid_evaluation_spark.operators.jpeg import encode_jpeg
+    img = np.tile(np.arange(0, 240, 16, dtype=np.uint8), (8, 1))
+    plain = encode_jpeg(img)
+    rows = [(i, insert_app1(plain, build_exif_app1(
+        make=f"M{i}", orientation=1 + i % 8,
+        gps=(10.0 + i, -20.0) if i % 2 == 0 else None)))
+        for i in range(7)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    scrubbed = exif_scrub_gps(df)
+    meta = exif_metadata(scrubbed, passthrough=["had_gps"])
+    assert meta.columns[-1] == "had_gps"
+    got = {r["media_id"]: r for r in meta.collect()}
+    assert len(got) == 7
+    for i in range(7):
+        assert got[i]["had_gps"] == (i % 2 == 0)
+        assert got[i]["make"] == f"M{i}"          # row alignment held
+        assert not got[i]["has_gps"]
