@@ -367,10 +367,7 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k}, w={w}")
-    toks = tokens(text)
-    n = F.size(toks)
-    m = n - F.lit(k - 1)  # number of k-grams
-    mg = F.greatest(m, F.lit(0))
+
     # Sliding k-gram / window-min via folds of SHIFTED SLICES, never a
     # subexpression inside a transform() lambda: Catalyst re-evaluates a
     # lambda-captured array per element, turning the natural
@@ -378,24 +375,41 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
     # into O(m^2) md5s per document (measured: 182 s for 5k docs at
     # sf0.1). Slice arguments are evaluated once, so the fold is
     # O(k·n + w·m) per document.
-    grams = F.slice(toks, 1, mg)
-    for j in range(1, k):
-        grams = F.zip_with(grams, F.slice(toks, j + 1, mg),
-                           lambda a, b: F.concat_ws(" ", a, b))
-    hashes = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15),
-                         16, 10).cast("long"))
-    nwin = m - F.lit(w - 1)
-    nw = F.greatest(nwin, F.lit(0))
-    mins = F.slice(hashes, 1, nw)
-    for j in range(1, w):
-        mins = F.zip_with(mins, F.slice(hashes, j + 1, nw),
-                          lambda a, b: F.least(a, b))
-    picked = F.when(nwin >= 1, mins).otherwise(
-        F.when(m >= 1, F.array(F.array_min(hashes)))
-        .otherwise(F.array().cast("array<long>")))
-    return F.array_distinct(picked)
+    #
+    # The token and hash arrays are BOUND via single-element-array
+    # transform() lambdas: interpreted higher-order functions get no
+    # common-subexpression elimination, so the w shifted slices of
+    # `hashes` would otherwise each re-run the whole md5 subtree (and
+    # the k slices of `toks` the tokenizer) — measured 4x md5 cost at
+    # w=4 (r12 optimization). A 1-element array evaluates its child
+    # once; lambda-variable references inside are free.
+
+    def _winnow_hashes(hashes):
+        m = F.size(hashes)                     # == max(n - (k-1), 0)
+        nwin = m - F.lit(w - 1)
+        nw = F.greatest(nwin, F.lit(0))
+        mins = F.slice(hashes, 1, nw)
+        for j in range(1, w):
+            mins = F.zip_with(mins, F.slice(hashes, j + 1, nw),
+                              lambda a, b: F.least(a, b))
+        picked = F.when(nwin >= 1, mins).otherwise(
+            F.when(m >= 1, F.array(F.array_min(hashes)))
+            .otherwise(F.array().cast("array<long>")))
+        return F.array_distinct(picked)
+
+    def _hash_grams(toks):
+        mg = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+        grams = F.slice(toks, 1, mg)
+        for j in range(1, k):
+            grams = F.zip_with(grams, F.slice(toks, j + 1, mg),
+                               lambda a, b: F.concat_ws(" ", a, b))
+        hashes = F.transform(
+            grams,
+            lambda g: F.conv(F.substring(F.md5(g.cast("binary")), 1, 15),
+                             16, 10).cast("long"))
+        return F.transform(F.array(hashes), _winnow_hashes)[0]
+
+    return F.transform(F.array(tokens(text)), _hash_grams)[0]
 
 
 _SCRIPT_CLASSES = (
