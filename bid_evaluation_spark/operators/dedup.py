@@ -835,13 +835,23 @@ def _cc_local(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
 def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
                             b_col: str = "b_id",
                             max_iter: int = 20,
-                            algorithm: str = "label") -> DataFrame:
+                            algorithm: str = "auto") -> DataFrame:
     """Connected components over a near-duplicate pair graph →
     ``(id, cluster_id)`` with ``cluster_id = min(id)`` of the component.
 
-    Two interchangeable engines (identical output):
+    Interchangeable engines (identical output):
 
-    - ``algorithm="label"`` (default): iterative min-label propagation
+    - ``algorithm="auto"`` (default): persist the pair list, count it,
+      and dispatch on size — ``local`` single-task union-find when the
+      edge count fits one task (≤ ``SPARK_GRAFT_CC_LOCAL_MAX``, default
+      2M edges ≈ 32 MB), else ``label``. Near-dup pair graphs are tiny
+      relative to the corpus that produced them (banding bounds them),
+      so the distributed rounds' fixed latency (~5 shuffled stages + an
+      eager localCheckpoint + a driver sync PER ROUND) usually dwarfs
+      the milliseconds union-find needs; the count probe doubles as the
+      cache-filling materialization of the (often expensive) pair
+      subtree, which every engine otherwise persists anyway.
+    - ``algorithm="label"``: iterative min-label propagation
       (the GraphFrames/Pregel CC pattern in plain DataFrame ops) — each
       round every node takes the minimum label among itself and its
       neighbors.  One join + one groupBy per round; converges in
@@ -857,13 +867,23 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
     Both bound rounds by ``max_iter`` and raise rather than return
     partial labels.
     """
+    if algorithm == "auto":
+        import os
+        edges = pairs.select(a_col, b_col).persist()
+        n_edges = edges.count()
+        local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX",
+                                       str(_CC_LOCAL_MAX_EDGES)))
+        out = near_duplicate_clusters(
+            edges, a_col, b_col, max_iter,
+            "local" if n_edges <= local_max else "label")
+        return _track_cached(out, [edges])
     if algorithm == "twophase":
         return _cc_two_phase(pairs, a_col, b_col, max_iter)
     if algorithm == "local":
         return _cc_local(pairs, a_col, b_col)
     if algorithm != "label":
-        raise ValueError(f"algorithm must be 'label', 'twophase' or "
-                         f"'local', got {algorithm!r}")
+        raise ValueError(f"algorithm must be 'auto', 'label', 'twophase' "
+                         f"or 'local', got {algorithm!r}")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

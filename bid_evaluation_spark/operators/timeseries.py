@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .cache import track_cached
@@ -628,12 +630,20 @@ def holt_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     ``b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}``.
     ``forecast_next = l_t + b_t`` (the one-step-ahead prediction).
 
-    Same execution shape as :func:`ewma_by_key`: the recurrence depends
-    on all prior rows, so it runs as one Arrow kernel per key, the
-    arithmetic written EXACTLY as above so the recursive-CTE oracle
-    replays bit-identical doubles. Null values / timestamps excluded.
-    Returns ``(key_col, tiebreak_col, value, level, trend,
-    forecast_next)``.
+    The recurrence depends on all prior rows of its key, so no fixed
+    window frame expresses it — but unlike the per-group
+    ``applyInPandas`` shape (one Python call + one pandas frame PER KEY:
+    thousands of tiny groups pay ~ms of per-group overhead each,
+    measured as the whole cost of this operator at sf0.1), it runs as
+    ONE ``mapInPandas`` kernel per partition: rows are hash-partitioned
+    by key and sorted within partitions by (key, ts, tiebreak), then the
+    recurrence advances STEP-VECTORIZED — iteration t updates step t of
+    every key in the partition at once with elementwise float64 numpy
+    (identical IEEE op sequence per key, so the doubles stay
+    bit-identical to the sequential loop and the recursive-CTE oracle;
+    loop length = longest series, not row count). Null values /
+    timestamps excluded. Returns ``(key_col, tiebreak_col, value,
+    level, trend, forecast_next)``.
     """
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -647,27 +657,46 @@ def holt_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
     a, b = float(alpha), float(beta)
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts", "_tb"])
-        lvl, tr, ls, ts_ = None, None, [], []
-        for x in pdf["_v"].to_numpy():
-            x = float(x)
-            if lvl is None:
-                lvl, tr = x, 0.0
-            else:
-                prev = lvl
-                lvl = a * x + (1.0 - a) * (lvl + tr)
-                tr = b * (lvl - prev) + (1.0 - b) * tr
-            ls.append(lvl)
-            ts_.append(tr)
-        pdf = pdf.copy()
-        pdf["level"], pdf["trend"] = ls, ts_
-        return pdf
+    def smooth(batches):
+        # a key's rows can span Arrow batches — concatenate the
+        # partition (bounded by rows-per-partition, the same budget any
+        # shuffle task holds) so run boundaries are visible
+        pdfs = [p for p in batches]
+        if not pdfs:
+            return
+        pdf = (pd.concat(pdfs, ignore_index=True)
+               if len(pdfs) > 1 else pdfs[0].reset_index(drop=True))
+        n = len(pdf)
+        if n == 0:
+            return
+        vals = pdf["_v"].to_numpy(dtype=np.float64)
+        kv = pdf["_k"].to_numpy()
+        # run starts: key != previous key, with SQL group semantics for
+        # nulls (all null keys are one group; they sort adjacent)
+        isna = pd.isna(kv)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = ~((kv[1:] == kv[:-1]) | (isna[1:] & isna[:-1]))
+        starts = np.flatnonzero(new)
+        lengths = np.diff(starts, append=n)
+        lvl = np.empty(n, dtype=np.float64)
+        tr = np.zeros(n, dtype=np.float64)
+        lvl[starts] = vals[starts]
+        for t in range(1, int(lengths.max())):
+            act = starts[lengths > t] + t
+            prev = act - 1
+            lv = a * vals[act] + (1.0 - a) * (lvl[prev] + tr[prev])
+            lvl[act] = lv
+            tr[act] = b * (lv - lvl[prev]) + (1.0 - b) * tr[prev]
+        pdf["level"], pdf["trend"] = lvl, tr
+        yield pdf
 
     k_type = dict(prepared.dtypes)["_k"]
-    res = prepared.groupBy("_k").applyInPandas(
-        smooth, f"_k {k_type}, _ts double, _tb long, _v double, "
-                "level double, trend double")
+    res = (prepared.repartition("_k")
+           .sortWithinPartitions("_k", "_ts", "_tb")
+           .mapInPandas(
+               smooth, f"_k {k_type}, _ts double, _tb long, _v double, "
+                       "level double, trend double"))
     return res.select(F.col("_k").alias(key_col),
                       F.col("_tb").alias(tiebreak_col),
                       F.col("_v").alias("value"), "level", "trend",

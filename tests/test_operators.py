@@ -473,6 +473,37 @@ def test_near_duplicate_clusters_and_dedup(spark):
     assert kept == [1, 5, 42]  # canonical mins + untouched row
 
 
+def test_near_duplicate_clusters_auto_dispatch(spark, monkeypatch):
+    """auto == label == local on the same graph; the ceiling flips auto
+    to the distributed engine; empty pair sets stay empty (r12 opt)."""
+    from bid_evaluation_spark.operators.dedup import near_duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(4, 2), (2, 8), (30, 31), (9, 9), (1, 8)], "a_id long, b_id long")
+    want = {r["id"]: r["cluster_id"]
+            for r in near_duplicate_clusters(
+                pairs, algorithm="label").collect()}
+    for algo in ("auto", "local"):
+        got = {r["id"]: r["cluster_id"]
+               for r in near_duplicate_clusters(
+                   pairs, algorithm=algo).collect()}
+        assert got == want, algo
+    # above the ceiling auto must route to the distributed engine and
+    # still produce the identical labeling
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX", "2")
+    got = {r["id"]: r["cluster_id"]
+           for r in near_duplicate_clusters(pairs).collect()}
+    assert got == want
+    monkeypatch.delenv("SPARK_GRAFT_CC_LOCAL_MAX")
+    assert near_duplicate_clusters(pairs.limit(0)).collect() == []
+    # string ids survive the Arrow hop in the local engine
+    sp = spark.createDataFrame([("a", "b"), ("b", "c")],
+                               "a_id string, b_id string")
+    got = {r["id"]: r["cluster_id"]
+           for r in near_duplicate_clusters(sp).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a"}
+
+
 def test_range_join(spark):
     from bid_evaluation_spark.operators.asof import range_join
 

@@ -643,6 +643,39 @@ class TestHoltByKey:
         got = self._holt(spark, [float(i) for i in range(20)])
         assert got[-1][2] > 0.5  # trend approaches slope 1
 
+    def test_step_kernel_matches_sequential_many_keys(self, spark):
+        """The r12 step-vectorized partition kernel must bit-match the
+        per-key sequential fold on a messy corpus: many keys of varying
+        length, null keys (one SQL group), ts ties broken by the
+        tiebreak column, interleaved input order."""
+        import random
+        rnd = random.Random(712)
+        rows = []
+        for k in list(range(17)) + [None]:
+            for t in range(rnd.randint(1, 25)):
+                rows.append((k, float(t // 3),  # repeated ts -> tiebreak
+                             len(rows), rnd.uniform(-50, 50)))
+        rnd.shuffle(rows)
+        df = spark.createDataFrame(rows, "u int, ts double, e long, v double")
+        from bid_evaluation_spark.operators.timeseries import holt_by_key
+        got = {r["e"]: (r["level"], r["trend"], r["forecast_next"])
+               for r in holt_by_key(df, "u", "ts", "v", "e").collect()}
+        a, b = 0.3, 0.1
+        series = {}
+        for k, ts, e, v in sorted(rows, key=lambda r: (r[1], r[2])):
+            series.setdefault(k, []).append((e, v))
+        assert len(got) == len(rows)
+        for k, evs in series.items():
+            lvl, tr = None, None
+            for e, x in evs:
+                if lvl is None:
+                    lvl, tr = x, 0.0
+                else:
+                    prev = lvl
+                    lvl = a * x + (1.0 - a) * (lvl + tr)
+                    tr = b * (lvl - prev) + (1.0 - b) * tr
+                assert got[e] == (lvl, tr, lvl + tr), (k, e)
+
     def test_nulls_excluded_and_validation(self, spark):
         from bid_evaluation_spark.operators.timeseries import holt_by_key
 
