@@ -70,6 +70,25 @@ def test_min_count_validation(baskets):
         association_rules(baskets, "b", "i", min_count=0)
 
 
+def test_prune_engines_value_identical(spark):
+    """The opt-in Apriori prune paths (r12 opt: item_prune for rules,
+    pair_prune for triples) must be value-identical to the default
+    unpruned aggregation — the lemma makes the prunes lossless."""
+    from bid_evaluation_spark.operators.basket import frequent_triples
+
+    rows = [(k % 11, f"i{(k * 7 + j) % 13}")
+            for k in range(60) for j in range(5)]
+    df = spark.createDataFrame(rows, "b long, i string")
+    assert (_rules(df, min_count=3)
+            == _rules(df, min_count=3, item_prune=True))
+
+    def tri(**kw):
+        return {(r["item_a"], r["item_b"], r["item_c"]): r["n_joint"]
+                for r in frequent_triples(df, "b", "i", **kw).collect()}
+
+    assert tri(min_count=2) == tri(min_count=2, pair_prune=True)
+
+
 class TestFrequentTriples:
     def test_hand_computed(self, spark):
         from bid_evaluation_spark.operators.basket import frequent_triples

@@ -1223,13 +1223,20 @@ def _basket_acf_jl(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     bplan = plan_of(association_rules(li, "l_orderkey", "l_partkey",
                                       min_count=3))
-    if "LeftSemi" not in bplan:
-        probs.append("basket lost the Apriori semi-join prune")
+    if "Generate" not in bplan:
+        probs.append("basket pairs not generated by native array "
+                     "explode (posexplode/slice)")
     if "CartesianProduct" in bplan:
         probs.append("cartesian product in the basket plan")
     if "InMemoryTableScan" not in bplan:
-        probs.append("basket items/supp not persisted — every consumer "
-                     "replays the scan + distinct")
+        probs.append("basket arrays/supp not persisted — every consumer "
+                     "replays the scan + groupBy")
+    # the heavy-tail engine (item_prune=True) must still gate the pair
+    # stream map-side with the Apriori broadcast semi-joins
+    pplan = plan_of(association_rules(li, "l_orderkey", "l_partkey",
+                                      min_count=3, item_prune=True))
+    if pplan.count("LeftSemi") < 2:
+        probs.append("item_prune=True lost the Apriori semi-join prune")
 
     ev = load_table(spark, sf_dir, "events")
     aplan = plan_of(acf_by_key(ev, "event_type", ["ts", "event_id"],
@@ -1353,15 +1360,29 @@ def _triples_kcore_dhash(spark, sf_dir):
                                      min_count=2))
     if "CartesianProduct" in tplan:
         probs.append("cartesian in the triples plan")
-    if tplan.count("LeftSemi") < 2:
-        probs.append("triples lost an Apriori prune (item- and "
+    if "Generate" not in tplan:
+        probs.append("triples not generated by native array explode")
+    # the heavy-tail engine (pair_prune=True) must still carry the
+    # item- and pair-level Apriori semi-joins
+    tpplan = plan_of(frequent_triples(li, "l_orderkey", "l_partkey",
+                                      min_count=2, pair_prune=True))
+    if tpplan.count("LeftSemi") < 2:
+        probs.append("pair_prune=True lost an Apriori prune (item- and "
                      "pair-level semi-joins expected)")
 
     edges = li.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
                       F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    # r12 opt: small graphs route to the single-task Arrow kernel
+    # (MapInArrow, no checkpoints); the distributed engine must stay
+    # checkpoint-truncated — audit both dispatch outcomes
     kplan = plan_of(k_core(edges, k=30, n_rounds=3))
-    if "ExistingRDD" not in kplan:
-        probs.append("kcore peels not checkpoint-truncated")
+    if "MapInArrow" not in kplan and "ExistingRDD" not in kplan:
+        probs.append("kcore neither local Arrow kernel nor "
+                     "checkpoint-truncated peels")
+    kplan_dist = plan_of(k_core(edges, k=30, n_rounds=3,
+                                engine="rounds"))
+    if "ExistingRDD" not in kplan_dist:
+        probs.append("kcore distributed peels not checkpoint-truncated")
 
     hashes = spark.createDataFrame(
         [(i, (i * 2654435761) % (1 << 62)) for i in range(64)],
