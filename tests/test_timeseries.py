@@ -728,6 +728,41 @@ class TestTrendTest:
         out = self._tt(spark, rows)
         assert out["o"]["slope"] == pytest.approx(1.0, abs=1e-4)
 
+    def test_kernel_matches_join_engine(self, spark, monkeypatch):
+        """r12 opt: the vectorized single-pass kernel must bit-match the
+        pair self-join engine on a messy corpus — many groups of varying
+        size, duplicate x (skipped pairs), y ties (variance correction),
+        a null group (never equi-joins → 0 pairs), singleton groups,
+        null x/y rows excluded — and the auto probe must route large
+        inputs back to the join engine."""
+        import random
+
+        from bid_evaluation_spark.operators.timeseries import trend_test
+
+        rnd = random.Random(98)
+        rows = []
+        for g in [f"g{i}" for i in range(9)] + [None]:
+            for t in range(rnd.randint(1, 40)):
+                rows.append((g, float(t // 3),  # duplicate x values
+                             float(rnd.choice([rnd.uniform(-5, 5),
+                                               1.0, 2.0]))))  # y ties
+        rows += [("g0", None, 1.0), ("g1", 2.0, None)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+
+        def run(**kw):
+            return sorted(
+                (r.asDict() for r in
+                 trend_test(df, "g", "x", "y", **kw).collect()),
+                key=lambda d: (d["g"] is None, d["g"]))
+
+        want = run(engine="join")
+        assert run(engine="kernel") == want
+        assert run(engine="auto") == want
+        monkeypatch.setenv("SPARK_GRAFT_TREND_LOCAL_MAX_PAIRS", "1")
+        assert run(engine="auto") == want  # probe flips to join
+        with pytest.raises(ValueError):
+            trend_test(df, "g", "x", "y", engine="bogus")
+
 
 class TestSeasonalDecompose:
     def _sd(self, spark, vals, period=3):
