@@ -114,13 +114,53 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf("array<long>")
     def _sig(shingles: pd.Series) -> pd.Series:
-        out = []
-        for arr in shingles:
-            if arr is None or len(arr) == 0:
-                out.append(sentinel)
+        # Docs are batched into ~4k-shingle chunks: one flat
+        # (num_perm × chunk) hash matrix with per-doc mins via
+        # np.minimum.reduceat — the same (A·x + B) % P then min as the
+        # old per-doc loop (bit-identical int64 ops over identical
+        # sets), but short docs share a matrix pass instead of paying
+        # per-doc Python + sub-cache-line matrices. The chunk is kept
+        # CACHE-sized (64×4k×8B ≈ 2 MB, in-place ops): a first draft
+        # with ~200k-shingle chunks was several times SLOWER than the
+        # per-doc loop — three out-of-cache temporaries per chunk turn
+        # an L2-resident pipeline into a memory-bandwidth fight across
+        # 32 workers.
+        n = len(shingles)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in shingles),
+            dtype=np.int64, count=n)
+        out: list = [None] * n
+        chunk_ids: list = []
+        chunk_arrs: list = []
+        chunk_total = 0
+
+        def flush():
+            nonlocal chunk_total
+            if not chunk_ids:
+                return
+            flat = np.concatenate(chunk_arrs)
+            seg = np.concatenate(
+                ([0], np.cumsum([len(a) for a in chunk_arrs])))[:-1]
+            h = A * flat[None, :]
+            h += B
+            h %= _MERSENNE_PRIME
+            mins = np.minimum.reduceat(h, seg, axis=1)
+            for j, i in enumerate(chunk_ids):
+                out[i] = mins[:, j].tolist()
+            chunk_ids.clear()
+            chunk_arrs.clear()
+            chunk_total = 0
+
+        for i, arr in enumerate(shingles):
+            if lens[i] == 0:
+                out[i] = sentinel
                 continue
-            x = np.asarray(arr, dtype=np.int64)[None, :]
-            out.append(((A * x + B) % _MERSENNE_PRIME).min(axis=1).tolist())
+            chunk_ids.append(i)
+            chunk_arrs.append(np.asarray(arr, dtype=np.int64))
+            chunk_total += lens[i]
+            if chunk_total >= 4096:
+                flush()
+        flush()
         return pd.Series(out)
 
     return df.withColumn("_minhash", _sig(F.col("_shingles")))
@@ -335,12 +375,28 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
 
     ``pairs`` holds (a_id, b_id); document shingle sets are joined in and
     compared with ``array_intersect``/``array_union`` — JVM-side set math.
+
+    The docs side is semi-joined down to ids that actually appear in a
+    pair BEFORE tokenizing (r12 opt, guide §3.4): candidates are tiny
+    relative to the corpus in every dedup-verify use, so shingling every
+    document to verify a handful of pairs paid the whole corpus's
+    tokenize cost twice per query for nothing. ``pairs`` is persisted
+    here — the id prefilter plus the two verify joins read it three
+    times, and candidate generators (simhash/minhash banding) are far
+    too expensive to re-run per read (MEMORY_AND_DISK, so an unusually
+    large candidate list spills rather than OOMs; released via
+    ``operators.cache``).
     """
-    sh = docs.select(
-        F.col(id_col).alias("_sid"),
-        word_shingles(F.col(text_col), k).alias("_sh"),
-    )
-    return (
+    pairs = pairs.persist()
+    ids = (pairs.select(F.col(a_col).alias("_sid"))
+           .unionByName(pairs.select(F.col(b_col).alias("_sid")))
+           .distinct())
+    sh = (docs.join(ids, docs[id_col] == ids["_sid"], "left_semi")
+          .select(
+              F.col(id_col).alias("_sid"),
+              word_shingles(F.col(text_col), k).alias("_sh"),
+          ))
+    out = (
         pairs.join(sh.alias("sa"), F.col(a_col) == F.col("sa._sid"))
         .join(sh.alias("sb"), F.col(b_col) == F.col("sb._sid"))
         .select(
@@ -352,6 +408,7 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
             ).cast("double").alias("jaccard"),
         )
     )
+    return _track_cached(out, [pairs])
 
 
 # ---------------------------------------------------------------------------
@@ -1418,7 +1475,10 @@ def incremental_minhash_candidates(new_docs: DataFrame,
         out = ni.unionByName(nn)
     # a pair can surface from several bands (and, for re-crawls, from
     # both branches): one row wins, 'index' preferred so provenance is
-    # deterministic
+    # deterministic. The output is persisted (r12 opt): it is tiny
+    # (candidate pairs) and every caller reads it at least twice —
+    # exact-Jaccard verify, then a join-back for provenance — which
+    # otherwise re-runs the index-side signature pipeline per read.
     dedup = (out.groupBy("a_id", "b_id")
-             .agg(F.min("source").alias("source")))
-    return _track_cached(dedup, [new_banded])
+             .agg(F.min("source").alias("source"))).persist()
+    return _track_cached(dedup, [new_banded, dedup])
