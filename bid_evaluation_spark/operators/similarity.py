@@ -27,18 +27,57 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .dedup import _hyperplane_bucket, cosine
 
 
+_TOPK_LOCAL_MAX_QUERIES = 10_000
+
+
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                 query_id: str = "vec_id", corpus_id: str = "vec_id",
                 vec_col: str = "embedding", exclude_self: bool = True,
-                two_phase: bool = False) -> DataFrame:
+                two_phase: bool = False, engine: str = "auto") -> DataFrame:
     """Exact top-k cosine neighbors in the corpus for every query vector.
 
     Returns ``(query_id, neighbor_id, cosine, rnk)`` with rnk 1..k ordered by
     (similarity desc, neighbor id asc) — deterministic under ties.
+
+    Engines (identical output — parity-tested on messy corpora):
+
+    - ``kernel`` (default via ``auto``, r12 opt): the bounded query set
+      is collected (the join engine broadcast-collects the same rows)
+      and similarities run in ONE ``mapInPandas`` pass over the corpus
+      scan — per-dim element-order float64 folds that bit-match the
+      ``aggregate(zip_with(...))`` Column expression (interpreted HOFs
+      are ~the whole cost of the join plan), with a per-batch frontier
+      (rows above the batch's k-th value, boundary ties included, plus
+      the k lowest-id null-cosine rows) so the final window sees
+      O(partitions × Q × k) rows instead of Q × N.
+    - ``join``: broadcast crossJoin + Column cosine + full window —
+      runs unchanged above ``SPARK_GRAFT_TOPK_LOCAL_MAX_QUERIES``
+      (default 10k) query rows, so the dispatch is data-size-adaptive.
     """
     if two_phase:
         return _cosine_topk_two_phase(queries, corpus, k, query_id, corpus_id,
                                       vec_col, exclude_self)
+    if engine == "auto":
+        import os
+        cap = int(os.environ.get("SPARK_GRAFT_TOPK_LOCAL_MAX_QUERIES",
+                                 str(_TOPK_LOCAL_MAX_QUERIES)))
+        qrows = queries.select(F.col(query_id).alias("query_id"),
+                               F.col(vec_col).alias("_qv")) \
+            .limit(cap + 1).collect()
+        if len(qrows) <= cap:
+            return _cosine_topk_kernel(
+                qrows, corpus, k, corpus_id, vec_col, exclude_self,
+                queries.schema[query_id].dataType)
+        engine = "join"
+    elif engine == "kernel":
+        qrows = queries.select(F.col(query_id).alias("query_id"),
+                               F.col(vec_col).alias("_qv")).collect()
+        return _cosine_topk_kernel(
+            qrows, corpus, k, corpus_id, vec_col, exclude_self,
+            queries.schema[query_id].dataType)
+    if engine != "join":
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'join', "
+                         f"got {engine!r}")
 
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(vec_col).alias("_qv"))
@@ -59,6 +98,171 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def _parse_vec(v) -> Optional[np.ndarray]:
+    """Float64 view of one vector cell, or None when the Column cosine
+    would be null for every pairing (null / ragged / null-element)."""
+    if v is None:
+        return None
+    try:
+        arr = np.asarray(v, dtype=np.float64)
+    except (TypeError, ValueError):
+        return None
+    if arr.ndim != 1:
+        return None
+    # a null ELEMENT nulls the whole zip_with product chain
+    if any(x is None for x in v):
+        return None
+    return arr
+
+
+def _fold_norm(M: np.ndarray) -> np.ndarray:
+    """sqrt of the left-fold sum of squares — the _norm Column order."""
+    acc = np.zeros(len(M))
+    for i in range(M.shape[1]):
+        acc += M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _cosine_topk_kernel(qrows: list, corpus: DataFrame, k: int,
+                        corpus_id: str, vec_col: str, exclude_self: bool,
+                        qid_type) -> DataFrame:
+    """Map-side exact top-k: per corpus batch each query keeps rows at
+    or above its k-th best cosine (boundary ties included — the global
+    window applies the id tie-break) plus the k lowest-id null-cosine
+    rows (they matter when a query has < k real neighbors); the union
+    of batch frontiers provably contains the global top-k. Cosines
+    replay the Column arithmetic: per-dim element-order float64 folds,
+    ``dot / (norm_q · norm_c)`` — null when dims mismatch, a
+    vector/element is null, or the norm product is zero (Spark's
+    ``Divide`` nulls division by zero even for doubles). NaN/Inf INPUT
+    elements are outside the contract (same note as the hard-negatives
+    kernel: such cosines become SQL nulls on the Arrow hop, where the
+    join engine would carry a NaN value).
+    """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType([
+        StructField("query_id", qid_type),
+        StructField("neighbor_id", corpus.schema[corpus_id].dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    kk = int(k)
+
+    # driver-side query prep, grouped by dimension (one matrix per dim)
+    by_dim: dict = {}
+    bad_q: list = []   # null/ragged query vectors: null cosine everywhere
+    for r in qrows:
+        qid, qv = r["query_id"], r["_qv"]
+        if exclude_self and qid is None:
+            # query_id != neighbor_id is null for a null qid — the join
+            # engine's filter drops every such row
+            continue
+        arr = _parse_vec(qv)
+        if arr is None:
+            bad_q.append(qid)
+        else:
+            by_dim.setdefault(len(arr), []).append((qid, arr))
+    groups = []
+    for d_, items in by_dim.items():
+        Q = np.stack([it[1] for it in items])
+        groups.append((d_, [it[0] for it in items], Q, _fold_norm(Q)))
+
+    def _mine(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nb = len(pdf)
+            ids = pdf["_nid"].to_numpy()
+            raw = pdf["_cv"].to_numpy()
+            id_null = pdf["_nid"].isna().to_numpy()
+            arrs = [_parse_vec(v) for v in raw]
+            dims = np.array([-1 if a is None else len(a) for a in arrs],
+                            dtype=np.int64)
+            mats = {}
+            for d_ in np.unique(dims[dims >= 0]):
+                idx = np.nonzero(dims == d_)[0]
+                mats[int(d_)] = (idx, np.stack([arrs[i] for i in idx]))
+            cnorm = {d_: _fold_norm(M) for d_, (idx, M) in mats.items()}
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+
+            def emit(qid, nid_arr, cos_list):
+                rows["query_id"].extend([qid] * len(nid_arr))
+                rows["neighbor_id"].extend(nid_arr.tolist())
+                rows["cosine"].extend(cos_list)
+
+            def self_mask(qid):
+                m = np.ones(nb, dtype=bool)
+                if exclude_self:
+                    m &= ~id_null
+                    m &= ids != qid
+                return m
+
+            def emit_nulls(qid, mask):
+                sel = np.nonzero(mask)[0]
+                if len(sel) == 0:
+                    return
+                # Spark asc puts null ids first; keep all null-id rows
+                # (few by contract) + the k smallest non-null ids — a
+                # superset of what the final window can rank
+                nulls = sel[id_null[sel]]
+                nn = sel[~id_null[sel]]
+                order = np.argsort(ids[nn], kind="stable")[:kk]
+                sel = np.concatenate([nulls, nn[order]])
+                emit(qid, ids[sel], [None] * len(sel))
+
+            for d_, qids, Qm, qn in groups:
+                same = mats.get(d_)
+                other = dims != d_   # other dims + unparseable: null
+                if same is None:
+                    for qid in qids:
+                        emit_nulls(qid, other & self_mask(qid))
+                    continue
+                idx, M = same
+                # element-order fold across dims, vectorized over rows
+                acc = np.zeros((len(qids), len(idx)))
+                for i in range(d_):
+                    acc += Qm[:, i][:, None] * M[:, i][None, :]
+                dv = qn[:, None] * cnorm[d_][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / dv
+                sub_ids = ids[idx]
+                for qi, qid in enumerate(qids):
+                    sm = self_mask(qid)
+                    keep = sm[idx]
+                    # Spark Divide nulls /0; any residual NaN is also
+                    # outside the real-value order
+                    isnull = (dv[qi] == 0) | np.isnan(cos[qi])
+                    rsel = np.nonzero(keep & ~isnull)[0]
+                    cq = cos[qi][rsel]
+                    if len(rsel) > kk:
+                        kth = np.partition(-cq, kk - 1)[kk - 1]
+                        b = -cq <= kth   # boundary ties included
+                        rsel, cq = rsel[b], cq[b]
+                    emit(qid, sub_ids[rsel], cq.tolist())
+                    nullm = other.copy()
+                    nullm[idx[keep & isnull]] = True
+                    emit_nulls(qid, nullm & sm)
+            for qid in bad_q:
+                # a bad query vector nulls every pairing
+                emit_nulls(qid, self_mask(qid))
+            if rows["query_id"]:
+                yield pd.DataFrame({
+                    "query_id": rows["query_id"],
+                    "neighbor_id": rows["neighbor_id"],
+                    "cosine": pd.Series(rows["cosine"], dtype="object"),
+                })
+
+    frontier = (corpus.select(F.col(corpus_id).alias("_nid"),
+                              F.col(vec_col).alias("_cv"))
+                .mapInPandas(_mine, out_schema))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (frontier
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= kk)
+            .select("query_id", "neighbor_id", "cosine", "rnk"))
 
 
 def _cosine_topk_two_phase(queries: DataFrame, corpus: DataFrame, k: int,

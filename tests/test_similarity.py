@@ -68,6 +68,47 @@ def test_hard_negatives_kernel_matches_join_engine(spark):
             == sorted(map(tuple, slow.collect())), f"ceiling={ceiling}"
 
 
+def test_cosine_topk_kernel_matches_join_engine(spark, monkeypatch):
+    """r12 opt parity for cosine_topk: the mapInPandas frontier kernel
+    must reproduce the broadcast-crossJoin + window plan row-for-row
+    (bit-identical cosines, identical rnk tie-breaks) on a messy
+    corpus — multiple dims, null/ragged vectors, null elements, zero
+    norms (Spark nulls /0), empty arrays, heavy ties, fewer than k real
+    neighbors — under both exclude_self settings; the env cap must
+    route auto back to the join engine."""
+    import random
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+    rng = random.Random(7)
+    rows = []
+    for i in range(150):
+        dim = rng.choice([3, 3, 3, 4])
+        vec = [round(rng.uniform(-1, 1), 1) for _ in range(dim)]
+        if i % 23 == 0:
+            vec = None
+        elif i % 29 == 0:
+            vec = [0.0] * dim               # zero norm -> null cosine
+        elif i % 31 == 0:
+            vec[0] = None                   # null element -> null cosine
+        elif i % 37 == 0:
+            vec = []                        # empty -> 0/0 -> null
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id % 13 = 0")
+    for excl in (True, False):
+        fast = cosine_topk(q, df, k=4, exclude_self=excl, engine="kernel")
+        slow = cosine_topk(q, df, k=4, exclude_self=excl, engine="join")
+        assert sorted(map(tuple, fast.collect())) \
+            == sorted(map(tuple, slow.collect())), f"exclude_self={excl}"
+    monkeypatch.setenv("SPARK_GRAFT_TOPK_LOCAL_MAX_QUERIES", "2")
+    routed = cosine_topk(q, df, k=4)        # auto -> join above the cap
+    assert sorted(map(tuple, routed.collect())) \
+        == sorted(map(tuple,
+                      cosine_topk(q, df, k=4, engine="join").collect()))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        cosine_topk(q, df, k=4, engine="bogus")
+
+
 def test_hard_negatives_auto_falls_back_above_anchor_cap(spark):
     from bid_evaluation_spark.operators.similarity import hard_negatives
     rows = [(i, [1.0, float(i)], i % 2) for i in range(8)]
