@@ -81,6 +81,9 @@ def pair_counts(df: Optional[DataFrame] = None, text_col: str = "text",
     return _pair_counts(syms)
 
 
+_BPE_LOCAL_MAX_WORDS = 500_000
+
+
 def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
               min_count: int = 2, lowercase: bool = True,
               word_freq: Optional[DataFrame] = None,
@@ -92,9 +95,26 @@ def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
     vocabulary regardless of partitioning. Stops early when no pair reaches
     ``min_count``. Pass a precomputed ``word_freq`` (from
     :func:`word_frequencies`) to reuse the corpus pass across trainings.
+
+    The corpus-wide work is the ONE ``word_frequencies`` shuffle; the
+    merge loop itself operates on the distinct-word table, which is
+    vocabulary-sized. Below ``SPARK_GRAFT_BPE_LOCAL_MAX_WORDS`` distinct
+    words (default 500k) the loop runs on the DRIVER (r12 opt) —
+    identical integer pair counts and (count desc, left asc, right asc)
+    tie-breaks (Python's code-point string order equals Spark's UTF-8
+    binary order — UTF-8 preserves code-point order), without paying a
+    distributed groupBy + sort + localCheckpoint round-trip PER MERGE
+    on a vocabulary-sized frame. Above the cap the distributed rounds
+    run unchanged.
     """
     words = word_freq if word_freq is not None else word_frequencies(
         df, text_col, lowercase)
+    import os
+    cap = int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS",
+                             str(_BPE_LOCAL_MAX_WORDS)))
+    probe = words.limit(cap + 1).collect()
+    if len(probe) <= cap:
+        return _bpe_train_local(probe, int(n_merges), int(min_count))
     syms = (words.select(F.col("n"), _chars_plus_eow(F.col("word")).alias("s"))
             .localCheckpoint())
 
@@ -132,6 +152,47 @@ def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
         syms = (syms.withColumn(
             "s", F.when(hit, _merge(F.col("s"))).otherwise(F.col("s")))
             .localCheckpoint())
+    return merges
+
+
+def _bpe_train_local(rows, n_merges: int, min_count: int
+                     ) -> List[Tuple[str, str]]:
+    """Driver-side merge loop over a collected (word, n) table — the
+    exact distributed semantics: per-OCCURRENCE adjacent pair counts
+    weighted by word frequency, winner = (count desc, l asc, r asc),
+    greedy left-to-right rewrite of words containing the pair."""
+    seqs = [(r["n"], list(r["word"]) + [EOW]) for r in rows]
+    merges: List[Tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for n, seq in seqs:
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                counts[p] = counts.get(p, 0) + n
+        best = None
+        for p, c in counts.items():
+            if c < min_count:
+                continue
+            key = (-c, p[0], p[1])
+            if best is None or key < best[0]:
+                best = (key, p)
+        if best is None:
+            break
+        left, right = best[1]
+        merges.append((left, right))
+        joined = left + right
+        for j, (n, seq) in enumerate(seqs):
+            if left not in seq or right not in seq:
+                continue
+            res, i, m = [], 0, len(seq)
+            while i < m:
+                if i < m - 1 and seq[i] == left and seq[i + 1] == right:
+                    res.append(joined)
+                    i += 2
+                else:
+                    res.append(seq[i])
+                    i += 1
+            seqs[j] = (n, res)
     return merges
 
 

@@ -65,6 +65,16 @@ def test_train_matches_python_reference(corpus):
     assert len(got) == 12
 
 
+def test_train_local_matches_distributed(corpus, monkeypatch):
+    """r12 opt: the driver-local merge loop (default below the word cap)
+    must produce the identical merge list as the distributed rounds —
+    same weighted counts, same (c desc, l asc, r asc) tie-breaks."""
+    local = bpe_train(corpus, n_merges=12)
+    monkeypatch.setenv("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS", "0")
+    dist = bpe_train(corpus, n_merges=12)
+    assert local == dist
+
+
 def test_word_frequencies(corpus):
     wf = {r["word"]: r["n"] for r in word_frequencies(corpus).collect()}
     assert wf["low"] == 5 and wf["newer"] == 3 and wf["the"] == 2
