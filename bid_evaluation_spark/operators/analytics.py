@@ -1226,7 +1226,8 @@ def wilson_by_group(df: DataFrame, group_col: str, success_col: str,
 
 
 def huber_mean_by_group(df: DataFrame, group_col: str, value_col: str,
-                        n_rounds: int = 2, c: float = 1.345) -> DataFrame:
+                        n_rounds: int = 2, c: float = 1.345,
+                        engine: str = "kernel") -> DataFrame:
     """Huber M-estimate of location per group (Huber 1964) — the robust
     mean that downweights outliers smoothly instead of discarding them
     (winsorized/trimmed means hard-clip; the median ignores magnitude):
@@ -1249,29 +1250,114 @@ def huber_mean_by_group(df: DataFrame, group_col: str, value_col: str,
     x = F.col(value_col).cast("double")
     base = (df.filter(x.isNotNull() & F.col(group_col).isNotNull())
             .select(F.col(group_col).alias("group"), x.alias("_x")))
-    med = (base.groupBy("group")
-           .agg(F.count(F.lit(1)).cast("long").alias("n"),
-                F.expr("percentile(_x, 0.5)").alias("_med")))
-    mad = (base.join(med, "group")
-           .groupBy("group")
-           .agg(F.expr("percentile(abs(_x - _med), 0.5)").alias("_mad")))
-    stats = (med.join(mad, "group")
-             .withColumn("_k", F.lit(float(c) * 1.4826) * F.col("_mad")))
-    m = F.col("_med")
-    cur = stats.select("group", "n", "_med", "_k", m.alias("_m"))
-    for _ in range(n_rounds):
-        j = base.join(cur, "group")
-        dev = F.abs(F.col("_x") - F.col("_m"))
-        w = F.when(dev <= F.col("_k"), F.lit(1.0)) \
-             .otherwise(F.col("_k") / dev)
-        step = (j.groupBy("group")
-                .agg((F.sum(w * F.col("_x")) / F.sum(w)).alias("_m2")))
-        cur = (cur.join(step, "group", "left")
-               .select("group", "n", "_med", "_k",
-                       F.when(F.col("_k") > 0, F.col("_m2"))
-                       .otherwise(F.col("_med")).alias("_m")))
+    if engine == "kernel":
+        cur = _huber_stats_kernel(base, int(n_rounds), float(c))
+    elif engine == "join":
+        med = (base.groupBy("group")
+               .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                    F.expr("percentile(_x, 0.5)").alias("_med")))
+        mad = (base.join(med, "group")
+               .groupBy("group")
+               .agg(F.expr("percentile(abs(_x - _med), 0.5)")
+                    .alias("_mad")))
+        stats = (med.join(mad, "group")
+                 .withColumn("_k", F.lit(float(c) * 1.4826) * F.col("_mad")))
+        m = F.col("_med")
+        cur = stats.select("group", "n", "_med", "_k", m.alias("_m"))
+        for _ in range(n_rounds):
+            j = base.join(cur, "group")
+            dev = F.abs(F.col("_x") - F.col("_m"))
+            w = F.when(dev <= F.col("_k"), F.lit(1.0)) \
+                 .otherwise(F.col("_k") / dev)
+            step = (j.groupBy("group")
+                    .agg((F.sum(w * F.col("_x")) / F.sum(w)).alias("_m2")))
+            cur = (cur.join(step, "group", "left")
+                   .select("group", "n", "_med", "_k",
+                           F.when(F.col("_k") > 0, F.col("_m2"))
+                           .otherwise(F.col("_med")).alias("_m")))
+    else:
+        raise ValueError(f"engine must be 'kernel' or 'join', "
+                         f"got {engine!r}")
     r4 = lambda e: F.round(e * 1e4) / 1e4 + F.lit(0.0)  # noqa: E731
     return cur.select(
         "group", "n", r4(F.col("_med")).alias("median"),
         F.when(F.col("_k") > 0, r4(F.col("_k"))).alias("scale"),
         r4(F.col("_m")).alias("huber_mean"))
+
+
+def _huber_stats_kernel(base: DataFrame, n_rounds: int, c: float
+                        ) -> DataFrame:
+    """One-pass per-group Huber stats: hash-partition by group, sort
+    within partitions, and per group compute the exact median (Spark's
+    ``Percentile`` interpolation: ``(hi − pos)·x[lo] + (pos − lo)·x[hi]``
+    over the sorted run), the MAD on |x − med|, and the unrolled IRLS
+    rounds in float64 numpy. The old plan scanned and shuffled the base
+    frame once per aggregate (median, MAD, every round); one partition
+    pass computes all of them. Output values agree with the join
+    engine within the operator's 4-decimal rounding contract (double
+    SUM order is partitioning-dependent in the join engine too — the
+    rounded contract is the equivalence both engines honor).
+    Returns ``(group, n, _med, _k, _m)`` for the shared final select."""
+    import numpy as np
+    import pandas as pd
+
+    kc = float(c) * 1.4826
+
+    def _pctl50(sorted_vals: np.ndarray) -> float:
+        n = len(sorted_vals)
+        pos = (n - 1) * 0.5
+        lo = int(np.floor(pos))
+        hi = int(np.ceil(pos))
+        if lo == hi:
+            return float(sorted_vals[lo])
+        return float((hi - pos) * sorted_vals[lo]
+                     + (pos - lo) * sorted_vals[hi])
+
+    def kernel(batches):
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = (pd.concat(pdfs, ignore_index=True)
+               if len(pdfs) > 1 else pdfs[0].reset_index(drop=True))
+        nrows = len(pdf)
+        if not nrows:
+            return
+        kv = pdf["group"].to_numpy()
+        xs_all = pdf["_x"].to_numpy(dtype=np.float64)
+        new = np.empty(nrows, dtype=bool)
+        new[0] = True
+        new[1:] = kv[1:] != kv[:-1]   # group is non-null by contract
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], nrows)
+        out = {"group": [], "n": [], "_med": [], "_k": [], "_m": []}
+        for s0, e0 in zip(starts, ends):
+            xs = np.sort(xs_all[s0:e0])
+            n = e0 - s0
+            med = _pctl50(xs)
+            mad = _pctl50(np.sort(np.abs(xs - med)))
+            k = kc * mad
+            m = med
+            if k > 0:
+                for _ in range(n_rounds):
+                    dev = np.abs(xs - m)
+                    w = np.where(dev <= k, 1.0, k / np.where(dev == 0,
+                                                             1.0, dev))
+                    m = float((w * xs).sum() / w.sum())
+            out["group"].append(kv[s0])
+            out["n"].append(n)
+            out["_med"].append(med)
+            out["_k"].append(k)
+            out["_m"].append(m)
+        yield pd.DataFrame({
+            "group": pd.Series(out["group"], dtype=pdf["group"].dtype),
+            "n": pd.Series(out["n"], dtype="int64"),
+            "_med": pd.Series(out["_med"], dtype="float64"),
+            "_k": pd.Series(out["_k"], dtype="float64"),
+            "_m": pd.Series(out["_m"], dtype="float64"),
+        })
+
+    g_type = dict(base.dtypes)["group"]
+    return (base.repartition("group")
+            .sortWithinPartitions("group", "_x")
+            .mapInPandas(kernel, f"group {g_type}, n long, _med double, "
+                                 "_k double, _m double"))

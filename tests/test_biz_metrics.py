@@ -79,6 +79,31 @@ def test_huber_mean_downweights_outlier(spark):
     assert plain_mean > 100
 
 
+def test_huber_kernel_matches_join_engine(spark):
+    """r12 opt: the one-pass partition kernel (default) must agree with
+    the unrolled join engine on a messy corpus — many groups of odd and
+    even sizes (both percentile interpolation branches), zero-MAD
+    groups, singletons, nulls excluded — at the operator's 4-decimal
+    output contract."""
+    import random
+    rnd = random.Random(44)
+    rows = []
+    for g in range(12):
+        n = rnd.randint(1, 60)
+        for _ in range(n):
+            v = rnd.choice([rnd.uniform(0, 100), 5.0])  # ties -> MAD 0
+            rows.append((f"g{g}", v))
+    rows += [(None, 1.0), ("g0", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    fast = sorted(map(tuple, huber_mean_by_group(
+        df, "g", "v", engine="kernel").collect()))
+    slow = sorted(map(tuple, huber_mean_by_group(
+        df, "g", "v", engine="join").collect()))
+    assert fast == slow
+    with pytest.raises(ValueError):
+        huber_mean_by_group(df, "g", "v", engine="bogus")
+
+
 def test_huber_mean_zero_mad_returns_median(spark):
     df = spark.createDataFrame([("g", 5.0)] * 6 + [("g", 99.0)],
                                "g string, v double")
