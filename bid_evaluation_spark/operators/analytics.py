@@ -38,8 +38,11 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .cache import track_cached
 
 
+_PARETO_LOCAL_MAX_KEYS = 5_000_000
+
+
 def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
-                       buckets: int = 64) -> DataFrame:
+                       buckets: int = 64, engine: str = "auto") -> DataFrame:
     """Rows not dominated by any other row: ``q`` dominates ``p`` iff
     ``q.minimize <= p.minimize`` and ``q.maximize >= p.maximize`` with at
     least one strict. Duplicates of a frontier point all survive; rows
@@ -48,9 +51,71 @@ def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
     Identity used (per distinct key ``x`` of ``minimize_col`` with
     ``M(x) = max(maximize)`` at ``x`` and ``P(x) = max M over keys < x``):
     a row survives iff ``row.maximize == M(x)`` and ``M(x) > P(x)``.
+
+    Engines: ``auto`` (r12 opt) aggregates to distinct keys (one
+    shuffle), counts them (the probe doubles as the cache-filling
+    materialization), and below ``SPARK_GRAFT_PARETO_LOCAL_MAX_KEYS``
+    (default 5M) runs the prefix-max scan in ONE sorted task — the old
+    path's approxQuantile job, driver bucket-max collect, and bucketed
+    window are pure fixed latency at that size. Above the cap (or with
+    ``engine="buckets"``) the bucketed-window engine runs unchanged.
     """
+    if engine not in ("auto", "kernel", "buckets"):
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'buckets', "
+                         f"got {engine!r}")
     mn, mx = F.col(minimize_col), F.col(maximize_col)
     base = df.filter(mn.isNotNull() & mx.isNotNull())
+    # One shuffle collapses the corpus to distinct keys; cached because
+    # every route reads it at least twice (kernel: probe + scan;
+    # buckets: bucket-max collect + frontier join).
+    keyed_raw = (base.groupBy(minimize_col)
+                 .agg(F.max(mx.cast("double")).alias("_m"))
+                 .persist())
+    if engine in ("auto", "kernel"):
+        import os
+        cap = int(os.environ.get("SPARK_GRAFT_PARETO_LOCAL_MAX_KEYS",
+                                 str(_PARETO_LOCAL_MAX_KEYS)))
+        if engine == "kernel":
+            cap = float("inf")
+        if keyed_raw.count() <= cap:
+            import numpy as np
+            import pandas as pd
+
+            def scan(batches):
+                pdfs = list(batches)
+                if not pdfs:
+                    return
+                pdf = (pd.concat(pdfs, ignore_index=True)
+                       if len(pdfs) > 1 else pdfs[0])
+                # pandas sorts NaN keys last — same as Spark's
+                # NaN-greatest ordering in the bucketed window.
+                pdf = pdf.sort_values(minimize_col, ignore_index=True)
+                m = pdf["_m"].to_numpy()
+                # Spark comparisons treat NaN as greater than any value
+                # (a NaN max survives and dominates everything after it);
+                # numpy says NaN > x is False, so map NaN -> +inf for the
+                # prefix-max and the survival test.
+                m_cmp = np.where(np.isnan(m), np.inf, m)
+                prefix = np.concatenate(
+                    ([-np.inf], np.maximum.accumulate(m_cmp)[:-1]))
+                yield pdf[m_cmp > prefix]
+
+            k_type = dict(keyed_raw.dtypes)[minimize_col]
+            frontier_keys = (keyed_raw.repartition(1).mapInPandas(
+                scan, f"`{minimize_col}` {k_type}, _m double"))
+            # The Arrow hop turns a NaN `_m` into SQL null (pandas NaN is
+            # its null marker). `_m` cannot be null otherwise (base keeps
+            # only non-null maximize values), so null `_m` means
+            # M(x) = NaN and the surviving rows are the NaN ones — the
+            # same rows the buckets engine keeps via Spark's NaN = NaN.
+            m_match = ((mx.cast("double") == F.col("_m")) |
+                       (F.col("_m").isNull() & F.isnan(mx.cast("double"))))
+            return track_cached(
+                base.join(frontier_keys, on=minimize_col)
+                .filter(m_match)
+                .drop("_m"), [keyed_raw])
+        # Above the cap: fall through to the bucketed engine, which reads
+        # the already-persisted distinct-key table (no re-aggregation).
 
     # Bucket boundaries from approximate quantiles of the raw key column —
     # `buckets` doubles to the driver, deduped (constant columns collapse
@@ -61,12 +126,7 @@ def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
     bexpr = F.lit(0)
     for b in bounds:
         bexpr = bexpr + F.when(mn.cast("double") > F.lit(b), 1).otherwise(0)
-    # One shuffle collapses the corpus to distinct keys; cached because it
-    # feeds both the bucket-max collect and the final frontier join.
-    keyed = (base.groupBy(minimize_col)
-             .agg(F.max(mx.cast("double")).alias("_m"))
-             .withColumn("_b", bexpr)
-             .persist())
+    keyed = keyed_raw.withColumn("_b", bexpr)
 
     # Exclusive prefix max across buckets: <= `buckets` rows to the driver.
     bmax = {r["_b"]: r["_bm"] for r in
@@ -75,7 +135,15 @@ def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
     run = None
     for b in sorted(bmax):
         prefix[b] = run
-        run = bmax[b] if run is None else max(run, bmax[b])
+        if run is None:
+            run = bmax[b]
+        elif math.isnan(bmax[b]) or math.isnan(run):
+            # Spark's max/greatest rank NaN above every value; Python's
+            # max() drops it order-dependently. Propagate it explicitly so
+            # the cross-bucket prefix matches the in-bucket window max.
+            run = float("nan")
+        else:
+            run = max(run, bmax[b])
     pre_expr = F.lit(None).cast("double")
     for b, p in prefix.items():
         if p is not None:
@@ -90,11 +158,12 @@ def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
                      .filter(F.col("_m") > F.col("_p"))
                      .select(minimize_col, "_m"))
 
-    # `keyed` has a second consumer (the returned lazy plan), so it cannot
-    # be unpersisted here — registered with the shared release registry.
+    # `keyed_raw` has a second consumer (the returned lazy plan), so it
+    # cannot be unpersisted here — registered with the shared release
+    # registry.
     return track_cached(base.join(frontier_keys, on=minimize_col)
                         .filter(mx.cast("double") == F.col("_m"))
-                        .drop("_m"), [keyed])
+                        .drop("_m"), [keyed_raw])
 
 
 def gini_by_group(df: DataFrame, group_col: str, value_col: str,

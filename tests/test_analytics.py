@@ -77,6 +77,40 @@ class TestParetoFrontier:
         got = {r["id"] for r in pareto_frontier_2d(df, "x", "y").collect()}
         assert got == {1, 2}
 
+    def test_kernel_matches_buckets_engine(self, spark):
+        # Messy corpus: duplicate keys, nulls (excluded), NaN (Spark ranks
+        # it above every value, including +inf), +/-inf, tie values. Both
+        # engines must agree row-for-row.
+        rng = random.Random(12)
+        special = [float("nan"), float("inf"), float("-inf")]
+        rows = []
+        for i in range(400):
+            x = rng.choice([float(rng.randint(0, 15)), None]
+                           + (special if i % 5 == 0 else []))
+            y = rng.choice([float(rng.randint(0, 15)), None]
+                           + (special if i % 7 == 0 else []))
+            rows.append((i, x, y))
+        df = spark.createDataFrame(rows, "id long, x double, y double")
+        kern = {r["id"] for r in
+                pareto_frontier_2d(df, "x", "y", engine="kernel").collect()}
+        buck = {r["id"] for r in
+                pareto_frontier_2d(df, "x", "y", buckets=5,
+                                   engine="buckets").collect()}
+        assert kern == buck
+
+    def test_auto_respects_key_cap(self, spark, monkeypatch):
+        monkeypatch.setenv("SPARK_GRAFT_PARETO_LOCAL_MAX_KEYS", "2")
+        pts = [(0, 1.0, 5), (1, 2.0, 7), (2, 3.0, 9), (3, 3.0, 1)]
+        df = spark.createDataFrame(pts, "id long, x double, y long")
+        routed = pareto_frontier_2d(df, "x", "y", buckets=3)
+        # 3 distinct keys > cap 2: auto falls through to the bucketed
+        # window engine (no Arrow kernel in the plan), same answer.
+        plan = routed._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" not in plan
+        assert {r["id"] for r in routed.collect()} == {0, 1, 2}
+        with pytest.raises(ValueError):
+            pareto_frontier_2d(df, "x", "y", engine="nope")
+
 
 def _gini_ref(values):
     xs = sorted(values)

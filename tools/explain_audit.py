@@ -609,25 +609,34 @@ def _mm_kernel_plan(spark, sf_dir):
     return probs
 
 
-@check("pareto frontier: no dominance cartesian, bucketed window, broadcast join back")
+@check("pareto frontier: no dominance cartesian; kernel scan (auto) or bucketed window")
 def _pareto_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.analytics import pareto_frontier_2d
     from bid_evaluation_spark.sources.io import load_table
 
     df = load_table(spark, sf_dir, "part")
+    probs = []
+    # Default (auto) route at this scale: single-task prefix-max kernel.
     plan = plan_of(pareto_frontier_2d(df, "p_retailprice", "p_size",
                                       buckets=16))
-    probs = []
     if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
         probs.append("dominance computed via a product join, not prefix-max")
-    if "windowspecdefinition(_b" not in plan:
-        probs.append("prefix-max window is not partitioned by the bucket key")
-    if "BroadcastHashJoin" not in plan:
-        probs.append("frontier-keys join back is not broadcast")
+    if "MapInPandas" not in plan:
+        probs.append("auto route below the key cap is not the prefix-max "
+                     "Arrow kernel")
     if "PushedFilters: [IsNotNull(p_retailprice), IsNotNull(p_size)]" not in plan:
         probs.append("null filters not pushed to the parquet scan")
     if "partial_max" not in plan:
         probs.append("per-key max lacks map-side partial aggregation")
+    # Above-cap engine: bucketed window, unchanged.
+    bplan = plan_of(pareto_frontier_2d(df, "p_retailprice", "p_size",
+                                       buckets=16, engine="buckets"))
+    if "CartesianProduct" in bplan or "BroadcastNestedLoopJoin" in bplan:
+        probs.append("bucketed engine computes dominance via a product join")
+    if "windowspecdefinition(_b" not in bplan:
+        probs.append("prefix-max window is not partitioned by the bucket key")
+    if "BroadcastHashJoin" not in bplan:
+        probs.append("frontier-keys join back is not broadcast")
     return probs
 
 
@@ -1328,17 +1337,28 @@ def _postings_lpa_holt(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     edges = li.select(F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
                       F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"))
+    # r12 opt: small graphs route to the single-task Arrow kernel
+    # (MapInArrow); the distributed round engine must stay
+    # checkpoint-truncated — audit both dispatch outcomes
     lplan = plan_of(label_propagation(edges, max_iter=2))
-    if "ExistingRDD" not in lplan:
-        probs.append("lpa rounds not checkpoint-truncated — plan grows "
-                     "per iteration")
+    if "MapInArrow" not in lplan and "ExistingRDD" not in lplan:
+        probs.append("lpa neither local Arrow kernel nor "
+                     "checkpoint-truncated rounds")
     if lplan.count("Join") > 2:
         probs.append("lpa final plan carries joins from earlier rounds")
+    lplan_dist = plan_of(label_propagation(edges, max_iter=2,
+                                           engine="rounds"))
+    if "ExistingRDD" not in lplan_dist:
+        probs.append("lpa distributed rounds not checkpoint-truncated — "
+                     "plan grows per iteration")
 
     ev = load_table(spark, sf_dir, "events")
     hplan = plan_of(holt_by_key(ev, "user_id", "ts", "value", "event_id"))
-    if "FlatMapGroupsInPandas" not in hplan:
-        probs.append("holt kernel not a grouped Arrow kernel")
+    # r12 opt: the recurrence runs step-vectorized in one partition-wide
+    # MapInPandas after a key-hash repartition + in-partition sort (one
+    # Python call per PARTITION, not per key)
+    if "MapInPandas" not in hplan:
+        probs.append("holt kernel not a partition-wide Arrow kernel")
     if hplan.count("Exchange") != 1:
         probs.append(f"holt expected exactly one exchange: "
                      f"{hplan.count('Exchange')}")
@@ -1604,13 +1624,22 @@ def _knn_paths_compact(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 37 == 0)
     c = emb.filter(F.col("vec_id") % 37 != 0)
+    # r12 opt: the default retrieval route is the cosine_topk Arrow
+    # kernel (bounded queries mined in one corpus pass); the forced join
+    # engine must keep the broadcast product (never a shuffled cartesian)
     kp = plan_of(knn_classify(q, c, k=5))
-    if "BroadcastNestedLoopJoin" not in kp and "CartesianProduct" not in kp:
-        # brute-force Q×N product IS the intended baseline; it must be the
-        # broadcast variant (queries broadcast), not a shuffled cartesian
-        probs.append("knn retrieval lost its broadcast product shape")
+    if "MapInPandas" not in kp and "BroadcastNestedLoopJoin" not in kp:
+        probs.append("knn retrieval neither Arrow kernel nor broadcast "
+                     "product")
     if "CartesianProduct" in kp:
         probs.append("knn product is a shuffled cartesian, not broadcast")
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+    jp = plan_of(cosine_topk(q, c, k=5, engine="join"))
+    if "BroadcastNestedLoopJoin" not in jp:
+        probs.append("cosine_topk join engine lost its broadcast product "
+                     "shape")
+    if "CartesianProduct" in jp:
+        probs.append("cosine_topk join engine is a shuffled cartesian")
     ev = load_table(spark, sf_dir, "events")
     tp = plan_of(top_paths(ev, gap_seconds=1800, max_len=3, k=20))
     # plan text prints ROOT FIRST, so in a correct plan the collect_list
@@ -1972,9 +2001,16 @@ def check_wave11b_r11_operators(spark, sf_dir):
     emb = spark.createDataFrame([(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
                                 "vec_id long, embedding array<double>, "
                                 "label int")
+    # r12 opt: the default route mines anchors in one Arrow kernel over
+    # the corpus scan; the forced join engine must keep the anchors
+    # broadcast (never shuffled)
     p = plan_of(hard_negatives(emb, k=1))
-    if "BroadcastExchange" not in p:
-        probs.append("hard_negatives anchors are not broadcast")
+    if "MapInPandas" not in p and "BroadcastExchange" not in p:
+        probs.append("hard_negatives neither Arrow kernel nor broadcast "
+                     "anchors")
+    pj = plan_of(hard_negatives(emb, k=1, engine="join"))
+    if "BroadcastExchange" not in pj:
+        probs.append("hard_negatives join engine anchors are not broadcast")
     for name in ("mm_mp3_inventory_documents",
                  "mm_mp4_inventory_documents",
                  "mm_ogg_inventory_documents",
