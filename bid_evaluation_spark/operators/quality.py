@@ -8,10 +8,11 @@ repetition + quality signals) and Raffel et al. 2020 (C4, line-level
 dedup) — re-expressed as native Spark plans:
 
 - :func:`ngram_repetition_stats` — per-document "most common n-gram char
-  fraction" and "duplicated n-gram char fraction" for a set of n. Shape:
-  one map-side n-gram explode, one count shuffle keyed by
-  ``(doc, n, gram)``, one per-doc fold — no corpus-wide state, scales
-  linearly in total tokens.
+  fraction" and "duplicated n-gram char fraction" for a set of n. Shape
+  (r12 opt): native tokenize, ONE id-hash shuffle of token arrays, one
+  partition-wide Arrow counting kernel for every n — no corpus-wide
+  state, scales linearly in total tokens (``engine="agg"`` keeps the
+  distributed (doc, n, gram) count-shuffle form).
 - :func:`gopher_quality_flags` — the non-repetition Gopher signals (word
   count bounds, mean word length band, symbol/word ratio, alpha-word
   fraction, stopword hits) as pure Column expressions: map-only, no
@@ -46,23 +47,117 @@ GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 def ngram_repetition_stats(df: DataFrame, ns: Sequence[int] = (1, 2, 3),
                            id_col: str = "doc_id",
-                           text_col: str = "text") -> DataFrame:
+                           text_col: str = "text",
+                           engine: str = "kernel") -> DataFrame:
     """Per-document n-gram repetition fractions for each ``n`` in ``ns``:
 
     - ``top{n}_fraction`` — characters covered by the single most frequent
       n-gram (count × gram length) over total n-gram characters
       (Σ count × length). The "most frequent" gram is deterministic: max by
-      (count, gram length, gram) — expressed as one ``max(struct(...))``
-      aggregate, no window.
+      (count, gram length, gram).
     - ``dup{n}_fraction`` — characters in n-grams occurring more than once
       over total n-gram characters.
 
     Documents shorter than ``n`` tokens get fraction 0.0 for that ``n``.
+    Rows sharing an id pool their grams (one statistic per id, emitted on
+    every row); null-id rows get 0.0 fractions.
 
-    Scale shape: the n-gram explode is map-side; the only shuffles are the
-    ``(doc, n, gram)`` count and the per-doc fold — both equi-partitioned
-    by document so they scale with total token count, never corpus².
+    Engines (r12 opt): ``kernel`` (default) tokenizes natively (the
+    oracle-parity surface), hash-partitions the ``(id, tokens)`` rows by
+    id — ONE shuffle of roughly corpus-sized token arrays — and counts
+    grams for every n in one partition-wide Arrow kernel (Python
+    tuple-max replicates the ``max(struct(count, length, gram))``
+    tie-break: code-point string order == Spark UTF-8 binary order; all
+    counts are exact integers, the two divisions are the identical
+    long→double casts). ``agg`` keeps the distributed explode shape:
+    per-n gram explodes unioned (re-reading the scan per n), a count
+    shuffle keyed (doc, n, gram) — n-gram strings, ~Σn× corpus bytes —
+    a per-doc fold, and a join back for gram-less docs. The kernel
+    shuffles fewer bytes and runs one pass; ``agg`` remains for corpora
+    whose single-id gram table must stay spillable (a pathological
+    one-id corpus concentrates on one task either way).
     """
+    if engine not in ("kernel", "agg"):
+        raise ValueError(f"engine must be 'kernel' or 'agg', got {engine!r}")
+    ns = [int(n) for n in ns]
+    out_cols = []
+    for n in ns:
+        out_cols += [f"top{n}_fraction", f"dup{n}_fraction"]
+
+    if engine == "kernel":
+        import numpy as np
+        import pandas as pd
+
+        toks = df.select(F.col(id_col).alias("_id"),
+                         tokens(F.col(text_col)).alias("_t"))
+        id_type = dict(toks.dtypes)["_id"]
+
+        def kern(batches):
+            from collections import Counter
+
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0].reset_index(drop=True))
+            ids = pdf["_id"]
+            tarrs = pdf["_t"]
+            zeros = [0.0] * (2 * len(ns))
+            # rows sharing an id pool their grams — group row indices by
+            # id within the partition (hash partitioning brought every
+            # row of an id here); null ids keep the agg engine's
+            # join-miss 0.0 contract
+            stats = {}
+            isna = pd.isna(ids)
+            groups = pdf.groupby(ids[~isna], sort=False).groups
+            for gid, grp in groups.items():
+                vals = []
+                for n in ns:
+                    c = Counter()
+                    for ridx in grp:
+                        t = tarrs.iloc[ridx]
+                        t = list(t) if t is not None else []
+                        if n == 1:
+                            c.update(t)
+                        elif len(t) >= n:
+                            c.update(" ".join(t[i:i + n])
+                                     for i in range(len(t) - n + 1))
+                    if not c:
+                        vals += [0.0, 0.0]
+                        continue
+                    tot = top = dup = 0
+                    best = None
+                    for g, cnt in c.items():
+                        ch = cnt * len(g)
+                        tot += ch
+                        if cnt > 1:
+                            dup += ch
+                        key = (cnt, len(g), g)
+                        if best is None or key > best:
+                            best = key
+                            top = ch
+                    if tot == 0:
+                        # zero-length grams only: Spark's x/0 → null;
+                        # unreachable with whitespace tokens (kept for
+                        # strict engine parity)
+                        vals += [None, None]
+                    else:
+                        vals += [float(top) / float(tot),
+                                 float(dup) / float(tot)]
+                stats[gid] = vals
+            out = np.empty((len(pdf), 2 * len(ns)), dtype=object)
+            for i in range(len(pdf)):
+                out[i] = zeros if isna.iloc[i] else stats[ids.iloc[i]]
+            res = pd.DataFrame(out.tolist(), columns=out_cols)
+            res.insert(0, "_id", ids.to_numpy())
+            yield res
+
+        schema = f"_id {id_type}, " + ", ".join(
+            f"{c} double" for c in out_cols)
+        return (toks.repartition("_id")
+                .mapInPandas(kern, schema)
+                .select(F.col("_id").alias(id_col), *out_cols))
+
     grams = None
     for n in ns:
         g = df.select(

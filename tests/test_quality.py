@@ -57,6 +57,35 @@ def test_repetition_deterministic_tiebreak(spark):
     assert r[1]["dup2_fraction"] == pytest.approx(10 / 15)
 
 
+def test_repetition_kernel_matches_agg_engine(spark):
+    # Messy corpus: duplicate ids (grams POOL per id), null id (0.0 via
+    # the agg engine's join miss), empty/whitespace/unicode text, ties,
+    # single-token docs — the kernel must match the distributed engine
+    # row-for-row, bit-for-bit.
+    rows = [
+        (1, "spam spam spam spam"),
+        (1, "spam eggs"),                      # pools with the row above
+        (2, "the quick brown fox the quick"),
+        (None, "ghost ghost ghost"),           # null id → zeros
+        (None, "other ghost"),
+        (3, ""),
+        (3, "   "),
+        (4, "xy"),
+        (5, "aa bb aa bb"),
+        (6, "héllo wörld héllo wörld héllo"),  # non-ASCII lengths
+        (7, "b a b a a b"),                    # tie-break on gram string
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kern = Q.ngram_repetition_stats(df, ns=(1, 2, 3)).collect()
+    agg = Q.ngram_repetition_stats(df, ns=(1, 2, 3), engine="agg").collect()
+    key = lambda r: (r["doc_id"] is None, r["doc_id"] or 0)
+    for a, b in zip(sorted(kern, key=key), sorted(agg, key=key)):
+        assert a.asDict() == b.asDict()
+    assert len(kern) == len(rows)
+    with pytest.raises(ValueError):
+        Q.ngram_repetition_stats(df, engine="nope")
+
+
 def test_repetition_multiple_ns_match_single(docs):
     both = by_id(Q.ngram_repetition_stats(docs, ns=(1, 2)))
     only1 = by_id(Q.ngram_repetition_stats(docs, ns=(1,)))
