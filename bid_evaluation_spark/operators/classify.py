@@ -58,6 +58,8 @@ class NBModel:
     table: DataFrame                   # (_tok, _lp_0.._lp_{C-1})
     add_k: float
     lowercase: bool
+    vocab: Optional[int] = None        # |V|, known from training (predict
+    #                                    dispatch probe; None → count(table))
 
     def release(self) -> None:
         self.table.unpersist()
@@ -87,9 +89,6 @@ def nb_train(train: DataFrame, text_col: str = "text",
     counts = toks.groupBy("_cls", "_tok").agg(F.count("*").alias("_c"))
     counts = counts.persist()
 
-    totals = {r["_cls"]: r["_n"] for r in
-              counts.groupBy("_cls").agg(F.sum("_c").alias("_n")).collect()}
-    vocab = counts.select("_tok").distinct().count()
     prior_rows = (labeled.groupBy(F.col(label_col).cast("string").alias("_cls"))
                   .agg(F.count("*").alias("_d")).collect())
     doc_counts = {r["_cls"]: r["_d"] for r in prior_rows}
@@ -97,8 +96,20 @@ def nb_train(train: DataFrame, text_col: str = "text",
     if n_docs == 0:
         counts.unpersist()
         raise ValueError("training corpus has no labeled rows")
+    # priors run first so the labels are known, letting |V| and the
+    # per-class token totals come from ONE aggregation job over the
+    # cached counts (r12 opt: previously two driver-synced jobs — a
+    # per-class groupBy collect plus a distinct-token count)
+    labels_sorted = sorted(doc_counts)
+    stat_row = counts.agg(
+        F.countDistinct("_tok").alias("_v"),
+        *[F.coalesce(F.sum(F.when(F.col("_cls") == c, F.col("_c"))),
+                     F.lit(0)).alias(f"_n_{i}")
+          for i, c in enumerate(labels_sorted)]).collect()[0]
+    vocab = stat_row["_v"]
+    totals = {c: stat_row[f"_n_{i}"] for i, c in enumerate(labels_sorted)}
 
-    labels = sorted(doc_counts)
+    labels = labels_sorted
     log_priors = [math.log(doc_counts[c] / n_docs) for c in labels]
     # vocab == 0 (every training doc is empty) degenerates to priors-only
     # scoring: the model table is empty and no token can ever be looked up,
@@ -119,11 +130,16 @@ def nb_train(train: DataFrame, text_col: str = "text",
     table = wide.select("_tok", *lp_cols).persist()
     counts.unpersist()
     return NBModel(labels=labels, log_priors=log_priors, floors=floors,
-                   table=table, add_k=add_k, lowercase=lowercase)
+                   table=table, add_k=add_k, lowercase=lowercase,
+                   vocab=int(vocab))
+
+
+_NB_LOCAL_MAX_VOCAB = 500_000
 
 
 def nb_predict(df: DataFrame, model: NBModel, text_col: str = "text",
-               id_col: str = "doc_id", round_digits: int = 6) -> DataFrame:
+               id_col: str = "doc_id", round_digits: int = 6,
+               engine: str = "auto") -> DataFrame:
     """Score + argmax: ``(id, pred_label, pred_logp, n_tokens)``.
 
     The argmax compares scores ROUNDED to ``round_digits`` decimals with
@@ -132,34 +148,120 @@ def nb_predict(df: DataFrame, model: NBModel, text_col: str = "text",
     Spark and an oracle (measured lesson: never rank on a raw double).
     Documents with no tokens get the prior-only argmax.
 
-    Streaming: this chains two aggregations (per-doc-token counts, then
-    the per-doc score sum), so it cannot run directly on an unbounded
-    stream — deploy via ``foreachBatch`` scoring each micro-batch against
-    the static model table (batch-identical results; tested). The
-    map-only :func:`logreg_predict` DOES apply to a stream unchanged.
-    """
-    C = len(model.labels)
-    doc_toks = df.select(
-        F.col(id_col),
-        F.explode_outer(_norm_tokens(F.col(text_col),
-                                     model.lowercase)).alias("_tok"))
-    # per-(doc, token) multiplicity first: the model join then touches one
-    # row per DISTINCT token per doc, not one per occurrence
-    dt = doc_toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_m"))
-    joined = dt.join(model.table, on="_tok", how="left")
+    Engines (r12 opt): ``auto`` collects the model table below
+    ``SPARK_GRAFT_NB_LOCAL_MAX_VOCAB`` (default 500k tokens — the probe
+    is free, |V| is recorded at training) and scores every document in
+    ONE map-only Arrow kernel over the native token arrays — no explode,
+    no model join, no per-doc aggregation shuffle; the kernel sums each
+    class in prior-first document-token order with float64 (the join
+    engine's own partial-sum order is partition-dependent, so both
+    engines live in the same order-equivalence class; consumers rank on
+    ROUNDED scores — the operator's published contract — and the
+    rounding/argmax tail below is literally the same Column code for
+    both engines). Above the cap (or ``engine="join"``) the vocabulary
+    stays distributed: per-(doc, distinct-token) multiplicities, one
+    1:1 join against the model table, one fused score aggregation.
 
-    score_aggs = []
-    for i in range(C):
-        contrib = F.when(
-            F.col("_tok").isNull(), F.lit(0.0)
-        ).otherwise(
-            F.col("_m").cast("double")
-            * F.coalesce(F.col(f"_lp_{i}"), F.lit(model.floors[i])))
-        score_aggs.append(
-            (F.lit(model.log_priors[i]) + F.sum(contrib)).alias(f"_s_{i}"))
-    n_tok = F.sum(F.when(F.col("_tok").isNull(), F.lit(0))
-                  .otherwise(F.col("_m"))).cast("long").alias("n_tokens")
-    scored = joined.groupBy(id_col).agg(n_tok, *score_aggs)
+    Streaming: the join engine chains two aggregations, so it cannot run
+    directly on an unbounded stream — deploy via ``foreachBatch`` scoring
+    each micro-batch against the static model table (batch-identical
+    results; tested). The map-only :func:`logreg_predict` DOES apply to
+    a stream unchanged.
+    """
+    if engine not in ("auto", "kernel", "join"):
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'join', "
+                         f"got {engine!r}")
+    C = len(model.labels)
+    use_kernel = False
+    if engine in ("auto", "kernel"):
+        import os
+        cap = float("inf") if engine == "kernel" else int(
+            os.environ.get("SPARK_GRAFT_NB_LOCAL_MAX_VOCAB",
+                           str(_NB_LOCAL_MAX_VOCAB)))
+        n_vocab = model.vocab if model.vocab is not None \
+            else model.table.count()
+        use_kernel = n_vocab <= cap
+
+    if use_kernel:
+        import pandas as pd
+
+        lp_rows = model.table.collect()
+        lp = {r["_tok"]: tuple(r[f"_lp_{i}"] for i in range(C))
+              for r in lp_rows}
+        priors = tuple(model.log_priors)
+        floors = tuple(model.floors)
+        toks_df = df.select(
+            F.col(id_col).alias("_id"),
+            _norm_tokens(F.col(text_col), model.lowercase).alias("_t"))
+        id_type = dict(toks_df.dtypes)["_id"]
+
+        def score(batches):
+            from collections import Counter
+
+            pdfs = list(batches)
+            if not pdfs:
+                return
+            pdf = (pd.concat(pdfs, ignore_index=True)
+                   if len(pdfs) > 1 else pdfs[0].reset_index(drop=True))
+            ids = pdf["_id"]
+            # the join engine's groupBy(id) pools rows sharing an id
+            # (null ids are ONE group) and emits one row per distinct
+            # id — replicate by grouping within the id-hash partition
+            isna = pd.isna(ids)
+            groups = list(pdf.groupby(ids[~isna], sort=False).groups
+                          .items())
+            if isna.any():
+                groups.append((None, pdf.index[isna]))
+            out_ids, n_toks, scores = [], [], [[] for _ in range(C)]
+            for gid, grp in groups:
+                cnt = Counter()
+                total = 0
+                for ridx in grp:
+                    t = pdf["_t"].iloc[ridx]
+                    t = list(t) if t is not None else []
+                    total += len(t)
+                    cnt.update(t)
+                out_ids.append(gid)
+                n_toks.append(total)
+                for i in range(C):
+                    s = priors[i]
+                    fl = floors[i]
+                    for tok, m in cnt.items():
+                        p = lp.get(tok)
+                        s += float(m) * (p[i] if p is not None else fl)
+                    scores[i].append(s)
+            out = pd.DataFrame({"_id": out_ids, "n_tokens": n_toks})
+            for i in range(C):
+                out[f"_s_{i}"] = scores[i]
+            yield out
+
+        schema = (f"_id {id_type}, n_tokens long, "
+                  + ", ".join(f"_s_{i} double" for i in range(C)))
+        scored = (toks_df.repartition("_id")
+                  .mapInPandas(score, schema)
+                  .withColumnRenamed("_id", id_col))
+    else:
+        doc_toks = df.select(
+            F.col(id_col),
+            F.explode_outer(_norm_tokens(F.col(text_col),
+                                         model.lowercase)).alias("_tok"))
+        # per-(doc, token) multiplicity first: the model join then touches
+        # one row per DISTINCT token per doc, not one per occurrence
+        dt = doc_toks.groupBy(id_col, "_tok").agg(F.count("*").alias("_m"))
+        joined = dt.join(model.table, on="_tok", how="left")
+
+        score_aggs = []
+        for i in range(C):
+            contrib = F.when(
+                F.col("_tok").isNull(), F.lit(0.0)
+            ).otherwise(
+                F.col("_m").cast("double")
+                * F.coalesce(F.col(f"_lp_{i}"), F.lit(model.floors[i])))
+            score_aggs.append(
+                (F.lit(model.log_priors[i]) + F.sum(contrib)).alias(f"_s_{i}"))
+        n_tok = F.sum(F.when(F.col("_tok").isNull(), F.lit(0))
+                      .otherwise(F.col("_m"))).cast("long").alias("n_tokens")
+        scored = joined.groupBy(id_col).agg(n_tok, *score_aggs)
 
     scale = float(10 ** round_digits)
     rounded = [F.round(F.col(f"_s_{i}") * scale) / scale for i in range(C)]

@@ -64,6 +64,45 @@ def test_nb_predict_golden_and_edges(fruit_docs):
     model.release()
 
 
+def test_nb_predict_kernel_matches_join_engine(spark, monkeypatch):
+    # Messy corpus: duplicate ids (token counts POOL per id via the join
+    # engine's groupBy), null id (one pooled group), empty/whitespace
+    # docs, unseen tokens, unicode. Kernel and join engines must agree
+    # on (pred_label, n_tokens) exactly and pred_logp to well under the
+    # 1e-6 argmax contract.
+    rows = [
+        (1, "apple apple banana", "a"),
+        (1, "apple zebra", "a"),          # pools with the row above
+        (2, "zebra zebra xylo", "b"),
+        (None, "banana banana", "a"),
+        (None, "xylo", "b"),
+        (3, "", "a"),
+        (4, "   ", "b"),
+        (5, "mango unseen tokens", None),
+        (6, "héllo wörld héllo", "a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, cls string")
+    model = nb_train(df, label_col="cls")
+    kern = {(r["doc_id"],): r for r in
+            nb_predict(df, model, engine="kernel").collect()}
+    join = {(r["doc_id"],): r for r in
+            nb_predict(df, model, engine="join").collect()}
+    assert kern.keys() == join.keys() and len(kern) == 7
+    for k in kern:
+        a, b = kern[k], join[k]
+        assert (a["pred_label"], a["n_tokens"]) == \
+               (b["pred_label"], b["n_tokens"]), k
+        assert a["pred_logp"] == pytest.approx(b["pred_logp"], abs=1e-9)
+    # env cap below |V| routes auto to the join engine
+    monkeypatch.setenv("SPARK_GRAFT_NB_LOCAL_MAX_VOCAB", "1")
+    routed = nb_predict(df, model)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    model.release()
+    with pytest.raises(ValueError):
+        nb_predict(df, model, engine="nope")
+
+
 def test_nb_separable_fixture_classifies_perfectly(spark):
     rng = np.random.default_rng(5)
     vocab = {"x": ["red", "green", "blue"], "y": ["do", "re", "mi", "fa"]}
