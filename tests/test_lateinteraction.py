@@ -96,3 +96,69 @@ def test_pooled_candidates_width_is_pinned(spark):
     cand2 = pooled_candidates(toks.filter("doc_id < 4"), qs, n_cand)
     assert cand2.groupBy("_q").count().agg(
         F.max("count")).collect()[0][0] == 4
+
+
+def _messy_corpus(spark):
+    """Nulls, ragged dims, null elements, empty + zero vectors, dup
+    query tokens, null ids/token idx — every null path of the Column
+    cosine."""
+    docs = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 1, [0.6, 0.8]),
+         (2, 0, [0.0, 1.0]), (2, 1, None),
+         (3, 0, [1.0, 2.0, 2.0]),          # ragged dim
+         (3, 1, [0.5, None]),              # null element
+         (4, 0, [0.0, 0.0]),               # zero norm
+         (4, 1, []),                       # empty vector
+         (None, 0, [1.0, 1.0]),            # null doc id
+         (5, None, [3.0, 4.0]),            # null token idx
+         (6, 0, [2.0, 1.0]), (6, 0, [1.0, 3.0])],
+        "doc_id long, token_idx long, vec array<double>")
+    qs = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (1, 1, [0.0, 1.0]),
+         (2, 0, [1.0, 1.0, 1.0]),          # 3-dim query token
+         (2, 1, None),                     # null query vector
+         (3, 0, [0.0, 0.0]),               # zero-norm query
+         (3, 0, [1.0, 2.0]),               # duplicate (qid, qt)
+         (None, 0, [1.0, 0.0]),            # null query id
+         (4, None, [2.0, 0.5])],           # null query token idx
+        "query_id long, token_idx long, vec array<double>")
+    return docs, qs
+
+
+@pytest.mark.parametrize("exclude_self", [False, True])
+def test_maxsim_kernel_matches_join_engine(spark, exclude_self):
+    """r12 opt: the Arrow-kernel brute path is bit-identical to the
+    broadcast-join + Column-cosine engine on a corpus exercising every
+    null/ragged/tie path."""
+    docs, qs = _messy_corpus(spark)
+    a = maxsim_topk(docs, qs, k=4, exclude_self=exclude_self,
+                    engine="join").collect()
+    b = maxsim_topk(docs, qs, k=4, exclude_self=exclude_self,
+                    engine="kernel").collect()
+    def key(rows):
+        return sorted(
+            ((r["query_id"], r["rnk"], r["doc_id"], r["maxsim"])
+             for r in rows),
+            key=lambda t: tuple((v is None, v) for v in t))
+
+    ka, kb = key(a), key(b)
+    assert ka == kb
+    assert len(ka) > 0
+
+
+def test_maxsim_auto_respects_qtoken_cap(spark, monkeypatch):
+    """auto routes to the join engine above the query-token cap and
+    to the kernel below it — identical results either way."""
+    docs, qs = _messy_corpus(spark)
+    monkeypatch.setenv("SPARK_GRAFT_MAXSIM_LOCAL_MAX_QTOKENS", "2")
+    over = maxsim_topk(docs, qs, k=3, engine="auto")
+    assert "MapInPandas" not in over._jdf.queryExecution().toString()
+    monkeypatch.setenv("SPARK_GRAFT_MAXSIM_LOCAL_MAX_QTOKENS", "1000")
+    under = maxsim_topk(docs, qs, k=3, engine="auto")
+    assert "MapInPandas" in under._jdf.queryExecution().toString()
+    nkey = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    oa = sorted(map(tuple, over.collect()), key=nkey)
+    ub = sorted(map(tuple, under.collect()), key=nkey)
+    assert oa == ub
+    with pytest.raises(ValueError, match="engine"):
+        maxsim_topk(docs, qs, k=3, engine="bogus")

@@ -1901,9 +1901,10 @@ def check_wave10_video_neardup(spark, sf_dir):
     return probs
 
 
-@check("wave10b: maxsim — query tokens broadcast, scoring native "
-       "(no Python), partial-aggregated max/sum; media fixtures "
-       "repartitioned + one kernel each")
+@check("wave10b: maxsim — default Arrow partial-max kernel (r12 opt), "
+       "join fallback broadcast + native scoring, partial-aggregated "
+       "max/sum on both; media fixtures repartitioned + one kernel "
+       "each")
 def check_wave10b_maxsim_media(spark, sf_dir):
     import __spark_entry__ as entry
     from bid_evaluation_spark.operators.lateinteraction import maxsim_topk
@@ -1914,14 +1915,23 @@ def check_wave10b_maxsim_media(spark, sf_dir):
         "doc_id long, token_idx long, vec array<double>")
     qs = toks.withColumnRenamed("doc_id", "query_id")
     mp = plan_of(maxsim_topk(toks, qs, k=2))
-    if "BroadcastExchange" not in mp:
-        probs.append("maxsim query tokens are not broadcast")
-    if "BatchEvalPython" in mp or "ArrowEvalPython" in mp \
-            or "MapInPandas" in mp:
-        probs.append("maxsim scoring dropped into Python — must be "
-                     "native zip_with/aggregate")
-    if "partial_max" not in mp and "partial_sum" not in mp:
-        probs.append("maxsim aggregations lack map-side partials")
+    if "MapInPandas" not in mp:
+        probs.append("maxsim default engine is not the Arrow "
+                     "partial-max kernel")
+    if "BroadcastNestedLoopJoin" in mp:
+        probs.append("maxsim default engine still pays the broadcast "
+                     "cross product")
+    jp = plan_of(maxsim_topk(toks, qs, k=2, engine="join"))
+    if "BroadcastExchange" not in jp:
+        probs.append("maxsim join engine: query tokens not broadcast")
+    if "BatchEvalPython" in jp or "ArrowEvalPython" in jp \
+            or "MapInPandas" in jp:
+        probs.append("maxsim join engine dropped into Python — must "
+                     "be native zip_with/aggregate")
+    for nm, p in (("kernel", mp), ("join", jp)):
+        if "partial_max" not in p and "partial_sum" not in p:
+            probs.append(f"maxsim {nm} engine aggregations lack "
+                         "map-side partials")
 
     for name in ("mm_tiff_decode_documents", "mm_bmp_decode_documents",
                  "mm_vad_segments_documents",
