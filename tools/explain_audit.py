@@ -293,20 +293,32 @@ def _lm_score(spark, sf_dir):
     return probs
 
 
-@check("repetition stats: partial agg on gram counts, max(struct) not a window")
+@check("repetition stats: default id-partition Arrow kernel; agg engine "
+       "partial-agg'd, max(struct) not a window")
 def _repetition(spark, sf_dir):
     from bid_evaluation_spark.operators.quality import ngram_repetition_stats
     from bid_evaluation_spark.sources.io import load_table
 
     df = load_table(spark, sf_dir, "documents")
-    plan = plan_of(ngram_repetition_stats(df, ns=(1, 2)))
     probs = []
-    if "partial" not in plan.lower():
-        probs.append("gram counts lack map-side partial aggregation")
-    if "Window" in plan:
+    # r12 opt: the default engine counts grams for all ns in ONE
+    # partition-wide Arrow kernel after a single id-hash shuffle
+    plan = plan_of(ngram_repetition_stats(df, ns=(1, 2)))
+    if "MapInPandas" not in plan:
+        probs.append("kernel engine missing its Arrow gram-count kernel")
+    if plan.count("Exchange") > 1:
+        probs.append("kernel engine shuffles more than the one id "
+                     "repartition")
+    # the distributed fallback keeps the spillable explode shape
+    aplan = plan_of(ngram_repetition_stats(df, ns=(1, 2), engine="agg"))
+    if "partial" not in aplan.lower():
+        probs.append("agg engine gram counts lack map-side partial "
+                     "aggregation")
+    if "Window" in aplan:
         probs.append("per-doc top gram uses a window (should be max(struct))")
-    if "CartesianProduct" in plan or "NestedLoop" in plan:
-        probs.append("unexpected cartesian/nested-loop join")
+    for nm, p in (("kernel", plan), ("agg", aplan)):
+        if "CartesianProduct" in p or "NestedLoop" in p:
+            probs.append(f"unexpected cartesian/nested-loop join ({nm})")
     return probs
 
 
@@ -454,22 +466,36 @@ def _collocations_plan(spark, sf_dir):
     return probs
 
 
-@check("naive bayes: model counts partial-agg'd, token join hashed, no window")
+@check("naive bayes: default Arrow scoring kernel; join engine model join "
+       "hashed + partial-agg'd, no window either way")
 def _nb_plan(spark, sf_dir):
-    from bid_evaluation_spark.operators.classify import nb_classify
+    from bid_evaluation_spark.operators.classify import nb_predict, nb_train
     from bid_evaluation_spark.sources.io import load_table
 
     df = load_table(spark, sf_dir, "documents")
-    plan = plan_of(nb_classify(df, label_col="lang"))
+    model = nb_train(df, label_col="lang")
     probs = []
-    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+    # r12 opt: the default route collects the (capped) model table and
+    # scores every document in one map-only Arrow kernel
+    plan = plan_of(nb_predict(df, model))
+    if "MapInPandas" not in plan:
+        probs.append("kernel engine missing its Arrow scoring kernel")
+    if plan.count("Exchange") > 1:
+        probs.append("kernel engine shuffles more than the one id "
+                     "repartition")
+    # the distributed fallback keeps the joined, spillable shape
+    jplan = plan_of(nb_predict(df, model, engine="join"))
+    if "CartesianProduct" in jplan or "BroadcastNestedLoopJoin" in jplan:
         probs.append("token-model join degenerated to a cross product")
-    if "partial" not in plan.lower():
-        probs.append("count aggregates lack map-side partial aggregation")
-    if "Window" in plan:
-        probs.append("argmax uses a window (should be greatest + when-chain)")
-    if "EvalPython" in plan:
-        probs.append("scoring drops into Python")
+    if "partial" not in jplan.lower():
+        probs.append("join engine count aggregates lack map-side partial "
+                     "aggregation")
+    if "EvalPython" in jplan:
+        probs.append("join engine scoring drops into Python")
+    for nm, p in (("kernel", plan), ("join", jplan)):
+        if "Window" in p:
+            probs.append(f"argmax uses a window ({nm}; should be "
+                         "greatest + when-chain)")
     return probs
 
 
