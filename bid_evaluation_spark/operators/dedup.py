@@ -376,26 +376,51 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     ``pairs`` holds (a_id, b_id); document shingle sets are joined in and
     compared with ``array_intersect``/``array_union`` — JVM-side set math.
 
-    The docs side is semi-joined down to ids that actually appear in a
-    pair BEFORE tokenizing (r12 opt, guide §3.4): candidates are tiny
-    relative to the corpus in every dedup-verify use, so shingling every
-    document to verify a handful of pairs paid the whole corpus's
-    tokenize cost twice per query for nothing. ``pairs`` is persisted
-    here — the id prefilter plus the two verify joins read it three
-    times, and candidate generators (simhash/minhash banding) are far
-    too expensive to re-run per read (MEMORY_AND_DISK, so an unusually
-    large candidate list spills rather than OOMs; released via
-    ``operators.cache``).
+    The docs side is pruned down to ids that actually appear in a
+    pair BEFORE tokenizing (r12 opt, guide §3.2/§3.4): candidates are
+    tiny relative to the corpus in every dedup-verify use, so shingling
+    every document to verify a handful of pairs paid the whole corpus's
+    tokenize cost twice per query for nothing. Below
+    ``SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX`` collected pair rows
+    (default 100 — the persisted pair table is read back once, bounded)
+    the prune is an ``isin`` literal predicate on the scan itself —
+    predicate pushdown instead of a distinct exchange + semi-join,
+    which were pure fixed latency when candidates are a handful
+    (measured: −1 s warm on the 19-pair incremental-minhash query).
+    The cap is deliberately LOW: the pruned-scan subtree is duplicated
+    under both verify join sides, so a big literal IN list pays its
+    planning/codegen cost twice and loses to the semi-join from ~100
+    pairs up (measured sweep: tie at 100, 2.6× worse by 2 000). Above
+    the cap the distinct + left-semi join prune runs instead — same
+    rows, spillable shape. ``pairs`` is persisted here — the id prune plus the two
+    verify joins read it multiple times, and candidate generators
+    (simhash/minhash banding) are far too expensive to re-run per read
+    (MEMORY_AND_DISK, so an unusually large candidate list spills
+    rather than OOMs; released via ``operators.cache``).
     """
+    import os
+
     pairs = pairs.persist()
-    ids = (pairs.select(F.col(a_col).alias("_sid"))
-           .unionByName(pairs.select(F.col(b_col).alias("_sid")))
-           .distinct())
-    sh = (docs.join(ids, docs[id_col] == ids["_sid"], "left_semi")
-          .select(
-              F.col(id_col).alias("_sid"),
-              word_shingles(F.col(text_col), k).alias("_sh"),
-          ))
+    cap = int(os.environ.get("SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX",
+                             "100"))
+    head = pairs.select(a_col, b_col).limit(cap + 1).collect()
+    if len(head) <= cap:
+        id_set = sorted({r[0] for r in head if r[0] is not None}
+                        | {r[1] for r in head if r[1] is not None})
+        # empty candidate set: no pair can verify (inner joins below);
+        # isin([]) is not a valid expression, so short-circuit
+        docs_pruned = (docs.filter(F.col(id_col).isin(id_set))
+                       if id_set else docs.filter(F.lit(False)))
+    else:
+        ids = (pairs.select(F.col(a_col).alias("_sid"))
+               .unionByName(pairs.select(F.col(b_col).alias("_sid")))
+               .distinct())
+        docs_pruned = docs.join(ids, docs[id_col] == ids["_sid"],
+                                "left_semi")
+    sh = docs_pruned.select(
+        F.col(id_col).alias("_sid"),
+        word_shingles(F.col(text_col), k).alias("_sh"),
+    )
     out = (
         pairs.join(sh.alias("sa"), F.col(a_col) == F.col("sa._sid"))
         .join(sh.alias("sb"), F.col(b_col) == F.col("sb._sid"))

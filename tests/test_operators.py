@@ -99,6 +99,35 @@ def test_minhash_jaccard_exact_value(spark):
     assert r["jaccard"] == pytest.approx(0.5)
 
 
+def test_ngram_jaccard_isin_route_matches_semijoin(docs, monkeypatch):
+    """r12 opt: below the pair cap the docs prune is an isin literal
+    predicate on the scan; above it a distinct + left-semi join. Both
+    routes must produce identical rows — including null-id pairs
+    (dropped by the inner verify joins either way) and an empty
+    candidate set."""
+    pairs = (docs.sparkSession.createDataFrame(
+        [(1, 2), (1, 4), (None, 3), (2, None)],
+        "a_id long, b_id long"))
+
+    def rows(cap):
+        import os
+        os.environ["SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX"] = cap
+        try:
+            return sorted(
+                (r["a_id"], r["b_id"], round(r["jaccard"], 9))
+                for r in D.ngram_jaccard(pairs, docs, k=3).collect())
+        finally:
+            del os.environ["SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX"]
+
+    got_isin, got_semi = rows("100"), rows("0")
+    assert got_isin == got_semi
+    assert (1, 4, 1.0) in got_isin                 # exact dup pair
+    assert all(a is not None and b is not None for a, b, _ in got_isin)
+
+    empty = docs.sparkSession.createDataFrame([], "a_id long, b_id long")
+    assert D.ngram_jaccard(empty, docs, k=3).count() == 0
+
+
 def test_simhash_identical_and_distance(docs):
     sigs = by_id(docs.select("doc_id", D.simhash().alias("sh")))
     assert sigs[1]["sh"] == sigs[4]["sh"]  # identical docs → identical simhash
