@@ -34,7 +34,7 @@ so corpus-scale segmentation never fails on novel bytes.
 from __future__ import annotations
 
 import math
-from typing import Dict, Iterator, List, Tuple
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -75,6 +75,43 @@ def seed_vocab(words: DataFrame, *, seed_size: int = 300,
               .limit(max(seed_size - len(chars), 0)).collect())]
     pieces.unpersist()
     return chars + multi
+
+
+def _sql_substring(w: str, pos: int, ln: int) -> str:
+    """Spark SQL ``substring(w, pos, ln)`` replica, pinned empirically
+    (r12 opt): 1-based; ``pos == 0`` behaves like 1; negative ``pos``
+    counts from the end and may start BEFORE the string, in which case
+    the out-of-range prefix is consumed from ``ln``."""
+    n = len(w)
+    start = pos - 1 if pos > 0 else (0 if pos == 0 else n + pos)
+    end = start + ln
+    return w[max(start, 0):max(min(end, n), 0)]
+
+
+def _seed_vocab_local(word_rows: List[Tuple[str, int]], seed_size: int,
+                      max_piece_len: int) -> List[str]:
+    """Driver-local :func:`seed_vocab` replica over collected
+    ``(word, cnt)`` rows — integer piece totals and the identical
+    (-total, piece) ordering, INCLUDING the SQL expression's
+    short-word edge behavior: for ``len(word) < piece_len`` the
+    ``sequence(1, L - len + 1)`` index list runs DESCENDING through
+    zero/negative positions (Spark's sequence makes a reverse range
+    when stop < start), so truncated/suffix pieces are double-counted
+    exactly as the distributed explode counts them (parity-tested)."""
+    totals: Dict[str, int] = {}
+    for word, cnt in word_rows:
+        L = len(word)
+        for ln in range(1, max_piece_len + 1):
+            m = L - ln + 1
+            idxs = range(1, m + 1) if m >= 1 else range(1, m - 1, -1)
+            for i in idxs:
+                p = _sql_substring(word, i, ln)
+                totals[p] = totals.get(p, 0) + cnt
+    chars = sorted(p for p in totals if len(p) == 1)
+    multi = sorted(((p, t) for p, t in totals.items() if len(p) > 1),
+                   key=lambda kv: (-kv[1], kv[0]))
+    return chars + [p for p, _ in
+                    multi[:max(seed_size - len(chars), 0)]]
 
 
 def _forward_backward(word: str, logp: Dict[str, float],
@@ -144,21 +181,43 @@ def unigram_train(df: DataFrame, text_col: str = "text", *,
     ``seed_size``, or corpus text whose single-character alphabet is
     unexpectedly huge), training raises instead of silently melting
     the driver."""
+    import os
+
     spark = df.sparkSession
     words = _words(df, text_col).persist()
     try:
-        # right-size the E-step parallelism from the DISTINCT-WORD count
-        # (known for free once the persist fills): the default layout
-        # inherits shuffle.partitions, so a small vocabulary corpus ran
-        # every EM round as dozens of near-empty Python tasks — pure
-        # scheduler + worker round-trip latency. ~4k words per task keeps
-        # big corpora parallel and small ones on a handful of tasks.
-        n_words = words.count()
-        n_slots = max(1, min(int(words.rdd.getNumPartitions()),
-                             (n_words + 4095) // 4096))
-        em_words = words.coalesce(n_slots)
-        vocab = seed_vocab(words, seed_size=seed_size,
-                           max_piece_len=max_piece_len)
+        # r12 opt (guide §1.2, the bpe_train pattern): below a word cap
+        # the whole EM runs on the DRIVER over the collected distinct
+        # words — training on a small corpus was ~7 driver-synced jobs
+        # (count, two seed collects, one per EM round) of pure fixed
+        # latency. The seed replica and per-word fixed-point rounding
+        # are exact (integer sums are order-free), so the learned vocab
+        # is bit-identical either way (parity-tested). Above the cap
+        # the distributed rounds run unchanged — the dispatch is
+        # data-size-adaptive, not local[32]-tuned.
+        local_cap = int(os.environ.get(
+            "SPARK_GRAFT_UNIGRAM_LOCAL_MAX_WORDS", "10000"))
+        head = words.limit(local_cap + 1).collect()
+        word_rows: Optional[List[Tuple[str, int]]] = None
+        if len(head) <= local_cap:
+            word_rows = [(str(r["word"]), int(r["cnt"])) for r in head]
+            n_words = len(word_rows)
+            vocab = _seed_vocab_local(word_rows, seed_size,
+                                      max_piece_len)
+        else:
+            # right-size the E-step parallelism from the DISTINCT-WORD
+            # count (known for free once the persist fills): the default
+            # layout inherits shuffle.partitions, so a small vocabulary
+            # corpus ran every EM round as dozens of near-empty Python
+            # tasks — pure scheduler + worker round-trip latency. ~4k
+            # words per task keeps big corpora parallel and small ones
+            # on a handful of tasks.
+            n_words = words.count()
+            n_slots = max(1, min(int(words.rdd.getNumPartitions()),
+                                 (n_words + 4095) // 4096))
+            em_words = words.coalesce(n_slots)
+            vocab = seed_vocab(words, seed_size=seed_size,
+                               max_piece_len=max_piece_len)
         if len(vocab) > driver_vocab_cap:
             raise ValueError(
                 f"seed vocabulary ({len(vocab)} pieces) exceeds "
@@ -168,31 +227,42 @@ def unigram_train(df: DataFrame, text_col: str = "text", *,
         lp0 = -math.log(len(vocab))
         logp = {p: lp0 for p in vocab}
         for _ in range(n_iters):
-            b = spark.sparkContext.broadcast(logp)
-
-            def estep(batches: Iterator[pd.DataFrame],
-                      _ml=max_piece_len) -> Iterator[pd.DataFrame]:
-                model = b.value
-                for pdf in batches:
-                    acc: Dict[str, int] = {}
-                    for word, cnt in zip(pdf["word"], pdf["cnt"]):
-                        ec = _forward_backward(str(word), model, _ml)
-                        for piece, c in ec.items():
-                            acc[piece] = acc.get(piece, 0) + int(
-                                round(c * int(cnt) * _FIXED))
-                    yield pd.DataFrame(
-                        {"piece": list(acc), "fcount": list(acc.values())})
-
-            # tasks emit PARTIALLY-aggregated (piece, fixed-count) rows
-            # (one dict per batch); the final merge over ≤ vocab-sized
-            # tables is integer addition — exact and order-free — so it
-            # runs on the driver, saving a shuffle + extra stage per EM
-            # round (the collect itself is bounded by driver_vocab_cap)
-            rows = em_words.mapInPandas(
-                estep, "piece string, fcount long").collect()
             fc: Dict[str, int] = {}
-            for r in rows:
-                fc[r["piece"]] = fc.get(r["piece"], 0) + r["fcount"]
+            if word_rows is not None:
+                # driver-local E-step: same per-word fixed-point
+                # rounding, same order-free integer accumulation
+                for word, cnt in word_rows:
+                    ec = _forward_backward(word, logp, max_piece_len)
+                    for piece, c in ec.items():
+                        fc[piece] = fc.get(piece, 0) + int(
+                            round(c * cnt * _FIXED))
+            else:
+                b = spark.sparkContext.broadcast(logp)
+
+                def estep(batches: Iterator[pd.DataFrame],
+                          _ml=max_piece_len) -> Iterator[pd.DataFrame]:
+                    model = b.value
+                    for pdf in batches:
+                        acc: Dict[str, int] = {}
+                        for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                            ec = _forward_backward(str(word), model, _ml)
+                            for piece, c in ec.items():
+                                acc[piece] = acc.get(piece, 0) + int(
+                                    round(c * int(cnt) * _FIXED))
+                        yield pd.DataFrame(
+                            {"piece": list(acc),
+                             "fcount": list(acc.values())})
+
+                # tasks emit PARTIALLY-aggregated (piece, fixed-count)
+                # rows (one dict per batch); the final merge over
+                # ≤ vocab-sized tables is integer addition — exact and
+                # order-free — so it runs on the driver, saving a
+                # shuffle + extra stage per EM round (the collect
+                # itself is bounded by driver_vocab_cap)
+                rows = em_words.mapInPandas(
+                    estep, "piece string, fcount long").collect()
+                for r in rows:
+                    fc[r["piece"]] = fc.get(r["piece"], 0) + r["fcount"]
             if len(fc) > driver_vocab_cap:
                 raise ValueError(
                     f"EM count table ({len(fc)} pieces) exceeds "

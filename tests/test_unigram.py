@@ -93,3 +93,38 @@ def test_driver_vocab_cap_guards_collects(planted):
     vocab = unigram_train(planted, vocab_size=20, n_iters=1,
                           driver_vocab_cap=10_000)
     assert len(vocab) >= 10
+
+
+def test_local_train_matches_distributed(planted, spark, monkeypatch):
+    """r12 opt: below SPARK_GRAFT_UNIGRAM_LOCAL_MAX_WORDS the whole EM
+    runs on the driver; the learned vocab must be BIT-identical to the
+    distributed rounds — including the seed's short-word substring edge
+    cases (sequence-through-zero positions)."""
+    import os
+
+    short = spark.createDataFrame(
+        [(0, "a ab abc a ab xyzq q"), (1, "ab a zz q xyzq")],
+        "doc_id long, text string")
+    for df in (planted, short):
+        monkeypatch.setenv("SPARK_GRAFT_UNIGRAM_LOCAL_MAX_WORDS", "10000")
+        local = unigram_train(df, vocab_size=30, n_iters=3,
+                              max_piece_len=4, seed_size=120)
+        monkeypatch.setenv("SPARK_GRAFT_UNIGRAM_LOCAL_MAX_WORDS", "0")
+        dist = unigram_train(df, vocab_size=30, n_iters=3,
+                             max_piece_len=4, seed_size=120)
+        assert local == dist              # bit-identical, not approx
+
+
+def test_seed_vocab_local_matches_sql(planted, spark, monkeypatch):
+    from bid_evaluation_spark.operators.unigram import (
+        _seed_vocab_local, _words, seed_vocab)
+
+    short = spark.createDataFrame(
+        [(0, "a ab abc xy zzz q a ab")], "doc_id long, text string")
+    for df in (planted, short):
+        words = _words(df, "text")
+        rows = [(str(r["word"]), int(r["cnt"])) for r in words.collect()]
+        for mpl in (2, 3, 4, 6):
+            assert (_seed_vocab_local(rows, 50, mpl)
+                    == seed_vocab(words, seed_size=50,
+                                  max_piece_len=mpl))
