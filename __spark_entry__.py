@@ -10726,13 +10726,17 @@ def _q_graph_triangles_events(spark, sf_dir):
                     F.floor(F.col("ts").cast("double") / 3600)
                     .cast("long").alias("hr"), "user_id")
           .distinct())
-    a, b = co.alias("a"), co.alias("b")
-    edges = (a.join(b, (F.col("a.event_type") == F.col("b.event_type"))
-                    & (F.col("a.hr") == F.col("b.hr"))
-                    & (F.col("a.user_id") < F.col("b.user_id")))
-             .select(F.col("a.user_id").alias("u"),
-                     F.col("b.user_id").alias("v"))
-             .distinct())
+    # r12 opt (the basket-array lesson): per-cell sorted user arrays +
+    # posexplode/slice generate the same u<v pair set map-side after
+    # ONE groupBy shuffle, instead of a keyed self-join that exchanges
+    # the co table twice (interleaved A/B 3.4-3.9 -> 1.9-2.6 s warm;
+    # edge sets verified identical both ways with exceptAll)
+    cells = (co.groupBy("event_type", "hr")
+             .agg(F.sort_array(F.collect_set("user_id")).alias("us")))
+    ex = cells.select(F.posexplode("us").alias("i", "u"), F.col("us"))
+    edges = (ex.select(
+        "u", F.explode(F.expr("slice(us, i + 2, size(us))")).alias("v"))
+        .distinct())
     res = triangle_counts(edges, "u", "v")
     return res.select("node", "degree", "triangles",
                       _r4("clustering_coeff").alias("clustering_coeff"))

@@ -108,8 +108,8 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     return ranks
 
 
-def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b"
-                    ) -> DataFrame:
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b",
+                    engine: str = "auto") -> DataFrame:
     """Per-node triangle counts and local clustering coefficients over an
     undirected simple graph (``(a, b)`` pairs; direction/duplicates/self
     -loops are normalized away first).
@@ -125,16 +125,113 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b"
 
     Returns ``(node, degree, triangles, clustering_coeff)`` for every
     node with at least one edge (coefficient null when degree < 2).
+
+    Engines (r12 opt, guide §1.2): the wedge join's row count is the
+    WEDGE count — Θ(m^1.5) on any graph and brutal on dense ones (the
+    events co-occurrence graph: 1 500 nodes, 789k edges, 263M wedges
+    ⇒ ~40 s of shuffle for milliseconds of arithmetic). ``auto``
+    collects the canonical edge list when it is small (≤
+    ``SPARK_GRAFT_TRI_LOCAL_MAX_EDGES``, default 2M ≈ 32 MB — the
+    same envelope as the CC/graph kernels) AND the node count fits a
+    dense adjacency (≤ ``SPARK_GRAFT_TRI_LOCAL_MAX_NODES``, default
+    4 096 ⇒ ≤ 64 MB float32), then counts triangles on the driver via
+    the boolean-matrix identity ``T(i) = ((A·A) ∘ A)·1 / 2`` — BLAS
+    does the 263M wedge enumerations in RAM instead of a 6 GB
+    shuffle. Counts are ≤ n < 2^24, exact in float32; the coefficient
+    expression is evaluated with the IDENTICAL double arithmetic as
+    the Column form (parity-tested). Above either cap — or with
+    ``engine="join"`` — the join formulation runs unchanged: a graph
+    too big to collect is exactly the one whose wedges need
+    distributed shuffle + spill.
     """
+    import os
+
+    if engine not in ("auto", "local", "join"):
+        raise ValueError(f"engine must be 'auto', 'local' or 'join', "
+                         f"got {engine!r}")
     a, b = F.col(a_col), F.col(b_col)
     und = (edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
            .select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
            .distinct()
            .persist())
+    if engine != "join":
+        cap_e = int(os.environ.get("SPARK_GRAFT_TRI_LOCAL_MAX_EDGES",
+                                   "2000000"))
+        cap_n = int(os.environ.get("SPARK_GRAFT_TRI_LOCAL_MAX_NODES",
+                                   "4096"))
+        # Arrow toPandas, not collect(): deserializing ~1M Row objects
+        # through py4j costs seconds; the Arrow hop hands back columnar
+        # numpy directly (measured on the 789k-edge events graph)
+        if engine == "local":
+            head = und.toPandas()
+        else:
+            head = und.limit(cap_e + 1).toPandas()
+            if len(head) > cap_e:
+                head = None
+        if head is not None:
+            id_type = und.schema["u"].dataType
+            res = _triangle_counts_local(head, cap_n,
+                                         force=(engine == "local"))
+            if res is not None:
+                out_rows, sp = res, edges.sparkSession
+                from pyspark.sql.types import (DoubleType, LongType,
+                                               StructField, StructType)
+                schema = StructType([
+                    StructField("node", id_type),
+                    StructField("degree", LongType()),
+                    StructField("triangles", LongType()),
+                    StructField("clustering_coeff", DoubleType()),
+                ])
+                und.unpersist()
+                return sp.createDataFrame(out_rows, schema)
     deg = (und.select(F.col("u").alias("n"))
            .unionAll(und.select(F.col("v").alias("n")))
            .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
            .persist())
+    return _triangle_counts_join(und, deg)
+
+
+def _triangle_counts_local(edge_pdf, cap_n: int, force: bool = False):
+    """Driver-side dense-adjacency triangle count over the collected
+    canonical (u, v) edge frame: ``T(i) = ((A·A) ∘ A)·1 / 2`` with a
+    float32 0/1 adjacency (common-neighbor counts ≤ n < 2^24, exact;
+    the final row sum accumulates in float64). Returns
+    ``[(node, degree, triangles, coeff)]`` sorted by node, or ``None``
+    when the node count exceeds ``cap_n`` (caller falls back to the
+    join engine). The coefficient uses the IDENTICAL double expression
+    as the Column form: ``2.0 * T / (deg * (deg - 1))``."""
+    import numpy as np
+
+    if not len(edge_pdf):
+        return []
+    us = edge_pdf["u"].to_numpy()
+    vs = edge_pdf["v"].to_numpy()
+    both = np.concatenate([us, vs])
+    nodes_arr, codes = np.unique(both, return_inverse=True)
+    n = len(nodes_arr)
+    if n > cap_n and not force:
+        return None
+    nodes = nodes_arr.tolist()
+    ui = codes[:len(us)]
+    vi = codes[len(us):]
+    A = np.zeros((n, n), dtype=np.float32)
+    A[ui, vi] = 1.0
+    A[vi, ui] = 1.0
+    deg = A.sum(axis=1, dtype=np.float64).astype(np.int64)
+    tri2 = ((A @ A) * A).sum(axis=1, dtype=np.float64)
+    tri = np.rint(tri2 / 2.0).astype(np.int64)
+    out = []
+    for i, x in enumerate(nodes):
+        d, t = int(deg[i]), int(tri[i])
+        coeff = (2.0 * t) / (d * (d - 1)) if d >= 2 else None
+        out.append((x, d, t, coeff))
+    return out
+
+
+def _triangle_counts_join(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """The distributed degree-ordered wedge-join engine (unchanged
+    shape; split out so both dispatch routes share the normalized
+    inputs)."""
 
     du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))

@@ -145,6 +145,55 @@ class TestTriangleCounts:
         assert all(r["triangles"] == 3 and r["degree"] == 3
                    and r["clustering_coeff"] == 1.0 for r in rows)
 
+    def test_local_matches_join_engine(self, spark, monkeypatch):
+        """r12 opt: the dense-adjacency driver kernel must be
+        value-identical to the wedge-join engine — dense and sparse
+        random graphs, string ids, null/self-loop/dup normalization,
+        the node-cap fallback, and the env-cap routing."""
+        import random
+
+        from bid_evaluation_spark.operators.graph import triangle_counts
+
+        rng = random.Random(7)
+        dense = [(rng.randint(0, 15), rng.randint(0, 15))
+                 for _ in range(160)]
+        sparse = [(rng.randint(0, 200), rng.randint(0, 200))
+                  for _ in range(120)]
+        strs = [(f"n{u}", f"n{v}") for u, v in sparse[:60]]
+        messy = [(1, 2), (2, 1), (1, 1), (None, 2), (3, None), (2, 3),
+                 (1, 3)]
+
+        def rows(df, **kw):
+            return sorted(
+                (r["node"], r["degree"], r["triangles"],
+                 None if r["clustering_coeff"] is None
+                 else round(r["clustering_coeff"], 12))
+                for r in triangle_counts(df, "a", "b", **kw).collect())
+
+        for edges, typ in ((dense, "a long, b long"),
+                           (sparse, "a long, b long"),
+                           (strs, "a string, b string"),
+                           (messy, "a long, b long")):
+            df = spark.createDataFrame(edges, typ)
+            assert rows(df, engine="local") == rows(df, engine="join")
+
+        # node cap exceeded -> auto silently falls back to the join
+        # engine; edge cap 0 -> auto collects nothing and joins
+        df = spark.createDataFrame(dense, "a long, b long")
+        monkeypatch.setenv("SPARK_GRAFT_TRI_LOCAL_MAX_NODES", "3")
+        assert rows(df) == rows(df, engine="join")
+        monkeypatch.setenv("SPARK_GRAFT_TRI_LOCAL_MAX_NODES", "4096")
+        monkeypatch.setenv("SPARK_GRAFT_TRI_LOCAL_MAX_EDGES", "0")
+        assert rows(df) == rows(df, engine="join")
+        monkeypatch.delenv("SPARK_GRAFT_TRI_LOCAL_MAX_EDGES")
+        monkeypatch.delenv("SPARK_GRAFT_TRI_LOCAL_MAX_NODES")
+        with pytest.raises(ValueError, match="engine"):
+            triangle_counts(df, "a", "b", engine="bogus")
+        # empty edge list: both engines emit zero rows
+        empty = spark.createDataFrame([], "a long, b long")
+        assert rows(empty, engine="local") == rows(empty,
+                                                   engine="join") == []
+
 
 class TestTextRank:
     def test_hub_word_ranks_first(self, spark):

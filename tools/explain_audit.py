@@ -802,7 +802,8 @@ def _layout_wq_merge_plan(spark, sf_dir):
     return probs
 
 
-@check("triangle counting: equi-joins only (degree-oriented), partial aggs, no cartesian")
+@check("triangle counting: local dense kernel on the default route; join "
+       "engine equi-joins only (degree-oriented), partial aggs, no cartesian")
 def _triangles_plan(spark, sf_dir):
     from bid_evaluation_spark.operators.graph import triangle_counts
     from bid_evaluation_spark.sources.io import load_table
@@ -815,11 +816,18 @@ def _triangles_plan(spark, sf_dir):
              .groupBy("hr").agg(F.min("user_id").alias("u"),
                                 F.max("user_id").alias("v"))
              .filter(F.col("u") != F.col("v")))
-    plan = plan_of(triangle_counts(edges, "u", "v"))
     probs = []
-    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+    # r12 opt: small graphs collect to the driver's dense-matrix
+    # kernel — the returned plan is a LocalTableScan, no shuffle
+    plan = plan_of(triangle_counts(edges, "u", "v"))
+    if "Exchange" in plan:
+        probs.append("local route still shuffles (expected a "
+                     "LocalTableScan of driver-kernel results)")
+    # the distributed fallback keeps the degree-oriented join shape
+    jplan = plan_of(triangle_counts(edges, "u", "v", engine="join"))
+    if "CartesianProduct" in jplan or "BroadcastNestedLoopJoin" in jplan:
         probs.append("wedge/closing join is not an equi-join")
-    if "partial_count" not in plan:
+    if "partial_count" not in jplan:
         probs.append("degree/triangle counts lack map-side partials")
     return probs
 
