@@ -1087,7 +1087,8 @@ def minhash_against_corpus(new_df: DataFrame, corpus_df: DataFrame,
 def jaccard_similarity_join(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             threshold: float = 0.5,
-                            lowercase: bool = True) -> DataFrame:
+                            lowercase: bool = True,
+                            engine: str = "auto") -> DataFrame:
     """EXACT token-set Jaccard join via prefix filtering (the PPJoin
     family) — recall 1 by construction, unlike MinHash: two sets with
     J ≥ t MUST share a token within their first ``|X| − ⌈t·|X|⌉ + 1``
@@ -1101,12 +1102,43 @@ def jaccard_similarity_join(df: DataFrame, id_col: str = "doc_id",
     are materialized for the global order — sorting by the (freq, token)
     struct itself is the total order, so no vocabulary-wide window
     exists anywhere.
+
+    Engines (r12 opt, the triangles-kernel pattern): prefix filtering
+    dies precisely on small-vocabulary corpora — every posting is ~the
+    corpus, candidates degenerate to all-pairs and the verify pays an
+    array_intersect per pair. ``auto`` collects the per-doc token sets
+    below ``SPARK_GRAFT_JACCARD_LOCAL_MAX_DOCS`` docs (default 4 096)
+    when the dense work ``n²·V`` is also affordable (≤ 2e10
+    multiply-adds ≈ a second of BLAS), and computes the EXACT
+    intersection matrix ``D·Dᵀ`` on the driver — 0/1 counts < 2^24,
+    exact in float32, with the identical int→double Jaccard division.
+    A big-vocabulary corpus fails the flop guard and takes the prefix
+    join, which is exactly where the lemma prunes well; an
+    ``engine="join"`` override forces it.
     """
+    import os
+
     from .text import tokens
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if engine not in ("auto", "kernel", "join"):
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'join', "
+                         f"got {engine!r}")
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    if engine != "join":
+        cap = int(os.environ.get("SPARK_GRAFT_JACCARD_LOCAL_MAX_DOCS",
+                                 "4096"))
+        sets_df = df.select(F.col(id_col).alias("_id"),
+                            F.array_distinct(tokens(text)).alias("_ts"))
+        head = (sets_df.toPandas() if engine == "kernel"
+                else sets_df.limit(cap + 1).toPandas())
+        if engine == "kernel" or len(head) <= cap:
+            out = _jaccard_join_local(df.sparkSession, head, threshold,
+                                      df.schema[id_col].dataType,
+                                      force=(engine == "kernel"))
+            if out is not None:
+                return out
     t = (df.select(F.col(id_col).alias("_id"),
                    F.explode(F.array_distinct(tokens(text))).alias("_tok")))
     freq = t.groupBy("_tok").agg(F.count(F.lit(1)).alias("_f"))
@@ -1141,6 +1173,93 @@ def jaccard_similarity_join(df: DataFrame, id_col: str = "doc_id",
     return _track_cached(out, [ordered])
 
 
+def _jaccard_join_local(spark, sets_pdf, threshold: float, id_type,
+                        force: bool = False):
+    """Driver-side exact Jaccard all-pairs over collected token sets:
+    ``I = D·Dᵀ`` on the 0/1 doc×token matrix, ``J = I/(na+nb−I)``.
+    Replicates the join engine's semantics exactly: rows sharing an id
+    merge their token sets (the groupBy(_id) assembly), empty-set and
+    null-id docs never pair, output is one row per (a_id < b_id) pair
+    with the same int→double division. Returns ``None`` when the dense
+    work exceeds the flop guard (caller falls back to the prefix
+    join)."""
+    from pyspark.sql import types as _T
+
+    # a nullable numeric id column comes back from pandas as float64
+    # (NaN = null) — normalize survivors to the schema's Python type
+    if isinstance(id_type, (_T.LongType, _T.IntegerType, _T.ShortType,
+                            _T.ByteType)):
+        norm = int
+    elif isinstance(id_type, (_T.DoubleType, _T.FloatType)):
+        norm = float
+    else:
+        norm = lambda x: x  # noqa: E731
+    merged: dict = {}
+    for rid, ts in zip(sets_pdf["_id"], sets_pdf["_ts"]):
+        if rid is None or (isinstance(rid, float) and np.isnan(rid)):
+            continue
+        rid = norm(rid)
+        if ts is None or len(ts) == 0:
+            merged.setdefault(rid, set())
+            continue
+        merged.setdefault(rid, set()).update(ts)
+    ids = sorted(k for k, v in merged.items() if v)
+    vocab: dict = {}
+    for k in ids:
+        for t in merged[k]:
+            vocab.setdefault(t, len(vocab))
+    n, V = len(ids), max(len(vocab), 1)
+    # flop guard (n²·V dense MACs) plus a matrix-bytes guard (n·V —
+    # the matrix rides the kernel closure to every worker)
+    if not force and (n * n * V > 20_000_000_000
+                      or n * V > 25_000_000):
+        return None
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType([StructField("a_id", id_type),
+                         StructField("b_id", id_type),
+                         StructField("jaccard", DoubleType())])
+    if n < 2:
+        return spark.createDataFrame([], schema)
+    M = np.zeros((n, V), dtype=np.float32)
+    row_of = {k: i for i, k in enumerate(ids)}
+    for i, k in enumerate(ids):
+        for t in merged[k]:
+            M[i, vocab[t]] = 1.0
+    sz = M.sum(axis=1, dtype=np.float64)
+    thr = float(threshold)
+    # pairs are emitted from WORKERS, not the driver: a first draft
+    # built the result with createDataFrame on the driver and lost the
+    # whole win pushing ~430k pair rows through one process — so the
+    # merged ids round-trip through a tiny distributed frame and each
+    # task scores its id-block against the broadcast matrix
+    ids_df = spark.createDataFrame([(k,) for k in ids],
+                                   StructType([StructField("_id",
+                                                           id_type)]))
+    n_slots = max(1, min(
+        int(spark.sparkContext.defaultParallelism), n))
+
+    def kernel(batches):
+        for pdf in batches:
+            o_a, o_b, o_j = [], [], []
+            for rid in pdf["_id"]:
+                i = row_of[rid]
+                inter = (M[i] @ M.T).astype(np.float64)
+                union = sz[i] + sz - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    J = inter / union
+                # emit each pair once, owned by its smaller id
+                hits = np.nonzero(J >= thr)[0]
+                for j in hits.tolist():
+                    if ids[i] < ids[j]:
+                        o_a.append(ids[i])
+                        o_b.append(ids[j])
+                        o_j.append(float(J[j]))
+            yield pd.DataFrame({"a_id": o_a, "b_id": o_b,
+                                "jaccard": o_j})
+
+    return ids_df.repartition(n_slots).mapInPandas(kernel, schema)
+
+
 def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
                     id_col: str = "doc_id", a_col: str = "a_id",
                     b_col: str = "b_id") -> DataFrame:
@@ -1169,10 +1288,86 @@ def dedup_keep_best(df: DataFrame, pairs: DataFrame, score_col: str,
         getattr(clusters, "_cached_deps", []))
 
 
+def _containment_kernel(hay: DataFrame, needle_rows, threshold: float,
+                        nid_type, hid_type):
+    """Map-only exact containment: broadcast needle token masks, one
+    boolean matrix product per hay batch. Returns ``None`` when the
+    needle×token matrix would exceed the in-memory guard (caller falls
+    back to the prefix-join engine). Pair-set parity with the join
+    engine: null-id needles never survive its verify join, needles
+    with no tokens yield null containment (dropped), and for t > 0
+    every qualifying pair shares a token."""
+    kept = [(r["_nid"], r["_ts"]) for r in needle_rows
+            if r["_nid"] is not None and r["_ts"]]
+    vocab = sorted({t for _, ts in kept for t in ts})
+    # the needle-mask matrix ships in the kernel closure to every
+    # worker — bound it to ~64 MB float32
+    if len(kept) * max(len(vocab), 1) > 16_000_000:
+        return None
+    if not kept:
+        # zero usable needles: the join engine yields zero rows; emit
+        # the same empty frame with the contract schema
+        hay = hay.filter(F.lit(False))
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    nmask = np.zeros((len(kept), len(vocab)), dtype=np.float32)
+    nlen = np.zeros(len(kept), dtype=np.float64)
+    nids = []
+    for i, (nid, ts) in enumerate(kept):
+        for t in ts:
+            nmask[i, tok_idx[t]] = 1.0
+        nlen[i] = float(len(ts))
+        nids.append(nid)
+    nids_arr = pd.Series(nids)
+    thr = float(threshold)
+
+    # bound the per-chunk hay token matrix to ~32 MB float32
+    chunk = max(1, 8_000_000 // max(len(vocab), 1))
+
+    def kernel(batches):
+        for pdf in batches:
+            o_n, o_h, o_c = [], [], []
+            if len(pdf) and len(nids):
+                ids = pdf["_hid"]
+                toks = pdf["_ts"]
+                for s in range(0, len(pdf), chunk):
+                    e = min(s + chunk, len(pdf))
+                    D = np.zeros((e - s, len(vocab)), dtype=np.float32)
+                    ok = np.zeros(e - s, dtype=bool)
+                    for j in range(s, e):
+                        hid, ts = ids.iloc[j], toks.iloc[j]
+                        # nullable numeric ids arrive as NaN floats
+                        if hid is None or pd.isna(hid):
+                            continue
+                        ok[j - s] = True
+                        if ts is not None:
+                            for t in ts:
+                                k = tok_idx.get(t)
+                                if k is not None:
+                                    D[j - s, k] = 1.0
+                    # exact: 0/1 sums < 2^24 in float32; the division
+                    # is the same int->double divide as try_divide
+                    inter = (D @ nmask.T).astype(np.float64)
+                    cont = inter / nlen[None, :]
+                    hit_j, hit_i = np.nonzero((cont >= thr)
+                                              & ok[:, None])
+                    o_h.extend(ids.iloc[hit_j + s].tolist())
+                    o_n.extend(nids_arr.iloc[hit_i].tolist())
+                    o_c.extend(cont[hit_j, hit_i].tolist())
+            yield pd.DataFrame({"needle_id": o_n, "hay_id": o_h,
+                                "containment": o_c})
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+    schema = StructType([StructField("needle_id", nid_type),
+                         StructField("hay_id", hid_type),
+                         StructField("containment", DoubleType())])
+    return hay.mapInPandas(kernel, schema)
+
+
 def containment_join(needles: DataFrame, haystack: DataFrame,
                      id_col: str = "doc_id", text_col: str = "text",
                      threshold: float = 0.5,
-                     lowercase: bool = True) -> DataFrame:
+                     lowercase: bool = True,
+                     engine: str = "auto") -> DataFrame:
     """EXACT asymmetric set-containment join: pairs where
     ``|needle ∩ hay| / |needle| ≥ t`` — the excerpt/quote-detection case
     symmetric Jaccard misses (a benchmark question QUOTED inside a long
@@ -1187,16 +1382,53 @@ def containment_join(needles: DataFrame, haystack: DataFrame,
     Token frequencies for the rarest-first order come from the HAY side
     (the side that determines collision cost); needle tokens absent from
     the hay sort first (frequency 0 — maximally selective).
+
+    Engines (r12 opt, guide §4.2 — the cosine_topk pattern): needles
+    are excerpts/probes, a BOUNDED set by use. ``auto`` collects them
+    below ``SPARK_GRAFT_CONTAINMENT_LOCAL_MAX_NEEDLES`` (default 5k,
+    with a needle×token-matrix byte guard) and computes exact
+    containment in ONE map-only Arrow kernel over the hay scan —
+    per-batch boolean token matrices against the broadcast needle
+    masks, one BLAS product per batch. Only needle tokens index the
+    matrix, so the kernel is exact with zero blocking: for t > 0 a
+    qualifying pair shares a token by definition, so the output set is
+    identical to the prefix engine's (parity-tested). The measured
+    motivation: on a degenerate 31-token-vocabulary corpus the prefix
+    filter cannot prune (every posting is ~the corpus), and the
+    candidate join + array_intersect verify paid ~10 s for work one
+    matrix product does in milliseconds; on REAL vocabulary the kernel
+    also skips the freq/sort/explode machinery entirely. Above the cap
+    (or ``engine="join"``) the prefix-filter join runs unchanged —
+    recall-1 blocking is exactly what an UNBOUNDED needle set needs.
     """
+    import os
+
     from .text import tokens
 
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if engine not in ("auto", "kernel", "join"):
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'join', "
+                         f"got {engine!r}")
 
     def tokset(df, alias):
         text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
         return df.select(F.col(id_col).alias(alias),
                          F.array_distinct(tokens(text)).alias("_ts"))
+
+    if engine != "join":
+        cap = int(os.environ.get(
+            "SPARK_GRAFT_CONTAINMENT_LOCAL_MAX_NEEDLES", "5000"))
+        ndl_all = tokset(needles, "_nid")
+        head = (ndl_all.collect() if engine == "kernel"
+                else ndl_all.limit(cap + 1).collect())
+        if engine == "kernel" or len(head) <= cap:
+            out = _containment_kernel(tokset(haystack, "_hid"), head,
+                                      threshold,
+                                      needles.schema[id_col].dataType,
+                                      haystack.schema[id_col].dataType)
+            if out is not None:
+                return out
 
     hay = tokset(haystack, "_hid").persist()
     hay_post = hay.select("_hid", F.explode("_ts").alias("_tok"))

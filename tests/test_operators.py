@@ -981,6 +981,93 @@ def test_containment_join_exact_recall(spark):
     assert full[(10, 1)] == 1.0
 
 
+def test_jaccard_join_local_matches_prefix_engine(spark, monkeypatch):
+    """r12 opt: the driver dense-matrix route must be value-identical
+    to the prefix-filter join — duplicate-id rows merge their token
+    sets, null ids and empty docs never pair, same a_id < b_id
+    orientation and int→double division; env-cap routing."""
+    from bid_evaluation_spark.operators.dedup import jaccard_similarity_join
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma epsilon"),
+         (3, "one two three"),
+         (3, "three four"),            # duplicate id merges
+         (None, "alpha beta gamma delta"),
+         (4, ""),
+         (5, None),
+         (6, "alpha beta gamma delta")],
+        "doc_id long, text string")
+
+    def rows(engine, th):
+        return sorted(
+            (r["a_id"], r["b_id"], round(r["jaccard"], 12))
+            for r in jaccard_similarity_join(df, threshold=th,
+                                             engine=engine).collect())
+
+    for th in (1.0, 0.75, 0.5, 0.2):
+        assert rows("kernel", th) == rows("join", th), th
+    assert (1, 6, 1.0) in rows("kernel", 1.0)
+
+    monkeypatch.setenv("SPARK_GRAFT_JACCARD_LOCAL_MAX_DOCS", "0")
+    assert rows("auto", 0.5) == rows("join", 0.5)
+    monkeypatch.delenv("SPARK_GRAFT_JACCARD_LOCAL_MAX_DOCS")
+    with pytest.raises(ValueError, match="engine"):
+        jaccard_similarity_join(df, engine="bogus")
+
+
+def test_containment_kernel_matches_join_engine(spark, monkeypatch):
+    """r12 opt: the map-only needle-mask kernel must be value-identical
+    to the prefix-filter join engine — messy ids (nulls both sides),
+    duplicate tokens, empty/whitespace text, string ids, thresholds
+    across the range, and the env-cap routing."""
+    from bid_evaluation_spark.operators.dedup import containment_join
+
+    hay = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "one two three four five beta"),
+         (None, "alpha beta gamma"),
+         (3, None),
+         (4, ""),
+         (5, "beta beta beta gamma gamma")],
+        "doc_id long, text string")
+    needles = spark.createDataFrame(
+        [(10, "beta gamma delta"),
+         (11, "two three foreign"),
+         (None, "alpha beta"),
+         (12, None),
+         (13, ""),
+         (14, "beta gamma"),
+         (14, "beta gamma")],       # duplicate needle row
+        "doc_id long, text string")
+
+    def rows(engine, th):
+        return sorted(
+            (r["needle_id"], r["hay_id"], round(r["containment"], 12))
+            for r in containment_join(needles, hay, threshold=th,
+                                      engine=engine).collect())
+
+    for th in (1.0, 0.75, 0.5, 0.3):
+        assert rows("kernel", th) == rows("join", th), th
+
+    strs = spark.createDataFrame(
+        [("nA", "beta gamma"), ("nB", "zeta")],
+        "doc_id string, text string")
+    shay = spark.createDataFrame(
+        [("h1", "alpha beta gamma"), ("h2", "zeta eta")],
+        "doc_id string, text string")
+    got = sorted((r["needle_id"], r["hay_id"]) for r in
+                 containment_join(strs, shay, threshold=0.9).collect())
+    assert got == [("nA", "h1"), ("nB", "h2")]
+
+    # cap 0 routes auto to the join engine
+    monkeypatch.setenv("SPARK_GRAFT_CONTAINMENT_LOCAL_MAX_NEEDLES", "0")
+    assert rows("auto", 0.5) == rows("join", 0.5)
+    monkeypatch.delenv("SPARK_GRAFT_CONTAINMENT_LOCAL_MAX_NEEDLES")
+    with pytest.raises(ValueError, match="engine"):
+        containment_join(needles, hay, engine="bogus")
+
+
 class TestResizeImageFeatures:
     def _media(self, spark, imgs):
         import pandas as pd

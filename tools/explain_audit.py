@@ -843,11 +843,24 @@ def _setsim_novelty_qmatch_plan(spark, sf_dir):
     probs = []
     docs = load_table(spark, sf_dir, "documents")
     sub = docs.filter(F.col("doc_id") % 25 == 0)
+    # r12 opt: both set-similarity joins dispatch small inputs to
+    # exact local/map-side kernels; the forced join engines must keep
+    # the prefix-filter equi-join shape
+    kplan = plan_of(jaccard_similarity_join(sub, threshold=0.75))
+    if "MapInPandas" not in kplan or kplan.count("Exchange") > 1:
+        probs.append("jaccard local route should be one id-block "
+                     "repartition feeding the matrix kernel")
+    cplan = plan_of(containment_join(sub, docs, threshold=0.75))
+    if "Join" in cplan or "Exchange" in cplan:
+        probs.append("containment kernel route should be map-only over "
+                     "the hay scan")
     for name, frame in (
             ("jaccard prefix join",
-             jaccard_similarity_join(sub, threshold=0.75)),
+             jaccard_similarity_join(sub, threshold=0.75,
+                                     engine="join")),
             ("containment join",
-             containment_join(sub, docs, threshold=0.75)),
+             containment_join(sub, docs, threshold=0.75,
+                              engine="join")),
             ("novelty", novelty_score(sub, docs))):
         plan = plan_of(frame)
         if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
