@@ -307,11 +307,30 @@ class LogRegModel:
 def _margin(feature_col: str, w: np.ndarray, bias: float) -> Column:
     """lit-weighted dot product as a flat codegen expression (getItem terms
     added left-to-right — same association order as the SQL oracle), NOT a
-    higher-order-function fold (HOFs run interpreted outside codegen)."""
-    m: Column = F.lit(float(bias))
+    higher-order-function fold (HOFs run interpreted outside codegen).
+
+    Built as ONE ``F.expr`` SQL string (r12 opt — the videofp py4j
+    lesson): the Column-builder form made ~5 round-trips per dimension
+    per call. Double literals ride as ``CAST('<repr>' AS DOUBLE)`` —
+    Java's parseDouble round-trips Python's repr exactly, and constant
+    folding collapses the cast to the identical double literal, so the
+    arithmetic (left-associated adds, per-term cast*literal multiply)
+    is unchanged."""
+    def _d(x: float) -> str:
+        x = float(x)
+        if x != x:
+            return "'NaN'"
+        if x == float("inf"):
+            return "'Infinity'"
+        if x == float("-inf"):
+            return "'-Infinity'"
+        return f"'{x!r}'"
+
+    terms = [f"CAST({_d(bias)} AS DOUBLE)"]
     for j, wj in enumerate(w):
-        m = m + F.col(feature_col).getItem(j).cast("double") * F.lit(float(wj))
-    return m
+        terms.append(f"CAST(`{feature_col}`[{j}] AS DOUBLE) * "
+                     f"CAST({_d(wj)} AS DOUBLE)")
+    return F.expr(" + ".join(terms))
 
 
 def logreg_train(df: DataFrame, feature_col: str = "embedding",
@@ -333,11 +352,20 @@ def logreg_train(df: DataFrame, feature_col: str = "embedding",
     try:
         for _ in range(iters):
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_margin(feature_col, w, b)))
-            r = p - F.col("_yy")
-            aggs = [F.avg(r * F.col(feature_col).getItem(j).cast("double"))
-                    .alias(f"_g{j}") for j in range(dim)]
-            aggs.append(F.avg(r).alias("_gb"))
-            row = feats.agg(*aggs).collect()[0]
+            # project the residual ONCE (r12 opt): the old form embedded
+            # the full 65-term sigmoid subtree inside every gradient
+            # aggregate — dim+1 copies for the analyzer/optimizer to
+            # chew per round. Same per-row arithmetic ((p−y)·x_j, p
+            # evaluates to the identical double either way), same
+            # Average operator over the same partitioning ⇒
+            # byte-identical weights (test-pinned).
+            rdf = feats.select(F.col(feature_col),
+                               (p - F.col("_yy")).alias("_r"))
+            aggs = [F.expr(f"avg(_r * CAST(`{feature_col}`[{j}] AS "
+                           "DOUBLE))").alias(f"_g{j}")
+                    for j in range(dim)]
+            aggs.append(F.avg(F.col("_r")).alias("_gb"))
+            row = rdf.agg(*aggs).collect()[0]
             grad = np.array([row[f"_g{j}"] for j in range(dim)])
             gb = row["_gb"]
             w = w - lr * grad
