@@ -849,24 +849,72 @@ def poisson_bootstrap_ci(df: DataFrame, group_col: str, value_col: str,
     v = F.col(value_col).cast("double")
     base = df.filter(v.isNotNull())
 
-    def w(b: int) -> Column:
-        hx = F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"),
-                           F.lit(f"|{b}|{seed}")).cast("binary")),
-            1, _HEX15)
-        u = (F.conv(hx, 16, 10).cast("long").cast("double") + F.lit(0.5)) \
-            / F.lit(float(16 ** _HEX15))
-        k = F.lit(9)
-        for j in range(len(_POISSON1_CDF) - 1, -1, -1):
-            k = F.when(u < F.lit(_POISSON1_CDF[j]), F.lit(j)).otherwise(k)
-        return k.cast("double")
+    # r12 opt: the 2·B md5+conv+9-deep-CASE weight trees blew the
+    # whole-stage-codegen method limit — janino threw and the whole
+    # scan ran INTERPRETED (measured: the janino stack in the logs and
+    # a 6 s projection for 3M md5 calls). The weights are now computed
+    # in ONE Arrow kernel with bit-replicated arithmetic: the id is
+    # pre-cast to STRING by Spark (no cross-engine cast risk), md5
+    # bytes are identical, `int(hex, 16)` == conv base 16, the
+    # long→double cast rounds half-even in both engines, and
+    # searchsorted(side='right') is exactly the CASE chain's
+    # "first j with u < cdf[j], else 9"; a NULL id rides every branch
+    # to the ELSE (weight 9.0), replicated explicitly. The aggregates
+    # stay native over the same map-side partitioning ⇒ identical sums
+    # (the oracle replays every weight).
+    import hashlib
 
-    aggs = [F.count(F.lit(1)).alias("n_rows"), F.avg(v).alias("mean")]
+    import numpy as np
+    import pandas as pd
+
+    cdf = np.asarray(_POISSON1_CDF, dtype=np.float64)
+    scale = float(16 ** _HEX15)
+    nb_, seed_ = int(n_boot), str(seed)
+    wb_names = [f"_wb{b}" for b in range(n_boot)]
+
+    def wkernel(batches):
+        for pdf in batches:
+            out = {group_col: pdf["_g"], "_v": pdf["_v"]}
+            ids = pdf["_ids"]
+            m = len(pdf)
+            for b in range(nb_):
+                suffix = f"|{b}|{seed_}".encode()
+                u = np.empty(m, dtype=np.float64)
+                isnull = np.zeros(m, dtype=bool)
+                for i, s in enumerate(ids):
+                    if s is None:
+                        isnull[i] = True
+                        u[i] = 0.0
+                        continue
+                    hx = hashlib.md5(
+                        s.encode() + suffix).hexdigest()[:_HEX15]
+                    u[i] = (np.float64(int(hx, 16)) + 0.5) / scale
+                k = np.searchsorted(cdf, u, side="right").astype(
+                    np.float64)
+                k[isnull] = 9.0
+                out[f"_wb{b}"] = k
+            yield pd.DataFrame(out)
+
+    gf = df.schema[group_col].dataType.simpleString() \
+        if group_col in df.columns else "string"
+    src = base.select(F.col(group_col).alias("_g"), v.alias("_v"),
+                      F.col(id_col).cast("string").alias("_ids"))
+    # guide §2.5: a single small parquet file scans as ONE partition,
+    # which serialized the whole weight computation (and, before the
+    # kernel, the interpreted md5 projection). Spread the narrow
+    # (group, value, id) rows first; at scale the scan already has
+    # more partitions than cores and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    proj = src.mapInPandas(
+        wkernel, f"`{group_col}` {gf}, _v double, "
+        + ", ".join(f"{n} double" for n in wb_names))
+    aggs = [F.count(F.lit(1)).alias("n_rows"), F.avg("_v").alias("mean")]
     for b in range(n_boot):
-        wb = w(b)
-        aggs.append(F.sum(wb * v).alias(f"_s{b}"))
-        aggs.append(F.sum(wb).alias(f"_w{b}"))
-    g = base.groupBy(group_col).agg(*aggs)
+        aggs.append(F.sum(F.col(f"_wb{b}") * F.col("_v")).alias(f"_s{b}"))
+        aggs.append(F.sum(f"_wb{b}").alias(f"_w{b}"))
+    g = proj.groupBy(group_col).agg(*aggs)
 
     means = F.array_sort(F.filter(F.array(*[
         F.when(F.col(f"_w{b}") > 0, F.col(f"_s{b}") / F.col(f"_w{b}"))
