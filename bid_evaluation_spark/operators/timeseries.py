@@ -296,11 +296,14 @@ def ewma_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     smoother behind drift monitors and trend features.
 
     The recurrence depends on every prior row, so (like capped
-    sessionization) no fixed window frame expresses it; it runs as one
-    Arrow kernel per key over (key, ts, tiebreak, value) — a key's
-    history serializes within its partition. The arithmetic is written
-    as EXACTLY ``α·x + (1−α)·s`` so an engine replaying the recurrence
-    (the recursive-CTE oracle) lands on bit-identical doubles. Rows with
+    sessionization) no fixed window frame expresses it. Like
+    :func:`holt_by_key` (r12 opt — the per-KEY ``applyInPandas`` shape
+    paid one Python call + one pandas frame per key), it runs as ONE
+    ``mapInPandas`` kernel per partition, hash-partitioned by key and
+    sorted by (key, ts, tiebreak), the recurrence advancing
+    STEP-VECTORIZED with the identical IEEE op sequence per key
+    (``α·x + (1−α)·s``), so an engine replaying the recurrence (the
+    recursive-CTE oracle) lands on bit-identical doubles. Rows with
     a null value are excluded. Returns
     ``(key_col, tiebreak_col, value, ewma)``.
     """
@@ -314,24 +317,52 @@ def ewma_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
     a = float(alpha)
 
-    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts", "_tb"])
-        out = []
-        s = None
-        for x in pdf["_v"].to_numpy():
-            x = float(x)
-            s = x if s is None else a * x + (1.0 - a) * s
-            out.append(s)
-        pdf = pdf.copy()
-        pdf["ewma"] = out
-        return pdf
+    def smooth(batches):
+        pdf = _collect_sorted_partition(batches)
+        if pdf is None:
+            return
+        vals = pdf["_v"].to_numpy(dtype=np.float64)
+        starts, lengths = _key_runs(pdf["_k"].to_numpy())
+        s = np.empty(len(pdf), dtype=np.float64)
+        s[starts] = vals[starts]
+        for t in range(1, int(lengths.max())):
+            act = starts[lengths > t] + t
+            s[act] = a * vals[act] + (1.0 - a) * s[act - 1]
+        pdf["ewma"] = s
+        yield pdf
 
     k_type = dict(prepared.dtypes)["_k"]
-    res = prepared.groupBy("_k").applyInPandas(
-        smooth, f"_k {k_type}, _ts double, _tb long, _v double, ewma double")
+    res = (prepared.repartition("_k")
+           .sortWithinPartitions("_k", "_ts", "_tb")
+           .mapInPandas(smooth, f"_k {k_type}, _ts double, _tb long, "
+                                "_v double, ewma double"))
     return res.select(F.col("_k").alias(key_col),
                       F.col("_tb").alias(tiebreak_col),
                       F.col("_v").alias("value"), "ewma")
+
+
+def _collect_sorted_partition(batches):
+    """Concatenate a sorted partition's Arrow batches (a key's rows can
+    span batches); ``None`` for an empty partition."""
+    pdfs = [p for p in batches]
+    if not pdfs:
+        return None
+    pdf = (pd.concat(pdfs, ignore_index=True)
+           if len(pdfs) > 1 else pdfs[0].reset_index(drop=True))
+    return pdf if len(pdf) else None
+
+
+def _key_runs(kv):
+    """Run starts/lengths over a key-sorted array, with SQL group
+    semantics for nulls (all null keys one group; they sort
+    adjacent)."""
+    n = len(kv)
+    isna = pd.isna(kv)
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = ~((kv[1:] == kv[:-1]) | (isna[1:] & isna[:-1]))
+    starts = np.flatnonzero(new)
+    return starts, np.diff(starts, append=n)
 
 
 def cusum_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
@@ -344,10 +375,13 @@ def cusum_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     either side exceeds ``threshold``. Detects small persistent mean
     shifts that per-point z-scores (`robust_zscore`) miss.
 
-    Same execution shape as :func:`ewma_by_key`: the recurrence depends
-    on every prior row, so it runs as one Arrow kernel per key, with the
-    arithmetic written EXACTLY as the formulas above so a recursive-CTE
-    oracle replays bit-identical doubles. Null values/timestamps are
+    Same execution shape as :func:`ewma_by_key` (r12 opt): the
+    recurrence depends on every prior row, so it runs as ONE
+    ``mapInPandas`` kernel per hash-partition, sorted by
+    (key, ts, tiebreak) and advanced STEP-VECTORIZED — the identical
+    IEEE op sequence per key (``max(0, S + ((x − t) − k))`` with the
+    same left-to-right subtraction order), so a recursive-CTE oracle
+    replays bit-identical doubles. Null values/timestamps are
     excluded. Returns ``(key_col, tiebreak_col, value, cusum_pos,
     cusum_neg, alarm)``.
     """
@@ -363,27 +397,34 @@ def cusum_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,
     ).filter(F.col("_v").isNotNull() & F.col("_ts").isNotNull())
     t, k, h = float(target), float(slack), float(threshold)
 
-    def chart(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts", "_tb"])
-        sp = sn = 0.0
-        pos, neg, alarm = [], [], []
-        for x in pdf["_v"].to_numpy():
-            x = float(x)
-            sp = max(0.0, sp + (x - t - k))
-            sn = max(0.0, sn + (t - k - x))
-            pos.append(sp)
-            neg.append(sn)
-            alarm.append(sp > h or sn > h)
-        pdf = pdf.copy()
-        pdf["cusum_pos"] = pos
-        pdf["cusum_neg"] = neg
-        pdf["alarm"] = alarm
-        return pdf
+    def chart(batches):
+        pdf = _collect_sorted_partition(batches)
+        if pdf is None:
+            return
+        vals = pdf["_v"].to_numpy(dtype=np.float64)
+        starts, lengths = _key_runs(pdf["_k"].to_numpy())
+        n = len(pdf)
+        sp = np.empty(n, dtype=np.float64)
+        sn = np.empty(n, dtype=np.float64)
+        # step 0 from S=0, exactly the sequential fold's first step
+        sp[starts] = np.maximum(0.0, 0.0 + (vals[starts] - t - k))
+        sn[starts] = np.maximum(0.0, 0.0 + (t - k - vals[starts]))
+        for step in range(1, int(lengths.max())):
+            act = starts[lengths > step] + step
+            prev = act - 1
+            sp[act] = np.maximum(0.0, sp[prev] + (vals[act] - t - k))
+            sn[act] = np.maximum(0.0, sn[prev] + (t - k - vals[act]))
+        pdf["cusum_pos"] = sp
+        pdf["cusum_neg"] = sn
+        pdf["alarm"] = (sp > h) | (sn > h)
+        yield pdf
 
     k_type = dict(prepared.dtypes)["_k"]
-    res = prepared.groupBy("_k").applyInPandas(
-        chart, f"_k {k_type}, _ts double, _tb long, _v double, "
-               "cusum_pos double, cusum_neg double, alarm boolean")
+    res = (prepared.repartition("_k")
+           .sortWithinPartitions("_k", "_ts", "_tb")
+           .mapInPandas(
+               chart, f"_k {k_type}, _ts double, _tb long, _v double, "
+                      "cusum_pos double, cusum_neg double, alarm boolean"))
     return res.select(F.col("_k").alias(key_col),
                       F.col("_tb").alias(tiebreak_col),
                       F.col("_v").alias("value"),

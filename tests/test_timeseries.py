@@ -829,3 +829,51 @@ class TestNelsonAalen:
                for r in nelson_aalen(df, "dur", "ev").collect()}
         assert out[1.0]["n_event"] == 0 and out[1.0]["cum_hazard"] == 0.0
         assert out[2.0]["n_risk"] == 1 and out[2.0]["cum_hazard"] == 1.0
+
+
+def test_ewma_cusum_step_kernels_match_sequential(spark):
+    """r12 opt: ewma_by_key and cusum_by_key moved from per-key
+    applyInPandas to the holt-style step-vectorized partition kernel —
+    outputs must BIT-match the sequential per-key folds on a messy
+    corpus (many keys, varying lengths, null keys as one SQL group,
+    ts ties, shuffled input)."""
+    import random
+
+    from bid_evaluation_spark.operators.timeseries import (
+        cusum_by_key, ewma_by_key)
+
+    rnd = random.Random(1214)
+    rows = []
+    for k in list(range(23)) + [None]:
+        for t in range(rnd.randint(1, 30)):
+            rows.append((k, float(t // 4), len(rows),
+                         rnd.uniform(30, 70)))
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "u int, ts double, e long, v double")
+
+    series = {}
+    for k, ts, e, v in sorted(rows, key=lambda r: (r[1], r[2])):
+        series.setdefault(k, []).append((e, v))
+
+    a = 0.2
+    got = {r["e"]: r["ewma"]
+           for r in ewma_by_key(df, "u", "ts", "v", "e",
+                                alpha=a).collect()}
+    assert len(got) == len(rows)
+    for evs in series.values():
+        s = None
+        for e, x in evs:
+            s = x if s is None else a * x + (1.0 - a) * s
+            assert got[e] == s, e
+
+    t_, k_, h_ = 50.0, 2.0, 12.0
+    gotc = {r["e"]: (r["cusum_pos"], r["cusum_neg"], r["alarm"])
+            for r in cusum_by_key(df, "u", "ts", "v", "e", target=t_,
+                                  slack=k_, threshold=h_).collect()}
+    assert len(gotc) == len(rows)
+    for evs in series.values():
+        sp = sn = 0.0
+        for e, x in evs:
+            sp = max(0.0, sp + (x - t_ - k_))
+            sn = max(0.0, sn + (t_ - k_ - x))
+            assert gotc[e] == (sp, sn, sp > h_ or sn > h_), e
