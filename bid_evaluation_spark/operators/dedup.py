@@ -307,32 +307,45 @@ def minhash_band_table(df: DataFrame, id_col: str = "doc_id",
     Per permutation ``i`` the signature is ``min`` over distinct word
     ``k``-shingles of ``md5_u60(f"{seed}:{i}:" + shingle)``; band ``b``'s
     key is the md5 hex of its ``num_perm/bands`` minima joined with
-    ``"_"``. Map-only: one projection computes all ``num_perm`` hashes
-    per shingle in a single pass (elementwise-min fold — the signature
-    array is materialized as a column before the band keys reference it,
-    per the lambda-capture rule), then one ``posexplode``. Documents with
-    no shingles yield no rows.
+    ``"_"``. Documents with no shingles yield no rows.
+
+    Execution shape (r12 opt, guide §4.1/§2.3): shingles are EXPLODED
+    and the ``num_perm`` hashes computed as plain projection columns,
+    then folded by a partially-aggregated ``groupBy(id).min``. A
+    previous map-only form computed the same hashes inside
+    ``transform``/``aggregate``/``zip_with`` lambdas — higher-order
+    functions are evaluated INTERPRETED (no whole-stage codegen inside
+    the lambda), which made 16 md5s per shingle ~4× slower than the
+    identical codegen'd projection. The exchange this buys is one
+    ``num_perm``-longs row per document per partition (partial agg
+    collapses a doc's shingles map-side), i.e. negligible at any scale,
+    and the hash values/band keys are bit-identical — the DuckDB oracle
+    replays them unchanged.
     """
     if num_perm % bands != 0:
         raise ValueError(f"bands must divide num_perm, got {num_perm}/{bands}")
     rows = num_perm // bands
     sh = word_shingles(F.col(text_col), k)
-    per_shingle = F.transform(sh, lambda s: F.array(*[
-        _md5_u60(F.concat(F.lit(f"{seed}:{i}:"), s))
-        for i in range(num_perm)]))
-    init = F.array_repeat(F.lit(2 ** 63 - 1).cast("long"), num_perm)
-    mins = F.aggregate(per_shingle, init,
-                       lambda acc, x: F.zip_with(acc, x,
-                                                 lambda a, b: F.least(a, b)))
-    staged = (df.select(F.col(id_col).alias("_id"),
-                        F.size(sh).alias("_nsh"), mins.alias("_mins"))
-              .filter(F.col("_nsh") > 0))
+    src = df.select(F.col(id_col).alias("_id"), F.col(text_col))
+    # guide §2.5: a single small parquet file scans as ONE partition,
+    # which would serialize the whole hash projection. Spread the
+    # narrow (id, text) rows first; at scale the scan already has more
+    # partitions than cores and this is a no-op.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    exploded = src.select("_id", F.explode(sh).alias("_s"))
+    hashed = exploded.select("_id", *[
+        _md5_u60(F.concat(F.lit(f"{seed}:{i}:"), F.col("_s"))).alias(f"_h{i}")
+        for i in range(num_perm)])
+    mins = hashed.groupBy("_id").agg(*[
+        F.min(f"_h{i}").alias(f"_m{i}") for i in range(num_perm)])
     keys = F.array(*[
         F.md5(F.concat_ws(
-            "_", *[F.element_at(F.col("_mins"), b * rows + j + 1)
-                   .cast("string") for j in range(rows)]).cast("binary"))
+            "_", *[F.col(f"_m{b * rows + j}").cast("string")
+                   for j in range(rows)]).cast("binary"))
         for b in range(bands)])
-    return (staged.select("_id", F.posexplode(keys).alias("band", "key"))
+    return (mins.select("_id", F.posexplode(keys).alias("band", "key"))
             .select(F.col("_id").alias(id_col), "band", "key"))
 
 
@@ -349,19 +362,25 @@ def neardup_mark_ordered(df: DataFrame, id_col: str = "doc_id",
     Shuffles: one groupBy per band bucket (min id), one join back on the
     bucket, one per-doc agg — all keyed on the band key or the id; no
     pair materialization at all (the bucket MIN is the only witness
-    needed, so candidate volume never appears).
+    needed, so candidate volume never appears). The band table is
+    persisted (r12 opt): two consumers (bucket-min groupBy + join back)
+    otherwise re-run the whole shingle/md5 signature pipeline — the
+    dominant cost — twice per query. MEMORY_AND_DISK (4 small rows per
+    doc), released via ``operators.cache``.
     """
-    bt = minhash_band_table(df, id_col, text_col, k, num_perm, bands, seed)
+    bt = minhash_band_table(df, id_col, text_col, k, num_perm, bands,
+                            seed).persist()
     mins = bt.groupBy("band", "key").agg(F.min(id_col).alias("_m"))
     flags = (bt.join(mins, ["band", "key"])
              .groupBy(id_col)
              .agg(F.min(F.when(F.col("_m") < F.col(id_col), F.col("_m")))
                   .alias("dup_of")))
-    return (df.select(id_col).distinct()
-            .join(flags, id_col, "left")
-            .select(id_col,
-                    F.col("dup_of").isNotNull().alias("is_near_dup"),
-                    "dup_of"))
+    return _track_cached(
+        df.select(id_col).distinct()
+        .join(flags, id_col, "left")
+        .select(id_col,
+                F.col("dup_of").isNotNull().alias("is_near_dup"),
+                "dup_of"), [bt])
 
 
 # ---------------------------------------------------------------------------

@@ -1794,8 +1794,9 @@ def _wave7(spark, sf_dir):
     return probs
 
 
-@check("wave8: neardup banding map-only to the explode; ordered marker "
-       "bucket-min aggregate, no cartesian, no Python")
+@check("wave8: neardup banding codegen hash projection + partial-agg "
+       "doc-min (r12 opt); ordered marker bucket-min aggregate, no "
+       "cartesian, no Python")
 def _wave8(spark, sf_dir):
     from bid_evaluation_spark.operators.dedup import (minhash_band_table,
                                                       neardup_mark_ordered)
@@ -1805,11 +1806,15 @@ def _wave8(spark, sf_dir):
     probs = []
     docs = load_table(spark, sf_dir, "documents")
     bp = plan_of(minhash_band_table(docs))
-    # banding must be a pure projection chain: scan -> filter -> explode,
-    # with the signature array materialized in its own Project (the
-    # lambda-capture rule) — no shuffle, no Python anywhere
-    if "Exchange" in bp:
-        probs.append("band table shuffles (should be map-only)")
+    # r12 opt: the per-shingle md5s are plain projection columns over an
+    # EXPLODED shingle stream (codegen) folded by a partially-aggregated
+    # groupBy(id).min — NOT interpreted transform/aggregate lambdas. The
+    # only HOFs left are word_shingles' zip_with slices.
+    if "aggregate(" in bp or "zip_with(least" in bp:
+        probs.append("band table still folds hashes in interpreted HOFs")
+    if "partial_min" not in bp.replace("partial min", "partial_min") \
+            and "HashAggregate" not in bp:
+        probs.append("band table lost the partial doc-min aggregate")
     if "BatchEvalPython" in bp or "ArrowEvalPython" in bp:
         probs.append("band table drops into Python")
     if "Generate explode" not in bp and "Generate posexplode" not in bp:
