@@ -59,3 +59,19 @@ def release_all() -> None:
     for dep in _ALL_CACHED:
         dep.unpersist()
     del _ALL_CACHED[:]
+
+
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Repartition ``df`` to the session's default parallelism when its
+    scan has fewer partitions (guide §2.5).
+
+    A single small parquet file scans as ONE input split, which
+    serializes any heavy per-row work (Arrow kernels, wide hash
+    projections) running directly over the scan. At scale the scan
+    already has more partitions than cores and this is a no-op. Call it
+    on the NARROW projection an operator actually feeds its kernel —
+    never on a wide frame."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -33,7 +33,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .cache import release, release_all, track_cached as _track_cached  # noqa: F401 — re-exported; registry shared across operator modules
+from .cache import (release, release_all, spread_scan as _spread_scan,  # noqa: F401 — re-exported; registry shared across operator modules
+                    track_cached as _track_cached)
 from .text import fingerprint, hashed_word_shingles, word_shingles
 
 # fixed, public-knowledge mixing constants for the permutation family
@@ -97,6 +98,10 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text",
     [0, 2^31) so a_i*x + b_i stays in int64.
     """
     params = _perm_params(num_perm, seed)
+    # guide §2.5: a single small parquet file scans as ONE partition,
+    # serializing the shingle projection AND the signature kernel below
+    # (r12 opt; no-op at scale or on already-parallel inputs)
+    df = _spread_scan(df)
     df = df.withColumn(
         "_shingles",
         hashed_word_shingles(F.col(text_col), shingle_k, modulus=_MERSENNE_PRIME),
@@ -326,14 +331,9 @@ def minhash_band_table(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"bands must divide num_perm, got {num_perm}/{bands}")
     rows = num_perm // bands
     sh = word_shingles(F.col(text_col), k)
-    src = df.select(F.col(id_col).alias("_id"), F.col(text_col))
-    # guide §2.5: a single small parquet file scans as ONE partition,
-    # which would serialize the whole hash projection. Spread the
-    # narrow (id, text) rows first; at scale the scan already has more
-    # partitions than cores and this is a no-op.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    # guide §2.5: spread a single-split scan so the hash projection
+    # parallelizes (no-op at scale)
+    src = _spread_scan(df.select(F.col(id_col).alias("_id"), F.col(text_col)))
     exploded = src.select("_id", F.explode(sh).alias("_s"))
     hashed = exploded.select("_id", *[
         _md5_u60(F.concat(F.lit(f"{seed}:{i}:"), F.col("_s"))).alias(f"_h{i}")
