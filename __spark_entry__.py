@@ -7261,6 +7261,7 @@ def _q_pipe_curation_funnel_documents(spark, sf_dir):
     (trained on their even-id half). Each stage is an individually
     oracled operator; this query certifies the COMPOSITION end-to-end —
     the example_llm_curation.py pipeline under the correctness gate."""
+    from bid_evaluation_spark.operators.cache import track_cached
     from bid_evaluation_spark.operators.lm import perplexity, train_bigram_lm
     from bid_evaluation_spark.operators.spans import duplicated_span_stats
     from bid_evaluation_spark.operators.web import url_dedup
@@ -7274,17 +7275,21 @@ def _q_pipe_curation_funnel_documents(spark, sf_dir):
     kept_urls = url_dedup(docs).select("doc_id", "text")
 
     stats = duplicated_span_stats(kept_urls, span=10, stride=5)
+    # r12 opt: survivors feeds FOUR consumers (LM unigram + bigram
+    # training, perplexity scoring, the final projection) — unpersisted,
+    # the url-dedup + span-stats subtree re-ran once per consumer
     survivors = (kept_urls.join(
         stats.filter(F.col("dup_ratio") <= 0.6)
-        .select("doc_id", "dup_ratio"), "doc_id"))
+        .select("doc_id", "dup_ratio"), "doc_id")).persist()
 
     uni, big = train_bigram_lm(survivors.filter(d % 2 == 0))
     scored = perplexity(survivors, uni, big)
-    return (survivors.select("doc_id", "dup_ratio")
-            .join(scored.select("doc_id", "ppl"), "doc_id")
-            .select("doc_id",
-                    (_r4("dup_ratio") + F.lit(0.0)).alias("dup_ratio"),
-                    (_r4("ppl") + F.lit(0.0)).alias("ppl")))
+    return track_cached(
+        survivors.select("doc_id", "dup_ratio")
+        .join(scored.select("doc_id", "ppl"), "doc_id")
+        .select("doc_id",
+                (_r4("dup_ratio") + F.lit(0.0)).alias("dup_ratio"),
+                (_r4("ppl") + F.lit(0.0)).alias("ppl")), [survivors])
 
 
 _SQL_PIPE_CURATION_FUNNEL_DOCUMENTS = """

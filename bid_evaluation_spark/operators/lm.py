@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .cache import track_cached as _track_cached
 from .text import tokens
 
 
@@ -75,8 +76,13 @@ def perplexity(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
 
     Scale: one explode (map), two hashed equi-joins against the count
     tables (AQE broadcasts small models), one ``groupBy(id)``. ``V`` is
-    the single driver-side aggregate scalar.
+    the single driver-side aggregate scalar. ``unigrams`` is persisted
+    here (r12 opt): the vocab-size count below otherwise executes the
+    ENTIRE training subtree once at query-construction time and the
+    scoring join executes it AGAIN inside the action — model-sized
+    cache, released via ``operators.cache``.
     """
+    unigrams = unigrams.persist()
     vocab_size = unigrams.count()
     k = float(add_k)
 
@@ -110,4 +116,4 @@ def perplexity(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
                F.col("avg_logprob"),
                F.exp(-F.col("avg_logprob")).alias("ppl")))
-    return out
+    return _track_cached(out, [unigrams])
