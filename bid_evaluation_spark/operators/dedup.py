@@ -389,7 +389,8 @@ def neardup_mark_ordered(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", k: int = 3,
-                  a_col: str = "a_id", b_col: str = "b_id") -> DataFrame:
+                  a_col: str = "a_id", b_col: str = "b_id",
+                  engine: str = "auto") -> DataFrame:
     """Exact word k-gram Jaccard for explicit candidate pairs.
 
     ``pairs`` holds (a_id, b_id); document shingle sets are joined in and
@@ -419,6 +420,8 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     """
     import os
 
+    if engine not in ("auto", "join"):
+        raise ValueError(f"engine must be 'auto' or 'join', got {engine!r}")
     pairs = pairs.persist()
     cap = int(os.environ.get("SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX",
                              "100"))
@@ -440,6 +443,26 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("_sid"),
         word_shingles(F.col(text_col), k).alias("_sh"),
     )
+    if len(head) > cap and engine != "join":
+        # r12 opt (guide §4.2): a LARGE candidate set pays one
+        # array_intersect + array_union per pair through two hash
+        # joins — O(pairs × shingles) interpreted set math. When the
+        # pair-participating docs' shingle sets fit a task closure
+        # (≤ SPARK_GRAFT_JACCARD_DOCS_LOCAL_MAX docs, default 8192, and
+        # ≤ ~64 MB of shingle chars), collect them ONCE and score the
+        # (still distributed) pair stream in an Arrow kernel with
+        # C-speed set intersection — |A∩B| and |A|+|B|−|A∩B| are the
+        # same exact integers, and Python's int/int division is the
+        # identical IEEE double as try_divide's cast. Inner-join
+        # semantics replicated: null or unknown ids drop the pair;
+        # duplicate doc ids fall back (join multiplicity is the join's).
+        dcap = int(os.environ.get("SPARK_GRAFT_JACCARD_DOCS_LOCAL_MAX",
+                                  "8192"))
+        hd = sh.limit(dcap + 1).toPandas()
+        if len(hd) <= dcap:
+            out = _ngram_jaccard_local(pairs, hd, a_col, b_col)
+            if out is not None:
+                return _track_cached(out, [pairs])
     out = (
         pairs.join(sh.alias("sa"), F.col(a_col) == F.col("sa._sid"))
         .join(sh.alias("sb"), F.col(b_col) == F.col("sb._sid"))
@@ -453,6 +476,70 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
         )
     )
     return _track_cached(out, [pairs])
+
+
+def _ngram_jaccard_local(pairs: DataFrame, sh_pdf, a_col: str, b_col: str):
+    """Score candidate pairs against collected shingle sets in one Arrow
+    pass over the pair stream. Returns ``None`` when the collected docs
+    side has duplicate ids or exceeds the closure byte guard (caller
+    falls back to the verify joins)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    a_type = pairs.schema[a_col].dataType
+    b_type = pairs.schema[b_col].dataType
+    from pyspark.sql import types as _T
+
+    def _norm_fn(t):
+        if isinstance(t, (_T.LongType, _T.IntegerType, _T.ShortType,
+                          _T.ByteType)):
+            return int
+        if isinstance(t, (_T.DoubleType, _T.FloatType)):
+            return float
+        return lambda x: x
+
+    if type(a_type) is not type(b_type):
+        return None  # mixed pair id types: leave coercion to the join
+    na, nb = _norm_fn(a_type), _norm_fn(b_type)
+    sets: dict = {}
+    nbytes = 0
+    for sid, arr in zip(sh_pdf["_sid"], sh_pdf["_sh"]):
+        if sid is None or (isinstance(sid, float) and np.isnan(sid)):
+            # null doc ids never match the inner equi-join
+            continue
+        sid = na(sid)
+        if sid in sets:
+            return None
+        vals = list(arr) if arr is not None else []
+        nbytes += sum(len(s) for s in vals) + 64 * max(1, len(vals))
+        sets[sid] = frozenset(vals)
+    if nbytes > 64_000_000:
+        return None
+    schema = StructType([StructField(a_col, a_type),
+                         StructField(b_col, b_type),
+                         StructField("jaccard", DoubleType())])
+
+    def kernel(batches):
+        for pdf in batches:
+            o_a, o_b, o_j = [], [], []
+            for a, b in zip(pdf[a_col], pdf[b_col]):
+                if a is None or b is None \
+                        or (isinstance(a, float) and np.isnan(a)) \
+                        or (isinstance(b, float) and np.isnan(b)):
+                    continue
+                a, b = na(a), nb(b)
+                sa = sets.get(a)
+                sb = sets.get(b)
+                if sa is None or sb is None:
+                    continue
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                o_a.append(a)
+                o_b.append(b)
+                o_j.append(inter / union if union else np.nan)
+            yield pd.DataFrame({a_col: o_a, b_col: o_b,
+                                "jaccard": o_j})
+
+    return pairs.select(a_col, b_col).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -494,7 +581,8 @@ def simhash(text_col: str = "text") -> Column:
 def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text",
                             max_hamming: int = 3,
-                            num_chunks: int = 4) -> DataFrame:
+                            num_chunks: int = 4,
+                            engine: str = "auto") -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Blocking: split the 64-bit signature into ``num_chunks`` equal chunks —
@@ -506,20 +594,54 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     More chunks ⇒ wider guaranteed radius but coarser chunk values (more
     candidate noise): num_chunks=4 gives 16-bit chunks/radius 3,
     num_chunks=8 gives 8-bit chunks/radius 7.
+
+    Engines (r12 opt, the triangles/set-similarity pattern): the
+    wide-radius configs (e.g. 16 chunks of FOUR bits) make the chunk
+    buckets enormous — at 4-bit chunk values the equi-join degenerates
+    toward all-pairs and shuffles millions of candidate rows to verify
+    a corpus whose signature table fits one task. ``auto`` collects the
+    (id, signature) table below ``SPARK_GRAFT_SIMHASH_LOCAL_MAX_DOCS``
+    rows (default 4 096 — 1 uint64 per doc, n² popcounts ≤ 16M) and
+    computes the IDENTICAL pair set in numpy: a pair is emitted iff it
+    agrees on ≥ 1 chunk AND ``popcount(a XOR b) ≤ max_hamming`` — the
+    exact join-route semantics, including the deliberate partial recall
+    when ``max_hamming > num_chunks − 1``. Pairs are emitted from
+    WORKERS (each task scores an id block against the broadcast
+    signature table). Duplicate or null ids fall back to the join
+    engine (the join's multiplicity semantics are its own); above the
+    cap the join runs unchanged; ``engine="join"`` forces it.
     """
     if 64 % num_chunks:
         raise ValueError(f"num_chunks must divide 64: {num_chunks}")
+    if engine not in ("auto", "kernel", "join"):
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'join', "
+                         f"got {engine!r}")
     from .text import tokens
+
+    sigs_expr = (
+        df.filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")))
+    if engine != "join":
+        import os
+        cap = int(os.environ.get("SPARK_GRAFT_SIMHASH_LOCAL_MAX_DOCS",
+                                 "4096"))
+        head = (sigs_expr.toPandas() if engine == "kernel"
+                else sigs_expr.limit(cap + 1).toPandas())
+        if engine == "kernel" or len(head) <= cap:
+            out = _simhash_pairs_local(df.sparkSession, head, max_hamming,
+                                       num_chunks,
+                                       df.schema[id_col].dataType)
+            if out is not None:
+                return out
+            if engine == "kernel":
+                raise ValueError("kernel engine requires unique, non-null "
+                                 "ids (duplicates found)")
 
     # cache signatures: the chunk self-join reads them twice, and signature
     # computation (64×tokens integer ops per doc) dominates the operator.
     # Token-less docs all hash to signature 0 — exclude them (they'd pair
     # quadratically with each other while carrying no similarity evidence).
-    sigs = (
-        df.filter(F.size(tokens(F.col(text_col))) > 0)
-        .select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh"))
-        .persist()
-    )
+    sigs = sigs_expr.persist()
     width = 64 // num_chunks
     mask = (1 << width) - 1
     chunks = sigs.select(
@@ -544,6 +666,87 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
     return _track_cached(result, [sigs])
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Per-element popcount of a uint64 array (numpy < 2 has no
+    ``bitwise_count``): byte view + 256-entry lookup table."""
+    b = x.view(np.uint8).reshape(len(x), 8)
+    return _POP8[b].sum(axis=1, dtype=np.int64)
+
+
+def _simhash_pairs_local(spark, sigs_pdf, max_hamming: int,
+                         num_chunks: int, id_type):
+    """Driver-coordinated dense twin of the simhash chunk join: every
+    pair agreeing on ≥ 1 chunk with ``popcount(a XOR b) ≤ max_hamming``
+    — BIT-identical to the equi-join + ``bit_count`` route, including
+    the deliberate partial recall above the pigeonhole radius. Returns
+    ``None`` on duplicate/null ids (the join's multiplicity semantics
+    are its own; caller falls back)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # null ids / null signatures never produce a pair in the join route
+    # (null < x and null XOR x are null) — drop them; duplicate ids keep
+    # the join's multiplicity semantics, so fall back
+    sigs_pdf = sigs_pdf[sigs_pdf["_id"].notna()
+                        & sigs_pdf["_sh"].notna()].reset_index(drop=True)
+    ids_ser = sigs_pdf["_id"]
+    if ids_ser.duplicated().any():
+        return None
+    schema = StructType([StructField("a_id", id_type),
+                         StructField("b_id", id_type),
+                         StructField("hamming", IntegerType())])
+    n = len(sigs_pdf)
+    if n < 2:
+        return spark.createDataFrame([], schema)
+    if sigs_pdf["_sh"].dtype.kind != "i":
+        # a null signature anywhere degrades the pandas column to
+        # float64, which cannot hold 64-bit signatures exactly — the
+        # join engine keeps full precision, so fall back
+        return None
+    sig = sigs_pdf["_sh"].to_numpy(dtype=np.int64).view(np.uint64)
+    # a nullable numeric id column comes back from pandas as float64
+    # (NaN = null) — normalize survivors to the schema's Python type
+    from pyspark.sql import types as _T
+    if isinstance(id_type, (_T.LongType, _T.IntegerType, _T.ShortType,
+                            _T.ByteType)):
+        id_list = [int(x) for x in ids_ser]
+    elif isinstance(id_type, (_T.DoubleType, _T.FloatType)):
+        id_list = [float(x) for x in ids_ser]
+    else:
+        id_list = ids_ser.tolist()
+    width = 64 // num_chunks
+    mask = np.uint64((1 << width) - 1)
+    # (num_chunks × n) chunk-value matrix — the blocking predicate
+    C = np.stack([(sig >> np.uint64(width * i)) & mask
+                  for i in range(num_chunks)])
+    ids_df = spark.createDataFrame(
+        [(k,) for k in id_list], StructType([StructField("_id", id_type)]))
+    row_of = {k: i for i, k in enumerate(id_list)}
+    n_slots = max(1, min(int(spark.sparkContext.defaultParallelism), n))
+    hmax = int(max_hamming)
+
+    def kernel(batches):
+        for pdf in batches:
+            o_a, o_b, o_h = [], [], []
+            for rid in pdf["_id"]:
+                i = row_of[rid]
+                share = (C == C[:, i:i + 1]).any(axis=0)
+                ham = _popcount64(sig[i] ^ sig)
+                hits = np.nonzero(share & (ham <= hmax))[0]
+                me = id_list[i]
+                for j in hits.tolist():
+                    if me < id_list[j]:
+                        o_a.append(me)
+                        o_b.append(id_list[j])
+                        o_h.append(int(ham[j]))
+            yield pd.DataFrame({"a_id": o_a, "b_id": o_b, "hamming": o_h})
+
+    return ids_df.repartition(n_slots).mapInPandas(kernel, schema)
 
 
 # ---------------------------------------------------------------------------

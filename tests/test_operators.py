@@ -128,6 +128,54 @@ def test_ngram_jaccard_isin_route_matches_semijoin(docs, monkeypatch):
     assert D.ngram_jaccard(empty, docs, k=3).count() == 0
 
 
+def test_ngram_jaccard_kernel_matches_join_engine(spark):
+    """r12 opt: above the pair cap with a bounded docs side, the verify
+    runs as an Arrow set-intersection kernel over the pair stream — it
+    must equal the verify joins exactly: same doubles, null jaccard for
+    empty∪empty, null/unknown-id pairs dropped, duplicate (a,b) pair
+    rows preserved, duplicate DOC ids fall back to the joins."""
+    import os
+    import random
+
+    rnd = random.Random(1217)
+    words = [f"w{i}" for i in range(12)]
+    docs = spark.createDataFrame(
+        [(i, " ".join(rnd.choice(words) for _ in range(rnd.randint(0, 18))))
+         for i in range(40)] + [(98, ""), (99, "a b")],
+        "doc_id long, text string")
+    prs = [(a, b) for a in range(42) for b in range(42) if a < b]
+    prs += [(0, 1), (98, 99), (98, 98), (7, 777), (None, 3), (2, None)]
+    pairs = spark.createDataFrame(prs, "a_id long, b_id long")
+
+    def rows(engine):
+        return sorted(
+            (r["a_id"], r["b_id"],
+             None if r["jaccard"] is None else r["jaccard"])
+            for r in D.ngram_jaccard(pairs, docs, k=3,
+                                     engine=engine).collect())
+
+    got_kernel, got_join = rows("auto"), rows("join")
+    assert got_kernel == got_join and len(got_join) > 500
+    # the empty∪empty pair scores null either way
+    assert (98, 98, None) in got_kernel
+    # duplicate doc ids: auto must fall back to the join multiplicity
+    ddocs = docs.unionByName(docs.limit(2))
+    gk = sorted((r["a_id"], r["b_id"], r["jaccard"]) for r in
+                D.ngram_jaccard(pairs, ddocs, k=3, engine="auto").collect())
+    gj = sorted((r["a_id"], r["b_id"], r["jaccard"]) for r in
+                D.ngram_jaccard(pairs, ddocs, k=3, engine="join").collect())
+    assert gk == gj
+    # docs cap reroutes to the joins
+    os.environ["SPARK_GRAFT_JACCARD_DOCS_LOCAL_MAX"] = "2"
+    try:
+        assert rows("auto") == got_join
+    finally:
+        del os.environ["SPARK_GRAFT_JACCARD_DOCS_LOCAL_MAX"]
+    import pytest as _pt
+    with _pt.raises(ValueError, match="engine"):
+        D.ngram_jaccard(pairs, docs, engine="bogus")
+
+
 def test_simhash_identical_and_distance(docs):
     sigs = by_id(docs.select("doc_id", D.simhash().alias("sh")))
     assert sigs[1]["sh"] == sigs[4]["sh"]  # identical docs → identical simhash
@@ -877,6 +925,69 @@ def test_fingerprint_md5_matches_normalization(spark):
     assert r[1]["fp"] == r[2]["fp"]  # same normalized content
     assert r[1]["fp"] != r[3]["fp"]
     assert len(r[1]["fp"]) == 32  # md5 hex
+
+
+def test_simhash_kernel_matches_join_engine(spark):
+    """r12 opt: the dense local engine must equal the chunk equi-join
+    bit-for-bit — same pairs, same hamming — on a messy corpus (near
+    dups, exact dups, wide and narrow radius, partial-recall config,
+    string ids, null text/ids), and duplicate ids must fall back."""
+    import random
+
+    rnd = random.Random(1216)
+    words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(60):
+        base = [rnd.choice(words) for _ in range(20)]
+        rows.append((i, " ".join(base)))
+        if i % 3 == 0:  # near dup
+            mut = list(base)
+            mut[rnd.randrange(20)] = rnd.choice(words)
+            rows.append((1000 + i, " ".join(mut)))
+        if i % 7 == 0:  # exact dup
+            rows.append((2000 + i, " ".join(base)))
+    rows += [(3000, None), (None, "null id text"), (3001, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for mh, nc in ((3, 4), (15, 16), (8, 4)):  # incl. partial recall
+        join = {(r["a_id"], r["b_id"]): r["hamming"] for r in
+                D.simhash_near_duplicates(docs, max_hamming=mh,
+                                          num_chunks=nc,
+                                          engine="join").collect()}
+        ker = {(r["a_id"], r["b_id"]): r["hamming"] for r in
+               D.simhash_near_duplicates(docs, max_hamming=mh,
+                                         num_chunks=nc,
+                                         engine="kernel").collect()}
+        assert ker == join and len(join) > 0, (mh, nc)
+    # string ids
+    sdocs = docs.filter(F.col("doc_id").isNotNull()).select(
+        F.concat(F.lit("d"), F.col("doc_id")).alias("doc_id"), "text")
+    sj = {(r["a_id"], r["b_id"]) for r in D.simhash_near_duplicates(
+        sdocs, max_hamming=3, engine="join").collect()}
+    sk = {(r["a_id"], r["b_id"]) for r in D.simhash_near_duplicates(
+        sdocs, max_hamming=3, engine="kernel").collect()}
+    assert sk == sj
+    # duplicate ids: kernel refuses, auto falls back to the join route
+    dup = docs.unionByName(docs.limit(3))
+    with pytest.raises(ValueError, match="unique"):
+        D.simhash_near_duplicates(dup, engine="kernel").collect()
+    dj = {(r["a_id"], r["b_id"]) for r in D.simhash_near_duplicates(
+        dup, max_hamming=3, engine="join").collect()}
+    da = {(r["a_id"], r["b_id"]) for r in D.simhash_near_duplicates(
+        dup, max_hamming=3, engine="auto").collect()}
+    assert da == dj
+    # env cap reroutes auto to the join engine
+    import os
+    os.environ["SPARK_GRAFT_SIMHASH_LOCAL_MAX_DOCS"] = "2"
+    try:
+        dc = {(r["a_id"], r["b_id"]) for r in D.simhash_near_duplicates(
+            docs, max_hamming=3, engine="auto").collect()}
+    finally:
+        del os.environ["SPARK_GRAFT_SIMHASH_LOCAL_MAX_DOCS"]
+    base = {(r["a_id"], r["b_id"]) for r in D.simhash_near_duplicates(
+        docs, max_hamming=3, engine="join").collect()}
+    assert dc == base
+    with pytest.raises(ValueError, match="engine"):
+        D.simhash_near_duplicates(docs, engine="bogus")
 
 
 def test_simhash_chunk_param(docs):
