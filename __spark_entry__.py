@@ -16416,15 +16416,21 @@ def _q_mm_stream_census_documents(spark, sf_dir):
     from bid_evaluation_spark.streaming.census import (
         StreamingMediaCensus)
 
-    media = _media_census_fixture(spark, sf_dir)
-    with tempfile.TemporaryDirectory(dir="/tmp") as root:
-        c = StreamingMediaCensus(spark, os.path.join(root, "st"))
-        for b in range(3):
-            batch = media.filter(F.col("media_id") % 3 == b)
-            c.process_batch(batch, batch_id=b, query_token="q")
-            if b == 1:                    # crash-window replay
+    # r12 opt: the payload fixture feeds 4 process_batch calls, each of
+    # which evaluates its batch twice (census delta + row count) — 8
+    # regenerations of every encoded payload without the persist
+    media = _media_census_fixture(spark, sf_dir).persist()
+    try:
+        with tempfile.TemporaryDirectory(dir="/tmp") as root:
+            c = StreamingMediaCensus(spark, os.path.join(root, "st"))
+            for b in range(3):
+                batch = media.filter(F.col("media_id") % 3 == b)
                 c.process_batch(batch, batch_id=b, query_token="q")
-        out = c.counts().collect()
+                if b == 1:                    # crash-window replay
+                    c.process_batch(batch, batch_id=b, query_token="q")
+            out = c.counts().collect()
+    finally:
+        media.unpersist()
     return spark.createDataFrame(
         out, "media_type string, container string, n_files long")
 
