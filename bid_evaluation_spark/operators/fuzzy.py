@@ -51,14 +51,44 @@ def _grams(col: Column, q: int) -> Column:
 def fuzzy_join(left: DataFrame, right: DataFrame, text_col: str = "name",
                left_id: str = "id", right_id: str = "id",
                max_dist: int = 2, q: int = 2,
-               max_gram_df: Optional[int] = None) -> DataFrame:
+               max_gram_df: Optional[int] = None,
+               engine: str = "auto") -> DataFrame:
     """Pairs within Levenshtein distance ``max_dist`` →
     ``(left_id, right_id, dist)``. Exact (see module docstring) unless
-    ``max_gram_df`` prunes frequent grams. Null strings never match."""
+    ``max_gram_df`` prunes frequent grams. Null strings never match.
+
+    Engines (r12 opt, the set-similarity pattern): gram blocking
+    degenerates on LOW-gram-diversity keyspaces (e.g. 1,000 supplier
+    names share 109 distinct bigrams — the gram equi-join approaches
+    all-pairs through a shuffle). ``auto`` collects both sides below
+    ``SPARK_GRAFT_FUZZY_LOCAL_MAX_ROWS`` rows each (default 4,096, plus
+    a DP-cell work guard) and computes the IDENTICAL output — every row
+    pair within the length window scored by a batch-vectorized
+    Levenshtein DP, emitted from workers per left-row block. Output
+    equivalence is the module's own exactness lemma: the join route's
+    candidates ⊇ all true pairs and its verify is exact levenshtein, so
+    both engines emit exactly the row pairs with ``dist ≤ max_dist``
+    (duplicate ids included — the join re-expands candidate id pairs to
+    all row combos, which is what the row-level kernel enumerates).
+    ``max_gram_df`` (approximate blocking) always takes the join route,
+    as does ``engine="join"``."""
     if max_dist < 1:
         raise ValueError(f"max_dist must be >= 1, got {max_dist}")
     if q < 1:
         raise ValueError(f"q must be >= 1, got {q}")
+    if engine not in ("auto", "kernel", "join"):
+        raise ValueError(f"engine must be 'auto', 'kernel' or 'join', "
+                         f"got {engine!r}")
+    if engine == "kernel" and max_gram_df is not None:
+        raise ValueError("kernel engine is exact; max_gram_df requires "
+                         "the join engine")
+    if engine != "join" and max_gram_df is None:
+        out = _fuzzy_join_local(left, right, text_col, left_id, right_id,
+                                max_dist, force=(engine == "kernel"))
+        if out is not None:
+            return out
+        if engine == "kernel":
+            raise ValueError("kernel engine exceeded its row/work caps")
     short_len = q * (max_dist + 1)
 
     def prep(df, id_col, side):
@@ -236,3 +266,129 @@ def fellegi_sunter_em(pairs: DataFrame, agreements: dict,
         [(f, m[f], u[f], p, n, rounds) for f in fields],
         "field string, m double, u double, p double, "
         "n_pairs long, rounds long")
+
+
+def _fuzzy_join_local(left: DataFrame, right: DataFrame, text_col: str,
+                      left_id: str, right_id: str, max_dist: int,
+                      force: bool = False):
+    """Dense row-level twin of the blocking join: collect both sides,
+    score every row pair within the length window with a
+    batch-vectorized Levenshtein DP, emit from workers per left block.
+    Returns ``None`` above the row caps / DP-cell work guard (caller
+    falls back to the gram/length blocking join)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    cap = int(os.environ.get("SPARK_GRAFT_FUZZY_LOCAL_MAX_ROWS", "4096"))
+
+    def _collect(df, id_col, side):
+        sel = df.select(F.col(id_col).alias("_id"),
+                        F.col(text_col).alias("_s"))
+        sel = sel.filter(F.col("_s").isNotNull())
+        return sel.toPandas() if force else sel.limit(cap + 1).toPandas()
+
+    lp = _collect(left, left_id, "l")
+    if not force and len(lp) > cap:
+        return None
+    rp = _collect(right, right_id, "r")
+    if not force and len(rp) > cap:
+        return None
+
+    def _norm_fn(t):
+        if isinstance(t, (_T.LongType, _T.IntegerType, _T.ShortType,
+                          _T.ByteType)):
+            return int
+        if isinstance(t, (_T.DoubleType, _T.FloatType)):
+            return float
+        return lambda x: x
+
+    l_type = left.schema[left_id].dataType
+    r_type = right.schema[right_id].dataType
+    schema = StructType([StructField("l_id", l_type),
+                         StructField("r_id", r_type),
+                         StructField("dist", LongType())])
+    spark = left.sparkSession
+    if len(lp) == 0 or len(rp) == 0:
+        return spark.createDataFrame([], schema)
+
+    def _pack(pdf, norm, pad):
+        ids, lens, strs = [], [], []
+        for rid, s in zip(pdf["_id"], pdf["_s"]):
+            if rid is None or (isinstance(rid, float) and np.isnan(rid)):
+                # null ids never survive the join route's id join-back
+                continue
+            ids.append(norm(rid))
+            strs.append(s)
+            lens.append(len(s))
+        n = len(ids)
+        if n == 0:
+            return ids, None, None, None
+        maxl = max(lens) if lens else 0
+        M = np.full((n, max(maxl, 1)), pad, dtype=np.int32)
+        for i, s in enumerate(strs):
+            if s:
+                M[i, :len(s)] = [ord(c) for c in s]
+        return ids, M, np.asarray(lens, dtype=np.int32), maxl
+
+    l_ids, Lm, Ll, _ = _pack(lp, _norm_fn(l_type), -1)
+    r_ids, Rm, Rl, rmax = _pack(rp, _norm_fn(r_type), -2)
+    if not l_ids or not r_ids:
+        return spark.createDataFrame([], schema)
+    # work guard: total DP cells across the length-window pair set —
+    # above it the distributed (spillable) blocking join is the answer
+    win = (np.abs(Ll[:, None].astype(np.int64) - Rl[None, :]) <= max_dist)
+    cells = int((win * (Ll[:, None].astype(np.int64) * Rl[None, :])).sum())
+    if not force and cells > int(os.environ.get(
+            "SPARK_GRAFT_FUZZY_LOCAL_MAX_CELLS", "2000000000")):
+        return None
+    del win
+
+    d = int(max_dist)
+    nL = len(l_ids)
+    idx_df = spark.range(nL).select(F.col("id").cast("int").alias("_li"))
+    n_slots = max(1, min(int(spark.sparkContext.defaultParallelism), nL))
+
+    def kernel(batches):
+        jcols = np.arange(rmax + 1, dtype=np.int32)[None, :]
+        for pdf in batches:
+            o_l, o_r, o_d = [], [], []
+            for li in pdf["_li"]:
+                li = int(li)
+                mask = np.abs(Rl - Ll[li]) <= d
+                js = np.nonzero(mask)[0]
+                if len(js) == 0:
+                    continue
+                la = int(Ll[li])
+                B, lb = Rm[js], Rl[js]
+                P = len(js)
+                prev = np.tile(np.arange(rmax + 1, dtype=np.int32), (P, 1))
+                out = np.empty(P, dtype=np.int32)
+                if la == 0:
+                    out[:] = lb
+                else:
+                    a = Lm[li]
+                    done0 = lb == 0
+                    for i in range(1, la + 1):
+                        sub = prev[:, :-1] + (a[i - 1] != B).astype(np.int32)
+                        M = np.empty_like(prev)
+                        M[:, 0] = i
+                        np.minimum(prev[:, 1:] + 1, sub, out=M[:, 1:])
+                        cur = (np.minimum.accumulate(M - jcols, axis=1)
+                               + jcols)
+                        prev = cur
+                    out = prev[np.arange(P), lb]
+                    if done0.any():
+                        out[done0] = la
+                hits = np.nonzero(out <= d)[0]
+                me = l_ids[li]
+                for j in hits.tolist():
+                    o_l.append(me)
+                    o_r.append(r_ids[js[j]])
+                    o_d.append(int(out[j]))
+            yield pd.DataFrame({"l_id": o_l, "r_id": o_r, "dist": o_d})
+
+    return idx_df.repartition(n_slots).mapInPandas(kernel, schema)

@@ -68,6 +68,59 @@ def test_max_gram_df_is_an_explicit_approximation(spark):
     assert pruned <= exact
 
 
+def test_kernel_matches_join_engine(spark):
+    """r12 opt: the dense batch-DP engine must equal the blocking join
+    exactly — same row pairs, same dist — on a messy corpus (mixed
+    lengths across the short/long boundary, empty strings, nulls,
+    duplicate ids with different strings, string ids, cross-table), and
+    the caps must reroute auto to the join."""
+    import os
+
+    import numpy as np
+
+    rng = np.random.default_rng(1218)
+    alph = list("abcde")
+    rows = [(i, "".join(rng.choice(alph, size=rng.integers(0, 12))))
+            for i in range(50)]
+    rows += [(7, "dupid-different"), (None, "nullid"), (60, None)]
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    def got(engine, frame=df, right=None, d=2):
+        return sorted(
+            (r["l_id"], r["r_id"], r["dist"])
+            for r in fuzzy_join(frame, right if right is not None
+                                else frame, "name", "id", "id",
+                                max_dist=d, engine=engine).collect())
+
+    assert got("kernel") == got("join") and len(got("join")) > 50
+    # cross-table, different id domains
+    b = spark.createDataFrame(
+        [(f"r{i}", s) for i, s in enumerate(
+            ["abc", "abd", "", "zzzzzzzzzz"])], "id string, name string")
+    ka = sorted((r["l_id"], r["r_id"], r["dist"]) for r in fuzzy_join(
+        df, b, "name", "id", "id", max_dist=2, engine="kernel").collect())
+    kj = sorted((r["l_id"], r["r_id"], r["dist"]) for r in fuzzy_join(
+        df, b, "name", "id", "id", max_dist=2, engine="join").collect())
+    assert ka == kj
+    # row cap reroutes auto to the join engine (identical rows)
+    os.environ["SPARK_GRAFT_FUZZY_LOCAL_MAX_ROWS"] = "3"
+    try:
+        assert got("auto") == got("join")
+    finally:
+        del os.environ["SPARK_GRAFT_FUZZY_LOCAL_MAX_ROWS"]
+    # cell guard reroutes too
+    os.environ["SPARK_GRAFT_FUZZY_LOCAL_MAX_CELLS"] = "1"
+    try:
+        assert got("auto") == got("join")
+    finally:
+        del os.environ["SPARK_GRAFT_FUZZY_LOCAL_MAX_CELLS"]
+    with pytest.raises(ValueError, match="engine"):
+        fuzzy_join(df, df, "name", "id", "id", engine="bogus")
+    with pytest.raises(ValueError, match="max_gram_df"):
+        fuzzy_join(df, df, "name", "id", "id", max_gram_df=3,
+                   engine="kernel")
+
+
 def test_validation(spark):
     df = spark.createDataFrame([(0, "x")], "id long, name string")
     with pytest.raises(ValueError, match="max_dist"):
