@@ -211,12 +211,19 @@ def sessionize_capped(events: DataFrame, key_col: str = "user_id",
     the cap makes assignment inherently sequential: whether an event
     opens a session depends on where the previous session STARTED, which
     itself depends on every assignment before it. No fixed-depth window
-    expresses that, so this runs as one Arrow kernel per key
-    (``applyInPandas``) over (key, epoch, tiebreak) triples only — the
-    same per-key-history contract as ordered feature generation; a key's
-    events serialize within its partition. Returns
+    expresses that. Like the r12 timeseries kernels (ewma/cusum/holt),
+    it runs as ONE ``mapInPandas`` kernel per partition,
+    hash-partitioned by key and sorted by (key, ts, tiebreak), the
+    recurrence advancing STEP-VECTORIZED with the identical comparison
+    sequence per key (``t − prev > gap``, ``t − start > cap``) — a
+    per-KEY ``applyInPandas`` paid one Python call + one pandas frame
+    per key, which WAS the whole cost on many-key corpora. Returns
     ``(key_col, tiebreak_col, session_id)`` with 1-based per-key ids.
     """
+    import numpy as np
+
+    from ..operators.timeseries import _collect_sorted_partition, _key_runs
+
     prepared = events.select(
         F.col(key_col).alias("_k"),
         F.col(ts_col).cast("double").alias("_ts"),
@@ -225,27 +232,33 @@ def sessionize_capped(events: DataFrame, key_col: str = "user_id",
 
     gap, cap = float(gap_seconds), float(max_session_seconds)
 
-    def assign(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["_ts", "_tb"])
-        out = []
-        sess = 0
-        prev_ts = None
-        start_ts = None
-        for t in pdf["_ts"].to_numpy():
-            if (prev_ts is None or t - prev_ts > gap
-                    or t - start_ts > cap):
-                sess += 1
-                start_ts = t
-            out.append(sess)
-            prev_ts = t
-        pdf = pdf.copy()
-        pdf["session_id"] = out
-        return pdf
+    def assign(batches):
+        pdf = _collect_sorted_partition(batches)
+        if pdf is None:
+            return
+        ts = pdf["_ts"].to_numpy(dtype=np.float64)
+        starts, lengths = _key_runs(pdf["_k"].to_numpy())
+        n = len(pdf)
+        sess = np.empty(n, dtype=np.int64)
+        st = np.empty(n, dtype=np.float64)
+        sess[starts] = 1
+        st[starts] = ts[starts]
+        for step in range(1, int(lengths.max())):
+            act = starts[lengths > step] + step
+            prev = act - 1
+            new = ((ts[act] - ts[prev] > gap)
+                   | (ts[act] - st[prev] > cap))
+            sess[act] = sess[prev] + new
+            st[act] = np.where(new, ts[act], st[prev])
+        pdf["session_id"] = sess
+        yield pdf
 
     tb_type = dict(prepared.dtypes)["_tb"]
-    res = prepared.groupBy("_k").applyInPandas(
-        assign, f"_k {dict(prepared.dtypes)['_k']}, _ts double, "
-                f"_tb {tb_type}, session_id long")
+    res = (prepared.repartition("_k")
+           .sortWithinPartitions("_k", "_ts", "_tb")
+           .mapInPandas(assign,
+                        f"_k {dict(prepared.dtypes)['_k']}, _ts double, "
+                        f"_tb {tb_type}, session_id long"))
     return res.select(F.col("_k").alias(key_col),
                       F.col("_tb").alias(tiebreak_col), "session_id")
 

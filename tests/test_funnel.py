@@ -176,6 +176,43 @@ def test_sessionize_capped(spark):
     assert all(s == 1 for (u, e), s in got_inf.items() if u == 1)
 
 
+def test_sessionize_capped_step_kernel_matches_sequential(spark):
+    """r12 opt: sessionize_capped moved from per-key applyInPandas to
+    the step-vectorized partition kernel — session ids must match the
+    sequential per-key fold on a messy corpus (many keys, varying
+    lengths, null keys as one SQL group, ts ties, shuffled input)."""
+    import random
+
+    from bid_evaluation_spark.streaming.events import sessionize_capped
+
+    rnd = random.Random(1219)
+    rows = []
+    for k in list(range(29)) + [None]:
+        t = 0.0
+        for _ in range(rnd.randint(1, 25)):
+            t += rnd.choice([5.0, 5.0, 40.0, 400.0])
+            rows.append((k, len(rows), t))
+    rnd.shuffle(rows)
+    df = spark.createDataFrame(rows, "user_id int, event_id long, ts double")
+
+    series = {}
+    for k, e, t in sorted(rows, key=lambda r: (r[2], r[1])):
+        series.setdefault(k, []).append((e, t))
+
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize_capped(df, gap_seconds=30,
+                                      max_session_seconds=100).collect()}
+    assert len(got) == len(rows)
+    for evs in series.values():
+        sess, prev, start = 0, None, None
+        for e, t in evs:
+            if prev is None or t - prev > 30 or t - start > 100:
+                sess += 1
+                start = t
+            assert got[e] == sess, e
+            prev = t
+
+
 def test_streaming_sessionize_capped_matches_batch(spark, tmp_path):
     """The streaming twin must assign the same session ids as the batch
     operator when batches arrive in order — state carries the recurrence
