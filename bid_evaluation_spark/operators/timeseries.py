@@ -97,7 +97,10 @@ def gapfill(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
     """
     if fill not in _FILLS:
         raise ValueError(f"fill must be one of {_FILLS}, got {fill}")
-    g = bucket_aggregate(df, ts_col, key_col, value_col, width, agg)
+    # persisted (r12 opt): the per-key bounds aggregate AND the grid
+    # join both read the bucket aggregate — without the cache the raw
+    # scan + bucket groupBy ran twice per query
+    g = bucket_aggregate(df, ts_col, key_col, value_col, width, agg).persist()
 
     bounds = g.groupBy(key_col).agg(F.min("bucket").alias("_mn"),
                                     F.max("bucket").alias("_mx"))
@@ -150,8 +153,9 @@ def gapfill(df: DataFrame, ts_col: str = "ts", key_col: str = "user_id",
                 nxt["v"],    # leading gaps: carry backward
             )
 
-    return j.select(key_col, "bucket", filled.alias("value"),
-                    gap.alias("is_gap"))
+    return track_cached(
+        j.select(key_col, "bucket", filled.alias("value"),
+                 gap.alias("is_gap")), [g])
 
 
 def retention_cohorts(df: DataFrame, ts_col: str = "ts",
@@ -217,12 +221,19 @@ def concurrency_timeline(df: DataFrame, start_col: str, end_col: str,
     s = F.col(start_col).cast("double")
     e = F.col(end_col).cast("double")
     base = df.filter(s.isNotNull() & e.isNotNull() & (e >= s))
-    deltas = (base.select(s.alias("ts"), F.lit(1).alias("_d"))
-              .unionAll(base.select(e.alias("ts"), F.lit(-1).alias("_d"))))
+    # ONE pass over base (r12 opt): a start/end UNION evaluated the
+    # whole upstream subtree (e.g. the sessionize window) once per side
+    deltas = (base.select(F.explode(F.array(
+        F.struct(s.alias("ts"), F.lit(1).alias("_d")),
+        F.struct(e.alias("ts"), F.lit(-1).alias("_d")))).alias("_se"))
+        .select("_se.ts", "_se._d"))
+    # persisted (r12 opt): the quantile probe, the per-bucket offset
+    # collect and the returned lazy plan all derive from `net` — without
+    # the cache the upstream ran once per consumer
     net = (deltas.groupBy("ts")
            .agg(F.sum("_d").alias("net"),
                 F.sum(F.when(F.col("_d") < 0, 1).otherwise(0))
-                 .alias("_ends")))
+                 .alias("_ends"))).persist()
 
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(net.approxQuantile("ts", probs, 0.001))) if probs \
@@ -230,7 +241,7 @@ def concurrency_timeline(df: DataFrame, start_col: str, end_col: str,
     bexpr = F.lit(0)
     for b in bounds:
         bexpr = bexpr + F.when(F.col("ts") > F.lit(b), 1).otherwise(0)
-    keyed = net.withColumn("_b", bexpr).persist()
+    keyed = net.withColumn("_b", bexpr)
 
     bsum = {r["_b"]: r["_s"] for r in
             keyed.groupBy("_b").agg(F.sum("net").alias("_s")).collect()}
@@ -248,11 +259,11 @@ def concurrency_timeline(df: DataFrame, start_col: str, end_col: str,
     w = (Window.partitionBy("_b").orderBy("ts")
          .rowsBetween(Window.unboundedPreceding, 0))
     running = F.sum("net").over(w) + off_expr
-    # `keyed` also feeds the returned lazy plan — release via cache registry.
+    # `net` also feeds the returned lazy plan — release via cache registry.
     return track_cached(
         keyed.select("ts", F.col("net").cast("long").alias("net"),
                      (running + F.col("_ends")).cast("long")
-                     .alias("concurrency")), [keyed])
+                     .alias("concurrency")), [net])
 
 
 def merge_intervals(df: DataFrame, key_col: str, start_col: str,
