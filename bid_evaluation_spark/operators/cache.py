@@ -70,7 +70,10 @@ def spread_scan(df: DataFrame) -> DataFrame:
     projections) running directly over the scan. At scale the scan
     already has more partitions than cores and this is a no-op. Call it
     on the NARROW projection an operator actually feeds its kernel —
-    never on a wide frame."""
+    never on a wide frame. True streaming frames pass through unchanged
+    (no ``.rdd`` there; micro-batch parallelism is the source's job)."""
+    if df.isStreaming:
+        return df
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
