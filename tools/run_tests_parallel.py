@@ -40,6 +40,10 @@ def main() -> int:
             mode="w+", suffix=f"_shard{i}.log", delete=False)
         p = subprocess.Popen(
             [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+             # the FULL battery: override pyproject's `-m "not slow"`
+             # (plain serial pytest runs the fast subset; this runner is
+             # where the slow_manifest.txt tests stay exercised)
+             "-m", "slow or not slow",
              *members],
             stdout=log, stderr=subprocess.STDOUT)
         procs.append((i, p, log, members))
