@@ -37,6 +37,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .cache import track_cached
 
+from bid_evaluation_spark.dispatch import local_cap
+
 
 _PARETO_LOCAL_MAX_KEYS = 5_000_000
 
@@ -73,8 +75,7 @@ def pareto_frontier_2d(df: DataFrame, minimize_col: str, maximize_col: str,
                  .persist())
     if engine in ("auto", "kernel"):
         import os
-        cap = int(os.environ.get("SPARK_GRAFT_PARETO_LOCAL_MAX_KEYS",
-                                 str(_PARETO_LOCAL_MAX_KEYS)))
+        cap = local_cap("SPARK_GRAFT_PARETO_LOCAL_MAX_KEYS", _PARETO_LOCAL_MAX_KEYS)
         if engine == "kernel":
             cap = float("inf")
         if keyed_raw.count() <= cap:

@@ -31,6 +31,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 #: end-of-word sentinel appended as its own symbol before merging begins —
 #: merged tokens carrying it mark word-final subwords (the Sennrich scheme)
 EOW = "</w>"
@@ -110,8 +112,7 @@ def bpe_train(df: DataFrame, text_col: str = "text", n_merges: int = 50,
     words = word_freq if word_freq is not None else word_frequencies(
         df, text_col, lowercase)
     import os
-    cap = int(os.environ.get("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS",
-                             str(_BPE_LOCAL_MAX_WORDS)))
+    cap = local_cap("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS", _BPE_LOCAL_MAX_WORDS)
     probe = words.limit(cap + 1).collect()
     if len(probe) <= cap:
         return _bpe_train_local(probe, int(n_merges), int(min_count))

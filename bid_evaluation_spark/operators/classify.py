@@ -40,6 +40,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import tokens
 
+from bid_evaluation_spark.dispatch import local_cap
+
 __all__ = ["NBModel", "nb_train", "nb_predict", "nb_classify",
            "LogRegModel", "logreg_train", "logreg_predict"]
 
@@ -175,9 +177,8 @@ def nb_predict(df: DataFrame, model: NBModel, text_col: str = "text",
     use_kernel = False
     if engine in ("auto", "kernel"):
         import os
-        cap = float("inf") if engine == "kernel" else int(
-            os.environ.get("SPARK_GRAFT_NB_LOCAL_MAX_VOCAB",
-                           str(_NB_LOCAL_MAX_VOCAB)))
+        cap = float("inf") if engine == "kernel" else local_cap(
+            "SPARK_GRAFT_NB_LOCAL_MAX_VOCAB", _NB_LOCAL_MAX_VOCAB)
         n_vocab = model.vocab if model.vocab is not None \
             else model.table.count()
         use_kernel = n_vocab <= cap

@@ -37,6 +37,8 @@ from .cache import (release, release_all, spread_scan as _spread_scan,  # noqa: 
                     track_cached as _track_cached)
 from .text import fingerprint, hashed_word_shingles, word_shingles
 
+from bid_evaluation_spark.dispatch import local_cap
+
 # fixed, public-knowledge mixing constants for the permutation family
 _MERSENNE_PRIME = (1 << 31) - 1
 
@@ -423,8 +425,7 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
     if engine not in ("auto", "join"):
         raise ValueError(f"engine must be 'auto' or 'join', got {engine!r}")
     pairs = pairs.persist()
-    cap = int(os.environ.get("SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX",
-                             "100"))
+    cap = local_cap("SPARK_GRAFT_JACCARD_PAIRS_LOCAL_MAX", 100)
     head = pairs.select(a_col, b_col).limit(cap + 1).collect()
     if len(head) <= cap:
         id_set = sorted({r[0] for r in head if r[0] is not None}
@@ -456,8 +457,7 @@ def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
         # identical IEEE double as try_divide's cast. Inner-join
         # semantics replicated: null or unknown ids drop the pair;
         # duplicate doc ids fall back (join multiplicity is the join's).
-        dcap = int(os.environ.get("SPARK_GRAFT_JACCARD_DOCS_LOCAL_MAX",
-                                  "8192"))
+        dcap = local_cap("SPARK_GRAFT_JACCARD_DOCS_LOCAL_MAX", 8192)
         hd = sh.limit(dcap + 1).toPandas()
         if len(hd) <= dcap:
             out = _ngram_jaccard_local(pairs, hd, a_col, b_col)
@@ -623,8 +623,7 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .select(F.col(id_col).alias("_id"), simhash(text_col).alias("_sh")))
     if engine != "join":
         import os
-        cap = int(os.environ.get("SPARK_GRAFT_SIMHASH_LOCAL_MAX_DOCS",
-                                 "4096"))
+        cap = local_cap("SPARK_GRAFT_SIMHASH_LOCAL_MAX_DOCS", 4096)
         head = (sigs_expr.toPandas() if engine == "kernel"
                 else sigs_expr.limit(cap + 1).toPandas())
         if engine == "kernel" or len(head) <= cap:
@@ -1175,8 +1174,7 @@ def near_duplicate_clusters(pairs: DataFrame, a_col: str = "a_id",
         import os
         edges = pairs.select(a_col, b_col).persist()
         n_edges = edges.count()
-        local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX",
-                                       str(_CC_LOCAL_MAX_EDGES)))
+        local_max = local_cap("SPARK_GRAFT_CC_LOCAL_MAX", _CC_LOCAL_MAX_EDGES)
         out = near_duplicate_clusters(
             edges, a_col, b_col, max_iter,
             "local" if n_edges <= local_max else "label")
@@ -1349,8 +1347,7 @@ def jaccard_similarity_join(df: DataFrame, id_col: str = "doc_id",
                          f"got {engine!r}")
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     if engine != "join":
-        cap = int(os.environ.get("SPARK_GRAFT_JACCARD_LOCAL_MAX_DOCS",
-                                 "4096"))
+        cap = local_cap("SPARK_GRAFT_JACCARD_LOCAL_MAX_DOCS", 4096)
         sets_df = df.select(F.col(id_col).alias("_id"),
                             F.array_distinct(tokens(text)).alias("_ts"))
         head = (sets_df.toPandas() if engine == "kernel"
@@ -1639,8 +1636,7 @@ def containment_join(needles: DataFrame, haystack: DataFrame,
                          F.array_distinct(tokens(text)).alias("_ts"))
 
     if engine != "join":
-        cap = int(os.environ.get(
-            "SPARK_GRAFT_CONTAINMENT_LOCAL_MAX_NEEDLES", "5000"))
+        cap = local_cap("SPARK_GRAFT_CONTAINMENT_LOCAL_MAX_NEEDLES", 5000)
         ndl_all = tokset(needles, "_nid")
         head = (ndl_all.collect() if engine == "kernel"
                 else ndl_all.limit(cap + 1).collect())

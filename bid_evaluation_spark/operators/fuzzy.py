@@ -35,6 +35,8 @@ from typing import Optional
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 __all__ = ["fuzzy_join"]
 
 
@@ -283,7 +285,7 @@ def _fuzzy_join_local(left: DataFrame, right: DataFrame, text_col: str,
     from pyspark.sql import types as _T
     from pyspark.sql.types import LongType, StructField, StructType
 
-    cap = int(os.environ.get("SPARK_GRAFT_FUZZY_LOCAL_MAX_ROWS", "4096"))
+    cap = local_cap("SPARK_GRAFT_FUZZY_LOCAL_MAX_ROWS", 4096)
 
     def _collect(df, id_col, side):
         sel = df.select(F.col(id_col).alias("_id"),
@@ -342,8 +344,7 @@ def _fuzzy_join_local(left: DataFrame, right: DataFrame, text_col: str,
     # above it the distributed (spillable) blocking join is the answer
     win = (np.abs(Ll[:, None].astype(np.int64) - Rl[None, :]) <= max_dist)
     cells = int((win * (Ll[:, None].astype(np.int64) * Rl[None, :])).sum())
-    if not force and cells > int(os.environ.get(
-            "SPARK_GRAFT_FUZZY_LOCAL_MAX_CELLS", "2000000000")):
+    if not force and cells > local_cap("SPARK_GRAFT_FUZZY_LOCAL_MAX_CELLS", 2000000000):
         return None
     del win
 

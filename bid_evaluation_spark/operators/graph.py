@@ -30,6 +30,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              weight: Optional[str] = None, damping: float = 0.85,
@@ -155,10 +157,8 @@ def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b",
            .distinct()
            .persist())
     if engine != "join":
-        cap_e = int(os.environ.get("SPARK_GRAFT_TRI_LOCAL_MAX_EDGES",
-                                   "2000000"))
-        cap_n = int(os.environ.get("SPARK_GRAFT_TRI_LOCAL_MAX_NODES",
-                                   "4096"))
+        cap_e = local_cap("SPARK_GRAFT_TRI_LOCAL_MAX_EDGES", 2000000)
+        cap_n = local_cap("SPARK_GRAFT_TRI_LOCAL_MAX_NODES", 4096)
         # Arrow toPandas, not collect(): deserializing ~1M Row objects
         # through py4j costs seconds; the Arrow hop hands back columnar
         # numpy directly (measured on the 789k-edge events graph)
@@ -391,8 +391,7 @@ _GRAPH_LOCAL_MAX_EDGES = 2_000_000
 def _graph_local_max() -> int:
     import os
 
-    return int(os.environ.get("SPARK_GRAFT_GRAPH_LOCAL_MAX",
-                              _GRAPH_LOCAL_MAX_EDGES))
+    return local_cap("SPARK_GRAFT_GRAPH_LOCAL_MAX", _GRAPH_LOCAL_MAX_EDGES)
 
 
 def _fits_local(e: DataFrame, limit: int) -> bool:
@@ -833,7 +832,7 @@ def _kcore_local(e_raw: DataFrame, k: int,
 
 def link_prediction(incidence: DataFrame, container_col: str,
                     node_col: str, max_container_size: int = 64,
-                    min_common: int = 1) -> DataFrame:
+                    min_common: int = 1, engine: str = "auto") -> DataFrame:
     """Link-prediction scores between nodes that share containers, from a
     bipartite incidence table (container, node) → ``(node_a, node_b,
     common, adamic_adar, jaccard)`` with ``node_a < node_b``.
@@ -849,17 +848,35 @@ def link_prediction(incidence: DataFrame, container_col: str,
     Scale: the only quadratic step is per-container pair generation,
     bounded by ``max_container_size``² — hub containers (a part in
     every order) are dropped, the standard blocking device used by the
-    basket/PPJoin operators.  Shuffles: one groupBy(container), one
-    pair-keyed groupBy, two broadcast-ready degree joins.  Rounds the
-    float scores to 4 decimals.
+    basket/PPJoin operators.  Engines (r12 verdict task 4, guide
+    §4.2/§2.3): ``join`` shuffles — one groupBy(container), one
+    pair-keyed groupBy, two broadcast-ready degree joins — the 100 TB
+    route; ``kernel`` (auto below ``SPARK_GRAFT_LINKPRED_LOCAL_MAX_ROWS``
+    collected incidence rows, pair volume re-guarded by
+    ``..._LOCAL_MAX_PAIRS``) runs the whole reduction as one numpy pass
+    over the collected 2-column projection, skipping 4 exchanges of
+    fixed latency at local scale.  Rounds the float scores to 4
+    decimals (exact HALF_UP in both engines).
     """
     if max_container_size < 2:
         raise ValueError("max_container_size must be >= 2")
-    inc = (incidence
+    if engine not in ("auto", "join", "kernel"):
+        raise ValueError(f"engine must be auto/join/kernel, got {engine!r}")
+    raw = (incidence
            .select(F.col(container_col).alias("_c"),
                    F.col(node_col).alias("_n"))
-           .filter(F.col("_c").isNotNull() & F.col("_n").isNotNull())
-           .distinct())
+           .filter(F.col("_c").isNotNull() & F.col("_n").isNotNull()))
+    if engine != "join":
+        cap = local_cap("SPARK_GRAFT_LINKPRED_LOCAL_MAX_ROWS", 4_000_000)
+        pdf = (raw.toPandas() if engine == "kernel"
+               else raw.limit(cap + 1).toPandas())
+        if engine == "kernel" or len(pdf) <= cap:
+            out = _linkpred_kernel(incidence, node_col, pdf,
+                                   max_container_size, min_common,
+                                   force=engine == "kernel")
+            if out is not None:
+                return out
+    inc = raw.distinct()
     sized = inc.join(
         inc.groupBy("_c").agg(F.count(F.lit(1)).alias("_sz"))
            .filter(F.col("_sz") <= max_container_size),
@@ -887,6 +904,79 @@ def link_prediction(incidence: DataFrame, container_col: str,
                        / (F.col("_da") + F.col("_db")
                           - F.col("common")).cast("double"))
                     .alias("jaccard")))
+
+
+def _linkpred_kernel(incidence: DataFrame, node_col: str, pdf,
+                     max_container_size: int, min_common: int,
+                     force: bool = False):
+    """One numpy pass over the collected ``(_c, _n)`` projection —
+    value-identical to the join engine (same IEEE division/sqrt-free
+    arithmetic; the only order-sensitive float is the Adamic–Adar sum,
+    which both engines already accumulate in engine-specific order under
+    the 4-decimal round; parity-tested).  Returns ``None`` → fall back
+    to the join engine when post-cap pair volume exceeds
+    ``SPARK_GRAFT_LINKPRED_LOCAL_MAX_PAIRS``."""
+    import numpy as np
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    from .pairgen import group_pair_indices, half_up4
+
+    spark = incidence.sparkSession
+    node_t = incidence.schema[node_col].dataType
+    schema = StructType([
+        StructField("node_a", node_t), StructField("node_b", node_t),
+        StructField("common", LongType()),
+        StructField("adamic_adar", DoubleType()),
+        StructField("jaccard", DoubleType()),
+    ])
+
+    def _empty():
+        return spark.createDataFrame(
+            pd.DataFrame({"node_a": [], "node_b": [], "common": [],
+                          "adamic_adar": [], "jaccard": []}), schema=schema)
+
+    if len(pdf) == 0:
+        return _empty()
+    pdf = pdf.drop_duplicates(["_c", "_n"])
+    c_vals, c_codes = np.unique(pdf["_c"].to_numpy(), return_inverse=True)
+    n_vals, n_codes = np.unique(pdf["_n"].to_numpy(), return_inverse=True)
+    n_nodes = len(n_vals)
+    c_sizes = np.bincount(c_codes, minlength=len(c_vals))
+    row_keep = c_sizes[c_codes] <= int(max_container_size)
+    ck, nk = c_codes[row_keep], n_codes[row_keep]
+    if len(ck) == 0:
+        return _empty()
+    order = np.argsort(ck, kind="stable")
+    ck, nk = ck[order], nk[order]
+    deg = np.bincount(nk, minlength=n_nodes).astype(np.int64)
+    counts = np.bincount(ck, minlength=ck[-1] + 1)
+    counts = counts[counts > 0]
+    if not force and int((counts * counts).sum()) > local_cap(
+            "SPARK_GRAFT_LINKPRED_LOCAL_MAX_PAIRS", 64_000_000):
+        return None
+    left, right, gid = group_pair_indices(counts)
+    a_raw, b_raw = nk[left], nk[right]
+    sel = a_raw < b_raw          # code order == value order (np.unique)
+    ai, bi = a_raw[sel], b_raw[sel]
+    w_inst = 1.0 / np.log(counts[gid[sel]].astype(np.float64))
+    key = ai.astype(np.int64) * n_nodes + bi
+    ukey, inv = np.unique(key, return_inverse=True)
+    common = np.bincount(inv).astype(np.int64)
+    aa = np.bincount(inv, weights=w_inst)
+    keep = common >= int(min_common)
+    ukey, common, aa = ukey[keep], common[keep], aa[keep]
+    if len(ukey) == 0:
+        return _empty()
+    a_code, b_code = ukey // n_nodes, ukey % n_nodes
+    jac = half_up4(common.astype(np.float64)
+                   / (deg[a_code] + deg[b_code] - common
+                      ).astype(np.float64))
+    out = pd.DataFrame({
+        "node_a": n_vals[a_code], "node_b": n_vals[b_code],
+        "common": common, "adamic_adar": half_up4(aa), "jaccard": jac})
+    return spark.createDataFrame(out, schema=schema)
 
 
 def powerlaw_alpha(degrees: DataFrame, degree_col: str = "degree",

@@ -31,6 +31,8 @@ import os
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 _MAXSIM_LOCAL_MAX_QTOKENS = 10_000
 
 
@@ -268,8 +270,7 @@ def maxsim_topk(doc_tokens: DataFrame, query_tokens: DataFrame,
                                  exclude_self=exclude_self)
         pairs = d.join(cand, "_d").join(F.broadcast(q), "_q")
     elif engine != "join":
-        cap = int(os.environ.get("SPARK_GRAFT_MAXSIM_LOCAL_MAX_QTOKENS",
-                                 str(_MAXSIM_LOCAL_MAX_QTOKENS)))
+        cap = local_cap("SPARK_GRAFT_MAXSIM_LOCAL_MAX_QTOKENS", _MAXSIM_LOCAL_MAX_QTOKENS)
         qtok_rows = (q.limit(cap + 1).collect() if engine == "auto"
                      else q.collect())
         if engine == "kernel" or len(qtok_rows) <= cap:

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .dedup import _hyperplane_bucket, cosine
 
+from bid_evaluation_spark.dispatch import local_cap
+
 
 _TOPK_LOCAL_MAX_QUERIES = 10_000
 
@@ -59,8 +61,7 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10,
                                       vec_col, exclude_self)
     if engine == "auto":
         import os
-        cap = int(os.environ.get("SPARK_GRAFT_TOPK_LOCAL_MAX_QUERIES",
-                                 str(_TOPK_LOCAL_MAX_QUERIES)))
+        cap = local_cap("SPARK_GRAFT_TOPK_LOCAL_MAX_QUERIES", _TOPK_LOCAL_MAX_QUERIES)
         qrows = queries.select(F.col(query_id).alias("query_id"),
                                F.col(vec_col).alias("_qv")) \
             .limit(cap + 1).collect()

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 
 def radius_join(df: DataFrame, id_col: str, x_col: str, y_col: str,
                 radius: float) -> DataFrame:
@@ -138,8 +140,7 @@ def dbscan(df: DataFrame, id_col: str, x_col: str, y_col: str,
         # rounds vs label propagation's O(diameter) (measured 11.7 s →
         # see NOTES.md round-7 A/B).
         import os
-        local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX",
-                                       str(_CC_LOCAL_MAX_EDGES)))
+        local_max = local_cap("SPARK_GRAFT_CC_LOCAL_MAX", _CC_LOCAL_MAX_EDGES)
         clusters = near_duplicate_clusters(
             cc_pairs, "id", "nbr", max_iter=max_cc_iter,
             algorithm="local" if n_cc <= local_max else "twophase")

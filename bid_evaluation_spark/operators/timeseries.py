@@ -37,6 +37,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .cache import track_cached
 
+from bid_evaluation_spark.dispatch import local_cap
+
 _FILLS = ("none", "zero", "locf", "linear")
 
 
@@ -795,8 +797,7 @@ def trend_test(df: DataFrame, group_col: str, x_col: str,
                    F.col(y_col).cast("double").alias("_y")))
     if engine == "auto":
         import os
-        cap = int(os.environ.get("SPARK_GRAFT_TREND_LOCAL_MAX_PAIRS",
-                                 str(_TREND_LOCAL_MAX_PAIRS)))
+        cap = local_cap("SPARK_GRAFT_TREND_LOCAL_MAX_PAIRS", _TREND_LOCAL_MAX_PAIRS)
         # one tiny two-phase aggregate: total pair count = Σ n·(n−1)/2
         probe = (pts.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
                  .agg(F.sum(F.col("_n") * (F.col("_n") - 1) / 2)

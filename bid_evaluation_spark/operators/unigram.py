@@ -39,6 +39,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 _FIXED = 1_000_000_000          # fixed-point scale for order-free sums
 _FLOOR_LOGPROB = -30.0          # unseen-char fallback at segment time
 
@@ -195,11 +197,11 @@ def unigram_train(df: DataFrame, text_col: str = "text", *,
         # is bit-identical either way (parity-tested). Above the cap
         # the distributed rounds run unchanged — the dispatch is
         # data-size-adaptive, not local[32]-tuned.
-        local_cap = int(os.environ.get(
-            "SPARK_GRAFT_UNIGRAM_LOCAL_MAX_WORDS", "10000"))
-        head = words.limit(local_cap + 1).collect()
+        word_cap = local_cap("SPARK_GRAFT_UNIGRAM_LOCAL_MAX_WORDS",
+                             10000)
+        head = words.limit(word_cap + 1).collect()
         word_rows: Optional[List[Tuple[str, int]]] = None
-        if len(head) <= local_cap:
+        if len(head) <= word_cap:
             word_rows = [(str(r["word"]), int(r["cnt"])) for r in head]
             n_words = len(word_rows)
             vocab = _seed_vocab_local(word_rows, seed_size,

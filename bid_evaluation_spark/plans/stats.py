@@ -29,6 +29,8 @@ from typing import Dict, Iterable, List, Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from bid_evaluation_spark.dispatch import local_cap
+
 STAT_KEYS = ("min", "max", "mean", "median", "std", "q25", "q75")
 
 
@@ -189,8 +191,7 @@ def stats_bundle_df(df: DataFrame, columns: Iterable[str],
     cols = list(columns)
     if engine in ("auto", "kernel"):
         import os
-        cap = int(os.environ.get("SPARK_GRAFT_STATS_LOCAL_MAX_ROWS",
-                                 str(_STATS_LOCAL_MAX_ROWS)))
+        cap = local_cap("SPARK_GRAFT_STATS_LOCAL_MAX_ROWS", _STATS_LOCAL_MAX_ROWS)
         if engine == "kernel":
             cap = float("inf")
         n = df.count()

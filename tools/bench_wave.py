@@ -175,8 +175,14 @@ def main() -> int:
         else:
             print(f"SOLO: no rows >{_FLAG}x normalized baseline warm")
     if json_out:
+        from bid_evaluation_spark.dispatch import force_distributed
         with open(json_out, "w") as fh:
             json.dump({"sf_dir": sf_dir,
+                       # r12 verdict task 3: the artifact records whether
+                       # this wave ran the forced distributed fallbacks
+                       # (SPARK_GRAFT_FORCE_DISTRIBUTED=1 → every dual-
+                       # engine dispatch takes its at-scale route)
+                       "force_distributed": force_distributed(),
                        "queries": per_query,
                        "total_cold": round(total_cold, 3),
                        "total_warm": round(total_warm, 3),
