@@ -19,8 +19,14 @@ Spark-first shape:
 - **Distributions are one count-agg each** (map-side partial); the
   log-ratio table joins them full-outer on bucket — ≤ ``buckets`` rows,
   which Catalyst/AQE broadcasts to the scoring side.
-- **Scoring is one explode + one broadcast equi-join + one per-doc sum.**
-  No Python anywhere; corpus totals are the only driver scalars.
+- **The raw corpus is tokenized+hashed exactly ONCE** (r13 opt): the
+  exploded ``(id, bucket)`` proxy is persisted (tracked via
+  ``operators.cache``; released by the caller after materializing) and
+  feeds the raw count table, the corpus total and the scoring join.
+  Corpus totals are 1-row frames cross-joined into the ratio projection
+  — no eager driver collect, the whole weight table is one job.
+- **Scoring is one broadcast equi-join + one per-doc sum** over the
+  persisted proxy. No Python anywhere.
 - **Sampling without replacement is deterministic Gumbel top-k**:
   ``log_weight + Gumbel(md5(id))``, rounded to 1e-6 before ranking so
   both engines order identical doubles (the weighted-sample lesson),
@@ -33,6 +39,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .cache import track_cached as _track_cached
 from .text import word_ngrams
 
 #: md5-hex prefix width for portable 60-bit hashes (fits signed 64)
@@ -86,38 +93,55 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     way. The ratio table is ≤ B rows (broadcast); scoring is one explode
     + one equi-join + one per-doc sum.
     """
-    t_counts = bucket_counts(target, text_col, ns, buckets, seed)
-    r_counts = bucket_counts(raw, text_col, ns, buckets, seed)
-    totals_t = t_counts.agg(F.sum("cnt")).collect()[0][0] or 0
-    totals_r = r_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    # r13 opt (guide §2.3 aggregate-before-shuffle / §5 caching): the raw
+    # corpus was tokenized+md5-hashed THREE times per materialization —
+    # once for the eager totals collect, once for r_counts inside the
+    # ratio table, once for the scoring explode. One persisted
+    # lightweight proxy (id, bucket) — 16 bytes per feature occurrence
+    # vs re-hashing every n-gram of the corpus — now feeds all three
+    # consumers, and the totals become 1-row frames cross-joined into
+    # the ratio projection (no eager collect: the whole weight table is
+    # ONE job). Arithmetic is unchanged: scoring still sums log_ratio
+    # per feature OCCURRENCE, so engine results are bit-identical to the
+    # unfused shape.
     k = float(add_k)
+    feats = raw.select(
+        F.col(id_col),
+        F.explode(hashed_ngram_buckets(F.col(text_col), ns, buckets, seed)
+                  ).alias("bucket")).persist()
+    t_counts = bucket_counts(target, text_col, ns, buckets, seed).persist()
+    r_counts = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    totals_t = t_counts.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("_tt"))
+    totals_r = feats.agg(F.count(F.lit(1)).alias("_tr"))
 
     ratio = (t_counts.withColumnRenamed("cnt", "t_cnt")
              .join(r_counts.withColumnRenamed("cnt", "r_cnt"),
                    ["bucket"], "full_outer")
+             .crossJoin(F.broadcast(totals_t))
+             .crossJoin(F.broadcast(totals_r))
              .select(
                  "bucket",
                  (F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(k))
-                        / F.lit(float(totals_t) + k * buckets))
+                        / (F.col("_tt").cast("double")
+                           + F.lit(k * buckets)))
                   - F.log((F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(k))
-                          / F.lit(float(totals_r) + k * buckets))
+                          / (F.col("_tr").cast("double")
+                             + F.lit(k * buckets)))
                   ).alias("log_ratio")))
 
-    feats = raw.select(
-        F.col(id_col),
-        F.explode(hashed_ngram_buckets(F.col(text_col), ns, buckets, seed)
-                  ).alias("bucket"))
     per_doc = (feats.join(ratio, ["bucket"])
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_features"),
                     F.sum("log_ratio").alias("log_weight")))
-    return (raw.select(id_col)
-            .join(per_doc, [id_col], "left")
-            .select(id_col,
-                    F.coalesce(F.col("n_features"), F.lit(0)
-                               ).alias("n_features"),
-                    F.coalesce(F.col("log_weight"), F.lit(0.0)
-                               ).alias("log_weight")))
+    out = (raw.select(id_col)
+           .join(per_doc, [id_col], "left")
+           .select(id_col,
+                   F.coalesce(F.col("n_features"), F.lit(0)
+                              ).alias("n_features"),
+                   F.coalesce(F.col("log_weight"), F.lit(0.0)
+                              ).alias("log_weight")))
+    return _track_cached(out, [feats, t_counts])
 
 
 def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
@@ -139,7 +163,10 @@ def dsir_sample(raw: DataFrame, target: DataFrame, k: int,
          .cast("double") + F.lit(0.5)) / F.lit(float(16 ** _HEX_DIGITS))
     g = -F.log(-F.log(u))
     score = F.round((F.col("log_weight") + g) * F.lit(1e6)) / F.lit(1e6)
-    return (w.withColumn("_gumbel_score", score)
-            .orderBy(F.desc("_gumbel_score"), F.asc(id_col))
-            .limit(int(k))
-            .drop("_gumbel_score"))
+    out = (w.withColumn("_gumbel_score", score)
+           .orderBy(F.desc("_gumbel_score"), F.asc(id_col))
+           .limit(int(k))
+           .drop("_gumbel_score"))
+    # carry the logweights persists onto the frame actually returned so
+    # per-frame release() works; release_all() covers harnesses either way
+    return _track_cached(out, getattr(w, "_cached_deps", []))
