@@ -921,7 +921,8 @@ def _linkpred_kernel(incidence: DataFrame, node_col: str, pdf,
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
-    from .pairgen import group_pair_indices, half_up4
+    from .pairgen import (group_pair_indices, half_up4,
+                          shifted_group_pairs)
 
     spark = incidence.sparkSession
     node_t = incidence.schema[node_col].dataType
@@ -956,11 +957,24 @@ def _linkpred_kernel(incidence: DataFrame, node_col: str, pdf,
     if not force and int((counts * counts).sum()) > local_cap(
             "SPARK_GRAFT_LINKPRED_LOCAL_MAX_PAIRS", 64_000_000):
         return None
-    left, right, gid = group_pair_indices(counts)
-    a_raw, b_raw = nk[left], nk[right]
-    sel = a_raw < b_raw          # code order == value order (np.unique)
-    ai, bi = a_raw[sel], b_raw[sel]
-    w_inst = 1.0 / np.log(counts[gid[sel]].astype(np.float64))
+    # small (hub-capped) groups: O(max-group) shifted masks instead of
+    # the Σc² closed form (~5x less array traffic); node_a < node_b is
+    # the unordered (min, max) canonical — code order == value order
+    if int(counts.max()) <= 64:
+        sz_row = counts[np.repeat(np.arange(len(counts)), counts)]
+        # size-1 groups emit no pairs; keep their (unused) weight finite
+        # so numpy stays warning-free
+        w_row = 1.0 / np.log(np.maximum(sz_row, 2).astype(np.float64))
+        li, ri = shifted_group_pairs(ck)
+        x, y = nk[li], nk[ri]
+        ai, bi = np.minimum(x, y), np.maximum(x, y)
+        w_inst = w_row[li]
+    else:
+        left, right, gid = group_pair_indices(counts)
+        a_raw, b_raw = nk[left], nk[right]
+        sel = a_raw < b_raw      # code order == value order (np.unique)
+        ai, bi = a_raw[sel], b_raw[sel]
+        w_inst = 1.0 / np.log(counts[gid[sel]].astype(np.float64))
     key = ai.astype(np.int64) * n_nodes + bi
     ukey, inv = np.unique(key, return_inverse=True)
     common = np.bincount(inv).astype(np.int64)

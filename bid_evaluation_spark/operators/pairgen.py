@@ -55,3 +55,32 @@ def group_pair_indices(counts: np.ndarray
     left = starts + local // crep
     right = starts + local % crep
     return left, right, gid
+
+
+def shifted_group_pairs(group_codes_sorted: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Unordered within-group row-index pairs ``(i, j)`` with ``i < j``
+    (row order), for rows sorted by group, via shifted equality masks:
+    shift ``s`` pairs every row with the row ``s`` below it when both
+    share a group.  A group of size ``c`` matches shifts ``1..c-1``, so
+    the loop self-terminates at the LARGEST actual group — each shift is
+    one O(rows) mask, which beats materializing the ``Σc²`` closed form
+    by ~5x when groups are small (hub-capped incidences).  Callers
+    should prefer :func:`group_pair_indices` when the max group size is
+    large (> ~64): there the closed form does less total work."""
+    n = len(group_codes_sorted)
+    out_l: list = []
+    out_r: list = []
+    s = 1
+    while s < n:
+        m = group_codes_sorted[:-s] == group_codes_sorted[s:]
+        i = np.flatnonzero(m)
+        if len(i) == 0:
+            break
+        out_l.append(i)
+        out_r.append(i + s)
+        s += 1
+    if not out_l:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy()
+    return np.concatenate(out_l), np.concatenate(out_r)

@@ -39,7 +39,8 @@ from pyspark.sql.types import (DoubleType, IntegerType, LongType,
 
 from bid_evaluation_spark.dispatch import local_cap
 
-from .pairgen import group_pair_indices, half_up4 as _half_up4
+from .pairgen import (group_pair_indices, half_up4 as _half_up4,
+                      shifted_group_pairs)
 
 
 def item_item_cosine(interactions: DataFrame, user_col: str,
@@ -150,16 +151,34 @@ def _cosine_kernel(interactions: DataFrame, item_col: str, pdf,
     if not force and int((counts * counts).sum()) > local_cap(
             "SPARK_GRAFT_REC_LOCAL_MAX_PAIRS", 64_000_000):
         return None
-    left, right, _ = group_pair_indices(counts)
-    sel = left != right          # (u, i) is distinct → same row ⟺ same item
-    ai, bi = ik[left[sel]], ik[right[sel]]
-    key = ai.astype(np.int64) * n_items + bi
-    ukey, common = np.unique(key, return_counts=True)
-    keep = common >= int(min_common)
-    ukey, common = ukey[keep], common[keep].astype(np.int64)
-    if len(ukey) == 0:
-        return _empty()
-    a_code, b_code = ukey // n_items, ukey % n_items
+    # co-counts are symmetric: count UNORDERED pairs and mirror at the
+    # end. Small (hub-capped) groups take the O(max-group) shifted-mask
+    # path — ~5x less array traffic than the Σc² closed form.
+    if int(counts.max()) <= 64:
+        li, ri = shifted_group_pairs(uk)
+        x, y = ik[li], ik[ri]            # distinct items ((u,i) distinct)
+        mn, mx = np.minimum(x, y), np.maximum(x, y)
+        key = mn.astype(np.int64) * n_items + mx
+        ukey, cnt = np.unique(key, return_counts=True)
+        keep = cnt >= int(min_common)
+        ukey, cnt = ukey[keep], cnt[keep].astype(np.int64)
+        if len(ukey) == 0:
+            return _empty()
+        mn_u, mx_u = ukey // n_items, ukey % n_items
+        a_code = np.concatenate([mn_u, mx_u])
+        b_code = np.concatenate([mx_u, mn_u])
+        common = np.concatenate([cnt, cnt])
+    else:
+        left, right, _ = group_pair_indices(counts)
+        sel = left != right
+        ai, bi = ik[left[sel]], ik[right[sel]]
+        key = ai.astype(np.int64) * n_items + bi
+        ukey, common = np.unique(key, return_counts=True)
+        keep = common >= int(min_common)
+        ukey, common = ukey[keep], common[keep].astype(np.int64)
+        if len(ukey) == 0:
+            return _empty()
+        a_code, b_code = ukey // n_items, ukey % n_items
     cosine = _half_up4(
         common.astype(np.float64)
         / np.sqrt(deg[a_code].astype(np.float64)

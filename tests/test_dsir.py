@@ -73,3 +73,28 @@ def test_sample_edge_cases(spark):
         dsir_sample(raw, target, k=-1)
     with pytest.raises(ValueError):
         dsir_logweights(raw, target, buckets=1)
+
+
+def test_map_engine_matches_join_engine(spark, monkeypatch):
+    # r13 dual engine: bounded-bucket literal-map scoring (zero joins)
+    # vs the persisted-proxy join route — identical after the operator
+    # contract's 4-decimal rounding (raw doubles differ ~1e-15 from sum
+    # order / libm, which the oracle already tolerates)
+    from bid_evaluation_spark.operators.cache import release_all
+    raw, target = _corpora(spark)
+
+    def rounded(rows):
+        return sorted((r["doc_id"], r["n_features"],
+                       round(r["log_weight"], 4)) for r in rows)
+
+    m = rounded(dsir_logweights(raw, target, buckets=256).collect())
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
+    j = rounded(dsir_logweights(raw, target, buckets=256).collect())
+    release_all()
+    assert m == j
+    sm = [r["doc_id"] for r in dsir_sample(raw, target, k=3,
+                                           buckets=256).collect()]
+    release_all()
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
+    assert sm == [r["doc_id"] for r in dsir_sample(raw, target, k=3,
+                                                   buckets=256).collect()]
