@@ -39,43 +39,24 @@ def train_bigram_lm(corpus: DataFrame, text_col: str = "text"
                     ) -> tuple[DataFrame, DataFrame]:
     """Train bigram counts from a corpus: returns ``(unigrams, bigrams)``
     where ``unigrams = (w1, c1)`` counts every token occurrence and
-    ``bigrams = (w1, w2, c2)`` counts adjacent pairs.
-
-    r13 opt (guide §2.3/§2.4): both tables come out of ONE tokenize pass
-    and ONE shuffle — every document emits its tokens as ``(w, NULL)``
-    marks concatenated with its adjacent pairs ``(w1, w2)``, one fused
-    groupBy counts them, and the two models are filtered projections of
-    the PERSISTED fused table (tokens are never null, so the NULL-w2
-    mark is unambiguous).  The unfused shape tokenized the corpus twice
-    and shuffled twice; counts are exact integers either way, so the
-    returned tables are value-identical (tested).  The persist is
-    model-sized (vocab + distinct bigrams), tracked via
-    ``operators.cache`` on both returned frames — ``perplexity`` carries
-    it onto its result, harnesses sweep with ``release_all``.
-
-    Null/empty documents contribute nothing.
+    ``bigrams = (w1, w2, c2)`` counts adjacent pairs. Pure aggregation —
+    tokenize (map) → explode (map) → groupBy (partial agg + one shuffle
+    on the token key per table). Null/empty documents contribute nothing.
     """
     t = tokens(F.col(text_col))
+    toks = corpus.select(F.explode(t).alias("w1"))
+    unigrams = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+
     m = F.size(t) - F.lit(1)
-    pair_t = "array<struct<w1:string,w2:string>>"
-    marks = F.transform(
-        t, lambda w: F.struct(w.alias("w1"),
-                              F.lit(None).cast("string").alias("w2")))
-    pairs = F.when(m >= 1, F.arrays_zip(
-        F.slice(t, 1, m).alias("w1"), F.slice(t, 2, m).alias("w2"))
-    ).otherwise(F.array().cast(pair_t))
-    fused = (corpus
-             .select(F.explode(F.concat(marks.cast(pair_t), pairs))
-                     .alias("p"))
-             .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-             .agg(F.count(F.lit(1)).alias("c"))
-             .persist())
-    unigrams = (fused.filter(F.col("w2").isNull())
-                .select("w1", F.col("c").alias("c1")))
-    bigrams = (fused.filter(F.col("w2").isNotNull())
-               .select("w1", "w2", F.col("c").alias("c2")))
-    return (_track_cached(unigrams, [fused]),
-            _track_cached(bigrams, [fused]))
+    pairs = corpus.select(
+        F.explode(F.when(m >= 1, F.arrays_zip(
+            F.slice(t, 1, m).alias("w1"), F.slice(t, 2, m).alias("w2"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"))
+    bigrams = (pairs.select(F.col("p.w1").alias("w1"),
+                            F.col("p.w2").alias("w2"))
+               .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
+    return unigrams, bigrams
 
 
 def perplexity(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
@@ -135,9 +116,4 @@ def perplexity(docs: DataFrame, unigrams: DataFrame, bigrams: DataFrame,
                F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
                F.col("avg_logprob"),
                F.exp(-F.col("avg_logprob")).alias("ppl")))
-    # carry the trainer's fused-count persist (if the model came from
-    # train_bigram_lm) so per-frame release() frees it too
-    return _track_cached(
-        out, [unigrams]
-        + list(getattr(unigrams, "_cached_deps", []))
-        + list(getattr(bigrams, "_cached_deps", [])))
+    return _track_cached(out, [unigrams])
