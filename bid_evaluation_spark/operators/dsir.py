@@ -39,8 +39,6 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from bid_evaluation_spark.dispatch import local_cap
-
 from .cache import track_cached as _track_cached
 from .text import word_ngrams
 
@@ -95,57 +93,19 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
     way. The ratio table is ≤ B rows (broadcast); scoring is one explode
     + one equi-join + one per-doc sum.
     """
-    # r13 opt, two engines:
-    #
-    # map (buckets <= SPARK_GRAFT_DSIR_MAP_MAX_BUCKETS, default 8192):
-    # the ratio table is BY CONSTRUCTION bounded at `buckets` rows, so
-    # collect both count tables (two bounded-driver jobs, exactly what
-    # the r12 shape's eager totals already cost), bake the log-ratio
-    # table into ONE array<double> literal, and score every document
-    # in-row with a single fold over its feature bag — the scored plan
-    # has ZERO joins and ZERO exchanges (measured: the join shape's
-    # cost at local scale was almost entirely exchange/join fixed
-    # latency, not compute). n_features == bag size (every raw feature
-    # bucket is in the full-outer ratio by definition, so the join
-    # never dropped occurrences); the fold sums log_ratio per feature
-    # occurrence in bag order — same rounding tolerance the oracle
-    # already grants the engine-specific join sum order.
-    #
-    # join (above the cap / forced-distributed): one persisted
-    # lightweight proxy (id, bucket) feeds the count table, the corpus
-    # total and the scoring join (guide §2.3/§5 — the r12 shape
-    # tokenized+md5-hashed the raw corpus THREE times; this does it
-    # once), and the totals are 1-row frames cross-joined into the
-    # ratio projection, so no eager collect remains.
+    # r13 opt (guide §2.3/§5): the r12 shape tokenized+md5-hashed the
+    # raw corpus THREE times per materialization (eager totals collect,
+    # r_counts inside the ratio join, the scoring explode). One
+    # persisted lightweight proxy (id, bucket) now feeds the count
+    # table, the corpus total AND the scoring join, and the totals are
+    # 1-row frames cross-joined into the ratio projection — no eager
+    # collect remains, the whole weight table is ONE job. Scoring still
+    # sums log_ratio per feature OCCURRENCE, so results are
+    # bit-identical to the unfused shape. (A zero-join literal-map
+    # scoring variant was built and measured NEGATIVE — it needs TWO
+    # raw tokenize passes, which cost more than this shape's small
+    # shuffles; see OPTIMIZATION_r13.md.)
     k = float(add_k)
-    map_cap = local_cap("SPARK_GRAFT_DSIR_MAP_MAX_BUCKETS", 8192)
-    if buckets <= map_cap:
-        import math
-
-        t_cnt = dict(bucket_counts(target, text_col, ns, buckets,
-                                    seed).collect())
-        r_cnt = dict(bucket_counts(raw, text_col, ns, buckets,
-                                    seed).collect())
-        denom_t = float(sum(t_cnt.values())) + k * buckets
-        denom_r = float(sum(r_cnt.values())) + k * buckets
-        lr = [math.log((t_cnt.get(b, 0) + k) / denom_t)
-              - math.log((r_cnt.get(b, 0) + k) / denom_r)
-              for b in range(buckets)]
-        arr = F.lit(lr)
-        bag = hashed_ngram_buckets(F.col(text_col), ns, buckets, seed)
-        # bind the bag ONCE (the winnow transform(array(x), f)[0] idiom)
-        # so n_features and the fold share a single tokenize+hash subtree
-        packed = F.transform(F.array(bag), lambda b: F.struct(
-            F.coalesce(F.size(b), F.lit(0)).cast("long"
-                                                  ).alias("n_features"),
-            F.coalesce(
-                F.aggregate(b, F.lit(0.0),
-                            lambda acc, x: acc + F.element_at(
-                                arr, (x + 1).cast("integer"))),
-                F.lit(0.0)).alias("log_weight")))[0]
-        return (raw.select(F.col(id_col), packed.alias("_p"))
-                .select(id_col, F.col("_p.n_features").alias("n_features"),
-                        F.col("_p.log_weight").alias("log_weight")))
     feats = raw.select(
         F.col(id_col),
         F.explode(hashed_ngram_buckets(F.col(text_col), ns, buckets, seed)

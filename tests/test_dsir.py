@@ -75,26 +75,47 @@ def test_sample_edge_cases(spark):
         dsir_logweights(raw, target, buckets=1)
 
 
-def test_map_engine_matches_join_engine(spark, monkeypatch):
-    # r13 dual engine: bounded-bucket literal-map scoring (zero joins)
-    # vs the persisted-proxy join route — identical after the operator
-    # contract's 4-decimal rounding (raw doubles differ ~1e-15 from sum
-    # order / libm, which the oracle already tolerates)
+def test_fused_proxy_matches_unfused_shape(spark):
+    # r13: the persisted (id, bucket) proxy + cross-joined totals must be
+    # bit-identical to the r12 unfused shape (same per-occurrence sum)
+    from pyspark.sql import functions as F
+
     from bid_evaluation_spark.operators.cache import release_all
+    from bid_evaluation_spark.operators.dsir import (bucket_counts,
+                                                     hashed_ngram_buckets)
     raw, target = _corpora(spark)
-
-    def rounded(rows):
-        return sorted((r["doc_id"], r["n_features"],
-                       round(r["log_weight"], 4)) for r in rows)
-
-    m = rounded(dsir_logweights(raw, target, buckets=256).collect())
-    monkeypatch.setenv("SPARK_GRAFT_FORCE_DISTRIBUTED", "1")
-    j = rounded(dsir_logweights(raw, target, buckets=256).collect())
+    buckets, k = 256, 0.5
+    got = sorted(map(tuple, dsir_logweights(raw, target, buckets=buckets)
+                     .collect()))
     release_all()
-    assert m == j
-    sm = [r["doc_id"] for r in dsir_sample(raw, target, k=3,
-                                           buckets=256).collect()]
-    release_all()
-    monkeypatch.delenv("SPARK_GRAFT_FORCE_DISTRIBUTED")
-    assert sm == [r["doc_id"] for r in dsir_sample(raw, target, k=3,
-                                                   buckets=256).collect()]
+    # reference: the unfused r12 shape, inline
+    t_counts = bucket_counts(target, "text", (1, 2), buckets, "dsir")
+    r_counts = bucket_counts(raw, "text", (1, 2), buckets, "dsir")
+    tt = t_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    tr = r_counts.agg(F.sum("cnt")).collect()[0][0] or 0
+    ratio = (t_counts.withColumnRenamed("cnt", "t_cnt")
+             .join(r_counts.withColumnRenamed("cnt", "r_cnt"),
+                   ["bucket"], "full_outer")
+             .select("bucket",
+                     (F.log((F.coalesce(F.col("t_cnt"), F.lit(0))
+                             + F.lit(k)) / F.lit(float(tt) + k * buckets))
+                      - F.log((F.coalesce(F.col("r_cnt"), F.lit(0))
+                               + F.lit(k))
+                              / F.lit(float(tr) + k * buckets))
+                      ).alias("log_ratio")))
+    feats = raw.select(
+        F.col("doc_id"),
+        F.explode(hashed_ngram_buckets(F.col("text"), (1, 2), buckets,
+                                       "dsir")).alias("bucket"))
+    per_doc = (feats.join(ratio, ["bucket"]).groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_features"),
+                    F.sum("log_ratio").alias("log_weight")))
+    want = sorted(map(tuple,
+                      raw.select("doc_id").join(per_doc, ["doc_id"], "left")
+                      .select("doc_id",
+                              F.coalesce(F.col("n_features"), F.lit(0))
+                              .alias("n_features"),
+                              F.coalesce(F.col("log_weight"), F.lit(0.0))
+                              .alias("log_weight")).collect()))
+    assert [(d, n, round(w, 10)) for d, n, w in got] == \
+        [(d, n, round(w, 10)) for d, n, w in want]
