@@ -586,6 +586,17 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
     h = (hashes.filter(F.col(hash_col).isNotNull())
          .select(F.col(id_col).alias("_id"),
                  F.col(hash_col).alias("_h")))
+    deps = []
+    if not h.isStreaming:
+        # r13 opt (guide §2.4/§5): the banded self-join below references
+        # this frame on BOTH sides, so everything upstream — typically a
+        # full media DECODE kernel (shot_phashes, video signatures,
+        # image dHash) — executed TWICE per materialization. The hash
+        # table is the lightweight proxy (16 bytes/row vs the payloads
+        # it came from); persist it once, tracked via operators.cache
+        # (callers/harnesses sweep with release_all).
+        h = h.persist()
+        deps.append(h)
     bands = h.select(
         "_id", "_h",
         F.explode(F.array(*[
@@ -601,10 +612,14 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 6,
     b = bands.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"),
                      "_b", "_v")
     ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-    return (a.join(b, ["_b", "_v"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming)
-            .distinct()
-            .select("id_a", "id_b",
-                    F.col("hamming").cast("long").alias("hamming")))
+    out = (a.join(b, ["_b", "_v"])
+           .filter(F.col("id_a") < F.col("id_b"))
+           .select("id_a", "id_b", ham.alias("hamming"))
+           .filter(F.col("hamming") <= max_hamming)
+           .distinct()
+           .select("id_a", "id_b",
+                   F.col("hamming").cast("long").alias("hamming")))
+    if deps:
+        from .cache import track_cached
+        out = track_cached(out, deps)
+    return out
