@@ -616,7 +616,8 @@ def km_summary(km: DataFrame, horizon: float) -> DataFrame:
 
 
 def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
-               value_col: str, lags: Sequence[int] = (1, 2, 3)) -> DataFrame:
+               value_col: str, lags: Sequence[int] = (1, 2, 3),
+               engine: str = "auto") -> DataFrame:
     """Per-key autocorrelation function → ``(key, lag, n_pairs, acf)``:
     Pearson correlation between the series and its ``lag``-shifted self,
     rows ordered by ``order_cols`` (pass a tie-breaking unique suffix —
@@ -638,10 +639,39 @@ def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
     cardinality, and a key's history must fit a task (inherent to exact
     per-key ACF; for monster keys, bucket time first and run the ACF on
     the bucketed series). The groupBy rides the window's partitioning.
+
+    Engines (r13, guide §4.2): ``kernel`` (the default) computes the
+    per-(key, lag) co-moments in ONE sorted-partition ``mapInPandas``
+    pass — shifted-mask pair selection vectorized ACROSS keys, two-pass
+    centered sums (at least as stable as the agg engine's Welford
+    buffers) — and hands (n, r, vx, vy) to the SAME Column tail that
+    builds ``acf``. The ``agg`` engine keeps the fused
+    corr/var_samp aggregate (12 lags × 3 Welford buffers per row was
+    the measured cost at sf0.1); same partitioning constraint, exercised
+    by the forced-distributed wave. Both engines' floats differ only in
+    co-moment accumulation order — inside the tolerance the 4-decimal
+    round already grants Spark's own partition-order-dependent corr.
     """
+    from bid_evaluation_spark.dispatch import force_distributed
+
     lags = list(lags)
     if not lags or any(l < 1 for l in lags):
         raise ValueError("lags must be positive integers")
+    if engine not in ("auto", "agg", "kernel"):
+        raise ValueError(f"engine must be auto/agg/kernel, got {engine!r}")
+    if engine == "auto":
+        engine = "agg" if force_distributed() else "kernel"
+    if engine == "kernel":
+        moments = _acf_moments_kernel(df, key_col, order_cols,
+                                      value_col, lags)
+        acf_k = F.when((F.col("_vx") > 0) & (F.col("_vy") > 0),
+                       F.round(F.col("_r") * 1e4) / 1e4 + F.lit(0.0))
+        return moments.select(
+            F.col("_k").alias(key_col),
+            F.col("_lag").alias("lag"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long")
+            .alias("n_pairs"),
+            acf_k.alias("acf"))
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     x = F.col(value_col).cast("double")
     # all lags in ONE select — interleaving withColumn would wrap a
@@ -671,6 +701,95 @@ def acf_by_key(df: DataFrame, key_col: str, order_cols: Sequence[str],
                     F.coalesce(F.col("_s.n"), F.lit(0)).cast("long")
                     .alias("n_pairs"),
                     acf.alias("acf")))
+
+
+def _acf_moments_kernel(df: DataFrame, key_col: str,
+                        order_cols: Sequence[str], value_col: str,
+                        lags: Sequence[int]) -> DataFrame:
+    """Per-(key, lag) pair count and co-moments ``(_k, _lag, _n, _r,
+    _vx, _vy)`` from ONE sorted-partition pass: rows hash-partitioned
+    by key and sorted by (key, order_cols); for each lag the pair mask
+    is a shifted key-equality comparison (groups are contiguous), and
+    the two-pass centered sums are per-group ``bincount``s — vectorized
+    across keys, no per-key Python loop. Every key emits a row per lag
+    (n=0, null moments when the series is shorter than the lag),
+    matching the agg engine's fused-struct row set."""
+    prepared = df.select(
+        F.col(key_col).alias("_k"),
+        *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("_x"))
+    k_type = dict(prepared.dtypes)["_k"]
+    lag_list = [int(l) for l in lags]
+
+    def kern(batches):
+        pdf = _collect_sorted_partition(batches)
+        if pdf is None:
+            return
+        x = pdf["_x"].to_numpy(dtype=np.float64)
+        kv = pdf["_k"].to_numpy()
+        starts, lengths = _key_runs(kv)
+        n_groups = len(starts)
+        gid = np.repeat(np.arange(n_groups), lengths)
+        ok = ~np.isnan(x)
+        out_k, out_lag = [], []
+        out_n = np.empty((len(lag_list), n_groups), dtype=np.int64)
+        out_r = np.full((len(lag_list), n_groups), np.nan)
+        out_vx = np.full((len(lag_list), n_groups), np.nan)
+        out_vy = np.full((len(lag_list), n_groups), np.nan)
+        for li, lag in enumerate(lag_list):
+            if len(x) > lag:
+                a, b = x[lag:], x[:-lag]
+                valid = ((gid[lag:] == gid[:-lag])
+                         & ok[lag:] & ok[:-lag])
+                g = gid[lag:][valid]
+                av, bv = a[valid], b[valid]
+                n = np.bincount(g, minlength=n_groups)
+                nz = np.maximum(n, 1).astype(np.float64)
+                ma = np.bincount(g, weights=av,
+                                 minlength=n_groups) / nz
+                mb = np.bincount(g, weights=bv,
+                                 minlength=n_groups) / nz
+                da, db = av - ma[g], bv - mb[g]
+                ck = np.bincount(g, weights=da * db,
+                                 minlength=n_groups)
+                sxx = np.bincount(g, weights=da * da,
+                                  minlength=n_groups)
+                syy = np.bincount(g, weights=db * db,
+                                  minlength=n_groups)
+                two = n >= 2
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    out_vx[li][two] = (sxx[two]
+                                       / (n[two] - 1).astype(np.float64))
+                    out_vy[li][two] = (syy[two]
+                                       / (n[two] - 1).astype(np.float64))
+                    den = np.sqrt(sxx * syy)
+                    pos = two & (den > 0)
+                    out_r[li][pos] = ck[pos] / den[pos]
+                out_n[li] = n
+            else:
+                out_n[li] = 0
+        keys = kv[starts]
+        for li, lag in enumerate(lag_list):
+            out_k.append(keys)
+            out_lag.append(np.full(n_groups, lag, dtype=np.int64))
+        res = pd.DataFrame({
+            "_k": np.concatenate(out_k),
+            "_lag": np.concatenate(out_lag),
+            "_n": out_n.reshape(-1),
+            "_r": out_r.reshape(-1),
+            "_vx": out_vx.reshape(-1),
+            "_vy": out_vy.reshape(-1)})
+        # NaN sentinels → proper nulls so the Column tail's comparisons
+        # behave exactly like the agg engine's null corr/var
+        for c in ("_r", "_vx", "_vy"):
+            res[c] = res[c].astype(object).where(~pd.isna(res[c]), None)
+        yield res
+
+    order_names = [f"_o{i}" for i in range(len(order_cols))]
+    return (prepared.repartition("_k")
+            .sortWithinPartitions("_k", *order_names)
+            .mapInPandas(kern, f"_k {k_type}, _lag long, _n long, "
+                               "_r double, _vx double, _vy double"))
 
 
 def holt_by_key(df: DataFrame, key_col: str, ts_col: str, value_col: str,

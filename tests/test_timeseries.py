@@ -877,3 +877,30 @@ def test_ewma_cusum_step_kernels_match_sequential(spark):
             sp = max(0.0, sp + (x - t_ - k_))
             sn = max(0.0, sn + (t_ - k_ - x))
             assert gotc[e] == (sp, sn, sp > h_ or sn > h_), e
+
+
+def test_acf_kernel_matches_agg_engine(spark):
+    # r13 dual engine: sorted-partition moments kernel vs the fused
+    # corr/var_samp aggregate — identical rows incl. the 4-decimal acf
+    # (nulls for short/constant/all-null series in both)
+    import random
+
+    from bid_evaluation_spark.operators.timeseries import acf_by_key
+    rng = random.Random(5)
+    rows = []
+    for k in ("a", "b", "c", "d"):
+        for t in range(120):
+            v = (None if rng.random() < 0.1
+                 else round(rng.gauss(100.0, 9.0), 3))
+            rows.append((k, t, v))
+    rows += [("short", 0, 1.0)]                     # < lag rows
+    rows += [("const", t, 5.0) for t in range(10)]  # zero variance
+    rows += [("nulls", t, None) for t in range(10)]
+    df = spark.createDataFrame(rows, "k string, t long, v double")
+
+    def get(engine):
+        return sorted(map(tuple, acf_by_key(
+            df, "k", ["t"], "v", lags=(1, 2, 5),
+            engine=engine).collect()))
+
+    assert get("kernel") == get("agg")

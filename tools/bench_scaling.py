@@ -484,6 +484,66 @@ def fam_maxsim_twophase(spark, base):
     return n, maxsim_topk(toks, qs, k=10, n_candidates=50).count()
 
 
+def fam_cosine_topk(spark, base):
+    # r12 Arrow per-batch top-k frontier kernel: FIXED 50-query load,
+    # corpus vectors scale with docs — per-batch frontier work is
+    # linear in corpus rows (queries broadcast once per task)
+    from bid_evaluation_spark.operators.similarity import cosine_topk
+
+    d = _docs(spark, base).select("doc_id")
+    n = d.count()
+    emb = d.select(F.col("doc_id").alias("vec_id"), F.expr(
+        "transform(sequence(0, 15), j -> cos(doc_id * 0.37 + j * 0.73))"
+    ).alias("embedding"))
+    qs = spark.range(50).select(
+        (F.col("id") + F.lit(10) ** 9).alias("vec_id"), F.expr(
+            "transform(sequence(0, 15), j -> cos(id * 0.53 + j * 0.41))"
+        ).alias("embedding"))
+    return n, cosine_topk(qs, emb, k=10, exclude_self=False).count()
+
+
+def fam_repetition(spark, base):
+    # r12 partition kernel: one id-hash shuffle + per-doc numpy gram
+    # counting — per-doc work constant under the rotated-alphabet copies
+    from bid_evaluation_spark.operators.quality import (
+        ngram_repetition_stats)
+
+    d = _docs(spark, base)
+    n = d.count()
+    return n, ngram_repetition_stats(d, ns=(1, 2)).count()
+
+
+def fam_trend_test(spark, base):
+    # r12 per-group numpy kernel below the pair probe: groups are
+    # customers (cardinality scales, per-group size bounded) so MK/
+    # Theil-Sen pair volume grows linearly with orders
+    from bid_evaluation_spark.operators.timeseries import trend_test
+
+    od = spark.read.parquet(f"{base}/orders.parquet")
+    n = od.count()
+    return n, trend_test(od, "o_custkey", "o_orderkey",
+                         "o_totalprice").count()
+
+
+def fam_fuzzy_join(spark, base):
+    # r12 dual engine ACROSS ITS CROSSOVER: numbered supplier-style
+    # names (left exact, right zero-padded variant at edit distance
+    # <= 2) — sf0.01/sf0.1 fit the batch-DP kernel caps, the 10x synth
+    # exceeds them and takes the q-gram join route, so this family
+    # times the dispatch seam itself
+    from bid_evaluation_spark.operators.fuzzy import fuzzy_join
+
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    keys = li.select(F.col("l_suppkey").alias("id")).distinct()
+    n = keys.count()
+    left = keys.select("id", F.concat(
+        F.lit("supplier#"), F.col("id").cast("string")).alias("name"))
+    right = keys.select((F.col("id") + F.lit(10) ** 9).alias("id"),
+                        F.concat(F.lit("supplier#0"),
+                                 F.col("id").cast("string")).alias("name"))
+    return n, fuzzy_join(left, right, text_col="name", max_dist=2).count()
+
+
 FAMILIES = {
     "minhash_lsh": (fam_minhash, 1.0,
                     "map-only signatures + banded buckets; candidate "
