@@ -7272,7 +7272,10 @@ def _q_pipe_curation_funnel_documents(spark, sf_dir):
                    F.when(d % 2 == 0, F.lit("?utm_source=feed"))
                     .otherwise(F.lit("")))
     docs = _t(spark, sf_dir, "documents").withColumn("url", url)
-    kept_urls = url_dedup(docs).select("doc_id", "text")
+    # r13 opt: kept_urls feeds TWO consumers inside the survivors
+    # subtree (span stats + the join-back) — unpersisted, the url-dedup
+    # groupBy+join ran twice per materialization
+    kept_urls = url_dedup(docs).select("doc_id", "text").persist()
 
     stats = duplicated_span_stats(kept_urls, span=10, stride=5)
     # r12 opt: survivors feeds FOUR consumers (LM unigram + bigram
@@ -7289,7 +7292,8 @@ def _q_pipe_curation_funnel_documents(spark, sf_dir):
         .join(scored.select("doc_id", "ppl"), "doc_id")
         .select("doc_id",
                 (_r4("dup_ratio") + F.lit(0.0)).alias("dup_ratio"),
-                (_r4("ppl") + F.lit(0.0)).alias("ppl")), [survivors])
+                (_r4("ppl") + F.lit(0.0)).alias("ppl")),
+        [kept_urls, survivors])
 
 
 _SQL_PIPE_CURATION_FUNNEL_DOCUMENTS = """
