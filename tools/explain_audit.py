@@ -1040,13 +1040,22 @@ def _dsir_plan(spark, sf_dir):
     plan = plan_of(dsir_logweights(docs.filter(F.col("doc_id") % 5 != 0),
                                    docs.filter(F.col("doc_id") % 5 == 0),
                                    buckets=1024))
-    if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+    if "CartesianProduct" in plan:
         probs.append("ratio lookup degenerated to a product join")
+    # r13: the two corpus totals are 1-row frames attached to the
+    # <=buckets-row ratio table via broadcast nested loop — bounded by
+    # construction. More than those two is a degenerated product.
+    if plan.count("BroadcastNestedLoopJoin") > 2:
+        probs.append("unexpected non-total BroadcastNestedLoopJoin "
+                     f"({plan.count('BroadcastNestedLoopJoin')} > 2)")
     if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
         probs.append("feature hashing fell out of JVM codegen into Python")
     if "BroadcastHashJoin" not in plan:
         probs.append("bounded (<= buckets rows) ratio table not broadcast "
                      "to the exploded feature stream")
+    if "InMemoryTableScan" not in plan:
+        probs.append("persisted (id, bucket) feature proxy missing — the "
+                     "raw corpus would be re-hashed per consumer")
     return probs
 
 
@@ -1295,16 +1304,28 @@ def _basket_acf_jl(spark, sf_dir):
         probs.append("item_prune=True lost the Apriori semi-join prune")
 
     ev = load_table(spark, sf_dir, "events")
+    # r13: the default engine is the sorted-partition moments kernel —
+    # one key exchange, one sort, ONE Python pass, no window/join
     aplan = plan_of(acf_by_key(ev, "event_type", ["ts", "event_id"],
                                "value", lags=(1, 2, 3)))
-    if aplan.count("Window") != 1:
-        probs.append("acf lags did not share one window pass: "
-                     f"{aplan.count('Window')} Window nodes")
+    if aplan.count("MapInPandas") != 1:
+        probs.append("acf kernel engine expected exactly one MapInPandas "
+                     f"pass: {aplan.count('MapInPandas')}")
     if aplan.count("Exchange") != 1:
-        probs.append("acf expected exactly one exchange (groupBy rides "
-                     f"the window partitioning): {aplan.count('Exchange')}")
+        probs.append("acf expected exactly one (key) exchange: "
+                     f"{aplan.count('Exchange')}")
     if "Join" in aplan:
         probs.append("join in the acf plan")
+    # the agg fallback keeps the fused one-window shape
+    fplan = plan_of(acf_by_key(ev, "event_type", ["ts", "event_id"],
+                               "value", lags=(1, 2, 3), engine="agg"))
+    if fplan.count("Window") != 1:
+        probs.append("agg-engine acf lags did not share one window pass: "
+                     f"{fplan.count('Window')} Window nodes")
+    if fplan.count("Exchange") != 1:
+        probs.append("agg-engine acf expected exactly one exchange "
+                     f"(groupBy rides the window): "
+                     f"{fplan.count('Exchange')}")
 
     emb = load_table(spark, sf_dir, "embeddings")
     jplan = plan_of(jl_project(emb, 64, 16))
